@@ -1,38 +1,207 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship keyed diff on sf0.001. ``queries()`` maps
+operator names → (spark, sf_dir) → DataFrame; ``oracle_sql()`` holds the
+DuckDB-equivalent ANSI SQL per query (omitted only for genuinely
+non-SQL-expressible ops, which get the weaker rows-only check).
+
+Column-name discipline: every computed column is aliased identically in the
+Spark plan and the oracle SQL so the driver's sorted-column value-hash
+matches. Timestamps are projected to epoch micros (engine-portable);
+aggregates over doubles go through exact decimal so partial-aggregation
+order cannot perturb the hash.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from avro_diff_spark import key_collisions, key_diff, key_diff_detail, venn_diff
+from avro_diff_spark.sources.avro import read_parquet
+from avro_diff_spark import snapshots as snap
+
+SF0001 = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: keyed diff of two deterministic orders snapshots."""
+    old = snap.orders_old(spark, SF0001)
+    new = snap.orders_new(spark, SF0001)
+    return key_diff(old, new, ["o_orderkey"])
+
+
+# --------------------------------------------------------------------------
+# keyed diff family
+# --------------------------------------------------------------------------
+
+def _q_key_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    old, new = snap.orders_old(spark, sf_dir), snap.orders_new(spark, sf_dir)
+    d = key_diff(old, new, ["o_orderkey"])
+    return d.select(
+        "o_orderkey",
+        "diff_kind",
+        F.array_join(F.col("changed_fields"), ",").alias("changed_fields"),
+        F.col("old").getField("o_totalprice").alias("old_totalprice"),
+        F.col("new").getField("o_totalprice").alias("new_totalprice"),
+    )
+
+
+_KEY_DIFF_ORDERS_SQL = f"""
+WITH old_snap AS ({snap.ORDERS_OLD_SQL}),
+     new_snap AS ({snap.ORDERS_NEW_SQL})
+SELECT
+  coalesce(CAST(o.o_orderkey AS VARCHAR), CAST(n.o_orderkey AS VARCHAR)) AS o_orderkey,
+  CASE WHEN o.o_orderkey IS NULL THEN 'added'
+       WHEN n.o_orderkey IS NULL THEN 'removed'
+       WHEN o.o_custkey       IS DISTINCT FROM n.o_custkey
+         OR o.o_orderstatus   IS DISTINCT FROM n.o_orderstatus
+         OR o.o_totalprice    IS DISTINCT FROM n.o_totalprice
+         OR o.o_orderdate     IS DISTINCT FROM n.o_orderdate
+         OR o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+       THEN 'changed' ELSE 'unchanged' END AS diff_kind,
+  CASE WHEN o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL THEN
+    concat_ws(',',
+      CASE WHEN o.o_custkey       IS DISTINCT FROM n.o_custkey       THEN 'o_custkey' END,
+      CASE WHEN o.o_orderstatus   IS DISTINCT FROM n.o_orderstatus   THEN 'o_orderstatus' END,
+      CASE WHEN o.o_totalprice    IS DISTINCT FROM n.o_totalprice    THEN 'o_totalprice' END,
+      CASE WHEN o.o_orderdate     IS DISTINCT FROM n.o_orderdate     THEN 'o_orderdate' END,
+      CASE WHEN o.o_orderpriority IS DISTINCT FROM n.o_orderpriority THEN 'o_orderpriority' END)
+  END AS changed_fields,
+  o.o_totalprice AS old_totalprice,
+  n.o_totalprice AS new_totalprice
+FROM old_snap o FULL OUTER JOIN new_snap n ON o.o_orderkey = n.o_orderkey
+"""
+
+
+def _q_key_diff_detail_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    old, new = snap.orders_old(spark, sf_dir), snap.orders_new(spark, sf_dir)
+    return key_diff_detail(old, new, ["o_orderkey"])
+
+
+_KEY_DIFF_DETAIL_SQL = f"""
+WITH old_snap AS ({snap.ORDERS_OLD_SQL}),
+     new_snap AS ({snap.ORDERS_NEW_SQL})
+SELECT CAST(o.o_orderkey AS VARCHAR) AS o_orderkey,
+       'o_totalprice' AS field,
+       CAST(o.o_totalprice AS VARCHAR) AS old_value,
+       CAST(n.o_totalprice AS VARCHAR) AS new_value
+FROM old_snap o JOIN new_snap n ON o.o_orderkey = n.o_orderkey
+WHERE o.o_totalprice IS DISTINCT FROM n.o_totalprice
+"""
+
+
+def _q_key_diff_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    old, new = snap.orders_old(spark, sf_dir), snap.orders_new(spark, sf_dir)
+    d = key_diff(old, new, ["o_custkey", "o_orderkey"], include_payload=False)
+    return d.select("o_custkey", "o_orderkey", "diff_kind")
+
+
+_KEY_DIFF_COMPOSITE_SQL = f"""
+WITH old_snap AS ({snap.ORDERS_OLD_SQL}),
+     new_snap AS ({snap.ORDERS_NEW_SQL})
+SELECT
+  coalesce(CAST(o.o_custkey AS VARCHAR), CAST(n.o_custkey AS VARCHAR)) AS o_custkey,
+  coalesce(CAST(o.o_orderkey AS VARCHAR), CAST(n.o_orderkey AS VARCHAR)) AS o_orderkey,
+  CASE WHEN o.o_orderkey IS NULL THEN 'added'
+       WHEN n.o_orderkey IS NULL THEN 'removed'
+       WHEN o.o_orderstatus   IS DISTINCT FROM n.o_orderstatus
+         OR o.o_totalprice    IS DISTINCT FROM n.o_totalprice
+         OR o.o_orderdate     IS DISTINCT FROM n.o_orderdate
+         OR o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+       THEN 'changed' ELSE 'unchanged' END AS diff_kind
+FROM old_snap o FULL OUTER JOIN new_snap n
+  ON o.o_custkey = n.o_custkey AND o.o_orderkey = n.o_orderkey
+"""
+
+
+def _q_self_diff_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    d = key_diff(o, o, ["o_orderkey"], include_payload=False)
+    return d.groupBy("diff_kind").agg(F.count(F.lit(1)).alias("n"))
+
+
+_SELF_DIFF_COUNTS_SQL = "SELECT 'unchanged' AS diff_kind, count(*) AS n FROM orders"
+
+
+# --------------------------------------------------------------------------
+# venn diff family (bag semantics)
+# --------------------------------------------------------------------------
+
+def _venn(spark: SparkSession, sf_dir: str):
+    return venn_diff(snap.venn_old(spark, sf_dir), snap.venn_new(spark, sf_dir))
+
+
+def _q_venn_removed(spark, sf_dir):
+    return _venn(spark, sf_dir).removed
+
+
+def _q_venn_added(spark, sf_dir):
+    return _venn(spark, sf_dir).added
+
+
+def _q_venn_intersection(spark, sf_dir):
+    return _venn(spark, sf_dir).intersection
+
+
+_VENN_REMOVED_SQL = f"({snap.VENN_OLD_SQL}) EXCEPT ALL ({snap.VENN_NEW_SQL})"
+_VENN_ADDED_SQL = f"({snap.VENN_NEW_SQL}) EXCEPT ALL ({snap.VENN_OLD_SQL})"
+_VENN_INTERSECT_SQL = f"({snap.VENN_OLD_SQL}) INTERSECT ALL ({snap.VENN_NEW_SQL})"
+
+
+# --------------------------------------------------------------------------
+# data tests / projection
+# --------------------------------------------------------------------------
+
+def _q_key_collisions_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_parquet(spark, f"{sf_dir}/lineitem.parquet")
+    return key_collisions(li, ["l_orderkey", "l_linenumber"])
+
+
+_KEY_COLLISIONS_SQL = """
+SELECT CAST(l_orderkey AS VARCHAR) AS l_orderkey,
+       CAST(l_linenumber AS VARCHAR) AS l_linenumber,
+       count(*) AS n_rows
+FROM lineitem GROUP BY 1, 2 HAVING count(*) > 1
+"""
+
+
+def _q_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_parquet(
+        spark,
+        f"{sf_dir}/customer.parquet",
+        keep_fields=["c_custkey", "c_name", "c_acctbal"],
+        ignore_fields=["c_acctbal"],
+    )
+
+
+_PROJECTION_SQL = "SELECT c_custkey, c_name FROM customer"
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "key_diff_orders": _q_key_diff_orders,
+        "key_diff_detail_orders": _q_key_diff_detail_orders,
+        "key_diff_composite": _q_key_diff_composite,
+        "self_diff_counts": _q_self_diff_counts,
+        "venn_removed": _q_venn_removed,
+        "venn_added": _q_venn_added,
+        "venn_intersection": _q_venn_intersection,
+        "key_collisions_lineitem": _q_key_collisions_lineitem,
+        "projection_keep_ignore": _q_projection,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "key_diff_orders": _KEY_DIFF_ORDERS_SQL,
+        "key_diff_detail_orders": _KEY_DIFF_DETAIL_SQL,
+        "key_diff_composite": _KEY_DIFF_COMPOSITE_SQL,
+        "self_diff_counts": _SELF_DIFF_COUNTS_SQL,
+        "venn_removed": _VENN_REMOVED_SQL,
+        "venn_added": _VENN_ADDED_SQL,
+        "venn_intersection": _VENN_INTERSECT_SQL,
+        "key_collisions_lineitem": _KEY_COLLISIONS_SQL,
+        "projection_keep_ignore": _PROJECTION_SQL,
+    }

@@ -1,0 +1,216 @@
+"""Keyed diff: full-outer join on a composite key + row classification.
+
+Reference semantics (SURVEY.md §2.3; reference src/index.js:128-223):
+sort both inputs by a stringified composite key, two-pointer merge, classify
+each row as ``added`` (key only in new), ``removed`` (key only in old),
+``changed`` / ``unchanged`` (matched, by deep recursive per-field diff).
+
+Spark-first design — no sorting or merging by hand:
+
+- The sort-merge is declared as ``old FULL OUTER JOIN new ON key`` and left
+  to Catalyst: it picks SortMergeJoin for large inputs, broadcast/shuffled-hash
+  when one side is small, and AQE splits skewed keys at runtime. At 100 TB the
+  shuffle is on the key columns only; payload columns ride along as single
+  struct columns, so the exchange is one row-sized record per side, no
+  row-explosion.
+- Key coercion parity: the reference compares ``String(row[field])`` per key
+  field (src/index.js:272-278), so long ``1`` equals string ``"1"`` and a JS
+  ``null``/``undefined`` key value becomes the literal string ``"null"`` /
+  ``"undefined"`` and joins with itself. We reproduce this with
+  ``coalesce(cast(col as string), 'null')`` — which also makes the join keys
+  non-null, so plain equality works and no null-safe-join plan penalty
+  (eqNullSafe disables some join optimizations) is paid.
+- Classification and per-field comparison are pure Column expressions
+  (``when``/``isNotDistinctFrom``-style) — JVM-side, codegen-eligible, no UDFs.
+- The matched-pair equality test is the reference's ``detailedDiff`` deep
+  object diff (src/index.js:205, lib deep-object-diff): here each column is
+  compared null-safely on a canonicalized representation (maps sorted), which
+  matches deep JSON equality.
+- The result is itself a DataFrame with a ``diff_kind`` discriminator — fully
+  queryable/writable, unlike the reference's print-only result object.
+
+Duplicate keys are out of contract exactly as in the reference (its own test
+asserts key uniqueness, src/index.test.js:7-25; its merge pairs dups 1:1
+arbitrarily, src/index.js:202-219, while a relational FOJ cross-products
+them). Use :func:`avro_diff_spark.operators.collisions.key_collisions` to
+detect dups up front — better than the reference, which can only flag them
+post-hoc across result buckets (src/dataTest.js:4-25).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from avro_diff_spark.functions.canonical import canonical, has_map, stringify
+
+#: JS ``String(null)`` parity sentinel (reference src/index.js:275).
+NULL_KEY_SENTINEL = "null"
+
+KIND_ADDED = "added"
+KIND_REMOVED = "removed"
+KIND_CHANGED = "changed"
+KIND_UNCHANGED = "unchanged"
+
+
+def coerce_key(col: Column) -> Column:
+    """``String(value)`` parity cast: stringify, null → the literal 'null'."""
+    return F.coalesce(col.cast("string"), F.lit(NULL_KEY_SENTINEL))
+
+
+def _comparable(side: Column, name: str, dtype) -> Column:
+    c = side.getField(name)
+    return canonical(c, dtype) if has_map(dtype) else c
+
+
+def key_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: Sequence[str],
+    *,
+    compare_cols: Sequence[str] | None = None,
+    include_payload: bool = True,
+) -> DataFrame:
+    """Diff two DataFrames on a composite key.
+
+    Returns a DataFrame with columns:
+
+    - one string column per key field (coerced as the reference does),
+    - ``diff_kind`` ∈ {added, removed, changed, unchanged},
+    - ``changed_fields``: array of column names whose values differ
+      (NULL for added/removed rows; empty array for unchanged),
+    - ``old`` / ``new``: full row payloads as structs (when
+      ``include_payload``; NULL on the absent side).
+
+    ``compare_cols`` defaults to all non-key columns present in *both*
+    schemas. Columns present in only one schema count as changed for a
+    matched row when the present side's value is non-null (parity with the
+    reference's per-row added/deleted field buckets, src/index.js:26-28).
+    """
+    key = list(key)
+    for k in key:
+        if k not in old.columns or k not in new.columns:
+            raise ValueError(f"key column {k!r} missing from input")
+
+    old_schema = {f.name: f.dataType for f in old.schema.fields}
+    new_schema = {f.name: f.dataType for f in new.schema.fields}
+    shared = [c for c in old.columns if c in new_schema and c not in key]
+    if compare_cols is not None:
+        shared = [c for c in shared if c in set(compare_cols)]
+        only_old: list[str] = []
+        only_new: list[str] = []
+    else:
+        only_old = [c for c in old.columns if c not in new_schema and c not in key]
+        only_new = [c for c in new.columns if c not in old_schema and c not in key]
+
+    o = old.select(
+        *[coerce_key(F.col(k)).alias(f"__ok{i}") for i, k in enumerate(key)],
+        F.struct(*old.columns).alias("__old"),
+    )
+    n = new.select(
+        *[coerce_key(F.col(k)).alias(f"__nk{i}") for i, k in enumerate(key)],
+        F.struct(*new.columns).alias("__new"),
+    )
+    cond = None
+    for i in range(len(key)):
+        eq = o[f"__ok{i}"] == n[f"__nk{i}"]
+        cond = eq if cond is None else (cond & eq)
+    j = o.join(n, cond, "full_outer")
+
+    old_present = j["__ok0"].isNotNull()
+    new_present = j["__nk0"].isNotNull()
+
+    field_changed: list[tuple[str, Column]] = []
+    for c in shared:
+        lhs = _comparable(j["__old"], c, old_schema[c])
+        rhs = _comparable(j["__new"], c, new_schema[c])
+        field_changed.append((c, ~lhs.eqNullSafe(rhs)))
+    for c in only_old:
+        field_changed.append((c, j["__old"].getField(c).isNotNull()))
+    for c in only_new:
+        field_changed.append((c, j["__new"].getField(c).isNotNull()))
+
+    any_changed = F.lit(False)
+    for _, cond_c in field_changed:
+        any_changed = any_changed | cond_c
+
+    diff_kind = (
+        F.when(~old_present, F.lit(KIND_ADDED))
+        .when(~new_present, F.lit(KIND_REMOVED))
+        .when(any_changed, F.lit(KIND_CHANGED))
+        .otherwise(F.lit(KIND_UNCHANGED))
+    )
+
+    changed_fields = F.when(
+        old_present & new_present,
+        F.filter(
+            F.array(
+                *[F.when(cond_c, F.lit(name)) for name, cond_c in field_changed]
+            )
+            if field_changed
+            else F.array().cast("array<string>"),
+            lambda x: x.isNotNull(),
+        ),
+    )
+
+    out = [
+        F.coalesce(j[f"__ok{i}"], j[f"__nk{i}"]).alias(k) for i, k in enumerate(key)
+    ]
+    out.append(diff_kind.alias("diff_kind"))
+    out.append(changed_fields.alias("changed_fields"))
+    if include_payload:
+        out.append(F.when(old_present, j["__old"]).alias("old"))
+        out.append(F.when(new_present, j["__new"]).alias("new"))
+    return j.select(*out)
+
+
+def key_diff_detail(
+    old: DataFrame,
+    new: DataFrame,
+    key: Sequence[str],
+    *,
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Field-level diff payload for matched changed rows.
+
+    The Spark rendering of the reference's ``detailedDiff`` `updated` bucket
+    (src/index.js:205): one output row per (matched row, changed field) with
+    the old and new values stringified (stable JSON for nested types). The
+    reference's known wart — deleted fields showing ``undefined`` instead of
+    the old value (its TODO at src/index.js:26-28) — is fixed here: both
+    sides are always reported.
+
+    Columns: key fields (string), ``field``, ``old_value``, ``new_value``.
+    """
+    key = list(key)
+    old_schema = {f.name: f.dataType for f in old.schema.fields}
+    new_schema = {f.name: f.dataType for f in new.schema.fields}
+    shared = [c for c in old.columns if c in new_schema and c not in key]
+    if compare_cols is not None:
+        shared = [c for c in shared if c in set(compare_cols)]
+
+    diff = key_diff(old, new, key, compare_cols=compare_cols, include_payload=True)
+    matched = diff.filter(F.col("diff_kind") == KIND_CHANGED)
+
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("field"),
+                stringify(F.col("old").getField(c), old_schema[c]).alias("old_value"),
+                stringify(F.col("new").getField(c), new_schema[c]).alias("new_value"),
+            )
+            for c in shared
+        ]
+    )
+    exploded = matched.select(
+        *[F.col(k) for k in key],
+        F.col("changed_fields"),
+        F.explode(pairs).alias("d"),
+    )
+    return exploded.filter(F.array_contains(F.col("changed_fields"), F.col("d.field"))).select(
+        *[F.col(k) for k in key],
+        F.col("d.field").alias("field"),
+        F.col("d.old_value").alias("old_value"),
+        F.col("d.new_value").alias("new_value"),
+    )

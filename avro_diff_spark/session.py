@@ -1,0 +1,56 @@
+"""SparkSession construction with scale-appropriate defaults.
+
+The reference is a single-threaded Node process (reference src/index.js:363-370
+— the event-loop stream pump is its only concurrency). Here the execution
+substrate is Spark; these defaults are chosen so the same logical plans run
+on local[N] for tests and on a 1000-executor cluster unchanged:
+
+- AQE on (runtime re-plan: join strategy demotion/promotion, skew-join split,
+  partition coalescing) — the single biggest lever for 100 TB robustness.
+- UTC session timezone for deterministic timestamp arithmetic across engines.
+- Arrow enabled so any Pandas-UDF path is batch-vectorized, never row-at-a-time.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "avro_diff_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (or ``local[*]``)
+    for local runs; on a real cluster leave it unset and let spark-submit
+    inject the master.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Files: keep scan partitions big enough to amortize task overhead but
+        # small enough to fit executor memory at scale.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

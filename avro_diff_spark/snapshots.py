@@ -1,0 +1,106 @@
+"""Deterministic old/new snapshot pairs derived from the driver testdata.
+
+The reference's flagship inputs are two versions of the same dataset
+(userdata1 vs userdata2; studentAssignments Old vs New). The driver testdata
+has no version pairs, so we derive them deterministically from ``orders`` and
+``lineitem`` with pure modular-arithmetic predicates — exactly reproducible
+in ANSI SQL for the DuckDB oracle, and free of any float rounding hazards
+(the only mutation is ``+ 100.0``, which is a deterministic IEEE-754 op in
+any engine).
+
+orders snapshots, key = o_orderkey:
+- old  = orders where o_orderkey % 5 != 0      (keys %5==0 appear only in new → added)
+- new  = orders where o_orderkey % 7 != 0      (keys %7==0 appear only in old → removed)
+         with o_totalprice += 100.0 where o_orderkey % 3 == 0  (→ changed)
+
+lineitem snapshots (composite key l_orderkey, l_linenumber) follow the same
+pattern with different moduli, and also mutate l_returnflag to exercise a
+string-column change.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from avro_diff_spark.functions.canonical import ts_micros
+from avro_diff_spark.sources.tables import load_table
+
+
+def orders_old(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 5 != 0)
+
+
+def orders_new(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 != 0)
+    return o.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") + F.lit(100.0)).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+
+
+ORDERS_OLD_SQL = "SELECT * FROM orders WHERE o_orderkey % 5 <> 0"
+ORDERS_NEW_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 100.0 ELSE o_totalprice END AS o_totalprice,
+       o_orderdate, o_orderpriority
+FROM orders WHERE o_orderkey % 7 <> 0
+"""
+
+
+def lineitem_old(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 4 != 0)
+
+
+def lineitem_new(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 9 != 0)
+    return li.withColumn(
+        "l_returnflag",
+        F.when(F.col("l_orderkey") % 6 == 0, F.lit("X")).otherwise(F.col("l_returnflag")),
+    )
+
+
+LINEITEM_OLD_SQL = "SELECT * FROM lineitem WHERE l_orderkey % 4 <> 0"
+LINEITEM_NEW_SQL = """
+SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice,
+       l_discount, l_tax,
+       CASE WHEN l_orderkey % 6 = 0 THEN 'X' ELSE l_returnflag END AS l_returnflag,
+       l_linestatus, l_shipdate
+FROM lineitem WHERE l_orderkey % 9 <> 0
+"""
+
+# Venn inputs: overlapping slices of lineitem with the timestamp column
+# projected to epoch micros (venn outputs whole rows; integer micros are
+# engine-portable where timestamp rendering is not).
+VENN_COLS = (
+    "l_orderkey",
+    "l_partkey",
+    "l_suppkey",
+    "l_linenumber",
+    "l_quantity",
+    "l_extendedprice",
+    "l_discount",
+    "l_tax",
+    "l_returnflag",
+    "l_linestatus",
+)
+
+
+def venn_old(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 2 == 0)
+    return li.select(*VENN_COLS, ts_micros(F.col("l_shipdate")).alias("l_shipdate_us"))
+
+
+def venn_new(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 3 == 0)
+    return li.select(*VENN_COLS, ts_micros(F.col("l_shipdate")).alias("l_shipdate_us"))
+
+
+_VENN_SELECT = (
+    "SELECT "
+    + ", ".join(VENN_COLS)
+    + ", epoch_us(l_shipdate) AS l_shipdate_us FROM lineitem WHERE l_orderkey % {m} = 0"
+)
+VENN_OLD_SQL = _VENN_SELECT.format(m=2)
+VENN_NEW_SQL = _VENN_SELECT.format(m=3)

@@ -1,0 +1,124 @@
+"""key_diff unit tests — the reference's implied correctness properties
+(SURVEY.md §5: bucket disjointness, self-diff identity, count conservation)
+plus the null-key and nested-type parity rules."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from avro_diff_spark import key_diff, key_diff_detail
+from avro_diff_spark.snapshots import orders_new, orders_old
+
+
+def kinds(df):
+    return {r["diff_kind"]: r["n"] for r in df.groupBy("diff_kind").agg(F.count("*").alias("n")).collect()}
+
+
+def test_orders_snapshot_diff_buckets(spark, sf_dir):
+    old, new = orders_old(spark, sf_dir), orders_new(spark, sf_dir)
+    d = key_diff(old, new, ["o_orderkey"]).cache()
+    got = kinds(d)
+
+    # Recompute expectations directly from the modular predicates.
+    keys = [r[0] for r in spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey").collect()]
+    exp = {"added": 0, "removed": 0, "changed": 0, "unchanged": 0}
+    for k in keys:
+        in_old, in_new = k % 5 != 0, k % 7 != 0
+        if in_old and not in_new:
+            exp["removed"] += 1
+        elif in_new and not in_old:
+            exp["added"] += 1
+        elif in_old and in_new:
+            exp["changed" if k % 3 == 0 else "unchanged"] += 1
+    assert got == {k: v for k, v in exp.items() if v > 0}
+
+    # Changed rows differ exactly in o_totalprice.
+    changed = d.filter(F.col("diff_kind") == "changed")
+    assert changed.filter(F.col("changed_fields") != F.array(F.lit("o_totalprice"))).count() == 0
+    # Count conservation (unique-key case): |added|+|changed|+|unchanged| = |new|.
+    assert got.get("added", 0) + got.get("changed", 0) + got.get("unchanged", 0) == new.count()
+    assert got.get("removed", 0) + got.get("changed", 0) + got.get("unchanged", 0) == old.count()
+    d.unpersist()
+
+
+def test_self_diff_all_unchanged(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    d = key_diff(o, o, ["o_orderkey"])
+    assert kinds(d) == {"unchanged": o.count()}
+    # unchanged rows carry an empty changed_fields array, not NULL
+    assert d.filter(F.col("changed_fields").isNull()).count() == 0
+
+
+def test_bucket_keys_disjoint_and_unique(spark, sf_dir):
+    old, new = orders_old(spark, sf_dir), orders_new(spark, sf_dir)
+    d = key_diff(old, new, ["o_orderkey"])
+    assert d.groupBy("o_orderkey").count().filter("count > 1").count() == 0
+
+
+def test_null_keys_join_each_other(spark):
+    # JS String(null) == 'null': null keys match each other (reference src/index.js:275).
+    old = spark.createDataFrame([Row(k=None, v=1), Row(k=7, v=2)], "k int, v int")
+    new = spark.createDataFrame([Row(k=None, v=1), Row(k=7, v=3)], "k int, v int")
+    d = key_diff(old, new, ["k"])
+    rows = {r["k"]: r["diff_kind"] for r in d.collect()}
+    assert rows == {"null": "unchanged", "7": "changed"}
+
+
+def test_cross_type_keys_join_as_strings(spark):
+    # long 1 joins string "1" (String() coercion parity).
+    old = spark.createDataFrame([Row(k=1, v="a")], "k long, v string")
+    new = spark.createDataFrame([Row(k="1", v="a")], "k string, v string")
+    d = key_diff(old, new, ["k"])
+    assert [r["diff_kind"] for r in d.collect()] == ["unchanged"]
+
+
+def test_composite_key(spark):
+    old = spark.createDataFrame([(1, 1, "x"), (1, 2, "y")], "a int, b int, v string")
+    new = spark.createDataFrame([(1, 1, "x"), (2, 1, "z")], "a int, b int, v string")
+    d = key_diff(old, new, ["a", "b"])
+    got = {(r["a"], r["b"]): r["diff_kind"] for r in d.collect()}
+    assert got == {("1", "1"): "unchanged", ("1", "2"): "removed", ("2", "1"): "added"}
+
+
+def test_nested_and_map_columns(spark):
+    schema = "k int, s struct<x:int,y:string>, m map<string,int>, arr array<int>"
+    old = spark.createDataFrame(
+        [(1, Row(x=1, y="a"), {"p": 1, "q": 2}, [1, 2]), (2, Row(x=2, y="b"), {"z": 9}, [3])],
+        schema,
+    )
+    new = spark.createDataFrame(
+        [(1, Row(x=1, y="a"), {"q": 2, "p": 1}, [1, 2]), (2, Row(x=2, y="B"), {"z": 9}, [3, 4])],
+        schema,
+    )
+    d = key_diff(old, new, ["k"])
+    got = {r["k"]: (r["diff_kind"], sorted(r["changed_fields"] or [])) for r in d.collect()}
+    # map key order must not matter (stableStringify parity)
+    assert got["1"] == ("unchanged", [])
+    assert got["2"] == ("changed", ["arr", "s"])
+
+
+def test_schema_drift_columns(spark):
+    # A column present on only one side counts as changed when non-null.
+    old = spark.createDataFrame([(1, "a", 10)], "k int, v string, gone int")
+    new = spark.createDataFrame([(1, "a", 5.0)], "k int, v string, fresh double")
+    d = key_diff(old, new, ["k"])
+    r = d.collect()[0]
+    assert r["diff_kind"] == "changed"
+    assert sorted(r["changed_fields"]) == ["fresh", "gone"]
+
+
+def test_key_diff_detail_values(spark, sf_dir):
+    old, new = orders_old(spark, sf_dir), orders_new(spark, sf_dir)
+    det = key_diff_detail(old, new, ["o_orderkey"])
+    rows = det.collect()
+    assert rows, "expected changed rows"
+    assert all(r["field"] == "o_totalprice" for r in rows)
+    for r in rows[:50]:
+        assert abs(float(r["new_value"]) - float(r["old_value"]) - 100.0) < 1e-9
+
+
+def test_missing_key_raises(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    with pytest.raises(ValueError):
+        key_diff(o, o, ["nope"])
