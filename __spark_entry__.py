@@ -19,6 +19,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from avro_diff_spark import key_collisions, key_diff, key_diff_detail, venn_diff
+from avro_diff_spark import analytics
 from avro_diff_spark.sources.avro import read_parquet
 from avro_diff_spark import snapshots as snap
 
@@ -190,6 +191,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "venn_intersection": _q_venn_intersection,
         "key_collisions_lineitem": _q_key_collisions_lineitem,
         "projection_keep_ignore": _q_projection,
+        # general analytics (scan/agg/join/window/top-k/sessionize)
+        "pricing_summary": analytics.pricing_summary,
+        "top_revenue_orders": analytics.top_revenue_orders,
+        "region_revenue": analytics.region_revenue,
+        "top_customers_by_segment": analytics.top_customers_by_segment,
+        "events_hourly": analytics.events_hourly,
+        "sessionize": analytics.sessionize,
     }
 
 
@@ -204,4 +212,10 @@ def oracle_sql() -> dict[str, str]:
         "venn_intersection": _VENN_INTERSECT_SQL,
         "key_collisions_lineitem": _KEY_COLLISIONS_SQL,
         "projection_keep_ignore": _PROJECTION_SQL,
+        "pricing_summary": analytics.PRICING_SUMMARY_SQL,
+        "top_revenue_orders": analytics.TOP_REVENUE_ORDERS_SQL,
+        "region_revenue": analytics.REGION_REVENUE_SQL,
+        "top_customers_by_segment": analytics.TOP_CUSTOMERS_BY_SEGMENT_SQL,
+        "events_hourly": analytics.EVENTS_HOURLY_SQL,
+        "sessionize": analytics.SESSIONIZE_SQL,
     }

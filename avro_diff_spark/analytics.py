@@ -1,0 +1,283 @@
+"""General analytics queries over the testdata star schema.
+
+The reference has no aggregation/join surface beyond the diff itself
+(SURVEY.md §2.5: counting only), but the engine must be a complete analytics
+substrate at 100 TB. These queries are the proof points and the bench
+headliners. Scale notes per query in docstrings.
+
+Determinism discipline (for the DuckDB oracle's value hash):
+- sums over doubles go through exact decimal (order-independent), then cast
+  to double at the end — partial-aggregation order can never perturb a bit.
+- top-k is taken with an explicit deterministic tie-break key.
+- timestamps appear only as epoch micros or truncated epoch buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from avro_diff_spark.functions.canonical import ts_micros  # noqa: F401 (re-export for query authors)
+from avro_diff_spark.sources.tables import load_events, load_table
+
+
+def _dec_sum(col, scale: int = 4) -> F.Column:
+    """Order-independent sum of a double expression via exact decimal."""
+    return F.sum(col.cast(f"decimal(30,{scale})")).cast("double")
+
+
+# The testdata stores money/rates as 2-decimal values in doubles, so casting
+# the RAW columns to decimal is exact (≥1e-10 from any rounding boundary).
+# All derived arithmetic then happens in exact decimal — never cast a
+# computed double to decimal (engines round the binary expansion
+# differently at high scales).
+
+def _money(col) -> F.Column:
+    return col.cast("decimal(14,2)")
+
+
+def _rate(col) -> F.Column:
+    return col.cast("decimal(4,2)")
+
+
+def _disc_price() -> F.Column:
+    return _money(F.col("l_extendedprice")) * (F.lit(1) - _rate(F.col("l_discount")))
+
+
+_DISC_PRICE_SQL = "CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"
+
+
+# --------------------------------------------------------------------------
+# pricing summary (TPC-H Q1 shape): scan → partial agg → final agg.
+# At 100 TB: no join, map-side combine does almost all the work; the shuffle
+# carries |returnflag × linestatus| groups per partition — trivially small.
+# --------------------------------------------------------------------------
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = _disc_price()
+    charge = disc_price * (F.lit(1) + _rate(F.col("l_tax")))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_money(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+            F.sum(_money(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_base_price,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+  count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# shipping priority (TPC-H Q3 shape): selective filters pushed to scans,
+# two joins, top-k. At 100 TB: customer filter prunes early; orders⋈lineitem
+# shuffles on orderkey; AQE broadcasts the filtered customer side.
+# --------------------------------------------------------------------------
+
+def top_revenue_orders(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    joined = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+    )
+    rev = (
+        joined.groupBy("o_orderkey", "o_orderpriority")
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+    return (
+        rev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("o_orderkey", "o_orderpriority", "revenue")
+    )
+
+
+TOP_REVENUE_ORDERS_SQL = """
+WITH rev AS (
+  SELECT o_orderkey, o_orderpriority,
+    CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+  GROUP BY o_orderkey, o_orderpriority
+)
+SELECT o_orderkey, o_orderpriority, revenue FROM (
+  SELECT *, row_number() OVER (ORDER BY revenue DESC, o_orderkey ASC) AS rn FROM rev
+) WHERE rn <= 10
+"""
+
+
+# --------------------------------------------------------------------------
+# region revenue (TPC-H Q5 shape): star join over 5 tables. At 100 TB the
+# dims (region/nation/supplier/customer) are broadcast; only
+# orders⋈lineitem shuffles.
+# --------------------------------------------------------------------------
+
+def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    dims = (
+        cust.join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .select("c_custkey", "n_name", "r_name")
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(dims), orders["o_custkey"] == dims["c_custkey"])
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(_disc_price()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+REGION_REVENUE_SQL = """
+SELECT r_name, n_name,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+  count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# per-segment customer ranking: window functions (rank within partition).
+# At 100 TB: single shuffle on the partition key; no global sort.
+# --------------------------------------------------------------------------
+
+def top_customers_by_segment(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    spend = (
+        orders.groupBy("o_custkey")
+        .agg(_dec_sum(F.col("o_totalprice")).alias("total_spend"), F.count(F.lit(1)).alias("n_orders"))
+    )
+    j = cust.join(spend, cust["c_custkey"] == spend["o_custkey"])
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("total_spend").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        j.withColumn("seg_rank", F.row_number().over(w))
+        .filter(F.col("seg_rank") <= k)
+        .select("c_mktsegment", "seg_rank", "c_custkey", "total_spend", "n_orders")
+    )
+
+
+TOP_CUSTOMERS_BY_SEGMENT_SQL = """
+WITH spend AS (
+  SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS total_spend,
+         count(*) AS n_orders
+  FROM orders GROUP BY o_custkey
+)
+SELECT c_mktsegment, seg_rank, c_custkey, total_spend, n_orders FROM (
+  SELECT c_mktsegment, c_custkey, total_spend, n_orders,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY total_spend DESC, c_custkey ASC) AS seg_rank
+  FROM customer JOIN spend ON c_custkey = o_custkey
+) WHERE seg_rank <= 5
+"""
+
+
+# --------------------------------------------------------------------------
+# event-time tumbling window aggregation (batch form; the streaming twin
+# lives in avro_diff_spark.streaming). Bucket arithmetic on epoch micros is
+# engine-portable; at 100 TB this is a pure map-side bucket + agg shuffle.
+# --------------------------------------------------------------------------
+
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    hour_us = 3_600_000_000
+    us = F.col("ts_us")
+    bucket = us - (us % hour_us)  # pure integer arithmetic: engine-portable
+    return (
+        ev.groupBy(bucket.alias("window_start_us"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dec_sum(F.col("value")).alias("sum_value"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+        .drop("approx_users")  # approx sketch is not oracle-stable; kept out of the contract
+    )
+
+
+EVENTS_HOURLY_SQL = """
+SELECT epoch_us(ts) - (epoch_us(ts) % 3600000000) AS window_start_us, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# gap-based sessionization: lag + conditional cumsum windows. The streaming
+# twin (applyInPandasWithState) lives in avro_diff_spark.streaming. At
+# 100 TB: one shuffle on user_id; windows evaluate within partitions.
+# --------------------------------------------------------------------------
+
+def sessionize(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    gap_us = gap_minutes * 60_000_000
+    us = F.col("ts_us")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    with_gap = ev.select(
+        "user_id",
+        "event_id",
+        us.alias("ts_us"),
+        F.when(
+            (us - F.lag(us).over(w)) > gap_us, F.lit(1)
+        ).otherwise(F.lit(0)).alias("is_new"),
+    )
+    wsum = Window.partitionBy("user_id").orderBy("ts_us", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = with_gap.withColumn("session_seq", F.sum("is_new").over(wsum))
+    return (
+        sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts_us").alias("session_start_us"),
+            F.max("ts_us").alias("session_end_us"),
+        )
+    )
+
+
+SESSIONIZE_SQL = """
+WITH g AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+              (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) > 1800000000
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+), s AS (
+  SELECT user_id, ts_us,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_seq
+  FROM g
+)
+SELECT user_id, session_seq, count(*) AS n_events,
+       min(ts_us) AS session_start_us, max(ts_us) AS session_end_us
+FROM s GROUP BY user_id, session_seq
+"""

@@ -29,3 +29,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``events`` with ``ts`` normalized to an epoch-micros bigint ``ts_us``.
+
+    Some scale factors store ``ts`` as parquet TIMESTAMP(NANOS), which
+    Spark's vectorized reader rejects unless nanos are surfaced as longs —
+    set the conf at runtime so this works under any caller's session.
+    Integer ``div`` (never double division: epoch nanos exceed 2^53) floors
+    nanos → micros exactly like DuckDB's ``epoch_us``.
+    """
+    from pyspark.sql import functions as F, types as T
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = load_table(spark, sf_dir, "events")
+    ts_type = ev.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        ts_us = F.expr("ts div 1000")
+    else:
+        ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return ev.withColumn("ts_us", ts_us)
