@@ -19,7 +19,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from avro_diff_spark import key_collisions, key_diff, key_diff_detail, venn_diff
-from avro_diff_spark import analytics
+from avro_diff_spark import analytics, pipelines
 from avro_diff_spark.sources.avro import read_parquet
 from avro_diff_spark import snapshots as snap
 
@@ -198,6 +198,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers_by_segment": analytics.top_customers_by_segment,
         "events_hourly": analytics.events_hourly,
         "sessionize": analytics.sessionize,
+        # LLM-data-pipeline operators (text analysis, dedup, similarity)
+        **pipelines.PIPELINE_QUERIES,
     }
 
 
@@ -218,4 +220,5 @@ def oracle_sql() -> dict[str, str]:
         "top_customers_by_segment": analytics.TOP_CUSTOMERS_BY_SEGMENT_SQL,
         "events_hourly": analytics.EVENTS_HOURLY_SQL,
         "sessionize": analytics.SESSIONIZE_SQL,
+        **pipelines.PIPELINE_SQL,
     }

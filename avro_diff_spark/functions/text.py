@@ -1,0 +1,155 @@
+"""Text-analysis column functions for LLM-data-pipeline operators.
+
+No reference code exists for these (the reference's only scalar functions are
+String() casts and JSON stringify, SURVEY.md §2.7); they are the north-star
+extensions (BASELINE.json) built as pure Column expressions — JVM-side,
+whole-stage-codegen eligible, no Python UDFs in any hot path.
+
+Engine-portability rule: every derived number is integer arithmetic, md5
+hashing, or a single IEEE double op on integers — so the DuckDB oracle can
+reproduce values bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+#: token regex shared by Spark and the DuckDB oracles: words | numbers |
+#: single non-space symbol (a BPE-ish pre-tokenization split).
+BPE_ISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+#: prime just above 2^32 for minhash universal hashing.
+MERSENNE_P = 4_294_967_311
+
+
+def norm_text(col: Column) -> Column:
+    """Lowercase, trim, collapse runs of whitespace to single spaces."""
+    return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
+
+
+def tokens_ws(col: Column) -> Column:
+    """Whitespace tokens of the normalized text (no empty tokens)."""
+    return F.split(norm_text(col), " ")
+
+
+def token_count_ws(col: Column) -> Column:
+    return F.size(tokens_ws(col))
+
+
+def token_count_bpe(col: Column) -> Column:
+    """BPE-ish token count: words + numbers + individual symbols."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_ISH_RE), 0))
+
+
+def hash32(col: Column) -> Column:
+    """Deterministic 32-bit integer hash: first 8 hex digits of md5.
+
+    Portable: DuckDB computes the identical value via
+    ``('0x' || substr(md5(s), 1, 8))::BIGINT``.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def fingerprint_md5(col: Column) -> Column:
+    """Document fingerprint: md5 of the normalized text."""
+    return F.md5(norm_text(col))
+
+
+def _safe_seq(start: int, n: Column) -> Column:
+    """sequence(start, start+n-1), empty when n < 1. (Spark's sequence()
+    DESCENDS when start > stop — never call it with an unguarded bound.)"""
+    return F.when(n < 1, F.array().cast("array<int>")).otherwise(
+        F.sequence(F.lit(start), F.lit(start) + n - 1)
+    )
+
+
+def char_shingles(col: Column, k: int = 5) -> Column:
+    """All k-character shingles of the normalized text (with duplicates)."""
+    s = norm_text(col)
+    n = F.length(s) - F.lit(k - 1)
+    return F.transform(_safe_seq(1, n), lambda i: s.substr(i, F.lit(k)))
+
+
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """All k-word shingles (space-joined) of the whitespace tokens."""
+    toks = tokens_ws(col)
+    n = F.size(toks) - F.lit(k - 1)
+    return F.transform(
+        _safe_seq(1, n),
+        lambda i: F.array_join(F.slice(toks, i, k), " "),
+    )
+
+
+# --- language identification (stopword-count heuristic) -------------------
+
+#: tiny per-language stopword marker lists. Order of LANGS is the
+#: deterministic tie-break priority (first max wins).
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es", "por", "con"),
+    "fr": ("le", "la", "et", "les", "des", "est", "un", "une", "dans", "pour"),
+}
+LANGS = tuple(STOPWORDS)
+
+
+def stopword_count(col: Column, lang: str) -> Column:
+    """Occurrences (with multiplicity) of ``lang``'s stopwords in the text."""
+    marker = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(tokens_ws(col), lambda t: F.array_contains(marker, t)))
+
+
+def lang_id(col: Column) -> Column:
+    """Predicted language: argmax of stopword counts, 'und' (undetermined)
+    when every count is zero. Ties break by LANGS order (first max wins)."""
+    counts = {lang: stopword_count(col, lang) for lang in LANGS}
+    m = F.greatest(*counts.values())
+    expr = F.lit("und")
+    for lang in reversed(LANGS):  # build WHEN chain so earlier langs win ties
+        expr = F.when(counts[lang] == m, F.lit(lang)).otherwise(expr)
+    return F.when(m == 0, F.lit("und")).otherwise(expr)
+
+
+# --- quality scoring ------------------------------------------------------
+
+def text_features(col: Column) -> dict[str, Column]:
+    """Integer/single-division quality features (each engine-portable)."""
+    norm = norm_text(col)
+    toks = tokens_ws(col)
+    n_chars = F.length(norm)
+    n_tokens = F.size(toks)
+    n_alpha = F.length(F.regexp_replace(norm, r"[^a-z]", ""))
+    n_digit = F.length(F.regexp_replace(norm, r"[^0-9]", ""))
+    n_punct = F.length(F.regexp_replace(norm, r"[^!-/:-@\[-`{-~]", ""))
+    n_stop = stopword_count(col, "en")
+    # try_divide: empty text has n_chars == 0 and ANSI mode (Spark 4
+    # default) would throw; ratios come back NULL for such rows instead.
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "alpha_ratio": F.try_divide(n_alpha.cast("double"), n_chars),
+        "digit_ratio": F.try_divide(n_digit.cast("double"), n_chars),
+        "punct_ratio": F.try_divide(n_punct.cast("double"), n_chars),
+        "stopword_ratio": F.try_divide(n_stop.cast("double"), n_tokens),
+        "mean_token_len": F.try_divide(n_alpha.cast("double"), n_tokens),
+    }
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality heuristic: rewards alphabetic prose of sane
+    length with some stopwords; penalizes symbol/digit soup. The exact
+    weights are arbitrary; the contract is determinism and monotonicity in
+    the obvious directions."""
+    f = text_features(col)
+    length_ok = F.when((f["n_chars"] >= 50) & (f["n_chars"] <= 10000), F.lit(1.0)).otherwise(
+        F.lit(0.0)
+    )
+    # NOTE: no rounding — the oracle mirrors this exact expression tree, and
+    # identical IEEE op order yields bit-identical doubles in both engines.
+    return (
+        F.lit(0.3) * f["alpha_ratio"]
+        + F.lit(0.2) * F.least(f["stopword_ratio"] * 2, F.lit(1.0))
+        + F.lit(0.2) * (F.lit(1.0) - F.least(f["punct_ratio"] * 4, F.lit(1.0)))
+        + F.lit(0.1) * (F.lit(1.0) - F.least(f["digit_ratio"] * 4, F.lit(1.0)))
+        + F.lit(0.2) * length_ok
+    )

@@ -1,0 +1,269 @@
+"""Deduplication operators for LLM-training-data pipelines.
+
+North-star extensions (BASELINE.json) — no reference code exists; designed
+Spark-first for 100 TB:
+
+- exact dedup: hash-groupBy on a normalized-text fingerprint. One shuffle on
+  the 16-byte fingerprint, map-side partial agg; survivors picked by min id
+  (deterministic).
+- MinHash + LSH near-dup: shingle → 32-bit md5 hash → n universal-hash mins
+  (all JVM expression work, no UDFs) → band buckets → candidate pairs via a
+  self-equi-join on (band, band_key) — the classic shuffle-friendly LSH: at
+  100 TB the only join is on band keys, never all-pairs. Candidates are then
+  verified with exact Jaccard.
+- SimHash: 32-bit sign-of-weighted-bit-sums over token hashes; near-dups =
+  pairs at small Hamming distance.
+- n-gram Jaccard: exact pairwise similarity via distinct-shingle inverted
+  index join (pairs that share no shingle are never materialized).
+
+Every constant is deterministic and every value integer/md5-derived so the
+DuckDB oracles reproduce results exactly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from avro_diff_spark.functions.text import (
+    MERSENNE_P,
+    char_shingles,
+    fingerprint_md5,
+    hash32,
+    norm_text,
+    tokens_ws,
+)
+
+# Deterministic universal-hash parameters for minhash: a_i odd, b_i spread.
+# (Quality needs only pairwise independence-ish mixing; determinism and
+# engine portability matter more than cryptographic strength.)
+def minhash_params(n: int) -> list[tuple[int, int]]:
+    return [(2 * i + 3, (7919 * (i + 1)) % MERSENNE_P) for i in range(n)]
+
+
+def exact_dedup_clusters(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Duplicate clusters under exact normalized-text equality.
+
+    Columns: ``fingerprint`` (md5), ``n_docs``, ``keep_id`` (min id — the
+    deterministic survivor). Only clusters with >1 member.
+    """
+    return (
+        df.select(
+            fingerprint_md5(F.col(text_col)).alias("fingerprint"),
+            F.col(id_col).alias("__id"),
+        )
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("__id").alias("keep_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Deduplicated view: keep the min-id row per exact normalized text.
+
+    Implemented as a self-contained groupBy+join (not dropDuplicates, whose
+    survivor choice is partition-order-dependent — unacceptable at scale).
+    """
+    keep = (
+        df.select(
+            fingerprint_md5(F.col(text_col)).alias("fingerprint"),
+            F.col(id_col).alias(id_col),
+        )
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keep, on=id_col, how="inner")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n_hashes: int = 32,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """(id, sig array<long>, n_shingles) — one row per document.
+
+    The shingle set is hashed once (md5 → 32-bit int); each signature slot is
+    ``min((a_i*h + b_i) mod p)`` over the distinct shingle hashes: pure
+    array expressions, distributed row-wise, no shuffle at all.
+    """
+    shingle_hashes = F.transform(
+        F.array_distinct(char_shingles(F.col(text_col), shingle_k)), hash32
+    )
+    params = minhash_params(n_hashes)
+
+    # factory, not default-arg closure: PySpark reflects on lambda arity
+    def _uh(a: int, b: int):
+        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_P)
+
+    sig = F.array(
+        *[F.array_min(F.transform(shingle_hashes, _uh(a, b))) for a, b in params]
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        sig.alias("sig"),
+        F.size(shingle_hashes).alias("n_shingles"),
+    )
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame, *, bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """Distinct candidate pairs (a < b) sharing at least one LSH band.
+
+    Explode each signature into ``bands`` (band_id, band_key) buckets; a
+    self-equi-join on the bucket yields candidates. The join key is
+    (band_id, md5-of-slice) — small, uniformly distributed, AQE-skew-safe.
+    """
+    banded = sig_df.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.md5(
+                            F.array_join(
+                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                                ",",
+                            )
+                        ).alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_key")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for pairs above ``threshold``.
+
+    Without ``candidates``: inverted-index self-join on distinct shingles —
+    only pairs sharing ≥1 shingle are ever materialized (the 100 TB-safe
+    formulation of "all pairs"). With ``candidates`` (e.g. from LSH): the
+    intersection counts are computed the same way, then semi-joined down to
+    the candidate set before the final filter.
+
+    Columns: doc_a, doc_b, n_a, n_b, n_common, jaccard.
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(char_shingles(F.col(text_col), shingle_k))).alias("sh"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    if candidates is not None:
+        common = common.join(candidates, on=["doc_a", "doc_b"], how="left_semi")
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("doc_a", "doc_b", "n_a", "n_b", "n_common", "jaccard")
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """LSH-candidate generation + exact-Jaccard verification."""
+    rows_per_band = n_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes=n_hashes, shingle_k=shingle_k)
+    cands = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=rows_per_band)
+    return jaccard_pairs(
+        df, text_col, id_col, shingle_k=shingle_k, threshold=threshold, candidates=cands
+    )
+
+
+def simhash32(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """32-bit SimHash over whitespace tokens (with multiplicity).
+
+    bit_b(doc) = sign of Σ_tokens (2*bit_b(hash32(token)) − 1); the fingerprint
+    packs the 32 sign bits. Pure array expressions, no shuffle.
+    """
+    tok_hashes = F.transform(tokens_ws(F.col(text_col)), hash32)
+
+    # One aggregate per bit with a literal shift (F.shiftright needs an int
+    # bit count); packing likewise uses Python-literal powers of two. The
+    # merge lambda comes from a factory: PySpark reflects on lambda arity, so
+    # a default-arg closure (b=b) would be misread as a 3-arg lambda.
+    def _bit_sum(b: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    bit_sums = F.array(
+        *[F.aggregate(tok_hashes, F.lit(0), _bit_sum(b)) for b in range(32)]
+    )
+    staged = df.select(F.col(id_col).alias("doc_id"), bit_sums.alias("bs"))
+    packed = F.lit(0).cast("long")
+    for b in range(32):
+        packed = packed + F.when(
+            F.element_at(F.col("bs"), b + 1) > 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return staged.select("doc_id", packed.alias("simhash"))
+
+
+def simhash_near_dups(
+    df: DataFrame, text_col: str, id_col: str, *, max_hamming: int = 3
+) -> DataFrame:
+    """Pairs (a < b) with Hamming(simhash) ≤ max_hamming.
+
+    All-pairs on the fingerprints — use on a pre-bucketed or sampled corpus;
+    the 100 TB path composes this after LSH/band blocking exactly like
+    minhash_near_dups.
+    """
+    s = simhash32(df, text_col, id_col)
+    a, b = s.alias("a"), s.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,399 @@
+"""queries()/oracle_sql() registry for the LLM-data-pipeline operators.
+
+Each entry pairs a Spark plan with a DuckDB oracle generated FROM THE SAME
+Python constants (minhash parameters, stopword lists, regexes), so the two
+sides can never drift. SQL building blocks mirror the Column functions in
+functions/text.py one-for-one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from avro_diff_spark.functions import text as TX
+from avro_diff_spark.operators import dedup as DD
+from avro_diff_spark.operators import similarity as SIM
+from avro_diff_spark import snapshots as snap
+
+# --------------------------------------------------------------------------
+# shared SQL fragments (DuckDB dialect), mirrors of functions/text.py
+# --------------------------------------------------------------------------
+
+def norm_sql(c: str) -> str:
+    # 'g' flag: DuckDB replaces only the first match without it (Spark
+    # replaces all by default).
+    return f"regexp_replace(trim(lower({c})), '\\s+', ' ', 'g')"
+
+
+def tokens_sql(c: str) -> str:
+    return f"string_split({norm_sql(c)}, ' ')"
+
+
+def hash32_sql(x: str) -> str:
+    return f"('0x' || substr(md5({x}), 1, 8))::BIGINT"
+
+
+def shingles_sql(c: str, k: int = 5, distinct: bool = True) -> str:
+    inner = (
+        f"list_transform(range(1, greatest(len({norm_sql(c)}) - {k - 1}, 0) + 1), "
+        f"i -> substr({norm_sql(c)}, i, {k}))"
+    )
+    return f"list_distinct({inner})" if distinct else inner
+
+
+def stopword_count_sql(c: str, lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in TX.STOPWORDS[lang])
+    return f"len(list_filter({tokens_sql(c)}, t -> list_contains([{words}], t)))"
+
+
+# --------------------------------------------------------------------------
+# text analysis
+# --------------------------------------------------------------------------
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select(
+        "doc_id",
+        TX.fingerprint_md5(F.col("text")).alias("fingerprint"),
+        TX.token_count_ws(F.col("text")).alias("n_tokens_ws"),
+        TX.token_count_bpe(F.col("text")).alias("n_tokens_bpe"),
+        F.length(TX.norm_text(F.col("text"))).alias("n_chars_norm"),
+        F.size(F.array_distinct(TX.char_shingles(F.col("text"), 5))).alias("n_shingles"),
+    )
+
+
+TEXT_STATS_SQL = f"""
+SELECT doc_id,
+  md5({norm_sql('text')}) AS fingerprint,
+  len({tokens_sql('text')}) AS n_tokens_ws,
+  len(regexp_extract_all(text, '{TX.BPE_ISH_RE}')) AS n_tokens_bpe,
+  len({norm_sql('text')}) AS n_chars_norm,
+  len({shingles_sql('text', 5)}) AS n_shingles
+FROM documents
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        d.select(TX.lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _lang_id_sql() -> str:
+    counts = {lang: stopword_count_sql("text", lang) for lang in TX.LANGS}
+    m = "greatest(" + ", ".join(f"s_{L}" for L in TX.LANGS) + ")"
+    case = "CASE WHEN " + m + " = 0 THEN 'und' "
+    for lang in TX.LANGS:
+        case += f"WHEN s_{lang} = {m} THEN '{lang}' "
+    case += "END"
+    inner = ", ".join(f"{sql} AS s_{lang}" for lang, sql in counts.items())
+    return f"""
+SELECT lang_pred, count(*) AS n_docs FROM (
+  SELECT {case} AS lang_pred FROM (SELECT {inner} FROM documents)
+) GROUP BY lang_pred
+"""
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select("doc_id", TX.quality_score(F.col("text")).alias("quality"))
+
+
+def _quality_sql() -> str:
+    n = norm_sql("text")
+    words = ", ".join(f"'{w}'" for w in TX.STOPWORDS["en"])
+    return f"""
+SELECT doc_id,
+  0.3 * (alpha_n / chars_n)
+  + 0.2 * least((stop_n / tok_n) * 2, 1.0)
+  + 0.2 * (1.0 - least((punct_n / chars_n) * 4, 1.0))
+  + 0.1 * (1.0 - least((digit_n / chars_n) * 4, 1.0))
+  + 0.2 * (CASE WHEN chars_i >= 50 AND chars_i <= 10000 THEN 1.0 ELSE 0.0 END)
+  AS quality
+FROM (
+  SELECT doc_id,
+    CAST(len(regexp_replace({n}, '[^a-z]', '', 'g')) AS DOUBLE) AS alpha_n,
+    CAST(len(regexp_replace({n}, '[^0-9]', '', 'g')) AS DOUBLE) AS digit_n,
+    CAST(len(regexp_replace({n}, '[^!-/:-@\\[-`{{-~]', '', 'g')) AS DOUBLE) AS punct_n,
+    CAST(len(list_filter({tokens_sql('text')}, t -> list_contains([{words}], t))) AS DOUBLE) AS stop_n,
+    CAST(len({n}) AS DOUBLE) AS chars_n,
+    len({n}) AS chars_i,
+    CAST(len({tokens_sql('text')}) AS DOUBLE) AS tok_n
+  FROM documents
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# dedup
+# --------------------------------------------------------------------------
+
+def q_dedup_exact_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = snap.documents_with_dups(spark, sf_dir)
+    return DD.exact_dedup_clusters(corpus, "text", "doc_id")
+
+
+DEDUP_EXACT_CLUSTERS_SQL = f"""
+WITH corpus AS ({snap.DOCUMENTS_WITH_DUPS_SQL})
+SELECT md5({norm_sql('text')}) AS fingerprint, count(*) AS n_docs,
+       min(doc_id) AS keep_id
+FROM corpus GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+def q_dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = snap.documents_with_dups(spark, sf_dir)
+    return DD.exact_dedup(corpus, "text", "doc_id").select("doc_id")
+
+
+DEDUP_EXACT_SURVIVORS_SQL = f"""
+WITH corpus AS ({snap.DOCUMENTS_WITH_DUPS_SQL})
+SELECT min(doc_id) AS doc_id FROM corpus GROUP BY md5({norm_sql('text')})
+"""
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = snap.documents_with_dups(spark, sf_dir)
+    return DD.jaccard_pairs(corpus, "text", "doc_id", shingle_k=5, threshold=0.8)
+
+
+JACCARD_PAIRS_SQL = f"""
+WITH corpus AS ({snap.DOCUMENTS_WITH_DUPS_SQL}),
+sh AS (
+  SELECT doc_id, unnest({shingles_sql('text', 5)}) AS sh FROM corpus
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, sa.n_sh AS n_a, sb.n_sh AS n_b, n_common,
+       CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+FROM common
+JOIN sizes sa ON common.doc_a = sa.doc_id
+JOIN sizes sb ON common.doc_b = sb.doc_id
+WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.8
+"""
+
+
+def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = snap.documents_with_dups(spark, sf_dir)
+    return DD.minhash_near_dups(
+        corpus, "text", "doc_id", n_hashes=32, bands=8, shingle_k=5, threshold=0.5
+    )
+
+
+def _minhash_sql(n_hashes: int = 32, bands: int = 8, shingle_k: int = 5, threshold: float = 0.5) -> str:
+    rows = n_hashes // bands
+    params = DD.minhash_params(n_hashes)
+    p = TX.MERSENNE_P
+    sig_terms = ", ".join(
+        f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {p}))" for a, b in params
+    )
+    band_terms = ", ".join(
+        "STRUCT_PACK(band_id := {b}, band_key := md5(list_aggregate("
+        "list_transform(sig[{lo}:{hi}], x -> CAST(x AS VARCHAR)), 'string_agg', ',')))".format(
+            b=b, lo=b * rows + 1, hi=(b + 1) * rows
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH corpus AS ({snap.DOCUMENTS_WITH_DUPS_SQL}),
+hashed AS (
+  SELECT doc_id,
+         list_transform({shingles_sql('text', shingle_k)}, s -> {hash32_sql('s')}) AS hs
+  FROM corpus
+),
+sigs AS (SELECT doc_id, [{sig_terms}] AS sig FROM hashed),
+banded AS (
+  SELECT doc_id, unnest([{band_terms}]) AS band FROM sigs
+),
+bflat AS (SELECT doc_id, band.band_id AS band_id, band.band_key AS band_key FROM banded),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bflat a JOIN bflat b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+sh AS (SELECT doc_id, unnest({shingles_sql('text', shingle_k)}) AS sh FROM corpus),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+verified AS (
+  SELECT common.doc_a, common.doc_b, sa.n_sh AS n_a, sb.n_sh AS n_b, n_common,
+         CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+  FROM common
+  JOIN cands ON common.doc_a = cands.doc_a AND common.doc_b = cands.doc_b
+  JOIN sizes sa ON common.doc_a = sa.doc_id
+  JOIN sizes sb ON common.doc_b = sb.doc_id
+)
+SELECT * FROM verified WHERE jaccard >= {threshold}
+"""
+
+
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # all-pairs fingerprint comparison: restrict to a deterministic slice
+    corpus = snap.documents_with_dups(spark, sf_dir).filter(
+        (F.col("doc_id") % 5 == 0) | (F.col("doc_id") >= 1_000_000)
+    )
+    return DD.simhash_near_dups(corpus, "text", "doc_id", max_hamming=3)
+
+
+def _simhash_sql(max_hamming: int = 3) -> str:
+    bit_terms = ", ".join(
+        f"CASE WHEN list_sum(list_transform(th, h -> CASE WHEN (h // {1 << b}) % 2 = 1 "
+        f"THEN 1 ELSE -1 END)) > 0 THEN {1 << b}::BIGINT ELSE 0::BIGINT END"
+        for b in range(32)
+    )
+    return f"""
+WITH corpus AS (
+  SELECT * FROM ({snap.DOCUMENTS_WITH_DUPS_SQL})
+  WHERE doc_id % 5 = 0 OR doc_id >= 1000000
+),
+th AS (
+  SELECT doc_id, list_transform({tokens_sql('text')}, t -> {hash32_sql('t')}) AS th
+  FROM corpus
+),
+fp AS (SELECT doc_id, list_sum([{bit_terms}]) AS simhash FROM th)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash::UBIGINT, b.simhash::UBIGINT))::INT AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash::UBIGINT, b.simhash::UBIGINT)) <= {max_hamming}
+"""
+
+
+# --------------------------------------------------------------------------
+# similarity search
+# --------------------------------------------------------------------------
+
+# fixed-point dot product mirror (see similarity.DOT_SCALE): floor each
+# double product onto the 1e16 grid, sum exactly as integers.
+_DOT_SQL = (
+    "(CAST(list_sum(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(floor(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 1e16) AS BIGINT))) "
+    "AS DOUBLE) / 1e16)"
+)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    dot = _DOT_SQL.format(a=a, b=b)
+    na = f"sqrt({_DOT_SQL.format(a=a, b=a)})"
+    nb = f"sqrt({_DOT_SQL.format(a=b, b=b)})"
+    return f"{dot} / ({na} * {nb})"
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return SIM.cosine_topk(queries, emb, k=5)
+
+
+COSINE_TOPK_SQL = f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         {_cos_sql('q.embedding', 'c.embedding')} AS cosine
+  FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
+  CROSS JOIN embeddings c
+  WHERE q.vec_id <> c.vec_id
+)
+SELECT query_id, cand_id, rank, cosine FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, cand_id ASC) AS INT) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+_BUCKET_SQL = (
+    "list_sum(list_transform(range(0, 8), "
+    "b -> CASE WHEN CAST({e}[b + 1] AS DOUBLE) > 0.0 THEN (1 << b) ELSE 0 END))"
+)
+
+
+def q_ann_signbucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return SIM.ann_signbucket_topk(queries, emb, k=5, n_planes=8)
+
+
+ANN_SIGNBUCKET_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb,
+         {_BUCKET_SQL.format(e='embedding')} AS bucket
+  FROM embeddings WHERE vec_id < 10
+),
+c AS (
+  SELECT vec_id AS cand_id, embedding AS c_emb,
+         {_BUCKET_SQL.format(e='embedding')} AS bucket
+  FROM embeddings
+),
+scored AS (
+  SELECT query_id, cand_id, {_cos_sql('q_emb', 'c_emb')} AS cosine
+  FROM q JOIN c USING (bucket)
+  WHERE query_id <> cand_id
+)
+SELECT query_id, cand_id, rank, cosine FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, cand_id ASC) AS INT) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = snap.embeddings_with_dups(spark, sf_dir)
+    return SIM.embedding_near_dups(corpus, threshold=0.95)
+
+
+EMBEDDING_NEAR_DUPS_SQL = f"""
+WITH corpus AS ({snap.EMBEDDINGS_WITH_DUPS_SQL}),
+s AS (
+  SELECT vec_id, embedding, {_BUCKET_SQL.format(e='embedding')} AS bucket FROM corpus
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {_cos_sql('a.embedding', 'b.embedding')} AS cosine
+FROM s a JOIN s b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {_cos_sql('a.embedding', 'b.embedding')} >= 0.95
+"""
+
+
+def q_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return SIM.cosine_topk_pandas(queries, emb, k=5)
+
+
+PIPELINE_QUERIES = {
+    "text_stats": q_text_stats,
+    "lang_id_counts": q_lang_id,
+    "quality_scores": q_quality_scores,
+    "dedup_exact_clusters": q_dedup_exact_clusters,
+    "dedup_exact_survivors": q_dedup_exact_survivors,
+    "jaccard_pairs": q_jaccard_pairs,
+    "minhash_near_dups": q_minhash_near_dups,
+    "simhash_near_dups": q_simhash_near_dups,
+    "cosine_topk": q_cosine_topk,
+    "ann_signbucket_topk": q_ann_signbucket,
+    "embedding_near_dups": q_embedding_near_dups,
+    "cosine_topk_pandas": q_cosine_topk_pandas,  # rows-only: float-sum order differs by design
+}
+
+PIPELINE_SQL = {
+    "text_stats": TEXT_STATS_SQL,
+    "lang_id_counts": _lang_id_sql(),
+    "quality_scores": _quality_sql(),
+    "dedup_exact_clusters": DEDUP_EXACT_CLUSTERS_SQL,
+    "dedup_exact_survivors": DEDUP_EXACT_SURVIVORS_SQL,
+    "jaccard_pairs": JACCARD_PAIRS_SQL,
+    "minhash_near_dups": _minhash_sql(),
+    "simhash_near_dups": _simhash_sql(),
+    "cosine_topk": COSINE_TOPK_SQL,
+    "ann_signbucket_topk": ANN_SIGNBUCKET_SQL,
+    "embedding_near_dups": EMBEDDING_NEAR_DUPS_SQL,
+}

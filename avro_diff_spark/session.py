@@ -46,9 +46,17 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        # Files: keep scan partitions big enough to amortize task overhead but
-        # small enough to fit executor memory at scale.
-        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Files: on a cluster, 128 MiB splits amortize task overhead; on
+        # local[N] the testdata files are ~10 MiB so that would serialize the
+        # scan — use small splits locally (row-group granularity) for
+        # parallelism. Overridable via SPARK_GRAFT_MAX_PARTITION_BYTES.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get(
+                "SPARK_GRAFT_MAX_PARTITION_BYTES",
+                "8388608" if master.startswith("local") else "134217728",
+            ),
+        )
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

@@ -104,3 +104,50 @@ _VENN_SELECT = (
 )
 VENN_OLD_SQL = _VENN_SELECT.format(m=2)
 VENN_NEW_SQL = _VENN_SELECT.format(m=3)
+
+
+# --------------------------------------------------------------------------
+# Dedup corpora: the driver documents/embeddings are all-distinct, so derive
+# corpora with known duplicates — exact copies (id+1_000_000) and near
+# copies with a trailing-words mutation (id+2_000_000).
+# --------------------------------------------------------------------------
+
+NEAR_DUP_SUFFIX = " extra trailing words appended"
+
+
+def documents_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    exact = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    near = d.filter(F.col("doc_id") % 10 == 1).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(NEAR_DUP_SUFFIX)).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    return d.unionByName(exact).unionByName(near)
+
+
+DOCUMENTS_WITH_DUPS_SQL = f"""
+SELECT doc_id, text, lang, source, n_chars FROM documents
+UNION ALL SELECT doc_id + 1000000, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 10 = 0
+UNION ALL SELECT doc_id + 2000000, text || '{NEAR_DUP_SUFFIX}', lang, source, n_chars
+  FROM documents WHERE doc_id % 10 = 1
+"""
+
+
+def embeddings_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    dup = e.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding", "label"
+    )
+    return e.unionByName(dup)
+
+
+EMBEDDINGS_WITH_DUPS_SQL = """
+SELECT vec_id, embedding, label FROM embeddings
+UNION ALL SELECT vec_id + 1000000, embedding, label FROM embeddings WHERE vec_id % 10 = 0
+"""

@@ -1,0 +1,71 @@
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from avro_diff_spark.operators import similarity as SIM
+from avro_diff_spark.snapshots import embeddings_with_dups
+
+
+def test_cosine_topk_excludes_self_and_ranks(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3)
+    out = SIM.cosine_topk(q, emb, k=5)
+    rows = out.collect()
+    assert len(rows) == 15
+    by_q = {}
+    for r in rows:
+        assert r["query_id"] != r["cand_id"]
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["cosine"]))
+    for ranked in by_q.values():
+        ranked.sort()
+        cosines = [c for _, c in ranked]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(-1.001 <= c <= 1.001 for c in cosines)
+
+
+def test_planted_duplicate_is_rank1_with_cosine_one(spark, sf_dir):
+    corpus = embeddings_with_dups(spark, sf_dir)
+    q = corpus.filter(F.col("vec_id") == 1_000_000)  # copy of vec 0
+    out = SIM.cosine_topk(q, corpus, k=1).collect()
+    assert len(out) == 1
+    assert out[0]["cand_id"] == 0
+    assert abs(out[0]["cosine"] - 1.0) < 1e-9
+
+
+def test_pandas_topk_matches_exact(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {(r["query_id"], r["rank"]): (r["cand_id"], r["cosine"])
+             for r in SIM.cosine_topk(q, emb, k=3).collect()}
+    fast = {(r["query_id"], r["rank"]): (r["cand_id"], r["cosine"])
+            for r in SIM.cosine_topk_pandas(q, emb, k=3).collect()}
+    assert exact.keys() == fast.keys()
+    for k in exact:
+        ec, ecos = exact[k]
+        fc, fcos = fast[k]
+        assert ec == fc, f"rank disagreement at {k}"
+        assert math.isclose(ecos, fcos, abs_tol=1e-9)
+
+
+def test_ann_results_are_true_bucketmates(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    ann = SIM.ann_signbucket_topk(q, emb, k=5)
+    brute = SIM.cosine_topk(q, emb, k=200)
+    # every ANN hit must appear in the brute-force ranking with the same score
+    a = {(r["query_id"], r["cand_id"]): r["cosine"] for r in ann.collect()}
+    b = {(r["query_id"], r["cand_id"]): r["cosine"] for r in brute.collect()}
+    overlap = [k for k in a if k in b]
+    assert len(overlap) >= len(a) // 2
+    for k in overlap:
+        assert math.isclose(a[k], b[k], abs_tol=1e-12)
+
+
+def test_embedding_near_dups_finds_planted(spark, sf_dir):
+    corpus = embeddings_with_dups(spark, sf_dir)
+    found = {(r["vec_a"], r["vec_b"]) for r in SIM.embedding_near_dups(corpus, 0.99).collect()}
+    planted = [r[0] for r in corpus.filter(F.col("vec_id") >= 1_000_000).select("vec_id").collect()]
+    for v in planted:
+        assert (v - 1_000_000, v) in found

@@ -1,0 +1,74 @@
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from avro_diff_spark.functions import text as TX
+
+
+def one(spark, col):
+    return spark.range(1).select(col.alias("v")).collect()[0]["v"]
+
+
+def test_norm_and_tokens(spark):
+    df = spark.createDataFrame([("  Hello   WORLD \t x ",)], "t string")
+    r = df.select(
+        TX.norm_text(F.col("t")).alias("n"),
+        TX.tokens_ws(F.col("t")).alias("tok"),
+        TX.token_count_bpe(F.col("t")).alias("bpe"),
+    ).collect()[0]
+    assert r["n"] == "hello world x"
+    assert r["tok"] == ["hello", "world", "x"]
+    assert r["bpe"] == 3
+
+
+def test_char_shingles_short_string_empty(spark):
+    df = spark.createDataFrame([("abc",), ("abcdef",)], "t string")
+    rows = df.select(TX.char_shingles(F.col("t"), 5).alias("sh")).collect()
+    assert rows[0]["sh"] == []  # len 3 < k=5 → empty, NOT a descending-sequence artifact
+    assert rows[1]["sh"] == ["abcde", "bcdef"]
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("a b c d",)], "t string")
+    assert df.select(TX.word_shingles(F.col("t"), 3).alias("s")).collect()[0]["s"] == [
+        "a b c",
+        "b c d",
+    ]
+
+
+def test_hash32_matches_python_md5(spark):
+    df = spark.createDataFrame([("hello",)], "t string")
+    got = df.select(TX.hash32(F.col("t")).alias("h")).collect()[0]["h"]
+    exp = int(hashlib.md5(b"hello").hexdigest()[:8], 16)
+    assert got == exp
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat and the dog of the house",),
+            ("der hund und die katze ist nicht da",),
+            ("el perro y la casa de la madre",),
+            ("zzz qqq www",),
+        ],
+        "t string",
+    )
+    got = [r["l"] for r in df.select(TX.lang_id(F.col("t")).alias("l")).collect()]
+    assert got == ["en", "de", "es", "und"]
+
+
+def test_quality_score_bounds_and_monotonicity(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    qs = d.select(TX.quality_score(F.col("text")).alias("q"))
+    lo, hi = qs.agg(F.min("q"), F.max("q")).collect()[0]
+    assert 0.0 <= lo <= hi <= 1.0
+    junk = spark.createDataFrame([("!!! ### $$$ %%% ^^^ &&& *** ((( )))",)], "t string")
+    prose = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog and runs into the green field again",)],
+        "t string",
+    )
+    qj = junk.select(TX.quality_score(F.col("t")).alias("q")).collect()[0]["q"]
+    qp = prose.select(TX.quality_score(F.col("t")).alias("q")).collect()[0]["q"]
+    assert qp > qj
