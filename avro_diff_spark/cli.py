@@ -1,0 +1,127 @@
+"""CLI entry points mirroring the reference binaries.
+
+Reference: ``key_diff <oldFile> <newFile> <key>`` (bin/key_diff.js:7-13) and
+``venn_diff <oldFile> <newFile>`` (bin/venn_diff.js:7-13); comma-separated
+key list (bin/key_diff.js:10); keep/ignore/schema config via the CONFIG
+singleton (src/config.js) — here explicit flags instead.
+
+Divergences (deliberate, documented):
+- venn stat labels are printed CORRECTLY; the reference swaps the added/
+  removed counts in its printer (src/index.js:60-61).
+- inputs may be avro OR parquet, files or directories/globs.
+- results can be written to a parquet sink (--output) instead of stdout —
+  the 100 TB path; stdout printing collects only --limit rows.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import DataFrame
+
+
+def _read(spark, path: str, fmt: str, keep, ignore):
+    from avro_diff_spark.sources.avro import read_avro, read_parquet
+
+    if fmt == "avro" or (fmt == "auto" and path.endswith(".avro")):
+        return read_avro(spark, path, keep_fields=keep, ignore_fields=ignore)
+    return read_parquet(spark, path, keep_fields=keep, ignore_fields=ignore)
+
+
+def _emit(df: DataFrame, output: str | None, limit: int) -> None:
+    if output:
+        df.write.mode("overwrite").parquet(output)
+        print(f"wrote {output}")
+    else:
+        df.show(limit, truncate=False)
+
+
+def _common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("old_file")
+    p.add_argument("new_file")
+    p.add_argument("--format", choices=["auto", "avro", "parquet"], default="auto")
+    p.add_argument("--keep-fields", default=None, help="comma-separated keep projection")
+    p.add_argument("--ignore-fields", default=None, help="comma-separated ignore projection")
+    p.add_argument("--output", default=None, help="parquet output path (default: print)")
+    p.add_argument("--limit", type=int, default=50, help="rows to print without --output")
+    p.add_argument("--master", default=None, help="spark master (default local[*])")
+
+
+def _session(args):
+    from avro_diff_spark.session import get_spark
+
+    return get_spark("avro_diff_spark-cli", master=args.master)
+
+
+def _split(s: str | None):
+    return s.split(",") if s else None
+
+
+def key_diff_main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(
+        prog="key_diff", description="Keyed diff of two Avro/parquet datasets."
+    )
+    _common(p)
+    p.add_argument("key", help="comma-separated composite key fields")
+    p.add_argument("--detail", action="store_true", help="emit per-field changed values")
+    args = p.parse_args(argv)
+
+    from avro_diff_spark.operators.key_diff import key_diff, key_diff_detail
+
+    spark = _session(args)
+    old = _read(spark, args.old_file, args.format, _split(args.keep_fields), _split(args.ignore_fields))
+    new = _read(spark, args.new_file, args.format, _split(args.keep_fields), _split(args.ignore_fields))
+    key = args.key.split(",")
+    fn = key_diff_detail if args.detail else key_diff
+    d = fn(old, new, key)
+
+    if not args.detail:
+        from pyspark.sql import functions as F
+
+        stats = {r["diff_kind"]: r["n"] for r in d.groupBy("diff_kind").agg(F.count(F.lit(1)).alias("n")).collect()}
+        for kind in ("added", "removed", "changed", "unchanged"):
+            print(f"# of {kind} rows: {stats.get(kind, 0)}")
+    _emit(d, args.output, args.limit)
+    return 0
+
+
+def venn_diff_main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(
+        prog="venn_diff", description="Multiset venn diff of two Avro/parquet datasets."
+    )
+    _common(p)
+    args = p.parse_args(argv)
+
+    from avro_diff_spark.operators.venn_diff import venn_summary
+
+    spark = _session(args)
+    old = _read(spark, args.old_file, args.format, _split(args.keep_fields), _split(args.ignore_fields))
+    new = _read(spark, args.new_file, args.format, _split(args.keep_fields), _split(args.ignore_fields))
+    s = venn_summary(old, new).cache()
+
+    from pyspark.sql import functions as F
+
+    stats = {
+        r["venn_kind"]: r["n"]
+        for r in s.groupBy("venn_kind").agg(F.sum("n_occurrences").alias("n")).collect()
+    }
+    # correct labels (the reference's printer swaps these two, src/index.js:60-61)
+    print(f"# of removed rows: {stats.get('removed', 0)}")
+    print(f"# of added rows: {stats.get('added', 0)}")
+    print(f"# of intersection rows: {stats.get('intersection', 0)}")
+    _emit(s, args.output, args.limit)
+    return 0
+
+
+def main() -> int:
+    """Dispatcher: python -m avro_diff_spark.cli {key_diff|venn_diff} ..."""
+    if len(sys.argv) < 2 or sys.argv[1] not in ("key_diff", "venn_diff"):
+        print("usage: python -m avro_diff_spark.cli {key_diff|venn_diff} ...", file=sys.stderr)
+        return 2
+    cmd, argv = sys.argv[1], sys.argv[2:]
+    return key_diff_main(argv) if cmd == "key_diff" else venn_diff_main(argv)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

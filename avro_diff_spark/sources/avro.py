@@ -45,6 +45,25 @@ def _project(df: DataFrame, keep: Sequence[str] | None, ignore: Sequence[str] | 
     return df.select(*cols)
 
 
+def avro_available(spark: SparkSession) -> bool:
+    """True when the spark-avro DataSource module is on the session classpath.
+
+    spark-avro is "built-in but external" (shipped separately from the Spark
+    distribution); production clusters add it with
+    ``--packages org.apache.spark:spark-avro_2.13:<spark-version>``.
+    """
+    try:
+        # AvroDataSourceV2 is the service-registered entry point of the
+        # external spark-avro module; probing AvroFileFormat is not enough
+        # (a stub of it ships in the base distribution).
+        spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
+            "org.apache.spark.sql.avro.AvroDataSourceV2"
+        )
+        return True
+    except Exception:
+        return False
+
+
 def read_avro(
     spark: SparkSession,
     path: str | Sequence[str],
@@ -60,6 +79,12 @@ def read_avro(
     exact int64 (the reference loses precision on long > 2^53,
     README.md:27), and distributed scans.
     """
+    if not avro_available(spark):
+        raise RuntimeError(
+            "The spark-avro module is not on this session's classpath. "
+            "Launch with --packages org.apache.spark:spark-avro_2.13:"
+            f"{spark.version} (or add the jar to spark.jars)."
+        )
     reader = spark.read.format("avro")
     if avro_schema is not None:
         if isinstance(avro_schema, dict):
