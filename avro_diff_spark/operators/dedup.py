@@ -90,9 +90,18 @@ def minhash_signatures(
     The shingle set is hashed once (md5 → 32-bit int); each signature slot is
     ``min((a_i*h + b_i) mod p)`` over the distinct shingle hashes: pure
     array expressions, distributed row-wise, no shuffle at all.
+
+    The hashed-shingle array is materialized in its own projection so the
+    n_hashes slots share one evaluation — inlining it would re-run the
+    shingle+md5 pipeline per slot (an n_hashes× CPU blowup; Catalyst's
+    CollapseProject rightly refuses to inline a non-cheap alias referenced
+    more than once, which is exactly the behavior relied on here).
     """
-    shingle_hashes = F.transform(
-        F.array_distinct(char_shingles(F.col(text_col), shingle_k)), hash32
+    hashed = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(
+            F.array_distinct(char_shingles(F.col(text_col), shingle_k)), hash32
+        ).alias("__sh"),
     )
     params = minhash_params(n_hashes)
 
@@ -101,12 +110,12 @@ def minhash_signatures(
         return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_P)
 
     sig = F.array(
-        *[F.array_min(F.transform(shingle_hashes, _uh(a, b))) for a, b in params]
+        *[F.array_min(F.transform(F.col("__sh"), _uh(a, b))) for a, b in params]
     )
-    return df.select(
-        F.col(id_col).alias("doc_id"),
+    return hashed.select(
+        "doc_id",
         sig.alias("sig"),
-        F.size(shingle_hashes).alias("n_shingles"),
+        F.size("__sh").alias("n_shingles"),
     )
 
 
@@ -115,9 +124,17 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Distinct candidate pairs (a < b) sharing at least one LSH band.
 
-    Explode each signature into ``bands`` (band_id, band_key) buckets; a
-    self-equi-join on the bucket yields candidates. The join key is
-    (band_id, md5-of-slice) — small, uniformly distributed, AQE-skew-safe.
+    Explode each signature into ``bands`` (band_id, band_key) buckets, then
+    groupBy the bucket and expand pairs *within* each bucket. One shuffle on
+    the (band_id, md5-of-slice) key — small and uniformly distributed — and
+    the signature plan is evaluated exactly once (a self-join formulation
+    would evaluate it twice, once per side).
+
+    Scale note: a bucket of n docs yields n·(n-1)/2 pairs; that cardinality
+    is inherent to candidate generation, but here the *expansion* of one
+    bucket happens in a single task. Corpora with massive exact-duplicate
+    clusters should run :func:`exact_dedup` first (standard practice) so no
+    bucket is pathological.
     """
     banded = sig_df.select(
         "doc_id",
@@ -138,15 +155,22 @@ def lsh_candidate_pairs(
             )
         ).alias("band"),
     ).select("doc_id", "band.band_id", "band.band_key")
-    a, b = banded.alias("a"), banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ids = F.col("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.greatest(F.size(ids) - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    return (
+        banded.groupBy("band_id", "band_key")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(pair_structs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
@@ -165,11 +189,36 @@ def jaccard_pairs(
     Without ``candidates``: inverted-index self-join on distinct shingles —
     only pairs sharing ≥1 shingle are ever materialized (the 100 TB-safe
     formulation of "all pairs"). With ``candidates`` (e.g. from LSH): the
-    intersection counts are computed the same way, then semi-joined down to
-    the candidate set before the final filter.
+    candidate pairs are joined to per-doc distinct-shingle *arrays* and
+    intersected row-wise (``array_intersect``) — work proportional to the
+    candidate count, not to the corpus's co-shingle pair count.
 
     Columns: doc_a, doc_b, n_a, n_b, n_common, jaccard.
     """
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    if candidates is not None:
+        doc_sh = df.select(
+            F.col(id_col).alias("doc_id"),
+            F.array_distinct(char_shingles(F.col(text_col), shingle_k)).alias("sh"),
+        )
+        a = doc_sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+        b = doc_sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+        out = (
+            candidates.join(a, "doc_a")
+            .join(b, "doc_b")
+            .select(
+                "doc_a",
+                "doc_b",
+                F.size("sh_a").alias("n_a"),
+                F.size("sh_b").alias("n_b"),
+                F.size(F.array_intersect("sh_a", "sh_b")).alias("n_common"),
+            )
+            .withColumn("jaccard", jac)
+            .filter(F.col("jaccard") >= threshold)
+        )
+        return out.select("doc_a", "doc_b", "n_a", "n_b", "n_common", "jaccard")
     sh = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(char_shingles(F.col(text_col), shingle_k))).alias("sh"),
@@ -181,18 +230,12 @@ def jaccard_pairs(
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    if candidates is not None:
-        common = common.join(candidates, on=["doc_a", "doc_b"], how="left_semi")
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     out = (
         common.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.col("n_common").cast("double")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
-        )
+        .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
     )
     return out.select("doc_a", "doc_b", "n_a", "n_b", "n_common", "jaccard")
