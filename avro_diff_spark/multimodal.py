@@ -1,0 +1,232 @@
+"""Multimodal (image / audio / video) column handling.
+
+North-star extension (BASELINE.json) — the reference is text/Avro only
+(SURVEY.md §1.1); no reference code exists. Design:
+
+- Media is an opaque ``binary`` payload column plus typed metadata columns —
+  the layout a 100 TB lakehouse actually uses (payload in parquet binary or
+  object-store pointers; metadata queryable without touching bytes).
+- Metadata extraction (size, digest, container sniffing) is pure Column
+  expressions — JVM-side, codegen, no Python in the scan path.
+- Decode / feature-extraction / frame-sampling run as Arrow-batched
+  ``mapInPandas`` pipelines: the Spark-side plumbing (schema, batching,
+  cardinality change, partition preservation) is real and tested.
+
+DECODE IS STUBBED: this container has no image/audio libraries, so the
+default decoder is a documented *deterministic fake* deriving pseudo
+features from the payload bytes. Swap in a real decoder via the
+``decoder=`` hook (``pil_image_decoder`` raises ``NotImplementedError``
+until Pillow is installed). Everything around the decoder — batch shape,
+schemas, partitioning — is the production code path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: magic prefixes for container sniffing (pure byte compares, JVM-side).
+_MAGIC = {
+    "png": b"\x89PNG",
+    "jpeg": b"\xff\xd8\xff",
+    "riff": b"RIFF",  # wav/avi containers
+    "gif": b"GIF8",
+}
+
+
+def synth_media(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Deterministic media table for tests/benchmarks: payload = UTF-8 bytes
+    of ``text_col``, kind cycles image/audio/video by id. Real pipelines read
+    payloads from parquet binary columns; nothing downstream cares which."""
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col(id_col) % 3 + 1).cast("int"),
+    )
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        kind.alias("kind"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+    )
+
+
+def sniff_container(payload: Column) -> Column:
+    """Container format from the payload's magic bytes; 'unknown' otherwise."""
+    expr: Column = F.lit("unknown")
+    for name, magic in reversed(_MAGIC.items()):
+        expr = F.when(
+            F.startswith(payload, F.lit(magic)), F.lit(name)
+        ).otherwise(expr)
+    return expr
+
+
+def media_metadata(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """Byte-level metadata without decoding: size, md5 digest, container.
+
+    Pure Column expressions — at 100 TB this is a projection over the parquet
+    scan (payload column read, nothing shipped to Python)."""
+    p = F.col(payload_col)
+    return df.select(
+        F.col(id_col),
+        *[c for c in ("kind",) if c in df.columns],
+        F.length(p).alias("n_bytes"),
+        F.md5(p).alias("payload_md5"),
+        sniff_container(p).alias("container"),
+    )
+
+
+# --------------------------------------------------------------------------
+# decoders (the pluggable stub boundary)
+# --------------------------------------------------------------------------
+
+#: decoder contract: bytes -> dict(width, height, channels, mean_byte)
+Decoder = Callable[[bytes], dict[str, Any]]
+
+
+def fake_image_decoder(payload: bytes) -> dict[str, Any]:
+    """Deterministic FAKE decode (no image libs in this container): width and
+    height from the first two payload bytes, fixed 3 channels, mean over all
+    bytes. Stable across engines/runs; replaces a real PIL/libjpeg decode."""
+    n = len(payload)
+    return {
+        "width": 1 + payload[0] if n > 0 else 0,
+        "height": 1 + payload[1] if n > 1 else 0,
+        "channels": 3 if n > 0 else 0,
+        "mean_byte": (sum(payload) / n) if n > 0 else 0.0,
+    }
+
+
+def pil_image_decoder(payload: bytes) -> dict[str, Any]:
+    """Real decoder slot. STUB: Pillow is not installed in this container."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as e:  # pragma: no cover - exercised only without PIL
+        raise NotImplementedError(
+            "real image decode needs Pillow; install it or use "
+            "fake_image_decoder (the deterministic test stub)"
+        ) from e
+    import io
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(payload))  # pragma: no cover
+    import numpy as np  # pragma: no cover
+
+    arr = np.asarray(img)  # pragma: no cover
+    return {  # pragma: no cover
+        "width": img.width,
+        "height": img.height,
+        "channels": arr.shape[2] if arr.ndim == 3 else 1,
+        "mean_byte": float(arr.mean()),
+    }
+
+
+IMAGE_FEATURES_SCHEMA = (
+    "media_id long, width int, height int, channels int, mean_byte double"
+)
+
+
+def image_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    *,
+    decoder: Decoder = fake_image_decoder,
+) -> DataFrame:
+    """Per-image features via Arrow-batched ``mapInPandas``.
+
+    Only (id, payload) are shipped to Python — project before the map so the
+    parquet scan prunes every other column. Cardinality 1:1."""
+    narrow = df.select(F.col(id_col).alias("media_id"), F.col(payload_col).alias("payload"))
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            feats = pdf["payload"].map(lambda b: decoder(bytes(b)))
+            out = pd.DataFrame(list(feats))
+            out.insert(0, "media_id", pdf["media_id"].values)
+            yield out
+
+    return narrow.mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = "media_id long, n_samples long, duration_s double, mean_amplitude double"
+
+
+def audio_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    *,
+    sample_rate: int = 16_000,
+) -> DataFrame:
+    """Pseudo-audio features: payload bytes as signed 8-bit samples.
+
+    FAKE decode (no audio libs here) but deterministic and batch-shaped like
+    a real soxr/librosa pipeline: numpy over Arrow batches, zero row-at-a-time
+    Python."""
+    narrow = df.select(F.col(id_col).alias("media_id"), F.col(payload_col).alias("payload"))
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, b in zip(pdf["media_id"].values, pdf["payload"].values):
+                arr = np.frombuffer(bytes(b), dtype=np.int8)
+                rows.append(
+                    (
+                        mid,
+                        arr.size,
+                        arr.size / sample_rate,
+                        float(np.abs(arr.astype(np.float64)).mean()) if arr.size else 0.0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "n_samples", "duration_s", "mean_amplitude"]
+            )
+
+    return narrow.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
+
+
+FRAME_SAMPLE_SCHEMA = "media_id long, frame_idx int, frame_bytes binary, frame_len int"
+
+
+def frame_sample(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    *,
+    frame_bytes: int = 64,
+    max_frames: int = 8,
+) -> DataFrame:
+    """Sample up to ``max_frames`` fixed-stride chunks per payload — the
+    video-frame-sampling shape (1:N cardinality change through mapInPandas).
+
+    FAKE frame extraction (chunks, not ffmpeg keyframes) with real plumbing:
+    the output is one row per frame, stride chosen so frames cover the whole
+    payload evenly."""
+    narrow = df.select(F.col(id_col).alias("media_id"), F.col(payload_col).alias("payload"))
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, b in zip(pdf["media_id"].values, pdf["payload"].values):
+                data = bytes(b)
+                n_frames = min(max_frames, max(1, len(data) // frame_bytes))
+                stride = max(1, len(data) // n_frames)
+                for i in range(n_frames):
+                    chunk = data[i * stride : i * stride + frame_bytes]
+                    rows.append((mid, i, chunk, len(chunk)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "frame_bytes", "frame_len"]
+            )
+
+    return narrow.mapInPandas(run, schema=FRAME_SAMPLE_SCHEMA)

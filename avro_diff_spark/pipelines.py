@@ -369,6 +369,71 @@ def q_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.cosine_topk_pandas(queries, emb, k=5)
 
 
+# --------------------------------------------------------------------------
+# multimodal (binary payload columns; decode stubbed — see multimodal.py)
+# --------------------------------------------------------------------------
+
+_SYNTH_MEDIA_SQL = """
+SELECT doc_id AS media_id,
+       ['image', 'audio', 'video'][(doc_id % 3)::INT + 1] AS kind,
+       encode(text) AS payload,
+       text
+FROM documents
+"""
+
+
+def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from avro_diff_spark import multimodal as MM
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return MM.media_metadata(MM.synth_media(docs, "text", "doc_id"))
+
+
+# md5(text) in DuckDB hashes the UTF-8 bytes — exactly Spark's
+# md5(encode(text, 'UTF-8')); word-soup text never starts with a media magic.
+MEDIA_METADATA_SQL = f"""
+WITH media AS ({_SYNTH_MEDIA_SQL})
+SELECT media_id, kind, octet_length(payload) AS n_bytes,
+       md5(text) AS payload_md5, 'unknown' AS container
+FROM media
+"""
+
+
+def q_frame_sample_lens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from avro_diff_spark import multimodal as MM
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    frames = MM.frame_sample(
+        MM.synth_media(docs, "text", "doc_id"), frame_bytes=64, max_frames=8
+    )
+    return frames.select("media_id", "frame_idx", "frame_len")
+
+
+# mirrors frame_sample's chunking math: n_frames = min(8, max(1, len//64)),
+# stride = max(1, len//n_frames), frame_len = min(64, max(0, len - i*stride)).
+FRAME_SAMPLE_LENS_SQL = """
+WITH d AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS len FROM documents),
+f AS (SELECT media_id, len, least(8, greatest(1, len // 64)) AS nf FROM d)
+SELECT media_id, CAST(i AS INT) AS frame_idx,
+       CAST(least(64, greatest(0, len - i * greatest(1, len // nf))) AS INT) AS frame_len
+FROM (SELECT media_id, len, nf, unnest(range(nf)) AS i FROM f)
+"""
+
+
+def q_image_features_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from avro_diff_spark import multimodal as MM
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return MM.image_features(MM.synth_media(docs, "text", "doc_id"))
+
+
+def q_audio_features_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from avro_diff_spark import multimodal as MM
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return MM.audio_features(MM.synth_media(docs, "text", "doc_id"))
+
+
 PIPELINE_QUERIES = {
     "text_stats": q_text_stats,
     "lang_id_counts": q_lang_id,
@@ -382,6 +447,10 @@ PIPELINE_QUERIES = {
     "ann_signbucket_topk": q_ann_signbucket,
     "embedding_near_dups": q_embedding_near_dups,
     "cosine_topk_pandas": q_cosine_topk_pandas,  # rows-only: float-sum order differs by design
+    "media_metadata": q_media_metadata,
+    "frame_sample_lens": q_frame_sample_lens,
+    "image_features_stub": q_image_features_stub,  # rows-only: Pandas-UDF fake decode
+    "audio_features_stub": q_audio_features_stub,  # rows-only: Pandas-UDF fake decode
 }
 
 PIPELINE_SQL = {
@@ -396,4 +465,6 @@ PIPELINE_SQL = {
     "cosine_topk": COSINE_TOPK_SQL,
     "ann_signbucket_topk": ANN_SIGNBUCKET_SQL,
     "embedding_near_dups": EMBEDDING_NEAR_DUPS_SQL,
+    "media_metadata": MEDIA_METADATA_SQL,
+    "frame_sample_lens": FRAME_SAMPLE_LENS_SQL,
 }

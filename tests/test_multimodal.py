@@ -1,0 +1,101 @@
+"""Multimodal binary-column plumbing tests.
+
+The decode itself is a documented deterministic fake (no image/audio libs in
+this container — multimodal.py module docstring); what these tests pin down
+is the Spark-side contract: schemas, Arrow batch shape, 1:1 vs 1:N
+cardinality, partition survival, and the pure-Column metadata path.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from avro_diff_spark import multimodal as MM
+
+
+@pytest.fixture(scope="module")
+def media(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return MM.synth_media(docs, "text", "doc_id").cache()
+
+
+def test_synth_media_schema(media):
+    assert dict(media.dtypes) == {
+        "media_id": "bigint",
+        "kind": "string",
+        "payload": "binary",
+    }
+    kinds = {r["kind"] for r in media.select("kind").distinct().collect()}
+    assert kinds == {"image", "audio", "video"}
+
+
+def test_media_metadata_matches_bytes(spark, media):
+    meta = MM.media_metadata(media)
+    row = meta.orderBy("media_id").first()
+    src = media.orderBy("media_id").first()
+    assert row["n_bytes"] == len(src["payload"])
+    import hashlib
+
+    assert row["payload_md5"] == hashlib.md5(bytes(src["payload"])).hexdigest()
+    assert row["container"] == "unknown"
+
+
+def test_sniff_container_magics(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x89PNG\r\n")), (2, bytearray(b"\xff\xd8\xffdata")),
+         (3, bytearray(b"RIFFxxxxWAVE")), (4, bytearray(b"plain text"))],
+        "media_id long, payload binary",
+    )
+    got = {r["media_id"]: r["c"] for r in df.select("media_id", MM.sniff_container(F.col("payload")).alias("c")).collect()}
+    assert got == {1: "png", 2: "jpeg", 3: "riff", 4: "unknown"}
+
+
+def test_image_features_one_to_one_and_deterministic(media):
+    feats = MM.image_features(media)
+    assert feats.count() == media.count()
+    r = feats.filter(F.col("media_id") == 0).first()
+    payload = bytes(media.filter(F.col("media_id") == 0).first()["payload"])
+    expected = MM.fake_image_decoder(payload)
+    assert (r["width"], r["height"], r["channels"]) == (
+        expected["width"], expected["height"], expected["channels"],
+    )
+    assert r["mean_byte"] == pytest.approx(expected["mean_byte"])
+
+
+def test_pil_decoder_is_explicit_stub(media):
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("Pillow installed; stub path not reachable")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        MM.pil_image_decoder(b"\x89PNG")
+
+
+def test_audio_features_schema_and_values(media):
+    feats = MM.audio_features(media, sample_rate=16_000)
+    r = feats.filter(F.col("media_id") == 0).first()
+    payload = bytes(media.filter(F.col("media_id") == 0).first()["payload"])
+    assert r["n_samples"] == len(payload)
+    assert r["duration_s"] == pytest.approx(len(payload) / 16_000)
+
+
+def test_frame_sample_cardinality_and_coverage(media):
+    frames = MM.frame_sample(media, frame_bytes=64, max_frames=8)
+    per_doc = frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n"), F.max("frame_idx").alias("mx")
+    )
+    bad = per_doc.filter((F.col("n") < 1) | (F.col("n") > 8) | (F.col("mx") != F.col("n") - 1))
+    assert bad.count() == 0
+    # every frame's bytes must come from the payload (spot-check doc 0)
+    f0 = frames.filter((F.col("media_id") == 0) & (F.col("frame_idx") == 0)).first()
+    payload = bytes(media.filter(F.col("media_id") == 0).first()["payload"])
+    assert bytes(f0["frame_bytes"]) == payload[: f0["frame_len"]]
+
+
+def test_map_in_pandas_survives_repartition(media):
+    feats = MM.image_features(media.repartition(7))
+    assert feats.rdd.getNumPartitions() == 7
+    assert feats.count() == media.count()
