@@ -1,0 +1,175 @@
+"""Structured Streaming equivalence + watermark semantics tests.
+
+Strategy: feed the driver's events testdata through file-source streams with
+Trigger.AvailableNow and pin the results to the batch twins. The
+append-mode watermark test replays in two runs sharing a checkpoint — run 2
+advances the watermark past run 1's data, which finalizes and emits run 1's
+windows: the actual late-data contract, tested deterministically.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from avro_diff_spark.streaming import (
+    hourly_counts_stream,
+    read_event_stream,
+    running_user_totals,
+    sessionize_stream,
+)
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark, sf_dir):
+    # load_events handles the testdata's TIMESTAMP(NANOS) quirk; re-emit ts
+    # as a proper micros timestamp so Spark's own parquet writer produces
+    # the stream-source files (the shape a live ingest dir would have).
+    from avro_diff_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        F.timestamp_micros(F.col("ts_us")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def events_dir(events_batch, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("events_stream") / "in")
+    events_batch.write.parquet(d)
+    return d
+
+
+def _run_to_memory(df, name, mode, tmp_path):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_hourly_stream_matches_batch(spark, events_batch, events_dir, tmp_path):
+    stream = hourly_counts_stream(read_event_stream(spark, events_dir))
+    _run_to_memory(stream, "hourly", "complete", tmp_path)
+    got = {
+        (r["window_start_us"], r["event_type"]): (r["n_events"], round(r["sum_value"], 4))
+        for r in spark.table("hourly").collect()
+    }
+    hour_us = 3_600_000_000
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    want = {
+        (r["w"], r["event_type"]): (r["n"], round(r["s"], 4))
+        for r in events_batch.groupBy(
+            (us - us % hour_us).alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_sessionize_stream_matches_batch_session_window(
+    spark, events_batch, events_dir, tmp_path
+):
+    # session-window streaming aggs support complete/append, not update
+    stream = sessionize_stream(read_event_stream(spark, events_dir), gap_minutes=30)
+    _run_to_memory(stream, "sessions", "complete", tmp_path)
+    got = {
+        (r["user_id"], r["session_start_us"]): r["n_events"]
+        for r in spark.table("sessions").collect()
+    }
+    ts = F.col("ts").cast("timestamp")
+    want = {
+        (r["user_id"], r["w"]): r["n"]
+        for r in events_batch.withColumn("ts", ts)
+        .groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_micros(F.col("win.start")).alias("w"), "user_id", "n")
+        .collect()
+    }
+    assert got == want
+
+
+def test_running_user_totals_stateful(spark, events_batch, events_dir, tmp_path):
+    stream = running_user_totals(read_event_stream(spark, events_dir))
+    _run_to_memory(stream, "totals", "update", tmp_path)
+    # AvailableNow may split into several micro-batches, re-emitting a user's
+    # row per batch; the LAST emission per user must equal the batch totals.
+    got = {
+        r["user_id"]: (r["n_events"], round(r["sum_value"], 4))
+        for r in spark.table("totals").collect()  # memory sink appends updates in order
+    }
+    want = {
+        r["user_id"]: (r["n"], round(r["s"], 4))
+        for r in events_batch.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_append_mode_watermark_finalizes_old_windows(spark, events_batch, tmp_path):
+    """Two AvailableNow runs over a shared checkpoint: run 2's new data
+    advances the watermark, finalizing (emitting) run 1's closed windows."""
+    src = str(tmp_path / "wm_in")
+    sink = str(tmp_path / "wm_out")
+    ckpt = str(tmp_path / "wm_ckpt")
+    cutoff = events_batch.select(
+        F.min(F.col("ts").cast("timestamp")).alias("m")
+    ).first()["m"]
+    early = events_batch.filter(
+        F.col("ts").cast("timestamp") < F.lit(cutoff) + F.expr("INTERVAL 6 HOURS")
+    )
+    late = events_batch.filter(
+        F.col("ts").cast("timestamp") >= F.lit(cutoff) + F.expr("INTERVAL 48 HOURS")
+    )
+    assert early.count() > 0 and late.count() > 0
+
+    def run_once():
+        q = (
+            hourly_counts_stream(read_event_stream(spark, src), watermark="2 hours")
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    early.write.mode("overwrite").parquet(src)
+    run_once()
+    # run 1: watermark starts at 0 → nothing finalized yet
+    n_after_run1 = spark.read.schema(
+        "window_start_us long, event_type string, n_events long, sum_value double"
+    ).parquet(sink).count()
+
+    late.write.mode("append").parquet(src)
+    run_once()
+    emitted = spark.read.parquet(sink)
+    n_after_run2 = emitted.count()
+    assert n_after_run2 > n_after_run1, "advancing watermark must finalize windows"
+
+    # every finalized early window must match the batch aggregation exactly
+    hour_us = 3_600_000_000
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    want = {
+        (r["w"], r["event_type"]): r["n"]
+        for r in early.groupBy((us - us % hour_us).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in emitted.collect():
+        key = (r["window_start_us"], r["event_type"])
+        if key in want:  # late-run windows may still be open; early ones must agree
+            assert r["n_events"] == want[key]
