@@ -97,10 +97,14 @@ def top_revenue_orders(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFra
         joined.groupBy("o_orderkey", "o_orderpriority")
         .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
     )
-    w = Window.orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+    # Global top-k via orderBy+limit, NOT a row_number window over an empty
+    # partition spec: Spark plans this as TakeOrderedAndProject — each task
+    # keeps its local k, the driver merges k-per-partition. A global window
+    # would shuffle every aggregated row into ONE partition (WindowExec
+    # warns about exactly this), which dies at 100 TB.
     return (
-        rev.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
+        rev.orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(k)
         .select("o_orderkey", "o_orderpriority", "revenue")
     )
 

@@ -27,9 +27,13 @@ def norm_text(col: Column) -> Column:
     return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
 
 
-def tokens_ws(col: Column) -> Column:
-    """Whitespace tokens of the normalized text (no empty tokens)."""
-    return F.split(norm_text(col), " ")
+def tokens_ws(col: Column, *, pre_normalized: bool = False) -> Column:
+    """Whitespace tokens of the normalized text (no empty tokens).
+
+    ``pre_normalized=True`` skips the norm regex — pass it when the caller
+    has already projected :func:`norm_text` into a column, so multi-feature
+    selects evaluate the regex once instead of once per feature."""
+    return F.split(col if pre_normalized else norm_text(col), " ")
 
 
 def token_count_ws(col: Column) -> Column:
@@ -50,9 +54,9 @@ def hash32(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
-def fingerprint_md5(col: Column) -> Column:
+def fingerprint_md5(col: Column, *, pre_normalized: bool = False) -> Column:
     """Document fingerprint: md5 of the normalized text."""
-    return F.md5(norm_text(col))
+    return F.md5(col if pre_normalized else norm_text(col))
 
 
 def _safe_seq(start: int, n: Column) -> Column:
@@ -63,9 +67,9 @@ def _safe_seq(start: int, n: Column) -> Column:
     )
 
 
-def char_shingles(col: Column, k: int = 5) -> Column:
+def char_shingles(col: Column, k: int = 5, *, pre_normalized: bool = False) -> Column:
     """All k-character shingles of the normalized text (with duplicates)."""
-    s = norm_text(col)
+    s = col if pre_normalized else norm_text(col)
     n = F.length(s) - F.lit(k - 1)
     return F.transform(_safe_seq(1, n), lambda i: s.substr(i, F.lit(k)))
 

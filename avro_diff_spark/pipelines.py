@@ -52,13 +52,21 @@ def stopword_count_sql(c: str, lang: str) -> str:
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return d.select(
+    # materialize the norm regex once; every feature below reuses the column
+    # (Catalyst keeps the projection boundary: non-cheap alias, many refs)
+    norm = d.select(
+        "doc_id", F.col("text"), TX.norm_text(F.col("text")).alias("__norm")
+    )
+    nc = F.col("__norm")
+    return norm.select(
         "doc_id",
-        TX.fingerprint_md5(F.col("text")).alias("fingerprint"),
-        TX.token_count_ws(F.col("text")).alias("n_tokens_ws"),
+        TX.fingerprint_md5(nc, pre_normalized=True).alias("fingerprint"),
+        F.size(TX.tokens_ws(nc, pre_normalized=True)).alias("n_tokens_ws"),
         TX.token_count_bpe(F.col("text")).alias("n_tokens_bpe"),
-        F.length(TX.norm_text(F.col("text"))).alias("n_chars_norm"),
-        F.size(F.array_distinct(TX.char_shingles(F.col("text"), 5))).alias("n_shingles"),
+        F.length(nc).alias("n_chars_norm"),
+        F.size(
+            F.array_distinct(TX.char_shingles(nc, 5, pre_normalized=True))
+        ).alias("n_shingles"),
     )
 
 
