@@ -125,6 +125,84 @@ def ann_signbucket_topk(
     return topk_per_query(scored, k)
 
 
+def _lit_vec(vec) -> Column:
+    return F.array(*[F.lit(float(v)) for v in vec])
+
+
+def ivf_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    *,
+    n_centroids: int = 16,
+    probes: int = 2,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the classic ANN scale path.
+
+    - **Centroids**: the first ``n_centroids`` candidates by vec_id — a
+      deterministic stand-in for k-means training (production swaps in real
+      centroids; everything downstream is unchanged). Small by contract:
+      collected once, embedded as literal arrays, constant-folded.
+    - **Assignment**: every candidate goes to its nearest centroid (argmax
+      cosine, ties to the lowest centroid id) as a pure Column expression —
+      the 100 TB candidate scan has NO shuffle and no Python.
+    - **Probing**: each query fans out to its ``probes`` nearest cells;
+      scoring joins on the small int cell id, so cost is
+      |queries|·probes·avg-cell-size instead of |queries|·|candidates|.
+
+    Same output contract as :func:`cosine_topk` (rank by cosine desc,
+    cand_id asc).
+    """
+    cent_rows = (
+        candidates.select("vec_id", "embedding")
+        .filter(F.col("vec_id") < n_centroids)
+        .collect()
+    )
+    cents = sorted((r["vec_id"], r["embedding"]) for r in cent_rows)
+
+    def cell_ranking(emb: Column) -> Column:
+        """array<struct<neg_cos,cid>> sorted ascending = centroids by
+        descending cosine, ties to the lowest centroid id."""
+        scored = [
+            F.struct(
+                F.negate(
+                    F.try_divide(
+                        _fixed_dot(emb, _lit_vec(v)),
+                        _dec_norm(emb) * _dec_norm(_lit_vec(v)),
+                    )
+                ).alias("neg_cos"),
+                F.lit(int(cid)).alias("cid"),
+            )
+            for cid, v in cents
+        ]
+        return F.sort_array(F.array(*scored))
+
+    c = candidates.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_emb"),
+        F.element_at(cell_ranking(F.col("embedding")), 1).getField("cid").alias("cell"),
+    )
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.explode(
+            F.transform(
+                F.slice(cell_ranking(F.col("embedding")), 1, probes),
+                lambda s: s.getField("cid"),
+            )
+        ).alias("cell"),
+    )
+    dot = _fixed_dot(F.col("q_emb"), F.col("c_emb"))
+    cos = F.try_divide(dot, _dec_norm(F.col("q_emb")) * _dec_norm(F.col("c_emb")))
+    scored = (
+        F.broadcast(q)
+        .join(c, "cell")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", cos.alias("cosine"))
+    )
+    return topk_per_query(scored, k)
+
+
 def embedding_near_dups(df: DataFrame, threshold: float = 0.95) -> DataFrame:
     """Near-duplicate vector pairs (a < b) with cosine ≥ threshold, blocked
     by sign bucket (same-bucket pairs only — the scalable formulation)."""

@@ -371,6 +371,42 @@ WHERE {_cos_sql('a.embedding', 'b.embedding')} >= 0.95
 """
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return SIM.ivf_topk(queries, emb, k=5, n_centroids=16, probes=2)
+
+
+# assignment/probing mirror ivf_topk exactly: centroids = vec_id < 16,
+# nearest-cell by (cosine DESC, cid ASC); every pair appears at most once
+# (a candidate lives in exactly one cell).
+IVF_TOPK_SQL = f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cent FROM embeddings WHERE vec_id < 16
+),
+assign AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_cos_sql('e.embedding', 'c.cent')} DESC, c.cid ASC) AS rn
+  FROM embeddings e CROSS JOIN cents c
+),
+cand AS (SELECT vec_id AS cand_id, embedding AS c_emb, cid AS cell
+         FROM assign WHERE rn = 1),
+probe AS (SELECT vec_id AS query_id, embedding AS q_emb, cid AS cell
+          FROM assign WHERE rn <= 2 AND vec_id < 10),
+scored AS (
+  SELECT query_id, cand_id, {_cos_sql('q_emb', 'c_emb')} AS cosine
+  FROM probe JOIN cand USING (cell)
+  WHERE query_id <> cand_id
+)
+SELECT query_id, cand_id, rank, cosine FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, cand_id ASC) AS INT) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
 def q_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 10)
@@ -453,6 +489,7 @@ PIPELINE_QUERIES = {
     "simhash_near_dups": q_simhash_near_dups,
     "cosine_topk": q_cosine_topk,
     "ann_signbucket_topk": q_ann_signbucket,
+    "ivf_topk": q_ivf_topk,
     "embedding_near_dups": q_embedding_near_dups,
     "cosine_topk_pandas": q_cosine_topk_pandas,  # rows-only: float-sum order differs by design
     "media_metadata": q_media_metadata,
@@ -472,6 +509,7 @@ PIPELINE_SQL = {
     "simhash_near_dups": _simhash_sql(),
     "cosine_topk": COSINE_TOPK_SQL,
     "ann_signbucket_topk": ANN_SIGNBUCKET_SQL,
+    "ivf_topk": IVF_TOPK_SQL,
     "embedding_near_dups": EMBEDDING_NEAR_DUPS_SQL,
     "media_metadata": MEDIA_METADATA_SQL,
     "frame_sample_lens": FRAME_SAMPLE_LENS_SQL,

@@ -69,3 +69,43 @@ def test_embedding_near_dups_finds_planted(spark, sf_dir):
     planted = [r[0] for r in corpus.filter(F.col("vec_id") >= 1_000_000).select("vec_id").collect()]
     for v in planted:
         assert (v - 1_000_000, v) in found
+
+
+def test_ivf_topk_structure_and_recall_vs_exact(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    ivf = SIM.ivf_topk(q, emb, k=5, n_centroids=16, probes=2)
+    rows = ivf.collect()
+    by_q = {}
+    for r in rows:
+        assert r["query_id"] != r["cand_id"]
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["cand_id"], r["cosine"]))
+    assert set(by_q) == set(range(10))
+    for ranked in by_q.values():
+        ranked.sort()
+        assert [rk for rk, _, _ in ranked] == list(range(1, len(ranked) + 1))
+        cosines = [c for _, _, c in ranked]
+        assert cosines == sorted(cosines, reverse=True)
+    # IVF is approximate, but probing 2 of 16 cells on this data must still
+    # find a sane share of the exact top-5 (planted structure => recall high)
+    exact = {
+        (r["query_id"], r["cand_id"]) for r in SIM.cosine_topk(q, emb, k=5).collect()
+    }
+    got = {(r["rank"] and r["query_id"], r["cand_id"]) for r in rows}
+    recall = len(exact & {(qq, cc) for qq, cc in got}) / len(exact)
+    assert recall >= 0.3, f"IVF recall collapsed: {recall}"
+
+
+def test_ivf_candidate_in_exactly_one_cell(spark, sf_dir):
+    # pair uniqueness: a candidate lives in one cell, so (query, cand)
+    # appears at most once even with multi-probe
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    scored = SIM.ivf_topk(q, emb, k=1_000_000, n_centroids=8, probes=3)
+    dups = (
+        scored.groupBy("query_id", "cand_id")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dups == 0
