@@ -59,6 +59,28 @@ def fingerprint_md5(col: Column, *, pre_normalized: bool = False) -> Column:
     return F.md5(col if pre_normalized else norm_text(col))
 
 
+#: rolling-hash constants (Rabin–Karp): base 31, large prime modulus.
+#: acc < mod ⇒ acc*31 + 0x10FFFF < 2^35 — no int64 overflow.
+ROLL_BASE = 31
+ROLL_MOD = 1_000_000_007
+
+
+def rolling_hash(col: Column, *, pre_normalized: bool = False) -> Column:
+    """Polynomial rolling hash of the normalized text (Rabin–Karp form):
+    ``h = fold(chars, 0, (acc, c) -> (acc*B + code(c)) mod M)``.
+
+    Cheaper than md5 for incremental/windowed fingerprinting and
+    engine-portable: DuckDB reproduces it with list_reduce over
+    string_split (see pipelines.ROLLING_FINGERPRINTS_SQL)."""
+    s = col if pre_normalized else norm_text(col)
+    codes = F.transform(F.split(s, ""), lambda c: F.ascii(c).cast("long"))
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * F.lit(ROLL_BASE) + x) % F.lit(ROLL_MOD),
+    )
+
+
 def _safe_seq(start: int, n: Column) -> Column:
     """sequence(start, start+n-1), empty when n < 1. (Spark's sequence()
     DESCENDS when start > stop — never call it with an unguarded bound.)"""

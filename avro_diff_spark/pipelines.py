@@ -135,6 +135,28 @@ FROM (
 """
 
 
+def q_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    norm = d.select("doc_id", TX.norm_text(F.col("text")).alias("__norm"))
+    nc = F.col("__norm")
+    return norm.select(
+        "doc_id",
+        TX.fingerprint_md5(nc, pre_normalized=True).alias("fingerprint_md5"),
+        TX.rolling_hash(nc, pre_normalized=True).alias("fingerprint_roll"),
+    )
+
+
+ROLLING_FINGERPRINTS_SQL = f"""
+SELECT doc_id,
+  md5({norm_sql('text')}) AS fingerprint_md5,
+  list_reduce(
+    list_prepend(0::BIGINT,
+      list_transform(string_split({norm_sql('text')}, ''), c -> ascii(c)::BIGINT)),
+    (acc, x) -> (acc * {TX.ROLL_BASE} + x) % {TX.ROLL_MOD}) AS fingerprint_roll
+FROM documents
+"""
+
+
 # --------------------------------------------------------------------------
 # dedup
 # --------------------------------------------------------------------------
@@ -482,6 +504,7 @@ PIPELINE_QUERIES = {
     "text_stats": q_text_stats,
     "lang_id_counts": q_lang_id,
     "quality_scores": q_quality_scores,
+    "rolling_fingerprints": q_rolling_fingerprints,
     "dedup_exact_clusters": q_dedup_exact_clusters,
     "dedup_exact_survivors": q_dedup_exact_survivors,
     "jaccard_pairs": q_jaccard_pairs,
@@ -502,6 +525,7 @@ PIPELINE_SQL = {
     "text_stats": TEXT_STATS_SQL,
     "lang_id_counts": _lang_id_sql(),
     "quality_scores": _quality_sql(),
+    "rolling_fingerprints": ROLLING_FINGERPRINTS_SQL,
     "dedup_exact_clusters": DEDUP_EXACT_CLUSTERS_SQL,
     "dedup_exact_survivors": DEDUP_EXACT_SURVIVORS_SQL,
     "jaccard_pairs": JACCARD_PAIRS_SQL,

@@ -72,3 +72,13 @@ def test_quality_score_bounds_and_monotonicity(spark, sf_dir):
     qj = junk.select(TX.quality_score(F.col("t")).alias("q")).collect()[0]["q"]
     qp = prose.select(TX.quality_score(F.col("t")).alias("q")).collect()[0]["q"]
     assert qp > qj
+
+
+def test_rolling_hash_known_value(spark):
+    from avro_diff_spark.functions.text import rolling_hash
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame([("abc",), ("",)], "t string")
+    got = [r["h"] for r in df.select(rolling_hash(F.col("t")).alias("h")).collect()]
+    # ((0*31+97)*31+98)*31+99 = 96354; empty text folds to the init 0
+    assert got == [96354, 0]
