@@ -122,3 +122,35 @@ def test_missing_key_raises(spark, sf_dir):
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     with pytest.raises(ValueError):
         key_diff(o, o, ["nope"])
+
+
+def test_deeply_nested_map_of_struct_of_map(spark):
+    # the reference's hardest fixture shape: students.weeklyMessageAggregates
+    # is map<record{..., dailyMessageAggregates: map<record>}> (SURVEY.md §1.2)
+    schema = (
+        "k int, agg map<string, struct<startDate:string, nFrom:int, "
+        "daily: map<string, struct<cnt:int>>>>"
+    )
+
+    def mk(cnt):
+        return {
+            "w1": Row(
+                startDate="2020-01-06",
+                nFrom=3,
+                daily={"mon": Row(cnt=cnt), "tue": Row(cnt=2)},
+            )
+        }
+
+    old = spark.createDataFrame([(1, mk(1)), (2, mk(5))], schema)
+    new = spark.createDataFrame([(1, mk(1)), (2, mk(6))], schema)
+    d = key_diff(old, new, ["k"])
+    got = {r["k"]: (r["diff_kind"], list(r["changed_fields"] or [])) for r in d.collect()}
+    assert got["1"] == ("unchanged", [])
+    assert got["2"] == ("changed", ["agg"])
+
+    # venn on the same deep schema: self-diff must be pure intersection
+    from avro_diff_spark import venn_diff
+
+    v = venn_diff(old, old)
+    assert v.removed.count() == 0 and v.added.count() == 0
+    assert v.intersection.count() == 2
