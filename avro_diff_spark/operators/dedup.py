@@ -13,8 +13,9 @@ Spark-first for 100 TB:
   verified with exact Jaccard.
 - SimHash: 32-bit sign-of-weighted-bit-sums over token hashes; near-dups =
   pairs at small Hamming distance.
-- n-gram Jaccard: exact pairwise similarity via distinct-shingle inverted
-  index join (pairs that share no shingle are never materialized).
+- n-gram Jaccard: exact pairwise similarity via a prefix-filtering join
+  (AllPairs/PPJoin family) over hashed shingles, verified with
+  array_intersect — never an unfiltered all-pairs product.
 
 Every constant is deterministic and every value integer/md5-derived so the
 DuckDB oracles reproduce results exactly.
@@ -26,6 +27,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from avro_diff_spark.sources.tables import spread_small
 from avro_diff_spark.functions.text import (
     MERSENNE_P,
     char_shingles,
@@ -97,7 +99,7 @@ def minhash_signatures(
     CollapseProject rightly refuses to inline a non-cheap alias referenced
     more than once, which is exactly the behavior relied on here).
     """
-    hashed = df.select(
+    hashed = spread_small(df).select(
         F.col(id_col).alias("doc_id"),
         F.transform(
             F.array_distinct(char_shingles(F.col(text_col), shingle_k)), hash32
@@ -186,55 +188,102 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact shingle-set Jaccard for pairs above ``threshold``.
 
-    Without ``candidates``: inverted-index self-join on distinct shingles —
-    only pairs sharing ≥1 shingle are ever materialized (the 100 TB-safe
-    formulation of "all pairs"). With ``candidates`` (e.g. from LSH): the
-    candidate pairs are joined to per-doc distinct-shingle *arrays* and
-    intersected row-wise (``array_intersect``) — work proportional to the
-    candidate count, not to the corpus's co-shingle pair count.
+    Without ``candidates``: a **prefix-filtering join** (the AllPairs/PPJoin
+    family). Under any fixed global order of shingles, two sets with
+    Jaccard ≥ t must share at least one of each other's first
+    ``|d| − ⌈t·|d|⌉ + 1`` shingles; ordering by ascending corpus document
+    frequency makes those prefix shingles the *rarest* ones, so the
+    candidate join touches tiny buckets instead of every co-shingle pair —
+    exact results at a fraction of the naive inverted-index cost (which is
+    quadratic in docs-per-frequent-shingle and dies at scale).
+
+    With ``candidates`` (e.g. from LSH): skip straight to verification.
+
+    Either way verification joins the pairs to per-doc distinct-shingle
+    arrays and intersects row-wise (``array_intersect``) — work
+    proportional to the candidate count.
+
+    Shingles are represented by their 32-bit md5 hash throughout (the
+    standard shingling formulation): int64 join keys and arrays shuffle ~3×
+    smaller than 5-char strings and intersect faster. Jaccard is computed
+    over the hashed sets; the DuckDB oracle hashes identically, so results
+    match bit-for-bit (collisions, if any, are the same on both sides).
 
     Columns: doc_a, doc_b, n_a, n_b, n_common, jaccard.
     """
+    # The explicit repartition on TOP of the array-building select is load-
+    # bearing: this plan subtree appears three times below (candidate
+    # generation + both verification sides), and Catalyst's ReuseExchange
+    # dedupes identical Exchange subtrees — so the shingle+hash work runs
+    # ONCE and the other consumers read the shuffle output. Without it the
+    # self-join lineage recomputes the arrays per consumer.
+    doc_sh = (
+        spread_small(df)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.array_distinct(
+                F.transform(char_shingles(F.col(text_col), shingle_k), hash32)
+            ).alias("sh"),
+        )
+        .repartition(F.col("doc_id"))
+    )
+    if candidates is None:
+        exploded = doc_sh.select("doc_id", F.explode("sh").alias("s"))
+        # global order: (document frequency asc, shingle asc) — any total
+        # order works for correctness; rarest-first minimizes bucket sizes
+        dfreq = exploded.groupBy("s").agg(F.count(F.lit(1)).alias("df_s"))
+        ranked = (
+            exploded.join(dfreq, "s")
+            .groupBy("doc_id")
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("df_s"), F.col("s")))
+                ).alias("ordered")
+            )
+        )
+        # prefix size for Jaccard t: |d| - ceil(t*|d|) + 1
+        n = F.size("ordered")
+        plen = n - F.ceil(F.lit(float(threshold)) * n).cast("int") + 1
+        prefix = ranked.select(
+            "doc_id",
+            F.explode(
+                F.transform(F.slice("ordered", 1, plen), lambda x: x.getField("s"))
+            ).alias("s"),
+        )
+        a, b = prefix.alias("a"), prefix.alias("b")
+        candidates = (
+            a.join(
+                b,
+                (F.col("a.s") == F.col("b.s"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .distinct()
+        )
     jac = F.col("n_common").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("n_common")
     )
-    if candidates is not None:
-        doc_sh = df.select(
-            F.col(id_col).alias("doc_id"),
-            F.array_distinct(char_shingles(F.col(text_col), shingle_k)).alias("sh"),
-        )
-        a = doc_sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-        b = doc_sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-        out = (
-            candidates.join(a, "doc_a")
-            .join(b, "doc_b")
-            .select(
-                "doc_a",
-                "doc_b",
-                F.size("sh_a").alias("n_a"),
-                F.size("sh_b").alias("n_b"),
-                F.size(F.array_intersect("sh_a", "sh_b")).alias("n_common"),
-            )
-            .withColumn("jaccard", jac)
-            .filter(F.col("jaccard") >= threshold)
-        )
-        return out.select("doc_a", "doc_b", "n_a", "n_b", "n_common", "jaccard")
-    sh = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(char_shingles(F.col(text_col), shingle_k))).alias("sh"),
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    # shuffle_hash hints keep AQE from broadcasting these sides: a broadcast
+    # would bypass (and so recompute) the reusable doc_sh exchange above,
+    # and the sides are already hash-partitioned on the join key anyway.
+    av = doc_sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+    ).hint("shuffle_hash")
+    bv = doc_sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+    ).hint("shuffle_hash")
     out = (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        candidates.join(av, "doc_a")
+        .join(bv, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size("sh_a").alias("n_a"),
+            F.size("sh_b").alias("n_b"),
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("n_common"),
+        )
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
     )
@@ -280,7 +329,7 @@ def simhash32(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     bit_sums = F.array(
         *[F.aggregate(tok_hashes, F.lit(0), _bit_sum(b)) for b in range(32)]
     )
-    staged = df.select(F.col(id_col).alias("doc_id"), bit_sums.alias("bs"))
+    staged = spread_small(df).select(F.col(id_col).alias("doc_id"), bit_sums.alias("bs"))
     packed = F.lit(0).cast("long")
     for b in range(32):
         packed = packed + F.when(

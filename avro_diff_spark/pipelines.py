@@ -190,23 +190,27 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.jaccard_pairs(corpus, "text", "doc_id", shingle_k=5, threshold=0.8)
 
 
+# shingle sets are represented by 32-bit hashes on BOTH sides (see
+# operators/dedup.py jaccard_pairs docstring) — all-pairs here; the Spark
+# side's prefix filtering is an exact optimization, not a semantic change.
 JACCARD_PAIRS_SQL = f"""
 WITH corpus AS ({snap.DOCUMENTS_WITH_DUPS_SQL}),
-sh AS (
-  SELECT doc_id, unnest({shingles_sql('text', 5)}) AS sh FROM corpus
+hs AS (
+  SELECT doc_id,
+         list_distinct(list_transform({shingles_sql('text', 5, distinct=False)},
+                                      s -> {hash32_sql('s')})) AS sh
+  FROM corpus
 ),
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-common AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
+scored AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(a.sh) AS n_a, len(b.sh) AS n_b,
+         len(list_intersect(a.sh, b.sh)) AS n_common
+  FROM hs a JOIN hs b ON a.doc_id < b.doc_id
 )
-SELECT doc_a, doc_b, sa.n_sh AS n_a, sb.n_sh AS n_b, n_common,
-       CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
-FROM common
-JOIN sizes sa ON common.doc_a = sa.doc_id
-JOIN sizes sb ON common.doc_b = sb.doc_id
-WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.8
+SELECT doc_a, doc_b, n_a, n_b, n_common,
+       CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) AS jaccard
+FROM scored
+WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.8
 """
 
 
@@ -248,20 +252,15 @@ cands AS (
   FROM bflat a JOIN bflat b
     ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 ),
-sh AS (SELECT doc_id, unnest({shingles_sql('text', shingle_k)}) AS sh FROM corpus),
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-common AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-),
+hs AS (SELECT doc_id, list_distinct(hs) AS sh FROM hashed),
 verified AS (
-  SELECT common.doc_a, common.doc_b, sa.n_sh AS n_a, sb.n_sh AS n_b, n_common,
-         CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
-  FROM common
-  JOIN cands ON common.doc_a = cands.doc_a AND common.doc_b = cands.doc_b
-  JOIN sizes sa ON common.doc_a = sa.doc_id
-  JOIN sizes sb ON common.doc_b = sb.doc_id
+  SELECT cands.doc_a, cands.doc_b, len(a.sh) AS n_a, len(b.sh) AS n_b,
+         len(list_intersect(a.sh, b.sh)) AS n_common,
+         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+  FROM cands
+  JOIN hs a ON cands.doc_a = a.doc_id
+  JOIN hs b ON cands.doc_b = b.doc_id
 )
 SELECT * FROM verified WHERE jaccard >= {threshold}
 """

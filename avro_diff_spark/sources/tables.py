@@ -31,6 +31,23 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE
     return {n: load_table(spark, sf_dir, n) for n in names}
 
 
+def spread_small(df: DataFrame) -> DataFrame:
+    """Repartition a narrow input up to the cluster's default parallelism.
+
+    Small parquet files scan as a handful of splits (3 tasks on a 32-core
+    local run), which serializes CPU-heavy per-row expression work (shingle
+    generation, hashing, per-element lambdas). A tiny up-front round-robin
+    shuffle spreads the rows; it is a NO-OP whenever the scan already has
+    enough splits — i.e. at real scale this never fires, while interactive /
+    small-SF runs get full-core utilization.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``events`` with ``ts`` normalized to an epoch-micros bigint ``ts_us``.
 
