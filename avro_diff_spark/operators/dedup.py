@@ -246,16 +246,24 @@ def jaccard_pairs(
         plen = n - F.ceil(F.lit(float(threshold)) * n).cast("int") + 1
         prefix = ranked.select(
             "doc_id",
+            n.alias("n_sh"),
             F.explode(
                 F.transform(F.slice("ordered", 1, plen), lambda x: x.getField("s"))
             ).alias("s"),
         )
         a, b = prefix.alias("a"), prefix.alias("b")
+        # length filter (PPJoin): jaccard >= t forces t*max(|A|,|B|) <= min —
+        # prunes size-mismatched pairs before the expensive verification
+        len_ok = (
+            F.greatest(F.col("a.n_sh"), F.col("b.n_sh")) * F.lit(float(threshold))
+            <= F.least(F.col("a.n_sh"), F.col("b.n_sh"))
+        )
         candidates = (
             a.join(
                 b,
                 (F.col("a.s") == F.col("b.s"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
+                & (F.col("a.doc_id") < F.col("b.doc_id"))
+                & len_ok,
             )
             .select(
                 F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")

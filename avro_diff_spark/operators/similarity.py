@@ -22,6 +22,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from avro_diff_spark.sources.tables import spread_small
+
 
 #: fixed-point scale for dot products: per-term double product (IEEE-exact in
 #: any engine) floored to an integer number of 1e-16 units, then summed as
@@ -51,7 +53,7 @@ def cosine_pairs(
     q = queries.select(
         F.col(id_q).alias("query_id"), F.col("embedding").alias("q_emb")
     )
-    c = candidates.select(
+    c = spread_small(candidates).select(
         F.col(id_c).alias("cand_id"), F.col("embedding").alias("c_emb")
     )
     dot = _fixed_dot(F.col("q_emb"), F.col("c_emb"))
@@ -109,7 +111,7 @@ def ann_signbucket_topk(
         F.col("embedding").alias("q_emb"),
         sign_bucket(F.col("embedding"), n_planes).alias("bucket"),
     )
-    c = candidates.select(
+    c = spread_small(candidates).select(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("c_emb"),
         sign_bucket(F.col("embedding"), n_planes).alias("bucket"),
@@ -177,7 +179,7 @@ def ivf_topk(
         ]
         return F.sort_array(F.array(*scored))
 
-    c = candidates.select(
+    c = spread_small(candidates).select(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("c_emb"),
         F.element_at(cell_ranking(F.col("embedding")), 1).getField("cid").alias("cell"),
@@ -206,7 +208,7 @@ def ivf_topk(
 def embedding_near_dups(df: DataFrame, threshold: float = 0.95) -> DataFrame:
     """Near-duplicate vector pairs (a < b) with cosine ≥ threshold, blocked
     by sign bucket (same-bucket pairs only — the scalable formulation)."""
-    s = df.select(
+    s = spread_small(df).select(
         "vec_id",
         F.col("embedding"),
         sign_bucket(F.col("embedding")).alias("bucket"),
@@ -264,6 +266,6 @@ def cosine_topk_pandas(
                 }
             )
 
-    scored = candidates.select("vec_id", "embedding").mapInPandas(score, schema)
+    scored = spread_small(candidates).select("vec_id", "embedding").mapInPandas(score, schema)
     scored = scored.filter(F.col("query_id") != F.col("cand_id"))
     return topk_per_query(scored, k)

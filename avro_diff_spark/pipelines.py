@@ -14,6 +14,7 @@ from avro_diff_spark.functions import text as TX
 from avro_diff_spark.operators import dedup as DD
 from avro_diff_spark.operators import similarity as SIM
 from avro_diff_spark import snapshots as snap
+from avro_diff_spark.sources.tables import spread_small
 
 # --------------------------------------------------------------------------
 # shared SQL fragments (DuckDB dialect), mirrors of functions/text.py
@@ -51,7 +52,7 @@ def stopword_count_sql(c: str, lang: str) -> str:
 # --------------------------------------------------------------------------
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = spread_small(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     # materialize the norm regex once; every feature below reuses the column
     # (Catalyst keeps the projection boundary: non-cheap alias, many refs)
     norm = d.select(
@@ -82,7 +83,7 @@ FROM documents
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = spread_small(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     return (
         d.select(TX.lang_id(F.col("text")).alias("lang_pred"))
         .groupBy("lang_pred")
@@ -106,7 +107,7 @@ SELECT lang_pred, count(*) AS n_docs FROM (
 
 
 def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = spread_small(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     return d.select("doc_id", TX.quality_score(F.col("text")).alias("quality"))
 
 
@@ -136,7 +137,7 @@ FROM (
 
 
 def q_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = spread_small(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     norm = d.select("doc_id", TX.norm_text(F.col("text")).alias("__norm"))
     nc = F.col("__norm")
     return norm.select(
