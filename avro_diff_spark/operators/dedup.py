@@ -105,6 +105,13 @@ def minhash_signatures(
             F.array_distinct(char_shingles(F.col(text_col), shingle_k)), hash32
         ).alias("__sh"),
     )
+    return _signatures_from_sh(hashed.withColumnRenamed("__sh", "sh"), n_hashes)
+
+
+def _signatures_from_sh(doc_sh: DataFrame, n_hashes: int) -> DataFrame:
+    """Signatures from a precomputed (doc_id, sh) frame — lets callers share
+    one shingle-hashing pass (and its reusable exchange) between signature
+    generation and Jaccard verification."""
     params = minhash_params(n_hashes)
 
     # factory, not default-arg closure: PySpark reflects on lambda arity
@@ -112,12 +119,12 @@ def minhash_signatures(
         return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_P)
 
     sig = F.array(
-        *[F.array_min(F.transform(F.col("__sh"), _uh(a, b))) for a, b in params]
+        *[F.array_min(F.transform(F.col("sh"), _uh(a, b))) for a, b in params]
     )
-    return hashed.select(
+    return doc_sh.select(
         "doc_id",
         sig.alias("sig"),
-        F.size("__sh").alias("n_shingles"),
+        F.size("sh").alias("n_shingles"),
     )
 
 
@@ -171,53 +178,29 @@ def lsh_candidate_pairs(
         banded.groupBy("band_id", "band_key")
         .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
         .filter(F.size("ids") > 1)
-        .select(F.explode(pair_structs).alias("p"))
+        # explode_outer: plain explode would make Catalyst infer a
+        # size()>0 filter that re-evaluates the O(n²) pair construction a
+        # second time per bucket (see _prefix_candidates for the pattern)
+        .select(F.explode_outer(pair_structs).alias("p"))
+        .where(F.col("p").isNotNull())
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
 
-def jaccard_pairs(
-    df: DataFrame,
-    text_col: str,
-    id_col: str,
-    *,
-    shingle_k: int = 5,
-    threshold: float = 0.5,
-    candidates: DataFrame | None = None,
+def _doc_shingles(
+    df: DataFrame, text_col: str, id_col: str, shingle_k: int
 ) -> DataFrame:
-    """Exact shingle-set Jaccard for pairs above ``threshold``.
+    """(doc_id, sh: array<long>) — distinct hashed shingles per document.
 
-    Without ``candidates``: a **prefix-filtering join** (the AllPairs/PPJoin
-    family). Under any fixed global order of shingles, two sets with
-    Jaccard ≥ t must share at least one of each other's first
-    ``|d| − ⌈t·|d|⌉ + 1`` shingles; ordering by ascending corpus document
-    frequency makes those prefix shingles the *rarest* ones, so the
-    candidate join touches tiny buckets instead of every co-shingle pair —
-    exact results at a fraction of the naive inverted-index cost (which is
-    quadratic in docs-per-frequent-shingle and dies at scale).
-
-    With ``candidates`` (e.g. from LSH): skip straight to verification.
-
-    Either way verification joins the pairs to per-doc distinct-shingle
-    arrays and intersects row-wise (``array_intersect``) — work
-    proportional to the candidate count.
-
-    Shingles are represented by their 32-bit md5 hash throughout (the
-    standard shingling formulation): int64 join keys and arrays shuffle ~3×
-    smaller than 5-char strings and intersect faster. Jaccard is computed
-    over the hashed sets; the DuckDB oracle hashes identically, so results
-    match bit-for-bit (collisions, if any, are the same on both sides).
-
-    Columns: doc_a, doc_b, n_a, n_b, n_common, jaccard.
+    The explicit repartition on TOP of the array-building select is load-
+    bearing: callers reference this subtree several times (candidate
+    generation + both verification sides), and Catalyst's ReuseExchange
+    dedupes identical Exchange subtrees — so the shingle+hash work runs
+    ONCE and every other consumer reads the shuffle output. Without it a
+    self-join lineage recomputes the arrays per consumer.
     """
-    # The explicit repartition on TOP of the array-building select is load-
-    # bearing: this plan subtree appears three times below (candidate
-    # generation + both verification sides), and Catalyst's ReuseExchange
-    # dedupes identical Exchange subtrees — so the shingle+hash work runs
-    # ONCE and the other consumers read the shuffle output. Without it the
-    # self-join lineage recomputes the arrays per consumer.
-    doc_sh = (
+    return (
         spread_small(df)
         .select(
             F.col(id_col).alias("doc_id"),
@@ -227,55 +210,21 @@ def jaccard_pairs(
         )
         .repartition(F.col("doc_id"))
     )
-    if candidates is None:
-        exploded = doc_sh.select("doc_id", F.explode("sh").alias("s"))
-        # global order: (document frequency asc, shingle asc) — any total
-        # order works for correctness; rarest-first minimizes bucket sizes
-        dfreq = exploded.groupBy("s").agg(F.count(F.lit(1)).alias("df_s"))
-        ranked = (
-            exploded.join(dfreq, "s")
-            .groupBy("doc_id")
-            .agg(
-                F.sort_array(
-                    F.collect_list(F.struct(F.col("df_s"), F.col("s")))
-                ).alias("ordered")
-            )
-        )
-        # prefix size for Jaccard t: |d| - ceil(t*|d|) + 1
-        n = F.size("ordered")
-        plen = n - F.ceil(F.lit(float(threshold)) * n).cast("int") + 1
-        prefix = ranked.select(
-            "doc_id",
-            n.alias("n_sh"),
-            F.explode(
-                F.transform(F.slice("ordered", 1, plen), lambda x: x.getField("s"))
-            ).alias("s"),
-        )
-        a, b = prefix.alias("a"), prefix.alias("b")
-        # length filter (PPJoin): jaccard >= t forces t*max(|A|,|B|) <= min —
-        # prunes size-mismatched pairs before the expensive verification
-        len_ok = (
-            F.greatest(F.col("a.n_sh"), F.col("b.n_sh")) * F.lit(float(threshold))
-            <= F.least(F.col("a.n_sh"), F.col("b.n_sh"))
-        )
-        candidates = (
-            a.join(
-                b,
-                (F.col("a.s") == F.col("b.s"))
-                & (F.col("a.doc_id") < F.col("b.doc_id"))
-                & len_ok,
-            )
-            .select(
-                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-            )
-            .distinct()
-        )
+
+
+def _verify_pairs(
+    candidates: DataFrame, doc_sh: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of (doc_a, doc_b) candidate pairs against
+    per-doc shingle arrays. Work ∝ candidate count.
+
+    shuffle_hash hints keep AQE from broadcasting these sides: a broadcast
+    would bypass (and so recompute) the reusable doc_sh exchange, and the
+    sides are already hash-partitioned on the join key anyway.
+    """
     jac = F.col("n_common").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("n_common")
     )
-    # shuffle_hash hints keep AQE from broadcasting these sides: a broadcast
-    # would bypass (and so recompute) the reusable doc_sh exchange above,
-    # and the sides are already hash-partitioned on the join key anyway.
     av = doc_sh.select(
         F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
     ).hint("shuffle_hash")
@@ -298,6 +247,120 @@ def jaccard_pairs(
     return out.select("doc_a", "doc_b", "n_a", "n_b", "n_common", "jaccard")
 
 
+def _prefix_candidates(doc_sh: DataFrame, threshold: float) -> DataFrame:
+    """Candidate pairs via a PPJoin-style positional prefix-filtering join.
+
+    Under any fixed global order of shingles, two sets with Jaccard ≥ t
+    must share at least one of each other's first ``|d| − ⌈t·|d|⌉ + 1``
+    shingles (the *prefix*); ordering by ascending corpus document
+    frequency makes those prefix shingles the rarest ones, so the candidate
+    join touches small buckets instead of every co-shingle pair.
+
+    On top of the static prefix, the join applies PPJoin's **position
+    filter**: a valid pair must share a prefix shingle at ranks
+    ``rank_a ≤ n_a − α + 1`` and ``rank_b ≤ n_b − α + 1`` where
+    ``α = t/(1+t)·(n_a+n_b)`` is the overlap a Jaccard-t pair needs
+    (prefix lemma with the pair-dependent α — strictly tighter than the
+    single-sided static prefix, typically 2-3× fewer raw join rows and
+    candidates). α is left as a real number: the un-ceiled bound is looser
+    than the integer one, so the filter stays sound under float rounding.
+    """
+    # explode_outer, NOT explode: plain explode makes Catalyst infer a
+    # `size(sh) > 0 AND isnotnull(sh)` filter and push it through the
+    # repartition exchange into the scan — where `sh` is not a column, so
+    # the entire shingle+md5 expression chain gets inlined and re-evaluated
+    # per input row (2× on top of the real computation). explode_outer
+    # infers nothing; the cheap post-explode null filter is equivalent
+    # because no document has a null/empty shingle set row that matters.
+    exploded = doc_sh.select("doc_id", F.explode_outer("sh").alias("s")).where(
+        F.col("s").isNotNull()
+    )
+    # global order: (document frequency asc, shingle asc) — any total
+    # order works for correctness; rarest-first minimizes bucket sizes
+    dfreq = exploded.groupBy("s").agg(F.count(F.lit(1)).alias("df_s"))
+    ranked = (
+        exploded.join(dfreq, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("df_s"), F.col("s")))
+            ).alias("ordered")
+        )
+    )
+    # static prefix size for Jaccard t: |d| - ceil(t*|d|) + 1
+    n = F.size("ordered")
+    plen = n - F.ceil(F.lit(float(threshold)) * n).cast("int") + 1
+    prefix = (
+        ranked.select(
+            "doc_id",
+            n.alias("n_sh"),
+            F.posexplode_outer(
+                F.transform(F.slice("ordered", 1, plen), lambda x: x.getField("s"))
+            ).alias("pos", "s"),
+        )
+        .where(F.col("s").isNotNull())
+        .select("doc_id", "n_sh", (F.col("pos") + 1).alias("rank"), "s")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    t = float(threshold)
+    # length filter (PPJoin): jaccard >= t forces t*max(|A|,|B|) <= min
+    len_ok = (
+        F.greatest(F.col("a.n_sh"), F.col("b.n_sh")) * F.lit(t)
+        <= F.least(F.col("a.n_sh"), F.col("b.n_sh"))
+    )
+    alpha = (F.col("a.n_sh") + F.col("b.n_sh")) * F.lit(t / (1.0 + t))
+    pos_ok = (F.col("a.rank") <= F.col("a.n_sh") - alpha + 1) & (
+        F.col("b.rank") <= F.col("b.n_sh") - alpha + 1
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & len_ok
+            & pos_ok,
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for pairs above ``threshold``.
+
+    Without ``candidates``: a positional **prefix-filtering join** (the
+    AllPairs/PPJoin family, see :func:`_prefix_candidates`) — exact results
+    at a fraction of the naive inverted-index cost (which is quadratic in
+    docs-per-frequent-shingle and dies at scale).
+
+    With ``candidates`` (e.g. from LSH): skip straight to verification.
+
+    Either way verification joins the pairs to per-doc distinct-shingle
+    arrays and intersects row-wise (``array_intersect``) — work
+    proportional to the candidate count.
+
+    Shingles are represented by their 32-bit md5 hash throughout (the
+    standard shingling formulation): int64 join keys and arrays shuffle ~3×
+    smaller than 5-char strings and intersect faster. Jaccard is computed
+    over the hashed sets; the DuckDB oracle hashes identically, so results
+    match bit-for-bit (collisions, if any, are the same on both sides).
+
+    Columns: doc_a, doc_b, n_a, n_b, n_common, jaccard.
+    """
+    doc_sh = _doc_shingles(df, text_col, id_col, shingle_k)
+    if candidates is None:
+        candidates = _prefix_candidates(doc_sh, threshold)
+    return _verify_pairs(candidates, doc_sh, threshold)
+
+
 def minhash_near_dups(
     df: DataFrame,
     text_col: str,
@@ -308,13 +371,17 @@ def minhash_near_dups(
     shingle_k: int = 5,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """LSH-candidate generation + exact-Jaccard verification."""
+    """LSH-candidate generation + exact-Jaccard verification.
+
+    Signatures AND verification both derive from one shared (doc_id, sh)
+    subtree (same repartition exchange), so the shingle+md5 pass — the
+    dominant per-row cost — runs once, not three times.
+    """
     rows_per_band = n_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, n_hashes=n_hashes, shingle_k=shingle_k)
+    doc_sh = _doc_shingles(df, text_col, id_col, shingle_k)
+    sigs = _signatures_from_sh(doc_sh, n_hashes)
     cands = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=rows_per_band)
-    return jaccard_pairs(
-        df, text_col, id_col, shingle_k=shingle_k, threshold=threshold, candidates=cands
-    )
+    return _verify_pairs(cands, doc_sh, threshold)
 
 
 def simhash32(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

@@ -49,16 +49,26 @@ def _dec_norm(a: Column) -> Column:
 def cosine_pairs(
     queries: DataFrame, candidates: DataFrame, *, id_q: str = "vec_id", id_c: str = "vec_id"
 ) -> DataFrame:
-    """All (query, candidate) cosine scores, query side broadcast."""
+    """All (query, candidate) cosine scores, query side broadcast.
+
+    Norms are projected ONCE per input row before the join — computing them
+    inside the pair expression would re-run the O(dim) norm fold per pair
+    (|Q|× for candidates, |C|× for queries). Same numbers, |Q|·|C|→|Q|+|C|
+    norm evaluations.
+    """
     q = queries.select(
-        F.col(id_q).alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col(id_q).alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        _dec_norm(F.col("embedding")).alias("q_norm"),
     )
     c = spread_small(candidates).select(
-        F.col(id_c).alias("cand_id"), F.col("embedding").alias("c_emb")
+        F.col(id_c).alias("cand_id"),
+        F.col("embedding").alias("c_emb"),
+        _dec_norm(F.col("embedding")).alias("c_norm"),
     )
     dot = _fixed_dot(F.col("q_emb"), F.col("c_emb"))
     # try_divide: ANSI mode (Spark 4 default) throws on zero-norm vectors
-    cos = F.try_divide(dot, _dec_norm(F.col("q_emb")) * _dec_norm(F.col("c_emb")))
+    cos = F.try_divide(dot, F.col("q_norm") * F.col("c_norm"))
     return (
         F.broadcast(q)
         .crossJoin(c)
@@ -109,15 +119,17 @@ def ann_signbucket_topk(
     q = queries.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
+        _dec_norm(F.col("embedding")).alias("q_norm"),
         sign_bucket(F.col("embedding"), n_planes).alias("bucket"),
     )
     c = spread_small(candidates).select(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("c_emb"),
+        _dec_norm(F.col("embedding")).alias("c_norm"),
         sign_bucket(F.col("embedding"), n_planes).alias("bucket"),
     )
     dot = _fixed_dot(F.col("q_emb"), F.col("c_emb"))
-    cos = F.try_divide(dot, _dec_norm(F.col("q_emb")) * _dec_norm(F.col("c_emb")))
+    cos = F.try_divide(dot, F.col("q_norm") * F.col("c_norm"))
     scored = (
         F.broadcast(q)
         .join(c, "bucket")
@@ -128,7 +140,10 @@ def ann_signbucket_topk(
 
 
 def _lit_vec(vec) -> Column:
-    return F.array(*[F.lit(float(v)) for v in vec])
+    # one F.lit on the whole list (a single array Literal) — element-wise
+    # F.array(*[F.lit(x) ...]) costs dim Py4J round-trips per use and blows
+    # up plan-build time and codegen size when used per centroid
+    return F.lit([float(v) for v in vec])
 
 
 def ivf_topk(
@@ -162,15 +177,27 @@ def ivf_topk(
     )
     cents = sorted((r["vec_id"], r["embedding"]) for r in cent_rows)
 
-    def cell_ranking(emb: Column) -> Column:
+    def _py_norm(vec) -> float:
+        """Python mirror of _dec_norm on a literal vector: identical IEEE
+        double ops (product, floor to the 1e16 grid, exact int sum, sqrt),
+        so the constant equals what the engine would compute."""
+        import math
+
+        total = sum(int(math.floor(float(x) * float(x) * DOT_SCALE)) for x in vec)
+        return math.sqrt(total / DOT_SCALE)
+
+    def cell_ranking(emb: Column, norm: Column) -> Column:
         """array<struct<neg_cos,cid>> sorted ascending = centroids by
-        descending cosine, ties to the lowest centroid id."""
+        descending cosine, ties to the lowest centroid id. Takes the row's
+        precomputed norm column (evaluating _dec_norm here would fold the
+        O(dim) norm loop into every one of the n_centroids structs);
+        centroid norms are Python-precomputed literals."""
         scored = [
             F.struct(
                 F.negate(
                     F.try_divide(
                         _fixed_dot(emb, _lit_vec(v)),
-                        _dec_norm(emb) * _dec_norm(_lit_vec(v)),
+                        norm * F.lit(_py_norm(v)),
                     )
                 ).alias("neg_cos"),
                 F.lit(int(cid)).alias("cid"),
@@ -179,23 +206,48 @@ def ivf_topk(
         ]
         return F.sort_array(F.array(*scored))
 
-    c = spread_small(candidates).select(
-        F.col("vec_id").alias("cand_id"),
-        F.col("embedding").alias("c_emb"),
-        F.element_at(cell_ranking(F.col("embedding")), 1).getField("cid").alias("cell"),
+    # norm is materialized in its own projection so the n_centroids ranking
+    # structs reference the column instead of inlining the O(dim) norm fold
+    # 16× (Catalyst keeps the boundary: non-cheap alias, many references)
+    c = (
+        spread_small(candidates)
+        .select(
+            F.col("vec_id").alias("cand_id"),
+            F.col("embedding").alias("c_emb"),
+            _dec_norm(F.col("embedding")).alias("c_norm"),
+        )
+        .select(
+            "cand_id",
+            "c_emb",
+            "c_norm",
+            F.element_at(cell_ranking(F.col("c_emb"), F.col("c_norm")), 1)
+            .getField("cid")
+            .alias("cell"),
+        )
     )
-    q = queries.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        F.explode(
-            F.transform(
-                F.slice(cell_ranking(F.col("embedding")), 1, probes),
-                lambda s: s.getField("cid"),
-            )
-        ).alias("cell"),
+    q = (
+        queries.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            _dec_norm(F.col("embedding")).alias("q_norm"),
+        )
+        .select(
+            "query_id",
+            "q_emb",
+            "q_norm",
+            # explode_outer: explode would infer a size()>0 pre-filter that
+            # re-evaluates the whole centroid ranking (see dedup.py pattern)
+            F.explode_outer(
+                F.transform(
+                    F.slice(cell_ranking(F.col("q_emb"), F.col("q_norm")), 1, probes),
+                    lambda s: s.getField("cid"),
+                )
+            ).alias("cell"),
+        )
+        .where(F.col("cell").isNotNull())
     )
     dot = _fixed_dot(F.col("q_emb"), F.col("c_emb"))
-    cos = F.try_divide(dot, _dec_norm(F.col("q_emb")) * _dec_norm(F.col("c_emb")))
+    cos = F.try_divide(dot, F.col("q_norm") * F.col("c_norm"))
     scored = (
         F.broadcast(q)
         .join(c, "cell")
@@ -211,11 +263,12 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.95) -> DataFrame:
     s = spread_small(df).select(
         "vec_id",
         F.col("embedding"),
+        _dec_norm(F.col("embedding")).alias("norm"),
         sign_bucket(F.col("embedding")).alias("bucket"),
     )
     a, b = s.alias("a"), s.alias("b")
     dot = _fixed_dot(F.col("a.embedding"), F.col("b.embedding"))
-    cos = F.try_divide(dot, _dec_norm(F.col("a.embedding")) * _dec_norm(F.col("b.embedding")))
+    cos = F.try_divide(dot, F.col("a.norm") * F.col("b.norm"))
     return (
         a.join(
             b,
