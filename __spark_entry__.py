@@ -198,6 +198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers_by_segment": analytics.top_customers_by_segment,
         "events_hourly": analytics.events_hourly,
         "sessionize": analytics.sessionize,
+        "asof_attribution": analytics.asof_attribution,
         # LLM-data-pipeline operators (text analysis, dedup, similarity)
         **pipelines.PIPELINE_QUERIES,
     }
@@ -220,5 +221,6 @@ def oracle_sql() -> dict[str, str]:
         "top_customers_by_segment": analytics.TOP_CUSTOMERS_BY_SEGMENT_SQL,
         "events_hourly": analytics.EVENTS_HOURLY_SQL,
         "sessionize": analytics.SESSIONIZE_SQL,
+        "asof_attribution": analytics.ASOF_ATTRIBUTION_SQL,
         **pipelines.PIPELINE_SQL,
     }

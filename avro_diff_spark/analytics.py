@@ -285,3 +285,48 @@ SELECT user_id, session_seq, count(*) AS n_events,
        min(ts_us) AS session_start_us, max(ts_us) AS session_end_us
 FROM s GROUP BY user_id, session_seq
 """
+
+def asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every ``error`` event, the user's latest preceding (or same-
+    instant) non-error event — classic last-touch attribution, built on the
+    scalable union+window :func:`avro_diff_spark.operators.asof.asof_join`.
+    """
+    from avro_diff_spark.operators.asof import asof_join
+
+    ev = load_events(spark, sf_dir).select(
+        "event_id", "user_id", "ts_us", "event_type", "value"
+    )
+    probes = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts_us"
+    )
+    quotes = ev.filter(F.col("event_type") != "error")
+    return asof_join(
+        probes,
+        quotes,
+        on="user_id",
+        ts="ts_us",
+        seq="event_id",
+        quote_cols=["event_id", "ts_us", "event_type", "value"],
+    )
+
+
+# row_number formulation (not DuckDB's ASOF keyword) so the equal-ts
+# tie-break — highest quote event_id wins — is pinned identically.
+ASOF_ATTRIBUTION_SQL = """
+WITH ev AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value FROM events
+),
+p AS (SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'error'),
+q AS (SELECT * FROM ev WHERE event_type <> 'error'),
+j AS (
+  SELECT p.event_id,
+         q.event_id AS last_event_id, q.ts_us AS last_ts_us,
+         q.event_type AS last_event_type, q.value AS last_value,
+         row_number() OVER (PARTITION BY p.event_id
+                            ORDER BY q.ts_us DESC, q.event_id DESC) AS rn
+  FROM p JOIN q ON q.user_id = p.user_id AND q.ts_us <= p.ts_us
+)
+SELECT p.event_id, p.user_id, p.ts_us,
+       j.last_event_id, j.last_ts_us, j.last_event_type, j.last_value
+FROM p LEFT JOIN (SELECT * FROM j WHERE rn = 1) j ON p.event_id = j.event_id
+"""

@@ -158,6 +158,68 @@ FROM documents
 """
 
 
+def q_vocab_topk(spark: SparkSession, sf_dir: str, k: int = 100) -> DataFrame:
+    """Corpus vocabulary: global top-k whitespace tokens by frequency —
+    the vocabulary-building pass of a tokenizer-training pipeline.
+
+    Scale shape: explode → partial-agg count (map-side combine) → one
+    shuffle on token → TakeOrderedAndProject for the global top-k (no full
+    sort). Ties at the boundary break by token asc, so the result set is
+    deterministic on any cluster layout.
+    """
+    d = spread_small(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    toks = d.select(
+        # explode_outer: plain explode would infer a size()>0 filter that
+        # re-evaluates the tokenize chain at the scan (see dedup.py)
+        F.explode_outer(TX.tokens_ws(F.col("text"))).alias("token")
+    ).where(F.col("token").isNotNull() & (F.col("token") != ""))
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(k)
+    )
+
+
+VOCAB_TOPK_SQL = f"""
+SELECT token, count(*) AS n FROM (
+  SELECT unnest({tokens_sql('text')}) AS token FROM documents
+) WHERE token <> '' GROUP BY token
+ORDER BY n DESC, token ASC LIMIT 100
+"""
+
+
+def q_doc_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact length percentiles per language — corpus QA / curriculum
+    bucketing. Uses exact interpolated percentile (both engines implement
+    the same 1-based-rank linear interpolation over sorted values), not a
+    sketch, so the oracle matches bit-for-bit on integer inputs."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pct = F.percentile(F.col("n_chars"), F.lit([0.25, 0.5, 0.75, 0.9]))
+    return (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), pct.alias("p"))
+        .select(
+            "lang",
+            "n_docs",
+            F.element_at("p", 1).alias("p25"),
+            F.element_at("p", 2).alias("p50"),
+            F.element_at("p", 3).alias("p75"),
+            F.element_at("p", 4).alias("p90"),
+        )
+    )
+
+
+DOC_LENGTH_PCT_SQL = """
+SELECT lang, count(*) AS n_docs,
+       quantile_cont(n_chars, 0.25) AS p25,
+       quantile_cont(n_chars, 0.50) AS p50,
+       quantile_cont(n_chars, 0.75) AS p75,
+       quantile_cont(n_chars, 0.90) AS p90
+FROM documents GROUP BY lang
+"""
+
+
 # --------------------------------------------------------------------------
 # dedup
 # --------------------------------------------------------------------------
@@ -502,6 +564,8 @@ def q_audio_features_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PIPELINE_QUERIES = {
     "text_stats": q_text_stats,
+    "vocab_topk": q_vocab_topk,
+    "doc_length_percentiles": q_doc_length_percentiles,
     "lang_id_counts": q_lang_id,
     "quality_scores": q_quality_scores,
     "rolling_fingerprints": q_rolling_fingerprints,
@@ -523,6 +587,8 @@ PIPELINE_QUERIES = {
 
 PIPELINE_SQL = {
     "text_stats": TEXT_STATS_SQL,
+    "vocab_topk": VOCAB_TOPK_SQL,
+    "doc_length_percentiles": DOC_LENGTH_PCT_SQL,
     "lang_id_counts": _lang_id_sql(),
     "quality_scores": _quality_sql(),
     "rolling_fingerprints": ROLLING_FINGERPRINTS_SQL,
