@@ -15,6 +15,7 @@ from avro_diff_spark.sources.tables import load_table, load_tables
 from avro_diff_spark.operators.key_diff import key_diff, key_diff_detail
 from avro_diff_spark.operators.venn_diff import venn_diff, venn_summary
 from avro_diff_spark.operators.collisions import key_collisions
+from avro_diff_spark.operators.asof import asof_join
 
 __all__ = [
     "get_spark",
@@ -26,6 +27,7 @@ __all__ = [
     "venn_diff",
     "venn_summary",
     "key_collisions",
+    "asof_join",
 ]
 
 __version__ = "0.1.0"

@@ -220,6 +220,34 @@ FROM documents GROUP BY lang
 """
 
 
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test split (90/5/5) — the
+    reproducible alternative to randomSplit, whose assignment depends on
+    partition layout. Bucketing on a content-independent id hash keeps the
+    split stable under re-partitioning, backfills, and engine changes;
+    per-row work only, no shuffle except the final count."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bucket = TX.hash32(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
+    split = (
+        F.when(bucket < 90, F.lit("train"))
+        .when(bucket < 95, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.select(split.alias("split"))
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+DATASET_SPLIT_SQL = f"""
+SELECT split, count(*) AS n_docs FROM (
+  SELECT CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+  FROM (SELECT {hash32_sql("'split:' || CAST(doc_id AS VARCHAR)")} % 100 AS b FROM documents)
+) GROUP BY split
+"""
+
+
 # --------------------------------------------------------------------------
 # dedup
 # --------------------------------------------------------------------------
@@ -566,6 +594,7 @@ PIPELINE_QUERIES = {
     "text_stats": q_text_stats,
     "vocab_topk": q_vocab_topk,
     "doc_length_percentiles": q_doc_length_percentiles,
+    "dataset_split_counts": q_dataset_split,
     "lang_id_counts": q_lang_id,
     "quality_scores": q_quality_scores,
     "rolling_fingerprints": q_rolling_fingerprints,
@@ -589,6 +618,7 @@ PIPELINE_SQL = {
     "text_stats": TEXT_STATS_SQL,
     "vocab_topk": VOCAB_TOPK_SQL,
     "doc_length_percentiles": DOC_LENGTH_PCT_SQL,
+    "dataset_split_counts": DATASET_SPLIT_SQL,
     "lang_id_counts": _lang_id_sql(),
     "quality_scores": _quality_sql(),
     "rolling_fingerprints": ROLLING_FINGERPRINTS_SQL,
