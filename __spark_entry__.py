@@ -199,6 +199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": analytics.events_hourly,
         "sessionize": analytics.sessionize,
         "asof_attribution": analytics.asof_attribution,
+        "events_rollup": analytics.events_rollup,
         # LLM-data-pipeline operators (text analysis, dedup, similarity)
         **pipelines.PIPELINE_QUERIES,
     }
@@ -222,5 +223,6 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": analytics.EVENTS_HOURLY_SQL,
         "sessionize": analytics.SESSIONIZE_SQL,
         "asof_attribution": analytics.ASOF_ATTRIBUTION_SQL,
+        "events_rollup": analytics.EVENTS_ROLLUP_SQL,
         **pipelines.PIPELINE_SQL,
     }

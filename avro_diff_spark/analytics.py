@@ -330,3 +330,38 @@ SELECT p.event_id, p.user_id, p.ts_us,
        j.last_event_id, j.last_ts_us, j.last_event_type, j.last_value
 FROM p LEFT JOIN (SELECT * FROM j WHERE rn = 1) j ON p.event_id = j.event_id
 """
+
+def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity time rollup (hypertable-style): one pass emits
+    (day, hour)-level, day-level, and grand-total aggregates via
+    ``rollup`` — Spark plans a single shuffle with partial aggregation
+    instead of three separate scans. ``lvl`` (grouping id) disambiguates an
+    aggregated-out level from a genuinely-null key."""
+    ev = load_events(spark, sf_dir)
+    day_us, hour_us = 86_400_000_000, 3_600_000_000
+    us = F.col("ts_us")
+    d = (us - us % day_us).alias("day_us")
+    h = (us - us % hour_us).alias("hour_us")
+    return (
+        ev.select(d, h, "value")
+        .rollup("day_us", "hour_us")
+        .agg(
+            F.grouping_id().alias("lvl"),
+            F.count(F.lit(1)).alias("n_events"),
+            _dec_sum(F.col("value")).alias("sum_value"),
+        )
+    )
+
+
+EVENTS_ROLLUP_SQL = """
+SELECT day_us, hour_us,
+       CAST(grouping(day_us) * 2 + grouping(hour_us) AS BIGINT) AS lvl,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS sum_value
+FROM (
+  SELECT epoch_us(ts) - (epoch_us(ts) % 86400000000) AS day_us,
+         epoch_us(ts) - (epoch_us(ts) % 3600000000) AS hour_us,
+         value
+  FROM events
+) GROUP BY ROLLUP (day_us, hour_us)
+"""
