@@ -24,6 +24,13 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Pin the session timezone on whatever session the CALLER provides (the
+    # driver's correctness runner brings its own): every oracle-checked
+    # timestamp goes through a TIMESTAMP_NTZ → timestamp cast whose result
+    # shifts with the session tz; UTC makes unix_micros equal DuckDB's
+    # epoch_us on the same parquet value. Runtime conf — safe to set after
+    # session start, applies at execution.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
