@@ -111,7 +111,12 @@ def minhash_signatures(
 def _signatures_from_sh(doc_sh: DataFrame, n_hashes: int) -> DataFrame:
     """Signatures from a precomputed (doc_id, sh) frame — lets callers share
     one shingle-hashing pass (and its reusable exchange) between signature
-    generation and Jaccard verification."""
+    generation and Jaccard verification.
+
+    Empty-shingle docs (text shorter than shingle_k) are dropped: their
+    signature slots would all be null, array_join skips nulls, and every
+    such doc would collapse onto identical band keys — a mega-bucket of
+    meaningless candidates (and a 0-divisor hazard in verification)."""
     params = minhash_params(n_hashes)
 
     # factory, not default-arg closure: PySpark reflects on lambda arity
@@ -121,7 +126,7 @@ def _signatures_from_sh(doc_sh: DataFrame, n_hashes: int) -> DataFrame:
     sig = F.array(
         *[F.array_min(F.transform(F.col("sh"), _uh(a, b))) for a, b in params]
     )
-    return doc_sh.select(
+    return doc_sh.filter(F.size("sh") > 0).select(
         "doc_id",
         sig.alias("sig"),
         F.size("sh").alias("n_shingles"),
@@ -222,8 +227,12 @@ def _verify_pairs(
     would bypass (and so recompute) the reusable doc_sh exchange, and the
     sides are already hash-partitioned on the join key anyway.
     """
-    jac = F.col("n_common").cast("double") / (
-        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    # try_divide: two empty shingle sets give a 0 divisor, which throws
+    # DIVIDE_BY_ZERO under Spark 4's ANSI default (null → dropped by the
+    # threshold filter, the correct semantics for an undefined Jaccard)
+    jac = F.try_divide(
+        F.col("n_common").cast("double"),
+        F.col("n_a") + F.col("n_b") - F.col("n_common"),
     )
     av = doc_sh.select(
         F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
@@ -413,24 +422,79 @@ def simhash32(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return staged.select("doc_id", packed.alias("simhash"))
 
 
+def simhash_blocks(max_hamming: int, n_bits: int = 32) -> list[tuple[int, int]]:
+    """(offset, width) of the ``max_hamming + 1`` bit-blocks that partition an
+    ``n_bits`` fingerprint — shared between the Spark plan and the oracle SQL
+    so the two bandings can never drift."""
+    n_blocks = max_hamming + 1
+    widths = [n_bits // n_blocks + (1 if i < n_bits % n_blocks else 0) for i in range(n_blocks)]
+    offsets = [sum(widths[:i]) for i in range(n_blocks)]
+    return list(zip(offsets, widths))
+
+
 def simhash_near_dups(
     df: DataFrame, text_col: str, id_col: str, *, max_hamming: int = 3
 ) -> DataFrame:
     """Pairs (a < b) with Hamming(simhash) ≤ max_hamming.
 
-    All-pairs on the fingerprints — use on a pre-bucketed or sampled corpus;
-    the 100 TB path composes this after LSH/band blocking exactly like
-    minhash_near_dups.
+    **Hamming-ball blocking by pigeonhole** — never all-pairs: split the
+    32-bit fingerprint into ``max_hamming + 1`` bit-blocks; a pair within
+    distance d differs in at most d blocks, so it matches EXACTLY on at
+    least one block. Each doc explodes into (block_id, block_bits) keys,
+    buckets on the key (the one shuffle), pairs expand within buckets, and
+    the exact ``bit_count(xor)`` test verifies. The blocking is lossless
+    (100% recall), unlike probabilistic LSH — results are identical to the
+    naive all-pairs join at a tiny fraction of the cost: with d=3, buckets
+    are exact 8-bit-block matches, so the expansion is O(Σ bucket²) over
+    ~4·2⁸-way-split data instead of O(n²) over the corpus.
+
+    The fingerprint rides along inside the bucket, so verification needs no
+    join back to the fingerprint table (zero recompute, zero extra shuffle).
     """
+    blocks = simhash_blocks(max_hamming)
     s = simhash32(df, text_col, id_col)
-    a, b = s.alias("a"), s.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    block_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("block_id"),
+                F.shiftright(F.col("simhash"), off)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("block_bits"),
+            )
+            for i, (off, width) in enumerate(blocks)
+        ]
+    )
+    banded = s.select(
+        "doc_id", "simhash", F.explode(block_arr).alias("blk")
+    ).select("doc_id", "simhash", "blk.block_id", "blk.block_bits")
+    members = F.col("members")
+    pair_structs = F.flatten(
+        F.transform(
+            members,
+            lambda x, i: F.transform(
+                F.slice(members, i + 2, F.greatest(F.size(members) - i - 1, F.lit(0))),
+                lambda y: F.struct(
+                    x.getField("doc_id").alias("doc_a"),
+                    y.getField("doc_id").alias("doc_b"),
+                    x.getField("simhash").alias("sim_a"),
+                    y.getField("simhash").alias("sim_b"),
+                ),
+            ),
+        )
+    )
     return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        banded.groupBy("block_id", "block_bits")
+        .agg(F.sort_array(F.collect_set(F.struct("doc_id", "simhash"))).alias("members"))
+        .filter(F.size("members") > 1)
+        # explode_outer: plain explode would re-evaluate the O(n²) pair
+        # construction via an inferred size()>0 filter (see lsh_candidate_pairs)
+        .select(F.explode_outer(pair_structs).alias("p"))
+        .where(F.col("p").isNotNull())
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            ham.alias("hamming"),
+            F.col("p.doc_a").alias("doc_a"),
+            F.col("p.doc_b").alias("doc_b"),
+            F.bit_count(F.col("p.sim_a").bitwiseXOR(F.col("p.sim_b"))).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )

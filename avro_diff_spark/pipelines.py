@@ -333,7 +333,7 @@ hashed AS (
          list_transform({shingles_sql('text', shingle_k)}, s -> {hash32_sql('s')}) AS hs
   FROM corpus
 ),
-sigs AS (SELECT doc_id, [{sig_terms}] AS sig FROM hashed),
+sigs AS (SELECT doc_id, [{sig_terms}] AS sig FROM hashed WHERE len(hs) > 0),
 banded AS (
   SELECT doc_id, unnest([{band_terms}]) AS band FROM sigs
 ),
@@ -358,10 +358,9 @@ SELECT * FROM verified WHERE jaccard >= {threshold}
 
 
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # all-pairs fingerprint comparison: restrict to a deterministic slice
-    corpus = snap.documents_with_dups(spark, sf_dir).filter(
-        (F.col("doc_id") % 5 == 0) | (F.col("doc_id") >= 1_000_000)
-    )
+    # FULL corpus: Hamming-ball bit-block banding (see dedup.simhash_near_dups)
+    # makes the join an equi-join on block keys — no all-pairs, no pre-filter
+    corpus = snap.documents_with_dups(spark, sf_dir)
     return DD.simhash_near_dups(corpus, "text", "doc_id", max_hamming=3)
 
 
@@ -371,20 +370,32 @@ def _simhash_sql(max_hamming: int = 3) -> str:
         f"THEN 1 ELSE -1 END)) > 0 THEN {1 << b}::BIGINT ELSE 0::BIGINT END"
         for b in range(32)
     )
+    # banded mirror of dedup.simhash_near_dups: same (offset, width) blocks
+    # from the same helper, equi-join on (block_id, block_bits), exact verify
+    block_terms = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {i} AS block_id, "
+        f"(simhash // {1 << off}) % {1 << width} AS block_bits FROM fp"
+        for i, (off, width) in enumerate(DD.simhash_blocks(max_hamming))
+    )
     return f"""
-WITH corpus AS (
-  SELECT * FROM ({snap.DOCUMENTS_WITH_DUPS_SQL})
-  WHERE doc_id % 5 = 0 OR doc_id >= 1000000
-),
+WITH corpus AS ({snap.DOCUMENTS_WITH_DUPS_SQL}),
 th AS (
   SELECT doc_id, list_transform({tokens_sql('text')}, t -> {hash32_sql('t')}) AS th
   FROM corpus
 ),
-fp AS (SELECT doc_id, list_sum([{bit_terms}]) AS simhash FROM th)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       bit_count(xor(a.simhash::UBIGINT, b.simhash::UBIGINT))::INT AS hamming
-FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash::UBIGINT, b.simhash::UBIGINT)) <= {max_hamming}
+fp AS (SELECT doc_id, list_sum([{bit_terms}]) AS simhash FROM th),
+blocks AS ({block_terms}),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sim_a, b.simhash AS sim_b
+  FROM blocks a JOIN blocks b
+    ON a.block_id = b.block_id AND a.block_bits = b.block_bits
+   AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       bit_count(xor(sim_a::UBIGINT, sim_b::UBIGINT))::INT AS hamming
+FROM cands
+WHERE bit_count(xor(sim_a::UBIGINT, sim_b::UBIGINT)) <= {max_hamming}
 """
 
 

@@ -70,7 +70,11 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     ts_type = ev.schema["ts"].dataType
     if isinstance(ts_type, T.LongType):
-        ts_us = F.expr("ts div 1000")
+        # `div` truncates toward zero, which diverges from epoch_us's floor
+        # on pre-1970 (negative) nanos; floor-divide explicitly instead.
+        # Integer-exact: shave sub-1000 remainder first so the double
+        # division inside floor() never sees a value above 2^53.
+        ts_us = F.expr("(ts - ((ts % 1000 + 1000) % 1000)) div 1000")
     else:
         ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
     return ev.withColumn("ts_us", ts_us)
