@@ -93,6 +93,74 @@ WHERE o.o_totalprice IS DISTINCT FROM n.o_totalprice
 """
 
 
+def _q_key_diff_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive per-leaf diff over two-level nested structs: changed_fields
+    carries dot-paths (pricing.total at depth 1, pricing.meta.* at depth 2)."""
+    old = snap.orders_nested_old(spark, sf_dir)
+    new = snap.orders_nested_new(spark, sf_dir)
+    d = key_diff(old, new, ["o_orderkey"], include_payload=False)
+    return d.select(
+        "o_orderkey",
+        "diff_kind",
+        F.array_join(F.col("changed_fields"), ",").alias("changed_fields"),
+    )
+
+
+_KEY_DIFF_NESTED_SQL = f"""
+WITH old_snap AS ({snap.ORDERS_OLD_SQL}),
+     new_snap AS ({snap.ORDERS_NESTED_NEW_FLAT_SQL})
+SELECT
+  coalesce(CAST(o.o_orderkey AS VARCHAR), CAST(n.o_orderkey AS VARCHAR)) AS o_orderkey,
+  CASE WHEN o.o_orderkey IS NULL THEN 'added'
+       WHEN n.o_orderkey IS NULL THEN 'removed'
+       WHEN o.o_custkey       IS DISTINCT FROM n.o_custkey
+         OR o.o_orderstatus   IS DISTINCT FROM n.o_orderstatus
+         OR o.o_totalprice    IS DISTINCT FROM n.o_totalprice
+         OR o.o_orderdate     IS DISTINCT FROM n.o_orderdate
+         OR o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+       THEN 'changed' ELSE 'unchanged' END AS diff_kind,
+  CASE WHEN o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL THEN
+    concat_ws(',',
+      CASE WHEN o.o_custkey       IS DISTINCT FROM n.o_custkey       THEN 'customer.o_custkey' END,
+      CASE WHEN o.o_orderstatus   IS DISTINCT FROM n.o_orderstatus   THEN 'customer.o_orderstatus' END,
+      CASE WHEN o.o_totalprice    IS DISTINCT FROM n.o_totalprice    THEN 'pricing.total' END,
+      CASE WHEN o.o_orderdate     IS DISTINCT FROM n.o_orderdate     THEN 'pricing.meta.orderdate_us' END,
+      CASE WHEN o.o_orderpriority IS DISTINCT FROM n.o_orderpriority THEN 'pricing.meta.o_orderpriority' END)
+  END AS changed_fields
+FROM old_snap o FULL OUTER JOIN new_snap n ON o.o_orderkey = n.o_orderkey
+"""
+
+
+def _q_key_diff_detail_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """detailedDiff parity on nested records: one row per changed LEAF with
+    dot-path field names (reference src/index.js:205 recurses the same way)."""
+    old = snap.orders_nested_old(spark, sf_dir)
+    new = snap.orders_nested_new(spark, sf_dir)
+    return key_diff_detail(old, new, ["o_orderkey"])
+
+
+_KEY_DIFF_DETAIL_NESTED_SQL = f"""
+WITH old_snap AS ({snap.ORDERS_OLD_SQL}),
+     new_snap AS ({snap.ORDERS_NESTED_NEW_FLAT_SQL}),
+m AS (
+  SELECT o.o_orderkey,
+         o.o_totalprice AS o_total, n.o_totalprice AS n_total,
+         o.o_orderpriority AS o_prio, n.o_orderpriority AS n_prio
+  FROM old_snap o JOIN new_snap n ON o.o_orderkey = n.o_orderkey
+)
+SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey,
+       'pricing.total' AS field,
+       CAST(o_total AS VARCHAR) AS old_value,
+       CAST(n_total AS VARCHAR) AS new_value
+FROM m WHERE o_total IS DISTINCT FROM n_total
+UNION ALL
+SELECT CAST(o_orderkey AS VARCHAR),
+       'pricing.meta.o_orderpriority',
+       o_prio, n_prio
+FROM m WHERE o_prio IS DISTINCT FROM n_prio
+"""
+
+
 def _q_key_diff_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     old, new = snap.orders_old(spark, sf_dir), snap.orders_new(spark, sf_dir)
     d = key_diff(old, new, ["o_custkey", "o_orderkey"], include_payload=False)
@@ -184,6 +252,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "key_diff_orders": _q_key_diff_orders,
         "key_diff_detail_orders": _q_key_diff_detail_orders,
+        "key_diff_nested_orders": _q_key_diff_nested,
+        "key_diff_detail_nested": _q_key_diff_detail_nested,
         "key_diff_composite": _q_key_diff_composite,
         "self_diff_counts": _q_self_diff_counts,
         "venn_removed": _q_venn_removed,
@@ -209,6 +279,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "key_diff_orders": _KEY_DIFF_ORDERS_SQL,
         "key_diff_detail_orders": _KEY_DIFF_DETAIL_SQL,
+        "key_diff_nested_orders": _KEY_DIFF_NESTED_SQL,
+        "key_diff_detail_nested": _KEY_DIFF_DETAIL_NESTED_SQL,
         "key_diff_composite": _KEY_DIFF_COMPOSITE_SQL,
         "self_diff_counts": _SELF_DIFF_COUNTS_SQL,
         "venn_removed": _VENN_REMOVED_SQL,

@@ -43,10 +43,17 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from pyspark.sql import types as T
+
 from avro_diff_spark.functions.canonical import canonical, has_map, stringify
 
 #: JS ``String(null)`` parity sentinel (reference src/index.js:275).
 NULL_KEY_SENTINEL = "null"
+
+#: Recursion bound for nested-struct per-field diffing: structs deeper than
+#: this are compared atomically (to_json payload). Matches the reference's
+#: unbounded deep-object-diff in practice — no real schema nests past 8.
+MAX_STRUCT_DEPTH = 8
 
 KIND_ADDED = "added"
 KIND_REMOVED = "removed"
@@ -59,9 +66,64 @@ def coerce_key(col: Column) -> Column:
     return F.coalesce(col.cast("string"), F.lit(NULL_KEY_SENTINEL))
 
 
-def _comparable(side: Column, name: str, dtype) -> Column:
-    c = side.getField(name)
-    return canonical(c, dtype) if has_map(dtype) else c
+def _walk_leaves(path, old_t, new_t, depth: int):
+    """Yield (dot-path tuple, old dtype, new dtype) diffable leaves,
+    recursing into StructType on both sides (reference ``detailedDiff``
+    recurses into nested records, src/index.js:205). A side's dtype is None
+    when the field exists only on the other side. Arrays and maps stay
+    atomic leaves (compared canonically, reported as stable JSON)."""
+    if isinstance(old_t, T.StructType) and isinstance(new_t, T.StructType) and depth > 0:
+        of = {f.name: f.dataType for f in old_t.fields}
+        nf = {f.name: f.dataType for f in new_t.fields}
+        names = [f.name for f in old_t.fields] + [
+            f.name for f in new_t.fields if f.name not in of
+        ]
+        for nm in names:
+            yield from _walk_leaves(path + (nm,), of.get(nm), nf.get(nm), depth - 1)
+    else:
+        yield path, old_t, new_t
+
+
+def _diff_leaves(old_schema, new_schema, key, compare_cols, max_depth: int):
+    """Leaf list for a diff: shared columns recursed, one-side-only columns
+    as single leaves (unless ``compare_cols`` restricts to shared)."""
+    if compare_cols is not None:
+        allowed = set(compare_cols)
+        cols = [c for c in old_schema if c in new_schema and c not in key and c in allowed]
+    else:
+        cols = [c for c in old_schema if c not in key] + [
+            c for c in new_schema if c not in old_schema and c not in key
+        ]
+    leaves = []
+    for c in cols:
+        leaves.extend(_walk_leaves((c,), old_schema.get(c), new_schema.get(c), max_depth))
+    return leaves
+
+
+def _get_path(base: Column, path) -> Column:
+    for p in path:
+        base = base.getField(p)
+    return base
+
+
+def _leaf_changed(j_old: Column, j_new: Column, path, old_t, new_t) -> Column:
+    """Per-leaf change predicate. A leaf under a NULL intermediate struct
+    reads as NULL (getField propagates), so a whole added/dropped subtree
+    reports each non-null leaf as changed — the per-leaf rendering of
+    deep-object-diff's added/deleted subtree buckets."""
+    if old_t is None:
+        return _get_path(j_new, path).isNotNull()
+    if new_t is None:
+        return _get_path(j_old, path).isNotNull()
+    lhs, rhs = _get_path(j_old, path), _get_path(j_new, path)
+    if old_t.simpleString() != new_t.simpleString():
+        # heterogeneous types: compare on the stringified form (the JS
+        # reference compares dynamic values; cross-type equality there is
+        # value-based — string form is the engine-portable analogue)
+        return ~stringify(lhs, old_t).eqNullSafe(stringify(rhs, new_t))
+    if has_map(old_t):
+        lhs, rhs = canonical(lhs, old_t), canonical(rhs, new_t)
+    return ~lhs.eqNullSafe(rhs)
 
 
 def key_diff(
@@ -71,6 +133,7 @@ def key_diff(
     *,
     compare_cols: Sequence[str] | None = None,
     include_payload: bool = True,
+    max_struct_depth: int = MAX_STRUCT_DEPTH,
 ) -> DataFrame:
     """Diff two DataFrames on a composite key.
 
@@ -78,15 +141,19 @@ def key_diff(
 
     - one string column per key field (coerced as the reference does),
     - ``diff_kind`` ∈ {added, removed, changed, unchanged},
-    - ``changed_fields``: array of column names whose values differ
-      (NULL for added/removed rows; empty array for unchanged),
+    - ``changed_fields``: array of *leaf paths* whose values differ —
+      nested StructType columns are recursed (dot-path names like
+      ``submission.score``, parity with the reference's recursive
+      ``detailedDiff``, src/index.js:205); arrays/maps compare atomically.
+      NULL for added/removed rows; empty array for unchanged,
     - ``old`` / ``new``: full row payloads as structs (when
       ``include_payload``; NULL on the absent side).
 
     ``compare_cols`` defaults to all non-key columns present in *both*
-    schemas. Columns present in only one schema count as changed for a
-    matched row when the present side's value is non-null (parity with the
-    reference's per-row added/deleted field buckets, src/index.js:26-28).
+    schemas. Columns (or nested fields) present in only one schema count as
+    changed for a matched row when the present side's value is non-null
+    (parity with the reference's per-row added/deleted field buckets,
+    src/index.js:26-28).
     """
     key = list(key)
     for k in key:
@@ -95,14 +162,7 @@ def key_diff(
 
     old_schema = {f.name: f.dataType for f in old.schema.fields}
     new_schema = {f.name: f.dataType for f in new.schema.fields}
-    shared = [c for c in old.columns if c in new_schema and c not in key]
-    if compare_cols is not None:
-        shared = [c for c in shared if c in set(compare_cols)]
-        only_old: list[str] = []
-        only_new: list[str] = []
-    else:
-        only_old = [c for c in old.columns if c not in new_schema and c not in key]
-        only_new = [c for c in new.columns if c not in old_schema and c not in key]
+    leaves = _diff_leaves(old_schema, new_schema, key, compare_cols, max_struct_depth)
 
     o = old.select(
         *[coerce_key(F.col(k)).alias(f"__ok{i}") for i, k in enumerate(key)],
@@ -121,15 +181,10 @@ def key_diff(
     old_present = j["__ok0"].isNotNull()
     new_present = j["__nk0"].isNotNull()
 
-    field_changed: list[tuple[str, Column]] = []
-    for c in shared:
-        lhs = _comparable(j["__old"], c, old_schema[c])
-        rhs = _comparable(j["__new"], c, new_schema[c])
-        field_changed.append((c, ~lhs.eqNullSafe(rhs)))
-    for c in only_old:
-        field_changed.append((c, j["__old"].getField(c).isNotNull()))
-    for c in only_new:
-        field_changed.append((c, j["__new"].getField(c).isNotNull()))
+    field_changed: list[tuple[str, Column]] = [
+        (".".join(p), _leaf_changed(j["__old"], j["__new"], p, ot, nt))
+        for p, ot, nt in leaves
+    ]
 
     any_changed = F.lit(False)
     for _, cond_c in field_changed:
@@ -171,36 +226,49 @@ def key_diff_detail(
     key: Sequence[str],
     *,
     compare_cols: Sequence[str] | None = None,
+    max_struct_depth: int = MAX_STRUCT_DEPTH,
 ) -> DataFrame:
     """Field-level diff payload for matched changed rows.
 
     The Spark rendering of the reference's ``detailedDiff`` `updated` bucket
-    (src/index.js:205): one output row per (matched row, changed field) with
-    the old and new values stringified (stable JSON for nested types). The
-    reference's known wart — deleted fields showing ``undefined`` instead of
-    the old value (its TODO at src/index.js:26-28) — is fixed here: both
-    sides are always reported.
+    (src/index.js:205): one output row per (matched row, changed *leaf*) —
+    nested structs recursed to dot-path leaves exactly as
+    :func:`key_diff`'s ``changed_fields`` — with the old and new values
+    stringified (stable JSON for arrays/maps). The reference's known wart —
+    deleted fields showing ``undefined`` instead of the old value (its TODO
+    at src/index.js:26-28) — is fixed here: both sides are always reported
+    (a side absent from the schema reports NULL).
 
     Columns: key fields (string), ``field``, ``old_value``, ``new_value``.
     """
     key = list(key)
     old_schema = {f.name: f.dataType for f in old.schema.fields}
     new_schema = {f.name: f.dataType for f in new.schema.fields}
-    shared = [c for c in old.columns if c in new_schema and c not in key]
-    if compare_cols is not None:
-        shared = [c for c in shared if c in set(compare_cols)]
+    leaves = _diff_leaves(old_schema, new_schema, key, compare_cols, max_struct_depth)
 
-    diff = key_diff(old, new, key, compare_cols=compare_cols, include_payload=True)
+    diff = key_diff(
+        old, new, key, compare_cols=compare_cols, include_payload=True,
+        max_struct_depth=max_struct_depth,
+    )
     matched = diff.filter(F.col("diff_kind") == KIND_CHANGED)
 
+    _null_str = F.lit(None).cast("string")
     pairs = F.array(
         *[
             F.struct(
-                F.lit(c).alias("field"),
-                stringify(F.col("old").getField(c), old_schema[c]).alias("old_value"),
-                stringify(F.col("new").getField(c), new_schema[c]).alias("new_value"),
+                F.lit(".".join(p)).alias("field"),
+                (
+                    stringify(_get_path(F.col("old"), p), ot)
+                    if ot is not None
+                    else _null_str
+                ).alias("old_value"),
+                (
+                    stringify(_get_path(F.col("new"), p), nt)
+                    if nt is not None
+                    else _null_str
+                ).alias("new_value"),
             )
-            for c in shared
+            for p, ot, nt in leaves
         ]
     )
     exploded = matched.select(

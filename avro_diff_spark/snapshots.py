@@ -107,6 +107,50 @@ VENN_NEW_SQL = _VENN_SELECT.format(m=3)
 
 
 # --------------------------------------------------------------------------
+# Nested snapshots: orders struct-packed two levels deep, mirroring the
+# reference's nested-record fixtures (studentAssignments.submission — SURVEY
+# §1.2). Exercises recursive per-leaf diffing: mutations live at depth 1
+# (pricing.total) and depth 2 (pricing.meta.o_orderpriority). o_orderdate is
+# projected to epoch micros so every leaf is engine-portable.
+# --------------------------------------------------------------------------
+
+
+def _orders_nested(df: DataFrame) -> DataFrame:
+    return df.select(
+        "o_orderkey",
+        F.struct(F.col("o_custkey"), F.col("o_orderstatus")).alias("customer"),
+        F.struct(
+            F.col("o_totalprice").alias("total"),
+            F.struct(
+                ts_micros(F.col("o_orderdate")).alias("orderdate_us"),
+                F.col("o_orderpriority"),
+            ).alias("meta"),
+        ).alias("pricing"),
+    )
+
+
+def orders_nested_old(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _orders_nested(orders_old(spark, sf_dir))
+
+
+def orders_nested_new(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = orders_new(spark, sf_dir).withColumn(
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") % 11 == 0, F.lit("0-RUSH")).otherwise(
+            F.col("o_orderpriority")
+        ),
+    )
+    return _orders_nested(o)
+
+
+ORDERS_NESTED_NEW_FLAT_SQL = f"""
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+       CASE WHEN o_orderkey % 11 = 0 THEN '0-RUSH' ELSE o_orderpriority END AS o_orderpriority
+FROM ({ORDERS_NEW_SQL})
+"""
+
+
+# --------------------------------------------------------------------------
 # Dedup corpora: the driver documents/embeddings are all-distinct, so derive
 # corpora with known duplicates — exact copies (id+1_000_000) and near
 # copies with a trailing-words mutation (id+2_000_000).

@@ -93,9 +93,10 @@ def test_nested_and_map_columns(spark):
     )
     d = key_diff(old, new, ["k"])
     got = {r["k"]: (r["diff_kind"], sorted(r["changed_fields"] or [])) for r in d.collect()}
-    # map key order must not matter (stableStringify parity)
+    # map key order must not matter (stableStringify parity); struct columns
+    # recurse to leaf paths (detailedDiff parity), arrays stay atomic
     assert got["1"] == ("unchanged", [])
-    assert got["2"] == ("changed", ["arr", "s"])
+    assert got["2"] == ("changed", ["arr", "s.y"])
 
 
 def test_schema_drift_columns(spark):
@@ -116,6 +117,47 @@ def test_key_diff_detail_values(spark, sf_dir):
     assert all(r["field"] == "o_totalprice" for r in rows)
     for r in rows[:50]:
         assert abs(float(r["new_value"]) - float(r["old_value"]) - 100.0) < 1e-9
+
+
+def test_nested_struct_leaf_paths(spark):
+    # recursive per-leaf diff (reference detailedDiff, src/index.js:205):
+    # depth-2 changes report dot-paths; a leaf present on one side only
+    # counts as changed when the present side is non-null
+    old_schema = "k int, sub struct<score:double, meta:struct<grade:string, published:boolean>>"
+    new_schema = (
+        "k int, sub struct<score:double, meta:struct<grade:string, "
+        "published:boolean, late:boolean>>"
+    )
+    old = spark.createDataFrame(
+        [
+            (1, Row(score=1.5, meta=Row(grade="A", published=True))),
+            (2, Row(score=2.0, meta=Row(grade="B", published=False))),
+            (3, Row(score=3.0, meta=None)),
+        ],
+        old_schema,
+    )
+    new = spark.createDataFrame(
+        [
+            (1, Row(score=1.5, meta=Row(grade="A", published=True, late=None))),
+            (2, Row(score=2.5, meta=Row(grade="C", published=False, late=True))),
+            (3, Row(score=3.0, meta=Row(grade="D", published=None, late=None))),
+        ],
+        new_schema,
+    )
+    d = key_diff(old, new, ["k"])
+    got = {r["k"]: (r["diff_kind"], sorted(r["changed_fields"] or [])) for r in d.collect()}
+    assert got["1"] == ("unchanged", [])
+    assert got["2"] == ("changed", ["sub.meta.grade", "sub.meta.late", "sub.score"])
+    # NULL intermediate struct: each non-null new leaf reports changed
+    assert got["3"] == ("changed", ["sub.meta.grade"])
+
+    det = key_diff_detail(old, new, ["k"])
+    rows = {(r["k"], r["field"]): (r["old_value"], r["new_value"]) for r in det.collect()}
+    assert rows[("2", "sub.score")] == ("2.0", "2.5")
+    assert rows[("2", "sub.meta.grade")] == ("B", "C")
+    assert rows[("2", "sub.meta.late")] == (None, "true")
+    assert rows[("3", "sub.meta.grade")] == (None, "D")
+    assert ("1", "sub.score") not in rows
 
 
 def test_missing_key_raises(spark, sf_dir):
