@@ -161,6 +161,43 @@ FROM m WHERE o_prio IS DISTINCT FROM n_prio
 """
 
 
+def _q_key_diff_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed diff over REAL Avro OCF inputs — the reference's flagship format
+    (reference src/index.js:335-352). Snapshots are written as container
+    files through the pure-Python OCF codec (one deflate, one null-codec,
+    exercising the reference's codec matrix) and read back distributed via
+    read_avro's binaryFile+mapInPandas fallback; the oracle is the same SQL
+    as key_diff_orders, so format handling itself is what's under test."""
+    import os
+
+    from avro_diff_spark.functions.canonical import ts_micros
+    from avro_diff_spark.sources.avro import read_avro, write_avro
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    cache = f"/root/repo/.cache/avro/{tag}"
+    os.makedirs(cache, exist_ok=True)
+    old_p, new_p = f"{cache}/orders_old.avro", f"{cache}/orders_new.avro"
+
+    def prep(df: DataFrame) -> DataFrame:
+        # timestamps ride as raw epoch-micros longs, the reference's own
+        # timestamp representation (SURVEY.md §1.2)
+        return df.withColumn("o_orderdate", ts_micros(F.col("o_orderdate")))
+
+    if not os.path.exists(old_p):
+        write_avro(prep(snap.orders_old(spark, sf_dir)).orderBy("o_orderkey"), old_p, codec="deflate")
+    if not os.path.exists(new_p):
+        write_avro(prep(snap.orders_new(spark, sf_dir)).orderBy("o_orderkey"), new_p, codec="null")
+
+    d = key_diff(read_avro(spark, old_p), read_avro(spark, new_p), ["o_orderkey"])
+    return d.select(
+        "o_orderkey",
+        "diff_kind",
+        F.array_join(F.col("changed_fields"), ",").alias("changed_fields"),
+        F.col("old").getField("o_totalprice").alias("old_totalprice"),
+        F.col("new").getField("o_totalprice").alias("new_totalprice"),
+    )
+
+
 def _q_key_diff_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     old, new = snap.orders_old(spark, sf_dir), snap.orders_new(spark, sf_dir)
     d = key_diff(old, new, ["o_custkey", "o_orderkey"], include_payload=False)
@@ -254,6 +291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_diff_detail_orders": _q_key_diff_detail_orders,
         "key_diff_nested_orders": _q_key_diff_nested,
         "key_diff_detail_nested": _q_key_diff_detail_nested,
+        "key_diff_avro": _q_key_diff_avro,
         "key_diff_composite": _q_key_diff_composite,
         "self_diff_counts": _q_self_diff_counts,
         "venn_removed": _q_venn_removed,
@@ -281,6 +319,7 @@ def oracle_sql() -> dict[str, str]:
         "key_diff_detail_orders": _KEY_DIFF_DETAIL_SQL,
         "key_diff_nested_orders": _KEY_DIFF_NESTED_SQL,
         "key_diff_detail_nested": _KEY_DIFF_DETAIL_NESTED_SQL,
+        "key_diff_avro": _KEY_DIFF_ORDERS_SQL,
         "key_diff_composite": _KEY_DIFF_COMPOSITE_SQL,
         "self_diff_counts": _SELF_DIFF_COUNTS_SQL,
         "venn_removed": _VENN_REMOVED_SQL,

@@ -78,20 +78,106 @@ def read_avro(
     paths (the reference takes single file paths only, bin/key_diff.js:8),
     exact int64 (the reference loses precision on long > 2^53,
     README.md:27), and distributed scans.
+
+    Two physical paths, same semantics:
+
+    - spark-avro on the classpath → the native connector (block-splittable
+      scans, all codecs, logical types). Preferred on real clusters.
+    - otherwise → the pure-Python OCF codec (sources/ocf.py) run
+      DISTRIBUTED: files parallelize through Spark's ``binaryFile`` source
+      and every block decodes in Arrow-batched ``mapInPandas`` on
+      executors. No driver materialization; schema comes from one file's
+      header read driver-side. ``avro_schema`` override on this path
+      supports the projection use (reader schema with a field subset —
+      the reference's only use of it, src/index.js:39-51).
     """
-    if not avro_available(spark):
-        raise RuntimeError(
-            "The spark-avro module is not on this session's classpath. "
-            "Launch with --packages org.apache.spark:spark-avro_2.13:"
-            f"{spark.version} (or add the jar to spark.jars)."
-        )
-    reader = spark.read.format("avro")
-    if avro_schema is not None:
-        if isinstance(avro_schema, dict):
-            avro_schema = json.dumps(avro_schema)
-        reader = reader.option("avroSchema", avro_schema)
-    df = reader.load(list(path) if isinstance(path, (list, tuple)) else path)
+    if avro_available(spark):
+        reader = spark.read.format("avro")
+        if avro_schema is not None:
+            if isinstance(avro_schema, dict):
+                avro_schema = json.dumps(avro_schema)
+            reader = reader.option("avroSchema", avro_schema)
+        df = reader.load(list(path) if isinstance(path, (list, tuple)) else path)
+        return _project(df, keep_fields, ignore_fields)
+    df = _read_avro_fallback(spark, path, avro_schema=avro_schema)
     return _project(df, keep_fields, ignore_fields)
+
+
+def _local_avro_files(path: str | Sequence[str]) -> list[str]:
+    """Resolve local file/dir/glob path(s) to concrete .avro file paths."""
+    import glob as _glob
+    import os
+
+    paths = list(path) if isinstance(path, (list, tuple)) else [path]
+    out: list[str] = []
+    for p in paths:
+        p = p.removeprefix("file:")
+        if os.path.isdir(p):
+            out.extend(sorted(_glob.glob(os.path.join(p, "*.avro"))))
+        elif any(ch in p for ch in "*?["):
+            out.extend(sorted(_glob.glob(p)))
+        elif os.path.exists(p):
+            out.append(p)
+    if not out:
+        raise FileNotFoundError(f"no Avro files at {path!r}")
+    return out
+
+
+def _read_avro_fallback(
+    spark: SparkSession,
+    path: str | Sequence[str],
+    *,
+    avro_schema: str | dict | None = None,
+) -> DataFrame:
+    """Distributed OCF scan without spark-avro (see :func:`read_avro`)."""
+    import pandas as pd
+
+    from avro_diff_spark.sources import ocf
+
+    files = _local_avro_files(path)
+    if avro_schema is not None:
+        schema = json.loads(avro_schema) if isinstance(avro_schema, str) else avro_schema
+    else:
+        # schema from the first file's header — a bounded driver-side read
+        with open(files[0], "rb") as f:
+            head = f.read(4 << 20)
+        schema, _, _, _ = ocf.read_ocf_header(head)
+    spark_schema = ocf.avro_to_spark_schema(schema)
+    names = [f.name for f in spark_schema.fields]
+
+    bin_df = spark.read.format("binaryFile").load(files)
+
+    def decode(batches):
+        for pdf in batches:
+            for content in pdf["content"]:
+                rows = list(ocf.iter_ocf(bytes(content)))
+                if avro_schema is not None:
+                    # reader-schema projection: keep declared fields only
+                    rows = [{n: r.get(n) for n in names} for r in rows]
+                yield pd.DataFrame.from_records(rows, columns=names)
+
+    return bin_df.select("content").mapInPandas(decode, spark_schema)
+
+
+def write_avro(
+    df: DataFrame,
+    path: str,
+    *,
+    codec: str = "null",
+    record_name: str = "topLevelRecord",
+) -> None:
+    """Write a (small) DataFrame as ONE Avro OCF via the pure-Python codec.
+
+    Fixture/CLI-scale only — rows are collected to the driver. Production
+    multi-file writes go through spark-avro (``df.write.format('avro')``).
+    Timestamp/decimal columns must be projected to long/double first (the
+    converter raises otherwise).
+    """
+    from avro_diff_spark.sources import ocf
+
+    schema = ocf.spark_to_avro_schema(df.schema, name=record_name)
+    rows = [r.asDict(recursive=True) for r in df.collect()]
+    ocf.write_ocf(path, schema, rows, codec=codec)
 
 
 def read_parquet(

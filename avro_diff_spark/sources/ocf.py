@@ -1,0 +1,448 @@
+"""Pure-Python Avro Object Container File codec.
+
+Why this exists: the reference's flagship input format is Avro OCF — every
+operator it ships consumes one (reference src/index.js:335-352) — but the
+spark-avro connector module ships separately from the Spark distribution
+and is not guaranteed present. This module implements the public Avro 1.x
+container/binary spec directly (magic ``Obj\\x01``, metadata map with
+``avro.schema``/``avro.codec``, sync-marker-delimited blocks, zigzag-varint
+binary encoding) with zero dependencies, so :func:`read_avro` can always
+fall back to a working distributed scan: files parallelize via Spark's
+``binaryFile`` source and blocks decode in Arrow-batched ``mapInPandas``
+on executors (see sources/avro.py).
+
+Scope and divergences (documented, deliberate):
+
+- Types: null, boolean, int, long, float, double, bytes, string, record,
+  enum (decoded to its symbol string), fixed, array, map, and unions. A
+  union must be null+one-branch (the only shape in the reference's fixtures
+  — every nullable field there is ``[T, "null"]``, SURVEY.md §1.2); richer
+  unions raise.
+- Logical types are passed through as their underlying primitive (the
+  reference stores timestamps as raw longs / ISO strings — SURVEY.md §1.2 —
+  so this matches its data model; spark-avro would surface timestamp-micros
+  as TimestampType).
+- Codecs: ``null`` and ``deflate`` (raw RFC-1951, exactly the spec) always;
+  ``snappy`` when python-snappy is importable — stripping the trailing
+  4-byte CRC32 just as the reference's hand-wired codec does
+  (src/index.js:319-326).
+- The scan parallelizes per FILE (no intra-file sync-marker splitting);
+  many-file datasets — the normal shape of a large Avro landing zone — get
+  full parallelism. Single multi-GB files should use spark-avro on a real
+  cluster.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import struct
+import zlib
+from collections.abc import Iterable, Iterator
+
+MAGIC = b"Obj\x01"
+
+try:  # optional, mirrors the reference's snappy support
+    import snappy as _snappy  # type: ignore
+except ImportError:  # pragma: no cover - absent in this container
+    _snappy = None
+
+
+# --------------------------------------------------------------------------
+# binary primitives (Avro spec: zigzag base-128 varints, little-endian IEEE)
+# --------------------------------------------------------------------------
+
+def _write_long(out: bytearray, n: int) -> None:
+    zz = (n << 1) if n >= 0 else (((-n) << 1) - 1)
+    while True:
+        b = zz & 0x7F
+        zz >>= 7
+        if zz:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return
+
+
+def _read_long(buf: bytes, pos: int) -> tuple[int, int]:
+    zz = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        zz |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            break
+        shift += 7
+    return (zz >> 1) ^ -(zz & 1), pos
+
+
+def _write_bytes(out: bytearray, data: bytes) -> None:
+    _write_long(out, len(data))
+    out += data
+
+
+def _read_sized(buf: bytes, pos: int) -> tuple[bytes, int]:
+    n, pos = _read_long(buf, pos)
+    return buf[pos : pos + n], pos + n
+
+
+# --------------------------------------------------------------------------
+# schema helpers
+# --------------------------------------------------------------------------
+
+def _type_name(schema) -> str:
+    return schema["type"] if isinstance(schema, dict) else schema
+
+
+def nullable_branch(schema):
+    """(branch, nullable) for a union schema; non-union passes through.
+
+    Only null+one-branch unions are supported (see module docstring).
+    """
+    if not isinstance(schema, list):
+        return schema, False
+    branches = [b for b in schema if _type_name(b) != "null"]
+    if len(branches) != 1 or len(schema) > 2:
+        raise ValueError(f"unsupported union shape: {schema!r}")
+    return branches[0], True
+
+
+# --------------------------------------------------------------------------
+# value codec
+# --------------------------------------------------------------------------
+
+def _encode(value, schema, out: bytearray) -> None:
+    if isinstance(schema, list):  # union: branch index, then value
+        for i, b in enumerate(schema):
+            if (value is None) == (_type_name(b) == "null"):
+                _write_long(out, i)
+                return _encode(value, b, out)
+        raise ValueError(f"no union branch for {value!r} in {schema!r}")
+    t = _type_name(schema)
+    if t == "null":
+        return
+    if t == "boolean":
+        out.append(1 if value else 0)
+    elif t in ("int", "long"):
+        _write_long(out, int(value))
+    elif t == "float":
+        out += struct.pack("<f", float(value))
+    elif t == "double":
+        out += struct.pack("<d", float(value))
+    elif t == "bytes":
+        _write_bytes(out, bytes(value))
+    elif t == "string":
+        _write_bytes(out, value.encode("utf-8"))
+    elif t == "record":
+        for f in schema["fields"]:
+            _encode(value.get(f["name"]), f["type"], out)
+    elif t == "enum":
+        _write_long(out, schema["symbols"].index(value))
+    elif t == "fixed":
+        out += bytes(value)
+    elif t == "array":
+        if value:
+            _write_long(out, len(value))
+            for v in value:
+                _encode(v, schema["items"], out)
+        _write_long(out, 0)
+    elif t == "map":
+        if value:
+            _write_long(out, len(value))
+            for k, v in value.items():
+                _write_bytes(out, k.encode("utf-8"))
+                _encode(v, schema["values"], out)
+        _write_long(out, 0)
+    else:
+        raise ValueError(f"unsupported Avro type: {t!r}")
+
+
+def _decode(buf: bytes, pos: int, schema) -> tuple[object, int]:
+    if isinstance(schema, list):
+        idx, pos = _read_long(buf, pos)
+        return _decode(buf, pos, schema[idx])
+    t = _type_name(schema)
+    if t == "null":
+        return None, pos
+    if t == "boolean":
+        return buf[pos] != 0, pos + 1
+    if t in ("int", "long"):
+        return _read_long(buf, pos)
+    if t == "float":
+        return struct.unpack_from("<f", buf, pos)[0], pos + 4
+    if t == "double":
+        return struct.unpack_from("<d", buf, pos)[0], pos + 8
+    if t == "bytes":
+        data, pos = _read_sized(buf, pos)
+        return bytes(data), pos
+    if t == "string":
+        data, pos = _read_sized(buf, pos)
+        return data.decode("utf-8"), pos
+    if t == "record":
+        rec = {}
+        for f in schema["fields"]:
+            rec[f["name"]], pos = _decode(buf, pos, f["type"])
+        return rec, pos
+    if t == "enum":
+        idx, pos = _read_long(buf, pos)
+        return schema["symbols"][idx], pos
+    if t == "fixed":
+        size = schema["size"]
+        return bytes(buf[pos : pos + size]), pos + size
+    if t == "array":
+        items = []
+        while True:
+            cnt, pos = _read_long(buf, pos)
+            if cnt == 0:
+                return items, pos
+            if cnt < 0:  # block with byte-size prefix (spec-allowed)
+                _, pos = _read_long(buf, pos)
+                cnt = -cnt
+            for _ in range(cnt):
+                v, pos = _decode(buf, pos, schema["items"])
+                items.append(v)
+    if t == "map":
+        entries = {}
+        while True:
+            cnt, pos = _read_long(buf, pos)
+            if cnt == 0:
+                return entries, pos
+            if cnt < 0:
+                _, pos = _read_long(buf, pos)
+                cnt = -cnt
+            for _ in range(cnt):
+                key, pos = _read_sized(buf, pos)
+                v, pos = _decode(buf, pos, schema["values"])
+                entries[key.decode("utf-8")] = v
+    raise ValueError(f"unsupported Avro type: {t!r}")
+
+
+# --------------------------------------------------------------------------
+# container file framing
+# --------------------------------------------------------------------------
+
+def _compress(data: bytes, codec: str) -> bytes:
+    if codec == "null":
+        return data
+    if codec == "deflate":  # raw RFC-1951, no zlib wrapper (per spec)
+        co = zlib.compressobj(6, zlib.DEFLATED, -15)
+        return co.compress(data) + co.flush()
+    if codec == "snappy":
+        if _snappy is None:
+            raise RuntimeError("snappy codec requires python-snappy")
+        body = _snappy.compress(data)
+        return body + struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF)
+    raise ValueError(f"unsupported codec: {codec!r}")
+
+
+def _decompress(data: bytes, codec: str) -> bytes:
+    if codec == "null":
+        return data
+    if codec == "deflate":
+        return zlib.decompress(data, -15)
+    if codec == "snappy":
+        if _snappy is None:
+            raise RuntimeError("snappy codec requires python-snappy")
+        # trailing 4 bytes are the Avro block CRC32 — strip before
+        # uncompress, exactly like the reference (src/index.js:319-326)
+        return _snappy.uncompress(data[:-4])
+    raise ValueError(f"unsupported codec: {codec!r}")
+
+
+def write_ocf(
+    path: str,
+    schema,
+    rows: Iterable[dict],
+    *,
+    codec: str = "null",
+    block_rows: int = 4096,
+) -> None:
+    """Write rows (dicts keyed by field name) as an Avro OCF.
+
+    Output is byte-deterministic for a given (schema, rows, codec): the
+    16-byte sync marker is derived from the schema instead of random.
+    """
+    schema_json = json.dumps(schema, sort_keys=True, separators=(",", ":"))
+    sync = hashlib.md5(b"avro_diff_spark:" + schema_json.encode()).digest()
+    out = bytearray()
+    out += MAGIC
+    meta = {"avro.schema": schema_json.encode(), "avro.codec": codec.encode()}
+    _write_long(out, len(meta))
+    for k, v in meta.items():
+        _write_bytes(out, k.encode())
+        _write_bytes(out, v)
+    _write_long(out, 0)
+    out += sync
+
+    block: bytearray = bytearray()
+    n_in_block = 0
+
+    def flush() -> None:
+        nonlocal block, n_in_block
+        if not n_in_block:
+            return
+        data = _compress(bytes(block), codec)
+        _write_long(out, n_in_block)
+        _write_bytes(out, data)
+        out.extend(sync)
+        block, n_in_block = bytearray(), 0
+
+    for r in rows:
+        _encode(r, schema, block)
+        n_in_block += 1
+        if n_in_block >= block_rows:
+            flush()
+    flush()
+    with open(path, "wb") as f:
+        f.write(bytes(out))
+
+
+def read_ocf_header(data: bytes) -> tuple[dict, str, bytes, int]:
+    """(schema, codec, sync, body_offset) from the leading bytes of an OCF."""
+    if data[:4] != MAGIC:
+        raise ValueError("not an Avro object container file (bad magic)")
+    pos = 4
+    meta: dict[str, bytes] = {}
+    while True:
+        cnt, pos = _read_long(data, pos)
+        if cnt == 0:
+            break
+        if cnt < 0:
+            _, pos = _read_long(data, pos)
+            cnt = -cnt
+        for _ in range(cnt):
+            k, pos = _read_sized(data, pos)
+            v, pos = _read_sized(data, pos)
+            meta[k.decode("utf-8")] = v
+    sync = bytes(data[pos : pos + 16])
+    schema = json.loads(meta["avro.schema"])
+    codec = meta.get("avro.codec", b"null").decode()
+    return schema, codec, sync, pos + 16
+
+
+def iter_ocf(data: bytes) -> Iterator[dict]:
+    """Decode every record of an OCF held in memory."""
+    schema, codec, sync, pos = read_ocf_header(data)
+    n = len(data)
+    while pos < n:
+        cnt, pos = _read_long(data, pos)
+        raw, pos = _read_sized(data, pos)
+        if data[pos : pos + 16] != sync:
+            raise ValueError("sync marker mismatch (corrupt block)")
+        pos += 16
+        block = _decompress(bytes(raw), codec)
+        bpos = 0
+        for _ in range(cnt):
+            rec, bpos = _decode(block, bpos, schema)
+            yield rec
+
+
+# --------------------------------------------------------------------------
+# Avro schema <-> Spark schema
+# --------------------------------------------------------------------------
+
+_PRIMITIVES = {
+    "null": "void",
+    "boolean": "boolean",
+    "int": "int",
+    "long": "long",
+    "float": "float",
+    "double": "double",
+    "bytes": "binary",
+    "string": "string",
+}
+
+
+def avro_to_spark_type(schema):
+    """Spark DataType for an Avro schema (logical types as raw primitives)."""
+    from pyspark.sql import types as T
+
+    branch, nullable = nullable_branch(schema)
+    t = _type_name(branch)
+    if t in _PRIMITIVES:
+        dt = {
+            "boolean": T.BooleanType(),
+            "int": T.IntegerType(),
+            "long": T.LongType(),
+            "float": T.FloatType(),
+            "double": T.DoubleType(),
+            "bytes": T.BinaryType(),
+            "string": T.StringType(),
+            "null": T.NullType(),
+        }[t]
+        return dt, nullable
+    if t == "enum":
+        return T.StringType(), nullable
+    if t == "fixed":
+        return T.BinaryType(), nullable
+    if t == "record":
+        fields = []
+        for f in branch["fields"]:
+            ft, fn = avro_to_spark_type(f["type"])
+            fields.append(T.StructField(f["name"], ft, fn))
+        return T.StructType(fields), nullable
+    if t == "array":
+        et, en = avro_to_spark_type(branch["items"])
+        return T.ArrayType(et, containsNull=en), nullable
+    if t == "map":
+        vt, vn = avro_to_spark_type(branch["values"])
+        return T.MapType(T.StringType(), vt, valueContainsNull=vn), nullable
+    raise ValueError(f"unsupported Avro type: {t!r}")
+
+
+def avro_to_spark_schema(schema):
+    """StructType for a top-level Avro record schema."""
+    from pyspark.sql import types as T
+
+    dt, _ = avro_to_spark_type(schema)
+    if not isinstance(dt, T.StructType):
+        raise ValueError("top-level Avro schema must be a record")
+    return dt
+
+
+def spark_to_avro_schema(schema, name: str = "topLevelRecord"):
+    """Avro record schema for a Spark StructType (nullable → null union)."""
+    from pyspark.sql import types as T
+
+    def conv(dt, nullable, path):
+        if isinstance(dt, T.StructType):
+            out = {
+                "type": "record",
+                "name": "r_" + "_".join(path) if path else name,
+                "fields": [
+                    {"name": f.name, "type": conv(f.dataType, f.nullable, path + (f.name,))}
+                    for f in dt.fields
+                ],
+            }
+        elif isinstance(dt, T.ArrayType):
+            out = {"type": "array", "items": conv(dt.elementType, dt.containsNull, path + ("item",))}
+        elif isinstance(dt, T.MapType):
+            if not isinstance(dt.keyType, T.StringType):
+                raise ValueError("Avro maps require string keys")
+            out = {"type": "map", "values": conv(dt.valueType, dt.valueContainsNull, path + ("value",))}
+        elif isinstance(dt, T.BooleanType):
+            out = "boolean"
+        elif isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType)):
+            out = "int"
+        elif isinstance(dt, T.LongType):
+            out = "long"
+        elif isinstance(dt, T.FloatType):
+            out = "float"
+        elif isinstance(dt, T.DoubleType):
+            out = "double"
+        elif isinstance(dt, T.StringType):
+            out = "string"
+        elif isinstance(dt, T.BinaryType):
+            out = "bytes"
+        else:
+            raise ValueError(
+                f"no Avro mapping for Spark type {dt.simpleString()} — project "
+                "timestamps/decimals to long/double first (reference stores "
+                "timestamps as raw longs, SURVEY.md §1.2)"
+            )
+        return ["null", out] if nullable else out
+
+    root = conv(schema, False, ())
+    root["name"] = name
+    return root

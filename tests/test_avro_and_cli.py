@@ -1,14 +1,13 @@
 """Avro source round-trip + CLI smoke tests.
 
-The reference's whole surface is Avro OCF inputs (SURVEY.md §2.1); prove the
-spark-avro path end-to-end where the module is on the classpath: write
-testdata as Avro (snappy + deflate like the reference's codec matrix), read
-via read_avro with keep/ignore projection, and diff.
-
-This container's Spark distribution does NOT ship the external spark-avro
-module (production clusters add ``--packages org.apache.spark:spark-avro``),
-so the Avro-codec tests auto-skip here and the same scenarios run on parquet
-— the format choice is orthogonal to every operator's semantics.
+The reference's whole surface is Avro OCF inputs (SURVEY.md §2.1). This
+container's Spark distribution does NOT ship the external spark-avro module,
+so these tests prove the pure-Python OCF fallback end-to-end instead: write
+testdata as real container files (deflate + null codecs, mirroring the
+reference's codec matrix at src/index.js:335-352), read via read_avro's
+distributed binaryFile+mapInPandas path, project, and diff. When spark-avro
+IS present (real clusters), read_avro routes through it with the same
+semantics.
 """
 
 from __future__ import annotations
@@ -17,34 +16,33 @@ import pytest
 from pyspark.sql import functions as F
 
 from avro_diff_spark import key_diff
+from avro_diff_spark.functions.canonical import ts_micros
 from avro_diff_spark.snapshots import orders_new, orders_old
-from avro_diff_spark.sources.avro import avro_available, read_avro, read_parquet
+from avro_diff_spark.sources import ocf
+from avro_diff_spark.sources.avro import read_avro, read_parquet, write_avro
+
+
+def _prep(df):
+    # timestamps ride as raw epoch-micros longs (reference stores timestamps
+    # as raw longs, SURVEY.md §1.2; the OCF converter rejects TimestampType)
+    return df.withColumn("o_orderdate", ts_micros(F.col("o_orderdate")))
 
 
 @pytest.fixture(scope="module")
 def orders_files(spark, sf_dir, tmp_path_factory):
-    """(old_path, new_path, fmt): Avro with two codecs when available, else parquet."""
+    """(old_path, new_path): real Avro OCFs, one per codec."""
     base = tmp_path_factory.mktemp("io")
-    if avro_available(spark):
-        old_p, new_p = str(base / "orders_old.avro"), str(base / "orders_new.avro")
-        orders_old(spark, sf_dir).write.format("avro").option("compression", "snappy").save(old_p)
-        orders_new(spark, sf_dir).write.format("avro").option("compression", "deflate").save(new_p)
-        return old_p, new_p, "avro"
-    old_p, new_p = str(base / "orders_old.pq"), str(base / "orders_new.pq")
-    orders_old(spark, sf_dir).write.parquet(old_p)
-    orders_new(spark, sf_dir).write.parquet(new_p)
-    return old_p, new_p, "parquet"
-
-
-def _read(spark, path, fmt, **kw):
-    return read_avro(spark, path, **kw) if fmt == "avro" else read_parquet(spark, path, **kw)
+    old_p, new_p = str(base / "orders_old.avro"), str(base / "orders_new.avro")
+    write_avro(_prep(orders_old(spark, sf_dir)), old_p, codec="deflate")
+    write_avro(_prep(orders_new(spark, sf_dir)), new_p, codec="null")
+    return old_p, new_p
 
 
 def test_roundtrip_diff_matches_parquet_diff(spark, sf_dir, orders_files):
     """Codec / file-format choice must not change results (SURVEY.md §5c)."""
-    old_p, new_p, fmt = orders_files
-    old, new = _read(spark, old_p, fmt), _read(spark, new_p, fmt)
-    d_file = key_diff(old, new, ["o_orderkey"], include_payload=False)
+    old_p, new_p = orders_files
+    d_file = key_diff(read_avro(spark, old_p), read_avro(spark, new_p),
+                      ["o_orderkey"], include_payload=False)
     d_parq = key_diff(
         orders_old(spark, sf_dir), orders_new(spark, sf_dir), ["o_orderkey"], include_payload=False
     )
@@ -54,46 +52,106 @@ def test_roundtrip_diff_matches_parquet_diff(spark, sf_dir, orders_files):
 
 
 def test_keep_ignore_projection(spark, orders_files):
-    old_p, _, fmt = orders_files
-    df = _read(
+    old_p, _ = orders_files
+    df = read_avro(
         spark,
         old_p,
-        fmt,
         keep_fields=["o_orderkey", "o_totalprice", "o_custkey"],
         ignore_fields=["o_custkey"],
     )
     assert df.columns == ["o_orderkey", "o_totalprice"]
 
 
-def test_timestamp_survives(spark, orders_files):
-    old_p, _, fmt = orders_files
-    df = _read(spark, old_p, fmt)
-    assert df.filter(F.col("o_orderdate").isNull()).count() == 0
+def test_reader_schema_override_projects(spark, orders_files):
+    # the reference's readerSchema trick (src/index.js:39-51): a narrowed
+    # schema decodes only the declared fields
+    old_p, _ = orders_files
+    narrowed = {
+        "type": "record",
+        "name": "topLevelRecord",
+        "fields": [
+            {"name": "o_orderkey", "type": ["null", "long"]},
+            {"name": "o_totalprice", "type": ["null", "double"]},
+        ],
+    }
+    df = read_avro(spark, old_p, avro_schema=narrowed)
+    assert df.columns == ["o_orderkey", "o_totalprice"]
+    assert df.filter(F.col("o_totalprice").isNull()).count() == 0
 
 
-def test_read_avro_clear_error_when_module_missing(spark, tmp_path):
-    if avro_available(spark):
-        pytest.skip("spark-avro present; the missing-module error path is moot")
-    with pytest.raises(RuntimeError, match="spark-avro"):
+def test_nested_types_roundtrip(spark, tmp_path):
+    """record/array/map/union/enum/fixed/bytes through both codecs."""
+    schema = {
+        "type": "record", "name": "t", "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "name", "type": ["null", "string"]},
+            {"name": "flags", "type": {"type": "array", "items": "int"}},
+            {"name": "attrs", "type": {"type": "map", "values": ["null", "string"]}},
+            {"name": "sub", "type": ["null", {"type": "record", "name": "s", "fields": [
+                {"name": "x", "type": "long"}, {"name": "y", "type": ["null", "string"]}]}]},
+            {"name": "raw", "type": "bytes"},
+            {"name": "kind", "type": {"type": "enum", "name": "k", "symbols": ["A", "B"]}},
+        ],
+    }
+    rows = [
+        {"id": 1, "name": "a", "flags": [1, -2], "attrs": {"k": "v", "n": None},
+         "sub": {"x": 9, "y": None}, "raw": b"\x00\x01", "kind": "A"},
+        {"id": -(2**53) - 7, "name": None, "flags": [], "attrs": {},
+         "sub": None, "raw": b"", "kind": "B"},
+    ]
+    for codec in ("null", "deflate"):
+        p = str(tmp_path / f"t_{codec}.avro")
+        ocf.write_ocf(p, schema, rows, codec=codec)
+        with open(p, "rb") as f:
+            assert list(ocf.iter_ocf(f.read())) == rows
+        df = read_avro(spark, p)
+        got = df.orderBy(F.col("id").desc()).collect()
+        assert got[0]["sub"]["x"] == 9 and got[0]["attrs"]["k"] == "v"
+        # exact int64 beyond 2^53 — the reference's documented precision
+        # loss (README.md:27) does not occur here
+        assert got[1]["id"] == -(2**53) - 7
+
+
+def test_multi_file_directory_scan(spark, sf_dir, tmp_path):
+    d = str(tmp_path / "many")
+    import os
+
+    os.makedirs(d)
+    src = _prep(orders_old(spark, sf_dir)).limit(30).collect()
+    schema = ocf.spark_to_avro_schema(
+        _prep(orders_old(spark, sf_dir)).schema
+    )
+    for i in range(3):
+        ocf.write_ocf(
+            f"{d}/part-{i}.avro", schema,
+            [r.asDict() for r in src[i * 10 : (i + 1) * 10]],
+        )
+    df = read_avro(spark, d)
+    assert df.count() == 30
+    assert df.rdd.getNumPartitions() >= 1
+
+
+def test_read_avro_missing_path_raises(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
         read_avro(spark, str(tmp_path / "nope.avro"))
 
 
 def test_cli_key_diff_prints_stats(spark, orders_files, capsys):
-    old_p, new_p, fmt = orders_files
+    old_p, new_p = orders_files
     from avro_diff_spark import cli
 
-    rc = cli.key_diff_main([old_p, new_p, "o_orderkey", "--limit", "3", "--format", fmt])
+    rc = cli.key_diff_main([old_p, new_p, "o_orderkey", "--limit", "3", "--format", "avro"])
     assert rc == 0
     out = capsys.readouterr().out
     assert "# of added rows:" in out and "# of unchanged rows:" in out
 
 
 def test_cli_venn_diff_correct_labels(spark, orders_files, capsys, tmp_path):
-    old_p, new_p, fmt = orders_files
+    old_p, new_p = orders_files
     from avro_diff_spark import cli
 
     sink = str(tmp_path / "venn_out")
-    rc = cli.venn_diff_main([old_p, new_p, "--output", sink, "--format", fmt])
+    rc = cli.venn_diff_main([old_p, new_p, "--output", sink, "--format", "avro"])
     assert rc == 0
     out = capsys.readouterr().out
     assert "# of removed rows:" in out
