@@ -335,5 +335,5 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": analytics.SESSIONIZE_SQL,
         "asof_attribution": analytics.ASOF_ATTRIBUTION_SQL,
         "events_rollup": analytics.EVENTS_ROLLUP_SQL,
-        **pipelines.PIPELINE_SQL,
+        **pipelines.pipeline_sql(),
     }

@@ -97,14 +97,15 @@ def cosine_topk(
     return topk_per_query(cosine_pairs(queries, candidates), k)
 
 
-def sign_bucket(emb: Column, n_planes: int = 8) -> Column:
-    """LSH bucket id: bit b set iff embedding[b] > 0 (axis-aligned
+def sign_bucket(emb: Column, n_planes: int = 8, offset: int = 0) -> Column:
+    """LSH bucket id: bit b set iff embedding[offset + b] > 0 (axis-aligned
     hyperplanes — deterministic and engine-portable; swap in fixed random
-    planes via a dot product for production isotropy)."""
+    planes via a dot product for production isotropy). ``offset`` selects
+    which dimensions act as planes, enabling banded multi-probe blocking."""
     out = F.lit(0)
     for b in range(n_planes):  # literal shifts: F.shiftleft needs int bits
         out = out + F.when(
-            F.element_at(emb, b + 1).cast("double") > 0.0, F.lit(1 << b)
+            F.element_at(emb, offset + b + 1).cast("double") > 0.0, F.lit(1 << b)
         ).otherwise(F.lit(0))
     return out
 
@@ -139,6 +140,60 @@ def ann_signbucket_topk(
     return topk_per_query(scored, k)
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def train_ivf_centroids(
+    parquet_path: str,
+    *,
+    n_centroids: int = 16,
+    sample: int = 1024,
+    iters: int = 5,
+) -> tuple[tuple[int, tuple[float, ...]], ...]:
+    """Deterministic Lloyd k-means over a bounded hash-sample — real IVF
+    training whose output embeds as LITERALS into both the Spark plan and
+    the DuckDB oracle SQL.
+
+    Contract (the reason this is driver-side): IVF centroid training is
+    universally done on a bounded sample (FAISS's own train() takes a
+    sample), so the collect here is O(sample·dim), independent of corpus
+    size. Determinism by construction: the sample is the ``sample`` lowest
+    (md5-of-id, id) rows — partition-layout-independent — read via DuckDB
+    straight from parquet (no float-sum reduction-order hazard), and numpy
+    float64 Lloyd iterations are sequential and seed-free. Assignment is
+    cosine, ties to the lowest centroid id; empty clusters keep their
+    previous centroid; final centroids round to 12 decimals so the literal
+    printed into SQL is compact and round-trips exactly.
+    """
+    import duckdb
+    import numpy as np
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT embedding FROM read_parquet('{parquet_path}')
+        ORDER BY ('0x' || substr(md5('ivf:' || CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT,
+                 vec_id
+        LIMIT {sample}
+        """
+    ).fetchall()
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    cents = x[:n_centroids].copy()
+    for _ in range(iters):
+        cn = np.linalg.norm(cents, axis=1, keepdims=True)
+        cn[cn == 0.0] = 1.0
+        sims = xn @ (cents / cn).T  # cosine; argmax tie -> lowest cid
+        assign = np.argmax(sims, axis=1)
+        for c in range(n_centroids):
+            members = x[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    cents = np.round(cents, 12)
+    return tuple((cid, tuple(float(v) for v in cents[cid])) for cid in range(n_centroids))
+
+
 def _lit_vec(vec) -> Column:
     # one F.lit on the whole list (a single array Literal) — element-wise
     # F.array(*[F.lit(x) ...]) costs dim Py4J round-trips per use and blows
@@ -153,13 +208,15 @@ def ivf_topk(
     *,
     n_centroids: int = 16,
     probes: int = 2,
+    centroids=None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the classic ANN scale path.
 
-    - **Centroids**: the first ``n_centroids`` candidates by vec_id — a
-      deterministic stand-in for k-means training (production swaps in real
-      centroids; everything downstream is unchanged). Small by contract:
-      collected once, embedded as literal arrays, constant-folded.
+    - **Centroids**: pass ``centroids`` as [(cid, vector), ...] — normally
+      from :func:`train_ivf_centroids` (deterministic sampled Lloyd). When
+      omitted, falls back to the first ``n_centroids`` candidates by vec_id
+      (a documented untrained stand-in). Small by contract either way:
+      embedded as literal arrays, constant-folded.
     - **Assignment**: every candidate goes to its nearest centroid (argmax
       cosine, ties to the lowest centroid id) as a pure Column expression —
       the 100 TB candidate scan has NO shuffle and no Python.
@@ -170,12 +227,15 @@ def ivf_topk(
     Same output contract as :func:`cosine_topk` (rank by cosine desc,
     cand_id asc).
     """
-    cent_rows = (
-        candidates.select("vec_id", "embedding")
-        .filter(F.col("vec_id") < n_centroids)
-        .collect()
-    )
-    cents = sorted((r["vec_id"], r["embedding"]) for r in cent_rows)
+    if centroids is not None:
+        cents = sorted((int(cid), list(vec)) for cid, vec in centroids)
+    else:
+        cent_rows = (
+            candidates.select("vec_id", "embedding")
+            .filter(F.col("vec_id") < n_centroids)
+            .collect()
+        )
+        cents = sorted((r["vec_id"], r["embedding"]) for r in cent_rows)
 
     def _py_norm(vec) -> float:
         """Python mirror of _dec_norm on a literal vector: identical IEEE
@@ -257,22 +317,57 @@ def ivf_topk(
     return topk_per_query(scored, k)
 
 
-def embedding_near_dups(df: DataFrame, threshold: float = 0.95) -> DataFrame:
+def embedding_near_dups(
+    df: DataFrame,
+    threshold: float = 0.95,
+    *,
+    bands: int = 3,
+    rows_per_band: int = 8,
+) -> DataFrame:
     """Near-duplicate vector pairs (a < b) with cosine ≥ threshold, blocked
-    by sign bucket (same-bucket pairs only — the scalable formulation)."""
+    by **banded sign-plane LSH** (MinHash-band style OR over ``bands`` bands
+    of ``rows_per_band`` planes each).
+
+    Scale model: a single flat bucket of ``r`` planes gives only ``2^r``
+    blocks — within-block pairing stays O(n²/2^r), still quadratic. Banding
+    uses ``bands·rows_per_band`` planes total (24 by default ⇒ block keys
+    drawn from 3·2⁸ populations whose occupancy shrinks geometrically with
+    r), so blocks stay bounded while the OR over bands controls recall.
+
+    Recall model (random-hyperplane LSH): a pair at angle θ agrees on one
+    plane with probability 1−θ/π, matches a band with (1−θ/π)^r, and is a
+    candidate with 1−(1−(1−θ/π)^r)^b — e.g. ≈0.81 at cosine 0.95 with
+    b=3, r=8, and →1 as cosine→1 (exact duplicates are always found: equal
+    vectors share every band). The DuckDB oracle mirrors the banding
+    exactly, so results are reproducible bit-for-bit.
+    """
     s = spread_small(df).select(
         "vec_id",
         F.col("embedding"),
         _dec_norm(F.col("embedding")).alias("norm"),
-        sign_bucket(F.col("embedding")).alias("bucket"),
     )
-    a, b = s.alias("a"), s.alias("b")
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_id"),
+                sign_bucket(
+                    F.col("embedding"), rows_per_band, offset=i * rows_per_band
+                ).alias("band_bits"),
+            )
+            for i in range(bands)
+        ]
+    )
+    banded = s.select(
+        "vec_id", "embedding", "norm", F.explode(band_arr).alias("bk")
+    ).select("vec_id", "embedding", "norm", "bk.band_id", "bk.band_bits")
+    a, b = banded.alias("a"), banded.alias("b")
     dot = _fixed_dot(F.col("a.embedding"), F.col("b.embedding"))
     cos = F.try_divide(dot, F.col("a.norm") * F.col("b.norm"))
     return (
         a.join(
             b,
-            (F.col("a.bucket") == F.col("b.bucket"))
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_bits") == F.col("b.band_bits"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(
@@ -281,6 +376,9 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.95) -> DataFrame:
             cos.alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
+        # a pair can match in several bands; fixed-point cosine is identical
+        # on every copy, so distinct on the full row dedupes exactly
+        .distinct()
     )
 
 

@@ -482,31 +482,62 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.embedding_near_dups(corpus, threshold=0.95)
 
 
-EMBEDDING_NEAR_DUPS_SQL = f"""
+def _band_bits_sql(e: str, offset: int, r: int) -> str:
+    return (
+        f"list_sum(list_transform(range(0, {r}), "
+        f"b -> CASE WHEN CAST({e}[{offset} + b + 1] AS DOUBLE) > 0.0 THEN (1 << b) ELSE 0 END))"
+    )
+
+
+def _embedding_near_dups_sql(threshold: float = 0.95, bands: int = 3, rows_per_band: int = 8) -> str:
+    # banded mirror of similarity.embedding_near_dups: same (band_id, bits)
+    # keys, OR over bands via UNION ALL + DISTINCT pairs
+    band_terms = " UNION ALL ".join(
+        f"SELECT vec_id, embedding, {i} AS band_id, "
+        f"{_band_bits_sql('embedding', i * rows_per_band, rows_per_band)} AS band_bits FROM corpus"
+        for i in range(bands)
+    )
+    return f"""
 WITH corpus AS ({snap.EMBEDDINGS_WITH_DUPS_SQL}),
-s AS (
-  SELECT vec_id, embedding, {_BUCKET_SQL.format(e='embedding')} AS bucket FROM corpus
+banded AS ({band_terms}),
+cands AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         a.embedding AS e_a, b.embedding AS e_b
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.band_bits = b.band_bits
+   AND a.vec_id < b.vec_id
 )
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       {_cos_sql('a.embedding', 'b.embedding')} AS cosine
-FROM s a JOIN s b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-WHERE {_cos_sql('a.embedding', 'b.embedding')} >= 0.95
+SELECT vec_a, vec_b, cosine FROM (
+  SELECT vec_a, vec_b, {_cos_sql('e_a', 'e_b')} AS cosine FROM cands
+) WHERE cosine >= {threshold}
 """
+
+
+#: the driver's correctness gate runs at this scale factor (TESTDATA.md);
+#: oracle SQL strings that embed data-derived constants (IVF centroids)
+#: must be generated against the same data the oracle executes on.
+ORACLE_SF_DIR = "/root/testdata/sf0.01"
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 10)
-    return SIM.ivf_topk(queries, emb, k=5, n_centroids=16, probes=2)
+    cents = SIM.train_ivf_centroids(f"{sf_dir}/embeddings.parquet")
+    return SIM.ivf_topk(queries, emb, k=5, probes=2, centroids=cents)
 
 
-# assignment/probing mirror ivf_topk exactly: centroids = vec_id < 16,
-# nearest-cell by (cosine DESC, cid ASC); every pair appears at most once
-# (a candidate lives in exactly one cell).
-IVF_TOPK_SQL = f"""
-WITH cents AS (
-  SELECT vec_id AS cid, embedding AS cent FROM embeddings WHERE vec_id < 16
-),
+def _ivf_sql(k: int = 5, probes: int = 2, n_queries: int = 10) -> str:
+    # assignment/probing mirror ivf_topk exactly: TRAINED centroids (same
+    # deterministic Lloyd output as the Spark plan) embedded as literals;
+    # nearest-cell by (cosine DESC, cid ASC); every pair appears at most
+    # once (a candidate lives in exactly one cell).
+    cents = SIM.train_ivf_centroids(f"{ORACLE_SF_DIR}/embeddings.parquet")
+    cent_rows = " UNION ALL ".join(
+        f"SELECT {cid} AS cid, [{', '.join(repr(v) for v in vec)}]::DOUBLE[] AS cent"
+        for cid, vec in cents
+    )
+    return f"""
+WITH cents AS ({cent_rows}),
 assign AS (
   SELECT e.vec_id, e.embedding, c.cid,
          row_number() OVER (PARTITION BY e.vec_id
@@ -516,7 +547,7 @@ assign AS (
 cand AS (SELECT vec_id AS cand_id, embedding AS c_emb, cid AS cell
          FROM assign WHERE rn = 1),
 probe AS (SELECT vec_id AS query_id, embedding AS q_emb, cid AS cell
-          FROM assign WHERE rn <= 2 AND vec_id < 10),
+          FROM assign WHERE rn <= {probes} AND vec_id < {n_queries}),
 scored AS (
   SELECT query_id, cand_id, {_cos_sql('q_emb', 'c_emb')} AS cosine
   FROM probe JOIN cand USING (cell)
@@ -526,7 +557,7 @@ SELECT query_id, cand_id, rank, cosine FROM (
   SELECT *, CAST(row_number() OVER (PARTITION BY query_id
                  ORDER BY cosine DESC, cand_id ASC) AS INT) AS rank
   FROM scored
-) WHERE rank <= 5
+) WHERE rank <= {k}
 """
 
 
@@ -625,23 +656,27 @@ PIPELINE_QUERIES = {
     "audio_features_stub": q_audio_features_stub,  # rows-only: Pandas-UDF fake decode
 }
 
-PIPELINE_SQL = {
-    "text_stats": TEXT_STATS_SQL,
-    "vocab_topk": VOCAB_TOPK_SQL,
-    "doc_length_percentiles": DOC_LENGTH_PCT_SQL,
-    "dataset_split_counts": DATASET_SPLIT_SQL,
-    "lang_id_counts": _lang_id_sql(),
-    "quality_scores": _quality_sql(),
-    "rolling_fingerprints": ROLLING_FINGERPRINTS_SQL,
-    "dedup_exact_clusters": DEDUP_EXACT_CLUSTERS_SQL,
-    "dedup_exact_survivors": DEDUP_EXACT_SURVIVORS_SQL,
-    "jaccard_pairs": JACCARD_PAIRS_SQL,
-    "minhash_near_dups": _minhash_sql(),
-    "simhash_near_dups": _simhash_sql(),
-    "cosine_topk": COSINE_TOPK_SQL,
-    "ann_signbucket_topk": ANN_SIGNBUCKET_SQL,
-    "ivf_topk": IVF_TOPK_SQL,
-    "embedding_near_dups": EMBEDDING_NEAR_DUPS_SQL,
-    "media_metadata": MEDIA_METADATA_SQL,
-    "frame_sample_lens": FRAME_SAMPLE_LENS_SQL,
-}
+def pipeline_sql() -> dict[str, str]:
+    """Oracle SQL per pipeline query — built lazily because ivf_topk's
+    oracle embeds TRAINED centroid literals (a bounded DuckDB read of the
+    oracle-scale parquet at build time)."""
+    return {
+        "text_stats": TEXT_STATS_SQL,
+        "vocab_topk": VOCAB_TOPK_SQL,
+        "doc_length_percentiles": DOC_LENGTH_PCT_SQL,
+        "dataset_split_counts": DATASET_SPLIT_SQL,
+        "lang_id_counts": _lang_id_sql(),
+        "quality_scores": _quality_sql(),
+        "rolling_fingerprints": ROLLING_FINGERPRINTS_SQL,
+        "dedup_exact_clusters": DEDUP_EXACT_CLUSTERS_SQL,
+        "dedup_exact_survivors": DEDUP_EXACT_SURVIVORS_SQL,
+        "jaccard_pairs": JACCARD_PAIRS_SQL,
+        "minhash_near_dups": _minhash_sql(),
+        "simhash_near_dups": _simhash_sql(),
+        "cosine_topk": COSINE_TOPK_SQL,
+        "ann_signbucket_topk": ANN_SIGNBUCKET_SQL,
+        "ivf_topk": _ivf_sql(),
+        "embedding_near_dups": _embedding_near_dups_sql(),
+        "media_metadata": MEDIA_METADATA_SQL,
+        "frame_sample_lens": FRAME_SAMPLE_LENS_SQL,
+    }
