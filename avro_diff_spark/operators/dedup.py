@@ -274,6 +274,8 @@ def _prefix_candidates(doc_sh: DataFrame, threshold: float) -> DataFrame:
     candidates). α is left as a real number: the un-ceiled bound is looser
     than the integer one, so the filter stays sound under float rounding.
     """
+    from pyspark.sql import Window
+
     # explode_outer, NOT explode: plain explode makes Catalyst infer a
     # `size(sh) > 0 AND isnotnull(sh)` filter and push it through the
     # repartition exchange into the scan — where `sh` is not a column, so
@@ -281,35 +283,32 @@ def _prefix_candidates(doc_sh: DataFrame, threshold: float) -> DataFrame:
     # per input row (2× on top of the real computation). explode_outer
     # infers nothing; the cheap post-explode null filter is equivalent
     # because no document has a null/empty shingle set row that matters.
-    exploded = doc_sh.select("doc_id", F.explode_outer("sh").alias("s")).where(
-        F.col("s").isNotNull()
-    )
+    # n_sh rides along from the array (sh is exchange-materialized: size()
+    # is a cheap column op, and it saves a count-over-partition later).
+    exploded = doc_sh.select(
+        "doc_id", F.size("sh").alias("n_sh"), F.explode_outer("sh").alias("s")
+    ).where(F.col("s").isNotNull())
     # global order: (document frequency asc, shingle asc) — any total
-    # order works for correctness; rarest-first minimizes bucket sizes
+    # order works for correctness; rarest-first minimizes bucket sizes.
+    # Broadcast: the char-shingle domain is bounded by alphabet^k (a few
+    # million for normalized text at k=5), INDEPENDENT of corpus size, so
+    # the dfreq map stays broadcastable at any scale.
     dfreq = exploded.groupBy("s").agg(F.count(F.lit(1)).alias("df_s"))
-    ranked = (
-        exploded.join(dfreq, "s")
-        .groupBy("doc_id")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct(F.col("df_s"), F.col("s")))
-            ).alias("ordered")
-        )
+    # rank via a window instead of per-doc collect_list + array sort: the
+    # broadcast join preserves doc_sh's doc_id partitioning, so the window
+    # adds only a sort (no exchange), streams instead of building per-doc
+    # arrays, and skips the slice/transform re-materialization.
+    w = Window.partitionBy("doc_id").orderBy("df_s", "s")
+    ranked = exploded.join(F.broadcast(dfreq), "s").select(
+        "doc_id", "n_sh", "s", F.row_number().over(w).alias("rank")
     )
     # static prefix size for Jaccard t: |d| - ceil(t*|d|) + 1
-    n = F.size("ordered")
-    plen = n - F.ceil(F.lit(float(threshold)) * n).cast("int") + 1
-    prefix = (
-        ranked.select(
-            "doc_id",
-            n.alias("n_sh"),
-            F.posexplode_outer(
-                F.transform(F.slice("ordered", 1, plen), lambda x: x.getField("s"))
-            ).alias("pos", "s"),
-        )
-        .where(F.col("s").isNotNull())
-        .select("doc_id", "n_sh", (F.col("pos") + 1).alias("rank"), "s")
+    plen = (
+        F.col("n_sh")
+        - F.ceil(F.lit(float(threshold)) * F.col("n_sh")).cast("int")
+        + 1
     )
+    prefix = ranked.where(F.col("rank") <= plen).select("doc_id", "n_sh", "rank", "s")
     a, b = prefix.alias("a"), prefix.alias("b")
     t = float(threshold)
     # length filter (PPJoin): jaccard >= t forces t*max(|A|,|B|) <= min

@@ -277,8 +277,15 @@ SELECT min(doc_id) AS doc_id FROM corpus GROUP BY md5({norm_sql('text')})
 
 
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # shingle_k=8, measured: prefix filtering's selectivity scales with the
+    # shingle-domain size. At k=5 this corpus has only ~2k distinct 5-grams
+    # (median document frequency ~350), so even rarest-first prefixes can't
+    # prune — ~2.2M candidate pairs from 6k docs at sf0.1. k=8 lifts the
+    # domain to ~13k distinct, cutting candidates ~8x and total time ~2x
+    # with the same near-dup pairs found (exact copies and trailing-word
+    # mutations stay above t=0.8 at any k in this range).
     corpus = snap.documents_with_dups(spark, sf_dir)
-    return DD.jaccard_pairs(corpus, "text", "doc_id", shingle_k=5, threshold=0.8)
+    return DD.jaccard_pairs(corpus, "text", "doc_id", shingle_k=8, threshold=0.8)
 
 
 # shingle sets are represented by 32-bit hashes on BOTH sides (see
@@ -288,7 +295,7 @@ JACCARD_PAIRS_SQL = f"""
 WITH corpus AS ({snap.DOCUMENTS_WITH_DUPS_SQL}),
 hs AS (
   SELECT doc_id,
-         list_distinct(list_transform({shingles_sql('text', 5, distinct=False)},
+         list_distinct(list_transform({shingles_sql('text', 8, distinct=False)},
                                       s -> {hash32_sql('s')})) AS sh
   FROM corpus
 ),
