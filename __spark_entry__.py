@@ -256,6 +256,37 @@ _VENN_ADDED_SQL = f"({snap.VENN_NEW_SQL}) EXCEPT ALL ({snap.VENN_OLD_SQL})"
 _VENN_INTERSECT_SQL = f"({snap.VENN_OLD_SQL}) INTERSECT ALL ({snap.VENN_NEW_SQL})"
 
 
+def _q_venn_onepass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three venn buckets in ONE pass (2 scans + 2 shuffles) via the
+    full-outer count join — vs ~6 scans for exceptAll x2 + intersectAll."""
+    from avro_diff_spark import venn_counts
+
+    return venn_counts(snap.venn_old(spark, sf_dir), snap.venn_new(spark, sf_dir))
+
+
+def _venn_onepass_sql() -> str:
+    cols = list(snap.VENN_COLS) + ["l_shipdate_us"]
+    col_list = ", ".join(cols)
+    coalesced = ", ".join(f"coalesce(o.{c}, n.{c}) AS {c}" for c in cols)
+    on = " AND ".join(f"o.{c} IS NOT DISTINCT FROM n.{c}" for c in cols)
+    return f"""
+WITH o AS (SELECT {col_list}, count(*) AS n_old FROM ({snap.VENN_OLD_SQL}) GROUP BY ALL),
+     n AS (SELECT {col_list}, count(*) AS n_new FROM ({snap.VENN_NEW_SQL}) GROUP BY ALL),
+j AS (
+  SELECT {coalesced},
+         coalesce(o.n_old, 0) AS n_old, coalesce(n.n_new, 0) AS n_new
+  FROM o FULL OUTER JOIN n ON {on}
+)
+SELECT 'removed' AS venn_kind, {col_list}, n_old - n_new AS n_occurrences
+FROM j WHERE n_old > n_new
+UNION ALL
+SELECT 'added', {col_list}, n_new - n_old FROM j WHERE n_new > n_old
+UNION ALL
+SELECT 'intersection', {col_list}, least(n_old, n_new) FROM j
+WHERE least(n_old, n_new) > 0
+"""
+
+
 # --------------------------------------------------------------------------
 # data tests / projection
 # --------------------------------------------------------------------------
@@ -297,6 +328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "venn_removed": _q_venn_removed,
         "venn_added": _q_venn_added,
         "venn_intersection": _q_venn_intersection,
+        "venn_onepass_counts": _q_venn_onepass,
         "key_collisions_lineitem": _q_key_collisions_lineitem,
         "projection_keep_ignore": _q_projection,
         # general analytics (scan/agg/join/window/top-k/sessionize)
@@ -325,6 +357,7 @@ def oracle_sql() -> dict[str, str]:
         "venn_removed": _VENN_REMOVED_SQL,
         "venn_added": _VENN_ADDED_SQL,
         "venn_intersection": _VENN_INTERSECT_SQL,
+        "venn_onepass_counts": _venn_onepass_sql(),
         "key_collisions_lineitem": _KEY_COLLISIONS_SQL,
         "projection_keep_ignore": _PROJECTION_SQL,
         "pricing_summary": analytics.PRICING_SUMMARY_SQL,

@@ -13,7 +13,7 @@ from avro_diff_spark.session import get_spark
 from avro_diff_spark.sources.avro import read_avro
 from avro_diff_spark.sources.tables import load_table, load_tables
 from avro_diff_spark.operators.key_diff import key_diff, key_diff_detail
-from avro_diff_spark.operators.venn_diff import venn_diff, venn_summary
+from avro_diff_spark.operators.venn_diff import venn_counts, venn_diff, venn_summary
 from avro_diff_spark.operators.collisions import key_collisions
 from avro_diff_spark.operators.asof import asof_join
 
@@ -24,6 +24,7 @@ __all__ = [
     "load_tables",
     "key_diff",
     "key_diff_detail",
+    "venn_counts",
     "venn_diff",
     "venn_summary",
     "key_collisions",
