@@ -29,11 +29,17 @@ def _read(spark, path: str, fmt: str, keep, ignore):
     return read_parquet(spark, path, keep_fields=keep, ignore_fields=ignore)
 
 
-def _emit(df: DataFrame, output: str | None, limit: int) -> None:
+def _emit(df: DataFrame, output: str | None, limit: int, order_by=None) -> None:
+    # Ordered output only at the PRINT boundary (reference prints in
+    # lexCompare key order with null keys last, src/index.js:288-307);
+    # the parquet sink path stays sort-free — a global sort of a 100 TB
+    # diff result for no consumer is wasted work.
     if output:
         df.write.mode("overwrite").parquet(output)
         print(f"wrote {output}")
     else:
+        if order_by:
+            df = df.orderBy(*order_by)
         df.show(limit, truncate=False)
 
 
@@ -82,7 +88,14 @@ def key_diff_main(argv: list[str] | None = None) -> int:
         stats = {r["diff_kind"]: r["n"] for r in d.groupBy("diff_kind").agg(F.count(F.lit(1)).alias("n")).collect()}
         for kind in ("added", "removed", "changed", "unchanged"):
             print(f"# of {kind} rows: {stats.get(kind, 0)}")
-    _emit(d, args.output, args.limit)
+    from pyspark.sql import functions as F
+
+    # lexCompare parity: composite key fields ascending, nulls last (the
+    # coerced keys are non-null by construction, but keep the rule explicit)
+    order = [F.col(k).asc_nulls_last() for k in key]
+    if args.detail:
+        order.append(F.col("field").asc())
+    _emit(d, args.output, args.limit, order_by=order)
     return 0
 
 
@@ -110,7 +123,7 @@ def venn_diff_main(argv: list[str] | None = None) -> int:
     print(f"# of removed rows: {stats.get('removed', 0)}")
     print(f"# of added rows: {stats.get('added', 0)}")
     print(f"# of intersection rows: {stats.get('intersection', 0)}")
-    _emit(s, args.output, args.limit)
+    _emit(s, args.output, args.limit, order_by=[F.col("venn_kind").asc(), F.col("row_json").asc()])
     return 0
 
 

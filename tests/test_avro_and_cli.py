@@ -146,6 +146,27 @@ def test_cli_key_diff_prints_stats(spark, orders_files, capsys):
     assert "# of added rows:" in out and "# of unchanged rows:" in out
 
 
+def test_cli_prints_in_lex_key_order(spark, tmp_path, capsys):
+    # lexCompare parity (reference src/index.js:288-307): coerced STRING
+    # keys sort lexicographically, so "10" prints before "2"
+    old = spark.createDataFrame([(2, "a"), (10, "b"), (1, "c")], "k int, v string")
+    new = spark.createDataFrame([(2, "a"), (10, "B"), (1, "c")], "k int, v string")
+    op, np_ = str(tmp_path / "o.pq"), str(tmp_path / "n.pq")
+    old.write.parquet(op)
+    new.write.parquet(np_)
+    from avro_diff_spark import cli
+
+    rc = cli.key_diff_main([op, np_, "k", "--format", "parquet"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    keys = [
+        line.split("|")[1].strip()
+        for line in out.splitlines()
+        if line.startswith("|") and line.split("|")[1].strip() not in ("k", "")
+    ]
+    assert keys == ["1", "10", "2"]
+
+
 def test_cli_venn_diff_correct_labels(spark, orders_files, capsys, tmp_path):
     old_p, new_p = orders_files
     from avro_diff_spark import cli
