@@ -336,6 +336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_revenue_orders": analytics.top_revenue_orders,
         "region_revenue": analytics.region_revenue,
         "top_customers_by_segment": analytics.top_customers_by_segment,
+        "supplier_part_profit": analytics.supplier_part_profit,
         "events_hourly": analytics.events_hourly,
         "sessionize": analytics.sessionize,
         "asof_attribution": analytics.asof_attribution,
@@ -364,6 +365,7 @@ def oracle_sql() -> dict[str, str]:
         "top_revenue_orders": analytics.TOP_REVENUE_ORDERS_SQL,
         "region_revenue": analytics.REGION_REVENUE_SQL,
         "top_customers_by_segment": analytics.TOP_CUSTOMERS_BY_SEGMENT_SQL,
+        "supplier_part_profit": analytics.SUPPLIER_PART_PROFIT_SQL,
         "events_hourly": analytics.EVENTS_HOURLY_SQL,
         "sessionize": analytics.SESSIONIZE_SQL,
         "asof_attribution": analytics.ASOF_ATTRIBUTION_SQL,

@@ -167,6 +167,53 @@ GROUP BY r_name, n_name
 
 
 # --------------------------------------------------------------------------
+# supplier/part profit (TPC-H Q9 shape): fact ⋈ 3 broadcast dims → two-key
+# agg. At 100 TB the only shuffle is the final (n_name, p_brand) aggregate —
+# part/supplier/nation broadcast, and the p_size predicate pushes into the
+# part scan before the broadcast is built.
+# --------------------------------------------------------------------------
+
+def supplier_part_profit(spark: SparkSession, sf_dir: str, max_size: int = 25) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= max_size)
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    j = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+    )
+    # profit = discounted revenue − retail cost of the shipped quantity;
+    # all arithmetic in exact decimal (see module note on double hazards)
+    profit = _disc_price() - _money(F.col("p_retailprice")) * F.col(
+        "l_quantity"
+    ).cast("decimal(14,2)")
+    return (
+        j.groupBy("n_name", "p_brand")
+        .agg(
+            F.sum(profit).cast("double").alias("profit"),
+            _dec_sum(F.col("l_quantity"), 2).alias("total_qty"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SUPPLIER_PART_PROFIT_SQL = """
+SELECT n_name, p_brand,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
+           - CAST(p_retailprice AS DECIMAL(14,2)) * CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS profit,
+  CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS total_qty,
+  count(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_size <= 25
+GROUP BY n_name, p_brand
+"""
+
+
+# --------------------------------------------------------------------------
 # per-segment customer ranking: window functions (rank within partition).
 # At 100 TB: single shuffle on the partition key; no global sort.
 # --------------------------------------------------------------------------
