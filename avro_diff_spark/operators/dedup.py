@@ -113,10 +113,12 @@ def _signatures_from_sh(doc_sh: DataFrame, n_hashes: int) -> DataFrame:
     one shingle-hashing pass (and its reusable exchange) between signature
     generation and Jaccard verification.
 
-    Empty-shingle docs (text shorter than shingle_k) are dropped: their
-    signature slots would all be null, array_join skips nulls, and every
-    such doc would collapse onto identical band keys — a mega-bucket of
-    meaningless candidates (and a 0-divisor hazard in verification)."""
+    Empty-shingle docs (text shorter than shingle_k) get all-null signature
+    slots; they are excluded at BANDING (null band keys, see
+    :func:`lsh_candidate_pairs`) rather than filtered here — a filter on
+    size(sh) above the repartition gets predicate-pushed through the
+    projection into the scan, re-evaluating the whole shingle chain per row
+    (measured 2.4× on the minhash query)."""
     params = minhash_params(n_hashes)
 
     # factory, not default-arg closure: PySpark reflects on lambda arity
@@ -126,7 +128,7 @@ def _signatures_from_sh(doc_sh: DataFrame, n_hashes: int) -> DataFrame:
     sig = F.array(
         *[F.array_min(F.transform(F.col("sh"), _uh(a, b))) for a, b in params]
     )
-    return doc_sh.filter(F.size("sh") > 0).select(
+    return doc_sh.select(
         "doc_id",
         sig.alias("sig"),
         F.size("sh").alias("n_shingles"),
@@ -150,25 +152,41 @@ def lsh_candidate_pairs(
     clusters should run :func:`exact_dedup` first (standard practice) so no
     bucket is pathological.
     """
-    banded = sig_df.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.md5(
-                            F.array_join(
-                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                                ",",
-                            )
-                        ).alias("band_key"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band"),
-    ).select("doc_id", "band.band_id", "band.band_key")
+    # Null band key for empty-shingle docs (all-null signature slots):
+    # without the guard, array_join skips nulls and every empty doc lands
+    # on identical band keys — a mega-bucket of meaningless candidates.
+    # The guard lives INSIDE the banding expression and the null filter
+    # sits above the Generate, where Catalyst cannot push it down into the
+    # signature computation (a size(sh) filter upstream re-evaluates the
+    # shingle chain at the scan — measured 2.4× on the minhash query).
+    banded = (
+        sig_df.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_id"),
+                            F.when(
+                                F.element_at(F.col("sig"), 1).isNotNull(),
+                                F.md5(
+                                    F.array_join(
+                                        F.slice(
+                                            F.col("sig"), b * rows_per_band + 1, rows_per_band
+                                        ),
+                                        ",",
+                                    )
+                                ),
+                            ).alias("band_key"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("band"),
+        )
+        .select("doc_id", "band.band_id", "band.band_key")
+        .where(F.col("band_key").isNotNull())
+    )
     ids = F.col("ids")
     pair_structs = F.flatten(
         F.transform(
