@@ -136,6 +136,70 @@ def lang_id(col: Column) -> Column:
     return F.when(m == 0, F.lit("und")).otherwise(expr)
 
 
+# --- repetition signals (Gopher-style filters) ----------------------------
+
+def top_ngram_frac(col: Column, n: int = 2) -> Column:
+    """Fraction of the document's word n-grams taken by its single most
+    frequent n-gram — the Gopher repetition-filter family (a high value
+    marks boilerplate/spam). 1.0 for a fully repeated doc; NULL when the
+    doc has no n-grams.
+
+    Per-row O(tokens²) via distinct×filter — right for documents up to a
+    few thousand tokens (the common LLM-corpus shape after splitting).
+    Book-length inputs should explode n-grams to a (doc_id, gram) groupBy
+    instead; the threshold is memory-per-row, not correctness.
+    """
+    grams = tokens_ws(col) if n == 1 else word_shingles(col, n)
+    counts = F.transform(
+        F.array_distinct(grams),
+        lambda d: F.size(F.filter(grams, lambda g: g == d)),
+    )
+    return F.try_divide(F.array_max(counts).cast("double"), F.size(grams))
+
+
+def unique_word_frac(col: Column) -> Column:
+    """Distinct tokens / total tokens (low ⇒ repetitive doc)."""
+    toks = tokens_ws(col)
+    return F.try_divide(F.size(F.array_distinct(toks)).cast("double"), F.size(toks))
+
+
+def mean_word_len(col: Column) -> Column:
+    """Mean token length in characters (Gopher uses 3–10 as the sane band)."""
+    toks = tokens_ws(col)
+    total = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return F.try_divide(total.cast("double"), F.size(toks))
+
+
+# --- PII redaction --------------------------------------------------------
+
+#: conservative patterns valid in BOTH Java regex (Spark) and RE2 (DuckDB):
+#: no backrefs, no lookaround, ASCII classes only.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+[0-9][0-9()\-\s]{6,}[0-9]",
+}
+PII_KINDS = tuple(PII_PATTERNS)
+
+
+def pii_count(col: Column, kind: str) -> Column:
+    """Occurrences of one PII pattern in the raw text."""
+    return F.regexp_count(col, F.lit(PII_PATTERNS[kind]))
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace every PII match with ``<KIND>`` markers, applied in
+    PII_KINDS order (emails first so phone digits inside a redacted email
+    can't double-match)."""
+    out = col
+    for kind in PII_KINDS:
+        out = F.regexp_replace(out, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    return out
+
+
 # --- quality scoring ------------------------------------------------------
 
 def text_features(col: Column) -> dict[str, Column]:

@@ -248,6 +248,87 @@ SELECT split, count(*) AS n_docs FROM (
 """
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-document repetition signals (boilerplate/spam
+    filters for training corpora): unique-word fraction, top word / top
+    2-gram occupancy, mean word length."""
+    d = spread_small(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return d.select(
+        "doc_id",
+        F.size(TX.tokens_ws(F.col("text"))).alias("n_tokens"),
+        TX.unique_word_frac(F.col("text")).alias("frac_unique_words"),
+        TX.top_ngram_frac(F.col("text"), 1).alias("top_word_frac"),
+        TX.top_ngram_frac(F.col("text"), 2).alias("top_2gram_frac"),
+        TX.mean_word_len(F.col("text")).alias("mean_word_len"),
+    )
+
+
+def _repetition_sql() -> str:
+    toks = tokens_sql("text")
+    grams2 = (
+        f"list_transform(range(1, greatest(len({toks}) - 1, 0) + 1), "
+        f"i -> {toks}[i] || ' ' || {toks}[i + 1])"
+    )
+
+    def topfrac(g: str) -> str:
+        return (
+            f"CAST(list_max(list_transform(list_distinct({g}), "
+            f"d -> len(list_filter({g}, x -> x = d)))) AS DOUBLE) / len({g})"
+        )
+
+    return f"""
+SELECT doc_id,
+  len({toks}) AS n_tokens,
+  CAST(len(list_distinct({toks})) AS DOUBLE) / len({toks}) AS frac_unique_words,
+  {topfrac(toks)} AS top_word_frac,
+  {topfrac(grams2)} AS top_2gram_frac,
+  CAST(list_sum(list_transform({toks}, t -> len(t)::BIGINT)) AS DOUBLE) / len({toks}) AS mean_word_len
+FROM documents
+"""
+
+
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over a corpus with seeded synthetic emails/phones: count
+    matches per kind and prove the redacted text is match-free. One scan,
+    map-side partial agg, single-row result."""
+    corpus = snap.documents_with_pii(spark, sf_dir)
+    redacted = TX.redact_pii(F.col("text"))
+    e, p = TX.pii_count(F.col("text"), "email"), TX.pii_count(F.col("text"), "phone")
+    per_doc = corpus.select(
+        e.alias("e"),
+        p.alias("p"),
+        (TX.pii_count(redacted, "email") + TX.pii_count(redacted, "phone")).alias("leftover"),
+    )
+    return per_doc.agg(
+        F.sum("e").alias("n_emails"),
+        F.sum("p").alias("n_phones"),
+        F.sum(((F.col("e") > 0) | (F.col("p") > 0)).cast("long")).alias("n_docs_with_pii"),
+        F.sum("leftover").alias("n_leftover_matches"),
+    )
+
+
+def _pii_sql() -> str:
+    em, ph = TX.PII_PATTERNS["email"], TX.PII_PATTERNS["phone"]
+    red = (
+        f"regexp_replace(regexp_replace(text, '{em}', '<EMAIL>', 'g'), "
+        f"'{ph}', '<PHONE>', 'g')"
+    )
+    return f"""
+WITH corpus AS ({snap.DOCUMENTS_WITH_PII_SQL}),
+per_doc AS (
+  SELECT len(regexp_extract_all(text, '{em}')) AS e,
+         len(regexp_extract_all(text, '{ph}')) AS p,
+         len(regexp_extract_all({red}, '{em}'))
+           + len(regexp_extract_all({red}, '{ph}')) AS leftover
+  FROM corpus
+)
+SELECT CAST(sum(e) AS BIGINT) AS n_emails, CAST(sum(p) AS BIGINT) AS n_phones,
+       CAST(sum(CASE WHEN e > 0 OR p > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii,
+       CAST(sum(leftover) AS BIGINT) AS n_leftover_matches
+FROM per_doc
+"""
+
+
 # --------------------------------------------------------------------------
 # dedup
 # --------------------------------------------------------------------------
@@ -647,6 +728,8 @@ PIPELINE_QUERIES = {
     "lang_id_counts": q_lang_id,
     "quality_scores": q_quality_scores,
     "rolling_fingerprints": q_rolling_fingerprints,
+    "repetition_stats": q_repetition_stats,
+    "pii_redaction_counts": q_pii_redaction,
     "dedup_exact_clusters": q_dedup_exact_clusters,
     "dedup_exact_survivors": q_dedup_exact_survivors,
     "jaccard_pairs": q_jaccard_pairs,
@@ -675,6 +758,8 @@ def pipeline_sql() -> dict[str, str]:
         "lang_id_counts": _lang_id_sql(),
         "quality_scores": _quality_sql(),
         "rolling_fingerprints": ROLLING_FINGERPRINTS_SQL,
+        "repetition_stats": _repetition_sql(),
+        "pii_redaction_counts": _pii_sql(),
         "dedup_exact_clusters": DEDUP_EXACT_CLUSTERS_SQL,
         "dedup_exact_survivors": DEDUP_EXACT_SURVIVORS_SQL,
         "jaccard_pairs": JACCARD_PAIRS_SQL,

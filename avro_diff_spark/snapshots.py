@@ -183,6 +183,38 @@ UNION ALL SELECT doc_id + 2000000, text || '{NEAR_DUP_SUFFIX}', lang, source, n_
 """
 
 
+def documents_with_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents with deterministic synthetic PII appended (the raw corpus
+    is PII-free word soup, so redaction needs seeded positives)."""
+    d = load_table(spark, sf_dir, "documents")
+    email = F.concat(
+        F.col("text"), F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com"),
+    )
+    phone = F.concat(
+        F.col("text"), F.lit(" call +1 (555) 010-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    text = (
+        F.when(F.col("doc_id") % 7 == 0, email)
+        .when(F.col("doc_id") % 11 == 0, phone)
+        .otherwise(F.col("text"))
+    )
+    return d.select("doc_id", text.alias("text"), "lang", "source", "n_chars")
+
+
+DOCUMENTS_WITH_PII_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 7 = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+            WHEN doc_id % 11 = 0
+              THEN text || ' call +1 (555) 010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+            ELSE text END AS text,
+       lang, source, n_chars
+FROM documents
+"""
+
+
 def embeddings_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     dup = e.filter(F.col("vec_id") % 10 == 0).select(
