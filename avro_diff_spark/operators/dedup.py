@@ -450,6 +450,49 @@ def simhash32(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    ngram_w: int = 8,
+    min_docs: int = 2,
+    max_doc_list: int = 20,
+) -> DataFrame:
+    """Word-n-gram spans appearing in ≥ ``min_docs`` documents — the
+    substring-level contamination/boilerplate detector from the
+    training-data dedup literature (duplicated spans across documents,
+    not whole-document duplicates).
+
+    Scale shape: each doc explodes its distinct hashed w-grams, ONE shuffle
+    on the gram hash, map-side partial agg; no pairwise work at any point.
+    ``doc_ids`` lists the first ``max_doc_list`` member docs (sorted, so
+    the cap is deterministic); ``n_docs`` is always the full count.
+
+    Columns: gram_hash, n_docs, doc_ids (comma-joined, capped).
+    """
+    from avro_diff_spark.functions.text import word_shingles
+
+    grams = F.array_distinct(
+        F.transform(word_shingles(F.col(text_col), ngram_w), hash32)
+    )
+    exploded = (
+        spread_small(df)
+        .select(F.col(id_col).alias("doc_id"), F.explode_outer(grams).alias("gram_hash"))
+        .where(F.col("gram_hash").isNotNull())
+    )
+    return (
+        exploded.groupBy("gram_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.array_join(
+                F.slice(F.sort_array(F.collect_set("doc_id")), 1, max_doc_list), ","
+            ).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
 def simhash_blocks(max_hamming: int, n_bits: int = 32) -> list[tuple[int, int]]:
     """(offset, width) of the ``max_hamming + 1`` bit-blocks that partition an
     ``n_bits`` fingerprint — shared between the Spark plan and the oracle SQL

@@ -357,6 +357,30 @@ SELECT min(doc_id) AS doc_id FROM corpus GROUP BY md5({norm_sql('text')})
 """
 
 
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = snap.documents_with_dups(spark, sf_dir)
+    return DD.duplicate_spans(corpus, "text", "doc_id", ngram_w=8, min_docs=2)
+
+
+def _duplicate_spans_sql(ngram_w: int = 8, min_docs: int = 2, max_doc_list: int = 20) -> str:
+    toks = tokens_sql("text")
+    grams = (
+        f"list_transform(range(1, greatest(len({toks}) - {ngram_w - 1}, 0) + 1), "
+        f"i -> array_to_string({toks}[i:i + {ngram_w - 1}], ' '))"
+    )
+    return f"""
+WITH corpus AS ({snap.DOCUMENTS_WITH_DUPS_SQL}),
+g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform({grams}, s -> {hash32_sql('s')}))) AS gram_hash
+  FROM corpus
+)
+SELECT gram_hash, count(*) AS n_docs,
+       array_to_string(list_sort(list(doc_id))[1:{max_doc_list}], ',') AS doc_ids
+FROM g GROUP BY gram_hash HAVING count(*) >= {min_docs}
+"""
+
+
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingle_k=8, measured: prefix filtering's selectivity scales with the
     # shingle-domain size. At k=5 this corpus has only ~2k distinct 5-grams
@@ -732,6 +756,7 @@ PIPELINE_QUERIES = {
     "pii_redaction_counts": q_pii_redaction,
     "dedup_exact_clusters": q_dedup_exact_clusters,
     "dedup_exact_survivors": q_dedup_exact_survivors,
+    "duplicate_spans": q_duplicate_spans,
     "jaccard_pairs": q_jaccard_pairs,
     "minhash_near_dups": q_minhash_near_dups,
     "simhash_near_dups": q_simhash_near_dups,
@@ -762,6 +787,7 @@ def pipeline_sql() -> dict[str, str]:
         "pii_redaction_counts": _pii_sql(),
         "dedup_exact_clusters": DEDUP_EXACT_CLUSTERS_SQL,
         "dedup_exact_survivors": DEDUP_EXACT_SURVIVORS_SQL,
+        "duplicate_spans": _duplicate_spans_sql(),
         "jaccard_pairs": JACCARD_PAIRS_SQL,
         "minhash_near_dups": _minhash_sql(),
         "simhash_near_dups": _simhash_sql(),

@@ -118,6 +118,31 @@ def test_running_user_totals_stateful(spark, events_batch, events_dir, tmp_path)
     assert got == want
 
 
+def test_streaming_dedup_matches_batch_fingerprints(spark, sf_dir, tmp_path):
+    """Streaming first-seen dedup must keep exactly the batch survivor
+    fingerprint set (survivor IDENTITY legitimately differs: min-id in
+    batch vs arrival order in a stream)."""
+    from avro_diff_spark.functions.text import fingerprint_md5
+    from avro_diff_spark.operators.dedup import exact_dedup
+    from avro_diff_spark.snapshots import documents_with_dups
+    from avro_diff_spark.streaming import dedup_stream
+
+    corpus = documents_with_dups(spark, sf_dir)
+    src = str(tmp_path / "docs_in")
+    corpus.write.parquet(src)
+    stream = spark.readStream.schema(corpus.schema).parquet(src)
+    _run_to_memory(dedup_stream(stream), "dedup", "append", tmp_path)
+    got = spark.table("dedup")
+    batch = exact_dedup(corpus, "text", "doc_id")
+    assert got.count() == batch.count()
+    gf = {r["fingerprint"] for r in got.select("fingerprint").collect()}
+    bf = {
+        r["fp"]
+        for r in batch.select(fingerprint_md5(F.col("text")).alias("fp")).collect()
+    }
+    assert gf == bf
+
+
 def test_append_mode_watermark_finalizes_old_windows(spark, events_batch, tmp_path):
     """Two AvailableNow runs over a shared checkpoint: run 2's new data
     advances the watermark, finalizing (emitting) run 1's closed windows."""
