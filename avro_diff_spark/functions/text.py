@@ -138,40 +138,63 @@ def lang_id(col: Column) -> Column:
 
 # --- repetition signals (Gopher-style filters) ----------------------------
 
-def top_ngram_frac(col: Column, n: int = 2) -> Column:
-    """Fraction of the document's word n-grams taken by its single most
-    frequent n-gram — the Gopher repetition-filter family (a high value
-    marks boilerplate/spam). 1.0 for a fully repeated doc; NULL when the
-    doc has no n-grams.
+def top_frac(arr: Column) -> Column:
+    """Fraction of an array taken by its single most frequent element —
+    the Gopher repetition-filter core (a high value marks boilerplate/
+    spam). 1.0 for a fully repeated array; NULL when empty.
 
-    Per-row O(tokens²) via distinct×filter — right for documents up to a
-    few thousand tokens (the common LLM-corpus shape after splitting).
-    Book-length inputs should explode n-grams to a (doc_id, gram) groupBy
-    instead; the threshold is memory-per-row, not correctness.
+    Per-row O(n²) via distinct×filter — right for documents up to a few
+    thousand tokens (the common LLM-corpus shape after splitting);
+    book-length inputs should explode to a (doc_id, gram) groupBy instead.
+    PASS A MATERIALIZED COLUMN, not a computed expression: the inner
+    lambda references ``arr`` once per distinct element, so a non-cheap
+    expression would be re-evaluated O(n) times per row (measured 5× on
+    the repetition query).
     """
-    grams = tokens_ws(col) if n == 1 else word_shingles(col, n)
     counts = F.transform(
-        F.array_distinct(grams),
-        lambda d: F.size(F.filter(grams, lambda g: g == d)),
+        F.array_distinct(arr),
+        lambda d: F.size(F.filter(arr, lambda g: g == d)),
     )
-    return F.try_divide(F.array_max(counts).cast("double"), F.size(grams))
+    return F.try_divide(F.array_max(counts).cast("double"), F.size(arr))
+
+
+def top_ngram_frac(col: Column, n: int = 2) -> Column:
+    """Top-n-gram occupancy straight from a text column (convenience form;
+    multi-feature selects should stage tokens/grams as columns and call
+    :func:`top_frac` — see pipelines.q_repetition_stats)."""
+    return top_frac(tokens_ws(col) if n == 1 else word_shingles(col, n))
+
+
+def word_grams_from_tokens(toks: Column, n: int = 2) -> Column:
+    """Space-joined word n-grams from a pre-tokenized array column."""
+    m = F.size(toks) - F.lit(n - 1)
+    return F.transform(
+        _safe_seq(1, m), lambda i: F.array_join(F.slice(toks, i, n), " ")
+    )
+
+
+def unique_frac(arr: Column) -> Column:
+    """Distinct elements / total elements (low ⇒ repetitive doc)."""
+    return F.try_divide(F.size(F.array_distinct(arr)).cast("double"), F.size(arr))
 
 
 def unique_word_frac(col: Column) -> Column:
-    """Distinct tokens / total tokens (low ⇒ repetitive doc)."""
-    toks = tokens_ws(col)
-    return F.try_divide(F.size(F.array_distinct(toks)).cast("double"), F.size(toks))
+    return unique_frac(tokens_ws(col))
 
 
-def mean_word_len(col: Column) -> Column:
-    """Mean token length in characters (Gopher uses 3–10 as the sane band)."""
-    toks = tokens_ws(col)
+def mean_elem_len(arr: Column) -> Column:
+    """Mean element length in characters (Gopher uses 3–10 as the sane
+    band for words)."""
     total = F.aggregate(
-        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.transform(arr, lambda t: F.length(t).cast("long")),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    return F.try_divide(total.cast("double"), F.size(toks))
+    return F.try_divide(total.cast("double"), F.size(arr))
+
+
+def mean_word_len(col: Column) -> Column:
+    return mean_elem_len(tokens_ws(col))
 
 
 # --- PII redaction --------------------------------------------------------

@@ -253,13 +253,21 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     filters for training corpora): unique-word fraction, top word / top
     2-gram occupancy, mean word length."""
     d = spread_small(spark.read.parquet(f"{sf_dir}/documents.parquet"))
-    return d.select(
+    # stage tokens and 2-grams as materialized columns: top_frac's inner
+    # lambda references its array per distinct element, so a computed
+    # expression there would re-run the tokenize chain O(n) times per row
+    # (measured 5× on this query)
+    toks = d.select("doc_id", TX.tokens_ws(F.col("text")).alias("toks"))
+    staged = toks.select(
+        "doc_id", "toks", TX.word_grams_from_tokens(F.col("toks"), 2).alias("grams2")
+    )
+    return staged.select(
         "doc_id",
-        F.size(TX.tokens_ws(F.col("text"))).alias("n_tokens"),
-        TX.unique_word_frac(F.col("text")).alias("frac_unique_words"),
-        TX.top_ngram_frac(F.col("text"), 1).alias("top_word_frac"),
-        TX.top_ngram_frac(F.col("text"), 2).alias("top_2gram_frac"),
-        TX.mean_word_len(F.col("text")).alias("mean_word_len"),
+        F.size("toks").alias("n_tokens"),
+        TX.unique_frac(F.col("toks")).alias("frac_unique_words"),
+        TX.top_frac(F.col("toks")).alias("top_word_frac"),
+        TX.top_frac(F.col("grams2")).alias("top_2gram_frac"),
+        TX.mean_elem_len(F.col("toks")).alias("mean_word_len"),
     )
 
 
