@@ -1,0 +1,33 @@
+"""Physical-plan shape gate over EVERY registered query.
+
+The scale contract of this engine is enforced here, not just documented:
+a query whose plan contains a CartesianProduct or BroadcastNestedLoopJoin
+would be quadratic at 100 TB regardless of how fast it runs at test scale
+(the round-1 simhash regression was exactly this shape). Building the
+executed plan is driver-side planning only — no job runs.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as ent
+
+#: queries whose plan INTENTIONALLY contains a broadcast nested-loop:
+#: exact cosine top-k scores a small broadcast query set against every
+#: candidate by definition (the documented brute-force baseline; the scale
+#: paths are ann_signbucket_topk / ivf_topk).
+CROSS_JOIN_BY_DESIGN = {"cosine_topk"}
+
+_QUERIES = sorted(ent.queries())
+
+
+@pytest.mark.parametrize("name", _QUERIES)
+def test_no_unbounded_join_shapes(spark, sf_dir, name):
+    df = ent.queries()[name](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product in plan"
+    if name not in CROSS_JOIN_BY_DESIGN:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name}: nested-loop join in plan — quadratic at scale"
+        )
