@@ -248,6 +248,53 @@ SELECT split, count(*) AS n_docs FROM (
 """
 
 
+#: corpus-mixing rates per language stratum (parts per 10,000 — integer so
+#: the threshold compare is exact in any engine).
+SAMPLE_RATES_BP = {"en": 10000, "de": 5000, "es": 2500, "fr": 1000, "zh": 500}
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates_bp: dict[str, int],
+    *,
+    id_col: str,
+    salt: str = "strat",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling — the corpus-mixing primitive
+    (e.g. keep 100% en, 50% de, ...). A row survives iff
+    ``hash(salt:id) % 10000 < rates_bp[stratum]``: content-independent,
+    stable under any repartitioning/backfill (same reasons as the hash
+    train/val/test split — ``df.sample`` is partition-layout-dependent),
+    and per-row work only, no shuffle. Strata absent from ``rates_bp``
+    drop to rate 0.
+    """
+    bucket = (
+        TX.hash32(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))) % 10000
+    )
+    rate = F.lit(0)
+    for stratum, bp in rates_bp.items():
+        rate = F.when(F.col(strata_col) == stratum, F.lit(bp)).otherwise(rate)
+    return df.filter(bucket < rate)
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s = stratified_sample(d, "lang", SAMPLE_RATES_BP, id_col="doc_id")
+    return s.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def _stratified_sample_sql() -> str:
+    case = "CASE " + " ".join(
+        f"WHEN lang = '{k}' THEN {bp}" for k, bp in SAMPLE_RATES_BP.items()
+    ) + " ELSE 0 END"
+    return f"""
+SELECT lang, count(*) AS n_docs FROM documents
+WHERE {hash32_sql("'strat:' || CAST(doc_id AS VARCHAR)")} % 10000 < {case}
+GROUP BY lang
+"""
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style per-document repetition signals (boilerplate/spam
     filters for training corpora): unique-word fraction, top word / top
@@ -757,6 +804,7 @@ PIPELINE_QUERIES = {
     "vocab_topk": q_vocab_topk,
     "doc_length_percentiles": q_doc_length_percentiles,
     "dataset_split_counts": q_dataset_split,
+    "stratified_sample_counts": q_stratified_sample,
     "lang_id_counts": q_lang_id,
     "quality_scores": q_quality_scores,
     "rolling_fingerprints": q_rolling_fingerprints,
@@ -788,6 +836,7 @@ def pipeline_sql() -> dict[str, str]:
         "vocab_topk": VOCAB_TOPK_SQL,
         "doc_length_percentiles": DOC_LENGTH_PCT_SQL,
         "dataset_split_counts": DATASET_SPLIT_SQL,
+        "stratified_sample_counts": _stratified_sample_sql(),
         "lang_id_counts": _lang_id_sql(),
         "quality_scores": _quality_sql(),
         "rolling_fingerprints": ROLLING_FINGERPRINTS_SQL,
