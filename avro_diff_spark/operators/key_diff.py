@@ -134,8 +134,18 @@ def key_diff(
     compare_cols: Sequence[str] | None = None,
     include_payload: bool = True,
     max_struct_depth: int = MAX_STRUCT_DEPTH,
+    raw_keys: bool = False,
 ) -> DataFrame:
     """Diff two DataFrames on a composite key.
+
+    ``raw_keys=True`` joins on the NATIVE key columns (no String()
+    coercion) under plain SQL equality — the 100 TB switch: bucketed or
+    pre-partitioned tables then diff with ZERO shuffle (bucket-join /
+    storage-partitioned join), which the string-coercion join forfeits
+    because the join key becomes a derived expression. Semantics diverge
+    from the reference exactly where SQL does: NULL keys never match
+    (they land in added/removed), and cross-type keys (long 1 vs "1")
+    don't join. Output key columns keep their native types.
 
     Returns a DataFrame with columns:
 
@@ -164,12 +174,15 @@ def key_diff(
     new_schema = {f.name: f.dataType for f in new.schema.fields}
     leaves = _diff_leaves(old_schema, new_schema, key, compare_cols, max_struct_depth)
 
+    key_expr = (lambda c: c) if raw_keys else coerce_key
     o = old.select(
-        *[coerce_key(F.col(k)).alias(f"__ok{i}") for i, k in enumerate(key)],
+        *[key_expr(F.col(k)).alias(f"__ok{i}") for i, k in enumerate(key)],
+        F.lit(True).alias("__op"),
         F.struct(*old.columns).alias("__old"),
     )
     n = new.select(
-        *[coerce_key(F.col(k)).alias(f"__nk{i}") for i, k in enumerate(key)],
+        *[key_expr(F.col(k)).alias(f"__nk{i}") for i, k in enumerate(key)],
+        F.lit(True).alias("__np"),
         F.struct(*new.columns).alias("__new"),
     )
     cond = None
@@ -178,8 +191,11 @@ def key_diff(
         cond = eq if cond is None else (cond & eq)
     j = o.join(n, cond, "full_outer")
 
-    old_present = j["__ok0"].isNotNull()
-    new_present = j["__nk0"].isNotNull()
+    # presence via the literal flags, not key nullability: raw keys may be
+    # legitimately NULL on a present row (such rows never join — SQL
+    # semantics — and must still classify as removed/added, not vanish)
+    old_present = j["__op"].isNotNull()
+    new_present = j["__np"].isNotNull()
 
     field_changed: list[tuple[str, Column]] = [
         (".".join(p), _leaf_changed(j["__old"], j["__new"], p, ot, nt))

@@ -160,6 +160,43 @@ def test_nested_struct_leaf_paths(spark):
     assert ("1", "sub.score") not in rows
 
 
+def test_raw_keys_semantics(spark):
+    # raw_keys: native key types, SQL NULL semantics (null keys never
+    # match — they classify as removed/added), cross-type keys don't join
+    old = spark.createDataFrame([Row(k=None, v=1), Row(k=7, v=2)], "k int, v int")
+    new = spark.createDataFrame([Row(k=None, v=1), Row(k=7, v=3)], "k int, v int")
+    d = key_diff(old, new, ["k"], raw_keys=True)
+    got = sorted(((r["k"], r["diff_kind"]) for r in d.collect()), key=str)
+    assert got == sorted([(None, "added"), (None, "removed"), (7, "changed")], key=str)
+    assert d.schema["k"].dataType.simpleString() == "int"
+
+
+def test_bucketed_diff_has_no_shuffle(spark, sf_dir, tmp_path):
+    """The 100 TB path: both snapshots bucketed on the key ⇒ raw_keys diff
+    plans as a bucket join — ZERO Exchange in the physical plan (the
+    string-coercion join cannot do this: its join key is a derived
+    expression, so bucketing never lines up)."""
+    from avro_diff_spark.snapshots import orders_new, orders_old
+
+    spark.sql("DROP TABLE IF EXISTS bd_old")
+    spark.sql("DROP TABLE IF EXISTS bd_new")
+    orders_old(spark, sf_dir).write.bucketBy(4, "o_orderkey").sortBy(
+        "o_orderkey"
+    ).mode("overwrite").saveAsTable("bd_old")
+    orders_new(spark, sf_dir).write.bucketBy(4, "o_orderkey").sortBy(
+        "o_orderkey"
+    ).mode("overwrite").saveAsTable("bd_new")
+
+    d = key_diff(
+        spark.table("bd_old"), spark.table("bd_new"), ["o_orderkey"], raw_keys=True
+    )
+    plan = d._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    # and the result still classifies correctly
+    got = {r["diff_kind"] for r in d.select("diff_kind").distinct().collect()}
+    assert got == {"added", "removed", "changed", "unchanged"}
+
+
 def test_missing_key_raises(spark, sf_dir):
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     with pytest.raises(ValueError):
