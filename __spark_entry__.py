@@ -161,6 +161,43 @@ FROM m WHERE o_prio IS DISTINCT FROM n_prio
 """
 
 
+def _q_key_diff_detail_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-index array element diff (deep-object-diff treats arrays as
+    objects with numeric keys): field names qty_arr.<i> for each changed
+    element of the per-order quantity arrays."""
+    old = snap.lineitem_qty_arrays(spark, sf_dir, mutate=False)
+    new = snap.lineitem_qty_arrays(spark, sf_dir, mutate=True)
+    return key_diff_detail(old, new, ["l_orderkey"], explode_arrays=True)
+
+
+_KEY_DIFF_DETAIL_ARRAYS_SQL = """
+WITH o AS (
+  SELECT l_orderkey, list(l_quantity ORDER BY l_linenumber, l_quantity) AS qty_arr
+  FROM lineitem GROUP BY l_orderkey
+),
+n AS (
+  SELECT l_orderkey, list(q ORDER BY l_linenumber, q) AS qty_arr
+  FROM (SELECT l_orderkey, l_linenumber,
+               CASE WHEN l_linenumber % 3 = 0 THEN l_quantity + 1 ELSE l_quantity END AS q
+        FROM lineitem)
+  GROUP BY l_orderkey
+),
+j AS (
+  SELECT o.l_orderkey, o.qty_arr AS a, n.qty_arr AS b
+  FROM o JOIN n USING (l_orderkey)
+  WHERE o.qty_arr <> n.qty_arr
+)
+SELECT CAST(l_orderkey AS VARCHAR) AS l_orderkey,
+       'qty_arr.' || CAST(i - 1 AS VARCHAR) AS field,
+       CAST(a[i] AS VARCHAR) AS old_value,
+       CAST(b[i] AS VARCHAR) AS new_value
+FROM (SELECT l_orderkey, a, b,
+             unnest(range(1, greatest(len(a), len(b)) + 1)) AS i
+      FROM j)
+WHERE a[i] IS DISTINCT FROM b[i]
+"""
+
+
 def _q_key_diff_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyed diff over REAL Avro OCF inputs — the reference's flagship format
     (reference src/index.js:335-352). Snapshots are written as container
@@ -327,6 +364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_diff_detail_orders": _q_key_diff_detail_orders,
         "key_diff_nested_orders": _q_key_diff_nested,
         "key_diff_detail_nested": _q_key_diff_detail_nested,
+        "key_diff_detail_arrays": _q_key_diff_detail_arrays,
         "key_diff_avro": _q_key_diff_avro,
         "key_diff_composite": _q_key_diff_composite,
         "self_diff_counts": _q_self_diff_counts,
@@ -357,6 +395,7 @@ def oracle_sql() -> dict[str, str]:
         "key_diff_detail_orders": _KEY_DIFF_DETAIL_SQL,
         "key_diff_nested_orders": _KEY_DIFF_NESTED_SQL,
         "key_diff_detail_nested": _KEY_DIFF_DETAIL_NESTED_SQL,
+        "key_diff_detail_arrays": _KEY_DIFF_DETAIL_ARRAYS_SQL,
         "key_diff_avro": _KEY_DIFF_ORDERS_SQL.replace(
             "FROM old_snap o FULL OUTER JOIN new_snap n",
             "FROM (SELECT * FROM old_snap WHERE o_orderkey % 4 = 1) o "

@@ -243,8 +243,16 @@ def key_diff_detail(
     *,
     compare_cols: Sequence[str] | None = None,
     max_struct_depth: int = MAX_STRUCT_DEPTH,
+    explode_arrays: bool = False,
 ) -> DataFrame:
     """Field-level diff payload for matched changed rows.
+
+    ``explode_arrays=True`` reports changed ARRAY leaves per element
+    instead of as one atomic JSON row — field names ``path.<index>``
+    (0-based), exactly how the reference's deep-object-diff treats arrays
+    (objects with numeric keys). Indices past the shorter array report
+    NULL on the missing side. Element comparison is null-safe on the
+    canonical form; rows emit only for differing indices.
 
     The Spark rendering of the reference's ``detailedDiff`` `updated` bucket
     (src/index.js:205): one output row per (matched row, changed *leaf*) —
@@ -268,33 +276,93 @@ def key_diff_detail(
     )
     matched = diff.filter(F.col("diff_kind") == KIND_CHANGED)
 
+    def _is_arr(t) -> bool:
+        return isinstance(t, T.ArrayType)
+
+    if explode_arrays:
+        scalar_leaves = [l for l in leaves if not (_is_arr(l[1]) and _is_arr(l[2]))]
+        array_leaves = [l for l in leaves if _is_arr(l[1]) and _is_arr(l[2])]
+    else:
+        scalar_leaves, array_leaves = leaves, []
+
     _null_str = F.lit(None).cast("string")
-    pairs = F.array(
-        *[
-            F.struct(
-                F.lit(".".join(p)).alias("field"),
-                (
-                    stringify(_get_path(F.col("old"), p), ot)
-                    if ot is not None
-                    else _null_str
-                ).alias("old_value"),
-                (
-                    stringify(_get_path(F.col("new"), p), nt)
-                    if nt is not None
-                    else _null_str
-                ).alias("new_value"),
+    parts: list[DataFrame] = []
+
+    if scalar_leaves:
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(".".join(p)).alias("field"),
+                    (
+                        stringify(_get_path(F.col("old"), p), ot)
+                        if ot is not None
+                        else _null_str
+                    ).alias("old_value"),
+                    (
+                        stringify(_get_path(F.col("new"), p), nt)
+                        if nt is not None
+                        else _null_str
+                    ).alias("new_value"),
+                )
+                for p, ot, nt in scalar_leaves
+            ]
+        )
+        exploded = matched.select(
+            *[F.col(k) for k in key],
+            F.col("changed_fields"),
+            F.explode(pairs).alias("d"),
+        )
+        parts.append(
+            exploded.filter(
+                F.array_contains(F.col("changed_fields"), F.col("d.field"))
+            ).select(
+                *[F.col(k) for k in key],
+                F.col("d.field").alias("field"),
+                F.col("d.old_value").alias("old_value"),
+                F.col("d.new_value").alias("new_value"),
             )
-            for p, ot, nt in leaves
-        ]
-    )
-    exploded = matched.select(
-        *[F.col(k) for k in key],
-        F.col("changed_fields"),
-        F.explode(pairs).alias("d"),
-    )
-    return exploded.filter(F.array_contains(F.col("changed_fields"), F.col("d.field"))).select(
-        *[F.col(k) for k in key],
-        F.col("d.field").alias("field"),
-        F.col("d.old_value").alias("old_value"),
-        F.col("d.new_value").alias("new_value"),
-    )
+        )
+
+    for p, ot, nt in array_leaves:
+        dot = ".".join(p)
+        a, b = _get_path(F.col("old"), p), _get_path(F.col("new"), p)
+        et_o, et_n = ot.elementType, nt.elementType
+        n = F.greatest(
+            F.coalesce(F.size(a), F.lit(0)), F.coalesce(F.size(b), F.lit(0))
+        )
+        idxs = F.when(n > 0, F.sequence(F.lit(0), n - 1)).otherwise(
+            F.array().cast("array<int>")
+        )
+        staged = (
+            matched.filter(F.array_contains(F.col("changed_fields"), F.lit(dot)))
+            .select(
+                *[F.col(k) for k in key],
+                a.alias("__a"),
+                b.alias("__b"),
+                F.explode(idxs).alias("__i"),
+            )
+        )
+        # try_element_at: past-the-end indices read as NULL (ANSI element_at
+        # throws); the missing side then reports NULL, deep-object-diff's
+        # added/deleted index buckets rendered uniformly
+        ea = F.try_element_at(F.col("__a"), F.col("__i") + 1)
+        eb = F.try_element_at(F.col("__b"), F.col("__i") + 1)
+        if et_o.simpleString() != et_n.simpleString():
+            elem_changed = ~stringify(ea, et_o).eqNullSafe(stringify(eb, et_n))
+        elif has_map(et_o):
+            elem_changed = ~canonical(ea, et_o).eqNullSafe(canonical(eb, et_n))
+        else:
+            elem_changed = ~ea.eqNullSafe(eb)
+        parts.append(
+            staged.where(elem_changed).select(
+                *[F.col(k) for k in key],
+                F.concat(F.lit(dot + "."), F.col("__i").cast("string")).alias("field"),
+                stringify(ea, et_o).alias("old_value"),
+                stringify(eb, et_n).alias("new_value"),
+            )
+        )
+
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_)
+    return out

@@ -107,6 +107,37 @@ VENN_NEW_SQL = _VENN_SELECT.format(m=3)
 
 
 # --------------------------------------------------------------------------
+# Array snapshots: per-order quantity arrays (sorted by (linenumber, qty) so
+# duplicate linenumbers — the collision fixture — still order
+# deterministically). The "new" side mutates quantities of every third
+# linenumber, exercising per-index array element diffing.
+# --------------------------------------------------------------------------
+
+
+def lineitem_qty_arrays(spark: SparkSession, sf_dir: str, *, mutate: bool) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = (
+        F.when(F.col("l_linenumber") % 3 == 0, F.col("l_quantity") + 1).otherwise(
+            F.col("l_quantity")
+        )
+        if mutate
+        else F.col("l_quantity")
+    )
+    return (
+        li.select(
+            "l_orderkey",
+            F.struct(F.col("l_linenumber"), qty.alias("q")).alias("s"),
+        )
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_list("s")).alias("pairs"))
+        .select(
+            "l_orderkey",
+            F.transform("pairs", lambda x: x.getField("q")).alias("qty_arr"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Nested snapshots: orders struct-packed two levels deep, mirroring the
 # reference's nested-record fixtures (studentAssignments.submission — SURVEY
 # §1.2). Exercises recursive per-leaf diffing: mutations live at depth 1

@@ -160,6 +160,24 @@ def test_nested_struct_leaf_paths(spark):
     assert ("1", "sub.score") not in rows
 
 
+def test_detail_explode_arrays_per_index(spark):
+    # deep-object-diff treats arrays as objects with numeric keys: per-index
+    # rows for changed/added/deleted elements (missing side NULL)
+    old = spark.createDataFrame(
+        [(1, [10, 20, 30], "x"), (2, [1, 2], "y")], "k int, arr array<int>, v string"
+    )
+    new = spark.createDataFrame(
+        [(1, [10, 25], "x"), (2, [1, 2], "z")], "k int, arr array<int>, v string"
+    )
+    det = key_diff_detail(old, new, ["k"], explode_arrays=True)
+    rows = {(r["k"], r["field"]): (r["old_value"], r["new_value"]) for r in det.collect()}
+    assert rows[("1", "arr.1")] == ("20", "25")
+    assert rows[("1", "arr.2")] == ("30", None)  # deleted index
+    assert ("1", "arr.0") not in rows  # unchanged index
+    assert rows[("2", "v")] == ("y", "z")  # scalar rows still emitted
+    assert ("2", "arr.0") not in rows  # unchanged array → no rows
+
+
 def test_raw_keys_semantics(spark):
     # raw_keys: native key types, SQL NULL semantics (null keys never
     # match — they classify as removed/added), cross-type keys don't join
