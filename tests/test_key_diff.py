@@ -196,8 +196,13 @@ def test_bucketed_diff_has_no_shuffle(spark, sf_dir, tmp_path):
     expression, so bucketing never lines up)."""
     from avro_diff_spark.snapshots import orders_new, orders_old
 
-    spark.sql("DROP TABLE IF EXISTS bd_old")
-    spark.sql("DROP TABLE IF EXISTS bd_new")
+    import shutil
+
+    for t in ("bd_old", "bd_new"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        # the in-memory metastore forgets tables across sessions while the
+        # warehouse dir persists — clear the location too
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
     orders_old(spark, sf_dir).write.bucketBy(4, "o_orderkey").sortBy(
         "o_orderkey"
     ).mode("overwrite").saveAsTable("bd_old")
