@@ -244,6 +244,7 @@ def key_diff_detail(
     compare_cols: Sequence[str] | None = None,
     max_struct_depth: int = MAX_STRUCT_DEPTH,
     explode_arrays: bool = False,
+    explode_maps: bool = False,
 ) -> DataFrame:
     """Field-level diff payload for matched changed rows.
 
@@ -253,6 +254,12 @@ def key_diff_detail(
     (objects with numeric keys). Indices past the shorter array report
     NULL on the missing side. Element comparison is null-safe on the
     canonical form; rows emit only for differing indices.
+
+    ``explode_maps=True`` does the same for string-keyed MAP leaves —
+    field names ``path.<key>`` over the union of both sides' keys (maps
+    ARE objects in the reference's JS data model, so deep-object-diff
+    recurses into them identically); a key present on one side only
+    reports NULL on the other.
 
     The Spark rendering of the reference's ``detailedDiff`` `updated` bucket
     (src/index.js:205): one output row per (matched row, changed *leaf*) —
@@ -279,11 +286,19 @@ def key_diff_detail(
     def _is_arr(t) -> bool:
         return isinstance(t, T.ArrayType)
 
-    if explode_arrays:
-        scalar_leaves = [l for l in leaves if not (_is_arr(l[1]) and _is_arr(l[2]))]
-        array_leaves = [l for l in leaves if _is_arr(l[1]) and _is_arr(l[2])]
-    else:
-        scalar_leaves, array_leaves = leaves, []
+    def _is_str_map(t) -> bool:
+        return isinstance(t, T.MapType) and isinstance(t.keyType, T.StringType)
+
+    array_leaves = (
+        [l for l in leaves if _is_arr(l[1]) and _is_arr(l[2])] if explode_arrays else []
+    )
+    map_leaves = (
+        [l for l in leaves if _is_str_map(l[1]) and _is_str_map(l[2])]
+        if explode_maps
+        else []
+    )
+    taken = {l[0] for l in array_leaves} | {l[0] for l in map_leaves}
+    scalar_leaves = [l for l in leaves if l[0] not in taken]
 
     _null_str = F.lit(None).cast("string")
     parts: list[DataFrame] = []
@@ -359,6 +374,42 @@ def key_diff_detail(
                 F.concat(F.lit(dot + "."), F.col("__i").cast("string")).alias("field"),
                 stringify(ea, et_o).alias("old_value"),
                 stringify(eb, et_n).alias("new_value"),
+            )
+        )
+
+    for p, ot, nt in map_leaves:
+        dot = ".".join(p)
+        a, b = _get_path(F.col("old"), p), _get_path(F.col("new"), p)
+        vt_o, vt_n = ot.valueType, nt.valueType
+        keys = F.array_distinct(
+            F.concat(
+                F.coalesce(F.map_keys(a), F.array().cast("array<string>")),
+                F.coalesce(F.map_keys(b), F.array().cast("array<string>")),
+            )
+        )
+        staged = (
+            matched.filter(F.array_contains(F.col("changed_fields"), F.lit(dot)))
+            .select(
+                *[F.col(k) for k in key],
+                a.alias("__a"),
+                b.alias("__b"),
+                F.explode(keys).alias("__k"),
+            )
+        )
+        va = F.try_element_at(F.col("__a"), F.col("__k"))
+        vb = F.try_element_at(F.col("__b"), F.col("__k"))
+        if vt_o.simpleString() != vt_n.simpleString():
+            v_changed = ~stringify(va, vt_o).eqNullSafe(stringify(vb, vt_n))
+        elif has_map(vt_o):
+            v_changed = ~canonical(va, vt_o).eqNullSafe(canonical(vb, vt_n))
+        else:
+            v_changed = ~va.eqNullSafe(vb)
+        parts.append(
+            staged.where(v_changed).select(
+                *[F.col(k) for k in key],
+                F.concat(F.lit(dot + "."), F.col("__k")).alias("field"),
+                stringify(va, vt_o).alias("old_value"),
+                stringify(vb, vt_n).alias("new_value"),
             )
         )
 

@@ -178,6 +178,21 @@ def test_detail_explode_arrays_per_index(spark):
     assert ("2", "arr.0") not in rows  # unchanged array → no rows
 
 
+def test_detail_explode_maps_per_key(spark):
+    # maps are JS objects to the reference — deep-object-diff recurses per
+    # key: union of both sides' keys, NULL on the absent side
+    schema = "k int, m map<string,int>, v string"
+    old = spark.createDataFrame([(1, {"a": 1, "b": 2, "gone": 9}, "x")], schema)
+    new = spark.createDataFrame([(1, {"a": 1, "b": 3, "fresh": 7}, "x")], schema)
+    det = key_diff_detail(old, new, ["k"], explode_maps=True)
+    rows = {(r["k"], r["field"]): (r["old_value"], r["new_value"]) for r in det.collect()}
+    assert rows[("1", "m.b")] == ("2", "3")
+    assert rows[("1", "m.gone")] == ("9", None)
+    assert rows[("1", "m.fresh")] == (None, "7")
+    assert ("1", "m.a") not in rows
+    assert ("1", "v") not in rows  # unchanged scalar
+
+
 def test_raw_keys_semantics(spark):
     # raw_keys: native key types, SQL NULL semantics (null keys never
     # match — they classify as removed/added), cross-type keys don't join
