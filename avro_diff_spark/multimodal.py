@@ -12,12 +12,16 @@ North-star extension (BASELINE.json) — the reference is text/Avro only
   ``mapInPandas`` pipelines: the Spark-side plumbing (schema, batching,
   cardinality change, partition preservation) is real and tested.
 
-DECODE IS STUBBED: this container has no image/audio libraries, so the
-default decoder is a documented *deterministic fake* deriving pseudo
-features from the payload bytes. Swap in a real decoder via the
-``decoder=`` hook (``pil_image_decoder`` raises ``NotImplementedError``
-until Pillow is installed). Everything around the decoder — batch shape,
-schemas, partitioning — is the production code path.
+Decode status: UNCOMPRESSED formats decode for REAL —
+:func:`real_image_decoder` reads 24/32-bit BMP and binary PPM pixels with
+struct+numpy straight from the public file-format specs, zero extra
+dependencies. Compressed formats (JPEG/PNG/...) need a codec library this
+container lacks, so their path is a documented *deterministic fake*
+(:func:`fake_image_decoder`) behind the ``decoder=`` hook
+(:func:`auto_image_decoder` = real-when-possible, fake otherwise;
+``pil_image_decoder`` raises ``NotImplementedError`` until Pillow is
+installed). Everything around the decoder — batch shape, schemas,
+partitioning — is the production code path either way.
 """
 
 from __future__ import annotations
@@ -33,6 +37,8 @@ _MAGIC = {
     "jpeg": b"\xff\xd8\xff",
     "riff": b"RIFF",  # wav/avi containers
     "gif": b"GIF8",
+    "bmp": b"BM",
+    "ppm": b"P6",
 }
 
 
@@ -97,6 +103,76 @@ def fake_image_decoder(payload: bytes) -> dict[str, Any]:
         "channels": 3 if n > 0 else 0,
         "mean_byte": (sum(payload) / n) if n > 0 else 0.0,
     }
+
+
+def real_image_decoder(payload: bytes) -> dict[str, Any]:
+    """REAL pixel decode for uncompressed formats, zero dependencies:
+    24/32-bit uncompressed BMP (BITMAPINFOHEADER, public spec: pixel
+    offset at byte 10, width/height at 18/22, bpp at 28, compression 0)
+    and binary PPM ``P6``. Raises ValueError for anything else —
+    compressed formats (JPEG/PNG) need a codec library; route them
+    through :func:`pil_image_decoder` or a custom hook.
+    """
+    import struct
+
+    import numpy as np
+
+    if payload[:2] == b"BM":
+        offset = struct.unpack_from("<I", payload, 10)[0]
+        width, height = struct.unpack_from("<ii", payload, 18)
+        bpp = struct.unpack_from("<H", payload, 28)[0]
+        compression = struct.unpack_from("<I", payload, 30)[0]
+        if compression != 0 or bpp not in (24, 32):
+            raise ValueError(f"unsupported BMP variant (bpp={bpp}, comp={compression})")
+        channels = bpp // 8
+        h = abs(height)
+        stride = ((width * channels + 3) // 4) * 4  # rows pad to 4 bytes
+        px = np.frombuffer(payload, np.uint8, count=stride * h, offset=offset)
+        px = px.reshape(h, stride)[:, : width * channels]
+        return {
+            "width": width,
+            "height": h,
+            "channels": channels,
+            "mean_byte": float(px.mean()) if px.size else 0.0,
+        }
+    if payload[:2] == b"P6":
+        # header: P6 <ws> width <ws> height <ws> maxval <single ws> raw RGB;
+        # '#' comments allowed between tokens
+        pos, tokens = 2, []
+        while len(tokens) < 3:
+            while pos < len(payload) and payload[pos : pos + 1].isspace():
+                pos += 1
+            if payload[pos : pos + 1] == b"#":
+                while pos < len(payload) and payload[pos] != 0x0A:
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(payload) and not payload[pos : pos + 1].isspace():
+                pos += 1
+            tokens.append(int(payload[start:pos]))
+        pos += 1  # the single whitespace after maxval
+        width, height, maxval = tokens
+        if maxval > 255:
+            raise ValueError("16-bit PPM unsupported")
+        px = np.frombuffer(payload, np.uint8, count=width * height * 3, offset=pos)
+        return {
+            "width": width,
+            "height": height,
+            "channels": 3,
+            "mean_byte": float(px.mean()) if px.size else 0.0,
+        }
+    raise ValueError("not an uncompressed BMP/PPM payload")
+
+
+def auto_image_decoder(payload: bytes) -> dict[str, Any]:
+    """Real decode when the format allows it, deterministic fake otherwise
+    — the sensible default for mixed corpora in this container."""
+    import struct
+
+    try:
+        return real_image_decoder(payload)
+    except (ValueError, IndexError, struct.error):
+        return fake_image_decoder(payload)
 
 
 def pil_image_decoder(payload: bytes) -> dict[str, Any]:

@@ -51,6 +51,70 @@ def test_sniff_container_magics(spark):
     assert got == {1: "png", 2: "jpeg", 3: "riff", 4: "unknown"}
 
 
+def _make_bmp(width: int, height: int) -> bytes:
+    """Minimal 24-bit uncompressed BMP with a deterministic gradient."""
+    import struct
+
+    channels = 3
+    stride = ((width * channels + 3) // 4) * 4
+    pixel_bytes = stride * height
+    offset = 14 + 40
+    header = b"BM" + struct.pack("<IHHI", offset + pixel_bytes, 0, 0, offset)
+    dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, pixel_bytes, 2835, 2835, 0, 0)
+    rows = bytearray()
+    for y in range(height):
+        row = bytearray((x * 7 + y * 13 + c) % 256 for x in range(width) for c in range(3))
+        row += b"\x00" * (stride - len(row))
+        rows += row
+    return header + dib + bytes(rows)
+
+
+def _make_ppm(width: int, height: int) -> bytes:
+    body = bytes((i * 11) % 256 for i in range(width * height * 3))
+    return f"P6\n# test\n{width} {height}\n255\n".encode() + body
+
+
+def test_real_decoder_bmp_ppm_pixels(spark):
+    """real_image_decoder reads ACTUAL pixels from the public BMP/PPM specs;
+    auto_image_decoder falls back to the fake only for other formats."""
+    import numpy as np
+
+    bmp, ppm = _make_bmp(5, 4), _make_ppm(6, 3)
+    d = MM.real_image_decoder(bmp)
+    assert (d["width"], d["height"], d["channels"]) == (5, 4, 3)
+    exp = np.array(
+        [(x * 7 + y * 13 + c) % 256 for y in range(4) for x in range(5) for c in range(3)]
+    ).mean()
+    assert abs(d["mean_byte"] - exp) < 1e-9
+
+    p = MM.real_image_decoder(ppm)
+    assert (p["width"], p["height"], p["channels"]) == (6, 3, 3)
+    assert abs(p["mean_byte"] - np.array([(i * 11) % 256 for i in range(54)]).mean()) < 1e-9
+
+    # auto: real for BMP/PPM, fake for arbitrary bytes
+    assert MM.auto_image_decoder(bmp)["width"] == 5
+    assert MM.auto_image_decoder(b"zz-not-an-image")["channels"] == 3
+
+    # and through the Spark mapInPandas path
+    df = spark.createDataFrame(
+        [(1, bytearray(bmp)), (2, bytearray(ppm)), (3, bytearray(b"junk"))],
+        "media_id long, payload binary",
+    )
+    rows = {
+        r["media_id"]: (r["width"], r["height"])
+        for r in MM.image_features(df, decoder=MM.auto_image_decoder).collect()
+    }
+    assert rows[1] == (5, 4) and rows[2] == (6, 3)
+    # container sniffing recognizes the real formats
+    got = {
+        r["media_id"]: r["c"]
+        for r in df.select(
+            "media_id", MM.sniff_container(F.col("payload")).alias("c")
+        ).collect()
+    }
+    assert got == {1: "bmp", 2: "ppm", 3: "unknown"}
+
+
 def test_image_features_one_to_one_and_deterministic(media):
     feats = MM.image_features(media)
     assert feats.count() == media.count()
