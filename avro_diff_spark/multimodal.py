@@ -232,6 +232,69 @@ def image_features(
 
 AUDIO_FEATURES_SCHEMA = "media_id long, n_samples long, duration_s double, mean_amplitude double"
 
+#: audio decoder contract: bytes -> (samples float64 ndarray, sample_rate)
+AudioDecoder = Callable[[bytes], tuple["np.ndarray", int]]
+
+
+def wav_pcm_decoder(payload: bytes):
+    """REAL decode for RIFF/WAVE PCM (the uncompressed .wav layout, public
+    spec): walks the chunk list for ``fmt `` (audio format 1 = PCM,
+    8/16-bit) and ``data``, returns (mono-mixed float64 samples, rate).
+    Raises ValueError for compressed/float formats."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks pad to even offsets
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, rate, _, _, bits = fmt
+    if audio_format != 1 or bits not in (8, 16):
+        raise ValueError(f"unsupported WAV (format={audio_format}, bits={bits})")
+    if bits == 16:
+        arr = np.frombuffer(data, np.int16, count=len(data) // 2).astype(np.float64)
+    else:  # 8-bit WAV is unsigned, centered at 128
+        arr = np.frombuffer(data, np.uint8).astype(np.float64) - 128.0
+    if channels > 1:
+        arr = arr[: (arr.size // channels) * channels].reshape(-1, channels).mean(axis=1)
+    return arr, rate
+
+
+def fake_audio_decoder(sample_rate: int = 16_000) -> AudioDecoder:
+    """Deterministic FAKE: payload bytes as signed 8-bit samples at a fixed
+    rate (no audio libs needed; stable across engines/runs)."""
+
+    def decode(payload: bytes):
+        import numpy as np
+
+        return np.frombuffer(payload, dtype=np.int8).astype(np.float64), sample_rate
+
+    return decode
+
+
+def auto_audio_decoder(sample_rate: int = 16_000) -> AudioDecoder:
+    """Real PCM WAV decode when the payload is one, int8 fake otherwise."""
+
+    def decode(payload: bytes):
+        import struct
+
+        try:
+            return wav_pcm_decoder(payload)
+        except (ValueError, IndexError, struct.error):
+            return fake_audio_decoder(sample_rate)(payload)
+
+    return decode
+
 
 def audio_features(
     df: DataFrame,
@@ -239,12 +302,15 @@ def audio_features(
     id_col: str = "media_id",
     *,
     sample_rate: int = 16_000,
+    decoder: AudioDecoder | None = None,
 ) -> DataFrame:
-    """Pseudo-audio features: payload bytes as signed 8-bit samples.
+    """Per-payload audio features via Arrow-batched ``mapInPandas``.
 
-    FAKE decode (no audio libs here) but deterministic and batch-shaped like
-    a real soxr/librosa pipeline: numpy over Arrow batches, zero row-at-a-time
-    Python."""
+    Default decoder is the deterministic int8 fake (oracle-stable); pass
+    ``decoder=auto_audio_decoder()`` to decode real PCM WAV payloads.
+    Batch-shaped like a soxr/librosa pipeline: numpy over Arrow batches,
+    zero row-at-a-time Python."""
+    dec = decoder or fake_audio_decoder(sample_rate)
     narrow = df.select(F.col(id_col).alias("media_id"), F.col(payload_col).alias("payload"))
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -254,13 +320,13 @@ def audio_features(
         for pdf in batches:
             rows = []
             for mid, b in zip(pdf["media_id"].values, pdf["payload"].values):
-                arr = np.frombuffer(bytes(b), dtype=np.int8)
+                arr, rate = dec(bytes(b))
                 rows.append(
                     (
                         mid,
                         arr.size,
-                        arr.size / sample_rate,
-                        float(np.abs(arr.astype(np.float64)).mean()) if arr.size else 0.0,
+                        arr.size / rate,
+                        float(np.abs(arr).mean()) if arr.size else 0.0,
                     )
                 )
             yield pd.DataFrame(

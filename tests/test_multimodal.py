@@ -115,6 +115,32 @@ def test_real_decoder_bmp_ppm_pixels(spark):
     assert got == {1: "bmp", 2: "ppm", 3: "unknown"}
 
 
+def test_real_wav_pcm_decoder(spark):
+    import struct
+
+    import numpy as np
+
+    # build a 16-bit stereo PCM WAV: 4 frames, known samples
+    samples = np.array([[100, 200], [-100, 300], [0, 0], [32000, -32000]], dtype=np.int16)
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 2, 8000, 8000 * 4, 4, 16)
+    wav = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    arr, rate = MM.wav_pcm_decoder(wav)
+    assert rate == 8000 and arr.size == 4
+    assert list(arr) == [150.0, 100.0, 0.0, 0.0]  # mono-mixed
+
+    feats = MM.audio_features(
+        spark.createDataFrame([(1, bytearray(wav))], "media_id long, payload binary"),
+        decoder=MM.auto_audio_decoder(),
+    ).collect()[0]
+    assert feats["n_samples"] == 4 and abs(feats["duration_s"] - 4 / 8000) < 1e-12
+    assert abs(feats["mean_amplitude"] - np.abs([150.0, 100.0, 0.0, 0.0]).mean()) < 1e-9
+
+
 def test_image_features_one_to_one_and_deterministic(media):
     feats = MM.image_features(media)
     assert feats.count() == media.count()
