@@ -21,11 +21,13 @@ import sys
 from pyspark.sql import DataFrame
 
 
-def _read(spark, path: str, fmt: str, keep, ignore):
+def _read(spark, path: str, fmt: str, keep, ignore, avro_schema=None):
     from avro_diff_spark.sources.avro import read_avro, read_parquet
 
     if fmt == "avro" or (fmt == "auto" and path.endswith(".avro")):
-        return read_avro(spark, path, keep_fields=keep, ignore_fields=ignore)
+        return read_avro(
+            spark, path, keep_fields=keep, ignore_fields=ignore, avro_schema=avro_schema
+        )
     return read_parquet(spark, path, keep_fields=keep, ignore_fields=ignore)
 
 
@@ -49,6 +51,13 @@ def _common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--format", choices=["auto", "avro", "parquet"], default="auto")
     p.add_argument("--keep-fields", default=None, help="comma-separated keep projection")
     p.add_argument("--ignore-fields", default=None, help="comma-separated ignore projection")
+    p.add_argument(
+        "--avro-schema",
+        default=None,
+        metavar="FILE",
+        help="reader-schema override: path to an Avro schema JSON file "
+        "(the reference's CONFIG.schema, src/config.js:2)",
+    )
     p.add_argument("--output", default=None, help="parquet output path (default: print)")
     p.add_argument("--limit", type=int, default=50, help="rows to print without --output")
     p.add_argument("--master", default=None, help="spark master (default local[*])")
@@ -64,6 +73,13 @@ def _split(s: str | None):
     return s.split(",") if s else None
 
 
+def _schema_arg(args):
+    if not getattr(args, "avro_schema", None):
+        return None
+    with open(args.avro_schema) as f:
+        return f.read()
+
+
 def key_diff_main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(
         prog="key_diff", description="Keyed diff of two Avro/parquet datasets."
@@ -76,8 +92,9 @@ def key_diff_main(argv: list[str] | None = None) -> int:
     from avro_diff_spark.operators.key_diff import key_diff, key_diff_detail
 
     spark = _session(args)
-    old = _read(spark, args.old_file, args.format, _split(args.keep_fields), _split(args.ignore_fields))
-    new = _read(spark, args.new_file, args.format, _split(args.keep_fields), _split(args.ignore_fields))
+    schema = _schema_arg(args)
+    old = _read(spark, args.old_file, args.format, _split(args.keep_fields), _split(args.ignore_fields), schema)
+    new = _read(spark, args.new_file, args.format, _split(args.keep_fields), _split(args.ignore_fields), schema)
     key = args.key.split(",")
     fn = key_diff_detail if args.detail else key_diff
     d = fn(old, new, key)
@@ -109,8 +126,9 @@ def venn_diff_main(argv: list[str] | None = None) -> int:
     from avro_diff_spark.operators.venn_diff import venn_summary
 
     spark = _session(args)
-    old = _read(spark, args.old_file, args.format, _split(args.keep_fields), _split(args.ignore_fields))
-    new = _read(spark, args.new_file, args.format, _split(args.keep_fields), _split(args.ignore_fields))
+    schema = _schema_arg(args)
+    old = _read(spark, args.old_file, args.format, _split(args.keep_fields), _split(args.ignore_fields), schema)
+    new = _read(spark, args.new_file, args.format, _split(args.keep_fields), _split(args.ignore_fields), schema)
     s = venn_summary(old, new).cache()
 
     from pyspark.sql import functions as F

@@ -146,6 +146,38 @@ def test_cli_key_diff_prints_stats(spark, orders_files, capsys):
     assert "# of added rows:" in out and "# of unchanged rows:" in out
 
 
+def test_cli_avro_schema_override(spark, orders_files, tmp_path, capsys):
+    # --avro-schema FILE = the reference's CONFIG.schema reader override
+    import json
+
+    old_p, new_p = orders_files
+    narrowed = {
+        "type": "record",
+        "name": "topLevelRecord",
+        "fields": [
+            {"name": "o_orderkey", "type": ["null", "long"]},
+            {"name": "o_totalprice", "type": ["null", "double"]},
+        ],
+    }
+    sf = tmp_path / "reader.avsc"
+    sf.write_text(json.dumps(narrowed))
+    from avro_diff_spark import cli
+
+    rc = cli.key_diff_main(
+        [old_p, new_p, "o_orderkey", "--format", "avro", "--avro-schema", str(sf), "--limit", "2"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    # only the two declared fields survive: payload structs render with
+    # exactly 2 elements ({key, price}), and changed rows exist because
+    # o_totalprice is still compared
+    assert "# of changed rows:" in out and "o_custkey" not in out
+    import re
+
+    payload = re.search(r"\{(\d+), ([\d.]+)\}", out)
+    assert payload, out
+
+
 def test_cli_prints_in_lex_key_order(spark, tmp_path, capsys):
     # lexCompare parity (reference src/index.js:288-307): coerced STRING
     # keys sort lexicographically, so "10" prints before "2"
