@@ -295,6 +295,66 @@ GROUP BY lang
 """
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Top-k characteristic terms per document by tf·idf — the classic
+    keyword/feature-extraction pass. Scale shape: explode → (doc, term)
+    count (map-side combine), document-frequency agg broadcast back onto
+    the term stream, window top-k per doc (single shuffle on doc_id).
+
+    idf uses the log-free rational surrogate (N+1)/(df+1): monotone in the
+    same direction, and a single IEEE division both engines compute
+    bit-identically (ln differs in the last ulp across libms — it would
+    break the oracle hash for zero analytical benefit here).
+    """
+    from pyspark.sql import Window
+
+    d = spread_small(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    n_docs = d.count()  # dimension-table-sized action; the corpus row count
+    toks = d.select(
+        "doc_id",
+        # explode_outer: plain explode would infer a size()>0 filter that
+        # re-evaluates the tokenize chain at the scan (see dedup.py)
+        F.explode_outer(TX.tokens_ws(F.col("text"))).alias("term"),
+    ).where(F.col("term").isNotNull() & (F.col("term") != ""))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.select("doc_id", "term").distinct().groupBy("term").agg(
+        F.count(F.lit(1)).alias("df_t")
+    )
+    score = (F.col("tf") * F.lit(n_docs + 1)).cast("double") / (F.col("df_t") + 1)
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .select("doc_id", "term", score.alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "rank", "term", "score")
+    )
+
+
+def _tfidf_sql(k: int = 3) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({tokens_sql('text')}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> '' GROUP BY doc_id, term
+),
+dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS df_t FROM toks WHERE term <> '' GROUP BY term
+),
+scored AS (
+  SELECT doc_id, term,
+         CAST(tf * ((SELECT count(*) FROM documents) + 1) AS DOUBLE) / (df_t + 1) AS score
+  FROM tf JOIN dfreq USING (term)
+)
+SELECT doc_id, rank, term, score FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                 ORDER BY score DESC, term ASC) AS INT) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style per-document repetition signals (boilerplate/spam
     filters for training corpora): unique-word fraction, top word / top
@@ -809,6 +869,7 @@ PIPELINE_QUERIES = {
     "quality_scores": q_quality_scores,
     "rolling_fingerprints": q_rolling_fingerprints,
     "repetition_stats": q_repetition_stats,
+    "tfidf_top_terms": q_tfidf_top_terms,
     "pii_redaction_counts": q_pii_redaction,
     "dedup_exact_clusters": q_dedup_exact_clusters,
     "dedup_exact_survivors": q_dedup_exact_survivors,
@@ -841,6 +902,7 @@ def pipeline_sql() -> dict[str, str]:
         "quality_scores": _quality_sql(),
         "rolling_fingerprints": ROLLING_FINGERPRINTS_SQL,
         "repetition_stats": _repetition_sql(),
+        "tfidf_top_terms": _tfidf_sql(),
         "pii_redaction_counts": _pii_sql(),
         "dedup_exact_clusters": DEDUP_EXACT_CLUSTERS_SQL,
         "dedup_exact_survivors": DEDUP_EXACT_SURVIVORS_SQL,
