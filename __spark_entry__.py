@@ -381,6 +381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers_by_segment": analytics.top_customers_by_segment,
         "supplier_part_profit": analytics.supplier_part_profit,
         "events_hourly": analytics.events_hourly,
+        "funnel_stages": analytics.funnel_stages,
         "sessionize": analytics.sessionize,
         "asof_attribution": analytics.asof_attribution,
         "events_rollup": analytics.events_rollup,
@@ -415,6 +416,7 @@ def oracle_sql() -> dict[str, str]:
         "top_customers_by_segment": analytics.TOP_CUSTOMERS_BY_SEGMENT_SQL,
         "supplier_part_profit": analytics.SUPPLIER_PART_PROFIT_SQL,
         "events_hourly": analytics.EVENTS_HOURLY_SQL,
+        "funnel_stages": analytics.FUNNEL_STAGES_SQL,
         "sessionize": analytics.SESSIONIZE_SQL,
         "asof_attribution": analytics.ASOF_ATTRIBUTION_SQL,
         "events_rollup": analytics.EVENTS_ROLLUP_SQL,

@@ -282,6 +282,80 @@ FROM events GROUP BY 1, 2
 
 
 # --------------------------------------------------------------------------
+# conversion funnel: furthest ORDERED stage reached per user. One shuffle on
+# user_id, then a per-user sort-fold over the event sequence — no
+# self-joins, no inequality joins, O(events-per-user) state. The fold is a
+# pure array expression mirrored by DuckDB's list_reduce, so the oracle is
+# exact.
+# --------------------------------------------------------------------------
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def funnel_stages(
+    spark: SparkSession,
+    sf_dir: str,
+    steps: tuple[str, ...] = FUNNEL_STEPS,
+    first_n: int = 8,
+) -> DataFrame:
+    """Users by furthest funnel stage reached IN ORDER within their first
+    ``first_n`` events (the early-journey conversion question — unbounded
+    history trivially converts everyone on a long-lived product).
+
+    Columns: funnel_stage (0 = none of step 1, len(steps) = full
+    conversion), n_users.
+    """
+    ev = load_events(spark, sf_dir)
+    code = F.lit(0)
+    for i, s in enumerate(steps):
+        code = F.when(F.col("event_type") == s, F.lit(i + 1)).otherwise(code)
+    per_user = (
+        ev.select("user_id", F.col("ts_us"), code.alias("code"))
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_list(F.struct("ts_us", "code"))).alias("evs"))
+    )
+
+    def step(acc, e):
+        out = acc
+        for i in range(len(steps)):
+            out = F.when((acc == i) & (e.getField("code") == i + 1), F.lit(i + 1)).otherwise(out)
+        return out
+
+    stage = F.aggregate(F.slice(F.col("evs"), 1, first_n), F.lit(0), step)
+    return (
+        per_user.select(stage.alias("funnel_stage"))
+        .groupBy("funnel_stage")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+def _funnel_sql(steps: tuple[str, ...] = FUNNEL_STEPS, first_n: int = 8) -> str:
+    code = "CASE " + " ".join(
+        f"WHEN event_type = '{s}' THEN {i + 1}" for i, s in enumerate(steps)
+    ) + " ELSE 0 END"
+    fold = "acc"
+    # build the same WHEN chain the Spark fold uses (applied innermost-out)
+    for i in range(len(steps) - 1, -1, -1):
+        fold = f"CASE WHEN acc = {i} AND x = {i + 1} THEN {i + 1} ELSE {fold} END"
+    return f"""
+WITH coded AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, {code} AS code FROM events
+),
+per_user AS (
+  SELECT user_id, list(code ORDER BY ts_us, code) AS codes FROM coded GROUP BY user_id
+),
+staged AS (
+  SELECT list_reduce(list_prepend(0, codes[1:{first_n}]), (acc, x) -> {fold}) AS funnel_stage
+  FROM per_user
+)
+SELECT funnel_stage, count(*) AS n_users FROM staged GROUP BY funnel_stage
+"""
+
+
+FUNNEL_STAGES_SQL = _funnel_sql()
+
+
+# --------------------------------------------------------------------------
 # gap-based sessionization: lag + conditional cumsum windows. The streaming
 # twin (applyInPandasWithState) lives in avro_diff_spark.streaming. At
 # 100 TB: one shuffle on user_id; windows evaluate within partitions.
