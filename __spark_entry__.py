@@ -382,6 +382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_part_profit": analytics.supplier_part_profit,
         "events_hourly": analytics.events_hourly,
         "funnel_stages": analytics.funnel_stages,
+        "retention_cohorts": analytics.retention_cohorts,
         "sessionize": analytics.sessionize,
         "asof_attribution": analytics.asof_attribution,
         "events_rollup": analytics.events_rollup,
@@ -417,6 +418,7 @@ def oracle_sql() -> dict[str, str]:
         "supplier_part_profit": analytics.SUPPLIER_PART_PROFIT_SQL,
         "events_hourly": analytics.EVENTS_HOURLY_SQL,
         "funnel_stages": analytics.FUNNEL_STAGES_SQL,
+        "retention_cohorts": analytics.RETENTION_COHORTS_SQL,
         "sessionize": analytics.SESSIONIZE_SQL,
         "asof_attribution": analytics.ASOF_ATTRIBUTION_SQL,
         "events_rollup": analytics.EVENTS_ROLLUP_SQL,

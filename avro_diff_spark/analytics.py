@@ -356,6 +356,61 @@ FUNNEL_STAGES_SQL = _funnel_sql()
 
 
 # --------------------------------------------------------------------------
+# retention cohorts: users grouped by signup week, activity counted per
+# week-offset since signup. Two shuffles (per-user signup agg, cohort-cell
+# distinct-count agg); the signup side joins back by user_id — at 100 TB
+# both sides are already hashed on user_id so AQE reuses the layout.
+# --------------------------------------------------------------------------
+
+_WEEK_US = 7 * 24 * 3_600_000_000
+
+
+def retention_cohorts(
+    spark: SparkSession, sf_dir: str, max_week_offset: int = 7
+) -> DataFrame:
+    """Distinct active users per (signup-cohort week, weeks since signup).
+
+    Columns: cohort_week_us (epoch micros of the cohort's week bucket),
+    week_offset (0..max), n_active_users.
+    """
+    ev = load_events(spark, sf_dir)
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("signup_us"))
+    )
+    j = ev.select("user_id", "ts_us").join(signups, "user_id")
+    # floor, not cast-truncate: events BEFORE signup give negative offsets,
+    # and truncation would fold (-1 week, 0) onto offset 0 (diffs < 2^53,
+    # so the double division is exact enough for floor to agree with SQL)
+    off = F.floor((F.col("ts_us") - F.col("signup_us")) / F.lit(_WEEK_US)).cast("long")
+    cohort = F.col("signup_us") - (F.col("signup_us") % F.lit(_WEEK_US))
+    return (
+        j.select(cohort.alias("cohort_week_us"), off.alias("week_offset"), "user_id")
+        .filter((F.col("week_offset") >= 0) & (F.col("week_offset") <= max_week_offset))
+        .groupBy("cohort_week_us", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_active_users"))
+    )
+
+
+RETENTION_COHORTS_SQL = f"""
+WITH signups AS (
+  SELECT user_id, min(epoch_us(ts)) AS signup_us
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+j AS (
+  SELECT e.user_id,
+         s.signup_us - (s.signup_us % {_WEEK_US}) AS cohort_week_us,
+         CAST(floor((epoch_us(e.ts) - s.signup_us) / {_WEEK_US}) AS BIGINT) AS week_offset
+  FROM events e JOIN signups s USING (user_id)
+)
+SELECT cohort_week_us, week_offset, count(DISTINCT user_id) AS n_active_users
+FROM j WHERE week_offset BETWEEN 0 AND 7
+GROUP BY cohort_week_us, week_offset
+"""
+
+
+# --------------------------------------------------------------------------
 # gap-based sessionization: lag + conditional cumsum windows. The streaming
 # twin (applyInPandasWithState) lives in avro_diff_spark.streaming. At
 # 100 TB: one shuffle on user_id; windows evaluate within partitions.
