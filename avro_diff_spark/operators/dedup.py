@@ -23,8 +23,6 @@ DuckDB oracles reproduce results exactly.
 
 from __future__ import annotations
 
-from collections.abc import Sequence
-
 from pyspark.sql import Column, DataFrame, functions as F
 
 from avro_diff_spark.sources.tables import spread_small
@@ -466,11 +464,18 @@ def duplicate_spans(
 
     Scale shape: each doc explodes its distinct hashed w-grams, ONE shuffle
     on the gram hash, map-side partial agg; no pairwise work at any point.
-    ``doc_ids`` lists the first ``max_doc_list`` member docs (sorted, so
-    the cap is deterministic); ``n_docs`` is always the full count.
+    ``doc_ids`` lists the first ``max_doc_list`` member docs (lowest ids —
+    deterministic); ``n_docs`` is always the full count. The doc list is
+    BOUNDED BEFORE aggregation (rank-within-gram window + filter), never
+    an uncapped collect_set later sliced: a boilerplate gram shared by
+    millions of docs would otherwise materialize the whole set in one
+    reducer. The count and the capped list aggregate on the same shuffle
+    key, so AQE reuses one exchange for both.
 
     Columns: gram_hash, n_docs, doc_ids (comma-joined, capped).
     """
+    from pyspark.sql import Window
+
     from avro_diff_spark.functions.text import word_shingles
 
     grams = F.array_distinct(
@@ -481,16 +486,19 @@ def duplicate_spans(
         .select(F.col(id_col).alias("doc_id"), F.explode_outer(grams).alias("gram_hash"))
         .where(F.col("gram_hash").isNotNull())
     )
-    return (
+    counts = (
         exploded.groupBy("gram_hash")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.array_join(
-                F.slice(F.sort_array(F.collect_set("doc_id")), 1, max_doc_list), ","
-            ).alias("doc_ids"),
-        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") >= min_docs)
     )
+    w = Window.partitionBy("gram_hash").orderBy("doc_id")
+    sample = (
+        exploded.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_doc_list)
+        .groupBy("gram_hash")
+        .agg(F.array_join(F.sort_array(F.collect_list("doc_id")), ",").alias("doc_ids"))
+    )
+    return counts.join(sample, "gram_hash").select("gram_hash", "n_docs", "doc_ids")
 
 
 def simhash_blocks(max_hamming: int, n_bits: int = 32) -> list[tuple[int, int]]:
@@ -521,6 +529,12 @@ def simhash_near_dups(
 
     The fingerprint rides along inside the bucket, so verification needs no
     join back to the fingerprint table (zero recompute, zero extra shuffle).
+
+    Sizing note: a 32-bit fingerprint saturates around 10⁸ documents (the
+    birthday bound floods every block bucket past that); corpora at the
+    10⁹⁺ scale should widen to simhash-64 with 16-bit blocks — the
+    construction here generalizes verbatim, 32-bit is kept because the
+    oracle's integer arithmetic stays comfortably in exact range.
     """
     blocks = simhash_blocks(max_hamming)
     s = simhash32(df, text_col, id_col)

@@ -305,6 +305,12 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame
     same direction, and a single IEEE division both engines compute
     bit-identically (ln differs in the last ulp across libms — it would
     break the oracle hash for zero analytical benefit here).
+
+    The df join carries NO broadcast hint on purpose: web-scale vocabulary
+    (typos, URLs, numerals) is unbounded, so whether dfreq broadcasts is a
+    runtime-size decision — exactly what AQE's join demotion/promotion is
+    for (unlike the char-shingle dfreq in dedup, whose domain is bounded
+    by alphabet^k and is always broadcastable).
     """
     from pyspark.sql import Window
 
@@ -323,7 +329,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame
     score = (F.col("tf") * F.lit(n_docs + 1)).cast("double") / (F.col("df_t") + 1)
     w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())
     return (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(dfreq, "term")
         .select("doc_id", "term", score.alias("score"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

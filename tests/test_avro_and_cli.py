@@ -131,6 +131,19 @@ def test_multi_file_directory_scan(spark, sf_dir, tmp_path):
     assert df.rdd.getNumPartitions() >= 1
 
 
+def test_zero_record_ocf(spark, tmp_path):
+    # header-only container files (a real shape: empty partitions land as
+    # 0-record OCFs) must read as an empty DataFrame with the right schema
+    schema = {"type": "record", "name": "t", "fields": [{"name": "id", "type": "long"}]}
+    p = str(tmp_path / "empty.avro")
+    ocf.write_ocf(p, schema, [], codec="deflate")
+    with open(p, "rb") as f:
+        assert list(ocf.iter_ocf(f.read())) == []
+    df = read_avro(spark, p)
+    assert df.count() == 0
+    assert df.schema.simpleString() == "struct<id:bigint>"
+
+
 def test_read_avro_missing_path_raises(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         read_avro(spark, str(tmp_path / "nope.avro"))
