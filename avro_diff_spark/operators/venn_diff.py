@@ -25,7 +25,7 @@ from typing import NamedTuple
 
 from pyspark.sql import DataFrame, functions as F
 
-from avro_diff_spark.functions.canonical import canonicalize_rows, stable_row_json
+from avro_diff_spark.functions.canonical import canonicalize_rows
 
 
 class VennDiff(NamedTuple):
@@ -45,38 +45,28 @@ def venn_diff(old: DataFrame, new: DataFrame) -> VennDiff:
     )
 
 
-def _venn_count_join(old: DataFrame, new: DataFrame) -> DataFrame:
-    """One-pass venn core: full-outer join of per-side canonical-row counts.
+def _venn_count_core(old: DataFrame, new: DataFrame) -> DataFrame:
+    """One-pass venn core: tag-union + single grouped count — NO join.
 
-    Each side is scanned ONCE, partially aggregated map-side, and shuffled
-    once on a null-free canonical JSON key; the join is co-partitioned with
-    the aggregations (same key), so the whole three-way venn costs 2 scans +
-    2 shuffles — vs ~6 scans for the exceptAll×2 + intersectAll formulation
-    (the reference streams 2 passes, src/index.js:74-75). The JSON key also
-    makes row comparison null-safe, matching set-op semantics where NULLs
-    compare equal.
+    Each side is scanned once with a (1,0)/(0,1) tag, the union groups on
+    the canonicalized row columns (SQL GROUP BY treats NULLs as equal, so
+    null handling matches set-op semantics for free), and the two tag sums
+    are the per-side multiplicities. Total cost: 2 scans + ONE shuffle —
+    vs ~6 scans for the exceptAll×2 + intersectAll formulation (the
+    reference streams 2 passes, src/index.js:74-75), and strictly fewer
+    exchanges than a count-join formulation.
 
-    Returns (row_json, row struct, n_old, n_new) per distinct row.
+    Returns one row per distinct canonical row: all row columns + n_old,
+    n_new.
     """
-    def side(df: DataFrame, alias: str) -> DataFrame:
-        c = canonicalize_rows(df)
-        return (
-            c.select(
-                stable_row_json(c).alias("row_json"),
-                F.struct(*[F.col(x) for x in c.columns]).alias("__row"),
-            )
-            .groupBy("row_json")
-            # rows within a group are identical (fixed schema ⇒ the stable
-            # JSON determines the row), so any_value is deterministic
-            .agg(F.count(F.lit(1)).alias(f"n_{alias}"), F.first("__row").alias(f"row_{alias}"))
-        )
-
-    j = side(old, "old").join(side(new, "new"), "row_json", "full_outer")
-    return j.select(
-        "row_json",
-        F.coalesce("row_old", "row_new").alias("row"),
-        F.coalesce("n_old", F.lit(0)).alias("n_old"),
-        F.coalesce("n_new", F.lit(0)).alias("n_new"),
+    if old.columns != new.columns:
+        raise ValueError("venn inputs must share a schema")
+    o = canonicalize_rows(old).withColumn("__o", F.lit(1)).withColumn("__n", F.lit(0))
+    n = canonicalize_rows(new).withColumn("__o", F.lit(0)).withColumn("__n", F.lit(1))
+    return (
+        o.unionByName(n)
+        .groupBy(*old.columns)
+        .agg(F.sum("__o").alias("n_old"), F.sum("__n").alias("n_new"))
     )
 
 
@@ -110,13 +100,7 @@ def venn_counts(old: DataFrame, new: DataFrame) -> DataFrame:
     bag sizes of :func:`venn_diff` exactly: removed = max(n_old−n_new, 0),
     added = max(n_new−n_old, 0), intersection = min(n_old, n_new).
     """
-    if old.columns != new.columns:
-        raise ValueError("venn inputs must share a schema")
-    j = _venn_count_join(old, new)
-    wide = j.select(
-        *[F.col("row").getField(c).alias(c) for c in old.columns], "n_old", "n_new"
-    )
-    return _explode_kinds(wide, *old.columns)
+    return _explode_kinds(_venn_count_core(old, new), *old.columns)
 
 
 def venn_summary(old: DataFrame, new: DataFrame) -> DataFrame:
@@ -126,9 +110,18 @@ def venn_summary(old: DataFrame, new: DataFrame) -> DataFrame:
     analogue of the reference's ``{canonical_string: count}`` maps
     (src/index.js:68-72), with the row rendered as stable sorted-key JSON
     (parity with ``stableStringify``, src/index.js:91). Built on the
-    one-pass count join (2 scans, 2 shuffles — see :func:`_venn_count_join`).
+    one-pass tag-union core (2 scans, ONE shuffle — see
+    :func:`_venn_count_core`); the JSON renders on DISTINCT rows only,
+    after aggregation, never per input row.
 
     Columns: ``venn_kind`` ∈ {removed, added, intersection}, ``row_json``,
     ``n_occurrences``.
     """
-    return _explode_kinds(_venn_count_join(old, new), "row_json")
+    g = _venn_count_core(old, new)
+    cols = [c for c in g.columns if c not in ("n_old", "n_new")]
+    with_json = g.select(
+        F.to_json(F.struct(*[F.col(c) for c in sorted(cols)])).alias("row_json"),
+        "n_old",
+        "n_new",
+    )
+    return _explode_kinds(with_json, "row_json")
