@@ -851,6 +851,39 @@ FROM (SELECT media_id, len, nf, unnest(range(nf)) AS i FROM f)
 """
 
 
+# The fake decoders are DETERMINISTIC BYTE FUNCTIONS, and this corpus is
+# pure ASCII (verified per sf) — so byte i of the UTF-8 payload equals
+# ascii(substr(text, i+1, 1)) and DuckDB can mirror the full feature math.
+# These oracles therefore hash-check the entire mapInPandas path, not just
+# row counts; they are valid for ASCII corpora (which synth_media's text
+# payloads guarantee here).
+
+_BYTESUM_SQL = (
+    "list_sum(list_transform(range(1, len(text) + 1), i -> ascii(substr(text, i, 1))))"
+)
+
+IMAGE_FEATURES_SQL = f"""
+WITH media AS ({_SYNTH_MEDIA_SQL})
+SELECT media_id,
+  CAST(CASE WHEN len(text) > 0 THEN 1 + ascii(substr(text, 1, 1)) ELSE 0 END AS INT) AS width,
+  CAST(CASE WHEN len(text) > 1 THEN 1 + ascii(substr(text, 2, 1)) ELSE 0 END AS INT) AS height,
+  CAST(CASE WHEN len(text) > 0 THEN 3 ELSE 0 END AS INT) AS channels,
+  CASE WHEN len(text) > 0
+       THEN CAST({_BYTESUM_SQL} AS DOUBLE) / len(text) ELSE 0.0 END AS mean_byte
+FROM media
+"""
+
+AUDIO_FEATURES_SQL = f"""
+WITH media AS ({_SYNTH_MEDIA_SQL})
+SELECT media_id,
+  CAST(len(text) AS BIGINT) AS n_samples,
+  CAST(len(text) AS DOUBLE) / 16000 AS duration_s,
+  CASE WHEN len(text) > 0
+       THEN CAST({_BYTESUM_SQL} AS DOUBLE) / len(text) ELSE 0.0 END AS mean_amplitude
+FROM media
+"""
+
+
 def q_image_features_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     from avro_diff_spark import multimodal as MM
 
@@ -890,8 +923,8 @@ PIPELINE_QUERIES = {
     "cosine_topk_pandas": q_cosine_topk_pandas,  # rows-only: float-sum order differs by design
     "media_metadata": q_media_metadata,
     "frame_sample_lens": q_frame_sample_lens,
-    "image_features_stub": q_image_features_stub,  # rows-only: Pandas-UDF fake decode
-    "audio_features_stub": q_audio_features_stub,  # rows-only: Pandas-UDF fake decode
+    "image_features_stub": q_image_features_stub,
+    "audio_features_stub": q_audio_features_stub,
 }
 
 def pipeline_sql() -> dict[str, str]:
@@ -922,4 +955,6 @@ def pipeline_sql() -> dict[str, str]:
         "embedding_near_dups": _embedding_near_dups_sql(),
         "media_metadata": MEDIA_METADATA_SQL,
         "frame_sample_lens": FRAME_SAMPLE_LENS_SQL,
+        "image_features_stub": IMAGE_FEATURES_SQL,
+        "audio_features_stub": AUDIO_FEATURES_SQL,
     }
