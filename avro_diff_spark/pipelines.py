@@ -295,6 +295,29 @@ GROUP BY lang
 """
 
 
+def q_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus accounting — the input to a mixing/budget planner:
+    document count, DISTINCT-content count (dedup-adjusted cardinality),
+    and total whitespace tokens. Exact distincts keep the oracle
+    hash-stable; the 100 TB variant swaps count_distinct for
+    approx_count_distinct (HLL sketch) — same plan shape, mergeable
+    partials, no second shuffle."""
+    d = spread_small(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(TX.fingerprint_md5(F.col("text"))).alias("n_distinct_texts"),
+        F.sum(F.size(TX.tokens_ws(F.col("text"))).cast("long")).alias("n_tokens"),
+    )
+
+
+SOURCE_STATS_SQL = f"""
+SELECT source, count(*) AS n_docs,
+       count(DISTINCT md5({norm_sql('text')})) AS n_distinct_texts,
+       CAST(sum(len({tokens_sql('text')})) AS BIGINT) AS n_tokens
+FROM documents GROUP BY source
+"""
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     """Top-k characteristic terms per document by tf·idf — the classic
     keyword/feature-extraction pass. Scale shape: explode → (doc, term)
@@ -904,6 +927,7 @@ PIPELINE_QUERIES = {
     "doc_length_percentiles": q_doc_length_percentiles,
     "dataset_split_counts": q_dataset_split,
     "stratified_sample_counts": q_stratified_sample,
+    "source_stats": q_source_stats,
     "lang_id_counts": q_lang_id,
     "quality_scores": q_quality_scores,
     "rolling_fingerprints": q_rolling_fingerprints,
@@ -937,6 +961,7 @@ def pipeline_sql() -> dict[str, str]:
         "doc_length_percentiles": DOC_LENGTH_PCT_SQL,
         "dataset_split_counts": DATASET_SPLIT_SQL,
         "stratified_sample_counts": _stratified_sample_sql(),
+        "source_stats": SOURCE_STATS_SQL,
         "lang_id_counts": _lang_id_sql(),
         "quality_scores": _quality_sql(),
         "rolling_fingerprints": ROLLING_FINGERPRINTS_SQL,
