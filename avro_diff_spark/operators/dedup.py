@@ -6,8 +6,10 @@ Spark-first for 100 TB:
 - exact dedup: hash-groupBy on a normalized-text fingerprint. One shuffle on
   the 16-byte fingerprint, map-side partial agg; survivors picked by min id
   (deterministic).
-- MinHash + LSH near-dup: shingle → 32-bit md5 hash → n universal-hash mins
-  (all JVM expression work, no UDFs) → band buckets → candidate pairs via a
+- MinHash + LSH near-dup: shingle → exact int64 polynomial hash (radix
+  encoding, collision-free on ASCII — functions/text.py
+  char_shingle_hashes) → n universal-hash mins (all JVM expression work,
+  no UDFs) → band buckets → candidate pairs via a
   self-equi-join on (band, band_key) — the classic shuffle-friendly LSH: at
   100 TB the only join is on band keys, never all-pairs. Candidates are then
   verified with exact Jaccard.
@@ -17,8 +19,8 @@ Spark-first for 100 TB:
   (AllPairs/PPJoin family) over hashed shingles, verified with
   array_intersect — never an unfiltered all-pairs product.
 
-Every constant is deterministic and every value integer/md5-derived so the
-DuckDB oracles reproduce results exactly.
+Every constant is deterministic and every value integer/md5/polynomial-
+derived so the DuckDB oracles reproduce results exactly.
 """
 
 from __future__ import annotations
@@ -28,10 +30,10 @@ from pyspark.sql import Column, DataFrame, functions as F
 from avro_diff_spark.sources.tables import spread_small
 from avro_diff_spark.functions.text import (
     MERSENNE_P,
-    char_shingles,
+    char_codes,
     fingerprint_md5,
     hash32,
-    norm_text,
+    poly_shingle_hashes,
     tokens_ws,
 )
 
@@ -87,23 +89,30 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig array<long>, n_shingles) — one row per document.
 
-    The shingle set is hashed once (md5 → 32-bit int); each signature slot is
+    The shingle set is hashed once (int64 polynomial); each signature slot is
     ``min((a_i*h + b_i) mod p)`` over the distinct shingle hashes: pure
     array expressions, distributed row-wise, no shuffle at all.
 
     The hashed-shingle array is materialized in its own projection so the
     n_hashes slots share one evaluation — inlining it would re-run the
-    shingle+md5 pipeline per slot (an n_hashes× CPU blowup; Catalyst's
+    shingle-hash pipeline per slot (an n_hashes× CPU blowup; Catalyst's
     CollapseProject rightly refuses to inline a non-cheap alias referenced
     more than once, which is exactly the behavior relied on here).
     """
-    hashed = spread_small(df).select(
-        F.col(id_col).alias("doc_id"),
-        F.transform(
-            F.array_distinct(char_shingles(F.col(text_col), shingle_k)), hash32
-        ).alias("__sh"),
+    # codes staged as a projected column: the polynomial references the
+    # array k times per position (see char_codes docstring)
+    hashed = (
+        spread_small(df)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            char_codes(F.col(text_col)).alias("__codes"),
+        )
+        .select(
+            "doc_id",
+            F.array_distinct(poly_shingle_hashes(F.col("__codes"), shingle_k)).alias("sh"),
+        )
     )
-    return _signatures_from_sh(hashed.withColumnRenamed("__sh", "sh"), n_hashes)
+    return _signatures_from_sh(hashed, n_hashes)
 
 
 def _signatures_from_sh(doc_sh: DataFrame, n_hashes: int) -> DataFrame:
@@ -225,8 +234,13 @@ def _doc_shingles(
         spread_small(df)
         .select(
             F.col(id_col).alias("doc_id"),
+            # staged column: see char_codes docstring (k refs per position)
+            char_codes(F.col(text_col)).alias("__codes"),
+        )
+        .select(
+            "doc_id",
             F.array_distinct(
-                F.transform(char_shingles(F.col(text_col), shingle_k), hash32)
+                poly_shingle_hashes(F.col("__codes"), shingle_k)
             ).alias("sh"),
         )
         .repartition(F.col("doc_id"))
@@ -295,7 +309,7 @@ def _prefix_candidates(doc_sh: DataFrame, threshold: float) -> DataFrame:
     # explode_outer, NOT explode: plain explode makes Catalyst infer a
     # `size(sh) > 0 AND isnotnull(sh)` filter and push it through the
     # repartition exchange into the scan — where `sh` is not a column, so
-    # the entire shingle+md5 expression chain gets inlined and re-evaluated
+    # the entire shingle-hash expression chain gets inlined and re-evaluated
     # per input row (2× on top of the real computation). explode_outer
     # infers nothing; the cheap post-explode null filter is equivalent
     # because no document has a null/empty shingle set row that matters.
@@ -371,11 +385,11 @@ def jaccard_pairs(
     arrays and intersects row-wise (``array_intersect``) — work
     proportional to the candidate count.
 
-    Shingles are represented by their 32-bit md5 hash throughout (the
-    standard shingling formulation): int64 join keys and arrays shuffle ~3×
-    smaller than 5-char strings and intersect faster. Jaccard is computed
-    over the hashed sets; the DuckDB oracle hashes identically, so results
-    match bit-for-bit (collisions, if any, are the same on both sides).
+    Shingles are represented by their exact int64 polynomial encoding
+    throughout (collision-free on ASCII, see char_shingle_hashes): int64
+    join keys and arrays shuffle ~3× smaller than k-char strings and
+    intersect faster; the DuckDB oracle computes the identical polynomial,
+    so results match bit-for-bit.
 
     Columns: doc_a, doc_b, n_a, n_b, n_common, jaccard.
     """
@@ -398,7 +412,7 @@ def minhash_near_dups(
     """LSH-candidate generation + exact-Jaccard verification.
 
     Signatures AND verification both derive from one shared (doc_id, sh)
-    subtree (same repartition exchange), so the shingle+md5 pass — the
+    subtree (same repartition exchange), so the shingle-hash pass — the
     dominant per-row cost — runs once, not three times.
     """
     rows_per_band = n_hashes // bands

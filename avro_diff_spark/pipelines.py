@@ -42,6 +42,23 @@ def shingles_sql(c: str, k: int = 5, distinct: bool = True) -> str:
     return f"list_distinct({inner})" if distinct else inner
 
 
+def shingle_codes_sql(c: str) -> str:
+    """7-bit-folded character codes of the normalized text (the polynomial
+    shingle-hash input — mirror of text.char_shingle_hashes)."""
+    return (
+        f"list_transform(string_split({norm_sql(c)}, ''), ch -> ascii(ch)::BIGINT % 128)"
+    )
+
+
+def shingle_poly_sql(k: int, codes: str = "cs") -> str:
+    """int64 polynomial shingle hashes over a codes column (same radix-131
+    encoding as the Spark side — collision-free on ASCII)."""
+    poly = " + ".join(f"{codes}[i + {j}] * {TX.POLY_B ** (k - 1 - j)}" for j in range(k))
+    return (
+        f"list_transform(range(1, greatest(len({codes}) - {k - 1}, 0) + 1), i -> {poly})"
+    )
+
+
 def stopword_count_sql(c: str, lang: str) -> str:
     words = ", ".join(f"'{w}'" for w in TX.STOPWORDS[lang])
     return f"len(list_filter({tokens_sql(c)}, t -> list_contains([{words}], t)))"
@@ -542,11 +559,9 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # side's prefix filtering is an exact optimization, not a semantic change.
 JACCARD_PAIRS_SQL = f"""
 WITH corpus AS ({snap.DOCUMENTS_WITH_DUPS_SQL}),
+cdl AS (SELECT doc_id, {shingle_codes_sql('text')} AS cs FROM corpus),
 hs AS (
-  SELECT doc_id,
-         list_distinct(list_transform({shingles_sql('text', 8, distinct=False)},
-                                      s -> {hash32_sql('s')})) AS sh
-  FROM corpus
+  SELECT doc_id, list_distinct({shingle_poly_sql(8)}) AS sh FROM cdl
 ),
 scored AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -584,10 +599,9 @@ def _minhash_sql(n_hashes: int = 32, bands: int = 8, shingle_k: int = 5, thresho
     )
     return f"""
 WITH corpus AS ({snap.DOCUMENTS_WITH_DUPS_SQL}),
+cdl AS (SELECT doc_id, {shingle_codes_sql('text')} AS cs FROM corpus),
 hashed AS (
-  SELECT doc_id,
-         list_transform({shingles_sql('text', shingle_k)}, s -> {hash32_sql('s')}) AS hs
-  FROM corpus
+  SELECT doc_id, list_distinct({shingle_poly_sql(shingle_k)}) AS hs FROM cdl
 ),
 sigs AS (SELECT doc_id, [{sig_terms}] AS sig FROM hashed WHERE len(hs) > 0),
 banded AS (
