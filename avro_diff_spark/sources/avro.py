@@ -84,8 +84,9 @@ def read_avro(
     - spark-avro on the classpath → the native connector (block-splittable
       scans, all codecs, logical types). Preferred on real clusters.
     - otherwise → the pure-Python OCF codec (sources/ocf.py) run
-      DISTRIBUTED: files parallelize through Spark's ``binaryFile`` source
-      and every block decodes in Arrow-batched ``mapInPandas`` on
+      DISTRIBUTED: a byte-range split grid over the files (Hadoop-style
+      sync-marker splits, so even ONE large container file parallelizes)
+      with every range decoding in Arrow-batched ``mapInPandas`` on
       executors. No driver materialization; schema comes from one file's
       header read driver-side. ``avro_schema`` override on this path
       supports the projection use (reader schema with a field subset —
@@ -128,8 +129,21 @@ def _read_avro_fallback(
     path: str | Sequence[str],
     *,
     avro_schema: str | dict | None = None,
+    split_size: int = 32 << 20,
 ) -> DataFrame:
-    """Distributed OCF scan without spark-avro (see :func:`read_avro`)."""
+    """Distributed OCF scan without spark-avro (see :func:`read_avro`).
+
+    Parallelism is a byte-range grid over every file (``split_size`` bytes
+    per task, Hadoop-input-split style): a single multi-GB container file
+    fans out across executors, not just many-file datasets. Each task syncs
+    to the first block boundary in its range and decodes only the blocks it
+    owns (:func:`avro_diff_spark.sources.ocf.iter_ocf_file_range`), holding
+    one range — not one file — in memory. The split list is tiny driver
+    state (path, start, stop per ``split_size`` bytes); the explicit-n
+    round-robin repartition pins one task per split against AQE coalescing.
+    """
+    import os
+
     import pandas as pd
 
     from avro_diff_spark.sources import ocf
@@ -140,23 +154,34 @@ def _read_avro_fallback(
     else:
         # schema from the first file's header — a bounded driver-side read
         with open(files[0], "rb") as f:
-            head = f.read(4 << 20)
-        schema, _, _, _ = ocf.read_ocf_header(head)
+            schema, _, _, _ = ocf.read_header_from_file(f)
     spark_schema = ocf.avro_to_spark_schema(schema)
     names = [f.name for f in spark_schema.fields]
+    project = avro_schema is not None
 
-    bin_df = spark.read.format("binaryFile").load(files)
+    splits = [
+        (fp, s, min(s + split_size, os.path.getsize(fp)))
+        for fp in files
+        for s in range(0, max(os.path.getsize(fp), 1), split_size)
+    ]
+    split_df = spark.createDataFrame(splits, "path: string, start: long, stop: long")
+    if len(splits) > 1:
+        split_df = split_df.repartition(len(splits))
 
     def decode(batches):
         for pdf in batches:
-            for content in pdf["content"]:
-                rows = list(ocf.iter_ocf(bytes(content)))
-                if avro_schema is not None:
+            for fp, s, e in zip(pdf["path"], pdf["start"], pdf["stop"]):
+                rows = []
+                for rec in ocf.iter_ocf_file_range(fp, int(s), int(e)):
                     # reader-schema projection: keep declared fields only
-                    rows = [{n: r.get(n) for n in names} for r in rows]
-                yield pd.DataFrame.from_records(rows, columns=names)
+                    rows.append({n: rec.get(n) for n in names} if project else rec)
+                    if len(rows) >= 4096:  # bound task memory per Arrow batch
+                        yield pd.DataFrame.from_records(rows, columns=names)
+                        rows = []
+                if rows:
+                    yield pd.DataFrame.from_records(rows, columns=names)
 
-    return bin_df.select("content").mapInPandas(decode, spark_schema)
+    return split_df.mapInPandas(decode, spark_schema)
 
 
 def write_avro(
