@@ -200,31 +200,46 @@ WHERE a[i] IS DISTINCT FROM b[i]
 
 def _q_key_diff_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyed diff over REAL Avro OCF inputs — the reference's flagship format
-    (reference src/index.js:335-352). Snapshots are written as container
-    files through the pure-Python OCF codec (one deflate, one null-codec,
-    exercising the reference's codec matrix) and read back distributed via
-    read_avro's binaryFile+mapInPandas fallback; the oracle is the same SQL
-    as key_diff_orders, so format handling itself is what's under test."""
+    (reference src/index.js:335-352). Snapshots are encoded executor-side
+    into per-partition container files through the pure-Python OCF codec
+    (one deflate, one null-codec, exercising the reference's codec matrix)
+    and read back distributed via read_avro's sync-marker-split mapInPandas
+    fallback; the oracle is the same SQL as key_diff_orders, so format
+    handling itself is what's under test."""
+    import hashlib
     import os
 
     from avro_diff_spark.functions.canonical import ts_micros
     from avro_diff_spark.sources.avro import read_avro, write_avro
 
+    # cache key = content fingerprint of the source parquet (path/size/mtime
+    # of every file), so regenerated testdata can never feed stale fixtures
+    # to the correctness gate (round-2 ADVICE)
+    src = os.path.join(sf_dir, "orders.parquet")
+    files = [src] if os.path.isfile(src) else sorted(
+        os.path.join(dp, fn) for dp, _, fns in os.walk(src) for fn in fns
+    )
+    h = hashlib.md5()
+    for p in files:
+        st = os.stat(p)
+        h.update(f"{p}|{st.st_size}|{st.st_mtime_ns};".encode())
     tag = os.path.basename(os.path.normpath(sf_dir))
-    cache = f"/root/repo/.cache/avro/{tag}"
+    cache = f"/root/repo/.cache/avro/{tag}-{h.hexdigest()[:12]}"
     os.makedirs(cache, exist_ok=True)
     old_p, new_p = f"{cache}/orders_old.avro", f"{cache}/orders_new.avro"
 
     def prep(df: DataFrame) -> DataFrame:
         # timestamps ride as raw epoch-micros longs, the reference's own
-        # timestamp representation (SURVEY.md §1.2). The key slice keeps
-        # the single-file fixture write (driver-side Python encode, see
-        # write_avro) bounded as sf grows — format handling is what's
-        # under test, not scan volume.
+        # timestamp representation (SURVEY.md §1.2). The key slice bounds
+        # fixture volume as sf grows — format handling is what's under
+        # test, not scan volume.
         return df.filter(F.col("o_orderkey") % 4 == 1).withColumn(
             "o_orderdate", ts_micros(F.col("o_orderdate"))
         )
 
+    # distributed executor-side encode: each fixture is a directory of
+    # per-partition container files (orderBy range-partitions, so part
+    # order == key order); read_avro reads the directory transparently
     if not os.path.exists(old_p):
         write_avro(prep(snap.orders_old(spark, sf_dir)).orderBy("o_orderkey"), old_p, codec="deflate")
     if not os.path.exists(new_p):

@@ -190,19 +190,63 @@ def write_avro(
     *,
     codec: str = "null",
     record_name: str = "topLevelRecord",
+    single_file: bool = False,
 ) -> None:
-    """Write a (small) DataFrame as ONE Avro OCF via the pure-Python codec.
+    """Write a DataFrame as Avro OCF(s) via the pure-Python codec.
 
-    Fixture/CLI-scale only — rows are collected to the driver. Production
-    multi-file writes go through spark-avro (``df.write.format('avro')``).
-    Timestamp/decimal columns must be projected to long/double first (the
-    converter raises otherwise).
+    Default is DISTRIBUTED: ``path`` becomes a directory of one container
+    file per non-empty partition (``part-NNNNN.avro``), each encoded
+    executor-side with rows streaming straight through
+    :func:`ocf.write_ocf` — no driver materialization, memory bounded by
+    the encoder's block size. :func:`read_avro` reads the directory back
+    transparently. The row→dict hop goes through ``Row.asDict`` (not
+    Arrow/pandas) deliberately: pandas would coerce nullable int columns
+    to float-NaN and corrupt the encoding.
+
+    ``single_file=True`` keeps the one-file shape some fixtures/CLI flows
+    need; rows then stream through the driver partition-by-partition
+    (``toLocalIterator``), which is still O(block) memory but serial — use
+    it only when one file genuinely matters. Production clusters with
+    spark-avro on the classpath should prefer ``df.write.format('avro')``.
+
+    Like the fallback read path, executors write to a filesystem path that
+    must be shared (or local mode). Timestamp/decimal columns must be
+    projected to long/double first (the converter raises otherwise).
     """
+    import os
+
     from avro_diff_spark.sources import ocf
 
     schema = ocf.spark_to_avro_schema(df.schema, name=record_name)
-    rows = [r.asDict(recursive=True) for r in df.collect()]
-    ocf.write_ocf(path, schema, rows, codec=codec)
+
+    if single_file:
+        rows = (r.asDict(recursive=True) for r in df.toLocalIterator())
+        ocf.write_ocf(path, schema, rows, codec=codec)
+        return
+
+    os.makedirs(path, exist_ok=True)
+    for stale in os.listdir(path):  # clear prior layout (fewer parts now?)
+        if stale.startswith("part-") and stale.endswith(".avro"):
+            os.remove(os.path.join(path, stale))
+
+    def write_partition(idx: int, it):
+        first = next(it, None)
+        if first is None:  # no file for empty partitions
+            return
+        from itertools import chain
+
+        part = os.path.join(path, f"part-{idx:05d}.avro")
+        ocf.write_ocf(
+            part,
+            schema,
+            (r.asDict(recursive=True) for r in chain([first], it)),
+            codec=codec,
+        )
+        yield 1
+
+    # RDD mapPartitionsWithIndex: per-partition imperative IO is the one
+    # place the RDD API is the right tool; count() forces every partition.
+    df.rdd.mapPartitionsWithIndex(write_partition).count()
 
 
 def read_parquet(

@@ -382,40 +382,47 @@ def write_ocf(
 
     Output is byte-deterministic for a given (schema, rows, codec): the
     16-byte sync marker is derived from the schema instead of random.
+    Rows stream through — the header goes to disk first and each block is
+    flushed as it fills, so memory is bounded by ``block_rows``, not the
+    row count (this is what lets write_avro run one instance per executor
+    partition without materializing the partition).
     """
     schema_json = json.dumps(schema, sort_keys=True, separators=(",", ":"))
     sync = hashlib.md5(b"avro_diff_spark:" + schema_json.encode()).digest()
-    out = bytearray()
-    out += MAGIC
+    head = bytearray()
+    head += MAGIC
     meta = {"avro.schema": schema_json.encode(), "avro.codec": codec.encode()}
-    _write_long(out, len(meta))
+    _write_long(head, len(meta))
     for k, v in meta.items():
-        _write_bytes(out, k.encode())
-        _write_bytes(out, v)
-    _write_long(out, 0)
-    out += sync
+        _write_bytes(head, k.encode())
+        _write_bytes(head, v)
+    _write_long(head, 0)
+    head += sync
 
-    block: bytearray = bytearray()
-    n_in_block = 0
-
-    def flush() -> None:
-        nonlocal block, n_in_block
-        if not n_in_block:
-            return
-        data = _compress(bytes(block), codec)
-        _write_long(out, n_in_block)
-        _write_bytes(out, data)
-        out.extend(sync)
-        block, n_in_block = bytearray(), 0
-
-    for r in rows:
-        _encode(r, schema, block)
-        n_in_block += 1
-        if n_in_block >= block_rows:
-            flush()
-    flush()
     with open(path, "wb") as f:
-        f.write(bytes(out))
+        f.write(bytes(head))
+
+        block: bytearray = bytearray()
+        n_in_block = 0
+
+        def flush() -> None:
+            nonlocal block, n_in_block
+            if not n_in_block:
+                return
+            data = _compress(bytes(block), codec)
+            frame = bytearray()
+            _write_long(frame, n_in_block)
+            _write_bytes(frame, data)
+            frame.extend(sync)
+            f.write(bytes(frame))
+            block, n_in_block = bytearray(), 0
+
+        for r in rows:
+            _encode(r, schema, block)
+            n_in_block += 1
+            if n_in_block >= block_rows:
+                flush()
+        flush()
 
 
 def read_ocf_header(data: bytes) -> tuple[dict, str, bytes, int]:

@@ -224,3 +224,39 @@ def test_cli_venn_diff_correct_labels(spark, orders_files, capsys, tmp_path):
     written = spark.read.parquet(sink)
     assert written.columns == ["venn_kind", "row_json", "n_occurrences"]
     assert written.count() > 0
+
+
+def test_write_avro_distributed_one_part_per_partition(spark, tmp_path):
+    """Default write path: executor-side encode, one OCF per non-empty
+    partition, no driver collect; read_avro reads the directory back."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.range(0, 10_000)
+        .repartition(4)
+        .withColumn("s", F.format_string("row-%d", "id"))
+    )
+    p = str(tmp_path / "out.avro")
+    write_avro(df, p, codec="deflate")
+    parts = sorted(os.listdir(p))
+    assert len(parts) == 4
+    assert all(x.startswith("part-") and x.endswith(".avro") for x in parts)
+    back = read_avro(spark, p)
+    assert sorted(r["id"] for r in back.collect()) == list(range(10_000))
+
+    # rewriting with fewer partitions must not leave stale parts behind
+    write_avro(df.coalesce(2), p, codec="null")
+    assert len(os.listdir(p)) == 2
+    assert read_avro(spark, p).count() == 10_000
+
+
+def test_write_avro_single_file_streams_via_driver(spark, tmp_path):
+    import os
+
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(100)], "k long, v string")
+    p = str(tmp_path / "one.avro")
+    write_avro(df, p, codec="snappy", single_file=True)
+    assert os.path.isfile(p)
+    assert sorted(r["k"] for r in read_avro(spark, p).collect()) == list(range(100))
