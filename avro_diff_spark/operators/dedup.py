@@ -125,15 +125,34 @@ def _signatures_from_sh(doc_sh: DataFrame, n_hashes: int) -> DataFrame:
     :func:`lsh_candidate_pairs`) rather than filtered here — a filter on
     size(sh) above the repartition gets predicate-pushed through the
     projection into the scan, re-evaluating the whole shingle chain per row
-    (measured 2.4× on the minhash query)."""
+    (measured 2.4× on the minhash query).
+
+    All ``n_hashes`` slots are computed in ONE fold over the shingle array
+    with an n_hashes-slot running-min accumulator (the simhash accumulator
+    trick) instead of n_hashes separate ``array_min(transform(...))``
+    passes — one traversal of ``sh`` per row and one generated aggregate
+    expression instead of 32, which also cuts first-run codegen. Slot
+    values are bit-identical to the per-slot formulation: ``min((a_i·h +
+    b_i) mod p)``; ``p ≈ 2^32`` and ``a_i ≤ 2·n+1`` keep the product far
+    from int64 overflow. The untouched-accumulator sentinel ``p`` (no
+    residue can equal it) maps to null in the finish lambda so
+    empty-shingle docs keep their all-null contract."""
     params = minhash_params(n_hashes)
+    # one array literal per parameter vector, not 2·n scalar lits (each
+    # F.lit in a loop is a Py4J round-trip at plan-build time)
+    a_vec = F.lit([a for a, _ in params]).cast("array<bigint>")
+    b_vec = F.lit([b for _, b in params]).cast("array<bigint>")
+    p_lit = F.lit(MERSENNE_P)
 
-    # factory, not default-arg closure: PySpark reflects on lambda arity
-    def _uh(a: int, b: int):
-        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_P)
-
-    sig = F.array(
-        *[F.array_min(F.transform(F.col("sh"), _uh(a, b))) for a, b in params]
+    sig = F.aggregate(
+        F.col("sh"),
+        F.array_repeat(p_lit.cast("bigint"), n_hashes),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.zip_with(a_vec, b_vec, lambda a, b: (h * a + b) % p_lit),
+            lambda cur, cand: F.least(cur, cand),
+        ),
+        lambda acc: F.transform(acc, lambda v: F.when(v < p_lit, v)),
     )
     return doc_sh.select(
         "doc_id",
@@ -208,6 +227,14 @@ def lsh_candidate_pairs(
         banded.groupBy("band_id", "band_key")
         .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
         .filter(F.size("ids") > 1)
+        # Identical member lists recur across bands (every doc cluster that
+        # agrees on the whole signature collides in all ``bands`` buckets),
+        # so dedupe on the sorted id-list BEFORE the O(n²) pair expansion:
+        # one expansion per distinct co-bucket set instead of up to
+        # ``bands``× the work feeding the pair-level distinct (measured
+        # ~8× fewer expanded rows on the dups corpus).
+        .select("ids")
+        .distinct()
         # explode_outer: plain explode would make Catalyst infer a
         # size()>0 filter that re-evaluates the O(n²) pair construction a
         # second time per bucket (see _prefix_candidates for the pattern)
@@ -268,11 +295,21 @@ def _verify_pairs(
         F.col("n_common").cast("double"),
         F.col("n_a") + F.col("n_b") - F.col("n_common"),
     )
+    # Explicit-n repartitions on the join keys: per-pair cost here is an
+    # O(|sh|) array_intersect, so bytes wildly understate CPU and AQE
+    # coalesces these joins to a handful of tasks (measured 4 of 32 at
+    # sf0.1 — the pair bytes are tiny). A user repartition with explicit n
+    # is not AQE-coalescible; both sides aligned on (key, n) also means
+    # the joins add no further exchange. At real scale the exchange simply
+    # replaces the one the join itself would have inserted.
+    n_part = candidates.sparkSession.sparkContext.defaultParallelism
     av = doc_sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     bv = doc_sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     out = (
-        candidates.join(av, "doc_a")
-        .join(bv, "doc_b")
+        candidates.repartition(n_part, "doc_a")
+        .join(av.repartition(n_part, "doc_a"), "doc_a")
+        .repartition(n_part, "doc_b")
+        .join(bv.repartition(n_part, "doc_b"), "doc_b")
         .select(
             "doc_a",
             "doc_b",
