@@ -10,7 +10,7 @@ Catalyst/AQE so plans survive a 1000-executor scale-up unchanged.
 """
 
 from avro_diff_spark.session import get_spark
-from avro_diff_spark.sources.avro import read_avro
+from avro_diff_spark.sources.avro import project_fields, read_avro
 from avro_diff_spark.sources.tables import load_table, load_tables
 from avro_diff_spark.operators.key_diff import key_diff, key_diff_detail
 from avro_diff_spark.operators.venn_diff import venn_counts, venn_diff, venn_summary
@@ -19,6 +19,7 @@ from avro_diff_spark.operators.asof import asof_join
 
 __all__ = [
     "get_spark",
+    "project_fields",
     "read_avro",
     "load_table",
     "load_tables",

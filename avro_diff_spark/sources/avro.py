@@ -27,22 +27,83 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def _project(df: DataFrame, keep: Sequence[str] | None, ignore: Sequence[str] | None) -> DataFrame:
-    """keep ∧ ¬ignore over top-level columns; either side None = no-op.
+    """keep ∧ ¬ignore projection; either side None = no-op. Field order of
+    the original schema is preserved at every level.
 
     Mirrors ``filteredSchema`` (reference src/index.js:39-51): a field
     survives iff (keep is null or field ∈ keep) and (ignore is null or
-    field ∉ ignore). Column order of the original schema is preserved.
+    field ∉ ignore) — and goes PAST the reference, whose projection stops
+    at top-level fields (its acknowledged TODO, src/index.js:24): entries
+    may be dot-paths into nested structs (``pricing.meta.priority``). Path
+    semantics generalize the top-level rule:
+
+    - a keep path keeps the named node, every ancestor struct it needs
+      (pruned to the kept descendants), and its whole subtree;
+    - an ignore path drops the named node's subtree; surviving siblings
+      keep their place in a rebuilt struct.
+
+    Pruned structs are rebuilt with nested ``struct()`` expressions —
+    declarative column work, so Catalyst's nested-schema pruning
+    (``spark.sql.optimizer.nestedSchemaPruning.enabled``, on by default)
+    narrows the physical scan to exactly the surviving leaves: at scale the
+    projection is decode-time pushdown, same as the reference compiling its
+    keep/ignore into the Avro reader schema, but per-leaf instead of
+    per-top-level-field.
     """
+    from pyspark.sql import functions as F, types as T
+
     if keep is None and ignore is None:
         return df
-    keep_set = set(keep) if keep is not None else None
-    ignore_set = set(ignore) if ignore is not None else set()
-    cols = [
-        c
-        for c in df.columns
-        if (keep_set is None or c in keep_set) and c not in ignore_set
-    ]
-    return df.select(*cols)
+    keep_paths = [tuple(k.split(".")) for k in keep] if keep is not None else None
+    ignore_paths = {tuple(i.split(".")) for i in ignore} if ignore is not None else set()
+
+    def _kept(path: tuple) -> bool:
+        """keep-side verdict for a node: kept if no keep list, or the path
+        is an ancestor or descendant-or-self of some keep entry."""
+        if keep_paths is None:
+            return True
+        for kp in keep_paths:
+            if path[: len(kp)] == kp or kp[: len(path)] == path:
+                return True
+        return False
+
+    def _prune(col, dt, path: tuple):
+        """(column, modified) for the surviving subtree at ``path``, or
+        (None, True) if fully pruned. Non-struct nodes are atomic: kept or
+        dropped whole. An untouched struct passes through as the original
+        column — no gratuitous rebuild in the plan."""
+        if path in ignore_paths or not _kept(path):
+            return None, True
+        if isinstance(dt, T.StructType):
+            children = [
+                (f.name, *_prune(col.getField(f.name), f.dataType, path + (f.name,)))
+                for f in dt.fields
+            ]
+            survivors = [(n, c) for n, c, _ in children if c is not None]
+            if not survivors:
+                return None, True
+            if len(survivors) == len(dt.fields) and not any(m for _, _, m in children):
+                return col, False
+            return F.struct(*[c.alias(n) for n, c in survivors]), True
+        return col, False
+
+    out = []
+    for f in df.schema.fields:
+        c, _ = _prune(F.col(f.name), f.dataType, (f.name,))
+        if c is not None:
+            out.append(c.alias(f.name))
+    return df.select(*out)
+
+
+def project_fields(
+    df: DataFrame,
+    keep_fields: Sequence[str] | None = None,
+    ignore_fields: Sequence[str] | None = None,
+) -> DataFrame:
+    """Public keep ∧ ¬ignore projection over top-level columns OR dot-paths
+    into nested structs — the standalone form of the ``keep_fields`` /
+    ``ignore_fields`` kwargs every reader takes (see :func:`_project`)."""
+    return _project(df, keep_fields, ignore_fields)
 
 
 def avro_available(spark: SparkSession) -> bool:
@@ -129,7 +190,7 @@ def _read_avro_fallback(
     path: str | Sequence[str],
     *,
     avro_schema: str | dict | None = None,
-    split_size: int = 32 << 20,
+    split_size: int | None = None,
 ) -> DataFrame:
     """Distributed OCF scan without spark-avro (see :func:`read_avro`).
 
@@ -141,6 +202,14 @@ def _read_avro_fallback(
     one range — not one file — in memory. The split list is tiny driver
     state (path, start, stop per ``split_size`` bytes); the explicit-n
     round-robin repartition pins one task per split against AQE coalescing.
+
+    ``split_size`` defaults adaptively: total bytes spread over
+    ``defaultParallelism`` tasks, clamped to [64 KiB, 32 MiB]. Pure-Python
+    decode throughput is the bottleneck of this path (~25k rec/s/core), so
+    small datasets must still fan out across every core — a fixed 32 MiB
+    Hadoop-style split would decode a half-MB fixture in ONE task. The
+    64 KiB floor keeps splits at least a compressed-block long (4096-row
+    blocks), so no task's range is all-sync-scan/no-blocks.
     """
     import os
 
@@ -149,6 +218,10 @@ def _read_avro_fallback(
     from avro_diff_spark.sources import ocf
 
     files = _local_avro_files(path)
+    if split_size is None:
+        total = sum(os.path.getsize(fp) for fp in files)
+        par = spark.sparkContext.defaultParallelism
+        split_size = min(32 << 20, max(64 << 10, total // max(par, 1)))
     if avro_schema is not None:
         schema = json.loads(avro_schema) if isinstance(avro_schema, str) else avro_schema
     else:
