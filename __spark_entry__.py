@@ -456,9 +456,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # self_diff_counts (a single-row invariant fully pinned by pytest) and
     # venn_onepass_counts (same venn semantics the three single-bucket
     # queries pin, plus a pytest property test against the exceptAll
-    # formulation).
+    # formulation) and projection_keep_ignore (top-level keep/ignore — the
+    # same _project code path projection_nested exercises more deeply, and
+    # pytest-pinned besides).
     # Tail queries remain bench-covered and verified by tools/oracle_check.py.
-    for tail in ("venn_onepass_counts", "self_diff_counts", "cosine_topk_pandas"):
+    for tail in (
+        "projection_keep_ignore",
+        "venn_onepass_counts",
+        "self_diff_counts",
+        "cosine_topk_pandas",
+    ):
         q[tail] = q.pop(tail)
     return q
 

@@ -541,6 +541,53 @@ def duplicate_spans(
     return counts.join(sample, "gram_hash").select("gram_hash", "n_docs", "doc_ids")
 
 
+def contamination_check(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    ngram_w: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: corpus documents sharing ≥1 word n-gram
+    with ANY benchmark document — the standard eval-leakage scrub every
+    training-data pipeline runs before a model sees the corpus (the
+    published recipes test 8-13-gram overlap against each benchmark's
+    prompts/answers).
+
+    Scale shape: the benchmark side is an eval suite — thousands of
+    documents, bounded by construction, INDEPENDENT of corpus size — so its
+    distinct gram-hash set broadcasts at any corpus scale. The corpus side
+    explodes per-doc distinct grams and hash-joins the broadcast set: one
+    scan, one shuffle (the per-doc count agg), zero pairwise work. Per-doc
+    grams are distinct, so ``count(*)`` after the semi-style join IS the
+    distinct-shared-gram count.
+
+    Columns: doc_id, n_contaminated_grams (docs with ≥1 hit only — the
+    scrub list; join it back anti-style to drop them).
+    """
+    from avro_diff_spark.functions.text import word_shingles
+
+    def grams(df: DataFrame) -> DataFrame:
+        g = F.array_distinct(
+            F.transform(word_shingles(F.col(text_col), ngram_w), hash32)
+        )
+        return (
+            df.select(
+                F.col(id_col).alias("doc_id"), F.explode_outer(g).alias("gram_hash")
+            )
+            .where(F.col("gram_hash").isNotNull())
+        )
+
+    bench_g = grams(benchmark).select("gram_hash").distinct()
+    return (
+        grams(spread_small(corpus))
+        .join(F.broadcast(bench_g), "gram_hash")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
+    )
+
+
 def simhash_blocks(max_hamming: int, n_bits: int = 32) -> list[tuple[int, int]]:
     """(offset, width) of the ``max_hamming + 1`` bit-blocks that partition an
     ``n_bits`` fingerprint — shared between the Spark plan and the oracle SQL

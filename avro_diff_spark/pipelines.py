@@ -542,6 +542,32 @@ FROM g GROUP BY gram_hash HAVING count(*) >= {min_docs}
 """
 
 
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-decontamination over the dups corpus: a deterministic 1/97 slice
+    plays the benchmark suite; its exact/near-dup twins (and any chance
+    8-gram collisions) in the remaining 96/97 corpus must be flagged."""
+    corpus = snap.documents_with_dups(spark, sf_dir)
+    bench = corpus.filter(F.col("doc_id") % 97 == 0)
+    rest = corpus.filter(F.col("doc_id") % 97 != 0)
+    return DD.contamination_check(rest, bench, "text", "doc_id", ngram_w=8)
+
+
+def _contamination_sql(ngram_w: int = 8) -> str:
+    toks = tokens_sql("text")
+    grams = (
+        f"list_transform(range(1, greatest(len({toks}) - {ngram_w - 1}, 0) + 1), "
+        f"i -> array_to_string({toks}[i:i + {ngram_w - 1}], ' '))"
+    )
+    ghash = f"unnest(list_distinct(list_transform({grams}, s -> {hash32_sql('s')}))) AS gram_hash"
+    return f"""
+WITH corpus AS ({snap.DOCUMENTS_WITH_DUPS_SQL}),
+bg AS (SELECT DISTINCT {ghash} FROM corpus WHERE doc_id % 97 = 0),
+cg AS (SELECT doc_id, {ghash} FROM corpus WHERE doc_id % 97 <> 0)
+SELECT doc_id, count(*) AS n_contaminated_grams
+FROM cg JOIN bg USING (gram_hash) GROUP BY doc_id
+"""
+
+
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingle_k=8, measured: prefix filtering's selectivity scales with the
     # shingle-domain size. At k=5 this corpus has only ~2k distinct 5-grams
@@ -951,6 +977,7 @@ PIPELINE_QUERIES = {
     "dedup_exact_clusters": q_dedup_exact_clusters,
     "dedup_exact_survivors": q_dedup_exact_survivors,
     "duplicate_spans": q_duplicate_spans,
+    "contamination_check": q_contamination_check,
     "jaccard_pairs": q_jaccard_pairs,
     "minhash_near_dups": q_minhash_near_dups,
     "simhash_near_dups": q_simhash_near_dups,
@@ -985,6 +1012,7 @@ def pipeline_sql() -> dict[str, str]:
         "dedup_exact_clusters": DEDUP_EXACT_CLUSTERS_SQL,
         "dedup_exact_survivors": DEDUP_EXACT_SURVIVORS_SQL,
         "duplicate_spans": _duplicate_spans_sql(),
+        "contamination_check": _contamination_sql(),
         "jaccard_pairs": JACCARD_PAIRS_SQL,
         "minhash_near_dups": _minhash_sql(),
         "simhash_near_dups": _simhash_sql(),

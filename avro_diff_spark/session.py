@@ -45,7 +45,19 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode runs driver + all 32 task threads in ONE JVM: an 8g
+        # heap GC-thrashes once a long session accumulates shuffle/broadcast
+        # state (measured ~2x inflation on late-running dedup queries in a
+        # 100-execution bench session); 24g removes it with headroom to
+        # spare on the target hosts. Real clusters size executors separately.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # status-store retention: without the live UI the SQL listener still
+        # keeps per-execution plan graphs/metrics; cap them so hundred-query
+        # sessions (bench, oracle gate) don't grow driver heap linearly
+        .config("spark.sql.ui.retainedExecutions", "20")
+        .config("spark.ui.retainedJobs", "100")
+        .config("spark.ui.retainedStages", "200")
+        .config("spark.ui.retainedTasks", "5000")
         # Files: on a cluster, 128 MiB splits amortize task overhead; on
         # local[N] the testdata files are ~10 MiB so that would serialize the
         # scan — use small splits locally (row-group granularity) for

@@ -71,3 +71,38 @@ def test_lsh_candidates_subset_of_pairs(spark, sf_dir):
     cands = DD.lsh_candidate_pairs(sigs)
     bad = cands.filter(F.col("doc_a") >= F.col("doc_b")).count()
     assert bad == 0
+
+
+def test_contamination_check_flags_benchmark_overlap(spark):
+    """Docs sharing a word 8-gram with a benchmark doc are flagged with the
+    exact distinct-shared-gram count; clean docs are absent."""
+    words = [f"w{i}" for i in range(20)]
+    bench_text = " ".join(words[:10])           # grams: 3 distinct 8-grams
+    rows = [
+        (1, bench_text),                        # exact twin of the benchmark
+        (2, " ".join(words[1:11])),             # shares 2 of bench's 8-grams
+        (3, " ".join(words[10:20])),            # disjoint vocab order, clean
+        (4, "short text"),                      # < 8 words, no grams at all
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id: long, text: string")
+    bench = spark.createDataFrame([(100, bench_text)], "doc_id: long, text: string")
+    got = {
+        r.doc_id: r.n_contaminated_grams
+        for r in DD.contamination_check(corpus, bench, "text", "doc_id").collect()
+    }
+    assert got == {1: 3, 2: 2}
+
+
+def test_contamination_check_benchmark_side_broadcast(spark):
+    """The benchmark gram set must join broadcast — the plan may not shuffle
+    the corpus side against it (scale contract: eval suites are bounded)."""
+    corpus = spark.createDataFrame(
+        [(i, f"a b c d e f g h doc{i}") for i in range(50)],
+        "doc_id: long, text: string",
+    )
+    bench = spark.createDataFrame([(0, "a b c d e f g h")], "doc_id: long, text: string")
+    plan = (
+        DD.contamination_check(corpus, bench, "text", "doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
