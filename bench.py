@@ -5,17 +5,16 @@ local[$SPARK_GRAFT_CPUS]. Each query is forced with the noop sink (full
 computation, no driver collect — measures the engine, not result transfer).
 
 Methodology (JMH-style warmup, added round 4): immediately before timing a
-query at the target SF, the same query runs once UNTIMED at
-$SPARK_GRAFT_WARMUP_DIR (default /root/testdata/sf0.001). Generated code is
-schema-dependent, not data-dependent, so the tiny-SF pass compiles exactly
-the classes the timed run executes, C2-JITs the hot loops, and spins up the
-Python worker pool; interleaving (warm q, time q) keeps the codegen cache
-(default 100 entries) from evicting a query's classes before its timed run.
-The timed numbers are therefore steady-state engine throughput — what a
-resident cluster delivers — instead of single-shot JVM-warmup artifacts,
-which dominated round 1-3 run-to-run noise (cold/warm deltas of 2-8s per
-heavy query at identical plans). Set SPARK_GRAFT_WARMUP=0 for the old
-cold-start behavior.
+query, the same query runs once UNTIMED at the same SF (override the warmup
+input with $SPARK_GRAFT_WARMUP_DIR). The warmup iteration compiles the
+generated classes, C2-JITs the hot loops, spins up the Python worker pool,
+and exercises the same AQE runtime plan the timed run takes; interleaving
+(warm q, time q) keeps the codegen cache (default 100 entries) from
+evicting a query's classes before its timed run. The timed numbers are
+therefore steady-state engine throughput — what a resident cluster delivers
+— instead of single-shot JVM-warmup artifacts, which dominated round 1-3
+run-to-run noise (cold/warm deltas of 2-8s per heavy query at identical
+plans). Set SPARK_GRAFT_WARMUP=0 for the old cold-start behavior.
 
 Fixture note: key_diff_avro's input container files are (re)encoded from
 the parquet testdata on first use per SF. That is input preparation —
@@ -42,7 +41,7 @@ def _force(df) -> None:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    warm_dir = os.environ.get("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
+    warm_dir = os.environ.get("SPARK_GRAFT_WARMUP_DIR", sf_dir)
     do_warm = os.environ.get("SPARK_GRAFT_WARMUP", "1") != "0" and os.path.isdir(warm_dir)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
