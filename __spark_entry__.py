@@ -458,9 +458,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries pin, plus a pytest property test against the exceptAll
     # formulation) and projection_keep_ignore (top-level keep/ignore — the
     # same _project code path projection_nested exercises more deeply, and
-    # pytest-pinned besides).
+    # pytest-pinned besides) and dedup_exact_survivors (the same
+    # fingerprint-groupBy mechanism dedup_exact_clusters pins, join form
+    # pytest-pinned).
     # Tail queries remain bench-covered and verified by tools/oracle_check.py.
     for tail in (
+        "dedup_exact_survivors",
         "projection_keep_ignore",
         "venn_onepass_counts",
         "self_diff_counts",

@@ -175,6 +175,36 @@ FROM documents
 """
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (the MOSS algorithm — see
+    functions/text.py winnow_hashes): one row per (doc, selected k-gram
+    hash). Downstream overlap detection joins these sets instead of full
+    shingle sets at ~8x less data."""
+    d = spread_small(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    staged = d.select(
+        "doc_id", TX.char_codes(F.col("text")).alias("__codes")
+    ).select("doc_id", TX.winnow_hashes(F.col("__codes"), k=5, w=8).alias("fps"))
+    return staged.select(
+        "doc_id", F.explode_outer("fps").alias("fp")
+    ).where(F.col("fp").isNotNull())
+
+
+def _winnow_sql(k: int = 5, w: int = 8) -> str:
+    return f"""
+WITH c AS (SELECT doc_id, {shingle_codes_sql('text')} AS cs FROM documents),
+h AS (SELECT doc_id, {shingle_poly_sql(k)} AS hs FROM c),
+m AS (
+  SELECT doc_id,
+    CASE WHEN len(hs) > 0 AND len(hs) < {w} THEN [list_min(hs)]
+         ELSE list_transform(range(1, greatest(len(hs) - {w - 1}, 0) + 1),
+                             i -> list_min(hs[i:i + {w - 1}]))
+    END AS mins
+  FROM h
+)
+SELECT doc_id, unnest(list_distinct(mins)) AS fp FROM m
+"""
+
+
 def q_vocab_topk(spark: SparkSession, sf_dir: str, k: int = 100) -> DataFrame:
     """Corpus vocabulary: global top-k whitespace tokens by frequency —
     the vocabulary-building pass of a tokenizer-training pipeline.
@@ -971,6 +1001,7 @@ PIPELINE_QUERIES = {
     "lang_id_counts": q_lang_id,
     "quality_scores": q_quality_scores,
     "rolling_fingerprints": q_rolling_fingerprints,
+    "winnow_fingerprints": q_winnow_fingerprints,
     "repetition_stats": q_repetition_stats,
     "tfidf_top_terms": q_tfidf_top_terms,
     "pii_redaction_counts": q_pii_redaction,
@@ -1006,6 +1037,7 @@ def pipeline_sql() -> dict[str, str]:
         "lang_id_counts": _lang_id_sql(),
         "quality_scores": _quality_sql(),
         "rolling_fingerprints": ROLLING_FINGERPRINTS_SQL,
+        "winnow_fingerprints": _winnow_sql(),
         "repetition_stats": _repetition_sql(),
         "tfidf_top_terms": _tfidf_sql(),
         "pii_redaction_counts": _pii_sql(),

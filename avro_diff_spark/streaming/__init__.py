@@ -1,7 +1,7 @@
 """Structured Streaming operators (north-star extensions; reference is
 batch-only, SURVEY.md §2.8)."""
 
-from avro_diff_spark.streaming.dedup import dedup_stream
+from avro_diff_spark.streaming.dedup import contamination_stream, dedup_stream
 from avro_diff_spark.streaming.events import (
     EVENTS_SCHEMA,
     hourly_counts_stream,
@@ -12,6 +12,7 @@ from avro_diff_spark.streaming.events import (
 
 __all__ = [
     "EVENTS_SCHEMA",
+    "contamination_stream",
     "dedup_stream",
     "read_event_stream",
     "hourly_counts_stream",

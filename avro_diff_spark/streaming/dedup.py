@@ -22,6 +22,58 @@ from pyspark.sql import DataFrame, functions as F
 from avro_diff_spark.functions.text import fingerprint_md5
 
 
+def contamination_stream(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    ngram_w: int = 8,
+) -> DataFrame:
+    """Streaming eval-decontamination — flag arriving documents sharing any
+    word n-gram with a STATIC benchmark suite, at ingest time instead of in
+    the nightly batch (:func:`avro_diff_spark.operators.dedup
+    .contamination_check` is the batch twin; identical flags, pinned by
+    tests).
+
+    Shape: a stream-static broadcast join, fully STATELESS — every document
+    carries all of its own n-grams in one row, so the shared-gram count is
+    ``size(array_intersect(doc_grams, bench_grams))`` per row: no
+    aggregation state, no watermark, append-mode safe into any sink. The
+    benchmark gram set is collapsed to ONE static row (eval suites are
+    bounded by construction — a few MB of int64 hashes at most) that
+    broadcasts to every task; refresh it by restarting the query, the
+    standard slowly-changing-static-side pattern.
+    """
+    from avro_diff_spark.functions.text import hash32, word_shingles
+
+    bench_arr = benchmark.select(
+        F.explode_outer(
+            F.array_distinct(
+                F.transform(word_shingles(F.col(text_col), ngram_w), hash32)
+            )
+        ).alias("gram_hash")
+    ).where(F.col("gram_hash").isNotNull()).agg(
+        F.array_sort(F.collect_set("gram_hash")).alias("__bench_grams")
+    )
+
+    d = docs.withColumn(
+        "__grams",
+        F.array_distinct(F.transform(word_shingles(F.col(text_col), ngram_w), hash32)),
+    ).withColumn("__one", F.lit(1))
+    joined = d.join(
+        F.broadcast(bench_arr.withColumn("__one", F.lit(1))), "__one", "inner"
+    )
+    return (
+        joined.withColumn(
+            "n_contaminated_grams",
+            F.size(F.array_intersect(F.col("__grams"), F.col("__bench_grams"))),
+        )
+        .where(F.col("n_contaminated_grams") > 0)
+        .select(id_col, "n_contaminated_grams")
+    )
+
+
 def dedup_stream(
     docs: DataFrame,
     text_col: str = "text",

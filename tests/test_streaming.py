@@ -198,3 +198,31 @@ def test_append_mode_watermark_finalizes_old_windows(spark, events_batch, tmp_pa
         key = (r["window_start_us"], r["event_type"])
         if key in want:  # late-run windows may still be open; early ones must agree
             assert r["n_events"] == want[key]
+
+
+def test_contamination_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-static decontamination flags exactly the docs the batch
+    operator flags, with identical shared-gram counts — and stays
+    stateless (append mode, no watermark)."""
+    from avro_diff_spark.operators.dedup import contamination_check
+    from avro_diff_spark.snapshots import documents_with_dups
+    from avro_diff_spark.streaming import contamination_stream
+
+    corpus = documents_with_dups(spark, sf_dir)
+    bench = corpus.filter(F.col("doc_id") % 97 == 0)
+    rest = corpus.filter(F.col("doc_id") % 97 != 0)
+
+    src = str(tmp_path / "contam_in")
+    rest.write.parquet(src)
+    stream = spark.readStream.schema(rest.schema).parquet(src)
+    _run_to_memory(
+        contamination_stream(stream, bench), "contam", "append", tmp_path
+    )
+    got = {
+        (r.doc_id, r.n_contaminated_grams) for r in spark.table("contam").collect()
+    }
+    want = {
+        (r.doc_id, r.n_contaminated_grams)
+        for r in contamination_check(rest, bench, "text", "doc_id").collect()
+    }
+    assert got == want and got

@@ -82,3 +82,40 @@ def test_rolling_hash_known_value(spark):
     got = [r["h"] for r in df.select(rolling_hash(F.col("t")).alias("h")).collect()]
     # ((0*31+97)*31+98)*31+99 = 96354; empty text folds to the init 0
     assert got == [96354, 0]
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """Winnowing guarantee: docs sharing a substring of length >= w+k-1
+    share at least one selected fingerprint (k=5, w=8 -> 12 chars)."""
+    from pyspark.sql import functions as F
+
+    shared = "abcdefghijklmnop"  # 16 chars > 12
+    rows = [
+        (1, "xxxx " + shared + " yyyy"),
+        (2, "zz " + shared + " qqqq rrrr"),
+        (3, "completely different words here entirely"),
+        (4, "abc"),  # shorter than k: no k-grams, no fingerprints
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    staged = df.select(
+        "doc_id", TX.char_codes(F.col("text")).alias("c")
+    ).select("doc_id", TX.winnow_hashes(F.col("c"), k=5, w=8).alias("fps"))
+    fps = {r.doc_id: set(r.fps) for r in staged.collect()}
+    assert fps[1] & fps[2], "shared 16-char substring must share a fingerprint"
+    assert not (fps[1] & fps[3])
+    assert fps[4] == set()
+    # selection is a subsample: strictly fewer fingerprints than k-grams
+    n_grams_1 = len(rows[0][1]) - 4
+    assert 0 < len(fps[1]) < n_grams_1
+
+
+def test_winnow_short_doc_one_window(spark):
+    """Docs with >=1 k-gram but fewer than w of them still fingerprint
+    (single window over all grams)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, "abcdefg")], "doc_id: long, text: string")  # 3 5-grams
+    out = df.select(TX.char_codes(F.col("text")).alias("c")).select(
+        TX.winnow_hashes(F.col("c"), k=5, w=8).alias("fps")
+    ).first()
+    assert len(out.fps) == 1
