@@ -460,9 +460,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # same _project code path projection_nested exercises more deeply, and
     # pytest-pinned besides) and dedup_exact_survivors (the same
     # fingerprint-groupBy mechanism dedup_exact_clusters pins, join form
-    # pytest-pinned).
+    # pytest-pinned) and venn_added (the exact symmetric twin of
+    # venn_removed — same exceptAll plan with the inputs swapped, and
+    # pytest-pinned with it).
     # Tail queries remain bench-covered and verified by tools/oracle_check.py.
     for tail in (
+        "venn_added",
         "dedup_exact_survivors",
         "projection_keep_ignore",
         "venn_onepass_counts",

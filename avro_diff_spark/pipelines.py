@@ -887,6 +887,84 @@ SELECT query_id, cand_id, rank, cosine FROM (
 """
 
 
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    books = SIM.train_pq_codebooks(f"{sf_dir}/embeddings.parquet")
+    return SIM.pq_topk(queries, emb, k=5, codebooks=books)
+
+
+def _pq_sql(k: int = 5, n_queries: int = 10, shortlist: int = 50) -> str:
+    """Mirror of pq_topk: same trained codebooks as literals, same
+    fixed-point int64 ADC scores (identical shortlist, ties by cand_id),
+    same exact re-rank."""
+    books = SIM.train_pq_codebooks(f"{ORACLE_SF_DIR}/embeddings.parquet")
+    m, ksub = len(books), len(books[0])
+    dsub = len(books[0][0])
+
+    def vec_lit(vec) -> str:
+        return "[" + ", ".join(repr(float(v)) for v in vec) + "]::DOUBLE[]"
+
+    def sq_sum(a: str, vec) -> str:
+        return (
+            f"list_sum(list_transform(list_zip({a}, {vec_lit(vec)}), "
+            "p -> CAST(floor((CAST(p[1] AS DOUBLE) - p[2]) * "
+            "(CAST(p[1] AS DOUBLE) - p[2]) * 1e16) AS BIGINT)))"
+        )
+
+    def dot_sum(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(list_zip({a}, {b}), "
+            "p -> CAST(floor(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 1e16) AS BIGINT)))"
+        )
+
+    def sub(col: str, j: int) -> str:
+        return f"{col}[{j * dsub + 1}:{j * dsub + dsub}]"
+
+    code_cols = []
+    for j in range(m):
+        dists = "[" + ", ".join(sq_sum(sub("embedding", j), books[j][c]) for c in range(ksub)) + "]"
+        code_cols.append(
+            f"(list_position(d{j}, list_min(d{j})) - 1) AS code_{j}"
+        )
+        code_cols[-1] = (f"{dists} AS d{j}", code_cols[-1])
+    dist_select = ", ".join(d for d, _ in code_cols)
+    code_select = ", ".join(c for _, c in code_cols)
+
+    book_lits = [
+        "[" + ", ".join(vec_lit(v) for v in books[j]) + "]" for j in range(m)
+    ]
+    approx = " + ".join(
+        dot_sum(sub("q.q_emb", j), f"{book_lits[j]}[e.code_{j} + 1]") for j in range(m)
+    )
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+           FROM embeddings WHERE vec_id < {n_queries}),
+d AS (SELECT vec_id AS cand_id, embedding, {dist_select} FROM embeddings),
+enc AS (SELECT cand_id, {code_select} FROM d),
+short AS (
+  SELECT query_id, cand_id FROM (
+    SELECT q.query_id, e.cand_id,
+           row_number() OVER (PARTITION BY q.query_id
+               ORDER BY ({approx}) DESC, e.cand_id ASC) AS rn
+    FROM q CROSS JOIN enc e WHERE q.query_id <> e.cand_id
+  ) WHERE rn <= {shortlist}
+),
+scored AS (
+  SELECT s.query_id, s.cand_id,
+         {_cos_sql('q.q_emb', 'c.embedding')} AS cosine
+  FROM short s
+  JOIN embeddings c ON c.vec_id = s.cand_id
+  JOIN q ON q.query_id = s.query_id
+)
+SELECT query_id, cand_id, rank, cosine FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, cand_id ASC) AS INT) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
 def q_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 10)
@@ -1015,6 +1093,7 @@ PIPELINE_QUERIES = {
     "cosine_topk": q_cosine_topk,
     "ann_signbucket_topk": q_ann_signbucket,
     "ivf_topk": q_ivf_topk,
+    "pq_topk": q_pq_topk,
     "embedding_near_dups": q_embedding_near_dups,
     "cosine_topk_pandas": q_cosine_topk_pandas,  # rows-only: float-sum order differs by design
     "media_metadata": q_media_metadata,
@@ -1051,6 +1130,7 @@ def pipeline_sql() -> dict[str, str]:
         "cosine_topk": COSINE_TOPK_SQL,
         "ann_signbucket_topk": ANN_SIGNBUCKET_SQL,
         "ivf_topk": _ivf_sql(),
+        "pq_topk": _pq_sql(),
         "embedding_near_dups": _embedding_near_dups_sql(),
         "media_metadata": MEDIA_METADATA_SQL,
         "frame_sample_lens": FRAME_SAMPLE_LENS_SQL,

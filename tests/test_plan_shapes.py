@@ -16,8 +16,11 @@ import __spark_entry__ as ent
 #: queries whose plan INTENTIONALLY contains a broadcast nested-loop:
 #: exact cosine top-k scores a small broadcast query set against every
 #: candidate by definition (the documented brute-force baseline; the scale
-#: paths are ann_signbucket_topk / ivf_topk).
-CROSS_JOIN_BY_DESIGN = {"cosine_topk"}
+#: paths are ann_signbucket_topk / ivf_topk), and PQ's ADC stage is the
+#: same broadcast-queries-vs-all-candidates scan by design — over m-byte
+#: codes at O(m) per pair instead of dim floats at O(dim), which is the
+#: whole point of product quantization (see similarity.pq_topk docstring).
+CROSS_JOIN_BY_DESIGN = {"cosine_topk", "pq_topk"}
 
 _QUERIES = sorted(ent.queries())
 

@@ -109,3 +109,37 @@ def test_ivf_candidate_in_exactly_one_cell(spark, sf_dir):
         .count()
     )
     assert dups == 0
+
+
+def test_pq_topk_recall_vs_exact(spark, sf_dir):
+    """Flat-PQ with exact re-rank recovers most of the exact top-5 (recall
+    is < 1 by construction; the codebooks and fixed-point ADC make whatever
+    it returns fully deterministic)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    books = SIM.train_pq_codebooks(f"{sf_dir}/embeddings.parquet")
+    assert len(books) == 16 and len(books[0]) == 16
+
+    exact = {
+        (r.query_id, r.cand_id)
+        for r in SIM.cosine_topk(queries, emb, k=5).collect()
+    }
+    pq = SIM.pq_topk(queries, emb, k=5, codebooks=books)
+    got = {(r.query_id, r.cand_id) for r in pq.collect()}
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.8, f"recall@5 {recall:.2f}"
+    # determinism: second run identical including ranks/cosines
+    again = SIM.pq_topk(queries, emb, k=5, codebooks=books)
+    assert sorted(map(tuple, pq.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_pq_encode_codes_in_range(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = SIM.train_pq_codebooks(f"{sf_dir}/embeddings.parquet")
+    codes = emb.select(SIM.pq_encode(F.col("embedding"), books).alias("c"))
+    stats = codes.select(
+        F.min(F.array_min("c")).alias("lo"),
+        F.max(F.array_max("c")).alias("hi"),
+        F.min(F.size("c")).alias("m"),
+    ).first()
+    assert stats.lo >= 0 and stats.hi < 16 and stats.m == 16
