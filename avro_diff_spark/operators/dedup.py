@@ -151,7 +151,11 @@ def _signatures_from_sh(doc_sh: DataFrame, n_hashes: int) -> DataFrame:
 
 
 def lsh_candidate_pairs(
-    sig_df: DataFrame, *, bands: int = 8, rows_per_band: int = 4
+    sig_df: DataFrame,
+    *,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Distinct candidate pairs (a < b) sharing at least one LSH band.
 
@@ -162,10 +166,17 @@ def lsh_candidate_pairs(
     would evaluate it twice, once per side).
 
     Scale note: a bucket of n docs yields n·(n-1)/2 pairs; that cardinality
-    is inherent to candidate generation, but here the *expansion* of one
-    bucket happens in a single task. Corpora with massive exact-duplicate
-    clusters should run :func:`exact_dedup` first (standard practice) so no
-    bucket is pathological.
+    is inherent to candidate generation, but by default the *expansion* of
+    one bucket happens in a single task. Corpora with massive
+    exact-duplicate clusters should run :func:`exact_dedup` first (standard
+    practice) so no bucket is pathological — or set ``max_bucket``: member
+    lists longer than it are split into ``⌈n/max_bucket⌉`` chunks whose
+    chunk-pair grid (within-chunk i<j triangles + cross-chunk rectangles —
+    exactly the original pair set, since the sorted list makes every cross
+    pair ordered) is round-robin-repartitioned before expansion, so one
+    mega-bucket's O(n²) work spreads across the cluster at the cost of one
+    extra exchange of the (bounded-length) chunk rows. Identical output
+    either way.
     """
     # Null band key for empty-shingle docs (all-null signature slots):
     # without the guard, array_join skips nulls and every empty doc lands
@@ -212,7 +223,7 @@ def lsh_candidate_pairs(
             ),
         )
     )
-    return (
+    buckets = (
         banded.groupBy("band_id", "band_key")
         .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
         .filter(F.size("ids") > 1)
@@ -224,10 +235,76 @@ def lsh_candidate_pairs(
         # ~8× fewer expanded rows on the dups corpus).
         .select("ids")
         .distinct()
+    )
+    if max_bucket is not None:
+        return _chunked_pair_expansion(buckets, int(max_bucket))
+    return (
+        buckets
         # explode_outer: plain explode would make Catalyst infer a
         # size()>0 filter that re-evaluates the O(n²) pair construction a
         # second time per bucket (see _prefix_candidates for the pattern)
         .select(F.explode_outer(pair_structs).alias("p"))
+        .where(F.col("p").isNotNull())
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+
+
+def _chunked_pair_expansion(buckets: DataFrame, max_bucket: int) -> DataFrame:
+    """Pair expansion with per-bucket skew split (see
+    :func:`lsh_candidate_pairs` ``max_bucket``). ``buckets`` is one row per
+    distinct sorted member list ``ids``; output is the identical distinct
+    (doc_a < doc_b) pair set the single-task expansion produces.
+
+    The sorted list is cut into fixed-size chunks; each (chunk_i ≤ chunk_j)
+    grid cell becomes its own row BEFORE the quadratic expansion, and a
+    round-robin repartition spreads the cells over the cluster. A diagonal
+    cell expands its i<j triangle; an off-diagonal cell expands the full
+    rectangle — ordered automatically because every element of an earlier
+    chunk sorts below every element of a later one.
+    """
+    C = max_bucket
+    ids = F.col("ids")
+    n_chunks = F.ceil(F.size(ids) / F.lit(C)).cast("int")
+    cells = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.transform(
+                F.sequence(i, n_chunks - 1),
+                lambda j: F.struct(
+                    F.slice(ids, i * C + 1, C).alias("ca"),
+                    F.when(j > i, F.slice(ids, j * C + 1, C)).alias("cb"),
+                ),
+            ),
+        )
+    )
+    cell_rows = (
+        buckets.select(F.explode_outer(cells).alias("cell"))
+        .where(F.col("cell").isNotNull())
+        .select("cell.ca", "cell.cb")
+        # round-robin: spread the grid cells of ONE mega-bucket across
+        # tasks; each moved row is at most 2·max_bucket ids
+        .repartition(buckets.sparkSession.sparkContext.defaultParallelism)
+    )
+    ca, cb = F.col("ca"), F.col("cb")
+    tri = F.flatten(
+        F.transform(
+            ca,
+            lambda x, i: F.transform(
+                F.slice(ca, i + 2, F.greatest(F.size(ca) - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    rect = F.flatten(
+        F.transform(
+            ca,
+            lambda x: F.transform(cb, lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b"))),
+        )
+    )
+    pairs = F.when(cb.isNull(), tri).otherwise(rect)
+    return (
+        cell_rows.select(F.explode_outer(pairs).alias("p"))
         .where(F.col("p").isNotNull())
         .select("p.doc_a", "p.doc_b")
         .distinct()
@@ -434,17 +511,23 @@ def minhash_near_dups(
     bands: int = 8,
     shingle_k: int = 5,
     threshold: float = 0.5,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """LSH-candidate generation + exact-Jaccard verification.
 
     Signatures AND verification both derive from one shared (doc_id, sh)
     subtree (same repartition exchange), so the shingle-hash pass — the
     dominant per-row cost — runs once, not three times.
+
+    ``max_bucket`` (optional) splits pathological LSH buckets' pair
+    expansion across the cluster — see :func:`lsh_candidate_pairs`.
     """
     rows_per_band = n_hashes // bands
     doc_sh = _doc_shingles(df, text_col, id_col, shingle_k)
     sigs = _signatures_from_sh(doc_sh, n_hashes)
-    cands = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=rows_per_band)
+    cands = lsh_candidate_pairs(
+        sigs, bands=bands, rows_per_band=rows_per_band, max_bucket=max_bucket
+    )
     return _verify_pairs(cands, doc_sh, threshold)
 
 

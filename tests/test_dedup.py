@@ -106,3 +106,34 @@ def test_contamination_check_benchmark_side_broadcast(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_chunked_pair_expansion_identical_pairs(spark, sf_dir):
+    """max_bucket skew-split produces exactly the single-task expansion's
+    candidate pair set — including when chunks divide unevenly and when a
+    bucket fits in one chunk."""
+    corpus = documents_with_dups(spark, sf_dir)
+    sigs = DD.minhash_signatures(corpus, "text", "doc_id")
+    base = DD.lsh_candidate_pairs(sigs)
+    for mb in (3, 4, 1000):
+        chunked = DD.lsh_candidate_pairs(sigs, max_bucket=mb)
+        a = {(r.doc_a, r.doc_b) for r in base.collect()}
+        b = {(r.doc_a, r.doc_b) for r in chunked.collect()}
+        assert a == b, f"max_bucket={mb}"
+    assert a  # non-trivial corpus
+
+
+def test_chunked_expansion_mega_bucket(spark):
+    """A single 10-member bucket with max_bucket=3 exercises diagonal and
+    off-diagonal grid cells: all 45 ordered pairs, each exactly once."""
+    from pyspark.sql import Row
+
+    # ten identical texts -> identical signatures -> one bucket everywhere
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="the same exact text for every document here") for i in range(10)]
+    )
+    sigs = DD.minhash_signatures(docs, "text", "doc_id")
+    pairs = DD.lsh_candidate_pairs(sigs, max_bucket=3).collect()
+    got = {(r.doc_a, r.doc_b) for r in pairs}
+    want = {(a, b) for a in range(10) for b in range(10) if a < b}
+    assert got == want
