@@ -2,6 +2,7 @@
 batch-only, SURVEY.md §2.8)."""
 
 from avro_diff_spark.streaming.dedup import contamination_stream, dedup_stream
+from avro_diff_spark.streaming.diff import key_diff_stream
 from avro_diff_spark.streaming.events import (
     EVENTS_SCHEMA,
     hourly_counts_stream,
@@ -14,6 +15,7 @@ __all__ = [
     "EVENTS_SCHEMA",
     "contamination_stream",
     "dedup_stream",
+    "key_diff_stream",
     "read_event_stream",
     "hourly_counts_stream",
     "sessionize_stream",

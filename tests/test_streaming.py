@@ -226,3 +226,32 @@ def test_contamination_stream_matches_batch(spark, sf_dir, tmp_path):
         for r in contamination_check(rest, bench, "text", "doc_id").collect()
     }
     assert got == want and got
+
+
+def test_key_diff_stream_matches_batch_classification(spark, sf_dir, tmp_path):
+    """Arriving rows classify exactly as the batch key_diff classifies them
+    (added/changed/unchanged with identical dot-path changed_fields);
+    'removed' is structurally absent from a stream (documented)."""
+    from avro_diff_spark import key_diff
+    from avro_diff_spark.snapshots import orders_new, orders_old
+    from avro_diff_spark.streaming import key_diff_stream
+
+    baseline = orders_old(spark, sf_dir)
+    arriving = orders_new(spark, sf_dir)
+
+    src = str(tmp_path / "orders_in")
+    arriving.write.parquet(src)
+    stream = spark.readStream.schema(arriving.schema).parquet(src)
+    _run_to_memory(
+        key_diff_stream(stream, baseline, ["o_orderkey"]), "kds", "append", tmp_path
+    )
+    got = {
+        (r.o_orderkey, r.diff_kind, tuple(r.changed_fields or []))
+        for r in spark.table("kds").collect()
+    }
+    batch = key_diff(baseline, arriving, ["o_orderkey"], include_payload=False)
+    want = {
+        (r.o_orderkey, r.diff_kind, tuple(r.changed_fields or []))
+        for r in batch.filter(F.col("diff_kind") != "removed").collect()
+    }
+    assert got == want and got
