@@ -106,3 +106,27 @@ def test_avro_path_nested_keep_ignore(spark, nested, tmp_path):
     assert [r.k for r in rows] == [1, 2, 3, 4, 5]
     assert rows[0].pricing.total == 1.0
     assert rows[0].pricing.meta.prio == "P1"
+
+
+def test_cli_dot_path_projection(spark, nested, tmp_path, capsys):
+    """The CLI's --keep-fields/--ignore-fields accept dot-paths end to end:
+    the ignored nested leaf must not reach the diff (so a change to it
+    classifies as unchanged)."""
+    from avro_diff_spark import cli
+
+    old_p = str(tmp_path / "old.parquet")
+    new_p = str(tmp_path / "new.parquet")
+    nested.write.parquet(old_p)
+    # mutate ONLY the ignored leaf
+    nested.withColumn(
+        "pricing",
+        F.col("pricing").withField("meta", F.col("pricing.meta").withField("ts", F.lit(9))),
+    ).write.parquet(new_p)
+
+    rc = cli.key_diff_main(
+        [old_p, new_p, "k", "--format", "parquet", "--ignore-fields", "pricing.meta.ts"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "# of changed rows: 0" in out
+    assert "# of unchanged rows: 5" in out
