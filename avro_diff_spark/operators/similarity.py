@@ -369,29 +369,45 @@ def train_pq_codebooks(
     return tuple(books)
 
 
+def _lit_book(book) -> Column:
+    """One subspace codebook as a SINGLE nested array<array<double>> literal
+    — 1 Py4J round-trip and 1 plan node instead of ksub of each (measured:
+    the per-centroid-literal formulation spent seconds per query build on
+    plan construction alone at m·ksub = 256)."""
+    return F.lit([[float(v) for v in row] for row in book])
+
+
 def pq_encode(emb: Column, codebooks) -> Column:
     """array<int> of ``m`` PQ codes for an embedding — nearest sub-centroid
     per subspace by squared L2 on the 1e-16 fixed-point grid (exact int64,
     engine-portable), ties to the lowest code via
     ``array_position(dists, array_min(dists))``. Pure Column expressions:
-    the 100 TB candidate scan encodes with NO shuffle and no Python."""
+    the 100 TB candidate scan encodes with NO shuffle and no Python.
+
+    The per-subspace distance vector is ONE ``transform`` over the nested
+    codebook literal (ksub rows), not ksub separate aggregate expressions —
+    same values, ~ksub× less codegen and plan size."""
     m = len(codebooks)
     dsub = len(codebooks[0][0])
 
-    def sub_dist(j: int, c: int) -> Column:
-        sub = F.slice(emb, j * dsub + 1, dsub)
-        diffs = F.zip_with(
-            sub,
-            _lit_vec(codebooks[j][c]),
-            lambda x, y: F.floor(
-                (x.cast("double") - y) * (x.cast("double") - y) * F.lit(DOT_SCALE)
-            ),
-        )
-        return F.aggregate(diffs, F.lit(0).cast("long"), lambda a, v: a + v)
-
     codes = []
     for j in range(m):
-        dists = F.array(*[sub_dist(j, c) for c in range(len(codebooks[j]))])
+        sub = F.slice(emb, j * dsub + 1, dsub)
+        dists = F.transform(
+            _lit_book(codebooks[j]),
+            lambda cvec: F.aggregate(
+                F.zip_with(
+                    sub,
+                    cvec,
+                    lambda x, y: F.floor(
+                        (x.cast("double") - y) * (x.cast("double") - y)
+                        * F.lit(DOT_SCALE)
+                    ),
+                ),
+                F.lit(0).cast("long"),
+                lambda a, v: a + v,
+            ),
+        )
         codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
     return F.array(*codes)
 
@@ -447,26 +463,26 @@ def pq_topk(
     )
 
     def lut_col(q_emb: Column) -> Column:
-        """array<array<long>>: lut[j][c] = scaled dot(q_subj, cb[j][c])."""
+        """array<array<long>>: lut[j][c] = scaled dot(q_subj, cb[j][c]) —
+        one transform over each subspace's nested codebook literal (see
+        :func:`pq_encode` on why not ksub separate aggregates)."""
         rows = []
         for j in range(m):
             sub = F.slice(q_emb, j * dsub + 1, dsub)
             rows.append(
-                F.array(
-                    *[
-                        F.aggregate(
-                            F.zip_with(
-                                sub,
-                                _lit_vec(codebooks[j][c]),
-                                lambda x, y: F.floor(
-                                    x.cast("double") * y * F.lit(DOT_SCALE)
-                                ),
+                F.transform(
+                    _lit_book(codebooks[j]),
+                    lambda cvec: F.aggregate(
+                        F.zip_with(
+                            sub,
+                            cvec,
+                            lambda x, y: F.floor(
+                                x.cast("double") * y * F.lit(DOT_SCALE)
                             ),
-                            F.lit(0).cast("long"),
-                            lambda a, v: a + v,
-                        )
-                        for c in range(ksub)
-                    ]
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda a, v: a + v,
+                    ),
                 )
             )
         return F.array(*rows)
