@@ -246,25 +246,33 @@ def ivf_topk(
         total = sum(int(math.floor(float(x) * float(x) * DOT_SCALE)) for x in vec)
         return math.sqrt(total / DOT_SCALE)
 
+    # centroid matrix as ONE nested literal + norms as one array literal:
+    # a single plan node and Py4J round-trip instead of n_centroids of
+    # each, and the ranking becomes one transform (same collapse measured
+    # ~5x on pq_topk's build+codegen; cids are positional — cents is
+    # sorted by cid and ids are dense by construction)
+    cent_mat = F.lit([[float(x) for x in v] for _, v in cents])
+    cent_norms = F.lit([_py_norm(v) for _, v in cents])
+
     def cell_ranking(emb: Column, norm: Column) -> Column:
         """array<struct<neg_cos,cid>> sorted ascending = centroids by
         descending cosine, ties to the lowest centroid id. Takes the row's
         precomputed norm column (evaluating _dec_norm here would fold the
         O(dim) norm loop into every one of the n_centroids structs);
         centroid norms are Python-precomputed literals."""
-        scored = [
-            F.struct(
+        scored = F.transform(
+            cent_mat,
+            lambda cvec, i: F.struct(
                 F.negate(
                     F.try_divide(
-                        _fixed_dot(emb, _lit_vec(v)),
-                        norm * F.lit(_py_norm(v)),
+                        _fixed_dot(emb, cvec),
+                        norm * F.element_at(cent_norms, i + 1),
                     )
                 ).alias("neg_cos"),
-                F.lit(int(cid)).alias("cid"),
-            )
-            for cid, v in cents
-        ]
-        return F.sort_array(F.array(*scored))
+                i.cast("int").alias("cid"),
+            ),
+        )
+        return F.sort_array(scored)
 
     # norm is materialized in its own projection so the n_centroids ranking
     # structs reference the column instead of inlining the O(dim) norm fold
