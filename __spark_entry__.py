@@ -462,9 +462,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # fingerprint-groupBy mechanism dedup_exact_clusters pins, join form
     # pytest-pinned) and venn_added (the exact symmetric twin of
     # venn_removed — same exceptAll plan with the inputs swapped, and
-    # pytest-pinned with it).
+    # pytest-pinned with it) and key_diff_composite (composite-key String()
+    # coercion — pinned by tests/test_key_diff.py::test_composite_key and
+    # the same join machinery key_diff_orders records).
     # Tail queries remain bench-covered and verified by tools/oracle_check.py.
     for tail in (
+        "key_diff_composite",
         "venn_added",
         "dedup_exact_survivors",
         "projection_keep_ignore",

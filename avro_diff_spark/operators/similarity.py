@@ -201,6 +201,45 @@ def _lit_vec(vec) -> Column:
     return F.lit([float(v) for v in vec])
 
 
+def _py_fixed_norm(vec) -> float:
+    """Python mirror of _dec_norm on a literal vector: identical IEEE
+    double ops (product, floor to the 1e16 grid, exact int sum, sqrt),
+    so the constant equals what the engine would compute."""
+    import math
+
+    total = sum(int(math.floor(float(x) * float(x) * DOT_SCALE)) for x in vec)
+    return math.sqrt(total / DOT_SCALE)
+
+
+def _centroid_ranking(cents):
+    """(emb, norm) → array<struct<neg_cos,cid>> sorted ascending =
+    centroids by descending cosine, ties to the lowest centroid id.
+    ``cents`` is a dense cid-sorted [(cid, vector), ...]; the matrix is ONE
+    nested literal and the ranking one transform with positional cid (a
+    single plan node instead of n_centroids — see :func:`_lit_book`).
+    Shared by :func:`ivf_topk` and :func:`ivfpq_topk` so coarse assignment
+    can never drift between them."""
+    cent_mat = F.lit([[float(x) for x in v] for _, v in cents])
+    cent_norms = F.lit([_py_fixed_norm(v) for _, v in cents])
+
+    def ranking(emb: Column, norm: Column) -> Column:
+        scored = F.transform(
+            cent_mat,
+            lambda cvec, i: F.struct(
+                F.negate(
+                    F.try_divide(
+                        _fixed_dot(emb, cvec),
+                        norm * F.element_at(cent_norms, i + 1),
+                    )
+                ).alias("neg_cos"),
+                i.cast("int").alias("cid"),
+            ),
+        )
+        return F.sort_array(scored)
+
+    return ranking
+
+
 def ivf_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -237,42 +276,7 @@ def ivf_topk(
         )
         cents = sorted((r["vec_id"], r["embedding"]) for r in cent_rows)
 
-    def _py_norm(vec) -> float:
-        """Python mirror of _dec_norm on a literal vector: identical IEEE
-        double ops (product, floor to the 1e16 grid, exact int sum, sqrt),
-        so the constant equals what the engine would compute."""
-        import math
-
-        total = sum(int(math.floor(float(x) * float(x) * DOT_SCALE)) for x in vec)
-        return math.sqrt(total / DOT_SCALE)
-
-    # centroid matrix as ONE nested literal + norms as one array literal:
-    # a single plan node and Py4J round-trip instead of n_centroids of
-    # each, and the ranking becomes one transform (same collapse measured
-    # ~5x on pq_topk's build+codegen; cids are positional — cents is
-    # sorted by cid and ids are dense by construction)
-    cent_mat = F.lit([[float(x) for x in v] for _, v in cents])
-    cent_norms = F.lit([_py_norm(v) for _, v in cents])
-
-    def cell_ranking(emb: Column, norm: Column) -> Column:
-        """array<struct<neg_cos,cid>> sorted ascending = centroids by
-        descending cosine, ties to the lowest centroid id. Takes the row's
-        precomputed norm column (evaluating _dec_norm here would fold the
-        O(dim) norm loop into every one of the n_centroids structs);
-        centroid norms are Python-precomputed literals."""
-        scored = F.transform(
-            cent_mat,
-            lambda cvec, i: F.struct(
-                F.negate(
-                    F.try_divide(
-                        _fixed_dot(emb, cvec),
-                        norm * F.element_at(cent_norms, i + 1),
-                    )
-                ).alias("neg_cos"),
-                i.cast("int").alias("cid"),
-            ),
-        )
-        return F.sort_array(scored)
+    cell_ranking = _centroid_ranking(cents)
 
     # norm is materialized in its own projection so the n_centroids ranking
     # structs reference the column instead of inlining the O(dim) norm fold
@@ -534,6 +538,141 @@ def pq_topk(
     cos = F.try_divide(dot, F.col("q_norm") * F.col("c_norm"))
     scored = (
         short.join(c_full, "cand_id")
+        .join(F.broadcast(qe), "query_id")
+        .select("query_id", "cand_id", cos.alias("cosine"))
+    )
+    return topk_per_query(scored, k)
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    *,
+    centroids=None,
+    codebooks=None,
+    probes: int = 2,
+    shortlist: int | None = None,
+    id_q: str = "vec_id",
+    id_c: str = "vec_id",
+) -> DataFrame:
+    """IVF + PQ composed — the full FAISS IVFPQ architecture (non-residual
+    variant, FAISS's ``by_residual=False``): the coarse quantizer prunes
+    WHICH candidates are scored (each query probes its ``probes`` nearest
+    cells — an equi-join on the small int cell id, no cross join), product
+    quantization compresses WHAT is scored (16-byte codes, O(m)-lookup ADC
+    — see :func:`pq_topk`), and a bounded shortlist re-ranks exact.
+
+    This is the 100 TB ANN configuration: candidate movement is
+    |cell|-bounded AND code-compressed, per-pair CPU is O(m), and the only
+    shuffles are the cell equi-join plus the shortlist's top-R window.
+    Non-residual keeps the codebooks identical to flat :func:`pq_topk`
+    (one training, one encode pass serves both indexes) at a modest recall
+    cost vs residual encoding — the standard trade when the corpus is also
+    served flat. Same deterministic fixed-point contract as every tier:
+    the DuckDB oracle reproduces cells, codes, shortlist, and final
+    ranking bit-for-bit.
+    """
+    if centroids is None or codebooks is None:
+        raise ValueError("pass centroids and codebooks from the train functions")
+    cents = sorted((int(cid), list(vec)) for cid, vec in centroids)
+    m = len(codebooks)
+    ksub = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    R = shortlist if shortlist is not None else 10 * k
+    from pyspark.sql import Window
+
+    cell_ranking = _centroid_ranking(cents)
+
+    c = (
+        spread_small(candidates)
+        .select(
+            F.col(id_c).alias("cand_id"),
+            F.col("embedding").alias("c_emb"),
+            _dec_norm(F.col("embedding")).alias("c_norm"),
+        )
+        .select(
+            "cand_id",
+            "c_emb",
+            "c_norm",
+            F.element_at(cell_ranking(F.col("c_emb"), F.col("c_norm")), 1)
+            .getField("cid")
+            .alias("cell"),
+            pq_encode(F.col("c_emb"), codebooks).alias("codes"),
+        )
+    )
+
+    def lut_col(q_emb: Column) -> Column:
+        rows = []
+        for j in range(m):
+            sub = F.slice(q_emb, j * dsub + 1, dsub)
+            rows.append(
+                F.transform(
+                    _lit_book(codebooks[j]),
+                    lambda cvec: F.aggregate(
+                        F.zip_with(
+                            sub,
+                            cvec,
+                            lambda x, y: F.floor(
+                                x.cast("double") * y * F.lit(DOT_SCALE)
+                            ),
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda a, v: a + v,
+                    ),
+                )
+            )
+        return F.array(*rows)
+
+    q_base = queries.select(
+        F.col(id_q).alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        _dec_norm(F.col("embedding")).alias("q_norm"),
+    )
+    probed = (
+        q_base.select(
+            "query_id",
+            lut_col(F.col("q_emb")).alias("lut"),
+            # explode_outer: explode would infer a size()>0 pre-filter that
+            # re-evaluates the whole centroid ranking (see dedup.py pattern)
+            F.explode_outer(
+                F.transform(
+                    F.slice(cell_ranking(F.col("q_emb"), F.col("q_norm")), 1, probes),
+                    lambda s: s.getField("cid"),
+                )
+            ).alias("cell"),
+        )
+        .where(F.col("cell").isNotNull())
+    )
+    approx = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("lut"),
+            lambda code, row: F.element_at(row, code + 1),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, v: a + v,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx").desc(), F.col("cand_id").asc()
+    )
+    # each candidate lives in exactly ONE cell (rn=1 assignment) and a
+    # query's probed cells are distinct, so every (query, cand) pair
+    # appears at most once — no dedup needed before ranking
+    short = (
+        F.broadcast(probed)
+        .join(c.select("cand_id", "cell", "codes"), "cell")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", approx.alias("approx"))
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= R)
+        .select("query_id", "cand_id")
+    )
+    qe = q_base
+    dot = _fixed_dot(F.col("q_emb"), F.col("c_emb"))
+    cos = F.try_divide(dot, F.col("q_norm") * F.col("c_norm"))
+    scored = (
+        short.join(c.select("cand_id", "c_emb", "c_norm"), "cand_id")
         .join(F.broadcast(qe), "query_id")
         .select("query_id", "cand_id", cos.alias("cosine"))
     )

@@ -965,6 +965,103 @@ SELECT query_id, cand_id, rank, cosine FROM (
 """
 
 
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    cents = SIM.train_ivf_centroids(f"{sf_dir}/embeddings.parquet")
+    books = SIM.train_pq_codebooks(f"{sf_dir}/embeddings.parquet")
+    return SIM.ivfpq_topk(queries, emb, k=5, centroids=cents, codebooks=books)
+
+
+def _ivfpq_sql(
+    k: int = 5, n_queries: int = 10, probes: int = 2, shortlist: int = 50
+) -> str:
+    """Mirror of ivfpq_topk: trained coarse centroids (cells) + trained PQ
+    codebooks (codes) as literals, int64 ADC over the probed cells only,
+    identical shortlist, exact re-rank."""
+    cents = SIM.train_ivf_centroids(f"{ORACLE_SF_DIR}/embeddings.parquet")
+    books = SIM.train_pq_codebooks(f"{ORACLE_SF_DIR}/embeddings.parquet")
+    m, ksub = len(books), len(books[0])
+    dsub = len(books[0][0])
+
+    cent_rows = " UNION ALL ".join(
+        f"SELECT {cid} AS cid, [{', '.join(repr(v) for v in vec)}]::DOUBLE[] AS cent"
+        for cid, vec in cents
+    )
+
+    def vec_lit(vec) -> str:
+        return "[" + ", ".join(repr(float(v)) for v in vec) + "]::DOUBLE[]"
+
+    def sq_sum(a: str, vec) -> str:
+        return (
+            f"list_sum(list_transform(list_zip({a}, {vec_lit(vec)}), "
+            "p -> CAST(floor((CAST(p[1] AS DOUBLE) - p[2]) * "
+            "(CAST(p[1] AS DOUBLE) - p[2]) * 1e16) AS BIGINT)))"
+        )
+
+    def dot_sum(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(list_zip({a}, {b}), "
+            "p -> CAST(floor(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 1e16) AS BIGINT)))"
+        )
+
+    def sub(col: str, j: int) -> str:
+        return f"{col}[{j * dsub + 1}:{j * dsub + dsub}]"
+
+    dist_select = ", ".join(
+        "["
+        + ", ".join(sq_sum(sub("embedding", j), books[j][c]) for c in range(ksub))
+        + f"] AS d{j}"
+        for j in range(m)
+    )
+    code_select = ", ".join(
+        f"(list_position(d{j}, list_min(d{j})) - 1) AS code_{j}" for j in range(m)
+    )
+    book_lits = ["[" + ", ".join(vec_lit(v) for v in books[j]) + "]" for j in range(m)]
+    approx = " + ".join(
+        dot_sum(sub("q.q_emb", j), f"{book_lits[j]}[e.code_{j} + 1]") for j in range(m)
+    )
+    return f"""
+WITH cents AS ({cent_rows}),
+assign AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_cos_sql('e.embedding', 'c.cent')} DESC, c.cid ASC) AS rn
+  FROM embeddings e CROSS JOIN cents c
+),
+d AS (SELECT vec_id AS cand_id, cid AS cell, embedding, {dist_select}
+      FROM assign WHERE rn = 1),
+enc AS (SELECT cand_id, cell, {code_select} FROM d),
+q AS (SELECT vec_id AS query_id, embedding AS q_emb
+      FROM embeddings WHERE vec_id < {n_queries}),
+probe AS (SELECT vec_id AS query_id, cid AS cell
+          FROM assign WHERE rn <= {probes} AND vec_id < {n_queries}),
+short AS (
+  SELECT query_id, cand_id FROM (
+    SELECT p.query_id, e.cand_id,
+           row_number() OVER (PARTITION BY p.query_id
+               ORDER BY ({approx}) DESC, e.cand_id ASC) AS rn
+    FROM probe p
+    JOIN enc e USING (cell)
+    JOIN q ON q.query_id = p.query_id
+    WHERE p.query_id <> e.cand_id
+  ) WHERE rn <= {shortlist}
+),
+scored AS (
+  SELECT s.query_id, s.cand_id,
+         {_cos_sql('q.q_emb', 'c.embedding')} AS cosine
+  FROM short s
+  JOIN embeddings c ON c.vec_id = s.cand_id
+  JOIN q ON q.query_id = s.query_id
+)
+SELECT query_id, cand_id, rank, cosine FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, cand_id ASC) AS INT) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
 def q_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 10)
@@ -1094,6 +1191,7 @@ PIPELINE_QUERIES = {
     "ann_signbucket_topk": q_ann_signbucket,
     "ivf_topk": q_ivf_topk,
     "pq_topk": q_pq_topk,
+    "ivfpq_topk": q_ivfpq_topk,
     "embedding_near_dups": q_embedding_near_dups,
     "cosine_topk_pandas": q_cosine_topk_pandas,  # rows-only: float-sum order differs by design
     "media_metadata": q_media_metadata,
@@ -1131,6 +1229,7 @@ def pipeline_sql() -> dict[str, str]:
         "ann_signbucket_topk": ANN_SIGNBUCKET_SQL,
         "ivf_topk": _ivf_sql(),
         "pq_topk": _pq_sql(),
+        "ivfpq_topk": _ivfpq_sql(),
         "embedding_near_dups": _embedding_near_dups_sql(),
         "media_metadata": MEDIA_METADATA_SQL,
         "frame_sample_lens": FRAME_SAMPLE_LENS_SQL,

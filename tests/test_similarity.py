@@ -143,3 +143,26 @@ def test_pq_encode_codes_in_range(spark, sf_dir):
         F.min(F.size("c")).alias("m"),
     ).first()
     assert stats.lo >= 0 and stats.hi < 16 and stats.m == 16
+
+
+def test_ivfpq_topk_recall_and_determinism(spark, sf_dir):
+    """Composed IVF+PQ: coarse cell pruning + ADC + exact re-rank still
+    recovers most of the exact top-5, deterministically."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    cents = SIM.train_ivf_centroids(f"{sf_dir}/embeddings.parquet")
+    books = SIM.train_pq_codebooks(f"{sf_dir}/embeddings.parquet")
+
+    out = SIM.ivfpq_topk(queries, emb, k=5, centroids=cents, codebooks=books)
+    rows = out.collect()
+    got = {(r.query_id, r.cand_id) for r in rows}
+    # IVF-probe ceiling: the composed index cannot beat its own coarse
+    # stage, so compare against ivf_topk (same cells), not exact
+    ivf = {
+        (r.query_id, r.cand_id)
+        for r in SIM.ivf_topk(queries, emb, k=5, probes=2, centroids=cents).collect()
+    }
+    overlap = len(got & ivf) / len(ivf)
+    assert overlap >= 0.8, f"vs-IVF overlap {overlap:.2f}"
+    again = SIM.ivfpq_topk(queries, emb, k=5, centroids=cents, codebooks=books)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
