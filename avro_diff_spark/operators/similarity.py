@@ -1,21 +1,29 @@
 """Similarity search over embedding columns (array<float>).
 
-North-star extension. Three tiers:
+North-star extension. The tiers, exactness descending / scale ascending:
 
 - :func:`cosine_topk` — exact brute-force top-k for a (small, broadcast)
   query set against all candidates. The dot product floors per-term double
   products onto a 1e-16 fixed-point grid and sums as int64, so the result is
   order-independent — bit-stable across engines and Spark partitionings.
-- :func:`ann_signbucket_topk` — the scale path: axis-aligned random-
-  hyperplane LSH (sign bits of the first ``n_planes`` dimensions) buckets
-  both sides; only same-bucket pairs are scored. At 100 TB the join is an
-  equi-join on a small int key instead of a cross join.
+- :func:`ann_signbucket_topk` — axis-aligned sign-plane LSH buckets both
+  sides; only same-bucket pairs are scored (equi-join on a small int key).
+- :func:`ivf_topk` — inverted file: trained coarse centroids partition the
+  corpus into cells; queries probe their nearest cells.
+- :func:`pq_topk` — product quantization (flat): trained per-subspace
+  codebooks compress candidates to m-byte codes scored by O(m)-lookup ADC,
+  exact re-rank of a bounded shortlist.
+- :func:`ivfpq_topk` — IVF × PQ composed (the FAISS-IVFPQ architecture):
+  cells prune WHICH candidates are scored, codes compress WHAT is scored —
+  no cross join anywhere; the 100 TB configuration.
 - :func:`cosine_topk_pandas` — Arrow-batched Pandas-UDF variant (numpy
   matmul per batch against the broadcast query matrix): the
   throughput-optimal form when exactness of the tie-break doesn't matter.
 
-Embeddings in the testdata are unit-normalized, but cosine is computed with
-explicit norms so arbitrary inputs are handled.
+Every tier is deterministic on the same fixed-point grid, so each has a
+DuckDB oracle reproducing its results bit-for-bit. Embeddings in the
+testdata are unit-normalized, but cosine is computed with explicit norms so
+arbitrary inputs are handled.
 """
 
 from __future__ import annotations
