@@ -18,10 +18,18 @@ Scope and divergences (documented, deliberate):
   union must be null+one-branch (the only shape in the reference's fixtures
   — every nullable field there is ``[T, "null"]``, SURVEY.md §1.2); richer
   unions raise.
-- Logical types are passed through as their underlying primitive (the
-  reference stores timestamps as raw longs / ISO strings — SURVEY.md §1.2 —
-  so this matches its data model; spark-avro would surface timestamp-micros
-  as TimestampType).
+- Logical types decode to the SAME Spark types the spark-avro connector
+  produces, so the two physical paths of ``read_avro`` agree on schema for
+  the same file: ``decimal`` (bytes/fixed) → DecimalType(p, s),
+  ``date`` → DateType, ``timestamp-millis``/``timestamp-micros`` →
+  TimestampType (UTC instants), ``local-timestamp-millis``/``-micros`` →
+  TimestampNTZType, ``uuid`` → StringType. ``time-millis``/``time-micros``
+  stay raw int/long — spark-avro reads them as their underlying type too.
+  The write path mirrors it (TimestampType → timestamp-micros, DateType →
+  date, DecimalType → bytes decimal), so logical values round-trip.
+  The reference itself stores timestamps as raw longs / ISO strings
+  (SURVEY.md §1.2) and never declares logical types, so this is strictly
+  beyond-reference hardening for real-world Avro corpora.
 - Codecs: ``null``, ``deflate`` (raw RFC-1951, exactly the spec), and
   ``snappy`` — a from-scratch implementation of the raw Snappy block
   format (varint preamble + literal/copy elements) below, so the
@@ -118,6 +126,101 @@ def nullable_branch(schema):
 
 
 # --------------------------------------------------------------------------
+# logical types (Avro spec §Logical Types; Spark mapping = spark-avro's)
+# --------------------------------------------------------------------------
+
+_EPOCH_UTC = None  # initialized lazily to keep module import dependency-free
+_EPOCH_NAIVE = None
+
+
+def _epochs():
+    global _EPOCH_UTC, _EPOCH_NAIVE
+    if _EPOCH_UTC is None:
+        from datetime import datetime, timezone
+
+        _EPOCH_UTC = datetime(1970, 1, 1, tzinfo=timezone.utc)
+        _EPOCH_NAIVE = datetime(1970, 1, 1)
+    return _EPOCH_UTC, _EPOCH_NAIVE
+
+
+def _logical_of(schema) -> str | None:
+    return schema.get("logicalType") if isinstance(schema, dict) else None
+
+
+def _decode_logical_int(v: int, lt: str):
+    """int/long logical value → the Python value Spark's type expects.
+
+    Timestamps come back tz-aware UTC (exact integer micros arithmetic —
+    no float epoch math), so Spark's ``toInternal``/Arrow conversion is
+    correct regardless of the driver's local timezone; local-timestamps
+    are naive wall-clock datetimes (TimestampNTZType semantics).
+    """
+    from datetime import date, timedelta
+
+    if lt == "date":
+        return date(1970, 1, 1) + timedelta(days=v)
+    if lt == "timestamp-millis":
+        return _epochs()[0] + timedelta(microseconds=v * 1000)
+    if lt == "timestamp-micros":
+        return _epochs()[0] + timedelta(microseconds=v)
+    if lt == "local-timestamp-millis":
+        return _epochs()[1] + timedelta(microseconds=v * 1000)
+    if lt == "local-timestamp-micros":
+        return _epochs()[1] + timedelta(microseconds=v)
+    return v  # time-millis/time-micros and unknown: raw primitive passthrough
+
+
+def _encode_logical_int(value, lt: str) -> int:
+    """Python value → the underlying Avro int/long for a logical type."""
+    from datetime import date, datetime, timezone
+
+    if lt == "date":
+        if isinstance(value, datetime):
+            value = value.date()
+        if isinstance(value, date):
+            return (value - date(1970, 1, 1)).days
+        return int(value)
+    if lt in ("timestamp-millis", "timestamp-micros"):
+        if isinstance(value, datetime):
+            # naive datetimes from Spark collect are local wall-clock
+            # (Row.fromInternal uses the system timezone); astimezone()
+            # attaches that same local zone, so the conversion inverts it
+            aware = value if value.tzinfo is not None else value.astimezone()
+            delta = aware.astimezone(timezone.utc) - _epochs()[0]
+            micros = (delta.days * 86400 + delta.seconds) * 1_000_000 + delta.microseconds
+            return micros // 1000 if lt == "timestamp-millis" else micros
+        return int(value)
+    if lt in ("local-timestamp-millis", "local-timestamp-micros"):
+        if isinstance(value, datetime):
+            delta = value.replace(tzinfo=None) - _epochs()[1]
+            micros = (delta.days * 86400 + delta.seconds) * 1_000_000 + delta.microseconds
+            return micros // 1000 if lt == "local-timestamp-millis" else micros
+        return int(value)
+    return int(value)
+
+
+def _decode_decimal(raw: bytes, schema):
+    """big-endian two's-complement unscaled int → Decimal at the declared
+    scale (Avro spec: decimal over bytes/fixed)."""
+    from decimal import Decimal
+
+    unscaled = int.from_bytes(raw, "big", signed=True) if raw else 0
+    return Decimal(unscaled).scaleb(-int(schema.get("scale", 0)))
+
+
+def _encode_decimal(value, schema) -> bytes:
+    """Decimal (or number) → minimal big-endian two's-complement unscaled
+    bytes at the declared scale — the exact inverse of :func:`_decode_decimal`."""
+    from decimal import Decimal
+
+    scale = int(schema.get("scale", 0))
+    d = value if isinstance(value, Decimal) else Decimal(str(value))
+    unscaled = int(d.scaleb(scale).to_integral_value())
+    length = (unscaled.bit_length() + 8) // 8 or 1
+    return unscaled.to_bytes(length, "big", signed=True)
+
+
+# --------------------------------------------------------------------------
 # value codec
 # --------------------------------------------------------------------------
 
@@ -134,12 +237,15 @@ def _encode(value, schema, out: bytearray) -> None:
     if t == "boolean":
         out.append(1 if value else 0)
     elif t in ("int", "long"):
-        _write_long(out, int(value))
+        lt = _logical_of(schema)
+        _write_long(out, _encode_logical_int(value, lt) if lt else int(value))
     elif t == "float":
         out += struct.pack("<f", float(value))
     elif t == "double":
         out += struct.pack("<d", float(value))
     elif t == "bytes":
+        if _logical_of(schema) == "decimal":
+            value = _encode_decimal(value, schema)
         _write_bytes(out, bytes(value))
     elif t == "string":
         _write_bytes(out, value.encode("utf-8"))
@@ -149,6 +255,10 @@ def _encode(value, schema, out: bytearray) -> None:
     elif t == "enum":
         _write_long(out, schema["symbols"].index(value))
     elif t == "fixed":
+        if _logical_of(schema) == "decimal":
+            raw = _encode_decimal(value, schema)
+            pad = schema["size"] - len(raw)  # sign-extend to the fixed size
+            value = (b"\xff" if raw[0] & 0x80 else b"\x00") * pad + raw
         out += bytes(value)
     elif t == "array":
         if value:
@@ -177,13 +287,17 @@ def _decode(buf: bytes, pos: int, schema) -> tuple[object, int]:
     if t == "boolean":
         return buf[pos] != 0, pos + 1
     if t in ("int", "long"):
-        return _read_long(buf, pos)
+        v, pos = _read_long(buf, pos)
+        lt = _logical_of(schema)
+        return (_decode_logical_int(v, lt) if lt else v), pos
     if t == "float":
         return struct.unpack_from("<f", buf, pos)[0], pos + 4
     if t == "double":
         return struct.unpack_from("<d", buf, pos)[0], pos + 8
     if t == "bytes":
         data, pos = _read_sized(buf, pos)
+        if _logical_of(schema) == "decimal":
+            return _decode_decimal(bytes(data), schema), pos
         return bytes(data), pos
     if t == "string":
         data, pos = _read_sized(buf, pos)
@@ -198,7 +312,10 @@ def _decode(buf: bytes, pos: int, schema) -> tuple[object, int]:
         return schema["symbols"][idx], pos
     if t == "fixed":
         size = schema["size"]
-        return bytes(buf[pos : pos + size]), pos + size
+        raw = bytes(buf[pos : pos + size])
+        if _logical_of(schema) == "decimal":
+            return _decode_decimal(raw, schema), pos + size
+        return raw, pos + size
     if t == "array":
         items = []
         while True:
@@ -569,11 +686,27 @@ _PRIMITIVES = {
 
 
 def avro_to_spark_type(schema):
-    """Spark DataType for an Avro schema (logical types as raw primitives)."""
+    """Spark DataType for an Avro schema — logical types map to the same
+    Spark types spark-avro produces (see module docstring)."""
     from pyspark.sql import types as T
 
     branch, nullable = nullable_branch(schema)
     t = _type_name(branch)
+    lt = _logical_of(branch)
+    if lt is not None:
+        if lt == "decimal" and t in ("bytes", "fixed"):
+            return (
+                T.DecimalType(int(branch.get("precision", 10)), int(branch.get("scale", 0))),
+                nullable,
+            )
+        if lt == "date" and t == "int":
+            return T.DateType(), nullable
+        if lt in ("timestamp-millis", "timestamp-micros") and t == "long":
+            return T.TimestampType(), nullable
+        if lt in ("local-timestamp-millis", "local-timestamp-micros") and t == "long":
+            return T.TimestampNTZType(), nullable
+        # uuid rides its string base type; time-millis/micros stay int/long
+        # (spark-avro reads them as their underlying type too)
     if t in _PRIMITIVES:
         dt = {
             "boolean": T.BooleanType(),
@@ -649,12 +782,21 @@ def spark_to_avro_schema(schema, name: str = "topLevelRecord"):
             out = "string"
         elif isinstance(dt, T.BinaryType):
             out = "bytes"
+        elif isinstance(dt, T.TimestampType):
+            out = {"type": "long", "logicalType": "timestamp-micros"}
+        elif isinstance(dt, T.TimestampNTZType):
+            out = {"type": "long", "logicalType": "local-timestamp-micros"}
+        elif isinstance(dt, T.DateType):
+            out = {"type": "int", "logicalType": "date"}
+        elif isinstance(dt, T.DecimalType):
+            out = {
+                "type": "bytes",
+                "logicalType": "decimal",
+                "precision": dt.precision,
+                "scale": dt.scale,
+            }
         else:
-            raise ValueError(
-                f"no Avro mapping for Spark type {dt.simpleString()} — project "
-                "timestamps/decimals to long/double first (reference stores "
-                "timestamps as raw longs, SURVEY.md §1.2)"
-            )
+            raise ValueError(f"no Avro mapping for Spark type {dt.simpleString()}")
         return ["null", out] if nullable else out
 
     root = conv(schema, False, ())
