@@ -587,12 +587,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # is the exact composition of two still-recorded twins —
     # key_diff_detail_orders (per-leaf detail machinery) and
     # key_diff_nested_orders (nested dot-path recursion) — and pytest-pinned
-    # besides (tests/test_key_diff.py).
+    # besides (tests/test_key_diff.py); image_features_stub is superseded by
+    # the recorded image_features_png (same image_features mapInPandas
+    # plumbing, REAL PNG decode instead of the deterministic fake; the fake
+    # decoder itself stays pytest-pinned in tests/test_multimodal.py).
     # Tail queries remain bench-covered and verified by tools/oracle_check.py;
     # tests/test_registry.py asserts every tail query is oracle-green so a
     # tail regression cannot ship behind a complete-looking driver record.
     for tail in (
         "key_diff_detail_nested",
+        "image_features_stub",
         "key_diff_composite",
         "venn_added",
         "dedup_exact_survivors",

@@ -12,11 +12,13 @@ North-star extension (BASELINE.json) — the reference is text/Avro only
   ``mapInPandas`` pipelines: the Spark-side plumbing (schema, batching,
   cardinality change, partition preservation) is real and tested.
 
-Decode status: UNCOMPRESSED formats decode for REAL —
+Decode status: BMP, PPM, **and PNG** decode for REAL —
 :func:`real_image_decoder` reads 24/32-bit BMP and binary PPM pixels with
-struct+numpy straight from the public file-format specs, zero extra
-dependencies. Compressed formats (JPEG/PNG/...) need a codec library this
-container lacks, so their path is a documented *deterministic fake*
+struct+numpy straight from the public file-format specs, and PNG (8-bit
+gray/RGB/palette/alpha, all five scanline filters) through the
+from-scratch zlib-based codec in :mod:`avro_diff_spark.png` — zero extra
+dependencies. JPEG/GIF/WebP need a DCT/LZW codec library this container
+lacks, so their path is a documented *deterministic fake*
 (:func:`fake_image_decoder`) behind the ``decoder=`` hook
 (:func:`auto_image_decoder` = real-when-possible, fake otherwise;
 ``pil_image_decoder`` raises ``NotImplementedError`` until Pillow is
@@ -55,6 +57,42 @@ def synth_media(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         kind.alias("kind"),
         F.encode(F.col(text_col), "UTF-8").alias("payload"),
     )
+
+
+def synth_png_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic REAL PNG payload per row, generated executor-side.
+
+    Closed-form pixel law (so a SQL oracle can mirror the decoded stats
+    without decoding): for ``id``, the image is RGB with
+    ``width = 1 + id % 13``, ``height = 1 + id % 7``, and flattened byte
+    ``i`` (row-major, channel-minor) equal to ``(id * 31 + i) % 256``;
+    the per-row PNG filter type cycles ``(id + y) % 5``, so a corpus
+    exercises every predictor branch of the decoder. Generation is
+    Arrow-batched ``mapInPandas`` over just the id column — the same
+    plumbing shape a real corpus uses to carry parquet binary payloads.
+    """
+    from collections.abc import Iterator as _It
+
+    narrow = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def run(batches: _It["pd.DataFrame"]) -> _It["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from avro_diff_spark.png import encode_png
+
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"].values:
+                mid = int(mid)
+                w, h = 1 + mid % 13, 1 + mid % 7
+                flat = (np.arange(w * h * 3, dtype=np.int64) * 1 + mid * 31) % 256
+                arr = flat.astype(np.uint8).reshape(h, w, 3)
+                filters = [(mid + y) % 5 for y in range(h)]
+                payloads.append(encode_png(arr, filters=filters))
+            yield pd.DataFrame({"media_id": pdf["media_id"].values, "payload": payloads})
+
+    return narrow.mapInPandas(run, schema="media_id long, payload binary")
 
 
 def sniff_container(payload: Column) -> Column:
@@ -106,17 +144,28 @@ def fake_image_decoder(payload: bytes) -> dict[str, Any]:
 
 
 def real_image_decoder(payload: bytes) -> dict[str, Any]:
-    """REAL pixel decode for uncompressed formats, zero dependencies:
-    24/32-bit uncompressed BMP (BITMAPINFOHEADER, public spec: pixel
-    offset at byte 10, width/height at 18/22, bpp at 28, compression 0)
-    and binary PPM ``P6``. Raises ValueError for anything else —
-    compressed formats (JPEG/PNG) need a codec library; route them
-    through :func:`pil_image_decoder` or a custom hook.
+    """REAL pixel decode, zero dependencies: 24/32-bit uncompressed BMP
+    (BITMAPINFOHEADER, public spec: pixel offset at byte 10, width/height
+    at 18/22, bpp at 28, compression 0), binary PPM ``P6``, and PNG
+    (8-bit depth, color types 0/2/3/4/6, non-interlaced — the zlib-based
+    from-scratch codec in :mod:`avro_diff_spark.png`). Raises ValueError
+    for anything else — JPEG/GIF need a codec library; route them through
+    :func:`pil_image_decoder` or a custom hook.
     """
     import struct
 
     import numpy as np
 
+    if payload[:4] == b"\x89PNG":
+        from avro_diff_spark.png import decode_png
+
+        arr = decode_png(payload)
+        return {
+            "width": arr.shape[1],
+            "height": arr.shape[0],
+            "channels": arr.shape[2],
+            "mean_byte": float(arr.mean()) if arr.size else 0.0,
+        }
     if payload[:2] == b"BM":
         offset = struct.unpack_from("<I", payload, 10)[0]
         width, height = struct.unpack_from("<ii", payload, 18)

@@ -1152,6 +1152,40 @@ FROM media
 """
 
 
+def q_image_features_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decode end-to-end: deterministic PNG payloads
+    are generated executor-side (every scanline filter type exercised),
+    then decoded back to pixel stats by the from-scratch zlib PNG codec
+    (avro_diff_spark/png.py) inside the image_features mapInPandas path.
+    The oracle never decodes — it mirrors the closed-form pixel law of
+    synth_png_media, so a single wrong byte anywhere in chunk parsing,
+    inflate, unfiltering, or feature math breaks the hash."""
+    from avro_diff_spark import multimodal as MM
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = MM.synth_png_media(docs, "doc_id")
+    return MM.image_features(media, decoder=MM.real_image_decoder)
+
+
+# mirrors synth_png_media's pixel law: byte i of the w*h*3 flattened image
+# is (id*31 + i) % 256; np.mean over uint8 is an exact integer sum in
+# float64 (< 2^53) divided once — identical to list_sum/n here.
+IMAGE_FEATURES_PNG_SQL = """
+WITH d AS (SELECT doc_id AS media_id,
+                  1 + doc_id % 13 AS w,
+                  1 + doc_id % 7 AS h
+           FROM documents)
+SELECT media_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(3 AS INT) AS channels,
+       CAST(list_sum(list_transform(range(0, w * h * 3),
+                                    i -> (media_id * 31 + i) % 256)) AS DOUBLE)
+         / (w * h * 3) AS mean_byte
+FROM d
+"""
+
+
 def q_image_features_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     from avro_diff_spark import multimodal as MM
 
@@ -1196,6 +1230,7 @@ PIPELINE_QUERIES = {
     "cosine_topk_pandas": q_cosine_topk_pandas,  # rows-only: float-sum order differs by design
     "media_metadata": q_media_metadata,
     "frame_sample_lens": q_frame_sample_lens,
+    "image_features_png": q_image_features_png,
     "image_features_stub": q_image_features_stub,
     "audio_features_stub": q_audio_features_stub,
 }
@@ -1233,6 +1268,7 @@ def pipeline_sql() -> dict[str, str]:
         "embedding_near_dups": _embedding_near_dups_sql(),
         "media_metadata": MEDIA_METADATA_SQL,
         "frame_sample_lens": FRAME_SAMPLE_LENS_SQL,
+        "image_features_png": IMAGE_FEATURES_PNG_SQL,
         "image_features_stub": IMAGE_FEATURES_SQL,
         "audio_features_stub": AUDIO_FEATURES_SQL,
     }
