@@ -70,7 +70,10 @@ def contamination_stream(
             F.size(F.array_intersect(F.col("__grams"), F.col("__bench_grams"))),
         )
         .where(F.col("n_contaminated_grams") > 0)
-        .select(id_col, "n_contaminated_grams")
+        # alias to doc_id regardless of id_col — the batch twin
+        # (contamination_check) always emits doc_id, and the two operators
+        # advertise identical output contracts
+        .select(F.col(id_col).alias("doc_id"), "n_contaminated_grams")
     )
 
 

@@ -255,3 +255,113 @@ def test_key_diff_stream_matches_batch_classification(spark, sf_dir, tmp_path):
         for r in batch.filter(F.col("diff_kind") != "removed").collect()
     }
     assert got == want and got
+
+
+def test_key_diff_stream_tombstones_match_batch(spark, sf_dir, tmp_path):
+    """A tombstone-bearing replay of a closed snapshot pair classifies
+    identically to the batch diff of the same pair — the CDC contract:
+    replay = every row of the new snapshot (upserts) + one tombstone per
+    key that disappeared, and the per-kind (key, kind) sets must be equal,
+    including 'removed'. Tombstones for never-seen keys must drop."""
+    from avro_diff_spark import key_diff
+    from avro_diff_spark.snapshots import orders_new, orders_old
+    from avro_diff_spark.streaming import key_diff_stream
+
+    baseline = orders_old(spark, sf_dir)
+    new = orders_new(spark, sf_dir)
+
+    # replay: upserts carry the tombstone flag false; deletions arrive as
+    # key-only tombstone rows (payload nulls); plus no-op deletes for keys
+    # neither snapshot has (max key + offset), which must vanish.
+    upserts = new.withColumn("__deleted", F.lit(False))
+    gone = (
+        baseline.join(new.select("o_orderkey"), "o_orderkey", "left_anti")
+        .select("o_orderkey")
+        .withColumn("__deleted", F.lit(True))
+    )
+    max_key = baseline.agg(F.max("o_orderkey")).first()[0]
+    noop = spark.range(max_key + 1, max_key + 40).select(
+        F.col("id").alias("o_orderkey"), F.lit(True).alias("__deleted")
+    )
+    for c in new.columns:
+        if c != "o_orderkey":
+            gone = gone.withColumn(c, F.lit(None).cast(dict(new.dtypes)[c]))
+            noop = noop.withColumn(c, F.lit(None).cast(dict(new.dtypes)[c]))
+    replay = upserts.unionByName(gone.select(upserts.columns)).unionByName(
+        noop.select(upserts.columns)
+    )
+
+    src = str(tmp_path / "replay_in")
+    replay.write.parquet(src)
+    stream = spark.readStream.schema(replay.schema).parquet(src)
+    _run_to_memory(
+        key_diff_stream(stream, baseline, ["o_orderkey"], tombstone_col="__deleted"),
+        "kds_tomb",
+        "append",
+        tmp_path,
+    )
+    got = {
+        (r.o_orderkey, r.diff_kind) for r in spark.table("kds_tomb").collect()
+    }
+    batch = key_diff(baseline, new, ["o_orderkey"], include_payload=False)
+    want = {(r.o_orderkey, r.diff_kind) for r in batch.collect()}
+    assert got == want and got
+    # the tombstone flag never leaks into the output payload struct
+    assert "__deleted" not in spark.table("kds_tomb").schema["new"].dataType.names
+    kinds = {k for _, k in got}
+    assert "removed" in kinds and "added" in kinds and "changed" in kinds
+
+
+def test_key_diff_stream_dedupe_baseline(spark, tmp_path):
+    """A duplicated baseline key emits each arrival once per duplicate by
+    default (the documented hazard); dedupe_baseline=True restores the
+    one-row-per-arrival contract."""
+    from avro_diff_spark.streaming import key_diff_stream
+
+    baseline = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "b")], "k int, v string"
+    )
+    arrivals = spark.createDataFrame([(1, "a"), (2, "x")], "k int, v string")
+    src = str(tmp_path / "dup_in")
+    arrivals.write.parquet(src)
+
+    stream = spark.readStream.schema(arrivals.schema).parquet(src)
+    _run_to_memory(
+        key_diff_stream(stream, baseline, ["k"]), "kds_dup", "append", tmp_path
+    )
+    assert spark.table("kds_dup").count() == 3  # key 1 doubled: the hazard
+
+    stream2 = spark.readStream.schema(arrivals.schema).parquet(src)
+    _run_to_memory(
+        key_diff_stream(stream2, baseline, ["k"], dedupe_baseline=True),
+        "kds_dedup",
+        "append",
+        tmp_path,
+    )
+    rows = {(r.k, r.diff_kind) for r in spark.table("kds_dedup").collect()}
+    assert rows == {("1", "unchanged"), ("2", "changed")}
+
+
+def test_contamination_stream_id_col_aliases_to_doc_id(spark, sf_dir, tmp_path):
+    """Output id column is doc_id even when the input id column is not —
+    matching the batch twin's contract (round-4 ADVICE)."""
+    from avro_diff_spark.snapshots import documents_with_dups
+    from avro_diff_spark.streaming import contamination_stream
+
+    corpus = documents_with_dups(spark, sf_dir)
+    bench = corpus.filter(F.col("doc_id") % 97 == 0)
+    rest = corpus.filter(F.col("doc_id") % 97 != 0).withColumnRenamed(
+        "doc_id", "document_id"
+    )
+    src = str(tmp_path / "contam_alias_in")
+    rest.write.parquet(src)
+    stream = spark.readStream.schema(rest.schema).parquet(src)
+    _run_to_memory(
+        contamination_stream(stream, bench, id_col="document_id"),
+        "contam_alias",
+        "append",
+        tmp_path,
+    )
+    out = spark.table("contam_alias")
+    assert out.columns == ["doc_id", "n_contaminated_grams"]
+    assert out.count() > 0
