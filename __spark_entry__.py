@@ -590,13 +590,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # besides (tests/test_key_diff.py); image_features_stub is superseded by
     # the recorded image_features_png (same image_features mapInPandas
     # plumbing, REAL PNG decode instead of the deterministic fake; the fake
-    # decoder itself stays pytest-pinned in tests/test_multimodal.py).
+    # decoder itself stays pytest-pinned in tests/test_multimodal.py);
+    # pq_topk's ADC/codebook machinery is exactly what the recorded
+    # ivfpq_topk + ivfpq_residual_topk execute (plus recall pytest-pinned);
+    # ann_signbucket_topk is embedding_near_dups' banding with bands=1
+    # (sign_bucket shared; pytest-pinned).
     # Tail queries remain bench-covered and verified by tools/oracle_check.py;
     # tests/test_registry.py asserts every tail query is oracle-green so a
     # tail regression cannot ship behind a complete-looking driver record.
     for tail in (
         "key_diff_detail_nested",
         "image_features_stub",
+        "pq_topk",
+        "ann_signbucket_topk",
         "key_diff_composite",
         "venn_added",
         "dedup_exact_survivors",

@@ -839,6 +839,62 @@ SELECT vec_a, vec_b, cosine FROM (
 """
 
 
+#: random-hyperplane variant of embedding_near_dups: same banding, but the
+#: bits come from seeded md5-derived hyperplanes (similarity.random_planes)
+#: instead of axis-aligned dimensions — the isotropy fix for correlated
+#: real embeddings (round-4 VERDICT item 4).
+_RP_BANDS, _RP_ROWS, _RP_SEED, _EMB_DIM = 3, 8, 5, 64
+
+
+def q_embedding_near_dups_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = snap.embeddings_with_dups(spark, sf_dir)
+    planes = SIM.random_planes(_RP_BANDS * _RP_ROWS, _EMB_DIM, seed=_RP_SEED)
+    return SIM.embedding_near_dups(corpus, threshold=0.95, planes=planes)
+
+
+#: scaled int64 dot (sign test): the raw long of _DOT_SQL, no /1e16
+_DOT_SCALED_SQL = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(floor(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 1e16) AS BIGINT)))"
+)
+
+
+def _embedding_near_dups_rp_sql(threshold: float = 0.95) -> str:
+    """Mirror of the random-plane banding: identical plane literals, bit b
+    of band i set iff the scaled dot with plane i*r+b is strictly > 0."""
+    planes = SIM.random_planes(_RP_BANDS * _RP_ROWS, _EMB_DIM, seed=_RP_SEED)
+
+    def plane_lit(p) -> str:
+        return "[" + ", ".join(repr(float(v)) for v in p) + "]::DOUBLE[]"
+
+    def band_bits(i: int) -> str:
+        terms = " + ".join(
+            f"CASE WHEN {_DOT_SCALED_SQL.format(a='embedding', b=plane_lit(planes[i * _RP_ROWS + b]))}"
+            f" > 0 THEN {1 << b} ELSE 0 END"
+            for b in range(_RP_ROWS)
+        )
+        return f"({terms})"
+
+    band_terms = " UNION ALL ".join(
+        f"SELECT vec_id, embedding, {i} AS band_id, {band_bits(i)} AS band_bits FROM corpus"
+        for i in range(_RP_BANDS)
+    )
+    return f"""
+WITH corpus AS ({snap.EMBEDDINGS_WITH_DUPS_SQL}),
+banded AS ({band_terms}),
+cands AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         a.embedding AS e_a, b.embedding AS e_b
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.band_bits = b.band_bits
+   AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cosine FROM (
+  SELECT vec_a, vec_b, {_cos_sql('e_a', 'e_b')} AS cosine FROM cands
+) WHERE cosine >= {threshold}
+"""
+
+
 #: the driver's correctness gate runs at this scale factor (TESTDATA.md);
 #: oracle SQL strings that embed data-derived constants (IVF centroids)
 #: must be generated against the same data the oracle executes on.
@@ -1062,6 +1118,117 @@ SELECT query_id, cand_id, rank, cosine FROM (
 """
 
 
+def q_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAISS-default IVFPQ (by_residual=True): codes quantize x − centroid
+    of the assigned cell, trained on residuals; ADC adds the per-probed-cell
+    dot(q, centroid) base term. tests/test_similarity.py pins recall@5 ≥
+    the non-residual composition on this data."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    cents = SIM.train_ivf_centroids(f"{sf_dir}/embeddings.parquet")
+    books = SIM.train_pq_codebooks_residual(f"{sf_dir}/embeddings.parquet", cents)
+    return SIM.ivfpq_topk(
+        queries, emb, k=5, centroids=cents, codebooks=books, by_residual=True
+    )
+
+
+def _ivfpq_residual_sql(
+    k: int = 5, n_queries: int = 10, probes: int = 2, shortlist: int = 50
+) -> str:
+    """Mirror of ivfpq_topk(by_residual=True): codes over residual
+    subspaces, ADC = per-(query, probed-cell) scaled base dot + residual
+    lookup sums, identical shortlist, exact re-rank."""
+    cents = SIM.train_ivf_centroids(f"{ORACLE_SF_DIR}/embeddings.parquet")
+    books = SIM.train_pq_codebooks_residual(f"{ORACLE_SF_DIR}/embeddings.parquet", cents)
+    m, ksub = len(books), len(books[0])
+    dsub = len(books[0][0])
+
+    cent_rows = " UNION ALL ".join(
+        f"SELECT {cid} AS cid, [{', '.join(repr(v) for v in vec)}]::DOUBLE[] AS cent"
+        for cid, vec in cents
+    )
+
+    def vec_lit(vec) -> str:
+        return "[" + ", ".join(repr(float(v)) for v in vec) + "]::DOUBLE[]"
+
+    def sq_sum(a: str, vec) -> str:
+        # resid elements are already DOUBLE (x − cent); no inner cast
+        return (
+            f"list_sum(list_transform(list_zip({a}, {vec_lit(vec)}), "
+            "p -> CAST(floor((p[1] - p[2]) * (p[1] - p[2]) * 1e16) AS BIGINT)))"
+        )
+
+    def dot_sum(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(list_zip({a}, {b}), "
+            "p -> CAST(floor(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 1e16) AS BIGINT)))"
+        )
+
+    def sub(col: str, j: int) -> str:
+        return f"{col}[{j * dsub + 1}:{j * dsub + dsub}]"
+
+    dist_select = ", ".join(
+        "["
+        + ", ".join(sq_sum(sub("resid", j), books[j][c]) for c in range(ksub))
+        + f"] AS d{j}"
+        for j in range(m)
+    )
+    code_select = ", ".join(
+        f"(list_position(d{j}, list_min(d{j})) - 1) AS code_{j}" for j in range(m)
+    )
+    book_lits = ["[" + ", ".join(vec_lit(v) for v in books[j]) + "]" for j in range(m)]
+    approx = "p.base + " + " + ".join(
+        dot_sum(sub("q.q_emb", j), f"{book_lits[j]}[e.code_{j} + 1]") for j in range(m)
+    )
+    return f"""
+WITH cents AS ({cent_rows}),
+assign AS (
+  SELECT e.vec_id, e.embedding, c.cid, c.cent,
+         row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_cos_sql('e.embedding', 'c.cent')} DESC, c.cid ASC) AS rn
+  FROM embeddings e CROSS JOIN cents c
+),
+r AS (
+  SELECT vec_id AS cand_id, cid AS cell,
+         list_transform(list_zip(embedding, cent),
+                        p -> CAST(p[1] AS DOUBLE) - p[2]) AS resid
+  FROM assign WHERE rn = 1
+),
+d AS (SELECT cand_id, cell, {dist_select} FROM r),
+enc AS (SELECT cand_id, cell, {code_select} FROM d),
+q AS (SELECT vec_id AS query_id, embedding AS q_emb
+      FROM embeddings WHERE vec_id < {n_queries}),
+probe AS (
+  SELECT vec_id AS query_id, cid AS cell,
+         {dot_sum('embedding', 'cent')} AS base
+  FROM assign WHERE rn <= {probes} AND vec_id < {n_queries}
+),
+short AS (
+  SELECT query_id, cand_id FROM (
+    SELECT p.query_id, e.cand_id,
+           row_number() OVER (PARTITION BY p.query_id
+               ORDER BY ({approx}) DESC, e.cand_id ASC) AS rn
+    FROM probe p
+    JOIN enc e USING (cell)
+    JOIN q ON q.query_id = p.query_id
+    WHERE p.query_id <> e.cand_id
+  ) WHERE rn <= {shortlist}
+),
+scored AS (
+  SELECT s.query_id, s.cand_id,
+         {_cos_sql('q.q_emb', 'c.embedding')} AS cosine
+  FROM short s
+  JOIN embeddings c ON c.vec_id = s.cand_id
+  JOIN q ON q.query_id = s.query_id
+)
+SELECT query_id, cand_id, rank, cosine FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, cand_id ASC) AS INT) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
 def q_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 10)
@@ -1226,7 +1393,9 @@ PIPELINE_QUERIES = {
     "ivf_topk": q_ivf_topk,
     "pq_topk": q_pq_topk,
     "ivfpq_topk": q_ivfpq_topk,
+    "ivfpq_residual_topk": q_ivfpq_residual_topk,
     "embedding_near_dups": q_embedding_near_dups,
+    "embedding_near_dups_rp": q_embedding_near_dups_rp,
     "cosine_topk_pandas": q_cosine_topk_pandas,  # rows-only: float-sum order differs by design
     "media_metadata": q_media_metadata,
     "frame_sample_lens": q_frame_sample_lens,
@@ -1265,7 +1434,9 @@ def pipeline_sql() -> dict[str, str]:
         "ivf_topk": _ivf_sql(),
         "pq_topk": _pq_sql(),
         "ivfpq_topk": _ivfpq_sql(),
+        "ivfpq_residual_topk": _ivfpq_residual_sql(),
         "embedding_near_dups": _embedding_near_dups_sql(),
+        "embedding_near_dups_rp": _embedding_near_dups_rp_sql(),
         "media_metadata": MEDIA_METADATA_SQL,
         "frame_sample_lens": FRAME_SAMPLE_LENS_SQL,
         "image_features_png": IMAGE_FEATURES_PNG_SQL,

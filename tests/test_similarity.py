@@ -74,7 +74,8 @@ def test_embedding_near_dups_finds_planted(spark, sf_dir):
 def test_ivf_topk_structure_and_recall_vs_exact(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") < 10)
-    ivf = SIM.ivf_topk(q, emb, k=5, n_centroids=16, probes=2)
+    cents = SIM.train_ivf_centroids(f"{sf_dir}/embeddings.parquet")
+    ivf = SIM.ivf_topk(q, emb, k=5, probes=2, centroids=cents)
     rows = ivf.collect()
     by_q = {}
     for r in rows:
@@ -101,7 +102,8 @@ def test_ivf_candidate_in_exactly_one_cell(spark, sf_dir):
     # appears at most once even with multi-probe
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") < 10)
-    scored = SIM.ivf_topk(q, emb, k=1_000_000, n_centroids=8, probes=3)
+    cents = SIM.train_ivf_centroids(f"{sf_dir}/embeddings.parquet", n_centroids=8)
+    scored = SIM.ivf_topk(q, emb, k=1_000_000, probes=3, centroids=cents)
     dups = (
         scored.groupBy("query_id", "cand_id")
         .count()
@@ -166,3 +168,114 @@ def test_ivfpq_topk_recall_and_determinism(spark, sf_dir):
     assert overlap >= 0.8, f"vs-IVF overlap {overlap:.2f}"
     again = SIM.ivfpq_topk(queries, emb, k=5, centroids=cents, codebooks=books)
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
+
+
+def test_ivf_topk_requires_centroids(spark, sf_dir):
+    """The silent untrained fallback is gone (round-4 VERDICT nit): omitting
+    centroids raises instead of training-by-accident with garbage recall."""
+    import pytest
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    with pytest.raises(ValueError, match="centroids"):
+        SIM.ivf_topk(emb.filter(F.col("vec_id") < 3), emb, k=5)
+
+
+def test_ivfpq_residual_recall_at_least_nonresidual(spark, sf_dir):
+    """FAISS's by_residual=True exists because residuals quantize finer
+    than raw vectors at the same code budget; pin that the residual
+    composition's recall of the IVF-probe ceiling is >= the non-residual
+    one on this (noise-like, adversarial) data, and that it is exactly
+    reproducible."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    p = f"{sf_dir}/embeddings.parquet"
+    cents = SIM.train_ivf_centroids(p)
+    books_raw = SIM.train_pq_codebooks(p)
+    books_res = SIM.train_pq_codebooks_residual(p, cents)
+
+    ivf = {
+        (r.query_id, r.cand_id)
+        for r in SIM.ivf_topk(queries, emb, k=5, probes=2, centroids=cents).collect()
+    }
+    res_rows = SIM.ivfpq_topk(
+        queries, emb, k=5, centroids=cents, codebooks=books_res, by_residual=True
+    ).collect()
+    res = {(r.query_id, r.cand_id) for r in res_rows}
+    raw = {
+        (r.query_id, r.cand_id)
+        for r in SIM.ivfpq_topk(
+            queries, emb, k=5, centroids=cents, codebooks=books_raw
+        ).collect()
+    }
+    recall_res = len(res & ivf) / len(ivf)
+    recall_raw = len(raw & ivf) / len(ivf)
+    assert recall_res >= recall_raw, f"residual {recall_res:.2f} < raw {recall_raw:.2f}"
+    assert recall_res >= 0.8
+    again = SIM.ivfpq_topk(
+        queries, emb, k=5, centroids=cents, codebooks=books_res, by_residual=True
+    )
+    assert sorted(map(tuple, res_rows)) == sorted(map(tuple, again.collect()))
+
+
+def test_random_planes_beat_axis_aligned_on_correlated_data(spark):
+    """The isotropy property the rp variant exists for: on embeddings whose
+    leading dimensions have near-constant sign (correlated real-world
+    shape), axis-aligned sign bits split nothing — every vector lands in
+    one giant bucket per band and the blocking degenerates to ~all-pairs.
+    Seeded random hyperplanes cut through any distribution. Pin both
+    halves: recall of planted near-dup pairs stays perfect AND the
+    candidate-pair workload shrinks by a large factor."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    n, dim, bands, r = 120, 64, 3, 8
+    # the axis-aligned bits read dims [0, bands*r) = [0, 24); make exactly
+    # those dims positive-biased (constant sign, the correlated real-world
+    # shape) while the remaining 40 dims stay well-spread, so vectors are
+    # genuinely far apart (most pairwise cosines far below threshold) yet
+    # axis bits cannot tell any of them apart
+    vecs = []
+    for i in range(n):
+        lead = np.abs(rng.normal(0, 1, bands * r)) + 0.2
+        tail = rng.normal(0, 1.5, dim - bands * r)
+        v = np.concatenate([lead, tail])
+        vecs.append(v / np.linalg.norm(v))
+    # plant 10 exact duplicates (pairs (i, i+1000) with identical vectors)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    rows += [(1000 + i, rows[i][1]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    planted = {(float(i), float(1000 + i)) for i in range(10)}
+
+    def stats(planes):
+        pairs = SIM.embedding_near_dups(
+            df, threshold=0.99, bands=bands, rows_per_band=r, planes=planes
+        )
+        found = {(r_.vec_a, r_.vec_b) for r_ in pairs.collect()}
+        # candidate workload: same-bucket pair count across bands
+        from pyspark.sql import functions as F2
+
+        if planes is None:
+            bits = [
+                SIM.sign_bucket(F2.col("embedding"), r, offset=i * r).alias(f"b{i}")
+                for i in range(bands)
+            ]
+        else:
+            bits = [
+                SIM.sign_bucket_planes(
+                    F2.col("embedding"), planes[i * r : (i + 1) * r]
+                ).alias(f"b{i}")
+                for i in range(bands)
+            ]
+        banded = df.select(*bits)
+        cand_pairs = 0
+        for i in range(bands):
+            counts = banded.groupBy(f"b{i}").count().collect()
+            cand_pairs += sum(c["count"] * (c["count"] - 1) // 2 for c in counts)
+        return found, cand_pairs
+
+    axis_found, axis_pairs = stats(None)
+    rp_found, rp_pairs = stats(SIM.random_planes(bands * r, dim, seed=7))
+    assert planted <= {(float(a), float(b)) for a, b in rp_found}
+    # axis-aligned collapses: essentially every vector shares every band
+    # bucket (workload ~ bands * n^2/2); random planes must prune hard
+    assert rp_pairs < axis_pairs / 4, (rp_pairs, axis_pairs)
