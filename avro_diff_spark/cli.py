@@ -31,13 +31,23 @@ def _read(spark, path: str, fmt: str, keep, ignore, avro_schema=None):
     return read_parquet(spark, path, keep_fields=keep, ignore_fields=ignore)
 
 
-def _emit(df: DataFrame, output: str | None, limit: int, order_by=None) -> None:
+def _emit(
+    df: DataFrame, output: str | None, limit: int, order_by=None, fmt: str = "parquet"
+) -> None:
     # Ordered output only at the PRINT boundary (reference prints in
     # lexCompare key order with null keys last, src/index.js:288-307);
-    # the parquet sink path stays sort-free — a global sort of a 100 TB
-    # diff result for no consumer is wasted work.
+    # the sink path stays sort-free — a global sort of a 100 TB diff
+    # result for no consumer is wasted work.
     if output:
-        df.write.mode("overwrite").parquet(output)
+        if fmt == "avro":
+            # the full "Avro in, Avro out" story: distributed per-partition
+            # OCF encode via the pure-Python codec (sources/avro.write_avro);
+            # complex sink columns (structs/arrays) map to Avro records
+            from avro_diff_spark.sources.avro import write_avro
+
+            write_avro(df, output, codec="deflate")
+        else:
+            df.write.mode("overwrite").parquet(output)
         print(f"wrote {output}")
     else:
         if order_by:
@@ -58,7 +68,14 @@ def _common(p: argparse.ArgumentParser) -> None:
         help="reader-schema override: path to an Avro schema JSON file "
         "(the reference's CONFIG.schema, src/config.js:2)",
     )
-    p.add_argument("--output", default=None, help="parquet output path (default: print)")
+    p.add_argument("--output", default=None, help="sink output path (default: print)")
+    p.add_argument(
+        "--output-format",
+        choices=["parquet", "avro"],
+        default="parquet",
+        help="sink format for --output: parquet (default) or Avro OCF "
+        "via the distributed pure-Python encoder",
+    )
     p.add_argument("--limit", type=int, default=50, help="rows to print without --output")
     p.add_argument("--master", default=None, help="spark master (default local[*])")
 
@@ -112,7 +129,7 @@ def key_diff_main(argv: list[str] | None = None) -> int:
     order = [F.col(k).asc_nulls_last() for k in key]
     if args.detail:
         order.append(F.col("field").asc())
-    _emit(d, args.output, args.limit, order_by=order)
+    _emit(d, args.output, args.limit, order_by=order, fmt=args.output_format)
     return 0
 
 
@@ -141,7 +158,13 @@ def venn_diff_main(argv: list[str] | None = None) -> int:
     print(f"# of removed rows: {stats.get('removed', 0)}")
     print(f"# of added rows: {stats.get('added', 0)}")
     print(f"# of intersection rows: {stats.get('intersection', 0)}")
-    _emit(s, args.output, args.limit, order_by=[F.col("venn_kind").asc(), F.col("row_json").asc()])
+    _emit(
+        s,
+        args.output,
+        args.limit,
+        order_by=[F.col("venn_kind").asc(), F.col("row_json").asc()],
+        fmt=args.output_format,
+    )
     return 0
 
 

@@ -202,7 +202,26 @@ def ann_signbucket_topk(
 from functools import lru_cache
 
 
-@lru_cache(maxsize=None)
+def _content_sig(path: str) -> tuple:
+    """Cache key component tying a training memo to the FILE CONTENT, not
+    just the path: (path, size, mtime_ns) per file (directories aggregate
+    their parquet children). Regenerating testdata in-process therefore
+    invalidates the memo instead of serving stale centroids/codebooks to
+    the correctness gate (round-4 ADVICE)."""
+    import os
+
+    if os.path.isdir(path):
+        parts = []
+        for dp, _, fns in sorted(os.walk(path)):
+            for fn in sorted(fns):
+                p = os.path.join(dp, fn)
+                st = os.stat(p)
+                parts.append((p, st.st_size, st.st_mtime_ns))
+        return (path, tuple(parts))
+    st = os.stat(path)
+    return (path, st.st_size, st.st_mtime_ns)
+
+
 def train_ivf_centroids(
     parquet_path: str,
     *,
@@ -225,17 +244,24 @@ def train_ivf_centroids(
     previous centroid; final centroids round to 12 decimals so the literal
     printed into SQL is compact and round-trips exactly.
     """
+    return _train_ivf_cached(_content_sig(parquet_path), n_centroids, sample, iters)
+
+
+@lru_cache(maxsize=None)
+def _train_ivf_cached(sig: tuple, n_centroids: int, sample: int, iters: int):
     import duckdb
     import numpy as np
 
+    parquet_path = sig[0]
     con = duckdb.connect()
     rows = con.execute(
-        f"""
-        SELECT embedding FROM read_parquet('{parquet_path}')
+        """
+        SELECT embedding FROM read_parquet(?)
         ORDER BY ('0x' || substr(md5('ivf:' || CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT,
                  vec_id
-        LIMIT {sample}
-        """
+        LIMIT ?
+        """,
+        [parquet_path, sample],
     ).fetchall()
     x = np.array([r[0] for r in rows], dtype=np.float64)
     xn = x / np.linalg.norm(x, axis=1, keepdims=True)
@@ -382,7 +408,6 @@ def ivf_topk(
     return topk_per_query(scored, k)
 
 
-@lru_cache(maxsize=None)
 def train_pq_codebooks(
     parquet_path: str,
     *,
@@ -402,8 +427,12 @@ def train_pq_codebooks(
     their previous centroid; values round to 12 decimals so the printed
     literal round-trips exactly. Returns ``codebooks[j][c] = vector``.
     """
-    x = _pq_sample(parquet_path, sample)
-    return _lloyd_subspaces(x, m, ksub, iters)
+    return _train_pq_cached(_content_sig(parquet_path), m, ksub, sample, iters)
+
+
+@lru_cache(maxsize=None)
+def _train_pq_cached(sig: tuple, m: int, ksub: int, sample: int, iters: int):
+    return _lloyd_subspaces(_pq_sample(sig[0], sample), m, ksub, iters)
 
 
 def _pq_sample(parquet_path: str, sample: int):
@@ -450,7 +479,6 @@ def _lloyd_subspaces(x, m: int, ksub: int, iters: int):
     return tuple(books)
 
 
-@lru_cache(maxsize=None)
 def train_pq_codebooks_residual(
     parquet_path: str,
     centroids,
@@ -470,9 +498,18 @@ def train_pq_codebooks_residual(
     as :func:`train_pq_codebooks`; ``centroids`` is the (hashable) output
     of :func:`train_ivf_centroids`.
     """
+    return _train_pq_residual_cached(
+        _content_sig(parquet_path), tuple(centroids), m, ksub, sample, iters
+    )
+
+
+@lru_cache(maxsize=None)
+def _train_pq_residual_cached(
+    sig: tuple, centroids: tuple, m: int, ksub: int, sample: int, iters: int
+):
     import numpy as np
 
-    x = _pq_sample(parquet_path, sample)
+    x = _pq_sample(sig[0], sample)
     cents = np.array([list(v) for _, v in sorted(centroids)], dtype=np.float64)
     xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
     cn = np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-30)

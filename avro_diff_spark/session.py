@@ -18,6 +18,20 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_mem_gb() -> int:
+    """min(24, max(2, half of physical RAM)) in GiB — 24g where the host
+    allows it, a JVM that still starts where it doesn't."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    total_gb = int(line.split()[1]) / (1 << 20)
+                    return max(2, min(24, int(total_gb * 0.5)))
+    except OSError:  # non-Linux: keep the documented default
+        pass
+    return 24
+
+
 def get_spark(
     app_name: str = "avro_diff_spark",
     master: str | None = None,
@@ -48,9 +62,14 @@ def get_spark(
         # local mode runs driver + all 32 task threads in ONE JVM: an 8g
         # heap GC-thrashes once a long session accumulates shuffle/broadcast
         # state (measured ~2x inflation on late-running dedup queries in a
-        # 100-execution bench session); 24g removes it with headroom to
-        # spare on the target hosts. Real clusters size executors separately.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # 100-execution bench session); 24g removes it with headroom on the
+        # 128 GiB target hosts. Clamped to half the physical RAM so the JVM
+        # still starts on smaller machines (round-4 ADVICE); override with
+        # SPARK_GRAFT_DRIVER_MEM. Real clusters size executors separately.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", f"{_default_driver_mem_gb()}g"),
+        )
         # status-store retention: without the live UI the SQL listener still
         # keeps per-execution plan graphs/metrics; cap them so hundred-query
         # sessions (bench, oracle gate) don't grow driver heap linearly

@@ -260,3 +260,90 @@ def test_write_avro_single_file_streams_via_driver(spark, tmp_path):
     write_avro(df, p, codec="snappy", single_file=True)
     assert os.path.isfile(p)
     assert sorted(r["k"] for r in read_avro(spark, p).collect()) == list(range(100))
+
+
+def test_cli_avro_output_roundtrip(spark, orders_files, tmp_path, capsys):
+    """--output-format avro closes the 'Avro in, Avro out' loop: diff two
+    OCFs, sink the result as OCF via the distributed encoder, re-read it,
+    and get the identical diff back (structs, arrays, and the diff_kind
+    discriminator all survive the container round-trip)."""
+    old_p, new_p = orders_files
+    from avro_diff_spark import cli
+
+    out_p = str(tmp_path / "diff_out.avro")
+    rc = cli.key_diff_main(
+        [old_p, new_p, "o_orderkey", "--output", out_p, "--output-format", "avro"]
+    )
+    assert rc == 0
+    assert f"wrote {out_p}" in capsys.readouterr().out
+
+    back = read_avro(spark, out_p)
+    want = key_diff(
+        read_avro(spark, old_p), read_avro(spark, new_p), ["o_orderkey"]
+    )
+    assert sorted(back.columns) == sorted(want.columns)
+    got_rows = {
+        (r.o_orderkey, r.diff_kind, tuple(r.changed_fields or []))
+        for r in back.collect()
+    }
+    want_rows = {
+        (r.o_orderkey, r.diff_kind, tuple(r.changed_fields or []))
+        for r in want.collect()
+    }
+    assert got_rows == want_rows and got_rows
+
+
+def test_key_diff_skewed_hot_key_runbook(spark):
+    """100 TB runbook pin (README 'Skewed keys'): a pathologically hot key
+    (~20% of all rows on both sides — a duplicate-key contract violation
+    that would blow the full-outer join up quadratically, here 4000×4000 =
+    16M rows for ONE key) is caught by the key_collisions audit, bounded
+    by the deterministic pre-diff dedup step, and the diff then classifies
+    every key exactly once. The session keeps AQE skew-join handling on,
+    so residual hot ORIGINAL keys split at runtime instead of pinning one
+    straggler task."""
+    from avro_diff_spark import key_collisions
+
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+    n = 20_000
+    hot = n // 5
+
+    def snap(mutate: bool):
+        v = (F.col("id") % 1000).alias("v")
+        if mutate:
+            v = (
+                F.when((F.col("id") % 10 == 0) & (F.col("id") >= hot), F.col("id") % 1000 + 1)
+                .otherwise(F.col("id") % 1000)
+                .alias("v")
+            )
+        return spark.range(n).select(
+            F.when(F.col("id") < hot, F.lit(7)).otherwise(F.col("id")).alias("k"), v
+        )
+
+    base, new = snap(False), snap(True)
+
+    # step 1 (audit): the collision detector flags the hot key with its size
+    coll = {(r["k"], r["n_rows"]) for r in key_collisions(base, ["k"]).collect()}
+    assert coll == {("7", hot)}
+
+    # step 2 (bound): deterministic pre-diff dedup — min row per coerced key
+    def dedup(df):
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("k").orderBy("v")
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    d = key_diff(dedup(base), dedup(new), ["k"])
+    counts = {
+        r["diff_kind"]: r["n"]
+        for r in d.groupBy("diff_kind").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert d.filter(F.col("k") == "7").count() == 1
+    assert counts.get("changed", 0) == sum(1 for i in range(hot, n) if i % 10 == 0)
+    assert sum(counts.values()) == (n - hot) + 1  # every key exactly once

@@ -279,3 +279,30 @@ def test_random_planes_beat_axis_aligned_on_correlated_data(spark):
     # axis-aligned collapses: essentially every vector shares every band
     # bucket (workload ~ bands * n^2/2); random planes must prune hard
     assert rp_pairs < axis_pairs / 4, (rp_pairs, axis_pairs)
+
+
+def test_training_cache_invalidates_on_file_rewrite(tmp_path, sf_dir):
+    """The training memos key on (path, size, mtime), not path alone —
+    regenerating a parquet in-process must retrain instead of serving the
+    stale literals to the correctness gate (round-4 ADVICE)."""
+    import os
+    import shutil
+    import duckdb
+
+    p = str(tmp_path / "emb.parquet")
+    shutil.copy(f"{sf_dir}/embeddings.parquet", p)
+    c1 = SIM.train_ivf_centroids(p)
+    b1 = SIM.train_pq_codebooks(p)
+
+    # rewrite with different content (half the rows), force a new mtime
+    duckdb.sql(
+        f"COPY (SELECT * FROM read_parquet('{sf_dir}/embeddings.parquet') "
+        f"WHERE vec_id % 2 = 0) TO '{p}' (FORMAT PARQUET)"
+    )
+    os.utime(p, ns=(os.stat(p).st_atime_ns, os.stat(p).st_mtime_ns + 1))
+    c2 = SIM.train_ivf_centroids(p)
+    b2 = SIM.train_pq_codebooks(p)
+    assert c1 != c2
+    assert b1 != b2
+    # unchanged file still memoizes (same object back)
+    assert SIM.train_ivf_centroids(p) is c2
