@@ -594,7 +594,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # pq_topk's ADC/codebook machinery is exactly what the recorded
     # ivfpq_topk + ivfpq_residual_topk execute (plus recall pytest-pinned);
     # ann_signbucket_topk is embedding_near_dups' banding with bands=1
-    # (sign_bucket shared; pytest-pinned).
+    # (sign_bucket shared; pytest-pinned); rolling_fingerprints is computed
+    # INSIDE the recorded winnow_fingerprints (winnowing = min-window over
+    # the same rolling hashes; shared-substring property pytest-pinned);
+    # top_customers_by_segment's per-group row_number window is the
+    # identical mechanism every recorded similarity top-k executes
+    # (topk_per_query) plus pytest; venn_intersection's intersectAll leg is
+    # property-tested against the one-pass counts formulation
+    # (tests/test_venn_property.py) with venn_removed still recorded.
     # Tail queries remain bench-covered and verified by tools/oracle_check.py;
     # tests/test_registry.py asserts every tail query is oracle-green so a
     # tail regression cannot ship behind a complete-looking driver record.
@@ -603,6 +610,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features_stub",
         "pq_topk",
         "ann_signbucket_topk",
+        "rolling_fingerprints",
+        "top_customers_by_segment",
+        "venn_intersection",
         "key_diff_composite",
         "venn_added",
         "dedup_exact_survivors",

@@ -352,3 +352,53 @@ def quality_score(col: Column) -> Column:
         + F.lit(0.1) * (F.lit(1.0) - F.least(f["digit_ratio"] * 4, F.lit(1.0)))
         + F.lit(0.2) * length_ok
     )
+
+
+def c4_keep_line(line: Column, *, min_words: int = 3) -> Column:
+    """C4's line-retention predicate (Raffel et al. 2020, §2.2 — public):
+    a line survives iff it ends in a terminal punctuation mark, carries at
+    least ``min_words`` words, and does not mention javascript. Pure
+    Column expression (regex + split), JVM-side."""
+    return (
+        line.rlike('[.!?"]$')
+        & (F.size(F.split(F.trim(line), r"\s+")) >= min_words)
+        & ~F.contains(F.lower(line), F.lit("javascript"))
+    )
+
+
+def c4_line_filter(
+    df: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_words: int = 3,
+    min_kept_lines: int = 5,
+) -> "DataFrame":
+    """C4-style page cleaning: per-line retention (:func:`c4_keep_line`)
+    plus the page-level drops — any page containing ``lorem ipsum`` or a
+    curly brace, or keeping fewer than ``min_kept_lines`` lines, is
+    dropped whole (``page_kept = false``, NULL ``clean_text``).
+
+    The cleaning pass every web-scale pretraining corpus runs before
+    dedup/quality scoring. Everything is Column expressions over a
+    ``split``/``filter``/``array_join`` pipeline — at 100 TB this is a
+    single projection over the scan: no shuffle, no Python, and Catalyst
+    prunes to (id, text).
+
+    Output: (id, n_lines, n_kept, page_kept, clean_text).
+    """
+    text = F.col(text_col)
+    lines = F.split(text, "\n")
+    kept = F.filter(lines, lambda l: c4_keep_line(l, min_words=min_words))
+    page_kept = (
+        ~F.contains(F.lower(text), F.lit("lorem ipsum"))
+        & ~F.contains(text, F.lit("{"))
+        & (F.size(kept) >= min_kept_lines)
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+        page_kept.alias("page_kept"),
+        F.when(page_kept, F.array_join(kept, "\n")).alias("clean_text"),
+    )

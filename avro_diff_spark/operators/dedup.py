@@ -753,3 +753,75 @@ def simhash_near_dups(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def near_dup_clusters(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    *,
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over near-duplicate PAIRS → (doc_id, cluster_id).
+
+    The step every production near-dedup pipeline runs after pair finding
+    (MinHash/SimHash/embedding LSH all emit pairs): transitively close them
+    so each duplicate GROUP keeps exactly one survivor — pairwise survivors
+    alone would keep B when A~B and B~C but drop nothing of C's chain.
+    ``cluster_id`` is the minimum doc id reachable from the node, so the
+    survivor set is simply ``doc_id == cluster_id``.
+
+    Algorithm: iterative min-label propagation — per round, every node
+    takes the min of its own label and its neighbors' labels (one equi-join
+    on the edge list + one groupBy-min per round), converging in
+    O(component diameter) rounds. Near-dup components are short chains
+    through shared duplicates, so the diameter is small by construction;
+    ``max_iters`` bounds pathological chains and the loop exits early the
+    first round nothing changes (checked with a count — the one place an
+    iterative algorithm genuinely needs a driver-side action per round).
+    Lineage is cut with ``localCheckpoint`` each round so the plan stays
+    O(1) deep instead of O(iters). At adversarial diameters (million-node
+    chains) switch to the large-star/small-star formulation (Kiveris et
+    al., "Connected Components in MapReduce and Beyond") — same join
+    primitive, O(log² n) rounds; not needed for dup groups.
+
+    Scale shape: each round shuffles the edge list by src — |edges| is
+    near-dup-pair bounded (LSH-banded upstream, never all-pairs), and the
+    label table is |nodes| rows of two ints.
+    """
+    edges_fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = edges_fwd.union(
+        edges_fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))

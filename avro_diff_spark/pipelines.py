@@ -726,6 +726,187 @@ WHERE bit_count(xor(sim_a::UBIGINT, sim_b::UBIGINT)) <= {max_hamming}
 
 
 # --------------------------------------------------------------------------
+# near-dup clustering (connected components over MinHash pairs)
+# --------------------------------------------------------------------------
+
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of the MinHash near-dup pairs: every document in
+    a duplicate GROUP gets the group's min doc id as cluster_id, so
+    keep-one-per-group is ``doc_id == cluster_id`` — the step pairwise
+    survivors cannot express (A~B, B~C must all collapse to one). Spark
+    side: iterative min-label propagation (operators/dedup.near_dup_clusters);
+    oracle: DuckDB recursive CTE computing the same closure."""
+    corpus = snap.documents_with_dups(spark, sf_dir)
+    pairs = DD.minhash_near_dups(
+        corpus, "text", "doc_id", n_hashes=32, bands=8, shingle_k=5, threshold=0.5
+    )
+    return DD.near_dup_clusters(pairs)
+
+
+def _near_dup_clusters_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_minhash_sql()}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT src AS node, src AS label FROM edges
+  UNION
+  SELECT e.src AS node, r.label
+  FROM edges e JOIN reach r ON r.node = e.dst
+)
+SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node
+"""
+
+
+# --------------------------------------------------------------------------
+# sequence packing (training-shard assignment)
+# --------------------------------------------------------------------------
+
+def pack_sequences(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    *,
+    budget: int = 2048,
+) -> DataFrame:
+    """Assign each document to a fixed-token-budget training shard — the
+    packing step of a pretraining data pipeline (documents are concatenated
+    in id order per group and cut every ``budget`` tokens; a document
+    belongs to the shard where it STARTS, at ``shard_offset`` tokens in).
+
+    Deterministic by construction: a running-sum window partitioned by
+    ``group_col`` ordered by ``id_col`` — no RNG, stable under any
+    partitioning. Scale shape: the window shuffles once on the group key
+    and each group packs independently, so parallelism is the group count
+    (source/split/shard-range keys at 100 TB — a GLOBAL ordered pack would
+    serialize into one partition, which is why the group key is part of
+    the contract rather than a default of literal global order).
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start")
+    t = docs.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.size(TX.tokens_ws(F.col(text_col))).alias("n_tokens"),
+    ).select(id_col, group_col, "n_tokens", start)
+    return t.select(
+        id_col,
+        group_col,
+        "n_tokens",
+        F.floor(F.col("start") / F.lit(budget)).cast("long").alias("shard_id"),
+        (F.col("start") % budget).cast("long").alias("shard_offset"),
+    )
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pack_sequences(docs, budget=512)
+
+
+PACK_SEQUENCES_SQL = f"""
+WITH t AS (
+  SELECT doc_id, source, len({tokens_sql('text')}) AS n_tokens FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start
+  FROM t
+)
+SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(start // 512 AS BIGINT) AS shard_id,
+       CAST(start % 512 AS BIGINT) AS shard_offset
+FROM c
+"""
+
+
+# --------------------------------------------------------------------------
+# C4-style line-level cleaning
+# --------------------------------------------------------------------------
+
+def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning rules (Raffel et al. 2020, public) over deterministic
+    pseudo-lines: the corpus text is word soup with no newlines, so lines
+    are synthesized first — 7-word chunks, every (i + doc_id) % 3 == 0
+    line gets terminal punctuation, docs with doc_id % 41 == 0 get a
+    javascript line and % 53 == 0 a curly-brace line — then the REAL
+    rules run: keep lines ending in terminal punctuation with >= 3 words
+    and no 'javascript'; drop whole pages containing 'lorem ipsum' or
+    '{{' or keeping < 2 lines. The oracle mirrors both synthesis and
+    rules, so the full Column pipeline is value-hash-checked."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = F.split(F.col("text"), " ")
+    n_lines = F.ceil(F.size(words) / F.lit(7)).cast("int")
+    mk_line = lambda i: F.concat(  # noqa: E731
+        F.array_join(F.slice(words, i * 7 + 1, 7), " "),
+        F.when((i + F.col("doc_id")) % 3 == 0, F.lit(".")).otherwise(F.lit("")),
+    )
+    lines = F.transform(F.sequence(F.lit(0), n_lines - 1), mk_line)
+    lines = F.when(
+        F.col("doc_id") % 41 == 0,
+        F.concat(lines, F.array(F.lit("this uses javascript heavily."))),
+    ).otherwise(lines)
+    lines = F.when(
+        F.col("doc_id") % 53 == 0,
+        F.concat(lines, F.array(F.lit("function() { return; }"))),
+    ).otherwise(lines)
+    synth = docs.select("doc_id", F.array_join(lines, "\n").alias("text"))
+    return TX.c4_line_filter(synth, "text", "doc_id", min_kept_lines=2)
+
+
+def _c4_sql() -> str:
+    line = "array_to_string(words[i * 7 + 1 : i * 7 + 7], ' ') || CASE WHEN (i + doc_id) % 3 = 0 THEN '.' ELSE '' END"
+    synth = f"""
+SELECT doc_id,
+  array_to_string(
+    CASE WHEN doc_id % 53 = 0 THEN base_plus_js || ['function() {{ return; }}']
+         ELSE base_plus_js END, chr(10)) AS text
+FROM (
+  SELECT doc_id,
+    CASE WHEN doc_id % 41 = 0 THEN base || ['this uses javascript heavily.']
+         ELSE base END AS base_plus_js
+  FROM (
+    SELECT doc_id,
+      list_transform(range(0, CAST(ceil(len(words) / 7.0) AS BIGINT)), i -> {line}) AS base
+    FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+  )
+)
+"""
+    kept = (
+        "list_filter(string_split(text, chr(10)), l -> "
+        "regexp_matches(l, '[.!?\"]$') "
+        "AND len(regexp_split_to_array(trim(l), '\\s+')) >= 3 "
+        "AND NOT contains(lower(l), 'javascript'))"
+    )
+    return f"""
+WITH synth AS ({synth}),
+s AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, chr(10))) AS INT) AS n_lines,
+         CAST(len({kept}) AS INT) AS n_kept,
+         (NOT contains(lower(text), 'lorem ipsum'))
+           AND (NOT contains(text, '{{'))
+           AND len({kept}) >= 2 AS page_kept,
+         array_to_string({kept}, chr(10)) AS kept_join
+  FROM synth
+)
+SELECT doc_id, n_lines, n_kept, page_kept,
+       CASE WHEN page_kept THEN kept_join END AS clean_text
+FROM s
+"""
+
+
+# --------------------------------------------------------------------------
 # similarity search
 # --------------------------------------------------------------------------
 
@@ -1387,7 +1568,10 @@ PIPELINE_QUERIES = {
     "contamination_check": q_contamination_check,
     "jaccard_pairs": q_jaccard_pairs,
     "minhash_near_dups": q_minhash_near_dups,
+    "near_dup_clusters": q_near_dup_clusters,
     "simhash_near_dups": q_simhash_near_dups,
+    "pack_sequences": q_pack_sequences,
+    "c4_line_filter": q_c4_line_filter,
     "cosine_topk": q_cosine_topk,
     "ann_signbucket_topk": q_ann_signbucket,
     "ivf_topk": q_ivf_topk,
@@ -1428,7 +1612,10 @@ def pipeline_sql() -> dict[str, str]:
         "contamination_check": _contamination_sql(),
         "jaccard_pairs": JACCARD_PAIRS_SQL,
         "minhash_near_dups": _minhash_sql(),
+        "near_dup_clusters": _near_dup_clusters_sql(),
         "simhash_near_dups": _simhash_sql(),
+        "pack_sequences": PACK_SEQUENCES_SQL,
+        "c4_line_filter": _c4_sql(),
         "cosine_topk": COSINE_TOPK_SQL,
         "ann_signbucket_topk": ANN_SIGNBUCKET_SQL,
         "ivf_topk": _ivf_sql(),

@@ -1,0 +1,106 @@
+"""Round-5 pipeline operators: near-dup clustering, sequence packing,
+C4-style line cleaning."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from avro_diff_spark.functions.text import c4_line_filter
+from avro_diff_spark.operators.dedup import near_dup_clusters
+from avro_diff_spark.pipelines import pack_sequences
+
+
+def _union_find(edges, nodes):
+    """Reference connected components (driver-side union-find)."""
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in nodes}
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)).filter(lambda p: p[0] != p[1]),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_near_dup_clusters_matches_union_find(spark, edges):
+    """The iterative min-label propagation computes exactly the
+    connected-components labeling a union-find computes, on arbitrary
+    graphs (chains, cycles, stars, disconnected islands)."""
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges], "doc_a long, doc_b long"
+    )
+    got = {
+        r.doc_id: r.cluster_id for r in near_dup_clusters(pairs).collect()
+    }
+    nodes = {n for e in edges for n in e}
+    want = _union_find(edges, nodes)
+    assert got == want
+
+
+def test_near_dup_clusters_long_chain_converges(spark):
+    """A 40-node path graph (worst diameter per edge count) still converges
+    to a single cluster labeled by the min node."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "doc_a long, doc_b long"
+    )
+    rows = near_dup_clusters(pairs, max_iters=50).collect()
+    assert {r.cluster_id for r in rows} == {0}
+    assert {r.doc_id for r in rows} == set(range(41))
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    """Offsets stay inside the budget; shard ids are monotone in id order
+    per group; every start equals the running token total before the doc."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    budget = 256
+    out = pack_sequences(docs, budget=budget).collect()
+    by_group: dict = {}
+    for r in out:
+        assert 0 <= r.shard_offset < budget
+        by_group.setdefault(r.source, []).append(r)
+    for rows in by_group.values():
+        rows.sort(key=lambda r: r.doc_id)
+        running = 0
+        for r in rows:
+            assert r.shard_id == running // budget
+            assert r.shard_offset == running % budget
+            running += r.n_tokens
+
+
+def test_c4_line_filter_rules(spark):
+    """Each C4 rule in isolation: terminal punctuation, min words,
+    javascript lines, lorem-ipsum pages, curly-brace pages, min kept
+    lines."""
+    rows = [
+        # (id, text, expect_page_kept, expect_kept_lines)
+        (1, "one good sentence here.\nanother fine sentence!\nshort.\nno terminal punct", True,
+         ["one good sentence here.", "another fine sentence!"]),
+        (2, "uses javascript on every line.\nplain good line stays here.", False, None),  # < 2 kept
+        (3, "lorem ipsum dolor sit amet.\nperfectly good line here.\nsecond good line here.", False, None),
+        (4, "config = { nested }.\ngood line number one.\ngood line number two.", False, None),
+        (5, 'ends with a quote mark."\nquestion form works too?\nbang form works too!', True,
+         ['ends with a quote mark."', "question form works too?", "bang form works too!"]),
+    ]
+    df = spark.createDataFrame([(i, t) for i, t, _, _ in rows], "doc_id long, text string")
+    got = {r.doc_id: r for r in c4_line_filter(df, min_kept_lines=2).collect()}
+    for i, _, want_kept, want_lines in rows:
+        assert got[i].page_kept == want_kept, i
+        if want_kept:
+            assert got[i].clean_text == "\n".join(want_lines), i
+        else:
+            assert got[i].clean_text is None, i
