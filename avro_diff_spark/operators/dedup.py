@@ -790,9 +790,16 @@ def near_dup_clusters(
     label table is |nodes| rows of two ints.
     """
     edges_fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-    edges = edges_fwd.union(
-        edges_fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    edges = (
+        edges_fwd.union(
+            edges_fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        # materialize ONCE: every propagation round joins the edge list, and
+        # without this each round would re-execute the entire upstream
+        # pair-finding pipeline (MinHash banding etc.) from the scan
+        .localCheckpoint()
+    )
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
@@ -805,23 +812,23 @@ def near_dup_clusters(
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
+        # the changed flag rides the propagation select, so convergence
+        # detection costs one probe over the materialized round output —
+        # no extra join, no re-execution (2 jobs/round total)
         new_labels = (
             labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
-                    "label"
+                    "new_label"
+                ),
+                (F.coalesce(F.col("nmin"), F.col("label")) < F.col("label")).alias(
+                    "__changed"
                 ),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        labels = new_labels.select("node", F.col("new_label").alias("label"))
+        if new_labels.filter(F.col("__changed")).limit(1).count() == 0:
             break
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
