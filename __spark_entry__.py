@@ -602,12 +602,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (topk_per_query) plus pytest; venn_intersection's intersectAll leg is
     # property-tested against the one-pass counts formulation
     # (tests/test_venn_property.py) with venn_removed still recorded.
+    # Round-5 demotions (keeping the two new REAL-decode media queries —
+    # image_features_jpeg, audio_features_wav — inside the recorded 50):
+    # audio_features_stub is superseded by the recorded audio_features_wav
+    # (same audio_features mapInPandas plumbing, REAL RIFF/PCM decode
+    # instead of the int8 fake; the fake stays pytest-pinned in
+    # tests/test_multimodal.py); frame_sample_lens is pure mapInPandas
+    # chunking with cardinality/coverage pytest-pinned
+    # (test_frame_sample_cardinality_and_coverage).
     # Tail queries remain bench-covered and verified by tools/oracle_check.py;
     # tests/test_registry.py asserts every tail query is oracle-green so a
     # tail regression cannot ship behind a complete-looking driver record.
     for tail in (
         "key_diff_detail_nested",
         "image_features_stub",
+        "audio_features_stub",
+        "frame_sample_lens",
         "pq_topk",
         "ann_signbucket_topk",
         "rolling_fingerprints",

@@ -12,13 +12,15 @@ North-star extension (BASELINE.json) — the reference is text/Avro only
   ``mapInPandas`` pipelines: the Spark-side plumbing (schema, batching,
   cardinality change, partition preservation) is real and tested.
 
-Decode status: BMP, PPM, **and PNG** decode for REAL —
+Decode status: BMP, PPM, PNG, **and baseline JPEG** decode for REAL —
 :func:`real_image_decoder` reads 24/32-bit BMP and binary PPM pixels with
-struct+numpy straight from the public file-format specs, and PNG (8-bit
+struct+numpy straight from the public file-format specs, PNG (8-bit
 gray/RGB/palette/alpha, all five scanline filters) through the
-from-scratch zlib-based codec in :mod:`avro_diff_spark.png` — zero extra
-dependencies. JPEG/GIF/WebP need a DCT/LZW codec library this container
-lacks, so their path is a documented *deterministic fake*
+from-scratch zlib-based codec in :mod:`avro_diff_spark.png`, and baseline
+sequential JPEG (grayscale + YCbCr 4:4:4/4:2:2/4:2:0, restart markers)
+through the from-scratch Huffman+DCT codec in
+:mod:`avro_diff_spark.jpeg` — zero extra dependencies. GIF/WebP (LZW/VP8)
+and progressive JPEG remain a documented *deterministic fake*
 (:func:`fake_image_decoder`) behind the ``decoder=`` hook
 (:func:`auto_image_decoder` = real-when-possible, fake otherwise;
 ``pil_image_decoder`` raises ``NotImplementedError`` until Pillow is
@@ -95,6 +97,93 @@ def synth_png_media(df: DataFrame, id_col: str) -> DataFrame:
     return narrow.mapInPandas(run, schema="media_id long, payload binary")
 
 
+def synth_jpeg_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic REAL baseline-JPEG payload per row, generated
+    executor-side, whose *decoded* pixels follow a closed-form law (so a
+    SQL oracle can mirror decoded stats without decoding).
+
+    JPEG is lossy, so exactness has to be engineered: the image is
+    blockwise-flat — every 8x8 luma block is one value, chroma is globally
+    flat — which makes every AC coefficient 0 and every DC coefficient an
+    exact multiple of the quantizer step (flat DQT=16, even block values),
+    so quantization round-trips losslessly and the orthonormal IDCT
+    reproduces the flat value bit-exactly.
+
+    Law for ``id``: ``w = 8 + id % 25``, ``h = 8 + id % 18``; the luma of
+    pixel (x, y) is ``v = 2*(9 + (id*31 + (x//8)*7 + (y//8)*13) % 111)``
+    (even, in [18, 240] so no channel clips); chroma is Cb=118, Cr=138
+    everywhere. The RGB payload pixels are the exact YCbCr inverse of
+    that (R=v+14, G=v-4, B=v-18 after rounding), encoded 4:2:0 — the
+    round trip through the encoder's forward color transform shifts each
+    flat plane by a constant < half a quantizer step, so decoded RGB is
+    exactly (v+14, v-4, v-18) again. Exercises multi-block DC differential
+    coding, MCU interleave, chroma subsample/upsample, and crop.
+    """
+    from collections.abc import Iterator as _It
+
+    narrow = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def run(batches: _It["pd.DataFrame"]) -> _It["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from avro_diff_spark.jpeg import encode_jpeg
+
+        q16 = np.full((8, 8), 16, np.int64)
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"].values:
+                mid = int(mid)
+                w, h = 8 + mid % 25, 8 + mid % 18
+                bx = np.arange(w) // 8
+                by = np.arange(h) // 8
+                v = 2 * (9 + (mid * 31 + bx[None, :] * 7 + by[:, None] * 13) % 111)
+                rgb = np.stack([v + 14, v - 4, v - 18], axis=-1).astype(np.uint8)
+                payloads.append(
+                    encode_jpeg(rgb, subsampling="4:2:0", quant_tables=(q16, q16))
+                )
+            yield pd.DataFrame({"media_id": pdf["media_id"].values, "payload": payloads})
+
+    return narrow.mapInPandas(run, schema="media_id long, payload binary")
+
+
+def synth_wav_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic REAL RIFF/WAVE 16-bit PCM payload per row with a
+    closed-form sample law: for ``id``, ``n = 160 + id % 241`` mono
+    samples at 16 kHz, sample ``i`` equal to
+    ``((id*7 + i*13) % 4096) - 2048``. PCM is lossless, so the decoded
+    feature stats mirror the law exactly and a SQL oracle can reproduce
+    them without touching bytes."""
+    from collections.abc import Iterator as _It
+
+    narrow = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def run(batches: _It["pd.DataFrame"]) -> _It["pd.DataFrame"]:
+        import struct as _struct
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"].values:
+                mid = int(mid)
+                n = 160 + mid % 241
+                samples = (((mid * 7 + np.arange(n) * 13) % 4096) - 2048).astype("<i2")
+                data = samples.tobytes()
+                fmt = _struct.pack("<HHIIHH", 1, 1, 16_000, 32_000, 2, 16)
+                payloads.append(
+                    b"RIFF"
+                    + _struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+                    + b"WAVE"
+                    + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + _struct.pack("<I", len(data)) + data
+                )
+            yield pd.DataFrame({"media_id": pdf["media_id"].values, "payload": payloads})
+
+    return narrow.mapInPandas(run, schema="media_id long, payload binary")
+
+
 def sniff_container(payload: Column) -> Column:
     """Container format from the payload's magic bytes; 'unknown' otherwise."""
     expr: Column = F.lit("unknown")
@@ -146,16 +235,28 @@ def fake_image_decoder(payload: bytes) -> dict[str, Any]:
 def real_image_decoder(payload: bytes) -> dict[str, Any]:
     """REAL pixel decode, zero dependencies: 24/32-bit uncompressed BMP
     (BITMAPINFOHEADER, public spec: pixel offset at byte 10, width/height
-    at 18/22, bpp at 28, compression 0), binary PPM ``P6``, and PNG
+    at 18/22, bpp at 28, compression 0), binary PPM ``P6``, PNG
     (8-bit depth, color types 0/2/3/4/6, non-interlaced — the zlib-based
-    from-scratch codec in :mod:`avro_diff_spark.png`). Raises ValueError
-    for anything else — JPEG/GIF need a codec library; route them through
+    from-scratch codec in :mod:`avro_diff_spark.png`), and baseline JPEG
+    (SOF0, Huffman, any sampling factors — the from-scratch codec in
+    :mod:`avro_diff_spark.jpeg`). Raises ValueError for anything else —
+    GIF/WebP/progressive-JPEG need more codec surface; route them through
     :func:`pil_image_decoder` or a custom hook.
     """
     import struct
 
     import numpy as np
 
+    if payload[:3] == b"\xff\xd8\xff":
+        from avro_diff_spark.jpeg import decode_jpeg
+
+        arr = decode_jpeg(payload)
+        return {
+            "width": arr.shape[1],
+            "height": arr.shape[0],
+            "channels": arr.shape[2],
+            "mean_byte": float(arr.mean()) if arr.size else 0.0,
+        }
     if payload[:4] == b"\x89PNG":
         from avro_diff_spark.png import decode_png
 

@@ -1534,6 +1534,72 @@ FROM d
 """
 
 
+def q_image_features_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossy-compressed-image decode end-to-end: deterministic
+    baseline-JPEG payloads (YCbCr 4:2:0, multi-block, DC differential
+    coding) are generated executor-side, then Huffman-decoded, dequantized,
+    IDCT'd, upsampled and color-converted back to pixel stats by the
+    from-scratch codec in avro_diff_spark/jpeg.py inside the
+    image_features mapInPandas path. The oracle never decodes — JPEG
+    exactness is engineered (see synth_jpeg_media: blockwise-flat pixels,
+    flat DQT=16, even values ⇒ lossless quantization round-trip), so the
+    SQL mirrors the closed-form decoded-pixel law and any wrong byte in
+    marker parsing, Huffman tables, zigzag DC placement, dequant, IDCT,
+    subsampling or the color transform breaks the hash."""
+    from avro_diff_spark import multimodal as MM
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = MM.synth_jpeg_media(docs, "doc_id")
+    return MM.image_features(media, decoder=MM.real_image_decoder)
+
+
+# mirrors synth_jpeg_media's decoded-pixel law: luma of pixel (x, y) is
+# v = 2*(9 + (id*31 + (x//8)*7 + (y//8)*13) % 111) and decoded RGB is
+# exactly (v+14, v-4, v-18), so sum(R+G+B) = sum(3v - 8) over pixels —
+# an exact integer summed exactly in both engines, divided once.
+IMAGE_FEATURES_JPEG_SQL = """
+WITH d AS (SELECT doc_id AS media_id,
+                  8 + doc_id % 25 AS w,
+                  8 + doc_id % 18 AS h
+           FROM documents)
+SELECT media_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(3 AS INT) AS channels,
+       CAST(list_sum(list_transform(range(0, w * h),
+              i -> 3 * (2 * (9 + (media_id * 31
+                                  + ((i % w) // 8) * 7
+                                  + ((i // w) // 8) * 13) % 111)) - 8))
+            AS DOUBLE) / (w * h * 3) AS mean_byte
+FROM d
+"""
+
+
+def q_audio_features_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end: deterministic RIFF/WAVE 16-bit PCM
+    payloads generated executor-side, then chunk-walked and decoded by
+    wav_pcm_decoder inside the audio_features mapInPandas path. PCM is
+    lossless, so the oracle mirrors synth_wav_media's closed-form sample
+    law without touching bytes."""
+    from avro_diff_spark import multimodal as MM
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = MM.synth_wav_media(docs, "doc_id")
+    return MM.audio_features(media, decoder=MM.auto_audio_decoder())
+
+
+AUDIO_FEATURES_WAV_SQL = """
+WITH d AS (SELECT doc_id AS media_id, 160 + doc_id % 241 AS n FROM documents)
+SELECT media_id,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(n AS DOUBLE) / 16000 AS duration_s,
+       CAST(list_sum(list_transform(range(0, n),
+              i -> abs((media_id * 7 + i * 13) % 4096 - 2048)))
+            AS DOUBLE) / n AS mean_amplitude
+FROM d
+"""
+
+
 def q_image_features_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     from avro_diff_spark import multimodal as MM
 
@@ -1584,6 +1650,8 @@ PIPELINE_QUERIES = {
     "media_metadata": q_media_metadata,
     "frame_sample_lens": q_frame_sample_lens,
     "image_features_png": q_image_features_png,
+    "image_features_jpeg": q_image_features_jpeg,
+    "audio_features_wav": q_audio_features_wav,
     "image_features_stub": q_image_features_stub,
     "audio_features_stub": q_audio_features_stub,
 }
@@ -1627,6 +1695,8 @@ def pipeline_sql() -> dict[str, str]:
         "media_metadata": MEDIA_METADATA_SQL,
         "frame_sample_lens": FRAME_SAMPLE_LENS_SQL,
         "image_features_png": IMAGE_FEATURES_PNG_SQL,
+        "image_features_jpeg": IMAGE_FEATURES_JPEG_SQL,
+        "audio_features_wav": AUDIO_FEATURES_WAV_SQL,
         "image_features_stub": IMAGE_FEATURES_SQL,
         "audio_features_stub": AUDIO_FEATURES_SQL,
     }
