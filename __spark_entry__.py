@@ -609,7 +609,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # instead of the int8 fake; the fake stays pytest-pinned in
     # tests/test_multimodal.py); frame_sample_lens is pure mapInPandas
     # chunking with cardinality/coverage pytest-pinned
-    # (test_frame_sample_cardinality_and_coverage).
+    # (test_frame_sample_cardinality_and_coverage); media_metadata (demoted
+    # for lm_bigram_scores) is pure Column byte-sniffing pinned exactly by
+    # test_media_metadata_matches_bytes; kmeans_cluster_stats enters
+    # directly in the tail — its assignment expression IS the recorded
+    # ivf_topk/ivfpq_topk coarse quantizer (_centroid_ranking, shared by
+    # construction), so the recorded queries already hash-pin the
+    # machinery and the CI oracle gate covers the aggregation.
     # Tail queries remain bench-covered and verified by tools/oracle_check.py;
     # tests/test_registry.py asserts every tail query is oracle-green so a
     # tail regression cannot ship behind a complete-looking driver record.
@@ -618,6 +624,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features_stub",
         "audio_features_stub",
         "frame_sample_lens",
+        "media_metadata",
+        "kmeans_cluster_stats",
         "pq_topk",
         "ann_signbucket_topk",
         "rolling_fingerprints",

@@ -862,6 +862,62 @@ def ivfpq_topk(
     return topk_per_query(scored, k)
 
 
+def kmeans_cluster_stats(candidates: DataFrame, *, centroids) -> DataFrame:
+    """Per-cluster corpus statistics over a trained k-means partition —
+    the cluster-balance / semantic-coverage audit of an embedding corpus
+    (curriculum mixing, cluster-balanced sampling, dedup-by-cluster all
+    start from this table). No reference parity (the reference is
+    text/Avro only); this is north-star extension surface.
+
+    Assignment reuses :func:`_centroid_ranking` — the exact shuffle-free
+    Column expression ``ivf_topk``/``ivfpq_topk`` use for their coarse
+    quantizer, so the audit can never disagree with the ANN index about
+    cell membership. Scale shape: candidate scan → pure expressions →
+    ONE groupBy on the small int cluster id (map-side combine); no join,
+    no Python, no driver materialization.
+
+    Output per cluster: ``cid``, ``n_points``, and the argmax-cosine
+    member (``top_vec_id``, ``top_cos``; ties to the lowest vec_id) — a
+    cheap medoid stand-in for cluster labeling.
+    """
+    if centroids is None:
+        raise ValueError("pass centroids from train_ivf_centroids()")
+    cents = sorted((int(cid), list(vec)) for cid, vec in centroids)
+    ranking = _centroid_ranking(cents)
+    best = F.element_at(
+        ranking(F.col("c_emb"), F.col("c_norm")), 1
+    )
+    assigned = (
+        spread_small(candidates)
+        .select(
+            F.col("vec_id").alias("cand_id"),
+            F.col("embedding").alias("c_emb"),
+            _dec_norm(F.col("embedding")).alias("c_norm"),
+        )
+        .select(
+            "cand_id",
+            best.getField("cid").alias("cid"),
+            # zero-norm vectors get cos NULL from try_divide; rank them
+            # below every real member (both engines agree on -2 < any cos)
+            F.coalesce(F.negate(best.getField("neg_cos")), F.lit(-2.0)).alias("cos"),
+        )
+    )
+    top = F.max(F.struct(F.col("cos"), F.negate(F.col("cand_id")).alias("neg_id")))
+    return (
+        assigned.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            top.alias("_top"),
+        )
+        .select(
+            "cid",
+            "n_points",
+            F.negate(F.col("_top.neg_id")).alias("top_vec_id"),
+            F.col("_top.cos").alias("top_cos"),
+        )
+    )
+
+
 def embedding_near_dups(
     df: DataFrame,
     threshold: float = 0.95,

@@ -431,6 +431,91 @@ SELECT doc_id, rank, term, score FROM (
 """
 
 
+def q_lm_bigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical language-model quality scoring (the CCNet/KenLM-style
+    perplexity filter of a training-data pipeline): train bigram counts on
+    the corpus itself, then score every document by how surprising its
+    word bigrams are under that model.
+
+    Per doc: ``n_bigrams``; ``n_novel`` (bigrams whose corpus count is 1 —
+    i.e. this doc is their only occurrence); and ``surprise`` — the
+    pooled reciprocal add-one conditional probability
+    ``(Σ C(w1) + n·V) / (Σ C(w1,w2) + n)`` where V is the next-word
+    vocabulary size. This is the log-free rational surrogate for
+    perplexity (same oracle discipline as tfidf's idf surrogate: exact
+    BIGINT sums, ONE IEEE division — ln differs in the last ulp across
+    libms and a sum of per-bigram doubles is partial-agg-order dependent;
+    both would break the value hash for zero analytical benefit). Boiler-
+    plate scores low (its bigrams are corpus-frequent), novel/garbled text
+    scores high.
+
+    Scale shape: explode bigrams once; bigram counts and history counts
+    are groupBy aggs (map-side combine) re-joined on their own grouping
+    keys — each join is co-partitioned with the agg's own shuffle, so AQE
+    reuses the exchange; V is a single scalar distinct-count action
+    embedded as a literal (the tfidf n_docs pattern — a one-row join on a
+    constant key plans as BroadcastNestedLoopJoin, which the plan gate
+    rightly rejects). No driver-side model materialization beyond that
+    scalar: the "model" stays distributed, the 100 TB-corpus shape (a
+    KenLM-style trie would need a collect)."""
+    d = spread_small(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    toks = d.select("doc_id", TX.tokens_ws(F.col("text")).alias("toks"))
+    sz = F.size("toks")
+    pair_idx = F.sequence(F.lit(1), sz - 1)  # 1-based: pairs (i, i+1)
+    pairs = F.transform(
+        pair_idx,
+        lambda i: F.struct(
+            F.element_at("toks", i).alias("w1"),
+            F.element_at("toks", i + 1).alias("w2"),
+        ),
+    )
+    bg = (
+        toks.select("doc_id", F.explode(F.when(sz >= 2, pairs)).alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .where((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    c_bg = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c_ug = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    v = int(bg.agg(F.count_distinct(F.col("w2")).alias("v")).first()["v"])
+    return (
+        bg.join(c_bg, ["w1", "w2"])
+        .join(c_ug, ["w1"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.when(F.col("c12") == 1, 1).otherwise(0)).alias("n_novel"),
+            (
+                (F.sum("c1") + F.count(F.lit(1)) * F.lit(v)).cast("double")
+                / (F.sum("c12") + F.count(F.lit(1)))
+            ).alias("surprise"),
+        )
+    )
+
+
+def _lm_bigram_sql() -> str:
+    return f"""
+WITH t AS (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents),
+bg AS (
+  SELECT doc_id, p['w1'] AS w1, p['w2'] AS w2 FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(toks)),
+                                 i -> {{'w1': toks[i], 'w2': toks[i + 1]}})) AS p
+    FROM t
+  ) WHERE p['w1'] <> '' AND p['w2'] <> ''
+),
+c_bg AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+c_ug AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+v AS (SELECT count(DISTINCT w2) AS v FROM bg)
+SELECT doc_id,
+       count(*) AS n_bigrams,
+       CAST(sum(CASE WHEN c12 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       CAST(sum(c1) + count(*) * any_value(v) AS DOUBLE)
+         / (sum(c12) + count(*)) AS surprise
+FROM bg JOIN c_bg USING (w1, w2) JOIN c_ug USING (w1) CROSS JOIN v
+GROUP BY doc_id
+"""
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style per-document repetition signals (boilerplate/spam
     filters for training corpora): unique-word fraction, top word / top
@@ -1089,6 +1174,44 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_topk(queries, emb, k=5, probes=2, centroids=cents)
 
 
+def q_kmeans_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = SIM.train_ivf_centroids(f"{sf_dir}/embeddings.parquet")
+    return SIM.kmeans_cluster_stats(emb, centroids=cents)
+
+
+def _kmeans_sql() -> str:
+    # assignment mirrors kmeans_cluster_stats (= the ivf_topk coarse
+    # quantizer): TRAINED centroid literals, nearest by (cosine DESC,
+    # cid ASC); the per-cluster representative is argmax cosine with ties
+    # to the lowest vec_id.
+    cents = SIM.train_ivf_centroids(f"{ORACLE_SF_DIR}/embeddings.parquet")
+    cent_rows = " UNION ALL ".join(
+        f"SELECT {cid} AS cid, [{', '.join(repr(v) for v in vec)}]::DOUBLE[] AS cent"
+        for cid, vec in cents
+    )
+    return f"""
+WITH cents AS ({cent_rows}),
+assign AS (
+  SELECT e.vec_id, c.cid,
+         coalesce({_cos_sql('e.embedding', 'c.cent')}, -2.0) AS cos,
+         row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_cos_sql('e.embedding', 'c.cent')} DESC, c.cid ASC) AS rn
+  FROM embeddings e CROSS JOIN cents c
+),
+a AS (SELECT vec_id, cid, cos FROM assign WHERE rn = 1),
+ranked AS (
+  SELECT cid, vec_id, cos,
+         row_number() OVER (PARTITION BY cid ORDER BY cos DESC, vec_id ASC) AS rn2
+  FROM a
+)
+SELECT r.cid, g.n_points, r.vec_id AS top_vec_id, r.cos AS top_cos
+FROM ranked r
+JOIN (SELECT cid, count(*) AS n_points FROM a GROUP BY cid) g USING (cid)
+WHERE r.rn2 = 1
+"""
+
+
 def _ivf_sql(k: int = 5, probes: int = 2, n_queries: int = 10) -> str:
     # assignment/probing mirror ivf_topk exactly: TRAINED centroids (same
     # deterministic Lloyd output as the Spark plan) embedded as literals;
@@ -1627,6 +1750,7 @@ PIPELINE_QUERIES = {
     "winnow_fingerprints": q_winnow_fingerprints,
     "repetition_stats": q_repetition_stats,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "lm_bigram_scores": q_lm_bigram_scores,
     "pii_redaction_counts": q_pii_redaction,
     "dedup_exact_clusters": q_dedup_exact_clusters,
     "dedup_exact_survivors": q_dedup_exact_survivors,
@@ -1641,6 +1765,7 @@ PIPELINE_QUERIES = {
     "cosine_topk": q_cosine_topk,
     "ann_signbucket_topk": q_ann_signbucket,
     "ivf_topk": q_ivf_topk,
+    "kmeans_cluster_stats": q_kmeans_cluster_stats,
     "pq_topk": q_pq_topk,
     "ivfpq_topk": q_ivfpq_topk,
     "ivfpq_residual_topk": q_ivfpq_residual_topk,
@@ -1673,6 +1798,7 @@ def pipeline_sql() -> dict[str, str]:
         "winnow_fingerprints": _winnow_sql(),
         "repetition_stats": _repetition_sql(),
         "tfidf_top_terms": _tfidf_sql(),
+        "lm_bigram_scores": _lm_bigram_sql(),
         "pii_redaction_counts": _pii_sql(),
         "dedup_exact_clusters": DEDUP_EXACT_CLUSTERS_SQL,
         "dedup_exact_survivors": DEDUP_EXACT_SURVIVORS_SQL,
@@ -1687,6 +1813,7 @@ def pipeline_sql() -> dict[str, str]:
         "cosine_topk": COSINE_TOPK_SQL,
         "ann_signbucket_topk": ANN_SIGNBUCKET_SQL,
         "ivf_topk": _ivf_sql(),
+        "kmeans_cluster_stats": _kmeans_sql(),
         "pq_topk": _pq_sql(),
         "ivfpq_topk": _ivfpq_sql(),
         "ivfpq_residual_topk": _ivfpq_residual_sql(),

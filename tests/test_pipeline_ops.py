@@ -104,3 +104,28 @@ def test_c4_line_filter_rules(spark):
             assert got[i].clean_text == "\n".join(want_lines), i
         else:
             assert got[i].clean_text is None, i
+
+
+def test_lm_bigram_scores_semantics(spark, tmp_path):
+    """Corpus-frequent boilerplate scores LOW surprise; a doc made of
+    corpus-unique bigrams scores HIGH with every bigram novel; docs with
+    fewer than two tokens are absent."""
+    from avro_diff_spark.pipelines import q_lm_bigram_scores
+
+    rows = [(i, "the quick brown fox jumps") for i in range(5)]
+    rows.append((10, "zebra xylophone quasar nebula"))
+    rows.append((11, "solo"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {r.doc_id: r for r in q_lm_bigram_scores(spark, str(tmp_path)).collect()}
+
+    assert 11 not in got  # single token: no bigrams
+    assert set(got) == {0, 1, 2, 3, 4, 10}
+    boiler, novel = got[0], got[10]
+    assert boiler.n_bigrams == 4 and novel.n_bigrams == 3
+    assert boiler.n_novel == 0 and novel.n_novel == 3
+    assert novel.surprise > boiler.surprise
+    # exact value: every novel bigram has c12=1, c1=1; V = distinct w2
+    v = 4 + 3  # quick brown fox jumps + xylophone quasar nebula
+    assert novel.surprise == (3 * 1 + 3 * v) / (3 * 1 + 3)
+    assert boiler.surprise == (4 * 5 + 4 * v) / (4 * 5 + 4)

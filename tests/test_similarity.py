@@ -306,3 +306,34 @@ def test_training_cache_invalidates_on_file_rewrite(tmp_path, sf_dir):
     assert b1 != b2
     # unchanged file still memoizes (same object back)
     assert SIM.train_ivf_centroids(p) is c2
+
+
+def test_kmeans_cluster_stats_against_bruteforce(spark, sf_dir):
+    """Every embedding is counted exactly once; the per-cluster
+    representative is the true argmax-cosine member (ties to lowest id),
+    verified against a driver-side numpy brute force."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = SIM.train_ivf_centroids(f"{sf_dir}/embeddings.parquet")
+    got = {r.cid: r for r in SIM.kmeans_cluster_stats(emb, centroids=cents).collect()}
+
+    rows = emb.select("vec_id", "embedding").collect()
+    n_total = len(rows)
+    assert sum(r.n_points for r in got.values()) == n_total
+
+    cmat = np.array([v for _, v in sorted(cents)])
+    cnorm = np.linalg.norm(cmat, axis=1)
+    best = {}
+    counts = {}
+    for r in rows:
+        x = np.array(r.embedding)
+        cos = cmat @ x / (cnorm * np.linalg.norm(x))
+        cid = int(np.argmax(np.round(cos, 9)))  # ties break to lowest cid
+        counts[cid] = counts.get(cid, 0) + 1
+        key = (round(float(cos[cid]), 9), -r.vec_id)
+        if cid not in best or key > best[cid][0]:
+            best[cid] = (key, r.vec_id)
+    for cid, r in got.items():
+        assert counts.get(cid, 0) == r.n_points, cid
+        assert best[cid][1] == r.top_vec_id, cid
