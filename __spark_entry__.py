@@ -615,7 +615,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # directly in the tail — its assignment expression IS the recorded
     # ivf_topk/ivfpq_topk coarse quantizer (_centroid_ranking, shared by
     # construction), so the recorded queries already hash-pin the
-    # machinery and the CI oracle gate covers the aggregation.
+    # machinery and the CI oracle gate covers the aggregation;
+    # image_features_gif likewise enters in the tail — the recorded
+    # image_features_png/jpeg queries pin the identical mapInPandas
+    # plumbing, and the GIF codec itself is pinned by tests/test_gif.py
+    # (hand-assembled LZW stream + round trips) plus the CI oracle gate.
     # Tail queries remain bench-covered and verified by tools/oracle_check.py;
     # tests/test_registry.py asserts every tail query is oracle-green so a
     # tail regression cannot ship behind a complete-looking driver record.
@@ -626,6 +630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample_lens",
         "media_metadata",
         "kmeans_cluster_stats",
+        "image_features_gif",
         "pq_topk",
         "ann_signbucket_topk",
         "rolling_fingerprints",

@@ -12,14 +12,16 @@ North-star extension (BASELINE.json) — the reference is text/Avro only
   ``mapInPandas`` pipelines: the Spark-side plumbing (schema, batching,
   cardinality change, partition preservation) is real and tested.
 
-Decode status: BMP, PPM, PNG, **and baseline JPEG** decode for REAL —
-:func:`real_image_decoder` reads 24/32-bit BMP and binary PPM pixels with
-struct+numpy straight from the public file-format specs, PNG (8-bit
+Decode status: BMP, PPM, PNG, baseline JPEG, **and GIF** decode for REAL
+— :func:`real_image_decoder` reads 24/32-bit BMP and binary PPM pixels
+with struct+numpy straight from the public file-format specs, PNG (8-bit
 gray/RGB/palette/alpha, all five scanline filters) through the
-from-scratch zlib-based codec in :mod:`avro_diff_spark.png`, and baseline
+from-scratch zlib-based codec in :mod:`avro_diff_spark.png`, baseline
 sequential JPEG (grayscale + YCbCr 4:4:4/4:2:2/4:2:0, restart markers)
 through the from-scratch Huffman+DCT codec in
-:mod:`avro_diff_spark.jpeg` — zero extra dependencies. GIF/WebP (LZW/VP8)
+:mod:`avro_diff_spark.jpeg`, and GIF87a/89a (variable-width LZW,
+global/local palettes, interlace) through :mod:`avro_diff_spark.gif` —
+zero extra dependencies. WebP (VP8)
 and progressive JPEG remain a documented *deterministic fake*
 (:func:`fake_image_decoder`) behind the ``decoder=`` hook
 (:func:`auto_image_decoder` = real-when-possible, fake otherwise;
@@ -147,6 +149,43 @@ def synth_jpeg_media(df: DataFrame, id_col: str) -> DataFrame:
     return narrow.mapInPandas(run, schema="media_id long, payload binary")
 
 
+def synth_gif_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic REAL GIF payload per row (real variable-width LZW,
+    global color table), generated executor-side. GIF is lossless, so the
+    closed-form law IS the decoded result: for ``id``,
+    ``w = 5 + id % 28``, ``h = 5 + id % 19``, a 16-color palette with
+    entry ``j`` = ``((id*13 + j*29) % 256, (id*7 + j*31) % 256,
+    (id*11 + j*37) % 256)``, and pixel (x, y) indexing entry
+    ``(id + x*3 + y*5) % 16``."""
+    from collections.abc import Iterator as _It
+
+    narrow = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def run(batches: _It["pd.DataFrame"]) -> _It["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from avro_diff_spark.gif import encode_gif
+
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"].values:
+                mid = int(mid)
+                w, h = 5 + mid % 28, 5 + mid % 19
+                j = np.arange(16)
+                pal = np.stack(
+                    [(mid * 13 + j * 29) % 256, (mid * 7 + j * 31) % 256, (mid * 11 + j * 37) % 256],
+                    axis=1,
+                ).astype(np.uint8)
+                x = np.arange(w)[None, :]
+                y = np.arange(h)[:, None]
+                idx = ((mid + x * 3 + y * 5) % 16).astype(np.uint8)
+                payloads.append(encode_gif(idx, pal))
+            yield pd.DataFrame({"media_id": pdf["media_id"].values, "payload": payloads})
+
+    return narrow.mapInPandas(run, schema="media_id long, payload binary")
+
+
 def synth_wav_media(df: DataFrame, id_col: str) -> DataFrame:
     """Deterministic REAL RIFF/WAVE 16-bit PCM payload per row with a
     closed-form sample law: for ``id``, ``n = 160 + id % 241`` mono
@@ -239,8 +278,9 @@ def real_image_decoder(payload: bytes) -> dict[str, Any]:
     (8-bit depth, color types 0/2/3/4/6, non-interlaced — the zlib-based
     from-scratch codec in :mod:`avro_diff_spark.png`), and baseline JPEG
     (SOF0, Huffman, any sampling factors — the from-scratch codec in
-    :mod:`avro_diff_spark.jpeg`). Raises ValueError for anything else —
-    GIF/WebP/progressive-JPEG need more codec surface; route them through
+    :mod:`avro_diff_spark.jpeg`), and GIF87a/89a (variable-width LZW —
+    :mod:`avro_diff_spark.gif`). Raises ValueError for anything else —
+    WebP/progressive-JPEG need more codec surface; route them through
     :func:`pil_image_decoder` or a custom hook.
     """
     import struct
@@ -251,6 +291,16 @@ def real_image_decoder(payload: bytes) -> dict[str, Any]:
         from avro_diff_spark.jpeg import decode_jpeg
 
         arr = decode_jpeg(payload)
+        return {
+            "width": arr.shape[1],
+            "height": arr.shape[0],
+            "channels": arr.shape[2],
+            "mean_byte": float(arr.mean()) if arr.size else 0.0,
+        }
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from avro_diff_spark.gif import decode_gif
+
+        arr = decode_gif(payload)
         return {
             "width": arr.shape[1],
             "height": arr.shape[0],

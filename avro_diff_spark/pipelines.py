@@ -1723,6 +1723,38 @@ FROM d
 """
 
 
+def q_image_features_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode end-to-end: deterministic single-frame GIF payloads
+    (real variable-width LZW, 16-color global table) generated
+    executor-side, then LZW-decoded and palette-resolved back to pixel
+    stats by the from-scratch codec in avro_diff_spark/gif.py inside the
+    image_features mapInPandas path. GIF is lossless, so the oracle
+    mirrors synth_gif_media's closed-form pixel law without decoding."""
+    from avro_diff_spark import multimodal as MM
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = MM.synth_gif_media(docs, "doc_id")
+    return MM.image_features(media, decoder=MM.real_image_decoder)
+
+
+IMAGE_FEATURES_GIF_SQL = """
+WITH d AS (SELECT doc_id AS media_id,
+                  5 + doc_id % 28 AS w,
+                  5 + doc_id % 19 AS h
+           FROM documents)
+SELECT media_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(3 AS INT) AS channels,
+       CAST(list_sum(list_transform(range(0, w * h),
+              i -> (media_id * 13 + ((media_id + (i % w) * 3 + (i // w) * 5) % 16) * 29) % 256
+                 + (media_id * 7  + ((media_id + (i % w) * 3 + (i // w) * 5) % 16) * 31) % 256
+                 + (media_id * 11 + ((media_id + (i % w) * 3 + (i // w) * 5) % 16) * 37) % 256))
+            AS DOUBLE) / (w * h * 3) AS mean_byte
+FROM d
+"""
+
+
 def q_image_features_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     from avro_diff_spark import multimodal as MM
 
@@ -1776,6 +1808,7 @@ PIPELINE_QUERIES = {
     "frame_sample_lens": q_frame_sample_lens,
     "image_features_png": q_image_features_png,
     "image_features_jpeg": q_image_features_jpeg,
+    "image_features_gif": q_image_features_gif,
     "audio_features_wav": q_audio_features_wav,
     "image_features_stub": q_image_features_stub,
     "audio_features_stub": q_audio_features_stub,
@@ -1823,6 +1856,7 @@ def pipeline_sql() -> dict[str, str]:
         "frame_sample_lens": FRAME_SAMPLE_LENS_SQL,
         "image_features_png": IMAGE_FEATURES_PNG_SQL,
         "image_features_jpeg": IMAGE_FEATURES_JPEG_SQL,
+        "image_features_gif": IMAGE_FEATURES_GIF_SQL,
         "audio_features_wav": AUDIO_FEATURES_WAV_SQL,
         "image_features_stub": IMAGE_FEATURES_SQL,
         "audio_features_stub": AUDIO_FEATURES_SQL,
