@@ -619,7 +619,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # image_features_gif likewise enters in the tail — the recorded
     # image_features_png/jpeg queries pin the identical mapInPandas
     # plumbing, and the GIF codec itself is pinned by tests/test_gif.py
-    # (hand-assembled LZW stream + round trips) plus the CI oracle gate.
+    # (hand-assembled LZW stream + round trips) plus the CI oracle gate;
+    # audio_analysis_wav enters in the tail for the same reason — the
+    # recorded audio_features_wav pins the WAV decode + mapInPandas path,
+    # and the added stats are pytest- and CI-oracle-covered.
     # Tail queries remain bench-covered and verified by tools/oracle_check.py;
     # tests/test_registry.py asserts every tail query is oracle-green so a
     # tail regression cannot ship behind a complete-looking driver record.
@@ -631,6 +634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_metadata",
         "kmeans_cluster_stats",
         "image_features_gif",
+        "audio_analysis_wav",
         "pq_topk",
         "ann_signbucket_topk",
         "rolling_fingerprints",

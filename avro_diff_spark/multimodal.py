@@ -536,6 +536,54 @@ def audio_features(
     return narrow.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
 
 
+AUDIO_ANALYSIS_SCHEMA = (
+    "media_id long, n_samples long, peak_amplitude double, "
+    "n_zero_crossings long, rms double"
+)
+
+
+def audio_analysis(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    *,
+    sample_rate: int = 16_000,
+    decoder: AudioDecoder | None = None,
+) -> DataFrame:
+    """Signal-level audio statistics beyond :func:`audio_features`: peak
+    amplitude, zero-crossing count (a crossing = adjacent samples with
+    strictly opposite signs), and RMS energy — the cheap VAD/clipping/
+    silence screens of an audio-corpus QA pass. Every stat is chosen to
+    be integer-exact up to ONE final float op (|max|, crossing count,
+    sqrt of an exact integer ratio), so a SQL oracle reproduces them
+    bit-for-bit from a closed-form sample law. Same Arrow-batched
+    ``mapInPandas`` shape as :func:`audio_features`."""
+    dec = decoder or fake_audio_decoder(sample_rate)
+    narrow = df.select(F.col(id_col).alias("media_id"), F.col(payload_col).alias("payload"))
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, b in zip(pdf["media_id"].values, pdf["payload"].values):
+                arr, _rate = dec(bytes(b))
+                if arr.size:
+                    peak = float(np.abs(arr).max())
+                    zc = int(np.count_nonzero(arr[1:] * arr[:-1] < 0))
+                    rms = float(np.sqrt((arr * arr).sum() / arr.size))
+                else:
+                    peak, zc, rms = 0.0, 0, 0.0
+                rows.append((mid, arr.size, peak, zc, rms))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "n_samples", "peak_amplitude", "n_zero_crossings", "rms"],
+            )
+
+    return narrow.mapInPandas(run, schema=AUDIO_ANALYSIS_SCHEMA)
+
+
 FRAME_SAMPLE_SCHEMA = "media_id long, frame_idx int, frame_bytes binary, frame_len int"
 
 

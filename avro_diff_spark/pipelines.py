@@ -1755,6 +1755,33 @@ FROM d
 """
 
 
+def q_audio_analysis_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signal-level audio QA stats (peak / zero crossings / RMS) over
+    REAL decoded PCM — each stat integer-exact up to one final float op,
+    so the oracle mirrors synth_wav_media's closed-form sample law."""
+    from avro_diff_spark import multimodal as MM
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = MM.synth_wav_media(docs, "doc_id")
+    return MM.audio_analysis(media, decoder=MM.auto_audio_decoder())
+
+
+AUDIO_ANALYSIS_WAV_SQL = """
+WITH d AS (SELECT doc_id AS media_id, 160 + doc_id % 241 AS n FROM documents),
+s AS (SELECT media_id, n,
+             list_transform(range(0, n),
+                            i -> (media_id * 7 + i * 13) % 4096 - 2048) AS sm
+      FROM d)
+SELECT media_id,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(list_max(list_transform(sm, x -> abs(x))) AS DOUBLE) AS peak_amplitude,
+       CAST(len(list_filter(range(1, n), i -> sm[i] * sm[i + 1] < 0)) AS BIGINT)
+         AS n_zero_crossings,
+       sqrt(CAST(list_sum(list_transform(sm, x -> x * x)) AS DOUBLE) / n) AS rms
+FROM s
+"""
+
+
 def q_image_features_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     from avro_diff_spark import multimodal as MM
 
@@ -1810,6 +1837,7 @@ PIPELINE_QUERIES = {
     "image_features_jpeg": q_image_features_jpeg,
     "image_features_gif": q_image_features_gif,
     "audio_features_wav": q_audio_features_wav,
+    "audio_analysis_wav": q_audio_analysis_wav,
     "image_features_stub": q_image_features_stub,
     "audio_features_stub": q_audio_features_stub,
 }
@@ -1858,6 +1886,7 @@ def pipeline_sql() -> dict[str, str]:
         "image_features_jpeg": IMAGE_FEATURES_JPEG_SQL,
         "image_features_gif": IMAGE_FEATURES_GIF_SQL,
         "audio_features_wav": AUDIO_FEATURES_WAV_SQL,
+        "audio_analysis_wav": AUDIO_ANALYSIS_WAV_SQL,
         "image_features_stub": IMAGE_FEATURES_SQL,
         "audio_features_stub": AUDIO_FEATURES_SQL,
     }

@@ -189,3 +189,31 @@ def test_map_in_pandas_survives_repartition(media):
     feats = MM.image_features(media.repartition(7))
     assert feats.rdd.getNumPartitions() == 7
     assert feats.count() == media.count()
+
+
+def test_audio_analysis_known_signal(spark):
+    """Hand-built 16-bit mono WAV: samples [100, -50, 0, 200, -200, -1]
+    → peak 200, zero crossings at (100,-50), (200,-200) and (0→... 0*200
+    is NOT a strict sign flip), rms = sqrt(sum(s^2)/6)."""
+    import struct
+
+    import numpy as np
+
+    samples = np.array([100, -50, 0, 200, -200, -1], dtype="<i2")
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    wav = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    r = MM.audio_analysis(
+        spark.createDataFrame([(1, bytearray(wav))], "media_id long, payload binary"),
+        decoder=MM.auto_audio_decoder(),
+    ).collect()[0]
+    assert r["n_samples"] == 6
+    assert r["peak_amplitude"] == 200.0
+    # strict sign flips: (100,-50) and (200,-200); (-50,0),(0,200),(-200,-1) are not
+    assert r["n_zero_crossings"] == 2
+    expected_rms = float(np.sqrt((samples.astype(np.int64) ** 2).sum() / 6))
+    assert r["rms"] == expected_rms
