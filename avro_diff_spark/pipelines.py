@@ -1633,7 +1633,10 @@ def q_image_features_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     inflate, unfiltering, or feature math breaks the hash."""
     from avro_diff_spark import multimodal as MM
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # spread_small: the small parquet scans as a couple of splits, which
+    # would serialize the per-row codec work in mapInPandas; at real
+    # scale the scan already has enough splits and this is a no-op
+    docs = spread_small(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     media = MM.synth_png_media(docs, "doc_id")
     return MM.image_features(media, decoder=MM.real_image_decoder)
 
@@ -1671,7 +1674,10 @@ def q_image_features_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     subsampling or the color transform breaks the hash."""
     from avro_diff_spark import multimodal as MM
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # spread_small: the small parquet scans as a couple of splits, which
+    # would serialize the per-row codec work in mapInPandas; at real
+    # scale the scan already has enough splits and this is a no-op
+    docs = spread_small(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     media = MM.synth_jpeg_media(docs, "doc_id")
     return MM.image_features(media, decoder=MM.real_image_decoder)
 
@@ -1706,7 +1712,10 @@ def q_audio_features_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     law without touching bytes."""
     from avro_diff_spark import multimodal as MM
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # spread_small: the small parquet scans as a couple of splits, which
+    # would serialize the per-row codec work in mapInPandas; at real
+    # scale the scan already has enough splits and this is a no-op
+    docs = spread_small(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     media = MM.synth_wav_media(docs, "doc_id")
     return MM.audio_features(media, decoder=MM.auto_audio_decoder())
 
@@ -1732,7 +1741,10 @@ def q_image_features_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirrors synth_gif_media's closed-form pixel law without decoding."""
     from avro_diff_spark import multimodal as MM
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # spread_small: the small parquet scans as a couple of splits, which
+    # would serialize the per-row codec work in mapInPandas; at real
+    # scale the scan already has enough splits and this is a no-op
+    docs = spread_small(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     media = MM.synth_gif_media(docs, "doc_id")
     return MM.image_features(media, decoder=MM.real_image_decoder)
 
@@ -1761,7 +1773,10 @@ def q_audio_analysis_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the oracle mirrors synth_wav_media's closed-form sample law."""
     from avro_diff_spark import multimodal as MM
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # spread_small: the small parquet scans as a couple of splits, which
+    # would serialize the per-row codec work in mapInPandas; at real
+    # scale the scan already has enough splits and this is a no-op
+    docs = spread_small(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     media = MM.synth_wav_media(docs, "doc_id")
     return MM.audio_analysis(media, decoder=MM.auto_audio_decoder())
 
