@@ -158,7 +158,7 @@ def sign_bucket_planes(emb: Column, planes) -> Column:
     ids are bit-stable across engines and the DuckDB oracle mirrors them
     exactly — same contract as every other tier here. One ``transform``
     over the nested plane literal: a single plan node regardless of r."""
-    mat = F.lit([[float(v) for v in p] for p in planes])
+    mat = _lit_mat(planes)
     powers = F.lit([1 << b for b in range(len(planes))])
     bits = F.transform(
         mat,
@@ -279,11 +279,34 @@ def _train_ivf_cached(sig: tuple, n_centroids: int, sample: int, iters: int):
     return tuple((cid, tuple(float(v) for v in cents[cid])) for cid in range(n_centroids))
 
 
+def _sql_double(v: float) -> str:
+    """Exact SQL double literal: repr round-trips the double to its
+    shortest decimal and Spark's parser (Double.parseDouble) is
+    correctly-rounded, so the parsed value is bit-identical to F.lit's."""
+    s = repr(float(v))
+    return s if "e" in s or "E" in s else s + "D"
+
+
+def _sql_vec(vec) -> str:
+    return "array(" + ",".join(_sql_double(v) for v in vec) + ")"
+
+
+def _sql_mat(rows) -> str:
+    return "array(" + ",".join(_sql_vec(row) for row in rows) + ")"
+
+
 def _lit_vec(vec) -> Column:
-    # one F.lit on the whole list (a single array Literal) — element-wise
-    # F.array(*[F.lit(x) ...]) costs dim Py4J round-trips per use and blows
-    # up plan-build time and codegen size when used per centroid
-    return F.lit([float(v) for v in vec])
+    # ONE F.expr parse for the whole vector: PySpark's lit(list) recurses
+    # into one Py4J round trip per element (profiled: ~6 s of plan-build
+    # per ivfpq query at m·ksub·dsub + centroid-matrix scale); a SQL text
+    # literal is a single round trip and parses to identical doubles
+    return F.expr(_sql_vec(vec))
+
+
+def _lit_mat(rows) -> Column:
+    """Nested array<array<double>> literal via one F.expr parse — see
+    :func:`_lit_vec` for why not F.lit."""
+    return F.expr(_sql_mat(rows))
 
 
 def _py_fixed_norm(vec) -> float:
@@ -301,11 +324,11 @@ def _centroid_ranking(cents):
     centroids by descending cosine, ties to the lowest centroid id.
     ``cents`` is a dense cid-sorted [(cid, vector), ...]; the matrix is ONE
     nested literal and the ranking one transform with positional cid (a
-    single plan node instead of n_centroids — see :func:`_lit_book`).
+    single plan node instead of n_centroids — see :func:`_lit_mat`).
     Shared by :func:`ivf_topk` and :func:`ivfpq_topk` so coarse assignment
     can never drift between them."""
-    cent_mat = F.lit([[float(x) for x in v] for _, v in cents])
-    cent_norms = F.lit([_py_fixed_norm(v) for _, v in cents])
+    cent_mat = _lit_mat([v for _, v in cents])
+    cent_norms = _lit_vec([_py_fixed_norm(v) for _, v in cents])
 
     def ranking(emb: Column, norm: Column) -> Column:
         scored = F.transform(
@@ -518,47 +541,56 @@ def _train_pq_residual_cached(
     return _lloyd_subspaces(residuals, m, ksub, iters)
 
 
-def _lit_book(book) -> Column:
-    """One subspace codebook as a SINGLE nested array<array<double>> literal
-    — 1 Py4J round-trip and 1 plan node instead of ksub of each (measured:
-    the per-centroid-literal formulation spent seconds per query build on
-    plan construction alone at m·ksub = 256)."""
-    return F.lit([[float(v) for v in row] for row in book])
+def pq_encode_sql(emb_sql: str, codebooks) -> str:
+    """SQL text of the PQ encoding of ``emb_sql`` (a column name or SQL
+    expression): nearest sub-centroid per subspace by squared L2 on the
+    1e-16 fixed-point grid (exact int64, engine-portable), ties to the
+    lowest code via ``array_position(dists, array_min(dists))``.
 
-
-def pq_encode(emb: Column, codebooks) -> Column:
-    """array<int> of ``m`` PQ codes for an embedding — nearest sub-centroid
-    per subspace by squared L2 on the 1e-16 fixed-point grid (exact int64,
-    engine-portable), ties to the lowest code via
-    ``array_position(dists, array_min(dists))``. Pure Column expressions:
-    the 100 TB candidate scan encodes with NO shuffle and no Python.
-
-    The per-subspace distance vector is ONE ``transform`` over the nested
-    codebook literal (ksub rows), not ksub separate aggregate expressions —
-    same values, ~ksub× less codegen and plan size."""
-    m = len(codebooks)
+    Text, not Column composition, because the Py4J chatter of building
+    m·ksub higher-order-function Columns dominated plan construction
+    (profiled: seconds per ANN query build); one ``F.expr`` parse of the
+    generated text yields the identical expression tree JVM-side."""
     dsub = len(codebooks[0][0])
-
+    scale = _sql_double(DOT_SCALE)
     codes = []
-    for j in range(m):
-        sub = F.slice(emb, j * dsub + 1, dsub)
-        dists = F.transform(
-            _lit_book(codebooks[j]),
-            lambda cvec: F.aggregate(
-                F.zip_with(
-                    sub,
-                    cvec,
-                    lambda x, y: F.floor(
-                        (x.cast("double") - y) * (x.cast("double") - y)
-                        * F.lit(DOT_SCALE)
-                    ),
-                ),
-                F.lit(0).cast("long"),
-                lambda a, v: a + v,
-            ),
+    for j, book in enumerate(codebooks):
+        sub = f"slice({emb_sql}, {j * dsub + 1}, {dsub})"
+        dists = (
+            f"transform({_sql_mat(book)}, cvec -> "
+            f"aggregate(zip_with({sub}, cvec, (x, y) -> "
+            f"floor((CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y) * {scale})), "
+            f"0L, (acc, v) -> acc + v))"
         )
-        codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
-    return F.array(*codes)
+        codes.append(f"CAST(array_position({dists}, array_min({dists})) - 1 AS INT)")
+    return "array(" + ", ".join(codes) + ")"
+
+
+def pq_encode(emb_sql: str, codebooks) -> Column:
+    """array<int> of ``m`` PQ codes for an embedding — ``emb_sql`` is the
+    column name (or SQL expression text) of the embedding array. Pure
+    Column expressions: the 100 TB candidate scan encodes with NO shuffle
+    and no Python. See :func:`pq_encode_sql` for the construction."""
+    return F.expr(pq_encode_sql(emb_sql, codebooks))
+
+
+def pq_adc_lut_sql(emb_sql: str, codebooks) -> str:
+    """SQL text of the per-query ADC lookup table over ``emb_sql``:
+    ``lut[j][c] = scaled dot(q_subj, codebook[j][c])`` — one transform per
+    subspace over the nested codebook literal (not ksub separate
+    aggregates; same values, ~ksub× less codegen and plan size)."""
+    dsub = len(codebooks[0][0])
+    scale = _sql_double(DOT_SCALE)
+    rows = []
+    for j, book in enumerate(codebooks):
+        sub = f"slice({emb_sql}, {j * dsub + 1}, {dsub})"
+        rows.append(
+            f"transform({_sql_mat(book)}, cvec -> "
+            f"aggregate(zip_with({sub}, cvec, (x, y) -> "
+            f"floor(CAST(x AS DOUBLE) * y * {scale})), "
+            f"0L, (acc, v) -> acc + v))"
+        )
+    return "array(" + ", ".join(rows) + ")"
 
 
 def pq_topk(
@@ -608,39 +640,14 @@ def pq_topk(
     # ---- stage 1: ADC over codes ------------------------------------
     enc = spread_small(candidates).select(
         F.col(id_c).alias("cand_id"),
-        pq_encode(F.col("embedding"), codebooks).alias("codes"),
+        pq_encode("embedding", codebooks).alias("codes"),
     )
-
-    def lut_col(q_emb: Column) -> Column:
-        """array<array<long>>: lut[j][c] = scaled dot(q_subj, cb[j][c]) —
-        one transform over each subspace's nested codebook literal (see
-        :func:`pq_encode` on why not ksub separate aggregates)."""
-        rows = []
-        for j in range(m):
-            sub = F.slice(q_emb, j * dsub + 1, dsub)
-            rows.append(
-                F.transform(
-                    _lit_book(codebooks[j]),
-                    lambda cvec: F.aggregate(
-                        F.zip_with(
-                            sub,
-                            cvec,
-                            lambda x, y: F.floor(
-                                x.cast("double") * y * F.lit(DOT_SCALE)
-                            ),
-                        ),
-                        F.lit(0).cast("long"),
-                        lambda a, v: a + v,
-                    ),
-                )
-            )
-        return F.array(*rows)
 
     q = queries.select(
         F.col(id_q).alias("query_id"),
         F.col("embedding").alias("q_emb"),
         _dec_norm(F.col("embedding")).alias("q_norm"),
-        lut_col(F.col("embedding")).alias("lut"),
+        F.expr(pq_adc_lut_sql("embedding", codebooks)).alias("lut"),
     )
     approx = F.aggregate(
         F.zip_with(
@@ -735,7 +742,7 @@ def ivfpq_topk(
     cell_ranking = _centroid_ranking(cents)
     # dense cid-ordered matrix: element_at(cent_mat, cell + 1) is the
     # assigned centroid — one nested literal, no join
-    cent_mat = F.lit([[float(x) for x in v] for _, v in cents])
+    cent_mat = _lit_mat([v for _, v in cents])
 
     def enc_input(emb: Column, cell: Column) -> Column:
         if not by_residual:
@@ -761,36 +768,25 @@ def ivfpq_topk(
             .getField("cid")
             .alias("cell"),
         )
+        # the (possibly residual) encoder input is staged as its OWN
+        # projection: pq_encode slices it m times, and an inlined residual
+        # zip_with would replicate the centroid-matrix subtree into every
+        # slice (Catalyst keeps the boundary: non-cheap alias, many refs)
         .select(
             "cand_id",
             "c_emb",
             "c_norm",
             "cell",
-            pq_encode(enc_input(F.col("c_emb"), F.col("cell")), codebooks).alias("codes"),
+            enc_input(F.col("c_emb"), F.col("cell")).alias("__enc"),
+        )
+        .select(
+            "cand_id",
+            "c_emb",
+            "c_norm",
+            "cell",
+            pq_encode("__enc", codebooks).alias("codes"),
         )
     )
-
-    def lut_col(q_emb: Column) -> Column:
-        rows = []
-        for j in range(m):
-            sub = F.slice(q_emb, j * dsub + 1, dsub)
-            rows.append(
-                F.transform(
-                    _lit_book(codebooks[j]),
-                    lambda cvec: F.aggregate(
-                        F.zip_with(
-                            sub,
-                            cvec,
-                            lambda x, y: F.floor(
-                                x.cast("double") * y * F.lit(DOT_SCALE)
-                            ),
-                        ),
-                        F.lit(0).cast("long"),
-                        lambda a, v: a + v,
-                    ),
-                )
-            )
-        return F.array(*rows)
 
     q_base = queries.select(
         F.col(id_q).alias("query_id"),
@@ -801,7 +797,7 @@ def ivfpq_topk(
         q_base.select(
             "query_id",
             "q_emb",
-            lut_col(F.col("q_emb")).alias("lut"),
+            F.expr(pq_adc_lut_sql("q_emb", codebooks)).alias("lut"),
             # explode_outer: explode would infer a size()>0 pre-filter that
             # re-evaluates the whole centroid ranking (see dedup.py pattern)
             F.explode_outer(

@@ -138,7 +138,7 @@ def test_pq_topk_recall_vs_exact(spark, sf_dir):
 def test_pq_encode_codes_in_range(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     books = SIM.train_pq_codebooks(f"{sf_dir}/embeddings.parquet")
-    codes = emb.select(SIM.pq_encode(F.col("embedding"), books).alias("c"))
+    codes = emb.select(SIM.pq_encode("embedding", books).alias("c"))
     stats = codes.select(
         F.min(F.array_min("c")).alias("lo"),
         F.max(F.array_max("c")).alias("hi"),
