@@ -622,7 +622,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (hand-assembled LZW stream + round trips) plus the CI oracle gate;
     # audio_analysis_wav enters in the tail for the same reason — the
     # recorded audio_features_wav pins the WAV decode + mapInPandas path,
-    # and the added stats are pytest- and CI-oracle-covered.
+    # and the added stats are pytest- and CI-oracle-covered;
+    # near_dup_clusters_star computes the IDENTICAL closure as the
+    # recorded near_dup_clusters (same pairs, same recursive-CTE oracle)
+    # via the large-star/small-star formulation, union-find
+    # property-pinned in tests/test_pipeline_ops.py.
     # Tail queries remain bench-covered and verified by tools/oracle_check.py;
     # tests/test_registry.py asserts every tail query is oracle-green so a
     # tail regression cannot ship behind a complete-looking driver record.
@@ -635,6 +639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_cluster_stats",
         "image_features_gif",
         "audio_analysis_wav",
+        "near_dup_clusters_star",
         "pq_topk",
         "ann_signbucket_topk",
         "rolling_fingerprints",

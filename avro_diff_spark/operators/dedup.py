@@ -781,9 +781,9 @@ def near_dup_clusters(
     iterative algorithm genuinely needs a driver-side action per round).
     Lineage is cut with ``localCheckpoint`` each round so the plan stays
     O(1) deep instead of O(iters). At adversarial diameters (million-node
-    chains) switch to the large-star/small-star formulation (Kiveris et
-    al., "Connected Components in MapReduce and Beyond") — same join
-    primitive, O(log² n) rounds; not needed for dup groups.
+    chains) use :func:`near_dup_clusters_star` — the large-star/small-star
+    formulation (Kiveris et al., "Connected Components in MapReduce and
+    Beyond"), same join primitive, O(log² n) rounds, identical output.
 
     Scale shape: each round shuffles the edge list by src — |edges| is
     near-dup-pair bounded (LSH-banded upstream, never all-pairs), and the
@@ -832,3 +832,114 @@ def near_dup_clusters(
         if new_labels.filter(F.col("__changed")).limit(1).count() == 0:
             break
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def near_dup_clusters_star(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    *,
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    operations (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") — same (doc_id, cluster_id) contract as
+    :func:`near_dup_clusters`, different convergence regime: O(log² n)
+    rounds regardless of component DIAMETER, where min-label propagation
+    needs O(diameter) rounds. Near-dup groups are short chains, so the
+    default operator stays min-label; this is the drop-in for adversarial
+    shapes (million-node chains: re-crawled boilerplate, templated spam).
+
+    Per round, each operation is a groupBy-min over the symmetric edge
+    list plus one join — NO neighborhood materialization (no
+    collect_list), so a high-degree hub costs a shuffle key, not a row of
+    unbounded width:
+
+    - large-star: every neighbor v > u re-attaches to m(u) = min(N(u) ∪
+      {u}) — breaks tall trees wide.
+    - small-star: every neighbor v ≤ u (and u itself) attaches to m(u) —
+      contracts stars onto their minimum.
+
+    Convergence is detected by (count, xor-of-hashes) stability —
+    cheap aggregates, no exceptAll; lineage is cut per round with
+    localCheckpoint like the min-label loop.
+    """
+    fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    nodes = (
+        fwd.select(F.col("src").alias("node"))
+        .union(fwd.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    edges = (
+        fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _sym(e: DataFrame) -> DataFrame:
+        return e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+    def _mins(e: DataFrame) -> DataFrame:
+        # m(u) = min over the FULL neighborhood of u, u included
+        return (
+            _sym(e)
+            .groupBy("src")
+            .agg(F.least(F.min("dst"), F.first("src")).alias("m"))
+        )
+
+    def _sig(e: DataFrame):
+        # bit_xor, not sum: order-independent over the DISTINCT edge set
+        # and cannot overflow under ANSI arithmetic
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.bit_xor(F.xxhash64(F.col("src"), F.col("dst"))), F.lit(0)
+            ).alias("h"),
+        ).first()
+        return row["n"], row["h"]
+
+    sig = _sig(edges)
+    for _ in range(max_iters):
+        # large-star over the symmetric view: (v, m(u)) for v > u
+        m = _mins(edges)
+        sym = _sym(edges)
+        large = (
+            sym.join(m, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # small-star: (v, m(u)) for v <= u, plus (u, m(u))
+        m2 = _mins(large)
+        sym2 = _sym(large)
+        small = (
+            sym2.join(m2, "src")
+            .filter(F.col("dst") <= F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .union(m2.select(F.col("src"), F.col("m").alias("dst")))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint()
+        )
+        edges = small
+        new_sig = _sig(edges)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    # converged: every non-root points directly at its component minimum
+    label = (
+        edges.groupBy("src").agg(F.min("dst").alias("root"))
+    )
+    return (
+        nodes.join(label, nodes["node"] == label["src"], "left")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.least(
+                F.col("node"), F.coalesce(F.col("root"), F.col("node"))
+            ).alias("cluster_id"),
+        )
+    )

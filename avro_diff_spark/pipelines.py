@@ -828,6 +828,20 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.near_dup_clusters(pairs)
 
 
+def q_near_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME transitive closure computed by the alternating
+    large-star/small-star formulation (Kiveris et al.) — O(log² n) rounds
+    regardless of component diameter, the drop-in for adversarial chain
+    shapes where min-label propagation needs O(diameter) rounds. Shares
+    the recursive-CTE oracle with near_dup_clusters: both must produce
+    identical (doc_id, cluster_id) sets."""
+    corpus = snap.documents_with_dups(spark, sf_dir)
+    pairs = DD.minhash_near_dups(
+        corpus, "text", "doc_id", n_hashes=32, bands=8, shingle_k=5, threshold=0.5
+    )
+    return DD.near_dup_clusters_star(pairs)
+
+
 def _near_dup_clusters_sql() -> str:
     return f"""
 WITH RECURSIVE pairs AS ({_minhash_sql()}),
@@ -1833,6 +1847,7 @@ PIPELINE_QUERIES = {
     "jaccard_pairs": q_jaccard_pairs,
     "minhash_near_dups": q_minhash_near_dups,
     "near_dup_clusters": q_near_dup_clusters,
+    "near_dup_clusters_star": q_near_dup_clusters_star,
     "simhash_near_dups": q_simhash_near_dups,
     "pack_sequences": q_pack_sequences,
     "c4_line_filter": q_c4_line_filter,
@@ -1883,6 +1898,7 @@ def pipeline_sql() -> dict[str, str]:
         "jaccard_pairs": JACCARD_PAIRS_SQL,
         "minhash_near_dups": _minhash_sql(),
         "near_dup_clusters": _near_dup_clusters_sql(),
+        "near_dup_clusters_star": _near_dup_clusters_sql(),
         "simhash_near_dups": _simhash_sql(),
         "pack_sequences": PACK_SEQUENCES_SQL,
         "c4_line_filter": _c4_sql(),
