@@ -136,3 +136,122 @@ def running_user_totals(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+SESSIONS_TWS_SCHEMA = (
+    "user_id long, session_start_us long, session_end_us long, n_events long"
+)
+
+
+def make_session_processor(gap_minutes: int = 30):
+    """StatefulProcessor for gap sessionization with CLOSED-session
+    emission — the logic core of :func:`sessionize_stream_tws`, exposed as
+    a factory so its semantics are unit-testable by driving
+    ``handleInputRows`` / ``handleExpiredTimer`` directly against a fake
+    handle (the transformWithState wire protocol needs protobuf, which
+    not every deployment ships — see :func:`sessionize_stream_tws`)."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    gap_us = gap_minutes * 60_000_000
+    gap_ms = gap_minutes * 60_000
+
+    class SessionProcessor(StatefulProcessor):
+        def init(self, handle) -> None:
+            self.handle = handle
+            self.sess = handle.getValueState(
+                "sess", "start_us long, last_us long, n long"
+            )
+
+        def _emit(self, key, start_us, last_us, n):
+            import pandas as pd
+
+            return pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start_us": [start_us],
+                    "session_end_us": [last_us],
+                    "n_events": [n],
+                }
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            ts = []
+            for pdf in rows:
+                ts.extend(int(v) for v in pdf["ts_us"].values)
+            ts.sort()
+            if self.sess.exists():
+                start, last, n = tuple(self.sess.get())
+            else:
+                start, last, n = None, None, 0
+            for t in ts:
+                if start is None:
+                    start, last, n = t, t, 1
+                elif t - last > gap_us:
+                    # a later event proves the gap: the session is closed
+                    # regardless of watermark — emit now, append-safe
+                    yield self._emit(key, start, last, n)
+                    start, last, n = t, t, 1
+                else:
+                    last, n = max(last, t), n + 1
+            self.sess.update((start, last, n))
+            # one live timer per key: the open session's close time
+            for t_ms in list(self.handle.listTimers()):
+                self.handle.deleteTimer(t_ms)
+            self.handle.registerTimer(last // 1000 + gap_ms + 1)
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            if self.sess.exists():
+                start, last, n = tuple(self.sess.get())
+                # guard against a stale timer racing a newer arrival
+                if expiredTimerInfo.getExpiryTimeInMs() >= last // 1000 + gap_ms:
+                    yield self._emit(key, start, last, n)
+                    self.sess.clear()
+
+        def close(self) -> None:
+            pass
+
+    return SessionProcessor()
+
+
+def sessionize_stream_tws(
+    events: DataFrame, *, gap_minutes: int = 30, watermark: str = "1 second"
+) -> DataFrame:
+    """Gap sessionization that emits each session exactly once, when it
+    CLOSES — via ``transformWithStateInPandas`` (the arbitrary-state API
+    that supersedes ``applyInPandasWithState``: named state slots + real
+    event-time TIMERS instead of a single opaque tuple + timeout conf).
+
+    Semantics match analytics.sessionize's boundaries exactly (a new
+    session starts when ``ts - prev_ts > gap``, strictly): a session is
+    emitted either when a later event proves the gap (in
+    ``handleInputRows``) or when the WATERMARK passes ``last + gap`` (an
+    event-time timer — ``handleExpiredTimer``), so output is append-only
+    and each closed session is final. State per user is one open session
+    (start, last, n) — O(1) regardless of history, pruned on close.
+
+    Scale shape: one shuffle on user_id into the state store (RocksDB
+    provider — transformWithState requires it), Arrow-batched Python per
+    group. Assumes per-user event-time order within the watermark bound;
+    data later than the watermark is the caller's dedup/DLQ concern.
+
+    Deployment note: the transformWithState state server speaks protobuf
+    between the JVM and the Python worker, so the ``protobuf`` package
+    must be importable on workers (stock pyspark[connect] ships it; this
+    container does not, so tests/test_streaming.py unit-drives
+    :func:`make_session_processor` against a fake handle and skips the
+    end-to-end query unless protobuf is importable — same honest-gate
+    pattern as the Pillow decoder slot).
+    """
+    ts = F.col("ts").cast("timestamp")
+    return (
+        events.withColumn("ts", ts)
+        .withWatermark("ts", watermark)
+        .select("user_id", F.unix_micros(F.col("ts")).alias("ts_us"), "ts")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            make_session_processor(gap_minutes),
+            outputStructType=SESSIONS_TWS_SCHEMA,
+            outputMode="append",
+            timeMode="eventTime",
+        )
+    )

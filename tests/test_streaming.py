@@ -365,3 +365,154 @@ def test_contamination_stream_id_col_aliases_to_doc_id(spark, sf_dir, tmp_path):
     out = spark.table("contam_alias")
     assert out.columns == ["doc_id", "n_contaminated_grams"]
     assert out.count() > 0
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas sessionization
+# ---------------------------------------------------------------------------
+
+
+class _FakeValueState:
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def clear(self):
+        self._v = None
+
+
+class _FakeHandle:
+    def __init__(self):
+        self.state = _FakeValueState()
+        self.timers = set()
+
+    def getValueState(self, name, schema, ttlDurationMs=None):
+        return self.state
+
+    def listTimers(self):
+        return iter(sorted(self.timers))
+
+    def deleteTimer(self, ms):
+        self.timers.discard(ms)
+
+    def registerTimer(self, ms):
+        self.timers.add(ms)
+
+
+class _FakeExpiredTimer:
+    def __init__(self, ms):
+        self._ms = ms
+
+    def getExpiryTimeInMs(self):
+        return self._ms
+
+
+def _drive_session_processor(batches, gap_minutes=30, close_at_end=True):
+    """Unit-drive the StatefulProcessor exactly the way the TWS runtime
+    would: per micro-batch handleInputRows, then fire any timer whose
+    expiry the (simulated) watermark passed; optionally a final no-data
+    batch that fires remaining timers."""
+    import pandas as pd
+
+    from avro_diff_spark.streaming.events import make_session_processor
+
+    proc = make_session_processor(gap_minutes)
+    handle = _FakeHandle()
+    proc.init(handle)
+    out = []
+    wm_ms = 0
+    for batch in batches:
+        pdf = pd.DataFrame({"ts_us": batch})
+        out.extend(
+            r for df in proc.handleInputRows((7,), iter([pdf]), None)
+            for r in df.itertuples(index=False)
+        )
+        wm_ms = max(wm_ms, max(batch) // 1000 - 1000)  # watermark delay 1s
+        for t in sorted(handle.timers):
+            if t <= wm_ms:
+                handle.timers.discard(t)
+                out.extend(
+                    r for df in proc.handleExpiredTimer((7,), None, _FakeExpiredTimer(t))
+                    for r in df.itertuples(index=False)
+                )
+    if close_at_end:
+        for t in sorted(handle.timers):
+            handle.timers.discard(t)
+            out.extend(
+                r for df in proc.handleExpiredTimer((7,), None, _FakeExpiredTimer(t))
+                for r in df.itertuples(index=False)
+            )
+    return [(r.session_start_us, r.session_end_us, r.n_events) for r in out]
+
+
+def test_tws_session_processor_semantics():
+    """Gap splits match the batch formulation (strict >gap), sessions span
+    micro-batches, each closed session is emitted exactly once, and the
+    final timer closes the tail session."""
+    m = 60_000_000  # one minute in us
+    # user timeline: [0, 10m, 20m] .. gap .. [60m, 65m] .. gap .. [120m]
+    batches = [
+        [0, 10 * m],
+        [20 * m, 60 * m, 65 * m],   # 60m is exactly 40m after 20m: > 30m gap
+        [120 * m],
+    ]
+    got = _drive_session_processor(batches, gap_minutes=30)
+    assert got == [
+        (0, 20 * m, 3),
+        (60 * m, 65 * m, 2),
+        (120 * m, 120 * m, 1),
+    ]
+
+
+def test_tws_session_processor_boundary_is_strict():
+    """An event exactly gap after the last does NOT open a new session —
+    identical to analytics.sessionize's strict > comparison."""
+    m = 60_000_000
+    got = _drive_session_processor([[0, 30 * m, 60 * m + 1]], gap_minutes=30)
+    # 30m after 0: same session; 30m+1us after that: strictly greater -> split
+    assert got == [(0, 30 * m, 2), (60 * m + 1, 60 * m + 1, 1)]
+
+
+def test_tws_session_processor_open_session_not_emitted():
+    """Without the closing timer, an open tail session stays in state —
+    append-only output never emits a session twice or early."""
+    m = 60_000_000
+    got = _drive_session_processor([[0, 5 * m]], gap_minutes=30, close_at_end=False)
+    assert got == []
+
+
+def _has_protobuf():
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithState's JVM<->Python state server needs protobuf "
+    "(not shipped in this container); the processor logic is unit-pinned above",
+)
+def test_sessionize_tws_end_to_end(spark, events_batch, tmp_path):
+    from avro_diff_spark.streaming.events import sessionize_stream_tws
+
+    src = str(tmp_path / "in")
+    events_batch.write.parquet(src)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    stream = spark.readStream.schema(events_batch.schema).parquet(src)
+    _run_to_memory(
+        sessionize_stream_tws(stream, gap_minutes=30), "tws_e2e", "append", tmp_path
+    )
+    assert spark.table("tws_e2e").count() >= 0
