@@ -1,0 +1,108 @@
+"""Z-order clustering layout tests — physical verification via parquet
+footers (the stats a real scan's file pruning consults), not plan text."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from avro_diff_spark.operators.layout import file_stats, write_zordered, zorder_key
+
+
+def _avg_fractional_bbox(stats, cols, spans):
+    """Mean over files of the product of per-column fractional ranges —
+    the fraction of the 2-D key space a file covers (smaller = a filter
+    on any clustered column skips more files)."""
+    areas = []
+    for s in stats:
+        area = 1.0
+        for c in cols:
+            lo, hi = s[c]
+            area *= (hi - lo) / spans[c]
+        areas.append(area)
+    return sum(areas) / len(areas)
+
+
+def test_zorder_bbox_beats_linear_sort(spark, sf_dir, tmp_path):
+    """Against a linear sort on the first column: z-order keeps BOTH
+    columns' per-file ranges narrow; the linear layout leaves the second
+    column's range as wide as the table in every file."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    cols = ["l_orderkey", "l_partkey"]
+    spans = {
+        c: v for c, v in zip(
+            cols,
+            li.agg(*[
+                (F.max(c) - F.min(c)).cast("double").alias(c) for c in cols
+            ]).first(),
+        )
+    }
+
+    z_path = str(tmp_path / "zorder")
+    lin_path = str(tmp_path / "linear")
+    n_files = 8
+    write_zordered(li, z_path, cols, n_files=n_files)
+    (
+        li.repartitionByRange(n_files, F.col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey")
+        .write.parquet(lin_path)
+    )
+
+    z_stats = file_stats(z_path, cols)
+    lin_stats = file_stats(lin_path, cols)
+    assert len(z_stats) == n_files and len(lin_stats) == n_files
+
+    z_area = _avg_fractional_bbox(z_stats, cols, spans)
+    lin_area = _avg_fractional_bbox(lin_stats, cols, spans)
+    # linear: first column ~1/8 span, second ~full span -> area ~1/8.
+    # z-order: both ~1/(sqrt(8)) -> area ~1/8 BUT spread across both
+    # dimensions; the win shows on the SECOND column's width:
+    z_second = sum((s[cols[1]][1] - s[cols[1]][0]) / spans[cols[1]] for s in z_stats) / n_files
+    lin_second = sum((s[cols[1]][1] - s[cols[1]][0]) / spans[cols[1]] for s in lin_stats) / n_files
+    assert z_second < 0.7 * lin_second, (z_second, lin_second)
+    # the combined bbox stays the same order of magnitude (files that
+    # straddle a Z-range boundary widen both dims a little; the balanced
+    # per-dimension coverage above is the property that prunes)
+    assert z_area <= lin_area * 3, (z_area, lin_area)
+
+    # no rows lost or duplicated by the rewrite
+    assert spark.read.parquet(z_path).count() == li.count()
+
+
+def test_zorder_prunes_files_on_either_dimension(spark, sf_dir, tmp_path):
+    """A narrow filter on EITHER clustered column touches a strict subset
+    of the z-ordered files (footer ranges disjoint from the predicate) —
+    the skipping a 100 TB scan actually performs."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    cols = ["l_orderkey", "l_partkey"]
+    path = str(tmp_path / "z2")
+    write_zordered(li, path, cols, n_files=8)
+    stats = file_stats(path, cols)
+
+    for c in cols:
+        vals = sorted(v for s in stats for v in s[c])
+        lo = vals[0]
+        # a point-ish predicate at the low end of the domain
+        probe = lo + (vals[-1] - lo) // 100
+        touched = [s for s in stats if s[c][0] <= probe and probe <= s[c][1]]
+        assert 0 < len(touched) < len(stats), (c, len(touched))
+
+
+def test_zorder_key_is_deterministic_and_total(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    k1 = zorder_key(li, ["l_orderkey", "l_partkey"], bits=8)
+    assert k1.count() == li.count()
+    a = sorted(r["__zkey"] for r in k1.select("__zkey").collect())
+    b = sorted(
+        r["__zkey"]
+        for r in zorder_key(li, ["l_orderkey", "l_partkey"], bits=8)
+        .select("__zkey")
+        .collect()
+    )
+    assert a == b
+    assert all(0 <= v < (1 << 16) for v in a)  # 2 cols x 8 bits
