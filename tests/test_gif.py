@@ -109,3 +109,25 @@ def test_auto_decoder_routes_gif_real():
     stats = auto_image_decoder(encode_gif(idx, PAL4))
     assert (stats["width"], stats["height"], stats["channels"]) == (8, 6, 3)
     assert stats["mean_byte"] == pytest.approx(float(PAL4[idx].mean()))
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.integers(1, 50),
+    h=st.integers(1, 50),
+    nbits=st.integers(1, 8),
+    seed=st.integers(0, 2**31),
+)
+def test_gif_roundtrip_property(w, h, nbits, seed):
+    """GIF is lossless: ANY indices/palette round-trip bit-exactly, at
+    every palette size, including 1-pixel images and streams that grow
+    the LZW table across width boundaries."""
+    rng = np.random.default_rng(seed)
+    n = 1 << nbits
+    pal = rng.integers(0, 256, size=(n, 3)).astype(np.uint8)
+    idx = rng.integers(0, n, size=(h, w)).astype(np.uint8)
+    dec = decode_gif(encode_gif(idx, pal))
+    assert (dec == pal[idx]).all()

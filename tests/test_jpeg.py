@@ -166,3 +166,46 @@ def test_auto_decoder_routes_jpeg_real():
     stats = auto_image_decoder(encode_jpeg(img, quant_tables=(Q16, Q16)))
     assert (stats["width"], stats["height"], stats["channels"]) == (9, 16, 1)
     assert stats["mean_byte"] == 120.0
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 40),
+    seed=st.integers(0, 2**31),
+    quality=st.integers(70, 100),
+)
+def test_roundtrip_psnr_property_gray(w, h, seed, quality):
+    """Any grayscale image at quality >= 70 reconstructs above 28 dB and
+    with exact shape — including 1-pixel strips and non-multiple-of-8
+    sizes (crop/pad paths)."""
+    rng = np.random.default_rng(seed)
+    # smooth-ish content (pure noise is the adversarial case for DCT and
+    # has no PSNR guarantee at any codec's settings)
+    base = rng.integers(0, 256, size=(max(1, h // 4) + 1, max(1, w // 4) + 1))
+    img = np.kron(base, np.ones((4, 4)))[:h, :w].astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(img, quality=quality))
+    assert dec.shape == (h, w, 1)
+    mse = np.mean((dec[:, :, 0].astype(float) - img) ** 2)
+    if mse > 0:
+        assert 10 * np.log10(255**2 / mse) > 28, (w, h, quality, mse)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    w=st.integers(1, 33),
+    h=st.integers(1, 26),
+    seed=st.integers(0, 2**31),
+    subsampling=st.sampled_from(["4:4:4", "4:2:2", "4:2:0"]),
+)
+def test_roundtrip_shape_property_color(w, h, seed, subsampling):
+    """Every (size, subsampling) combination round-trips with the exact
+    input shape — MCU padding and chroma up/downsampling never leak into
+    the output geometry."""
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(img, quality=90, subsampling=subsampling))
+    assert dec.shape == (h, w, 3)
