@@ -168,13 +168,108 @@ def venn_diff_main(argv: list[str] | None = None) -> int:
     return 0
 
 
+def dedup_main(argv: list[str] | None = None) -> int:
+    """Corpus dedup over one Avro/parquet dataset — the pipeline tier's
+    dedup family behind the same CLI conventions as the diff binaries
+    (beyond-reference surface; the reference has no single-dataset ops)."""
+    p = argparse.ArgumentParser(
+        prog="dedup", description="Deduplicate one Avro/parquet document dataset."
+    )
+    p.add_argument("input")
+    p.add_argument("--format", choices=["auto", "avro", "parquet"], default="auto")
+    p.add_argument("--method", choices=["exact", "minhash", "simhash"], default="exact")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--threshold", type=float, default=0.8, help="minhash Jaccard threshold")
+    p.add_argument("--max-hamming", type=int, default=3, help="simhash Hamming radius")
+    p.add_argument(
+        "--emit",
+        choices=["survivors", "pairs", "clusters"],
+        default="survivors",
+        help="survivors = one doc per duplicate group (near-dup methods "
+        "close pairs transitively first); pairs = the raw near-dup pairs; "
+        "clusters = (doc_id, cluster_id) assignment",
+    )
+    p.add_argument("--output", default=None, help="sink output path (default: print)")
+    p.add_argument(
+        "--output-format", choices=["parquet", "avro"], default="parquet"
+    )
+    p.add_argument("--limit", type=int, default=50)
+    p.add_argument("--master", default=None)
+    args = p.parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from avro_diff_spark.operators import dedup as DD
+
+    spark = _session(args)
+    docs = _read(spark, args.input, args.format, None, None)
+    n_docs = docs.count()
+
+    if args.method == "exact":
+        from avro_diff_spark.functions.text import fingerprint_md5
+
+        # (doc_id, cluster_id) directly from the fingerprint groupBy —
+        # min id per fingerprint is the survivor, same rule as exact_dedup
+        fp = docs.select(
+            F.col(args.id_col).alias("doc_id"),
+            fingerprint_md5(F.col(args.text_col)).alias("fingerprint"),
+        )
+        mins = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("cluster_id"))
+        assign = fp.join(mins, "fingerprint").select("doc_id", "cluster_id")
+        pairs = None
+    else:
+        if args.method == "minhash":
+            pairs = DD.minhash_near_dups(
+                docs, args.text_col, args.id_col, threshold=args.threshold
+            )
+        else:
+            pairs = DD.simhash_near_dups(
+                docs, args.text_col, args.id_col, max_hamming=args.max_hamming
+            )
+        assign = DD.near_dup_clusters(pairs)
+        # singletons (no near-dup) keep their own id as cluster
+        ids = docs.select(F.col(args.id_col).alias("doc_id"))
+        assign = (
+            ids.join(assign, "doc_id", "left")
+            .select("doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"))
+        )
+
+    if args.emit == "pairs":
+        if pairs is None:
+            print("exact method emits no pairs; use --emit clusters/survivors", file=sys.stderr)
+            return 2
+        out, order = pairs, [F.col("doc_a").asc(), F.col("doc_b").asc()]
+    elif args.emit == "clusters":
+        out, order = assign, [F.col("doc_id").asc()]
+    else:
+        survivors = assign.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
+        out = docs.join(
+            survivors.withColumnRenamed("doc_id", args.id_col), args.id_col
+        )
+        order = [F.col(args.id_col).asc()]
+
+    n_groups = assign.select("cluster_id").distinct().count() if args.emit != "pairs" else None
+    print(f"# of input rows: {n_docs}")
+    if n_groups is not None:
+        print(f"# of distinct groups: {n_groups}")
+        print(f"# of duplicate rows dropped by survivors: {n_docs - n_groups}")
+    _emit(out, args.output, args.limit, order_by=order, fmt=args.output_format)
+    return 0
+
+
+_COMMANDS = {"key_diff": key_diff_main, "venn_diff": venn_diff_main, "dedup": dedup_main}
+
+
 def main() -> int:
-    """Dispatcher: python -m avro_diff_spark.cli {key_diff|venn_diff} ..."""
-    if len(sys.argv) < 2 or sys.argv[1] not in ("key_diff", "venn_diff"):
-        print("usage: python -m avro_diff_spark.cli {key_diff|venn_diff} ...", file=sys.stderr)
+    """Dispatcher: python -m avro_diff_spark.cli {key_diff|venn_diff|dedup} ..."""
+    if len(sys.argv) < 2 or sys.argv[1] not in _COMMANDS:
+        print(
+            "usage: python -m avro_diff_spark.cli {key_diff|venn_diff|dedup} ...",
+            file=sys.stderr,
+        )
         return 2
-    cmd, argv = sys.argv[1], sys.argv[2:]
-    return key_diff_main(argv) if cmd == "key_diff" else venn_diff_main(argv)
+    return _COMMANDS[sys.argv[1]](sys.argv[2:])
 
 
 if __name__ == "__main__":

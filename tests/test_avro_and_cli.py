@@ -347,3 +347,35 @@ def test_key_diff_skewed_hot_key_runbook(spark):
     assert d.filter(F.col("k") == "7").count() == 1
     assert counts.get("changed", 0) == sum(1 for i in range(hot, n) if i % 10 == 0)
     assert sum(counts.values()) == (n - hot) + 1  # every key exactly once
+
+
+def test_cli_dedup_exact_and_minhash(spark, tmp_path, capsys):
+    """dedup subcommand: exact survivors keep one doc per identical text
+    (min id), minhash clusters collapse near-identical docs, and the
+    parquet sink round-trips."""
+    from avro_diff_spark.cli import dedup_main
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog today"),   # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy dog todays"),  # near dup
+        (4, "completely different text about spark and parquet files"),
+    ]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+
+    rc = dedup_main([src, "--method", "exact", "--emit", "clusters"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "# of input rows: 4" in out
+    assert "# of distinct groups: 3" in out
+
+    sink = str(tmp_path / "survivors")
+    rc = dedup_main(
+        [src, "--method", "minhash", "--threshold", "0.5", "--output", sink]
+    )
+    assert rc == 0
+    kept = {r.doc_id for r in spark.read.parquet(sink).collect()}
+    assert 1 in kept and 4 in kept and 2 not in kept  # 2 collapses into 1
+    out = capsys.readouterr().out
+    assert "# of input rows: 4" in out
