@@ -829,12 +829,13 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_near_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The SAME transitive closure computed by the alternating
+    """The same transitive-closure contract computed by the alternating
     large-star/small-star formulation (Kiveris et al.) — O(log² n) rounds
     regardless of component diameter, the drop-in for adversarial chain
     shapes where min-label propagation needs O(diameter) rounds. Shares
-    the recursive-CTE oracle with near_dup_clusters: both must produce
-    identical (doc_id, cluster_id) sets."""
+    the recursive-CTE oracle with near_dup_clusters: both formulations
+    must produce identical (doc_id, cluster_id) sets from the same
+    MinHash pair list."""
     corpus = snap.documents_with_dups(spark, sf_dir)
     pairs = DD.minhash_near_dups(
         corpus, "text", "doc_id", n_hashes=32, bands=8, shingle_k=5, threshold=0.5
@@ -842,9 +843,9 @@ def q_near_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.near_dup_clusters_star(pairs)
 
 
-def _near_dup_clusters_sql() -> str:
+def _closure_sql(pairs_sql: str) -> str:
     return f"""
-WITH RECURSIVE pairs AS ({_minhash_sql()}),
+WITH RECURSIVE pairs AS ({pairs_sql}),
 edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
   UNION
@@ -858,6 +859,10 @@ reach AS (
 )
 SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node
 """
+
+
+def _near_dup_clusters_sql() -> str:
+    return _closure_sql(_minhash_sql())
 
 
 # --------------------------------------------------------------------------
