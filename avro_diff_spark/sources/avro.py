@@ -230,7 +230,12 @@ def _read_avro_fallback(
             schema, _, _, _ = ocf.read_header_from_file(f)
     spark_schema = ocf.avro_to_spark_schema(schema)
     names = [f.name for f in spark_schema.fields]
-    project = avro_schema is not None
+    # A caller-supplied schema is a true Avro READER schema: per-task
+    # decode resolves writer-shaped bytes into it (field match by
+    # name/alias, writer-only fields skipped, reader defaults, numeric
+    # promotions — ocf.make_resolver), exactly what spark-avro's
+    # ``avroSchema`` option does on the connector path.
+    reader = schema if avro_schema is not None else None
 
     splits = [
         (fp, s, min(s + split_size, os.path.getsize(fp)))
@@ -245,9 +250,8 @@ def _read_avro_fallback(
         for pdf in batches:
             for fp, s, e in zip(pdf["path"], pdf["start"], pdf["stop"]):
                 rows = []
-                for rec in ocf.iter_ocf_file_range(fp, int(s), int(e)):
-                    # reader-schema projection: keep declared fields only
-                    rows.append({n: rec.get(n) for n in names} if project else rec)
+                for rec in ocf.iter_ocf_file_range(fp, int(s), int(e), reader_schema=reader):
+                    rows.append(rec)
                     if len(rows) >= 4096:  # bound task memory per Arrow batch
                         yield pd.DataFrame.from_records(rows, columns=names)
                         rows = []

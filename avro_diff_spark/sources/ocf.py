@@ -30,6 +30,15 @@ Scope and divergences (documented, deliberate):
   The reference itself stores timestamps as raw longs / ISO strings
   (SURVEY.md §1.2) and never declares logical types, so this is strictly
   beyond-reference hardening for real-world Avro corpora.
+- Schema resolution (Avro spec "Schema Resolution"): a reader schema
+  distinct from the file's writer schema resolves per the spec —
+  name/alias field matching, skipped writer-only fields, reader-field
+  JSON defaults, int→long/float/double + long→float/double +
+  float→double promotions, string↔bytes, enum symbol mapping with
+  reader ``default``, and union re-resolution (:func:`make_resolver`,
+  compiled once per schema pair into a closure tree). This is the same
+  contract avro-js's resolvers give the reference and spark-avro's
+  ``avroSchema`` option gives the connector path.
 - Codecs: ``null``, ``deflate`` (raw RFC-1951, exactly the spec), and
   ``snappy`` — a from-scratch implementation of the raw Snappy block
   format (varint preamble + literal/copy elements) below, so the
@@ -345,6 +354,346 @@ def _decode(buf: bytes, pos: int, schema) -> tuple[object, int]:
 
 
 # --------------------------------------------------------------------------
+# schema resolution (Avro spec "Schema Resolution"): decode data written
+# with WRITER's schema into values shaped by READER's schema. This is what
+# makes ``avroSchema`` a real reader schema — the same contract avro-js
+# gives the reference via its resolver machinery and spark-avro gives the
+# connector path — instead of a mere field-name projection: field matching
+# by name OR reader alias, writer-only fields skipped without
+# materialization, reader-only fields filled from their JSON defaults,
+# numeric promotions (int→long/float/double, long→float/double,
+# float→double), string↔bytes, enum symbol mapping with reader default,
+# and union re-resolution on both sides. Resolvers compile ONCE per
+# (writer, reader) pair into a closure tree, so the per-record hot path
+# does no schema inspection at all.
+# --------------------------------------------------------------------------
+
+# writer type → reader types it may promote to (Avro spec resolution table)
+_PROMOTES = {
+    "int": ("long", "float", "double"),
+    "long": ("float", "double"),
+    "float": ("double",),
+    "string": ("bytes",),
+    "bytes": ("string",),
+}
+
+
+def _short_name(schema) -> str | None:
+    if isinstance(schema, dict) and "name" in schema:
+        return schema["name"].rsplit(".", 1)[-1]
+    return None
+
+
+def _names_match(writer, reader) -> bool:
+    """Named-type match: equal short names, reader alias hit, or either
+    side anonymous (pragmatic relaxation — single-candidate contexts)."""
+    wn, rn = _short_name(writer), _short_name(reader)
+    if wn is None or rn is None or wn == rn:
+        return True
+    aliases = reader.get("aliases", ()) if isinstance(reader, dict) else ()
+    return wn in {a.rsplit(".", 1)[-1] for a in aliases}
+
+
+def _branch_matches(writer, reader) -> bool:
+    """Can ``writer`` (non-union) resolve against reader-union branch
+    ``reader``? Used only to pick the branch; full checking happens when
+    the branch resolver compiles."""
+    if isinstance(reader, list):
+        return any(_branch_matches(writer, b) for b in reader)
+    wt, rt = _type_name(writer), _type_name(reader)
+    if wt == rt:
+        return _names_match(writer, reader) if rt in ("record", "enum", "fixed") else True
+    return rt in _PROMOTES.get(wt, ())
+
+
+def json_default_value(default, schema):
+    """Avro JSON default → the runtime value :func:`_decode` would produce.
+
+    Per spec, a union field's default is written in the schema of the
+    union's FIRST branch. ``bytes``/``fixed`` defaults are JSON strings
+    whose code points are the byte values (latin-1). Logical annotations
+    on the reader field apply to defaults too (spark-avro behavior), so a
+    defaulted date/timestamp/decimal lands as the same Python type decoded
+    values do.
+    """
+    if isinstance(schema, list):
+        schema = schema[0]
+    t = _type_name(schema)
+    lt = _logical_of(schema)
+    if t == "null":
+        return None
+    if t == "boolean":
+        return bool(default)
+    if t in ("int", "long"):
+        return _decode_logical_int(int(default), lt) if lt else int(default)
+    if t in ("float", "double"):
+        return float(default)
+    if t in ("bytes", "fixed"):
+        raw = default.encode("latin-1") if isinstance(default, str) else bytes(default)
+        return _decode_decimal(raw, schema) if lt == "decimal" else raw
+    if t in ("string", "enum"):
+        return str(default)
+    if t == "array":
+        return [json_default_value(v, schema["items"]) for v in default]
+    if t == "map":
+        return {k: json_default_value(v, schema["values"]) for k, v in default.items()}
+    if t == "record":
+        out = {}
+        for f in schema["fields"]:
+            if f["name"] in default:
+                out[f["name"]] = json_default_value(default[f["name"]], f["type"])
+            elif "default" in f:
+                out[f["name"]] = json_default_value(f["default"], f["type"])
+            else:
+                raise ValueError(f"record default missing field {f['name']!r}")
+        return out
+    raise ValueError(f"no default conversion for Avro type {t!r}")
+
+
+def make_skipper(schema):
+    """Compile ``fn(buf, pos) -> pos`` that skips one value of ``schema``
+    without materializing it (writer-only fields). Array/map blocks with a
+    negative count carry a byte size — those skip in O(1)."""
+    if isinstance(schema, list):
+        subs = [make_skipper(b) for b in schema]
+
+        def skip_union(buf, pos):
+            idx, pos = _read_long(buf, pos)
+            return subs[idx](buf, pos)
+
+        return skip_union
+    t = _type_name(schema)
+    if t == "null":
+        return lambda buf, pos: pos
+    if t == "boolean":
+        return lambda buf, pos: pos + 1
+    if t in ("int", "long", "enum"):
+        return lambda buf, pos: _read_long(buf, pos)[1]
+    if t == "float":
+        return lambda buf, pos: pos + 4
+    if t == "double":
+        return lambda buf, pos: pos + 8
+    if t in ("bytes", "string"):
+
+        def skip_sized(buf, pos):
+            n, pos = _read_long(buf, pos)
+            return pos + n
+
+        return skip_sized
+    if t == "fixed":
+        size = schema["size"]
+        return lambda buf, pos: pos + size
+    if t == "record":
+        fields = [make_skipper(f["type"]) for f in schema["fields"]]
+
+        def skip_record(buf, pos):
+            for fn in fields:
+                pos = fn(buf, pos)
+            return pos
+
+        return skip_record
+    if t in ("array", "map"):
+        item = make_skipper(schema["items"]) if t == "array" else None
+        val = make_skipper(schema["values"]) if t == "map" else None
+
+        def skip_blocks(buf, pos):
+            while True:
+                cnt, pos = _read_long(buf, pos)
+                if cnt == 0:
+                    return pos
+                if cnt < 0:  # size-prefixed block: skip wholesale
+                    sz, pos = _read_long(buf, pos)
+                    pos += sz
+                    continue
+                for _ in range(cnt):
+                    if t == "array":
+                        pos = item(buf, pos)
+                    else:
+                        n, pos = _read_long(buf, pos)  # map key
+                        pos = val(buf, pos + n)
+            return pos
+
+        return skip_blocks
+    raise ValueError(f"unsupported Avro type: {t!r}")
+
+
+def make_resolver(writer, reader):
+    """Compile ``fn(buf, pos) -> (value, pos)`` decoding writer-shaped bytes
+    into reader-shaped values (Avro spec schema resolution)."""
+    # writer union: decode the branch index, resolve that branch. Branch
+    # resolvers compile lazily — per spec, an unresolvable branch is an
+    # error only when data actually takes it.
+    if isinstance(writer, list):
+        cells = [None] * len(writer)
+        branches = list(writer)
+
+        def res_wunion(buf, pos):
+            idx, pos = _read_long(buf, pos)
+            fn = cells[idx]
+            if fn is None:
+                fn = cells[idx] = make_resolver(branches[idx], reader)
+            return fn(buf, pos)
+
+        return res_wunion
+    # reader union (writer not): first matching branch wins; the decoded
+    # Python value carries no branch tag, so delegation suffices.
+    if isinstance(reader, list):
+        for b in reader:
+            if _branch_matches(writer, b):
+                return make_resolver(writer, b)
+        raise ValueError(f"writer {writer!r} matches no reader union branch {reader!r}")
+
+    wt, rt = _type_name(writer), _type_name(reader)
+    rlt = _logical_of(reader)
+
+    if rt in ("record", "enum", "fixed") and (wt != rt or not _names_match(writer, reader)):
+        raise ValueError(f"cannot resolve writer {wt!r}/{_short_name(writer)!r} "
+                         f"to reader {rt!r}/{_short_name(reader)!r}")
+
+    if rt == "record":
+        # reader fields by name and by alias (aliases matched against
+        # writer names, spec "aliases")
+        rby = {}
+        for rf in reader["fields"]:
+            for key in (rf["name"], *rf.get("aliases", ())):
+                rby.setdefault(key.rsplit(".", 1)[-1], rf)
+        plan = []  # (reader_field_name | None, resolver | skipper)
+        matched = set()
+        for wf in writer["fields"]:
+            rf = rby.get(wf["name"])
+            if rf is not None and id(rf) not in matched:
+                matched.add(id(rf))
+                plan.append((rf["name"], make_resolver(wf["type"], rf["type"])))
+            else:
+                plan.append((None, make_skipper(wf["type"])))
+        defaults = []
+        for rf in reader["fields"]:
+            if id(rf) not in matched:
+                if "default" not in rf:
+                    raise ValueError(
+                        f"reader field {rf['name']!r} absent from writer schema "
+                        "and declares no default"
+                    )
+                v = json_default_value(rf["default"], rf["type"])
+                defaults.append((rf["name"], v, isinstance(v, (list, dict))))
+
+        def res_record(buf, pos):
+            rec = {}
+            for name, fn in plan:
+                if name is None:
+                    pos = fn(buf, pos)
+                else:
+                    rec[name], pos = fn(buf, pos)
+            for name, v, container in defaults:
+                rec[name] = (list(v) if isinstance(v, list) else dict(v)) if container else v
+            return rec, pos
+
+        return res_record
+
+    if rt == "enum":
+        rsyms = set(reader["symbols"])
+        rdef = reader.get("default")
+        table = [s if s in rsyms else rdef for s in writer["symbols"]]
+
+        def res_enum(buf, pos):
+            idx, pos = _read_long(buf, pos)
+            v = table[idx]
+            if v is None:
+                raise ValueError(
+                    f"writer enum symbol {writer['symbols'][idx]!r} not in reader "
+                    "symbols and reader declares no default"
+                )
+            return v, pos
+
+        return res_enum
+
+    if rt == "array":
+        if wt != "array":
+            raise ValueError(f"cannot resolve writer {wt!r} to reader array")
+        item = make_resolver(writer["items"], reader["items"])
+
+        def res_array(buf, pos):
+            items = []
+            while True:
+                cnt, pos = _read_long(buf, pos)
+                if cnt == 0:
+                    return items, pos
+                if cnt < 0:
+                    _, pos = _read_long(buf, pos)
+                    cnt = -cnt
+                for _ in range(cnt):
+                    v, pos = item(buf, pos)
+                    items.append(v)
+
+        return res_array
+
+    if rt == "map":
+        if wt != "map":
+            raise ValueError(f"cannot resolve writer {wt!r} to reader map")
+        val = make_resolver(writer["values"], reader["values"])
+
+        def res_map(buf, pos):
+            entries = {}
+            while True:
+                cnt, pos = _read_long(buf, pos)
+                if cnt == 0:
+                    return entries, pos
+                if cnt < 0:
+                    _, pos = _read_long(buf, pos)
+                    cnt = -cnt
+                for _ in range(cnt):
+                    key, pos = _read_sized(buf, pos)
+                    v, pos = val(buf, pos)
+                    entries[key.decode("utf-8")] = v
+
+        return res_map
+
+    if rt == "fixed":
+        if writer["size"] != reader["size"]:
+            raise ValueError(
+                f"fixed size mismatch: writer {writer['size']} vs reader {reader['size']}"
+            )
+        return lambda buf, pos: _decode(buf, pos, reader)
+
+    # primitives (+ promotions); the reader's logical annotation decides the
+    # output Python type — raw writer primitive first, reader transform after
+    if rt == wt and not (rt in ("int", "long") and rlt) and not (
+        rt == "bytes" and rlt == "decimal"
+    ):
+        return lambda buf, pos, _s=reader: _decode(buf, pos, _s)
+    if wt == rt or rt in _PROMOTES.get(wt, ()):
+        if wt in ("int", "long"):
+
+            def res_int(buf, pos):
+                v, pos = _read_long(buf, pos)
+                if rt in ("float", "double"):
+                    return float(v), pos
+                return (_decode_logical_int(v, rlt) if rlt else v), pos
+
+            return res_int
+        if wt == "float":
+            return lambda buf, pos: (struct.unpack_from("<f", buf, pos)[0], pos + 4)
+        if wt == "string" and rt == "bytes":
+
+            def res_s2b(buf, pos):
+                data, pos = _read_sized(buf, pos)
+                return bytes(data), pos
+
+            return res_s2b
+        if wt == "bytes" and rt == "string":
+
+            def res_b2s(buf, pos):
+                data, pos = _read_sized(buf, pos)
+                return data.decode("utf-8"), pos
+
+            return res_b2s
+        if wt == "bytes" and rlt == "decimal":
+            return lambda buf, pos, _s=reader: _decode(buf, pos, _s)
+        return lambda buf, pos, _s=writer: _decode(buf, pos, _s)
+    raise ValueError(f"cannot resolve writer type {wt!r} to reader type {rt!r}")
+
+
+# --------------------------------------------------------------------------
 # raw Snappy block format (https://github.com/google/snappy format_description)
 #
 # Implemented from the public format description so the reference's flagship
@@ -565,9 +914,20 @@ def read_ocf_header(data: bytes) -> tuple[dict, str, bytes, int]:
     return schema, codec, sync, pos + 16
 
 
-def iter_ocf(data: bytes) -> Iterator[dict]:
-    """Decode every record of an OCF held in memory."""
+def _record_decoder(writer_schema, reader_schema):
+    """``fn(buf, pos) -> (record, pos)`` — plain writer decode when no
+    distinct reader schema is given, a compiled schema-resolution closure
+    (:func:`make_resolver`) otherwise."""
+    if reader_schema is None or reader_schema == writer_schema:
+        return lambda buf, pos: _decode(buf, pos, writer_schema)
+    return make_resolver(writer_schema, reader_schema)
+
+
+def iter_ocf(data: bytes, reader_schema: dict | None = None) -> Iterator[dict]:
+    """Decode every record of an OCF held in memory, optionally resolving
+    to ``reader_schema`` (Avro spec schema resolution)."""
     schema, codec, sync, pos = read_ocf_header(data)
+    dec = _record_decoder(schema, reader_schema)
     n = len(data)
     while pos < n:
         cnt, pos = _read_long(data, pos)
@@ -578,7 +938,7 @@ def iter_ocf(data: bytes) -> Iterator[dict]:
         block = _decompress(bytes(raw), codec)
         bpos = 0
         for _ in range(cnt):
-            rec, bpos = _decode(block, bpos, schema)
+            rec, bpos = dec(block, bpos)
             yield rec
 
 
@@ -603,7 +963,9 @@ def read_header_from_file(f: BinaryIO) -> tuple[dict, str, bytes, int]:
             data += more
 
 
-def iter_ocf_file_range(path: str, start: int, end: int) -> Iterator[dict]:
+def iter_ocf_file_range(
+    path: str, start: int, end: int, reader_schema: dict | None = None
+) -> Iterator[dict]:
     """Decode the OCF blocks of ``path`` owned by the byte range [start, end).
 
     This is what makes ONE large container file parallelize: the scan layer
@@ -630,6 +992,7 @@ def iter_ocf_file_range(path: str, start: int, end: int) -> Iterator[dict]:
         return
     with open(path, "rb") as f:
         schema, codec, sync, _ = read_header_from_file(f)
+        dec = _record_decoder(schema, reader_schema)
         f.seek(start)
         # +15: a marker may START before ``end`` but extend past it
         buf = bytearray(f.read(end - start + 15))
@@ -664,7 +1027,7 @@ def iter_ocf_file_range(path: str, start: int, end: int) -> Iterator[dict]:
             block = _decompress(bytes(buf[q : q + sz]), codec)
             bpos = 0
             for _ in range(cnt):
-                rec, bpos = _decode(block, bpos, schema)
+                rec, bpos = dec(block, bpos)
                 yield rec
             search = q + sz  # the trailing sync may start the next owned block
 
