@@ -754,7 +754,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # near_dup_clusters_star computes the IDENTICAL closure as the
     # recorded near_dup_clusters (same pairs, same recursive-CTE oracle)
     # via the large-star/small-star formulation, union-find
-    # property-pinned in tests/test_pipeline_ops.py.
+    # property-pinned in tests/test_pipeline_ops.py;
+    # image_features_jpeg_progressive enters directly in the tail — the
+    # recorded image_features_jpeg pins the identical mapInPandas
+    # plumbing and payload law, the SOF2 codec itself is pinned by
+    # tests/test_jpeg_progressive.py (decode(progressive) ==
+    # decode(baseline) hypothesis equivalence), and the CI oracle gate
+    # value-hashes it every pytest run.
     # Round-5 demotion for key_diff_avro_evolved (schema resolution on the
     # distributed OCF path): embedding_near_dups moves to the tail — the
     # recorded embedding_near_dups_rp executes the IDENTICAL banded
@@ -774,6 +780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_metadata",
         "kmeans_cluster_stats",
         "image_features_gif",
+        "image_features_jpeg_progressive",
         "audio_analysis_wav",
         "near_dup_clusters_star",
         "pq_topk",

@@ -12,17 +12,25 @@ yuana97/Avro_Diff src/index.js, is Avro/text only — SURVEY.md §1.1).
 
 Scope (documented, deliberate):
 
-- decode: baseline DCT (SOF0), 8-bit samples, Huffman entropy coding,
+- decode: baseline DCT (SOF0) AND progressive DCT (SOF2, T.81 Annex G:
+  spectral selection + successive approximation — DC/AC first and
+  refinement passes, EOB runs, interleaved DC scans, per-component
+  non-interleaved AC scans), 8-bit samples, Huffman entropy coding,
   1-component grayscale and 3-component YCbCr with any integer sampling
   factors (covers 4:4:4 / 4:2:2 / 4:2:0), restart markers (DRI/RST0-7),
-  16-bit DQT precision, multi-table DQT/DHT segments. Progressive (SOF2),
-  arithmetic coding (SOF9+), 12-bit, and 4-component CMYK raise
-  ValueError and fall through multimodal.auto_image_decoder to the
-  deterministic fake.
+  16-bit DQT precision, multi-table DQT/DHT segments. Arithmetic coding
+  (SOF9+), 12-bit, hierarchical, and 4-component CMYK raise ValueError
+  and fall through multimodal.auto_image_decoder to the deterministic
+  fake.
 - encode: exists for fixture generation and round-trip testing —
   grayscale or RGB input, 4:4:4 or 4:2:0 subsampling, Annex K Huffman
   tables, IJG-style quality scaling of the Annex K quantization tables or
-  caller-supplied tables, optional restart interval.
+  caller-supplied tables, optional restart interval. A progressive
+  encoder (:func:`encode_progressive_jpeg`) emits the libjpeg
+  ``jpeg_simple_progression`` scan script (or a caller script) with full
+  successive approximation, so decode(progressive) == decode(baseline)
+  exactly for the same image and quantizers — the coefficient stream is
+  identical, only its scan order differs.
 - both sides use the orthonormal 2-D DCT as an 8x8 matrix sandwich in
   float64 (FDCT ``C @ (x-128) @ C.T``, IDCT ``C.T @ X @ C + 128``), so a
   DC-only block reconstructs its flat value bit-exactly — which is what
@@ -280,8 +288,9 @@ def _magnitude(v: int) -> tuple[int, int]:
 # ---------------------------------------------------------------------------
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Decode a baseline JPEG to a (h, w, channels) uint8 array
-    (channels 1 for grayscale, 3 for YCbCr->RGB)."""
+    """Decode a baseline (SOF0/1) or progressive (SOF2) JPEG to a
+    (h, w, channels) uint8 array (channels 1 for grayscale, 3 for
+    YCbCr->RGB)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
@@ -289,6 +298,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None  # (h, w, comps) where comps = [(cid, hi, vi, tq)]
     restart_interval = 0
+    progressive = False
+    coefs: dict[int, np.ndarray] = {}  # cid -> (by, bx, 64) zigzag coeffs
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad marker alignment")
@@ -296,6 +307,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         if marker == 0xD9:  # EOI
             break
         seglen = struct.unpack_from(">H", payload, pos + 2)[0]
+        if pos + 2 + seglen > len(payload):
+            raise ValueError("truncated JPEG segment")
         body = payload[pos + 4 : pos + 2 + seglen]
         if marker == 0xDB:  # DQT
             p = 0
@@ -321,7 +334,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 values = list(body[p + 17 : p + 17 + n])
                 htables[(tc, th)] = _build_decoder(bits, values)
                 p += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             precision = body[0]
             if precision != 8:
                 raise ValueError(f"unsupported sample precision {precision}")
@@ -334,7 +347,17 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            progressive = marker == 0xC2
+            if progressive:
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mcux = -(-w // (8 * hmax))
+                mcuy = -(-h // (8 * vmax))
+                coefs = {
+                    cid: np.zeros((mcuy * vi, mcux * hi, 64), np.int32)
+                    for cid, hi, vi, _ in comps
+                }
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"unsupported JPEG mode (SOF marker 0x{marker:02x})")
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", body, 0)[0]
@@ -343,14 +366,34 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 raise ValueError("SOS before SOF")
             ns = body[0]
             scan_tables = {}
+            scan_comps = []
             for i in range(ns):
                 cs, tda = body[1 + 2 * i : 3 + 2 * i]
                 scan_tables[cs] = (tda >> 4, tda & 0xF)
-            return _decode_scan(
-                payload, pos + 2 + seglen, frame, scan_tables,
-                qtables, htables, restart_interval,
+                scan_comps.append(cs)
+            if not progressive:
+                return _decode_scan(
+                    payload, pos + 2 + seglen, frame, scan_tables,
+                    qtables, htables, restart_interval,
+                )
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            pos = _decode_prog_scan(
+                payload, pos + 2 + seglen, frame, scan_comps, scan_tables,
+                htables, restart_interval, coefs, ss, se, ahal >> 4, ahal & 0xF,
             )
+            # skip pad bits / stray RSTs up to the next framed marker
+            n = len(payload)
+            while pos + 1 < n and not (
+                payload[pos] == 0xFF
+                and payload[pos + 1] != 0x00
+                and not (0xD0 <= payload[pos + 1] <= 0xD7)
+            ):
+                pos += 1
+            continue
         pos += 2 + seglen
+    if progressive and coefs:
+        return _reconstruct_progressive(frame, coefs, qtables)
     raise ValueError("no SOS marker found")
 
 
@@ -405,7 +448,12 @@ def _decode_scan(payload, pos, frame, scan_tables, qtables, htables, restart_int
                         x0 = (mx * hi + u) * 8
                         planes[cid][y0 : y0 + 8, x0 : x0 + 8] = block
             n_mcu += 1
-    # per-component clamp, then upsample to full resolution and crop
+    return _assemble(planes, comps, h, w, hmax, vmax)
+
+
+def _assemble(planes, comps, h, w, hmax, vmax) -> np.ndarray:
+    """Clamp component planes, upsample to full resolution, crop, and
+    color-convert (shared by the baseline and progressive paths)."""
     full = []
     for cid, hi, vi, _ in comps:
         p = np.clip(np.round(planes[cid]), 0, 255)
@@ -419,6 +467,214 @@ def _decode_scan(payload, pos, frame, scan_tables, qtables, htables, restart_int
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=-1)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# progressive decoding (T.81 Annex G.2): each SOS deposits one spectral /
+# approximation slice into the per-component coefficient arrays; the IDCT
+# runs once at EOI over the accumulated coefficients.
+# ---------------------------------------------------------------------------
+
+def _comp_blocks(frame, cid):
+    """(nbh, nbw): the component's OWN block grid — what non-interleaved
+    scans cover (spec A.2.2; the MCU-padded grid applies only to
+    interleaved scans)."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    hi, vi = next((c[1], c[2]) for c in comps if c[0] == cid)
+    cw = -(-w * hi // hmax)
+    ch = -(-h * vi // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _decode_prog_scan(
+    payload, pos, frame, scan_comps, scan_tables, htables,
+    restart_interval, coefs, ss, se, ah, al,
+):
+    """Decode one progressive scan into ``coefs``; returns the stream
+    position after the scan's entropy data."""
+    h, w, comps = frame
+    by_cid = {c[0]: c for c in comps}
+    reader = _BitReader(payload, pos)
+    p1, m1 = 1 << al, -1 << al
+
+    def check_restart(n_mcu, state):
+        if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+            reader.restart()
+            state["preds"] = dict.fromkeys(state["preds"], 0)
+            state["eobrun"] = 0
+
+    if ss == 0:  # DC scan
+        if se != 0:
+            raise ValueError("DC scan must have Se=0")
+        state = {"preds": {cs: 0 for cs in scan_comps}, "eobrun": 0}
+        if len(scan_comps) > 1:  # interleaved: full MCU grid incl. padding
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            n_mcu = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    check_restart(n_mcu, state)
+                    for cs in scan_comps:
+                        _, hi, vi, _ = by_cid[cs]
+                        for v in range(vi):
+                            for u in range(hi):
+                                _dc_unit(
+                                    reader, coefs[cs], my * vi + v, mx * hi + u,
+                                    htables, scan_tables[cs][0], ah, al, state, cs,
+                                )
+                    n_mcu += 1
+        else:
+            cs = scan_comps[0]
+            nbh, nbw = _comp_blocks(frame, cs)
+            n_mcu = 0
+            for by in range(nbh):
+                for bx in range(nbw):
+                    check_restart(n_mcu, state)
+                    _dc_unit(
+                        reader, coefs[cs], by, bx,
+                        htables, scan_tables[cs][0], ah, al, state, cs,
+                    )
+                    n_mcu += 1
+        return reader.pos
+
+    # AC scan: spec G.1.1.1.1 — exactly one component, never interleaved
+    if len(scan_comps) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    cs = scan_comps[0]
+    ac_tab = htables.get((1, scan_tables[cs][1]))
+    if ac_tab is None:
+        raise ValueError("missing AC Huffman table for scan")
+    nbh, nbw = _comp_blocks(frame, cs)
+    arr = coefs[cs]
+    state = {"preds": {}, "eobrun": 0}
+    n_mcu = 0
+    for by in range(nbh):
+        for bx in range(nbw):
+            check_restart(n_mcu, state)
+            block = arr[by, bx]
+            if ah == 0:
+                _ac_first_unit(reader, block, ac_tab, ss, se, al, state)
+            else:
+                _ac_refine_unit(reader, block, ac_tab, ss, se, p1, m1, state)
+            n_mcu += 1
+    return reader.pos
+
+
+def _dc_unit(reader, arr, by, bx, htables, td, ah, al, state, cs):
+    if ah == 0:  # first pass: huffman diff, shifted by the point transform
+        dc_tab = htables.get((0, td))
+        if dc_tab is None:
+            raise ValueError("missing DC Huffman table for scan")
+        s = reader.decode_symbol(dc_tab)
+        diff = _extend(reader.receive(s), s)
+        state["preds"][cs] += diff
+        arr[by, bx, 0] = state["preds"][cs] << al
+    else:  # refinement: one bit per block (G.2.1)
+        if reader.read_bit():
+            arr[by, bx, 0] |= 1 << al
+
+
+def _ac_first_unit(reader, block, ac_tab, ss, se, al, state):
+    """First AC pass for one block (G.2.2 / decode flowchart F.2.2.2
+    extended with EOB runs)."""
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = reader.decode_symbol(ac_tab)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            state["eobrun"] = (1 << r) - 1
+            if r:
+                state["eobrun"] += reader.receive(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("AC run past band end")
+        block[k] = _extend(reader.receive(s), s) << al
+        k += 1
+
+
+def _ac_refine_unit(reader, block, ac_tab, ss, se, p1, m1, state):
+    """AC refinement pass for one block (G.2.2: correction bits for
+    history-nonzero coefficients, ±1<<Al insertions for newly
+    significant ones, EOB runs still carrying correction bits)."""
+
+    def correct(k):
+        # history-nonzero coefficient: one correction bit
+        if reader.read_bit() and (int(block[k]) & p1) == 0:
+            block[k] += p1 if block[k] >= 0 else m1
+
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = reader.decode_symbol(ac_tab)
+            r, s = rs >> 4, rs & 0xF
+            val = 0
+            if s == 0:
+                if r != 15:  # EOBn: run of blocks ending here
+                    state["eobrun"] = 1 << r
+                    if r:
+                        state["eobrun"] += reader.receive(r)
+                    break
+                # ZRL: skip 16 zero-history positions (correcting nonzeros)
+            else:
+                if s != 1:
+                    raise ValueError("AC refinement size must be 1")
+                val = p1 if reader.read_bit() else m1
+            while k <= se:
+                if block[k] != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                block[k] = val
+            k += 1
+    if state["eobrun"] > 0:
+        # inside an EOB run: only correction bits for nonzero history
+        while k <= se:
+            if block[k] != 0:
+                correct(k)
+            k += 1
+        state["eobrun"] -= 1
+
+
+#: natural-order row/col lookup for vectorized un-zigzag
+_ZZ_ROWS = np.array([rc[0] for rc in ZIGZAG])
+_ZZ_COLS = np.array([rc[1] for rc in ZIGZAG])
+
+
+def _reconstruct_progressive(frame, coefs, qtables) -> np.ndarray:
+    """Dequantize + IDCT the accumulated coefficient arrays (vectorized
+    over all blocks of a component at once) and assemble the image."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    planes = {}
+    for cid, hi, vi, tq in comps:
+        arr = coefs[cid]  # (by, bx, 64) zigzag
+        by, bx = arr.shape[:2]
+        q = qtables[tq]
+        nat = np.zeros((by, bx, 8, 8), np.float64)
+        nat[:, :, _ZZ_ROWS, _ZZ_COLS] = arr
+        nat *= q[None, None, :, :]
+        blocks = _C.T[None, :, :] @ nat.reshape(-1, 8, 8) @ _C[None, :, :]
+        planes[cid] = (
+            blocks.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+            + 128.0
+        )
+    return _assemble(planes, comps, h, w, hmax, vmax)
 
 
 # ---------------------------------------------------------------------------
@@ -592,4 +848,301 @@ def encode_jpeg(
     writer.align()
     out += writer.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# progressive encoder (T.81 Annex G.1): emits the libjpeg
+# jpeg_simple_progression scan script by default. The Annex K AC tables
+# lack the EOBn symbols (0x10..0xE0) progressive needs, so AC scans use a
+# flat 8-bit table over every run/size + EOBn + ZRL symbol (176 < 255
+# codes, all-ones code unused as the spec requires).
+# ---------------------------------------------------------------------------
+
+_PROG_AC_SYMBOLS = sorted(
+    {(r << 4) | s for r in range(16) for s in range(1, 11)}
+    | {r << 4 for r in range(15)}  # EOB0..EOB14
+    | {0xF0}  # ZRL
+)
+PROG_AC_TABLE = (
+    [0, 0, 0, 0, 0, 0, 0, len(_PROG_AC_SYMBOLS), 0, 0, 0, 0, 0, 0, 0, 0],
+    _PROG_AC_SYMBOLS,
+)
+
+#: libjpeg jpeg_simple_progression scripts: (comp_indices, Ss, Se, Ah, Al)
+_SCRIPT_COLOR = [
+    ((0, 1, 2), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((2,), 1, 63, 0, 1),
+    ((1,), 1, 63, 0, 1),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0, 1, 2), 0, 0, 1, 0),
+    ((2,), 1, 63, 1, 0),
+    ((1,), 1, 63, 1, 0),
+    ((0,), 1, 63, 1, 0),
+]
+_SCRIPT_GRAY = [
+    ((0,), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0,), 0, 0, 1, 0),
+    ((0,), 1, 63, 1, 0),
+]
+
+
+class _ProgACState:
+    """Per-scan AC entropy state: EOB run + buffered correction bits
+    (refinement bits owed for blocks inside the pending EOB run)."""
+
+    def __init__(self, writer, ac_codes):
+        self.writer = writer
+        self.ac_codes = ac_codes
+        self.eobrun = 0
+        self.pending_bits: list[int] = []
+
+    def flush(self):
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            code, ln = self.ac_codes[nbits << 4]
+            self.writer.write(code, ln)
+            if nbits:
+                self.writer.write(self.eobrun - (1 << nbits), nbits)
+            self.eobrun = 0
+        for bit in self.pending_bits:
+            self.writer.write(bit, 1)
+        self.pending_bits = []
+
+
+def _encode_ac_first(block, ss, se, al, st: _ProgACState):
+    """First AC pass for one block's band (G.1.2.2: point transform =
+    magnitude shift, EOB runs accumulate across blocks)."""
+    w, codes = st.writer, st.ac_codes
+    r = 0
+    wrote = False
+    for k in range(ss, se + 1):
+        v = int(block[k])
+        t = (abs(v) >> al) * (1 if v >= 0 else -1)
+        if t == 0:
+            r += 1
+            continue
+        if not wrote:
+            st.flush()
+            wrote = True
+        while r > 15:
+            code, ln = codes[0xF0]
+            w.write(code, ln)
+            r -= 16
+        s, bits = _magnitude(t)
+        code, ln = codes[(r << 4) | s]
+        w.write(code, ln)
+        w.write(bits, s)
+        r = 0
+    if r > 0 or not wrote:
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:
+            st.flush()
+
+
+def _encode_ac_refine(block, ss, se, al, st: _ProgACState):
+    """AC refinement pass for one block's band (G.1.2.3): newly
+    significant coefficients emit run/1 + sign, history-nonzero ones emit
+    correction bits — buffered so bits owed inside an EOB run land right
+    after the EOBn code, exactly where the decoder reads them."""
+    w, codes = st.writer, st.ac_codes
+    absv = [abs(int(block[k])) >> al for k in range(ss, se + 1)]
+    eob = 0  # index AFTER the last newly-significant coefficient
+    for i, t in enumerate(absv):
+        if t == 1:
+            eob = i + 1
+    r = 0
+    local_bits: list[int] = []
+    for i, t in enumerate(absv):
+        if t == 0:
+            r += 1
+            continue
+        # ZRLs must be emitted at EVERY nonzero while a newly-significant
+        # coefficient still lies ahead (i < eob) — this keeps the pending
+        # zero run ≤ 15 whenever a correction bit is buffered, which is
+        # what guarantees the decoder's positional walk consumes the
+        # buffered bits exactly where they were emitted. Past the last
+        # new-significant coefficient the zeros fold into the EOB run
+        # instead (whose decoder walk reads every remaining bit).
+        while r > 15 and i < eob:
+            st.flush()
+            code, ln = codes[0xF0]
+            w.write(code, ln)
+            r -= 16
+            for bit in local_bits:
+                w.write(bit, 1)
+            local_bits = []
+        if t > 1:  # history-nonzero: correction bit rides with next symbol
+            local_bits.append(t & 1)
+            continue
+        # newly significant (t == 1)
+        st.flush()
+        code, ln = codes[(r << 4) | 1]
+        w.write(code, ln)
+        w.write(1 if int(block[ss + i]) >= 0 else 0, 1)
+        for bit in local_bits:
+            w.write(bit, 1)
+        local_bits = []
+        r = 0
+    if r > 0 or local_bits:
+        st.eobrun += 1
+        st.pending_bits.extend(local_bits)
+        if st.eobrun == 0x7FFF or len(st.pending_bits) > 900:
+            st.flush()
+
+
+def encode_progressive_jpeg(
+    arr: np.ndarray,
+    *,
+    quality: int = 90,
+    subsampling: str = "4:4:4",
+    quant_tables: tuple[np.ndarray, np.ndarray] | None = None,
+    scans: list[tuple[tuple[int, ...], int, int, int, int]] | None = None,
+) -> bytes:
+    """Encode grayscale/RGB uint8 to a progressive (SOF2) JFIF JPEG.
+
+    The DCT coefficients are identical to :func:`encode_jpeg`'s for the
+    same quantizers — only the scan order differs — so decoding the two
+    outputs yields bit-identical pixels (pinned by the round-trip
+    property test)."""
+    arr = np.asarray(arr, dtype=np.float64)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    if ch not in (1, 3):
+        raise ValueError(f"unsupported channel count {ch}")
+    if quant_tables is None:
+        ql, qc = quality_tables(quality)
+    else:
+        ql, qc = (np.asarray(t, dtype=np.int64) for t in quant_tables)
+    if ch == 1:
+        comps = [(1, 1, 1, 0)]
+        planes = {1: arr[:, :, 0]}
+    else:
+        r, g, b = arr[:, :, 0], arr[:, :, 1], arr[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        if subsampling == "4:4:4":
+            hy = vy = 1
+        elif subsampling == "4:2:0":
+            hy = vy = 2
+        elif subsampling == "4:2:2":
+            hy, vy = 2, 1
+        else:
+            raise ValueError(f"unsupported subsampling {subsampling!r}")
+        comps = [(1, hy, vy, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+
+        def down(p, fh, fv):
+            if fh == 1 and fv == 1:
+                return p
+            pp = _pad_edge(p, fv, fh)
+            return pp.reshape(pp.shape[0] // fv, fv, pp.shape[1] // fh, fh).mean(axis=(1, 3))
+
+        planes = {1: y, 2: down(cb, hy, vy), 3: down(cr, hy, vy)}
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    # quantized coefficients for every (padded) block, zigzag order
+    coefs = {}
+    for cid, hi, vi, tq in comps:
+        q = ql if tq == 0 else qc
+        target_h, target_w = mcuy * vi * 8, mcux * hi * 8
+        p = planes[cid]
+        p = np.pad(
+            p,
+            ((0, max(0, target_h - p.shape[0])), (0, max(0, target_w - p.shape[1]))),
+            mode="edge",
+        )[:target_h, :target_w]
+        by, bx = target_h // 8, target_w // 8
+        blocks = p.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3) - 128.0
+        coef = _C[None, None] @ blocks @ _C.T[None, None]
+        coef_q = np.round(coef / q[None, None]).astype(np.int64)
+        coefs[cid] = coef_q[:, :, _ZZ_ROWS, _ZZ_COLS]  # (by, bx, 64)
+
+    if scans is None:
+        scans = _SCRIPT_COLOR if ch == 3 else _SCRIPT_GRAY
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += _dqt_segment(0, ql)
+    if ch == 3:
+        out += _dqt_segment(1, qc)
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([len(comps)])
+    for cid, hi, vi, tq in comps:
+        sof += bytes([cid, (hi << 4) | vi, tq])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+    out += _dht_segment(0, 0, HUFF_DC_LUMA)
+    out += _dht_segment(1, 0, PROG_AC_TABLE)
+    if ch == 3:
+        out += _dht_segment(0, 1, HUFF_DC_CHROMA)
+        out += _dht_segment(1, 1, PROG_AC_TABLE)
+
+    dc_codes = {0: _build_codes(*HUFF_DC_LUMA), 1: _build_codes(*HUFF_DC_CHROMA)}
+    ac_codes = _build_codes(*PROG_AC_TABLE)
+
+    frame = (h, w, comps)
+    for comp_idx, ss, se, ah, al in scans:
+        scan_comps = [comps[i] for i in comp_idx]
+        sos = bytes([len(scan_comps)])
+        for cid, *_ in scan_comps:
+            td = 0 if cid == 1 else 1
+            sos += bytes([cid, (td << 4) | (0 if cid == 1 else 1)])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+        writer = _BitWriter()
+        if ss == 0:  # DC scan
+            preds = {cid: 0 for cid, *_ in scan_comps}
+            if len(scan_comps) > 1:
+                units = [
+                    (cid, my * vi + v, mx * hi + u)
+                    for my in range(mcuy)
+                    for mx in range(mcux)
+                    for cid, hi, vi, _ in scan_comps
+                    for v in range(vi)
+                    for u in range(hi)
+                ]
+            else:
+                cid = scan_comps[0][0]
+                nbh, nbw = _comp_blocks(frame, cid)
+                units = [(cid, by, bx) for by in range(nbh) for bx in range(nbw)]
+            for cid, by, bx in units:
+                dc = int(coefs[cid][by, bx, 0])
+                if ah == 0:
+                    val = dc >> al  # DC point transform is arithmetic shift
+                    diff = val - preds[cid]
+                    preds[cid] = val
+                    s, bits = _magnitude(diff)
+                    code, ln = dc_codes[0 if cid == 1 else 1][s]
+                    writer.write(code, ln)
+                    if s:
+                        writer.write(bits, s)
+                else:
+                    writer.write((dc >> al) & 1, 1)
+        else:  # AC scan: single component
+            if len(scan_comps) != 1:
+                raise ValueError("progressive AC scan must be single-component")
+            cid = scan_comps[0][0]
+            nbh, nbw = _comp_blocks(frame, cid)
+            st = _ProgACState(writer, ac_codes)
+            for by in range(nbh):
+                for bx in range(nbw):
+                    band = coefs[cid][by, bx]
+                    if ah == 0:
+                        _encode_ac_first(band, ss, se, al, st)
+                    else:
+                        _encode_ac_refine(band, ss, se, al, st)
+            st.flush()
+        writer.align()
+        out += writer.out
+    out += b"\xff\xd9"
     return bytes(out)

@@ -19,10 +19,11 @@ gray/RGB/palette/alpha, all five scanline filters) through the
 from-scratch zlib-based codec in :mod:`avro_diff_spark.png`, baseline
 sequential JPEG (grayscale + YCbCr 4:4:4/4:2:2/4:2:0, restart markers)
 through the from-scratch Huffman+DCT codec in
-:mod:`avro_diff_spark.jpeg`, and GIF87a/89a (variable-width LZW,
-global/local palettes, interlace) through :mod:`avro_diff_spark.gif` —
-zero extra dependencies. WebP (VP8)
-and progressive JPEG remain a documented *deterministic fake*
+:mod:`avro_diff_spark.jpeg` (progressive SOF2 included — spectral
+selection + successive approximation), and GIF87a/89a (variable-width
+LZW, global/local palettes, interlace) through
+:mod:`avro_diff_spark.gif` — zero extra dependencies. WebP (VP8)
+remains a documented *deterministic fake*
 (:func:`fake_image_decoder`) behind the ``decoder=`` hook
 (:func:`auto_image_decoder` = real-when-possible, fake otherwise;
 ``pil_image_decoder`` raises ``NotImplementedError`` until Pillow is
@@ -99,7 +100,7 @@ def synth_png_media(df: DataFrame, id_col: str) -> DataFrame:
     return narrow.mapInPandas(run, schema="media_id long, payload binary")
 
 
-def synth_jpeg_media(df: DataFrame, id_col: str) -> DataFrame:
+def synth_jpeg_media(df: DataFrame, id_col: str, *, progressive: bool = False) -> DataFrame:
     """Deterministic REAL baseline-JPEG payload per row, generated
     executor-side, whose *decoded* pixels follow a closed-form law (so a
     SQL oracle can mirror decoded stats without decoding).
@@ -120,6 +121,10 @@ def synth_jpeg_media(df: DataFrame, id_col: str) -> DataFrame:
     flat plane by a constant < half a quantizer step, so decoded RGB is
     exactly (v+14, v-4, v-18) again. Exercises multi-block DC differential
     coding, MCU interleave, chroma subsample/upsample, and crop.
+
+    ``progressive=True`` emits the same coefficients as a progressive
+    (SOF2) stream via the libjpeg-style scan script — the decoded-pixel
+    law (and therefore the oracle) is identical by construction.
     """
     from collections.abc import Iterator as _It
 
@@ -129,8 +134,9 @@ def synth_jpeg_media(df: DataFrame, id_col: str) -> DataFrame:
         import numpy as np
         import pandas as pd
 
-        from avro_diff_spark.jpeg import encode_jpeg
+        from avro_diff_spark.jpeg import encode_jpeg, encode_progressive_jpeg
 
+        enc = encode_progressive_jpeg if progressive else encode_jpeg
         q16 = np.full((8, 8), 16, np.int64)
         for pdf in batches:
             payloads = []
@@ -142,7 +148,7 @@ def synth_jpeg_media(df: DataFrame, id_col: str) -> DataFrame:
                 v = 2 * (9 + (mid * 31 + bx[None, :] * 7 + by[:, None] * 13) % 111)
                 rgb = np.stack([v + 14, v - 4, v - 18], axis=-1).astype(np.uint8)
                 payloads.append(
-                    encode_jpeg(rgb, subsampling="4:2:0", quant_tables=(q16, q16))
+                    enc(rgb, subsampling="4:2:0", quant_tables=(q16, q16))
                 )
             yield pd.DataFrame({"media_id": pdf["media_id"].values, "payload": payloads})
 
@@ -276,11 +282,11 @@ def real_image_decoder(payload: bytes) -> dict[str, Any]:
     (BITMAPINFOHEADER, public spec: pixel offset at byte 10, width/height
     at 18/22, bpp at 28, compression 0), binary PPM ``P6``, PNG
     (8-bit depth, color types 0/2/3/4/6, non-interlaced — the zlib-based
-    from-scratch codec in :mod:`avro_diff_spark.png`), and baseline JPEG
-    (SOF0, Huffman, any sampling factors — the from-scratch codec in
-    :mod:`avro_diff_spark.jpeg`), and GIF87a/89a (variable-width LZW —
-    :mod:`avro_diff_spark.gif`). Raises ValueError for anything else —
-    WebP/progressive-JPEG need more codec surface; route them through
+    from-scratch codec in :mod:`avro_diff_spark.png`), baseline AND
+    progressive JPEG (SOF0/SOF2, Huffman, any sampling factors — the
+    from-scratch codec in :mod:`avro_diff_spark.jpeg`), and GIF87a/89a
+    (variable-width LZW — :mod:`avro_diff_spark.gif`). Raises ValueError
+    for anything else — WebP needs more codec surface; route it through
     :func:`pil_image_decoder` or a custom hook.
     """
     import struct

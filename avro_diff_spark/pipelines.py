@@ -1723,6 +1723,21 @@ FROM d
 """
 
 
+def q_image_features_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL progressive-JPEG (SOF2) decode end-to-end: the same
+    engineered-exact payload law as image_features_jpeg, but encoded as a
+    multi-scan progressive stream (libjpeg-style scan script — spectral
+    selection + successive approximation, EOB runs, DC/AC refinement
+    passes). The coefficients are identical to the baseline stream's by
+    construction, so the same closed-form oracle applies; any error in
+    the Annex G scan accumulation breaks the hash."""
+    from avro_diff_spark import multimodal as MM
+
+    docs = spread_small(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    media = MM.synth_jpeg_media(docs, "doc_id", progressive=True)
+    return MM.image_features(media, decoder=MM.real_image_decoder)
+
+
 def q_audio_features_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode end-to-end: deterministic RIFF/WAVE 16-bit PCM
     payloads generated executor-side, then chunk-walked and decoded by
@@ -1870,6 +1885,7 @@ PIPELINE_QUERIES = {
     "frame_sample_lens": q_frame_sample_lens,
     "image_features_png": q_image_features_png,
     "image_features_jpeg": q_image_features_jpeg,
+    "image_features_jpeg_progressive": q_image_features_jpeg_progressive,
     "image_features_gif": q_image_features_gif,
     "audio_features_wav": q_audio_features_wav,
     "audio_analysis_wav": q_audio_analysis_wav,
@@ -1920,6 +1936,7 @@ def pipeline_sql() -> dict[str, str]:
         "frame_sample_lens": FRAME_SAMPLE_LENS_SQL,
         "image_features_png": IMAGE_FEATURES_PNG_SQL,
         "image_features_jpeg": IMAGE_FEATURES_JPEG_SQL,
+        "image_features_jpeg_progressive": IMAGE_FEATURES_JPEG_SQL,
         "image_features_gif": IMAGE_FEATURES_GIF_SQL,
         "audio_features_wav": AUDIO_FEATURES_WAV_SQL,
         "audio_analysis_wav": AUDIO_ANALYSIS_WAV_SQL,

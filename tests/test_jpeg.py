@@ -141,8 +141,13 @@ def test_sixteen_bit_dqt_decodes():
 def test_rejects_progressive_and_garbage():
     img = np.full((8, 8), 100, np.uint8)
     payload = bytearray(encode_jpeg(img))
-    payload[payload.index(b"\xff\xc0") + 1] = 0xC2  # SOF0 -> SOF2
+    payload[payload.index(b"\xff\xc0") + 1] = 0xC9  # SOF0 -> SOF9 (arithmetic)
     with pytest.raises(ValueError, match="unsupported JPEG mode"):
+        decode_jpeg(bytes(payload))
+    # a baseline stream relabeled SOF2 is structurally invalid as
+    # progressive (its single scan claims the whole spectrum with Ss=0)
+    payload[payload.index(b"\xff\xc9") + 1] = 0xC2
+    with pytest.raises(ValueError, match="DC scan"):
         decode_jpeg(bytes(payload))
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"not a jpeg")
