@@ -760,7 +760,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # plumbing and payload law, the SOF2 codec itself is pinned by
     # tests/test_jpeg_progressive.py (decode(progressive) ==
     # decode(baseline) hypothesis equivalence), and the CI oracle gate
-    # value-hashes it every pytest run.
+    # value-hashes it every pytest run; gopher_quality likewise enters in
+    # the tail — the recorded quality_scores pins the same mechanism
+    # (pure Column metrics over one documents scan), the Gopher rule
+    # thresholds are integer-exact comparisons with a pytest pin, and the
+    # CI oracle gate value-hashes it every run.
     # Round-5 demotion for key_diff_avro_evolved (schema resolution on the
     # distributed OCF path): embedding_near_dups moves to the tail — the
     # recorded embedding_near_dups_rp executes the IDENTICAL banded
@@ -781,6 +785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_cluster_stats",
         "image_features_gif",
         "image_features_jpeg_progressive",
+        "gopher_quality",
         "audio_analysis_wav",
         "near_dup_clusters_star",
         "pq_topk",

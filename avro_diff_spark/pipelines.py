@@ -128,6 +128,102 @@ def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", TX.quality_score(F.col("text")).alias("quality"))
 
 
+#: the Gopher rules' stop-word set (Rae et al. 2021 §A1.1: a document must
+#: contain at least two of these to pass).
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-filter rules (Rae et al. 2021, "Scaling Language
+    Models", §A1.1 — the published heuristic set MassiveWeb used, since
+    reused by RefinedWeb/FineWeb/Dolma): word-count bounds, mean word
+    length bounds, symbol-to-word ratio (# and ellipsis), bullet-line and
+    ellipsis-line fractions, alphabetic-word fraction, and the two-of-
+    eight stop-word requirement. Every metric is an INTEGER (counts, not
+    ratios) and every threshold is applied by integer cross-
+    multiplication, so the keep flag is bit-identical across engines —
+    no IEEE division anywhere. Pure Column expressions over one scan:
+    at 100 TB this is a map-only stage with no shuffle at all."""
+    d = spread_small(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    norm = TX.norm_text(F.col("text"))
+    toks = F.split(norm, " ")
+    lines = F.split(F.col("text"), "\n")
+    n_words = F.size(toks)
+    sum_word_chars = F.length(F.regexp_replace(norm, " ", ""))
+    n_alpha_words = F.size(F.filter(toks, lambda w: w.rlike("[a-z]")))
+    n_lines = F.size(lines)
+    bullet = lambda l: F.substring(F.ltrim(l), 1, 2).isin("- ", "* ", "• ")  # noqa: E731
+    n_bullet_lines = F.size(F.filter(lines, bullet))
+    n_ellipsis_lines = F.size(F.filter(lines, lambda l: F.rtrim(l).endswith("...")))
+    n_hash = F.length(F.col("text")) - F.length(F.regexp_replace(F.col("text"), "#", ""))
+    n_ellipsis = (
+        F.length(F.col("text")) - F.length(F.regexp_replace(F.col("text"), r"\.\.\.", ""))
+    ) / F.lit(3)
+    n_symbols = (n_hash + n_ellipsis).cast("long")
+    n_stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(w) for w in GOPHER_STOPS]),
+            lambda s: F.array_contains(toks, s),
+        )
+    )
+    keep = (
+        (n_words >= 50)
+        & (n_words <= 100_000)
+        & (sum_word_chars >= 3 * n_words)
+        & (sum_word_chars <= 10 * n_words)
+        & (10 * n_symbols <= n_words)
+        & (10 * n_bullet_lines <= 9 * n_lines)
+        & (10 * n_ellipsis_lines <= 3 * n_lines)
+        & (10 * n_alpha_words >= 8 * n_words)
+        & (n_stop_hits >= 2)
+    )
+    return d.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        sum_word_chars.cast("long").alias("sum_word_chars"),
+        n_alpha_words.cast("long").alias("n_alpha_words"),
+        n_lines.cast("long").alias("n_lines"),
+        n_bullet_lines.cast("long").alias("n_bullet_lines"),
+        n_ellipsis_lines.cast("long").alias("n_ellipsis_lines"),
+        n_symbols.alias("n_symbols"),
+        n_stop_hits.cast("long").alias("n_stop_hits"),
+        keep.alias("keep"),
+    )
+
+
+def _gopher_quality_sql() -> str:
+    n = norm_sql("text")
+    t = tokens_sql("text")
+    stops = ", ".join(f"'{w}'" for w in GOPHER_STOPS)
+    return f"""
+SELECT doc_id, n_words, sum_word_chars, n_alpha_words, n_lines,
+       n_bullet_lines, n_ellipsis_lines, n_symbols, n_stop_hits,
+       (n_words >= 50 AND n_words <= 100000
+        AND sum_word_chars >= 3 * n_words AND sum_word_chars <= 10 * n_words
+        AND 10 * n_symbols <= n_words
+        AND 10 * n_bullet_lines <= 9 * n_lines
+        AND 10 * n_ellipsis_lines <= 3 * n_lines
+        AND 10 * n_alpha_words >= 8 * n_words
+        AND n_stop_hits >= 2) AS keep
+FROM (
+  SELECT doc_id,
+    CAST(len({t}) AS BIGINT) AS n_words,
+    CAST(len(replace({n}, ' ', '')) AS BIGINT) AS sum_word_chars,
+    CAST(len(list_filter({t}, w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS n_alpha_words,
+    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+    CAST(len(list_filter(string_split(text, chr(10)),
+                         l -> substr(ltrim(l), 1, 2) IN ('- ', '* ', '• '))) AS BIGINT)
+      AS n_bullet_lines,
+    CAST(len(list_filter(string_split(text, chr(10)),
+                         l -> rtrim(l) LIKE '%...')) AS BIGINT) AS n_ellipsis_lines,
+    CAST(len(text) - len(replace(text, '#', ''))
+         + (len(text) - len(replace(text, '...', ''))) / 3 AS BIGINT) AS n_symbols,
+    CAST(len(list_filter([{stops}], s -> list_contains({t}, s))) AS BIGINT) AS n_stop_hits
+  FROM documents
+)
+"""
+
+
 def _quality_sql() -> str:
     n = norm_sql("text")
     words = ", ".join(f"'{w}'" for w in TX.STOPWORDS["en"])
@@ -1854,6 +1950,7 @@ PIPELINE_QUERIES = {
     "source_stats": q_source_stats,
     "lang_id_counts": q_lang_id,
     "quality_scores": q_quality_scores,
+    "gopher_quality": q_gopher_quality,
     "rolling_fingerprints": q_rolling_fingerprints,
     "winnow_fingerprints": q_winnow_fingerprints,
     "repetition_stats": q_repetition_stats,
@@ -1906,6 +2003,7 @@ def pipeline_sql() -> dict[str, str]:
         "source_stats": SOURCE_STATS_SQL,
         "lang_id_counts": _lang_id_sql(),
         "quality_scores": _quality_sql(),
+        "gopher_quality": _gopher_quality_sql(),
         "rolling_fingerprints": ROLLING_FINGERPRINTS_SQL,
         "winnow_fingerprints": _winnow_sql(),
         "repetition_stats": _repetition_sql(),

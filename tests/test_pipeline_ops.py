@@ -165,3 +165,34 @@ def test_near_dup_clusters_star_chain_in_log_rounds(spark):
     rows = near_dup_clusters_star(pairs, max_iters=10).collect()
     assert {r.cluster_id for r in rows} == {0}
     assert {r.doc_id for r in rows} == set(range(201))
+
+
+def test_gopher_quality_rules(spark, tmp_path):
+    """Each Gopher rule (Rae et al. 2021 §A1.1) flips the keep flag on an
+    engineered document while the control document passes all of them."""
+    import avro_diff_spark.pipelines as P
+
+    good_words = ("the quality of data and the model that we have built "
+                  "with care to be robust ") * 5  # 80 words, all alphabetic
+    docs = [
+        (1, good_words, "en", "web", len(good_words)),
+        (2, "short text with the and of", "en", "web", 10),  # < 50 words
+        (3, ("a " * 80).strip() + " the of and that", "en", "web", 10),  # mean len < 3
+        (4, good_words + " ##########", "en", "web", 10),  # symbols > 10%
+        (5, "\n".join(["- bullet item with the and of that to be"] * 10), "en", "web", 10),
+        (6, good_words.replace("the", "xxe").replace("and", "xxd")
+             .replace("of", "xx").replace("to", "tx").replace("be", "bx")
+             .replace("with", "wxxh").replace("that", "txxt")
+             .replace("have", "hxve"), "en", "web", 10),  # no stop words
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r.doc_id: r for r in P.q_gopher_quality(spark, str(tmp_path)).collect()}
+    assert out[1].keep
+    assert not out[2].keep and out[2].n_words < 50
+    assert not out[3].keep and out[3].sum_word_chars < 3 * out[3].n_words
+    assert not out[4].keep and 10 * out[4].n_symbols > out[4].n_words
+    assert not out[5].keep and 10 * out[5].n_bullet_lines > 9 * out[5].n_lines
+    assert not out[6].keep and out[6].n_stop_hits < 2
