@@ -760,7 +760,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # plumbing and payload law, the SOF2 codec itself is pinned by
     # tests/test_jpeg_progressive.py (decode(progressive) ==
     # decode(baseline) hypothesis equivalence), and the CI oracle gate
-    # value-hashes it every pytest run; gopher_quality likewise enters in
+    # value-hashes it every pytest run; image_features_webp enters the
+    # tail for the same reason as image_features_gif (identical recorded
+    # mapInPandas plumbing; the VP8L codec is pinned by tests/test_webp.py
+    # hand-assembled spec streams + lossless round trips + the CI oracle
+    # gate); gopher_quality likewise enters in
     # the tail — the recorded quality_scores pins the same mechanism
     # (pure Column metrics over one documents scan), the Gopher rule
     # thresholds are integer-exact comparisons with a pytest pin, and the
@@ -784,6 +788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_metadata",
         "kmeans_cluster_stats",
         "image_features_gif",
+        "image_features_webp",
         "image_features_jpeg_progressive",
         "gopher_quality",
         "audio_analysis_wav",

@@ -192,6 +192,43 @@ def synth_gif_media(df: DataFrame, id_col: str) -> DataFrame:
     return narrow.mapInPandas(run, schema="media_id long, payload binary")
 
 
+def synth_webp_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic REAL lossless-WebP (VP8L) payload per row, generated
+    executor-side. VP8L is lossless, so the closed-form law IS the
+    decoded result: for ``id``, ``w = 4 + id % 21``, ``h = 4 + id % 15``,
+    and pixel (x, y) is ``R = (id*7 + x*3 + y*11) % 256``,
+    ``G = (id*13 + x*5 + y*3) % 256``, ``B = (id*3 + x*7 + y*5) % 256``."""
+    from collections.abc import Iterator as _It
+
+    narrow = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def run(batches: _It["pd.DataFrame"]) -> _It["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from avro_diff_spark.webp import encode_webp
+
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"].values:
+                mid = int(mid)
+                w, h = 4 + mid % 21, 4 + mid % 15
+                x = np.arange(w)[None, :]
+                y = np.arange(h)[:, None]
+                rgb = np.stack(
+                    [
+                        (mid * 7 + x * 3 + y * 11) % 256,
+                        (mid * 13 + x * 5 + y * 3) % 256,
+                        (mid * 3 + x * 7 + y * 5) % 256,
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                payloads.append(encode_webp(rgb))
+            yield pd.DataFrame({"media_id": pdf["media_id"].values, "payload": payloads})
+
+    return narrow.mapInPandas(run, schema="media_id long, payload binary")
+
+
 def synth_wav_media(df: DataFrame, id_col: str) -> DataFrame:
     """Deterministic REAL RIFF/WAVE 16-bit PCM payload per row with a
     closed-form sample law: for ``id``, ``n = 160 + id % 241`` mono
@@ -297,6 +334,16 @@ def real_image_decoder(payload: bytes) -> dict[str, Any]:
         from avro_diff_spark.jpeg import decode_jpeg
 
         arr = decode_jpeg(payload)
+        return {
+            "width": arr.shape[1],
+            "height": arr.shape[0],
+            "channels": arr.shape[2],
+            "mean_byte": float(arr.mean()) if arr.size else 0.0,
+        }
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from avro_diff_spark.webp import decode_webp
+
+        arr = decode_webp(payload)  # lossy VP8 raises -> fake fallback
         return {
             "width": arr.shape[1],
             "height": arr.shape[0],

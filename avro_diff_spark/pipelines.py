@@ -1897,6 +1897,41 @@ FROM d
 """
 
 
+def q_image_features_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WebP lossless decode end-to-end: deterministic VP8L payloads
+    (canonical prefix codes per channel) generated executor-side, then
+    bit-decoded back to pixel stats by the from-scratch codec in
+    avro_diff_spark/webp.py inside the image_features mapInPandas path.
+    VP8L is lossless, so the oracle mirrors synth_webp_media's
+    closed-form pixel law without decoding."""
+    from avro_diff_spark import multimodal as MM
+
+    # spread_small: the small parquet scans as a couple of splits, which
+    # would serialize the per-row codec work in mapInPandas; at real
+    # scale the scan already has enough splits and this is a no-op
+    docs = spread_small(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    media = MM.synth_webp_media(docs, "doc_id")
+    return MM.image_features(media, decoder=MM.real_image_decoder)
+
+
+IMAGE_FEATURES_WEBP_SQL = """
+WITH d AS (SELECT doc_id AS media_id,
+                  4 + doc_id % 21 AS w,
+                  4 + doc_id % 15 AS h
+           FROM documents)
+SELECT media_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(3 AS INT) AS channels,
+       CAST(list_sum(list_transform(range(0, w * h),
+              i -> (media_id * 7  + (i % w) * 3 + (i // w) * 11) % 256
+                 + (media_id * 13 + (i % w) * 5 + (i // w) * 3) % 256
+                 + (media_id * 3  + (i % w) * 7 + (i // w) * 5) % 256))
+            AS DOUBLE) / (w * h * 3) AS mean_byte
+FROM d
+"""
+
+
 def q_audio_analysis_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Signal-level audio QA stats (peak / zero crossings / RMS) over
     REAL decoded PCM — each stat integer-exact up to one final float op,
@@ -1984,6 +2019,7 @@ PIPELINE_QUERIES = {
     "image_features_jpeg": q_image_features_jpeg,
     "image_features_jpeg_progressive": q_image_features_jpeg_progressive,
     "image_features_gif": q_image_features_gif,
+    "image_features_webp": q_image_features_webp,
     "audio_features_wav": q_audio_features_wav,
     "audio_analysis_wav": q_audio_analysis_wav,
     "image_features_stub": q_image_features_stub,
@@ -2036,6 +2072,7 @@ def pipeline_sql() -> dict[str, str]:
         "image_features_jpeg": IMAGE_FEATURES_JPEG_SQL,
         "image_features_jpeg_progressive": IMAGE_FEATURES_JPEG_SQL,
         "image_features_gif": IMAGE_FEATURES_GIF_SQL,
+        "image_features_webp": IMAGE_FEATURES_WEBP_SQL,
         "audio_features_wav": AUDIO_FEATURES_WAV_SQL,
         "audio_analysis_wav": AUDIO_ANALYSIS_WAV_SQL,
         "image_features_stub": IMAGE_FEATURES_SQL,
