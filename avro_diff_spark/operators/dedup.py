@@ -806,32 +806,64 @@ def near_dup_clusters(
         .select("node", F.col("node").alias("label"))
         .localCheckpoint()
     )
-    for _ in range(max_iters):
-        neighbor_min = (
-            edges.join(labels, edges["dst"] == labels["node"])
-            .groupBy("src")
-            .agg(F.min("label").alias("nmin"))
-        )
-        # the changed flag rides the propagation select, so convergence
-        # detection costs one probe over the materialized round output —
-        # no extra join, no re-execution (2 jobs/round total)
-        new_labels = (
-            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
-                    "new_label"
-                ),
-                (F.coalesce(F.col("nmin"), F.col("label")) < F.col("label")).alias(
-                    "__changed"
-                ),
+    with _loop_shuffle_parts(pairs.sparkSession, edges.count()):
+        for _ in range(max_iters):
+            neighbor_min = (
+                edges.join(labels, edges["dst"] == labels["node"])
+                .groupBy("src")
+                .agg(F.min("label").alias("nmin"))
             )
-            .localCheckpoint()
-        )
-        labels = new_labels.select("node", F.col("new_label").alias("label"))
-        if new_labels.filter(F.col("__changed")).limit(1).count() == 0:
-            break
+            # the changed flag rides the propagation select, so convergence
+            # detection costs one probe over the materialized round output —
+            # no extra join, no re-execution (2 jobs/round total)
+            new_labels = (
+                labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                    ).alias("new_label"),
+                    (F.coalesce(F.col("nmin"), F.col("label")) < F.col("label")).alias(
+                        "__changed"
+                    ),
+                )
+                .localCheckpoint()
+            )
+            labels = new_labels.select("node", F.col("new_label").alias("label"))
+            if new_labels.filter(F.col("__changed")).limit(1).count() == 0:
+                break
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+class _loop_shuffle_parts:
+    """Temporarily size ``spark.sql.shuffle.partitions`` to the MEASURED
+    row count of an iterative loop's working set.
+
+    Iterative graph rounds run many tiny shuffle stages over an edge list
+    that is usually orders of magnitude smaller than the scan that
+    produced it (LSH pair lists at sf0.1: ~10^3 rows; the session default
+    of 32+ partitions makes every round pay 32 tasks × several stages of
+    pure scheduling). One shuffle partition per ~2M edge rows keeps tasks
+    meaningfully sized at every scale — a 100 TB corpus with billions of
+    candidate pairs still gets thousands of partitions, while bench-scale
+    loops collapse to single-task stages. Restores the previous setting
+    on exit; the loop is driver-blocking, so the temporary session-level
+    change cannot leak into a concurrently planned query of this session.
+    """
+
+    def __init__(self, spark, n_rows: int, rows_per_part: int = 2_000_000) -> None:
+        self.spark = spark
+        cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        self.parts = max(1, min(cur, n_rows // rows_per_part + 1))
+
+    def __enter__(self):
+        self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.parts))
+        return self
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
+        return False
 
 
 def near_dup_clusters_star(
@@ -901,35 +933,42 @@ def near_dup_clusters_star(
         return row["n"], row["h"]
 
     sig = _sig(edges)
-    for _ in range(max_iters):
-        # large-star over the symmetric view: (v, m(u)) for v > u
-        m = _mins(edges)
-        sym = _sym(edges)
-        large = (
-            sym.join(m, "src")
-            .filter(F.col("dst") > F.col("src"))
-            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
-            .filter(F.col("src") != F.col("dst"))
-            .distinct()
-            .localCheckpoint()
-        )
-        # small-star: (v, m(u)) for v <= u, plus (u, m(u))
-        m2 = _mins(large)
-        sym2 = _sym(large)
-        small = (
-            sym2.join(m2, "src")
-            .filter(F.col("dst") <= F.col("src"))
-            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
-            .union(m2.select(F.col("src"), F.col("m").alias("dst")))
-            .filter(F.col("src") != F.col("dst"))
-            .distinct()
-            .localCheckpoint()
-        )
-        edges = small
-        new_sig = _sig(edges)
-        if new_sig == sig:
-            break
-        sig = new_sig
+    with _loop_shuffle_parts(pairs.sparkSession, edges.count()):
+        for _ in range(max_iters):
+            # large-star over the symmetric view: (v, m(u)) for v > u.
+            # cache(), not localCheckpoint(): m2 and sym2 both read it, but
+            # the cache fills inside small's materialization job — one job
+            # per round instead of two, and small's checkpoint still cuts
+            # the cross-round lineage. Duplicate edges are tolerated here
+            # (groupBy-min is idempotent; small's distinct cleans up), so
+            # large skips its own distinct shuffle too.
+            m = _mins(edges)
+            sym = _sym(edges)
+            large = (
+                sym.join(m, "src")
+                .filter(F.col("dst") > F.col("src"))
+                .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+                .filter(F.col("src") != F.col("dst"))
+                .cache()
+            )
+            # small-star: (v, m(u)) for v <= u, plus (u, m(u))
+            m2 = _mins(large)
+            sym2 = _sym(large)
+            small = (
+                sym2.join(m2, "src")
+                .filter(F.col("dst") <= F.col("src"))
+                .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+                .union(m2.select(F.col("src"), F.col("m").alias("dst")))
+                .filter(F.col("src") != F.col("dst"))
+                .distinct()
+                .localCheckpoint()
+            )
+            large.unpersist()
+            edges = small
+            new_sig = _sig(edges)
+            if new_sig == sig:
+                break
+            sig = new_sig
     # converged: every non-root points directly at its component minimum
     label = (
         edges.groupBy("src").agg(F.min("dst").alias("root"))
