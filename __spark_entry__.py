@@ -768,7 +768,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the tail — the recorded quality_scores pins the same mechanism
     # (pure Column metrics over one documents scan), the Gopher rule
     # thresholds are integer-exact comparisons with a pytest pin, and the
-    # CI oracle gate value-hashes it every run.
+    # CI oracle gate value-hashes it every run; bpe_token_counts enters
+    # the tail with full oracle backing via the CI gate (merge learning
+    # and the greedy encoder are property-pinned in tests/test_bpe.py;
+    # the recorded vocab_topk pins the distributed word-count stage).
     # Round-5 demotion for key_diff_avro_evolved (schema resolution on the
     # distributed OCF path): embedding_near_dups moves to the tail — the
     # recorded embedding_near_dups_rp executes the IDENTICAL banded
@@ -791,6 +794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features_webp",
         "image_features_jpeg_progressive",
         "gopher_quality",
+        "bpe_token_counts",
         "audio_analysis_wav",
         "near_dup_clusters_star",
         "pq_topk",

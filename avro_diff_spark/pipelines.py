@@ -461,6 +461,80 @@ FROM documents GROUP BY source
 """
 
 
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training + application — the tokenizer step of an
+    LLM data pipeline, in the production shape (functions/bpe.py):
+    merges learned driver-side from the BOUNDED word-frequency table
+    (Sennrich et al. 2016; deterministic tie-breaks), then applied
+    distributed ONCE PER DISTINCT WORD in Arrow-batched mapInPandas and
+    fanned back to occurrences with a join — the corpus-size pass never
+    runs Python per occurrence, so a 100 TB corpus pays one word-count
+    shuffle plus a vocabulary-sized segmentation stage. The oracle
+    replays the same merges as a word -> subword-count VALUES table
+    (generated against ORACLE_SF_DIR, the sf the oracle executes on)."""
+    from avro_diff_spark.functions.bpe import bpe_encode, train_bpe_merges
+
+    merges = train_bpe_merges(f"{sf_dir}/documents.parquet")
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    d = spread_small(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    words = d.select(
+        "doc_id", F.explode(TX.tokens_ws(F.col("text"))).alias("w")
+    ).filter(F.col("w") != "")
+
+    def seg(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "w": pdf["w"],
+                    "n_sub": [len(bpe_encode(w, ranks)) for w in pdf["w"]],
+                }
+            )
+
+    wtok = words.select("w").distinct().mapInPandas(seg, "w string, n_sub int")
+    return (
+        words.join(wtok, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_sub").cast("long").alias("n_bpe_tokens"),
+        )
+    )
+
+
+def _bpe_token_counts_sql() -> str:
+    from avro_diff_spark.functions.bpe import bpe_encode, train_bpe_merges
+
+    import duckdb
+
+    path = f"{ORACLE_SF_DIR}/documents.parquet"
+    merges = train_bpe_merges(path)
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    vocab = [
+        r[0]
+        for r in duckdb.sql(
+            f"""SELECT DISTINCT w FROM (SELECT unnest({tokens_sql('text')}) AS w
+                FROM read_parquet('{path}')) WHERE w <> '' ORDER BY w"""
+        ).fetchall()
+    ]
+    rows = ", ".join(
+        "('{}', {})".format(w.replace("'", "''"), len(bpe_encode(w, ranks)))
+        for w in vocab
+    )
+    return f"""
+WITH wt(w, n_sub) AS (VALUES {rows}),
+words AS (
+  SELECT doc_id, unnest({tokens_sql('text')}) AS w FROM documents
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(n_sub) AS BIGINT) AS n_bpe_tokens
+FROM words JOIN wt USING (w)
+GROUP BY doc_id
+"""
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     """Top-k characteristic terms per document by tf·idf — the classic
     keyword/feature-extraction pass. Scale shape: explode → (doc, term)
@@ -1986,6 +2060,7 @@ PIPELINE_QUERIES = {
     "lang_id_counts": q_lang_id,
     "quality_scores": q_quality_scores,
     "gopher_quality": q_gopher_quality,
+    "bpe_token_counts": q_bpe_token_counts,
     "rolling_fingerprints": q_rolling_fingerprints,
     "winnow_fingerprints": q_winnow_fingerprints,
     "repetition_stats": q_repetition_stats,
@@ -2040,6 +2115,7 @@ def pipeline_sql() -> dict[str, str]:
         "lang_id_counts": _lang_id_sql(),
         "quality_scores": _quality_sql(),
         "gopher_quality": _gopher_quality_sql(),
+        "bpe_token_counts": _bpe_token_counts_sql(),
         "rolling_fingerprints": ROLLING_FINGERPRINTS_SQL,
         "winnow_fingerprints": _winnow_sql(),
         "repetition_stats": _repetition_sql(),
