@@ -771,7 +771,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CI oracle gate value-hashes it every run; bpe_token_counts enters
     # the tail with full oracle backing via the CI gate (merge learning
     # and the greedy encoder are property-pinned in tests/test_bpe.py;
-    # the recorded vocab_topk pins the distributed word-count stage).
+    # the recorded vocab_topk pins the distributed word-count stage);
+    # sq_topk enters the tail — the recorded pq_topk twin executes the
+    # identical shortlist + exact-re-rank machinery (sq differs only in
+    # the int64-exact code distance, recall pytest-pinned) and the CI
+    # oracle gate value-hashes it every run.
     # Round-5 demotion for key_diff_avro_evolved (schema resolution on the
     # distributed OCF path): embedding_near_dups moves to the tail — the
     # recorded embedding_near_dups_rp executes the IDENTICAL banded
@@ -795,6 +799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features_jpeg_progressive",
         "gopher_quality",
         "bpe_token_counts",
+        "sq_topk",
         "audio_analysis_wav",
         "near_dup_clusters_star",
         "pq_topk",

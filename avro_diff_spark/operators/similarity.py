@@ -688,6 +688,118 @@ def pq_topk(
     return topk_per_query(scored, k)
 
 
+def train_sq_minmax(parquet_path: str, *, sample: int = 1024):
+    """Per-dimension (vmin, vmax) for 8-bit scalar quantization — the
+    training FAISS's IndexScalarQuantizer QT_8bit runs on its sample.
+    Same bounded deterministic hash-sample contract as the IVF/PQ
+    trainers; values round to 12 decimals so the printed literals
+    round-trip exactly into plan and oracle alike. Degenerate dimensions
+    (max == min in the sample) widen by 1.0 so encoding never divides by
+    zero. Returns ``(mins, maxs)`` tuples of floats."""
+    return _train_sq_cached(_content_sig(parquet_path), sample)
+
+
+@lru_cache(maxsize=None)
+def _train_sq_cached(sig: tuple, sample: int):
+    import numpy as np
+
+    x = _pq_sample(sig[0], sample)
+    mins = np.round(x.min(axis=0), 12)
+    maxs = np.round(x.max(axis=0), 12)
+    maxs = np.where(maxs > mins, maxs, mins + 1.0)
+    return tuple(float(v) for v in mins), tuple(float(v) for v in maxs)
+
+
+def sq_encode_sql(emb_sql: str, minmax) -> str:
+    """SQL text of the 8-bit scalar-quantization codes for an embedding:
+    ``code_d = clamp(round((x_d - min_d) * 255 / (max_d - min_d)), 0, 255)``
+    — pure Column expressions, so the 100 TB candidate scan encodes with
+    no shuffle and no Python. The arithmetic shape (subtract, multiply,
+    divide, round) is mirrored verbatim by the DuckDB oracle: identical
+    IEEE op order gives bit-identical codes."""
+    mins, maxs = minmax
+    return (
+        f"transform({emb_sql}, (x, i) -> CAST(least(255L, greatest(0L, "
+        f"CAST(round((CAST(x AS DOUBLE) - element_at({_sql_vec(mins)}, i + 1)) * 255.0D "
+        f"/ (element_at({_sql_vec(maxs)}, i + 1) - element_at({_sql_vec(mins)}, i + 1))) "
+        f"AS BIGINT))) AS INT))"
+    )
+
+
+def sq_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    *,
+    minmax=None,
+    shortlist: int | None = None,
+    id_q: str = "vec_id",
+    id_c: str = "vec_id",
+) -> DataFrame:
+    """Scalar-quantization top-k (FAISS IndexScalarQuantizer QT_8bit
+    shape): symmetric int8-code distance scan, then exact re-rank of a
+    bounded shortlist.
+
+    Why SQ on Spark: the scan stage touches 1 byte per dimension instead
+    of a 4-byte float — a 4x lighter candidate table to scan/shuffle at
+    100 TB — and the symmetric distance Σ(q_code−c_code)² is pure int64
+    arithmetic, so the shortlist is bit-exact across engines (no IEEE
+    reduction-order hazard at all, stronger than PQ's fixed-point grid).
+    8 bits per dimension is nearly rank-lossless, so recall is ~1 even on
+    noise-like data where PQ's 4-dim subspaces struggle; the trade is
+    dim bytes per code vs PQ's m. Stage 2 and the output contract match
+    :func:`pq_topk` exactly (rank by cosine desc, cand_id asc).
+    """
+    if minmax is None:
+        raise ValueError("pass minmax from train_sq_minmax()")
+    R = shortlist if shortlist is not None else 10 * k
+    from pyspark.sql import Window
+
+    enc_expr = sq_encode_sql("embedding", minmax)
+    enc = spread_small(candidates).select(
+        F.col(id_c).alias("cand_id"), F.expr(enc_expr).alias("codes")
+    )
+    q = queries.select(
+        F.col(id_q).alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        _dec_norm(F.col("embedding")).alias("q_norm"),
+        F.expr(enc_expr).alias("qcodes"),
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("qcodes"),
+            lambda c, qc: ((c - qc) * (c - qc)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, v: a + v,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("cand_id").asc())
+    short = (
+        F.broadcast(q.select("query_id", "qcodes"))
+        .crossJoin(enc)
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", dist.alias("dist"))
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= R)
+        .select("query_id", "cand_id")
+    )
+    c_full = candidates.select(
+        F.col(id_c).alias("cand_id"),
+        F.col("embedding").alias("c_emb"),
+        _dec_norm(F.col("embedding")).alias("c_norm"),
+    )
+    qe = q.select("query_id", "q_emb", "q_norm")
+    dot = _fixed_dot(F.col("q_emb"), F.col("c_emb"))
+    cos = F.try_divide(dot, F.col("q_norm") * F.col("c_norm"))
+    scored = (
+        short.join(c_full, "cand_id")
+        .join(F.broadcast(qe), "query_id")
+        .select("query_id", "cand_id", cos.alias("cosine"))
+    )
+    return topk_per_query(scored, k)
+
+
 def ivfpq_topk(
     queries: DataFrame,
     candidates: DataFrame,

@@ -1514,6 +1514,60 @@ SELECT query_id, cand_id, rank, cosine FROM (
 """
 
 
+def q_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    mm = SIM.train_sq_minmax(f"{sf_dir}/embeddings.parquet")
+    return SIM.sq_topk(queries, emb, k=5, minmax=mm)
+
+
+def _sq_sql(k: int = 5, n_queries: int = 10, shortlist: int = 50) -> str:
+    """Mirror of sq_topk: the same trained per-dimension (min, max)
+    literals, the same IEEE op order for code computation, a pure-int64
+    symmetric distance (no float reduction anywhere in the scan), the
+    identical shortlist, and the same exact re-rank."""
+    mins, maxs = SIM.train_sq_minmax(f"{ORACLE_SF_DIR}/embeddings.parquet")
+
+    def vec_lit(vec) -> str:
+        return "[" + ", ".join(repr(float(v)) for v in vec) + "]::DOUBLE[]"
+
+    codes = (
+        f"list_transform(list_zip(embedding, {vec_lit(mins)}, {vec_lit(maxs)}), "
+        "p -> CAST(least(255, greatest(0, "
+        "CAST(round((CAST(p[1] AS DOUBLE) - p[2]) * 255.0 / (p[3] - p[2])) AS BIGINT)"
+        ")) AS INT))"
+    )
+    dist = (
+        "list_sum(list_transform(list_zip(e.codes, q.qcodes), "
+        "p -> CAST((p[1] - p[2]) * (p[1] - p[2]) AS BIGINT)))"
+    )
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb, {codes} AS qcodes
+           FROM embeddings WHERE vec_id < {n_queries}),
+enc AS (SELECT vec_id AS cand_id, {codes} AS codes FROM embeddings),
+short AS (
+  SELECT query_id, cand_id FROM (
+    SELECT q.query_id, e.cand_id,
+           row_number() OVER (PARTITION BY q.query_id
+               ORDER BY ({dist}) ASC, e.cand_id ASC) AS rn
+    FROM q CROSS JOIN enc e WHERE q.query_id <> e.cand_id
+  ) WHERE rn <= {shortlist}
+),
+scored AS (
+  SELECT s.query_id, s.cand_id,
+         {_cos_sql('q.q_emb', 'c.embedding')} AS cosine
+  FROM short s
+  JOIN embeddings c ON c.vec_id = s.cand_id
+  JOIN q ON q.query_id = s.query_id
+)
+SELECT query_id, cand_id, rank, cosine FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, cand_id ASC) AS INT) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
 def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 10)
@@ -2083,6 +2137,7 @@ PIPELINE_QUERIES = {
     "ivf_topk": q_ivf_topk,
     "kmeans_cluster_stats": q_kmeans_cluster_stats,
     "pq_topk": q_pq_topk,
+    "sq_topk": q_sq_topk,
     "ivfpq_topk": q_ivfpq_topk,
     "ivfpq_residual_topk": q_ivfpq_residual_topk,
     "embedding_near_dups": q_embedding_near_dups,
@@ -2138,6 +2193,7 @@ def pipeline_sql() -> dict[str, str]:
         "ivf_topk": _ivf_sql(),
         "kmeans_cluster_stats": _kmeans_sql(),
         "pq_topk": _pq_sql(),
+        "sq_topk": _sq_sql(),
         "ivfpq_topk": _ivfpq_sql(),
         "ivfpq_residual_topk": _ivfpq_residual_sql(),
         "embedding_near_dups": _embedding_near_dups_sql(),

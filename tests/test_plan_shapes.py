@@ -20,7 +20,9 @@ import __spark_entry__ as ent
 #: same broadcast-queries-vs-all-candidates scan by design — over m-byte
 #: codes at O(m) per pair instead of dim floats at O(dim), which is the
 #: whole point of product quantization (see similarity.pq_topk docstring).
-CROSS_JOIN_BY_DESIGN = {"cosine_topk", "pq_topk"}
+#: sq_topk's code scan is the same by-design shape over dim-byte codes
+#: (int64-exact symmetric distance — see similarity.sq_topk docstring).
+CROSS_JOIN_BY_DESIGN = {"cosine_topk", "pq_topk", "sq_topk"}
 
 _QUERIES = sorted(ent.queries())
 
