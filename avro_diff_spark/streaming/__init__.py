@@ -1,7 +1,11 @@
 """Structured Streaming operators (north-star extensions; reference is
 batch-only, SURVEY.md §2.8)."""
 
-from avro_diff_spark.streaming.dedup import contamination_stream, dedup_stream
+from avro_diff_spark.streaming.dedup import (
+    contamination_stream,
+    dedup_stream,
+    near_dedup_stream,
+)
 from avro_diff_spark.streaming.diff import key_diff_stream
 from avro_diff_spark.streaming.events import (
     EVENTS_SCHEMA,
@@ -15,6 +19,7 @@ __all__ = [
     "EVENTS_SCHEMA",
     "contamination_stream",
     "dedup_stream",
+    "near_dedup_stream",
     "key_diff_stream",
     "read_event_stream",
     "hourly_counts_stream",

@@ -98,3 +98,115 @@ def dedup_stream(
             ["fingerprint"]
         )
     return d.dropDuplicates(["fingerprint"])
+
+
+def near_dedup_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Streaming near-duplicate CANDIDATE detection — MinHash LSH buckets
+    as keyed state, flagging arriving documents whose sketch collides
+    with any previously-seen document's, at ingest time.
+
+    Shape: each document computes its MinHash signature and explodes to
+    ``bands`` (band_id, band_key) bucket rows with the SAME signature and
+    banding expressions the batch :func:`avro_diff_spark.operators.dedup
+    .minhash_near_dups` uses (pure Column code, no Python, no shuffle
+    until the state store's own exchange on the bucket key — small and
+    uniformly distributed, exactly the batch LSH shuffle). State lives
+    per bucket via ``applyInPandasWithState``: the first-seen doc id.
+    Output is the bucket-collision EVENT stream — one row per (doc,
+    band): ``is_first`` marks the bucket's founder; a later doc whose row
+    reports ``first_doc_id != doc_id`` is a near-dup CANDIDATE exactly as
+    in batch LSH. Exact-Jaccard verification of candidates stays a batch
+    (or foreachBatch) concern, as in every production streaming
+    near-dedup: the bucketed event stream is the scalable primitive —
+    state is one row per DISTINCT bucket, never per pair.
+
+    Determinism note: within one micro-batch a new bucket's founder is
+    the minimum doc id (arrival order inside a batch is not defined);
+    across batches it is first-seen, the only meaningful order on an
+    unbounded source. The candidate SET equals the batch banding's
+    (pinned by tests/test_streaming.py).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from avro_diff_spark.functions.text import char_codes, poly_shingle_hashes
+    from avro_diff_spark.operators.dedup import _signatures_from_sh
+
+    rows_per_band = n_hashes // bands
+    doc_sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        char_codes(F.col(text_col)).alias("__codes"),
+    ).select(
+        "doc_id",
+        F.array_distinct(poly_shingle_hashes(F.col("__codes"), shingle_k)).alias("sh"),
+    )
+    sigs = _signatures_from_sh(doc_sh, n_hashes)
+    banded = (
+        sigs.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_id"),
+                            F.when(
+                                F.element_at(F.col("sig"), 1).isNotNull(),
+                                F.md5(
+                                    F.array_join(
+                                        F.slice(
+                                            F.col("sig"),
+                                            b * rows_per_band + 1,
+                                            rows_per_band,
+                                        ),
+                                        ",",
+                                    )
+                                ),
+                            ).alias("band_key"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("band"),
+        )
+        .select("doc_id", "band.band_id", "band.band_key")
+        .where(F.col("band_key").isNotNull())
+    )
+
+    def track(key, pdfs, state):
+        import pandas as pd
+
+        ids = []
+        for pdf in pdfs:
+            ids.extend(int(v) for v in pdf["doc_id"])
+        if state.exists:
+            (first,) = state.get
+            newly = False
+        else:
+            first = min(ids)
+            newly = True
+            state.update((first,))
+        yield pd.DataFrame(
+            {
+                "band_id": [int(key[0])] * len(ids),
+                "band_key": [str(key[1])] * len(ids),
+                "doc_id": ids,
+                "first_doc_id": [first] * len(ids),
+                "is_first": [newly and i == first for i in ids],
+            }
+        )
+
+    return banded.groupBy("band_id", "band_key").applyInPandasWithState(
+        track,
+        outputStructType="band_id int, band_key string, doc_id long, "
+        "first_doc_id long, is_first boolean",
+        stateStructType="first_doc_id long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

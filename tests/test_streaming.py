@@ -516,3 +516,88 @@ def test_sessionize_tws_end_to_end(spark, events_batch, tmp_path):
         sessionize_stream_tws(stream, gap_minutes=30), "tws_e2e", "append", tmp_path
     )
     assert spark.table("tws_e2e").count() >= 0
+
+
+def test_near_dedup_stream_matches_batch_banding(spark, sf_dir, tmp_path):
+    """The streaming LSH bucket-collision events must reproduce the batch
+    banding exactly: same (bucket -> member set) relation, one founder per
+    bucket, and the candidate-document set (docs colliding with an
+    earlier doc) equal to the batch LSH candidate set."""
+    from avro_diff_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from avro_diff_spark.snapshots import documents_with_dups
+    from avro_diff_spark.streaming import near_dedup_stream
+
+    corpus = documents_with_dups(spark, sf_dir)
+    src = str(tmp_path / "nd_in")
+    corpus.write.parquet(src)
+    stream = spark.readStream.schema(corpus.schema).parquet(src)
+    _run_to_memory(near_dedup_stream(stream), "near_dedup", "append", tmp_path)
+    got = spark.table("near_dedup").collect()
+
+    # one founder per bucket, and the founder is a member of the bucket
+    buckets: dict = {}
+    for r in got:
+        buckets.setdefault((r.band_id, r.band_key), []).append(r)
+    for rows in buckets.values():
+        firsts = {r.first_doc_id for r in rows}
+        assert len(firsts) == 1
+        founders = [r for r in rows if r.is_first]
+        assert len(founders) == 1 and founders[0].doc_id in firsts
+
+    # candidate set == batch LSH candidate set (pairs flattened to docs
+    # that collide with a smaller-id doc; streaming founder is min-id here
+    # because the replay is one micro-batch)
+    stream_cands = {
+        r.doc_id for r in got if not r.is_first and r.first_doc_id != r.doc_id
+    }
+    sigs = minhash_signatures(corpus, "text", "doc_id")
+    pairs = lsh_candidate_pairs(sigs, bands=8, rows_per_band=4)
+    batch_cands = {r.doc_b for r in pairs.collect()}
+    assert stream_cands == batch_cands
+
+
+def test_near_dedup_stream_state_across_batches(spark, sf_dir, tmp_path):
+    """A second AvailableNow run over the same checkpoint sees the first
+    run's buckets: re-sent documents collide with persisted state instead
+    of founding new buckets."""
+    from avro_diff_spark.snapshots import documents_with_dups
+    from avro_diff_spark.streaming import near_dedup_stream
+
+    corpus = documents_with_dups(spark, sf_dir).limit(40).cache()
+    src = str(tmp_path / "nd2_in")
+    sink = str(tmp_path / "nd2_out")
+    ckpt = str(tmp_path / "nd2_ckpt")
+
+    def run_once():
+        stream = spark.readStream.schema(corpus.schema).parquet(src)
+        q = (
+            near_dedup_stream(stream)
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    corpus.write.mode("overwrite").parquet(src)
+    run_once()
+    first = spark.read.parquet(sink)
+    n_buckets = first.filter("is_first").count()
+    assert n_buckets > 0
+
+    # replay the same docs with shifted ids: every band key already has
+    # state, so NO new founders may appear
+    shifted = corpus.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    shifted.write.mode("append").parquet(src)
+    run_once()
+    out = spark.read.parquet(sink)
+    assert out.filter("is_first").count() == n_buckets
+    replay = out.filter(F.col("doc_id") >= 1_000_000)
+    assert replay.count() > 0
+    assert replay.filter("is_first").count() == 0
+    assert replay.filter(F.col("first_doc_id") >= 1_000_000).count() == 0
