@@ -165,6 +165,76 @@ def read_avro(
     return _project(df, keep_fields, ignore_fields)
 
 
+def read_avro_stream(
+    spark: SparkSession,
+    path: str,
+    *,
+    avro_schema: str | dict | None = None,
+    schema_from: str | None = None,
+) -> DataFrame:
+    """Streaming Avro ingest: watch a directory for arriving OCFs and
+    decode each as it lands — the reference's flagship format meeting
+    Structured Streaming (the reference itself is batch-only,
+    SURVEY.md §1.1/§2.8).
+
+    Built on the ``binaryFile`` streaming file source (exactly-once file
+    tracking, checkpointed progress — restarts pick up only unseen files)
+    with the pure-Python OCF codec decoding in Arrow-batched
+    ``mapInPandas`` on executors. Schema must be known up front (a
+    streaming contract): pass a reader ``avro_schema`` — full spec schema
+    resolution applies per file, so a directory where producers evolved
+    the writer schema mid-stream still yields ONE uniform frame — or
+    point ``schema_from`` at any existing OCF to copy its writer schema;
+    by default the directory is probed for one ``.avro`` file.
+
+    Scale shape: one task per arriving file (each file decodes whole —
+    the landed-file granularity every streaming file pipeline has);
+    intra-file byte-range splitting stays a batch-path feature. Memory is
+    bounded by the largest single file, the binaryFile source's own
+    contract.
+    """
+    import pandas as pd
+
+    from avro_diff_spark.sources import ocf
+
+    if avro_schema is not None:
+        reader_schema = (
+            json.loads(avro_schema) if isinstance(avro_schema, str) else avro_schema
+        )
+        decode_schema = reader_schema
+    else:
+        probe = schema_from or path
+        with open(_local_avro_files(probe)[0], "rb") as f:
+            decode_schema, _, _, _ = ocf.read_header_from_file(f)
+        reader_schema = None
+    spark_schema = ocf.avro_to_spark_schema(decode_schema)
+    names = [f.name for f in spark_schema.fields]
+
+    raw = (
+        spark.readStream.format("binaryFile")
+        # the binaryFile source's fixed schema, stated explicitly —
+        # streaming sources never infer
+        .schema("path string, modificationTime timestamp, length long, content binary")
+        .option("pathGlobFilter", "*.avro")
+        .load(path)
+        .select("content")
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            for blob in pdf["content"]:
+                rows = []
+                for rec in ocf.iter_ocf(bytes(blob), reader_schema=reader_schema):
+                    rows.append(rec if reader_schema else {n: rec.get(n) for n in names})
+                    if len(rows) >= 4096:  # bound memory per Arrow batch
+                        yield pd.DataFrame.from_records(rows, columns=names)
+                        rows = []
+                if rows:
+                    yield pd.DataFrame.from_records(rows, columns=names)
+
+    return raw.mapInPandas(decode, spark_schema)
+
+
 def _local_avro_files(path: str | Sequence[str]) -> list[str]:
     """Resolve local file/dir/glob path(s) to concrete .avro file paths."""
     import glob as _glob

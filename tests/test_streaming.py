@@ -601,3 +601,72 @@ def test_near_dedup_stream_state_across_batches(spark, sf_dir, tmp_path):
     assert replay.count() > 0
     assert replay.filter("is_first").count() == 0
     assert replay.filter(F.col("first_doc_id") >= 1_000_000).count() == 0
+
+
+def test_read_avro_stream_matches_batch_and_tracks_files(spark, tmp_path):
+    """Streaming Avro ingest: decoded rows equal the batch read, schema
+    resolution applies per arriving file, and the checkpoint ensures a
+    restart decodes only files that landed since."""
+    from avro_diff_spark.sources import ocf
+    from avro_diff_spark.sources.avro import read_avro, read_avro_stream
+
+    writer_v1 = {
+        "type": "record",
+        "name": "topLevelRecord",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "qty", "type": "int"},
+            {"name": "old_name", "type": "string"},
+        ],
+    }
+    reader = {
+        "type": "record",
+        "name": "topLevelRecord",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "qty", "type": "long"},  # int -> long promotion
+            {"name": "name", "type": "string", "aliases": ["old_name"]},
+            {"name": "tag", "type": "string", "default": "none"},
+        ],
+    }
+    src = str(tmp_path / "avro_in")
+    sink = str(tmp_path / "avro_out")
+    ckpt = str(tmp_path / "avro_ckpt")
+    import os
+
+    os.makedirs(src)
+    rows1 = [{"id": i, "qty": i % 7, "old_name": f"n{i}"} for i in range(100)]
+    ocf.write_ocf(f"{src}/a.avro", writer_v1, rows1, codec="deflate")
+
+    def run_once():
+        q = (
+            read_avro_stream(spark, src, avro_schema=reader)
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    got = spark.read.parquet(sink)
+    assert got.count() == 100
+    assert [f.name for f in got.schema.fields] == ["id", "qty", "name", "tag"]
+    r7 = got.filter("id = 7").first()
+    assert r7.qty == 0 and r7.name == "n7" and r7.tag == "none"
+    # matches the batch read under the same reader schema
+    batch = read_avro(spark, f"{src}/a.avro", avro_schema=reader)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+
+    # a second file lands, written under an EVOLVED writer (v2 == reader
+    # shape, snappy): the restarted query decodes only the new file
+    rows2 = [
+        {"id": 1000 + i, "qty": i, "name": f"m{i}", "tag": "v2"} for i in range(50)
+    ]
+    ocf.write_ocf(f"{src}/b.avro", reader, rows2, codec="snappy")
+    run_once()
+    got2 = spark.read.parquet(sink)
+    assert got2.count() == 150
+    assert got2.filter("tag = 'v2'").count() == 50
