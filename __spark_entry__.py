@@ -768,7 +768,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the tail — the recorded quality_scores pins the same mechanism
     # (pure Column metrics over one documents scan), the Gopher rule
     # thresholds are integer-exact comparisons with a pytest pin, and the
-    # CI oracle gate value-hashes it every run; bpe_token_counts enters
+    # CI oracle gate value-hashes it every run (gopher_repetition, its
+    # §A1.2 sibling, enters the tail on the same rationale);
+    # bpe_token_counts enters
     # the tail with full oracle backing via the CI gate (merge learning
     # and the greedy encoder are property-pinned in tests/test_bpe.py;
     # the recorded vocab_topk pins the distributed word-count stage);
@@ -798,6 +800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features_webp",
         "image_features_jpeg_progressive",
         "gopher_quality",
+        "gopher_repetition",
         "bpe_token_counts",
         "sq_topk",
         "audio_analysis_wav",

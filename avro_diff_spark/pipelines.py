@@ -461,6 +461,177 @@ FROM documents GROUP BY source
 """
 
 
+def _arr_count(arr, e):
+    return F.size(F.filter(arr, lambda x: x == e))
+
+
+def _dup_elem_count(arr):
+    """Elements beyond the first occurrence of their value."""
+    return (F.size(arr) - F.size(F.array_distinct(arr))).cast("long")
+
+
+def _dup_elem_chars(arr):
+    """Characters over ALL occurrences of values appearing >= 2 times."""
+    return F.coalesce(
+        F.aggregate(
+            F.transform(
+                F.array_distinct(arr),
+                lambda e: F.struct(
+                    _arr_count(arr, e).alias("c"), F.length(e).alias("l")
+                ),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, s: acc
+            + F.when(s["c"] >= 2, s["c"].cast("long") * s["l"]).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+    )
+
+
+def _total_chars(arr):
+    return F.coalesce(
+        F.aggregate(
+            arr, F.lit(0).cast("long"), lambda acc, e: acc + F.length(e)
+        ),
+        F.lit(0).cast("long"),
+    )
+
+
+def _top_elem_chars(arr):
+    """count(top value) * length(top value), top by (count desc, value
+    asc) — the 'characters in the most frequent n-gram' numerator."""
+    distinct = F.array_distinct(arr)
+    maxc = F.array_max(F.transform(distinct, lambda e: _arr_count(arr, e)))
+    topg = F.array_min(F.filter(distinct, lambda e: _arr_count(arr, e) == maxc))
+    return F.coalesce(
+        maxc.cast("long") * F.length(topg), F.lit(0).cast("long")
+    )
+
+
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher REPETITION rule subset (Rae et al. 2021 §A1.2 — the
+    sibling of gopher_quality's §A1.1 set): duplicate-line and
+    duplicate-paragraph fractions (row and character), and top
+    2/3/4-gram character occupancy. Definitions made precise here (the
+    paper leaves room; Dolma/DataTrove differ in the same places):
+    lines/paragraphs are the non-blank '\\n' / '\\n\\n' splits of the raw
+    text; duplicate-character fractions count ALL occurrences of any
+    repeated value; top-n-gram occupancy is count*len(space-joined gram)
+    over the normalized text length. Every metric is an integer count
+    and every threshold (0.30/0.30/0.20/0.20/0.20/0.18/0.16) applies by
+    integer cross-multiplication — keep flags bit-identical across
+    engines, map-only, zero shuffle."""
+    d = spread_small(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    staged = d.select(
+        "doc_id",
+        F.filter(F.split(F.col("text"), "\n"), lambda l: F.trim(l) != "").alias("lines"),
+        F.filter(F.split(F.col("text"), "\n\n"), lambda p: F.trim(p) != "").alias("paras"),
+        TX.tokens_ws(F.col("text")).alias("toks"),
+        F.length(TX.norm_text(F.col("text"))).cast("long").alias("n_chars"),
+    ).select(
+        "doc_id",
+        "lines",
+        "paras",
+        "n_chars",
+        TX.word_grams_from_tokens(F.col("toks"), 2).alias("g2"),
+        TX.word_grams_from_tokens(F.col("toks"), 3).alias("g3"),
+        TX.word_grams_from_tokens(F.col("toks"), 4).alias("g4"),
+    )
+    m = staged.select(
+        "doc_id",
+        "n_chars",
+        F.size("lines").cast("long").alias("n_lines"),
+        _dup_elem_count(F.col("lines")).alias("dup_lines"),
+        _dup_elem_chars(F.col("lines")).alias("dup_line_chars"),
+        _total_chars(F.col("lines")).alias("line_chars"),
+        F.size("paras").cast("long").alias("n_paras"),
+        _dup_elem_count(F.col("paras")).alias("dup_paras"),
+        _dup_elem_chars(F.col("paras")).alias("dup_para_chars"),
+        _total_chars(F.col("paras")).alias("para_chars"),
+        _top_elem_chars(F.col("g2")).alias("top2_chars"),
+        _top_elem_chars(F.col("g3")).alias("top3_chars"),
+        _top_elem_chars(F.col("g4")).alias("top4_chars"),
+    )
+    keep = (
+        (10 * F.col("dup_lines") <= 3 * F.col("n_lines"))
+        & (10 * F.col("dup_paras") <= 3 * F.col("n_paras"))
+        & (5 * F.col("dup_line_chars") <= F.col("line_chars"))
+        & (5 * F.col("dup_para_chars") <= F.col("para_chars"))
+        & (5 * F.col("top2_chars") <= F.col("n_chars"))
+        & (50 * F.col("top3_chars") <= 9 * F.col("n_chars"))
+        & (25 * F.col("top4_chars") <= 4 * F.col("n_chars"))
+    )
+    return m.select("*", keep.alias("keep"))
+
+
+def _gopher_repetition_sql() -> str:
+    t = tokens_sql("text")
+    n = norm_sql("text")
+
+    def grams(k: int) -> str:
+        return (
+            f"CASE WHEN len({t}) >= {k} THEN list_transform(range(1, len({t}) - {k} + 2), "
+            f"i -> array_to_string({t}[i:i+{k - 1}], ' ')) "
+            "ELSE [] END"
+        )
+
+    def dup_count(arr: str) -> str:
+        return f"CAST(len({arr}) - len(list_distinct({arr})) AS BIGINT)"
+
+    def dup_chars(arr: str) -> str:
+        return (
+            f"CAST(coalesce(list_sum(list_transform(list_distinct({arr}), "
+            f"e -> CASE WHEN len(list_filter({arr}, x -> x = e)) >= 2 "
+            f"THEN len(list_filter({arr}, x -> x = e)) * length(e) ELSE 0 END)), 0) AS BIGINT)"
+        )
+
+    def total_chars(arr: str) -> str:
+        return f"CAST(coalesce(list_sum(list_transform({arr}, e -> length(e))), 0) AS BIGINT)"
+
+    def top_chars(arr: str) -> str:
+        cnt = f"len(list_filter({arr}, x -> x = e))"
+        maxc = f"list_max(list_transform(list_distinct({arr}), e -> {cnt}))"
+        topg = f"list_min(list_filter(list_distinct({arr}), e -> {cnt} = {maxc}))"
+        return f"CAST(coalesce({maxc} * length({topg}), 0) AS BIGINT)"
+
+    return f"""
+SELECT doc_id, n_chars, n_lines, dup_lines, dup_line_chars, line_chars,
+       n_paras, dup_paras, dup_para_chars, para_chars,
+       top2_chars, top3_chars, top4_chars,
+       (10 * dup_lines <= 3 * n_lines
+        AND 10 * dup_paras <= 3 * n_paras
+        AND 5 * dup_line_chars <= line_chars
+        AND 5 * dup_para_chars <= para_chars
+        AND 5 * top2_chars <= n_chars
+        AND 50 * top3_chars <= 9 * n_chars
+        AND 25 * top4_chars <= 4 * n_chars) AS keep
+FROM (
+  SELECT doc_id,
+    CAST(length({n}) AS BIGINT) AS n_chars,
+    CAST(len(lines) AS BIGINT) AS n_lines,
+    {dup_count('lines')} AS dup_lines,
+    {dup_chars('lines')} AS dup_line_chars,
+    {total_chars('lines')} AS line_chars,
+    CAST(len(paras) AS BIGINT) AS n_paras,
+    {dup_count('paras')} AS dup_paras,
+    {dup_chars('paras')} AS dup_para_chars,
+    {total_chars('paras')} AS para_chars,
+    {top_chars('g2')} AS top2_chars,
+    {top_chars('g3')} AS top3_chars,
+    {top_chars('g4')} AS top4_chars
+  FROM (
+    SELECT doc_id, text,
+      list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines,
+      list_filter(string_split(text, chr(10) || chr(10)), p -> trim(p) <> '') AS paras,
+      {grams(2)} AS g2, {grams(3)} AS g3, {grams(4)} AS g4
+    FROM documents
+  )
+)
+"""
+
+
 def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training + application — the tokenizer step of an
     LLM data pipeline, in the production shape (functions/bpe.py):
@@ -2115,6 +2286,7 @@ PIPELINE_QUERIES = {
     "quality_scores": q_quality_scores,
     "gopher_quality": q_gopher_quality,
     "bpe_token_counts": q_bpe_token_counts,
+    "gopher_repetition": q_gopher_repetition,
     "rolling_fingerprints": q_rolling_fingerprints,
     "winnow_fingerprints": q_winnow_fingerprints,
     "repetition_stats": q_repetition_stats,
@@ -2171,6 +2343,7 @@ def pipeline_sql() -> dict[str, str]:
         "quality_scores": _quality_sql(),
         "gopher_quality": _gopher_quality_sql(),
         "bpe_token_counts": _bpe_token_counts_sql(),
+        "gopher_repetition": _gopher_repetition_sql(),
         "rolling_fingerprints": ROLLING_FINGERPRINTS_SQL,
         "winnow_fingerprints": _winnow_sql(),
         "repetition_stats": _repetition_sql(),

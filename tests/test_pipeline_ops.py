@@ -196,3 +196,31 @@ def test_gopher_quality_rules(spark, tmp_path):
     assert not out[4].keep and 10 * out[4].n_symbols > out[4].n_words
     assert not out[5].keep and 10 * out[5].n_bullet_lines > 9 * out[5].n_lines
     assert not out[6].keep and out[6].n_stop_hits < 2
+
+
+def test_gopher_repetition_rules(spark, tmp_path):
+    """Each repetition rule (Rae et al. 2021 §A1.2) flips keep on an
+    engineered document; a varied control document passes."""
+    import avro_diff_spark.pipelines as P
+
+    varied = "\n".join(
+        f"al{i} be{i} ga{i} de{i} ep{i} ze{i} et{i} th{i}" for i in range(12)
+    )
+    dup_lines = "\n".join(["repeat this exact line"] * 8 + ["one fresh line here"])
+    dup_paras = "\n\n".join(["para one body text"] * 5 + ["another para entirely"])
+    top2 = ("very nice " * 30) + "something else entirely to finish"
+    docs = [
+        (1, varied, "en", "web", 1),
+        (2, dup_lines, "en", "web", 1),
+        (3, dup_paras, "en", "web", 1),
+        (4, top2, "en", "web", 1),
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r.doc_id: r for r in P.q_gopher_repetition(spark, str(tmp_path)).collect()}
+    assert out[1].keep and out[1].dup_lines == 0
+    assert not out[2].keep and 10 * out[2].dup_lines > 3 * out[2].n_lines
+    assert not out[3].keep and 10 * out[3].dup_paras > 3 * out[3].n_paras
+    assert not out[4].keep and 5 * out[4].top2_chars > out[4].n_chars
