@@ -99,17 +99,39 @@ def main() -> None:
         times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    record = {
+        "metric": "headline_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # complete per-query record for humans / the judge (not stdout: the
+    # driver's capture keeps only the last 2000 chars of stdout, and at 80+
+    # queries the full dict outgrew it in round 5, leaving the official
+    # BENCH record unparsed)
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),
+        "w",
+    ) as fh:
+        json.dump(record, fh, indent=1, sort_keys=False)
+        fh.write("\n")
+    # the ONE stdout line: compact separators, per-query entries trimmed
+    # from the end (registry tail first — the headline queries lead the
+    # dict) until the line fits the driver's 2000-char tail window with
+    # margin, so the line is complete and parseable under ANY tail-scan
+    # strategy. "value" stays the total over ALL queries either way.
+    budget = 1800
+    line_qs = dict(times)
+    while line_qs:
+        out = dict(record, queries=line_qs)
+        if len(line_qs) < len(times):
+            out["queries_elided"] = len(times) - len(line_qs)
+        line = json.dumps(out, separators=(",", ":"))
+        if len(line) <= budget:
+            break
+        line_qs.pop(next(reversed(line_qs)))
+    print(line)
 
 
 if __name__ == "__main__":
