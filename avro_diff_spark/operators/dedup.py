@@ -847,22 +847,32 @@ class _loop_shuffle_parts:
     meaningfully sized at every scale — a 100 TB corpus with billions of
     candidate pairs still gets thousands of partitions, while bench-scale
     loops collapse to single-task stages. Restores the previous setting
-    on exit; the loop is driver-blocking, so the temporary session-level
-    change cannot leak into a concurrently planned query of this session.
+    on exit. Caveat: the setting is session-scoped, so a query planned
+    CONCURRENTLY on the same SparkSession from another thread (e.g. a
+    running streaming query's micro-batch) would inherit the shrunk value
+    for that plan — hold iterative graph loops and concurrent planning on
+    separate sessions (``SparkSession.newSession()`` shares the cluster
+    but isolates conf). On platforms where the conf is non-numeric
+    (e.g. "auto"), the context leaves it untouched.
     """
 
     def __init__(self, spark, n_rows: int, rows_per_part: int = 2_000_000) -> None:
         self.spark = spark
-        cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        self.parts = max(1, min(cur, n_rows // rows_per_part + 1))
+        try:
+            cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):
+            cur = 0  # non-numeric ("auto"): leave the session conf alone
+        self.parts = max(1, min(cur, n_rows // rows_per_part + 1)) if cur else None
 
     def __enter__(self):
-        self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
-        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.parts))
+        if self.parts is not None:
+            self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
+            self.spark.conf.set("spark.sql.shuffle.partitions", str(self.parts))
         return self
 
     def __exit__(self, *exc):
-        self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
+        if self.parts is not None:
+            self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
         return False
 
 

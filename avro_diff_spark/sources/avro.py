@@ -204,7 +204,18 @@ def read_avro_stream(
         decode_schema = reader_schema
     else:
         probe = schema_from or path
-        with open(_local_avro_files(probe)[0], "rb") as f:
+        try:
+            found = _local_avro_files(probe)
+        except FileNotFoundError:
+            found = []
+        if not found:
+            raise ValueError(
+                f"read_avro_stream: no .avro file under {probe!r} to probe the "
+                "schema from (a stream's schema must be known before any file "
+                "arrives) — pass avro_schema=, or schema_from= pointing at an "
+                "existing container file"
+            )
+        with open(found[0], "rb") as f:
             decode_schema, _, _, _ = ocf.read_header_from_file(f)
         reader_schema = None
     spark_schema = ocf.avro_to_spark_schema(decode_schema)

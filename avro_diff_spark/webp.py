@@ -18,8 +18,11 @@ Scope (documented, deliberate):
   neighborhood plane-code table), and all four transforms applied in
   reverse order: PREDICTOR (all 14 modes, spec edge rules),
   COLOR (signed 3.5 fixed-point cross-channel deltas), SUBTRACT_GREEN,
-  and COLOR_INDEXING (palette with sub-byte pixel bundling). Lossy VP8
-  and the VP8X extended container raise ValueError and fall through
+  and COLOR_INDEXING (palette with sub-byte pixel bundling). VP8X
+  extended containers are walked through to their nested VP8L chunk
+  (libwebp wraps lossless data in VP8X whenever metadata or the alpha
+  flag is present); only genuinely lossy (VP8) and animated (ANIM/ANMF)
+  payloads raise ValueError and fall through
   multimodal.auto_image_decoder to the deterministic fake.
 - encode: exists for fixture generation and round-trip testing — emits a
   spec-minimal but fully valid VP8L stream: no transforms, no color
@@ -562,7 +565,12 @@ def decode_webp(payload: bytes) -> np.ndarray:
         if fourcc == b"VP8L":
             vp8l = payload[pos + 8 : pos + 8 + size]
             break
-        if fourcc in (b"VP8 ", b"VP8X"):
+        if fourcc in (b"VP8 ", b"ANIM", b"ANMF"):
+            # genuinely undecodable here: lossy VP8 bitstream / animation.
+            # VP8X itself is just the extended-container feature header —
+            # libwebp wraps lossless VP8L in it whenever metadata or the
+            # alpha flag is set — so it (and ICCP/EXIF/XMP metadata
+            # chunks) are skipped and the walk continues to the payload.
             raise ValueError(f"unsupported WebP variant {fourcc.decode().strip()!r}")
         pos += 8 + size + (size & 1)
     if vp8l is None:

@@ -670,3 +670,15 @@ def test_read_avro_stream_matches_batch_and_tracks_files(spark, tmp_path):
     got2 = spark.read.parquet(sink)
     assert got2.count() == 150
     assert got2.filter("tag = 'v2'").count() == 50
+
+
+def test_read_avro_stream_empty_dir_raises_clear_error(spark, tmp_path):
+    """Defining a stream over a not-yet-populated directory without an
+    explicit schema must fail with the contract spelled out, not an
+    IndexError from the schema probe (round-5 ADVICE)."""
+    import pytest as _pytest
+
+    from avro_diff_spark.sources.avro import read_avro_stream
+
+    with _pytest.raises(ValueError, match="avro_schema"):
+        read_avro_stream(spark, str(tmp_path))

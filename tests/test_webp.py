@@ -278,6 +278,43 @@ def test_palette_transform_with_bundling():
 
 # ------------------------------------------------------------------ errors
 
+def _vp8x_wrap(payload: bytes, *, extra: list[tuple[bytes, bytes]] = ()) -> bytes:
+    """Re-wrap a plain RIFF+VP8L file as a VP8X extended container, the way
+    libwebp does whenever metadata or the alpha flag is present: VP8X
+    feature header first, then any metadata chunks, then the VP8L chunk."""
+    vp8l_chunk = payload[12:]  # fourcc+size+data(+pad) of the sole chunk
+    # canvas size from the VP8L header: 14-bit fields after the 0x2F byte
+    bits = int.from_bytes(payload[12 + 8 + 1 : 12 + 8 + 5], "little")
+    cw = (bits & 0x3FFF) + 1
+    chh = ((bits >> 14) & 0x3FFF) + 1
+    vp8x = struct.pack("<4sIB3s", b"VP8X", 10, 0x08, b"\0\0\0")
+    vp8x += (cw - 1).to_bytes(3, "little") + (chh - 1).to_bytes(3, "little")
+    body = b"WEBP" + vp8x
+    for fourcc, data in extra:
+        body += fourcc + struct.pack("<I", len(data)) + data + (b"\0" if len(data) & 1 else b"")
+    body += vp8l_chunk
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_vp8x_container_with_metadata_decodes():
+    """libwebp wraps lossless VP8L in VP8X when EXIF/ICC/alpha-flag output
+    is requested — the nested VP8L must decode identically (round-5
+    ADVICE: these were wrongly rejected as lossy-adjacent)."""
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (6, 5, 3)).astype(np.uint8)
+    plain = W.encode_webp(img)
+    wrapped = _vp8x_wrap(plain, extra=[(b"EXIF", b"\x01\x02\x03"), (b"XMP ", b"<x/>")])
+    assert np.array_equal(W.decode_webp(wrapped), img)
+
+
+def test_vp8x_animated_still_rejected():
+    rng = np.random.RandomState(8)
+    img = rng.randint(0, 256, (3, 3, 3)).astype(np.uint8)
+    wrapped = _vp8x_wrap(W.encode_webp(img), extra=[(b"ANIM", b"\0" * 6)])
+    with pytest.raises(ValueError, match="unsupported WebP variant"):
+        W.decode_webp(wrapped)
+
+
 def test_rejects_lossy_and_garbage():
     rng = np.random.RandomState(0)
     img = rng.randint(0, 256, (4, 4, 3)).astype(np.uint8)
