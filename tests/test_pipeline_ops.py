@@ -38,18 +38,25 @@ def _union_find(edges, nodes):
     )
 )
 def test_near_dup_clusters_matches_union_find(spark, edges):
-    """The iterative min-label propagation computes exactly the
-    connected-components labeling a union-find computes, on arbitrary
+    """Both execution paths — the DISTRIBUTED min-label loop (forced with
+    driver_finish_max_edges=0) and the default bounded-edge-list
+    driver-side union-find finish — compute exactly the
+    connected-components labeling of a reference union-find, on arbitrary
     graphs (chains, cycles, stars, disconnected islands)."""
     pairs = spark.createDataFrame(
         [(a, b) for a, b in edges], "doc_a long, doc_b long"
     )
-    got = {
+    loop = {
+        r.doc_id: r.cluster_id
+        for r in near_dup_clusters(pairs, driver_finish_max_edges=0).collect()
+    }
+    finish = {
         r.doc_id: r.cluster_id for r in near_dup_clusters(pairs).collect()
     }
     nodes = {n for e in edges for n in e}
     want = _union_find(edges, nodes)
-    assert got == want
+    assert loop == want
+    assert finish == want
 
 
 def test_near_dup_clusters_long_chain_converges(spark):
@@ -58,7 +65,7 @@ def test_near_dup_clusters_long_chain_converges(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(40)], "doc_a long, doc_b long"
     )
-    rows = near_dup_clusters(pairs, max_iters=50).collect()
+    rows = near_dup_clusters(pairs, max_iters=50, driver_finish_max_edges=0).collect()
     assert {r.cluster_id for r in rows} == {0}
     assert {r.doc_id for r in rows} == set(range(41))
 
@@ -150,8 +157,17 @@ def test_near_dup_clusters_star_matches_union_find(spark):
         edges = [(a, b) for a, b in edges if a != b]
         nodes = {n for e in edges for n in e}
         pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
-        got = {r.doc_id: r.cluster_id for r in near_dup_clusters_star(pairs).collect()}
-        assert got == _union_find(edges, nodes)
+        loop = {
+            r.doc_id: r.cluster_id
+            for r in near_dup_clusters_star(
+                pairs, driver_finish_max_edges=0
+            ).collect()
+        }
+        finish = {
+            r.doc_id: r.cluster_id for r in near_dup_clusters_star(pairs).collect()
+        }
+        assert loop == _union_find(edges, nodes)
+        assert finish == loop
 
 
 def test_near_dup_clusters_star_chain_in_log_rounds(spark):
@@ -162,7 +178,9 @@ def test_near_dup_clusters_star_chain_in_log_rounds(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(200)], "doc_a long, doc_b long"
     )
-    rows = near_dup_clusters_star(pairs, max_iters=10).collect()
+    rows = near_dup_clusters_star(
+        pairs, max_iters=10, driver_finish_max_edges=0
+    ).collect()
     assert {r.cluster_id for r in rows} == {0}
     assert {r.doc_id for r in rows} == set(range(201))
 
