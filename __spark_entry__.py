@@ -785,10 +785,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # same cosine verify) with only the plane matrix differing, the
     # axis-aligned default is property-pinned in tests/test_similarity.py,
     # and the CI oracle gate still value-hashes it every pytest run.
+    # Round-6 demotion for unigram_token_counts (the SentencePiece-family
+    # tokenizer, new this round): ivfpq_topk moves to the tail — the
+    # recorded ivfpq_residual_topk executes a strict SUPERSET of its
+    # machinery (same trained coarse quantizer, same per-cell ADC
+    # equi-join, same codebook-literal expression; residual encoding on
+    # top), ivfpq recall stays pytest-pinned in tests/test_similarity.py,
+    # and the CI oracle gate value-hashes it every run.
     # Tail queries remain bench-covered and verified by tools/oracle_check.py;
     # tests/test_registry.py asserts every tail query is oracle-green so a
     # tail regression cannot ship behind a complete-looking driver record.
     for tail in (
+        "ivfpq_topk",
         "embedding_near_dups",
         "key_diff_detail_nested",
         "image_features_stub",

@@ -753,6 +753,79 @@ GROUP BY doc_id
 """
 
 
+def q_unigram_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) tokenizer training + application —
+    the OTHER dominant public subword family next to BPE (Kudo 2018), in
+    the same production shape (functions/unigram.py): the piece
+    vocabulary is fit driver-side by EM + pruning over the BOUNDED
+    word-frequency table, then applied distributed ONCE PER DISTINCT WORD
+    (Viterbi in Arrow-batched mapInPandas) and fanned back to occurrences
+    with a join — the corpus-size pass never runs Python per occurrence,
+    so a 100 TB corpus pays one word-count shuffle plus a
+    vocabulary-sized segmentation stage. The oracle replays the same
+    trained vocabulary through the same Viterbi encoder as a
+    word -> piece-count VALUES table (generated against ORACLE_SF_DIR)."""
+    from avro_diff_spark.functions.unigram import train_unigram, viterbi_encode
+
+    logp = train_unigram(f"{sf_dir}/documents.parquet")
+    d = spread_small(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    words = d.select(
+        "doc_id", F.explode(TX.tokens_ws(F.col("text"))).alias("w")
+    ).filter(F.col("w") != "")
+
+    def seg(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "w": pdf["w"],
+                    "n_sub": [len(viterbi_encode(w, logp)) for w in pdf["w"]],
+                }
+            )
+
+    wtok = words.select("w").distinct().mapInPandas(seg, "w string, n_sub int")
+    return (
+        words.join(wtok, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_sub").cast("long").alias("n_unigram_tokens"),
+        )
+    )
+
+
+def _unigram_token_counts_sql() -> str:
+    import duckdb
+
+    from avro_diff_spark.functions.unigram import train_unigram, viterbi_encode
+
+    path = f"{ORACLE_SF_DIR}/documents.parquet"
+    logp = train_unigram(path)
+    vocab = [
+        r[0]
+        for r in duckdb.sql(
+            f"""SELECT DISTINCT w FROM (SELECT unnest({tokens_sql('text')}) AS w
+                FROM read_parquet('{path}')) WHERE w <> '' ORDER BY w"""
+        ).fetchall()
+    ]
+    rows = ", ".join(
+        "('{}', {})".format(w.replace("'", "''"), len(viterbi_encode(w, logp)))
+        for w in vocab
+    )
+    return f"""
+WITH wt(w, n_sub) AS (VALUES {rows}),
+words AS (
+  SELECT doc_id, unnest({tokens_sql('text')}) AS w FROM documents
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(n_sub) AS BIGINT) AS n_unigram_tokens
+FROM words JOIN wt USING (w)
+GROUP BY doc_id
+"""
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     """Top-k characteristic terms per document by tf·idf — the classic
     keyword/feature-extraction pass. Scale shape: explode → (doc, term)
@@ -2333,6 +2406,7 @@ PIPELINE_QUERIES = {
     "quality_scores": q_quality_scores,
     "gopher_quality": q_gopher_quality,
     "bpe_token_counts": q_bpe_token_counts,
+    "unigram_token_counts": q_unigram_token_counts,
     "gopher_repetition": q_gopher_repetition,
     "rolling_fingerprints": q_rolling_fingerprints,
     "winnow_fingerprints": q_winnow_fingerprints,
@@ -2390,6 +2464,7 @@ def pipeline_sql() -> dict[str, str]:
         "quality_scores": _quality_sql(),
         "gopher_quality": _gopher_quality_sql(),
         "bpe_token_counts": _bpe_token_counts_sql(),
+        "unigram_token_counts": _unigram_token_counts_sql(),
         "gopher_repetition": _gopher_repetition_sql(),
         "rolling_fingerprints": ROLLING_FINGERPRINTS_SQL,
         "winnow_fingerprints": _winnow_sql(),
