@@ -792,10 +792,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # equi-join, same codebook-literal expression; residual encoding on
     # top), ivfpq recall stays pytest-pinned in tests/test_similarity.py,
     # and the CI oracle gate value-hashes it every run.
+    # Round-6 demotion for audio_features_flac (real FLAC decode on the
+    # distributed path): image_features_png moves to the tail — the
+    # recorded image_features_jpeg pins the identical image_features
+    # mapInPandas plumbing and payload law, the PNG codec itself is
+    # pinned by tests/test_png.py (round trips + zlib/filter coverage),
+    # and the CI oracle gate value-hashes it every run.
     # Tail queries remain bench-covered and verified by tools/oracle_check.py;
     # tests/test_registry.py asserts every tail query is oracle-green so a
     # tail regression cannot ship behind a complete-looking driver record.
     for tail in (
+        "image_features_png",
         "ivfpq_topk",
         "embedding_near_dups",
         "key_diff_detail_nested",

@@ -43,6 +43,7 @@ _MAGIC = {
     "png": b"\x89PNG",
     "jpeg": b"\xff\xd8\xff",
     "riff": b"RIFF",  # wav/avi containers
+    "flac": b"fLaC",
     "gif": b"GIF8",
     "bmp": b"BM",
     "ppm": b"P6",
@@ -261,6 +262,35 @@ def synth_wav_media(df: DataFrame, id_col: str) -> DataFrame:
                     + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
                     + b"data" + _struct.pack("<I", len(data)) + data
                 )
+            yield pd.DataFrame({"media_id": pdf["media_id"].values, "payload": payloads})
+
+    return narrow.mapInPandas(run, schema="media_id long, payload binary")
+
+
+def synth_flac_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic REAL FLAC payload per row encoding the SAME
+    closed-form sample law as :func:`synth_wav_media` (``n = 160 + id %
+    241`` mono 16 kHz samples, sample ``i`` = ``((id*7 + i*13) % 4096) -
+    2048``) through the from-scratch RFC 9639 encoder. FLAC is lossless,
+    so decoded feature stats mirror the law exactly and the WAV oracle
+    SQL carries over unchanged — format handling is what's under test."""
+    from collections.abc import Iterator as _It
+
+    narrow = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def run(batches: _It["pd.DataFrame"]) -> _It["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from avro_diff_spark.flac import encode_flac
+
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"].values:
+                mid = int(mid)
+                n = 160 + mid % 241
+                samples = (((mid * 7 + np.arange(n) * 13) % 4096) - 2048).astype(np.int32)
+                payloads.append(encode_flac(samples, 16_000, 16))
             yield pd.DataFrame({"media_id": pdf["media_id"].values, "payload": payloads})
 
     return narrow.mapInPandas(run, schema="media_id long, payload binary")
@@ -523,6 +553,20 @@ def wav_pcm_decoder(payload: bytes):
     return arr, rate
 
 
+def flac_decoder(payload: bytes):
+    """REAL decode for FLAC (RFC 9639) via the from-scratch codec in
+    :mod:`avro_diff_spark.flac` — CONSTANT/VERBATIM/FIXED/LPC subframes,
+    Rice residuals, stereo decorrelation, CRC-verified frames. Returns
+    (mono-mixed float64 samples, rate) like :func:`wav_pcm_decoder`."""
+    import numpy as np
+
+    from avro_diff_spark.flac import decode_flac
+
+    samples, rate, _bps = decode_flac(payload)
+    arr = samples.astype(np.float64)
+    return (arr.mean(axis=1) if arr.shape[1] > 1 else arr[:, 0]), rate
+
+
 def fake_audio_decoder(sample_rate: int = 16_000) -> AudioDecoder:
     """Deterministic FAKE: payload bytes as signed 8-bit samples at a fixed
     rate (no audio libs needed; stable across engines/runs)."""
@@ -536,12 +580,15 @@ def fake_audio_decoder(sample_rate: int = 16_000) -> AudioDecoder:
 
 
 def auto_audio_decoder(sample_rate: int = 16_000) -> AudioDecoder:
-    """Real PCM WAV decode when the payload is one, int8 fake otherwise."""
+    """Real PCM WAV / FLAC decode when the payload is one (dispatched on
+    the container magic), int8 fake otherwise."""
 
     def decode(payload: bytes):
         import struct
 
         try:
+            if payload[:4] == b"fLaC":
+                return flac_decoder(payload)
             return wav_pcm_decoder(payload)
         except (ValueError, IndexError, struct.error):
             return fake_audio_decoder(sample_rate)(payload)

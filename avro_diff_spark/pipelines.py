@@ -2281,6 +2281,25 @@ FROM d
 """
 
 
+def q_audio_features_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL FLAC decode end-to-end: deterministic payloads carrying the
+    SAME closed-form sample law as the WAV query, encoded executor-side
+    through the from-scratch RFC 9639 codec (avro_diff_spark/flac.py:
+    FIXED-predictor subframes, Rice residuals, CRC-verified frames),
+    then decoded back by flac_decoder inside the audio_features
+    mapInPandas path. FLAC is lossless, so the WAV oracle SQL carries
+    over unchanged — what's under test is the codec round trip on the
+    distributed path."""
+    from avro_diff_spark import multimodal as MM
+
+    # spread_small: the small parquet scans as a couple of splits, which
+    # would serialize the per-row codec work in mapInPandas; at real
+    # scale the scan already has enough splits and this is a no-op
+    docs = spread_small(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    media = MM.synth_flac_media(docs, "doc_id")
+    return MM.audio_features(media, decoder=MM.auto_audio_decoder())
+
+
 def q_image_features_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL GIF decode end-to-end: deterministic single-frame GIF payloads
     (real variable-width LZW, 16-color global table) generated
@@ -2444,6 +2463,7 @@ PIPELINE_QUERIES = {
     "image_features_gif": q_image_features_gif,
     "image_features_webp": q_image_features_webp,
     "audio_features_wav": q_audio_features_wav,
+    "audio_features_flac": q_audio_features_flac,
     "audio_analysis_wav": q_audio_analysis_wav,
     "image_features_stub": q_image_features_stub,
     "audio_features_stub": q_audio_features_stub,
@@ -2501,6 +2521,8 @@ def pipeline_sql() -> dict[str, str]:
         "image_features_gif": IMAGE_FEATURES_GIF_SQL,
         "image_features_webp": IMAGE_FEATURES_WEBP_SQL,
         "audio_features_wav": AUDIO_FEATURES_WAV_SQL,
+        # lossless codec => identical decoded stats law as WAV
+        "audio_features_flac": AUDIO_FEATURES_WAV_SQL,
         "audio_analysis_wav": AUDIO_ANALYSIS_WAV_SQL,
         "image_features_stub": IMAGE_FEATURES_SQL,
         "audio_features_stub": AUDIO_FEATURES_SQL,
