@@ -798,10 +798,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # mapInPandas plumbing and payload law, the PNG codec itself is
     # pinned by tests/test_png.py (round trips + zlib/filter coverage),
     # and the CI oracle gate value-hashes it every run.
+    # Round-6 demotion for exact_substring_spans (ExactSubstr maximal-span
+    # chaining): duplicate_spans moves to the tail — the recorded
+    # exact_substring_spans executes the same duplicated-w-gram detection
+    # (identical tokenization, gram hashing and min_docs threshold) as its
+    # FIRST stage before chaining, duplicate_spans' capped-doc-list
+    # aggregation is pytest-pinned (tests/test_dedup.py), and the CI
+    # oracle gate value-hashes it every run.
     # Tail queries remain bench-covered and verified by tools/oracle_check.py;
     # tests/test_registry.py asserts every tail query is oracle-green so a
     # tail regression cannot ship behind a complete-looking driver record.
     for tail in (
+        "duplicate_spans",
         "image_features_png",
         "ivfpq_topk",
         "embedding_near_dups",

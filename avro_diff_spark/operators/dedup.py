@@ -624,6 +624,71 @@ def duplicate_spans(
     return counts.join(sample, "gram_hash").select("gram_hash", "n_docs", "doc_ids")
 
 
+def exact_substring_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    ngram_w: int = 8,
+    min_docs: int = 2,
+    min_tokens: int = 10,
+) -> DataFrame:
+    """MAXIMAL cross-document repeated token spans ≥ ``min_tokens`` — the
+    ExactSubstr dedup shape (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better", arXiv:2107.06499): where
+    :func:`duplicate_spans` reports which fixed-w grams repeat,
+    this chains ADJACENT hits into the maximal span a dedup pass would
+    actually cut. A token position p is a hit when the w-gram starting at
+    p occurs in ≥ ``min_docs`` distinct documents; a maximal run of
+    consecutive hit positions [p0..p1] covers tokens [p0, p1 + w - 1],
+    i.e. ``span_tokens = p1 - p0 + w`` (every w-window inside it is
+    duplicated — the suffix-array interval ExactSubstr extracts, found
+    here by span-chaining instead of a distributed suffix array).
+
+    Scale shape: positioned w-grams (one posexplode, no distinct — the
+    position matters), ONE shuffle on the gram hash for the
+    distinct-doc-count filter, an equi-join back on the hash, then the
+    gaps-and-islands window partitioned by doc (one shuffle on doc_id);
+    no pairwise work at any point, and every stage is key-partitioned.
+
+    Columns: doc_id, span_start (token index), span_tokens, n_grams
+    (= run length, the count of duplicated windows the span chains).
+    """
+    from pyspark.sql import Window
+
+    from avro_diff_spark.functions.text import word_shingles
+
+    pg = (
+        spread_small(df)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode_outer(
+                F.transform(word_shingles(F.col(text_col), ngram_w), hash32)
+            ).alias("pos", "gram_hash"),
+        )
+        .where(F.col("gram_hash").isNotNull())
+    )
+    dup = (
+        pg.groupBy("gram_hash")
+        .agg(F.count_distinct("doc_id").alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("gram_hash")
+    )
+    hits = pg.join(dup, "gram_hash").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = hits.withColumn("__grp", F.col("pos") - F.row_number().over(w))
+    return (
+        runs.groupBy("doc_id", "__grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") - F.min("pos") + F.lit(ngram_w)).alias("span_tokens"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .filter(F.col("span_tokens") >= min_tokens)
+        .select("doc_id", "span_start", "span_tokens", "n_grams")
+    )
+
+
 def contamination_check(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -1118,6 +1118,50 @@ FROM g GROUP BY gram_hash HAVING count(*) >= {min_docs}
 """
 
 
+def q_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style maximal repeated spans over the dups corpus
+    (operators/dedup.exact_substring_spans): duplicate_spans' fixed-w
+    hits chained into the maximal cross-document spans ≥ min_tokens a
+    dedup pass would cut."""
+    corpus = snap.documents_with_dups(spark, sf_dir)
+    return DD.exact_substring_spans(
+        corpus, "text", "doc_id", ngram_w=8, min_docs=2, min_tokens=10
+    )
+
+
+def _exact_substring_spans_sql(
+    ngram_w: int = 8, min_docs: int = 2, min_tokens: int = 10
+) -> str:
+    toks = tokens_sql("text")
+    return f"""
+WITH corpus AS ({snap.DOCUMENTS_WITH_DUPS_SQL}),
+tok AS (SELECT doc_id, {toks} AS toks FROM corpus),
+pg AS (
+  SELECT doc_id, i - 1 AS pos,
+         {hash32_sql(f"array_to_string(toks[i:i + {ngram_w - 1}], ' ')")} AS gram_hash
+  FROM (SELECT doc_id, toks,
+               unnest(range(1, greatest(len(toks) - {ngram_w - 1}, 0) + 1)) AS i
+        FROM tok)
+),
+dup AS (
+  SELECT gram_hash FROM pg GROUP BY gram_hash
+  HAVING count(DISTINCT doc_id) >= {min_docs}
+),
+hits AS (SELECT doc_id, pos FROM pg JOIN dup USING (gram_hash)),
+runs AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM hits
+)
+SELECT doc_id,
+       min(pos) AS span_start,
+       max(pos) - min(pos) + {ngram_w} AS span_tokens,
+       count(*) AS n_grams
+FROM runs GROUP BY doc_id, grp
+HAVING max(pos) - min(pos) + {ngram_w} >= {min_tokens}
+"""
+
+
 def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-decontamination over the dups corpus: a deterministic 1/97 slice
     plays the benchmark suite; its exact/near-dup twins (and any chance
@@ -2436,6 +2480,7 @@ PIPELINE_QUERIES = {
     "dedup_exact_clusters": q_dedup_exact_clusters,
     "dedup_exact_survivors": q_dedup_exact_survivors,
     "duplicate_spans": q_duplicate_spans,
+    "exact_substring_spans": q_exact_substring_spans,
     "contamination_check": q_contamination_check,
     "jaccard_pairs": q_jaccard_pairs,
     "minhash_near_dups": q_minhash_near_dups,
@@ -2495,6 +2540,7 @@ def pipeline_sql() -> dict[str, str]:
         "dedup_exact_clusters": DEDUP_EXACT_CLUSTERS_SQL,
         "dedup_exact_survivors": DEDUP_EXACT_SURVIVORS_SQL,
         "duplicate_spans": _duplicate_spans_sql(),
+        "exact_substring_spans": _exact_substring_spans_sql(),
         "contamination_check": _contamination_sql(),
         "jaccard_pairs": JACCARD_PAIRS_SQL,
         "minhash_near_dups": _minhash_sql(),

@@ -137,3 +137,57 @@ def test_chunked_expansion_mega_bucket(spark):
     got = {(r.doc_a, r.doc_b) for r in pairs}
     want = {(a, b) for a in range(10) for b in range(10) if a < b}
     assert got == want
+
+
+def test_exact_substring_spans_matches_naive_scan(spark):
+    """Property pin vs an INDEPENDENT naive reference: for every doc,
+    scan all w-windows directly (dict of gram -> doc set), mark hit
+    positions, merge consecutive runs, keep spans >= min_tokens. The
+    distributed gaps-and-islands formulation must agree exactly."""
+    import re
+
+    w, min_docs, min_tokens = 3, 2, 5
+    docs = [
+        (1, "a b c d e f g h"),
+        (2, "x a b c d e y z"),          # shares the 5-token run a..e with 1
+        (3, "q r s t u v"),              # no overlap
+        (4, "x a b c d e y z"),          # exact dup of 2 (long run incl x/yz)
+        (5, "c d e f g p p c d e f g"),  # shares c..g with 1, twice
+        (6, "one two"),                  # shorter than w
+    ]
+
+    def norm(t):
+        return [x for x in re.sub(r"\s+", " ", t.strip().lower()).split(" ") if x]
+
+    grams: dict[tuple, set] = {}
+    toks = {i: norm(t) for i, t in docs}
+    for i, tk in toks.items():
+        for p in range(len(tk) - w + 1):
+            grams.setdefault(tuple(tk[p : p + w]), set()).add(i)
+    want = set()
+    for i, tk in toks.items():
+        hits = [
+            p
+            for p in range(len(tk) - w + 1)
+            if len(grams[tuple(tk[p : p + w])]) >= min_docs
+        ]
+        run: list[int] = []
+        for p in hits + [None]:
+            if run and (p is None or p != run[-1] + 1):
+                span = run[-1] - run[0] + w
+                if span >= min_tokens:
+                    want.add((i, run[0], span, len(run)))
+                run = []
+            if p is not None:
+                run = run + [p] if run and p == run[-1] + 1 else [p]
+        # note: loop emits at run breaks; trailing None flushes the last run
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.span_start, r.span_tokens, r.n_grams)
+        for r in DD.exact_substring_spans(
+            df, "text", "doc_id", ngram_w=w, min_docs=min_docs, min_tokens=min_tokens
+        ).collect()
+    }
+    assert got == want
+    # sanity on the fixture: doc 1/2/4/5 carry spans, doc 3/6 do not
+    assert {d for d, *_ in want} == {1, 2, 4, 5}
