@@ -805,10 +805,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # FIRST stage before chaining, duplicate_spans' capped-doc-list
     # aggregation is pytest-pinned (tests/test_dedup.py), and the CI
     # oracle gate value-hashes it every run.
+    # Round-6 demotion for semantic_dedup_survivors (SemDeDup):
+    # stratified_sample_counts moves to the tail — it is the same
+    # deterministic md5-hash32-bucket split mechanism the recorded
+    # dataset_split_counts pins (only the prefix and per-stratum rates
+    # differ), its per-row membership law is pytest-pinned
+    # (tests/test_pipeline_ops.py::test_stratified_sample_membership_law),
+    # and the CI oracle gate value-hashes it every run.
     # Tail queries remain bench-covered and verified by tools/oracle_check.py;
     # tests/test_registry.py asserts every tail query is oracle-green so a
     # tail regression cannot ship behind a complete-looking driver record.
     for tail in (
+        "stratified_sample_counts",
         "duplicate_spans",
         "image_features_png",
         "ivfpq_topk",

@@ -1026,6 +1026,83 @@ def kmeans_cluster_stats(candidates: DataFrame, *, centroids) -> DataFrame:
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    *,
+    centroids,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by k-means partition + within-cluster cosine — prune
+    documents whose embeddings are near-identical in meaning even when
+    their text differs (paraphrases, templated rewrites), the step
+    MinHash/SimHash text dedup cannot do. Pure composition of green
+    primitives: cluster assignment is :func:`_centroid_ranking` (the
+    exact expression ``ivf_topk``/``kmeans_cluster_stats`` share, so
+    dedup can never disagree with the index about membership), and the
+    pairwise cosine is the fixed-point :func:`_fixed_dot`.
+
+    Pruning rule (the reference implementation's): within a cluster, a
+    point is DROPPED when some lower-id point of the same cluster has
+    cosine ≥ ``threshold`` with it — the published greedy keep-first
+    order, made deterministic by id. Survivors = everything else.
+
+    Scale shape: assignment is a shuffle-free Column expression over the
+    scan; the only join is the within-cluster self-equi-join on the
+    small int cluster id — SemDeDup's own published cost model
+    (O(Σ cluster²), bounded by choosing k ∝ corpus size so cells stay
+    ~constant), never a corpus-wide cross join; the final anti-join is
+    key-partitioned on id.
+
+    Columns: vec_id, cid (survivors only).
+    """
+    if centroids is None:
+        raise ValueError("pass centroids from train_ivf_centroids()")
+    cents = sorted((int(cid), list(vec)) for cid, vec in centroids)
+    ranking = _centroid_ranking(cents)
+    assigned = (
+        spread_small(df)
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.col("embedding").alias("emb"),
+            _dec_norm(F.col("embedding")).alias("norm"),
+        )
+        .select(
+            "vec_id",
+            "emb",
+            "norm",
+            F.element_at(ranking(F.col("emb"), F.col("norm")), 1)
+            .getField("cid")
+            .alias("cid"),
+        )
+    )
+    left = assigned.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("emb").alias("e_a"),
+        F.col("norm").alias("n_a"),
+        "cid",
+    )
+    right = assigned.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("emb").alias("e_b"),
+        F.col("norm").alias("n_b"),
+        "cid",
+    )
+    cos = F.try_divide(
+        _fixed_dot(F.col("e_a"), F.col("e_b")), F.col("n_a") * F.col("n_b")
+    )
+    dropped = (
+        left.join(right, "cid")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= F.lit(threshold))
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+    )
+    return assigned.join(dropped, "vec_id", "left_anti").select("vec_id", "cid")
+
+
 def embedding_near_dups(
     df: DataFrame,
     threshold: float = 0.95,

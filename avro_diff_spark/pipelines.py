@@ -1736,6 +1736,47 @@ WHERE r.rn2 = 1
 """
 
 
+def q_semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the dup-seeded embedding corpus
+    (operators/similarity.semantic_dedup): trained k-means partition +
+    within-cluster cosine ≥ 0.95 prunes semantic near-duplicates,
+    keeping the lowest id per duplicate relation."""
+    corpus = snap.embeddings_with_dups(spark, sf_dir)
+    cents = SIM.train_ivf_centroids(f"{sf_dir}/embeddings.parquet")
+    return SIM.semantic_dedup(corpus, centroids=cents, threshold=0.95)
+
+
+def _semantic_dedup_sql(threshold: float = 0.95) -> str:
+    # assignment mirrors _centroid_ranking exactly (TRAINED centroid
+    # literals, nearest by cosine DESC / cid ASC — the same expression
+    # _kmeans_sql pins); the prune rule drops vec_id when a lower id in
+    # the same cluster has cosine >= threshold.
+    cents = SIM.train_ivf_centroids(f"{ORACLE_SF_DIR}/embeddings.parquet")
+    cent_rows = " UNION ALL ".join(
+        f"SELECT {cid} AS cid, [{', '.join(repr(v) for v in vec)}]::DOUBLE[] AS cent"
+        for cid, vec in cents
+    )
+    return f"""
+WITH corpus AS ({snap.EMBEDDINGS_WITH_DUPS_SQL}),
+cents AS ({cent_rows}),
+assign AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_cos_sql('e.embedding', 'c.cent')} DESC, c.cid ASC) AS rn
+  FROM corpus e CROSS JOIN cents c
+),
+a AS (SELECT vec_id, embedding, cid FROM assign WHERE rn = 1),
+dropped AS (
+  SELECT DISTINCT y.vec_id
+  FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id
+  WHERE {_cos_sql('x.embedding', 'y.embedding')} >= {threshold}
+)
+SELECT a.vec_id, a.cid FROM a
+LEFT JOIN dropped d ON a.vec_id = d.vec_id
+WHERE d.vec_id IS NULL
+"""
+
+
 def _ivf_sql(k: int = 5, probes: int = 2, n_queries: int = 10) -> str:
     # assignment/probing mirror ivf_topk exactly: TRAINED centroids (same
     # deterministic Lloyd output as the Spark plan) embedded as literals;
@@ -2499,6 +2540,7 @@ PIPELINE_QUERIES = {
     "ivfpq_residual_topk": q_ivfpq_residual_topk,
     "embedding_near_dups": q_embedding_near_dups,
     "embedding_near_dups_rp": q_embedding_near_dups_rp,
+    "semantic_dedup_survivors": q_semantic_dedup_survivors,
     "cosine_topk_pandas": q_cosine_topk_pandas,  # rows-only: float-sum order differs by design
     "media_metadata": q_media_metadata,
     "frame_sample_lens": q_frame_sample_lens,
@@ -2559,6 +2601,7 @@ def pipeline_sql() -> dict[str, str]:
         "ivfpq_residual_topk": _ivfpq_residual_sql(),
         "embedding_near_dups": _embedding_near_dups_sql(),
         "embedding_near_dups_rp": _embedding_near_dups_rp_sql(),
+        "semantic_dedup_survivors": _semantic_dedup_sql(),
         "media_metadata": MEDIA_METADATA_SQL,
         "frame_sample_lens": FRAME_SAMPLE_LENS_SQL,
         "image_features_png": IMAGE_FEATURES_PNG_SQL,

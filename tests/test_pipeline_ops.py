@@ -242,3 +242,25 @@ def test_gopher_repetition_rules(spark, tmp_path):
     assert not out[2].keep and 10 * out[2].dup_lines > 3 * out[2].n_lines
     assert not out[3].keep and 10 * out[3].dup_paras > 3 * out[3].n_paras
     assert not out[4].keep and 5 * out[4].top2_chars > out[4].n_chars
+
+
+def test_stratified_sample_membership_law(spark):
+    """Per-row pin of the deterministic bucketing: a row survives iff
+    md5-hash32('strat:' || id) % 10000 < its stratum's basis-point rate —
+    the same hash-split mechanism dataset_split_counts uses."""
+    import hashlib
+
+    from avro_diff_spark.pipelines import stratified_sample
+
+    rates = {"en": 10000, "de": 5000, "zh": 0}
+    rows = [(i, ["en", "de", "zh"][i % 3]) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = {r.doc_id for r in stratified_sample(df, "lang", rates, id_col="doc_id").collect()}
+    want = set()
+    for i, lang in rows:
+        h = int(hashlib.md5(f"strat:{i}".encode()).hexdigest()[:8], 16)
+        if h % 10000 < rates[lang]:
+            want.add(i)
+    assert got == want
+    assert any(lang == "de" for i, lang in rows if i in got)  # partial stratum non-empty
+    assert not {i for i, lang in rows if lang == "zh"} & got  # 0-rate stratum empty

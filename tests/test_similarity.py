@@ -374,3 +374,49 @@ def test_sq_topk_requires_training():
 
     with _pytest.raises(ValueError, match="train_sq_minmax"):
         SIM.sq_topk(None, None, minmax=None)
+
+
+def test_semantic_dedup_against_bruteforce(spark, sf_dir):
+    """SemDeDup survivors equal a driver-side brute-force replay of the
+    rule: assign to nearest trained centroid, drop any vec whose cluster
+    holds a LOWER id at cosine >= threshold. Every seeded exact twin
+    (vec_id + 1e6 copies) must be dropped; its original must survive
+    unless itself semantically duplicated."""
+    import math
+
+    from avro_diff_spark.operators.similarity import semantic_dedup, train_ivf_centroids
+    from avro_diff_spark.snapshots import embeddings_with_dups
+
+    corpus = embeddings_with_dups(spark, sf_dir)
+    cents = train_ivf_centroids(f"{sf_dir}/embeddings.parquet")
+    got = {(r.vec_id, r.cid) for r in semantic_dedup(corpus, centroids=cents, threshold=0.95).collect()}
+
+    rows = corpus.collect()
+
+    def fdot(a, b):
+        return sum(math.floor(float(x) * float(y) * 1e16) for x, y in zip(a, b)) / 1e16
+
+    def cos(a, b):
+        na, nb = math.sqrt(fdot(a, a)), math.sqrt(fdot(b, b))
+        return fdot(a, b) / (na * nb)
+
+    assign = {}
+    for r in rows:
+        ranked = sorted(
+            ((-cos(r.embedding, v), cid) for cid, v in cents),
+        )
+        assign[r.vec_id] = ranked[0][1]
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(assign[r.vec_id], []).append(r)
+    want = set()
+    for cid, members in by_cluster.items():
+        members.sort(key=lambda r: r.vec_id)
+        for i, r in enumerate(members):
+            if not any(cos(m.embedding, r.embedding) >= 0.95 for m in members[:i]):
+                want.add((r.vec_id, cid))
+    assert got == want
+    # the seeded twins are exact copies of a surviving lower id -> all dropped
+    twins = {r.vec_id for r in rows if r.vec_id >= 1_000_000}
+    assert twins & {v for v, _ in got} == set()
+    assert len(got) < len(rows)
