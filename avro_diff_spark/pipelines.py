@@ -461,6 +461,53 @@ FROM documents GROUP BY source
 """
 
 
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing weights — the mixture-building
+    step of a pretraining pipeline (the Pile / ROOTS / FineWeb recipe):
+    sampling weight ∝ n_docs^α with α = 0.5, which up-weights small
+    high-quality sources relative to proportional sampling. Emitted in
+    exact integer parts-per-million so both engines agree bit-for-bit:
+    sqrt is the one IEEE op (correctly rounded in every engine), floored
+    onto a 1e6 grid before the exact-integer normalization — weight_ppm
+    = (1e6 · floor(sqrt(n)·1e6)) DIV Σ, natural_ppm the proportional
+    baseline.
+
+    Scale shape: one groupBy on the source key (map-side combine); the
+    normalizing totals ride an unpartitioned window over the AGGREGATED
+    frame — source cardinality (tens of rows at any corpus size), not
+    corpus cardinality, so the single-partition window is bounded by
+    construction."""
+    d = spread_small(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(TX.tokens_ws(F.col("text"))).cast("long")).alias("n_tokens"),
+    )
+    scaled = per.withColumn(
+        "__s", F.floor(F.sqrt(F.col("n_docs")) * F.lit(1_000_000.0)).cast("long")
+    )
+    return scaled.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.expr("1000000 * __s DIV sum(__s) OVER ()").alias("weight_ppm"),
+        F.expr("1000000 * n_docs DIV sum(n_docs) OVER ()").alias("natural_ppm"),
+    )
+
+
+MIXTURE_WEIGHTS_SQL = f"""
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len({tokens_sql('text')})) AS BIGINT) AS n_tokens,
+         CAST(floor(sqrt(count(*)) * 1000000.0) AS BIGINT) AS s
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, n_tokens,
+       CAST(1000000 * s // CAST(sum(s) OVER () AS BIGINT) AS BIGINT) AS weight_ppm,
+       CAST(1000000 * n_docs // CAST(sum(n_docs) OVER () AS BIGINT) AS BIGINT) AS natural_ppm
+FROM per
+"""
+
+
 _L0 = lambda: F.lit(0).cast("long")  # noqa: E731
 
 
@@ -1118,6 +1165,65 @@ FROM g GROUP BY gram_hash HAVING count(*) >= {min_docs}
 """
 
 
+def q_decontaminated_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decontamination SCRUB completed: where contamination_check
+    emits the flag list, this anti-joins it back and accounts for what
+    ships — per source, documents and tokens kept vs dropped. The last
+    step of the eval-leakage pass every pretraining pipeline runs before
+    a model sees the corpus.
+
+    Scale shape: the same broadcast gram-overlap join as
+    contamination_check (benchmark side bounded by construction), then
+    ONE left join of the bounded flag list back onto the corpus keyed by
+    doc id and a groupBy on source — no new pairwise work anywhere."""
+    corpus = snap.documents_with_dups(spark, sf_dir)
+    bench = corpus.filter(F.col("doc_id") % 97 == 0)
+    rest = corpus.filter(F.col("doc_id") % 97 != 0)
+    flags = DD.contamination_check(rest, bench, "text", "doc_id", ngram_w=8).select(
+        "doc_id", F.lit(1).alias("__hit")
+    )
+    toks = F.size(TX.tokens_ws(F.col("text"))).cast("long")
+    return (
+        rest.join(flags, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_docs_kept"),
+            F.sum(F.when(F.col("__hit").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_docs_dropped"),
+            F.sum(F.when(F.col("__hit").isNull(), toks).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_tokens_kept"),
+        )
+    )
+
+
+def _decontaminated_counts_sql(ngram_w: int = 8) -> str:
+    toks = tokens_sql("text")
+    grams = (
+        f"list_transform(range(1, greatest(len({toks}) - {ngram_w - 1}, 0) + 1), "
+        f"i -> array_to_string({toks}[i:i + {ngram_w - 1}], ' '))"
+    )
+    ghash = f"unnest(list_distinct(list_transform({grams}, s -> {hash32_sql('s')}))) AS gram_hash"
+    return f"""
+WITH corpus AS ({snap.DOCUMENTS_WITH_DUPS_SQL}),
+bg AS (SELECT DISTINCT {ghash} FROM corpus WHERE doc_id % 97 = 0),
+cg AS (SELECT doc_id, {ghash} FROM corpus WHERE doc_id % 97 <> 0),
+hits AS (SELECT DISTINCT doc_id FROM cg JOIN bg USING (gram_hash))
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN h.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept,
+       CAST(sum(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_dropped,
+       CAST(sum(CASE WHEN h.doc_id IS NULL THEN len({toks}) ELSE 0 END) AS BIGINT) AS n_tokens_kept
+FROM (SELECT * FROM corpus WHERE doc_id % 97 <> 0) c
+LEFT JOIN hits h USING (doc_id)
+GROUP BY source
+"""
+
+
 def q_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr-style maximal repeated spans over the dups corpus
     (operators/dedup.exact_substring_spans): duplicate_spans' fixed-w
@@ -1346,6 +1452,45 @@ def q_near_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, "text", "doc_id", n_hashes=32, bands=8, shingle_k=5, threshold=0.5
     )
     return DD.near_dup_clusters_star(pairs)
+
+
+def q_near_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup REPORT a pipeline operator reads before committing a
+    cut: the near-dup cluster-size histogram (cluster_size → how many
+    clusters, how many documents, how many would be dropped keeping one
+    survivor per cluster). Pure composition over near_dup_clusters'
+    closure — two more small groupBys on already-aggregated keys."""
+    corpus = snap.documents_with_dups(spark, sf_dir)
+    pairs = DD.minhash_near_dups(
+        corpus, "text", "doc_id", n_hashes=32, bands=8, shingle_k=5, threshold=0.5
+    )
+    labels = DD.near_dup_clusters(pairs)
+    return (
+        labels.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+            ((F.col("cluster_size") - 1) * F.col("n_clusters")).alias("n_dropped"),
+        )
+    )
+
+
+def _near_dup_cluster_sizes_sql() -> str:
+    return f"""
+WITH closure AS ({_closure_sql(_minhash_sql())})
+SELECT cluster_size, n_clusters,
+       cluster_size * n_clusters AS n_docs,
+       (cluster_size - 1) * n_clusters AS n_dropped
+FROM (
+  SELECT cluster_size, count(*) AS n_clusters
+  FROM (SELECT cluster_id, count(*) AS cluster_size FROM closure GROUP BY cluster_id)
+  GROUP BY cluster_size
+)
+"""
 
 
 def _closure_sql(pairs_sql: str) -> str:
@@ -2506,6 +2651,7 @@ PIPELINE_QUERIES = {
     "dataset_split_counts": q_dataset_split,
     "stratified_sample_counts": q_stratified_sample,
     "source_stats": q_source_stats,
+    "mixture_weights": q_mixture_weights,
     "lang_id_counts": q_lang_id,
     "quality_scores": q_quality_scores,
     "gopher_quality": q_gopher_quality,
@@ -2523,9 +2669,11 @@ PIPELINE_QUERIES = {
     "duplicate_spans": q_duplicate_spans,
     "exact_substring_spans": q_exact_substring_spans,
     "contamination_check": q_contamination_check,
+    "decontaminated_counts": q_decontaminated_counts,
     "jaccard_pairs": q_jaccard_pairs,
     "minhash_near_dups": q_minhash_near_dups,
     "near_dup_clusters": q_near_dup_clusters,
+    "near_dup_cluster_sizes": q_near_dup_cluster_sizes,
     "near_dup_clusters_star": q_near_dup_clusters_star,
     "simhash_near_dups": q_simhash_near_dups,
     "pack_sequences": q_pack_sequences,
@@ -2567,6 +2715,7 @@ def pipeline_sql() -> dict[str, str]:
         "dataset_split_counts": DATASET_SPLIT_SQL,
         "stratified_sample_counts": _stratified_sample_sql(),
         "source_stats": SOURCE_STATS_SQL,
+        "mixture_weights": MIXTURE_WEIGHTS_SQL,
         "lang_id_counts": _lang_id_sql(),
         "quality_scores": _quality_sql(),
         "gopher_quality": _gopher_quality_sql(),
@@ -2584,9 +2733,11 @@ def pipeline_sql() -> dict[str, str]:
         "duplicate_spans": _duplicate_spans_sql(),
         "exact_substring_spans": _exact_substring_spans_sql(),
         "contamination_check": _contamination_sql(),
+        "decontaminated_counts": _decontaminated_counts_sql(),
         "jaccard_pairs": JACCARD_PAIRS_SQL,
         "minhash_near_dups": _minhash_sql(),
         "near_dup_clusters": _near_dup_clusters_sql(),
+        "near_dup_cluster_sizes": _near_dup_cluster_sizes_sql(),
         "near_dup_clusters_star": _near_dup_clusters_sql(),
         "simhash_near_dups": _simhash_sql(),
         "pack_sequences": PACK_SEQUENCES_SQL,

@@ -264,3 +264,78 @@ def test_stratified_sample_membership_law(spark):
     assert got == want
     assert any(lang == "de" for i, lang in rows if i in got)  # partial stratum non-empty
     assert not {i for i, lang in rows if lang == "zh"} & got  # 0-rate stratum empty
+
+
+def test_mixture_weights_law(spark, tmp_path):
+    """weight_ppm follows floor-exact sqrt temperature scaling and both
+    ppm columns sum to ≤ 1e6 (floor rounding) with small sources
+    up-weighted relative to proportional sampling."""
+    import math
+
+    from avro_diff_spark.pipelines import q_mixture_weights
+
+    rows = []
+    for i in range(400):
+        rows.append((i, "tok " * (1 + i % 3), "en", "big"))
+    for i in range(400, 425):
+        rows.append((i, "tok tok", "en", "small"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {r.source: r for r in q_mixture_weights(spark, str(tmp_path)).collect()}
+    s = {src: math.floor(math.sqrt(got[src].n_docs) * 1e6) for src in got}
+    tot = sum(s.values())
+    for src in got:
+        assert got[src].weight_ppm == (1_000_000 * s[src]) // tot
+    assert sum(r.weight_ppm for r in got.values()) <= 1_000_000
+    # temperature scaling: the small source's share beats its natural share
+    assert got["small"].weight_ppm > got["small"].natural_ppm
+    assert got["big"].weight_ppm < got["big"].natural_ppm
+
+
+def test_decontaminated_counts_consistent_with_flags(spark, sf_dir):
+    """kept + dropped == corpus; dropped == the contamination_check flag
+    list (per-source), so the scrub accounts for every document once."""
+    from pyspark.sql import functions as F
+
+    from avro_diff_spark.operators import dedup as DD
+    from avro_diff_spark.pipelines import q_decontaminated_counts
+    from avro_diff_spark.snapshots import documents_with_dups
+
+    got = {r.source: r for r in q_decontaminated_counts(spark, sf_dir).collect()}
+    corpus = documents_with_dups(spark, sf_dir)
+    rest = corpus.filter(F.col("doc_id") % 97 != 0)
+    flags = DD.contamination_check(
+        rest, corpus.filter(F.col("doc_id") % 97 == 0), "text", "doc_id", ngram_w=8
+    )
+    flagged = {
+        r.source: r.n
+        for r in rest.join(flags.select("doc_id"), "doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    per_source = {
+        r.source: r.n for r in rest.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for src, row in got.items():
+        assert row.n_docs == per_source[src]
+        assert row.n_docs_kept + row.n_docs_dropped == row.n_docs
+        assert row.n_docs_dropped == flagged.get(src, 0)
+    assert sum(r.n_docs_dropped for r in got.values()) > 0
+
+
+def test_near_dup_cluster_sizes_consistent_with_closure(spark, sf_dir):
+    """The histogram re-aggregates the closure exactly: sizes multiply
+    back to the labeled doc count, and every multi-doc cluster drops
+    size-1 docs under keep-one."""
+    from avro_diff_spark.pipelines import q_near_dup_cluster_sizes, q_near_dup_clusters
+
+    hist = q_near_dup_cluster_sizes(spark, sf_dir).collect()
+    labels = q_near_dup_clusters(spark, sf_dir).collect()
+    assert sum(r.n_docs for r in hist) == len(labels)
+    from collections import Counter
+
+    sizes = Counter(Counter(r.cluster_id for r in labels).values())
+    assert {r.cluster_size: r.n_clusters for r in hist} == dict(sizes)
+    for r in hist:
+        assert r.n_dropped == (r.cluster_size - 1) * r.n_clusters
