@@ -270,10 +270,14 @@ def synth_wav_media(df: DataFrame, id_col: str) -> DataFrame:
 def synth_flac_media(df: DataFrame, id_col: str) -> DataFrame:
     """Deterministic REAL FLAC payload per row encoding the SAME
     closed-form sample law as :func:`synth_wav_media` (``n = 160 + id %
-    241`` mono 16 kHz samples, sample ``i`` = ``((id*7 + i*13) % 4096) -
-    2048``) through the from-scratch RFC 9639 encoder. FLAC is lossless,
-    so decoded feature stats mirror the law exactly and the WAV oracle
-    SQL carries over unchanged — format handling is what's under test."""
+    241`` 16 kHz samples, sample ``i`` = ``((id*7 + i*13) % 4096) -
+    2048``) through the from-scratch RFC 9639 encoder. Even ids encode
+    MONO; odd ids encode STEREO with both channels equal to the law and
+    mid-side decorrelation forced, so the decoder's stereo
+    reconstruction runs on half the corpus while the mono-mix — and
+    therefore the WAV oracle SQL — is unchanged. FLAC is lossless, so
+    decoded feature stats mirror the law exactly; format handling is
+    what's under test."""
     from collections.abc import Iterator as _It
 
     narrow = df.select(F.col(id_col).cast("long").alias("media_id"))
@@ -290,7 +294,11 @@ def synth_flac_media(df: DataFrame, id_col: str) -> DataFrame:
                 mid = int(mid)
                 n = 160 + mid % 241
                 samples = (((mid * 7 + np.arange(n) * 13) % 4096) - 2048).astype(np.int32)
-                payloads.append(encode_flac(samples, 16_000, 16))
+                if mid % 2:
+                    stereo = np.stack([samples, samples], axis=1)
+                    payloads.append(encode_flac(stereo, 16_000, 16, stereo="mid_side"))
+                else:
+                    payloads.append(encode_flac(samples, 16_000, 16))
             yield pd.DataFrame({"media_id": pdf["media_id"].values, "payload": payloads})
 
     return narrow.mapInPandas(run, schema="media_id long, payload binary")
