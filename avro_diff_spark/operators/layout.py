@@ -28,7 +28,13 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["zorder_key", "write_zordered", "file_stats"]
+__all__ = [
+    "zorder_key",
+    "write_zordered",
+    "hilbert_key",
+    "write_hilbert",
+    "file_stats",
+]
 
 
 def zorder_key(df: DataFrame, cols: list[str], *, bits: int = 16) -> DataFrame:
@@ -70,6 +76,111 @@ def zorder_key(df: DataFrame, cols: list[str], *, bits: int = 16) -> DataFrame:
                 F.shiftright(F.col(qc), src_bit).bitwiseAND(F.lit(1)), dst_bit
             )
     return out.withColumn("__zkey", key).drop(*qcols)
+
+
+def _hilbert_index_np(coords, bits: int):
+    """Vectorized Skilling transform (J. Skilling, "Programming the
+    Hilbert curve", AIP Conf. Proc. 707, 2004 — the public-domain
+    algorithm every lakehouse Hilbert implementation uses): n-dim
+    ``bits``-bit coordinates → Hilbert index, via inverse-undo +
+    Gray-encode on the transposed axes, then MSB-first bit interleave.
+    Verified in tests by exhaustive bijection + unit-step adjacency (the
+    defining curve property: consecutive indices differ in exactly one
+    coordinate by exactly 1)."""
+    import numpy as np
+
+    X = coords.astype(np.int64).copy()
+    rows, n = X.shape
+    M = 1 << (bits - 1)
+    Q = M
+    while Q > 1:
+        P = Q - 1
+        for i in range(n):
+            mask = (X[:, i] & Q) != 0
+            X[mask, 0] ^= P
+            t = (X[~mask, 0] ^ X[~mask, i]) & P
+            X[~mask, 0] ^= t
+            X[~mask, i] ^= t
+        Q >>= 1
+    for i in range(1, n):
+        X[:, i] ^= X[:, i - 1]
+    t = np.zeros(rows, np.int64)
+    Q = M
+    while Q > 1:
+        m = (X[:, n - 1] & Q) != 0
+        t[m] ^= Q - 1
+        Q >>= 1
+    X ^= t[:, None]
+    out = np.zeros(rows, np.int64)
+    for b in range(bits):
+        for i in range(n):
+            src = bits - 1 - b
+            dst = bits * n - 1 - (b * n + i)
+            out |= ((X[:, i] >> src) & 1) << dst
+    return out
+
+
+def hilbert_key(df: DataFrame, cols: list[str], *, bits: int = 16) -> DataFrame:
+    """Add a ``__hkey`` column: the Hilbert-curve address of ``cols`` —
+    the OTHER clustering curve lakehouses ship (Databricks liquid
+    clustering moved from Z-order to Hilbert): unlike Z-order, every
+    step of the curve is a unit step, so it has no Z-shaped "seams"
+    where one file spans a huge range of one dimension, giving tighter
+    per-file bounding boxes at the same file count.
+
+    Quantile bucketing is byte-for-byte the Z-order path's (rank-based
+    ``ntile``, skew-proof); the curve transform itself runs as an
+    Arrow-batched vectorized pandas_udf — a deliberate exception to the
+    expressions-only rule: the Skilling transform's data-dependent
+    per-bit swaps would explode a Column-expression tree, and layout
+    writes are one-off OPTIMIZE-style jobs where the (numpy, batched)
+    Python boundary is off every query's hot path.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    if not cols:
+        raise ValueError("hilbert_key needs at least one column")
+    if bits * len(cols) > 62:
+        raise ValueError("bits * len(cols) must fit a signed 64-bit key")
+    out, qcols = df, []
+    buckets = 1 << bits
+    for c in cols:
+        qc = f"__q_{c}"
+        out = out.withColumn(
+            qc, (F.ntile(buckets).over(Window.orderBy(F.col(c))) - 1).cast("long")
+        )
+        qcols.append(qc)
+
+    @pandas_udf("long")
+    def hidx(*qs):
+        import numpy as np
+        import pandas as pd
+
+        coords = np.stack([q.to_numpy(np.int64) for q in qs], axis=1)
+        return pd.Series(_hilbert_index_np(coords, bits))
+
+    return out.withColumn("__hkey", hidx(*[F.col(qc) for qc in qcols])).drop(*qcols)
+
+
+def write_hilbert(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    *,
+    n_files: int = 8,
+    bits: int = 16,
+) -> None:
+    """Write ``df`` as parquet clustered on the Hilbert address of
+    ``cols`` — same one-shuffle cost profile as :func:`write_zordered`,
+    tighter bounding boxes (no Z seams)."""
+    keyed = hilbert_key(df, cols, bits=bits)
+    (
+        keyed.repartitionByRange(n_files, F.col("__hkey"))
+        .sortWithinPartitions("__hkey")
+        .drop("__hkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
 
 
 def write_zordered(

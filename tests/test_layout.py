@@ -106,3 +106,107 @@ def test_zorder_key_is_deterministic_and_total(spark, sf_dir):
     )
     assert a == b
     assert all(0 <= v < (1 << 16) for v in a)  # 2 cols x 8 bits
+
+
+def test_hilbert_transform_is_bijective_unit_step_walk():
+    """Exhaustive pin of the Skilling transform: for several (dims, bits)
+    grids the mapping is a bijection onto 0..2^(n*bits)-1 AND walking the
+    index visits cells that differ from the previous in EXACTLY one
+    coordinate by EXACTLY 1 — the defining Hilbert property (Z-order
+    fails it at every seam)."""
+    import numpy as np
+
+    from avro_diff_spark.operators.layout import _hilbert_index_np
+
+    for n, bits in ((2, 3), (2, 4), (3, 2), (3, 3)):
+        side = 1 << bits
+        grid = (
+            np.array(np.meshgrid(*[np.arange(side)] * n, indexing="ij"))
+            .reshape(n, -1)
+            .T
+        )
+        idx = _hilbert_index_np(grid, bits)
+        assert sorted(idx) == list(range(side**n)), (n, bits)
+        order = grid[np.argsort(idx)]
+        d = np.abs(np.diff(order, axis=0))
+        assert (d.sum(axis=1) == 1).all(), (n, bits)
+
+
+def test_hilbert_bbox_beats_linear_sort_and_second_dim_stays_narrow(
+    spark, sf_dir, tmp_path
+):
+    """Same physical harness as the z-order pin: the Hilbert layout keeps
+    the SECOND column's per-file range narrow where a linear sort leaves
+    it table-wide, and the distributed pandas_udf key equals the numpy
+    reference on the same bucket values."""
+    import numpy as np
+
+    from avro_diff_spark.operators.layout import (
+        _hilbert_index_np,
+        hilbert_key,
+        write_hilbert,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    cols = ["l_orderkey", "l_partkey"]
+    spans = {
+        c: v
+        for c, v in zip(
+            cols,
+            li.agg(
+                *[(F.max(c) - F.min(c)).cast("double").alias(c) for c in cols]
+            ).first(),
+        )
+    }
+    h_path = str(tmp_path / "hilbert")
+    lin_path = str(tmp_path / "linear")
+    n_files = 8
+    write_hilbert(li, h_path, cols, n_files=n_files)
+    (
+        li.repartitionByRange(n_files, F.col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey")
+        .write.parquet(lin_path)
+    )
+    h_stats = file_stats(h_path, cols)
+    lin_stats = file_stats(lin_path, cols)
+    assert len(h_stats) == n_files
+    h_second = sum(
+        (s[cols[1]][1] - s[cols[1]][0]) / spans[cols[1]] for s in h_stats
+    ) / len(h_stats)
+    lin_second = sum(
+        (s[cols[1]][1] - s[cols[1]][0]) / spans[cols[1]] for s in lin_stats
+    ) / len(lin_stats)
+    assert h_second < 0.7 * lin_second, (h_second, lin_second)
+    assert spark.read.parquet(h_path).count() == li.count()
+
+    # distributed key == numpy reference over the same quantile buckets
+    small = li.limit(500)
+    keyed = hilbert_key(small, cols, bits=8).select(*cols, "__hkey").collect()
+    from pyspark.sql import Window
+
+    bucketed = (
+        small.withColumn(
+            "q0", (F.ntile(256).over(Window.orderBy(F.col(cols[0]))) - 1).cast("long")
+        )
+        .withColumn(
+            "q1", (F.ntile(256).over(Window.orderBy(F.col(cols[1]))) - 1).cast("long")
+        )
+        .select(*cols, "q0", "q1")
+        .collect()
+    )
+    ref = {}
+    coords = np.array([[r.q0, r.q1] for r in bucketed])
+    for r, h in zip(bucketed, _hilbert_index_np(coords, 8)):
+        ref[(r[cols[0]], r[cols[1]])] = h
+    mismatched = [
+        r for r in keyed if ref.get((r[cols[0]], r[cols[1]])) != r["__hkey"]
+    ]
+    # ntile ties can land duplicate (orderkey, partkey) rows in different
+    # buckets across the two plans; require exact match on unique pairs
+    from collections import Counter
+
+    counts = Counter((r[cols[0]], r[cols[1]]) for r in keyed)
+    hard_mismatch = [r for r in mismatched if counts[(r[cols[0]], r[cols[1]])] == 1]
+    assert not hard_mismatch, hard_mismatch[:3]
