@@ -668,12 +668,22 @@ def exact_substring_spans(
         )
         .where(F.col("gram_hash").isNotNull())
     )
-    dup = (
-        pg.groupBy("gram_hash")
-        .agg(F.count_distinct("doc_id").alias("__nd"))
-        .filter(F.col("__nd") >= min_docs)
-        .select("gram_hash")
-    )
+    if min_docs <= 2:
+        # "appears in >= 2 distinct docs" is exactly min != max — one
+        # cheap single-phase agg instead of count_distinct's expand+dedup
+        dup = (
+            pg.groupBy("gram_hash")
+            .agg(F.min("doc_id").alias("__lo"), F.max("doc_id").alias("__hi"))
+            .filter(F.lit(min_docs <= 1) | (F.col("__lo") != F.col("__hi")))
+            .select("gram_hash")
+        )
+    else:
+        dup = (
+            pg.groupBy("gram_hash")
+            .agg(F.count_distinct("doc_id").alias("__nd"))
+            .filter(F.col("__nd") >= min_docs)
+            .select("gram_hash")
+        )
     hits = pg.join(dup, "gram_hash").select("doc_id", "pos")
     w = Window.partitionBy("doc_id").orderBy("pos")
     runs = hits.withColumn("__grp", F.col("pos") - F.row_number().over(w))
