@@ -833,10 +833,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # logical-type mapping itself is pinned by the dedicated
     # tests/test_ocf_logical.py suite and the CI oracle gate value-hashes
     # the query every run.
+    # Round-6 demotion for image_exif_metadata (EXIF APP1/TIFF harvest):
+    # events_hourly moves to the tail — the recorded events_rollup
+    # computes the IDENTICAL integer hour-bucket law (ts_us - ts_us %
+    # 3600000000) and decimal-exact sum machinery at its (day, hour)
+    # grain over the same events scan; events_hourly's remaining
+    # distinction is a plain per-event_type groupBy split, and the CI
+    # oracle gate value-hashes it every run.
+    # Round-6 demotion for langid_ngram_counts (trained n-gram-profile
+    # language ID): lang_id_counts moves to the tail — it is the same
+    # language-identification surface by the weaker stopword heuristic
+    # the trained model supersedes, its stopword-count mechanism is
+    # pytest-pinned (tests/test_text_functions.py), and the CI oracle
+    # gate value-hashes it every run.
     # Tail queries remain bench-covered and verified by tools/oracle_check.py;
     # tests/test_registry.py asserts every tail query is oracle-green so a
     # tail regression cannot ship behind a complete-looking driver record.
     for tail in (
+        "lang_id_counts",
+        "events_hourly",
         "source_stats",
         "contamination_check",
         "key_diff_avro_logical",

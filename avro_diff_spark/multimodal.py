@@ -304,6 +304,176 @@ def synth_flac_media(df: DataFrame, id_col: str) -> DataFrame:
     return narrow.mapInPandas(run, schema="media_id long, payload binary")
 
 
+def build_exif_app1(
+    *,
+    byte_order: str,
+    orientation: int,
+    x_resolution: int,
+    description: str,
+) -> bytes:
+    """A spec-valid EXIF APP1 segment (JEITA CP-3451 / TIFF 6.0, both
+    public): ``Exif\\0\\0`` + TIFF header + IFD0 with ImageDescription
+    (ASCII, out-of-line), Orientation (SHORT, inline) and XResolution
+    (RATIONAL, out-of-line), entries in ascending tag order. ``byte_order``
+    is ``II`` (little) or ``MM`` (big) — fixtures alternate to exercise
+    both endiannesses of the reader."""
+    import struct
+
+    e = "<" if byte_order == "II" else ">"
+    desc = description.encode() + b"\x00"
+    tiff_hdr = byte_order.encode() + struct.pack(e + "HI", 42, 8)
+    n_entries = 3
+    ifd_size = 2 + n_entries * 12 + 4
+    data_off = 8 + ifd_size  # from TIFF header start
+    entries = b""
+    # 0x010E ImageDescription, ASCII, out-of-line
+    entries += struct.pack(e + "HHII", 0x010E, 2, len(desc), data_off)
+    # 0x0112 Orientation, SHORT, inline (left-justified in the 4-byte slot)
+    entries += struct.pack(e + "HHI", 0x0112, 3, 1) + struct.pack(e + "H", orientation) + b"\x00\x00"
+    # 0x011A XResolution, RATIONAL, out-of-line after the description
+    entries += struct.pack(e + "HHII", 0x011A, 5, 1, data_off + len(desc))
+    ifd = struct.pack(e + "H", n_entries) + entries + struct.pack(e + "I", 0)
+    data = desc + struct.pack(e + "II", x_resolution, 1)
+    body = b"Exif\x00\x00" + tiff_hdr + ifd + data
+    return b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+
+
+def parse_exif(payload: bytes) -> dict[str, Any] | None:
+    """Extract EXIF IFD0 metadata from a JPEG payload without decoding
+    pixels: walk the marker segments for APP1/``Exif``, honor the TIFF
+    byte order, and read ASCII / SHORT / LONG / RATIONAL entries. Returns
+    None when no EXIF segment exists. Pure byte work — runs Arrow-batched
+    in :func:`exif_metadata`."""
+    import struct
+
+    if payload[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            return None
+        marker = payload[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        seg_len = struct.unpack_from(">H", payload, pos + 2)[0]
+        body = payload[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xE1 and body[:6] == b"Exif\x00\x00":
+            return _parse_tiff_ifd0(body[6:])
+        if marker == 0xDA:  # start of scan: no EXIF ahead of the entropy data
+            return None
+        pos += 2 + seg_len
+    return None
+
+
+def _parse_tiff_ifd0(t: bytes) -> dict[str, Any]:
+    import struct
+
+    order = t[:2]
+    e = "<" if order == b"II" else ">"
+    if struct.unpack_from(e + "H", t, 2)[0] != 42:
+        raise ValueError("bad TIFF magic")
+    ifd = struct.unpack_from(e + "I", t, 4)[0]
+    n = struct.unpack_from(e + "H", t, ifd)[0]
+    names = {0x010E: "description", 0x0112: "orientation", 0x011A: "x_resolution"}
+    out: dict[str, Any] = {"byte_order": order.decode()}
+    for i in range(n):
+        off = ifd + 2 + i * 12
+        tag, typ, cnt = struct.unpack_from(e + "HHI", t, off)
+        name = names.get(tag)
+        if name is None:
+            continue
+        if typ == 2:  # ASCII, NUL-terminated
+            p = struct.unpack_from(e + "I", t, off + 8)[0] if cnt > 4 else off + 8
+            out[name] = t[p : p + cnt].rstrip(b"\x00").decode()
+        elif typ == 3:  # SHORT (inline when count 1)
+            out[name] = struct.unpack_from(e + "H", t, off + 8)[0]
+        elif typ == 4:  # LONG
+            out[name] = struct.unpack_from(e + "I", t, off + 8)[0]
+        elif typ == 5:  # RATIONAL
+            p = struct.unpack_from(e + "I", t, off + 8)[0]
+            num, den = struct.unpack_from(e + "II", t, p)
+            out[name] = (num, den)
+    return out
+
+
+def synth_jpeg_exif_media(df: DataFrame, id_col: str) -> DataFrame:
+    """The baseline-JPEG fixtures of :func:`synth_jpeg_media` with a
+    spec-valid EXIF APP1 injected after SOI, under a closed-form law:
+    byte order ``II``/``MM`` alternating by id, ``orientation = 1 + id %
+    8``, ``x_resolution = (72 + id % 10, 1)``, description ``doc<id>`` —
+    so an oracle reproduces the extracted metadata without parsing."""
+    base = synth_jpeg_media(df, id_col)
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for mid, b in zip(pdf["media_id"].values, pdf["payload"].values):
+                mid = int(mid)
+                app1 = build_exif_app1(
+                    byte_order="II" if mid % 2 == 0 else "MM",
+                    orientation=1 + mid % 8,
+                    x_resolution=72 + mid % 10,
+                    description=f"doc{mid}",
+                )
+                b = bytes(b)
+                payloads.append(b[:2] + app1 + b[2:])
+            yield pd.DataFrame({"media_id": pdf["media_id"].values, "payload": payloads})
+
+    return base.mapInPandas(run, schema="media_id long, payload binary")
+
+
+EXIF_METADATA_SCHEMA = (
+    "media_id long, byte_order string, orientation int, "
+    "x_resolution long, description string"
+)
+
+
+def exif_metadata(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """EXIF IFD0 metadata per JPEG payload via Arrow-batched
+    ``mapInPandas`` — the metadata-harvest pass an image-corpus pipeline
+    runs long before (and much cheaper than) pixel decode. Missing/
+    malformed EXIF yields nulls, never a failed task."""
+    narrow = df.select(F.col(id_col).alias("media_id"), F.col(payload_col).alias("payload"))
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, b in zip(pdf["media_id"].values, pdf["payload"].values):
+                try:
+                    meta = parse_exif(bytes(b)) or {}
+                except (ValueError, IndexError, KeyError):
+                    meta = {}
+                xres = meta.get("x_resolution")
+                rows.append(
+                    (
+                        mid,
+                        meta.get("byte_order"),
+                        meta.get("orientation"),
+                        xres[0] if isinstance(xres, tuple) else None,
+                        meta.get("description"),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "byte_order",
+                    "orientation",
+                    "x_resolution",
+                    "description",
+                ],
+            )
+
+    return narrow.mapInPandas(run, schema=EXIF_METADATA_SCHEMA)
+
+
 def sniff_container(payload: Column) -> Column:
     """Container format from the payload's magic bytes; 'unknown' otherwise."""
     expr: Column = F.lit("unknown")

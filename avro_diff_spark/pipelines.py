@@ -123,6 +123,157 @@ SELECT lang_pred, count(*) AS n_docs FROM (
 """
 
 
+def _train_langid_profiles(documents_parquet: str, top_k: int = 40) -> list[tuple[str, str]]:
+    """Train a char-bigram language-ID model driver-side (the
+    textcat/CLD n-gram-profile family, Cavnar & Trenkle 1994) from the
+    BOUNDED (lang, bigram) count table: each observed bigram is assigned
+    to the language where its RELATIVE frequency is highest (compared by
+    integer cross-multiplication c_l·T_m > c_m·T_l — no IEEE division,
+    deterministic ties to the earlier language), then each language
+    keeps its ``top_k`` bigrams by count. Returns [(bigram, lang), ...]
+    — a disjoint voting table bounded by langs × top_k."""
+    return list(_train_langid_cached(_langid_file_key(documents_parquet), documents_parquet, top_k))
+
+
+def _langid_file_key(path: str) -> tuple:
+    import os
+
+    if os.path.isdir(path):
+        parts: list = [path]
+        for dp, _, fns in os.walk(path):
+            for fn in sorted(fns):
+                st = os.stat(os.path.join(dp, fn))
+                parts.append((fn, st.st_size, st.st_mtime_ns))
+        return tuple(parts)
+    st = os.stat(path)
+    return (path, st.st_size, st.st_mtime_ns)
+
+
+from functools import lru_cache as _lru_cache  # noqa: E402
+
+
+@_lru_cache(maxsize=8)
+def _train_langid_cached(key: tuple, path: str, top_k: int):
+    import os
+
+    import duckdb
+
+    src = path + "/**/*.parquet" if os.path.isdir(path) else path
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        WITH t AS (SELECT lang, {norm_sql('text')} AS t FROM read_parquet(?)),
+        bg AS (
+          SELECT lang,
+                 unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                                       i -> t[i:i + 1])) AS bg
+          FROM t
+        )
+        SELECT lang, bg, count(*) AS c FROM bg GROUP BY lang, bg
+        """,
+        [src],
+    ).fetchall()
+    totals: dict[str, int] = {}
+    for lang, _, c in rows:
+        totals[lang] = totals.get(lang, 0) + c
+    by_bigram: dict[str, dict[str, int]] = {}
+    for lang, bg, c in rows:
+        by_bigram.setdefault(bg, {})[lang] = c
+    assigned: dict[str, tuple[str, int]] = {}
+    for bg in sorted(by_bigram):
+        best = None
+        for lang in sorted(by_bigram[bg]):
+            c = by_bigram[bg][lang]
+            if best is None or c * totals[best[0]] > best[1] * totals[lang]:
+                best = (lang, c)
+        assigned[bg] = best  # type: ignore[assignment]
+    per_lang: dict[str, list[tuple[str, int]]] = {}
+    for bg, (lang, c) in assigned.items():
+        per_lang.setdefault(lang, []).append((bg, c))
+    out: list[tuple[str, str]] = []
+    for lang in sorted(per_lang):
+        kept = sorted(per_lang[lang], key=lambda t: (-t[1], t[0]))[:top_k]
+        out.extend((bg, lang) for bg, _ in sorted(kept))
+    return tuple(out)
+
+
+def q_langid_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED n-gram-profile language ID (Cavnar & Trenkle 1994 —
+    the textcat/CLD model family; supersedes the stopword heuristic of
+    lang_id_counts): char bigrams vote for the language whose trained
+    profile claims them, prediction = argmax votes (ties to the earlier
+    language), evaluated against the corpus's own labels as a confusion
+    table (lang, lang_pred, n_docs).
+
+    Scale shape: profiles are a langs×top_k literal table BROADCAST onto
+    the exploded bigram stream (the contamination_check shape); votes
+    aggregate per (doc, lang) with map-side combine, the per-doc argmax
+    is one row_number window on doc_id, and the confusion rollup is a
+    final small groupBy. Docs with zero profile hits are absent (no
+    vote, no prediction) — mirrored exactly by the oracle."""
+    profiles = _train_langid_profiles(f"{sf_dir}/documents.parquet")
+    d = spread_small(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    prof = F.broadcast(
+        d.sparkSession.createDataFrame(profiles, "bg string, plang string")
+    )
+    bigrams = (
+        d.select("doc_id", "lang", TX.norm_text(F.col("text")).alias("__t"))
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(length(__t) - 1, 0)),"
+                    " i -> substring(__t, i, 2))"
+                )
+            ).alias("bg"),
+        )
+    )
+    votes = (
+        bigrams.join(prof, "bg")
+        .groupBy("doc_id", "lang", "plang")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("n_votes").desc(), F.col("plang").asc())
+    pred = (
+        votes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("lang", F.col("plang").alias("lang_pred"))
+    )
+    return pred.groupBy("lang", "lang_pred").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def _langid_ngram_sql() -> str:
+    profiles = _train_langid_profiles(f"{ORACLE_SF_DIR}/documents.parquet")
+    rows = ", ".join(
+        "('{}', '{}')".format(bg.replace("'", "''"), lang) for bg, lang in profiles
+    )
+    return f"""
+WITH prof(bg, plang) AS (VALUES {rows}),
+t AS (SELECT doc_id, lang, {norm_sql('text')} AS t FROM documents),
+bg AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                               i -> t[i:i + 1])) AS bg
+  FROM t
+),
+votes AS (
+  SELECT doc_id, lang, plang, count(*) AS n_votes
+  FROM bg JOIN prof USING (bg) GROUP BY doc_id, lang, plang
+),
+pred AS (
+  SELECT lang, plang AS lang_pred,
+         row_number() OVER (PARTITION BY doc_id
+             ORDER BY n_votes DESC, plang ASC) AS rn
+  FROM votes
+)
+SELECT lang, lang_pred, count(*) AS n_docs
+FROM pred WHERE rn = 1 GROUP BY lang, lang_pred
+"""
+
+
 def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread_small(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     return d.select("doc_id", TX.quality_score(F.col("text")).alias("quality"))
@@ -2511,6 +2662,32 @@ FROM d
 """
 
 
+def q_image_exif_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL EXIF metadata extraction end-to-end: baseline-JPEG payloads
+    carrying a spec-valid EXIF APP1 (JEITA CP-3451 / TIFF 6.0) under a
+    closed-form law — byte order alternating II/MM, orientation,
+    RATIONAL resolution, ASCII description — parsed back by
+    multimodal.parse_exif inside Arrow-batched mapInPandas. The
+    metadata-harvest pass an image-corpus pipeline runs long before
+    (and much cheaper than) pixel decode; the oracle reproduces the law
+    without parsing a byte."""
+    from avro_diff_spark import multimodal as MM
+
+    docs = spread_small(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    media = MM.synth_jpeg_exif_media(docs, "doc_id")
+    return MM.exif_metadata(media)
+
+
+IMAGE_EXIF_METADATA_SQL = """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+       CAST(1 + doc_id % 8 AS INT) AS orientation,
+       CAST(72 + doc_id % 10 AS BIGINT) AS x_resolution,
+       'doc' || CAST(doc_id AS VARCHAR) AS description
+FROM documents
+"""
+
+
 def q_audio_features_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL FLAC decode end-to-end: deterministic payloads carrying the
     SAME closed-form sample law as the WAV query, encoded executor-side
@@ -2653,6 +2830,7 @@ PIPELINE_QUERIES = {
     "source_stats": q_source_stats,
     "mixture_weights": q_mixture_weights,
     "lang_id_counts": q_lang_id,
+    "langid_ngram_counts": q_langid_ngram_counts,
     "quality_scores": q_quality_scores,
     "gopher_quality": q_gopher_quality,
     "bpe_token_counts": q_bpe_token_counts,
@@ -2697,6 +2875,7 @@ PIPELINE_QUERIES = {
     "image_features_jpeg_progressive": q_image_features_jpeg_progressive,
     "image_features_gif": q_image_features_gif,
     "image_features_webp": q_image_features_webp,
+    "image_exif_metadata": q_image_exif_metadata,
     "audio_features_wav": q_audio_features_wav,
     "audio_features_flac": q_audio_features_flac,
     "audio_analysis_wav": q_audio_analysis_wav,
@@ -2717,6 +2896,7 @@ def pipeline_sql() -> dict[str, str]:
         "source_stats": SOURCE_STATS_SQL,
         "mixture_weights": MIXTURE_WEIGHTS_SQL,
         "lang_id_counts": _lang_id_sql(),
+        "langid_ngram_counts": _langid_ngram_sql(),
         "quality_scores": _quality_sql(),
         "gopher_quality": _gopher_quality_sql(),
         "bpe_token_counts": _bpe_token_counts_sql(),
@@ -2760,6 +2940,7 @@ def pipeline_sql() -> dict[str, str]:
         "image_features_jpeg_progressive": IMAGE_FEATURES_JPEG_SQL,
         "image_features_gif": IMAGE_FEATURES_GIF_SQL,
         "image_features_webp": IMAGE_FEATURES_WEBP_SQL,
+        "image_exif_metadata": IMAGE_EXIF_METADATA_SQL,
         "audio_features_wav": AUDIO_FEATURES_WAV_SQL,
         # lossless codec => identical decoded stats law as WAV
         "audio_features_flac": AUDIO_FEATURES_WAV_SQL,

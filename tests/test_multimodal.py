@@ -217,3 +217,47 @@ def test_audio_analysis_known_signal(spark):
     assert r["n_zero_crossings"] == 2
     expected_rms = float(np.sqrt((samples.astype(np.int64) ** 2).sum() / 6))
     assert r["rms"] == expected_rms
+
+
+def test_exif_build_parse_roundtrip_both_endians():
+    """build_exif_app1 -> parse_exif round-trips every field under both
+    TIFF byte orders, and parse returns None for EXIF-less payloads."""
+    from avro_diff_spark.multimodal import build_exif_app1, parse_exif
+
+    for order in ("II", "MM"):
+        app1 = build_exif_app1(
+            byte_order=order, orientation=6, x_resolution=300, description="hello exif"
+        )
+        jpeg = b"\xff\xd8" + app1 + b"\xff\xd9"
+        meta = parse_exif(jpeg)
+        assert meta == {
+            "byte_order": order,
+            "description": "hello exif",
+            "orientation": 6,
+            "x_resolution": (300, 1),
+        }
+    assert parse_exif(b"\xff\xd8\xff\xd9") is None
+    assert parse_exif(b"not a jpeg") is None
+
+
+def test_exif_injection_does_not_change_decoded_pixels(spark, sf_dir):
+    """The JPEG decoder must skip the injected APP1: image features of
+    the EXIF-carrying fixtures equal the plain fixtures' exactly."""
+    from avro_diff_spark import multimodal as MM
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40)
+    plain = {
+        r.media_id: r
+        for r in MM.image_features(
+            MM.synth_jpeg_media(docs, "doc_id"), decoder=MM.real_image_decoder
+        ).collect()
+    }
+    withexif = {
+        r.media_id: r
+        for r in MM.image_features(
+            MM.synth_jpeg_exif_media(docs, "doc_id"), decoder=MM.real_image_decoder
+        ).collect()
+    }
+    assert plain.keys() == withexif.keys() and len(plain) == 40
+    for k in plain:
+        assert plain[k] == withexif[k]

@@ -339,3 +339,32 @@ def test_near_dup_cluster_sizes_consistent_with_closure(spark, sf_dir):
     assert {r.cluster_size: r.n_clusters for r in hist} == dict(sizes)
     for r in hist:
         assert r.n_dropped == (r.cluster_size - 1) * r.n_clusters
+
+
+def test_langid_ngram_profiles_discriminate(spark, tmp_path):
+    """On an engineered bilingual corpus, training assigns each
+    language's distinctive bigrams to it, and the confusion table is
+    diagonal (every doc predicted as its own label)."""
+    from avro_diff_spark.pipelines import (
+        _train_langid_profiles,
+        q_langid_ngram_counts,
+    )
+
+    en = "the cat and the dog share the hearth with their brethren"
+    de = "zwischen zwölf wörtern wächst größe für jüngere zuschauer"
+    rows = [(i, en + f" variant {i}", "en", "web") for i in range(20)]
+    rows += [(100 + i, de + f" nummer {i}", "de", "web") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    prof = _train_langid_profiles(f"{tmp_path}/documents.parquet")
+    langs_of = {}
+    for bg, lang in prof:
+        langs_of.setdefault(lang, set()).add(bg)
+    assert "th" in langs_of["en"] and "th" not in langs_of.get("de", set())
+    assert any("z" in bg for bg in langs_of["de"])
+    # disjoint voting table
+    assert len({bg for bg, _ in prof}) == len(prof)
+
+    got = {(r.lang, r.lang_pred): r.n_docs for r in q_langid_ngram_counts(spark, str(tmp_path)).collect()}
+    assert got == {("en", "en"): 20, ("de", "de"): 20}
