@@ -498,6 +498,46 @@ FROM old_snap o FULL OUTER JOIN new_snap n ON o.o_orderkey = n.o_orderkey
 """
 
 
+def _q_key_diff_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed diff across two COMMITS of a versioned table
+    (sources/versioned.py — the Delta-protocol-style commit log): the
+    old snapshot is committed as v0, the new as an overwriting v1, and
+    the diff reads BOTH versions back through log replay (time travel)
+    before classifying. Same projection and oracle as key_diff_orders —
+    the log/read machinery is what's under test. The reference diffs two
+    explicit file paths; this lifts that surface onto table versions."""
+    import hashlib
+    import os
+
+    from avro_diff_spark.sources.versioned import (
+        commit_snapshot,
+        key_diff_versions,
+        latest_version,
+    )
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    files = [src] if os.path.isfile(src) else sorted(
+        os.path.join(dp, fn) for dp, _, fns in os.walk(src) for fn in fns
+    )
+    h = hashlib.md5()
+    for p in files:
+        st = os.stat(p)
+        h.update(f"{p}|{st.st_size}|{st.st_mtime_ns};".encode())
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    table = f"/root/repo/.cache/versioned/{tag}-{h.hexdigest()[:12]}/orders"
+    if latest_version(table) < 1:
+        commit_snapshot(snap.orders_old(spark, sf_dir), table)
+        commit_snapshot(snap.orders_new(spark, sf_dir), table, mode="overwrite")
+    d = key_diff_versions(spark, table, ["o_orderkey"], v_old=0, v_new=1)
+    return d.select(
+        "o_orderkey",
+        "diff_kind",
+        F.array_join(F.col("changed_fields"), ",").alias("changed_fields"),
+        F.col("old").getField("o_totalprice").alias("old_totalprice"),
+        F.col("new").getField("o_totalprice").alias("new_totalprice"),
+    )
+
+
 def _q_key_diff_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     old, new = snap.orders_old(spark, sf_dir), snap.orders_new(spark, sf_dir)
     d = key_diff(old, new, ["o_custkey", "o_orderkey"], include_payload=False)
@@ -668,6 +708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_diff_avro": _q_key_diff_avro,
         "key_diff_avro_logical": _q_key_diff_avro_logical,
         "key_diff_avro_evolved": _q_key_diff_avro_evolved,
+        "key_diff_versions": _q_key_diff_versions,
         "key_diff_composite": _q_key_diff_composite,
         "self_diff_counts": _q_self_diff_counts,
         "venn_removed": _q_venn_removed,
@@ -846,10 +887,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the trained model supersedes, its stopword-count mechanism is
     # pytest-pinned (tests/test_text_functions.py), and the CI oracle
     # gate value-hashes it every run.
+    # Round-6 demotion for key_diff_versions (commit-log time-travel
+    # diff): pack_sequences moves to the tail — its per-group ordered
+    # running-sum window is the identical shuffle/window mechanism the
+    # recorded sessionize executes (Window.partitionBy(group).orderBy(id)
+    # with a running aggregate), its packing invariants are pytest-pinned
+    # (tests/test_pipeline_ops.py::test_pack_sequences_invariants), and
+    # the CI oracle gate value-hashes it every run.
     # Tail queries remain bench-covered and verified by tools/oracle_check.py;
     # tests/test_registry.py asserts every tail query is oracle-green so a
     # tail regression cannot ship behind a complete-looking driver record.
     for tail in (
+        "pack_sequences",
         "lang_id_counts",
         "events_hourly",
         "source_stats",
@@ -906,6 +955,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "key_diff_avro_logical": _KEY_DIFF_AVRO_LOGICAL_SQL,
         "key_diff_avro_evolved": _KEY_DIFF_AVRO_EVOLVED_SQL,
+        # versioned commits carry the same snapshots -> same diff law
+        "key_diff_versions": _KEY_DIFF_ORDERS_SQL,
         "key_diff_composite": _KEY_DIFF_COMPOSITE_SQL,
         "self_diff_counts": _SELF_DIFF_COUNTS_SQL,
         "venn_removed": _VENN_REMOVED_SQL,

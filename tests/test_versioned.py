@@ -1,0 +1,83 @@
+"""Versioned-table commit log (sources/versioned.py): snapshot commits,
+time travel, history, crash-safety, and the cross-version keyed diff."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from avro_diff_spark.sources.versioned import (
+    commit_snapshot,
+    key_diff_versions,
+    latest_version,
+    read_version,
+    table_history,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string")
+
+
+def test_commit_read_overwrite_append_history(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    assert latest_version(t) == -1
+    v0 = commit_snapshot(_df(spark, [(1, "a"), (2, "b")]), t)
+    v1 = commit_snapshot(_df(spark, [(3, "c")]), t, mode="append")
+    v2 = commit_snapshot(_df(spark, [(1, "z")]), t, mode="overwrite")
+    assert (v0, v1, v2) == (0, 1, 2)
+    assert latest_version(t) == 2
+
+    # time travel reads every version exactly
+    assert {(r.k, r.v) for r in read_version(spark, t, 0).collect()} == {(1, "a"), (2, "b")}
+    assert {(r.k, r.v) for r in read_version(spark, t, 1).collect()} == {
+        (1, "a"), (2, "b"), (3, "c")
+    }
+    assert {(r.k, r.v) for r in read_version(spark, t).collect()} == {(1, "z")}
+
+    hist = table_history(t)
+    assert [h["version"] for h in hist] == [0, 1, 2]
+    assert [h["mode"] for h in hist] == ["overwrite", "append", "overwrite"]
+    assert [h["n_rows"] for h in hist] == [2, 1, 1]
+    assert hist[2]["n_removed"] == hist[0]["n_added"] + hist[1]["n_added"]
+
+
+def test_staged_but_uncommitted_files_are_invisible(spark, tmp_path):
+    """The crash-safety contract: data files without a published commit
+    never appear in any read — the log, not the directory listing, is
+    the source of truth."""
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, [(1, "a")]), t)
+    # simulate a writer that crashed after staging data, before publishing
+    _df(spark, [(9, "ghost")]).write.parquet(os.path.join(t, "v000001-deadbeef"))
+    assert {r.k for r in read_version(spark, t).collect()} == {1}
+    # the next commit just takes the next version number
+    commit_snapshot(_df(spark, [(2, "b")]), t, mode="append")
+    assert {r.k for r in read_version(spark, t).collect()} == {1, 2}
+
+
+def test_torn_commit_tmp_file_ignored(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, [(1, "a")]), t)
+    with open(os.path.join(t, "_log", ".000001.json.tmp"), "w") as fh:
+        fh.write('{"version": 1, "actions": [')  # torn write, never renamed
+    assert latest_version(t) == 0
+    assert {r.k for r in read_version(spark, t).collect()} == {1}
+
+
+def test_read_errors(spark, tmp_path):
+    t = str(tmp_path / "none")
+    with pytest.raises(ValueError, match="no commits"):
+        read_version(spark, t)
+
+
+def test_key_diff_versions_classification(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, [(1, "a"), (2, "b"), (3, "c")]), t)
+    commit_snapshot(_df(spark, [(2, "b"), (3, "C"), (4, "d")]), t, mode="overwrite")
+    d = key_diff_versions(spark, t, ["k"], v_old=0, v_new=1, include_payload=False)
+    got = {r.k: r.diff_kind for r in d.collect()}
+    assert got == {"1": "removed", "2": "unchanged", "3": "changed", "4": "added"}
