@@ -37,6 +37,8 @@ __all__ = [
     "latest_version",
     "table_history",
     "key_diff_versions",
+    "compact_table",
+    "vacuum",
 ]
 
 _LOG = "_log"
@@ -152,6 +154,48 @@ def table_history(table_path: str) -> list[dict]:
             }
         )
     return out
+
+
+def compact_table(
+    spark: SparkSession, table_path: str, *, target_files: int = 8
+) -> int:
+    """Small-file compaction (the ``OPTIMIZE`` half without reclustering):
+    rewrite the CURRENT live file set as ``target_files`` files and
+    publish it as an overwriting commit. Readers of older versions are
+    untouched — their files stay referenced by earlier commits until
+    :func:`vacuum`. Returns the new version."""
+    df = read_version(spark, table_path).coalesce(target_files)
+    return commit_snapshot(df, table_path, mode="overwrite")
+
+
+def vacuum(table_path: str, *, keep_versions: int = 1) -> list[str]:
+    """Delete data files unreferenced by the last ``keep_versions``
+    versions (and truncate time travel older than that) — the storage
+    reclamation step after overwrites/compactions. Also sweeps staged
+    directories no commit ever published (crashed writers). Returns the
+    deleted file paths. Single-writer contract like the rest of the log."""
+    import shutil
+
+    last = latest_version(table_path)
+    if last < 0:
+        return []
+    keep_from = max(last - keep_versions + 1, 0)
+    needed: set[str] = set()
+    for v in range(keep_from, last + 1):
+        needed.update(_live_files(table_path, v))
+    deleted: list[str] = []
+    for entry in sorted(os.listdir(table_path)):
+        full = os.path.join(table_path, entry)
+        if entry == _LOG or not os.path.isdir(full):
+            continue
+        for f in sorted(os.listdir(full)):
+            rel = os.path.join(entry, f)
+            if f.endswith(".parquet") and rel not in needed:
+                os.remove(os.path.join(table_path, rel))
+                deleted.append(rel)
+        if not any(f.endswith(".parquet") for f in os.listdir(full)):
+            shutil.rmtree(full)
+    return deleted
 
 
 def key_diff_versions(

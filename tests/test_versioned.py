@@ -81,3 +81,34 @@ def test_key_diff_versions_classification(spark, tmp_path):
     d = key_diff_versions(spark, t, ["k"], v_old=0, v_new=1, include_payload=False)
     got = {r.k: r.diff_kind for r in d.collect()}
     assert got == {"1": "removed", "2": "unchanged", "3": "changed", "4": "added"}
+
+
+def test_compact_and_vacuum_lifecycle(spark, tmp_path):
+    """Compaction rewrites the live set smaller without changing content;
+    vacuum reclaims files of truncated versions plus crashed-writer
+    staging, while the kept version still reads exactly."""
+    from avro_diff_spark.sources.versioned import compact_table, vacuum
+
+    t = str(tmp_path / "tbl")
+    big = spark.range(500).select(
+        F.col("id").alias("k"), F.col("id").cast("string").alias("v")
+    ).repartition(10)
+    commit_snapshot(big, t)
+    commit_snapshot(_df(spark, [(1000, "x")]), t, mode="append")
+    before = {(r.k, r.v) for r in read_version(spark, t).collect()}
+
+    v2 = compact_table(spark, t, target_files=2)
+    assert v2 == 2
+    assert {(r.k, r.v) for r in read_version(spark, t).collect()} == before
+    hist = table_history(t)
+    assert hist[2]["n_added"] <= 2 and hist[2]["n_removed"] >= 10
+
+    # a crashed writer's staged-but-unpublished directory
+    _df(spark, [(9, "ghost")]).write.parquet(os.path.join(t, "v000099-dead"))
+
+    deleted = vacuum(t, keep_versions=1)
+    assert len(deleted) >= 11  # the pre-compaction files + ghost files
+    assert {(r.k, r.v) for r in read_version(spark, t).collect()} == before
+    assert not os.path.isdir(os.path.join(t, "v000099-dead"))
+    with pytest.raises(Exception):
+        read_version(spark, t, 0).collect()  # time travel truncated by vacuum
