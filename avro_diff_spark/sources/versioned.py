@@ -39,6 +39,7 @@ __all__ = [
     "key_diff_versions",
     "compact_table",
     "vacuum",
+    "commit_stream",
 ]
 
 _LOG = "_log"
@@ -196,6 +197,73 @@ def vacuum(table_path: str, *, keep_versions: int = 1) -> list[str]:
         if not any(f.endswith(".parquet") for f in os.listdir(full)):
             shutil.rmtree(full)
     return deleted
+
+
+def commit_stream(
+    stream_df: DataFrame,
+    table_path: str,
+    *,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+):
+    """Stream into a versioned table: each micro-batch lands as one
+    APPEND commit via ``foreachBatch``, carrying its (app, epoch) id in
+    the commit JSON. Structured Streaming replays the last in-flight
+    batch after a crash/restart, so the sink dedupes on that pair — a
+    batch already committed is skipped, giving exactly-once table
+    contents on top of the source's checkpointed progress. This is the
+    Delta txnAppId/txnVersion idempotent-write pattern enforced by the
+    log itself; the app id is the checkpoint path, because epochs
+    restart at 0 under a FRESH checkpoint and only the pair identifies
+    a replay.
+
+    Returns the started StreamingQuery (AvailableNow by default —
+    drain-what-exists semantics for tests and backfills)."""
+
+    app_id = os.path.abspath(checkpoint)
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        for _, path in _commit_files(table_path):
+            with open(path) as fh:
+                c = json.load(fh)
+            if c.get("epoch") == epoch_id and c.get("app") == app_id:
+                return  # replayed batch: already durable in the log
+        version = latest_version(table_path) + 1
+        stage = os.path.join(table_path, f"v{version:06d}-{uuid.uuid4().hex[:8]}")
+        batch_df.write.mode("errorifexists").parquet(stage)
+        added = sorted(
+            os.path.join(os.path.basename(stage), f)
+            for f in os.listdir(stage)
+            if f.endswith(".parquet")
+        )
+        n_rows = batch_df.sparkSession.read.parquet(stage).count()
+        os.makedirs(_log_dir(table_path), exist_ok=True)
+        tmp = os.path.join(_log_dir(table_path), f".{version:06d}.json.tmp")
+        final = os.path.join(_log_dir(table_path), f"{version:06d}.json")
+        with open(tmp, "w") as fh:
+            json.dump(
+                {
+                    "version": version,
+                    "mode": "append",
+                    "app": app_id,
+                    "epoch": epoch_id,
+                    "n_rows": n_rows,
+                    "actions": [{"add": f} for f in added],
+                },
+                fh,
+            )
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.rename(tmp, final)
+
+    writer = stream_df.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def key_diff_versions(

@@ -112,3 +112,33 @@ def test_compact_and_vacuum_lifecycle(spark, tmp_path):
     assert not os.path.isdir(os.path.join(t, "v000099-dead"))
     with pytest.raises(Exception):
         read_version(spark, t, 0).collect()  # time travel truncated by vacuum
+
+
+def test_commit_stream_appends_and_restart_does_not_duplicate(spark, tmp_path):
+    """File-source stream -> one append commit per micro-batch; a restart
+    on the same checkpoint commits ONLY newly landed files; commits carry
+    the (app, epoch) pair the idempotence dedup keys on."""
+    from avro_diff_spark.sources.versioned import commit_stream
+
+    src, ckpt, t = (str(tmp_path / d) for d in ("src", "ck", "tbl"))
+    os.makedirs(src)
+    _df(spark, [(1, "a"), (2, "b")]).coalesce(1).write.mode("append").json(src)
+    stream = spark.readStream.schema("k long, v string").json(src)
+    q = commit_stream(stream, t, checkpoint=ckpt)
+    q.awaitTermination(120)
+    assert {(r.k, r.v) for r in read_version(spark, t).collect()} == {(1, "a"), (2, "b")}
+    n_commits_first = latest_version(t) + 1
+
+    # more files land; the restarted query drains only those
+    _df(spark, [(3, "c")]).coalesce(1).write.mode("append").json(src)
+    q = commit_stream(
+        spark.readStream.schema("k long, v string").json(src), t, checkpoint=ckpt
+    )
+    q.awaitTermination(120)
+    rows = [(r.k, r.v) for r in read_version(spark, t).collect()]
+    assert sorted(rows) == [(1, "a"), (2, "b"), (3, "c")]  # no duplicates
+    hist = table_history(t)
+    assert len(hist) == n_commits_first + 1
+    with open(os.path.join(t, "_log", "000000.json")) as fh:
+        c = json.load(fh)
+    assert c["mode"] == "append" and "epoch" in c and "app" in c
