@@ -29,7 +29,7 @@ import json
 import os
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 __all__ = [
     "commit_snapshot",
@@ -69,10 +69,51 @@ def latest_version(table_path: str) -> int:
     return commits[-1][0] if commits else -1
 
 
-def commit_snapshot(df: DataFrame, table_path: str, *, mode: str = "overwrite") -> int:
+def _file_column_stats(table_path: str, rel_file: str, cols: list[str]) -> dict:
+    """Per-file min/max straight from the parquet footer (pyarrow,
+    driver-side metadata only — the same numbers a scan's pruning uses),
+    JSON-encoded. Columns whose stats are unavailable are omitted
+    (readers treat missing stats as may-match)."""
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(os.path.join(table_path, rel_file)).metadata
+    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    out: dict = {}
+    for c in cols:
+        if c not in idx:
+            continue
+        lo, hi = None, None
+        ok = True
+        for rg in range(md.num_row_groups):
+            s = md.row_group(rg).column(idx[c]).statistics
+            if s is None or not s.has_min_max:
+                ok = False
+                break
+            lo = s.min if lo is None else min(lo, s.min)
+            hi = s.max if hi is None else max(hi, s.max)
+        if ok and isinstance(lo, (int, float, str)) and not isinstance(lo, bool):
+            out[c] = [lo, hi]
+        elif ok and isinstance(lo, (datetime.date, datetime.datetime)):
+            out[c] = [lo.isoformat(), hi.isoformat()]
+    return out
+
+
+def commit_snapshot(
+    df: DataFrame,
+    table_path: str,
+    *,
+    mode: str = "overwrite",
+    stats_cols: list[str] | None = None,
+) -> int:
     """Commit ``df`` as the next version of the table. ``overwrite``
     replaces the live file set; ``append`` adds to it. Returns the new
-    version number.
+    version number. With ``stats_cols``, each add action carries the
+    listed columns' per-file min/max (harvested from the parquet footers
+    at commit time — the Delta data-skipping stats), which
+    :func:`read_version` ``prune=`` consults to skip files without
+    opening them.
 
     Write protocol (the crash-safety order every log-structured table
     uses): (1) write the data files into a staging subdirectory of the
@@ -92,7 +133,13 @@ def commit_snapshot(df: DataFrame, table_path: str, *, mode: str = "overwrite") 
         actions += [{"remove": f} for f in _live_files(table_path, version - 1)]
     elif mode != "append":
         raise ValueError(f"unknown commit mode {mode!r}")
-    actions += [{"add": f} for f in added]
+    if stats_cols:
+        actions += [
+            {"add": f, "stats": _file_column_stats(table_path, f, stats_cols)}
+            for f in added
+        ]
+    else:
+        actions += [{"add": f} for f in added]
     n_rows = df.sparkSession.read.parquet(stage).count()
     os.makedirs(_log_dir(table_path), exist_ok=True)
     tmp = os.path.join(_log_dir(table_path), f".{version:06d}.json.tmp")
@@ -107,8 +154,9 @@ def commit_snapshot(df: DataFrame, table_path: str, *, mode: str = "overwrite") 
     return version
 
 
-def _live_files(table_path: str, version: int) -> list[str]:
-    live: list[str] = []
+def _live_adds(table_path: str, version: int) -> dict[str, dict]:
+    """Live file → its commit-time stats (possibly empty) at ``version``."""
+    live: dict[str, dict] = {}
     for v, path in _commit_files(table_path):
         if v > version:
             break
@@ -116,26 +164,60 @@ def _live_files(table_path: str, version: int) -> list[str]:
             commit = json.load(fh)
         for a in commit["actions"]:
             if "add" in a:
-                live.append(a["add"])
+                live[a["add"]] = a.get("stats", {})
             else:
-                live.remove(a["remove"])
-    return sorted(live)
+                del live[a["remove"]]
+    return live
+
+
+def _live_files(table_path: str, version: int) -> list[str]:
+    return sorted(_live_adds(table_path, version))
 
 
 def read_version(
-    spark: SparkSession, table_path: str, version: int | None = None
+    spark: SparkSession,
+    table_path: str,
+    version: int | None = None,
+    *,
+    prune: tuple[str, object, object] | None = None,
 ) -> DataFrame:
     """Read the table as of ``version`` (default: latest) — time travel.
     The file list comes from the log replay, never a directory listing,
-    so concurrent staged-but-uncommitted writes are invisible."""
+    so concurrent staged-but-uncommitted writes are invisible.
+
+    ``prune=(col, lo, hi)`` applies log-level data skipping BEFORE any
+    file opens: only files whose commit-time [min, max] for ``col``
+    intersects [lo, hi] are read (files without stats are kept — missing
+    stats mean may-match), plus the matching row filter on top, so the
+    result equals an unpruned read filtered to the range. At 100 TB this
+    is the difference between a footer fetch per file and none at all —
+    the manifest alone answers which files matter."""
     if version is None:
         version = latest_version(table_path)
     if version < 0:
         raise ValueError(f"no commits at {table_path!r}")
-    files = _live_files(table_path, version)
-    if not files:
+    adds = _live_adds(table_path, version)
+    if not adds:
         raise ValueError(f"version {version} of {table_path!r} has no live files")
-    return spark.read.parquet(*[os.path.join(table_path, f) for f in files])
+    files = sorted(adds)
+    if prune is not None:
+        col, lo, hi = prune
+        kept = []
+        for f in files:
+            s = adds[f].get(col)
+            if s is None or (not (s[1] < lo or s[0] > hi)):
+                kept.append(f)
+        files = kept
+        if not files:
+            return (
+                spark.read.parquet(*[os.path.join(table_path, f) for f in sorted(adds)])
+                .filter(F.lit(False))
+            )
+    df = spark.read.parquet(*[os.path.join(table_path, f) for f in files])
+    if prune is not None:
+        col, lo, hi = prune
+        df = df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
+    return df
 
 
 def table_history(table_path: str) -> list[dict]:

@@ -142,3 +142,35 @@ def test_commit_stream_appends_and_restart_does_not_duplicate(spark, tmp_path):
     with open(os.path.join(t, "_log", "000000.json")) as fh:
         c = json.load(fh)
     assert c["mode"] == "append" and "epoch" in c and "app" in c
+
+
+def test_commit_stats_enable_log_level_pruning(spark, tmp_path):
+    """stats_cols harvests per-file min/max into the commit; a pruned
+    read opens ONLY intersecting files and equals the filtered full
+    read exactly. Range-partitioned data makes the skipping decisive."""
+    from avro_diff_spark.sources.versioned import _live_adds
+
+    t = str(tmp_path / "tbl")
+    df = (
+        spark.range(1000)
+        .select(F.col("id").alias("k"), (F.col("id") % 17).alias("v"))
+        .repartitionByRange(8, "k")
+        .sortWithinPartitions("k")
+    )
+    commit_snapshot(df, t, stats_cols=["k"])
+    adds = _live_adds(t, 0)
+    assert len(adds) == 8 and all("k" in s for s in adds.values())
+
+    pruned = read_version(spark, t, prune=("k", 100, 150))
+    full = read_version(spark, t).filter((F.col("k") >= 100) & (F.col("k") <= 150))
+    assert sorted(r.k for r in pruned.collect()) == sorted(r.k for r in full.collect())
+    # the pruned plan reads strictly fewer files than the table holds
+    n_pruned_files = len(
+        [f for f, s in adds.items() if not (s["k"][1] < 100 or s["k"][0] > 150)]
+    )
+    assert 0 < n_pruned_files < 8
+    assert f"{n_pruned_files}" and pruned.count() == 51
+
+    # empty intersection: schema preserved, zero rows, zero files matched
+    none = read_version(spark, t, prune=("k", 5000, 6000))
+    assert none.count() == 0 and none.schema == full.schema
