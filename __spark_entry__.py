@@ -525,7 +525,13 @@ def _q_key_diff_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
         h.update(f"{p}|{st.st_size}|{st.st_mtime_ns};".encode())
     tag = os.path.basename(os.path.normpath(sf_dir))
     table = f"/root/repo/.cache/versioned/{tag}-{h.hexdigest()[:12]}/orders"
-    if latest_version(table) < 1:
+    if latest_version(table) != 1:
+        # rebuild from scratch on ANY unexpected state — a crash between
+        # the two commits would otherwise leave v0=old only, and a naive
+        # top-up would commit old again as v1 (old-vs-old diff, forever)
+        import shutil
+
+        shutil.rmtree(table, ignore_errors=True)
         commit_snapshot(snap.orders_old(spark, sf_dir), table)
         commit_snapshot(snap.orders_new(spark, sf_dir), table, mode="overwrite")
     d = key_diff_versions(spark, table, ["o_orderkey"], v_old=0, v_new=1)

@@ -191,21 +191,10 @@ def viterbi_encode(word: str, logp: dict[str, float], max_piece_len: int = 6) ->
     return out
 
 
-def _file_key(path: str) -> tuple:
-    """(path, size, mtime_ns) content key — a regenerated parquet can
-    never serve a stale vocabulary from the cache (same pattern as
-    bpe._file_key)."""
-    import os
-
-    if os.path.isdir(path):
-        parts = [path]
-        for dp, _, fns in os.walk(path):
-            for fn in sorted(fns):
-                st = os.stat(os.path.join(dp, fn))
-                parts.append((fn, st.st_size, st.st_mtime_ns))
-        return tuple(parts)
-    st = os.stat(path)
-    return (path, st.st_size, st.st_mtime_ns)
+# (path, size, mtime_ns) content key — a regenerated parquet can never
+# serve a stale vocabulary from the cache. ONE implementation, shared by
+# every driver-side trainer (bpe/unigram/langid).
+from avro_diff_spark.functions.bpe import _file_key  # noqa: E402
 
 
 @lru_cache(maxsize=8)

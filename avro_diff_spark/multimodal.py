@@ -441,6 +441,8 @@ def exif_metadata(
     narrow = df.select(F.col(id_col).alias("media_id"), F.col(payload_col).alias("payload"))
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct
+
         import pandas as pd
 
         for pdf in batches:
@@ -448,7 +450,7 @@ def exif_metadata(
             for mid, b in zip(pdf["media_id"].values, pdf["payload"].values):
                 try:
                     meta = parse_exif(bytes(b)) or {}
-                except (ValueError, IndexError, KeyError):
+                except (ValueError, IndexError, KeyError, struct.error):
                     meta = {}
                 xres = meta.get("x_resolution")
                 rows.append(

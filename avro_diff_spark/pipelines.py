@@ -136,17 +136,11 @@ def _train_langid_profiles(documents_parquet: str, top_k: int = 40) -> list[tupl
 
 
 def _langid_file_key(path: str) -> tuple:
-    import os
+    # the shared (path, size, mtime_ns) content key every driver-side
+    # trainer uses (one implementation, functions/bpe.py)
+    from avro_diff_spark.functions.bpe import _file_key
 
-    if os.path.isdir(path):
-        parts: list = [path]
-        for dp, _, fns in os.walk(path):
-            for fn in sorted(fns):
-                st = os.stat(os.path.join(dp, fn))
-                parts.append((fn, st.st_size, st.st_mtime_ns))
-        return tuple(parts)
-    st = os.stat(path)
-    return (path, st.st_size, st.st_mtime_ns)
+    return _file_key(path)
 
 
 from functools import lru_cache as _lru_cache  # noqa: E402

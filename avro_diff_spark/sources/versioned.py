@@ -121,13 +121,7 @@ def commit_snapshot(
     the numbered commit JSON into ``_log/`` as the LAST step. A reader
     replaying the log either sees the full commit or none of it."""
     version = latest_version(table_path) + 1
-    stage = os.path.join(table_path, f"v{version:06d}-{uuid.uuid4().hex[:8]}")
-    df.write.mode("errorifexists").parquet(stage)
-    added = sorted(
-        os.path.join(os.path.basename(stage), f)
-        for f in os.listdir(stage)
-        if f.endswith(".parquet")
-    )
+    added = _stage_data(df, table_path, version)
     actions: list[dict] = []
     if mode == "overwrite":
         actions += [{"remove": f} for f in _live_files(table_path, version - 1)]
@@ -140,18 +134,50 @@ def commit_snapshot(
         ]
     else:
         actions += [{"add": f} for f in added]
-    n_rows = df.sparkSession.read.parquet(stage).count()
+    _publish_commit(
+        table_path,
+        version,
+        {"version": version, "mode": mode, "n_rows": _footer_rows(table_path, added), "actions": actions},
+    )
+    return version
+
+
+def _stage_data(df: DataFrame, table_path: str, version: int) -> list[str]:
+    """Write the data files into a fresh staging subdirectory; return the
+    relative parquet paths."""
+    stage = os.path.join(table_path, f"v{version:06d}-{uuid.uuid4().hex[:8]}")
+    df.write.mode("errorifexists").parquet(stage)
+    return sorted(
+        os.path.join(os.path.basename(stage), f)
+        for f in os.listdir(stage)
+        if f.endswith(".parquet")
+    )
+
+
+def _footer_rows(table_path: str, rel_files: list[str]) -> int:
+    """Row count from the parquet footers — driver-side metadata only, no
+    second Spark job over the just-written data."""
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.ParquetFile(os.path.join(table_path, f)).metadata.num_rows
+        for f in rel_files
+    )
+
+
+def _publish_commit(table_path: str, version: int, commit: dict) -> None:
+    """The atomic publish step shared by every writer: refuse an existing
+    version, write the JSON to a tmp name, fsync, rename LAST."""
     os.makedirs(_log_dir(table_path), exist_ok=True)
     tmp = os.path.join(_log_dir(table_path), f".{version:06d}.json.tmp")
     final = os.path.join(_log_dir(table_path), f"{version:06d}.json")
     if os.path.exists(final):
         raise RuntimeError(f"version {version} already committed (concurrent writer?)")
     with open(tmp, "w") as fh:
-        json.dump({"version": version, "mode": mode, "n_rows": n_rows, "actions": actions}, fh)
+        json.dump(commit, fh)
         fh.flush()
         os.fsync(fh.fileno())
     os.rename(tmp, final)
-    return version
 
 
 def _live_adds(table_path: str, version: int) -> dict[str, dict]:
@@ -201,11 +227,21 @@ def read_version(
         raise ValueError(f"version {version} of {table_path!r} has no live files")
     files = sorted(adds)
     if prune is not None:
+        import datetime
+
         col, lo, hi = prune
+        # stats for date/timestamp columns are stored as ISO strings (JSON
+        # has no temporal types); coerce the caller's native bounds the
+        # same way so the comparison stays apples-to-apples — ISO-8601
+        # string order IS chronological order
+        lo_s, hi_s = (
+            v.isoformat() if isinstance(v, (datetime.date, datetime.datetime)) else v
+            for v in (lo, hi)
+        )
         kept = []
         for f in files:
             s = adds[f].get(col)
-            if s is None or (not (s[1] < lo or s[0] > hi)):
+            if s is None or (not (s[1] < lo_s or s[0] > hi_s)):
                 kept.append(f)
         files = kept
         if not files:
@@ -307,38 +343,31 @@ def commit_stream(
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        for _, path in _commit_files(table_path):
+        # per-app epochs are monotone, so the NEWEST commit from this app
+        # carries its max epoch — walk the log backwards and stop at the
+        # first match instead of reading every commit per batch (Delta's
+        # txn-snapshot lookup, O(1) amortized instead of O(commits))
+        for _, path in reversed(_commit_files(table_path)):
             with open(path) as fh:
                 c = json.load(fh)
-            if c.get("epoch") == epoch_id and c.get("app") == app_id:
-                return  # replayed batch: already durable in the log
+            if c.get("app") == app_id:
+                if c.get("epoch", -1) >= epoch_id:
+                    return  # replayed batch: already durable in the log
+                break
         version = latest_version(table_path) + 1
-        stage = os.path.join(table_path, f"v{version:06d}-{uuid.uuid4().hex[:8]}")
-        batch_df.write.mode("errorifexists").parquet(stage)
-        added = sorted(
-            os.path.join(os.path.basename(stage), f)
-            for f in os.listdir(stage)
-            if f.endswith(".parquet")
+        added = _stage_data(batch_df, table_path, version)
+        _publish_commit(
+            table_path,
+            version,
+            {
+                "version": version,
+                "mode": "append",
+                "app": app_id,
+                "epoch": epoch_id,
+                "n_rows": _footer_rows(table_path, added),
+                "actions": [{"add": f} for f in added],
+            },
         )
-        n_rows = batch_df.sparkSession.read.parquet(stage).count()
-        os.makedirs(_log_dir(table_path), exist_ok=True)
-        tmp = os.path.join(_log_dir(table_path), f".{version:06d}.json.tmp")
-        final = os.path.join(_log_dir(table_path), f"{version:06d}.json")
-        with open(tmp, "w") as fh:
-            json.dump(
-                {
-                    "version": version,
-                    "mode": "append",
-                    "app": app_id,
-                    "epoch": epoch_id,
-                    "n_rows": n_rows,
-                    "actions": [{"add": f} for f in added],
-                },
-                fh,
-            )
-            fh.flush()
-            os.fsync(fh.fileno())
-        os.rename(tmp, final)
 
     writer = stream_df.writeStream.foreachBatch(_sink).option(
         "checkpointLocation", checkpoint

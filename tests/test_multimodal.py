@@ -261,3 +261,20 @@ def test_exif_injection_does_not_change_decoded_pixels(spark, sf_dir):
     assert plain.keys() == withexif.keys() and len(plain) == 40
     for k in plain:
         assert plain[k] == withexif[k]
+
+
+def test_exif_metadata_survives_malformed_exif(spark):
+    """A truncated/garbage EXIF body must yield null metadata, never a
+    failed task (round-6 review: struct.error escaped the except)."""
+    from avro_diff_spark.multimodal import exif_metadata
+
+    rows = [
+        (1, b"\xff\xd8\xff\xe1\x00\x08Exif\x00\x00"),  # APP1 with empty TIFF
+        (2, b"\xff\xd8\xff\xe1\x00\x10Exif\x00\x00II\x2a\x00\xff\xff\xff\xff"),
+        (3, b"junk not jpeg"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: r for r in exif_metadata(df).collect()}
+    assert len(got) == 3
+    for r in got.values():
+        assert r.orientation is None and r.byte_order is None

@@ -174,3 +174,28 @@ def test_commit_stats_enable_log_level_pruning(spark, tmp_path):
     # empty intersection: schema preserved, zero rows, zero files matched
     none = read_version(spark, t, prune=("k", 5000, 6000))
     assert none.count() == 0 and none.schema == full.schema
+
+
+def test_prune_accepts_native_date_bounds(spark, tmp_path):
+    """Stats for temporal columns land as ISO strings in the JSON log;
+    prune= must accept the column's NATIVE python types and still skip
+    files (round-6 review: str-vs-date comparison raised TypeError)."""
+    import datetime
+
+    t = str(tmp_path / "tbl")
+    df = (
+        spark.range(200)
+        .select(
+            F.col("id").alias("k"),
+            F.date_add(F.lit("2024-01-01").cast("date"), F.col("id").cast("int")).alias("d"),
+        )
+        .repartitionByRange(4, "d")
+        .sortWithinPartitions("d")
+    )
+    commit_snapshot(df, t, stats_cols=["d"])
+    lo, hi = datetime.date(2024, 2, 1), datetime.date(2024, 2, 10)
+    pruned = read_version(spark, t, prune=("d", lo, hi))
+    want = sorted(
+        r.k for r in read_version(spark, t).filter((F.col("d") >= F.lit(lo)) & (F.col("d") <= F.lit(hi))).collect()
+    )
+    assert sorted(r.k for r in pruned.collect()) == want and len(want) == 10
