@@ -258,14 +258,86 @@ def dedup_main(argv: list[str] | None = None) -> int:
     return 0
 
 
-_COMMANDS = {"key_diff": key_diff_main, "venn_diff": venn_diff_main, "dedup": dedup_main}
+def table_main(argv: list[str] | None = None) -> int:
+    """Versioned-table operations (sources/versioned.py) behind the same
+    CLI conventions as the diff binaries: ``history`` prints the commit
+    log, ``diff`` runs the keyed diff between two versions (the
+    reference's two-file diff lifted onto time travel), ``compact`` and
+    ``vacuum`` run the maintenance half (beyond-reference surface)."""
+    p = argparse.ArgumentParser(
+        prog="table", description="Versioned-table history / diff / maintenance."
+    )
+    p.add_argument("op", choices=["history", "diff", "compact", "vacuum"])
+    p.add_argument("table_path")
+    p.add_argument("--key", default=None, help="comma-separated key fields (diff)")
+    p.add_argument("--v-old", type=int, default=None, help="old version (diff; default latest-1)")
+    p.add_argument("--v-new", type=int, default=None, help="new version (diff; default latest)")
+    p.add_argument("--target-files", type=int, default=8, help="compact target file count")
+    p.add_argument("--keep-versions", type=int, default=1, help="vacuum retention")
+    p.add_argument("--output", default=None, help="sink output path (default: print)")
+    p.add_argument(
+        "--output-format", choices=["parquet", "avro"], default="parquet"
+    )
+    p.add_argument("--limit", type=int, default=50, help="rows to print without --output")
+    p.add_argument("--master", default=None, help="spark master (default local[*])")
+    args = p.parse_args(argv)
+
+    from avro_diff_spark.sources import versioned as V
+
+    if args.op == "history":
+        for h in V.table_history(args.table_path):
+            print(
+                f"v{h['version']}: {h['mode']}, {h['n_rows']} rows, "
+                f"+{h['n_added']}/-{h['n_removed']} files"
+            )
+        return 0
+    if args.op == "vacuum":
+        deleted = V.vacuum(args.table_path, keep_versions=args.keep_versions)
+        print(f"# of data files deleted: {len(deleted)}")
+        return 0
+
+    spark = _session(args)
+    if args.op == "compact":
+        v = V.compact_table(spark, args.table_path, target_files=args.target_files)
+        print(f"compacted as version {v}")
+        return 0
+
+    if not args.key:
+        print("diff requires --key", file=sys.stderr)
+        return 2
+    key = args.key.split(",")
+    last = V.latest_version(args.table_path)
+    v_new = args.v_new if args.v_new is not None else last
+    v_old = args.v_old if args.v_old is not None else max(v_new - 1, 0)
+    d = V.key_diff_versions(spark, args.table_path, key, v_old=v_old, v_new=v_new)
+
+    from pyspark.sql import functions as F
+
+    stats = {
+        r["diff_kind"]: r["n"]
+        for r in d.groupBy("diff_kind").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    print(f"diff v{v_old} -> v{v_new}")
+    for kind in ("added", "removed", "changed", "unchanged"):
+        print(f"# of {kind} rows: {stats.get(kind, 0)}")
+    order = [F.col(k).asc_nulls_last() for k in key]
+    _emit(d, args.output, args.limit, order_by=order, fmt=args.output_format)
+    return 0
+
+
+_COMMANDS = {
+    "key_diff": key_diff_main,
+    "venn_diff": venn_diff_main,
+    "dedup": dedup_main,
+    "table": table_main,
+}
 
 
 def main() -> int:
-    """Dispatcher: python -m avro_diff_spark.cli {key_diff|venn_diff|dedup} ..."""
+    """Dispatcher: python -m avro_diff_spark.cli {key_diff|venn_diff|dedup|table} ..."""
     if len(sys.argv) < 2 or sys.argv[1] not in _COMMANDS:
         print(
-            "usage: python -m avro_diff_spark.cli {key_diff|venn_diff|dedup} ...",
+            "usage: python -m avro_diff_spark.cli {key_diff|venn_diff|dedup|table} ...",
             file=sys.stderr,
         )
         return 2

@@ -199,3 +199,33 @@ def test_prune_accepts_native_date_bounds(spark, tmp_path):
         r.k for r in read_version(spark, t).filter((F.col("d") >= F.lit(lo)) & (F.col("d") <= F.lit(hi))).collect()
     )
     assert sorted(r.k for r in pruned.collect()) == want and len(want) == 10
+
+
+def test_cli_table_history_diff_compact_vacuum(spark, tmp_path, capsys):
+    """The table CLI end-to-end: history lines, version diff stats with
+    key ordering, compaction, vacuum accounting."""
+    from avro_diff_spark import cli
+
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, [(1, "a"), (2, "b"), (3, "c")]), t)
+    commit_snapshot(_df(spark, [(2, "b"), (3, "C"), (4, "d")]), t, mode="overwrite")
+
+    assert cli.table_main(["history", t]) == 0
+    out = capsys.readouterr().out
+    assert "v0: overwrite, 3 rows" in out and "v1: overwrite, 3 rows" in out
+
+    assert cli.table_main(["diff", t, "--key", "k", "--limit", "5"]) == 0
+    out = capsys.readouterr().out
+    assert "diff v0 -> v1" in out
+    assert "# of added rows: 1" in out and "# of removed rows: 1" in out
+    assert "# of changed rows: 1" in out and "# of unchanged rows: 1" in out
+
+    assert cli.table_main(["compact", t, "--target-files", "1"]) == 0
+    assert "compacted as version 2" in capsys.readouterr().out
+    assert cli.table_main(["vacuum", t]) == 0
+    out = capsys.readouterr().out
+    assert "# of data files deleted:" in out
+    assert {(r.k, r.v) for r in read_version(spark, t).collect()} == {
+        (2, "b"), (3, "C"), (4, "d")
+    }
+    assert cli.table_main(["diff", t]) == 2  # --key required
