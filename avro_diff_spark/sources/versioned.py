@@ -100,12 +100,55 @@ def _file_column_stats(table_path: str, rel_file: str, cols: list[str]) -> dict:
     return out
 
 
+def table_schema(table_path: str, version: int | None = None):
+    """The committed Spark schema as of ``version`` (default latest), or
+    None for pre-schema-tracking commits."""
+    from pyspark.sql import types as T
+
+    if version is None:
+        version = latest_version(table_path)
+    for v, path in reversed(_commit_files(table_path)):
+        if v > version:
+            continue
+        with open(path) as fh:
+            c = json.load(fh)
+        if "schema" in c:
+            return T.StructType.fromJson(json.loads(c["schema"]))
+        if c["mode"] == "overwrite":
+            break  # older commits' schemas were replaced wholesale
+    return None
+
+
+def _check_append_schema(df: DataFrame, current, *, schema_evolution: bool):
+    """Delta-style enforcement: an append must match the committed
+    schema; with ``schema_evolution`` it may ADD nullable fields, but an
+    existing field's type can never change silently."""
+    if current is None:
+        return
+    cur = {f.name: f.dataType for f in current.fields}
+    new = {f.name: f.dataType for f in df.schema.fields}
+    changed = sorted(n for n in new if n in cur and new[n] != cur[n])
+    if changed:
+        raise ValueError(
+            f"append changes existing column types {changed} — rewrite via "
+            "an overwrite commit instead (types never drift silently)"
+        )
+    extra = sorted(set(new) - set(cur))
+    missing = sorted(set(cur) - set(new))
+    if (extra or missing) and not schema_evolution:
+        raise ValueError(
+            f"append schema mismatch (new columns {extra}, absent columns "
+            f"{missing}) — pass schema_evolution=True to evolve additively"
+        )
+
+
 def commit_snapshot(
     df: DataFrame,
     table_path: str,
     *,
     mode: str = "overwrite",
     stats_cols: list[str] | None = None,
+    schema_evolution: bool = False,
 ) -> int:
     """Commit ``df`` as the next version of the table. ``overwrite``
     replaces the live file set; ``append`` adds to it. Returns the new
@@ -115,12 +158,21 @@ def commit_snapshot(
     :func:`read_version` ``prune=`` consults to skip files without
     opening them.
 
+    Every commit records the Spark schema; appends are ENFORCED against
+    the committed schema (the Delta rule: silent drift is how tables
+    rot) — additive evolution (new nullable columns) is opt-in via
+    ``schema_evolution=True``, type changes always require an overwrite.
+
     Write protocol (the crash-safety order every log-structured table
     uses): (1) write the data files into a staging subdirectory of the
     table — one distributed parquet write, any size; (2) fsync-rename
     the numbered commit JSON into ``_log/`` as the LAST step. A reader
     replaying the log either sees the full commit or none of it."""
     version = latest_version(table_path) + 1
+    if mode == "append":
+        _check_append_schema(
+            df, table_schema(table_path, version - 1), schema_evolution=schema_evolution
+        )
     added = _stage_data(df, table_path, version)
     actions: list[dict] = []
     if mode == "overwrite":
@@ -137,7 +189,13 @@ def commit_snapshot(
     _publish_commit(
         table_path,
         version,
-        {"version": version, "mode": mode, "n_rows": _footer_rows(table_path, added), "actions": actions},
+        {
+            "version": version,
+            "mode": mode,
+            "n_rows": _footer_rows(table_path, added),
+            "schema": df.schema.json(),
+            "actions": actions,
+        },
     )
     return version
 
@@ -180,9 +238,12 @@ def _publish_commit(table_path: str, version: int, commit: dict) -> None:
     os.rename(tmp, final)
 
 
-def _live_adds(table_path: str, version: int) -> dict[str, dict]:
-    """Live file → its commit-time stats (possibly empty) at ``version``."""
+def _live_adds(table_path: str, version: int) -> tuple[dict[str, dict], set]:
+    """(live file → its commit-time stats, distinct schema JSONs of the
+    commits whose files are still live) at ``version`` — the schema set
+    tells readers whether the live files span an additive evolution."""
     live: dict[str, dict] = {}
+    owner: dict[str, str | None] = {}
     for v, path in _commit_files(table_path):
         if v > version:
             break
@@ -191,13 +252,15 @@ def _live_adds(table_path: str, version: int) -> dict[str, dict]:
         for a in commit["actions"]:
             if "add" in a:
                 live[a["add"]] = a.get("stats", {})
+                owner[a["add"]] = commit.get("schema")
             else:
                 del live[a["remove"]]
-    return live
+                del owner[a["remove"]]
+    return live, {s for s in owner.values() if s is not None}
 
 
 def _live_files(table_path: str, version: int) -> list[str]:
-    return sorted(_live_adds(table_path, version))
+    return sorted(_live_adds(table_path, version)[0])
 
 
 def read_version(
@@ -222,9 +285,13 @@ def read_version(
         version = latest_version(table_path)
     if version < 0:
         raise ValueError(f"no commits at {table_path!r}")
-    adds = _live_adds(table_path, version)
+    adds, schemas = _live_adds(table_path, version)
     if not adds:
         raise ValueError(f"version {version} of {table_path!r} has no live files")
+    # mergeSchema only when the live files actually span an additive
+    # evolution (>1 distinct committed schema): keeps the common case at
+    # zero extra footer reads while evolved tables read union-schema'd
+    reader = spark.read.option("mergeSchema", "true") if len(schemas) > 1 else spark.read
     files = sorted(adds)
     if prune is not None:
         import datetime
@@ -246,10 +313,10 @@ def read_version(
         files = kept
         if not files:
             return (
-                spark.read.parquet(*[os.path.join(table_path, f) for f in sorted(adds)])
+                reader.parquet(*[os.path.join(table_path, f) for f in sorted(adds)])
                 .filter(F.lit(False))
             )
-    df = spark.read.parquet(*[os.path.join(table_path, f) for f in files])
+    df = reader.parquet(*[os.path.join(table_path, f) for f in files])
     if prune is not None:
         col, lo, hi = prune
         df = df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
@@ -365,6 +432,7 @@ def commit_stream(
                 "app": app_id,
                 "epoch": epoch_id,
                 "n_rows": _footer_rows(table_path, added),
+                "schema": batch_df.schema.json(),
                 "actions": [{"add": f} for f in added],
             },
         )

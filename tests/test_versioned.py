@@ -158,7 +158,7 @@ def test_commit_stats_enable_log_level_pruning(spark, tmp_path):
         .sortWithinPartitions("k")
     )
     commit_snapshot(df, t, stats_cols=["k"])
-    adds = _live_adds(t, 0)
+    adds, _schemas = _live_adds(t, 0)
     assert len(adds) == 8 and all("k" in s for s in adds.values())
 
     pruned = read_version(spark, t, prune=("k", 100, 150))
@@ -229,3 +229,44 @@ def test_cli_table_history_diff_compact_vacuum(spark, tmp_path, capsys):
         (2, "b"), (3, "C"), (4, "d")
     }
     assert cli.table_main(["diff", t]) == 2  # --key required
+
+
+def test_schema_enforcement_and_additive_evolution(spark, tmp_path):
+    """Appends are checked against the committed schema: mismatches fail
+    loudly, additive evolution is opt-in (old files read as nulls for the
+    new column via schema merge), and type changes always require an
+    overwrite."""
+    from avro_diff_spark.sources.versioned import table_schema
+
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, [(1, "a")]), t)
+    assert [f.name for f in table_schema(t).fields] == ["k", "v"]
+
+    with pytest.raises(ValueError, match="schema mismatch"):
+        commit_snapshot(
+            spark.createDataFrame([(2, "b", 9.0)], "k long, v string, w double"),
+            t,
+            mode="append",
+        )
+    with pytest.raises(ValueError, match="column types"):
+        commit_snapshot(
+            spark.createDataFrame([(2, 3)], "k long, v long"),
+            t,
+            mode="append",
+            schema_evolution=True,
+        )
+
+    commit_snapshot(
+        spark.createDataFrame([(2, "b", 9.0)], "k long, v string, w double"),
+        t,
+        mode="append",
+        schema_evolution=True,
+    )
+    out = {r.k: (r.v, r.w) for r in read_version(spark, t).collect()}
+    assert out == {1: ("a", None), 2: ("b", 9.0)}
+    assert [f.name for f in table_schema(t).fields] == ["k", "v", "w"]
+
+    # overwrite resets the schema wholesale
+    commit_snapshot(spark.createDataFrame([(5,)], "k long"), t)
+    assert [f.name for f in table_schema(t).fields] == ["k"]
+    assert {r.k for r in read_version(spark, t).collect()} == {5}
