@@ -40,6 +40,7 @@ __all__ = [
     "compact_table",
     "vacuum",
     "commit_stream",
+    "table_schema",
 ]
 
 _LOG = "_log"
