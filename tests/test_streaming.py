@@ -682,3 +682,55 @@ def test_read_avro_stream_empty_dir_raises_clear_error(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="avro_schema"):
         read_avro_stream(spark, str(tmp_path))
+
+
+def test_stateless_text_tier_is_stream_ready(spark, tmp_path):
+    """The stateless text operators (C4 cleaning, quality scoring,
+    stopword lang-ID) are pure Column expressions, so they apply to a
+    STREAMING frame unchanged — pinned by running the identical
+    expressions over a file-source stream and the same data as a batch,
+    row for row. This is the claim that the whole filter tier drops into
+    a readStream pipeline without a rewrite."""
+    from pyspark.sql import functions as F
+
+    from avro_diff_spark.functions.text import c4_line_filter, lang_id, quality_score
+
+    rows = [
+        (1, "A good sentence ends here.\nAnother fine line stands alone!\nshort."),
+        (2, "lorem ipsum dolor sit amet.\ntwo good lines follow here.\nthird decent line here."),
+        (3, "the quick brown fox jumps over the lazy dog and that is that."),
+        (4, "der schnelle braune fuchs springt und das ist auch schon alles hier."),
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+
+    def apply(df):
+        # quality/lang ride the input projection; the C4 page verdict is
+        # computed on the raw frame and stitched by position-free doc_id
+        # (c4_line_filter projects its own fixed columns)
+        scored = df.select(
+            "doc_id",
+            quality_score(F.col("text")).alias("quality"),
+            lang_id(F.col("text")).alias("lang_pred"),
+        )
+        cleaned = c4_line_filter(df).select("doc_id", "page_kept", "clean_text")
+        return scored, cleaned
+
+    b_scored, b_cleaned = apply(spark.read.parquet(src))
+    batch_s = {r.doc_id: r for r in b_scored.collect()}
+    batch_c = {r.doc_id: r for r in b_cleaned.collect()}
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    s_scored, s_cleaned = apply(stream)
+    for name, sdf in (("tier_scored", s_scored), ("tier_cleaned", s_cleaned)):
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    got_s = {r.doc_id: r for r in spark.sql("SELECT * FROM tier_scored").collect()}
+    got_c = {r.doc_id: r for r in spark.sql("SELECT * FROM tier_cleaned").collect()}
+    assert got_s == batch_s and got_c == batch_c and len(batch_s) == 4
+    assert batch_s[4].lang_pred == "de" and batch_s[3].lang_pred == "en"
