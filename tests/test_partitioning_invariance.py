@@ -1,0 +1,61 @@
+"""Partitioning-invariance gate: a distributed engine's results must not
+depend on HOW the data is partitioned — the property that actually
+breaks when a plan sneaks in an order-dependent float reduction, a
+partition-local survivor pick (dropDuplicates), or a non-deterministic
+tie. Every registered operator family is run under two very different
+shuffle-parallelism settings and must produce IDENTICAL row sets.
+
+This is the mechanical form of the 100 TB question "would this compute
+the same answer on 1000 executors?": at sf0.001 with 3 vs 37 shuffle
+partitions the physical plans differ (different exchanges, different
+partial-aggregation groupings, different task interleavings), so any
+partition-sensitive expression shows up as a diff here long before it
+shows up as an oracle-hash flake.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+#: one representative per operator family (keyed diff, venn, windows,
+#: text analytics, exact/float-sensitive aggregates, trained tokenizer,
+#: MinHash LSH incl. connected components, ANN, mixing, media decode)
+QUERIES = [
+    "key_diff_orders",
+    "venn_onepass_counts",
+    "sessionize",
+    "pricing_summary",
+    "tfidf_top_terms",
+    "lm_bigram_scores",
+    "unigram_token_counts",
+    "minhash_near_dups",
+    "near_dup_clusters",
+    "cosine_topk",
+    "mixture_weights",
+    "audio_features_flac",
+]
+
+
+def _rows(spark, name, parts):
+    import __spark_entry__ as ent
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        df = ent.queries()[name](spark, SF_DIR)
+        cols = sorted(df.columns)
+        # repr gives a total order even with NULLs / mixed types; equality
+        # of the sorted multisets is what matters
+        return sorted((tuple(r[c] for c in cols) for r in df.collect()), key=repr)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_result_is_partitioning_invariant(spark, name):
+    a = _rows(spark, name, 3)
+    b = _rows(spark, name, 37)
+    assert a == b, f"{name}: result depends on shuffle partitioning"
+    assert len(a) > 0
