@@ -12,11 +12,16 @@ Avro/text only — SURVEY.md §1.1).
 Scope (documented, deliberate):
 
 - decode: GIF87a + GIF89a, global and local color tables, interlaced and
-  non-interlaced, graphic-control/comment/application extensions skipped;
-  the FIRST frame of an animation is returned (features operate on
-  stills). Transparency index is ignored (features don't use alpha).
+  non-interlaced; ``decode_gif_frames`` decodes FULL ANIMATIONS with the
+  GIF89a compositing model (Graphic Control Extension delays, disposal
+  none/in-place/restore-background — restore-previous rejected — and
+  per-frame transparency keeping the underlying canvas, the delta-frame
+  mechanism); ``decode_gif`` keeps the first-frame-still contract for
+  the image-features path.
 - encode: exists for fixture generation and round-trip testing — single
-  frame, global color table, real variable-width LZW with clear codes.
+  frame (``encode_gif``) or full-screen animations with per-frame delays
+  and the NETSCAPE loop extension (``encode_gif_animation``), global
+  color table, real variable-width LZW with clear codes.
 - GIF is lossless (a palette lookup), so decoded pixel stats follow the
   encoder's input exactly — which lets a SQL oracle mirror them in
   closed form (pipelines.q_image_features_gif) without decoding.
@@ -98,23 +103,51 @@ def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytearray:
     return out
 
 
-def decode_gif(payload: bytes) -> np.ndarray:
-    """Decode the first frame of a GIF87a/89a to (h, w, 3) uint8 RGB."""
+def decode_gif_frames(payload: bytes) -> list[tuple[np.ndarray, int]]:
+    """Decode ALL frames of a GIF87a/89a animation → [(rgb (H, W, 3)
+    uint8 canvas after the frame is composited, delay in centiseconds)].
+
+    The animation model per the GIF89a spec: each image descriptor
+    paints a (possibly partial) rectangle onto the logical screen; the
+    preceding Graphic Control Extension carries the frame delay and the
+    DISPOSAL method — 0/1 leave the canvas in place for the next frame
+    to paint over, 2 restores the painted rectangle to the background
+    color, 3 (restore-to-previous) is rejected (rare, and silently
+    approximating it would corrupt frames). Transparency (GCE flag bit
+    0) keeps the underlying canvas pixel wherever the transparent index
+    appears — the mechanism delta-frame GIFs use.
+    """
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
-    sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    sw, sh, flags, bg_idx, _ar = struct.unpack_from("<HHBBB", payload, 6)
     pos = 13
     global_table = None
     if flags & 0x80:
         n = 2 << (flags & 0x07)
         global_table = np.frombuffer(payload, np.uint8, count=3 * n, offset=pos).reshape(n, 3)
         pos += 3 * n
+    bg_rgb = (
+        global_table[bg_idx]
+        if global_table is not None and bg_idx < len(global_table)
+        else np.zeros(3, np.uint8)
+    )
+    canvas = np.tile(bg_rgb, (sh, sw, 1)).astype(np.uint8)
+    frames: list[tuple[np.ndarray, int]] = []
+    delay, disposal, transparent = 0, 0, None
     while pos < len(payload):
         b = payload[pos]
         if b == 0x3B:  # trailer
             break
         if b == 0x21:  # extension: label + sub-block chain
-            _, pos = _read_blocks(payload, pos + 2)
+            label = payload[pos + 1]
+            data, pos = _read_blocks(payload, pos + 2)
+            if label == 0xF9 and len(data) >= 4:  # Graphic Control Extension
+                gflags = data[0]
+                delay = int.from_bytes(data[1:3], "little")
+                disposal = (gflags >> 2) & 0x7
+                transparent = data[3] if gflags & 0x1 else None
+                if disposal == 3:
+                    raise ValueError("GIF disposal 3 (restore previous) unsupported")
             continue
         if b != 0x2C:
             raise ValueError(f"unexpected GIF block 0x{b:02x}")
@@ -143,8 +176,25 @@ def decode_gif(payload: bytes) -> np.ndarray:
             grid = out_rows
         if idx.max(initial=0) >= len(table):
             raise ValueError("GIF index outside color table")
-        return table[grid]  # palette lookup -> (h, w, 3)
-    raise ValueError("no image descriptor in GIF")
+        region = canvas[y0 : y0 + h, x0 : x0 + w]
+        painted = table[grid]
+        if transparent is not None:
+            mask = grid != transparent
+            region[mask] = painted[mask]
+        else:
+            region[:] = painted
+        frames.append((canvas.copy(), delay))
+        if disposal == 2:  # restore the painted rectangle to background
+            canvas[y0 : y0 + h, x0 : x0 + w] = bg_rgb
+        delay, disposal, transparent = 0, 0, None
+    if not frames:
+        raise ValueError("no image descriptor in GIF")
+    return frames
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """Decode the first frame of a GIF87a/89a to (h, w, 3) uint8 RGB."""
+    return decode_gif_frames(payload)[0][0]
 
 
 class _LzwWriter:
@@ -203,6 +253,50 @@ def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
     w.write(eoi, width)
     w.flush()
     return bytes(w.out)
+
+
+def encode_gif_animation(
+    frames: list[tuple[np.ndarray, int]],
+    palette: np.ndarray,
+    *,
+    loop: int | None = 0,
+) -> bytes:
+    """Encode an animation: ``frames`` is [(indices (h, w) uint8, delay
+    centiseconds)] over one global ``palette``; every frame paints the
+    full logical screen (disposal 0, no transparency — the simple
+    producer shape). ``loop`` adds the NETSCAPE2.0 application
+    extension (0 = loop forever, None = play once, no extension)."""
+    palette = np.asarray(palette, dtype=np.uint8)
+    n = len(palette)
+    if n & (n - 1) or not 2 <= n <= 256:
+        raise ValueError("palette size must be a power of two in [2, 256]")
+    first = np.asarray(frames[0][0], dtype=np.uint8)
+    h, w = first.shape
+    depth = max(1, (n - 1).bit_length())
+    min_code_size = max(2, depth)
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0)
+    out += palette.tobytes()
+    if loop is not None:
+        out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01" + struct.pack("<H", loop) + b"\x00"
+    for indices, delay in frames:
+        indices = np.asarray(indices, dtype=np.uint8)
+        if indices.shape != (h, w):
+            raise ValueError("all frames must match the logical screen size")
+        if indices.max(initial=0) >= n:
+            raise ValueError("index outside palette")
+        out += b"\x21\xf9\x04" + bytes([0]) + struct.pack("<H", delay) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out.append(min_code_size)
+        data = _lzw_encode(indices.tobytes(), min_code_size)
+        for i in range(0, len(data), 255):
+            chunk = data[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
 
 
 def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:

@@ -2656,6 +2656,47 @@ FROM d
 """
 
 
+def q_gif_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-style frame sampling end-to-end: deterministic
+    ANIMATED GIF payloads (per-frame GCEs, NETSCAPE loop, LZW) are
+    generated executor-side, fully decoded frame-by-frame (compositing
+    semantics) by the from-scratch codec, and every 2nd frame's stats
+    emitted — the frame-extraction pass of a video-corpus pipeline on a
+    container the codec actually decodes. Frames are constant-color by
+    construction, so per-frame means are exact palette values and the
+    oracle reproduces them from the closed-form law without decoding."""
+    from avro_diff_spark import multimodal as MM
+
+    docs = spread_small(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    media = MM.synth_gif_anim_media(docs, "doc_id")
+    return MM.video_frame_stats(media, every_k=2)
+
+
+GIF_FRAME_SAMPLE_SQL = """
+WITH d AS (
+  SELECT doc_id AS media_id,
+         6 + doc_id % 10 AS w, 4 + doc_id % 7 AS h,
+         2 + doc_id % 4 AS n
+  FROM documents
+),
+f AS (
+  SELECT media_id, w, h, n,
+         unnest(range(0, n, 2)) AS frame_idx
+  FROM d
+)
+SELECT media_id,
+       CAST(frame_idx AS INT) AS frame_idx,
+       CAST(n AS INT) AS n_frames,
+       CAST(4 + frame_idx AS INT) AS delay_cs,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST((media_id * 37 + ((frame_idx * 5 + media_id) % 16) * 11) % 256 AS DOUBLE) AS mean_r,
+       CAST((media_id * 13 + ((frame_idx * 5 + media_id) % 16) * 29) % 256 AS DOUBLE) AS mean_g,
+       CAST((media_id * 7 + ((frame_idx * 5 + media_id) % 16) * 53) % 256 AS DOUBLE) AS mean_b
+FROM f
+"""
+
+
 def q_image_exif_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL EXIF metadata extraction end-to-end: baseline-JPEG payloads
     carrying a spec-valid EXIF APP1 (JEITA CP-3451 / TIFF 6.0) under a
@@ -2870,6 +2911,7 @@ PIPELINE_QUERIES = {
     "image_features_gif": q_image_features_gif,
     "image_features_webp": q_image_features_webp,
     "image_exif_metadata": q_image_exif_metadata,
+    "gif_frame_sample": q_gif_frame_sample,
     "audio_features_wav": q_audio_features_wav,
     "audio_features_flac": q_audio_features_flac,
     "audio_analysis_wav": q_audio_analysis_wav,
@@ -2935,6 +2977,7 @@ def pipeline_sql() -> dict[str, str]:
         "image_features_gif": IMAGE_FEATURES_GIF_SQL,
         "image_features_webp": IMAGE_FEATURES_WEBP_SQL,
         "image_exif_metadata": IMAGE_EXIF_METADATA_SQL,
+        "gif_frame_sample": GIF_FRAME_SAMPLE_SQL,
         "audio_features_wav": AUDIO_FEATURES_WAV_SQL,
         # lossless codec => identical decoded stats law as WAV
         "audio_features_flac": AUDIO_FEATURES_WAV_SQL,

@@ -14,6 +14,7 @@ import numpy as np
 import pytest
 
 from avro_diff_spark.gif import decode_gif, encode_gif
+from avro_diff_spark import gif as G
 
 PAL4 = np.array([[10, 20, 30], [200, 100, 0], [0, 0, 255], [255, 255, 255]], np.uint8)
 
@@ -131,3 +132,78 @@ def test_gif_roundtrip_property(w, h, nbits, seed):
     idx = rng.integers(0, n, size=(h, w)).astype(np.uint8)
     dec = decode_gif(encode_gif(idx, pal))
     assert (dec == pal[idx]).all()
+
+
+def test_animation_roundtrip_frames_and_delays():
+    """encode_gif_animation -> decode_gif_frames: every composited frame
+    equals the palette lookup of its indices, delays survive."""
+    rng = np.random.RandomState(3)
+    palette = rng.randint(0, 256, (8, 3)).astype(np.uint8)
+    frames = [
+        (rng.randint(0, 8, (7, 9)).astype(np.uint8), 10 * (i + 1)) for i in range(4)
+    ]
+    blob = G.encode_gif_animation(frames, palette, loop=0)
+    got = G.decode_gif_frames(blob)
+    assert len(got) == 4
+    for (idx, delay), (rgb, d) in zip(frames, got):
+        assert d == delay
+        assert np.array_equal(rgb, palette[idx])
+    # first-frame helper agrees
+    assert np.array_equal(G.decode_gif(blob), palette[frames[0][0]])
+
+
+def test_partial_frame_transparency_and_disposal():
+    """Hand-built delta-frame animation: frame 2 paints a partial rect
+    with a transparent index, so unpainted and transparent pixels keep
+    frame 1's canvas; disposal 2 then restores the rect to background
+    before frame 3."""
+    import struct as S
+
+    pal = np.array([[10, 10, 10], [200, 0, 0], [0, 200, 0], [0, 0, 200]], np.uint8)
+
+    def img_block(x0, y0, idx):
+        h, w = idx.shape
+        out = b"\x2c" + S.pack("<HHHHB", x0, y0, w, h, 0) + bytes([2])
+        data = G._lzw_encode(idx.tobytes(), 2)
+        body = b""
+        for i in range(0, len(data), 255):
+            body += bytes([len(data[i:i+255])]) + data[i:i+255]
+        return out + body + b"\x00"
+
+    def gce(disposal, delay, transparent=None):
+        flags = (disposal << 2) | (1 if transparent is not None else 0)
+        return b"\x21\xf9\x04" + bytes([flags]) + S.pack("<H", delay) + bytes(
+            [transparent or 0]
+        ) + b"\x00"
+
+    base = np.full((4, 4), 1, np.uint8)  # all red
+    patch = np.array([[2, 0], [0, 3]], np.uint8)  # green/transparent(0)/blue
+    blob = (
+        b"GIF89a" + S.pack("<HHBBB", 4, 4, 0x80 | 1, 0, 0) + pal.tobytes()
+        + gce(0, 5) + img_block(0, 0, base)
+        + gce(2, 7, transparent=0) + img_block(1, 1, patch)
+        + gce(0, 9) + img_block(0, 0, base)
+        + b"\x3b"
+    )
+    frames = G.decode_gif_frames(blob)
+    assert [d for _, d in frames] == [5, 7, 9]
+    f1, f2, f3 = (f for f, _ in frames)
+    assert (f1 == pal[1]).all()
+    want2 = np.tile(pal[1], (4, 4, 1)).astype(np.uint8)
+    want2[1, 1] = pal[2]   # painted green
+    want2[2, 2] = pal[3]   # painted blue
+    # (1,2) and (2,1) were transparent index 0 -> keep red
+    assert np.array_equal(f2, want2)
+    assert (f3 == pal[1]).all()  # frame 3 repaints everything after disposal-2
+
+
+def test_disposal_restore_previous_rejected():
+    pal = np.array([[0, 0, 0], [255, 255, 255]], np.uint8)
+    blob = G.encode_gif_animation([(np.zeros((2, 2), np.uint8), 1)], pal)
+    # splice a disposal-3 GCE before the image descriptor
+    i = blob.index(b"\x2c")
+    bad = blob[:i] + b"\x21\xf9\x04" + bytes([3 << 2]) + b"\x00\x00\x00\x00" + blob[i:]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="disposal 3"):
+        G.decode_gif_frames(bad)

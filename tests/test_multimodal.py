@@ -278,3 +278,27 @@ def test_exif_metadata_survives_malformed_exif(spark):
     assert len(got) == 3
     for r in got.values():
         assert r.orientation is None and r.byte_order is None
+
+
+def test_video_frame_stats_samples_composited_frames(spark):
+    """Frame sampling runs on the COMPOSITED sequence: a delta-frame
+    animation (partial rect + transparency) yields sampled stats of the
+    full canvas after compositing, not of the raw patches."""
+    import numpy as np
+
+    from avro_diff_spark.gif import encode_gif_animation
+    from avro_diff_spark.multimodal import video_frame_stats
+
+    pal = np.array([[0, 0, 0], [100, 0, 0], [0, 100, 0], [0, 0, 100]], np.uint8)
+    frames = [(np.full((4, 4), c, np.uint8), 2 + c) for c in (1, 2, 3, 1, 2)]
+    blob = encode_gif_animation(frames, pal)
+    df = spark.createDataFrame([(7, bytearray(blob))], "media_id long, payload binary")
+    got = sorted(
+        (r.frame_idx, r.n_frames, r.delay_cs, r.mean_r, r.mean_g, r.mean_b)
+        for r in video_frame_stats(df, every_k=2).collect()
+    )
+    assert got == [
+        (0, 5, 3, 100.0, 0.0, 0.0),
+        (2, 5, 5, 0.0, 0.0, 100.0),
+        (4, 5, 4, 0.0, 100.0, 0.0),
+    ]
