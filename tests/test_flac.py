@@ -204,3 +204,53 @@ def test_audio_features_flac_matches_wav(spark, sf_dir):
             wr.duration_s,
             wr.mean_amplitude,
         )
+
+
+def test_header_code_paths_hand_assembled():
+    """Block-size code 1 (=192) and the explicit sample-rate forms
+    (code 12: 8-bit kHz, code 14: 16-bit tens-of-Hz) decode per spec —
+    paths the encoder's standard-code preference never emits."""
+    vals = list(range(-96, 96))  # 192 samples
+    for sr_code, sr_field_bits, sr_field_val, want_rate in (
+        (12, 8, 32, 32_000),      # 32 kHz as 8-bit kHz count
+        (14, 16, 4410, 44_100),   # 44.1 kHz as 16-bit tens of Hz
+    ):
+        hdr = FL._BitWriter()
+        hdr.write(0b11111111111110, 14)
+        hdr.write(0, 2)
+        hdr.write(1, 4)  # block size code 1 -> 192
+        hdr.write(sr_code, 4)
+        hdr.write(0, 4)  # mono
+        hdr.write(4, 3)  # 16 bps
+        hdr.write(0, 1)
+        head = hdr.getvalue() + FL._utf8_number_encode(0)
+        head += sr_field_val.to_bytes(sr_field_bits // 8, "big")
+        head += bytes([FL.crc8(head)])
+
+        body = FL._BitWriter()
+        body.write(0, 1)
+        body.write(1, 6)  # VERBATIM
+        body.write(0, 1)
+        for v in vals:
+            body.write_signed(v, 16)
+        body.align()
+        frame = head + body.getvalue()
+        frame += FL.crc16(frame).to_bytes(2, "big")
+
+        si = FL._BitWriter()
+        si.write(192, 16); si.write(192, 16); si.write(0, 48)
+        si.write(want_rate, 20); si.write(0, 3); si.write(15, 5); si.write(192, 36)
+        streaminfo = si.getvalue() + b"\x00" * 16
+        meta = bytes([0x80]) + len(streaminfo).to_bytes(3, "big") + streaminfo
+        out, rate, bps = FL.decode_flac(b"fLaC" + meta + frame)
+        assert out[:, 0].tolist() == vals
+        assert (rate, bps) == (want_rate, 16)
+
+
+def test_utf8_frame_numbers_roundtrip_all_widths():
+    """The UTF-8-style coded number survives encode->decode across every
+    byte-length class up to the 36-bit maximum."""
+    for n in (0, 127, 128, 2047, 2048, 65535, 1 << 20, 1 << 25, 1 << 30, (1 << 36) - 1):
+        blob = FL._utf8_number_encode(n)
+        br = FL._BitReader(blob)
+        assert FL._utf8_number_decode(br) == n, n

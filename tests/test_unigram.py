@@ -110,3 +110,26 @@ def test_unigram_token_counts_query(spark, tmp_path):
         assert got[doc_id].n_unigram_tokens == sum(
             len(viterbi_encode(w, logp)) for w in words
         )
+
+
+def test_prune_loop_reaches_target_on_large_vocab():
+    """A corpus with many distinct substrings forces multiple EM+prune
+    rounds; the trainer lands at/below the target while keeping every
+    single character (segmentability invariant)."""
+    import random
+
+    rng = random.Random(11)
+    words = {}
+    for _ in range(300):
+        w = "".join(rng.choice("abcdef") for _ in range(rng.randint(3, 9)))
+        words[w] = words.get(w, 0) + rng.randint(1, 20)
+    logp = learn_unigram(words, vocab_size=40, seed_size=400)
+    chars = {c for w in words for c in w}
+    assert chars <= set(logp)
+    assert len(logp) <= 40 + len(chars)
+    assert len([s for s in logp if len(s) > 1]) > 0
+    # still a distribution, still segments everything
+    import math as _math
+    assert _math.isclose(sum(_math.exp(p) for p in logp.values()), 1.0, rel_tol=1e-9)
+    for w in list(words)[:20]:
+        assert "".join(viterbi_encode(w, logp)) == w
