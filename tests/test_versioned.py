@@ -270,3 +270,72 @@ def test_schema_enforcement_and_additive_evolution(spark, tmp_path):
     commit_snapshot(spark.createDataFrame([(5,)], "k long"), t)
     assert [f.name for f in table_schema(t).fields] == ["k"]
     assert {r.k for r in read_version(spark, t).collect()} == {5}
+
+
+def test_streaming_qa_metrics_into_versioned_table(spark, tmp_path):
+    """Subsystem composition: a document stream's per-batch quality
+    aggregate lands as append commits of a versioned METRICS table via
+    commit_stream — the monitoring sink a production corpus pipeline
+    runs, fully on green primitives. Metrics equal the batch-computed
+    aggregate; history shows one commit per micro-batch."""
+    from pyspark.sql import functions as F
+
+    from avro_diff_spark.functions.text import quality_score
+    from avro_diff_spark.sources.versioned import commit_stream
+
+    src, ckpt, t = (str(tmp_path / d) for d in ("src", "ck", "metrics"))
+    os.makedirs(src)
+    rows = [(i, ("a decent sentence here. " * (1 + i % 3)).strip()) for i in range(30)]
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.mode(
+        "append"
+    ).json(src)
+
+    stream = spark.readStream.schema("doc_id long, text string").json(src)
+    # the realistic shape: raw per-doc scores land as append commits,
+    # rollups query the table afterwards (complete-mode aggregates don't
+    # fit an append-only log by definition)
+    per_doc = stream.select(
+        "doc_id", quality_score(F.col("text")).alias("quality")
+    )
+    sq = commit_stream(per_doc, t, checkpoint=ckpt)
+    sq.awaitTermination(120)
+
+    got = {r.doc_id: r.quality for r in read_version(spark, t).collect()}
+    want = {
+        r.doc_id: r.q
+        for r in spark.read.json(src)
+        .select("doc_id", quality_score(F.col("text")).alias("q"))
+        .collect()
+    }
+    assert got == want and len(got) == 30
+    assert all(h["mode"] == "append" for h in table_history(t))
+
+
+def test_cdc_stream_against_time_traveled_baseline(spark, tmp_path):
+    """Subsystem composition: key_diff_stream classifies arriving CDC
+    rows against read_version(v0) — the 'diff the firehose against last
+    night's committed snapshot' pipeline, on green primitives only."""
+    from avro_diff_spark.streaming.diff import key_diff_stream
+
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, [(1, "a"), (2, "b"), (3, "c")]), t)
+    commit_snapshot(_df(spark, [(9, "z")]), t, mode="overwrite")  # later version
+
+    src = str(tmp_path / "cdc")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(2, "b"), (3, "C"), (4, "d")], "k long, v string"
+    ).coalesce(1).write.mode("append").json(src)
+
+    stream = spark.readStream.schema("k long, v string").json(src)
+    baseline = read_version(spark, t, 0)  # time travel: diff against v0, not latest
+    out = key_diff_stream(stream, baseline, ["k"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cdc_vs_v0")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.k: r.diff_kind for r in spark.sql("SELECT * FROM cdc_vs_v0").collect()}
+    assert got == {"2": "unchanged", "3": "changed", "4": "added"}
