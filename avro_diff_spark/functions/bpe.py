@@ -66,11 +66,24 @@ def learn_bpe(word_counts: dict[str, int], n_merges: int = 50) -> list[tuple[str
     return merges
 
 
-def bpe_encode(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+def bpe_encode(
+    word: str,
+    ranks: dict[tuple[str, str], int],
+    *,
+    alphabet: frozenset[str] | set[str] | None = None,
+) -> list[str]:
     """Segment one word with learned merges — the greedy lowest-rank loop
     every production encoder runs (subword-nmt / GPT-2 style): repeatedly
     merge the present pair with the best (lowest) rank, left-to-right and
-    non-overlapping, until no mergeable pair remains."""
+    non-overlapping, until no mergeable pair remains.
+
+    With ``alphabet`` (the trained character set, from
+    :func:`train_bpe`), characters OUTSIDE it fall back to the
+    ``<0xNN>`` byte pieces of their UTF-8 encoding after the merge loop
+    — the GPT-2 byte-level / SentencePiece ``--byte_fallback``
+    convention: every emitted piece is then either a known symbol or a
+    byte piece (production tokenizers never emit UNK), and
+    ``functions.unigram.decode_pieces`` round-trips losslessly."""
     syms = list(word) + [EOW]
     while len(syms) > 1:
         best_rank = None
@@ -93,6 +106,18 @@ def bpe_encode(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
                 out.append(syms[i])
                 i += 1
         syms = out
+    if alphabet is not None:
+        from avro_diff_spark.functions.unigram import byte_pieces
+
+        fb: list[str] = []
+        for s in syms:
+            # merge products and EOW are alphabet-derived by construction;
+            # only a raw single char can be out-of-alphabet
+            if len(s) == 1 and s not in alphabet:
+                fb.extend(byte_pieces(s))
+            else:
+                fb.append(s)
+        syms = fb
     return syms
 
 
@@ -127,7 +152,9 @@ def _train_cached(key: tuple, path: str, n_merges: int, max_words: int):
         """,
         [path + "/**/*.parquet" if _is_dir(path) else path, max_words],
     ).fetchall()
-    return tuple(learn_bpe({w: c for w, c in rows}, n_merges))
+    counts = {w: c for w, c in rows}
+    alphabet = frozenset(ch for w in counts for ch in w) | {EOW}
+    return tuple(learn_bpe(counts, n_merges)), alphabet
 
 
 def _is_dir(path: str) -> bool:
@@ -143,4 +170,19 @@ def train_bpe_merges(
     the word-frequency table, capped at ``max_words`` by count). The same
     whitespace normalization as functions.text.norm_text keeps the Spark
     and oracle tokenizations identical."""
-    return list(_train_cached(_file_key(documents_parquet), documents_parquet, n_merges, max_words))
+    return list(
+        _train_cached(_file_key(documents_parquet), documents_parquet, n_merges, max_words)[0]
+    )
+
+
+def train_bpe(
+    documents_parquet: str, *, n_merges: int = 50, max_words: int = 50_000
+) -> tuple[list[tuple[str, str]], frozenset[str]]:
+    """Like :func:`train_bpe_merges` but also returns the trained
+    character alphabet — pass it to :func:`bpe_encode` ``alphabet=`` to
+    enable byte fallback for out-of-alphabet characters (same cached
+    training run; the alphabet is the word table's character set)."""
+    merges, alphabet = _train_cached(
+        _file_key(documents_parquet), documents_parquet, n_merges, max_words
+    )
+    return list(merges), alphabet

@@ -42,6 +42,38 @@ from functools import lru_cache
 #: never win over real pieces, but every string stays segmentable.
 UNK_LOGP = -100.0
 
+#: per-byte log-probability of the 256 byte-fallback pieces (SentencePiece
+#: ``--byte_fallback``): production tokenizers never emit UNK — a character
+#: outside the trained vocabulary segments into the ``<0xNN>`` pieces of
+#: its UTF-8 encoding instead, so EVERY string round-trips losslessly.
+#: Kept at the UNK penalty so byte pieces never beat a trained piece.
+BYTE_LOGP = UNK_LOGP
+
+
+def byte_pieces(ch: str) -> list[str]:
+    """The ``<0xNN>`` byte-fallback pieces of one character's UTF-8
+    encoding — the SentencePiece byte-piece surface convention."""
+    return [f"<0x{b:02X}>" for b in ch.encode("utf-8")]
+
+
+def decode_pieces(pieces: list[str]) -> str:
+    """Inverse of encoding: concatenate pieces, folding runs of
+    ``<0xNN>`` byte pieces back through UTF-8 — the lossless round-trip
+    byte fallback guarantees."""
+    out: list[str] = []
+    buf = bytearray()
+    for p in pieces:
+        if len(p) == 6 and p.startswith("<0x") and p.endswith(">"):
+            buf.append(int(p[3:5], 16))
+            continue
+        if buf:
+            out.append(buf.decode("utf-8"))
+            buf.clear()
+        out.append(p)
+    if buf:
+        out.append(buf.decode("utf-8"))
+    return "".join(out)
+
 
 def _seed_vocab(
     word_counts: dict[str, int], seed_size: int, max_piece_len: int
@@ -152,18 +184,28 @@ def learn_unigram(
     return _em_step(word_counts, logp, max_piece_len)
 
 
-def viterbi_encode(word: str, logp: dict[str, float], max_piece_len: int = 6) -> list[str]:
+def viterbi_encode(
+    word: str,
+    logp: dict[str, float],
+    max_piece_len: int = 6,
+    *,
+    byte_fallback: bool = True,
+) -> list[str]:
     """Max-likelihood segmentation of one word under the trained unigram
     LM — the standard Viterbi pass every unigram encoder runs. Fully
     deterministic: ties prefer (higher score, fewer pieces, earliest
-    split start). Characters absent from the vocabulary become
-    single-character pieces at ``UNK_LOGP``."""
+    split start). Characters absent from the vocabulary segment into the
+    ``<0xNN>`` byte pieces of their UTF-8 encoding at ``BYTE_LOGP`` per
+    byte (SentencePiece ``--byte_fallback``; production tokenizers never
+    emit UNK, and :func:`decode_pieces` round-trips losslessly). With
+    ``byte_fallback=False`` an unknown character instead rides as itself
+    at ``UNK_LOGP`` — the pre-round-7 behavior."""
     n = len(word)
     NEG = float("-inf")
-    # (score, -n_pieces) maximized; back[j] = (i, piece)
+    # (score, -n_pieces) maximized; back[j] = (i, [pieces])
     best = [(NEG, 0)] * (n + 1)
     best[0] = (0.0, 0)
-    back: list[tuple[int, str] | None] = [None] * (n + 1)
+    back: list[tuple[int, list[str]] | None] = [None] * (n + 1)
     for j in range(1, n + 1):
         cand = None
         for i in range(max(0, j - max_piece_len), j):
@@ -174,18 +216,25 @@ def viterbi_encode(word: str, logp: dict[str, float], max_piece_len: int = 6) ->
             if lp is None:
                 if j - i > 1:
                     continue
-                lp = UNK_LOGP
-            key = (best[i][0] + lp, best[i][1] - 1, -i)
+                if byte_fallback:
+                    pieces = byte_pieces(s)
+                    lp = BYTE_LOGP * len(pieces)
+                else:
+                    pieces = [s]
+                    lp = UNK_LOGP
+            else:
+                pieces = [s]
+            key = (best[i][0] + lp, best[i][1] - len(pieces), -i)
             if cand is None or key > cand[0]:
-                cand = (key, i, s)
+                cand = (key, i, pieces)
         if cand is not None:
             best[j] = (cand[0][0], cand[0][1])
             back[j] = (cand[1], cand[2])
     out: list[str] = []
     j = n
     while j > 0:
-        i, s = back[j]  # type: ignore[misc]
-        out.append(s)
+        i, ps = back[j]  # type: ignore[misc]
+        out.extend(reversed(ps))
         j = i
     out.reverse()
     return out

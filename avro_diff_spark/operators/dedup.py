@@ -630,26 +630,32 @@ def exact_substring_spans(
     id_col: str,
     *,
     ngram_w: int = 8,
-    min_docs: int = 2,
+    min_count: int = 2,
     min_tokens: int = 10,
 ) -> DataFrame:
-    """MAXIMAL cross-document repeated token spans ≥ ``min_tokens`` — the
-    ExactSubstr dedup shape (Lee et al. 2022, "Deduplicating Training
-    Data Makes Language Models Better", arXiv:2107.06499): where
+    """MAXIMAL repeated token spans ≥ ``min_tokens`` — the ExactSubstr
+    dedup shape (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better", arXiv:2107.06499): where
     :func:`duplicate_spans` reports which fixed-w grams repeat,
     this chains ADJACENT hits into the maximal span a dedup pass would
     actually cut. A token position p is a hit when the w-gram starting at
-    p occurs in ≥ ``min_docs`` distinct documents; a maximal run of
-    consecutive hit positions [p0..p1] covers tokens [p0, p1 + w - 1],
-    i.e. ``span_tokens = p1 - p0 + w`` (every w-window inside it is
-    duplicated — the suffix-array interval ExactSubstr extracts, found
-    here by span-chaining instead of a distributed suffix array).
+    p occurs ≥ ``min_count`` times in the CORPUS — occurrences, not
+    distinct documents, exactly the suffix-array repeat count the Lee et
+    al. pass thresholds, so a gram repeated twice inside ONE document
+    qualifies too (the round-6 min!=max-on-doc_id shortcut missed those
+    self-repeats; in-document boilerplate is a real dedup target). A
+    maximal run of consecutive hit positions [p0..p1] covers tokens
+    [p0, p1 + w - 1], i.e. ``span_tokens = p1 - p0 + w`` (every w-window
+    inside it is duplicated — the suffix-array interval ExactSubstr
+    extracts, found here by span-chaining instead of a distributed
+    suffix array).
 
     Scale shape: positioned w-grams (one posexplode, no distinct — the
-    position matters), ONE shuffle on the gram hash for the
-    distinct-doc-count filter, an equi-join back on the hash, then the
-    gaps-and-islands window partitioned by doc (one shuffle on doc_id);
-    no pairwise work at any point, and every stage is key-partitioned.
+    position matters), ONE shuffle on the gram hash for the plain
+    occurrence count (map-side partial agg — cheaper than any distinct),
+    an equi-join back on the hash, then the gaps-and-islands window
+    partitioned by doc (one shuffle on doc_id); no pairwise work at any
+    point, and every stage is key-partitioned.
 
     Columns: doc_id, span_start (token index), span_tokens, n_grams
     (= run length, the count of duplicated windows the span chains).
@@ -668,22 +674,12 @@ def exact_substring_spans(
         )
         .where(F.col("gram_hash").isNotNull())
     )
-    if min_docs <= 2:
-        # "appears in >= 2 distinct docs" is exactly min != max — one
-        # cheap single-phase agg instead of count_distinct's expand+dedup
-        dup = (
-            pg.groupBy("gram_hash")
-            .agg(F.min("doc_id").alias("__lo"), F.max("doc_id").alias("__hi"))
-            .filter(F.lit(min_docs <= 1) | (F.col("__lo") != F.col("__hi")))
-            .select("gram_hash")
-        )
-    else:
-        dup = (
-            pg.groupBy("gram_hash")
-            .agg(F.count_distinct("doc_id").alias("__nd"))
-            .filter(F.col("__nd") >= min_docs)
-            .select("gram_hash")
-        )
+    dup = (
+        pg.groupBy("gram_hash")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= min_count)
+        .select("gram_hash")
+    )
     hits = pg.join(dup, "gram_hash").select("doc_id", "pos")
     w = Window.partitionBy("doc_id").orderBy("pos")
     runs = hits.withColumn("__grp", F.col("pos") - F.row_number().over(w))

@@ -1043,10 +1043,17 @@ def semantic_dedup(
     dedup can never disagree with the index about membership), and the
     pairwise cosine is the fixed-point :func:`_fixed_dot`.
 
-    Pruning rule (the reference implementation's): within a cluster, a
-    point is DROPPED when some lower-id point of the same cluster has
-    cosine ≥ ``threshold`` with it — the published greedy keep-first
-    order, made deterministic by id. Survivors = everything else.
+    Pruning rule: within a cluster, a point is DROPPED when ANY lower-id
+    point of the same cluster (kept or itself dropped) has cosine ≥
+    ``threshold`` with it, made deterministic by id. Note this is the
+    one-shot variant, NOT iterative keep-first greedy (which would
+    compare only against surviving points): in a chain a~b~c where a·c
+    is below threshold, keep-first would keep {a, c} while this rule
+    keeps {a} — a deliberately stricter prune that stays a single
+    self-join instead of an iterative fixpoint, the same simplification
+    SemDeDup's own released pseudo-code applies when it drops everything
+    with a higher-similarity earlier neighbor. The DuckDB oracle
+    implements the identical rule.
 
     Scale shape: assignment is a shuffle-free Column expression over the
     scan; the only join is the within-cluster self-equi-join on the

@@ -879,12 +879,13 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed ONCE PER DISTINCT WORD in Arrow-batched mapInPandas and
     fanned back to occurrences with a join — the corpus-size pass never
     runs Python per occurrence, so a 100 TB corpus pays one word-count
-    shuffle plus a vocabulary-sized segmentation stage. The oracle
+    shuffle plus a vocabulary-sized segmentation stage. Out-of-alphabet
+    characters byte-fallback to ``<0xNN>`` pieces (never UNK). The oracle
     replays the same merges as a word -> subword-count VALUES table
     (generated against ORACLE_SF_DIR, the sf the oracle executes on)."""
-    from avro_diff_spark.functions.bpe import bpe_encode, train_bpe_merges
+    from avro_diff_spark.functions.bpe import bpe_encode, train_bpe
 
-    merges = train_bpe_merges(f"{sf_dir}/documents.parquet")
+    merges, alphabet = train_bpe(f"{sf_dir}/documents.parquet")
     ranks = {pair: i for i, pair in enumerate(merges)}
     d = spread_small(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     words = d.select(
@@ -898,7 +899,9 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "w": pdf["w"],
-                    "n_sub": [len(bpe_encode(w, ranks)) for w in pdf["w"]],
+                    "n_sub": [
+                        len(bpe_encode(w, ranks, alphabet=alphabet)) for w in pdf["w"]
+                    ],
                 }
             )
 
@@ -914,12 +917,12 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bpe_token_counts_sql() -> str:
-    from avro_diff_spark.functions.bpe import bpe_encode, train_bpe_merges
+    from avro_diff_spark.functions.bpe import bpe_encode, train_bpe
 
     import duckdb
 
     path = f"{ORACLE_SF_DIR}/documents.parquet"
-    merges = train_bpe_merges(path)
+    merges, alphabet = train_bpe(path)
     ranks = {pair: i for i, pair in enumerate(merges)}
     vocab = [
         r[0]
@@ -929,7 +932,9 @@ def _bpe_token_counts_sql() -> str:
         ).fetchall()
     ]
     rows = ", ".join(
-        "('{}', {})".format(w.replace("'", "''"), len(bpe_encode(w, ranks)))
+        "('{}', {})".format(
+            w.replace("'", "''"), len(bpe_encode(w, ranks, alphabet=alphabet))
+        )
         for w in vocab
     )
     return f"""
@@ -1372,16 +1377,17 @@ GROUP BY source
 def q_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr-style maximal repeated spans over the dups corpus
     (operators/dedup.exact_substring_spans): duplicate_spans' fixed-w
-    hits chained into the maximal cross-document spans ≥ min_tokens a
-    dedup pass would cut."""
+    hits chained into the maximal repeated spans ≥ min_tokens a dedup
+    pass would cut — thresholded on corpus OCCURRENCES (Lee et al.'s
+    suffix-array repeat count), so in-document self-repeats qualify."""
     corpus = snap.documents_with_dups(spark, sf_dir)
     return DD.exact_substring_spans(
-        corpus, "text", "doc_id", ngram_w=8, min_docs=2, min_tokens=10
+        corpus, "text", "doc_id", ngram_w=8, min_count=2, min_tokens=10
     )
 
 
 def _exact_substring_spans_sql(
-    ngram_w: int = 8, min_docs: int = 2, min_tokens: int = 10
+    ngram_w: int = 8, min_count: int = 2, min_tokens: int = 10
 ) -> str:
     toks = tokens_sql("text")
     return f"""
@@ -1396,7 +1402,7 @@ pg AS (
 ),
 dup AS (
   SELECT gram_hash FROM pg GROUP BY gram_hash
-  HAVING count(DISTINCT doc_id) >= {min_docs}
+  HAVING count(*) >= {min_count}
 ),
 hits AS (SELECT doc_id, pos FROM pg JOIN dup USING (gram_hash)),
 runs AS (

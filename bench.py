@@ -123,12 +123,15 @@ def main() -> None:
     # strategy. "value" stays the total over ALL queries either way.
     budget = 1800
     line_qs = dict(times)
-    while line_qs:
+    while True:
         out = dict(record, queries=line_qs)
         if len(line_qs) < len(times):
             out["queries_elided"] = len(times) - len(line_qs)
         line = json.dumps(out, separators=(",", ":"))
-        if len(line) <= budget:
+        # rebuild-then-test so the PRINTED line is always the smallest
+        # candidate — popping the last entry and exiting without a rebuild
+        # could emit an oversized line (round-6 ADVICE)
+        if len(line) <= budget or not line_qs:
             break
         line_qs.pop(next(reversed(line_qs)))
     print(line)

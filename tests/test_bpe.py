@@ -111,3 +111,44 @@ def test_train_from_parquet_cached(tmp_path):
     )
     m2 = B.train_bpe_merges(p, n_merges=5)
     assert m2 != m1
+
+
+def test_bpe_byte_fallback_round_trip():
+    """With the trained alphabet supplied, out-of-alphabet characters
+    segment into <0xNN> byte pieces (never a bare unknown symbol) and
+    decode_pieces() inverts losslessly; in-alphabet encoding is
+    unchanged from the no-fallback path."""
+    from avro_diff_spark.functions import bpe as B
+    from avro_diff_spark.functions.unigram import decode_pieces
+
+    wc = {"lower": 5, "lowest": 4, "newer": 6}
+    merges = B.learn_bpe(wc, n_merges=10)
+    ranks = {p: i for i, p in enumerate(merges)}
+    alphabet = frozenset(ch for w in wc for ch in w) | {B.EOW}
+
+    for word in ("lower", "низ", "low日er", "a🎉b"):
+        pieces = B.bpe_encode(word, ranks, alphabet=alphabet)
+        known = set(alphabet) | {m[0] + m[1] for m in merges}
+        for p in pieces:
+            assert p in known or (
+                p.startswith("<0x") and p.endswith(">") and len(p) == 6
+            ), p
+        assert decode_pieces(pieces).removesuffix(B.EOW) == word
+    assert B.bpe_encode("lower", ranks, alphabet=alphabet) == B.bpe_encode(
+        "lower", ranks
+    )
+
+
+def test_train_bpe_returns_alphabet(tmp_path):
+    import duckdb
+
+    p = str(tmp_path / "documents.parquet")
+    duckdb.sql(
+        "COPY (SELECT i AS doc_id, 'abc abd' AS text FROM range(5) t(i)) "
+        "TO '" + p + "' (FORMAT PARQUET)"
+    )
+    from avro_diff_spark.functions import bpe as B
+
+    merges, alphabet = B.train_bpe(p, n_merges=3)
+    assert alphabet == frozenset("abcd") | {B.EOW}
+    assert merges == B.train_bpe_merges(p, n_merges=3)

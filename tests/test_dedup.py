@@ -141,12 +141,14 @@ def test_chunked_expansion_mega_bucket(spark):
 
 def test_exact_substring_spans_matches_naive_scan(spark):
     """Property pin vs an INDEPENDENT naive reference: for every doc,
-    scan all w-windows directly (dict of gram -> doc set), mark hit
-    positions, merge consecutive runs, keep spans >= min_tokens. The
-    distributed gaps-and-islands formulation must agree exactly."""
+    scan all w-windows directly (dict of gram -> corpus occurrence
+    count, the Lee et al. suffix-array repeat count — in-document
+    self-repeats included), mark hit positions, merge consecutive runs,
+    keep spans >= min_tokens. The distributed gaps-and-islands
+    formulation must agree exactly."""
     import re
 
-    w, min_docs, min_tokens = 3, 2, 5
+    w, min_count, min_tokens = 3, 2, 5
     docs = [
         (1, "a b c d e f g h"),
         (2, "x a b c d e y z"),          # shares the 5-token run a..e with 1
@@ -154,22 +156,24 @@ def test_exact_substring_spans_matches_naive_scan(spark):
         (4, "x a b c d e y z"),          # exact dup of 2 (long run incl x/yz)
         (5, "c d e f g p p c d e f g"),  # shares c..g with 1, twice
         (6, "one two"),                  # shorter than w
+        (7, "m1 m2 m3 m4 m5 zz m1 m2 m3 m4 m5"),  # repeats ONLY within itself
     ]
 
     def norm(t):
         return [x for x in re.sub(r"\s+", " ", t.strip().lower()).split(" ") if x]
 
-    grams: dict[tuple, set] = {}
+    grams: dict[tuple, int] = {}
     toks = {i: norm(t) for i, t in docs}
     for i, tk in toks.items():
         for p in range(len(tk) - w + 1):
-            grams.setdefault(tuple(tk[p : p + w]), set()).add(i)
+            g = tuple(tk[p : p + w])
+            grams[g] = grams.get(g, 0) + 1
     want = set()
     for i, tk in toks.items():
         hits = [
             p
             for p in range(len(tk) - w + 1)
-            if len(grams[tuple(tk[p : p + w])]) >= min_docs
+            if grams[tuple(tk[p : p + w])] >= min_count
         ]
         run: list[int] = []
         for p in hits + [None]:
@@ -185,9 +189,11 @@ def test_exact_substring_spans_matches_naive_scan(spark):
     got = {
         (r.doc_id, r.span_start, r.span_tokens, r.n_grams)
         for r in DD.exact_substring_spans(
-            df, "text", "doc_id", ngram_w=w, min_docs=min_docs, min_tokens=min_tokens
+            df, "text", "doc_id", ngram_w=w, min_count=min_count, min_tokens=min_tokens
         ).collect()
     }
     assert got == want
-    # sanity on the fixture: doc 1/2/4/5 carry spans, doc 3/6 do not
-    assert {d for d, *_ in want} == {1, 2, 4, 5}
+    # sanity on the fixture: doc 7's spans exist ONLY via in-document
+    # repeats (no other doc shares its grams) — the round-6 gap
+    assert {d for d, *_ in want} == {1, 2, 4, 5, 7}
+    assert any(d == 7 and s == 5 for d, _, s, _ in want)

@@ -55,13 +55,43 @@ def _brute_best(word: str, logp: dict[str, float], max_piece_len: int = 6) -> fl
 def test_viterbi_matches_exhaustive_search(words, query):
     """Viterbi returns a segmentation whose score equals the max over ALL
     2^(n-1) segmentations — on vocabularies trained from arbitrary small
-    corpora and queries containing unseen characters ('d' never trains)."""
+    corpora and queries containing unseen characters ('d' never trains).
+    byte_fallback=False pins the raw DP; the byte-fallback surface has
+    its own round-trip property below."""
     logp = learn_unigram({w: i + 1 for i, w in enumerate(words)}, vocab_size=50)
-    pieces = viterbi_encode(query, logp)
+    pieces = viterbi_encode(query, logp, byte_fallback=False)
     assert "".join(pieces) == query
     got = sum(logp.get(s, UNK_LOGP) for s in pieces)
     want = _brute_best(query, logp)
     assert math.isclose(got, want, rel_tol=1e-12, abs_tol=1e-12)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=8), min_size=1, max_size=8
+    ),
+    st.text(
+        alphabet=st.sampled_from(list("abcdé日🎉ß")), min_size=1, max_size=9
+    ),
+)
+def test_byte_fallback_never_emits_unk_and_round_trips(words, query):
+    """The production-tokenizer contract (SentencePiece --byte_fallback /
+    GPT-2 byte level): EVERY string segments into pieces that are each
+    either in the trained vocabulary or a <0xNN> byte piece — no bare
+    unknown characters — and decode_pieces() inverts losslessly,
+    including multi-byte UTF-8 (é=2, 日=3, 🎉=4 bytes)."""
+    from avro_diff_spark.functions.unigram import decode_pieces
+
+    logp = learn_unigram({w: i + 1 for i, w in enumerate(words)}, vocab_size=50)
+    pieces = viterbi_encode(query, logp)
+    for p in pieces:
+        assert p in logp or (p.startswith("<0x") and p.endswith(">") and len(p) == 6)
+    assert decode_pieces(pieces) == query
+    # known chars never degrade to bytes: an all-vocab query is unchanged
+    assert all(
+        not p.startswith("<0x") for p in viterbi_encode("".join(words)[:9], logp)
+    )
 
 
 def test_trainer_invariants():
