@@ -273,6 +273,12 @@ def table_main(argv: list[str] | None = None) -> int:
     p.add_argument("--v-old", type=int, default=None, help="old version (diff; default latest-1)")
     p.add_argument("--v-new", type=int, default=None, help="new version (diff; default latest)")
     p.add_argument("--target-files", type=int, default=8, help="compact target file count")
+    p.add_argument(
+        "--cluster-by",
+        default=None,
+        help="comma-separated columns to cluster the compaction on (OPTIMIZE ... ZORDER BY)",
+    )
+    p.add_argument("--curve", choices=["zorder", "hilbert"], default="zorder")
     p.add_argument("--keep-versions", type=int, default=1, help="vacuum retention")
     p.add_argument("--output", default=None, help="sink output path (default: print)")
     p.add_argument(
@@ -298,7 +304,13 @@ def table_main(argv: list[str] | None = None) -> int:
 
     spark = _session(args)
     if args.op == "compact":
-        v = V.compact_table(spark, args.table_path, target_files=args.target_files)
+        v = V.compact_table(
+            spark,
+            args.table_path,
+            target_files=args.target_files,
+            cluster_by=args.cluster_by.split(",") if args.cluster_by else None,
+            curve=args.curve,
+        )
         print(f"compacted as version {v}")
         return 0
 

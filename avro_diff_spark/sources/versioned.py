@@ -1,5 +1,6 @@
 """Versioned parquet tables: a minimal transaction-log layout for
-snapshot commits, time travel, and cross-version diffing.
+snapshot commits, time travel, partition/stats pruning, CDC, and
+cross-version diffing.
 
 The public lakehouse log design (the Delta Lake protocol paper, Armbrust
 et al., VLDB 2020, and the open Delta/Iceberg specs) reduced to its
@@ -9,18 +10,32 @@ core: a table directory holds immutable parquet data files plus a
 commits 0..N. Readers never list the data directory (object-store
 listings are eventually consistent and slow at 100 TB — the log IS the
 source of truth), writers stage data files first and publish the commit
-LAST via an atomic rename, so a crashed writer leaves only unreferenced
+LAST via an atomic link, so a crashed writer leaves only unreferenced
 files, never a torn table.
 
-This intentionally implements the single-writer subset (no optimistic
-concurrency / conflict checking) — enough for the engine's snapshot /
-time-travel / diff surface; multi-writer coordination is a metastore
-concern, not a read-path one.
+Concurrency model (round 7): the commit publish is an atomic
+claim-by-hardlink of the numbered log entry, so two writers can never
+both own one version. APPEND commits rebase-and-retry on a lost race
+(the Delta optimistic-concurrency rule for blind appends under
+WriteSerializable: disjoint AddFile sets commute); OVERWRITE commits
+fail on any concurrent commit (their remove-set was computed against a
+stale snapshot) and surface a clear retry error. This is still a
+local-filesystem log (``os.link`` atomicity); an object-store port would
+swap the claim primitive for a conditional PUT, exactly as Delta's
+LogStore abstraction does.
+
+Partitioned tables (round 7): ``commit_snapshot(partition_by=[cols])``
+stages with hive-style directories and records Delta-style
+``partitionValues`` per add action; :func:`read_version` prunes
+partitions straight from the log — the coarse skip every lakehouse user
+reaches for before stats pruning — and reconstructs the partition
+columns from the recorded values (the files themselves don't carry
+them), typed per the committed schema.
 
 No reference parity: yuana97/Avro_Diff diffs two explicit file paths
 (SURVEY.md §2) — versioned diffing (``key_diff_versions``) composes this
-log with the SAME keyed-diff operator, so "diff the last two commits of
-a table" becomes one call instead of bookkeeping file paths by hand.
+log with the SAME keyed-diff operator, and :func:`read_changes` lifts it
+to a Delta-CDF-style change feed between versions.
 """
 
 from __future__ import annotations
@@ -37,13 +52,23 @@ __all__ = [
     "latest_version",
     "table_history",
     "key_diff_versions",
+    "read_changes",
     "compact_table",
     "vacuum",
     "commit_stream",
     "table_schema",
+    "CommitConflict",
 ]
 
 _LOG = "_log"
+_VACUUM = "_vacuum.json"
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+class CommitConflict(RuntimeError):
+    """Another writer published this version first (lost the atomic
+    claim). Appends rebase and retry automatically; overwrites surface
+    this so the caller can re-read and re-derive the overwrite."""
 
 
 def _log_dir(table_path: str) -> str:
@@ -56,7 +81,7 @@ def _commit_files(table_path: str) -> list[tuple[int, str]]:
         return []
     out = []
     for name in os.listdir(d):
-        if name.endswith(".json"):
+        if name.endswith(".json") and name != _VACUUM:
             try:
                 out.append((int(name[:-5]), os.path.join(d, name)))
             except ValueError:
@@ -68,6 +93,18 @@ def latest_version(table_path: str) -> int:
     """Highest committed version, or -1 for a nonexistent/empty table."""
     commits = _commit_files(table_path)
     return commits[-1][0] if commits else -1
+
+
+def _vacuum_watermark(table_path: str) -> int:
+    """Earliest readable version (0 when never vacuumed). Versions below
+    it had their unshared data files deleted — the log entries remain
+    for lineage, but time travel to them must fail CLEARLY instead of
+    deep inside a Spark scan (round-6 ADVICE)."""
+    p = os.path.join(_log_dir(table_path), _VACUUM)
+    if not os.path.exists(p):
+        return 0
+    with open(p) as fh:
+        return int(json.load(fh)["earliest"])
 
 
 def _file_column_stats(table_path: str, rel_file: str, cols: list[str]) -> dict:
@@ -103,39 +140,64 @@ def _file_column_stats(table_path: str, rel_file: str, cols: list[str]) -> dict:
 
 def table_schema(table_path: str, version: int | None = None):
     """The committed Spark schema as of ``version`` (default latest), or
-    None for pre-schema-tracking commits."""
+    None for pre-schema-tracking commits. Additive evolution folds in:
+    the result is the FIELD-ORDER-PRESERVING union of the committed
+    schemas since the last overwrite, so a column added by one append
+    and omitted by a later one (legal with schema_evolution) stays in
+    the table schema — readers and the append type gate both see it."""
     from pyspark.sql import types as T
 
     if version is None:
         version = latest_version(table_path)
+    chain: list = []
     for v, path in reversed(_commit_files(table_path)):
         if v > version:
             continue
         with open(path) as fh:
             c = json.load(fh)
         if "schema" in c:
-            return T.StructType.fromJson(json.loads(c["schema"]))
+            chain.append(T.StructType.fromJson(json.loads(c["schema"])))
         if c["mode"] == "overwrite":
             break  # older commits' schemas were replaced wholesale
-    return None
+    if not chain:
+        return None
+    merged: list = []
+    names: set[str] = set()
+    for sch in reversed(chain):  # oldest-since-overwrite first
+        for f in sch.fields:
+            if f.name not in names:
+                names.add(f.name)
+                merged.append(f)
+    return T.StructType(merged)
 
 
-def _check_append_schema(df: DataFrame, current, *, schema_evolution: bool):
-    """Delta-style enforcement: an append must match the committed
-    schema; with ``schema_evolution`` it may ADD nullable fields, but an
-    existing field's type can never change silently."""
+def _check_append_schema(df: DataFrame, table_path: str, version: int, *, schema_evolution: bool):
+    """Delta-style enforcement: an append must match the table schema;
+    with ``schema_evolution`` it may ADD nullable fields, but an
+    existing field's type can never change silently. Types are validated
+    against the UNION of the distinct still-live schemas — not just the
+    most recent commit's — so a column legally omitted by one append
+    cannot be reintroduced later with a drifted type (round-6 ADVICE)."""
+    from pyspark.sql import types as T
+
+    current = table_schema(table_path, version)
     if current is None:
         return
-    cur = {f.name: f.dataType for f in current.fields}
     new = {f.name: f.dataType for f in df.schema.fields}
-    changed = sorted(n for n in new if n in cur and new[n] != cur[n])
+    live_schemas = _live_adds(table_path, version)[1]
+    seen: dict[str, object] = {f.name: f.dataType for f in current.fields}
+    for sj in live_schemas:
+        for f in T.StructType.fromJson(json.loads(sj)).fields:
+            seen.setdefault(f.name, f.dataType)
+    changed = sorted(n for n in new if n in seen and new[n] != seen[n])
     if changed:
         raise ValueError(
             f"append changes existing column types {changed} — rewrite via "
             "an overwrite commit instead (types never drift silently)"
         )
-    extra = sorted(set(new) - set(cur))
-    missing = sorted(set(cur) - set(new))
+    cur_names = {f.name for f in current.fields}
+    extra = sorted(set(new) - cur_names)
+    missing = sorted(cur_names - set(new))
     if (extra or missing) and not schema_evolution:
         raise ValueError(
             f"append schema mismatch (new columns {extra}, absent columns "
@@ -150,6 +212,8 @@ def commit_snapshot(
     mode: str = "overwrite",
     stats_cols: list[str] | None = None,
     schema_evolution: bool = False,
+    partition_by: list[str] | None = None,
+    max_retries: int = 10,
 ) -> int:
     """Commit ``df`` as the next version of the table. ``overwrite``
     replaces the live file set; ``append`` adds to it. Returns the new
@@ -157,60 +221,147 @@ def commit_snapshot(
     listed columns' per-file min/max (harvested from the parquet footers
     at commit time — the Delta data-skipping stats), which
     :func:`read_version` ``prune=`` consults to skip files without
-    opening them.
+    opening them. With ``partition_by``, data files land in hive-style
+    partition directories and each add action records the Delta-style
+    ``partitionValues`` (``pv``) — the log-level partition pruning
+    :func:`read_version` applies before any stats check, and appends
+    must keep the table's partitioning.
 
     Every commit records the Spark schema; appends are ENFORCED against
     the committed schema (the Delta rule: silent drift is how tables
     rot) — additive evolution (new nullable columns) is opt-in via
-    ``schema_evolution=True``, type changes always require an overwrite.
+    ``schema_evolution=True``, type changes always require an overwrite,
+    and the type gate checks every still-live schema, not just the
+    newest.
 
     Write protocol (the crash-safety order every log-structured table
     uses): (1) write the data files into a staging subdirectory of the
-    table — one distributed parquet write, any size; (2) fsync-rename
-    the numbered commit JSON into ``_log/`` as the LAST step. A reader
-    replaying the log either sees the full commit or none of it."""
+    table — one distributed parquet write, any size; (2) atomically
+    claim the numbered commit JSON in ``_log/`` as the LAST step. A
+    reader replaying the log either sees the full commit or none of it.
+    An APPEND that loses the claim race rebases onto the new latest
+    version (re-running the schema gate there) and retries — blind adds
+    commute; an OVERWRITE that loses the race raises
+    :class:`CommitConflict` because its remove-set is stale."""
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"unknown commit mode {mode!r}")
     version = latest_version(table_path) + 1
     if mode == "append":
-        _check_append_schema(
-            df, table_schema(table_path, version - 1), schema_evolution=schema_evolution
-        )
-    added = _stage_data(df, table_path, version)
-    actions: list[dict] = []
-    if mode == "overwrite":
-        actions += [{"remove": f} for f in _live_files(table_path, version - 1)]
-    elif mode != "append":
-        raise ValueError(f"unknown commit mode {mode!r}")
-    if stats_cols:
-        actions += [
-            {"add": f, "stats": _file_column_stats(table_path, f, stats_cols)}
-            for f in added
-        ]
-    else:
-        actions += [{"add": f} for f in added]
-    _publish_commit(
-        table_path,
-        version,
-        {
+        _check_append_schema(df, table_path, version - 1, schema_evolution=schema_evolution)
+        prev_pb = _table_partitioning(table_path, version - 1)
+        if prev_pb is not None and (partition_by or []) != prev_pb:
+            raise ValueError(
+                f"append partitioning {partition_by or []} != table partitioning "
+                f"{prev_pb} — repartition via an overwrite commit"
+            )
+    added = _stage_data(df, table_path, version, partition_by)
+    n_rows = _footer_rows(table_path, [f for f, _ in added])
+
+    def actions_for(v: int) -> list[dict]:
+        acts: list[dict] = []
+        if mode == "overwrite":
+            acts += [{"remove": f} for f in _live_files(table_path, v - 1)]
+        for f, pv in added:
+            a: dict = {"add": f}
+            if pv is not None:
+                a["pv"] = pv
+            if stats_cols:
+                st = _file_column_stats(table_path, f, stats_cols)
+                if st:
+                    a["stats"] = st
+            acts.append(a)
+        return acts
+
+    for _ in range(max(max_retries, 1)):
+        commit = {
             "version": version,
             "mode": mode,
-            "n_rows": _footer_rows(table_path, added),
+            "n_rows": n_rows,
             "schema": df.schema.json(),
-            "actions": actions,
-        },
+            "actions": actions_for(version),
+        }
+        if partition_by:
+            commit["partition_by"] = list(partition_by)
+        try:
+            _publish_commit(table_path, version, commit)
+            return version
+        except CommitConflict:
+            if mode != "append":
+                raise
+            # rebase: someone else won this version — re-validate against
+            # the new table state and claim the next slot (staged files
+            # are untouched; the staging dir's vNNN prefix is cosmetic)
+            version = latest_version(table_path) + 1
+            _check_append_schema(
+                df, table_path, version - 1, schema_evolution=schema_evolution
+            )
+            prev_pb = _table_partitioning(table_path, version - 1)
+            if prev_pb is not None and (partition_by or []) != prev_pb:
+                raise ValueError(
+                    f"append partitioning {partition_by or []} != table "
+                    f"partitioning {prev_pb} after concurrent commit"
+                )
+    raise CommitConflict(
+        f"append to {table_path!r} lost the publish race {max_retries} times"
     )
-    return version
 
 
-def _stage_data(df: DataFrame, table_path: str, version: int) -> list[str]:
-    """Write the data files into a fresh staging subdirectory; return the
-    relative parquet paths."""
+def _table_partitioning(table_path: str, version: int) -> list | None:
+    """The table's partition columns at ``version``: the last commit's
+    ``partition_by`` since the most recent overwrite ([] = explicitly
+    unpartitioned), or None when the table predates partition tracking
+    or is empty."""
+    for v, path in reversed(_commit_files(table_path)):
+        if v > version:
+            continue
+        with open(path) as fh:
+            c = json.load(fh)
+        pb = c.get("partition_by", [])
+        if pb or c["mode"] == "overwrite":
+            return list(pb)
+        if any("add" in a for a in c["actions"]):
+            return list(pb)
+    return None
+
+
+def _parse_hive_path(rel_under_stage: str) -> dict | None:
+    """``col=value`` directory segments → partitionValues dict (Spark's
+    hive-style layout; values are percent-escaped, null is the hive
+    default-partition sentinel). None when the path has no partition
+    directories."""
+    from urllib.parse import unquote
+
+    segs = rel_under_stage.split(os.sep)[:-1]
+    if not segs:
+        return None
+    pv: dict = {}
+    for s in segs:
+        if "=" not in s:
+            return None
+        k, _, v = s.partition("=")
+        pv[unquote(k)] = None if v == _HIVE_NULL else unquote(v)
+    return pv or None
+
+
+def _stage_data(
+    df: DataFrame, table_path: str, version: int, partition_by: list[str] | None = None
+) -> list[tuple[str, dict | None]]:
+    """Write the data files into a fresh staging subdirectory; return
+    (relative parquet path, partitionValues) per file."""
     stage = os.path.join(table_path, f"v{version:06d}-{uuid.uuid4().hex[:8]}")
-    df.write.mode("errorifexists").parquet(stage)
-    return sorted(
-        os.path.join(os.path.basename(stage), f)
-        for f in os.listdir(stage)
-        if f.endswith(".parquet")
-    )
+    writer = df.write.mode("errorifexists")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(stage)
+    base = os.path.basename(stage)
+    out: list[tuple[str, dict | None]] = []
+    for dp, _, fns in os.walk(stage):
+        for fn in fns:
+            if not fn.endswith(".parquet"):
+                continue
+            rel_under = os.path.relpath(os.path.join(dp, fn), stage)
+            out.append((os.path.join(base, rel_under), _parse_hive_path(rel_under)))
+    return sorted(out)
 
 
 def _footer_rows(table_path: str, rel_files: list[str]) -> int:
@@ -225,24 +376,35 @@ def _footer_rows(table_path: str, rel_files: list[str]) -> int:
 
 
 def _publish_commit(table_path: str, version: int, commit: dict) -> None:
-    """The atomic publish step shared by every writer: refuse an existing
-    version, write the JSON to a tmp name, fsync, rename LAST."""
+    """The atomic publish step shared by every writer: write the JSON to
+    a tmp name, fsync, then CLAIM the numbered slot with ``os.link`` —
+    which fails (EEXIST) if any other writer got there first, unlike
+    ``os.rename``'s silent replace, closing the check-then-rename race.
+    Raises :class:`CommitConflict` on a lost claim."""
     os.makedirs(_log_dir(table_path), exist_ok=True)
-    tmp = os.path.join(_log_dir(table_path), f".{version:06d}.json.tmp")
+    tmp = os.path.join(
+        _log_dir(table_path), f".{version:06d}-{uuid.uuid4().hex[:8]}.json.tmp"
+    )
     final = os.path.join(_log_dir(table_path), f"{version:06d}.json")
-    if os.path.exists(final):
-        raise RuntimeError(f"version {version} already committed (concurrent writer?)")
     with open(tmp, "w") as fh:
         json.dump(commit, fh)
         fh.flush()
         os.fsync(fh.fileno())
-    os.rename(tmp, final)
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        raise CommitConflict(
+            f"version {version} already committed by a concurrent writer"
+        ) from None
+    finally:
+        os.unlink(tmp)
 
 
 def _live_adds(table_path: str, version: int) -> tuple[dict[str, dict], set]:
-    """(live file → its commit-time stats, distinct schema JSONs of the
-    commits whose files are still live) at ``version`` — the schema set
-    tells readers whether the live files span an additive evolution."""
+    """(live file → its add action {stats, pv}, distinct schema JSONs of
+    the commits whose files are still live) at ``version`` — the schema
+    set tells readers whether the live files span an additive
+    evolution."""
     live: dict[str, dict] = {}
     owner: dict[str, str | None] = {}
     for v, path in _commit_files(table_path):
@@ -252,7 +414,7 @@ def _live_adds(table_path: str, version: int) -> tuple[dict[str, dict], set]:
             commit = json.load(fh)
         for a in commit["actions"]:
             if "add" in a:
-                live[a["add"]] = a.get("stats", {})
+                live[a["add"]] = {"stats": a.get("stats", {}), "pv": a.get("pv")}
                 owner[a["add"]] = commit.get("schema")
             else:
                 del live[a["remove"]]
@@ -264,6 +426,54 @@ def _live_files(table_path: str, version: int) -> list[str]:
     return sorted(_live_adds(table_path, version)[0])
 
 
+def _bound_str(v) -> object:
+    """Caller-native prune bound → the log's JSON representation (ISO
+    strings for temporal types; space-normalized so timestamp partition
+    values like '2024-01-01 00:00:00' compare too)."""
+    import datetime
+
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat(sep=" ") if isinstance(v, datetime.datetime) else v.isoformat()
+    return v
+
+
+def _typed_value(s: str, bound) -> object:
+    """A pv/stats STRING coerced to the prune bound's comparison domain:
+    numeric bounds compare numerically, temporal bounds by normalized
+    ISO string, everything else as raw strings."""
+    if isinstance(bound, bool):
+        return s.lower() == "true"
+    if isinstance(bound, int) and not isinstance(bound, bool):
+        try:
+            return int(s)
+        except ValueError:
+            return float(s)
+    if isinstance(bound, float):
+        return float(s)
+    return str(s).replace("T", " ")
+
+
+def _may_match(add: dict, col: str, lo, hi) -> bool:
+    """Log-level skip decision for one file: partitionValues give an
+    exact point interval; stats give [min, max]; missing both means
+    may-match. Entirely from the manifest — zero file opens."""
+    lo_b, hi_b = _bound_str(lo), _bound_str(hi)
+    pv = add.get("pv") or {}
+    if col in pv:
+        v = pv[col]
+        if v is None:
+            return False  # a range predicate never matches NULL
+        tv = _typed_value(v, lo)
+        return not (tv < _typed_value(str(lo_b), lo) or tv > _typed_value(str(hi_b), hi))
+    s = (add.get("stats") or {}).get(col)
+    if s is None:
+        return True
+    if isinstance(lo_b, str):
+        smin, smax = str(s[0]).replace("T", " "), str(s[1]).replace("T", " ")
+        return not (smax < str(lo_b).replace("T", " ") or smin > str(hi_b).replace("T", " "))
+    return not (s[1] < lo_b or s[0] > hi_b)
+
+
 def read_version(
     spark: SparkSession,
     table_path: str,
@@ -273,19 +483,35 @@ def read_version(
 ) -> DataFrame:
     """Read the table as of ``version`` (default: latest) — time travel.
     The file list comes from the log replay, never a directory listing,
-    so concurrent staged-but-uncommitted writes are invisible.
+    so concurrent staged-but-uncommitted writes are invisible. Versions
+    truncated by :func:`vacuum` raise a clear error instead of failing
+    mid-scan on missing files.
 
     ``prune=(col, lo, hi)`` applies log-level data skipping BEFORE any
-    file opens: only files whose commit-time [min, max] for ``col``
-    intersects [lo, hi] are read (files without stats are kept — missing
-    stats mean may-match), plus the matching row filter on top, so the
-    result equals an unpruned read filtered to the range. At 100 TB this
-    is the difference between a footer fetch per file and none at all —
-    the manifest alone answers which files matter."""
+    file opens: partition values first (a partitioned column prunes
+    whole partitions straight from the manifest — the coarse skip every
+    lakehouse query starts with), then commit-time [min, max] stats
+    (files without either are kept — missing metadata means may-match),
+    plus the matching row filter on top, so the result equals an
+    unpruned read filtered to the range. At 100 TB this is the
+    difference between a footer fetch per file and none at all — the
+    manifest alone answers which files matter.
+
+    Partitioned tables reconstruct the partition columns from the
+    recorded ``pv`` (the data files don't carry them), cast per the
+    committed schema — one scan per live partition value, unioned;
+    Catalyst folds the literals, so the plan stays a plain multi-path
+    scan."""
     if version is None:
         version = latest_version(table_path)
     if version < 0:
         raise ValueError(f"no commits at {table_path!r}")
+    wm = _vacuum_watermark(table_path)
+    if version < wm:
+        raise ValueError(
+            f"version {version} of {table_path!r} was vacuumed; earliest "
+            f"readable version is {wm}"
+        )
     adds, schemas = _live_adds(table_path, version)
     if not adds:
         raise ValueError(f"version {version} of {table_path!r} has no live files")
@@ -295,29 +521,40 @@ def read_version(
     reader = spark.read.option("mergeSchema", "true") if len(schemas) > 1 else spark.read
     files = sorted(adds)
     if prune is not None:
-        import datetime
-
         col, lo, hi = prune
-        # stats for date/timestamp columns are stored as ISO strings (JSON
-        # has no temporal types); coerce the caller's native bounds the
-        # same way so the comparison stays apples-to-apples — ISO-8601
-        # string order IS chronological order
-        lo_s, hi_s = (
-            v.isoformat() if isinstance(v, (datetime.date, datetime.datetime)) else v
-            for v in (lo, hi)
-        )
-        kept = []
-        for f in files:
-            s = adds[f].get(col)
-            if s is None or (not (s[1] < lo_s or s[0] > hi_s)):
-                kept.append(f)
-        files = kept
+        files = [f for f in files if _may_match(adds[f], col, lo, hi)]
         if not files:
-            return (
-                reader.parquet(*[os.path.join(table_path, f) for f in sorted(adds)])
-                .filter(F.lit(False))
-            )
-    df = reader.parquet(*[os.path.join(table_path, f) for f in files])
+            empty = read_version(spark, table_path, version).filter(F.lit(False))
+            return empty.filter((F.col(col) >= lo) & (F.col(col) <= hi))
+    schema = table_schema(table_path, version)
+    types = {f.name: f.dataType for f in schema.fields} if schema else {}
+
+    def _with_pv(df: DataFrame, pv: dict) -> DataFrame:
+        for c, v in pv.items():
+            lit = F.lit(v) if v is not None else F.lit(None)
+            df = df.withColumn(c, lit.cast(types.get(c, "string")))
+        return df
+
+    groups: dict[tuple, list[str]] = {}
+    for f in files:
+        pv = adds[f].get("pv")
+        key = tuple(sorted(pv.items())) if pv else ()
+        groups.setdefault(key, []).append(f)
+    parts = []
+    # None-safe deterministic group order (null partition values sort last)
+    for key in sorted(
+        groups, key=lambda k: [(c, v is None, v or "") for c, v in k]
+    ):
+        g = reader.parquet(*[os.path.join(table_path, f) for f in groups[key]])
+        if key:
+            g = _with_pv(g, dict(key))
+        parts.append(g)
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p, allowMissingColumns=True)
+    if schema and any(groups):  # pv columns were appended — restore order
+        ordered = [c for c in schema.names if c in df.columns]
+        df = df.select(*ordered, *[c for c in df.columns if c not in ordered])
     if prune is not None:
         col, lo, hi = prune
         df = df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
@@ -326,7 +563,10 @@ def read_version(
 
 def table_history(table_path: str) -> list[dict]:
     """One dict per commit: version, mode, row count, files added/removed
-    — the ``DESCRIBE HISTORY`` surface, straight from the log."""
+    — the ``DESCRIBE HISTORY`` surface, straight from the log. Versions
+    below the vacuum watermark are flagged ``vacuumed`` (their data
+    files may be gone; the log entries remain for lineage)."""
+    wm = _vacuum_watermark(table_path)
     out = []
     for _, path in _commit_files(table_path):
         with open(path) as fh:
@@ -338,28 +578,61 @@ def table_history(table_path: str) -> list[dict]:
                 "n_rows": c["n_rows"],
                 "n_added": sum(1 for a in c["actions"] if "add" in a),
                 "n_removed": sum(1 for a in c["actions"] if "remove" in a),
+                "vacuumed": c["version"] < wm,
             }
         )
     return out
 
 
 def compact_table(
-    spark: SparkSession, table_path: str, *, target_files: int = 8
+    spark: SparkSession,
+    table_path: str,
+    *,
+    target_files: int = 8,
+    cluster_by: list[str] | None = None,
+    curve: str = "zorder",
+    bits: int = 16,
+    stats_cols: list[str] | None = None,
 ) -> int:
-    """Small-file compaction (the ``OPTIMIZE`` half without reclustering):
-    rewrite the CURRENT live file set as ``target_files`` files and
-    publish it as an overwriting commit. Readers of older versions are
-    untouched — their files stay referenced by earlier commits until
-    :func:`vacuum`. Returns the new version."""
-    df = read_version(spark, table_path).coalesce(target_files)
-    return commit_snapshot(df, table_path, mode="overwrite")
+    """Small-file compaction — and, with ``cluster_by``, the full
+    ``OPTIMIZE ... ZORDER BY`` surface: rewrite the CURRENT live file
+    set as ``target_files`` files, clustered on the Z-order or Hilbert
+    address of ``cluster_by`` (operators/layout.py — the same rank-ntile
+    quantization + space-filling-curve write every lakehouse OPTIMIZE
+    runs), and publish it as one overwriting commit. Clustered rewrites
+    default ``stats_cols`` to ``cluster_by``, so the tightened per-file
+    ranges land in the log and :func:`read_version` ``prune=`` skips
+    files on ANY clustered column without a footer fetch. Readers of
+    older versions are untouched — their files stay referenced by
+    earlier commits until :func:`vacuum`. Returns the new version."""
+    df = read_version(spark, table_path)
+    if cluster_by:
+        from avro_diff_spark.operators import layout as L
+
+        if curve == "zorder":
+            keyed, key = L.zorder_key(df, cluster_by, bits=bits), "__zkey"
+        elif curve == "hilbert":
+            keyed, key = L.hilbert_key(df, cluster_by, bits=bits), "__hkey"
+        else:
+            raise ValueError(f"unknown curve {curve!r} (zorder|hilbert)")
+        df = (
+            keyed.repartitionByRange(target_files, F.col(key))
+            .sortWithinPartitions(key)
+            .drop(key)
+        )
+        stats_cols = stats_cols or list(cluster_by)
+    else:
+        df = df.coalesce(target_files)
+    return commit_snapshot(df, table_path, mode="overwrite", stats_cols=stats_cols)
 
 
 def vacuum(table_path: str, *, keep_versions: int = 1) -> list[str]:
     """Delete data files unreferenced by the last ``keep_versions``
     versions (and truncate time travel older than that) — the storage
     reclamation step after overwrites/compactions. Also sweeps staged
-    directories no commit ever published (crashed writers). Returns the
+    directories no commit ever published (crashed writers). Records the
+    truncation watermark in the log so :func:`read_version` refuses
+    vacuumed versions with a clear error (round-6 ADVICE). Returns the
     deleted file paths. Single-writer contract like the rest of the log."""
     import shutil
 
@@ -375,13 +648,24 @@ def vacuum(table_path: str, *, keep_versions: int = 1) -> list[str]:
         full = os.path.join(table_path, entry)
         if entry == _LOG or not os.path.isdir(full):
             continue
-        for f in sorted(os.listdir(full)):
-            rel = os.path.join(entry, f)
-            if f.endswith(".parquet") and rel not in needed:
-                os.remove(os.path.join(table_path, rel))
-                deleted.append(rel)
-        if not any(f.endswith(".parquet") for f in os.listdir(full)):
+        for dp, _, fns in os.walk(full, topdown=False):
+            for f in sorted(fns):
+                rel = os.path.relpath(os.path.join(dp, f), table_path)
+                if f.endswith(".parquet") and rel not in needed:
+                    os.remove(os.path.join(table_path, rel))
+                    deleted.append(rel)
+        if not any(
+            f.endswith(".parquet") for dp, _, fns in os.walk(full) for f in fns
+        ):
             shutil.rmtree(full)
+    if keep_from > _vacuum_watermark(table_path):
+        p = os.path.join(_log_dir(table_path), _VACUUM)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"earliest": keep_from}, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, p)
     return deleted
 
 
@@ -391,6 +675,7 @@ def commit_stream(
     *,
     checkpoint: str,
     trigger_available_now: bool = True,
+    partition_by: list[str] | None = None,
 ):
     """Stream into a versioned table: each micro-batch lands as one
     APPEND commit via ``foreachBatch``, carrying its (app, epoch) id in
@@ -422,21 +707,31 @@ def commit_stream(
                 if c.get("epoch", -1) >= epoch_id:
                     return  # replayed batch: already durable in the log
                 break
-        version = latest_version(table_path) + 1
-        added = _stage_data(batch_df, table_path, version)
-        _publish_commit(
-            table_path,
-            version,
-            {
+        added = _stage_data(
+            batch_df, table_path, latest_version(table_path) + 1, partition_by
+        )
+        n_rows = _footer_rows(table_path, [f for f, _ in added])
+        while True:
+            version = latest_version(table_path) + 1
+            commit = {
                 "version": version,
                 "mode": "append",
                 "app": app_id,
                 "epoch": epoch_id,
-                "n_rows": _footer_rows(table_path, added),
+                "n_rows": n_rows,
                 "schema": batch_df.schema.json(),
-                "actions": [{"add": f} for f in added],
-            },
-        )
+                "actions": [
+                    {"add": f, **({"pv": pv} if pv is not None else {})}
+                    for f, pv in added
+                ],
+            }
+            if partition_by:
+                commit["partition_by"] = list(partition_by)
+            try:
+                _publish_commit(table_path, version, commit)
+                return
+            except CommitConflict:
+                continue  # another writer took the slot; rebase the append
 
     writer = stream_df.writeStream.foreachBatch(_sink).option(
         "checkpointLocation", checkpoint
@@ -453,14 +748,83 @@ def key_diff_versions(
     *,
     v_old: int,
     v_new: int | None = None,
+    prune: tuple[str, object, object] | None = None,
     **kwargs,
 ) -> DataFrame:
     """Keyed diff between two VERSIONS of one table — the reference's
     two-file diff (src/index.js keyed diff surface) lifted onto the
     commit log: added/removed/changed/unchanged classification of
-    version ``v_new`` (default latest) against ``v_old``."""
+    version ``v_new`` (default latest) against ``v_old``. ``prune=``
+    applies the same log-level partition/stats skip to BOTH sides —
+    diffing one partition of a 100 TB table opens only that partition's
+    files on each side."""
     from avro_diff_spark.operators.key_diff import key_diff
 
-    old = read_version(spark, table_path, v_old)
-    new = read_version(spark, table_path, v_new)
+    old = read_version(spark, table_path, v_old, prune=prune)
+    new = read_version(spark, table_path, v_new, prune=prune)
     return key_diff(old, new, keys, **kwargs)
+
+
+def read_changes(
+    spark: SparkSession,
+    table_path: str,
+    keys: list[str],
+    *,
+    v_from: int,
+    v_to: int | None = None,
+) -> DataFrame:
+    """Change data feed between versions — the Delta CDF / ``table_changes``
+    surface, derived from the log + keyed diff instead of stored change
+    files: one row per changed data row per commit in ``(v_from, v_to]``,
+    tagged ``_change_type`` ∈ {insert, delete, update_preimage,
+    update_postimage} and ``_commit_version``. An update yields BOTH its
+    pre- and post-image (the Delta CDF convention downstream merges
+    rely on).
+
+    Scale shape: one keyed diff per commit step — each is the engine's
+    single-shuffle FOJ classification; steps are independent scans
+    unioned (Spark runs them as one job). Per-commit derivation reads
+    two adjacent snapshots; a stored-CDF variant would trade write
+    amplification for cheaper reads, the same trade Delta exposes."""
+    if v_to is None:
+        v_to = latest_version(table_path)
+    if v_to <= v_from:
+        raise ValueError(f"need v_to > v_from (got {v_from} -> {v_to})")
+    from avro_diff_spark.operators.key_diff import key_diff
+
+    steps = []
+    for v in range(v_from + 1, v_to + 1):
+        d = key_diff(
+            read_version(spark, table_path, v - 1),
+            read_version(spark, table_path, v),
+            keys,
+        )
+        ins = d.filter(F.col("diff_kind") == "added").select(
+            "new.*",
+            F.lit("insert").alias("_change_type"),
+            F.lit(v).alias("_commit_version"),
+        )
+        dele = d.filter(F.col("diff_kind") == "removed").select(
+            "old.*",
+            F.lit("delete").alias("_change_type"),
+            F.lit(v).alias("_commit_version"),
+        )
+        pre = d.filter(F.col("diff_kind") == "changed").select(
+            "old.*",
+            F.lit("update_preimage").alias("_change_type"),
+            F.lit(v).alias("_commit_version"),
+        )
+        post = d.filter(F.col("diff_kind") == "changed").select(
+            "new.*",
+            F.lit("update_postimage").alias("_change_type"),
+            F.lit(v).alias("_commit_version"),
+        )
+        steps.append(
+            ins.unionByName(dele, allowMissingColumns=True)
+            .unionByName(pre, allowMissingColumns=True)
+            .unionByName(post, allowMissingColumns=True)
+        )
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionByName(s, allowMissingColumns=True)
+    return out

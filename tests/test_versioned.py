@@ -159,14 +159,18 @@ def test_commit_stats_enable_log_level_pruning(spark, tmp_path):
     )
     commit_snapshot(df, t, stats_cols=["k"])
     adds, _schemas = _live_adds(t, 0)
-    assert len(adds) == 8 and all("k" in s for s in adds.values())
+    assert len(adds) == 8 and all("k" in s["stats"] for s in adds.values())
 
     pruned = read_version(spark, t, prune=("k", 100, 150))
     full = read_version(spark, t).filter((F.col("k") >= 100) & (F.col("k") <= 150))
     assert sorted(r.k for r in pruned.collect()) == sorted(r.k for r in full.collect())
     # the pruned plan reads strictly fewer files than the table holds
     n_pruned_files = len(
-        [f for f, s in adds.items() if not (s["k"][1] < 100 or s["k"][0] > 150)]
+        [
+            f
+            for f, s in adds.items()
+            if not (s["stats"]["k"][1] < 100 or s["stats"]["k"][0] > 150)
+        ]
     )
     assert 0 < n_pruned_files < 8
     assert f"{n_pruned_files}" and pruned.count() == 51
@@ -339,3 +343,301 @@ def test_cdc_stream_against_time_traveled_baseline(spark, tmp_path):
     q.awaitTermination(120)
     got = {r.k: r.diff_kind for r in spark.sql("SELECT * FROM cdc_vs_v0").collect()}
     assert got == {"2": "unchanged", "3": "changed", "4": "added"}
+
+
+# --------------------------------------------------------------------------
+# round 7: partitioned tables, optimistic concurrency, clustered
+# compaction, vacuum watermark, CDC
+# --------------------------------------------------------------------------
+
+def test_partitioned_commit_records_pv_and_prunes_from_log(spark, tmp_path):
+    """partition_by commits record Delta-style partitionValues per add;
+    a partition-pruned read opens a STRICT SUBSET of files (only the
+    matching partition's), reconstructs the partition column typed per
+    the committed schema, and equals the filtered full read."""
+    from avro_diff_spark.sources.versioned import _live_adds
+
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, i % 3, f"r{i}") for i in range(60)], "k long, p long, v string"
+    )
+    commit_snapshot(df, t, partition_by=["p"])
+    adds, _ = _live_adds(t, 0)
+    assert all(a["pv"] is not None and set(a["pv"]) == {"p"} for a in adds.values())
+    assert {a["pv"]["p"] for a in adds.values()} == {"0", "1", "2"}
+
+    full = read_version(spark, t)
+    # partition column reconstructed, original type and column order
+    assert full.schema.simpleString() == "struct<k:bigint,p:bigint,v:string>"
+    assert {(r.k, r.p, r.v) for r in full.collect()} == {
+        (i, i % 3, f"r{i}") for i in range(60)
+    }
+
+    pruned = read_version(spark, t, prune=("p", 1, 1))
+    got = {(r.k, r.p) for r in pruned.collect()}
+    assert got == {(i, 1) for i in range(60) if i % 3 == 1}
+    opened = set(pruned.inputFiles())
+    all_files = set(full.inputFiles())
+    assert opened < all_files
+    assert all("p=1" in f for f in opened)
+
+
+def test_partition_prune_reads_zero_footers(spark, tmp_path, monkeypatch):
+    """The log alone answers partition pruning: after commit, ANY footer
+    fetch (pyarrow ParquetFile) during read_version(prune=...) would
+    blow up — the pruned read must still plan and return exact rows."""
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, i % 4, float(i)) for i in range(40)], "k long, p int, x double"
+    )
+    commit_snapshot(df, t, partition_by=["p"])
+
+    import pyarrow.parquet as pq
+
+    def boom(*a, **kw):
+        raise AssertionError("footer fetched during log-level pruning")
+
+    monkeypatch.setattr(pq, "ParquetFile", boom)
+    pruned = read_version(spark, t, prune=("p", 2, 3))
+    assert sorted(r.k for r in pruned.collect()) == [
+        i for i in range(40) if i % 4 in (2, 3)
+    ]
+
+
+def test_partitioned_null_and_date_values(spark, tmp_path):
+    """Hive null sentinel round-trips to a real NULL; date partition
+    values prune with native date bounds; range predicates skip the
+    null partition (SQL comparison semantics)."""
+    import datetime
+
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [
+            (1, datetime.date(2024, 1, 1), "a"),
+            (2, datetime.date(2024, 2, 1), "b"),
+            (3, None, "c"),
+        ],
+        "k long, d date, v string",
+    )
+    commit_snapshot(df, t, partition_by=["d"])
+    full = {(r.k, r.d) for r in read_version(spark, t).collect()}
+    assert full == {
+        (1, datetime.date(2024, 1, 1)),
+        (2, datetime.date(2024, 2, 1)),
+        (3, None),
+    }
+    pruned = read_version(
+        spark, t, prune=("d", datetime.date(2024, 1, 15), datetime.date(2024, 3, 1))
+    )
+    assert {r.k for r in pruned.collect()} == {2}
+    assert all("d=2024-02-01" in f for f in pruned.inputFiles())
+
+
+def test_append_must_keep_table_partitioning(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1, 0, "a")], "k long, p long, v string")
+    commit_snapshot(df, t, partition_by=["p"])
+    with pytest.raises(ValueError, match="partitioning"):
+        commit_snapshot(
+            spark.createDataFrame([(2, 1, "b")], "k long, p long, v string"),
+            t,
+            mode="append",
+        )
+    commit_snapshot(
+        spark.createDataFrame([(2, 1, "b")], "k long, p long, v string"),
+        t,
+        mode="append",
+        partition_by=["p"],
+    )
+    assert {(r.k, r.p) for r in read_version(spark, t).collect()} == {(1, 0), (2, 1)}
+    # overwrite may change partitioning wholesale
+    commit_snapshot(df.drop("p"), t, mode="overwrite")
+    assert read_version(spark, t).columns == ["k", "v"]
+
+
+def test_clustered_compaction_zorder_tightens_file_ranges(spark, tmp_path):
+    """compact_table(cluster_by=...) is OPTIMIZE ... ZORDER BY: one
+    overwrite commit whose files carry TIGHT per-file ranges on every
+    clustered column (pyarrow footer assertion via the recorded stats),
+    so log-level pruning opens a strict file subset on either column;
+    content identical; vacuum reclaims the old files."""
+    import random
+
+    from avro_diff_spark.sources.versioned import _live_adds, compact_table, vacuum
+
+    rng = random.Random(7)
+    rows = [(rng.randrange(1000), rng.randrange(1000), i) for i in range(4000)]
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(rows, "x long, y long, i long").repartition(8)
+    commit_snapshot(df, t, stats_cols=["x", "y"])
+    before = {(r.x, r.y, r.i) for r in read_version(spark, t).collect()}
+
+    v = compact_table(spark, t, target_files=4, cluster_by=["x", "y"])
+    assert v == 1
+    assert {(r.x, r.y, r.i) for r in read_version(spark, t).collect()} == before
+    hist = table_history(t)
+    assert hist[1]["mode"] == "overwrite" and hist[1]["n_added"] <= 4
+
+    # recorded stats (== footer stats) must shrink: average per-file
+    # range on each clustered dim well below the full-table range
+    adds0, _ = _live_adds(t, 0)
+    adds1, _ = _live_adds(t, 1)
+
+    def avg_range(adds, col):
+        spans = [s["stats"][col][1] - s["stats"][col][0] for s in adds.values()]
+        return sum(spans) / len(spans)
+
+    for col in ("x", "y"):
+        assert avg_range(adds1, col) < avg_range(adds0, col) * 0.8
+
+    # pruning now opens a strict subset on BOTH clustered columns
+    for col in ("x", "y"):
+        pruned = read_version(spark, t, prune=(col, 0, 99))
+        assert 0 < len(pruned.inputFiles()) < len(read_version(spark, t).inputFiles()) + 1
+        assert len(pruned.inputFiles()) < 4
+    deleted = vacuum(t, keep_versions=1)
+    assert len(deleted) >= 8
+    assert {(r.x, r.y, r.i) for r in read_version(spark, t).collect()} == before
+
+
+def test_concurrent_appends_both_land(spark, tmp_path):
+    """Two writers racing the SAME version slot: the os.link claim is
+    atomic, the loser rebases its append onto the next slot, and the log
+    replays to the union — the Delta optimistic-concurrency behavior
+    for blind appends."""
+    import threading
+
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, [(0, "base")]), t)
+    dfs = {
+        "a": _df(spark, [(1, "a")]),
+        "b": _df(spark, [(2, "b")]),
+    }
+    errs = []
+    barrier = threading.Barrier(2)
+
+    def go(name):
+        try:
+            barrier.wait(10)
+            commit_snapshot(dfs[name], t, mode="append")
+        except Exception as e:  # noqa: BLE001
+            errs.append((name, e))
+
+    ts = [threading.Thread(target=go, args=(n,)) for n in dfs]
+    [x.start() for x in ts]
+    [x.join(120) for x in ts]
+    assert not errs
+    assert latest_version(t) == 2
+    assert {(r.k, r.v) for r in read_version(spark, t).collect()} == {
+        (0, "base"), (1, "a"), (2, "b")
+    }
+    assert [h["mode"] for h in table_history(t)] == ["overwrite", "append", "append"]
+
+
+def test_overwrite_conflict_raises(spark, tmp_path, monkeypatch):
+    """An overwrite that loses the race — a competing commit lands
+    between its snapshot read and its publish — fails with
+    CommitConflict (its remove-set is stale) instead of silently
+    clobbering; a racing APPEND in the same window rebases instead."""
+    from avro_diff_spark.sources import versioned as V
+
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, [(1, "a")]), t)
+    real_stage = V._stage_data
+
+    def stage_then_lose_race(df_, path, version, partition_by=None):
+        out = real_stage(df_, path, version, partition_by)
+        V._publish_commit(
+            path,
+            version,
+            {
+                "version": version,
+                "mode": "append",
+                "n_rows": 0,
+                "schema": df_.schema.json(),
+                "actions": [],
+            },
+        )
+        return out
+
+    monkeypatch.setattr(V, "_stage_data", stage_then_lose_race)
+    with pytest.raises(V.CommitConflict):
+        V.commit_snapshot(_df(spark, [(9, "z")]), t, mode="overwrite", max_retries=1)
+    # the same lost race on an APPEND rebases onto the next slot
+    v = V.commit_snapshot(_df(spark, [(5, "e")]), t, mode="append")
+    assert v == latest_version(t)
+    assert (5, "e") in {(r.k, r.v) for r in read_version(spark, t).collect()}
+
+
+def test_append_type_gate_checks_all_live_schemas(spark, tmp_path):
+    """Round-6 ADVICE: a column legally omitted by a later evolved
+    append must NOT be reintroducible with a different type — the gate
+    validates against the union of live schemas, not just the newest
+    commit's."""
+    t = str(tmp_path / "tbl")
+    commit_snapshot(
+        spark.createDataFrame([(1, "a", 1.5)], "k long, v string, w double"), t
+    )
+    commit_snapshot(  # legally omits w
+        _df(spark, [(2, "b")]), t, mode="append", schema_evolution=True
+    )
+    with pytest.raises(ValueError, match="column types"):
+        commit_snapshot(
+            spark.createDataFrame([(3, "c", 7)], "k long, v string, w long"),
+            t,
+            mode="append",
+            schema_evolution=True,
+        )
+    # same type is still fine
+    commit_snapshot(
+        spark.createDataFrame([(3, "c", 7.0)], "k long, v string, w double"),
+        t,
+        mode="append",
+        schema_evolution=True,
+    )
+    out = {r.k: r.w for r in read_version(spark, t).collect()}
+    assert out == {1: 1.5, 2: None, 3: 7.0}
+
+
+def test_vacuum_watermark_gives_clear_error(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, [(1, "a")]), t)
+    commit_snapshot(_df(spark, [(2, "b")]), t, mode="overwrite")
+    commit_snapshot(_df(spark, [(3, "c")]), t, mode="overwrite")
+    from avro_diff_spark.sources.versioned import vacuum
+
+    vacuum(t, keep_versions=1)
+    with pytest.raises(ValueError, match="vacuumed; earliest readable version is 2"):
+        read_version(spark, t, 0)
+    hist = table_history(t)
+    assert [h["vacuumed"] for h in hist] == [True, True, False]
+    assert {r.k for r in read_version(spark, t, 2).collect()} == {3}
+
+
+def test_read_changes_cdc_between_versions(spark, tmp_path):
+    """Delta-CDF semantics from the log + keyed diff: per-commit change
+    rows tagged insert/delete/update_preimage/update_postimage with
+    _commit_version; a multi-version range is the union of per-commit
+    feeds (an intermediate state is NOT collapsed away)."""
+    from avro_diff_spark.sources.versioned import read_changes
+
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, [(1, "a"), (2, "b"), (3, "c")]), t)
+    commit_snapshot(_df(spark, [(1, "a"), (2, "B"), (4, "d")]), t, mode="overwrite")
+    commit_snapshot(_df(spark, [(1, "a"), (2, "B"), (4, "d"), (5, "e")]), t, mode="overwrite")
+
+    one = read_changes(spark, t, ["k"], v_from=0, v_to=1)
+    got = {(r.k, r.v, r._change_type, r._commit_version) for r in one.collect()}
+    assert got == {
+        (2, "b", "update_preimage", 1),
+        (2, "B", "update_postimage", 1),
+        (3, "c", "delete", 1),
+        (4, "d", "insert", 1),
+    }
+
+    both = read_changes(spark, t, ["k"], v_from=0)  # v_to defaults latest
+    got2 = {(r.k, r.v, r._change_type, r._commit_version) for r in both.collect()}
+    assert got2 == got | {(5, "e", "insert", 2)}
+
+    with pytest.raises(ValueError, match="v_to > v_from"):
+        read_changes(spark, t, ["k"], v_from=2, v_to=2)
