@@ -498,22 +498,17 @@ FROM old_snap o FULL OUTER JOIN new_snap n ON o.o_orderkey = n.o_orderkey
 """
 
 
-def _q_key_diff_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Keyed diff across two COMMITS of a versioned table
-    (sources/versioned.py — the Delta-protocol-style commit log): the
-    old snapshot is committed as v0, the new as an overwriting v1, and
-    the diff reads BOTH versions back through log replay (time travel)
-    before classifying. Same projection and oracle as key_diff_orders —
-    the log/read machinery is what's under test. The reference diffs two
-    explicit file paths; this lifts that surface onto table versions."""
+def _versioned_orders_table(
+    spark: SparkSession, sf_dir: str, *, partition_by: list | None = None
+) -> str:
+    """Build (or reuse) the two-commit versioned orders fixture: old
+    snapshot as v0, new as an overwriting v1 — cache-keyed by the source
+    parquet's content fingerprint so regenerated testdata can never feed
+    stale commits to the correctness gate."""
     import hashlib
     import os
 
-    from avro_diff_spark.sources.versioned import (
-        commit_snapshot,
-        key_diff_versions,
-        latest_version,
-    )
+    from avro_diff_spark.sources.versioned import commit_snapshot, latest_version
 
     src = os.path.join(sf_dir, "orders.parquet")
     files = [src] if os.path.isfile(src) else sorted(
@@ -524,7 +519,8 @@ def _q_key_diff_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
         st = os.stat(p)
         h.update(f"{p}|{st.st_size}|{st.st_mtime_ns};".encode())
     tag = os.path.basename(os.path.normpath(sf_dir))
-    table = f"/root/repo/.cache/versioned/{tag}-{h.hexdigest()[:12]}/orders"
+    flavor = "versioned_part" if partition_by else "versioned"
+    table = f"/root/repo/.cache/{flavor}/{tag}-{h.hexdigest()[:12]}/orders"
     if latest_version(table) != 1:
         # rebuild from scratch on ANY unexpected state — a crash between
         # the two commits would otherwise leave v0=old only, and a naive
@@ -532,8 +528,29 @@ def _q_key_diff_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
         import shutil
 
         shutil.rmtree(table, ignore_errors=True)
-        commit_snapshot(snap.orders_old(spark, sf_dir), table)
-        commit_snapshot(snap.orders_new(spark, sf_dir), table, mode="overwrite")
+        commit_snapshot(
+            snap.orders_old(spark, sf_dir), table, partition_by=partition_by
+        )
+        commit_snapshot(
+            snap.orders_new(spark, sf_dir),
+            table,
+            mode="overwrite",
+            partition_by=partition_by,
+        )
+    return table
+
+
+def _q_key_diff_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed diff across two COMMITS of a versioned table
+    (sources/versioned.py — the Delta-protocol-style commit log): the
+    old snapshot is committed as v0, the new as an overwriting v1, and
+    the diff reads BOTH versions back through log replay (time travel)
+    before classifying. Same projection and oracle as key_diff_orders —
+    the log/read machinery is what's under test. The reference diffs two
+    explicit file paths; this lifts that surface onto table versions."""
+    from avro_diff_spark.sources.versioned import key_diff_versions
+
+    table = _versioned_orders_table(spark, sf_dir)
     d = key_diff_versions(spark, table, ["o_orderkey"], v_old=0, v_new=1)
     return d.select(
         "o_orderkey",
@@ -542,6 +559,95 @@ def _q_key_diff_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("old").getField("o_totalprice").alias("old_totalprice"),
         F.col("new").getField("o_totalprice").alias("new_totalprice"),
     )
+
+
+def _q_key_diff_versions_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed diff across two commits of a PARTITIONED versioned table,
+    with the diff PRUNED to one partition straight from the commit log's
+    partitionValues (sources/versioned.py, round 7): both snapshots are
+    committed ``partition_by=["o_orderstatus"]`` and only the 'F'
+    partition's files are opened on either side — the coarse lakehouse
+    skip (Delta's partitionValues pruning) composed with the reference's
+    keyed-diff surface; partition columns are reconstructed from the log
+    (the data files don't carry them). The oracle filters both snapshots
+    to the same partition, so the pruned read's exactness is what's
+    under test; a strict-subset file-open pin lives in
+    tests/test_versioned.py."""
+    from avro_diff_spark.sources.versioned import key_diff_versions
+
+    table = _versioned_orders_table(spark, sf_dir, partition_by=["o_orderstatus"])
+    d = key_diff_versions(
+        spark,
+        table,
+        ["o_orderkey"],
+        v_old=0,
+        v_new=1,
+        prune=("o_orderstatus", "F", "F"),
+    )
+    return d.select(
+        "o_orderkey",
+        "diff_kind",
+        F.array_join(F.col("changed_fields"), ",").alias("changed_fields"),
+        F.col("old").getField("o_totalprice").alias("old_totalprice"),
+        F.col("new").getField("o_totalprice").alias("new_totalprice"),
+    )
+
+
+def _q_cdc_changes_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed between two versions of the versioned orders
+    table (sources/versioned.read_changes — the Delta-CDF /
+    ``table_changes`` surface): one row per changed data row, tagged
+    _change_type ∈ {insert, delete, update_preimage, update_postimage}
+    and _commit_version, derived from the commit log + the engine's
+    keyed diff. Timestamps project to epoch micros (engine-portable)."""
+    from avro_diff_spark.functions.canonical import ts_micros
+    from avro_diff_spark.sources.versioned import read_changes
+
+    table = _versioned_orders_table(spark, sf_dir)
+    ch = read_changes(spark, table, ["o_orderkey"], v_from=0, v_to=1)
+    return ch.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        ts_micros(F.col("o_orderdate")).alias("o_orderdate_us"),
+        "o_orderpriority",
+        "_change_type",
+        "_commit_version",
+    )
+
+
+_CDC_CHANGES_SQL = f"""
+WITH old_base AS ({snap.ORDERS_OLD_SQL}),
+     new_base AS ({snap.ORDERS_NEW_SQL}),
+o AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         epoch_us(o_orderdate) AS o_orderdate_us, o_orderpriority
+  FROM old_base
+),
+n AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         epoch_us(o_orderdate) AS o_orderdate_us, o_orderpriority
+  FROM new_base
+),
+chg AS (
+  SELECT o.o_orderkey
+  FROM o JOIN n USING (o_orderkey)
+  WHERE o.o_custkey        IS DISTINCT FROM n.o_custkey
+     OR o.o_orderstatus    IS DISTINCT FROM n.o_orderstatus
+     OR o.o_totalprice     IS DISTINCT FROM n.o_totalprice
+     OR o.o_orderdate_us   IS DISTINCT FROM n.o_orderdate_us
+     OR o.o_orderpriority  IS DISTINCT FROM n.o_orderpriority
+)
+SELECT n.*, 'insert' AS _change_type, 1 AS _commit_version
+FROM n WHERE o_orderkey NOT IN (SELECT o_orderkey FROM o)
+UNION ALL
+SELECT o.*, 'delete', 1 FROM o WHERE o_orderkey NOT IN (SELECT o_orderkey FROM n)
+UNION ALL
+SELECT o.*, 'update_preimage', 1 FROM o WHERE o_orderkey IN (SELECT o_orderkey FROM chg)
+UNION ALL
+SELECT n.*, 'update_postimage', 1 FROM n WHERE o_orderkey IN (SELECT o_orderkey FROM chg)
+"""
 
 
 def _q_key_diff_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -715,6 +821,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_diff_avro_logical": _q_key_diff_avro_logical,
         "key_diff_avro_evolved": _q_key_diff_avro_evolved,
         "key_diff_versions": _q_key_diff_versions,
+        "key_diff_versions_partitioned": _q_key_diff_versions_partitioned,
+        "cdc_changes_orders": _q_cdc_changes_orders,
         "key_diff_composite": _q_key_diff_composite,
         "self_diff_counts": _q_self_diff_counts,
         "venn_removed": _q_venn_removed,
@@ -909,10 +1017,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # similarity recall tests recompute directly
     # (tests/test_similarity.py), and the CI oracle gate value-hashes
     # cosine_topk every run.
+    # Round-7 demotion for key_diff_versions_partitioned (partition-pruned
+    # time-travel diff): key_diff_versions moves to the tail — the recorded
+    # partitioned variant executes a strict SUPERSET of its machinery (the
+    # same commit-log replay, schema reconstruction and keyed-diff
+    # composition, PLUS partitionValues recording, log-level partition
+    # pruning and partition-column reconstruction), the unpartitioned
+    # lifecycle is pytest-pinned throughout tests/test_versioned.py, and
+    # the CI oracle gate value-hashes it every run.
+    # Round-7 demotion for cdc_changes_orders (the Delta-CDF change feed):
+    # region_revenue moves to the tail — its two mechanisms are both still
+    # recorded: the broadcast-dim-chain join + exact-decimal groupBy agg is
+    # exactly what supplier_part_profit executes (three broadcast dims into
+    # the lineitem fact), and the big-big fact equi-join + agg is what
+    # top_revenue_orders executes (the same lineitem JOIN orders); the CI
+    # oracle gate value-hashes region_revenue every run.
     # Tail queries remain bench-covered and verified by tools/oracle_check.py;
     # tests/test_registry.py asserts every tail query is oracle-green so a
     # tail regression cannot ship behind a complete-looking driver record.
     for tail in (
+        "key_diff_versions",
+        "region_revenue",
         "cosine_topk",
         "pack_sequences",
         "lang_id_counts",
@@ -973,6 +1098,13 @@ def oracle_sql() -> dict[str, str]:
         "key_diff_avro_evolved": _KEY_DIFF_AVRO_EVOLVED_SQL,
         # versioned commits carry the same snapshots -> same diff law
         "key_diff_versions": _KEY_DIFF_ORDERS_SQL,
+        # partition-pruned diff == the same law on one o_orderstatus slice
+        "key_diff_versions_partitioned": _KEY_DIFF_ORDERS_SQL.replace(
+            "FROM old_snap o FULL OUTER JOIN new_snap n",
+            "FROM (SELECT * FROM old_snap WHERE o_orderstatus = 'F') o "
+            "FULL OUTER JOIN (SELECT * FROM new_snap WHERE o_orderstatus = 'F') n",
+        ),
+        "cdc_changes_orders": _CDC_CHANGES_SQL,
         "key_diff_composite": _KEY_DIFF_COMPOSITE_SQL,
         "self_diff_counts": _SELF_DIFF_COUNTS_SQL,
         "venn_removed": _VENN_REMOVED_SQL,
