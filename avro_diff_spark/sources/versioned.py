@@ -50,9 +50,13 @@ __all__ = [
     "commit_snapshot",
     "read_version",
     "latest_version",
+    "version_as_of",
     "table_history",
     "key_diff_versions",
     "read_changes",
+    "merge_into",
+    "delete_where",
+    "update_where",
     "compact_table",
     "vacuum",
     "commit_stream",
@@ -272,10 +276,13 @@ def commit_snapshot(
             acts.append(a)
         return acts
 
+    import time
+
     for _ in range(max(max_retries, 1)):
         commit = {
             "version": version,
             "mode": mode,
+            "ts_us": int(time.time() * 1_000_000),
             "n_rows": n_rows,
             "schema": df.schema.json(),
             "actions": actions_for(version),
@@ -474,11 +481,35 @@ def _may_match(add: dict, col: str, lo, hi) -> bool:
     return not (s[1] < lo_b or s[0] > hi_b)
 
 
+def version_as_of(table_path: str, ts) -> int:
+    """The version a timestamp resolves to — the latest commit whose
+    recorded commit time is ≤ ``ts`` (datetime or epoch micros int):
+    Delta's ``AS OF TIMESTAMP`` rule. Commits predating timestamp
+    tracking count as always-eligible. Raises if ``ts`` is before the
+    first commit."""
+    import datetime
+
+    if isinstance(ts, datetime.datetime):
+        ts = int(ts.timestamp() * 1_000_000)
+    best = None
+    for v, path in _commit_files(table_path):
+        with open(path) as fh:
+            c = json.load(fh)
+        if c.get("ts_us", 0) <= ts:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"timestamp {ts} predates the first commit of {table_path!r}"
+        )
+    return best
+
+
 def read_version(
     spark: SparkSession,
     table_path: str,
     version: int | None = None,
     *,
+    as_of=None,
     prune: tuple[str, object, object] | None = None,
 ) -> DataFrame:
     """Read the table as of ``version`` (default: latest) — time travel.
@@ -497,11 +528,19 @@ def read_version(
     difference between a footer fetch per file and none at all — the
     manifest alone answers which files matter.
 
+    ``as_of`` (datetime or epoch micros) resolves to a version by commit
+    time — Delta's ``AS OF TIMESTAMP`` — mutually exclusive with
+    ``version``.
+
     Partitioned tables reconstruct the partition columns from the
     recorded ``pv`` (the data files don't carry them), cast per the
     committed schema — one scan per live partition value, unioned;
     Catalyst folds the literals, so the plan stays a plain multi-path
     scan."""
+    if as_of is not None:
+        if version is not None:
+            raise ValueError("pass version= or as_of=, not both")
+        version = version_as_of(table_path, as_of)
     if version is None:
         version = latest_version(table_path)
     if version < 0:
@@ -575,6 +614,7 @@ def table_history(table_path: str) -> list[dict]:
             {
                 "version": c["version"],
                 "mode": c["mode"],
+                "ts_us": c.get("ts_us"),
                 "n_rows": c["n_rows"],
                 "n_added": sum(1 for a in c["actions"] if "add" in a),
                 "n_removed": sum(1 for a in c["actions"] if "remove" in a),
@@ -711,11 +751,14 @@ def commit_stream(
             batch_df, table_path, latest_version(table_path) + 1, partition_by
         )
         n_rows = _footer_rows(table_path, [f for f, _ in added])
+        import time
+
         while True:
             version = latest_version(table_path) + 1
             commit = {
                 "version": version,
                 "mode": "append",
+                "ts_us": int(time.time() * 1_000_000),
                 "app": app_id,
                 "epoch": epoch_id,
                 "n_rows": n_rows,
@@ -765,6 +808,108 @@ def key_diff_versions(
     return key_diff(old, new, keys, **kwargs)
 
 
+def merge_into(
+    spark: SparkSession,
+    table_path: str,
+    source: DataFrame,
+    keys: list[str],
+    *,
+    when_matched: str = "update",
+    when_not_matched: str = "insert",
+    when_not_matched_by_source: str = "keep",
+    partition_by: list[str] | None = None,
+    stats_cols: list[str] | None = None,
+) -> int:
+    """``MERGE INTO`` — the lakehouse upsert (Delta/Iceberg MERGE reduced
+    to its whole-row clauses): join ``source`` to the table's latest
+    version on ``keys`` and commit the merged state as one overwrite.
+    ``when_matched``: 'update' (take the source row) or 'keep';
+    ``when_not_matched``: 'insert' or 'ignore' (source-only rows);
+    ``when_not_matched_by_source``: 'keep' or 'delete' (target-only
+    rows). Returns the new version.
+
+    Scale shape: ONE full-outer equi-join on the keys (the same
+    single-shuffle FOJ the keyed diff runs) and one rewrite commit.
+    This is the rewrite-everything variant; the targeted-file variant
+    every lakehouse optimizes to (touch only files whose key ranges
+    intersect the source) falls out of the SAME log machinery —
+    partition/stats pruning selects the rewrite set — and is left to a
+    future round; semantics are identical. Source keys must be unique
+    (duplicate source keys make MERGE ambiguous — Delta raises too).
+    """
+    if when_matched not in ("update", "keep"):
+        raise ValueError(f"when_matched={when_matched!r} (update|keep)")
+    if when_not_matched not in ("insert", "ignore"):
+        raise ValueError(f"when_not_matched={when_not_matched!r} (insert|ignore)")
+    if when_not_matched_by_source not in ("keep", "delete"):
+        raise ValueError(
+            f"when_not_matched_by_source={when_not_matched_by_source!r} (keep|delete)"
+        )
+    target = read_version(spark, table_path)
+    cols = target.columns
+    if set(source.columns) != set(cols):
+        raise ValueError(
+            f"source columns {sorted(source.columns)} != table columns "
+            f"{sorted(cols)} — project the source to the table schema first"
+        )
+    t = target.select(*[F.col(c).alias(f"__t_{c}") for c in cols])
+    s = source.select(*[F.col(c).alias(f"__s_{c}") for c in cols])
+    cond = [t[f"__t_{k}"] == s[f"__s_{k}"] for k in keys]
+    j = t.join(s, cond, "full_outer")
+    # merge keys are non-null by contract (as in every MERGE implementation)
+    t_present = j[f"__t_{keys[0]}"].isNotNull()
+    s_present = j[f"__s_{keys[0]}"].isNotNull()
+    take_source = (
+        (t_present & s_present & F.lit(when_matched == "update"))
+        | (~t_present & s_present & F.lit(when_not_matched == "insert"))
+    )
+    keep_row = (
+        (t_present & s_present)
+        | (~t_present & s_present & F.lit(when_not_matched == "insert"))
+        | (t_present & ~s_present & F.lit(when_not_matched_by_source == "keep"))
+    )
+    merged = j.filter(keep_row).select(
+        *[
+            F.when(take_source, j[f"__s_{c}"]).otherwise(j[f"__t_{c}"]).alias(c)
+            for c in cols
+        ]
+    )
+    return commit_snapshot(
+        merged,
+        table_path,
+        mode="overwrite",
+        partition_by=partition_by,
+        stats_cols=stats_cols,
+    )
+
+
+def delete_where(spark: SparkSession, table_path: str, condition) -> int:
+    """``DELETE FROM table WHERE condition`` — rewrite the live set
+    without the matching rows as one overwrite commit (time travel keeps
+    the pre-delete versions readable until vacuum). ``condition`` is a
+    Column or SQL string. Returns the new version."""
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    kept = read_version(spark, table_path).filter(~cond)
+    return commit_snapshot(kept, table_path, mode="overwrite")
+
+
+def update_where(
+    spark: SparkSession, table_path: str, condition, assignments: dict
+) -> int:
+    """``UPDATE table SET col = expr WHERE condition`` — rewrite with
+    the assignments applied to matching rows, one overwrite commit.
+    ``assignments`` maps column name → Column/SQL expression. Returns
+    the new version."""
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    df = read_version(spark, table_path)
+    for c, e in assignments.items():
+        if c not in df.columns:
+            raise ValueError(f"unknown column {c!r}")
+        expr = F.expr(e) if isinstance(e, str) else e
+        df = df.withColumn(c, F.when(cond, expr).otherwise(F.col(c)))
+    return commit_snapshot(df, table_path, mode="overwrite")
+
+
 def read_changes(
     spark: SparkSession,
     table_path: str,
@@ -781,8 +926,10 @@ def read_changes(
     pre- and post-image (the Delta CDF convention downstream merges
     rely on).
 
-    Scale shape: one keyed diff per commit step — each is the engine's
-    single-shuffle FOJ classification; steps are independent scans
+    Scale shape: ONE keyed diff per commit step — the engine's
+    single-shuffle FOJ classification — with the pre/post fan-out done
+    by a single array-explode over the classified frame (NOT four
+    filtered re-executions of the join); steps are independent scans
     unioned (Spark runs them as one job). Per-commit derivation reads
     two adjacent snapshots; a stored-CDF variant would trade write
     amplification for cheaper reads, the same trade Delta exposes."""
@@ -792,39 +939,37 @@ def read_changes(
         raise ValueError(f"need v_to > v_from (got {v_from} -> {v_to})")
     from avro_diff_spark.operators.key_diff import key_diff
 
-    steps = []
-    for v in range(v_from + 1, v_to + 1):
+    def step(v: int) -> DataFrame:
         d = key_diff(
             read_version(spark, table_path, v - 1),
             read_version(spark, table_path, v),
             keys,
         )
-        ins = d.filter(F.col("diff_kind") == "added").select(
-            "new.*",
-            F.lit("insert").alias("_change_type"),
+
+        def tagged(ct: str, payload: str):
+            return F.struct(
+                F.lit(ct).alias("_ct"), F.col(payload).alias("_row")
+            )
+
+        kind = F.col("diff_kind")
+        changes = (
+            F.when(kind == "added", F.array(tagged("insert", "new")))
+            .when(kind == "removed", F.array(tagged("delete", "old")))
+            .when(
+                kind == "changed",
+                F.array(
+                    tagged("update_preimage", "old"),
+                    tagged("update_postimage", "new"),
+                ),
+            )
+        )  # unchanged -> NULL array, dropped by the plain explode
+        return d.select(F.explode(changes).alias("_e")).select(
+            "_e._row.*",
+            F.col("_e._ct").alias("_change_type"),
             F.lit(v).alias("_commit_version"),
         )
-        dele = d.filter(F.col("diff_kind") == "removed").select(
-            "old.*",
-            F.lit("delete").alias("_change_type"),
-            F.lit(v).alias("_commit_version"),
-        )
-        pre = d.filter(F.col("diff_kind") == "changed").select(
-            "old.*",
-            F.lit("update_preimage").alias("_change_type"),
-            F.lit(v).alias("_commit_version"),
-        )
-        post = d.filter(F.col("diff_kind") == "changed").select(
-            "new.*",
-            F.lit("update_postimage").alias("_change_type"),
-            F.lit(v).alias("_commit_version"),
-        )
-        steps.append(
-            ins.unionByName(dele, allowMissingColumns=True)
-            .unionByName(pre, allowMissingColumns=True)
-            .unionByName(post, allowMissingColumns=True)
-        )
-    out = steps[0]
-    for s in steps[1:]:
-        out = out.unionByName(s, allowMissingColumns=True)
+
+    out = step(v_from + 1)
+    for v in range(v_from + 2, v_to + 1):
+        out = out.unionByName(step(v), allowMissingColumns=True)
     return out

@@ -35,6 +35,7 @@ QUERIES = [
     "cosine_topk",
     "mixture_weights",
     "audio_features_flac",
+    "cdc_changes_orders",  # versioned family: log replay + CDC derivation
 ]
 
 

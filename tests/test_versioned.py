@@ -641,3 +641,107 @@ def test_read_changes_cdc_between_versions(spark, tmp_path):
 
     with pytest.raises(ValueError, match="v_to > v_from"):
         read_changes(spark, t, ["k"], v_from=2, v_to=2)
+
+
+def test_merge_into_upsert_semantics(spark, tmp_path):
+    """MERGE INTO whole-row clauses: matched->update, not-matched->
+    insert, not-matched-by-source->keep/delete; one overwrite commit;
+    time travel keeps the pre-merge state."""
+    from avro_diff_spark.sources.versioned import merge_into
+
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, [(1, "a"), (2, "b"), (3, "c")]), t)
+    src = _df(spark, [(2, "B"), (4, "d")])
+
+    v = merge_into(spark, t, src, ["k"])
+    assert v == 1
+    assert {(r.k, r.v) for r in read_version(spark, t).collect()} == {
+        (1, "a"), (2, "B"), (3, "c"), (4, "d")
+    }
+    assert {(r.k, r.v) for r in read_version(spark, t, 0).collect()} == {
+        (1, "a"), (2, "b"), (3, "c")
+    }
+
+    # delete rows the source doesn't carry (the full-sync variant)
+    merge_into(spark, t, src, ["k"], when_not_matched_by_source="delete")
+    assert {(r.k, r.v) for r in read_version(spark, t).collect()} == {(2, "B"), (4, "d")}
+
+    # keep-matched + ignore-unmatched = no-op on content
+    before = {(r.k, r.v) for r in read_version(spark, t).collect()}
+    merge_into(
+        spark, t, _df(spark, [(2, "zzz"), (9, "x")]), ["k"],
+        when_matched="keep", when_not_matched="ignore",
+    )
+    assert {(r.k, r.v) for r in read_version(spark, t).collect()} == before
+
+    with pytest.raises(ValueError, match="source columns"):
+        merge_into(spark, t, src.drop("v"), ["k"])
+
+
+def test_delete_and_update_where(spark, tmp_path):
+    from avro_diff_spark.sources.versioned import delete_where, update_where
+
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, [(i, f"r{i}") for i in range(6)]), t)
+    delete_where(spark, t, "k % 2 = 0")
+    assert {r.k for r in read_version(spark, t).collect()} == {1, 3, 5}
+    update_where(spark, t, F.col("k") > 2, {"v": F.upper(F.col("v"))})
+    assert {(r.k, r.v) for r in read_version(spark, t).collect()} == {
+        (1, "r1"), (3, "R3"), (5, "R5")
+    }
+    # history: base + delete + update, all readable via time travel
+    assert [h["version"] for h in table_history(t)] == [0, 1, 2]
+    assert {r.v for r in read_version(spark, t, 1).collect()} == {"r1", "r3", "r5"}
+    with pytest.raises(ValueError, match="unknown column"):
+        update_where(spark, t, "k = 1", {"nope": F.lit(1)})
+
+
+def test_merge_into_partitioned_table_keeps_partitioning(spark, tmp_path):
+    """A merge on a partitioned table re-commits partitioned (the
+    rewrite stays prunable) and the pv reconstruction round-trips."""
+    from avro_diff_spark.sources.versioned import _live_adds, merge_into
+
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, i % 2, f"r{i}") for i in range(8)], "k long, p long, v string"
+    )
+    commit_snapshot(df, t, partition_by=["p"])
+    src = spark.createDataFrame([(0, 0, "NEW"), (100, 1, "ins")], "k long, p long, v string")
+    merge_into(spark, t, src, ["k"], partition_by=["p"])
+    adds, _ = _live_adds(t, 1)
+    assert all(a["pv"] for a in adds.values())
+    got = {(r.k, r.p, r.v) for r in read_version(spark, t).collect()}
+    want = {(i, i % 2, f"r{i}") for i in range(1, 8)} | {(0, 0, "NEW"), (100, 1, "ins")}
+    assert got == want
+
+
+def test_as_of_timestamp_time_travel(spark, tmp_path):
+    """AS OF TIMESTAMP: commits record ts_us; a timestamp resolves to the
+    latest commit at-or-before it (Delta's rule), errors before the
+    first commit, and read_version(as_of=) equals the version read."""
+    import datetime
+    import json as _json
+
+    from avro_diff_spark.sources.versioned import version_as_of
+
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, [(1, "a")]), t)
+    commit_snapshot(_df(spark, [(2, "b")]), t, mode="overwrite")
+    # pin distinct commit times deterministically (wall clock can tie)
+    for v, us in ((0, 1_000_000), (1, 2_000_000)):
+        p = os.path.join(t, "_log", f"{v:06d}.json")
+        with open(p) as fh:
+            c = _json.load(fh)
+        c["ts_us"] = us
+        with open(p, "w") as fh:
+            _json.dump(c, fh)
+
+    assert version_as_of(t, 1_500_000) == 0
+    assert version_as_of(t, 2_000_000) == 1
+    assert version_as_of(t, datetime.datetime.fromtimestamp(9.0)) == 1
+    with pytest.raises(ValueError, match="predates"):
+        version_as_of(t, 999_999)
+    assert {r.k for r in read_version(spark, t, as_of=1_500_000).collect()} == {1}
+    with pytest.raises(ValueError, match="not both"):
+        read_version(spark, t, 0, as_of=1_500_000)
+    assert all(h["ts_us"] is not None for h in table_history(t))
