@@ -1086,6 +1086,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # single-shuffle full-outer join the recorded key_diff_orders executes;
     # merge clause semantics (update/insert/delete/keep, partitioned
     # rewrite) are pytest-pinned in tests/test_versioned.py.
+    # Round-7 demotion for exact_substring_scrub (the COMPLETED ExactSubstr
+    # pass): exact_substring_spans moves to the tail — the recorded scrub
+    # executes the spans pipeline in full as its FIRST stage (identical
+    # tokenization, gram hashing, occurrence threshold and gaps-and-islands
+    # chaining) before cutting the spans out and md5-pinning the kept
+    # tokens, the same supersession pattern as decontaminated_counts over
+    # contamination_check (round 6); spans stays property-pinned vs the
+    # naive suffix scan in tests/test_dedup.py and the CI oracle gate
+    # value-hashes it every run.
     # Round-7 demotion for cdc_changes_orders (the Delta-CDF change feed):
     # region_revenue moves to the tail — its two mechanisms are both still
     # recorded: the broadcast-dim-chain join + exact-decimal groupBy agg is
@@ -1100,6 +1109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert_orders",
         "key_diff_versions",
         "region_revenue",
+        "exact_substring_spans",
         "cosine_topk",
         "pack_sequences",
         "lang_id_counts",

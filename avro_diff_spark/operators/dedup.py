@@ -695,6 +695,65 @@ def exact_substring_spans(
     )
 
 
+def exact_substring_scrub(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    ngram_w: int = 8,
+    min_count: int = 2,
+    min_tokens: int = 10,
+) -> DataFrame:
+    """The COMPLETED ExactSubstr pass (Lee et al. 2022): cut every
+    maximal duplicated span :func:`exact_substring_spans` finds out of
+    each document's token stream and report what remains — the analogue
+    of ``decontaminated_counts`` for the contamination flags. Spans are
+    disjoint per document by construction (maximal runs), so the kept
+    count is exact; ``kept_md5`` fingerprints the kept tokens in order,
+    pinning the actual cut mechanics (not just arithmetic) against the
+    oracle.
+
+    Scale shape: the spans pipeline's two shuffles, one per-doc span
+    aggregation (bounded: spans per doc ≤ tokens/min_tokens), a LEFT
+    equi-join back onto the token stream, and a pure Column
+    filter-with-index over the token array — no extra shuffle beyond
+    the join, no UDFs.
+
+    Columns: doc_id, n_tokens, n_kept_tokens, n_cut_spans, kept_md5.
+    """
+    spans = exact_substring_spans(
+        df,
+        text_col,
+        id_col,
+        ngram_w=ngram_w,
+        min_count=min_count,
+        min_tokens=min_tokens,
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_tokens")).alias("__spans"),
+        F.count(F.lit(1)).alias("n_cut_spans"),
+    )
+    toks = spread_small(df).select(
+        F.col(id_col).alias("doc_id"), tokens_ws(F.col(text_col)).alias("__toks")
+    )
+    j = toks.join(per_doc, "doc_id", "left")
+    covered = lambda i: F.exists(  # noqa: E731 - span-membership predicate
+        F.col("__spans"),
+        lambda s: (i >= s.getField("span_start"))
+        & (i < s.getField("span_start") + s.getField("span_tokens")),
+    )
+    kept = F.when(
+        F.col("__spans").isNull(), F.col("__toks")
+    ).otherwise(F.filter(F.col("__toks"), lambda x, i: ~covered(i)))
+    return j.select(
+        "doc_id",
+        F.size("__toks").alias("n_tokens"),
+        F.size(kept).alias("n_kept_tokens"),
+        F.coalesce(F.col("n_cut_spans"), F.lit(0)).alias("n_cut_spans"),
+        F.md5(F.array_join(kept, " ")).alias("kept_md5"),
+    )
+
+
 def contamination_check(
     corpus: DataFrame,
     benchmark: DataFrame,

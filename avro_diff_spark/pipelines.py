@@ -1419,6 +1419,52 @@ HAVING max(pos) - min(pos) + {ngram_w} >= {min_tokens}
 """
 
 
+def q_exact_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETED ExactSubstr pass over the dups corpus
+    (operators/dedup.exact_substring_scrub): every maximal duplicated
+    span cut from the token stream, per-doc kept counts plus an md5 of
+    the kept tokens in order — the cut mechanics themselves are what
+    the oracle value-hashes."""
+    corpus = snap.documents_with_dups(spark, sf_dir)
+    return DD.exact_substring_scrub(
+        corpus, "text", "doc_id", ngram_w=8, min_count=2, min_tokens=10
+    )
+
+
+def _exact_substring_scrub_sql(
+    ngram_w: int = 8, min_count: int = 2, min_tokens: int = 10
+) -> str:
+    toks = tokens_sql("text")
+    spans = _exact_substring_spans_sql(ngram_w, min_count, min_tokens)
+    return f"""
+WITH corpus0 AS ({snap.DOCUMENTS_WITH_DUPS_SQL}),
+sp AS ({spans.replace(snap.DOCUMENTS_WITH_DUPS_SQL, "SELECT * FROM corpus0")}),
+agg AS (
+  SELECT doc_id,
+         list({{'span_start': span_start, 'span_tokens': span_tokens}}) AS spans,
+         count(*) AS n_cut_spans
+  FROM sp GROUP BY doc_id
+),
+t AS (SELECT doc_id, {toks} AS toks FROM corpus0),
+j AS (
+  SELECT t.doc_id, t.toks,
+         CASE WHEN a.spans IS NULL THEN t.toks
+              ELSE list_filter(t.toks, (x, i) -> len(list_filter(a.spans,
+                     s -> i - 1 >= s.span_start
+                      AND i - 1 < s.span_start + s.span_tokens)) = 0)
+         END AS kept,
+         coalesce(a.n_cut_spans, 0) AS n_cut_spans
+  FROM t LEFT JOIN agg a ON t.doc_id = a.doc_id
+)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       len(kept) AS n_kept_tokens,
+       CAST(n_cut_spans AS BIGINT) AS n_cut_spans,
+       md5(coalesce(array_to_string(kept, ' '), '')) AS kept_md5
+FROM j
+"""
+
+
 def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-decontamination over the dups corpus: a deterministic 1/97 slice
     plays the benchmark suite; its exact/near-dup twins (and any chance
@@ -2887,6 +2933,7 @@ PIPELINE_QUERIES = {
     "dedup_exact_survivors": q_dedup_exact_survivors,
     "duplicate_spans": q_duplicate_spans,
     "exact_substring_spans": q_exact_substring_spans,
+    "exact_substring_scrub": q_exact_substring_scrub,
     "contamination_check": q_contamination_check,
     "decontaminated_counts": q_decontaminated_counts,
     "jaccard_pairs": q_jaccard_pairs,
@@ -2954,6 +3001,7 @@ def pipeline_sql() -> dict[str, str]:
         "dedup_exact_survivors": DEDUP_EXACT_SURVIVORS_SQL,
         "duplicate_spans": _duplicate_spans_sql(),
         "exact_substring_spans": _exact_substring_spans_sql(),
+        "exact_substring_scrub": _exact_substring_scrub_sql(),
         "contamination_check": _contamination_sql(),
         "decontaminated_counts": _decontaminated_counts_sql(),
         "jaccard_pairs": JACCARD_PAIRS_SQL,

@@ -197,3 +197,66 @@ def test_exact_substring_spans_matches_naive_scan(spark):
     # repeats (no other doc shares its grams) — the round-6 gap
     assert {d for d, *_ in want} == {1, 2, 4, 5, 7}
     assert any(d == 7 and s == 5 for d, _, s, _ in want)
+
+
+def test_exact_substring_scrub_matches_naive_cut(spark):
+    """The completed pass: naive reference recomputes spans per doc (as
+    in the spans test), cuts covered positions, and the distributed
+    scrub must agree on kept counts AND the md5 of the kept tokens —
+    pinning the cut mechanics, not just arithmetic."""
+    import hashlib
+    import re
+
+    w, min_count, min_tokens = 3, 2, 5
+    docs = [
+        (1, "a b c d e f g h"),
+        (2, "x a b c d e y z"),
+        (3, "q r s t u v"),                       # untouched: spans absent
+        (7, "m1 m2 m3 m4 m5 zz m1 m2 m3 m4 m5"),  # in-document repeats only
+    ]
+
+    def norm(t):
+        return [x for x in re.sub(r"\s+", " ", t.strip().lower()).split(" ") if x]
+
+    grams: dict[tuple, int] = {}
+    toks = {i: norm(t) for i, t in docs}
+    for tk in toks.values():
+        for p in range(len(tk) - w + 1):
+            g = tuple(tk[p : p + w])
+            grams[g] = grams.get(g, 0) + 1
+
+    want = {}
+    for i, tk in toks.items():
+        hits = [
+            p for p in range(len(tk) - w + 1) if grams[tuple(tk[p : p + w])] >= min_count
+        ]
+        covered = set()
+        n_spans = 0
+        run: list[int] = []
+        for p in hits + [None]:
+            if run and (p is None or p != run[-1] + 1):
+                span = run[-1] - run[0] + w
+                if span >= min_tokens:
+                    covered |= set(range(run[0], run[-1] + w))
+                    n_spans += 1
+                run = []
+            if p is not None:
+                run = run + [p] if run and p == run[-1] + 1 else [p]
+        kept = [t for j, t in enumerate(tk) if j not in covered]
+        want[i] = (
+            len(tk),
+            len(kept),
+            n_spans,
+            hashlib.md5(" ".join(kept).encode()).hexdigest(),
+        )
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_kept_tokens, r.n_cut_spans, r.kept_md5)
+        for r in DD.exact_substring_scrub(
+            df, "text", "doc_id", ngram_w=w, min_count=min_count, min_tokens=min_tokens
+        ).collect()
+    }
+    assert got == want
+    # doc 3 is untouched, doc 7 loses both of its self-repeat spans
+    assert got[3][1] == got[3][0] and got[7][1] == 1
