@@ -642,9 +642,12 @@ def compact_table(
     runs), and publish it as one overwriting commit. Clustered rewrites
     default ``stats_cols`` to ``cluster_by``, so the tightened per-file
     ranges land in the log and :func:`read_version` ``prune=`` skips
-    files on ANY clustered column without a footer fetch. Readers of
-    older versions are untouched — their files stay referenced by
-    earlier commits until :func:`vacuum`. Returns the new version."""
+    files on ANY clustered column without a footer fetch. A partitioned
+    table recompacts PARTITIONED (its partitioning is preserved, so
+    partition pruning survives the rewrite). Readers of older versions
+    are untouched — their files stay referenced by earlier commits
+    until :func:`vacuum`. Returns the new version."""
+    partition_by = _table_partitioning(table_path, latest_version(table_path)) or None
     df = read_version(spark, table_path)
     if cluster_by:
         from avro_diff_spark.operators import layout as L
@@ -663,7 +666,13 @@ def compact_table(
         stats_cols = stats_cols or list(cluster_by)
     else:
         df = df.coalesce(target_files)
-    return commit_snapshot(df, table_path, mode="overwrite", stats_cols=stats_cols)
+    return commit_snapshot(
+        df,
+        table_path,
+        mode="overwrite",
+        stats_cols=stats_cols,
+        partition_by=partition_by,
+    )
 
 
 def vacuum(table_path: str, *, keep_versions: int = 1) -> list[str]:
@@ -808,50 +817,18 @@ def key_diff_versions(
     return key_diff(old, new, keys, **kwargs)
 
 
-def merge_into(
-    spark: SparkSession,
-    table_path: str,
+def _merge_frames(
+    target: DataFrame,
     source: DataFrame,
     keys: list[str],
-    *,
-    when_matched: str = "update",
-    when_not_matched: str = "insert",
-    when_not_matched_by_source: str = "keep",
-    partition_by: list[str] | None = None,
-    stats_cols: list[str] | None = None,
-) -> int:
-    """``MERGE INTO`` — the lakehouse upsert (Delta/Iceberg MERGE reduced
-    to its whole-row clauses): join ``source`` to the table's latest
-    version on ``keys`` and commit the merged state as one overwrite.
-    ``when_matched``: 'update' (take the source row) or 'keep';
-    ``when_not_matched``: 'insert' or 'ignore' (source-only rows);
-    ``when_not_matched_by_source``: 'keep' or 'delete' (target-only
-    rows). Returns the new version.
-
-    Scale shape: ONE full-outer equi-join on the keys (the same
-    single-shuffle FOJ the keyed diff runs) and one rewrite commit.
-    This is the rewrite-everything variant; the targeted-file variant
-    every lakehouse optimizes to (touch only files whose key ranges
-    intersect the source) falls out of the SAME log machinery —
-    partition/stats pruning selects the rewrite set — and is left to a
-    future round; semantics are identical. Source keys must be unique
-    (duplicate source keys make MERGE ambiguous — Delta raises too).
-    """
-    if when_matched not in ("update", "keep"):
-        raise ValueError(f"when_matched={when_matched!r} (update|keep)")
-    if when_not_matched not in ("insert", "ignore"):
-        raise ValueError(f"when_not_matched={when_not_matched!r} (insert|ignore)")
-    if when_not_matched_by_source not in ("keep", "delete"):
-        raise ValueError(
-            f"when_not_matched_by_source={when_not_matched_by_source!r} (keep|delete)"
-        )
-    target = read_version(spark, table_path)
-    cols = target.columns
-    if set(source.columns) != set(cols):
-        raise ValueError(
-            f"source columns {sorted(source.columns)} != table columns "
-            f"{sorted(cols)} — project the source to the table schema first"
-        )
+    cols: list[str],
+    when_matched: str,
+    when_not_matched: str,
+    when_not_matched_by_source: str,
+) -> DataFrame:
+    """The MERGE row logic: one full-outer equi-join on the keys (the
+    same single-shuffle FOJ the keyed diff runs), clause flags as pure
+    Column predicates."""
     t = target.select(*[F.col(c).alias(f"__t_{c}") for c in cols])
     s = source.select(*[F.col(c).alias(f"__s_{c}") for c in cols])
     cond = [t[f"__t_{k}"] == s[f"__s_{k}"] for k in keys]
@@ -868,16 +845,161 @@ def merge_into(
         | (~t_present & s_present & F.lit(when_not_matched == "insert"))
         | (t_present & ~s_present & F.lit(when_not_matched_by_source == "keep"))
     )
-    merged = j.filter(keep_row).select(
+    return j.filter(keep_row).select(
         *[
             F.when(take_source, j[f"__s_{c}"]).otherwise(j[f"__t_{c}"]).alias(c)
             for c in cols
         ]
     )
-    return commit_snapshot(
+
+
+def _commit_replace_files(
+    df: DataFrame,
+    table_path: str,
+    remove: list[str],
+    *,
+    partition_by: list[str] | None,
+    stats_cols: list[str] | None,
+) -> int:
+    """Publish a REPLACE commit: remove exactly ``remove`` and add the
+    staged files of ``df`` — the targeted-rewrite commit MERGE uses.
+    Conflicts like an overwrite (its remove-set was computed against
+    the pre-commit snapshot): a lost race raises CommitConflict."""
+    import time
+
+    version = latest_version(table_path) + 1
+    added = _stage_data(df, table_path, version, partition_by)
+    actions: list[dict] = [{"remove": f} for f in remove]
+    for f, pv in added:
+        a: dict = {"add": f}
+        if pv is not None:
+            a["pv"] = pv
+        if stats_cols:
+            st = _file_column_stats(table_path, f, stats_cols)
+            if st:
+                a["stats"] = st
+        actions.append(a)
+    commit = {
+        "version": version,
+        "mode": "replace",
+        "ts_us": int(time.time() * 1_000_000),
+        "n_rows": _footer_rows(table_path, [f for f, _ in added]),
+        "schema": df.schema.json(),
+        "actions": actions,
+    }
+    if partition_by:
+        commit["partition_by"] = list(partition_by)
+    _publish_commit(table_path, version, commit)
+    return version
+
+
+def merge_into(
+    spark: SparkSession,
+    table_path: str,
+    source: DataFrame,
+    keys: list[str],
+    *,
+    when_matched: str = "update",
+    when_not_matched: str = "insert",
+    when_not_matched_by_source: str = "keep",
+    partition_by: list[str] | None = None,
+    stats_cols: list[str] | None = None,
+    rewrite: str = "auto",
+) -> int:
+    """``MERGE INTO`` — the lakehouse upsert (Delta/Iceberg MERGE reduced
+    to its whole-row clauses): join ``source`` to the table's latest
+    version on ``keys`` and commit the merged state.
+    ``when_matched``: 'update' (take the source row) or 'keep';
+    ``when_not_matched``: 'insert' or 'ignore' (source-only rows);
+    ``when_not_matched_by_source``: 'keep' or 'delete' (target-only
+    rows). Returns the new version. Source keys must be unique
+    (duplicate source keys make MERGE ambiguous — Delta raises too).
+    A partitioned table re-commits partitioned unless overridden.
+
+    ``rewrite`` picks the commit shape — the 100 TB lever:
+
+    - 'touched' (Delta's optimized merge): find the target FILES that
+      contain a source key (per-row ``input_file_name`` provenance +
+      one key semi-join — the same inner-join file-finding pass Delta
+      runs), merge ONLY those files' rows with the source, and publish
+      a REPLACE commit (remove touched, add rewritten+inserts). A merge
+      touching 1% of files rewrites 1% of the table instead of all of
+      it. Requires ``when_not_matched_by_source='keep'`` (delete must
+      inspect every file). The file list is driver-side — bounded by
+      file count, the same state every lakehouse driver holds.
+    - 'all': single FOJ + full overwrite commit.
+    - 'auto' (default): 'touched' when legal, else 'all'.
+    """
+    if when_matched not in ("update", "keep"):
+        raise ValueError(f"when_matched={when_matched!r} (update|keep)")
+    if when_not_matched not in ("insert", "ignore"):
+        raise ValueError(f"when_not_matched={when_not_matched!r} (insert|ignore)")
+    if when_not_matched_by_source not in ("keep", "delete"):
+        raise ValueError(
+            f"when_not_matched_by_source={when_not_matched_by_source!r} (keep|delete)"
+        )
+    if rewrite not in ("auto", "touched", "all"):
+        raise ValueError(f"rewrite={rewrite!r} (auto|touched|all)")
+    if rewrite == "auto":
+        rewrite = "touched" if when_not_matched_by_source == "keep" else "all"
+    if rewrite == "touched" and when_not_matched_by_source != "keep":
+        raise ValueError(
+            "rewrite='touched' needs when_not_matched_by_source='keep' — "
+            "a delete clause must inspect every file"
+        )
+    # a DML rewrite preserves the table's partitioning unless overridden
+    partition_by = (
+        partition_by or _table_partitioning(table_path, latest_version(table_path)) or None
+    )
+    target = read_version(spark, table_path)
+    cols = target.columns
+    if set(source.columns) != set(cols):
+        raise ValueError(
+            f"source columns {sorted(source.columns)} != table columns "
+            f"{sorted(cols)} — project the source to the table schema first"
+        )
+    if rewrite == "all":
+        merged = _merge_frames(
+            target, source, keys, cols,
+            when_matched, when_not_matched, when_not_matched_by_source,
+        )
+        return commit_snapshot(
+            merged,
+            table_path,
+            mode="overwrite",
+            partition_by=partition_by,
+            stats_cols=stats_cols,
+        )
+    # targeted rewrite: per-row file provenance -> touched-file set
+    tgt = target.withColumn("__file", F.input_file_name())
+    touched_abs = sorted(
+        r["__file"]
+        for r in tgt.join(source.select(*keys).distinct(), keys, "left_semi")
+        .select("__file")
+        .distinct()
+        .collect()
+    )
+
+    def rel(p: str) -> str:
+        from urllib.parse import unquote, urlparse
+
+        local = unquote(urlparse(p).path)
+        return os.path.relpath(local, os.path.abspath(table_path))
+
+    touched_rel = sorted(rel(p) for p in touched_abs)
+    sub = (
+        tgt.filter(F.col("__file").isin(list(touched_abs))).drop("__file")
+        if touched_abs
+        else target.filter(F.lit(False))
+    )
+    merged = _merge_frames(
+        sub, source, keys, cols,
+        when_matched, when_not_matched, when_not_matched_by_source,
+    )
+    return _commit_replace_files(
         merged,
         table_path,
-        mode="overwrite",
+        touched_rel,
         partition_by=partition_by,
         stats_cols=stats_cols,
     )
@@ -889,8 +1011,9 @@ def delete_where(spark: SparkSession, table_path: str, condition) -> int:
     the pre-delete versions readable until vacuum). ``condition`` is a
     Column or SQL string. Returns the new version."""
     cond = F.expr(condition) if isinstance(condition, str) else condition
+    pb = _table_partitioning(table_path, latest_version(table_path)) or None
     kept = read_version(spark, table_path).filter(~cond)
-    return commit_snapshot(kept, table_path, mode="overwrite")
+    return commit_snapshot(kept, table_path, mode="overwrite", partition_by=pb)
 
 
 def update_where(
@@ -901,13 +1024,14 @@ def update_where(
     ``assignments`` maps column name → Column/SQL expression. Returns
     the new version."""
     cond = F.expr(condition) if isinstance(condition, str) else condition
+    pb = _table_partitioning(table_path, latest_version(table_path)) or None
     df = read_version(spark, table_path)
     for c, e in assignments.items():
         if c not in df.columns:
             raise ValueError(f"unknown column {c!r}")
         expr = F.expr(e) if isinstance(e, str) else e
         df = df.withColumn(c, F.when(cond, expr).otherwise(F.col(c)))
-    return commit_snapshot(df, table_path, mode="overwrite")
+    return commit_snapshot(df, table_path, mode="overwrite", partition_by=pb)
 
 
 def read_changes(

@@ -745,3 +745,118 @@ def test_as_of_timestamp_time_travel(spark, tmp_path):
     with pytest.raises(ValueError, match="not both"):
         read_version(spark, t, 0, as_of=1_500_000)
     assert all(h["ts_us"] is not None for h in table_history(t))
+
+
+def test_merge_touched_rewrites_only_touched_files(spark, tmp_path):
+    """rewrite='touched' (Delta's optimized MERGE): only files containing
+    a source key are removed; untouched files survive the commit
+    verbatim; the result equals the full-FOJ semantics."""
+    from avro_diff_spark.sources.versioned import _live_files, merge_into
+
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(30)], "k long, v string"
+    ).repartitionByRange(3, "k")
+    commit_snapshot(df, t)
+    files_before = set(_live_files(t, 0))
+    assert len(files_before) == 3
+
+    # keys 0..9 live in one range file; 100 is a pure insert
+    src = spark.createDataFrame([(2, "X"), (7, "Y"), (100, "ins")], "k long, v string")
+    v = merge_into(spark, t, src, ["k"], rewrite="touched")
+    assert v == 1
+    with open(os.path.join(t, "_log", "000001.json")) as fh:
+        commit = json.load(fh)
+    assert commit["mode"] == "replace"
+    removed = {a["remove"] for a in commit["actions"] if "remove" in a}
+    assert len(removed) == 1 and removed < files_before
+    # untouched files still live, referenced by the ORIGINAL add actions
+    assert files_before - removed < set(_live_files(t, 1))
+    got = {(r.k, r.v) for r in read_version(spark, t).collect()}
+    want = {(i, f"r{i}") for i in range(30) if i not in (2, 7)} | {
+        (2, "X"), (7, "Y"), (100, "ins")
+    }
+    assert got == want
+    # time travel unaffected
+    assert {r.v for r in read_version(spark, t, 0).collect()} == {
+        f"r{i}" for i in range(30)
+    }
+
+
+def test_merge_touched_matches_all_semantics(spark, tmp_path):
+    """'touched' and 'all' produce identical tables for the same merge,
+    and source-only keys insert even when no file is touched."""
+    from avro_diff_spark.sources.versioned import merge_into
+
+    rows = [(i, f"r{i}") for i in range(20)]
+    src_rows = [(5, "U5"), (17, "U17"), (40, "I40"), (41, "I41")]
+    tables = {}
+    for mode in ("touched", "all"):
+        t = str(tmp_path / mode)
+        commit_snapshot(_df(spark, rows).repartitionByRange(4, "k"), t)
+        merge_into(spark, t, _df(spark, src_rows), ["k"], rewrite=mode)
+        tables[mode] = {(r.k, r.v) for r in read_version(spark, t).collect()}
+    assert tables["touched"] == tables["all"]
+
+    # pure-insert source: zero files touched, replace commit removes none
+    t = str(tmp_path / "insonly")
+    commit_snapshot(_df(spark, rows).repartitionByRange(4, "k"), t)
+    merge_into(spark, t, _df(spark, [(99, "new")]), ["k"], rewrite="touched")
+    with open(os.path.join(t, "_log", "000001.json")) as fh:
+        commit = json.load(fh)
+    assert not any("remove" in a for a in commit["actions"])
+    assert (99, "new") in {(r.k, r.v) for r in read_version(spark, t).collect()}
+
+
+def test_merge_touched_rejects_delete_clause(spark, tmp_path):
+    """A not-matched-by-source delete must inspect every file — explicit
+    rewrite='touched' refuses it, rewrite='auto' falls back to 'all'."""
+    from avro_diff_spark.sources.versioned import merge_into
+
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, [(1, "a"), (2, "b")]), t)
+    src = _df(spark, [(1, "A")])
+    with pytest.raises(ValueError, match="touched"):
+        merge_into(
+            spark, t, src, ["k"],
+            when_not_matched_by_source="delete", rewrite="touched",
+        )
+    merge_into(spark, t, src, ["k"], when_not_matched_by_source="delete")
+    assert {(r.k, r.v) for r in read_version(spark, t).collect()} == {(1, "A")}
+
+
+def test_dml_preserves_partitioning(spark, tmp_path):
+    """merge_into / delete_where / update_where / compact_table on a
+    partitioned table re-commit PARTITIONED by default — pruning
+    survives every DML rewrite without the caller restating layout."""
+    from avro_diff_spark.sources.versioned import (
+        _live_adds,
+        _table_partitioning,
+        compact_table,
+        delete_where,
+        merge_into,
+        update_where,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, i % 2, f"r{i}") for i in range(12)], "k long, p long, v string"
+    )
+    commit_snapshot(df, t, partition_by=["p"])
+
+    merge_into(spark, t, spark.createDataFrame(
+        [(0, 0, "M")], "k long, p long, v string"), ["k"])
+    delete_where(spark, t, "k = 11")
+    update_where(spark, t, "k = 1", {"v": F.lit("U")})
+    compact_table(spark, t)
+    v = latest_version(t)
+    assert _table_partitioning(t, v) == ["p"]
+    adds, _ = _live_adds(t, v)
+    assert adds and all(a["pv"] and set(a["pv"]) == {"p"} for a in adds.values())
+
+    pruned = read_version(spark, t, prune=("p", 0, 0))
+    got = {(r.k, r.v) for r in pruned.collect()}
+    want = {(i, "U" if i == 1 else f"r{i}") for i in range(12) if i % 2 == 0 and i != 11}
+    want = {(k, ("M" if k == 0 else v)) for k, v in want}
+    assert got == want
+    assert all("p=0" in f for f in pruned.inputFiles())
