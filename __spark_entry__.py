@@ -1102,10 +1102,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the lineitem fact), and the big-big fact equi-join + agg is what
     # top_revenue_orders executes (the same lineitem JOIN orders); the CI
     # oracle gate value-hashes region_revenue every run.
+    # Round-7 demotion for dsir_weights (DSIR importance resampling, Xie et
+    # al. 2023 — trained hashed-gram log-ratio scoring): text_stats moves to
+    # the tail — it is a map-only feature select whose every expression is
+    # unit-pinned in tests/test_text.py and whose distributed mechanisms all
+    # stay recorded: the md5 fingerprint feeds the recorded
+    # dedup_exact_clusters groupBy, the whitespace-token count is the same
+    # tokens_ws machinery the recorded quality_scores/tfidf_top_terms
+    # execute, and the char-shingle count is the shingle pipeline the
+    # recorded winnow_fingerprints and minhash_near_dups exercise end to
+    # end; the CI oracle gate value-hashes text_stats every run.
     # Tail queries remain bench-covered and verified by tools/oracle_check.py;
     # tests/test_registry.py asserts every tail query is oracle-green so a
     # tail regression cannot ship behind a complete-looking driver record.
     for tail in (
+        "text_stats",
         "merge_upsert_orders",
         "key_diff_versions",
         "region_revenue",

@@ -653,6 +653,141 @@ FROM per
 """
 
 
+# --------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al., NeurIPS 2023)
+# --------------------------------------------------------------------------
+
+DSIR_BUCKETS = 256  # hashed n-gram feature buckets (paper: 10k; bounded here)
+DSIR_TARGET_LANG = "en"  # target-domain proxy: the English slice
+DSIR_FP_SCALE = 1_000_000  # log-ratio fixed-point grid
+
+
+def _dsir_grams_sql(ts: str) -> str:
+    """DuckDB unigram+bigram feature stream over a FILTERED token list
+    (prefix-tagged so the two gram spaces never collide)."""
+    return (
+        f"list_concat(list_transform({ts}, x -> 'u:' || x), "
+        f"list_transform(range(1, greatest(len({ts}) - 1, 0) + 1), "
+        f"i -> 'b:' || {ts}[i] || ' ' || {ts}[i + 1]))"
+    )
+
+
+@_lru_cache(maxsize=8)
+def _train_dsir_cached(
+    key: tuple, path: str, n_buckets: int, target_lang: str
+) -> tuple[tuple[int, int], ...]:
+    """Fit the DSIR importance log-ratios driver-side: hashed-gram bucket
+    counts under the TARGET distribution (docs labelled ``target_lang``)
+    vs the RAW distribution (all docs), Laplace-smoothed, emitted as a
+    complete ``n_buckets``-row fixed-point table (1e6 grid) so both
+    engines replay the identical trained constants. The training state is
+    bounded by ``n_buckets`` — never corpus cardinality."""
+    import math
+    import os
+
+    import duckdb
+
+    src = path + "/**/*.parquet" if os.path.isdir(path) else path
+    rows = duckdb.connect().execute(
+        f"""
+        WITH t AS (SELECT lang,
+                          list_filter({tokens_sql('text')}, x -> x != '') AS ts
+                   FROM read_parquet(?)),
+        g AS (SELECT lang, unnest({_dsir_grams_sql('ts')}) AS g FROM t)
+        SELECT ('0x' || substr(md5(g), 1, 8))::BIGINT % {n_buckets} AS b,
+               count(*) FILTER (lang = ?) AS t_c,
+               count(*) AS r_c
+        FROM g GROUP BY b
+        """,
+        [src, target_lang],
+    ).fetchall()
+    counts = {b: (tc, rc) for b, tc, rc in rows}
+    t_tot = sum(tc for tc, _ in counts.values())
+    r_tot = sum(rc for _, rc in counts.values())
+    out = []
+    for b in range(n_buckets):
+        tc, rc = counts.get(b, (0, 0))
+        lam = math.log((tc + 1) / (t_tot + n_buckets)) - math.log(
+            (rc + 1) / (r_tot + n_buckets)
+        )
+        out.append((b, round(lam * DSIR_FP_SCALE)))
+    return tuple(out)
+
+
+def _train_dsir(documents_parquet: str) -> tuple[tuple[int, int], ...]:
+    return _train_dsir_cached(
+        _langid_file_key(documents_parquet),
+        documents_parquet,
+        DSIR_BUCKETS,
+        DSIR_TARGET_LANG,
+    )
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): score every document
+    by how much more likely its hashed unigram+bigram features are under
+    the TARGET distribution (the ``lang='en'`` slice) than under the RAW
+    corpus — the data-selection step that picks pretraining documents
+    resembling a trusted domain. Scores are exact int64 fixed-point
+    (each bucket's Laplace-smoothed log-ratio rounded to a 1e6 grid
+    driver-side, then summed per occurrence), ``selected`` = positive
+    score, the deterministic reduction of the paper's importance
+    resampling.
+
+    Scale shape: the trained table is ``DSIR_BUCKETS`` literal rows
+    BROADCAST onto the exploded gram stream (the langid_ngram_counts
+    shape); the per-doc score is one groupBy with map-side combine. No
+    global sort, no window, no Python in the hot path."""
+    weights = _train_dsir(f"{sf_dir}/documents.parquet")
+    d = spread_small(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    w = F.broadcast(
+        d.sparkSession.createDataFrame(list(weights), "b long, lam long")
+    )
+    toks = d.select(
+        "doc_id",
+        F.filter(TX.tokens_ws(F.col("text")), lambda t: t != "").alias("ts"),
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.concat(
+                F.transform(F.col("ts"), lambda t: F.concat(F.lit("u:"), t)),
+                F.when(F.size("ts") < 2, F.array().cast("array<string>")).otherwise(
+                    F.expr(
+                        "transform(sequence(1, size(ts) - 1),"
+                        " i -> 'b:' || ts[i - 1] || ' ' || ts[i])"
+                    )
+                ),
+            )
+        ).alias("g"),
+    )
+    scored = grams.withColumn("b", TX.hash32(F.col("g")) % DSIR_BUCKETS).join(w, "b")
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.sum("lam").cast("long").alias("dsir_score_fp"),
+        (F.sum("lam") > 0).cast("int").alias("selected"),
+    )
+
+
+def _dsir_weights_sql() -> str:
+    weights = _train_dsir(f"{ORACLE_SF_DIR}/documents.parquet")
+    rows = ", ".join(f"({b}, {lam})" for b, lam in weights)
+    return f"""
+WITH w(b, lam) AS (VALUES {rows}),
+t AS (SELECT doc_id, list_filter({tokens_sql('text')}, x -> x != '') AS ts
+      FROM documents),
+g AS (SELECT doc_id, unnest({_dsir_grams_sql('ts')}) AS g FROM t),
+j AS (
+  SELECT doc_id, lam
+  FROM g JOIN w ON ('0x' || substr(md5(g.g), 1, 8))::BIGINT % {DSIR_BUCKETS} = w.b
+)
+SELECT doc_id, count(*) AS n_grams,
+       CAST(sum(lam) AS BIGINT) AS dsir_score_fp,
+       (CAST(sum(lam) AS BIGINT) > 0)::INT AS selected
+FROM j GROUP BY doc_id
+"""
+
+
 _L0 = lambda: F.lit(0).cast("long")  # noqa: E731
 
 
@@ -2916,6 +3051,7 @@ PIPELINE_QUERIES = {
     "stratified_sample_counts": q_stratified_sample,
     "source_stats": q_source_stats,
     "mixture_weights": q_mixture_weights,
+    "dsir_weights": q_dsir_weights,
     "lang_id_counts": q_lang_id,
     "langid_ngram_counts": q_langid_ngram_counts,
     "quality_scores": q_quality_scores,
@@ -2984,6 +3120,7 @@ def pipeline_sql() -> dict[str, str]:
         "stratified_sample_counts": _stratified_sample_sql(),
         "source_stats": SOURCE_STATS_SQL,
         "mixture_weights": MIXTURE_WEIGHTS_SQL,
+        "dsir_weights": _dsir_weights_sql(),
         "lang_id_counts": _lang_id_sql(),
         "langid_ngram_counts": _langid_ngram_sql(),
         "quality_scores": _quality_sql(),

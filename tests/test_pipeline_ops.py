@@ -368,3 +368,72 @@ def test_langid_ngram_profiles_discriminate(spark, tmp_path):
 
     got = {(r.lang, r.lang_pred): r.n_docs for r in q_langid_ngram_counts(spark, str(tmp_path)).collect()}
     assert got == {("en", "en"): 20, ("de", "de"): 20}
+
+
+def test_dsir_scores_match_naive_recompute(spark, sf_dir):
+    """DSIR (Xie et al. 2023) end to end: the distributed hashed-gram
+    scoring equals a driver-side pure-Python recompute with the same
+    trained log-ratio table, doc for doc, in exact int64 fixed point."""
+    import hashlib
+    import re
+
+    from avro_diff_spark.pipelines import (
+        DSIR_BUCKETS,
+        _train_dsir,
+        q_dsir_weights,
+    )
+
+    weights = dict(_train_dsir(f"{sf_dir}/documents.parquet"))
+    assert sorted(weights) == list(range(DSIR_BUCKETS))  # complete table
+
+    def grams(text):
+        toks = [t for t in re.sub(r"\s+", " ", text.lower().strip()).split(" ") if t]
+        return [f"u:{t}" for t in toks] + [
+            f"b:{a} {b}" for a, b in zip(toks, toks[1:])
+        ]
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % DSIR_BUCKETS
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    want = {}
+    for r in docs:
+        gs = grams(r.text)
+        if gs:
+            s = sum(weights[bucket(g)] for g in gs)
+            want[r.doc_id] = (len(gs), s, int(s > 0))
+
+    got = {
+        r.doc_id: (r.n_grams, r.dsir_score_fp, r.selected)
+        for r in q_dsir_weights(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_dsir_target_slice_scores_higher(sf_dir):
+    """The trained importance weights separate the target domain: the
+    English slice's mean fixed-point score exceeds the rest's (the whole
+    point of importance resampling toward a target distribution)."""
+    import duckdb
+
+    from avro_diff_spark import pipelines as P
+
+    old = P.ORACLE_SF_DIR
+    P.ORACLE_SF_DIR = sf_dir
+    try:
+        sql = P._dsir_weights_sql()
+    finally:
+        P.ORACLE_SF_DIR = old
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    en_mean, other_mean = con.execute(
+        f"""
+        WITH s AS ({sql})
+        SELECT avg(dsir_score_fp) FILTER (lang = 'en'),
+               avg(dsir_score_fp) FILTER (lang != 'en')
+        FROM s JOIN documents USING (doc_id)
+        """
+    ).fetchone()
+    assert en_mean > 0 > other_mean
