@@ -263,12 +263,31 @@ def table_main(argv: list[str] | None = None) -> int:
     CLI conventions as the diff binaries: ``history`` prints the commit
     log, ``diff`` runs the keyed diff between two versions (the
     reference's two-file diff lifted onto time travel), ``compact`` and
-    ``vacuum`` run the maintenance half (beyond-reference surface)."""
+    ``vacuum`` run the maintenance half, ``constraints`` /
+    ``constraint-add`` / ``constraint-drop`` manage CHECK constraints,
+    and ``clone`` makes a zero-copy shallow clone (beyond-reference
+    surface)."""
     p = argparse.ArgumentParser(
         prog="table", description="Versioned-table history / diff / maintenance."
     )
-    p.add_argument("op", choices=["history", "diff", "compact", "vacuum"])
+    p.add_argument(
+        "op",
+        choices=[
+            "history",
+            "diff",
+            "compact",
+            "vacuum",
+            "constraints",
+            "constraint-add",
+            "constraint-drop",
+            "clone",
+        ],
+    )
     p.add_argument("table_path")
+    p.add_argument("--name", default=None, help="constraint name")
+    p.add_argument("--expr", default=None, help="constraint SQL expression")
+    p.add_argument("--dest", default=None, help="clone destination path")
+    p.add_argument("--version", type=int, default=None, help="clone source version")
     p.add_argument("--key", default=None, help="comma-separated key fields (diff)")
     p.add_argument("--v-old", type=int, default=None, help="old version (diff; default latest-1)")
     p.add_argument("--v-new", type=int, default=None, help="new version (diff; default latest)")
@@ -301,8 +320,33 @@ def table_main(argv: list[str] | None = None) -> int:
         deleted = V.vacuum(args.table_path, keep_versions=args.keep_versions)
         print(f"# of data files deleted: {len(deleted)}")
         return 0
+    if args.op == "constraints":
+        for n, e in sorted(V.table_constraints(args.table_path).items()):
+            print(f"{n}: CHECK ({e})")
+        return 0
+    if args.op == "constraint-drop":
+        if not args.name:
+            print("constraint-drop requires --name", file=sys.stderr)
+            return 2
+        v = V.drop_constraint(args.table_path, args.name)
+        print(f"dropped {args.name} as version {v}")
+        return 0
+    if args.op == "clone":
+        if not args.dest:
+            print("clone requires --dest", file=sys.stderr)
+            return 2
+        V.clone_table(args.table_path, args.dest, version=args.version)
+        print(f"cloned {args.table_path} -> {args.dest} (shallow, version 0)")
+        return 0
 
     spark = _session(args)
+    if args.op == "constraint-add":
+        if not args.name or not args.expr:
+            print("constraint-add requires --name and --expr", file=sys.stderr)
+            return 2
+        v = V.add_constraint(spark, args.table_path, args.name, args.expr)
+        print(f"added {args.name} as version {v}")
+        return 0
     if args.op == "compact":
         v = V.compact_table(
             spark,

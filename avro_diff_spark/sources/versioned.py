@@ -61,6 +61,11 @@ __all__ = [
     "vacuum",
     "commit_stream",
     "table_schema",
+    "table_constraints",
+    "add_constraint",
+    "drop_constraint",
+    "clone_table",
+    "agg_delta",
     "CommitConflict",
 ]
 
@@ -258,6 +263,7 @@ def commit_snapshot(
                 f"append partitioning {partition_by or []} != table partitioning "
                 f"{prev_pb} — repartition via an overwrite commit"
             )
+    _check_constraints(df, table_path, version - 1)
     added = _stage_data(df, table_path, version, partition_by)
     n_rows = _footer_rows(table_path, [f for f, _ in added])
 
@@ -302,6 +308,7 @@ def commit_snapshot(
             _check_append_schema(
                 df, table_path, version - 1, schema_evolution=schema_evolution
             )
+            _check_constraints(df, table_path, version - 1)
             prev_pb = _table_partitioning(table_path, version - 1)
             if prev_pb is not None and (partition_by or []) != prev_pb:
                 raise ValueError(
@@ -413,7 +420,6 @@ def _live_adds(table_path: str, version: int) -> tuple[dict[str, dict], set]:
     set tells readers whether the live files span an additive
     evolution."""
     live: dict[str, dict] = {}
-    owner: dict[str, str | None] = {}
     for v, path in _commit_files(table_path):
         if v > version:
             break
@@ -421,12 +427,17 @@ def _live_adds(table_path: str, version: int) -> tuple[dict[str, dict], set]:
             commit = json.load(fh)
         for a in commit["actions"]:
             if "add" in a:
-                live[a["add"]] = {"stats": a.get("stats", {}), "pv": a.get("pv")}
-                owner[a["add"]] = commit.get("schema")
+                live[a["add"]] = {
+                    "stats": a.get("stats", {}),
+                    "pv": a.get("pv"),
+                    # per-add schema_json wins (shallow clones preserve the
+                    # source's per-file owner schema through the one clone
+                    # commit); otherwise the committing schema owns the file
+                    "schema": a.get("schema_json") or commit.get("schema"),
+                }
             else:
                 del live[a["remove"]]
-                del owner[a["remove"]]
-    return live, {s for s in owner.values() if s is not None}
+    return live, {i["schema"] for i in live.values() if i["schema"] is not None}
 
 
 def _live_files(table_path: str, version: int) -> list[str]:
@@ -624,6 +635,124 @@ def table_history(table_path: str) -> list[dict]:
     return out
 
 
+def table_constraints(table_path: str, version: int | None = None) -> dict[str, str]:
+    """The CHECK constraints in force at ``version`` (default latest):
+    name → SQL expression, the replay of every ``constraints_add`` /
+    ``constraints_drop`` metadata action up to that version. Constraints
+    are table METADATA — they survive overwrites (the Delta rule)."""
+    if version is None:
+        version = latest_version(table_path)
+    cons: dict[str, str] = {}
+    for v, path in _commit_files(table_path):
+        if v > version:
+            break
+        with open(path) as fh:
+            c = json.load(fh)
+        for a in c.get("constraints_add", []):
+            cons[a["name"]] = a["expr"]
+        for n in c.get("constraints_drop", []):
+            cons.pop(n, None)
+    return cons
+
+
+def _check_constraints(df: DataFrame, table_path: str, version: int) -> None:
+    """Refuse a data commit whose rows violate any CHECK constraint in
+    force. SQL CHECK semantics: a NULL predicate result passes (only
+    FALSE violates). One combined scan when everything passes; the
+    per-constraint re-check runs only on the failure path to name the
+    violated constraint."""
+    cons = table_constraints(table_path, version)
+    if not cons:
+        return
+    import functools
+
+    combined = functools.reduce(
+        lambda a, b: a & b, (F.expr(e) for e in cons.values())
+    )
+    if df.filter(~combined).isEmpty():
+        return
+    for name, e in sorted(cons.items()):
+        if not df.filter(~F.expr(e)).isEmpty():
+            raise ValueError(
+                f"CHECK constraint {name!r} violated by this commit: ({e})"
+            )
+    raise ValueError("CHECK constraint violated by this commit")
+
+
+def add_constraint(
+    spark: SparkSession,
+    table_path: str,
+    name: str,
+    expr: str,
+    *,
+    max_retries: int = 10,
+) -> int:
+    """``ALTER TABLE ADD CONSTRAINT`` — Delta CHECK-constraint semantics:
+    validate ``expr`` holds over the CURRENT table contents, then record
+    it in a metadata-only commit; every later data commit (append,
+    overwrite, targeted replace, streaming micro-batch) is validated
+    against it before publishing and refused on violation. NULL
+    predicate results pass (SQL CHECK). A lost publish race re-validates
+    against the newer snapshot and retries — the constraint must hold
+    over whatever data raced in ahead of it. Returns the new version."""
+    import time
+
+    if latest_version(table_path) < 0:
+        raise ValueError(f"no table at {table_path!r}")
+    if name in table_constraints(table_path):
+        raise ValueError(f"constraint {name!r} already exists")
+    for _ in range(max(max_retries, 1)):
+        version = latest_version(table_path) + 1
+        bad = read_version(spark, table_path, version - 1).filter(~F.expr(expr))
+        if not bad.isEmpty():
+            raise ValueError(
+                f"existing rows violate CHECK constraint {name!r}: ({expr})"
+            )
+        commit = {
+            "version": version,
+            "mode": "meta",
+            "ts_us": int(time.time() * 1_000_000),
+            "n_rows": 0,
+            "actions": [],
+            "constraints_add": [{"name": name, "expr": expr}],
+        }
+        try:
+            _publish_commit(table_path, version, commit)
+            return version
+        except CommitConflict:
+            continue  # someone committed data meanwhile: re-validate on it
+    raise CommitConflict(
+        f"add_constraint on {table_path!r} lost the publish race {max_retries} times"
+    )
+
+
+def drop_constraint(table_path: str, name: str, *, max_retries: int = 10) -> int:
+    """``ALTER TABLE DROP CONSTRAINT``: a metadata-only commit removing
+    the named CHECK constraint. Returns the new version."""
+    import time
+
+    if name not in table_constraints(table_path):
+        raise ValueError(f"no constraint {name!r} on {table_path!r}")
+    for _ in range(max(max_retries, 1)):
+        version = latest_version(table_path) + 1
+        commit = {
+            "version": version,
+            "mode": "meta",
+            "ts_us": int(time.time() * 1_000_000),
+            "n_rows": 0,
+            "actions": [],
+            "constraints_drop": [name],
+        }
+        try:
+            _publish_commit(table_path, version, commit)
+            return version
+        except CommitConflict:
+            continue  # drops commute with any concurrent commit
+    raise CommitConflict(
+        f"drop_constraint on {table_path!r} lost the publish race {max_retries} times"
+    )
+
+
 def compact_table(
     spark: SparkSession,
     table_path: str,
@@ -718,6 +847,77 @@ def vacuum(table_path: str, *, keep_versions: int = 1) -> list[str]:
     return deleted
 
 
+def clone_table(src_path: str, dst_path: str, *, version: int | None = None) -> int:
+    """Zero-copy SHALLOW CLONE (Delta's ``CREATE TABLE ... SHALLOW
+    CLONE``): the clone's first commit references the source's live data
+    files by ABSOLUTE path — no data moves, the clone of a 100 TB table
+    is one driver-side metadata write. Stats, partitionValues, per-file
+    owner schemas, partitioning, and CHECK constraints all carry over,
+    so pruning and enforcement behave identically on the clone. Writes
+    to the clone land under its own directory and never touch the
+    source; :func:`vacuum` on the clone sweeps only the clone's
+    directory, so externally-referenced source files are never deleted
+    from the clone side. Caveat (Delta's too): vacuum on the SOURCE can
+    remove files the clone still references — clones are cheap
+    experiment snapshots, not backups. Returns the clone's version (0)."""
+    import time
+
+    if version is None:
+        version = latest_version(src_path)
+    if version < 0:
+        raise ValueError(f"no table at {src_path!r}")
+    wm = _vacuum_watermark(src_path)
+    if version < wm:
+        raise ValueError(
+            f"version {version} of {src_path!r} was vacuumed; earliest "
+            f"cloneable version is {wm}"
+        )
+    adds, schemas = _live_adds(src_path, version)
+    if not adds:
+        raise ValueError(f"version {version} of {src_path!r} has no live files")
+    if latest_version(dst_path) >= 0:
+        raise ValueError(f"clone target {dst_path!r} already has commits")
+    src_root = os.path.abspath(src_path)
+    union_schema = table_schema(src_path, version)
+    actions: list[dict] = []
+    for f in sorted(adds):
+        info = adds[f]
+        a: dict = {"add": f if os.path.isabs(f) else os.path.join(src_root, f)}
+        if info.get("pv") is not None:
+            a["pv"] = info["pv"]
+        if info.get("stats"):
+            a["stats"] = info["stats"]
+        if len(schemas) > 1 and info.get("schema") is not None:
+            # live files span an additive evolution: keep each file's
+            # owner schema so the clone's readers still mergeSchema
+            a["schema_json"] = info["schema"]
+        actions.append(a)
+    import pyarrow.parquet as pq
+
+    n_rows = sum(pq.ParquetFile(a["add"]).metadata.num_rows for a in actions)
+    commit: dict = {
+        "version": 0,
+        "mode": "overwrite",
+        "ts_us": int(time.time() * 1_000_000),
+        "n_rows": n_rows,
+        "actions": actions,
+        "cloned_from": {"table": src_root, "version": version},
+    }
+    if union_schema is not None:
+        commit["schema"] = union_schema.json()
+    pb = _table_partitioning(src_path, version)
+    if pb:
+        commit["partition_by"] = pb
+    cons = table_constraints(src_path, version)
+    if cons:
+        commit["constraints_add"] = [
+            {"name": n, "expr": e} for n, e in sorted(cons.items())
+        ]
+    os.makedirs(dst_path, exist_ok=True)
+    _publish_commit(dst_path, 0, commit)
+    return 0
+
+
 def commit_stream(
     stream_df: DataFrame,
     table_path: str,
@@ -756,6 +956,7 @@ def commit_stream(
                 if c.get("epoch", -1) >= epoch_id:
                     return  # replayed batch: already durable in the log
                 break
+        _check_constraints(batch_df, table_path, latest_version(table_path))
         added = _stage_data(
             batch_df, table_path, latest_version(table_path) + 1, partition_by
         )
@@ -868,6 +1069,7 @@ def _commit_replace_files(
     import time
 
     version = latest_version(table_path) + 1
+    _check_constraints(df, table_path, version - 1)
     added = _stage_data(df, table_path, version, partition_by)
     actions: list[dict] = [{"remove": f} for f in remove]
     for f, pv in added:
@@ -980,13 +1182,20 @@ def merge_into(
         .collect()
     )
 
-    def rel(p: str) -> str:
+    # map scanned absolute paths back to the log's add keys (relative for
+    # ordinary commits, absolute for shallow-clone references)
+    by_abs = {
+        (k if os.path.isabs(k) else os.path.join(os.path.abspath(table_path), k)): k
+        for k in _live_adds(table_path, latest_version(table_path))[0]
+    }
+
+    def add_key(p: str) -> str:
         from urllib.parse import unquote, urlparse
 
         local = unquote(urlparse(p).path)
-        return os.path.relpath(local, os.path.abspath(table_path))
+        return by_abs[local]
 
-    touched_rel = sorted(rel(p) for p in touched_abs)
+    touched_rel = sorted(add_key(p) for p in touched_abs)
     sub = (
         tgt.filter(F.col("__file").isin(list(touched_abs))).drop("__file")
         if touched_abs
@@ -1097,3 +1306,38 @@ def read_changes(
     for v in range(v_from + 2, v_to + 1):
         out = out.unionByName(step(v), allowMissingColumns=True)
     return out
+
+
+def agg_delta(
+    spark: SparkSession,
+    table_path: str,
+    keys: list[str],
+    group_cols: list[str],
+    *,
+    v_from: int,
+    v_to: int | None = None,
+    sum_cols: list[str] | None = None,
+) -> DataFrame:
+    """Incremental aggregate maintenance from the change feed — the
+    reason change feeds exist: the per-group delta of row count (and of
+    each ``sum_cols`` sum) between two versions, computed from the CDF
+    rows of :func:`read_changes` instead of rescanning either snapshot.
+    Inserts and update post-images count +1, deletes and update
+    pre-images count −1, so a downstream materialized aggregate updates
+    as ``state(v_from) + delta == state(v_to)`` (pytest-pinned) at a
+    cost proportional to WHAT CHANGED, not table size — at 100 TB the
+    difference between touching a day's changes and rescanning the lake.
+    Count/sum only: algebraic aggregates decompose over signed changes;
+    min/max do not (a deleted extremum needs a rescan of its group).
+
+    Groups whose rows changed but whose aggregates net to zero (e.g. an
+    update that left the grouped/summed columns untouched) still emit a
+    zero-delta row — apply-side merges treat them as no-ops."""
+    ch = read_changes(spark, table_path, keys, v_from=v_from, v_to=v_to)
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    aggs = [F.sum(sign).cast("long").alias("n_rows_delta")]
+    for c in sum_cols or []:
+        aggs.append(F.sum(sign * F.col(c)).alias(f"{c}_delta"))
+    return ch.groupBy(*group_cols).agg(*aggs)

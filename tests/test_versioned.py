@@ -860,3 +860,225 @@ def test_dml_preserves_partitioning(spark, tmp_path):
     want = {(k, ("M" if k == 0 else v)) for k, v in want}
     assert got == want
     assert all("p=0" in f for f in pruned.inputFiles())
+
+
+def test_check_constraints_lifecycle(spark, tmp_path):
+    """ALTER TABLE ADD/DROP CONSTRAINT with Delta CHECK semantics:
+    existing data validated at add time, every later data commit
+    validated before publish, NULL predicate results pass, constraints
+    survive overwrites, drop lifts enforcement."""
+    from avro_diff_spark.sources.versioned import (
+        add_constraint,
+        drop_constraint,
+        table_constraints,
+    )
+
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, [(1, "a"), (2, "b")]), t)
+
+    # existing violations refuse the constraint itself
+    with pytest.raises(ValueError, match="existing rows violate"):
+        add_constraint(spark, t, "k_big", "k > 1")
+    v = add_constraint(spark, t, "k_pos", "k > 0")
+    assert table_constraints(t) == {"k_pos": "k > 0"}
+    assert table_history(t)[v]["mode"] == "meta"
+    with pytest.raises(ValueError, match="already exists"):
+        add_constraint(spark, t, "k_pos", "k > 0")
+
+    # violating commits are refused on every data path, by name
+    with pytest.raises(ValueError, match="k_pos"):
+        commit_snapshot(_df(spark, [(-1, "bad")]), t, mode="append")
+    with pytest.raises(ValueError, match="k_pos"):
+        commit_snapshot(_df(spark, [(-1, "bad")]), t, mode="overwrite")
+    # valid commits (and NULLs — SQL CHECK passes UNKNOWN) land
+    commit_snapshot(_df(spark, [(3, "c"), (None, "n")]), t, mode="append")
+    commit_snapshot(_df(spark, [(9, "z")]), t, mode="overwrite")
+    assert table_constraints(t) == {"k_pos": "k > 0"}  # survives overwrite
+
+    drop_constraint(t, "k_pos")
+    assert table_constraints(t) == {}
+    commit_snapshot(_df(spark, [(-5, "now ok")]), t, mode="append")
+    with pytest.raises(ValueError, match="no constraint"):
+        drop_constraint(t, "k_pos")
+
+
+def test_constraints_gate_merge_and_dml(spark, tmp_path):
+    """The targeted-rewrite MERGE and DELETE/UPDATE rewrites run the
+    same pre-publish constraint gate as plain commits."""
+    from avro_diff_spark.sources.versioned import (
+        add_constraint,
+        merge_into,
+        update_where,
+    )
+
+    t = str(tmp_path / "tbl")
+    commit_snapshot(
+        _df(spark, [(i, f"r{i}") for i in range(1, 9)]).repartitionByRange(2, "k"), t
+    )
+    add_constraint(spark, t, "v_nonempty", "length(v) > 0")
+    with pytest.raises(ValueError, match="v_nonempty"):
+        merge_into(spark, t, _df(spark, [(2, "")]), ["k"], rewrite="touched")
+    with pytest.raises(ValueError, match="v_nonempty"):
+        update_where(spark, t, "k = 3", {"v": F.lit("")})
+    merge_into(spark, t, _df(spark, [(2, "ok")]), ["k"], rewrite="touched")
+    got = {(r.k, r.v) for r in read_version(spark, t).collect()}
+    assert (2, "ok") in got and len(got) == 8
+
+
+def test_shallow_clone_zero_copy(spark, tmp_path):
+    """Shallow clone: one metadata commit referencing the source's files
+    absolutely — no data copied; reads/pruning/constraints carry over;
+    writes diverge; vacuum on the clone never touches source files."""
+    from avro_diff_spark.sources.versioned import (
+        _live_files,
+        add_constraint,
+        clone_table,
+        table_constraints,
+        vacuum,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    df = spark.createDataFrame(
+        [(i, i % 2, f"r{i}") for i in range(12)], "k long, p long, v string"
+    )
+    commit_snapshot(df, src, partition_by=["p"], stats_cols=["k"])
+    add_constraint(spark, src, "k_pos", "k >= 0")
+
+    assert clone_table(src, dst) == 0
+    # no data files under dst — log only
+    data_files = [
+        f for dp, _, fns in os.walk(dst) for f in fns if f.endswith(".parquet")
+    ]
+    assert data_files == []
+    assert all(os.path.isabs(f) for f in _live_files(dst, 0))
+    got = {(r.k, r.p, r.v) for r in read_version(spark, dst).collect()}
+    want = {(r.k, r.p, r.v) for r in read_version(spark, src).collect()}
+    assert got == want
+    # partition pruning works from the cloned manifest
+    pruned = read_version(spark, dst, prune=("p", 1, 1))
+    assert {r.k % 2 for r in pruned.collect()} == {1}
+    # constraints carried over and enforced on the clone
+    assert table_constraints(dst) == {"k_pos": "k >= 0"}
+    with pytest.raises(ValueError, match="k_pos"):
+        commit_snapshot(
+            spark.createDataFrame([(-1, 0, "bad")], "k long, p long, v string"),
+            dst,
+            mode="append",
+            partition_by=["p"],
+        )
+    # writes to the clone diverge; the source is untouched
+    commit_snapshot(
+        spark.createDataFrame([(100, 0, "new")], "k long, p long, v string"),
+        dst,
+        mode="append",
+        partition_by=["p"],
+    )
+    assert read_version(spark, dst).count() == 13
+    assert read_version(spark, src).count() == 12
+    # vacuum on the clone reclaims nothing of the source
+    before = set(_live_files(src, latest_version(src)))
+    vacuum(dst, keep_versions=1)
+    assert set(_live_files(src, latest_version(src))) == before
+    assert read_version(spark, src).count() == 12
+
+    with pytest.raises(ValueError, match="already has commits"):
+        clone_table(src, dst)
+
+
+def test_shallow_clone_time_travel_and_evolution(spark, tmp_path):
+    """Cloning a PAST version snapshots it; cloning a table whose live
+    files span an additive schema evolution keeps per-file owner schemas
+    so the clone still reads union-schema'd."""
+    from avro_diff_spark.sources.versioned import clone_table
+
+    src = str(tmp_path / "src")
+    commit_snapshot(_df(spark, [(1, "a")]), src)
+    commit_snapshot(
+        spark.createDataFrame([(2, "b", 7)], "k long, v string, extra long"),
+        src,
+        mode="append",
+        schema_evolution=True,
+    )
+
+    old = str(tmp_path / "old")
+    clone_table(src, old, version=0)
+    assert {(r.k, r.v) for r in read_version(spark, old).collect()} == {(1, "a")}
+
+    cur = str(tmp_path / "cur")
+    clone_table(src, cur)
+    rows = {(r.k, r.v, r.extra) for r in read_version(spark, cur).collect()}
+    assert rows == {(1, "a", None), (2, "b", 7)}
+
+
+def test_agg_delta_maintains_aggregate(spark, tmp_path):
+    """Incremental aggregate maintenance: state(v_from) + agg_delta ==
+    state(v_to) for per-group count and sum, across MERGE/DELETE/UPDATE."""
+    from avro_diff_spark.sources.versioned import (
+        agg_delta,
+        delete_where,
+        merge_into,
+        update_where,
+    )
+
+    t = str(tmp_path / "tbl")
+    rows = [(i, i % 3, i * 10) for i in range(12)]
+    sch = "k long, g long, x long"
+    commit_snapshot(spark.createDataFrame(rows, sch), t)
+    v_from = 0
+    merge_into(
+        spark, t, spark.createDataFrame([(0, 0, 999), (50, 1, 7)], sch), ["k"]
+    )
+    delete_where(spark, t, "k = 5")
+    update_where(spark, t, "k = 7", {"x": F.expr("x + 1")})
+    v_to = latest_version(t)
+
+    def full(v):
+        return {
+            r.g: (r.n, r.s)
+            for r in read_version(spark, t, v)
+            .groupBy("g")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("s"))
+            .collect()
+        }
+
+    delta = {
+        r.g: (r.n_rows_delta, r.x_delta or 0)
+        for r in agg_delta(
+            spark, t, ["k"], ["g"], v_from=v_from, v_to=v_to, sum_cols=["x"]
+        ).collect()
+    }
+    base, want = full(v_from), full(v_to)
+    merged = {
+        g: (
+            base.get(g, (0, 0))[0] + delta.get(g, (0, 0))[0],
+            base.get(g, (0, 0))[1] + delta.get(g, (0, 0))[1],
+        )
+        for g in set(base) | set(delta)
+    }
+    merged = {g: v for g, v in merged.items() if v[0] > 0}
+    assert merged == want
+
+
+def test_table_cli_constraints_and_clone(spark, tmp_path, capsys):
+    """The `table` CLI fronts the constraint and clone surface."""
+    from avro_diff_spark import cli
+    from avro_diff_spark.sources.versioned import table_constraints
+
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, [(1, "a"), (2, "b")]), t)
+    assert cli.table_main(["constraint-add", t, "--name", "k_pos", "--expr", "k > 0"]) == 0
+    assert table_constraints(t) == {"k_pos": "k > 0"}
+    assert cli.table_main(["constraints", t]) == 0
+    assert "k_pos: CHECK (k > 0)" in capsys.readouterr().out
+
+    dst = str(tmp_path / "dst")
+    assert cli.table_main(["clone", t, "--dest", dst]) == 0
+    assert {(r.k, r.v) for r in read_version(spark, dst).collect()} == {(1, "a"), (2, "b")}
+    assert table_constraints(dst) == {"k_pos": "k > 0"}
+
+    assert cli.table_main(["constraint-drop", t, "--name", "k_pos"]) == 0
+    assert table_constraints(t) == {}
+    assert cli.table_main(["constraint-add", t]) == 2
+    assert cli.table_main(["constraint-drop", t]) == 2
+    assert cli.table_main(["clone", t]) == 2
