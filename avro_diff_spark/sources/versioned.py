@@ -66,6 +66,8 @@ __all__ = [
     "drop_constraint",
     "clone_table",
     "agg_delta",
+    "refresh_agg_table",
+    "commit_app_meta",
     "CommitConflict",
 ]
 
@@ -147,6 +149,92 @@ def _file_column_stats(table_path: str, rel_file: str, cols: list[str]) -> dict:
     return out
 
 
+_BLOOM_M = 1024  # bits per per-file bloom filter
+_BLOOM_K = 4  # hash functions (md5 hex chunks)
+
+
+def _bloom_positions(value: str) -> list[int]:
+    """The k bit positions of a value: four 32-bit chunks of its md5,
+    mod m — the SAME arithmetic the distributed harvest computes with
+    built-in Column functions, so reader and writer can never drift."""
+    import hashlib
+
+    h = hashlib.md5(value.encode()).hexdigest()
+    return [int(h[i * 8 : (i + 1) * 8], 16) % _BLOOM_M for i in range(_BLOOM_K)]
+
+
+def _compute_blooms(
+    spark: SparkSession, table_path: str, rel_files: list[str], cols: list[str]
+) -> dict[str, dict[str, str]]:
+    """Per-file bloom bitmaps for ``cols``, harvested in ONE distributed
+    pass over the just-staged files (never a driver-side data read): the
+    bit positions are pure Column md5 arithmetic, only the ≤(files × m)
+    position sets come back to the driver. Values are keyed by their
+    string cast (int/string/date columns — the point-lookup types);
+    NULLs are not added (bloom pruning answers non-null equality)."""
+    import base64
+    from urllib.parse import unquote, urlparse
+
+    paths = [os.path.join(table_path, f) for f in rel_files]
+    df = spark.read.parquet(*paths).select(
+        F.input_file_name().alias("__f"),
+        *[F.col(c).cast("string").alias(c) for c in cols],
+    )
+    root = os.path.abspath(table_path)
+    out: dict[str, dict[str, str]] = {}
+    for c in cols:
+        s = F.col(c)
+        pos = F.explode(
+            F.array(
+                *[
+                    (
+                        F.conv(F.substring(F.md5(s), 1 + 8 * i, 8), 16, 10).cast(
+                            "long"
+                        )
+                        % _BLOOM_M
+                    )
+                    for i in range(_BLOOM_K)
+                ]
+            )
+        )
+        rows = (
+            df.filter(s.isNotNull())
+            .select("__f", pos.alias("__p"))
+            .groupBy("__f")
+            .agg(F.collect_set("__p").alias("__ps"))
+            .collect()
+        )
+        for r in rows:
+            rel = os.path.relpath(unquote(urlparse(r["__f"]).path), root)
+            bits = bytearray(_BLOOM_M // 8)
+            for p in r["__ps"]:
+                bits[p // 8] |= 1 << (p % 8)
+            out.setdefault(rel, {})[c] = base64.b64encode(bytes(bits)).decode()
+    return out
+
+
+def _may_match_eq(add: dict, col: str, value) -> bool:
+    """Log-level skip decision for a POINT lookup: partitionValues give
+    an exact answer, the per-file bloom gives a no-false-negative
+    membership answer, min/max stats bound the range — all from the
+    manifest, zero file opens."""
+    import base64
+
+    pv = add.get("pv") or {}
+    if col in pv:
+        v = pv[col]
+        if v is None:
+            return False
+        return _typed_value(v, value) == _typed_value(str(_bound_str(value)), value)
+    bl = (add.get("bloom") or {}).get(col)
+    if bl is not None:
+        bits = base64.b64decode(bl)
+        for p in _bloom_positions(str(_bound_str(value))):
+            if not (bits[p // 8] >> (p % 8)) & 1:
+                return False
+    return _may_match(add, col, value, value)
+
+
 def table_schema(table_path: str, version: int | None = None):
     """The committed Spark schema as of ``version`` (default latest), or
     None for pre-schema-tracking commits. Additive evolution folds in:
@@ -220,8 +308,10 @@ def commit_snapshot(
     *,
     mode: str = "overwrite",
     stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
     schema_evolution: bool = False,
     partition_by: list[str] | None = None,
+    app_meta: dict | None = None,
     max_retries: int = 10,
 ) -> int:
     """Commit ``df`` as the next version of the table. ``overwrite``
@@ -230,7 +320,12 @@ def commit_snapshot(
     listed columns' per-file min/max (harvested from the parquet footers
     at commit time — the Delta data-skipping stats), which
     :func:`read_version` ``prune=`` consults to skip files without
-    opening them. With ``partition_by``, data files land in hive-style
+    opening them. With ``bloom_cols``, each add action also carries a
+    per-file bloom bitmap per listed column (harvested in one
+    distributed Column-expression pass over the just-staged files —
+    never a driver-side data read), which ``prune_eq=`` consults for
+    POINT lookups: min/max stats cannot skip a needle inside a file's
+    range, a bloom can, with zero false negatives by construction. With ``partition_by``, data files land in hive-style
     partition directories and each add action records the Delta-style
     ``partitionValues`` (``pv``) — the log-level partition pruning
     :func:`read_version` applies before any stats check, and appends
@@ -266,6 +361,13 @@ def commit_snapshot(
     _check_constraints(df, table_path, version - 1)
     added = _stage_data(df, table_path, version, partition_by)
     n_rows = _footer_rows(table_path, [f for f, _ in added])
+    blooms = (
+        _compute_blooms(
+            df.sparkSession, table_path, [f for f, _ in added], bloom_cols
+        )
+        if bloom_cols
+        else {}
+    )
 
     def actions_for(v: int) -> list[dict]:
         acts: list[dict] = []
@@ -279,6 +381,8 @@ def commit_snapshot(
                 st = _file_column_stats(table_path, f, stats_cols)
                 if st:
                     a["stats"] = st
+            if f in blooms:
+                a["bloom"] = blooms[f]
             acts.append(a)
         return acts
 
@@ -295,6 +399,8 @@ def commit_snapshot(
         }
         if partition_by:
             commit["partition_by"] = list(partition_by)
+        if app_meta:
+            commit["app_meta"] = dict(app_meta)
         try:
             _publish_commit(table_path, version, commit)
             return version
@@ -430,6 +536,7 @@ def _live_adds(table_path: str, version: int) -> tuple[dict[str, dict], set]:
                 live[a["add"]] = {
                     "stats": a.get("stats", {}),
                     "pv": a.get("pv"),
+                    "bloom": a.get("bloom"),
                     # per-add schema_json wins (shallow clones preserve the
                     # source's per-file owner schema through the one clone
                     # commit); otherwise the committing schema owns the file
@@ -522,6 +629,7 @@ def read_version(
     *,
     as_of=None,
     prune: tuple[str, object, object] | None = None,
+    prune_eq: tuple[str, object] | None = None,
 ) -> DataFrame:
     """Read the table as of ``version`` (default: latest) — time travel.
     The file list comes from the log replay, never a directory listing,
@@ -538,6 +646,12 @@ def read_version(
     unpruned read filtered to the range. At 100 TB this is the
     difference between a footer fetch per file and none at all — the
     manifest alone answers which files matter.
+
+    ``prune_eq=(col, value)`` is the POINT-lookup skip: partition values
+    answer exactly, commit-time bloom bitmaps (``bloom_cols=``) answer
+    membership with no false negatives, min/max stats bound the range —
+    still zero file opens — plus the equality row filter on top.
+    Composable with ``prune=``.
 
     ``as_of`` (datetime or epoch micros) resolves to a version by commit
     time — Delta's ``AS OF TIMESTAMP`` — mutually exclusive with
@@ -573,9 +687,17 @@ def read_version(
     if prune is not None:
         col, lo, hi = prune
         files = [f for f in files if _may_match(adds[f], col, lo, hi)]
-        if not files:
-            empty = read_version(spark, table_path, version).filter(F.lit(False))
-            return empty.filter((F.col(col) >= lo) & (F.col(col) <= hi))
+    if prune_eq is not None:
+        eq_col, eq_v = prune_eq
+        files = [f for f in files if _may_match_eq(adds[f], eq_col, eq_v)]
+    if (prune is not None or prune_eq is not None) and not files:
+        empty = read_version(spark, table_path, version).filter(F.lit(False))
+        if prune is not None:
+            col, lo, hi = prune
+            empty = empty.filter((F.col(col) >= lo) & (F.col(col) <= hi))
+        if prune_eq is not None:
+            empty = empty.filter(F.col(prune_eq[0]) == F.lit(prune_eq[1]))
+        return empty
     schema = table_schema(table_path, version)
     types = {f.name: f.dataType for f in schema.fields} if schema else {}
 
@@ -608,6 +730,8 @@ def read_version(
     if prune is not None:
         col, lo, hi = prune
         df = df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
+    if prune_eq is not None:
+        df = df.filter(F.col(prune_eq[0]) == F.lit(prune_eq[1]))
     return df
 
 
@@ -887,6 +1011,8 @@ def clone_table(src_path: str, dst_path: str, *, version: int | None = None) -> 
             a["pv"] = info["pv"]
         if info.get("stats"):
             a["stats"] = info["stats"]
+        if info.get("bloom"):
+            a["bloom"] = info["bloom"]
         if len(schemas) > 1 and info.get("schema") is not None:
             # live files span an additive evolution: keep each file's
             # owner schema so the clone's readers still mergeSchema
@@ -1341,3 +1467,95 @@ def agg_delta(
     for c in sum_cols or []:
         aggs.append(F.sum(sign * F.col(c)).alias(f"{c}_delta"))
     return ch.groupBy(*group_cols).agg(*aggs)
+
+
+def commit_app_meta(table_path: str, version: int | None = None) -> dict:
+    """The ``app_meta`` dict recorded by the commit at ``version``
+    (default latest) — application-level transaction metadata, e.g. the
+    applied source version of a materialized aggregate. Empty when the
+    commit carries none."""
+    if version is None:
+        version = latest_version(table_path)
+    for v, path in _commit_files(table_path):
+        if v == version:
+            with open(path) as fh:
+                return json.load(fh).get("app_meta", {})
+    return {}
+
+
+def refresh_agg_table(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    keys: list[str],
+    group_cols: list[str],
+    *,
+    sum_cols: list[str] | None = None,
+) -> int | None:
+    """Incrementally maintained materialized aggregate — the
+    materialized-view / DLT pattern built on the engine's own log. The
+    destination table holds one row per group (``group_cols``,
+    ``n_rows``, and a ``<c>_sum`` per ``sum_cols``); each refresh reads
+    the APPLIED source version from the destination's last commit
+    metadata, computes :func:`agg_delta` over only the unapplied
+    commits, merges it into the previous state with a full-outer
+    equi-join on the group key (one shuffle sized by groups ∪ changed
+    groups), and commits the new state recording the new source
+    version. An up-to-date destination is a NO-OP (None — no commit, no
+    Spark job beyond the driver-side log read), and because the applied
+    version rides the same atomic commit as the data, a crashed refresh
+    is invisible and a replayed one idempotent — the exactly-once
+    pattern :func:`commit_stream` uses for streaming appends.
+
+    Refresh cost is proportional to WHAT CHANGED in the source (the CDF
+    derivation) plus the group-cardinality rewrite; pytest pins
+    ``refresh == full recompute`` across MERGE/DELETE/UPDATE histories.
+    Count/sum only, as :func:`agg_delta` documents. Returns the new
+    destination version, or None when already current."""
+    src_latest = latest_version(src_path)
+    if src_latest < 0:
+        raise ValueError(f"no table at {src_path!r}")
+    sum_cols = list(sum_cols or [])
+
+    def full_agg(version: int) -> DataFrame:
+        aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+        aggs += [F.sum(c).alias(f"{c}_sum") for c in sum_cols]
+        return read_version(spark, src_path, version).groupBy(*group_cols).agg(*aggs)
+
+    meta = {"src_table": os.path.abspath(src_path), "src_version": src_latest}
+    if latest_version(dst_path) < 0:
+        return commit_snapshot(full_agg(src_latest), dst_path, app_meta=meta)
+    applied = commit_app_meta(dst_path).get("src_version")
+    if applied is None:
+        raise ValueError(
+            f"{dst_path!r} was not created by refresh_agg_table (no applied "
+            "source version in its commit metadata)"
+        )
+    if applied >= src_latest:
+        return None  # already current
+    delta = agg_delta(
+        spark,
+        src_path,
+        keys,
+        group_cols,
+        v_from=applied,
+        v_to=src_latest,
+        sum_cols=sum_cols,
+    )
+    prev = read_version(spark, dst_path)
+    z = F.lit(0)
+    merged = prev.join(delta, group_cols, "full_outer").select(
+        *group_cols,
+        (F.coalesce(F.col("n_rows"), z) + F.coalesce(F.col("n_rows_delta"), z))
+        .cast("long")
+        .alias("n_rows"),
+        *[
+            (
+                F.coalesce(F.col(f"{c}_sum"), z)
+                + F.coalesce(F.col(f"{c}_delta"), z)
+            ).alias(f"{c}_sum")
+            for c in sum_cols
+        ],
+    )
+    merged = merged.filter(F.col("n_rows") > 0)
+    return commit_snapshot(merged, dst_path, app_meta=meta)

@@ -1082,3 +1082,133 @@ def test_table_cli_constraints_and_clone(spark, tmp_path, capsys):
     assert cli.table_main(["constraint-add", t]) == 2
     assert cli.table_main(["constraint-drop", t]) == 2
     assert cli.table_main(["clone", t]) == 2
+
+
+def test_bloom_point_lookup_skips_files_zero_footers(spark, tmp_path, monkeypatch):
+    """bloom_cols harvests per-file bloom bitmaps at commit time (one
+    distributed pass, no driver data read); prune_eq= answers point
+    lookups from the log alone: no false negatives ever, real skipping
+    on values min/max can't rule out, zero footer fetches at read."""
+    from avro_diff_spark.sources.versioned import _live_adds
+
+    t = str(tmp_path / "tbl")
+    # v values INTERLEAVE across files: every file's [min, max] covers
+    # every v, so stats pruning is useless and only the bloom can skip.
+    df = (
+        spark.range(400)
+        .select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("val"), (F.col("id") % 100)).alias("v"),
+        )
+        .repartitionByRange(8, "k")
+    )
+    commit_snapshot(df, t, bloom_cols=["v"])
+    adds, _ = _live_adds(t, 0)
+    assert len(adds) == 8 and all("v" in a.get("bloom", {}) for a in adds.values())
+
+    import pyarrow.parquet as pq
+
+    def boom(*a, **kw):
+        raise AssertionError("footer fetched during log-level bloom pruning")
+
+    monkeypatch.setattr(pq, "ParquetFile", boom)
+    # no false negatives: every present value returns its exact rows
+    for needle, n_want in (("val7", 4), ("val99", 4), ("nope", 0)):
+        got = read_version(spark, t, prune_eq=("v", needle)).count()
+        assert got == n_want, needle
+    # an absent value prunes to zero files (md5 positions of 'nope'
+    # would need a 4-bit coincidence in all 8 filters to survive; if a
+    # filter keeps it, the row filter still returns 0 rows — asserted
+    # above — so this only pins that skipping actually engages)
+    monkeypatch.undo()
+    from avro_diff_spark.sources.versioned import _may_match_eq
+
+    kept = [f for f in adds if _may_match_eq(adds[f], "v", "nope")]
+    assert len(kept) < 8
+
+
+def test_bloom_integer_keys_and_append(spark, tmp_path):
+    """Integer bloom keys match across writer (Column cast) and reader
+    (str()); appends carry their own blooms; files without a bloom are
+    may-match (never skipped)."""
+    from avro_diff_spark.sources.versioned import _live_adds, _may_match_eq
+
+    t = str(tmp_path / "tbl")
+    commit_snapshot(
+        spark.createDataFrame([(i, i * 10) for i in range(20)], "k long, x long"),
+        t,
+        bloom_cols=["k"],
+    )
+    # append WITHOUT blooms: its file must stay may-match for any key
+    commit_snapshot(
+        spark.createDataFrame([(1000, 1)], "k long, x long"), t, mode="append"
+    )
+    adds, _ = _live_adds(t, 1)
+    no_bloom = [f for f, a in adds.items() if not a.get("bloom")]
+    assert no_bloom and all(f.startswith("v000001") for f in no_bloom)
+    assert all(_may_match_eq(adds[f], "k", 424242) for f in no_bloom)
+
+    assert read_version(spark, t, prune_eq=("k", 7)).count() == 1
+    assert read_version(spark, t, prune_eq=("k", 1000)).count() == 1
+    assert read_version(spark, t, prune_eq=("k", 424242)).count() == 0
+
+
+def test_refresh_agg_table_incremental_matches_full(spark, tmp_path):
+    """Materialized aggregate maintenance: refresh applies only the
+    unapplied commits' deltas, equals a full recompute after arbitrary
+    DML, is a no-op when current, and records its applied source
+    version atomically with the data."""
+    from avro_diff_spark.sources.versioned import (
+        commit_app_meta,
+        delete_where,
+        merge_into,
+        refresh_agg_table,
+        update_where,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "agg")
+    sch = "k long, g long, x long"
+    commit_snapshot(
+        spark.createDataFrame([(i, i % 3, i * 10) for i in range(12)], sch), src
+    )
+
+    # initial refresh = full aggregate
+    assert refresh_agg_table(spark, src, dst, ["k"], ["g"], sum_cols=["x"]) == 0
+    assert commit_app_meta(dst)["src_version"] == 0
+
+    def full():
+        return {
+            r.g: (r.n, r.s)
+            for r in read_version(spark, src)
+            .groupBy("g")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("s"))
+            .collect()
+        }
+
+    def mat():
+        return {
+            r.g: (r.n_rows, r.x_sum)
+            for r in read_version(spark, dst).collect()
+        }
+
+    assert mat() == full()
+    # no-op when current: no new commit
+    assert refresh_agg_table(spark, src, dst, ["k"], ["g"], sum_cols=["x"]) is None
+    assert latest_version(dst) == 0
+
+    # arbitrary DML, then one incremental refresh
+    merge_into(spark, src, spark.createDataFrame([(0, 0, 999), (50, 2, 7)], sch), ["k"])
+    delete_where(spark, src, "g = 1")  # kills a whole group
+    update_where(spark, src, "k = 6", {"x": F.expr("x + 5")})
+    v = refresh_agg_table(spark, src, dst, ["k"], ["g"], sum_cols=["x"])
+    assert v == 1 and commit_app_meta(dst)["src_version"] == latest_version(src)
+    assert mat() == full()  # incremental == recompute, deleted group gone
+    assert 1 not in mat()
+
+    # another round: append-only change
+    commit_snapshot(
+        spark.createDataFrame([(100, 1, 1), (101, 1, 2)], sch), src, mode="append"
+    )
+    assert refresh_agg_table(spark, src, dst, ["k"], ["g"], sum_cols=["x"]) == 2
+    assert mat() == full()
