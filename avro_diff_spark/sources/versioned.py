@@ -1491,6 +1491,7 @@ def refresh_agg_table(
     group_cols: list[str],
     *,
     sum_cols: list[str] | None = None,
+    to_version: int | None = None,
 ) -> int | None:
     """Incrementally maintained materialized aggregate — the
     materialized-view / DLT pattern built on the engine's own log. The
@@ -1510,9 +1511,10 @@ def refresh_agg_table(
     Refresh cost is proportional to WHAT CHANGED in the source (the CDF
     derivation) plus the group-cardinality rewrite; pytest pins
     ``refresh == full recompute`` across MERGE/DELETE/UPDATE histories.
-    Count/sum only, as :func:`agg_delta` documents. Returns the new
-    destination version, or None when already current."""
-    src_latest = latest_version(src_path)
+    Count/sum only, as :func:`agg_delta` documents. ``to_version`` caps
+    the refresh at a past source version (catch-up replays and tests).
+    Returns the new destination version, or None when already current."""
+    src_latest = latest_version(src_path) if to_version is None else to_version
     if src_latest < 0:
         raise ValueError(f"no table at {src_path!r}")
     sum_cols = list(sum_cols or [])
