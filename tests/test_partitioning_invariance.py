@@ -36,6 +36,8 @@ QUERIES = [
     "mixture_weights",
     "audio_features_flac",
     "cdc_changes_orders",  # versioned family: log replay + CDC derivation
+    "dsir_weights",  # trained broadcast scoring: int64 sums must not drift
+    "incremental_agg_orders",  # CDF delta + FOJ state merge across layouts
 ]
 
 
