@@ -1172,10 +1172,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # execute, and the char-shingle count is the shingle pipeline the
     # recorded winnow_fingerprints and minhash_near_dups exercise end to
     # end; the CI oracle gate value-hashes text_stats every run.
+    # Round-7 tail entry (kmeans_cluster_stats precedent — enters directly
+    # in the tail, fully oracle-backed via the CI gate):
+    # near_dup_contamination (the GPT-3 fuzzy eval scrub) executes exactly
+    # the recorded minhash_near_dups banding+verify pipeline and adds only
+    # a benchmark-membership predicate + per-doc max/count groupBy on the
+    # pair frame; the CI oracle gate value-hashes it every run.
     # Tail queries remain bench-covered and verified by tools/oracle_check.py;
     # tests/test_registry.py asserts every tail query is oracle-green so a
     # tail regression cannot ship behind a complete-looking driver record.
     for tail in (
+        "near_dup_contamination",
         "vocab_topk",
         "text_stats",
         "merge_upsert_orders",

@@ -1711,6 +1711,57 @@ SELECT * FROM verified WHERE jaccard >= {threshold}
 """
 
 
+def _is_benchmark_doc(c):
+    """The deterministic benchmark slice of the dups corpus: the ORIGINAL
+    documents whose planted exact/near copies (+1M/+2M ids) play the
+    train-set contaminants. Mirrored verbatim in the oracle."""
+    return (c < 1_000_000) & (c % 10 <= 1)
+
+
+def q_near_dup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY eval decontamination (Brown et al. 2020 appendix C — the
+    GPT-3 near-duplicate eval scrub; contamination_check is its exact
+    n-gram sibling): a train document is contaminated when its verified
+    Jaccard against ANY benchmark document reaches the MinHash
+    threshold. Executes exactly the banding+verify pipeline
+    minhash_near_dups records (never all-pairs), keeps the pairs that
+    CROSS the benchmark boundary, and aggregates per train doc:
+    n_benchmark_matches + max_jaccard (max over identically-computed
+    doubles — order-free, hash-safe).
+
+    Scale shape: the benchmark membership test is a pure predicate on
+    the pair frame (no extra join); everything upstream is the recorded
+    LSH machinery, so the scrub costs one filter + one groupBy more
+    than near-dup detection itself."""
+    corpus = snap.documents_with_dups(spark, sf_dir)
+    pairs = DD.minhash_near_dups(
+        corpus, "text", "doc_id", n_hashes=32, bands=8, shingle_k=5, threshold=0.5
+    )
+    a_b = _is_benchmark_doc(F.col("doc_a"))
+    b_b = _is_benchmark_doc(F.col("doc_b"))
+    cross = pairs.filter(a_b != b_b).select(
+        F.when(a_b, F.col("doc_b")).otherwise(F.col("doc_a")).alias("doc_id"),
+        "jaccard",
+    )
+    return cross.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_benchmark_matches"),
+        F.max("jaccard").alias("max_jaccard"),
+    )
+
+
+def _near_dup_contamination_sql() -> str:
+    bench = "({c} < 1000000 AND {c} % 10 <= 1)"
+    return f"""
+WITH pairs AS ({_minhash_sql()})
+SELECT CASE WHEN {bench.format(c='doc_a')} THEN doc_b ELSE doc_a END AS doc_id,
+       count(*) AS n_benchmark_matches,
+       max(jaccard) AS max_jaccard
+FROM pairs
+WHERE {bench.format(c='doc_a')} <> {bench.format(c='doc_b')}
+GROUP BY 1
+"""
+
+
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # FULL corpus: Hamming-ball bit-block banding (see dedup.simhash_near_dups)
     # makes the join an equi-join on block keys — no all-pairs, no pre-filter
@@ -3071,6 +3122,7 @@ PIPELINE_QUERIES = {
     "exact_substring_spans": q_exact_substring_spans,
     "exact_substring_scrub": q_exact_substring_scrub,
     "contamination_check": q_contamination_check,
+    "near_dup_contamination": q_near_dup_contamination,
     "decontaminated_counts": q_decontaminated_counts,
     "jaccard_pairs": q_jaccard_pairs,
     "minhash_near_dups": q_minhash_near_dups,
@@ -3140,6 +3192,7 @@ def pipeline_sql() -> dict[str, str]:
         "exact_substring_spans": _exact_substring_spans_sql(),
         "exact_substring_scrub": _exact_substring_scrub_sql(),
         "contamination_check": _contamination_sql(),
+        "near_dup_contamination": _near_dup_contamination_sql(),
         "decontaminated_counts": _decontaminated_counts_sql(),
         "jaccard_pairs": JACCARD_PAIRS_SQL,
         "minhash_near_dups": _minhash_sql(),
