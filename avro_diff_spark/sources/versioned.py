@@ -541,7 +541,20 @@ def _live_adds(table_path: str, version: int) -> tuple[dict[str, dict], set]:
                     # source's per-file owner schema through the one clone
                     # commit); otherwise the committing schema owns the file
                     "schema": a.get("schema_json") or commit.get("schema"),
+                    # deletion vectors re-attach on restore/clone adds; a
+                    # plain re-add (rewrite) starts clean
+                    "dvs": list(a.get("dvs", [])),
+                    # the file key the DV sidecar rows carry — differs from
+                    # the add key only for clone references (absolute adds
+                    # keep the source's relative sidecar key)
+                    "dv_f": a.get("dv_f"),
                 }
+            elif "dv" in a:
+                d = a["dv"]
+                if d["for"] in live:
+                    live[d["for"]]["dvs"].append(
+                        {"paths": d["paths"], "n": d["n"]}
+                    )
             else:
                 del live[a["remove"]]
     return live, {i["schema"] for i in live.values() if i["schema"] is not None}
