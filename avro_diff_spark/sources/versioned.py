@@ -176,7 +176,21 @@ def _compute_blooms(
     from urllib.parse import unquote, urlparse
 
     paths = [os.path.join(table_path, f) for f in rel_files]
-    df = spark.read.parquet(*paths).select(
+    probe = spark.read.parquet(*paths)
+    bad = [
+        c
+        for c in cols
+        if c in dict(probe.dtypes) and dict(probe.dtypes)[c] == "boolean"
+    ]
+    if bad:
+        # Spark's string cast ('true') and Python str() ('True') disagree,
+        # so a boolean bloom would silently never match at read time — and
+        # a 2-value domain has no point-lookup selectivity anyway
+        raise ValueError(
+            f"bloom_cols {bad} are boolean — blooms answer point lookups "
+            "on int/string/date columns (round-7 ADVICE)"
+        )
+    df = probe.select(
         F.input_file_name().alias("__f"),
         *[F.col(c).cast("string").alias(c) for c in cols],
     )
@@ -228,8 +242,15 @@ def _may_match_eq(add: dict, col: str, value) -> bool:
         return _typed_value(v, value) == _typed_value(str(_bound_str(value)), value)
     bl = (add.get("bloom") or {}).get(col)
     if bl is not None:
+        # normalize to Spark's string cast (booleans lowercase) so the
+        # reader hashes the exact bytes the distributed harvest hashed
+        probe = (
+            ("true" if value else "false")
+            if isinstance(value, bool)
+            else str(_bound_str(value))
+        )
         bits = base64.b64decode(bl)
-        for p in _bloom_positions(str(_bound_str(value))):
+        for p in _bloom_positions(probe):
             if not (bits[p // 8] >> (p % 8)) & 1:
                 return False
     return _may_match(add, col, value, value)
@@ -564,6 +585,12 @@ def _live_files(table_path: str, version: int) -> list[str]:
     return sorted(_live_adds(table_path, version)[0])
 
 
+def _is_temporal(bound) -> bool:
+    import datetime
+
+    return isinstance(bound, (datetime.date, datetime.datetime))
+
+
 def _bound_str(v) -> object:
     """Caller-native prune bound → the log's JSON representation (ISO
     strings for temporal types; space-normalized so timestamp partition
@@ -577,8 +604,12 @@ def _bound_str(v) -> object:
 
 def _typed_value(s: str, bound) -> object:
     """A pv/stats STRING coerced to the prune bound's comparison domain:
-    numeric bounds compare numerically, temporal bounds by normalized
-    ISO string, everything else as raw strings."""
+    numeric bounds compare numerically, temporal bounds by
+    separator-normalized ISO string, everything else as RAW strings.
+    The T→space normalization applies ONLY when the caller's bound is a
+    date/datetime — mangling ordinary strings is non-monotonic ('CAT'
+    would sort as 'CA ') and silently prunes files containing matching
+    rows, the worst lakehouse read-path failure (round-7 ADVICE)."""
     if isinstance(bound, bool):
         return s.lower() == "true"
     if isinstance(bound, int) and not isinstance(bound, bool):
@@ -588,7 +619,9 @@ def _typed_value(s: str, bound) -> object:
             return float(s)
     if isinstance(bound, float):
         return float(s)
-    return str(s).replace("T", " ")
+    if _is_temporal(bound):
+        return str(s).replace("T", " ")
+    return str(s)
 
 
 def _may_match(add: dict, col: str, lo, hi) -> bool:
@@ -607,8 +640,10 @@ def _may_match(add: dict, col: str, lo, hi) -> bool:
     if s is None:
         return True
     if isinstance(lo_b, str):
-        smin, smax = str(s[0]).replace("T", " "), str(s[1]).replace("T", " ")
-        return not (smax < str(lo_b).replace("T", " ") or smin > str(hi_b).replace("T", " "))
+        # temporal bounds normalize both separators; plain strings
+        # compare raw (round-7 ADVICE: no mangling of ordinary data)
+        norm = (lambda x: str(x).replace("T", " ")) if _is_temporal(lo) else str
+        return not (norm(s[1]) < norm(lo_b) or norm(s[0]) > norm(hi_b))
     return not (s[1] < lo_b or s[0] > hi_b)
 
 
@@ -1095,7 +1130,6 @@ def commit_stream(
                 if c.get("epoch", -1) >= epoch_id:
                     return  # replayed batch: already durable in the log
                 break
-        _check_constraints(batch_df, table_path, latest_version(table_path))
         added = _stage_data(
             batch_df, table_path, latest_version(table_path) + 1, partition_by
         )
@@ -1104,6 +1138,11 @@ def commit_stream(
 
         while True:
             version = latest_version(table_path) + 1
+            # validate INSIDE the retry loop, against the rebased latest
+            # version: a constraint added by a concurrent add_constraint
+            # must refuse this micro-batch too (round-7 ADVICE; mirrors
+            # commit_snapshot's append-rebase path)
+            _check_constraints(batch_df, table_path, version - 1)
             commit = {
                 "version": version,
                 "mode": "append",

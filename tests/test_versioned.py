@@ -1212,3 +1212,94 @@ def test_refresh_agg_table_incremental_matches_full(spark, tmp_path):
     )
     assert refresh_agg_table(spark, src, dst, ["k"], ["g"], sum_cols=["x"]) == 2
     assert mat() == full()
+
+
+def test_string_prune_never_mangles_ordinary_strings(spark, tmp_path):
+    """Round-7 ADVICE (high): the ISO-timestamp T→space normalization
+    must apply ONLY to temporal bounds. Ordinary strings containing 'T'
+    ('CAT' stats pruned for range ['CAR','CAZ']; pv 'TOKYO' pruned for
+    range ['S','U']) were silently skipped — missing rows, the worst
+    lakehouse read failure."""
+    t = str(tmp_path / "strs")
+    df = spark.createDataFrame(
+        [(1, "CAT"), (2, "DOG"), (3, "EMU")], "k long, w string"
+    ).repartitionByRange(3, "w")
+    commit_snapshot(df, t, stats_cols=["w"])
+    got = read_version(spark, t, prune=("w", "CAR", "CAZ"))
+    assert [(r.k, r.w) for r in got.collect()] == [(1, "CAT")]
+    # point lookup through the same stats path
+    assert [r.k for r in read_version(spark, t, prune_eq=("w", "CAT")).collect()] == [1]
+
+    # partition-value path: pv 'TOKYO' must survive a ['S','U'] range
+    t2 = str(tmp_path / "pv")
+    pdf = spark.createDataFrame(
+        [(1, "TOKYO"), (2, "OSAKA")], "k long, city string"
+    )
+    commit_snapshot(pdf, t2, partition_by=["city"])
+    got2 = read_version(spark, t2, prune=("city", "S", "U"))
+    assert [(r.k, r.city) for r in got2.collect()] == [(1, "TOKYO")]
+    assert [r.k for r in read_version(spark, t2, prune_eq=("city", "TOKYO")).collect()] == [1]
+
+    # temporal bounds still normalize across the T/space separator
+    import datetime
+
+    t3 = str(tmp_path / "ts")
+    tdf = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1, 12)), (2, datetime.datetime(2024, 6, 1, 12))],
+        "k long, ts timestamp",
+    ).repartitionByRange(2, "ts")
+    commit_snapshot(tdf, t3, stats_cols=["ts"])
+    got3 = read_version(
+        spark,
+        t3,
+        prune=("ts", datetime.datetime(2024, 1, 1), datetime.datetime(2024, 2, 1)),
+    )
+    assert [r.k for r in got3.collect()] == [1]
+
+
+def test_bloom_rejects_boolean_columns(spark, tmp_path):
+    """Round-7 ADVICE: Spark's string cast ('true') and Python str()
+    ('True') disagree, so a boolean bloom silently never matches —
+    refuse it at the writer."""
+    t = str(tmp_path / "b")
+    df = spark.createDataFrame([(1, True), (2, False)], "k long, flag boolean")
+    with pytest.raises(ValueError, match="boolean"):
+        commit_snapshot(df, t, bloom_cols=["flag"])
+
+
+def test_commit_stream_rechecks_constraints_after_lost_race(spark, tmp_path):
+    """Round-7 ADVICE: a constraint added by a concurrent writer between
+    a micro-batch's first validation and its publish must refuse the
+    rebased publish — the re-check runs INSIDE the retry loop."""
+    import avro_diff_spark.sources.versioned as V
+
+    src, ckpt, t = (str(tmp_path / d) for d in ("src", "ck", "tbl"))
+    os.makedirs(src)
+    commit_snapshot(_df(spark, [(1, "a")]), t)
+    _df(spark, [(-7, "bad")]).coalesce(1).write.mode("append").json(src)
+
+    real_publish = V._publish_commit
+    fired = {"n": 0}
+
+    def racing_publish(table_path, version, commit):
+        # the streaming sink's FIRST publish attempt loses the race to a
+        # concurrent ADD CONSTRAINT the batch violates
+        if commit.get("app") and fired["n"] == 0:
+            fired["n"] = 1
+            V.add_constraint(spark, t, "k_pos", "k > 0")
+            raise V.CommitConflict("lost race to add_constraint")
+        return real_publish(table_path, version, commit)
+
+    stream = spark.readStream.schema("k long, v string").json(src)
+    old = V._publish_commit
+    V._publish_commit = racing_publish
+    try:
+        q = V.commit_stream(stream, t, checkpoint=ckpt)
+        with pytest.raises(Exception, match="k_pos"):
+            q.awaitTermination(120)
+            q.processAllAvailable()
+    finally:
+        V._publish_commit = old
+    # the violating batch never landed; only the constraint commit did
+    assert {r.k for r in read_version(spark, t).collect()} == {1}
+    assert V.table_constraints(t) == {"k_pos": "k > 0"}
