@@ -11,12 +11,21 @@ the technique Delta/Iceberg expose as ``OPTIMIZE ... ZORDER BY``) keeps
 EVERY clustered column's per-file range narrow, so a filter on ANY of
 them prunes most files.
 
-Everything here is pure Column expressions (rank → fixed-point quantile →
-bit interleave) plus one ``repartitionByRange`` on the key — exactly one
+Everything here is pure Column expressions (quantile bucketize → bit
+interleave) plus one ``repartitionByRange`` on the key — exactly one
 extra shuffle over a plain write, which is what ``OPTIMIZE`` costs on the
-managed platforms too. No UDFs, no driver materialization; the quantile
-mapping uses ``ntile`` so skewed value distributions still split into
-equal-population buckets (raw min/max scaling would collapse under skew).
+managed platforms too. The quantile mapping computes per-column CUT
+POINTS once (Spark's own distributed range-partitioner sampling over a
+single-column projection — bounded driver state, ≤ one row per bucket)
+and embeds them as a literal array bucketized by a branch-free
+expression, so skewed value distributions still split into
+equal-population buckets (raw min/max scaling would collapse under
+skew) WITHOUT the unpartitioned ``ntile`` window an earlier version
+used: Spark plans an unpartitioned window by moving the entire dataset
+through ONE task — invisible at test scale, fatal at 100 TB. The
+cut-point form is also value-deterministic (equal values always share a
+bucket; ntile split ties arbitrarily) and reusable as literals by
+incremental/streaming writers.
 
 Verification is physical, not aspirational: tests/test_layout.py writes
 the same data z-ordered and linearly sorted, reads the parquet FOOTERS
@@ -26,7 +35,7 @@ per-file bounding box — i.e. real files a real scan would skip.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = [
     "zorder_key",
@@ -36,42 +45,100 @@ __all__ = [
     "file_stats",
 ]
 
+# Per-dimension quantile resolution cap: 2^8 = 256 population-quantile
+# buckets per clustered column. Resolution beyond the output file count
+# buys nothing (per-file ranges are set by files^(1/n_cols), not by the
+# quantile grid), and the cap bounds BOTH the literal cut array each
+# task evaluates and the driver state (≤ 255 values per column).
+_MAX_BITS = 8
+
+
+def _cut_points(df: DataFrame, col: str, buckets: int) -> list:
+    """Driver-side sorted list of ≤ ``buckets``−1 upper-bound cut values
+    for equal-population bucketing of ``col`` — computed by Spark's OWN
+    distributed range partitioner (reservoir-sampled, deterministic
+    seeds) over the single-column projection: one narrow shuffle, one
+    max() per range, ≤ ``buckets`` rows to the driver. Works for any
+    orderable type (numeric/temporal/string), never funnels data through
+    one task, and scales to any input size — the planning pass every
+    ``OPTIMIZE ZORDER`` implementation runs."""
+    rows = (
+        df.select(col)
+        .where(F.col(col).isNotNull())
+        .repartitionByRange(buckets, F.col(col))
+        .select(F.spark_partition_id().alias("__p"), F.col(col).alias("__v"))
+        .groupBy("__p")
+        .agg(F.max("__v").alias("__hi"))
+        .collect()
+    )
+    his = [r["__hi"] for r in sorted(rows, key=lambda r: r["__p"])]
+    return sorted(set(his[:-1]))  # the last range's max is the global max
+
+
+def _bucket_expr(col: str, cuts: list) -> Column:
+    """Branch-free bucket id of ``col`` against literal ``cuts``: the
+    count of cut points strictly below the value (one higher-order
+    ``aggregate`` over a ≤255-element literal array — no window, no
+    shuffle, no UDF). Nulls land in bucket 0, matching Spark's
+    nulls-first default ordering."""
+    if not cuts:
+        return F.lit(0).cast("long")
+    arr = F.array(*[F.lit(v) for v in cuts])
+    z = F.lit(0).cast("long")
+    return F.when(F.col(col).isNull(), z).otherwise(
+        F.aggregate(
+            arr,
+            z,
+            lambda acc, cut: acc
+            + F.when(F.col(col) > cut, 1).otherwise(0).cast("long"),
+        )
+    )
+
+
+def _quantile_buckets(
+    df: DataFrame, cols: list[str], bits: int
+) -> tuple[DataFrame, list[str], int]:
+    """Shared quantization step of both curves: add a ``__q_{c}`` bucket
+    column per clustering column (equal-population quantiles via
+    :func:`_cut_points` + :func:`_bucket_expr`), returning the effective
+    per-dimension bit width (``min(bits, _MAX_BITS)``)."""
+    bits_eff = min(bits, _MAX_BITS)
+    buckets = 1 << bits_eff
+    out, qcols = df, []
+    for c in cols:
+        qc = f"__q_{c}"
+        out = out.withColumn(qc, _bucket_expr(c, _cut_points(df, c, buckets)))
+        qcols.append(qc)
+    return out, qcols, bits_eff
+
 
 def zorder_key(df: DataFrame, cols: list[str], *, bits: int = 16) -> DataFrame:
     """Add a ``__zkey`` column: the bit-interleaved Z-address of ``cols``.
 
-    Each column is first mapped to a ``bits``-bit integer by population
-    quantile (``ntile(2^bits)`` over the column's order — rank-based, so
-    arbitrary numeric/temporal/string types and skewed distributions all
-    spread evenly), then the per-column bits are interleaved MSB-first:
-    bit ``b`` of column ``i`` lands at position ``b * n_cols + i`` from
-    the top. Nulls sort first (ntile bucket 0 side), matching Spark's
-    default null ordering.
+    Each column is first mapped to an equal-population quantile bucket
+    (driver-computed cut points embedded as a literal array — rank-based,
+    so arbitrary numeric/temporal/string types and skewed distributions
+    all spread evenly; resolution capped at ``min(bits, 8)`` bits per
+    dimension), then the per-column bits are interleaved MSB-first: bit
+    ``b`` of column ``i`` lands at position ``b * n_cols + i`` from the
+    top. Nulls bucket lowest, matching Spark's default null ordering.
 
-    The ntile windows are unpartitioned — one pass per column over the
-    dataset being clustered, the same cost profile as the global sort an
-    ``OPTIMIZE ZORDER`` job runs. For incremental/streaming variants,
-    compute quantile cut points once and reuse them as literals.
+    Scale shape: one bounded sampling pass per column (Spark's range
+    partitioner — the same planning pass a global sort runs) plus a
+    map-only bucketize; NO unpartitioned window anywhere — the plan gate
+    in tests/test_layout.py pins Window-free plans.
     """
     if not cols:
         raise ValueError("zorder_key needs at least one column")
     n = len(cols)
-    buckets = 1 << bits
-    out = df
-    qcols = []
-    for c in cols:
-        qc = f"__q_{c}"
-        out = out.withColumn(
-            qc, (F.ntile(buckets).over(Window.orderBy(F.col(c))) - 1).cast("long")
-        )
-        qcols.append(qc)
+    out, qcols, bits_eff = _quantile_buckets(df, cols, bits)
     # interleave: result bit (bits*n - 1 - (b*n + i)) takes column i's
     # bit (bits - 1 - b) — classic Morton/Z-address, MSB-aligned
     key: Column = F.lit(0).cast("long")
-    for b in range(bits):
+    for b in range(bits_eff):
         for i, qc in enumerate(qcols):
-            src_bit = bits - 1 - b
-            dst_bit = bits * n - 1 - (b * n + i)
+            src_bit = bits_eff - 1 - b
+            dst_bit = bits_eff * n - 1 - (b * n + i)
             key = key + F.shiftleft(
                 F.shiftright(F.col(qc), src_bit).bitwiseAND(F.lit(1)), dst_bit
             )
@@ -128,13 +195,14 @@ def hilbert_key(df: DataFrame, cols: list[str], *, bits: int = 16) -> DataFrame:
     where one file spans a huge range of one dimension, giving tighter
     per-file bounding boxes at the same file count.
 
-    Quantile bucketing is byte-for-byte the Z-order path's (rank-based
-    ``ntile``, skew-proof); the curve transform itself runs as an
-    Arrow-batched vectorized pandas_udf — a deliberate exception to the
-    expressions-only rule: the Skilling transform's data-dependent
-    per-bit swaps would explode a Column-expression tree, and layout
-    writes are one-off OPTIMIZE-style jobs where the (numpy, batched)
-    Python boundary is off every query's hot path.
+    Quantile bucketing is byte-for-byte the Z-order path's (driver-
+    computed cut points as literal arrays, skew-proof, no window); the
+    curve transform itself runs as an Arrow-batched vectorized
+    pandas_udf — a deliberate exception to the expressions-only rule:
+    the Skilling transform's data-dependent per-bit swaps would explode
+    a Column-expression tree, and layout writes are one-off
+    OPTIMIZE-style jobs where the (numpy, batched) Python boundary is
+    off every query's hot path.
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -142,14 +210,7 @@ def hilbert_key(df: DataFrame, cols: list[str], *, bits: int = 16) -> DataFrame:
         raise ValueError("hilbert_key needs at least one column")
     if bits * len(cols) > 62:
         raise ValueError("bits * len(cols) must fit a signed 64-bit key")
-    out, qcols = df, []
-    buckets = 1 << bits
-    for c in cols:
-        qc = f"__q_{c}"
-        out = out.withColumn(
-            qc, (F.ntile(buckets).over(Window.orderBy(F.col(c))) - 1).cast("long")
-        )
-        qcols.append(qc)
+    out, qcols, bits_eff = _quantile_buckets(df, cols, bits)
 
     @pandas_udf("long")
     def hidx(*qs):
@@ -157,7 +218,7 @@ def hilbert_key(df: DataFrame, cols: list[str], *, bits: int = 16) -> DataFrame:
         import pandas as pd
 
         coords = np.stack([q.to_numpy(np.int64) for q in qs], axis=1)
-        return pd.Series(_hilbert_index_np(coords, bits))
+        return pd.Series(_hilbert_index_np(coords, bits_eff))
 
     return out.withColumn("__hkey", hidx(*[F.col(qc) for qc in qcols])).drop(*qcols)
 

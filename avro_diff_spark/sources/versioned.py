@@ -938,9 +938,10 @@ def compact_table(
     """Small-file compaction — and, with ``cluster_by``, the full
     ``OPTIMIZE ... ZORDER BY`` surface: rewrite the CURRENT live file
     set as ``target_files`` files, clustered on the Z-order or Hilbert
-    address of ``cluster_by`` (operators/layout.py — the same rank-ntile
-    quantization + space-filling-curve write every lakehouse OPTIMIZE
-    runs), and publish it as one overwriting commit. Clustered rewrites
+    address of ``cluster_by`` (operators/layout.py — driver-computed
+    quantile cut points + space-filling-curve write, fully distributed:
+    no window, no single-task funnel), and publish it as one overwriting
+    commit. Clustered rewrites
     default ``stats_cols`` to ``cluster_by``, so the tightened per-file
     ranges land in the log and :func:`read_version` ``prune=`` skips
     files on ANY clustered column without a footer fetch. A partitioned
