@@ -13,6 +13,14 @@ source of truth), writers stage data files first and publish the commit
 LAST via an atomic link, so a crashed writer leaves only unreferenced
 files, never a torn table.
 
+Checkpoints (round 8): every ``_CHECKPOINT_INTERVAL`` commits the
+publisher writes ``NNNNNN.checkpoint.json`` — the full replayed state
+(live adds with stats/pv/bloom/schema/DVs, merged schema, partitioning,
+constraints) plus a ``_last_checkpoint`` pointer, exactly Delta's
+layout. Reads replay checkpoint + tail instead of the whole log:
+O(interval), not O(n-commits), the first wall every long-lived
+streaming table hits.
+
 Concurrency model (round 7): the commit publish is an atomic
 claim-by-hardlink of the numbered log entry, so two writers can never
 both own one version. APPEND commits rebase-and-retry on a lost race
@@ -65,6 +73,7 @@ __all__ = [
     "add_constraint",
     "drop_constraint",
     "clone_table",
+    "checkpoint_log",
     "agg_delta",
     "refresh_agg_table",
     "commit_app_meta",
@@ -74,6 +83,20 @@ __all__ = [
 _LOG = "_log"
 _VACUUM = "_vacuum.json"
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+_CKPT_SUFFIX = ".checkpoint.json"
+_LAST_CKPT = "_last_checkpoint"
+# Delta's default: a checkpoint every 10 commits. Readers replay
+# checkpoint + tail instead of the whole log — at 10^5 commits (a year
+# of streaming micro-batches) the difference between opening 10 files
+# and 10^5 per read.
+_CHECKPOINT_INTERVAL = 10
+
+
+def _read_commit(path: str) -> dict:
+    """Single choke point for commit-JSON reads — tests monkeypatch this
+    to pin that checkpointed reads open only the tail of the log."""
+    with open(path) as fh:
+        return json.load(fh)
 
 
 class CommitConflict(RuntimeError):
@@ -104,6 +127,77 @@ def latest_version(table_path: str) -> int:
     """Highest committed version, or -1 for a nonexistent/empty table."""
     commits = _commit_files(table_path)
     return commits[-1][0] if commits else -1
+
+
+def _checkpoint_path(table_path: str, version: int) -> str:
+    return os.path.join(_log_dir(table_path), f"{version:06d}{_CKPT_SUFFIX}")
+
+
+def _usable_checkpoint(table_path: str, version: int) -> tuple[int, dict] | None:
+    """The newest checkpoint at or below ``version`` (time travel below
+    the last checkpoint falls back to an older one, or to full replay).
+    One directory listing — the same listing every log read already
+    performs; no data files are opened."""
+    d = _log_dir(table_path)
+    if not os.path.isdir(d):
+        return None
+    best = -1
+    for name in os.listdir(d):
+        if name.endswith(_CKPT_SUFFIX):
+            try:
+                v = int(name[: -len(_CKPT_SUFFIX)])
+            except ValueError:
+                continue
+            if best < v <= version:
+                best = v
+    if best < 0:
+        return None
+    try:
+        with open(_checkpoint_path(table_path, best)) as fh:
+            return best, json.load(fh)
+    except (OSError, ValueError):
+        return None  # torn/missing checkpoint: fall back to full replay
+
+
+def checkpoint_log(table_path: str, version: int | None = None) -> str:
+    """Write a checkpoint of the table state at ``version`` (default
+    latest): the live add-set with all per-add metadata (stats, pv,
+    bloom, owner schema, deletion vectors), the merged table schema, the
+    partitioning, and the CHECK constraints — everything a reader needs,
+    so :func:`read_version` replays only the commits AFTER it. Written
+    atomically (tmp + rename; a half-written checkpoint is never
+    visible) and advertised via the ``_last_checkpoint`` pointer, the
+    Delta layout. Checkpoints are derived data: deleting one only costs
+    replay time. :func:`_publish_commit` calls this automatically every
+    ``_CHECKPOINT_INTERVAL`` commits."""
+    if version is None:
+        version = latest_version(table_path)
+    live, _ = _live_adds(table_path, version)
+    adds: dict[str, dict] = {}
+    for f, info in live.items():
+        slim = {k: v for k, v in info.items() if v not in (None, [], {})}
+        adds[f] = slim
+    sch = table_schema(table_path, version)
+    ck = {
+        "version": version,
+        "adds": adds,
+        "partition_by": _table_partitioning(table_path, version),
+        "constraints": table_constraints(table_path, version),
+    }
+    if sch is not None:
+        ck["schema"] = sch.json()
+    p = _checkpoint_path(table_path, version)
+    tmp = p + f".{uuid.uuid4().hex[:8]}.tmp"
+    with open(tmp, "w") as fh:
+        json.dump(ck, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, p)
+    ptr_tmp = os.path.join(_log_dir(table_path), f".{_LAST_CKPT}.tmp")
+    with open(ptr_tmp, "w") as fh:
+        json.dump({"version": version}, fh)
+    os.replace(ptr_tmp, os.path.join(_log_dir(table_path), _LAST_CKPT))
+    return p
 
 
 def _vacuum_watermark(table_path: str) -> int:
@@ -267,16 +361,24 @@ def table_schema(table_path: str, version: int | None = None):
 
     if version is None:
         version = latest_version(table_path)
+    ck = _usable_checkpoint(table_path, version)
+    ck_v = ck[0] if ck is not None else -1
     chain: list = []
+    saw_overwrite = False
     for v, path in reversed(_commit_files(table_path)):
         if v > version:
             continue
-        with open(path) as fh:
-            c = json.load(fh)
+        if v <= ck_v:
+            break  # checkpoint summarizes everything at or below it
+        c = _read_commit(path)
         if "schema" in c:
             chain.append(T.StructType.fromJson(json.loads(c["schema"])))
         if c["mode"] == "overwrite":
+            saw_overwrite = True
             break  # older commits' schemas were replaced wholesale
+    if ck is not None and not saw_overwrite and "schema" in ck[1]:
+        # the checkpoint's merged schema is the oldest-since-overwrite base
+        chain.append(T.StructType.fromJson(json.loads(ck[1]["schema"])))
     if not chain:
         return None
     merged: list = []
@@ -452,16 +554,22 @@ def _table_partitioning(table_path: str, version: int) -> list | None:
     ``partition_by`` since the most recent overwrite ([] = explicitly
     unpartitioned), or None when the table predates partition tracking
     or is empty."""
+    ck = _usable_checkpoint(table_path, version)
+    ck_v = ck[0] if ck is not None else -1
     for v, path in reversed(_commit_files(table_path)):
         if v > version:
             continue
-        with open(path) as fh:
-            c = json.load(fh)
+        if v <= ck_v:
+            break
+        c = _read_commit(path)
         pb = c.get("partition_by", [])
         if pb or c["mode"] == "overwrite":
             return list(pb)
         if any("add" in a for a in c["actions"]):
             return list(pb)
+    if ck is not None:
+        pb = ck[1].get("partition_by")
+        return list(pb) if pb is not None else None
     return None
 
 
@@ -539,6 +647,21 @@ def _publish_commit(table_path: str, version: int, commit: dict) -> None:
         ) from None
     finally:
         os.unlink(tmp)
+    if version > 0 and version % _CHECKPOINT_INTERVAL == 0:
+        # the commit is already durable — a checkpoint failure must not
+        # make the caller believe the commit failed (it would re-commit);
+        # checkpoints are derived data, the next interval retries anyway
+        try:
+            checkpoint_log(table_path, version)
+        except Exception:
+            import warnings
+
+            warnings.warn(
+                f"checkpoint at version {version} of {table_path!r} failed; "
+                "readers fall back to longer log replay",
+                RuntimeWarning,
+                stacklevel=2,
+            )
 
 
 def _live_adds(table_path: str, version: int) -> tuple[dict[str, dict], set]:
@@ -547,11 +670,25 @@ def _live_adds(table_path: str, version: int) -> tuple[dict[str, dict], set]:
     set tells readers whether the live files span an additive
     evolution."""
     live: dict[str, dict] = {}
+    ck = _usable_checkpoint(table_path, version)
+    ck_v = -1
+    if ck is not None:
+        ck_v, state = ck
+        for f, slim in state["adds"].items():
+            live[f] = {
+                "stats": slim.get("stats", {}),
+                "pv": slim.get("pv"),
+                "bloom": slim.get("bloom"),
+                "schema": slim.get("schema"),
+                "dvs": list(slim.get("dvs", [])),
+                "dv_f": slim.get("dv_f"),
+            }
     for v, path in _commit_files(table_path):
+        if v <= ck_v:
+            continue
         if v > version:
             break
-        with open(path) as fh:
-            commit = json.load(fh)
+        commit = _read_commit(path)
         for a in commit["actions"]:
             if "add" in a:
                 live[a["add"]] = {
@@ -659,8 +796,7 @@ def version_as_of(table_path: str, ts) -> int:
         ts = int(ts.timestamp() * 1_000_000)
     best = None
     for v, path in _commit_files(table_path):
-        with open(path) as fh:
-            c = json.load(fh)
+        c = _read_commit(path)
         if c.get("ts_us", 0) <= ts:
             best = v
     if best is None:
@@ -791,8 +927,7 @@ def table_history(table_path: str) -> list[dict]:
     wm = _vacuum_watermark(table_path)
     out = []
     for _, path in _commit_files(table_path):
-        with open(path) as fh:
-            c = json.load(fh)
+        c = _read_commit(path)
         out.append(
             {
                 "version": c["version"],
@@ -815,11 +950,17 @@ def table_constraints(table_path: str, version: int | None = None) -> dict[str, 
     if version is None:
         version = latest_version(table_path)
     cons: dict[str, str] = {}
+    ck = _usable_checkpoint(table_path, version)
+    ck_v = -1
+    if ck is not None:
+        ck_v = ck[0]
+        cons.update(ck[1].get("constraints", {}))
     for v, path in _commit_files(table_path):
+        if v <= ck_v:
+            continue
         if v > version:
             break
-        with open(path) as fh:
-            c = json.load(fh)
+        c = _read_commit(path)
         for a in c.get("constraints_add", []):
             cons[a["name"]] = a["expr"]
         for n in c.get("constraints_drop", []):
@@ -1125,8 +1266,7 @@ def commit_stream(
         # first match instead of reading every commit per batch (Delta's
         # txn-snapshot lookup, O(1) amortized instead of O(commits))
         for _, path in reversed(_commit_files(table_path)):
-            with open(path) as fh:
-                c = json.load(fh)
+            c = _read_commit(path)
             if c.get("app") == app_id:
                 if c.get("epoch", -1) >= epoch_id:
                     return  # replayed batch: already durable in the log
@@ -1531,8 +1671,7 @@ def commit_app_meta(table_path: str, version: int | None = None) -> dict:
         version = latest_version(table_path)
     for v, path in _commit_files(table_path):
         if v == version:
-            with open(path) as fh:
-                return json.load(fh).get("app_meta", {})
+            return _read_commit(path).get("app_meta", {})
     return {}
 
 

@@ -1303,3 +1303,105 @@ def test_commit_stream_rechecks_constraints_after_lost_race(spark, tmp_path):
     # the violating batch never landed; only the constraint commit did
     assert {r.k for r in read_version(spark, t).collect()} == {1}
     assert V.table_constraints(t) == {"k_pos": "k > 0"}
+
+
+def test_checkpoint_bounds_log_replay(spark, tmp_path, monkeypatch):
+    """Commit-log checkpoints (round-8 brief): every 10th commit writes
+    a checkpoint of the full table state; a read then opens ONLY the
+    checkpoint plus the tail commits after it — O(tail), not
+    O(n-commits). Pinned by counting commit-JSON opens."""
+    import avro_diff_spark.sources.versioned as V
+
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, [(0, "base")]), t, stats_cols=["k"])
+    for i in range(1, 25):
+        commit_snapshot(_df(spark, [(i, f"r{i}")]), t, mode="append", stats_cols=["k"])
+    assert latest_version(t) == 24
+    assert os.path.exists(os.path.join(t, "_log", "000010.checkpoint.json"))
+    assert os.path.exists(os.path.join(t, "_log", "000020.checkpoint.json"))
+    with open(os.path.join(t, "_log", "_last_checkpoint")) as fh:
+        assert json.load(fh)["version"] == 20
+
+    opened: list[str] = []
+    real = V._read_commit
+
+    def counting(path):
+        opened.append(os.path.basename(path))
+        return real(path)
+
+    monkeypatch.setattr(V, "_read_commit", counting)
+    df = read_version(spark, t)
+    assert df.count() == 25
+    assert {r.k for r in df.collect()} == set(range(25))
+    tail_only = [n for n in opened if int(n[:6]) <= 20]
+    assert tail_only == [], opened
+    assert opened, "expected SOME tail commits to be read"
+
+    # stats pruning still works off the checkpointed add metadata
+    opened.clear()
+    pruned = read_version(spark, t, prune=("k", 3, 3))
+    assert [r.k for r in pruned.collect()] == [3]
+    # strictly fewer files than the unpruned read (stats-bearing files
+    # with k != 3 skipped; stat-less empty part files stay, as designed)
+    assert len(pruned.inputFiles()) < len(read_version(spark, t).inputFiles())
+    assert all(int(n[:6]) > 20 for n in opened)
+
+
+def test_checkpoint_time_travel_and_lifecycle(spark, tmp_path):
+    """Time travel below/above the checkpoint, constraints and
+    partitioning recovered FROM the checkpoint, overwrites after a
+    checkpoint, and the vacuum watermark all still behave."""
+    import avro_diff_spark.sources.versioned as V
+
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, [(1, "a")]), t)
+    V.add_constraint(spark, t, "k_pos", "k > 0")
+    for i in range(2, 14):
+        commit_snapshot(_df(spark, [(i, f"r{i}")]), t, mode="append")
+    # versions: 0 data, 1 meta, 2..13 appends -> checkpoint at 10
+    assert os.path.exists(os.path.join(t, "_log", "000010.checkpoint.json"))
+
+    # below the checkpoint: exact historical reads
+    assert {r.k for r in read_version(spark, t, 0).collect()} == {1}
+    assert {r.k for r in read_version(spark, t, 4).collect()} == {1, 2, 3, 4}
+    # above: full state
+    assert {r.k for r in read_version(spark, t, 13).collect()} == set(range(1, 14))
+    # constraints ride the checkpoint (enforced post-checkpoint)
+    assert V.table_constraints(t) == {"k_pos": "k > 0"}
+    with pytest.raises(ValueError, match="k_pos"):
+        commit_snapshot(_df(spark, [(-1, "bad")]), t, mode="append")
+
+    # an overwrite after the checkpoint resets schema/live set correctly
+    commit_snapshot(
+        spark.createDataFrame([(100, "x", 1.5)], "k long, v string, w double"), t
+    )
+    assert {r.k for r in read_version(spark, t).collect()} == {100}
+    assert [f.name for f in V.table_schema(t).fields] == ["k", "v", "w"]
+
+    # vacuum truncation still refuses old versions clearly
+    V.vacuum(t, keep_versions=1)
+    with pytest.raises(ValueError, match="vacuumed"):
+        read_version(spark, t, 3)
+
+
+def test_checkpointed_partitioned_table_and_clone(spark, tmp_path):
+    """Partition values, partitioning metadata, and shallow clones all
+    survive the checkpointed replay path."""
+    import avro_diff_spark.sources.versioned as V
+
+    t = str(tmp_path / "tbl")
+    mk = lambda i: spark.createDataFrame([(i, i % 2)], "k long, p long")
+    commit_snapshot(mk(0), t, partition_by=["p"])
+    for i in range(1, 12):
+        commit_snapshot(mk(i), t, mode="append", partition_by=["p"])
+    assert os.path.exists(os.path.join(t, "_log", "000010.checkpoint.json"))
+    assert V._table_partitioning(t, latest_version(t)) == ["p"]
+    pruned = read_version(spark, t, prune=("p", 1, 1))
+    assert {r.k for r in pruned.collect()} == {i for i in range(12) if i % 2 == 1}
+
+    c = str(tmp_path / "clone")
+    V.clone_table(t, c)
+    assert {(r.k, r.p) for r in read_version(spark, c).collect()} == {
+        (i, i % 2) for i in range(12)
+    }
+    assert V._table_partitioning(c, 0) == ["p"]
