@@ -243,6 +243,79 @@ def _file_column_stats(table_path: str, rel_file: str, cols: list[str]) -> dict:
     return out
 
 
+# Add sets at or under this size harvest stats from parquet footers on
+# the driver (a handful of local metadata reads beats a Spark job);
+# larger ones run ONE distributed aggregation — a 50k-file commit costs
+# one map-side-combined Spark job, not 50k serial driver footer fetches.
+_DRIVER_FOOTER_MAX_FILES = 32
+
+
+def _stats_jsonable(v):
+    """A collected min/max value → its JSON log encoding, or None when
+    the type doesn't participate in stats (matching the footer path:
+    int/float/str plus ISO-encoded temporal; never bool)."""
+    import datetime
+
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat()
+    return None
+
+
+def _harvest_stats(
+    spark: SparkSession, table_path: str, rel_files: list[str], stats_cols: list[str]
+) -> tuple[dict[str, int], dict[str, dict]]:
+    """(per-file row counts, per-file column min/max) for a just-staged
+    add set — the metadata every add action carries. Small sets use the
+    driver footer loop; everything else is ONE distributed aggregation
+    over the staged files (``input_file_name`` groupBy with map-side
+    partial agg — one output row per file), the same shape the bloom
+    harvest uses (round-8 brief: no O(files) serial driver work on the
+    commit path)."""
+    if len(rel_files) <= _DRIVER_FOOTER_MAX_FILES:
+        import pyarrow.parquet as pq
+
+        rows = {
+            f: pq.ParquetFile(os.path.join(table_path, f)).metadata.num_rows
+            for f in rel_files
+        }
+        stats = (
+            {f: _file_column_stats(table_path, f, stats_cols) for f in rel_files}
+            if stats_cols
+            else {}
+        )
+        return rows, {f: s for f, s in stats.items() if s}
+    from urllib.parse import unquote, urlparse
+
+    df = spark.read.parquet(*[os.path.join(table_path, f) for f in rel_files])
+    cols = [c for c in stats_cols if c in df.columns]
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(cols):
+        aggs.append(F.min(c).alias(f"__lo_{i}"))
+        aggs.append(F.max(c).alias(f"__hi_{i}"))
+    collected = (
+        df.groupBy(F.input_file_name().alias("__f")).agg(*aggs).collect()
+    )
+    root = os.path.abspath(table_path)
+    rows: dict[str, int] = {f: 0 for f in rel_files}  # empty files: 0 rows
+    stats: dict[str, dict] = {}
+    for r in collected:
+        rel = os.path.relpath(unquote(urlparse(r["__f"]).path), root)
+        rows[rel] = r["__n"]
+        st: dict = {}
+        for i, c in enumerate(cols):
+            lo = _stats_jsonable(r[f"__lo_{i}"])
+            hi = _stats_jsonable(r[f"__hi_{i}"])
+            if lo is not None and hi is not None:
+                st[c] = [lo, hi]
+        if st:
+            stats[rel] = st
+    return rows, stats
+
+
 _BLOOM_M = 1024  # bits per per-file bloom filter
 _BLOOM_K = 4  # hash functions (md5 hex chunks)
 
@@ -483,27 +556,24 @@ def commit_snapshot(
             )
     _check_constraints(df, table_path, version - 1)
     added = _stage_data(df, table_path, version, partition_by)
-    n_rows = _footer_rows(table_path, [f for f, _ in added])
-    blooms = (
-        _compute_blooms(
-            df.sparkSession, table_path, [f for f, _ in added], bloom_cols
-        )
-        if bloom_cols
-        else {}
+    rels = [f for f, _ in added]
+    file_rows, file_stats = _harvest_stats(
+        df.sparkSession, table_path, rels, list(stats_cols or [])
     )
+    n_rows = sum(file_rows.values())
+    blooms = _compute_blooms(df.sparkSession, table_path, rels, bloom_cols) if bloom_cols else {}
 
     def actions_for(v: int) -> list[dict]:
         acts: list[dict] = []
         if mode == "overwrite":
             acts += [{"remove": f} for f in _live_files(table_path, v - 1)]
         for f, pv in added:
-            a: dict = {"add": f}
+            a: dict = {"add": f, "n": file_rows.get(f, 0)}
             if pv is not None:
                 a["pv"] = pv
-            if stats_cols:
-                st = _file_column_stats(table_path, f, stats_cols)
-                if st:
-                    a["stats"] = st
+            st = file_stats.get(f)
+            if st:
+                a["stats"] = st
             if f in blooms:
                 a["bloom"] = blooms[f]
             acts.append(a)
@@ -613,17 +683,6 @@ def _stage_data(
     return sorted(out)
 
 
-def _footer_rows(table_path: str, rel_files: list[str]) -> int:
-    """Row count from the parquet footers — driver-side metadata only, no
-    second Spark job over the just-written data."""
-    import pyarrow.parquet as pq
-
-    return sum(
-        pq.ParquetFile(os.path.join(table_path, f)).metadata.num_rows
-        for f in rel_files
-    )
-
-
 def _publish_commit(table_path: str, version: int, commit: dict) -> None:
     """The atomic publish step shared by every writer: write the JSON to
     a tmp name, fsync, then CLAIM the numbered slot with ``os.link`` —
@@ -679,6 +738,7 @@ def _live_adds(table_path: str, version: int) -> tuple[dict[str, dict], set]:
                 "stats": slim.get("stats", {}),
                 "pv": slim.get("pv"),
                 "bloom": slim.get("bloom"),
+                "n": slim.get("n"),
                 "schema": slim.get("schema"),
                 "dvs": list(slim.get("dvs", [])),
                 "dv_f": slim.get("dv_f"),
@@ -695,6 +755,9 @@ def _live_adds(table_path: str, version: int) -> tuple[dict[str, dict], set]:
                     "stats": a.get("stats", {}),
                     "pv": a.get("pv"),
                     "bloom": a.get("bloom"),
+                    # per-file row count (round 8) — lets clone/metadata
+                    # consumers sum rows without any footer fetch
+                    "n": a.get("n"),
                     # per-add schema_json wins (shallow clones preserve the
                     # source's per-file owner schema through the one clone
                     # commit); otherwise the committing schema owns the file
@@ -1197,6 +1260,8 @@ def clone_table(src_path: str, dst_path: str, *, version: int | None = None) -> 
     for f in sorted(adds):
         info = adds[f]
         a: dict = {"add": f if os.path.isabs(f) else os.path.join(src_root, f)}
+        if info.get("n") is not None:
+            a["n"] = info["n"]
         if info.get("pv") is not None:
             a["pv"] = info["pv"]
         if info.get("stats"):
@@ -1208,9 +1273,13 @@ def clone_table(src_path: str, dst_path: str, *, version: int | None = None) -> 
             # owner schema so the clone's readers still mergeSchema
             a["schema_json"] = info["schema"]
         actions.append(a)
-    import pyarrow.parquet as pq
+    if all("n" in a for a in actions):
+        n_rows = sum(a["n"] for a in actions)  # zero footer fetches
+    else:
+        # pre-round-8 source commits without per-add counts: footer loop
+        import pyarrow.parquet as pq
 
-    n_rows = sum(pq.ParquetFile(a["add"]).metadata.num_rows for a in actions)
+        n_rows = sum(pq.ParquetFile(a["add"]).metadata.num_rows for a in actions)
     commit: dict = {
         "version": 0,
         "mode": "overwrite",
@@ -1274,7 +1343,10 @@ def commit_stream(
         added = _stage_data(
             batch_df, table_path, latest_version(table_path) + 1, partition_by
         )
-        n_rows = _footer_rows(table_path, [f for f, _ in added])
+        file_rows, _ = _harvest_stats(
+            batch_df.sparkSession, table_path, [f for f, _ in added], []
+        )
+        n_rows = sum(file_rows.values())
         import time
 
         while True:
@@ -1293,7 +1365,11 @@ def commit_stream(
                 "n_rows": n_rows,
                 "schema": batch_df.schema.json(),
                 "actions": [
-                    {"add": f, **({"pv": pv} if pv is not None else {})}
+                    {
+                        "add": f,
+                        "n": file_rows.get(f, 0),
+                        **({"pv": pv} if pv is not None else {}),
+                    }
                     for f, pv in added
                 ],
             }
@@ -1390,21 +1466,23 @@ def _commit_replace_files(
     version = latest_version(table_path) + 1
     _check_constraints(df, table_path, version - 1)
     added = _stage_data(df, table_path, version, partition_by)
+    file_rows, file_stats = _harvest_stats(
+        df.sparkSession, table_path, [f for f, _ in added], list(stats_cols or [])
+    )
     actions: list[dict] = [{"remove": f} for f in remove]
     for f, pv in added:
-        a: dict = {"add": f}
+        a: dict = {"add": f, "n": file_rows.get(f, 0)}
         if pv is not None:
             a["pv"] = pv
-        if stats_cols:
-            st = _file_column_stats(table_path, f, stats_cols)
-            if st:
-                a["stats"] = st
+        st = file_stats.get(f)
+        if st:
+            a["stats"] = st
         actions.append(a)
     commit = {
         "version": version,
         "mode": "replace",
         "ts_us": int(time.time() * 1_000_000),
-        "n_rows": _footer_rows(table_path, [f for f, _ in added]),
+        "n_rows": sum(file_rows.values()),
         "schema": df.schema.json(),
         "actions": actions,
     }

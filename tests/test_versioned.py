@@ -1405,3 +1405,92 @@ def test_checkpointed_partitioned_table_and_clone(spark, tmp_path):
         (i, i % 2) for i in range(12)
     }
     assert V._table_partitioning(c, 0) == ["p"]
+
+
+def test_large_commit_harvests_stats_with_zero_driver_footer_reads(
+    spark, tmp_path, monkeypatch
+):
+    """Round-8 brief: per-file min/max and row counts for a large add
+    set come from ONE distributed aggregation, never a serial driver
+    pyarrow loop — a 50k-file commit must cost one Spark job. Pinned by
+    exploding pyarrow.parquet.ParquetFile during the commit."""
+    import pyarrow.parquet as pq
+
+    import avro_diff_spark.sources.versioned as V
+
+    t = str(tmp_path / "big")
+    df = spark.createDataFrame(
+        [(i, f"s{i:03d}") for i in range(400)], "k long, w string"
+    ).repartition(40)
+
+    def boom(*a, **kw):
+        raise AssertionError("driver footer fetch during a large commit")
+
+    monkeypatch.setattr(pq, "ParquetFile", boom)
+    commit_snapshot(df, t, stats_cols=["k", "w"])
+    monkeypatch.undo()
+
+    with open(os.path.join(t, "_log", "000000.json")) as fh:
+        c = json.load(fh)
+    assert c["n_rows"] == 400
+    adds = [a for a in c["actions"] if "add" in a]
+    assert len(adds) == 40 and all("n" in a for a in adds)
+    assert sum(a["n"] for a in adds) == 400
+    # harvested stats enable pruning exactly like the footer path
+    pruned = read_version(spark, t, prune=("k", 7, 7))
+    assert [r.k for r in pruned.collect()] == [7]
+    assert len(pruned.inputFiles()) < 40
+
+
+def test_distributed_stats_match_driver_footer_stats(spark, tmp_path, monkeypatch):
+    """Both harvest paths record identical stats for int/string/date —
+    the distributed path is a drop-in for the footer loop."""
+    import datetime
+
+    import avro_diff_spark.sources.versioned as V
+
+    rows = [
+        (i, f"w{i:02d}", datetime.date(2024, 1, 1 + i % 28)) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "k long, w string, d date").repartitionByRange(
+        5, "k"
+    )
+    t1, t2 = str(tmp_path / "drv"), str(tmp_path / "dist")
+    commit_snapshot(df, t1, stats_cols=["k", "w", "d"])  # 5 files: driver path
+    monkeypatch.setattr(V, "_DRIVER_FOOTER_MAX_FILES", -1)  # force distributed
+    commit_snapshot(df, t2, stats_cols=["k", "w", "d"])
+
+    def stats_by_sig(t):
+        with open(os.path.join(t, "_log", "000000.json")) as fh:
+            c = json.load(fh)
+        out = {}
+        for a in c["actions"]:
+            if "add" in a and "stats" in a:
+                out[json.dumps(a["stats"]["k"])] = (a["stats"], a["n"])
+        return out
+
+    s1, s2 = stats_by_sig(t1), stats_by_sig(t2)
+    assert s1 and set(s1) == set(s2)
+    for sig in s1:
+        assert s1[sig] == s2[sig], (sig, s1[sig], s2[sig])
+
+
+def test_clone_of_round8_table_fetches_zero_footers(spark, tmp_path, monkeypatch):
+    """Per-add row counts ride the log, so a shallow clone of a 100 TB
+    table is pure metadata — no footer opens at all."""
+    import pyarrow.parquet as pq
+
+    from avro_diff_spark.sources.versioned import clone_table
+
+    t, c = str(tmp_path / "src"), str(tmp_path / "dst")
+    commit_snapshot(_df(spark, [(1, "a"), (2, "b")]), t)
+    commit_snapshot(_df(spark, [(3, "c")]), t, mode="append")
+
+    def boom(*a, **kw):
+        raise AssertionError("footer fetch during shallow clone")
+
+    monkeypatch.setattr(pq, "ParquetFile", boom)
+    clone_table(t, c)
+    monkeypatch.undo()
+    assert {r.k for r in read_version(spark, c).collect()} == {1, 2, 3}
+    assert table_history(c)[0]["n_rows"] == 3
