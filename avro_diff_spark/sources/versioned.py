@@ -13,6 +13,15 @@ source of truth), writers stage data files first and publish the commit
 LAST via an atomic link, so a crashed writer leaves only unreferenced
 files, never a torn table.
 
+Deletion vectors (round 8): :func:`delete_where` / :func:`update_where`
+default to merge-on-read — matching rows are identified by scan-time
+``(file, row_index)`` provenance, written as a parquet sidecar, and
+attached to their files by a metadata commit; :func:`read_version`
+masks them with one anti-join, overwrites/compaction materialize them
+away, vacuum treats live sidecars as referenced data, and shallow
+clones re-attach them. A point-delete in a 1 GB file writes a few KB
+instead of rewriting 1 GB — the Delta/Iceberg DV read path.
+
 Checkpoints (round 8): every ``_CHECKPOINT_INTERVAL`` commits the
 publisher writes ``NNNNNN.checkpoint.json`` — the full replayed state
 (live adds with stats/pv/bloom/schema/DVs, merged schema, partitioning,
@@ -877,6 +886,7 @@ def read_version(
     as_of=None,
     prune: tuple[str, object, object] | None = None,
     prune_eq: tuple[str, object] | None = None,
+    _provenance: str | None = None,
 ) -> DataFrame:
     """Read the table as of ``version`` (default: latest) — time travel.
     The file list comes from the log replay, never a directory listing,
@@ -908,7 +918,17 @@ def read_version(
     recorded ``pv`` (the data files don't carry them), cast per the
     committed schema — one scan per live partition value, unioned;
     Catalyst folds the literals, so the plan stays a plain multi-path
-    scan."""
+    scan.
+
+    Deletion vectors (round 8): live files carrying DV sidecars (from
+    merge-on-read :func:`delete_where`/:func:`update_where`) are masked
+    by ONE anti-join on ``(file, row_index)`` — scan-time
+    ``_metadata.row_index`` provenance against the union of the live
+    sidecar rows, zero data rewritten at delete time, the Delta/Iceberg
+    merge-on-read read path. ``_provenance`` (internal) keeps the
+    scan-time lineage columns: 'file' adds ``__file`` (the source file
+    URI — survives joins, unlike ``input_file_name`` which is undefined
+    after a shuffle), 'pos' adds ``__file`` + ``__row_idx``."""
     if as_of is not None:
         if version is not None:
             raise ValueError("pass version= or as_of=, not both")
@@ -954,6 +974,8 @@ def read_version(
             df = df.withColumn(c, lit.cast(types.get(c, "string")))
         return df
 
+    dv_files = [f for f in files if adds[f].get("dvs")]
+    need_pos = _provenance in ("file", "pos") or bool(dv_files)
     groups: dict[tuple, list[str]] = {}
     for f in files:
         pv = adds[f].get("pv")
@@ -965,6 +987,12 @@ def read_version(
         groups, key=lambda k: [(c, v is None, v or "") for c, v in k]
     ):
         g = reader.parquet(*[os.path.join(table_path, f) for f in groups[key]])
+        if need_pos:  # scan-time row identity: survives every later join
+            g = g.select(
+                "*",
+                F.col("_metadata.file_path").alias("__fp"),
+                F.col("_metadata.row_index").alias("__ri"),
+            )
         if key:
             g = _with_pv(g, dict(key))
         parts.append(g)
@@ -974,12 +1002,103 @@ def read_version(
     if schema and any(groups):  # pv columns were appended — restore order
         ordered = [c for c in schema.names if c in df.columns]
         df = df.select(*ordered, *[c for c in df.columns if c not in ordered])
+    if dv_files:
+        df = _apply_dvs(spark, table_path, df, adds, files, dv_files)
     if prune is not None:
         col, lo, hi = prune
         df = df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
     if prune_eq is not None:
         df = df.filter(F.col(prune_eq[0]) == F.lit(prune_eq[1]))
+    if _provenance is None:
+        if need_pos:
+            df = df.drop("__fp", "__ri")
+    elif _provenance == "file":
+        df = df.withColumnRenamed("__fp", "__file").drop("__ri")
+    elif _provenance == "pos":
+        df = df.withColumnRenamed("__fp", "__file").withColumnRenamed(
+            "__ri", "__row_idx"
+        )
+    else:
+        raise ValueError(f"_provenance={_provenance!r} (file|pos)")
     return df
+
+
+def _dv_key(add_key: str, info: dict) -> str:
+    """The key a file's DV sidecar rows carry: the original committed
+    key — differs from the live add key only for shallow-clone
+    references (absolute adds keep the source's relative sidecar key)."""
+    return info.get("dv_f") or add_key
+
+
+def _suffix_segments(adds: dict[str, dict], files: list[str]) -> int:
+    """How many trailing path segments identify a file: the staging
+    directory (unique uuid per commit) + the hive partition directories
+    + the filename. Uniform across a live set (partitioning is enforced
+    per table)."""
+    depths = {len(adds[f].get("pv") or {}) for f in files}
+    if len(depths) != 1:
+        raise ValueError(
+            "live files span mixed partition depths — cannot map deletion "
+            "vectors by path suffix"
+        )
+    return 2 + depths.pop()
+
+
+def _disk_suffix(path: str, n_seg: int) -> str:
+    """Driver-side join key for a file: its last ``n_seg`` ON-DISK path
+    segments, with '+' mapped to space — the exact image of the Spark
+    side's URI-encode-then-url_decode round trip (percent-escapes
+    restore verbatim; a literal '+' survives URI encoding and form
+    decoding turns it into a space on both sides)."""
+    return "/".join(path.split(os.sep)[-n_seg:]).replace("+", " ")
+
+
+def _spark_suffix(n_seg: int) -> Column:
+    """The matching executor-side key from ``__fp`` (a URI-encoded
+    ``_metadata.file_path``): slice the RAW URI segments (on-disk names
+    never contain '/', so encoded slashes can't split), then url_decode
+    back to the on-disk form."""
+    return F.url_decode(
+        F.concat_ws("/", F.slice(F.split(F.col("__fp"), "/"), -n_seg, n_seg))
+    )
+
+
+def _apply_dvs(
+    spark: SparkSession,
+    table_path: str,
+    df: DataFrame,
+    adds: dict[str, dict],
+    files: list[str],
+    dv_files: list[str],
+) -> DataFrame:
+    """Mask DV-deleted rows: ONE broadcast map from path suffix to DV
+    key (the staging uuid makes suffixes globally unique — asserted),
+    then ONE anti-join against the union of the live sidecar rows.
+    Files without DVs keep a null key and pass the anti-join untouched."""
+    n_seg = _suffix_segments(adds, files)
+    suffixes = [_disk_suffix(f, n_seg) for f in files]
+    if len(set(suffixes)) != len(suffixes):
+        raise ValueError(
+            "duplicate data-file path suffixes in the live set — cannot "
+            "map deletion vectors by file identity"
+        )
+    mapping = [
+        (_disk_suffix(f, n_seg), _dv_key(f, adds[f])) for f in dv_files
+    ]
+    map_df = spark.createDataFrame(mapping, "__sfx string, __dvkey string")
+    dv_paths = sorted(
+        {p for f in dv_files for d in adds[f]["dvs"] for p in d["paths"]}
+    )
+    dv_abs = [p if os.path.isabs(p) else os.path.join(table_path, p) for p in dv_paths]
+    dvr = spark.read.parquet(*dv_abs).select(
+        F.col("f").alias("__dvkey"), F.col("idx").alias("__ri")
+    )
+    return (
+        df.withColumn("__sfx", _spark_suffix(n_seg))
+        .join(F.broadcast(map_df), "__sfx", "left")
+        .join(dvr, ["__dvkey", "__ri"], "left_anti")
+        .drop("__sfx", "__dvkey")
+    )
 
 
 def table_history(table_path: str) -> list[dict]:
@@ -1197,7 +1316,11 @@ def vacuum(table_path: str, *, keep_versions: int = 1) -> list[str]:
     keep_from = max(last - keep_versions + 1, 0)
     needed: set[str] = set()
     for v in range(keep_from, last + 1):
-        needed.update(_live_files(table_path, v))
+        adds = _live_adds(table_path, v)[0]
+        needed.update(adds)
+        for info in adds.values():  # live DV sidecars are referenced data
+            for d in info["dvs"]:
+                needed.update(p for p in d["paths"] if not os.path.isabs(p))
     deleted: list[str] = []
     for entry in sorted(os.listdir(table_path)):
         full = os.path.join(table_path, entry)
@@ -1272,9 +1395,25 @@ def clone_table(src_path: str, dst_path: str, *, version: int | None = None) -> 
             # live files span an additive evolution: keep each file's
             # owner schema so the clone's readers still mergeSchema
             a["schema_json"] = info["schema"]
+        if info.get("dvs"):
+            # deletion vectors re-attach with ABSOLUTE sidecar paths and
+            # the source's sidecar key, so the clone masks the same rows
+            a["dvs"] = [
+                {
+                    "paths": [
+                        p if os.path.isabs(p) else os.path.join(src_root, p)
+                        for p in d["paths"]
+                    ],
+                    "n": d["n"],
+                }
+                for d in info["dvs"]
+            ]
+            a["dv_f"] = _dv_key(f, info)
         actions.append(a)
     if all("n" in a for a in actions):
-        n_rows = sum(a["n"] for a in actions)  # zero footer fetches
+        n_rows = sum(a["n"] for a in actions) - sum(
+            d["n"] for a in actions for d in a.get("dvs", [])
+        )  # zero footer fetches; per-add n is the raw pre-DV file count
     else:
         # pre-round-8 source commits without per-add counts: footer loop
         import pyarrow.parquet as pq
@@ -1518,16 +1657,20 @@ def merge_into(
     ``rewrite`` picks the commit shape — the 100 TB lever:
 
     - 'touched' (Delta's optimized merge): find the target FILES that
-      contain a source key (per-row ``input_file_name`` provenance +
-      one key semi-join — the same inner-join file-finding pass Delta
-      runs), merge ONLY those files' rows with the source, and publish
-      a REPLACE commit (remove touched, add rewritten+inserts). A merge
+      contain a source key (scan-time file provenance + one key
+      semi-join — the same inner-join file-finding pass Delta runs),
+      merge ONLY those files' rows with the source, and publish a
+      REPLACE commit (remove touched, add rewritten+inserts). A merge
       touching 1% of files rewrites 1% of the table instead of all of
-      it. Requires ``when_not_matched_by_source='keep'`` (delete must
-      inspect every file). The file list is driver-side — bounded by
-      file count, the same state every lakehouse driver holds.
+      it. With a delete clause (``when_not_matched_by_source='delete'``)
+      untouched files hold NO source keys, so every one of their rows
+      is not-matched-by-source: they are dropped wholesale as
+      metadata-only removes while still only REWRITING the touched
+      subset (round 8 — the restriction is lifted). The file list is
+      driver-side — bounded by file count, the same state every
+      lakehouse driver holds.
     - 'all': single FOJ + full overwrite commit.
-    - 'auto' (default): 'touched' when legal, else 'all'.
+    - 'auto' (default): 'touched'.
     """
     if when_matched not in ("update", "keep"):
         raise ValueError(f"when_matched={when_matched!r} (update|keep)")
@@ -1540,12 +1683,7 @@ def merge_into(
     if rewrite not in ("auto", "touched", "all"):
         raise ValueError(f"rewrite={rewrite!r} (auto|touched|all)")
     if rewrite == "auto":
-        rewrite = "touched" if when_not_matched_by_source == "keep" else "all"
-    if rewrite == "touched" and when_not_matched_by_source != "keep":
-        raise ValueError(
-            "rewrite='touched' needs when_not_matched_by_source='keep' — "
-            "a delete clause must inspect every file"
-        )
+        rewrite = "touched"
     # a DML rewrite preserves the table's partitioning unless overridden
     partition_by = (
         partition_by or _table_partitioning(table_path, latest_version(table_path)) or None
@@ -1569,8 +1707,10 @@ def merge_into(
             partition_by=partition_by,
             stats_cols=stats_cols,
         )
-    # targeted rewrite: per-row file provenance -> touched-file set
-    tgt = target.withColumn("__file", F.input_file_name())
+    # targeted rewrite: scan-time file provenance -> touched-file set
+    # (read_version attaches it at the scan, so it stays correct through
+    # the deletion-vector anti-join; input_file_name would not)
+    tgt = read_version(spark, table_path, _provenance="file")
     touched_abs = sorted(
         r["__file"]
         for r in tgt.join(source.select(*keys).distinct(), keys, "left_semi")
@@ -1593,6 +1733,13 @@ def merge_into(
         return by_abs[local]
 
     touched_rel = sorted(add_key(p) for p in touched_abs)
+    if when_not_matched_by_source == "delete":
+        # untouched files contain zero source keys -> every row in them
+        # is not-matched-by-source -> deleted wholesale: remove them as
+        # pure metadata; only the touched subset is rewritten
+        remove = sorted(by_abs.values())
+    else:
+        remove = touched_rel
     sub = (
         tgt.filter(F.col("__file").isin(list(touched_abs))).drop("__file")
         if touched_abs
@@ -1605,39 +1752,191 @@ def merge_into(
     return _commit_replace_files(
         merged,
         table_path,
-        touched_rel,
+        remove,
         partition_by=partition_by,
         stats_cols=stats_cols,
     )
 
 
-def delete_where(spark: SparkSession, table_path: str, condition) -> int:
-    """``DELETE FROM table WHERE condition`` — rewrite the live set
-    without the matching rows as one overwrite commit (time travel keeps
-    the pre-delete versions readable until vacuum). ``condition`` is a
-    Column or SQL string. Returns the new version."""
+def _stage_dv(
+    spark: SparkSession,
+    table_path: str,
+    version: int,
+    matched: DataFrame,
+    adds: dict[str, dict],
+) -> tuple[list[str], dict[str, int]]:
+    """Write the deletion-vector sidecar for ``matched`` provenance rows
+    (``__file`` URI + ``__row_idx``): one distributed parquet write of
+    ``(f = DV key, idx)`` rows under a ``dvNNNNNN-…`` staging directory,
+    plus one bounded groupBy for the per-file counts. Returns (relative
+    sidecar paths, {dv_key: deleted rows}). Never collects row data —
+    only the ≤-live-files mapping and counts touch the driver."""
+    keys = sorted(adds)
+    n_seg = _suffix_segments(adds, keys)
+    mapping = [(_disk_suffix(k, n_seg), _dv_key(k, adds[k])) for k in keys]
+    map_df = spark.createDataFrame(mapping, "__sfx string, f string")
+    rows = (
+        matched.withColumnRenamed("__file", "__fp")
+        .withColumn("__sfx", _spark_suffix(n_seg))
+        .join(F.broadcast(map_df), "__sfx")
+        .select("f", F.col("__row_idx").alias("idx"))
+    )
+    stage = os.path.join(table_path, f"dv{version:06d}-{uuid.uuid4().hex[:8]}")
+    rows.write.parquet(stage)
+    base = os.path.basename(stage)
+    rels = sorted(
+        os.path.join(base, fn)
+        for fn in os.listdir(stage)
+        if fn.endswith(".parquet")
+    )
+    counts = {
+        r["f"]: r["n"]
+        for r in spark.read.parquet(stage)
+        .groupBy("f")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    return rels, counts
+
+
+def _dv_actions(
+    adds: dict[str, dict], rels: list[str], counts: dict[str, int]
+) -> list[dict]:
+    for_of = {_dv_key(k, adds[k]): k for k in adds}
+    return [
+        {"dv": {"for": for_of[dk], "paths": rels, "n": int(n)}}
+        for dk, n in sorted(counts.items())
+    ]
+
+
+def delete_where(
+    spark: SparkSession, table_path: str, condition, *, rewrite: str = "auto"
+) -> int:
+    """``DELETE FROM table WHERE condition``. ``condition`` is a Column
+    or SQL string. Returns the new version (the current version when a
+    merge-on-read delete matches nothing — no empty commits).
+
+    ``rewrite`` picks the commit shape — the 100 TB lever:
+
+    - 'dv' (merge-on-read, the Delta/Iceberg deletion-vector path):
+      identify the matching rows by scan-time ``(file, row_index)``
+      provenance, write them as a parquet DV sidecar, and publish a
+      metadata commit attaching the vectors to their files — a
+      point-delete in a 1 GB file writes a few KB instead of rewriting
+      1 GB. :func:`read_version` masks the rows with one anti-join;
+      :func:`compact_table` / any overwrite materializes them away.
+      Conflicts like an overwrite (row positions were computed against
+      this snapshot): a lost race raises :class:`CommitConflict`.
+    - 'cow' (copy-on-write): rewrite the live set without the matching
+      rows as one overwrite commit — the pre-round-8 behavior.
+    - 'auto' (default): 'dv'.
+
+    Time travel keeps the pre-delete versions readable until vacuum in
+    both modes."""
     cond = F.expr(condition) if isinstance(condition, str) else condition
-    pb = _table_partitioning(table_path, latest_version(table_path)) or None
-    kept = read_version(spark, table_path).filter(~cond)
-    return commit_snapshot(kept, table_path, mode="overwrite", partition_by=pb)
+    if rewrite not in ("auto", "cow", "dv"):
+        raise ValueError(f"rewrite={rewrite!r} (auto|cow|dv)")
+    if rewrite == "cow":
+        pb = _table_partitioning(table_path, latest_version(table_path)) or None
+        kept = read_version(spark, table_path).filter(~cond)
+        return commit_snapshot(kept, table_path, mode="overwrite", partition_by=pb)
+    import time
+
+    version = latest_version(table_path) + 1
+    if version <= 0:
+        raise ValueError(f"no table at {table_path!r}")
+    adds, _ = _live_adds(table_path, version - 1)
+    matched = (
+        read_version(spark, table_path, version - 1, _provenance="pos")
+        .filter(cond)
+        .select("__file", "__row_idx")
+    )
+    rels, counts = _stage_dv(spark, table_path, version, matched, adds)
+    if not counts:
+        return version - 1  # nothing matched — the table is unchanged
+    commit = {
+        "version": version,
+        "mode": "delete",
+        "ts_us": int(time.time() * 1_000_000),
+        "n_rows": int(sum(counts.values())),
+        "actions": _dv_actions(adds, rels, counts),
+    }
+    _publish_commit(table_path, version, commit)
+    return version
 
 
 def update_where(
-    spark: SparkSession, table_path: str, condition, assignments: dict
+    spark: SparkSession,
+    table_path: str,
+    condition,
+    assignments: dict,
+    *,
+    rewrite: str = "auto",
 ) -> int:
-    """``UPDATE table SET col = expr WHERE condition`` — rewrite with
-    the assignments applied to matching rows, one overwrite commit.
-    ``assignments`` maps column name → Column/SQL expression. Returns
-    the new version."""
+    """``UPDATE table SET col = expr WHERE condition``. ``assignments``
+    maps column name → Column/SQL expression. Returns the new version
+    (current version when a merge-on-read update matches nothing).
+
+    ``rewrite``: 'dv' (merge-on-read — write ONLY the updated rows as
+    new files and mask their old positions with a deletion vector, one
+    atomic commit; an update touching 0.1% of rows writes 0.1% of the
+    data), 'cow' (full overwrite rewrite — pre-round-8 behavior), or
+    'auto' (default: 'dv'). The DV commit conflicts like an overwrite."""
     cond = F.expr(condition) if isinstance(condition, str) else condition
+    if rewrite not in ("auto", "cow", "dv"):
+        raise ValueError(f"rewrite={rewrite!r} (auto|cow|dv)")
     pb = _table_partitioning(table_path, latest_version(table_path)) or None
-    df = read_version(spark, table_path)
-    for c, e in assignments.items():
-        if c not in df.columns:
+    if rewrite == "cow":
+        df = read_version(spark, table_path)
+        for c, e in assignments.items():
+            if c not in df.columns:
+                raise ValueError(f"unknown column {c!r}")
+            expr = F.expr(e) if isinstance(e, str) else e
+            df = df.withColumn(c, F.when(cond, expr).otherwise(F.col(c)))
+        return commit_snapshot(df, table_path, mode="overwrite", partition_by=pb)
+    import time
+
+    version = latest_version(table_path) + 1
+    if version <= 0:
+        raise ValueError(f"no table at {table_path!r}")
+    adds, _ = _live_adds(table_path, version - 1)
+    snap = read_version(spark, table_path, version - 1, _provenance="pos")
+    for c in assignments:
+        if c not in snap.drop("__file", "__row_idx").columns:
             raise ValueError(f"unknown column {c!r}")
+    matched = snap.filter(cond)
+    rels, counts = _stage_dv(
+        spark, table_path, version, matched.select("__file", "__row_idx"), adds
+    )
+    if not counts:
+        return version - 1  # nothing matched — the table is unchanged
+    new_rows = matched.drop("__file", "__row_idx")
+    for c, e in assignments.items():
         expr = F.expr(e) if isinstance(e, str) else e
-        df = df.withColumn(c, F.when(cond, expr).otherwise(F.col(c)))
-    return commit_snapshot(df, table_path, mode="overwrite", partition_by=pb)
+        new_rows = new_rows.withColumn(c, expr)
+    _check_constraints(new_rows, table_path, version - 1)
+    added = _stage_data(new_rows, table_path, version, pb)
+    file_rows, _ = _harvest_stats(
+        spark, table_path, [f for f, _ in added], []
+    )
+    actions = _dv_actions(adds, rels, counts)
+    for f, pv in added:
+        a: dict = {"add": f, "n": file_rows.get(f, 0)}
+        if pv is not None:
+            a["pv"] = pv
+        actions.append(a)
+    commit = {
+        "version": version,
+        "mode": "update",
+        "ts_us": int(time.time() * 1_000_000),
+        "n_rows": int(sum(file_rows.values())),
+        "schema": new_rows.schema.json(),
+        "actions": actions,
+    }
+    if pb:
+        commit["partition_by"] = list(pb)
+    _publish_commit(table_path, version, commit)
+    return version
 
 
 def read_changes(

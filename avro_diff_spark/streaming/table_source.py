@@ -108,10 +108,10 @@ try:  # the Python Data Source API needs pyspark>=4; gate for older envs
                     if self.ignore_changes:
                         continue
                     raise ValueError(
-                        f"version {v} of {self.table_path!r} is an overwrite — "
-                        "a table stream replays appends only; pass "
-                        "ignore_changes=True to skip rewrite commits "
-                        "(their files are not replayed)"
+                        f"version {v} of {self.table_path!r} is a non-append "
+                        f"({commit['mode']}) commit — a table stream replays "
+                        "appends only; pass ignore_changes=True to skip "
+                        "rewrite/delete commits (their files are not replayed)"
                     )
                 for a in commit["actions"]:
                     if "add" not in a:

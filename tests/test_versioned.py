@@ -808,21 +808,45 @@ def test_merge_touched_matches_all_semantics(spark, tmp_path):
     assert (99, "new") in {(r.k, r.v) for r in read_version(spark, t).collect()}
 
 
-def test_merge_touched_rejects_delete_clause(spark, tmp_path):
-    """A not-matched-by-source delete must inspect every file — explicit
-    rewrite='touched' refuses it, rewrite='auto' falls back to 'all'."""
+def test_merge_touched_delete_clause_drops_untouched_files_as_metadata(
+    spark, tmp_path
+):
+    """Round 8 (restriction lifted): with a not-matched-by-source DELETE
+    clause, untouched files contain zero source keys, so every one of
+    their rows is deleted — they are removed as pure metadata while only
+    the touched subset is rewritten; results equal rewrite='all'."""
     from avro_diff_spark.sources.versioned import merge_into
 
     t = str(tmp_path / "tbl")
-    commit_snapshot(_df(spark, [(1, "a"), (2, "b")]), t)
-    src = _df(spark, [(1, "A")])
-    with pytest.raises(ValueError, match="touched"):
-        merge_into(
-            spark, t, src, ["k"],
-            when_not_matched_by_source="delete", rewrite="touched",
-        )
-    merge_into(spark, t, src, ["k"], when_not_matched_by_source="delete")
-    assert {(r.k, r.v) for r in read_version(spark, t).collect()} == {(1, "A")}
+    df = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(30)], "k long, v string"
+    ).repartitionByRange(3, "k")
+    commit_snapshot(df, t)
+    src = _df(spark, [(2, "A"), (7, "B"), (100, "ins")])
+    v = merge_into(
+        spark, t, src, ["k"],
+        when_not_matched_by_source="delete", rewrite="touched",
+    )
+    assert {(r.k, r.v) for r in read_version(spark, t, v).collect()} == {
+        (2, "A"), (7, "B"), (100, "ins")
+    }
+    with open(os.path.join(t, "_log", f"{v:06d}.json")) as fh:
+        commit = json.load(fh)
+    # ALL pre-merge files removed (untouched ones as metadata-only),
+    # but only the touched subset + inserts was actually rewritten
+    assert sum(1 for a in commit["actions"] if "remove" in a) == 3
+    assert sum(a["n"] for a in commit["actions"] if "add" in a) == 3
+
+    # parity with the full-FOJ path
+    t2 = str(tmp_path / "all")
+    commit_snapshot(df, t2)
+    merge_into(
+        spark, t2, src, ["k"],
+        when_not_matched_by_source="delete", rewrite="all",
+    )
+    assert {(r.k, r.v) for r in read_version(spark, t2).collect()} == {
+        (2, "A"), (7, "B"), (100, "ins")
+    }
 
 
 def test_dml_preserves_partitioning(spark, tmp_path):
@@ -1494,3 +1518,158 @@ def test_clone_of_round8_table_fetches_zero_footers(spark, tmp_path, monkeypatch
     monkeypatch.undo()
     assert {r.k for r in read_version(spark, c).collect()} == {1, 2, 3}
     assert table_history(c)[0]["n_rows"] == 3
+
+
+def test_dv_point_delete_writes_no_data_files(spark, tmp_path):
+    """Deletion vectors (round-8 brief): a point delete on a multi-file
+    table publishes a metadata commit + a KB-scale sidecar — ZERO data
+    files rewritten or removed — and reads mask the rows exactly like
+    the copy-on-write path."""
+    from avro_diff_spark.sources.versioned import _live_files, delete_where
+
+    rows = [(i, f"r{i}") for i in range(30)]
+    t, t2 = str(tmp_path / "dv"), str(tmp_path / "cow")
+    for p in (t, t2):
+        commit_snapshot(_df(spark, rows).repartitionByRange(3, "k"), p)
+    files_before = set(_live_files(t, 0))
+
+    v = delete_where(spark, t, "k = 7")  # auto -> dv
+    assert v == 1
+    delete_where(spark, t2, "k = 7", rewrite="cow")
+
+    with open(os.path.join(t, "_log", "000001.json")) as fh:
+        c = json.load(fh)
+    assert c["mode"] == "delete" and c["n_rows"] == 1
+    assert not any("add" in a for a in c["actions"])
+    assert not any("remove" in a for a in c["actions"])
+    dv = [a["dv"] for a in c["actions"] if "dv" in a]
+    assert len(dv) == 1 and dv[0]["n"] == 1 and dv[0]["for"] in files_before
+    assert set(_live_files(t, 1)) == files_before  # same data files live
+
+    got = {(r.k, r.v) for r in read_version(spark, t).collect()}
+    want = {(r.k, r.v) for r in read_version(spark, t2).collect()}
+    assert got == want == {(i, f"r{i}") for i in range(30) if i != 7}
+    # time travel: the pre-delete version still shows the row
+    assert (7, "r7") in {(r.k, r.v) for r in read_version(spark, t, 0).collect()}
+
+
+def test_dv_deletes_accumulate_and_empty_delete_is_noop(spark, tmp_path):
+    """Successive DV deletes stack (each masks its rows on top of prior
+    vectors); a delete matching nothing publishes no commit."""
+    from avro_diff_spark.sources.versioned import delete_where
+
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, [(i, f"r{i}") for i in range(10)]), t)
+    v1 = delete_where(spark, t, "k in (1, 2)")
+    v2 = delete_where(spark, t, "k in (2, 3)")  # 2 already gone: masks 3
+    assert (v1, v2) == (1, 2)
+    with open(os.path.join(t, "_log", "000002.json")) as fh:
+        assert json.load(fh)["n_rows"] == 1  # only row 3 newly deleted
+    assert {r.k for r in read_version(spark, t).collect()} == {0, 4, 5, 6, 7, 8, 9}
+    assert delete_where(spark, t, "k = 999") == 2  # no-op, no commit
+    assert latest_version(t) == 2
+
+
+def test_dv_cdf_compaction_and_vacuum(spark, tmp_path):
+    """The change feed classifies DV deletes as deletes; compaction
+    materializes the vectors away; vacuum never sweeps live sidecars but
+    reclaims them once compaction supersedes the DV versions."""
+    import glob
+
+    from avro_diff_spark.sources.versioned import (
+        compact_table,
+        delete_where,
+        read_changes,
+        vacuum,
+    )
+
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, [(i, f"r{i}") for i in range(12)]), t)
+    delete_where(spark, t, "k in (4, 5)")
+    ch = read_changes(spark, t, ["k"], v_from=0, v_to=1)
+    assert {(r.k, r._change_type) for r in ch.collect()} == {
+        (4, "delete"), (5, "delete")
+    }
+
+    # vacuum keeping the DV version must preserve its sidecar
+    vacuum(t, keep_versions=1)
+    assert glob.glob(os.path.join(t, "dv*", "*.parquet"))
+    assert {r.k for r in read_version(spark, t).collect()} == set(range(12)) - {4, 5}
+
+    v = compact_table(spark, t, target_files=2)
+    assert {r.k for r in read_version(spark, t, v).collect()} == set(range(12)) - {4, 5}
+    with open(os.path.join(t, "_log", f"{v:06d}.json")) as fh:
+        assert all("dv" not in a for a in json.load(fh)["actions"])
+    vacuum(t, keep_versions=1)
+    assert not glob.glob(os.path.join(t, "dv*", "*.parquet"))
+    assert {r.k for r in read_version(spark, t).collect()} == set(range(12)) - {4, 5}
+
+
+def test_dv_update_where_merge_on_read(spark, tmp_path):
+    """update_where(rewrite='dv'): writes ONLY the updated rows as new
+    files and masks their old positions — one atomic commit, results
+    identical to copy-on-write, partitioning preserved."""
+    from avro_diff_spark.sources.versioned import _live_files, update_where
+
+    rows = [(i, i % 2, float(i)) for i in range(20)]
+    t, t2 = str(tmp_path / "dv"), str(tmp_path / "cow")
+    for p in (t, t2):
+        commit_snapshot(
+            spark.createDataFrame(rows, "k long, p long, x double"),
+            p,
+            partition_by=["p"],
+        )
+    files_before = set(_live_files(t, 0))
+    v = update_where(spark, t, "k in (3, 8)", {"x": F.col("x") * 100})
+    update_where(spark, t2, "k in (3, 8)", {"x": F.col("x") * 100}, rewrite="cow")
+    got = {(r.k, r.p, r.x) for r in read_version(spark, t, v).collect()}
+    want = {(r.k, r.p, r.x) for r in read_version(spark, t2).collect()}
+    assert got == want and (3, 1, 300.0) in got and (8, 0, 800.0) in got
+    with open(os.path.join(t, "_log", f"{v:06d}.json")) as fh:
+        c = json.load(fh)
+    assert c["mode"] == "update"
+    assert files_before <= set(_live_files(t, v))  # originals still live
+    assert sum(a["n"] for a in c["actions"] if "add" in a) == 2  # only 2 rows rewritten
+    # updated rows landed in hive partition dirs (partitioning preserved)
+    assert all(
+        "p=" in a["add"] for a in c["actions"] if "add" in a
+    )
+    # update matching nothing: no commit
+    assert update_where(spark, t, "k = 999", {"x": F.lit(0.0)}) == v
+
+
+def test_dv_clone_reattaches_vectors(spark, tmp_path):
+    """A shallow clone of a DV table masks the same rows (sidecars
+    re-attached by absolute path with the source's sidecar key)."""
+    from avro_diff_spark.sources.versioned import clone_table, delete_where
+
+    t, c = str(tmp_path / "src"), str(tmp_path / "dst")
+    commit_snapshot(_df(spark, [(i, f"r{i}") for i in range(8)]), t)
+    delete_where(spark, t, "k in (2, 6)")
+    clone_table(t, c)
+    assert {r.k for r in read_version(spark, c).collect()} == {0, 1, 3, 4, 5, 7}
+    assert table_history(c)[0]["n_rows"] == 6  # live rows, net of DVs
+
+    # deleting on the CLONE must not touch the source
+    delete_where(spark, c, "k = 0")
+    assert {r.k for r in read_version(spark, c).collect()} == {1, 3, 4, 5, 7}
+    assert {r.k for r in read_version(spark, t).collect()} == {0, 1, 3, 4, 5, 7}
+
+
+def test_dv_delete_on_partitioned_table_and_key_diff(spark, tmp_path):
+    """DV deletes compose with partition reconstruction (the condition
+    may reference partition columns) and with key_diff_versions."""
+    from avro_diff_spark.sources.versioned import delete_where, key_diff_versions
+
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, i % 3, f"r{i}") for i in range(15)], "k long, p long, v string"
+    )
+    commit_snapshot(df, t, partition_by=["p"])
+    v = delete_where(spark, t, "p = 1 and k < 9")  # partition-col predicate
+    got = {(r.k, r.p) for r in read_version(spark, t, v).collect()}
+    assert got == {(i, i % 3) for i in range(15) if not (i % 3 == 1 and i < 9)}
+    d = key_diff_versions(spark, t, ["k"], v_old=0, v_new=v)
+    assert {r.k for r in d.filter(F.col("diff_kind") == "removed").collect()} == {
+        "1", "4", "7"
+    }
