@@ -1178,10 +1178,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the recorded minhash_near_dups banding+verify pipeline and adds only
     # a benchmark-membership predicate + per-doc max/count groupBy on the
     # pair frame; the CI oracle gate value-hashes it every run.
+    # Round-8 demotion for quality_classifier (fastText-style supervised
+    # quality filter, Joulin et al. 2016 — trained hashed-gram logistic
+    # regression, the CCNet/LLaMA learned tier completing rules (Gopher/
+    # C4) + distribution matching (DSIR)): quality_scores moves to the
+    # tail — it is a map-only rule-feature select whose every expression
+    # is unit-pinned (tests/test_text_functions.py), its tokenization is
+    # the same tokens_ws machinery the recorded dsir_weights /
+    # quality_classifier / tfidf_top_terms execute, and the CI oracle
+    # gate value-hashes it every run; the recorded classifier adds the
+    # genuinely new mechanism (driver-trained weights broadcast onto the
+    # gram stream with int64 fixed-point scoring, pinned doc-for-doc vs a
+    # pure-Python recompute in tests/test_pipeline_ops.py).
     # Tail queries remain bench-covered and verified by tools/oracle_check.py;
     # tests/test_registry.py asserts every tail query is oracle-green so a
     # tail regression cannot ship behind a complete-looking driver record.
     for tail in (
+        "quality_scores",
         "near_dup_contamination",
         "vocab_topk",
         "text_stats",

@@ -788,6 +788,160 @@ FROM j GROUP BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# fastText-style quality classifier (Joulin et al. 2016) — the CCNet/LLaMA
+# learned "reference-like" filter completing the quality tier (rules:
+# Gopher/C4; distribution matching: DSIR; supervised: this)
+# --------------------------------------------------------------------------
+
+FT_BUCKETS = 256  # hashed n-gram feature buckets (shared grid with DSIR)
+FT_POS_LANG = "en"  # positive-class proxy: the English slice (same trusted-
+#                     domain proxy DSIR targets; CCNet uses Wikipedia refs)
+FT_SAMPLE = 512  # bounded labeled training sample (deterministic md5 order)
+FT_ITERS = 300  # full-batch gradient-descent steps (no randomness anywhere)
+FT_LR = 0.5
+FT_FP_SCALE = 1_000_000  # weight fixed-point grid
+
+
+@_lru_cache(maxsize=8)
+def _train_quality_cached(
+    key: tuple, path: str, n_buckets: int, pos_lang: str, sample: int
+) -> tuple[tuple[tuple[int, int], ...], int]:
+    """Fit the linear classifier driver-side: a DETERMINISTIC labeled
+    sample (md5-ordered ``sample`` docs), per-doc hashed unigram+bigram
+    bucket counts (DuckDB — the same gram stream DSIR scores), features
+    normalized to the per-doc MEAN (fastText's averaged bag of hashed
+    n-grams), then full-batch logistic-regression gradient descent in
+    float64 — zero-init, fixed step count, no randomness, so both
+    engines replay identical trained constants. Returns the complete
+    per-bucket fixed-point weight table and the fixed-point intercept;
+    state is bounded by ``n_buckets`` + ``sample``, never corpus size."""
+    import os
+
+    import duckdb
+    import numpy as np
+
+    src = path + "/**/*.parquet" if os.path.isdir(path) else path
+    rows = duckdb.connect().execute(
+        f"""
+        WITH t AS (SELECT doc_id, lang,
+                          list_filter({tokens_sql('text')}, x -> x != '') AS ts
+                   FROM read_parquet(?)
+                   ORDER BY md5(doc_id::VARCHAR) LIMIT {sample}),
+        g AS (SELECT doc_id, lang, unnest({_dsir_grams_sql('ts')}) AS g FROM t)
+        SELECT doc_id, any_value(lang = ?)::INT AS y,
+               ('0x' || substr(md5(g), 1, 8))::BIGINT % {n_buckets} AS b,
+               count(*) AS c
+        FROM g GROUP BY doc_id, b
+        """,
+        [src, pos_lang],
+    ).fetchall()
+    doc_ids = sorted({r[0] for r in rows})
+    idx = {d: i for i, d in enumerate(doc_ids)}
+    X = np.zeros((len(doc_ids), n_buckets))
+    y = np.zeros(len(doc_ids))
+    for d, lab, b, c in rows:
+        X[idx[d], b] = c
+        y[idx[d]] = lab
+    # mean of hashed-gram "embeddings", rescaled by n_buckets so feature
+    # magnitudes are O(1) and gradient descent actually moves (a raw 1/n
+    # proportion averages 1/n_buckets per entry — hopeless step sizes);
+    # the scale folds into the emitted weights, not the decision rule
+    X = X / X.sum(axis=1, keepdims=True) * n_buckets
+    w = np.zeros(n_buckets)
+    b0 = 0.0
+    for _ in range(FT_ITERS):
+        z = np.clip(X @ w + b0, -30.0, 30.0)
+        p = 1.0 / (1.0 + np.exp(-z))
+        err = p - y
+        w -= FT_LR * (X.T @ err) / len(y)
+        b0 -= FT_LR * float(err.mean())
+    table = tuple(
+        (b, int(round(w[b] * n_buckets * FT_FP_SCALE))) for b in range(n_buckets)
+    )
+    return table, int(round(b0 * FT_FP_SCALE))
+
+
+def _train_quality(documents_parquet: str) -> tuple[tuple[tuple[int, int], ...], int]:
+    return _train_quality_cached(
+        _langid_file_key(documents_parquet),
+        documents_parquet,
+        FT_BUCKETS,
+        FT_POS_LANG,
+        FT_SAMPLE,
+    )
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style supervised quality classifier (Joulin et al. 2016
+    — the CCNet/LLaMA 'reference-like' filter): a linear model over
+    hashed unigram+bigram features, trained driver-side on a bounded
+    deterministic labeled sample (positive class = the ``lang='en'``
+    trusted-domain proxy), applied corpus-wide as exact int64 fixed
+    point: per-doc ``score_fp = Σ w_fp[bucket(gram)] + intercept_fp ·
+    n_grams`` — the integer-cross-multiplied form of ``w·(x/n) + b > 0``
+    (the per-doc MEAN feature fastText uses), so Spark and the oracle
+    agree bit for bit.
+
+    Scale shape: the trained table is ``FT_BUCKETS`` literal rows
+    BROADCAST onto the exploded gram stream and the decision is one
+    groupBy with map-side combine — the identical plan the recorded
+    dsir_weights executes; training state is bounded by buckets x
+    sample, never corpus size."""
+    table, b0 = _train_quality(f"{sf_dir}/documents.parquet")
+    d = spread_small(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    w = F.broadcast(
+        d.sparkSession.createDataFrame(list(table), "b long, wfp long")
+    )
+    toks = d.select(
+        "doc_id",
+        F.filter(TX.tokens_ws(F.col("text")), lambda t: t != "").alias("ts"),
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.concat(
+                F.transform(F.col("ts"), lambda t: F.concat(F.lit("u:"), t)),
+                F.when(F.size("ts") < 2, F.array().cast("array<string>")).otherwise(
+                    F.expr(
+                        "transform(sequence(1, size(ts) - 1),"
+                        " i -> 'b:' || ts[i - 1] || ' ' || ts[i])"
+                    )
+                ),
+            )
+        ).alias("g"),
+    )
+    scored = grams.withColumn("b", TX.hash32(F.col("g")) % FT_BUCKETS).join(w, "b")
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        (F.sum("wfp") + F.lit(b0) * F.count(F.lit(1)))
+        .cast("long")
+        .alias("quality_score_fp"),
+        ((F.sum("wfp") + F.lit(b0) * F.count(F.lit(1))) > 0)
+        .cast("int")
+        .alias("reference_like"),
+    )
+
+
+def _quality_classifier_sql() -> str:
+    table, b0 = _train_quality(f"{ORACLE_SF_DIR}/documents.parquet")
+    rows = ", ".join(f"({b}, {wfp})" for b, wfp in table)
+    return f"""
+WITH w(b, wfp) AS (VALUES {rows}),
+t AS (SELECT doc_id, list_filter({tokens_sql('text')}, x -> x != '') AS ts
+      FROM documents),
+g AS (SELECT doc_id, unnest({_dsir_grams_sql('ts')}) AS g FROM t),
+j AS (
+  SELECT doc_id, wfp
+  FROM g JOIN w ON ('0x' || substr(md5(g.g), 1, 8))::BIGINT % {FT_BUCKETS} = w.b
+)
+SELECT doc_id, count(*) AS n_grams,
+       CAST(sum(wfp) + {b0} * count(*) AS BIGINT) AS quality_score_fp,
+       (CAST(sum(wfp) + {b0} * count(*) AS BIGINT) > 0)::INT AS reference_like
+FROM j GROUP BY doc_id
+"""
+
+
 _L0 = lambda: F.lit(0).cast("long")  # noqa: E731
 
 
@@ -3103,6 +3257,7 @@ PIPELINE_QUERIES = {
     "source_stats": q_source_stats,
     "mixture_weights": q_mixture_weights,
     "dsir_weights": q_dsir_weights,
+    "quality_classifier": q_quality_classifier,
     "lang_id_counts": q_lang_id,
     "langid_ngram_counts": q_langid_ngram_counts,
     "quality_scores": q_quality_scores,
@@ -3173,6 +3328,7 @@ def pipeline_sql() -> dict[str, str]:
         "source_stats": SOURCE_STATS_SQL,
         "mixture_weights": MIXTURE_WEIGHTS_SQL,
         "dsir_weights": _dsir_weights_sql(),
+        "quality_classifier": _quality_classifier_sql(),
         "lang_id_counts": _lang_id_sql(),
         "langid_ngram_counts": _langid_ngram_sql(),
         "quality_scores": _quality_sql(),

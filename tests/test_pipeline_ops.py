@@ -437,3 +437,65 @@ def test_dsir_target_slice_scores_higher(sf_dir):
         """
     ).fetchone()
     assert en_mean > 0 > other_mean
+
+
+def test_quality_classifier_matches_pure_python(spark, sf_dir):
+    """fastText-style quality classifier (round-8 brief): distributed
+    scoring equals a pure-Python recompute with the same trained weight
+    table, doc for doc, in exact int64 fixed point."""
+    import hashlib
+    import re
+
+    from avro_diff_spark.pipelines import (
+        FT_BUCKETS,
+        _train_quality,
+        q_quality_classifier,
+    )
+
+    table, b0 = _train_quality(f"{sf_dir}/documents.parquet")
+    weights = dict(table)
+    assert sorted(weights) == list(range(FT_BUCKETS))  # complete table
+
+    def grams(text):
+        toks = [t for t in re.sub(r"\s+", " ", text.lower().strip()).split(" ") if t]
+        return [f"u:{t}" for t in toks] + [
+            f"b:{a} {b}" for a, b in zip(toks, toks[1:])
+        ]
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % FT_BUCKETS
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    want = {}
+    for r in docs:
+        gs = grams(r.text)
+        if gs:
+            s = sum(weights[bucket(g)] for g in gs) + b0 * len(gs)
+            want[r.doc_id] = (len(gs), s, int(s > 0))
+
+    got = {
+        r.doc_id: (r.n_grams, r.quality_score_fp, r.reference_like)
+        for r in q_quality_classifier(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_quality_classifier_separates_the_positive_class(spark, sf_dir):
+    """The trained classifier actually separates its positive class: the
+    flagged rate among target-language docs is well above the rest's
+    (trained on a bounded 512-doc sample, scored corpus-wide)."""
+    from avro_diff_spark.pipelines import FT_POS_LANG, q_quality_classifier
+
+    langs = {
+        r.doc_id: r.lang
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "lang")
+        .collect()
+    }
+    rows = q_quality_classifier(spark, sf_dir).collect()
+    pos = [r for r in rows if langs[r.doc_id] == FT_POS_LANG]
+    neg = [r for r in rows if langs[r.doc_id] != FT_POS_LANG]
+    pos_rate = sum(r.reference_like for r in pos) / len(pos)
+    neg_rate = sum(r.reference_like for r in neg) / len(neg)
+    assert pos_rate > 0.8, pos_rate
+    assert pos_rate > neg_rate + 0.3, (pos_rate, neg_rate)
