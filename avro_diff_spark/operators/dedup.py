@@ -150,6 +150,51 @@ def _signatures_from_sh(doc_sh: DataFrame, n_hashes: int) -> DataFrame:
     )
 
 
+def band_rows(
+    sig_df: DataFrame, *, bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """(doc_id, band_id, band_key) LSH bucket rows — the banding step of
+    :func:`lsh_candidate_pairs`, factored out so the persisted near-dup
+    index (operators/neardup_index.py) stores and probes EXACTLY the
+    buckets the batch pipeline computes.
+
+    Null band key for empty-shingle docs (all-null signature slots):
+    without the guard, array_join skips nulls and every empty doc lands
+    on identical band keys — a mega-bucket of meaningless candidates.
+    The guard lives INSIDE the banding expression and the null filter
+    sits above the Generate, where Catalyst cannot push it down into the
+    signature computation (a size(sh) filter upstream re-evaluates the
+    shingle chain at the scan — measured 2.4× on the minhash query)."""
+    return (
+        sig_df.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_id"),
+                            F.when(
+                                F.element_at(F.col("sig"), 1).isNotNull(),
+                                F.md5(
+                                    F.array_join(
+                                        F.slice(
+                                            F.col("sig"), b * rows_per_band + 1, rows_per_band
+                                        ),
+                                        ",",
+                                    )
+                                ),
+                            ).alias("band_key"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("band"),
+        )
+        .select("doc_id", "band.band_id", "band.band_key")
+        .where(F.col("band_key").isNotNull())
+    )
+
+
 def lsh_candidate_pairs(
     sig_df: DataFrame,
     *,
@@ -178,41 +223,7 @@ def lsh_candidate_pairs(
     extra exchange of the (bounded-length) chunk rows. Identical output
     either way.
     """
-    # Null band key for empty-shingle docs (all-null signature slots):
-    # without the guard, array_join skips nulls and every empty doc lands
-    # on identical band keys — a mega-bucket of meaningless candidates.
-    # The guard lives INSIDE the banding expression and the null filter
-    # sits above the Generate, where Catalyst cannot push it down into the
-    # signature computation (a size(sh) filter upstream re-evaluates the
-    # shingle chain at the scan — measured 2.4× on the minhash query).
-    banded = (
-        sig_df.select(
-            "doc_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band_id"),
-                            F.when(
-                                F.element_at(F.col("sig"), 1).isNotNull(),
-                                F.md5(
-                                    F.array_join(
-                                        F.slice(
-                                            F.col("sig"), b * rows_per_band + 1, rows_per_band
-                                        ),
-                                        ",",
-                                    )
-                                ),
-                            ).alias("band_key"),
-                        )
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("band"),
-        )
-        .select("doc_id", "band.band_id", "band.band_key")
-        .where(F.col("band_key").isNotNull())
-    )
+    banded = band_rows(sig_df, bands=bands, rows_per_band=rows_per_band)
     ids = F.col("ids")
     pair_structs = F.flatten(
         F.transform(

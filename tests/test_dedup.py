@@ -260,3 +260,95 @@ def test_exact_substring_scrub_matches_naive_cut(spark):
     assert got == want
     # doc 3 is untouched, doc 7 loses both of its self-repeat spans
     assert got[3][1] == got[3][0] and got[7][1] == 1
+
+
+def test_incremental_index_probe_equals_full_recompute(spark, sf_dir, tmp_path):
+    """Round-8 brief item 6: probing the persisted LSH bucket index with
+    an increment yields EXACTLY the pairs a full minhash_near_dups
+    recompute over the union emits restricted to increment-touching
+    pairs — banding is a pure per-doc function, so the stored index is
+    lossless, and successive appends keep it so."""
+    from pyspark.sql import functions as F
+
+    from avro_diff_spark import snapshots as snap
+    from avro_diff_spark.operators.dedup import minhash_near_dups
+    from avro_diff_spark.operators.neardup_index import (
+        build_neardup_index,
+        probe_neardup_index,
+    )
+
+    corpus = snap.documents_with_dups(spark, sf_dir)
+    base = corpus.filter(F.col("doc_id") < 1_000_000)
+    inc1 = corpus.filter(
+        (F.col("doc_id") >= 1_000_000) & (F.col("doc_id") < 2_000_000)
+    )
+    inc2 = corpus.filter(F.col("doc_id") >= 2_000_000)
+    idx = str(tmp_path / "ndidx")
+    build_neardup_index(spark, base, "text", "doc_id", idx)
+
+    def key(rows):
+        return {(r.doc_a, r.doc_b, r.n_a, r.n_b, r.n_common) for r in rows}
+
+    # increment 1 (exact dups), appended to the index afterwards
+    got1 = key(
+        probe_neardup_index(spark, inc1, "text", "doc_id", idx, append=True).collect()
+    )
+    full1 = minhash_near_dups(base.unionByName(inc1), "text", "doc_id")
+    want1 = key(
+        full1.filter(
+            (F.col("doc_a") >= 1_000_000) | (F.col("doc_b") >= 1_000_000)
+        ).collect()
+    )
+    assert got1 == want1 and got1
+
+    # increment 2 probes the GROWN index (base + inc1)
+    got2 = key(
+        probe_neardup_index(spark, inc2, "text", "doc_id", idx, append=True).collect()
+    )
+    full2 = minhash_near_dups(
+        base.unionByName(inc1).unionByName(inc2), "text", "doc_id"
+    )
+    want2 = key(
+        full2.filter(
+            (F.col("doc_a") >= 2_000_000) | (F.col("doc_b") >= 2_000_000)
+        ).collect()
+    )
+    assert got2 == want2 and got2
+
+
+def test_incremental_index_probe_never_reads_corpus(spark, sf_dir, tmp_path):
+    """The incremental path reads ONLY index tables: the original corpus
+    parquet is DELETED after the index build, and the probe still
+    produces the exact pair set."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from avro_diff_spark import snapshots as snap
+    from avro_diff_spark.operators.neardup_index import (
+        build_neardup_index,
+        index_params,
+        probe_neardup_index,
+    )
+
+    corpus_path = str(tmp_path / "corpus")
+    snap.documents_with_dups(spark, sf_dir).filter(
+        F.col("doc_id") < 1_000_000
+    ).write.parquet(corpus_path)
+    base = spark.read.parquet(corpus_path)
+    idx = str(tmp_path / "ndidx")
+    build_neardup_index(spark, base, "text", "doc_id", idx)
+    assert index_params(idx) == {"n_hashes": 32, "bands": 8, "shingle_k": 5}
+
+    shutil.rmtree(corpus_path)  # the historical corpus is GONE
+
+    inc = snap.documents_with_dups(spark, sf_dir).filter(
+        F.col("doc_id") >= 2_000_000
+    )
+    pairs = probe_neardup_index(
+        spark, inc, "text", "doc_id", idx, append=False
+    ).collect()
+    assert pairs
+    # every planted near-dup (+2M) pairs with its original (id - 2M + 1... id % pattern)
+    matched = {r.doc_b - 2_000_000 for r in pairs if r.doc_b >= 2_000_000 and r.doc_a < 1_000_000}
+    assert matched  # originals found purely from the stored index
