@@ -38,6 +38,8 @@ QUERIES = [
     "cdc_changes_orders",  # versioned family: log replay + CDC derivation
     "dsir_weights",  # trained broadcast scoring: int64 sums must not drift
     "incremental_agg_orders",  # CDF delta + FOJ state merge across layouts
+    "quality_classifier",  # round 8: trained-weight broadcast + fixed point
+    "incremental_near_dups",  # round 8: stored-index probe across layouts
 ]
 
 
