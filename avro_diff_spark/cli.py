@@ -281,11 +281,20 @@ def table_main(argv: list[str] | None = None) -> int:
             "constraint-add",
             "constraint-drop",
             "clone",
+            "delete",
+            "checkpoint",
         ],
     )
     p.add_argument("table_path")
     p.add_argument("--name", default=None, help="constraint name")
     p.add_argument("--expr", default=None, help="constraint SQL expression")
+    p.add_argument("--where", default=None, help="delete predicate (SQL)")
+    p.add_argument(
+        "--rewrite",
+        choices=["auto", "cow", "dv"],
+        default="auto",
+        help="delete commit shape: deletion vectors (dv, default) or copy-on-write",
+    )
     p.add_argument("--dest", default=None, help="clone destination path")
     p.add_argument("--version", type=int, default=None, help="clone source version")
     p.add_argument("--key", default=None, help="comma-separated key fields (diff)")
@@ -320,6 +329,11 @@ def table_main(argv: list[str] | None = None) -> int:
         deleted = V.vacuum(args.table_path, keep_versions=args.keep_versions)
         print(f"# of data files deleted: {len(deleted)}")
         return 0
+    if args.op == "checkpoint":
+        path = V.checkpoint_log(args.table_path)
+        print(f"checkpointed {args.table_path} at version "
+              f"{V.latest_version(args.table_path)} -> {path}")
+        return 0
     if args.op == "constraints":
         for n, e in sorted(V.table_constraints(args.table_path).items()):
             print(f"{n}: CHECK ({e})")
@@ -340,6 +354,17 @@ def table_main(argv: list[str] | None = None) -> int:
         return 0
 
     spark = _session(args)
+    if args.op == "delete":
+        if not args.where:
+            print("delete requires --where", file=sys.stderr)
+            return 2
+        before = V.latest_version(args.table_path)
+        v = V.delete_where(spark, args.table_path, args.where, rewrite=args.rewrite)
+        if v == before:
+            print("delete matched nothing (no commit)")
+        else:
+            print(f"deleted rows matching ({args.where}) as version {v}")
+        return 0
     if args.op == "constraint-add":
         if not args.name or not args.expr:
             print("constraint-add requires --name and --expr", file=sys.stderr)

@@ -1673,3 +1673,26 @@ def test_dv_delete_on_partitioned_table_and_key_diff(spark, tmp_path):
     assert {r.k for r in d.filter(F.col("diff_kind") == "removed").collect()} == {
         "1", "4", "7"
     }
+
+
+def test_table_cli_delete_and_checkpoint(spark, tmp_path, capsys):
+    """CLI surface for the round-8 additions: `table delete --where`
+    (deletion-vector default) and `table checkpoint`."""
+    from avro_diff_spark.cli import table_main
+
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, [(i, f"r{i}") for i in range(6)]), t)
+    assert table_main(["delete", t, "--where", "k = 3"]) == 0
+    out = capsys.readouterr().out
+    assert "version 1" in out
+    assert {r.k for r in read_version(spark, t).collect()} == {0, 1, 2, 4, 5}
+    with open(os.path.join(t, "_log", "000001.json")) as fh:
+        assert json.load(fh)["mode"] == "delete"  # DV, not a rewrite
+
+    assert table_main(["delete", t, "--where", "k = 99"]) == 0
+    assert "matched nothing" in capsys.readouterr().out
+
+    assert table_main(["checkpoint", t]) == 0
+    assert "checkpointed" in capsys.readouterr().out
+    assert os.path.exists(os.path.join(t, "_log", "000001.checkpoint.json"))
+    assert {r.k for r in read_version(spark, t).collect()} == {0, 1, 2, 4, 5}
