@@ -1669,6 +1669,14 @@ def merge_into(
       subset (round 8 — the restriction is lifted). The file list is
       driver-side — bounded by file count, the same state every
       lakehouse driver holds.
+    - 'dv' (merge-on-read, round 8): write ONLY the changed rows —
+      updated/deleted target rows are masked by a deletion vector at
+      their old positions, updated+inserted source rows land as new
+      (partitioned) files, one atomic commit. Cost ∝ changed rows; a
+      1000-key upsert into a 100 TB table writes 1000 rows, zero
+      existing data files removed or rewritten. Read amplification is
+      the one DV anti-join; compaction materializes it away. Conflicts
+      like an overwrite (positions computed against this snapshot).
     - 'all': single FOJ + full overwrite commit.
     - 'auto' (default): 'touched'.
     """
@@ -1680,8 +1688,8 @@ def merge_into(
         raise ValueError(
             f"when_not_matched_by_source={when_not_matched_by_source!r} (keep|delete)"
         )
-    if rewrite not in ("auto", "touched", "all"):
-        raise ValueError(f"rewrite={rewrite!r} (auto|touched|all)")
+    if rewrite not in ("auto", "touched", "all", "dv"):
+        raise ValueError(f"rewrite={rewrite!r} (auto|touched|all|dv)")
     if rewrite == "auto":
         rewrite = "touched"
     # a DML rewrite preserves the table's partitioning unless overridden
@@ -1706,6 +1714,12 @@ def merge_into(
             mode="overwrite",
             partition_by=partition_by,
             stats_cols=stats_cols,
+        )
+    if rewrite == "dv":
+        return _merge_dv(
+            spark, table_path, source, keys, cols,
+            when_matched, when_not_matched, when_not_matched_by_source,
+            partition_by, stats_cols,
         )
     # targeted rewrite: scan-time file provenance -> touched-file set
     # (read_version attaches it at the scan, so it stays correct through
@@ -1807,6 +1821,88 @@ def _dv_actions(
         {"dv": {"for": for_of[dk], "paths": rels, "n": int(n)}}
         for dk, n in sorted(counts.items())
     ]
+
+
+def _merge_dv(
+    spark: SparkSession,
+    table_path: str,
+    source: DataFrame,
+    keys: list[str],
+    cols: list[str],
+    when_matched: str,
+    when_not_matched: str,
+    when_not_matched_by_source: str,
+    partition_by: list | None,
+    stats_cols: list[str] | None,
+) -> int:
+    """Merge-on-read MERGE: one commit of (DV over replaced/deleted
+    positions) + (new files holding updated+inserted source rows).
+    Whole-row clause semantics are identical to the FOJ path — pinned
+    row-for-row against rewrite='all' across all clause combinations."""
+    import time
+
+    version = latest_version(table_path) + 1
+    adds, _ = _live_adds(table_path, version - 1)
+    tgt = read_version(spark, table_path, version - 1, _provenance="pos")
+    src_keys = source.select(*keys).distinct()
+    masked = []
+    if when_matched == "update":
+        masked.append(
+            tgt.join(src_keys, keys, "left_semi").select("__file", "__row_idx")
+        )
+    if when_not_matched_by_source == "delete":
+        masked.append(
+            tgt.join(src_keys, keys, "left_anti").select("__file", "__row_idx")
+        )
+    tgt_keys = tgt.select(*keys).distinct()
+    fresh = []
+    if when_matched == "update":
+        fresh.append(source.join(tgt_keys, keys, "left_semi").select(*cols))
+    if when_not_matched == "insert":
+        fresh.append(source.join(tgt_keys, keys, "left_anti").select(*cols))
+    actions: list[dict] = []
+    n_new = 0
+    n_masked = 0
+    if masked:
+        dv_rows = masked[0]
+        for m in masked[1:]:
+            dv_rows = dv_rows.unionByName(m)
+        rels, counts = _stage_dv(spark, table_path, version, dv_rows, adds)
+        actions += _dv_actions(adds, rels, counts)
+        n_masked = sum(counts.values())
+    if fresh:
+        new_rows = fresh[0]
+        for fdf in fresh[1:]:
+            new_rows = new_rows.unionByName(fdf)
+        _check_constraints(new_rows, table_path, version - 1)
+        added = _stage_data(new_rows, table_path, version, partition_by)
+        file_rows, file_stats = _harvest_stats(
+            spark, table_path, [f for f, _ in added], list(stats_cols or [])
+        )
+        n_new = sum(file_rows.values())
+        for f, pv in added:
+            a: dict = {"add": f, "n": file_rows.get(f, 0)}
+            if pv is not None:
+                a["pv"] = pv
+            st = file_stats.get(f)
+            if st:
+                a["stats"] = st
+            actions.append(a)
+    if n_masked == 0 and n_new == 0:
+        return version - 1  # no clause produced work — the table is unchanged
+    commit = {
+        "version": version,
+        "mode": "merge",
+        "ts_us": int(time.time() * 1_000_000),
+        "n_rows": n_new,
+        "actions": actions,
+    }
+    if fresh:
+        commit["schema"] = new_rows.schema.json()
+    if partition_by:
+        commit["partition_by"] = list(partition_by)
+    _publish_commit(table_path, version, commit)
+    return version
 
 
 def delete_where(

@@ -1696,3 +1696,81 @@ def test_table_cli_delete_and_checkpoint(spark, tmp_path, capsys):
     assert "checkpointed" in capsys.readouterr().out
     assert os.path.exists(os.path.join(t, "_log", "000001.checkpoint.json"))
     assert {r.k for r in read_version(spark, t).collect()} == {0, 1, 2, 4, 5}
+
+
+def test_merge_dv_matches_all_semantics_and_writes_only_changes(spark, tmp_path):
+    """Merge-on-read MERGE (round 8): rewrite='dv' equals rewrite='all'
+    row-for-row across every clause combination, while an upsert removes
+    ZERO existing data files and writes only the changed rows."""
+    from avro_diff_spark.sources.versioned import _live_files, merge_into
+
+    rows = [(i, f"r{i}") for i in range(30)]
+    src_rows = [(5, "U5"), (17, "U17"), (40, "I40")]
+    combos = [
+        ("update", "insert", "keep"),
+        ("update", "insert", "delete"),
+        ("keep", "insert", "keep"),
+        ("update", "ignore", "keep"),
+        ("update", "ignore", "delete"),
+    ]
+    for i, (wm, wnm, wnmbs) in enumerate(combos):
+        ta, tb = str(tmp_path / f"dv{i}"), str(tmp_path / f"all{i}")
+        for t in (ta, tb):
+            commit_snapshot(_df(spark, rows).repartitionByRange(3, "k"), t)
+        va = merge_into(
+            spark, ta, _df(spark, src_rows), ["k"],
+            when_matched=wm, when_not_matched=wnm,
+            when_not_matched_by_source=wnmbs, rewrite="dv",
+        )
+        merge_into(
+            spark, tb, _df(spark, src_rows), ["k"],
+            when_matched=wm, when_not_matched=wnm,
+            when_not_matched_by_source=wnmbs, rewrite="all",
+        )
+        got = sorted((r.k, r.v) for r in read_version(spark, ta, va).collect())
+        want = sorted((r.k, r.v) for r in read_version(spark, tb).collect())
+        assert got == want, (wm, wnm, wnmbs, got[:5], want[:5])
+
+    # the upsert commit shape: no removes, original files still live,
+    # new files hold exactly the 3 source rows
+    t = str(tmp_path / "shape")
+    commit_snapshot(_df(spark, rows).repartitionByRange(3, "k"), t)
+    before = set(_live_files(t, 0))
+    v = merge_into(spark, t, _df(spark, src_rows), ["k"], rewrite="dv")
+    with open(os.path.join(t, "_log", f"{v:06d}.json")) as fh:
+        c = json.load(fh)
+    assert c["mode"] == "merge"
+    assert not any("remove" in a for a in c["actions"])
+    assert sum(a["n"] for a in c["actions"] if "add" in a) == 3
+    assert sum(a["dv"]["n"] for a in c["actions"] if "dv" in a) == 2  # 5, 17
+    assert before <= set(_live_files(t, v))
+
+    # a source matching nothing with no insert clause is a no-op
+    assert merge_into(
+        spark, t, _df(spark, [(999, "x")]), ["k"],
+        when_not_matched="ignore", rewrite="dv",
+    ) == v
+
+
+def test_merge_dv_partitioned_and_cdf(spark, tmp_path):
+    """DV merges keep partitioning (new rows land in hive dirs) and the
+    change feed classifies them as updates/inserts/deletes."""
+    from avro_diff_spark.sources.versioned import merge_into, read_changes
+
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, i % 2, f"r{i}") for i in range(10)], "k long, p long, v string"
+    )
+    commit_snapshot(df, t, partition_by=["p"])
+    src = spark.createDataFrame([(4, 0, "U4"), (77, 1, "I77")], "k long, p long, v string")
+    v = merge_into(spark, t, src, ["k"], rewrite="dv")
+    with open(os.path.join(t, "_log", f"{v:06d}.json")) as fh:
+        c = json.load(fh)
+    assert all("p=" in a["add"] for a in c["actions"] if "add" in a)
+    got = {(r.k, r.p, r.v) for r in read_version(spark, t, v).collect()}
+    assert (4, 0, "U4") in got and (77, 1, "I77") in got and len(got) == 11
+    ch = read_changes(spark, t, ["k"], v_from=0, v_to=v)
+    kinds = {(r.k, r._change_type) for r in ch.collect()}
+    assert kinds == {
+        (4, "update_preimage"), (4, "update_postimage"), (77, "insert")
+    }
