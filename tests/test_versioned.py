@@ -1774,3 +1774,94 @@ def test_merge_dv_partitioned_and_cdf(spark, tmp_path):
     assert kinds == {
         (4, "update_preimage"), (4, "update_postimage"), (77, "insert")
     }
+
+
+def test_checkpoint_carries_deletion_vectors(spark, tmp_path, monkeypatch):
+    """A checkpoint taken after DV commits must carry the vectors: a
+    read served from the checkpoint (zero pre-checkpoint commit opens)
+    still masks the deleted rows."""
+    import avro_diff_spark.sources.versioned as V
+
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, [(i, f"r{i}") for i in range(10)]), t)
+    V.delete_where(spark, t, "k in (2, 7)")  # v1: DV commit
+    for i in range(10, 19):
+        commit_snapshot(_df(spark, [(i, f"r{i}")]), t, mode="append")
+    assert latest_version(t) == 10
+    assert os.path.exists(os.path.join(t, "_log", "000010.checkpoint.json"))
+
+    opened: list[str] = []
+    real = V._read_commit
+
+    def counting(path):
+        opened.append(os.path.basename(path))
+        return real(path)
+
+    monkeypatch.setattr(V, "_read_commit", counting)
+    got = {r.k for r in read_version(spark, t).collect()}
+    assert got == set(range(19)) - {2, 7}
+    assert all(int(n[:6]) > 10 for n in opened), opened
+
+
+def test_random_dml_sequence_matches_model(spark, tmp_path):
+    """Model-based pin of the whole DML surface: a deterministic
+    pseudo-random sequence of append / DV delete / DV update / DV merge
+    / COW delete / compact / checkpoint operations must keep
+    read_version equal to a driver-side dict model after EVERY step —
+    the composition coverage individual tests can't give."""
+    import random
+
+    import avro_diff_spark.sources.versioned as V
+
+    rng = random.Random(8)  # deterministic
+    t = str(tmp_path / "tbl")
+    model: dict[int, str] = {i: f"r{i}" for i in range(20)}
+    commit_snapshot(
+        _df(spark, sorted(model.items())).repartitionByRange(3, "k"), t
+    )
+    next_k = 100
+    for step in range(14):
+        op = rng.choice(["append", "delete_dv", "update_dv", "merge_dv", "delete_cow", "compact"])
+        if op == "append":
+            rows = [(next_k + j, f"a{next_k + j}") for j in range(3)]
+            next_k += 3
+            commit_snapshot(_df(spark, rows), t, mode="append")
+            model.update(rows)
+        elif op == "delete_dv":
+            ks = rng.sample(sorted(model), min(3, len(model)))
+            V.delete_where(spark, t, f"k in ({','.join(map(str, ks))})")
+            for k in ks:
+                model.pop(k)
+        elif op == "delete_cow":
+            ks = rng.sample(sorted(model), min(2, len(model)))
+            V.delete_where(
+                spark, t, f"k in ({','.join(map(str, ks))})", rewrite="cow"
+            )
+            for k in ks:
+                model.pop(k)
+        elif op == "update_dv":
+            ks = rng.sample(sorted(model), min(2, len(model)))
+            V.update_where(
+                spark, t, f"k in ({','.join(map(str, ks))})",
+                {"v": F.concat(F.col("v"), F.lit("!"))},
+            )
+            for k in ks:
+                model[k] = model[k] + "!"
+        elif op == "merge_dv":
+            upd = rng.sample(sorted(model), min(2, len(model)))
+            ins = [next_k]
+            next_k += 1
+            src = [(k, f"m{k}") for k in upd] + [(k, f"m{k}") for k in ins]
+            V.merge_into(spark, t, _df(spark, src), ["k"], rewrite="dv")
+            for k, v in src:
+                model[k] = v
+        elif op == "compact":
+            V.compact_table(spark, t, target_files=2)
+        got = dict(
+            (r.k, r.v) for r in read_version(spark, t).collect()
+        )
+        assert got == model, (step, op, len(got), len(model))
+    # checkpoints were written along the way; a final fresh read agrees
+    assert latest_version(t) >= 10
+    got = {(r.k, r.v) for r in read_version(spark, t).collect()}
+    assert got == set(model.items())
