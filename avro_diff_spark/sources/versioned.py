@@ -99,6 +99,11 @@ _LAST_CKPT = "_last_checkpoint"
 # of streaming micro-batches) the difference between opening 10 files
 # and 10^5 per read.
 _CHECKPOINT_INTERVAL = 10
+# Above this many live partition-value combinations, read_version stops
+# building one literal-pv scan per combination (tens of thousands of
+# plan nodes at high-cardinality partitioning) and switches to one scan
+# per STAGING DIRECTORY with Spark's native hive-partition discovery.
+_MAX_LITERAL_PV_GROUPS = 64
 
 
 def _read_commit(path: str) -> dict:
@@ -976,29 +981,71 @@ def read_version(
 
     dv_files = [f for f in files if adds[f].get("dvs")]
     need_pos = _provenance in ("file", "pos") or bool(dv_files)
+
+    def _attach_pos(g: DataFrame) -> DataFrame:
+        # scan-time row identity: survives every later join
+        return g.select(
+            "*",
+            F.col("_metadata.file_path").alias("__fp"),
+            F.col("_metadata.row_index").alias("__ri"),
+        )
+
     groups: dict[tuple, list[str]] = {}
     for f in files:
         pv = adds[f].get("pv")
         key = tuple(sorted(pv.items())) if pv else ()
         groups.setdefault(key, []).append(f)
     parts = []
-    # None-safe deterministic group order (null partition values sort last)
-    for key in sorted(
-        groups, key=lambda k: [(c, v is None, v or "") for c, v in k]
-    ):
-        g = reader.parquet(*[os.path.join(table_path, f) for f in groups[key]])
-        if need_pos:  # scan-time row identity: survives every later join
-            g = g.select(
-                "*",
-                F.col("_metadata.file_path").alias("__fp"),
-                F.col("_metadata.row_index").alias("__ri"),
-            )
-        if key:
-            g = _with_pv(g, dict(key))
-        parts.append(g)
+    if len(groups) <= _MAX_LITERAL_PV_GROUPS:
+        # one scan per live partition-value combination, pv columns
+        # reattached as folded literals — the zero-inference path
+        # (null partition values sort last in the deterministic order)
+        for key in sorted(
+            groups, key=lambda k: [(c, v is None, v or "") for c, v in k]
+        ):
+            g = reader.parquet(*[os.path.join(table_path, f) for f in groups[key]])
+            if need_pos:
+                g = _attach_pos(g)
+            if key:
+                g = _with_pv(g, dict(key))
+            parts.append(g)
+    else:
+        # High-cardinality partitioning: a scan per pv combination would
+        # build tens of thousands of plan nodes. Group by STAGING
+        # DIRECTORY instead (≤ one per commit, vastly fewer than pv
+        # combos) and let Spark's native hive-partition discovery
+        # reconstruct the pv columns from the directory names — with
+        # type INFERENCE disabled (a value '01' must stay the string
+        # '01', exactly like the literal path), then cast per the
+        # committed schema. Identical results, bounded plan size.
+        stage_groups: dict[str, list[str]] = {}
+        for f in files:
+            depth = len(adds[f].get("pv") or {})
+            full = f if os.path.isabs(f) else os.path.join(table_path, f)
+            root = full
+            for _ in range(depth + 1):
+                root = os.path.dirname(root)
+            stage_groups.setdefault(root, []).append(full)
+        infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+        old_infer = spark.conf.get(infer_key)
+        spark.conf.set(infer_key, "false")
+        try:
+            for root in sorted(stage_groups):
+                g = reader.option("basePath", root).parquet(*sorted(stage_groups[root]))
+                if need_pos:
+                    g = _attach_pos(g)
+                parts.append(g)
+        finally:
+            spark.conf.set(infer_key, old_infer)
     df = parts[0]
     for p in parts[1:]:
         df = df.unionByName(p, allowMissingColumns=True)
+    if len(groups) > _MAX_LITERAL_PV_GROUPS:
+        # inferred pv columns arrive as strings — cast to committed types
+        pv_names = {c for f in files for c in (adds[f].get("pv") or {})}
+        for c in pv_names:
+            if c in types:
+                df = df.withColumn(c, F.col(c).cast(types[c]))
     if schema and any(groups):  # pv columns were appended — restore order
         ordered = [c for c in schema.names if c in df.columns]
         df = df.select(*ordered, *[c for c in df.columns if c not in ordered])

@@ -1865,3 +1865,50 @@ def test_random_dml_sequence_matches_model(spark, tmp_path):
     assert latest_version(t) >= 10
     got = {(r.k, r.v) for r in read_version(spark, t).collect()}
     assert got == set(model.items())
+
+
+def test_high_cardinality_partitioning_reads_bounded_plan(spark, tmp_path):
+    """Above _MAX_LITERAL_PV_GROUPS live partition values, read_version
+    groups scans by STAGING DIRECTORY with native hive-partition
+    discovery instead of one scan per pv combination — a 10k-partition
+    table must not build 10k plan nodes. Results, types, pruning, DV
+    masking, and the leading-zero string-value hazard are all pinned."""
+    import avro_diff_spark.sources.versioned as V
+
+    t = str(tmp_path / "tbl")
+    # 120 string partitions with leading zeros: type inference would
+    # corrupt 'p003' -> ... (and '007' -> 7); the committed type wins
+    rows = [(i, f"{i % 120:03d}", f"r{i}") for i in range(360)]
+    df = spark.createDataFrame(rows, "k long, p string, v string")
+    commit_snapshot(df, t, partition_by=["p"])
+    assert V._MAX_LITERAL_PV_GROUPS < 120
+
+    got = read_version(spark, t)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") <= 4, plan.count("FileScan")
+    assert dict(got.dtypes)["p"] == "string"
+    assert {(r.k, r.p, r.v) for r in got.collect()} == set(rows)
+
+    # appends add a second staging dir -> still bounded
+    commit_snapshot(
+        spark.createDataFrame(
+            [(1000 + i, f"{i % 120:03d}", "x") for i in range(120)],
+            "k long, p string, v string",
+        ),
+        t,
+        mode="append",
+        partition_by=["p"],
+    )
+    got2 = read_version(spark, t)
+    assert got2._jdf.queryExecution().executedPlan().toString().count("FileScan") <= 8
+    assert got2.count() == 480
+
+    # log-level pruning composes (prune on the partition column)
+    pruned = read_version(spark, t, prune=("p", "007", "007"))
+    assert {r.k for r in pruned.collect()} == {7, 127, 247, 1007}
+
+    # deletion vectors compose with the staged-dir read path
+    V.delete_where(spark, t, "k in (7, 1007)")
+    assert {r.k for r in read_version(spark, t, prune=("p", "007", "007")).collect()} == {
+        127, 247
+    }
