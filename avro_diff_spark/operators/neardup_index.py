@@ -36,7 +36,12 @@ from avro_diff_spark.sources.versioned import (
     read_version,
 )
 
-__all__ = ["build_neardup_index", "probe_neardup_index", "index_params"]
+__all__ = [
+    "build_neardup_index",
+    "probe_neardup_index",
+    "probe_neardup_index_stream",
+    "index_params",
+]
 
 
 def _buckets_path(index_path: str) -> str:
@@ -102,6 +107,36 @@ def build_neardup_index(
     return v
 
 
+def _probe_frames(
+    spark: SparkSession,
+    inc_banded: DataFrame,
+    inc_sh: DataFrame,
+    index_path: str,
+    threshold: float,
+) -> DataFrame:
+    """The shared probe: increment bucket rows joined against (stored ∪
+    increment) buckets, ordered-pair dedup, exact-Jaccard verify.
+    Shingles dedupe on doc_id so a REPLAYED batch whose rows already
+    landed in the index (streaming crash recovery) cannot double-join —
+    the per-doc rows are deterministic, so the pick is value-stable."""
+    idx_banded = read_version(spark, _buckets_path(index_path))
+    idx_sh = read_version(spark, _shingles_path(index_path))
+    all_banded = idx_banded.unionByName(inc_banded)
+    left = all_banded.select("band_id", "band_key", F.col("doc_id").alias("__l"))
+    right = inc_banded.select("band_id", "band_key", F.col("doc_id").alias("__r"))
+    cands = (
+        left.join(right, ["band_id", "band_key"])
+        .where(F.col("__l") != F.col("__r"))
+        .select(
+            F.least("__l", "__r").alias("doc_a"),
+            F.greatest("__l", "__r").alias("doc_b"),
+        )
+        .distinct()
+    )
+    doc_sh = idx_sh.unionByName(inc_sh).dropDuplicates(["doc_id"])
+    return DD._verify_pairs(cands, doc_sh, threshold)
+
+
 def probe_neardup_index(
     spark: SparkSession,
     increment: DataFrame,
@@ -139,25 +174,7 @@ def probe_neardup_index(
         bands=int(params["bands"]),
         shingle_k=int(params["shingle_k"]),
     )
-    idx_banded = read_version(spark, _buckets_path(index_path))
-    idx_sh = read_version(spark, _shingles_path(index_path))
-    all_banded = idx_banded.unionByName(inc_banded)
-    left = all_banded.select(
-        "band_id", "band_key", F.col("doc_id").alias("__l")
-    )
-    right = inc_banded.select(
-        "band_id", "band_key", F.col("doc_id").alias("__r")
-    )
-    cands = (
-        left.join(right, ["band_id", "band_key"])
-        .where(F.col("__l") != F.col("__r"))
-        .select(
-            F.least("__l", "__r").alias("doc_a"),
-            F.greatest("__l", "__r").alias("doc_b"),
-        )
-        .distinct()
-    )
-    pairs = DD._verify_pairs(cands, idx_sh.unionByName(inc_sh), threshold)
+    pairs = _probe_frames(spark, inc_banded, inc_sh, index_path, threshold)
     if append:
         # safe to grow the index after building the probe plan:
         # read_version pins its file list at construction, so the
@@ -166,3 +183,64 @@ def probe_neardup_index(
         commit_snapshot(inc_banded, _buckets_path(index_path), mode="append")
         commit_snapshot(inc_sh, _shingles_path(index_path), mode="append")
     return pairs
+
+
+def probe_neardup_index_stream(
+    stream_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    index_path: str,
+    pairs_path: str,
+    *,
+    checkpoint: str,
+    threshold: float = 0.5,
+    trigger_available_now: bool = True,
+):
+    """The streaming half of the incremental index — the composition the
+    round-7 review named: the LSH bucket table MAINTAINED BY a stream.
+    Each micro-batch (a) probes the current index for near-dup pairs
+    involving the batch, (b) appends the verified pairs to a versioned
+    ``pairs_path`` table, and (c) appends the batch's bucket and shingle
+    rows to the index — all three as APPEND commits carrying the
+    (app, epoch) txn id, deduped per table via
+    :func:`versioned.last_committed_epoch` on replay.
+
+    Crash recovery is exactly-once by construction, in ANY interleaving:
+    a replayed batch whose rows already landed in the index probes
+    against an index that contains itself — candidates dedupe on the
+    ordered pair and shingles dedupe on doc_id, so the recomputed pair
+    set is identical — and each table's epoch guard skips the commits
+    that already landed. Returns the started StreamingQuery
+    (AvailableNow by default)."""
+    from avro_diff_spark.sources import versioned as V
+
+    app_id = os.path.abspath(checkpoint)
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        params = index_params(index_path)
+        inc_banded, inc_sh = _derive(
+            batch_df,
+            text_col,
+            id_col,
+            n_hashes=int(params["n_hashes"]),
+            bands=int(params["bands"]),
+            shingle_k=int(params["shingle_k"]),
+        )
+        pairs = _probe_frames(spark, inc_banded, inc_sh, index_path, threshold)
+        txn = (app_id, epoch_id)
+        if V.last_committed_epoch(pairs_path, app_id) < epoch_id:
+            commit_snapshot(pairs, pairs_path, mode="append", txn=txn)
+        if V.last_committed_epoch(_buckets_path(index_path), app_id) < epoch_id:
+            commit_snapshot(inc_banded, _buckets_path(index_path), mode="append", txn=txn)
+        if V.last_committed_epoch(_shingles_path(index_path), app_id) < epoch_id:
+            commit_snapshot(inc_sh, _shingles_path(index_path), mode="append", txn=txn)
+
+    writer = stream_df.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

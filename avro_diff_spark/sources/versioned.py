@@ -77,6 +77,7 @@ __all__ = [
     "compact_table",
     "vacuum",
     "commit_stream",
+    "last_committed_epoch",
     "table_schema",
     "table_constraints",
     "add_constraint",
@@ -512,6 +513,19 @@ def _check_append_schema(df: DataFrame, table_path: str, version: int, *, schema
         )
 
 
+def last_committed_epoch(table_path: str, app_id: str) -> int:
+    """The newest epoch ``app_id`` committed to the table (−1 if none)
+    — the Delta txnAppId/txnVersion snapshot lookup streaming sinks
+    dedupe micro-batch replays on. Per-app epochs are monotone, so the
+    walk stops at the first commit from this app (O(1) amortized for a
+    table written by the app)."""
+    for _, path in reversed(_commit_files(table_path)):
+        c = _read_commit(path)
+        if c.get("app") == app_id:
+            return c.get("epoch", -1)
+    return -1
+
+
 def commit_snapshot(
     df: DataFrame,
     table_path: str,
@@ -522,6 +536,7 @@ def commit_snapshot(
     schema_evolution: bool = False,
     partition_by: list[str] | None = None,
     app_meta: dict | None = None,
+    txn: tuple[str, int] | None = None,
     max_retries: int = 10,
 ) -> int:
     """Commit ``df`` as the next version of the table. ``overwrite``
@@ -608,6 +623,10 @@ def commit_snapshot(
             commit["partition_by"] = list(partition_by)
         if app_meta:
             commit["app_meta"] = dict(app_meta)
+        if txn is not None:
+            # Delta txnAppId/txnVersion: lets idempotent writers dedupe
+            # replays via last_committed_epoch
+            commit["app"], commit["epoch"] = os.path.abspath(txn[0]), int(txn[1])
         try:
             _publish_commit(table_path, version, commit)
             return version
@@ -1516,16 +1535,8 @@ def commit_stream(
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        # per-app epochs are monotone, so the NEWEST commit from this app
-        # carries its max epoch — walk the log backwards and stop at the
-        # first match instead of reading every commit per batch (Delta's
-        # txn-snapshot lookup, O(1) amortized instead of O(commits))
-        for _, path in reversed(_commit_files(table_path)):
-            c = _read_commit(path)
-            if c.get("app") == app_id:
-                if c.get("epoch", -1) >= epoch_id:
-                    return  # replayed batch: already durable in the log
-                break
+        if last_committed_epoch(table_path, app_id) >= epoch_id:
+            return  # replayed batch: already durable in the log
         added = _stage_data(
             batch_df, table_path, latest_version(table_path) + 1, partition_by
         )

@@ -121,3 +121,80 @@ def test_stream_cdc_composition_with_key_diff_stream(spark, tmp_path):
     _drain(out, "vt_cdc")
     got = {r.k: r.diff_kind for r in spark.sql("SELECT * FROM vt_cdc").collect()}
     assert got == {"2": "changed", "3": "added"}
+
+
+def test_probe_neardup_index_stream_exactly_once(spark, sf_dir, tmp_path):
+    """Streaming maintenance of the near-dup index (round 8): each
+    micro-batch probes the stored buckets, lands verified pairs in a
+    versioned pairs table, and grows the index — restart on the same
+    checkpoint commits nothing new; newly arrived docs probe the GROWN
+    index; results equal the batch probe."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from avro_diff_spark import snapshots as snap
+    from avro_diff_spark.operators.neardup_index import (
+        build_neardup_index,
+        probe_neardup_index_stream,
+    )
+    from avro_diff_spark.sources.versioned import latest_version, read_version
+
+    corpus = snap.documents_with_dups(spark, sf_dir)
+    base = corpus.filter(F.col("doc_id") < 1_000_000)
+    idx, pairs_t, src, ckpt = (
+        str(tmp_path / d) for d in ("idx", "pairs", "src", "ck")
+    )
+    build_neardup_index(spark, base, "text", "doc_id", idx)
+    os.makedirs(src)
+
+    inc1 = corpus.filter(
+        (F.col("doc_id") >= 1_000_000) & (F.col("doc_id") < 2_000_000)
+    ).select("doc_id", "text")
+    inc1.coalesce(1).write.mode("append").json(src)
+    stream = spark.readStream.schema("doc_id long, text string").json(src)
+    q = probe_neardup_index_stream(
+        stream, "text", "doc_id", idx, pairs_t, checkpoint=ckpt
+    )
+    q.awaitTermination(180)
+    got1 = {
+        (r.doc_a, r.doc_b) for r in read_version(spark, pairs_t).collect()
+    }
+    assert got1 and all(b >= 1_000_000 for _, b in got1)
+    n_pairs_v = latest_version(pairs_t)
+    n_bkt_v = latest_version(os.path.join(idx, "buckets"))
+
+    # restart, nothing new: zero commits anywhere
+    q = probe_neardup_index_stream(
+        spark.readStream.schema("doc_id long, text string").json(src),
+        "text", "doc_id", idx, pairs_t, checkpoint=ckpt,
+    )
+    q.awaitTermination(180)
+    assert latest_version(pairs_t) == n_pairs_v
+    assert latest_version(os.path.join(idx, "buckets")) == n_bkt_v
+
+    # a second wave of docs probes the GROWN index (pairs vs inc1 too)
+    inc2 = corpus.filter(F.col("doc_id") >= 2_000_000).select("doc_id", "text")
+    inc2.coalesce(1).write.mode("append").json(src)
+    q = probe_neardup_index_stream(
+        spark.readStream.schema("doc_id long, text string").json(src),
+        "text", "doc_id", idx, pairs_t, checkpoint=ckpt,
+    )
+    q.awaitTermination(180)
+    got2 = {
+        (r.doc_a, r.doc_b) for r in read_version(spark, pairs_t).collect()
+    }
+    new = got2 - got1
+    assert new and all(b >= 2_000_000 for _, b in new)
+
+    # stream total == one batch probe over the same increments
+    from avro_diff_spark.operators.dedup import minhash_near_dups
+
+    full = minhash_near_dups(corpus, "text", "doc_id")
+    want = {
+        (r.doc_a, r.doc_b)
+        for r in full.filter(
+            (F.col("doc_a") >= 1_000_000) | (F.col("doc_b") >= 1_000_000)
+        ).collect()
+    }
+    assert got2 == want
