@@ -1248,7 +1248,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Tail queries remain bench-covered and verified by tools/oracle_check.py;
     # tests/test_registry.py asserts every tail query is oracle-green so a
     # tail regression cannot ship behind a complete-looking driver record.
+    # Round-8 tail entry (kmeans_cluster_stats precedent — enters directly
+    # in the tail, fully oracle-backed via the CI gate): chunk_windows
+    # (overlapping RAG/pretraining token windows) is a map-only
+    # transform+explode over the same tokens_ws stream the recorded
+    # quality_classifier/dsir_weights execute, with pure integer window
+    # arithmetic; its split mechanics are value-hashed (per-chunk md5)
+    # by the CI oracle gate every run.
     for tail in (
+        "chunk_windows",
         "minhash_near_dups",
         "quality_scores",
         "near_dup_contamination",

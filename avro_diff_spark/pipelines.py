@@ -942,6 +942,75 @@ FROM j GROUP BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# overlapping chunk windows — the RAG / context-window preprocessing sibling
+# of pack_sequences (which concatenates; this SPLITS long docs)
+# --------------------------------------------------------------------------
+
+CHUNK_W = 64  # tokens per chunk window
+CHUNK_S = 48  # stride (overlap = W - S = 16 tokens)
+
+
+def q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking — the standard RAG/pretraining
+    preprocessing split: each document becomes ⌈1⌉-or-more windows of
+    ``CHUNK_W`` tokens at stride ``CHUNK_S`` (adjacent windows share
+    W−S tokens); the last window starts at the final stride position
+    that still reaches the end, so every token is covered and no window
+    is generated past coverage. Emits exact per-chunk token counts and
+    an md5 of the space-joined chunk, so the oracle value-hashes the
+    SPLIT MECHANICS (boundaries and contents), not just counts.
+
+    Scale shape: map-only — one transform+explode per document row,
+    pure integer window arithmetic (no IEEE division), no shuffle at
+    all before the driver's sort; chunking 100 TB is embarrassingly
+    parallel and this plan keeps it that way."""
+    W, S = CHUNK_W, CHUNK_S
+    d = spread_small(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    toks = d.select(
+        "doc_id",
+        F.filter(TX.tokens_ws(F.col("text")), lambda t: t != "").alias("ts"),
+    ).filter(F.size("ts") > 0)
+    k = (
+        f"CASE WHEN size(ts) <= {W} THEN 1 "
+        f"ELSE (size(ts) - {W} + {S - 1}) DIV {S} + 1 END"
+    )
+    return toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {k} - 1), i -> named_struct("
+                f"'chunk_id', CAST(i AS BIGINT), "
+                f"'chunk', slice(ts, i * {S} + 1, {W})))"
+            )
+        ).alias("c"),
+    ).select(
+        "doc_id",
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.size("c.chunk").cast("long").alias("n_chunk_tokens"),
+        F.md5(F.array_join("c.chunk", " ")).alias("chunk_md5"),
+    )
+
+
+def _chunk_windows_sql() -> str:
+    W, S = CHUNK_W, CHUNK_S
+    return f"""
+WITH t AS (SELECT doc_id, list_filter({tokens_sql('text')}, x -> x != '') AS ts
+           FROM documents),
+n AS (SELECT doc_id, ts, len(ts) AS n FROM t WHERE len(ts) > 0),
+k AS (SELECT doc_id, ts,
+             CASE WHEN n <= {W} THEN 1 ELSE (n - {W} + {S - 1}) // {S} + 1 END AS k
+      FROM n),
+c AS (SELECT doc_id, unnest(range(0, k)) AS chunk_id, ts FROM k)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(len(ts[chunk_id * {S} + 1 : chunk_id * {S} + {W}]) AS BIGINT)
+         AS n_chunk_tokens,
+       md5(list_aggregate(ts[chunk_id * {S} + 1 : chunk_id * {S} + {W}],
+                          'string_agg', ' ')) AS chunk_md5
+FROM c
+"""
+
+
 _L0 = lambda: F.lit(0).cast("long")  # noqa: E731
 
 
@@ -3258,6 +3327,7 @@ PIPELINE_QUERIES = {
     "mixture_weights": q_mixture_weights,
     "dsir_weights": q_dsir_weights,
     "quality_classifier": q_quality_classifier,
+    "chunk_windows": q_chunk_windows,
     "lang_id_counts": q_lang_id,
     "langid_ngram_counts": q_langid_ngram_counts,
     "quality_scores": q_quality_scores,
@@ -3329,6 +3399,7 @@ def pipeline_sql() -> dict[str, str]:
         "mixture_weights": MIXTURE_WEIGHTS_SQL,
         "dsir_weights": _dsir_weights_sql(),
         "quality_classifier": _quality_classifier_sql(),
+        "chunk_windows": _chunk_windows_sql(),
         "lang_id_counts": _lang_id_sql(),
         "langid_ngram_counts": _langid_ngram_sql(),
         "quality_scores": _quality_sql(),

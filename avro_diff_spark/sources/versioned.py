@@ -193,11 +193,20 @@ def checkpoint_log(table_path: str, version: int | None = None) -> str:
         slim = {k: v for k, v in info.items() if v not in (None, [], {})}
         adds[f] = slim
     sch = table_schema(table_path, version)
+    # commit-time index for version_as_of: previous checkpoint's map +
+    # the tail — O(interval) amortized, never a full-log rewalk
+    prev = _usable_checkpoint(table_path, version)
+    ts_map: dict[str, int] = dict(prev[1].get("ts", {})) if prev else {}
+    prev_v = prev[0] if prev else -1
+    for v, path in _commit_files(table_path):
+        if prev_v < v <= version:
+            ts_map[str(v)] = _read_commit(path).get("ts_us", 0)
     ck = {
         "version": version,
         "adds": adds,
         "partition_by": _table_partitioning(table_path, version),
         "constraints": table_constraints(table_path, version),
+        "ts": ts_map,
     }
     if sch is not None:
         ck["schema"] = sch.json()
@@ -891,7 +900,18 @@ def version_as_of(table_path: str, ts) -> int:
     if isinstance(ts, datetime.datetime):
         ts = int(ts.timestamp() * 1_000_000)
     best = None
+    ck = _usable_checkpoint(table_path, latest_version(table_path))
+    ck_v = -1
+    if ck is not None and "ts" in ck[1]:
+        # the checkpoint's commit-time index answers everything at or
+        # below it — only the tail commits are opened
+        ck_v = ck[0]
+        for vs, t in ck[1]["ts"].items():
+            if t <= ts and (best is None or int(vs) > best):
+                best = int(vs)
     for v, path in _commit_files(table_path):
+        if v <= ck_v:
+            continue
         c = _read_commit(path)
         if c.get("ts_us", 0) <= ts:
             best = v

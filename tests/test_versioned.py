@@ -1912,3 +1912,38 @@ def test_high_cardinality_partitioning_reads_bounded_plan(spark, tmp_path):
     assert {r.k for r in read_version(spark, t, prune=("p", "007", "007")).collect()} == {
         127, 247
     }
+
+
+def test_version_as_of_uses_checkpoint_ts_index(spark, tmp_path, monkeypatch):
+    """version_as_of answers from the checkpoint's commit-time index +
+    tail — zero commit opens at or below the checkpoint — and resolves
+    identically to a full-log walk."""
+    import avro_diff_spark.sources.versioned as V
+
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, [(0, "base")]), t)
+    ts_of = {}
+    for i in range(1, 25):
+        v = commit_snapshot(_df(spark, [(i, f"r{i}")]), t, mode="append")
+        with open(os.path.join(t, "_log", f"{v:06d}.json")) as fh:
+            ts_of[v] = json.load(fh)["ts_us"]
+
+    opened: list[str] = []
+    real = V._read_commit
+
+    def counting(path):
+        opened.append(os.path.basename(path))
+        return real(path)
+
+    monkeypatch.setattr(V, "_read_commit", counting)
+    # a timestamp inside the checkpointed range resolves exactly
+    assert V.version_as_of(t, ts_of[7]) == 7
+    assert V.version_as_of(t, ts_of[7] + 1) == 7
+    assert all(int(n[:6]) > 20 for n in opened), opened
+    # and composes with read_version(as_of=): resolution reads only the
+    # tail; the HISTORICAL read of v3 then replays 0..3 (below any
+    # checkpoint — the correct fallback), never the 4..20 middle
+    opened.clear()
+    got = read_version(spark, t, as_of=ts_of[3])
+    assert {r.k for r in got.collect()} == {0, 1, 2, 3}
+    assert all(int(n[:6]) > 20 or int(n[:6]) <= 3 for n in opened), opened
