@@ -1343,6 +1343,7 @@ def compact_table(
     curve: str = "zorder",
     bits: int = 16,
     stats_cols: list[str] | None = None,
+    min_file_rows: int | None = None,
 ) -> int:
     """Small-file compaction — and, with ``cluster_by``, the full
     ``OPTIMIZE ... ZORDER BY`` surface: rewrite the CURRENT live file
@@ -1357,8 +1358,56 @@ def compact_table(
     table recompacts PARTITIONED (its partitioning is preserved, so
     partition pruning survives the rewrite). Readers of older versions
     are untouched — their files stay referenced by earlier commits
-    until :func:`vacuum`. Returns the new version."""
-    partition_by = _table_partitioning(table_path, latest_version(table_path)) or None
+    until :func:`vacuum`. Returns the new version.
+
+    ``min_file_rows`` (round 8) switches to INCREMENTAL bin-packing —
+    the shape a real auto-OPTIMIZE runs: only files whose recorded row
+    count is below the threshold (or that carry deletion vectors, which
+    the rewrite materializes away) are read, packed, and swapped via a
+    REPLACE commit; well-sized files are untouched metadata. Compacting
+    the daily small-file tail of a 100 TB table costs the tail, not the
+    table. Returns the current version unchanged when nothing
+    qualifies. Mutually exclusive with ``cluster_by`` (clustering is a
+    global property — a subset rewrite cannot establish it)."""
+    version = latest_version(table_path)
+    partition_by = _table_partitioning(table_path, version) or None
+    if min_file_rows is not None:
+        if cluster_by:
+            raise ValueError(
+                "min_file_rows= packs a subset; cluster_by= needs the full "
+                "rewrite (clustering is a global property)"
+            )
+        adds, _ = _live_adds(table_path, version)
+        small = sorted(
+            f
+            for f, info in adds.items()
+            if info.get("dvs")
+            or info.get("n") is None  # pre-round-8 adds: no count — rewrite
+            or info["n"] < min_file_rows
+        )
+        if not small or (
+            len(small) == 1 and not adds[small[0]].get("dvs")
+        ):
+            # nothing to pack, or a single small DV-free file a rewrite
+            # cannot improve (the single-file-bin skip every OPTIMIZE
+            # applies — without it the pass would rewrite forever)
+            return version
+        n_seg = _suffix_segments(adds, sorted(adds))
+        small_sfx = [_disk_suffix(f, n_seg) for f in small]
+        sub = (
+            read_version(spark, table_path, version, _provenance="file")
+            .withColumnRenamed("__file", "__fp")
+            .withColumn("__sfx", _spark_suffix(n_seg))
+            .filter(F.col("__sfx").isin(small_sfx))
+            .drop("__sfx", "__fp")
+        )
+        return _commit_replace_files(
+            sub.coalesce(target_files),
+            table_path,
+            small,
+            partition_by=partition_by,
+            stats_cols=stats_cols,
+        )
     df = read_version(spark, table_path)
     if cluster_by:
         from avro_diff_spark.operators import layout as L

@@ -1947,3 +1947,46 @@ def test_version_as_of_uses_checkpoint_ts_index(spark, tmp_path, monkeypatch):
     got = read_version(spark, t, as_of=ts_of[3])
     assert {r.k for r in got.collect()} == {0, 1, 2, 3}
     assert all(int(n[:6]) > 20 or int(n[:6]) <= 3 for n in opened), opened
+
+
+def test_incremental_compaction_packs_only_small_files(spark, tmp_path):
+    """compact_table(min_file_rows=): well-sized files are untouched
+    metadata; the small-file tail (and DV-bearing files, which the
+    rewrite materializes) is packed via a REPLACE commit."""
+    from avro_diff_spark.sources.versioned import (
+        _live_files,
+        compact_table,
+        delete_where,
+    )
+
+    t = str(tmp_path / "tbl")
+    big = _df(spark, [(i, f"r{i}") for i in range(500)]).coalesce(1)
+    commit_snapshot(big, t)
+    for i in range(500, 505):
+        commit_snapshot(_df(spark, [(i, f"r{i}")]), t, mode="append")
+    files_before = _live_files(t, latest_version(t))
+    big_files = [f for f in files_before if f.startswith("v000000")]
+
+    v = compact_table(spark, t, target_files=1, min_file_rows=10)
+    with open(os.path.join(t, "_log", f"{v:06d}.json")) as fh:
+        c = json.load(fh)
+    assert c["mode"] == "replace"
+    removed = {a["remove"] for a in c["actions"] if "remove" in a}
+    assert removed and not any(f in removed for f in big_files)
+    live = set(_live_files(t, v))
+    assert set(big_files) <= live  # the big file survives as metadata
+    assert {r.k for r in read_version(spark, t, v).collect()} == set(range(505))
+    # idempotent: nothing small remains
+    assert compact_table(spark, t, target_files=1, min_file_rows=10) == v
+
+    # a DV on the big file qualifies it for the next incremental pass,
+    # which materializes the vector away
+    delete_where(spark, t, "k = 7")
+    v3 = compact_table(spark, t, target_files=1, min_file_rows=10)
+    assert v3 > v
+    assert {r.k for r in read_version(spark, t, v3).collect()} == set(range(505)) - {7}
+    with open(os.path.join(t, "_log", f"{v3:06d}.json")) as fh:
+        assert all("dv" not in a for a in json.load(fh)["actions"])
+
+    with pytest.raises(ValueError, match="cluster_by"):
+        compact_table(spark, t, min_file_rows=10, cluster_by=["k"])
