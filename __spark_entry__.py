@@ -694,8 +694,22 @@ def _q_incremental_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = corpus.filter(F.col("doc_id") < 1_000_000)
     increment = corpus.filter(F.col("doc_id") >= 1_000_000)
 
-    root = os.path.dirname(_versioned_orders_table(spark, sf_dir))
-    index_path = os.path.join(root, "neardup_index")
+    # content-key the fixture on the DOCUMENTS parquet (the index is
+    # derived from it — the orders fingerprint would go stale silently)
+    import hashlib
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    files = [src] if os.path.isfile(src) else sorted(
+        os.path.join(dp, fn) for dp, _, fns in os.walk(src) for fn in fns
+    )
+    h = hashlib.md5()
+    for p in files:
+        st = os.stat(p)
+        h.update(f"{p}|{st.st_size}|{st.st_mtime_ns};".encode())
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    index_path = (
+        f"/root/repo/.cache/neardup_index/{tag}-{h.hexdigest()[:12]}/index"
+    )
     if latest_version(os.path.join(index_path, "buckets")) != 0 or latest_version(
         os.path.join(index_path, "shingles")
     ) != 0:
