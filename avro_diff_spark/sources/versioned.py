@@ -402,19 +402,35 @@ def _compute_blooms(
                 ]
             )
         )
+        # pack the bitmap DISTRIBUTED: per file, fold the position set
+        # into _BLOOM_M/8 byte values, so the driver collects 128 small
+        # ints per (file, column) instead of up to _BLOOM_M positions —
+        # an 8x smaller collect at a 50k-file commit
+        packed = F.transform(
+            F.sequence(F.lit(0), F.lit(_BLOOM_M // 8 - 1)),
+            # positions are a SET, so within one byte each bit appears
+            # once: the OR is an exact sum of 2^(p&7) (pow(2, k<=7) is
+            # integer-exact in IEEE doubles; shiftleft would need a
+            # literal shift amount)
+            lambda b: F.aggregate(
+                F.filter(F.col("__ps"), lambda p: F.shiftright(p, 3) == b),
+                F.lit(0).cast("long"),
+                lambda acc, p: acc
+                + F.pow(F.lit(2.0), p.bitwiseAND(F.lit(7))).cast("long"),
+            ),
+        )
         rows = (
             df.filter(s.isNotNull())
             .select("__f", pos.alias("__p"))
             .groupBy("__f")
             .agg(F.collect_set("__p").alias("__ps"))
+            .select("__f", packed.alias("__bytes"))
             .collect()
         )
         for r in rows:
             rel = os.path.relpath(unquote(urlparse(r["__f"]).path), root)
-            bits = bytearray(_BLOOM_M // 8)
-            for p in r["__ps"]:
-                bits[p // 8] |= 1 << (p % 8)
-            out.setdefault(rel, {})[c] = base64.b64encode(bytes(bits)).decode()
+            bits = bytes(int(x) for x in r["__bytes"])
+            out.setdefault(rel, {})[c] = base64.b64encode(bits).decode()
     return out
 
 
