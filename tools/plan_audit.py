@@ -28,7 +28,7 @@ def main() -> None:
 
     # no codegen column: AQE's pre-execution plan string doesn't carry
     # WholeStageCodegen annotations, so it would always read 0 here
-    cols = ("scan", "exchange", "bcast", "smj", "shj", "bnlj")
+    cols = ("scan", "exchange", "bcast", "smj", "shj", "bnlj", "window")
     print(f"{'query':32} " + " ".join(f"{c:>8}" for c in cols))
     for name, fn in sorted(ent.queries().items()):
         try:
@@ -44,6 +44,11 @@ def main() -> None:
             "smj": plan.count("SortMergeJoin"),
             "shj": plan.count("ShuffledHashJoin"),
             "bnlj": plan.count("BroadcastNestedLoopJoin") + plan.count("CartesianProduct"),
+            # round-8: layout's unpartitioned-ntile funnel was caught by
+            # eye, not the audit — count Window operators so a new one
+            # on a hot path shows up here (layout plans pin ZERO windows
+            # in tests/test_layout.py)
+            "window": plan.count("Window"),
         }
         print(f"{name:32} " + " ".join(f"{row[c]:>8}" for c in cols))
 
