@@ -283,6 +283,7 @@ def table_main(argv: list[str] | None = None) -> int:
             "clone",
             "delete",
             "checkpoint",
+            "restore",
         ],
     )
     p.add_argument("table_path")
@@ -333,6 +334,13 @@ def table_main(argv: list[str] | None = None) -> int:
         path = V.checkpoint_log(args.table_path)
         print(f"checkpointed {args.table_path} at version "
               f"{V.latest_version(args.table_path)} -> {path}")
+        return 0
+    if args.op == "restore":
+        if args.version is None:
+            print("restore requires --version", file=sys.stderr)
+            return 2
+        v = V.restore_table(args.table_path, args.version)
+        print(f"restored {args.table_path} to version {args.version} as version {v}")
         return 0
     if args.op == "constraints":
         for n, e in sorted(V.table_constraints(args.table_path).items()):

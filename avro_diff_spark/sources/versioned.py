@@ -1593,6 +1593,100 @@ def clone_table(src_path: str, dst_path: str, *, version: int | None = None) -> 
     return 0
 
 
+def restore_table(table_path: str, version: int | None = None, *, ts=None) -> int:
+    """``RESTORE TABLE ... TO VERSION AS OF`` (Delta's rollback): publish
+    a NEW commit whose live state — file set, per-file stats/blooms/
+    partitionValues, deletion vectors, partitioning, and CHECK
+    constraints — equals the table's state at the target ``version`` (or
+    at timestamp ``ts`` via :func:`version_as_of`). History is
+    PRESERVED: restore moves the table forward to an old state rather
+    than truncating the log, so the bad versions stay time-travelable
+    and :func:`read_changes` across the restore commit emits the
+    compensating change rows downstream consumers need.
+
+    Metadata-only at any scale: zero data files are read, written, or
+    moved — the commit re-references the target version's files with
+    their recorded add actions (the same zero-footer re-add
+    :func:`clone_table` uses), so restoring a 100 TB table is one
+    driver-side log write. Files already vacuumed are the one hard
+    limit: targets below the vacuum watermark raise (their data is
+    gone). Concurrent writers conflict like any overwrite. Returns the
+    new version number."""
+    import time
+
+    if (version is None) == (ts is None):
+        raise ValueError("pass exactly one of version= or ts=")
+    if ts is not None:
+        version = version_as_of(table_path, ts)
+    latest = latest_version(table_path)
+    if version < 0 or version > latest:
+        raise ValueError(
+            f"no version {version} of {table_path!r} (latest is {latest})"
+        )
+    wm = _vacuum_watermark(table_path)
+    if version < wm:
+        raise ValueError(
+            f"version {version} of {table_path!r} was vacuumed; earliest "
+            f"restorable version is {wm}"
+        )
+    adds, schemas = _live_adds(table_path, version)
+    # full overwrite of the live set: removes first, target re-adds after
+    # (replay order lets a file live in both states end up added) — this
+    # also RESETS deletion-vector state to the target's, which a
+    # surgical diff of the two file sets would silently keep
+    actions: list[dict] = [{"remove": f} for f in _live_files(table_path, latest)]
+    for f in sorted(adds):
+        info = adds[f]
+        a: dict = {"add": f}
+        if info.get("n") is not None:
+            a["n"] = info["n"]
+        if info.get("pv") is not None:
+            a["pv"] = info["pv"]
+        if info.get("stats"):
+            a["stats"] = info["stats"]
+        if info.get("bloom"):
+            a["bloom"] = info["bloom"]
+        if len(schemas) > 1 and info.get("schema") is not None:
+            a["schema_json"] = info["schema"]
+        if info.get("dvs"):
+            a["dvs"] = [dict(d) for d in info["dvs"]]
+            a["dv_f"] = _dv_key(f, info)
+        actions.append(a)
+    n_rows = sum(a.get("n") or 0 for a in actions if "add" in a) - sum(
+        d["n"] for a in actions for d in a.get("dvs", [])
+    )
+    # constraints are metadata actions, so the restore commit carries the
+    # DELTA between the sets in force now vs at the target
+    cur_cons = table_constraints(table_path, latest)
+    tgt_cons = table_constraints(table_path, version)
+    drops = sorted(n for n in cur_cons if tgt_cons.get(n) != cur_cons[n])
+    re_adds = [
+        {"name": n, "expr": e}
+        for n, e in sorted(tgt_cons.items())
+        if cur_cons.get(n) != e
+    ]
+    commit: dict = {
+        "version": latest + 1,
+        "mode": "overwrite",
+        "ts_us": int(time.time() * 1_000_000),
+        "n_rows": n_rows,
+        "actions": actions,
+        "restore_of": version,
+    }
+    schema = table_schema(table_path, version)
+    if schema is not None:
+        commit["schema"] = schema.json()
+    pb = _table_partitioning(table_path, version)
+    if pb:
+        commit["partition_by"] = pb
+    if drops:
+        commit["constraints_drop"] = drops
+    if re_adds:
+        commit["constraints_add"] = re_adds
+    _publish_commit(table_path, latest + 1, commit)
+    return latest + 1
+
+
 def commit_stream(
     stream_df: DataFrame,
     table_path: str,

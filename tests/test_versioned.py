@@ -1990,3 +1990,145 @@ def test_incremental_compaction_packs_only_small_files(spark, tmp_path):
 
     with pytest.raises(ValueError, match="cluster_by"):
         compact_table(spark, t, min_file_rows=10, cluster_by=["k"])
+
+
+def _data_files(root: str) -> set[str]:
+    out = set()
+    for dirpath, _, names in os.walk(root):
+        if "_log" in dirpath.split(os.sep):
+            continue
+        for n in names:
+            out.add(os.path.relpath(os.path.join(dirpath, n), root))
+    return out
+
+
+def test_restore_table_rolls_back_data_preserving_history(spark, tmp_path):
+    """RESTORE publishes a metadata-only commit equal to the target
+    version's state: zero data files written, bad versions still
+    time-travelable, history moves forward."""
+    from avro_diff_spark.sources.versioned import restore_table
+
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, [(1, "a"), (2, "b")]), t)                 # v0
+    commit_snapshot(_df(spark, [(3, "c")]), t, mode="append")            # v1
+    commit_snapshot(_df(spark, [(9, "oops")]), t, mode="overwrite")      # v2
+
+    disk_before = _data_files(t)
+    v = restore_table(t, 1)
+    assert v == 3 and latest_version(t) == 3
+    assert _data_files(t) == disk_before  # metadata-only
+
+    assert {(r.k, r.v) for r in read_version(spark, t).collect()} == {
+        (1, "a"), (2, "b"), (3, "c")
+    }
+    # the bad version is preserved, not truncated
+    assert {(r.k, r.v) for r in read_version(spark, t, 2).collect()} == {(9, "oops")}
+    with open(os.path.join(t, "_log", "000003.json")) as fh:
+        c = json.load(fh)
+    assert c["restore_of"] == 1 and c["n_rows"] == 3
+    assert not any(a.get("add", "").startswith("v000003") for a in c["actions"])
+
+    # restore-of-restore returns to the bad state too
+    restore_table(t, 2)
+    assert {(r.k, r.v) for r in read_version(spark, t).collect()} == {(9, "oops")}
+
+    with pytest.raises(ValueError, match="exactly one"):
+        restore_table(t)
+    with pytest.raises(ValueError, match="no version"):
+        restore_table(t, 99)
+
+
+def test_restore_resets_deletion_vectors_and_cdf(spark, tmp_path):
+    """Restoring across a DV delete resurrects the masked rows (forward)
+    and re-attaches the vectors (backward); the restore commit emits the
+    compensating CDF rows."""
+    from avro_diff_spark.sources.versioned import delete_where, read_changes, restore_table
+
+    t = str(tmp_path / "dv")
+    rows = [(i, f"r{i}") for i in range(10)]
+    commit_snapshot(_df(spark, rows).repartitionByRange(2, "k"), t)      # v0
+    delete_where(spark, t, "k = 4")                                      # v1 (dv)
+
+    v = restore_table(t, 0)                                             # v2
+    assert {r.k for r in read_version(spark, t).collect()} == set(range(10))
+    ch = read_changes(spark, t, ["k"], v_from=1, v_to=v).collect()
+    assert {(r.k, r._change_type) for r in ch} == {(4, "insert")}
+
+    # restore forward to the deleted state: the vector re-attaches
+    disk_before = _data_files(t)
+    restore_table(t, 1)                                                 # v3
+    assert _data_files(t) == disk_before
+    assert {r.k for r in read_version(spark, t).collect()} == set(range(10)) - {4}
+
+
+def test_restore_constraints_partitioning_and_ts(spark, tmp_path):
+    """RESTORE rolls table METADATA back too: constraints in force and
+    partitioning return to the target version's; ts= routes through
+    version_as_of."""
+    from avro_diff_spark.sources.versioned import (
+        add_constraint,
+        restore_table,
+        table_constraints,
+        version_as_of,
+    )
+
+    t = str(tmp_path / "ptbl")
+    df = spark.createDataFrame(
+        [(1, "EU", "a"), (2, "US", "b")], "k long, region string, v string"
+    )
+    commit_snapshot(df, t, partition_by=["region"])                      # v0
+    add_constraint(spark, t, "k_pos", "k > 0")                           # v1
+    commit_snapshot(
+        spark.createDataFrame([(3, "AS", "c")], "k long, region string, v string"),
+        t, mode="append", partition_by=["region"],
+    )                                                                    # v2
+
+    restore_table(t, 0)                                                  # v3
+    assert table_constraints(t) == {}
+    from avro_diff_spark.sources.versioned import _table_partitioning
+
+    assert _table_partitioning(t, latest_version(t)) == ["region"]
+    assert {r.k for r in read_version(spark, t).collect()} == {1, 2}
+    # partition pruning still answers from the restored manifest
+    pruned = read_version(spark, t, prune=("region", "US", "US"))
+    assert {r.k for r in pruned.collect()} == {2}
+
+    # ts= routes through version_as_of: restore to the constraint era
+    import datetime
+
+    with open(os.path.join(t, "_log", "000002.json")) as fh:
+        ts2 = json.load(fh)["ts_us"]
+    when = datetime.datetime.fromtimestamp(ts2 / 1e6)
+    v = restore_table(t, ts=when)
+    assert version_as_of(t, when) == 2
+    assert table_constraints(t) == {"k_pos": "k > 0"}
+    assert {r.k for r in read_version(spark, t).collect()} == {1, 2, 3}
+    # the restored constraint actually gates new commits
+    with pytest.raises(ValueError, match="k_pos"):
+        commit_snapshot(
+            spark.createDataFrame([(-1, "EU", "x")], "k long, region string, v string"),
+            t, mode="append", partition_by=["region"],
+        )
+
+
+def test_restore_below_vacuum_watermark_raises(spark, tmp_path):
+    from avro_diff_spark.sources.versioned import restore_table, vacuum
+
+    t = str(tmp_path / "vac")
+    commit_snapshot(_df(spark, [(1, "a")]), t)
+    commit_snapshot(_df(spark, [(2, "b")]), t, mode="overwrite")
+    vacuum(t, keep_versions=1)
+    with pytest.raises(ValueError, match="vacuumed"):
+        restore_table(t, 0)
+
+
+def test_table_cli_restore(spark, tmp_path, capsys):
+    from avro_diff_spark.cli import table_main
+
+    t = str(tmp_path / "cli")
+    commit_snapshot(_df(spark, [(1, "a")]), t)
+    commit_snapshot(_df(spark, [(2, "b")]), t, mode="overwrite")
+    assert table_main(["restore", t, "--version", "0"]) == 0
+    assert "restored" in capsys.readouterr().out
+    assert {r.k for r in read_version(spark, t).collect()} == {1}
+    assert table_main(["restore", t]) == 2
