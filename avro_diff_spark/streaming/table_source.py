@@ -36,7 +36,12 @@ from avro_diff_spark.sources.versioned import (
     table_schema,
 )
 
-__all__ = ["VersionedTableStreamSource", "stream_table"]
+__all__ = [
+    "VersionedTableStreamSource",
+    "VersionedTableChangesSource",
+    "stream_table",
+    "stream_changes",
+]
 
 
 def _typed_pv_value(s: str | None, dt):
@@ -104,6 +109,8 @@ try:  # the Python Data Source API needs pyspark>=4; gate for older envs
                 # at the stream's starting version it IS the initial
                 # snapshot (Delta's startingVersion semantics); later
                 # overwrites are rewrites the append feed cannot express
+                if commit["mode"] == "replace" and v != self.start:
+                    continue  # compaction: dataChange=false, rows already replayed
                 if commit["mode"] != "append" and v != self.start:
                     if self.ignore_changes:
                         continue
@@ -149,6 +156,230 @@ try:  # the Python Data Source API needs pyspark>=4; gate for older envs
         def commit(self, end: dict) -> None:
             pass  # progress is tracked by the query checkpoint
 
+    class _ChangePartition(InputPartition):
+        """One CDF work unit: a data file read whole (``ct`` fixed) or at
+        its newly-masked DV positions (``sidecars`` set; per-row ct from
+        the sidecar's ``ct`` column when present, else ``ct``)."""
+
+        def __init__(
+            self,
+            path: str,
+            pv_typed: list,
+            field_names: list[str],
+            ct: str | None,
+            version: int,
+            sidecars: list[str] | None = None,
+            dv_key: str | None = None,
+        ):
+            self.path = path
+            self.pv_typed = pv_typed
+            self.field_names = field_names
+            self.ct = ct
+            self.version = version
+            self.sidecars = sidecars
+            self.dv_key = dv_key
+
+    class _ChangesStreamReader(DataSourceStreamReader):
+        """Streaming CDF over the commit log — Delta's ``readChangeFeed``
+        stream, derived STRUCTURALLY from each commit's actions (no keyed
+        diff, no stored change files): append adds are inserts; a DV
+        commit's newly-masked positions are its deletes / update
+        preimages (read from the file the vector points at); a
+        merge-on-read commit's adds carry their change type (``ct``) and
+        its mixed vector tags rows in the sidecar. ``replace``
+        (compaction/clustering) commits change no logical rows and
+        replay as NOTHING — the Delta dataChange=false rule. Overwrites
+        and restores cannot be expressed as row changes without a keyed
+        diff: they fail the stream unless ``ignore_changes=True`` skips
+        them (batch :func:`avro_diff_spark.sources.versioned.read_changes`
+        covers them via the diff path)."""
+
+        def __init__(self, schema, options: dict):
+            self.table_path = options["path"]
+            self.start = int(options.get("starting_version", "0"))
+            self.ignore_changes = (
+                str(options.get("ignore_changes", "false")).lower() == "true"
+            )
+            self.schema = schema
+
+        def initialOffset(self) -> dict:
+            return {"version": self.start - 1}
+
+        def latestOffset(self) -> dict:
+            return {"version": latest_version(self.table_path)}
+
+        def _add_partitions(self, commit, v, names, types, default_ct):
+            parts = []
+            for a in commit["actions"]:
+                if "add" not in a:
+                    continue
+                if a.get("dvs"):
+                    raise ValueError(
+                        f"version {v} snapshot add carries deletion vectors — "
+                        "compact the table before streaming its changes from "
+                        "this version"
+                    )
+                ct = a.get("ct") or default_ct
+                if ct is None:
+                    raise ValueError(
+                        f"version {v} of {self.table_path!r} is a merge commit "
+                        "without change-type tags (written by an older engine); "
+                        "use batch read_changes for this range"
+                    )
+                pv = a.get("pv") or {}
+                parts.append(
+                    _ChangePartition(
+                        os.path.join(self.table_path, a["add"]),
+                        [
+                            (c, _typed_pv_value(s, types[c]))
+                            for c, s in pv.items()
+                            if c in types
+                        ],
+                        names,
+                        ct,
+                        v,
+                    )
+                )
+            return parts
+
+        def partitions(self, start: dict, end: dict):
+            from avro_diff_spark.sources.versioned import _live_adds
+
+            by_version = dict(_commit_files(self.table_path))
+            data_fields = self.schema.fields[:-2]  # drop _change_type/_commit_version
+            names = [f.name for f in data_fields]
+            types = {f.name: f.dataType for f in data_fields}
+            parts = []
+            for v in range(start["version"] + 1, end["version"] + 1):
+                if v not in by_version:
+                    continue
+                with open(by_version[v]) as fh:
+                    commit = json.load(fh)
+                mode = commit["mode"]
+                if mode == "replace":
+                    continue  # compaction rewrites no logical rows
+                if mode == "append" or (mode == "overwrite" and v == self.start):
+                    parts += self._add_partitions(commit, v, names, types, "insert")
+                    continue
+                if mode in ("delete", "update", "merge"):
+                    default_ct = {
+                        "delete": "delete",
+                        "update": "update_preimage",
+                        "merge": None,
+                    }[mode]
+                    dv_acts = [a["dv"] for a in commit["actions"] if "dv" in a]
+                    if dv_acts:
+                        live = _live_adds(self.table_path, v - 1)[0]
+                        for d in dv_acts:
+                            info = live.get(d["for"], {})
+                            pv = info.get("pv") or {}
+                            parts.append(
+                                _ChangePartition(
+                                    os.path.join(self.table_path, d["for"]),
+                                    [
+                                        (c, _typed_pv_value(s, types[c]))
+                                        for c, s in pv.items()
+                                        if c in types
+                                    ],
+                                    names,
+                                    default_ct,
+                                    v,
+                                    sidecars=[
+                                        p
+                                        if os.path.isabs(p)
+                                        else os.path.join(self.table_path, p)
+                                        for p in d["paths"]
+                                    ],
+                                    dv_key=d["for"],
+                                )
+                            )
+                    parts += self._add_partitions(
+                        commit, v, names, types,
+                        "update_postimage" if mode == "update" else None,
+                    )
+                    continue
+                if self.ignore_changes:
+                    continue
+                raise ValueError(
+                    f"version {v} of {self.table_path!r} is a {mode} commit — "
+                    "an overwrite/restore cannot be replayed as row changes; "
+                    "pass ignore_changes=True to skip it or use batch "
+                    "read_changes (keyed diff) for this range"
+                )
+
+            return parts
+
+        def read(self, partition):
+            import pyarrow.parquet as pq
+
+            tbl = pq.read_table(partition.path)
+            cols = {c: tbl.column(c).to_pylist() for c in tbl.column_names}
+            pv = dict(partition.pv_typed)
+            meta = (partition.version,)
+            if partition.sidecars is None:
+                n = tbl.num_rows
+                series = [
+                    cols[name] if name in cols else [pv.get(name)] * n
+                    for name in partition.field_names
+                ]
+                ct = [partition.ct] * n
+                yield from (
+                    row + (c,) + meta for row, c in zip(zip(*series), ct)
+                )
+                return
+            hits: list[tuple[int, str | None]] = []
+            for sp in partition.sidecars:
+                sc = pq.read_table(sp)
+                fcol = sc.column("f").to_pylist()
+                icol = sc.column("idx").to_pylist()
+                ccol = (
+                    sc.column("ct").to_pylist()
+                    if "ct" in sc.column_names
+                    else [None] * len(icol)
+                )
+                hits += [
+                    (i, c)
+                    for f, i, c in zip(fcol, icol, ccol)
+                    if f == partition.dv_key
+                ]
+            for i, c in sorted(hits):
+                yield tuple(
+                    cols[name][i] if name in cols else pv.get(name)
+                    for name in partition.field_names
+                ) + (c or partition.ct,) + meta
+
+        def commit(self, end: dict) -> None:
+            pass
+
+    class VersionedTableChangesSource(DataSource):
+        """``spark.readStream.format("versioned_table_changes")`` — the
+        table's change feed as a stream: the committed schema plus
+        ``_change_type`` and ``_commit_version``."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "versioned_table_changes"
+
+        def schema(self):
+            from pyspark.sql import types as T
+
+            sch = table_schema(self.options["path"])
+            if sch is None:
+                raise ValueError(
+                    f"no committed schema at {self.options['path']!r} — "
+                    "commit at least one version before streaming"
+                )
+            return T.StructType(
+                list(sch.fields)
+                + [
+                    T.StructField("_change_type", T.StringType()),
+                    T.StructField("_commit_version", T.LongType()),
+                ]
+            )
+
+        def streamReader(self, schema):
+            return _ChangesStreamReader(schema, self.options)
+
     class VersionedTableStreamSource(DataSource):
         """``spark.readStream.format("versioned_table")`` — options:
         ``path`` (the table), ``starting_version`` (default 0),
@@ -172,6 +403,7 @@ try:  # the Python Data Source API needs pyspark>=4; gate for older envs
 
 except ImportError:  # pragma: no cover - pyspark<4 fallback
     VersionedTableStreamSource = None  # type: ignore[assignment]
+    VersionedTableChangesSource = None  # type: ignore[assignment]
 
 
 def stream_table(
@@ -190,6 +422,36 @@ def stream_table(
     spark.dataSource.register(VersionedTableStreamSource)
     return (
         spark.readStream.format("versioned_table")
+        .option("path", table_path)
+        .option("starting_version", str(starting_version))
+        .option("ignore_changes", "true" if ignore_changes else "false")
+        .load()
+    )
+
+
+def stream_changes(
+    spark: SparkSession,
+    table_path: str,
+    *,
+    starting_version: int = 0,
+    ignore_changes: bool = False,
+) -> DataFrame:
+    """Open a versioned table's CHANGE FEED as a streaming DataFrame —
+    Delta's ``readStream.option("readChangeFeed", "true")``: the table
+    schema plus ``_change_type`` ∈ {insert, delete, update_preimage,
+    update_postimage} and ``_commit_version``, derived structurally from
+    each commit's actions (appends → inserts; deletion-vector commits →
+    deletes / update pre-images read at the masked positions; merge-on-
+    read commits via their per-clause tags; compactions → nothing).
+    Divergence from the batch keyed-diff path by design: an append whose
+    key already exists streams as ``insert`` (the physical truth),
+    where :func:`read_changes` classifies it as an update — identical on
+    key-unique tables, which is the CDC contract's precondition."""
+    if VersionedTableStreamSource is None:  # pragma: no cover
+        raise RuntimeError("versioned_table streaming needs pyspark >= 4")
+    spark.dataSource.register(VersionedTableChangesSource)
+    return (
+        spark.readStream.format("versioned_table_changes")
         .option("path", table_path)
         .option("starting_version", str(starting_version))
         .option("ignore_changes", "true" if ignore_changes else "false")

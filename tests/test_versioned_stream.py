@@ -198,3 +198,123 @@ def test_probe_neardup_index_stream_exactly_once(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got2 == want
+
+
+def test_stream_changes_matches_batch_cdf_over_dml_sequence(spark, tmp_path):
+    """Streaming CDF (structural, from commit actions) drains to the
+    same change rows as batch read_changes (keyed diff) across append +
+    DV delete + DV update + merge-on-read — the batch-equivalence
+    contract, on the key-unique tables CDC presumes."""
+    from avro_diff_spark.sources.versioned import (
+        delete_where,
+        merge_into,
+        read_changes,
+        update_where,
+    )
+    from avro_diff_spark.streaming.table_source import stream_changes
+
+    t = str(tmp_path / "tbl")
+    commit_snapshot(
+        _df(spark, [(i, f"r{i}") for i in range(8)]).repartitionByRange(2, "k"), t
+    )                                                                    # v0
+    commit_snapshot(_df(spark, [(8, "r8"), (9, "r9")]), t, mode="append")  # v1
+    delete_where(spark, t, "k = 3")                                      # v2 dv
+    update_where(spark, t, "k = 5", {"v": "upper(v)"})                   # v3 dv
+    merge_into(
+        spark, t, _df(spark, [(0, "merged"), (42, "new")]), ["k"],
+        rewrite="dv",
+    )                                                                    # v4
+
+    _drain(stream_changes(spark, t, starting_version=1), "cdf_stream")
+    got = {
+        (r.k, r.v, r._change_type, r._commit_version)
+        for r in spark.sql("SELECT * FROM cdf_stream").collect()
+    }
+    want = {
+        (r.k, r.v, r._change_type, r._commit_version)
+        for r in read_changes(spark, t, ["k"], v_from=0).collect()
+    }
+    assert got == want
+    # spot anchors: every change type appears, versions line up
+    cts = {ct for _, _, ct, _ in got}
+    assert cts == {"insert", "delete", "update_preimage", "update_postimage"}
+    assert (3, "r3", "delete", 2) in got
+    assert (5, "r5", "update_preimage", 3) in got and (5, "R5", "update_postimage", 3) in got
+    assert (0, "r0", "update_preimage", 4) in got and (42, "new", "insert", 4) in got
+
+
+def test_stream_changes_skips_compaction_rejects_overwrite(spark, tmp_path):
+    """replace (compaction) commits stream as NOTHING (dataChange=false);
+    an overwrite fails the stream unless ignore_changes, exactly like the
+    append source."""
+    from avro_diff_spark.sources.versioned import compact_table
+    from avro_diff_spark.streaming.table_source import stream_changes
+
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, [(1, "a")]), t)
+    commit_snapshot(_df(spark, [(2, "b")]), t, mode="append")
+    commit_snapshot(_df(spark, [(3, "c")]), t, mode="append")
+    compact_table(spark, t, target_files=1)
+
+    _drain(stream_changes(spark, t), "cdf_compact")
+    got = [
+        (r.k, r._change_type, r._commit_version)
+        for r in spark.sql("SELECT * FROM cdf_compact").collect()
+    ]
+    assert sorted(got) == [(1, "insert", 0), (2, "insert", 1), (3, "insert", 2)]
+
+    commit_snapshot(_df(spark, [(9, "z")]), t, mode="overwrite")
+    with pytest.raises(Exception, match="ignore_changes|overwrite"):
+        _drain(stream_changes(spark, t), "cdf_fail")
+    _drain(stream_changes(spark, t, ignore_changes=True), "cdf_skip")
+    rows = spark.sql("SELECT * FROM cdf_skip").collect()
+    assert {r._commit_version for r in rows} == {0, 1, 2}
+
+
+def test_stream_table_skips_compaction_commits(spark, tmp_path):
+    """The append stream never replays compaction rewrites: drain,
+    compact, drain again on the same checkpoint -> no duplicates."""
+    from avro_diff_spark.sources.versioned import compact_table
+
+    t, ck, out = (str(tmp_path / d) for d in ("tbl", "ck", "out"))
+    commit_snapshot(_df(spark, [(1, "a")]), t)
+    commit_snapshot(_df(spark, [(2, "b")]), t, mode="append")
+
+    def drain():
+        q = (
+            stream_table(spark, t)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    compact_table(spark, t, target_files=1)
+    commit_snapshot(_df(spark, [(3, "c")]), t, mode="append")
+    drain()
+    got = sorted((r.k, r.v) for r in spark.read.parquet(out).collect())
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_stream_changes_partitioned_table_pv_on_dv_rows(spark, tmp_path):
+    """Change rows read at DV positions reattach the partition values the
+    data file's directory encodes (they are not stored in the file)."""
+    from avro_diff_spark.sources.versioned import delete_where
+    from avro_diff_spark.streaming.table_source import stream_changes
+
+    t = str(tmp_path / "p")
+    df = spark.createDataFrame(
+        [(1, "EU", "a"), (2, "US", "b"), (3, "EU", "c")],
+        "k long, region string, v string",
+    )
+    commit_snapshot(df, t, partition_by=["region"])
+    delete_where(spark, t, "k = 3")
+
+    _drain(stream_changes(spark, t, starting_version=1), "cdf_pv")
+    rows = spark.sql("SELECT * FROM cdf_pv").collect()
+    assert [(r.k, r.region, r.v, r._change_type) for r in rows] == [
+        (3, "EU", "c", "delete")
+    ]
