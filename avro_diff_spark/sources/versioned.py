@@ -434,7 +434,7 @@ def _compute_blooms(
     return out
 
 
-def _may_match_eq(add: dict, col: str, value) -> bool:
+def _may_match_eq(add: dict, col: str, value, transforms: dict | None = None) -> bool:
     """Log-level skip decision for a POINT lookup: partitionValues give
     an exact answer, the per-file bloom gives a no-false-negative
     membership answer, min/max stats bound the range — all from the
@@ -460,7 +460,7 @@ def _may_match_eq(add: dict, col: str, value) -> bool:
         for p in _bloom_positions(probe):
             if not (bits[p // 8] >> (p % 8)) & 1:
                 return False
-    return _may_match(add, col, value, value)
+    return _may_match(add, col, value, value, transforms)
 
 
 def table_schema(table_path: str, version: int | None = None):
@@ -726,9 +726,27 @@ def _stage_data(
     """Write the data files into a fresh staging subdirectory; return
     (relative parquet path, partitionValues) per file."""
     stage = os.path.join(table_path, f"v{version:06d}-{uuid.uuid4().hex[:8]}")
+    dir_cols: list[str] = []
+    for spec in partition_by or []:
+        t = _parse_partition_spec(spec)
+        if t is None:
+            dir_cols.append(spec)
+            continue
+        kind, src, param, name = t
+        if src not in df.columns:
+            raise ValueError(f"partition transform {spec!r}: no column {src!r}")
+        if name in df.columns:
+            raise ValueError(
+                f"partition transform {spec!r} derives column {name!r}, "
+                "which already exists in the data"
+            )
+        # the derived value names the hive directory only — partitionBy
+        # drops it from the files, the SOURCE column stays in the data
+        df = df.withColumn(name, _transform_column(df, kind, src, param))
+        dir_cols.append(name)
     writer = df.write.mode("errorifexists")
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
+    if dir_cols:
+        writer = writer.partitionBy(*dir_cols)
     writer.parquet(stage)
     base = os.path.basename(stage)
     out: list[tuple[str, dict | None]] = []
@@ -882,7 +900,130 @@ def _typed_value(s: str, bound) -> object:
     return str(s)
 
 
-def _may_match(add: dict, col: str, lo, hi) -> bool:
+_TRANSFORM_RE = None  # compiled lazily below
+
+
+def _parse_partition_spec(spec: str):
+    """An Iceberg-style HIDDEN-PARTITIONING spec → ``(kind, src, param,
+    dir_name)``, or None for a plain identity column. Supported:
+    ``days(col)`` / ``hours(col)`` / ``months(col)`` (temporal
+    bucketing), ``bucket(N, col)`` (crc32 hash mod N), ``truncate(W,
+    col)`` (string prefix / integer floor-to-width). The data column
+    STAYS in the data files; the derived value only names the hive
+    directory and the recorded partitionValue — so queries predicate on
+    the source column and the log prunes through the transform
+    (``read_version`` ``prune=``/``prune_eq=``), the Iceberg pitch: no
+    ``WHERE event_date = ...`` double-predicates, no partition column
+    leaking into the schema."""
+    global _TRANSFORM_RE
+    import re
+
+    if _TRANSFORM_RE is None:
+        _TRANSFORM_RE = re.compile(
+            r"^\s*(days|hours|months|bucket|truncate)\s*\(\s*"
+            r"(?:(\d+)\s*,\s*)?(\w+)\s*\)\s*$"
+        )
+    m = _TRANSFORM_RE.match(spec)
+    if m is None:
+        if "(" in spec:
+            raise ValueError(
+                f"unknown partition transform {spec!r} — supported: "
+                "days(col), hours(col), months(col), bucket(N,col), "
+                "truncate(W,col), or a plain column name"
+            )
+        return None
+    kind, param, src = m.group(1), m.group(2), m.group(3)
+    if kind in ("bucket", "truncate"):
+        if not param:
+            raise ValueError(f"{kind} transform needs a width: {kind}(N,{src})")
+        param = int(param)
+        if param <= 0:
+            raise ValueError(f"{kind} width must be positive in {spec!r}")
+        name = f"{src}__{'bucket' if kind == 'bucket' else 'trunc'}{param}"
+    else:
+        if param:
+            raise ValueError(f"{kind} transform takes one argument: {kind}({src})")
+        param = None
+        name = f"{src}__{kind[:-1]}"  # days -> __day etc.
+    return kind, src, param, name
+
+
+def _transform_column(df: DataFrame, kind: str, src: str, param) -> Column:
+    """The Spark Column computing a partition transform at write time —
+    pure built-in expressions, codegen'd, no UDF."""
+    c = F.col(src)
+    if kind == "days":
+        return F.datediff(c.cast("date"), F.to_date(F.lit("1970-01-01")))
+    if kind == "hours":
+        return F.floor(
+            F.unix_micros(c.cast("timestamp")) / F.lit(3_600_000_000)
+        ).cast("long")
+    if kind == "months":
+        return (F.year(c) - F.lit(1970)) * F.lit(12) + F.month(c) - F.lit(1)
+    if kind == "bucket":
+        # crc32 over the utf-8 of Spark's string cast — reproducible
+        # driver-side with zlib.crc32 for manifest-only pruning; pmod
+        # keeps the executor and driver on the same residue class
+        return F.pmod(F.crc32(F.encode(c.cast("string"), "UTF-8")), F.lit(param))
+    if kind == "truncate":
+        dt = dict(df.dtypes).get(src, "string")
+        if dt in ("tinyint", "smallint", "int", "bigint"):
+            return c - F.pmod(c, F.lit(param))  # floor-to-width, Iceberg ints
+        return F.substring(c, 1, param)
+    raise ValueError(f"unknown transform kind {kind!r}")
+
+
+def _transform_value(kind: str, v, param):
+    """Driver-side twin of :func:`_transform_column` for prune bounds.
+    Returns None when the bound's type cannot be mapped (the caller then
+    keeps the file — pruning stays conservative)."""
+    import datetime
+    import zlib
+
+    if kind == "days":
+        if isinstance(v, datetime.datetime):
+            v = v.date()
+        if isinstance(v, datetime.date):
+            return (v - datetime.date(1970, 1, 1)).days
+        return None
+    if kind == "hours":
+        if isinstance(v, datetime.datetime):
+            return int((v - datetime.datetime(1970, 1, 1)).total_seconds() // 3600)
+        if isinstance(v, datetime.date):
+            return (v - datetime.date(1970, 1, 1)).days * 24
+        return None
+    if kind == "months":
+        if isinstance(v, (datetime.date, datetime.datetime)):
+            return (v.year - 1970) * 12 + v.month - 1
+        return None
+    if kind == "bucket":
+        if isinstance(v, bool) or not isinstance(v, (int, str, datetime.date)):
+            return None  # bucket prunes int/string/date point lookups only
+        return zlib.crc32(str(_bound_str(v)).encode("utf-8")) % param
+    if kind == "truncate":
+        if isinstance(v, bool):
+            return None
+        if isinstance(v, int):
+            return v - (v % param)  # Python % is floor-mod, matching pmod
+        if isinstance(v, str):
+            return v[:param]
+        return None
+    return None
+
+
+def _partition_transforms(partition_by) -> dict:
+    """{source column → [(kind, param, dir_name), ...]} for a commit's
+    partition_by spec list — the prune-side view of hidden partitioning."""
+    out: dict[str, list] = {}
+    for spec in partition_by or []:
+        t = _parse_partition_spec(spec)
+        if t is not None:
+            kind, src, param, name = t
+            out.setdefault(src, []).append((kind, param, name))
+    return out
+
+
+def _may_match(add: dict, col: str, lo, hi, transforms: dict | None = None) -> bool:
     """Log-level skip decision for one file: partitionValues give an
     exact point interval; stats give [min, max]; missing both means
     may-match. Entirely from the manifest — zero file opens."""
@@ -894,6 +1035,28 @@ def _may_match(add: dict, col: str, lo, hi) -> bool:
             return False  # a range predicate never matches NULL
         tv = _typed_value(v, lo)
         return not (tv < _typed_value(str(lo_b), lo) or tv > _typed_value(str(hi_b), hi))
+    # hidden partitioning: prune through the recorded TRANSFORM of col —
+    # monotonic transforms admit range pruning (the file's single
+    # transform value must fall in [T(lo), T(hi)]); bucket only answers
+    # point lookups (lo == hi). Unmappable bound types keep the file.
+    for kind, param, name in (transforms or {}).get(col, []):
+        if name not in pv:
+            continue
+        v = pv[name]
+        if v is None:
+            return False  # all rows have NULL col — no range/point match
+        if kind == "bucket":
+            if lo == hi:
+                tv = _transform_value(kind, lo, param)
+                if tv is not None and int(v) != tv:
+                    return False
+            continue
+        t_lo, t_hi = _transform_value(kind, lo, param), _transform_value(kind, hi, param)
+        if t_lo is None or t_hi is None:
+            continue
+        fv = v if isinstance(t_lo, str) else int(v)
+        if fv < t_lo or fv > t_hi:
+            return False
     s = (add.get("stats") or {}).get(col)
     if s is None:
         return True
@@ -1011,12 +1174,17 @@ def read_version(
     # zero extra footer reads while evolved tables read union-schema'd
     reader = spark.read.option("mergeSchema", "true") if len(schemas) > 1 else spark.read
     files = sorted(adds)
+    transforms = (
+        _partition_transforms(_table_partitioning(table_path, version))
+        if (prune is not None or prune_eq is not None)
+        else {}
+    )
     if prune is not None:
         col, lo, hi = prune
-        files = [f for f in files if _may_match(adds[f], col, lo, hi)]
+        files = [f for f in files if _may_match(adds[f], col, lo, hi, transforms)]
     if prune_eq is not None:
         eq_col, eq_v = prune_eq
-        files = [f for f in files if _may_match_eq(adds[f], eq_col, eq_v)]
+        files = [f for f in files if _may_match_eq(adds[f], eq_col, eq_v, transforms)]
     if (prune is not None or prune_eq is not None) and not files:
         empty = read_version(spark, table_path, version).filter(F.lit(False))
         if prune is not None:
@@ -1030,6 +1198,10 @@ def read_version(
 
     def _with_pv(df: DataFrame, pv: dict) -> DataFrame:
         for c, v in pv.items():
+            if types and c not in types:
+                continue  # transform dir value (hidden partitioning) —
+                # the source column is in the data files; the derived
+                # value is manifest metadata, not a table column
             lit = F.lit(v) if v is not None else F.lit(None)
             df = df.withColumn(c, lit.cast(types.get(c, "string")))
         return df
@@ -1096,11 +1268,15 @@ def read_version(
     for p in parts[1:]:
         df = df.unionByName(p, allowMissingColumns=True)
     if len(groups) > _MAX_LITERAL_PV_GROUPS:
-        # inferred pv columns arrive as strings — cast to committed types
+        # inferred pv columns arrive as strings — cast to committed
+        # types; transform dir columns (hidden partitioning) are not
+        # table columns and leave the frame here
         pv_names = {c for f in files for c in (adds[f].get("pv") or {})}
         for c in pv_names:
             if c in types:
                 df = df.withColumn(c, F.col(c).cast(types[c]))
+            else:
+                df = df.drop(c)
     if schema and any(groups):  # pv columns were appended — restore order
         ordered = [c for c in schema.names if c in df.columns]
         df = df.select(*ordered, *[c for c in df.columns if c not in ordered])
@@ -1442,12 +1618,15 @@ def compact_table(
         stats_cols = stats_cols or list(cluster_by)
     else:
         df = df.coalesce(target_files)
-    return commit_snapshot(
+    # published as a REPLACE commit: same rows, new physical layout —
+    # the Delta dataChange=false marker streaming sources key on to skip
+    # compactions instead of replaying (or failing on) the rewrite
+    return _commit_replace_files(
         df,
         table_path,
-        mode="overwrite",
-        stats_cols=stats_cols,
+        _live_files(table_path, version),
         partition_by=partition_by,
+        stats_cols=stats_cols,
     )
 
 
@@ -2026,11 +2205,17 @@ def _stage_dv(
     n_seg = _suffix_segments(adds, keys)
     mapping = [(_disk_suffix(k, n_seg), _dv_key(k, adds[k])) for k in keys]
     map_df = spark.createDataFrame(mapping, "__sfx string, f string")
+    out_cols = ["f", F.col("__row_idx").alias("idx")]
+    if "__ct" in matched.columns:
+        # per-row change-type tag (merge commits mix update_preimage and
+        # delete in one vector) — extra sidecar column, same single write;
+        # _apply_dvs reads (f, idx) and ignores it, the CDF readers use it
+        out_cols.append(F.col("__ct").alias("ct"))
     rows = (
         matched.withColumnRenamed("__file", "__fp")
         .withColumn("__sfx", _spark_suffix(n_seg))
         .join(F.broadcast(map_df), "__sfx")
-        .select("f", F.col("__row_idx").alias("idx"))
+        .select(*out_cols)
     )
     stage = os.path.join(table_path, f"dv{version:06d}-{uuid.uuid4().hex[:8]}")
     rows.write.parquet(stage)
@@ -2085,18 +2270,28 @@ def _merge_dv(
     masked = []
     if when_matched == "update":
         masked.append(
-            tgt.join(src_keys, keys, "left_semi").select("__file", "__row_idx")
+            tgt.join(src_keys, keys, "left_semi")
+            .select("__file", "__row_idx")
+            .withColumn("__ct", F.lit("update_preimage"))
         )
     if when_not_matched_by_source == "delete":
         masked.append(
-            tgt.join(src_keys, keys, "left_anti").select("__file", "__row_idx")
+            tgt.join(src_keys, keys, "left_anti")
+            .select("__file", "__row_idx")
+            .withColumn("__ct", F.lit("delete"))
         )
     tgt_keys = tgt.select(*keys).distinct()
-    fresh = []
+    # staged per clause so each add action carries its change type —
+    # disjoint row sets, so the extra write job moves no additional data
+    fresh: list[tuple[str, DataFrame]] = []
     if when_matched == "update":
-        fresh.append(source.join(tgt_keys, keys, "left_semi").select(*cols))
+        fresh.append(
+            ("update_postimage", source.join(tgt_keys, keys, "left_semi").select(*cols))
+        )
     if when_not_matched == "insert":
-        fresh.append(source.join(tgt_keys, keys, "left_anti").select(*cols))
+        fresh.append(
+            ("insert", source.join(tgt_keys, keys, "left_anti").select(*cols))
+        )
     actions: list[dict] = []
     n_new = 0
     n_masked = 0
@@ -2107,24 +2302,23 @@ def _merge_dv(
         rels, counts = _stage_dv(spark, table_path, version, dv_rows, adds)
         actions += _dv_actions(adds, rels, counts)
         n_masked = sum(counts.values())
-    if fresh:
-        new_rows = fresh[0]
-        for fdf in fresh[1:]:
-            new_rows = new_rows.unionByName(fdf)
-        _check_constraints(new_rows, table_path, version - 1)
-        added = _stage_data(new_rows, table_path, version, partition_by)
+    new_rows = None
+    for ct, fdf in fresh:
+        _check_constraints(fdf, table_path, version - 1)
+        added = _stage_data(fdf, table_path, version, partition_by)
         file_rows, file_stats = _harvest_stats(
             spark, table_path, [f for f, _ in added], list(stats_cols or [])
         )
-        n_new = sum(file_rows.values())
+        n_new += sum(file_rows.values())
         for f, pv in added:
-            a: dict = {"add": f, "n": file_rows.get(f, 0)}
+            a: dict = {"add": f, "n": file_rows.get(f, 0), "ct": ct}
             if pv is not None:
                 a["pv"] = pv
             st = file_stats.get(f)
             if st:
                 a["stats"] = st
             actions.append(a)
+        new_rows = fdf
     if n_masked == 0 and n_new == 0:
         return version - 1  # no clause produced work — the table is unchanged
     commit = {

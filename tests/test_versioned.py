@@ -476,7 +476,8 @@ def test_clustered_compaction_zorder_tightens_file_ranges(spark, tmp_path):
     assert v == 1
     assert {(r.x, r.y, r.i) for r in read_version(spark, t).collect()} == before
     hist = table_history(t)
-    assert hist[1]["mode"] == "overwrite" and hist[1]["n_added"] <= 4
+    # compactions publish as REPLACE (dataChange=false) so streams skip them
+    assert hist[1]["mode"] == "replace" and hist[1]["n_added"] <= 4
 
     # recorded stats (== footer stats) must shrink: average per-file
     # range on each clustered dim well below the full-table range
