@@ -593,6 +593,87 @@ def _q_key_diff_versions_partitioned(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+def _hidden_orders_table(spark: SparkSession, sf_dir: str) -> str:
+    """One-commit orders fixture partitioned by the HIDDEN transform
+    ``months(o_orderdate)`` (sources/versioned.py round 8 — Iceberg
+    partition transforms): the derived month only names the hive
+    directory and the recorded partitionValue, the timestamp column
+    stays in the data. Cache-keyed by the source parquet fingerprint."""
+    import hashlib
+    import os
+
+    from avro_diff_spark.sources.versioned import commit_snapshot, latest_version
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    files = [src] if os.path.isfile(src) else sorted(
+        os.path.join(dp, fn) for dp, _, fns in os.walk(src) for fn in fns
+    )
+    h = hashlib.md5()
+    for p in files:
+        st = os.stat(p)
+        h.update(f"{p}|{st.st_size}|{st.st_mtime_ns};".encode())
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    table = f"/root/repo/.cache/versioned_hidden/{tag}-{h.hexdigest()[:12]}/orders"
+    if latest_version(table) != 0:
+        import shutil
+
+        shutil.rmtree(table, ignore_errors=True)
+        commit_snapshot(
+            spark.read.parquet(src),
+            table,
+            partition_by=["months(o_orderdate)"],
+        )
+    return table
+
+
+def _q_hidden_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range scan of a HIDDEN-PARTITIONED versioned table
+    (sources/versioned.py round 8 — the Iceberg partition-transform
+    surface): orders committed once with
+    ``partition_by=["months(o_orderdate)"]``, then read with a plain
+    timestamp range predicate — ``read_version`` maps the bounds
+    THROUGH the transform against the log's recorded month values and
+    opens only the one matching month's files, zero footer fetches; the
+    residual filter then applies the exact bounds. The query never
+    mentions the derived partition value (the Iceberg pitch: partition
+    layout is a physical property, not query text); the file-subset pin
+    lives in tests/test_partition_transforms.py. Oracle: the same range
+    predicate over the raw orders table."""
+    import datetime
+
+    from avro_diff_spark.functions.canonical import ts_micros
+    from avro_diff_spark.sources.versioned import read_version
+
+    table = _hidden_orders_table(spark, sf_dir)
+    df = read_version(
+        spark,
+        table,
+        prune=(
+            "o_orderdate",
+            datetime.datetime(1995, 3, 1),
+            datetime.datetime(1995, 3, 31, 23, 59, 59),
+        ),
+    )
+    return df.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        ts_micros(F.col("o_orderdate")).alias("o_orderdate_us"),
+        "o_orderpriority",
+    )
+
+
+_HIDDEN_PARTITION_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       CAST(epoch_us(o_orderdate) AS BIGINT) AS o_orderdate_us,
+       o_orderpriority
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-03-01 00:00:00'
+  AND o_orderdate <= TIMESTAMP '1995-03-31 23:59:59'
+"""
+
+
 def _q_cdc_changes_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change data feed between two versions of the versioned orders
     table (sources/versioned.read_changes — the Delta-CDF /
@@ -981,6 +1062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_diff_avro_evolved": _q_key_diff_avro_evolved,
         "key_diff_versions": _q_key_diff_versions,
         "key_diff_versions_partitioned": _q_key_diff_versions_partitioned,
+        "hidden_partition_prune": _q_hidden_partition_prune,
         "cdc_changes_orders": _q_cdc_changes_orders,
         "incremental_agg_orders": _q_incremental_agg_orders,
         "incremental_near_dups": _q_incremental_near_dups,
@@ -1269,7 +1351,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # quality_classifier/dsir_weights execute, with pure integer window
     # arithmetic; its split mechanics are value-hashed (per-chunk md5)
     # by the CI oracle gate every run.
+    # Round-8 demotion for hidden_partition_prune (range scan pruned
+    # THROUGH an Iceberg-style partition transform — the new mechanism is
+    # the log-level bound mapping months(lo)..months(hi) against recorded
+    # transform values, plus the transform-partitioned commit itself):
+    # stratified_sample_counts moves to the tail — its hash32-threshold
+    # keep rule is exactly the recorded mixture_resample's membership
+    # test (same hash32, same integer compare) with CONFIGURED instead of
+    # derived rates, its per-stratum groupBy count is the groupBy every
+    # recorded source/lang aggregate runs, the sampling invariants are
+    # pytest-pinned (tests/test_pipeline_ops.py), and the CI oracle gate
+    # value-hashes it every run.
+    # Round-8 demotion for mixture_resample (epoch-feasible mixture
+    # MATERIALIZATION — derived per-source rates realized as a
+    # deterministic hash-Bernoulli thin with audit counts):
+    # mixture_weights moves to the tail — the recorded resample executes
+    # the weights query in full as its FIRST stage (identical per-source
+    # groupBy, sqrt temperature scaling, ppm window normalization) before
+    # deriving targets and thinning, the same strict-superset supersession
+    # as exact_substring_scrub over exact_substring_spans (round 7); the
+    # CI oracle gate value-hashes mixture_weights every run.
+    # Round-8 demotion (second slot for the two round-8 head entries):
+    # audio_features_flac moves to the tail — its Spark-side machinery is
+    # IDENTICAL to the recorded audio_features_wav (same synth_media
+    # column, same Arrow-batched mapInPandas batch shape, same feature
+    # schema); the two differ only in the pure-Python codec behind the
+    # decode slot, and the FLAC decoder is pinned independently of Spark
+    # by tests/test_flac.py (hand-assembled RFC 9639 spec streams +
+    # round-trip fuzz); the CI oracle gate value-hashes it every run.
     for tail in (
+        "mixture_weights",
+        "audio_features_flac",
         "chunk_windows",
         "minhash_near_dups",
         "quality_scores",
@@ -1346,6 +1458,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT * FROM old_snap WHERE o_orderstatus = 'F') o "
             "FULL OUTER JOIN (SELECT * FROM new_snap WHERE o_orderstatus = 'F') n",
         ),
+        "hidden_partition_prune": _HIDDEN_PARTITION_SQL,
         "cdc_changes_orders": _CDC_CHANGES_SQL,
         "incremental_agg_orders": _INCREMENTAL_AGG_SQL,
         # probing the stored index == the full union recompute restricted

@@ -653,6 +653,87 @@ FROM per
 """
 
 
+def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATERIALIZE the temperature-scaled mixture — the step after
+    :func:`q_mixture_weights`: turn the α=0.5 weights into an actual
+    epoch-feasible resampled corpus. The feasible total is the largest T
+    with T·w_s ≤ n_s for every source (no source repeats data within the
+    mixture epoch), each source's target is ⌊T·w_s⌋, and membership is a
+    deterministic hash-Bernoulli thin: doc kept iff
+    ``hash32(doc_id)·n_s < target_s·2³²`` — content-independent, stable
+    under repartitioning/backfill, identical in any engine (the
+    stratified-sample rule with DERIVED rates instead of configured
+    ones). Emitted as per-source audit counts (targets vs realized).
+
+    Scale shape: one groupBy for the per-source counts, window math over
+    the AGGREGATED frame (source-cardinality rows), one broadcast join
+    of the tiny rate table back onto the corpus, one map-side-combined
+    count — no corpus shuffle, no sampling state."""
+    d = spread_small(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    per = (
+        d.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn(
+            "__s", F.floor(F.sqrt(F.col("n_docs")) * F.lit(1_000_000.0)).cast("long")
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.expr("1000000 * __s DIV sum(__s) OVER ()").alias("weight_ppm"),
+        )
+        .withColumn(
+            "target_n",
+            F.expr(
+                "min(n_docs * 1000000 DIV weight_ppm) OVER () "
+                "* weight_ppm DIV 1000000"
+            ),
+        )
+    )
+    kept = (
+        d.join(F.broadcast(per), "source")
+        .filter(
+            TX.hash32(F.col("doc_id").cast("string")) * F.col("n_docs")
+            < F.col("target_n") * F.lit(4294967296)
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("kept_n"))
+    )
+    return per.join(kept, "source", "left").select(
+        "source",
+        "n_docs",
+        "weight_ppm",
+        "target_n",
+        F.coalesce(F.col("kept_n"), F.lit(0)).cast("long").alias("kept_n"),
+    )
+
+
+MIXTURE_RESAMPLE_SQL = f"""
+WITH per0 AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(floor(sqrt(count(*)) * 1000000.0) AS BIGINT) AS s
+  FROM documents GROUP BY source
+), per AS (
+  SELECT source, n_docs,
+         CAST(1000000 * s // CAST(sum(s) OVER () AS BIGINT) AS BIGINT) AS weight_ppm
+  FROM per0
+), tgt AS (
+  SELECT source, n_docs, weight_ppm,
+         CAST(min(n_docs * 1000000 // weight_ppm) OVER ()
+              * weight_ppm // 1000000 AS BIGINT) AS target_n
+  FROM per
+), kept AS (
+  SELECT d.source, count(*) AS kept_n
+  FROM documents d JOIN tgt t ON d.source = t.source
+  WHERE {hash32_sql("CAST(d.doc_id AS VARCHAR)")} * t.n_docs
+        < t.target_n * 4294967296
+  GROUP BY d.source
+)
+SELECT t.source, t.n_docs, t.weight_ppm, t.target_n,
+       CAST(COALESCE(k.kept_n, 0) AS BIGINT) AS kept_n
+FROM tgt t LEFT JOIN kept k USING (source)
+"""
+
+
 # --------------------------------------------------------------------------
 # DSIR — Data Selection via Importance Resampling (Xie et al., NeurIPS 2023)
 # --------------------------------------------------------------------------
@@ -3325,6 +3406,7 @@ PIPELINE_QUERIES = {
     "stratified_sample_counts": q_stratified_sample,
     "source_stats": q_source_stats,
     "mixture_weights": q_mixture_weights,
+    "mixture_resample": q_mixture_resample,
     "dsir_weights": q_dsir_weights,
     "quality_classifier": q_quality_classifier,
     "chunk_windows": q_chunk_windows,
@@ -3397,6 +3479,7 @@ def pipeline_sql() -> dict[str, str]:
         "stratified_sample_counts": _stratified_sample_sql(),
         "source_stats": SOURCE_STATS_SQL,
         "mixture_weights": MIXTURE_WEIGHTS_SQL,
+        "mixture_resample": MIXTURE_RESAMPLE_SQL,
         "dsir_weights": _dsir_weights_sql(),
         "quality_classifier": _quality_classifier_sql(),
         "chunk_windows": _chunk_windows_sql(),
