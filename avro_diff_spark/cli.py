@@ -284,8 +284,12 @@ def table_main(argv: list[str] | None = None) -> int:
             "delete",
             "checkpoint",
             "restore",
+            "rename-column",
+            "drop-column",
         ],
     )
+    p.add_argument("--column", default=None, help="column name (rename/drop-column)")
+    p.add_argument("--to", default=None, help="new column name (rename-column)")
     p.add_argument("table_path")
     p.add_argument("--name", default=None, help="constraint name")
     p.add_argument("--expr", default=None, help="constraint SQL expression")
@@ -341,6 +345,20 @@ def table_main(argv: list[str] | None = None) -> int:
             return 2
         v = V.restore_table(args.table_path, args.version)
         print(f"restored {args.table_path} to version {args.version} as version {v}")
+        return 0
+    if args.op == "rename-column":
+        if not args.column or not args.to:
+            print("rename-column requires --column and --to", file=sys.stderr)
+            return 2
+        v = V.rename_column(args.table_path, args.column, args.to)
+        print(f"renamed {args.column} -> {args.to} as version {v}")
+        return 0
+    if args.op == "drop-column":
+        if not args.column:
+            print("drop-column requires --column", file=sys.stderr)
+            return 2
+        v = V.drop_column(args.table_path, args.column)
+        print(f"dropped {args.column} as version {v}")
         return 0
     if args.op == "constraints":
         for n, e in sorted(V.table_constraints(args.table_path).items()):

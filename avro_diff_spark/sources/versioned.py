@@ -210,6 +210,9 @@ def checkpoint_log(table_path: str, version: int | None = None) -> str:
     }
     if sch is not None:
         ck["schema"] = sch.json()
+    cm, cm_retired = _column_mapping(table_path, version)
+    if cm:
+        ck["column_mapping"], ck["retired_physical"] = cm, cm_retired
     p = _checkpoint_path(table_path, version)
     tmp = p + f".{uuid.uuid4().hex[:8]}.tmp"
     with open(tmp, "w") as fh:
@@ -486,9 +489,13 @@ def table_schema(table_path: str, version: int | None = None):
         c = _read_commit(path)
         if "schema" in c:
             chain.append(T.StructType.fromJson(json.loads(c["schema"])))
-        if c["mode"] == "overwrite":
+        if c["mode"] == "overwrite" or (c["mode"] == "meta" and "schema" in c):
+            # overwrite replaces the schema wholesale; a schema-bearing
+            # meta commit (rename/drop column) records the COMPLETE
+            # post-change logical schema, so older names must not union
+            # back in
             saw_overwrite = True
-            break  # older commits' schemas were replaced wholesale
+            break
     if ck is not None and not saw_overwrite and "schema" in ck[1]:
         # the checkpoint's merged schema is the oldest-since-overwrite base
         chain.append(T.StructType.fromJson(json.loads(ck[1]["schema"])))
@@ -536,6 +543,31 @@ def _check_append_schema(df: DataFrame, table_path: str, version: int, *, schema
             f"append schema mismatch (new columns {extra}, absent columns "
             f"{missing}) — pass schema_evolution=True to evolve additively"
         )
+
+
+def _check_retired(df: DataFrame, table_path: str, mapping: dict, retired: list) -> None:
+    """Refuse an append introducing a logical column whose identity
+    physical name is RETIRED (a later reader would resurrect the dropped
+    column's dead data from old files) or already in use as another
+    logical column's physical (an alias collision after a concurrent
+    rename). Zero-cost when column mapping was never activated."""
+    if not mapping:
+        return
+    in_use = set(mapping.values())
+    for c in df.columns:
+        if c in mapping:
+            continue
+        if c in retired:
+            raise ValueError(
+                f"column name {c!r} was dropped from {table_path!r} — "
+                "appending it would resurrect the dropped data; pick a "
+                "new name or rewrite via an overwrite commit"
+            )
+        if c in in_use:
+            raise ValueError(
+                f"column name {c!r} is the physical name of a renamed "
+                f"column of {table_path!r} — pick a different name"
+            )
 
 
 def last_committed_epoch(table_path: str, app_id: str) -> int:
@@ -600,22 +632,31 @@ def commit_snapshot(
     if mode not in ("overwrite", "append"):
         raise ValueError(f"unknown commit mode {mode!r}")
     version = latest_version(table_path) + 1
+    mapping, retired = _column_mapping(table_path, version - 1)
+    phys_pb = _phys_specs(partition_by, mapping) if partition_by else list(partition_by or [])
     if mode == "append":
         _check_append_schema(df, table_path, version - 1, schema_evolution=schema_evolution)
+        _check_retired(df, table_path, mapping, retired)
         prev_pb = _table_partitioning(table_path, version - 1)
-        if prev_pb is not None and (partition_by or []) != prev_pb:
+        if prev_pb is not None and phys_pb != prev_pb:
             raise ValueError(
                 f"append partitioning {partition_by or []} != table partitioning "
                 f"{prev_pb} — repartition via an overwrite commit"
             )
     _check_constraints(df, table_path, version - 1)
-    added = _stage_data(df, table_path, version, partition_by)
+    added = _stage_data(_to_physical(df, mapping), table_path, version, phys_pb)
     rels = [f for f, _ in added]
     file_rows, file_stats = _harvest_stats(
-        df.sparkSession, table_path, rels, list(stats_cols or [])
+        df.sparkSession, table_path, rels, _phys_cols(stats_cols, mapping)
     )
     n_rows = sum(file_rows.values())
-    blooms = _compute_blooms(df.sparkSession, table_path, rels, bloom_cols) if bloom_cols else {}
+    blooms = (
+        _compute_blooms(
+            df.sparkSession, table_path, rels, _phys_cols(bloom_cols, mapping)
+        )
+        if bloom_cols
+        else {}
+    )
 
     def actions_for(v: int) -> list[dict]:
         acts: list[dict] = []
@@ -644,8 +685,19 @@ def commit_snapshot(
             "schema": df.schema.json(),
             "actions": actions_for(version),
         }
-        if partition_by:
-            commit["partition_by"] = list(partition_by)
+        if phys_pb:
+            commit["partition_by"] = phys_pb
+        if mapping:
+            # keep the logical→physical map total over the table columns:
+            # an overwrite re-bases it on its own columns, an evolving
+            # append registers its new columns as identity entries
+            new_map = (
+                {c: mapping.get(c, c) for c in df.columns}
+                if mode == "overwrite"
+                else {**mapping, **{c: c for c in df.columns if c not in mapping}}
+            )
+            commit["set_mapping"] = new_map
+            commit["retired_physical"] = retired
         if app_meta:
             commit["app_meta"] = dict(app_meta)
         if txn is not None:
@@ -660,14 +712,21 @@ def commit_snapshot(
                 raise
             # rebase: someone else won this version — re-validate against
             # the new table state and claim the next slot (staged files
-            # are untouched; the staging dir's vNNN prefix is cosmetic)
+            # are untouched — physical names are rename-stable, so even a
+            # concurrent rename_column cannot invalidate them; the
+            # staging dir's vNNN prefix is cosmetic)
             version = latest_version(table_path) + 1
             _check_append_schema(
                 df, table_path, version - 1, schema_evolution=schema_evolution
             )
             _check_constraints(df, table_path, version - 1)
+            mapping, retired = _column_mapping(table_path, version - 1)
+            _check_retired(df, table_path, mapping, retired)
+            phys_pb = (
+                _phys_specs(partition_by, mapping) if partition_by else []
+            )
             prev_pb = _table_partitioning(table_path, version - 1)
-            if prev_pb is not None and (partition_by or []) != prev_pb:
+            if prev_pb is not None and phys_pb != prev_pb:
                 raise ValueError(
                     f"append partitioning {partition_by or []} != table "
                     f"partitioning {prev_pb} after concurrent commit"
@@ -1023,6 +1082,70 @@ def _partition_transforms(partition_by) -> dict:
     return out
 
 
+def _column_mapping(table_path: str, version: int) -> tuple[dict, list]:
+    """(logical name → physical name, retired physical names) in force
+    at ``version``. ``({}, [])`` means the table has never renamed or
+    dropped a column — identity semantics, and every mapping-aware code
+    path stays zero-cost. Once active, the latest ``set_mapping``
+    metadata action (each carries the FULL map) wins; checkpoints store
+    the state so resolution replays checkpoint + tail like every other
+    metadata read."""
+    ck = _usable_checkpoint(table_path, version)
+    ck_v = ck[0] if ck is not None else -1
+    for v, path in reversed(_commit_files(table_path)):
+        if v > version:
+            continue
+        if v <= ck_v:
+            break
+        c = _read_commit(path)
+        if "set_mapping" in c:
+            return dict(c["set_mapping"]), list(c.get("retired_physical", []))
+    if ck is not None and "column_mapping" in ck[1]:
+        return (
+            dict(ck[1]["column_mapping"]),
+            list(ck[1].get("retired_physical", [])),
+        )
+    return {}, []
+
+
+def _to_physical(df: DataFrame, mapping: dict) -> DataFrame:
+    """Rename a LOGICAL frame's columns to their stable physical names
+    for staging. Columns outside the mapping (brand-new logical columns
+    an evolving append introduces) keep their names — the caller records
+    them into the mapping."""
+    if not mapping:
+        return df
+    return df.select(
+        *[F.col(c).alias(mapping.get(c, c)) for c in df.columns]
+    )
+
+
+def _phys_cols(cols, mapping: dict) -> list:
+    return [mapping.get(c, c) for c in (cols or [])]
+
+
+def _phys_specs(partition_by, mapping: dict) -> list:
+    """Translate partition specs (identity columns or transforms) from
+    logical to physical source names. Stored commit partition_by is
+    always PHYSICAL — physical names never change, so specs recorded
+    before a rename stay valid forever."""
+    if not mapping:
+        return list(partition_by or [])
+    out = []
+    for spec in partition_by or []:
+        t = _parse_partition_spec(spec)
+        if t is None:
+            out.append(mapping.get(spec, spec))
+        else:
+            kind, src, param, _ = t
+            p = mapping.get(src, src)
+            if kind in ("bucket", "truncate"):
+                out.append(f"{kind}({param},{p})")
+            else:
+                out.append(f"{kind}({p})")
+    return out
+
+
 def _may_match(add: dict, col: str, lo, hi, transforms: dict | None = None) -> bool:
     """Log-level skip decision for one file: partitionValues give an
     exact point interval; stats give [min, max]; missing both means
@@ -1174,6 +1297,10 @@ def read_version(
     # zero extra footer reads while evolved tables read union-schema'd
     reader = spark.read.option("mergeSchema", "true") if len(schemas) > 1 else spark.read
     files = sorted(adds)
+    # column mapping: the manifest (pv/stats/blooms) and the data files
+    # are keyed by stable PHYSICAL names; callers speak logical. Resolve
+    # once; {} = never renamed/dropped, every translation is identity.
+    mapping, _retired = _column_mapping(table_path, version)
     transforms = (
         _partition_transforms(_table_partitioning(table_path, version))
         if (prune is not None or prune_eq is not None)
@@ -1181,10 +1308,12 @@ def read_version(
     )
     if prune is not None:
         col, lo, hi = prune
-        files = [f for f in files if _may_match(adds[f], col, lo, hi, transforms)]
+        pcol = mapping.get(col, col)
+        files = [f for f in files if _may_match(adds[f], pcol, lo, hi, transforms)]
     if prune_eq is not None:
         eq_col, eq_v = prune_eq
-        files = [f for f in files if _may_match_eq(adds[f], eq_col, eq_v, transforms)]
+        pcol = mapping.get(eq_col, eq_col)
+        files = [f for f in files if _may_match_eq(adds[f], pcol, eq_v, transforms)]
     if (prune is not None or prune_eq is not None) and not files:
         empty = read_version(spark, table_path, version).filter(F.lit(False))
         if prune is not None:
@@ -1195,6 +1324,10 @@ def read_version(
         return empty
     schema = table_schema(table_path, version)
     types = {f.name: f.dataType for f in schema.fields} if schema else {}
+    if mapping:
+        # the assembled frame is PHYSICAL until the projection below;
+        # pv reattachment and casts therefore key by physical name
+        types = {mapping.get(n, n): t for n, t in types.items()}
 
     def _with_pv(df: DataFrame, pv: dict) -> DataFrame:
         for c, v in pv.items():
@@ -1277,6 +1410,19 @@ def read_version(
                 df = df.withColumn(c, F.col(c).cast(types[c]))
             else:
                 df = df.drop(c)
+    if mapping:
+        # physical → logical projection: rename mapped columns into the
+        # committed logical schema (order-preserving), drop retired
+        # physicals, keep scan-time provenance columns
+        order = schema.names if schema else sorted(mapping)
+        df = df.select(
+            *[
+                F.col(mapping.get(l, l)).alias(l)
+                for l in order
+                if mapping.get(l, l) in df.columns
+            ],
+            *[c for c in ("__fp", "__ri") if c in df.columns],
+        )
     if schema and any(groups):  # pv columns were appended — restore order
         ordered = [c for c in schema.names if c in df.columns]
         df = df.select(*ordered, *[c for c in df.columns if c not in ordered])
@@ -1526,6 +1672,145 @@ def drop_constraint(table_path: str, name: str, *, max_retries: int = 10) -> int
     )
 
 
+def _constraint_references(table_path: str, version: int, col: str) -> str | None:
+    import re
+
+    for name, expr in table_constraints(table_path, version).items():
+        if re.search(rf"\b{re.escape(col)}\b", expr):
+            return name
+    return None
+
+
+def rename_column(
+    table_path: str, old: str, new: str, *, max_retries: int = 10
+) -> int:
+    """``ALTER TABLE RENAME COLUMN`` — Delta column mapping (name mode):
+    a metadata-only commit that re-points the LOGICAL name at the same
+    stable PHYSICAL column, so zero data files are touched at any scale
+    and every existing file (and its stats/blooms/partitionValues, which
+    are keyed physically) keeps serving reads under the new name.
+    Readers project physical → logical at scan time; writers translate
+    logical → physical at staging; time travel below the rename still
+    shows the old name (schemas are per-version). Constraints whose
+    expression references the column block the rename (re-create them
+    against the new name). Returns the new version."""
+    import time
+
+    from pyspark.sql import types as T
+
+    for _ in range(max(max_retries, 1)):
+        version = latest_version(table_path) + 1
+        sch = table_schema(table_path, version - 1)
+        if sch is None:
+            raise ValueError(f"no committed schema at {table_path!r}")
+        names = [f.name for f in sch.fields]
+        if old not in names:
+            raise ValueError(f"no column {old!r} in {names}")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        cname = _constraint_references(table_path, version - 1, old)
+        if cname:
+            raise ValueError(
+                f"constraint {cname!r} references {old!r} — drop it, rename, "
+                "and re-add it against the new name"
+            )
+        mapping, retired = _column_mapping(table_path, version - 1)
+        if not mapping:
+            mapping = {n: n for n in names}  # activation: physical = current
+        if new in retired or (new in mapping.values() and mapping.get(old) != new):
+            # a logical name that shadows a live or retired PHYSICAL name
+            # would make manifest keys ambiguous forever
+            raise ValueError(
+                f"{new!r} is (or was) a physical column name of "
+                f"{table_path!r} — pick a different name"
+            )
+        mapping[new] = mapping.pop(old)
+        fields = [
+            T.StructField(new if f.name == old else f.name, f.dataType, f.nullable)
+            for f in sch.fields
+        ]
+        commit = {
+            "version": version,
+            "mode": "meta",
+            "ts_us": int(time.time() * 1_000_000),
+            "n_rows": 0,
+            "actions": [],
+            "schema": T.StructType(fields).json(),
+            "set_mapping": mapping,
+            "retired_physical": retired,
+        }
+        try:
+            _publish_commit(table_path, version, commit)
+            return version
+        except CommitConflict:
+            continue  # re-derive against the rebased latest state
+    raise CommitConflict(
+        f"rename_column on {table_path!r} lost the publish race {max_retries} times"
+    )
+
+
+def drop_column(table_path: str, col: str, *, max_retries: int = 10) -> int:
+    """``ALTER TABLE DROP COLUMN`` — metadata-only (Delta column-mapping
+    semantics): the physical column stays in every existing file but its
+    name is RETIRED from the mapping, so readers never project it and
+    writers never populate it; storage is reclaimed lazily as
+    compaction/overwrites rewrite files. Time travel below the drop
+    still shows the column. A later append may NOT introduce a new
+    column with a retired physical name (it would resurrect dead data) —
+    the append gate refuses it. Partitioning or constraints referencing
+    the column block the drop. Returns the new version."""
+    import time
+
+    from pyspark.sql import types as T
+
+    for _ in range(max(max_retries, 1)):
+        version = latest_version(table_path) + 1
+        sch = table_schema(table_path, version - 1)
+        if sch is None:
+            raise ValueError(f"no committed schema at {table_path!r}")
+        names = [f.name for f in sch.fields]
+        if col not in names:
+            raise ValueError(f"no column {col!r} in {names}")
+        if len(names) == 1:
+            raise ValueError("cannot drop the only column")
+        cname = _constraint_references(table_path, version - 1, col)
+        if cname:
+            raise ValueError(f"constraint {cname!r} references {col!r}")
+        mapping, retired = _column_mapping(table_path, version - 1)
+        if not mapping:
+            mapping = {n: n for n in names}
+        phys = mapping[col]
+        for spec in _table_partitioning(table_path, version - 1) or []:
+            t = _parse_partition_spec(spec)
+            src = spec if t is None else t[1]
+            if src == phys:
+                raise ValueError(
+                    f"partition spec {spec!r} references {col!r} — "
+                    "repartition via an overwrite first"
+                )
+        del mapping[col]
+        retired = sorted(set(retired) | {phys})
+        fields = [f for f in sch.fields if f.name != col]
+        commit = {
+            "version": version,
+            "mode": "meta",
+            "ts_us": int(time.time() * 1_000_000),
+            "n_rows": 0,
+            "actions": [],
+            "schema": T.StructType(fields).json(),
+            "set_mapping": mapping,
+            "retired_physical": retired,
+        }
+        try:
+            _publish_commit(table_path, version, commit)
+            return version
+        except CommitConflict:
+            continue
+    raise CommitConflict(
+        f"drop_column on {table_path!r} lost the publish race {max_retries} times"
+    )
+
+
 def compact_table(
     spark: SparkSession,
     table_path: str,
@@ -1767,6 +2052,11 @@ def clone_table(src_path: str, dst_path: str, *, version: int | None = None) -> 
         commit["constraints_add"] = [
             {"name": n, "expr": e} for n, e in sorted(cons.items())
         ]
+    cm, cm_retired = _column_mapping(src_path, version)
+    if cm:
+        # the clone reads the same physical files — the logical mapping
+        # must travel with them
+        commit["set_mapping"], commit["retired_physical"] = cm, cm_retired
     os.makedirs(dst_path, exist_ok=True)
     _publish_commit(dst_path, 0, commit)
     return 0
@@ -1862,6 +2152,15 @@ def restore_table(table_path: str, version: int | None = None, *, ts=None) -> in
         commit["constraints_drop"] = drops
     if re_adds:
         commit["constraints_add"] = re_adds
+    tgt_map, tgt_retired = _column_mapping(table_path, version)
+    cur_map, _ = _column_mapping(table_path, latest)
+    if tgt_map or cur_map:
+        # column mapping is metadata: RESTORE reverts it with the data
+        # (an explicit identity map when the target predates activation)
+        commit["set_mapping"] = tgt_map or (
+            {f.name: f.name for f in schema.fields} if schema else {}
+        )
+        commit["retired_physical"] = tgt_retired
     _publish_commit(table_path, latest + 1, commit)
     return latest + 1
 
@@ -1895,8 +2194,14 @@ def commit_stream(
             return
         if last_committed_epoch(table_path, app_id) >= epoch_id:
             return  # replayed batch: already durable in the log
+        mapping, retired = _column_mapping(table_path, latest_version(table_path))
+        _check_retired(batch_df, table_path, mapping, retired)
+        phys_pb = _phys_specs(partition_by, mapping) if partition_by else []
         added = _stage_data(
-            batch_df, table_path, latest_version(table_path) + 1, partition_by
+            _to_physical(batch_df, mapping),
+            table_path,
+            latest_version(table_path) + 1,
+            phys_pb,
         )
         file_rows, _ = _harvest_stats(
             batch_df.sparkSession, table_path, [f for f, _ in added], []
@@ -1928,8 +2233,14 @@ def commit_stream(
                     for f, pv in added
                 ],
             }
-            if partition_by:
-                commit["partition_by"] = list(partition_by)
+            if phys_pb:
+                commit["partition_by"] = phys_pb
+            if mapping:
+                commit["set_mapping"] = {
+                    **mapping,
+                    **{c: c for c in batch_df.columns if c not in mapping},
+                }
+                commit["retired_physical"] = retired
             try:
                 _publish_commit(table_path, version, commit)
                 return
@@ -2020,9 +2331,10 @@ def _commit_replace_files(
 
     version = latest_version(table_path) + 1
     _check_constraints(df, table_path, version - 1)
-    added = _stage_data(df, table_path, version, partition_by)
+    mapping, _ = _column_mapping(table_path, version - 1)
+    added = _stage_data(_to_physical(df, mapping), table_path, version, partition_by)
     file_rows, file_stats = _harvest_stats(
-        df.sparkSession, table_path, [f for f, _ in added], list(stats_cols or [])
+        df.sparkSession, table_path, [f for f, _ in added], _phys_cols(stats_cols, mapping)
     )
     actions: list[dict] = [{"remove": f} for f in remove]
     for f, pv in added:
@@ -2303,11 +2615,13 @@ def _merge_dv(
         actions += _dv_actions(adds, rels, counts)
         n_masked = sum(counts.values())
     new_rows = None
+    mapping, _ = _column_mapping(table_path, version - 1)
+    partition_by = _phys_specs(partition_by, mapping) or None
     for ct, fdf in fresh:
         _check_constraints(fdf, table_path, version - 1)
-        added = _stage_data(fdf, table_path, version, partition_by)
+        added = _stage_data(_to_physical(fdf, mapping), table_path, version, partition_by)
         file_rows, file_stats = _harvest_stats(
-            spark, table_path, [f for f, _ in added], list(stats_cols or [])
+            spark, table_path, [f for f, _ in added], _phys_cols(stats_cols, mapping)
         )
         n_new += sum(file_rows.values())
         for f, pv in added:
@@ -2442,7 +2756,9 @@ def update_where(
         expr = F.expr(e) if isinstance(e, str) else e
         new_rows = new_rows.withColumn(c, expr)
     _check_constraints(new_rows, table_path, version - 1)
-    added = _stage_data(new_rows, table_path, version, pb)
+    mapping, _ = _column_mapping(table_path, version - 1)
+    pb = _phys_specs(pb, mapping) or None
+    added = _stage_data(_to_physical(new_rows, mapping), table_path, version, pb)
     file_rows, _ = _harvest_stats(
         spark, table_path, [f for f, _ in added], []
     )
@@ -2525,9 +2841,25 @@ def read_changes(
             F.lit(v).alias("_commit_version"),
         )
 
-    out = step(v_from + 1)
-    for v in range(v_from + 2, v_to + 1):
-        out = out.unionByName(step(v), allowMissingColumns=True)
+    steps = []
+    by_version = dict(_commit_files(table_path))
+    for v in range(v_from + 1, v_to + 1):
+        # metadata commits (constraints, rename/drop column) change no
+        # rows — and a rename step would otherwise diff two snapshots
+        # with different column names
+        if v in by_version and _read_commit(by_version[v]).get("mode") == "meta":
+            continue
+        steps.append(step(v))
+    if not steps:  # only metadata commits in range — an empty feed
+        return (
+            read_version(spark, table_path, v_to)
+            .filter(F.lit(False))
+            .withColumn("_change_type", F.lit(None).cast("string"))
+            .withColumn("_commit_version", F.lit(None).cast("long"))
+        )
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionByName(s, allowMissingColumns=True)
     return out
 
 

@@ -75,10 +75,19 @@ try:  # the Python Data Source API needs pyspark>=4; gate for older envs
     )
 
     class _FilePartition(InputPartition):
-        def __init__(self, path: str, pv_typed: list, field_names: list[str]):
+        def __init__(
+            self,
+            path: str,
+            pv_typed: list,
+            field_names: list[str],
+            phys_names: list[str] | None = None,
+        ):
             self.path = path
             self.pv_typed = pv_typed  # [(col, value), ...] already typed
             self.field_names = field_names
+            # physical column names aligned with field_names (column
+            # mapping: files store stable physical names after renames)
+            self.phys_names = phys_names or field_names
 
     class _VersionedStreamReader(DataSourceStreamReader):
         def __init__(self, schema, options: dict):
@@ -96,9 +105,14 @@ try:  # the Python Data Source API needs pyspark>=4; gate for older envs
             return {"version": latest_version(self.table_path)}
 
         def partitions(self, start: dict, end: dict):
+            from avro_diff_spark.sources.versioned import _column_mapping
+
             by_version = dict(_commit_files(self.table_path))
             names = [f.name for f in self.schema.fields]
             types = {f.name: f.dataType for f in self.schema.fields}
+            mapping, _ = _column_mapping(self.table_path, end["version"])
+            inv = {p: l for l, p in mapping.items()}
+            phys = [mapping.get(n, n) for n in names]
             parts = []
             for v in range(start["version"] + 1, end["version"] + 1):
                 if v not in by_version:
@@ -109,6 +123,8 @@ try:  # the Python Data Source API needs pyspark>=4; gate for older envs
                 # at the stream's starting version it IS the initial
                 # snapshot (Delta's startingVersion semantics); later
                 # overwrites are rewrites the append feed cannot express
+                if commit["mode"] == "meta" and v != self.start:
+                    continue  # constraint/rename/drop: no rows to replay
                 if commit["mode"] == "replace" and v != self.start:
                     continue  # compaction: dataChange=false, rows already replayed
                 if commit["mode"] != "append" and v != self.start:
@@ -123,7 +139,9 @@ try:  # the Python Data Source API needs pyspark>=4; gate for older envs
                 for a in commit["actions"]:
                     if "add" not in a:
                         continue
-                    pv = a.get("pv") or {}
+                    pv = {
+                        inv.get(c, c): s for c, s in (a.get("pv") or {}).items()
+                    }  # recorded pv keys are physical
                     parts.append(
                         _FilePartition(
                             os.path.join(self.table_path, a["add"]),
@@ -133,14 +151,15 @@ try:  # the Python Data Source API needs pyspark>=4; gate for older envs
                                 if c in types
                             ],
                             names,
+                            phys,
                         )
                     )
             return parts
 
         def read(self, partition):
             # executor-side single-file decode: pyarrow, schema-aligned by
-            # NAME (files may predate an additive evolution), partition
-            # columns reattached from the log-recorded values
+            # PHYSICAL NAME (files may predate an additive evolution or a
+            # rename), partition columns reattached from the log values
             import pyarrow.parquet as pq
 
             tbl = pq.read_table(partition.path)
@@ -148,8 +167,8 @@ try:  # the Python Data Source API needs pyspark>=4; gate for older envs
             pv = dict(partition.pv_typed)
             n = tbl.num_rows
             series = [
-                cols[name] if name in cols else [pv.get(name)] * n
-                for name in partition.field_names
+                cols[p] if p in cols else [pv.get(name)] * n
+                for name, p in zip(partition.field_names, partition.phys_names)
             ]
             yield from zip(*series)
 
@@ -170,6 +189,7 @@ try:  # the Python Data Source API needs pyspark>=4; gate for older envs
             version: int,
             sidecars: list[str] | None = None,
             dv_key: str | None = None,
+            phys_names: list[str] | None = None,
         ):
             self.path = path
             self.pv_typed = pv_typed
@@ -178,6 +198,7 @@ try:  # the Python Data Source API needs pyspark>=4; gate for older envs
             self.version = version
             self.sidecars = sidecars
             self.dv_key = dv_key
+            self.phys_names = phys_names or field_names
 
     class _ChangesStreamReader(DataSourceStreamReader):
         """Streaming CDF over the commit log — Delta's ``readChangeFeed``
@@ -208,7 +229,7 @@ try:  # the Python Data Source API needs pyspark>=4; gate for older envs
         def latestOffset(self) -> dict:
             return {"version": latest_version(self.table_path)}
 
-        def _add_partitions(self, commit, v, names, types, default_ct):
+        def _add_partitions(self, commit, v, names, types, default_ct, inv, phys):
             parts = []
             for a in commit["actions"]:
                 if "add" not in a:
@@ -226,7 +247,7 @@ try:  # the Python Data Source API needs pyspark>=4; gate for older envs
                         "without change-type tags (written by an older engine); "
                         "use batch read_changes for this range"
                     )
-                pv = a.get("pv") or {}
+                pv = {inv.get(c, c): s for c, s in (a.get("pv") or {}).items()}
                 parts.append(
                     _ChangePartition(
                         os.path.join(self.table_path, a["add"]),
@@ -238,17 +259,21 @@ try:  # the Python Data Source API needs pyspark>=4; gate for older envs
                         names,
                         ct,
                         v,
+                        phys_names=phys,
                     )
                 )
             return parts
 
         def partitions(self, start: dict, end: dict):
-            from avro_diff_spark.sources.versioned import _live_adds
+            from avro_diff_spark.sources.versioned import _column_mapping, _live_adds
 
             by_version = dict(_commit_files(self.table_path))
             data_fields = self.schema.fields[:-2]  # drop _change_type/_commit_version
             names = [f.name for f in data_fields]
             types = {f.name: f.dataType for f in data_fields}
+            mapping, _ = _column_mapping(self.table_path, end["version"])
+            inv = {p: l for l, p in mapping.items()}
+            phys = [mapping.get(n, n) for n in names]
             parts = []
             for v in range(start["version"] + 1, end["version"] + 1):
                 if v not in by_version:
@@ -258,8 +283,12 @@ try:  # the Python Data Source API needs pyspark>=4; gate for older envs
                 mode = commit["mode"]
                 if mode == "replace":
                     continue  # compaction rewrites no logical rows
+                if mode == "meta":
+                    continue  # constraint/rename/drop: no row changes
                 if mode == "append" or (mode == "overwrite" and v == self.start):
-                    parts += self._add_partitions(commit, v, names, types, "insert")
+                    parts += self._add_partitions(
+                        commit, v, names, types, "insert", inv, phys
+                    )
                     continue
                 if mode in ("delete", "update", "merge"):
                     default_ct = {
@@ -272,7 +301,10 @@ try:  # the Python Data Source API needs pyspark>=4; gate for older envs
                         live = _live_adds(self.table_path, v - 1)[0]
                         for d in dv_acts:
                             info = live.get(d["for"], {})
-                            pv = info.get("pv") or {}
+                            pv = {
+                                inv.get(c, c): s
+                                for c, s in (info.get("pv") or {}).items()
+                            }
                             parts.append(
                                 _ChangePartition(
                                     os.path.join(self.table_path, d["for"]),
@@ -291,11 +323,13 @@ try:  # the Python Data Source API needs pyspark>=4; gate for older envs
                                         for p in d["paths"]
                                     ],
                                     dv_key=d["for"],
+                                    phys_names=phys,
                                 )
                             )
                     parts += self._add_partitions(
                         commit, v, names, types,
                         "update_postimage" if mode == "update" else None,
+                        inv, phys,
                     )
                     continue
                 if self.ignore_changes:
@@ -319,8 +353,8 @@ try:  # the Python Data Source API needs pyspark>=4; gate for older envs
             if partition.sidecars is None:
                 n = tbl.num_rows
                 series = [
-                    cols[name] if name in cols else [pv.get(name)] * n
-                    for name in partition.field_names
+                    cols[p] if p in cols else [pv.get(name)] * n
+                    for name, p in zip(partition.field_names, partition.phys_names)
                 ]
                 ct = [partition.ct] * n
                 yield from (
@@ -344,8 +378,8 @@ try:  # the Python Data Source API needs pyspark>=4; gate for older envs
                 ]
             for i, c in sorted(hits):
                 yield tuple(
-                    cols[name][i] if name in cols else pv.get(name)
-                    for name in partition.field_names
+                    cols[p][i] if p in cols else pv.get(name)
+                    for name, p in zip(partition.field_names, partition.phys_names)
                 ) + (c or partition.ct,) + meta
 
         def commit(self, end: dict) -> None:
