@@ -2972,6 +2972,21 @@ def refresh_agg_table(
         v_to=src_latest,
         sum_cols=sum_cols,
     )
+    merged = _merge_agg_delta(spark, dst_path, delta, group_cols, sum_cols)
+    return commit_snapshot(merged, dst_path, app_meta=meta)
+
+
+def _merge_agg_delta(
+    spark: SparkSession,
+    dst_path: str,
+    delta: DataFrame,
+    group_cols: list[str],
+    sum_cols: list[str],
+) -> DataFrame:
+    """Fold a per-group delta frame (``n_rows_delta`` + ``<c>_delta``)
+    into the destination's previous state: one full-outer equi-join on
+    the group key, groups whose count reaches zero drop out. Shared by
+    the batch refresh and the streaming maintainer."""
     prev = read_version(spark, dst_path)
     z = F.lit(0)
     merged = prev.join(delta, group_cols, "full_outer").select(
@@ -2987,5 +3002,4 @@ def refresh_agg_table(
             for c in sum_cols
         ],
     )
-    merged = merged.filter(F.col("n_rows") > 0)
-    return commit_snapshot(merged, dst_path, app_meta=meta)
+    return merged.filter(F.col("n_rows") > 0)

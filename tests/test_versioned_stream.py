@@ -6,6 +6,7 @@ with key_diff_stream; Delta-source semantics for overwrites."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from avro_diff_spark.sources.versioned import commit_snapshot, read_version
 from avro_diff_spark.streaming.table_source import stream_table
@@ -318,3 +319,70 @@ def test_stream_changes_partitioned_table_pv_on_dv_rows(spark, tmp_path):
     assert [(r.k, r.region, r.v, r._change_type) for r in rows] == [
         (3, "EU", "c", "delete")
     ]
+
+
+def test_maintain_agg_stream_tracks_dml_exactly_once(spark, tmp_path):
+    """Streaming materialized view: the aggregate table equals a full
+    recompute after every maintenance drain across append + DV delete +
+    merge-on-read histories, and re-draining the same checkpoint without
+    new commits publishes nothing (exactly-once via applied-version
+    metadata)."""
+    from avro_diff_spark.sources.versioned import (
+        commit_app_meta,
+        delete_where,
+        latest_version,
+        merge_into,
+        read_version,
+    )
+    from avro_diff_spark.streaming.agg import maintain_agg_stream
+
+    t, d, ck = (str(tmp_path / x) for x in ("src", "agg", "ck"))
+    rows = [(i, f"g{i % 3}", i * 10) for i in range(9)]
+    commit_snapshot(
+        _df(spark, rows, "k long, g string, x long").repartitionByRange(2, "k"), t
+    )                                                                    # v0
+    commit_snapshot(
+        _df(spark, [(9, "g0", 90)], "k long, g string, x long"), t, mode="append"
+    )                                                                    # v1
+
+    def drain():
+        q = maintain_agg_stream(
+            spark, t, d, ["g"], sum_cols=["x"], checkpoint=ck
+        )
+        q.awaitTermination(120)
+
+    def recompute():
+        return {
+            (r.g, r.n_rows, r.x_sum)
+            for r in read_version(spark, t)
+            .groupBy("g")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("x").alias("x_sum"),
+            )
+            .collect()
+        }
+
+    def state():
+        return {
+            (r.g, r.n_rows, r.x_sum) for r in read_version(spark, d).collect()
+        }
+
+    drain()
+    assert state() == recompute()
+    assert commit_app_meta(d)["src_version"] == 1
+
+    # no new source commits: another drain publishes nothing
+    v_before = latest_version(d)
+    drain()
+    assert latest_version(d) == v_before
+
+    delete_where(spark, t, "k IN (0, 3)")                                # v2 dv
+    merge_into(
+        spark, t,
+        _df(spark, [(1, "g1", 1000), (42, "g2", 7)], "k long, g string, x long"),
+        ["k"], rewrite="dv",
+    )                                                                    # v3
+    drain()
+    assert state() == recompute()
+    assert commit_app_meta(d)["src_version"] == 3
