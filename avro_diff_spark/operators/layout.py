@@ -96,23 +96,37 @@ def _bucket_expr(col: str, cuts: list) -> Column:
 
 
 def _quantile_buckets(
-    df: DataFrame, cols: list[str], bits: int
-) -> tuple[DataFrame, list[str], int]:
+    df: DataFrame, cols: list[str], bits: int, cuts: dict | None = None
+) -> tuple[DataFrame, list[str], int, dict]:
     """Shared quantization step of both curves: add a ``__q_{c}`` bucket
     column per clustering column (equal-population quantiles via
     :func:`_cut_points` + :func:`_bucket_expr`), returning the effective
-    per-dimension bit width (``min(bits, _MAX_BITS)``)."""
+    per-dimension bit width (``min(bits, _MAX_BITS)``) and the cut
+    points used. Caller-provided ``cuts`` (``{col: [values]}``) skip the
+    sampling pass entirely — the incremental-clustering path: new data
+    buckets against the SAME grid the last full clustering established,
+    so its files land in the established curve address space."""
     bits_eff = min(bits, _MAX_BITS)
     buckets = 1 << bits_eff
     out, qcols = df, []
+    used: dict = {}
     for c in cols:
         qc = f"__q_{c}"
-        out = out.withColumn(qc, _bucket_expr(c, _cut_points(df, c, buckets)))
+        cv = cuts[c] if cuts is not None and c in cuts else _cut_points(df, c, buckets)
+        used[c] = cv
+        out = out.withColumn(qc, _bucket_expr(c, cv))
         qcols.append(qc)
-    return out, qcols, bits_eff
+    return out, qcols, bits_eff, used
 
 
-def zorder_key(df: DataFrame, cols: list[str], *, bits: int = 16) -> DataFrame:
+def zorder_key(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    bits: int = 16,
+    cuts: dict | None = None,
+    return_cuts: bool = False,
+):
     """Add a ``__zkey`` column: the bit-interleaved Z-address of ``cols``.
 
     Each column is first mapped to an equal-population quantile bucket
@@ -131,7 +145,7 @@ def zorder_key(df: DataFrame, cols: list[str], *, bits: int = 16) -> DataFrame:
     if not cols:
         raise ValueError("zorder_key needs at least one column")
     n = len(cols)
-    out, qcols, bits_eff = _quantile_buckets(df, cols, bits)
+    out, qcols, bits_eff, used = _quantile_buckets(df, cols, bits, cuts)
     # interleave: result bit (bits*n - 1 - (b*n + i)) takes column i's
     # bit (bits - 1 - b) — classic Morton/Z-address, MSB-aligned
     key: Column = F.lit(0).cast("long")
@@ -142,7 +156,8 @@ def zorder_key(df: DataFrame, cols: list[str], *, bits: int = 16) -> DataFrame:
             key = key + F.shiftleft(
                 F.shiftright(F.col(qc), src_bit).bitwiseAND(F.lit(1)), dst_bit
             )
-    return out.withColumn("__zkey", key).drop(*qcols)
+    keyed = out.withColumn("__zkey", key).drop(*qcols)
+    return (keyed, used) if return_cuts else keyed
 
 
 def _hilbert_index_np(coords, bits: int):
@@ -187,7 +202,14 @@ def _hilbert_index_np(coords, bits: int):
     return out
 
 
-def hilbert_key(df: DataFrame, cols: list[str], *, bits: int = 16) -> DataFrame:
+def hilbert_key(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    bits: int = 16,
+    cuts: dict | None = None,
+    return_cuts: bool = False,
+):
     """Add a ``__hkey`` column: the Hilbert-curve address of ``cols`` —
     the OTHER clustering curve lakehouses ship (Databricks liquid
     clustering moved from Z-order to Hilbert): unlike Z-order, every
@@ -210,7 +232,7 @@ def hilbert_key(df: DataFrame, cols: list[str], *, bits: int = 16) -> DataFrame:
         raise ValueError("hilbert_key needs at least one column")
     if bits * len(cols) > 62:
         raise ValueError("bits * len(cols) must fit a signed 64-bit key")
-    out, qcols, bits_eff = _quantile_buckets(df, cols, bits)
+    out, qcols, bits_eff, used = _quantile_buckets(df, cols, bits, cuts)
 
     @pandas_udf("long")
     def hidx(*qs):
@@ -220,7 +242,8 @@ def hilbert_key(df: DataFrame, cols: list[str], *, bits: int = 16) -> DataFrame:
         coords = np.stack([q.to_numpy(np.int64) for q in qs], axis=1)
         return pd.Series(_hilbert_index_np(coords, bits_eff))
 
-    return out.withColumn("__hkey", hidx(*[F.col(qc) for qc in qcols])).drop(*qcols)
+    keyed = out.withColumn("__hkey", hidx(*[F.col(qc) for qc in qcols])).drop(*qcols)
+    return (keyed, used) if return_cuts else keyed
 
 
 def write_hilbert(

@@ -213,6 +213,9 @@ def checkpoint_log(table_path: str, version: int | None = None) -> str:
     cm, cm_retired = _column_mapping(table_path, version)
     if cm:
         ck["column_mapping"], ck["retired_physical"] = cm, cm_retired
+    cl = _table_clustering_raw(table_path, version)
+    if cl:
+        ck["cluster"] = cl
     p = _checkpoint_path(table_path, version)
     tmp = p + f".{uuid.uuid4().hex[:8]}.tmp"
     with open(tmp, "w") as fh:
@@ -1848,12 +1851,24 @@ def compact_table(
     global property — a subset rewrite cannot establish it)."""
     version = latest_version(table_path)
     partition_by = _table_partitioning(table_path, version) or None
+    mapping, _ = _column_mapping(table_path, version)
     if min_file_rows is not None:
+        rec = None
         if cluster_by:
-            raise ValueError(
-                "min_file_rows= packs a subset; cluster_by= needs the full "
-                "rewrite (clustering is a global property)"
-            )
+            # INCREMENTAL clustering (the liquid-clustering shape): the
+            # small-file tail re-clusters against the cut-point grid the
+            # last FULL clustered compaction recorded — zero re-sampling,
+            # new files land in the established curve address space. A
+            # table without a matching recorded clustering must run the
+            # full rewrite first (a subset cannot establish the grid).
+            rec = _table_clustering(table_path, version)
+            phys_cb = _phys_cols(cluster_by, mapping)
+            if rec is None or rec["cols"] != phys_cb or rec["curve"] != curve:
+                raise ValueError(
+                    f"no recorded {curve} clustering on {phys_cb} — run a "
+                    "full clustered compaction (without min_file_rows) "
+                    "first; cluster_by= on a subset reuses its stored grid"
+                )
         adds, _ = _live_adds(table_path, version)
         small = sorted(
             f
@@ -1878,21 +1893,42 @@ def compact_table(
             .filter(F.col("__sfx").isin(small_sfx))
             .drop("__sfx", "__fp")
         )
+        extra = None
+        if cluster_by:
+            from avro_diff_spark.operators import layout as L
+
+            fn = L.zorder_key if curve == "zorder" else L.hilbert_key
+            key = "__zkey" if curve == "zorder" else "__hkey"
+            cuts = {c: rec["cuts"][mapping.get(c, c)] for c in cluster_by}
+            keyed = fn(sub, list(cluster_by), bits=rec["bits"], cuts=cuts)
+            sub = (
+                keyed.repartitionByRange(target_files, F.col(key))
+                .sortWithinPartitions(key)
+                .drop(key)
+            )
+            stats_cols = stats_cols or list(cluster_by)
+            extra = {"cluster": _table_clustering_raw(table_path, version)}
+        else:
+            sub = sub.coalesce(target_files)
         return _commit_replace_files(
-            sub.coalesce(target_files),
+            sub,
             table_path,
             small,
             partition_by=partition_by,
             stats_cols=stats_cols,
+            extra=extra,
         )
     df = read_version(spark, table_path)
+    extra = None
     if cluster_by:
         from avro_diff_spark.operators import layout as L
 
         if curve == "zorder":
-            keyed, key = L.zorder_key(df, cluster_by, bits=bits), "__zkey"
+            keyed, used = L.zorder_key(df, cluster_by, bits=bits, return_cuts=True)
+            key = "__zkey"
         elif curve == "hilbert":
-            keyed, key = L.hilbert_key(df, cluster_by, bits=bits), "__hkey"
+            keyed, used = L.hilbert_key(df, cluster_by, bits=bits, return_cuts=True)
+            key = "__hkey"
         else:
             raise ValueError(f"unknown curve {curve!r} (zorder|hilbert)")
         df = (
@@ -1901,6 +1937,19 @@ def compact_table(
             .drop(key)
         )
         stats_cols = stats_cols or list(cluster_by)
+        # record the grid (physical column keys — rename-stable) so later
+        # incremental passes cluster new data against the SAME cut points
+        extra = {
+            "cluster": {
+                "cols": _phys_cols(cluster_by, mapping),
+                "curve": curve,
+                "bits": min(bits, L._MAX_BITS),
+                "cuts": {
+                    mapping.get(c, c): [_ser_cut(v) for v in used[c]]
+                    for c in cluster_by
+                },
+            }
+        }
     else:
         df = df.coalesce(target_files)
     # published as a REPLACE commit: same rows, new physical layout —
@@ -1912,6 +1961,7 @@ def compact_table(
         _live_files(table_path, version),
         partition_by=partition_by,
         stats_cols=stats_cols,
+        extra=extra,
     )
 
 
@@ -2315,6 +2365,67 @@ def _merge_frames(
     )
 
 
+def _ser_cut(v):
+    import datetime
+    import decimal
+
+    if isinstance(v, datetime.datetime):
+        return ["datetime", v.isoformat()]
+    if isinstance(v, datetime.date):
+        return ["date", v.isoformat()]
+    if isinstance(v, decimal.Decimal):
+        return ["decimal", str(v)]
+    return ["raw", v]
+
+
+def _deser_cut(t):
+    import datetime
+    import decimal
+
+    tag, v = t
+    if tag == "datetime":
+        return datetime.datetime.fromisoformat(v)
+    if tag == "date":
+        return datetime.date.fromisoformat(v)
+    if tag == "decimal":
+        return decimal.Decimal(v)
+    return v
+
+
+def _table_clustering_raw(table_path: str, version: int) -> dict | None:
+    """The JSON-form clustering record in force at ``version`` (cols are
+    PHYSICAL names; cuts are tagged-serialized), or None when the table
+    was never clustered or an unclustered overwrite replaced the layout
+    since."""
+    ck = _usable_checkpoint(table_path, version)
+    ck_v = ck[0] if ck is not None else -1
+    for v, path in reversed(_commit_files(table_path)):
+        if v > version:
+            continue
+        if v <= ck_v:
+            break
+        c = _read_commit(path)
+        if "cluster" in c:
+            return dict(c["cluster"])
+        if c["mode"] == "overwrite":
+            return None  # layout replaced by an unclustered rewrite
+    if ck is not None and ck[1].get("cluster"):
+        return dict(ck[1]["cluster"])
+    return None
+
+
+def _table_clustering(table_path: str, version: int) -> dict | None:
+    raw = _table_clustering_raw(table_path, version)
+    if raw is None:
+        return None
+    return {
+        "cols": list(raw["cols"]),
+        "curve": raw["curve"],
+        "bits": int(raw["bits"]),
+        "cuts": {c: [_deser_cut(t) for t in ts] for c, ts in raw["cuts"].items()},
+    }
+
+
 def _commit_replace_files(
     df: DataFrame,
     table_path: str,
@@ -2322,6 +2433,7 @@ def _commit_replace_files(
     *,
     partition_by: list[str] | None,
     stats_cols: list[str] | None,
+    extra: dict | None = None,
 ) -> int:
     """Publish a REPLACE commit: remove exactly ``remove`` and add the
     staged files of ``df`` — the targeted-rewrite commit MERGE uses.
@@ -2355,6 +2467,8 @@ def _commit_replace_files(
     }
     if partition_by:
         commit["partition_by"] = list(partition_by)
+    if extra:
+        commit.update(extra)
     _publish_commit(table_path, version, commit)
     return version
 

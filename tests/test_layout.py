@@ -188,7 +188,7 @@ def test_hilbert_bbox_beats_linear_sort_and_second_dim_stays_narrow(
 
     small = li.limit(500)
     keyed = hilbert_key(small, cols, bits=8).select(*cols, "__hkey").collect()
-    bq, qcols, bits_eff = _quantile_buckets(small, cols, 8)
+    bq, qcols, bits_eff, _cuts = _quantile_buckets(small, cols, 8)
     assert bits_eff == 8
     bucketed = bq.select(*cols, *qcols).collect()
     ref = {}

@@ -2133,3 +2133,69 @@ def test_table_cli_restore(spark, tmp_path, capsys):
     assert "restored" in capsys.readouterr().out
     assert {r.k for r in read_version(spark, t).collect()} == {1}
     assert table_main(["restore", t]) == 2
+
+
+def test_incremental_clustered_compaction_reuses_recorded_grid(
+    spark, tmp_path, monkeypatch
+):
+    """Liquid-clustering shape: a FULL clustered compaction records its
+    cut-point grid in the commit; later min_file_rows passes re-cluster
+    ONLY the small-file tail against the SAME grid — zero re-sampling
+    (pinned by exploding the sampler), big clustered files untouched."""
+    import random
+
+    from avro_diff_spark.operators import layout as L
+    from avro_diff_spark.sources.versioned import (
+        _live_files,
+        _table_clustering,
+        compact_table,
+    )
+
+    rng = random.Random(11)
+    rows = [(rng.randrange(1000), rng.randrange(1000), i) for i in range(3000)]
+    t = str(tmp_path / "tbl")
+    commit_snapshot(
+        spark.createDataFrame(rows, "x long, y long, i long").repartition(6), t
+    )
+    # incremental clustering before any full clustering must refuse
+    with pytest.raises(ValueError, match="full clustered compaction"):
+        compact_table(spark, t, min_file_rows=10, cluster_by=["x", "y"])
+
+    v1 = compact_table(spark, t, target_files=4, cluster_by=["x", "y"])
+    rec = _table_clustering(t, v1)
+    assert rec and rec["cols"] == ["x", "y"] and rec["curve"] == "zorder"
+    assert all(len(cuts) > 100 for cuts in rec["cuts"].values())
+    clustered = set(_live_files(t, v1))
+
+    extra = [(rng.randrange(1000), rng.randrange(1000), 9000 + i) for i in range(40)]
+    for chunk in (extra[:20], extra[20:]):
+        commit_snapshot(
+            spark.createDataFrame(chunk, "x long, y long, i long").coalesce(1),
+            t,
+            mode="append",
+        )
+
+    def boom(*a, **k):
+        raise AssertionError("incremental pass re-sampled cut points")
+
+    monkeypatch.setattr(L, "_cut_points", boom)
+    with pytest.raises(ValueError, match="full clustered"):
+        compact_table(spark, t, min_file_rows=100, cluster_by=["x"], curve="zorder")
+    with pytest.raises(ValueError, match="full clustered"):
+        compact_table(
+            spark, t, min_file_rows=100, cluster_by=["x", "y"], curve="hilbert"
+        )
+    v2 = compact_table(spark, t, min_file_rows=100, cluster_by=["x", "y"])
+    assert v2 > v1
+    live = set(_live_files(t, v2))
+    assert clustered <= live  # the big clustered files were not rewritten
+    assert {r.i for r in read_version(spark, t, v2).collect()} == set(
+        range(3000)
+    ) | {9000 + i for i in range(40)}
+    # the grid record survives the replace commit for the NEXT pass
+    assert _table_clustering(t, v2) == rec
+    # an unclustered overwrite clears the record
+    commit_snapshot(
+        spark.createDataFrame(rows[:10], "x long, y long, i long"), t
+    )
+    assert _table_clustering(t, latest_version(t)) is None
