@@ -307,6 +307,12 @@ def table_main(argv: list[str] | None = None) -> int:
     p.add_argument("--v-new", type=int, default=None, help="new version (diff; default latest)")
     p.add_argument("--target-files", type=int, default=8, help="compact target file count")
     p.add_argument(
+        "--min-file-rows",
+        type=int,
+        default=None,
+        help="incremental compaction: pack only files below this row count",
+    )
+    p.add_argument(
         "--cluster-by",
         default=None,
         help="comma-separated columns to cluster the compaction on (OPTIMIZE ... ZORDER BY)",
@@ -405,6 +411,7 @@ def table_main(argv: list[str] | None = None) -> int:
             target_files=args.target_files,
             cluster_by=args.cluster_by.split(",") if args.cluster_by else None,
             curve=args.curve,
+            min_file_rows=args.min_file_rows,
         )
         print(f"compacted as version {v}")
         return 0

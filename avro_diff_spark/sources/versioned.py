@@ -2222,6 +2222,8 @@ def commit_stream(
     checkpoint: str,
     trigger_available_now: bool = True,
     partition_by: list[str] | None = None,
+    auto_compact_every: int | None = None,
+    auto_compact_min_rows: int = 10_000,
 ):
     """Stream into a versioned table: each micro-batch lands as one
     APPEND commit via ``foreachBatch``, carrying its (app, epoch) id in
@@ -2234,10 +2236,20 @@ def commit_stream(
     restart at 0 under a FRESH checkpoint and only the pair identifies
     a replay.
 
+    ``auto_compact_every=N`` runs Delta-style AUTO COMPACTION after
+    every Nth committed batch: the incremental bin-packing pass
+    (``compact_table(min_file_rows=auto_compact_min_rows)``) packs the
+    small-file tail the stream itself produced into well-sized files as
+    a REPLACE (dataChange=false) commit — downstream table streams skip
+    it, readers see identical rows, and the micro-batch cadence that
+    would otherwise accrete one file per trigger forever stays bounded.
+    Failures of the maintenance pass never fail the data batch.
+
     Returns the started StreamingQuery (AvailableNow by default —
     drain-what-exists semantics for tests and backfills)."""
 
     app_id = os.path.abspath(checkpoint)
+    committed = {"n": 0}
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
@@ -2293,6 +2305,26 @@ def commit_stream(
                 commit["retired_physical"] = retired
             try:
                 _publish_commit(table_path, version, commit)
+                committed["n"] += 1
+                if (
+                    auto_compact_every
+                    and committed["n"] % auto_compact_every == 0
+                ):
+                    try:
+                        compact_table(
+                            batch_df.sparkSession,
+                            table_path,
+                            min_file_rows=auto_compact_min_rows,
+                        )
+                    except Exception:
+                        import warnings
+
+                        warnings.warn(
+                            f"auto-compaction of {table_path!r} failed; the "
+                            "data commit is durable, the next interval retries",
+                            RuntimeWarning,
+                            stacklevel=2,
+                        )
                 return
             except CommitConflict:
                 continue  # another writer took the slot; rebase the append

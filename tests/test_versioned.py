@@ -2199,3 +2199,42 @@ def test_incremental_clustered_compaction_reuses_recorded_grid(
         spark.createDataFrame(rows[:10], "x long, y long, i long"), t
     )
     assert _table_clustering(t, latest_version(t)) is None
+
+
+def test_commit_stream_auto_compaction_bounds_small_files(spark, tmp_path):
+    """auto_compact_every=N: the streaming sink runs the incremental
+    bin-packing pass after every Nth batch — rows identical, small-file
+    tail bounded, maintenance commits are REPLACE (skipped by table
+    streams)."""
+    from avro_diff_spark.sources.versioned import _live_adds, commit_stream
+
+    src, t, ck = (str(tmp_path / x) for x in ("src", "tbl", "ck"))
+    os.makedirs(src)
+    df = (
+        spark.readStream.schema("k long, v string")
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    for i in range(6):
+        with open(os.path.join(src, f"{i}.json"), "w") as fh:
+            fh.write(f'{{"k": {i}, "v": "r{i}"}}\n')
+
+    q = commit_stream(
+        df,
+        t,
+        checkpoint=ck,
+        auto_compact_every=2,
+        auto_compact_min_rows=100,
+        trigger_available_now=True,
+    )
+    q.awaitTermination(120)
+    assert {(r.k, r.v) for r in read_version(spark, t).collect()} == {
+        (i, f"r{i}") for i in range(6)
+    }
+    hist = table_history(t)
+    assert any(h["mode"] == "replace" for h in hist)  # maintenance ran
+    # the live set is packed: fewer files than data commits
+    n_appends = sum(1 for h in hist if h["mode"] == "append")
+    live = _live_adds(t, latest_version(t))[0]
+    if n_appends > 1:
+        assert len(live) < n_appends or len(live) == 1
