@@ -674,6 +674,65 @@ WHERE o_orderdate >= TIMESTAMP '1995-03-01 00:00:00'
 """
 
 
+def _q_renamed_column_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read through COLUMN MAPPING (sources/versioned.py round 8 —
+    Delta name-mapping): orders committed once, two columns renamed by
+    metadata-only commits (zero data files touched), one column dropped;
+    the read projects the stable physical columns to the CURRENT logical
+    names and never surfaces the dropped one. The oracle aliases the raw
+    table to the same names — value-hash equality pins the projection
+    end-to-end. Mapping lifecycle edge cases (resurrection refusal,
+    pruning under renames, clone/restore/checkpoint carriage) are
+    pytest-pinned in tests/test_column_mapping.py."""
+    import hashlib
+    import os
+
+    from avro_diff_spark.functions.canonical import ts_micros
+    from avro_diff_spark.sources.versioned import (
+        commit_snapshot,
+        drop_column,
+        latest_version,
+        read_version,
+        rename_column,
+    )
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    files = [src] if os.path.isfile(src) else sorted(
+        os.path.join(dp, fn) for dp, _, fns in os.walk(src) for fn in fns
+    )
+    h = hashlib.md5()
+    for p in files:
+        st = os.stat(p)
+        h.update(f"{p}|{st.st_size}|{st.st_mtime_ns};".encode())
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    table = f"/root/repo/.cache/versioned_renamed/{tag}-{h.hexdigest()[:12]}/orders"
+    if latest_version(table) != 3:
+        import shutil
+
+        shutil.rmtree(table, ignore_errors=True)
+        commit_snapshot(spark.read.parquet(src), table)           # v0
+        rename_column(table, "o_totalprice", "price")             # v1
+        rename_column(table, "o_orderstatus", "status")           # v2
+        drop_column(table, "o_orderpriority")                     # v3
+    df = read_version(spark, table)
+    return df.select(
+        "o_orderkey",
+        "o_custkey",
+        "status",
+        "price",
+        ts_micros(F.col("o_orderdate")).alias("o_orderdate_us"),
+    )
+
+
+_RENAMED_COLUMN_SQL = """
+SELECT o_orderkey, o_custkey,
+       o_orderstatus AS status,
+       o_totalprice AS price,
+       CAST(epoch_us(o_orderdate) AS BIGINT) AS o_orderdate_us
+FROM orders
+"""
+
+
 def _q_cdc_changes_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change data feed between two versions of the versioned orders
     table (sources/versioned.read_changes — the Delta-CDF /
@@ -1063,6 +1122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_diff_versions": _q_key_diff_versions,
         "key_diff_versions_partitioned": _q_key_diff_versions_partitioned,
         "hidden_partition_prune": _q_hidden_partition_prune,
+        "renamed_column_read": _q_renamed_column_read,
         "cdc_changes_orders": _q_cdc_changes_orders,
         "incremental_agg_orders": _q_incremental_agg_orders,
         "incremental_near_dups": _q_incremental_near_dups,
@@ -1371,6 +1431,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # deriving targets and thinning, the same strict-superset supersession
     # as exact_substring_scrub over exact_substring_spans (round 7); the
     # CI oracle gate value-hashes mixture_weights every run.
+    # Round-8 tail entry (kmeans_cluster_stats precedent — enters directly
+    # in the tail, fully oracle-backed via the CI gate): renamed_column_read
+    # pins the column-mapping physical→logical projection by value hash;
+    # its runtime surface is one log-replay read (the machinery every
+    # recorded versioned query executes) plus the rename/drop metadata
+    # commits, whose lifecycle is pytest-pinned in
+    # tests/test_column_mapping.py.
     # Round-8 demotion (second slot for the two round-8 head entries):
     # audio_features_flac moves to the tail — its Spark-side machinery is
     # IDENTICAL to the recorded audio_features_wav (same synth_media
@@ -1380,6 +1447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # by tests/test_flac.py (hand-assembled RFC 9639 spec streams +
     # round-trip fuzz); the CI oracle gate value-hashes it every run.
     for tail in (
+        "renamed_column_read",
         "mixture_weights",
         "audio_features_flac",
         "chunk_windows",
@@ -1459,6 +1527,7 @@ def oracle_sql() -> dict[str, str]:
             "FULL OUTER JOIN (SELECT * FROM new_snap WHERE o_orderstatus = 'F') n",
         ),
         "hidden_partition_prune": _HIDDEN_PARTITION_SQL,
+        "renamed_column_read": _RENAMED_COLUMN_SQL,
         "cdc_changes_orders": _CDC_CHANGES_SQL,
         "incremental_agg_orders": _INCREMENTAL_AGG_SQL,
         # probing the stored index == the full union recompute restricted
