@@ -286,6 +286,7 @@ def table_main(argv: list[str] | None = None) -> int:
             "restore",
             "rename-column",
             "drop-column",
+            "detail",
         ],
     )
     p.add_argument("--column", default=None, help="column name (rename/drop-column)")
@@ -319,6 +320,9 @@ def table_main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("--curve", choices=["zorder", "hilbert"], default="zorder")
     p.add_argument("--keep-versions", type=int, default=1, help="vacuum retention")
+    p.add_argument(
+        "--dry-run", action="store_true", help="vacuum: list files without deleting"
+    )
     p.add_argument("--output", default=None, help="sink output path (default: print)")
     p.add_argument(
         "--output-format", choices=["parquet", "avro"], default="parquet"
@@ -337,8 +341,16 @@ def table_main(argv: list[str] | None = None) -> int:
             )
         return 0
     if args.op == "vacuum":
-        deleted = V.vacuum(args.table_path, keep_versions=args.keep_versions)
-        print(f"# of data files deleted: {len(deleted)}")
+        deleted = V.vacuum(
+            args.table_path, keep_versions=args.keep_versions, dry_run=args.dry_run
+        )
+        verb = "would delete" if args.dry_run else "deleted"
+        print(f"# of data files {verb}: {len(deleted)}")
+        return 0
+    if args.op == "detail":
+        import json as _json
+
+        print(_json.dumps(V.table_detail(args.table_path, args.version), indent=2))
         return 0
     if args.op == "checkpoint":
         path = V.checkpoint_log(args.table_path)

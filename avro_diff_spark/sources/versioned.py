@@ -1528,6 +1528,53 @@ def _apply_dvs(
     )
 
 
+def table_detail(table_path: str, version: int | None = None) -> dict:
+    """``DESCRIBE DETAIL`` — one driver-side metadata read summarizing
+    the table at ``version`` (default latest): version, file/row/byte
+    counts (from the manifest's per-add ``n`` and on-disk sizes; zero
+    footer opens for round-8+ tables), partitioning spec, recorded
+    clustering, CHECK constraints, column names (logical), active
+    column-mapping state, deletion-vector count, checkpoint version, and
+    the vacuum watermark."""
+    if version is None:
+        version = latest_version(table_path)
+    if version < 0:
+        raise ValueError(f"no table at {table_path!r}")
+    adds, _ = _live_adds(table_path, version)
+    n_dvs = sum(len(i["dvs"]) for i in adds.values())
+    n_rows = sum(i.get("n") or 0 for i in adds.values()) - sum(
+        d["n"] for i in adds.values() for d in i["dvs"]
+    )
+    size = 0
+    for f in adds:
+        p = f if os.path.isabs(f) else os.path.join(table_path, f)
+        try:
+            size += os.path.getsize(p)
+        except OSError:
+            pass
+    sch = table_schema(table_path, version)
+    mapping, retired = _column_mapping(table_path, version)
+    cl = _table_clustering_raw(table_path, version)
+    ck = _usable_checkpoint(table_path, version)
+    return {
+        "version": version,
+        "num_files": len(adds),
+        "num_rows": n_rows,
+        "size_bytes": size,
+        "num_deletion_vectors": n_dvs,
+        "partition_by": _table_partitioning(table_path, version) or [],
+        "clustering": (
+            {"cols": cl["cols"], "curve": cl["curve"]} if cl else None
+        ),
+        "columns": [f.name for f in sch.fields] if sch is not None else None,
+        "column_mapping_active": bool(mapping),
+        "retired_columns": list(retired),
+        "constraints": table_constraints(table_path, version),
+        "checkpoint_version": ck[0] if ck is not None else None,
+        "vacuum_watermark": _vacuum_watermark(table_path),
+    }
+
+
 def table_history(table_path: str) -> list[dict]:
     """One dict per commit: version, mode, row count, files added/removed
     — the ``DESCRIBE HISTORY`` surface, straight from the log. Versions
@@ -1965,14 +2012,19 @@ def compact_table(
     )
 
 
-def vacuum(table_path: str, *, keep_versions: int = 1) -> list[str]:
+def vacuum(
+    table_path: str, *, keep_versions: int = 1, dry_run: bool = False
+) -> list[str]:
     """Delete data files unreferenced by the last ``keep_versions``
     versions (and truncate time travel older than that) — the storage
     reclamation step after overwrites/compactions. Also sweeps staged
     directories no commit ever published (crashed writers). Records the
     truncation watermark in the log so :func:`read_version` refuses
     vacuumed versions with a clear error (round-6 ADVICE). Returns the
-    deleted file paths. Single-writer contract like the rest of the log."""
+    deleted file paths. ``dry_run=True`` returns the would-delete list
+    without removing anything or moving the watermark (the ``VACUUM …
+    DRY RUN`` safety valve). Single-writer contract like the rest of
+    the log."""
     import shutil
 
     last = latest_version(table_path)
@@ -1995,12 +2047,15 @@ def vacuum(table_path: str, *, keep_versions: int = 1) -> list[str]:
             for f in sorted(fns):
                 rel = os.path.relpath(os.path.join(dp, f), table_path)
                 if f.endswith(".parquet") and rel not in needed:
-                    os.remove(os.path.join(table_path, rel))
+                    if not dry_run:
+                        os.remove(os.path.join(table_path, rel))
                     deleted.append(rel)
-        if not any(
+        if not dry_run and not any(
             f.endswith(".parquet") for dp, _, fns in os.walk(full) for f in fns
         ):
             shutil.rmtree(full)
+    if dry_run:
+        return deleted
     if keep_from > _vacuum_watermark(table_path):
         p = os.path.join(_log_dir(table_path), _VACUUM)
         tmp = p + ".tmp"

@@ -2238,3 +2238,39 @@ def test_commit_stream_auto_compaction_bounds_small_files(spark, tmp_path):
     live = _live_adds(t, latest_version(t))[0]
     if n_appends > 1:
         assert len(live) < n_appends or len(live) == 1
+
+
+def test_vacuum_dry_run_and_table_detail(spark, tmp_path, capsys):
+    """dry_run lists exactly what a real vacuum then deletes (and moves
+    no watermark); table_detail summarizes the manifest with zero footer
+    opens."""
+    from avro_diff_spark.cli import table_main
+    from avro_diff_spark.sources.versioned import (
+        _vacuum_watermark,
+        delete_where,
+        table_detail,
+        vacuum,
+    )
+
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, [(i, f"r{i}") for i in range(8)]).coalesce(2), t)
+    commit_snapshot(_df(spark, [(9, "z")]).coalesce(1), t, mode="overwrite")
+    delete_where(spark, t, "k = 9")  # dv on the live file
+
+    would = vacuum(t, dry_run=True)
+    assert would and _vacuum_watermark(t) == 0
+    assert set(vacuum(t)) == set(would)
+    assert _vacuum_watermark(t) > 0
+    assert vacuum(t, dry_run=True) == []
+
+    d = table_detail(t)
+    assert d["version"] == 2 and d["num_files"] == 1
+    assert d["num_rows"] == 0  # one row, one DV mask
+    assert d["num_deletion_vectors"] == 1
+    assert d["columns"] == ["k", "v"] and d["constraints"] == {}
+    assert d["vacuum_watermark"] > 0 and d["size_bytes"] > 0
+
+    assert table_main(["detail", t]) == 0
+    assert '"num_files": 1' in capsys.readouterr().out
+    assert table_main(["vacuum", t, "--dry-run"]) == 0
+    assert "would delete: 0" in capsys.readouterr().out
