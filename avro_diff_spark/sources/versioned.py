@@ -440,7 +440,7 @@ def _compute_blooms(
     return out
 
 
-def _may_match_eq(add: dict, col: str, value, transforms: dict | None = None) -> bool:
+def _may_match_eq(add: dict, col: str, value) -> bool:
     """Log-level skip decision for a POINT lookup: partitionValues give
     an exact answer, the per-file bloom gives a no-false-negative
     membership answer, min/max stats bound the range — all from the
@@ -466,7 +466,7 @@ def _may_match_eq(add: dict, col: str, value, transforms: dict | None = None) ->
         for p in _bloom_positions(probe):
             if not (bits[p // 8] >> (p % 8)) & 1:
                 return False
-    return _may_match(add, col, value, value, transforms)
+    return _may_match(add, col, value, value)
 
 
 def table_schema(table_path: str, version: int | None = None):
@@ -594,6 +594,7 @@ def commit_snapshot(
     stats_cols: list[str] | None = None,
     bloom_cols: list[str] | None = None,
     schema_evolution: bool = False,
+    partition_evolution: bool = False,
     partition_by: list[str] | None = None,
     app_meta: dict | None = None,
     txn: tuple[str, int] | None = None,
@@ -641,10 +642,13 @@ def commit_snapshot(
         _check_append_schema(df, table_path, version - 1, schema_evolution=schema_evolution)
         _check_retired(df, table_path, mapping, retired)
         prev_pb = _table_partitioning(table_path, version - 1)
-        if prev_pb is not None and phys_pb != prev_pb:
+        if prev_pb is not None and phys_pb != prev_pb and not partition_evolution:
             raise ValueError(
                 f"append partitioning {partition_by or []} != table partitioning "
-                f"{prev_pb} — repartition via an overwrite commit"
+                f"{prev_pb} — repartition via an overwrite commit, or pass "
+                "partition_evolution=True (Iceberg model: old files keep "
+                "their spec, pruning consults each file's own recorded "
+                "transform)"
             )
     _check_constraints(df, table_path, version - 1)
     added = _stage_data(_to_physical(df, mapping), table_path, version, phys_pb)
@@ -729,7 +733,7 @@ def commit_snapshot(
                 _phys_specs(partition_by, mapping) if partition_by else []
             )
             prev_pb = _table_partitioning(table_path, version - 1)
-            if prev_pb is not None and phys_pb != prev_pb:
+            if prev_pb is not None and phys_pb != prev_pb and not partition_evolution:
                 raise ValueError(
                     f"append partitioning {partition_by or []} != table "
                     f"partitioning {prev_pb} after concurrent commit"
@@ -1073,16 +1077,32 @@ def _transform_value(kind: str, v, param):
     return None
 
 
-def _partition_transforms(partition_by) -> dict:
-    """{source column → [(kind, param, dir_name), ...]} for a commit's
-    partition_by spec list — the prune-side view of hidden partitioning."""
-    out: dict[str, list] = {}
-    for spec in partition_by or []:
-        t = _parse_partition_spec(spec)
-        if t is not None:
-            kind, src, param, name = t
-            out.setdefault(src, []).append((kind, param, name))
-    return out
+_MANGLED_RE = None
+
+
+def _parse_mangled(pv_key: str):
+    """Invert a transform dir name back to ``(kind, src, param)`` —
+    ``ts__day`` → ('days','ts',None), ``uid__bucket16`` →
+    ('bucket','uid',16) — or None for identity partition values. Lets
+    :func:`_may_match` prune each file against ITS OWN recorded
+    transform, so PARTITION EVOLUTION (files written under different
+    specs coexisting in one table, the Iceberg model) needs no central
+    spec registry: the manifest key carries the spec."""
+    global _MANGLED_RE
+    import re
+
+    if _MANGLED_RE is None:
+        _MANGLED_RE = re.compile(
+            r"^(.+)__(?:(day|hour|month)|(bucket|trunc)(\d+))$"
+        )
+    m = _MANGLED_RE.match(pv_key)
+    if m is None:
+        return None
+    src = m.group(1)
+    if m.group(2):
+        return {"day": "days", "hour": "hours", "month": "months"}[m.group(2)], src, None
+    kind = "bucket" if m.group(3) == "bucket" else "truncate"
+    return kind, src, int(m.group(4))
 
 
 def _column_mapping(table_path: str, version: int) -> tuple[dict, list]:
@@ -1149,7 +1169,7 @@ def _phys_specs(partition_by, mapping: dict) -> list:
     return out
 
 
-def _may_match(add: dict, col: str, lo, hi, transforms: dict | None = None) -> bool:
+def _may_match(add: dict, col: str, lo, hi) -> bool:
     """Log-level skip decision for one file: partitionValues give an
     exact point interval; stats give [min, max]; missing both means
     may-match. Entirely from the manifest — zero file opens."""
@@ -1161,14 +1181,18 @@ def _may_match(add: dict, col: str, lo, hi, transforms: dict | None = None) -> b
             return False  # a range predicate never matches NULL
         tv = _typed_value(v, lo)
         return not (tv < _typed_value(str(lo_b), lo) or tv > _typed_value(str(hi_b), hi))
-    # hidden partitioning: prune through the recorded TRANSFORM of col —
-    # monotonic transforms admit range pruning (the file's single
-    # transform value must fall in [T(lo), T(hi)]); bucket only answers
-    # point lookups (lo == hi). Unmappable bound types keep the file.
-    for kind, param, name in (transforms or {}).get(col, []):
-        if name not in pv:
+    # hidden partitioning: prune through each TRANSFORM the file itself
+    # recorded (the pv KEY names the spec — ``ts__day=19784`` — so files
+    # written under different partition specs each prune by their own,
+    # the Iceberg partition-evolution model). Monotonic transforms admit
+    # range pruning (the file's single transform value must fall in
+    # [T(lo), T(hi)]); bucket only answers point lookups (lo == hi).
+    # Unmappable bound types keep the file.
+    for name, v in pv.items():
+        t = _parse_mangled(name)
+        if t is None or t[1] != col:
             continue
-        v = pv[name]
+        kind, _, param = t
         if v is None:
             return False  # all rows have NULL col — no range/point match
         if kind == "bucket":
@@ -1304,19 +1328,14 @@ def read_version(
     # are keyed by stable PHYSICAL names; callers speak logical. Resolve
     # once; {} = never renamed/dropped, every translation is identity.
     mapping, _retired = _column_mapping(table_path, version)
-    transforms = (
-        _partition_transforms(_table_partitioning(table_path, version))
-        if (prune is not None or prune_eq is not None)
-        else {}
-    )
     if prune is not None:
         col, lo, hi = prune
         pcol = mapping.get(col, col)
-        files = [f for f in files if _may_match(adds[f], pcol, lo, hi, transforms)]
+        files = [f for f in files if _may_match(adds[f], pcol, lo, hi)]
     if prune_eq is not None:
         eq_col, eq_v = prune_eq
         pcol = mapping.get(eq_col, eq_col)
-        files = [f for f in files if _may_match_eq(adds[f], pcol, eq_v, transforms)]
+        files = [f for f in files if _may_match_eq(adds[f], pcol, eq_v)]
     if (prune is not None or prune_eq is not None) and not files:
         empty = read_version(spark, table_path, version).filter(F.lit(False))
         if prune is not None:

@@ -199,3 +199,46 @@ def test_transform_null_source_and_collision_errors(spark, tmp_path):
     bad = df.withColumn("ts__day", F.lit(1))
     with pytest.raises(ValueError, match="already exists"):
         commit_snapshot(bad, str(tmp_path / "y"), partition_by=["days(ts)"])
+
+
+def test_partition_evolution_prunes_each_generation_by_its_own_spec(spark, tmp_path):
+    """Iceberg partition evolution: an append may change the partition
+    spec (opt-in); old files keep their recorded transform and pruning
+    consults each file's OWN pv key — both generations skip correctly
+    for the same source-column predicate."""
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_events(spark, 6), t, partition_by=["days(ts)"])
+    # default: spec change refused
+    with pytest.raises(ValueError, match="partition_evolution"):
+        commit_snapshot(
+            _events(spark, 9), t, mode="append", partition_by=["months(ts)"]
+        )
+    commit_snapshot(
+        spark.createDataFrame(
+            [(100 + i, datetime.datetime(2024, 4, 1 + i), f"u{i}") for i in range(3)],
+            "k long, ts timestamp, user string",
+        ),
+        t,
+        mode="append",
+        partition_by=["months(ts)"],
+        partition_evolution=True,
+    )
+    got = read_version(spark, t)
+    assert {r.k for r in got.collect()} == set(range(6)) | {100, 101, 102}
+
+    # prune inside the days() generation: only that day's file read
+    b1 = ("ts", datetime.datetime(2024, 3, 2), datetime.datetime(2024, 3, 2, 23))
+    assert {r.k for r in read_version(spark, t, prune=b1).collect()} == {3, 4, 5}
+    f1 = _files_read(spark, t, prune=b1)
+    assert f1 and all("ts__day=" in f for f in f1)
+
+    # prune inside the months() generation: April files only
+    b2 = ("ts", datetime.datetime(2024, 4, 1), datetime.datetime(2024, 4, 30))
+    assert {r.k for r in read_version(spark, t, prune=b2).collect()} == {100, 101, 102}
+    f2 = _files_read(spark, t, prune=b2)
+    assert f2 and all("ts__month=" in f for f in f2)
+
+    # a range spanning both generations still answers exactly (the
+    # days generation holds nothing past 2024-03-02)
+    b3 = ("ts", datetime.datetime(2024, 3, 4), datetime.datetime(2024, 4, 2))
+    assert {r.k for r in read_version(spark, t, prune=b3).collect()} == {100, 101}
