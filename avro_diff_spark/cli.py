@@ -287,8 +287,11 @@ def table_main(argv: list[str] | None = None) -> int:
             "rename-column",
             "drop-column",
             "detail",
+            "compute-stats",
         ],
     )
+    p.add_argument("--stats-cols", default=None, help="comma-separated columns (compute-stats)")
+    p.add_argument("--bloom-cols", default=None, help="comma-separated bloom columns (compute-stats)")
     p.add_argument("--column", default=None, help="column name (rename/drop-column)")
     p.add_argument("--to", default=None, help="new column name (rename-column)")
     p.add_argument("table_path")
@@ -398,6 +401,20 @@ def table_main(argv: list[str] | None = None) -> int:
         return 0
 
     spark = _session(args)
+    if args.op == "compute-stats":
+        if not args.stats_cols:
+            print("compute-stats requires --stats-cols", file=sys.stderr)
+            return 2
+        v = V.compute_stats(
+            spark,
+            args.table_path,
+            args.stats_cols.split(","),
+            bloom_cols=args.bloom_cols.split(",") if args.bloom_cols else None,
+        )
+        print(
+            f"stats backfilled as version {v}" if v is not None else "already complete"
+        )
+        return 0
     if args.op == "delete":
         if not args.where:
             print("delete requires --where", file=sys.stderr)

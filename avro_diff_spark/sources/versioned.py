@@ -918,6 +918,18 @@ def _live_adds(table_path: str, version: int) -> tuple[dict[str, dict], set]:
                     live[d["for"]]["dvs"].append(
                         {"paths": d["paths"], "n": d["n"]}
                     )
+            elif "stats_update" in a:
+                # stats backfill (compute_stats): attach/refresh skipping
+                # metadata on an EXISTING live file — no data movement
+                u = a["stats_update"]
+                if u["for"] in live:
+                    info = live[u["for"]]
+                    if u.get("stats"):
+                        info["stats"] = {**(info.get("stats") or {}), **u["stats"]}
+                    if u.get("bloom"):
+                        info["bloom"] = {**(info.get("bloom") or {}), **u["bloom"]}
+                    if u.get("n") is not None and info.get("n") is None:
+                        info["n"] = u["n"]
             else:
                 del live[a["remove"]]
     return live, {i["schema"] for i in live.values() if i["schema"] is not None}
@@ -1544,6 +1556,88 @@ def _apply_dvs(
         .join(F.broadcast(map_df), "__sfx", "left")
         .join(dvr, ["__dvkey", "__ri"], "left_anti")
         .drop("__sfx", "__dvkey")
+    )
+
+
+def compute_stats(
+    spark: SparkSession,
+    table_path: str,
+    stats_cols: list[str],
+    *,
+    bloom_cols: list[str] | None = None,
+    max_retries: int = 10,
+) -> int | None:
+    """``ANALYZE TABLE … COMPUTE STATISTICS`` — BACKFILL skipping
+    metadata onto files already committed without it: harvest per-file
+    min/max (and optional bloom bitmaps) for the live files missing
+    them, in the same ONE distributed pass commit-time harvesting uses,
+    and publish a metadata-only commit of ``stats_update`` actions — no
+    data moves, every old commit's files become prunable retroactively.
+    Columns are LOGICAL names (translated through column mapping).
+    Files immutable ⇒ the stats stay valid under any concurrent commit;
+    a lost publish race just re-claims the next slot. Returns the new
+    version, or None when nothing was missing."""
+    import time
+
+    version = latest_version(table_path)
+    if version < 0:
+        raise ValueError(f"no table at {table_path!r}")
+    mapping, _ = _column_mapping(table_path, version)
+    pcols = _phys_cols(stats_cols, mapping)
+    pblooms = _phys_cols(bloom_cols, mapping) if bloom_cols else []
+    adds, _ = _live_adds(table_path, version)
+    need_stats = sorted(
+        f
+        for f, info in adds.items()
+        if any(c not in (info.get("stats") or {}) for c in pcols)
+        or info.get("n") is None
+    )
+    need_bloom = sorted(
+        f
+        for f, info in adds.items()
+        if any(c not in (info.get("bloom") or {}) for c in pblooms)
+    ) if pblooms else []
+    if not need_stats and not need_bloom:
+        return None
+    file_rows, file_stats = (
+        _harvest_stats(spark, table_path, need_stats, pcols)
+        if need_stats
+        else ({}, {})
+    )
+    blooms = (
+        _compute_blooms(spark, table_path, need_bloom, pblooms)
+        if need_bloom
+        else {}
+    )
+    actions = []
+    for f in sorted(set(need_stats) | set(need_bloom)):
+        u: dict = {"for": f}
+        if f in file_stats and file_stats[f]:
+            u["stats"] = file_stats[f]
+        if f in file_rows:
+            u["n"] = file_rows[f]
+        if f in blooms:
+            u["bloom"] = blooms[f]
+        if len(u) > 1:
+            actions.append({"stats_update": u})
+    if not actions:
+        return None
+    for _ in range(max(max_retries, 1)):
+        v = latest_version(table_path) + 1
+        commit = {
+            "version": v,
+            "mode": "meta",
+            "ts_us": int(time.time() * 1_000_000),
+            "n_rows": 0,
+            "actions": actions,
+        }
+        try:
+            _publish_commit(table_path, v, commit)
+            return v
+        except CommitConflict:
+            continue  # files are immutable — the harvested stats stay valid
+    raise CommitConflict(
+        f"compute_stats on {table_path!r} lost the publish race {max_retries} times"
     )
 
 

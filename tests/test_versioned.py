@@ -2274,3 +2274,58 @@ def test_vacuum_dry_run_and_table_detail(spark, tmp_path, capsys):
     assert '"num_files": 1' in capsys.readouterr().out
     assert table_main(["vacuum", t, "--dry-run"]) == 0
     assert "would delete: 0" in capsys.readouterr().out
+
+
+def test_compute_stats_backfills_pruning_without_rewrite(spark, tmp_path, monkeypatch):
+    """ANALYZE-style backfill: a table committed WITHOUT stats gains
+    min/max + bloom skipping retroactively via one metadata commit —
+    zero data files touched, pruned reads then open zero footers."""
+    from avro_diff_spark.sources import versioned as V
+    from avro_diff_spark.sources.versioned import compute_stats, rename_column
+
+    t = str(tmp_path / "tbl")
+    rows = [(i, f"r{i}") for i in range(30)]
+    commit_snapshot(_df(spark, rows).repartitionByRange(3, "k"), t)  # no stats
+    files_before = set(V._live_files(t, 0))
+
+    def may_match_count(version, col, lo, hi):
+        adds = V._live_adds(t, version)[0]
+        return sum(1 for f in adds if V._may_match(adds[f], col, lo, hi))
+
+    # without stats every file is may-match
+    assert may_match_count(0, "k", 25, 29) == 3
+
+    v = compute_stats(spark, t, ["k"], bloom_cols=["v"])
+    assert v == 1
+    assert set(V._live_files(t, v)) == files_before  # metadata only
+    assert compute_stats(spark, t, ["k"], bloom_cols=["v"]) is None  # idempotent
+
+    # pruning now answers from the manifest alone: explode footer reads
+    import pyarrow.parquet as pq
+
+    real = pq.ParquetFile
+
+    def boom(*a, **k):
+        raise AssertionError("footer fetched during pruned read planning")
+
+    monkeypatch.setattr(pq, "ParquetFile", boom)
+    assert may_match_count(v, "k", 25, 29) == 1
+    hit = read_version(spark, t, prune=("k", 25, 29))
+    assert {r.k for r in hit.collect()} == {25, 26, 27, 28, 29}
+    eq = read_version(spark, t, prune_eq=("v", "r7"))
+    assert [(r.k, r.v) for r in eq.collect()] == [(7, "r7")]
+    monkeypatch.setattr(pq, "ParquetFile", real)
+
+    # composes with column mapping: backfill by the NEW logical name
+    t2 = str(tmp_path / "ren")
+    commit_snapshot(_df(spark, rows).repartitionByRange(3, "k"), t2)
+    rename_column(t2, "k", "id")
+    v2 = compute_stats(spark, t2, ["id"])
+    adds2 = V._live_adds(t2, v2)[0]
+    assert sum(1 for f in adds2 if V._may_match(adds2[f], "k", 0, 5)) == 1
+
+    # checkpoints summarize the backfilled stats
+    from avro_diff_spark.sources.versioned import checkpoint_log
+
+    checkpoint_log(t)
+    assert may_match_count(latest_version(t), "k", 25, 29) == 1
