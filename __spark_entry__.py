@@ -1438,6 +1438,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # recorded versioned query executes) plus the rename/drop metadata
     # commits, whose lifecycle is pytest-pinned in
     # tests/test_column_mapping.py.
+    # Round-8 demotion (slot for pipeline_attrition, the end-to-end
+    # cleaning funnel — quality → exact-dedup → decontamination composed
+    # from the recorded operators' exact expressions with per-stage
+    # survivor/drop counts): gif_frame_sample moves to the tail — its
+    # Spark-side machinery is IDENTICAL to the recorded
+    # image_features_jpeg (same synth_media column, same Arrow-batched
+    # mapInPandas batch shape and feature schema); the two differ only in
+    # the pure-Python codec behind the decode slot, and the GIF decoder
+    # (LZW, frame disposal, timing) is pinned independently of Spark by
+    # tests/test_gif.py hand-assembled GIF89a spec streams; the CI oracle
+    # gate value-hashes it every run — the exact audio_features_flac
+    # precedent below.
     # Round-8 demotion (second slot for the two round-8 head entries):
     # audio_features_flac moves to the tail — its Spark-side machinery is
     # IDENTICAL to the recorded audio_features_wav (same synth_media
@@ -1447,6 +1459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # by tests/test_flac.py (hand-assembled RFC 9639 spec streams +
     # round-trip fuzz); the CI oracle gate value-hashes it every run.
     for tail in (
+        "gif_frame_sample",
         "renamed_column_read",
         "mixture_weights",
         "audio_features_flac",

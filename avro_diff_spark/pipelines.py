@@ -290,6 +290,13 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     no IEEE division anywhere. Pure Column expressions over one scan:
     at 100 TB this is a map-only stage with no shuffle at all."""
     d = spread_small(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return gopher_flags(d)
+
+
+def gopher_flags(d: DataFrame) -> DataFrame:
+    """The Gopher §A1.1 metric/keep frame over any (doc_id, text) corpus
+    — factored so composite pipelines (q_pipeline_attrition) reuse the
+    exact recorded expressions."""
     norm = TX.norm_text(F.col("text"))
     toks = F.split(norm, " ")
     lines = F.split(F.col("text"), "\n")
@@ -1930,6 +1937,110 @@ FROM cg JOIN bg USING (gram_hash) GROUP BY doc_id
 """
 
 
+def q_pipeline_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END cleaning funnel (the FineWeb/RefinedWeb report
+    every corpus build publishes): one corpus pushed through quality →
+    exact-dedup → eval-decontamination, emitting the per-stage survivor
+    count AND per-stage drop. Stage order is the production order —
+    quality first (cheap map-only), dedup among the kept (survivor =
+    min doc_id per content fingerprint), then decontamination (docs
+    sharing any word-8-gram with the held-out 1/97 benchmark slice
+    drop). Every stage reuses the RECORDED operator's exact expressions
+    (gopher_flags, fingerprint_md5, contamination_check), so this pins
+    their composition, not new math.
+
+    Scale shape: map-only flags + one fingerprint groupBy + the
+    broadcast benchmark-gram semi-join — the same three shapes the
+    stages run standalone; counts aggregate per stage with no extra
+    corpus shuffle."""
+    corpus = snap.documents_with_dups(spark, sf_dir)
+    bench = corpus.filter(F.col("doc_id") % 97 == 0)
+    rest = corpus.filter(F.col("doc_id") % 97 != 0)
+
+    kept_q = gopher_flags(rest).filter("keep").select("doc_id")
+    with_fp = rest.join(kept_q, "doc_id", "left_semi").select(
+        "doc_id", TX.fingerprint_md5(F.col("text")).alias("fp")
+    )
+    survivors = with_fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    contaminated = DD.contamination_check(
+        rest, bench, "text", "doc_id", ngram_w=8
+    ).select("doc_id")
+    clean = survivors.join(contaminated, "doc_id", "left_anti")
+
+    counts = [
+        ("0_corpus", rest.count()),
+        ("1_gopher_quality", kept_q.count()),
+        ("2_exact_dedup", survivors.count()),
+        ("3_decontaminated", clean.count()),
+    ]
+    rows = []
+    prev = None
+    for stage, n in counts:
+        rows.append((stage, n, 0 if prev is None else prev - n))
+        prev = n
+    return spark.createDataFrame(
+        rows, "stage string, n_docs long, n_dropped long"
+    )
+
+
+def _pipeline_attrition_sql() -> str:
+    n = norm_sql("text")
+    t = tokens_sql("text")
+    stops = ", ".join(f"'{w}'" for w in GOPHER_STOPS)
+    grams = (
+        f"list_transform(range(1, greatest(len({t}) - 7, 0) + 1), "
+        f"i -> array_to_string({t}[i:i + 7], ' '))"
+    )
+    ghash = f"unnest(list_distinct(list_transform({grams}, s -> {hash32_sql('s')}))) AS gram_hash"
+    return f"""
+WITH corpus AS ({snap.DOCUMENTS_WITH_DUPS_SQL}),
+rest AS (SELECT * FROM corpus WHERE doc_id % 97 <> 0),
+gq AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+      CAST(len({t}) AS BIGINT) AS n_words,
+      CAST(len(replace({n}, ' ', '')) AS BIGINT) AS sum_word_chars,
+      CAST(len(list_filter({t}, w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS n_alpha_words,
+      CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+      CAST(len(list_filter(string_split(text, chr(10)),
+                           l -> substr(ltrim(l), 1, 2) IN ('- ', '* ', '• '))) AS BIGINT)
+        AS n_bullet_lines,
+      CAST(len(list_filter(string_split(text, chr(10)),
+                           l -> rtrim(l) LIKE '%...')) AS BIGINT) AS n_ellipsis_lines,
+      CAST(len(text) - len(replace(text, '#', ''))
+           + (len(text) - len(replace(text, '...', ''))) / 3 AS BIGINT) AS n_symbols,
+      CAST(len(list_filter([{stops}], s -> list_contains({t}, s))) AS BIGINT) AS n_stop_hits
+    FROM rest
+  )
+  WHERE n_words >= 50 AND n_words <= 100000
+    AND sum_word_chars >= 3 * n_words AND sum_word_chars <= 10 * n_words
+    AND 10 * n_symbols <= n_words
+    AND 10 * n_bullet_lines <= 9 * n_lines
+    AND 10 * n_ellipsis_lines <= 3 * n_lines
+    AND 10 * n_alpha_words >= 8 * n_words
+    AND n_stop_hits >= 2
+),
+surv AS (
+  SELECT min(doc_id) AS doc_id
+  FROM rest WHERE doc_id IN (SELECT doc_id FROM gq)
+  GROUP BY md5({n})
+),
+bg AS (SELECT DISTINCT {ghash} FROM corpus WHERE doc_id % 97 = 0),
+cg AS (SELECT doc_id, {ghash} FROM rest),
+cont AS (SELECT DISTINCT doc_id FROM cg JOIN bg USING (gram_hash)),
+clean AS (SELECT doc_id FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+counts AS (
+  SELECT 0 AS i, '0_corpus' AS stage, (SELECT count(*) FROM rest) AS n_docs
+  UNION ALL SELECT 1, '1_gopher_quality', (SELECT count(*) FROM gq)
+  UNION ALL SELECT 2, '2_exact_dedup', (SELECT count(*) FROM surv)
+  UNION ALL SELECT 3, '3_decontaminated', (SELECT count(*) FROM clean)
+)
+SELECT stage, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(COALESCE(lag(n_docs) OVER (ORDER BY i) - n_docs, 0) AS BIGINT) AS n_dropped
+FROM counts
+"""
+
+
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingle_k=8, measured: prefix filtering's selectivity scales with the
     # shingle-domain size. At k=5 this corpus has only ~2k distinct 5-grams
@@ -3429,6 +3540,7 @@ PIPELINE_QUERIES = {
     "exact_substring_spans": q_exact_substring_spans,
     "exact_substring_scrub": q_exact_substring_scrub,
     "contamination_check": q_contamination_check,
+    "pipeline_attrition": q_pipeline_attrition,
     "near_dup_contamination": q_near_dup_contamination,
     "decontaminated_counts": q_decontaminated_counts,
     "jaccard_pairs": q_jaccard_pairs,
@@ -3502,6 +3614,7 @@ def pipeline_sql() -> dict[str, str]:
         "exact_substring_spans": _exact_substring_spans_sql(),
         "exact_substring_scrub": _exact_substring_scrub_sql(),
         "contamination_check": _contamination_sql(),
+        "pipeline_attrition": _pipeline_attrition_sql(),
         "near_dup_contamination": _near_dup_contamination_sql(),
         "decontaminated_counts": _decontaminated_counts_sql(),
         "jaccard_pairs": JACCARD_PAIRS_SQL,
