@@ -2329,3 +2329,68 @@ def test_compute_stats_backfills_pruning_without_rewrite(spark, tmp_path, monkey
 
     checkpoint_log(t)
     assert may_match_count(latest_version(t), "k", 25, 29) == 1
+
+
+def test_random_dml_with_restore_matches_model(spark, tmp_path):
+    """Model-based pin extended with RESTORE and metadata ops: the model
+    keeps one snapshot per published version; a restore rewinds the
+    model to the target's snapshot and the table must follow — across
+    interleaved appends, DV deletes/updates, merges, compactions, stats
+    backfills, and restore-of-restore."""
+    import random
+
+    import avro_diff_spark.sources.versioned as V
+
+    rng = random.Random(21)
+    t = str(tmp_path / "tbl")
+    model: dict[int, str] = {i: f"r{i}" for i in range(15)}
+    commit_snapshot(
+        _df(spark, sorted(model.items())).repartitionByRange(3, "k"), t
+    )
+    history: dict[int, dict] = {0: dict(model)}
+    next_k = 100
+    for step in range(16):
+        op = rng.choice(
+            ["append", "delete_dv", "update_dv", "merge_dv", "compact",
+             "stats", "restore"]
+        )
+        if op == "append":
+            rows = [(next_k + j, f"a{next_k + j}") for j in range(2)]
+            next_k += 2
+            commit_snapshot(_df(spark, rows), t, mode="append")
+            model.update(rows)
+        elif op == "delete_dv" and model:
+            ks = rng.sample(sorted(model), min(2, len(model)))
+            V.delete_where(spark, t, f"k in ({','.join(map(str, ks))})")
+            for k in ks:
+                model.pop(k)
+        elif op == "update_dv" and model:
+            ks = rng.sample(sorted(model), min(2, len(model)))
+            V.update_where(
+                spark, t, f"k in ({','.join(map(str, ks))})",
+                {"v": F.concat(F.col("v"), F.lit("!"))},
+            )
+            for k in ks:
+                model[k] = model[k] + "!"
+        elif op == "merge_dv" and model:
+            upd = rng.sample(sorted(model), min(2, len(model)))
+            src = [(k, f"m{k}") for k in upd] + [(next_k, f"m{next_k}")]
+            next_k += 1
+            V.merge_into(spark, t, _df(spark, src), ["k"], rewrite="dv")
+            for k, v in src:
+                model[k] = v
+        elif op == "compact":
+            V.compact_table(spark, t, target_files=2)
+        elif op == "stats":
+            V.compute_stats(spark, t, ["k"])
+        elif op == "restore":
+            v = rng.choice(sorted(history))
+            V.restore_table(t, v)
+            model = dict(history[v])
+        history[latest_version(t)] = dict(model)
+        got = dict((r.k, r.v) for r in read_version(spark, t).collect())
+        assert got == model, (step, op, len(got), len(model))
+    # every recorded version is still exactly time-travelable
+    for v in sorted(history)[-5:]:
+        got = dict((r.k, r.v) for r in read_version(spark, t, v).collect())
+        assert got == history[v], v
