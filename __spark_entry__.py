@@ -1438,6 +1438,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # recorded versioned query executes) plus the rename/drop metadata
     # commits, whose lifecycle is pytest-pinned in
     # tests/test_column_mapping.py.
+    # Round-8 demotion for ivf_index_topk (IVF top-k against the
+    # PERSISTED index — centroids + cell-partitioned postings as
+    # versioned tables, probes touching only their cells' partitions):
+    # ivf_topk moves to the tail — the recorded index query executes the
+    # in-memory path's assignment and scoring expressions VERBATIM
+    # (pinned exactly equal in tests/test_ann_index.py) plus the
+    # versioned-table read; the strict-superset supersession pattern of
+    # exact_substring_scrub over exact_substring_spans; the CI oracle
+    # gate value-hashes ivf_topk every run.
     # Round-8 demotion (slot for pipeline_attrition, the end-to-end
     # cleaning funnel — quality → exact-dedup → decontamination composed
     # from the recorded operators' exact expressions with per-stage
@@ -1459,6 +1468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # by tests/test_flac.py (hand-assembled RFC 9639 spec streams +
     # round-trip fuzz); the CI oracle gate value-hashes it every run.
     for tail in (
+        "ivf_topk",
         "gif_frame_sample",
         "renamed_column_read",
         "mixture_weights",

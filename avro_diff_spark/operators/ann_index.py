@@ -1,0 +1,166 @@
+"""Persisted, incrementally-maintained ANN index — the similarity-tier
+sibling of operators/neardup_index.py: the IVF structure (trained
+centroids + cell-partitioned postings) stored as VERSIONED TABLES, so a
+corpus that grows daily assigns only its increment (append commits, no
+retraining, no rebuild) and queries probe the stored cells.
+
+Why this shape at 100 TB: a FAISS-style in-memory index cannot hold a
+corpus that outgrows one machine, and rebuilding an index per batch
+re-reads the corpus. Here the index IS a table: postings are
+hive-partitioned by cell id, so a probe touches only its cells' files
+(log-level partition pruning — the same skip read_version gives every
+partitioned table), appends ride the commit log's optimistic
+concurrency, and time travel/vacuum/compaction all apply to the index
+like any other table.
+
+Exactness contract: querying the stored index returns EXACTLY what
+:func:`avro_diff_spark.operators.similarity.ivf_topk` returns for the
+same centroids over the same candidate set (pytest-pinned), because both
+sides share the assignment and scoring expressions verbatim.
+
+No reference parity: yuana97/Avro_Diff has no similarity surface
+(SURVEY.md §2); beyond-reference tier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from avro_diff_spark.operators import similarity as S
+from avro_diff_spark.sources import versioned as V
+from avro_diff_spark.sources.tables import spread_small
+
+__all__ = [
+    "build_ivf_index",
+    "append_to_index",
+    "load_centroids",
+    "query_index",
+]
+
+
+def _assign_cells(df: DataFrame, cents) -> DataFrame:
+    """(cell, cand_id, embedding) — every vector to its nearest centroid
+    (argmax cosine, ties to the lowest cid), the exact candidate-side
+    expressions of :func:`similarity.ivf_topk`."""
+    ranking = S._centroid_ranking(sorted((int(c), list(v)) for c, v in cents))
+    return (
+        spread_small(df)
+        .select(
+            F.col("vec_id").alias("cand_id"),
+            F.col("embedding").alias("c_emb"),
+            S._dec_norm(F.col("embedding")).alias("c_norm"),
+        )
+        .select(
+            F.element_at(ranking(F.col("c_emb"), F.col("c_norm")), 1)
+            .getField("cid")
+            .alias("cell"),
+            "cand_id",
+            F.col("c_emb").alias("embedding"),
+        )
+    )
+
+
+def build_ivf_index(
+    spark: SparkSession,
+    emb_parquet_path: str,
+    index_path: str,
+    *,
+    n_centroids: int = 16,
+    sample: int = 1024,
+    iters: int = 5,
+):
+    """Train the coarse quantizer (deterministic sampled Lloyd —
+    :func:`similarity.train_ivf_centroids`) and commit the index as two
+    versioned tables under ``index_path``: ``centroids`` (cid → vector,
+    a bounded metadata table) and ``postings`` (cell-PARTITIONED
+    assignments with the embeddings), one distributed assignment pass.
+    Returns the centroids for immediate querying."""
+    cents = S.train_ivf_centroids(
+        emb_parquet_path, n_centroids=n_centroids, sample=sample, iters=iters
+    )
+    V.commit_snapshot(
+        spark.createDataFrame(
+            [(int(c), list(v)) for c, v in cents], "cid int, embedding array<double>"
+        ).coalesce(1),
+        f"{index_path}/centroids",
+    )
+    assigned = _assign_cells(spark.read.parquet(emb_parquet_path), cents)
+    V.commit_snapshot(
+        assigned, f"{index_path}/postings", partition_by=["cell"]
+    )
+    return cents
+
+
+def load_centroids(spark: SparkSession, index_path: str):
+    rows = V.read_version(spark, f"{index_path}/centroids").collect()
+    return tuple(
+        (int(r.cid), tuple(float(v) for v in r.embedding))
+        for r in sorted(rows, key=lambda r: r.cid)
+    )
+
+
+def append_to_index(spark: SparkSession, df: DataFrame, index_path: str) -> int:
+    """Add new vectors to the stored index: assign against the STORED
+    centroids (no retraining — FAISS's add() contract) and APPEND to the
+    postings table. Work ∝ increment; the historical postings are never
+    read. Returns the postings table's new version."""
+    cents = load_centroids(spark, index_path)
+    return V.commit_snapshot(
+        _assign_cells(df, cents),
+        f"{index_path}/postings",
+        mode="append",
+        partition_by=["cell"],
+    )
+
+
+def query_index(
+    spark: SparkSession,
+    queries: DataFrame,
+    index_path: str,
+    *,
+    k: int = 5,
+    probes: int = 2,
+) -> DataFrame:
+    """IVF top-k against the STORED index — same output contract as
+    :func:`similarity.ivf_topk` (rank by cosine desc, cand_id asc),
+    pinned exactly equal. Each query fans out to its ``probes`` nearest
+    cells; the postings read filters on the literal cell ids, and
+    because read_version reattaches each partition's cell as a literal,
+    Catalyst folds non-probed partitions' scans away — the probe touches
+    only its cells' files."""
+    cents = load_centroids(spark, index_path)
+    ranking = S._centroid_ranking(sorted((int(c), list(v)) for c, v in cents))
+    q = (
+        queries.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            S._dec_norm(F.col("embedding")).alias("q_norm"),
+        )
+        .select(
+            "query_id",
+            "q_emb",
+            "q_norm",
+            F.explode_outer(
+                F.transform(
+                    F.slice(ranking(F.col("q_emb"), F.col("q_norm")), 1, probes),
+                    lambda s: s.getField("cid"),
+                )
+            ).alias("cell"),
+        )
+        .where(F.col("cell").isNotNull())
+    )
+    post = V.read_version(spark, f"{index_path}/postings").select(
+        "cell",
+        "cand_id",
+        F.col("embedding").alias("c_emb"),
+        S._dec_norm(F.col("embedding")).alias("c_norm"),
+    )
+    dot = S._fixed_dot(F.col("q_emb"), F.col("c_emb"))
+    cos = F.try_divide(dot, F.col("q_norm") * F.col("c_norm"))
+    scored = (
+        F.broadcast(q)
+        .join(post, "cell")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", cos.alias("cosine"))
+    )
+    return S.topk_per_query(scored, k)

@@ -2641,6 +2641,38 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_topk(queries, emb, k=5, probes=2, centroids=cents)
 
 
+def q_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k against the PERSISTED index (operators/ann_index.py —
+    centroids + cell-partitioned postings as versioned tables, the
+    incremental-corpus ANN shape): build-once cached on the embeddings
+    fingerprint, then the probe path reads only its cells' partitions.
+    Oracle: identical to ivf_topk's (the stored index is pinned exactly
+    equal to the in-memory path in tests/test_ann_index.py)."""
+    import hashlib
+    import os
+
+    from avro_diff_spark.operators import ann_index as AI
+    from avro_diff_spark.sources.versioned import latest_version
+
+    src = f"{sf_dir}/embeddings.parquet"
+    files = [src] if os.path.isfile(src) else sorted(
+        os.path.join(dp, fn) for dp, _, fns in os.walk(src) for fn in fns
+    )
+    h = hashlib.md5()
+    for p in files:
+        st = os.stat(p)
+        h.update(f"{p}|{st.st_size}|{st.st_mtime_ns};".encode())
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    idx = f"/root/repo/.cache/ivf_index/{tag}-{h.hexdigest()[:12]}"
+    if latest_version(f"{idx}/postings") < 0:
+        import shutil
+
+        shutil.rmtree(idx, ignore_errors=True)
+        AI.build_ivf_index(spark, src, idx)
+    queries = spark.read.parquet(src).filter(F.col("vec_id") < 10)
+    return AI.query_index(spark, queries, idx, k=5, probes=2)
+
+
 def q_kmeans_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     cents = SIM.train_ivf_centroids(f"{sf_dir}/embeddings.parquet")
@@ -3554,6 +3586,7 @@ PIPELINE_QUERIES = {
     "cosine_topk": q_cosine_topk,
     "ann_signbucket_topk": q_ann_signbucket,
     "ivf_topk": q_ivf_topk,
+    "ivf_index_topk": q_ivf_index_topk,
     "kmeans_cluster_stats": q_kmeans_cluster_stats,
     "pq_topk": q_pq_topk,
     "sq_topk": q_sq_topk,
@@ -3628,6 +3661,7 @@ def pipeline_sql() -> dict[str, str]:
         "cosine_topk": COSINE_TOPK_SQL,
         "ann_signbucket_topk": ANN_SIGNBUCKET_SQL,
         "ivf_topk": _ivf_sql(),
+        "ivf_index_topk": _ivf_sql(),
         "kmeans_cluster_stats": _kmeans_sql(),
         "pq_topk": _pq_sql(),
         "sq_topk": _sq_sql(),
