@@ -113,6 +113,42 @@ def append_to_index(spark: SparkSession, df: DataFrame, index_path: str) -> int:
     )
 
 
+def maintain_index_stream(
+    stream_df: DataFrame,
+    index_path: str,
+    *,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+):
+    """Stream new vectors into the stored index: each micro-batch is
+    assigned against the STORED centroids (a pure Column transform over
+    the stream — no state, no retraining) and lands as one exactly-once
+    APPEND commit on the postings table via
+    :func:`versioned.commit_stream`'s txn idempotence. The streaming
+    sibling of :func:`append_to_index`; pinned batch-equivalent in
+    tests/test_ann_index.py."""
+    cents = load_centroids(stream_df.sparkSession, index_path)
+    ranking = S._centroid_ranking(sorted((int(c), list(v)) for c, v in cents))
+    assigned = stream_df.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_emb"),
+        S._dec_norm(F.col("embedding")).alias("c_norm"),
+    ).select(
+        F.element_at(ranking(F.col("c_emb"), F.col("c_norm")), 1)
+        .getField("cid")
+        .alias("cell"),
+        "cand_id",
+        F.col("c_emb").alias("embedding"),
+    )
+    return V.commit_stream(
+        assigned,
+        f"{index_path}/postings",
+        checkpoint=checkpoint,
+        partition_by=["cell"],
+        trigger_available_now=trigger_available_now,
+    )
+
+
 def query_index(
     spark: SparkSession,
     queries: DataFrame,

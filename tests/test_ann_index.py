@@ -104,3 +104,37 @@ def test_probe_reads_only_probed_cells(spark, tmp_path, emb_path):
         .collect()
     }
     assert len(files) < len(all_files)
+
+
+def test_streaming_index_maintenance_matches_batch_append(spark, tmp_path, emb_path):
+    """maintain_index_stream drains an increment into the postings table
+    exactly-once; queries afterwards equal the batch append path."""
+    from avro_diff_spark.sources import versioned as V
+
+    idx, src, ck = (str(tmp_path / x) for x in ("idx", "src", "ck"))
+    emb = spark.read.parquet(emb_path)
+    hist = emb.filter(F.col("vec_id") % 7 != 0)
+    inc = emb.filter(F.col("vec_id") % 7 == 0)
+
+    cents = AI.build_ivf_index(spark, emb_path, idx)
+    V.commit_snapshot(
+        AI._assign_cells(hist, cents), f"{idx}/postings",
+        mode="overwrite", partition_by=["cell"],
+    )
+    inc.write.parquet(src)
+    stream = spark.readStream.schema(inc.schema).parquet(src)
+    q = AI.maintain_index_stream(stream, idx, checkpoint=ck)
+    q.awaitTermination(120)
+
+    queries = emb.filter(F.col("vec_id") < 8)
+    got = AI.query_index(spark, queries, idx, k=5, probes=2)
+    want = SIM.ivf_topk(queries, emb, k=5, probes=2, centroids=cents)
+    assert _topk_set(got) == _topk_set(want)
+
+    # restart on the same checkpoint commits nothing new (exactly-once)
+    v = V.latest_version(f"{idx}/postings")
+    q2 = AI.maintain_index_stream(
+        spark.readStream.schema(inc.schema).parquet(src), idx, checkpoint=ck
+    )
+    q2.awaitTermination(120)
+    assert V.latest_version(f"{idx}/postings") == v
