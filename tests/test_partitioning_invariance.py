@@ -40,6 +40,10 @@ QUERIES = [
     "incremental_agg_orders",  # CDF delta + FOJ state merge across layouts
     "quality_classifier",  # round 8: trained-weight broadcast + fixed point
     "incremental_near_dups",  # round 8: stored-index probe across layouts
+    "mixture_resample",  # round 8b: derived-rate hash thin + window math
+    "hidden_partition_prune",  # round 8b: transform pruning + residual filter
+    "pipeline_attrition",  # round 8b: three-stage funnel composition
+    "ivf_index_topk",  # round 8b: persisted-index probe across layouts
 ]
 
 
