@@ -1438,6 +1438,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # recorded versioned query executes) plus the rename/drop metadata
     # commits, whose lifecycle is pytest-pinned in
     # tests/test_column_mapping.py.
+    # Round-8 demotion for video_metadata_mp4 (from-scratch ISO-BMFF
+    # box walker — the video slot of the metadata tier, largesize/to-EOF/
+    # forward-compat grammar): image_exif_metadata moves to the tail —
+    # its Spark-side machinery is IDENTICAL to the recorded media
+    # metadata family (same synthesized-payload column, same
+    # Arrow-batched mapInPandas batch shape), the TIFF/EXIF IFD walker is
+    # pinned independently of Spark by
+    # tests/test_multimodal.py::test_exif_build_parse_roundtrip_both_endians
+    # (both byte orders, malformed inputs), and the CI oracle gate
+    # value-hashes it every run — the gif/flac codec-slot precedent.
     # Round-8 demotion for ivf_index_topk (IVF top-k against the
     # PERSISTED index — centroids + cell-partitioned postings as
     # versioned tables, probes touching only their cells' partitions):
@@ -1468,6 +1478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # by tests/test_flac.py (hand-assembled RFC 9639 spec streams +
     # round-trip fuzz); the CI oracle gate value-hashes it every run.
     for tail in (
+        "image_exif_metadata",
         "ivf_topk",
         "gif_frame_sample",
         "renamed_column_read",

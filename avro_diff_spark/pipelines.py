@@ -3163,6 +3163,36 @@ FROM media
 """
 
 
+def q_video_metadata_mp4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4 container metadata over REAL ISO-BMFF payloads synthesized
+    per doc (avro_diff_spark/mp4.py — from-scratch 14496-12 box walker,
+    Arrow-batched mapInPandas): brand, movie timescale/duration, track
+    count + handler list, visual dimensions, sample-data bytes. The
+    oracle reproduces every field from the synthesis law arithmetically;
+    the encoder↔parser round trip (largesize, to-EOF, unknown-box skip,
+    malformed bytes) is pinned in tests/test_mp4.py — the video slot of
+    the metadata tier beside EXIF/WAV/FLAC."""
+    from avro_diff_spark import multimodal as MM
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return MM.mp4_metadata(MM.synth_mp4_media(docs, "doc_id"))
+
+
+VIDEO_METADATA_SQL = """
+SELECT doc_id AS media_id,
+       'isom' AS brand,
+       CAST(1000 AS BIGINT) AS timescale,
+       CAST(1000 + (doc_id % 977) * 40 AS BIGINT) AS duration,
+       CAST(1 + doc_id % 3 AS BIGINT) AS n_tracks,
+       CASE doc_id % 3 WHEN 0 THEN 'vide' WHEN 1 THEN 'vide,soun'
+            ELSE 'vide,soun,text' END AS handlers,
+       CAST(16 * (1 + doc_id % 8) AS BIGINT) AS width,
+       CAST(16 * (1 + doc_id % 5) AS BIGINT) AS height,
+       CAST(32 + doc_id % 64 AS BIGINT) AS mdat_bytes
+FROM documents
+"""
+
+
 def q_frame_sample_lens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from avro_diff_spark import multimodal as MM
 
@@ -3597,6 +3627,7 @@ PIPELINE_QUERIES = {
     "semantic_dedup_survivors": q_semantic_dedup_survivors,
     "cosine_topk_pandas": q_cosine_topk_pandas,  # rows-only: float-sum order differs by design
     "media_metadata": q_media_metadata,
+    "video_metadata_mp4": q_video_metadata_mp4,
     "frame_sample_lens": q_frame_sample_lens,
     "image_features_png": q_image_features_png,
     "image_features_jpeg": q_image_features_jpeg,
@@ -3671,6 +3702,7 @@ def pipeline_sql() -> dict[str, str]:
         "embedding_near_dups_rp": _embedding_near_dups_rp_sql(),
         "semantic_dedup_survivors": _semantic_dedup_sql(),
         "media_metadata": MEDIA_METADATA_SQL,
+        "video_metadata_mp4": VIDEO_METADATA_SQL,
         "frame_sample_lens": FRAME_SAMPLE_LENS_SQL,
         "image_features_png": IMAGE_FEATURES_PNG_SQL,
         "image_features_jpeg": IMAGE_FEATURES_JPEG_SQL,
