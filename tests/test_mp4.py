@@ -108,3 +108,50 @@ def test_spark_synth_and_metadata_follow_the_law(spark):
         assert r.handlers == ",".join(["vide", "soun", "text"][: 1 + mid % 3])
         assert (r.width, r.height) == (16 * (1 + mid % 8), 16 * (1 + mid % 5))
         assert r.mdat_bytes == 32 + mid % 64
+
+
+def test_property_round_trip_fuzz():
+    """Hypothesis fuzz of the encoder↔parser round trip over the full
+    parameter space, plus parser robustness on arbitrary byte soup."""
+    from hypothesis import given, settings, strategies as st
+
+    handler_sets = st.lists(
+        st.sampled_from([b"vide", b"soun", b"text", b"hint"]), max_size=4
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        ts=st.integers(min_value=1, max_value=2**31 - 1),
+        dur=st.integers(min_value=0, max_value=2**31 - 1),
+        hs=handler_sets,
+        w=st.integers(min_value=0, max_value=65535),
+        h=st.integers(min_value=0, max_value=65535),
+        n=st.integers(min_value=0, max_value=256),
+    )
+    def rt(ts, dur, hs, w, h, n):
+        tracks = []
+        for j, hd in enumerate(hs):
+            tr = {"handler": hd}
+            if j == 0 and hd == b"vide":
+                tr["width"], tr["height"] = w, h
+            tracks.append(tr)
+        meta = parse_mp4(
+            encode_mp4_skeleton(
+                timescale=ts, duration=dur, tracks=tracks, mdat=b"q" * n
+            )
+        )
+        assert meta["timescale"] == ts and meta["duration"] == dur
+        assert meta["n_tracks"] == len(tracks)
+        assert meta["handlers"] == [hd.decode() for hd in hs]
+        assert meta["mdat_bytes"] == n
+        if hs and hs[0] == b"vide" and (w or h):
+            assert (meta["width"], meta["height"]) == (w, h)
+
+    rt()
+
+    @settings(max_examples=80, deadline=None)
+    @given(st.binary(max_size=256))
+    def soup(b):
+        parse_mp4(b)  # never throws, whatever the bytes
+
+    soup()

@@ -242,3 +242,53 @@ def test_partition_evolution_prunes_each_generation_by_its_own_spec(spark, tmp_p
     # days generation holds nothing past 2024-03-02)
     b3 = ("ts", datetime.datetime(2024, 3, 4), datetime.datetime(2024, 4, 2))
     assert {r.k for r in read_version(spark, t, prune=b3).collect()} == {100, 101}
+
+
+def test_property_driver_executor_transform_agreement(spark):
+    """Hypothesis pin of the pruning-correctness invariant: for ANY
+    value, the python transform equals the Column transform — a mismatch
+    silently prunes files containing matching rows."""
+    import datetime
+
+    from hypothesis import given, settings, strategies as st
+
+    ts_strategy = st.datetimes(
+        min_value=datetime.datetime(1902, 1, 1),
+        max_value=datetime.datetime(2200, 12, 31),
+    ).map(lambda d: d.replace(microsecond=0))
+    cases = st.lists(
+        st.tuples(
+            ts_strategy,
+            st.dates(
+                min_value=datetime.date(1902, 1, 1),
+                max_value=datetime.date(2200, 12, 31),
+            ),
+            st.text(
+                alphabet=st.characters(blacklist_categories=("Cs",)), max_size=12
+            ),
+            st.integers(min_value=-(2**40), max_value=2**40),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+
+    @settings(max_examples=20, deadline=None)
+    @given(rows=cases)
+    def check(rows):
+        df = spark.createDataFrame(rows, "ts timestamp, d date, s string, n long")
+        kinds = [
+            ("days", "ts", None), ("days", "d", None), ("hours", "ts", None),
+            ("months", "ts", None), ("months", "d", None),
+            ("bucket", "s", 16), ("bucket", "n", 16), ("bucket", "d", 16),
+            ("truncate", "s", 3), ("truncate", "n", 1000),
+        ]
+        got = df.select(
+            *[_transform_column(df, k, c, p).alias(f"x{i}")
+              for i, (k, c, p) in enumerate(kinds)]
+        ).collect()
+        for row, vals in zip(rows, got):
+            by = dict(zip(["ts", "d", "s", "n"], row))
+            for i, (k, c, p) in enumerate(kinds):
+                assert vals[f"x{i}"] == _transform_value(k, by[c], p), (k, c, row)
+
+    check()
