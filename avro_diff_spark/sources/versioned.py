@@ -68,6 +68,7 @@ __all__ = [
     "read_version",
     "latest_version",
     "version_as_of",
+    "first_version_at_or_after",
     "table_history",
     "key_diff_versions",
     "read_changes",
@@ -1261,6 +1262,40 @@ def version_as_of(table_path: str, ts) -> int:
             f"timestamp {ts} predates the first commit of {table_path!r}"
         )
     return best
+
+
+def first_version_at_or_after(table_path: str, ts) -> int:
+    """The earliest version whose commit time is ≥ ``ts`` (datetime or
+    epoch micros int) — Delta's inclusive ``startingTimestamp`` rule for
+    streaming reads. A ``ts`` before the first commit resolves to
+    version 0 (the whole table streams); a ``ts`` after the last commit
+    resolves to ``latest + 1`` (the stream starts empty and picks up
+    future commits). Commits predating timestamp tracking are treated
+    as always-before ``ts``."""
+    import datetime
+
+    if isinstance(ts, datetime.datetime):
+        ts = int(ts.timestamp() * 1_000_000)
+    latest = latest_version(table_path)
+    best = None
+    ck = _usable_checkpoint(table_path, latest)
+    ck_v = -1
+    if ck is not None and "ts" in ck[1]:
+        ck_v = ck[0]
+        for vs, t in ck[1]["ts"].items():
+            if t >= ts and (best is None or int(vs) < best):
+                best = int(vs)
+    if best is None:
+        # nothing at-or-after ts at or below the checkpoint (or no
+        # usable commit-time index) — scan tail commits, earliest wins
+        for v, path in _commit_files(table_path):
+            if v <= ck_v:
+                continue
+            c = _read_commit(path)
+            if c.get("ts_us", 0) >= ts:
+                best = v
+                break
+    return latest + 1 if best is None else best
 
 
 def read_version(
@@ -3101,8 +3136,10 @@ def read_changes(
     table_path: str,
     keys: list[str],
     *,
-    v_from: int,
+    v_from: int | None = None,
     v_to: int | None = None,
+    ts_from=None,
+    ts_to=None,
 ) -> DataFrame:
     """Change data feed between versions — the Delta CDF / ``table_changes``
     surface, derived from the log + keyed diff instead of stored change
@@ -3118,7 +3155,23 @@ def read_changes(
     filtered re-executions of the join); steps are independent scans
     unioned (Spark runs them as one job). Per-commit derivation reads
     two adjacent snapshots; a stored-CDF variant would trade write
-    amplification for cheaper reads, the same trade Delta exposes."""
+    amplification for cheaper reads, the same trade Delta exposes.
+
+    ``ts_from``/``ts_to`` (datetime or epoch micros) resolve through
+    :func:`version_as_of` — each names the SNAPSHOT the table was at
+    that time, so the feed is "changes committed after ts_from's
+    snapshot, up to and including ts_to's". Mutually exclusive with
+    the corresponding version bound."""
+    if ts_from is not None:
+        if v_from is not None:
+            raise ValueError("pass v_from= or ts_from=, not both")
+        v_from = version_as_of(table_path, ts_from)
+    if ts_to is not None:
+        if v_to is not None:
+            raise ValueError("pass v_to= or ts_to=, not both")
+        v_to = version_as_of(table_path, ts_to)
+    if v_from is None:
+        raise ValueError("pass v_from= or ts_from=")
     if v_to is None:
         v_to = latest_version(table_path)
     if v_to <= v_from:

@@ -445,14 +445,24 @@ def stream_table(
     table_path: str,
     *,
     starting_version: int = 0,
+    starting_ts=None,
     ignore_changes: bool = False,
 ) -> DataFrame:
     """Open a versioned table as a streaming DataFrame of its append
     commits (registers the data source idempotently). Schema is the
     table's committed schema; rows arrive in commit order, one
-    micro-batch per trigger covering all newly committed versions."""
+    micro-batch per trigger covering all newly committed versions.
+
+    ``starting_ts`` (datetime or epoch micros) is Delta's inclusive
+    ``startingTimestamp``: the stream begins at the earliest commit
+    whose time is ≥ the timestamp; before the first commit → the whole
+    table, after the last → only future commits."""
     if VersionedTableStreamSource is None:  # pragma: no cover
         raise RuntimeError("versioned_table streaming needs pyspark >= 4")
+    if starting_ts is not None:
+        from avro_diff_spark.sources.versioned import first_version_at_or_after
+
+        starting_version = first_version_at_or_after(table_path, starting_ts)
     spark.dataSource.register(VersionedTableStreamSource)
     return (
         spark.readStream.format("versioned_table")
@@ -468,6 +478,7 @@ def stream_changes(
     table_path: str,
     *,
     starting_version: int = 0,
+    starting_ts=None,
     ignore_changes: bool = False,
 ) -> DataFrame:
     """Open a versioned table's CHANGE FEED as a streaming DataFrame —
@@ -480,9 +491,16 @@ def stream_changes(
     Divergence from the batch keyed-diff path by design: an append whose
     key already exists streams as ``insert`` (the physical truth),
     where :func:`read_changes` classifies it as an update — identical on
-    key-unique tables, which is the CDC contract's precondition."""
+    key-unique tables, which is the CDC contract's precondition.
+
+    ``starting_ts`` follows Delta's inclusive ``startingTimestamp``
+    (see :func:`stream_table`)."""
     if VersionedTableStreamSource is None:  # pragma: no cover
         raise RuntimeError("versioned_table streaming needs pyspark >= 4")
+    if starting_ts is not None:
+        from avro_diff_spark.sources.versioned import first_version_at_or_after
+
+        starting_version = first_version_at_or_after(table_path, starting_ts)
     spark.dataSource.register(VersionedTableChangesSource)
     return (
         spark.readStream.format("versioned_table_changes")

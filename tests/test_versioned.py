@@ -748,6 +748,97 @@ def test_as_of_timestamp_time_travel(spark, tmp_path):
     assert all(h["ts_us"] is not None for h in table_history(t))
 
 
+def _pin_commit_ts(table_path, ts_by_version):
+    """Rewrite commits' ts_us deterministically (wall clock can tie)."""
+    import json as _json
+
+    for v, us in ts_by_version.items():
+        p = os.path.join(table_path, "_log", f"{v:06d}.json")
+        with open(p) as fh:
+            c = _json.load(fh)
+        c["ts_us"] = us
+        with open(p, "w") as fh:
+            _json.dump(c, fh)
+
+
+def test_first_version_at_or_after_boundaries(spark, tmp_path):
+    """Delta's inclusive startingTimestamp rule: the earliest commit at
+    or after ts; before the first commit -> 0; after the last ->
+    latest + 1 (an empty stream that picks up future commits)."""
+    import datetime
+
+    from avro_diff_spark.sources.versioned import first_version_at_or_after as f
+
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, [(1, "a")]), t)
+    commit_snapshot(_df(spark, [(2, "b")]), t, mode="append")
+    _pin_commit_ts(t, {0: 1_000_000, 1: 2_000_000})
+
+    assert f(t, 999_999) == 0  # before the first commit: whole table
+    assert f(t, 1_000_000) == 0  # exactly at a commit: inclusive
+    assert f(t, 1_000_001) == 1
+    assert f(t, 2_000_000) == 1
+    assert f(t, 2_000_001) == 2  # past the last commit: future only
+    assert f(t, datetime.datetime.fromtimestamp(1.5)) == 1
+
+
+def test_first_version_at_or_after_uses_checkpoint_ts_index(
+    spark, tmp_path, monkeypatch
+):
+    """Resolution inside the checkpointed range answers from the
+    checkpoint's commit-time index — zero commit opens at or below it."""
+    import avro_diff_spark.sources.versioned as V
+
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, [(0, "base")]), t)
+    ts_of = {}
+    for i in range(1, 25):
+        v = commit_snapshot(_df(spark, [(i, f"r{i}")]), t, mode="append")
+        with open(os.path.join(t, "_log", f"{v:06d}.json")) as fh:
+            ts_of[v] = json.load(fh)["ts_us"]
+
+    opened: list[str] = []
+    real = V._read_commit
+
+    def counting(path):
+        opened.append(os.path.basename(path))
+        return real(path)
+
+    monkeypatch.setattr(V, "_read_commit", counting)
+    assert V.first_version_at_or_after(t, ts_of[7]) == 7
+    assert V.first_version_at_or_after(t, ts_of[7] + 1) == 8
+    assert all(int(n[:6]) > 20 for n in opened), opened
+
+
+def test_read_changes_timestamp_bounds(spark, tmp_path):
+    """ts_from/ts_to resolve through version_as_of (each names the
+    snapshot the table was at that time) and equal the explicit
+    version-bound feed; mixing a version and a timestamp bound errors."""
+    from avro_diff_spark.sources.versioned import read_changes
+
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, [(1, "a")]), t)
+    commit_snapshot(_df(spark, [(1, "A"), (2, "b")]), t, mode="overwrite")
+    commit_snapshot(_df(spark, [(1, "A"), (2, "b"), (3, "c")]), t, mode="overwrite")
+    _pin_commit_ts(t, {0: 1_000_000, 1: 2_000_000, 2: 3_000_000})
+
+    def rows(df):
+        return {(r.k, r.v, r._change_type, r._commit_version) for r in df.collect()}
+
+    want_all = rows(read_changes(spark, t, ["k"], v_from=0))
+    assert rows(read_changes(spark, t, ["k"], ts_from=1_500_000)) == want_all
+    assert rows(
+        read_changes(spark, t, ["k"], ts_from=1_000_000, ts_to=2_500_000)
+    ) == rows(read_changes(spark, t, ["k"], v_from=0, v_to=1))
+
+    with pytest.raises(ValueError, match="not both"):
+        read_changes(spark, t, ["k"], v_from=0, ts_from=1_000_000)
+    with pytest.raises(ValueError, match="not both"):
+        read_changes(spark, t, ["k"], ts_from=1_000_000, v_to=2, ts_to=3_000_000)
+    with pytest.raises(ValueError, match="v_from= or ts_from="):
+        read_changes(spark, t, ["k"])
+
+
 def test_merge_touched_rewrites_only_touched_files(spark, tmp_path):
     """rewrite='touched' (Delta's optimized MERGE): only files containing
     a source key are removed; untouched files survive the commit

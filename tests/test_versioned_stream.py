@@ -107,6 +107,45 @@ def test_stream_rejects_overwrite_unless_ignore_changes(spark, tmp_path):
     assert got == {(1, "a"), (2, "b")}  # v1's rewrite files skipped
 
 
+def test_stream_starting_ts_inclusive(spark, tmp_path):
+    """starting_ts follows Delta's inclusive startingTimestamp: the
+    stream begins at the earliest commit at-or-after the timestamp;
+    before the first commit -> full history; after the last -> empty.
+    stream_changes shares the resolution."""
+    import json
+    import os
+
+    from avro_diff_spark.streaming.table_source import stream_changes
+
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, [(1, "a")]), t)
+    commit_snapshot(_df(spark, [(2, "b")]), t, mode="append")
+    commit_snapshot(_df(spark, [(3, "c")]), t, mode="append")
+    for v, us in ((0, 1_000_000), (1, 2_000_000), (2, 3_000_000)):
+        p = os.path.join(t, "_log", f"{v:06d}.json")
+        with open(p) as fh:
+            c = json.load(fh)
+        c["ts_us"] = us
+        with open(p, "w") as fh:
+            json.dump(c, fh)
+
+    def drained(name, **kw):
+        _drain(stream_table(spark, t, **kw), name)
+        return {r.k for r in spark.sql(f"SELECT * FROM {name}").collect()}
+
+    assert drained("ts_exact", starting_ts=2_000_000) == {2, 3}  # inclusive
+    assert drained("ts_between", starting_ts=2_000_001) == {3}
+    assert drained("ts_early", starting_ts=1) == {1, 2, 3}
+    assert drained("ts_late", starting_ts=9_000_000) == set()
+
+    _drain(stream_changes(spark, t, starting_ts=3_000_000), "ts_cdf")
+    got = {
+        (r.k, r._change_type, r._commit_version)
+        for r in spark.sql("SELECT * FROM ts_cdf").collect()
+    }
+    assert got == {(3, "insert", 2)}
+
+
 def test_stream_cdc_composition_with_key_diff_stream(spark, tmp_path):
     """Subsystem composition: tail-the-table -> key_diff_stream against
     a TIME-TRAVELED baseline — the streaming CDC pipeline entirely on
