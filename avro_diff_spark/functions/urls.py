@@ -1,0 +1,167 @@
+"""URL canonicalization — the front-door dedup key of every web-scale
+training pipeline (CCNet, C4, RefinedWeb all dedup fetched pages by a
+normalized URL before any content pass runs).
+
+``normalize_url`` applies RFC 3986 §6 syntax-based normalization plus the
+conventions crawl pipelines layer on top:
+
+- scheme and host lowercased (§6.2.2.1), trailing host dot dropped
+- userinfo dropped (never part of a page's identity, and PII besides)
+- default ports stripped (``:80`` for http, ``:443`` for https — §6.2.3)
+- a single leading ``www.`` label stripped (the duplicate-host alias)
+- empty path → ``/`` (§6.2.3), runs of ``/`` collapsed, trailing ``/``
+  stripped off non-root paths
+- tracking query parameters dropped (``utm_*``, ``gclid``, ``fbclid``,
+  ``ref``, ``mc_cid``, ``mc_eid`` — the click-attribution params that
+  fragment otherwise-identical pages), remaining params SORTED so
+  param order never splits a dedup group, empty query dropped
+- fragment dropped (§3.5: never sent to the server)
+
+Dot-segment removal (§6.2.2.3) is intentionally out of scope — crawlers
+emit resolved URLs. Only absolute ``http``/``https`` URLs are rewritten;
+anything else passes through trimmed (the honest non-goal: mailto:,
+relative refs).
+
+Everything is a pure Column expression (regexp_extract / filter /
+array_sort — JVM-side, whole-stage-codegen) so normalizing 100 TB of
+URLs is map-only with zero Python in the loop. The DuckDB oracle in
+pipelines.py mirrors each step with the same regexes.
+
+Reference scope note: the reference engine (yuana97/Avro_Diff) has no URL
+surface — this extends the engine's LLM-pipeline tier, same as dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# Query params that track clicks, not content. Matched against the full
+# `name=value` pair (or a bare name) — anchored, so `idref=` survives.
+TRACKING_PARAM_RE = "^(utm_[^=]*|gclid|fbclid|ref|mc_cid|mc_eid)(=.*)?$"
+
+# Multi-label public suffixes the 2-label registrable-domain heuristic
+# would split wrong. A deliberately small embedded list (the full PSL is
+# a fetched artifact; these cover the dominant crawl hosts) — documented
+# heuristic, unit-pinned in tests/test_url_functions.py.
+MULTI_PART_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp",
+    "com.br", "com.cn", "com.mx", "co.in", "co.kr", "co.za",
+)
+
+_SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+_AUTH_RE = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+_PATH_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+
+
+def normalize_url(url: Column) -> Column:
+    """Canonical form of an absolute http(s) URL (module docstring has
+    the full rule list); non-http(s) input passes through trimmed."""
+    u = F.trim(url)
+    base = F.regexp_replace(u, "#.*$", "")  # fragment never survives
+    scheme = F.lower(F.regexp_extract(base, _SCHEME_RE, 1))
+    auth = F.regexp_extract(base, _AUTH_RE, 1)
+    # userinfo@ dropped, then host/port split on the last ':'
+    hostport = F.regexp_replace(auth, "^[^@]*@", "")
+    port = F.regexp_extract(hostport, ":([0-9]+)$", 1)
+    host = F.regexp_replace(
+        F.regexp_replace(F.lower(F.regexp_replace(hostport, ":[0-9]+$", "")),
+                         "^www\\.", ""),
+        "\\.$", "",
+    )
+    keep_port = (port != "") & ~(
+        ((scheme == F.lit("http")) & (port == "80"))
+        | ((scheme == F.lit("https")) & (port == "443"))
+    )
+    raw_path = F.regexp_extract(base, _PATH_RE, 1)
+    path = F.regexp_replace(raw_path, "/{2,}", "/")
+    path = F.when(path == "", F.lit("/")).otherwise(
+        F.regexp_replace(path, "(.)/$", "$1")
+    )
+    raw_q = F.regexp_extract(base, "\\?(.*)$", 1)  # from the FIRST '?'
+    params = F.array_sort(
+        F.filter(
+            F.split(raw_q, "&"),
+            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    query = F.array_join(params, "&")
+    rebuilt = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        F.when(query != "", F.concat(F.lit("?"), query)).otherwise(F.lit("")),
+    )
+    return F.when(scheme.isin("http", "https"), rebuilt).otherwise(u)
+
+
+def registrable_domain(host: Column) -> Column:
+    """The registrable domain of an already-normalized host — last two
+    labels, or three when the 2-label tail is a known multi-part public
+    suffix (``bbc.co.uk`` stays together). Embedded-suffix heuristic by
+    design; see MULTI_PART_SUFFIXES."""
+    labels = F.split(host, "\\.")
+    n = F.size(labels)
+    tail2 = F.array_join(F.slice(labels, -2, 2), ".")
+    take = F.when(
+        (n >= F.lit(3)) & tail2.isin(*MULTI_PART_SUFFIXES), F.lit(3)
+    ).otherwise(F.lit(2))
+    return F.when(n <= take, host).otherwise(
+        F.array_join(F.slice(labels, -take, take), ".")
+    )
+
+
+def synth_url(doc_id: Column) -> Column:
+    """Deterministic MESSY URL per document — the synthesized-payload
+    pattern the media queries use (documents carry no URL column):
+    every doc gets a crawl-shaped URL whose junk varies with doc_id
+    (scheme case, www alias, host case, default port, duplicate/
+    trailing slashes, tracking params, param order, fragment) while the
+    canonical identity is driven by ``g = doc_id % 89`` (89 prime and
+    coprime to every junk modulus, so each canonical group sees several
+    distinct raw spellings). The oracle reproduces this law verbatim."""
+    d = doc_id.cast("long")
+    g = d % 89
+    scheme = (
+        F.when(d % 3 == 0, F.lit("HTTP"))
+        .when(d % 3 == 1, F.lit("https"))
+        .otherwise(F.lit("Http"))
+    )
+    www = (
+        F.when(d % 4 == 0, F.lit("WWW."))
+        .when(d % 4 == 1, F.lit("www."))
+        .otherwise(F.lit(""))
+    )
+    host_core = F.concat(F.lit("news"), (g % 40).cast("string"),
+                         F.lit(".Example.COM"))
+    host = F.when(d % 2 == 0, F.upper(host_core)).otherwise(
+        F.lower(host_core)
+    )
+    port = (
+        F.when(g % 7 == 0, F.lit(":8080"))  # group-stable real port
+        .when(
+            d % 5 == 0,
+            F.when(d % 3 == 1, F.lit(":443")).otherwise(F.lit(":80")),
+        )
+        .otherwise(F.lit(""))
+    )
+    path = F.concat(
+        F.lit("/articles//item-"),
+        g.cast("string"),
+        F.when(d % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+    )
+    idp = (g % 10).cast("string")
+    query = (
+        F.when(d % 3 == 0, F.concat(F.lit("?utm_source=feed&id="), idp,
+                                    F.lit("&a=1")))
+        .when(d % 3 == 1, F.concat(F.lit("?a=1&id="), idp,
+                                   F.lit("&fbclid=X"), d.cast("string")))
+        .otherwise(F.concat(F.lit("?id="), idp, F.lit("&ref=tw&a=1")))
+    )
+    frag = F.when(d % 2 == 0,
+                  F.concat(F.lit("#sec"), (d % 7).cast("string"))
+                  ).otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), www, host, port, path, query, frag)
