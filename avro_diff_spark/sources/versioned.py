@@ -456,17 +456,16 @@ def _may_match_eq(add: dict, col: str, value) -> bool:
         return _typed_value(v, value) == _typed_value(str(_bound_str(value)), value)
     bl = (add.get("bloom") or {}).get(col)
     if bl is not None:
-        # normalize to Spark's string cast (booleans lowercase) so the
-        # reader hashes the exact bytes the distributed harvest hashed
-        probe = (
-            ("true" if value else "false")
-            if isinstance(value, bool)
-            else str(_bound_str(value))
-        )
-        bits = base64.b64decode(bl)
-        for p in _bloom_positions(probe):
-            if not (bits[p // 8] >> (p % 8)) & 1:
-                return False
+        # normalize to Spark's string cast (booleans lowercase, timestamp
+        # fractions trimmed) so the reader hashes the exact bytes the
+        # distributed harvest hashed; an unmappable rendering (tz-aware
+        # datetime) skips the bloom and keeps the file
+        probe = _spark_cast_str(value)
+        if probe is not None:
+            bits = base64.b64decode(bl)
+            for p in _bloom_positions(probe):
+                if not (bits[p // 8] >> (p % 8)) & 1:
+                    return False
     return _may_match(add, col, value, value)
 
 
@@ -652,6 +651,7 @@ def commit_snapshot(
                 "transform)"
             )
     _check_constraints(df, table_path, version - 1)
+    stage_mapping = dict(mapping)  # the mapping the files are staged under
     added = _stage_data(_to_physical(df, mapping), table_path, version, phys_pb)
     rels = [f for f, _ in added]
     file_rows, file_stats = _harvest_stats(
@@ -684,13 +684,14 @@ def commit_snapshot(
 
     import time
 
+    cur_df = df  # re-projected to fresh logical names on a lost race
     for _ in range(max(max_retries, 1)):
         commit = {
             "version": version,
             "mode": mode,
             "ts_us": int(time.time() * 1_000_000),
             "n_rows": n_rows,
-            "schema": df.schema.json(),
+            "schema": cur_df.schema.json(),
             "actions": actions_for(version),
         }
         if phys_pb:
@@ -700,9 +701,9 @@ def commit_snapshot(
             # an overwrite re-bases it on its own columns, an evolving
             # append registers its new columns as identity entries
             new_map = (
-                {c: mapping.get(c, c) for c in df.columns}
+                {c: mapping.get(c, c) for c in cur_df.columns}
                 if mode == "overwrite"
-                else {**mapping, **{c: c for c in df.columns if c not in mapping}}
+                else {**mapping, **{c: c for c in cur_df.columns if c not in mapping}}
             )
             commit["set_mapping"] = new_map
             commit["retired_physical"] = retired
@@ -724,12 +725,16 @@ def commit_snapshot(
             # concurrent rename_column cannot invalidate them; the
             # staging dir's vNNN prefix is cosmetic)
             version = latest_version(table_path) + 1
-            _check_append_schema(
-                df, table_path, version - 1, schema_evolution=schema_evolution
-            )
-            _check_constraints(df, table_path, version - 1)
             mapping, retired = _column_mapping(table_path, version - 1)
-            _check_retired(df, table_path, mapping, retired)
+            # a concurrent rename changes the logical vocabulary: gates,
+            # schema, and set_mapping all speak the FRESH names (round-8
+            # ADVICE), bridged through the rename-stable physical names
+            cur_df = _rebase_logical(df, mapping, stage_mapping)
+            _check_append_schema(
+                cur_df, table_path, version - 1, schema_evolution=schema_evolution
+            )
+            _check_constraints(cur_df, table_path, version - 1)
+            _check_retired(cur_df, table_path, mapping, retired)
             phys_pb = (
                 _phys_specs(partition_by, mapping) if partition_by else []
             )
@@ -957,6 +962,48 @@ def _bound_str(v) -> object:
     return v
 
 
+def _spark_cast_str(v) -> str | None:
+    """``v`` formatted as Spark's CAST(x AS STRING) would render it — the
+    exact bytes the distributed write-side harvest hashed into blooms and
+    bucket() partition values, so the driver-side probe hashes the SAME
+    string. Spark trims trailing zeros from a timestamp's fractional
+    seconds and drops the dot entirely at .000000 ('…00:00:00.5', not
+    Python isoformat's '…00:00:00.500000' — round-8 ADVICE: the mismatch
+    silently pruned files containing the matching row). Returns None for
+    values whose Spark rendering is session-dependent (tz-aware
+    datetimes) — the caller keeps the file, staying conservative."""
+    import datetime
+
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:
+            return None  # session-timezone dependent rendering
+        s = v.strftime("%Y-%m-%d %H:%M:%S")
+        if v.microsecond:
+            s += (".%06d" % v.microsecond).rstrip("0")
+        return s
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    return str(v)
+
+
+def _canon_frac(s: str) -> str:
+    """Canonicalize a temporal string's fractional seconds: trim trailing
+    zeros, drop an empty fraction — so '…00:00:00.500000' (Python
+    isoformat) and '…00:00:00.5' (Spark cast) compare equal. Trimmed
+    fractions stay lexicographically monotonic (absent digits read as
+    zeros, and a trimmed fraction never ends in '0'), so range pruning
+    over stats strings is unaffected."""
+    if "." not in s:
+        return s
+    head, _, frac = s.rpartition(".")
+    if not frac.isdigit():
+        return s
+    frac = frac.rstrip("0")
+    return f"{head}.{frac}" if frac else head
+
+
 def _typed_value(s: str, bound) -> object:
     """A pv/stats STRING coerced to the prune bound's comparison domain:
     numeric bounds compare numerically, temporal bounds by
@@ -975,7 +1022,7 @@ def _typed_value(s: str, bound) -> object:
     if isinstance(bound, float):
         return float(s)
     if _is_temporal(bound):
-        return str(s).replace("T", " ")
+        return _canon_frac(str(s).replace("T", " "))
     return str(s)
 
 
@@ -1077,8 +1124,9 @@ def _transform_value(kind: str, v, param):
         return None
     if kind == "bucket":
         if isinstance(v, bool) or not isinstance(v, (int, str, datetime.date)):
-            return None  # bucket prunes int/string/date point lookups only
-        return zlib.crc32(str(_bound_str(v)).encode("utf-8")) % param
+            return None  # bucket prunes int/string/temporal point lookups only
+        s = _spark_cast_str(v)  # the exact bytes F.crc32 hashed at write
+        return None if s is None else zlib.crc32(s.encode("utf-8")) % param
     if kind == "truncate":
         if isinstance(v, bool):
             return None
@@ -1160,6 +1208,22 @@ def _phys_cols(cols, mapping: dict) -> list:
     return [mapping.get(c, c) for c in (cols or [])]
 
 
+def _rebase_logical(df: DataFrame, fresh: dict, stage: dict) -> DataFrame:
+    """Project a frame whose files were staged under mapping ``stage``
+    to the logical names in force under ``fresh``, bridged through the
+    stable physical names: a column renamed by a CONCURRENT commit shows
+    up under its NEW name, so the rebased publish's schema, constraint
+    checks, and set_mapping all speak the current logical vocabulary —
+    a stale name would silently revert the rename ('latest set_mapping
+    wins') and union the old name back into the table schema (round-8
+    ADVICE). Columns unknown to both mappings keep their names."""
+    inv = {p: l for l, p in fresh.items()}
+    names = {c: inv.get(stage.get(c, c), c) for c in df.columns}
+    if all(c == n for c, n in names.items()):
+        return df
+    return df.select(*[F.col(c).alias(n) for c, n in names.items()])
+
+
 def _phys_specs(partition_by, mapping: dict) -> list:
     """Translate partition specs (identity columns or transforms) from
     logical to physical source names. Stored commit partition_by is
@@ -1224,9 +1288,14 @@ def _may_match(add: dict, col: str, lo, hi) -> bool:
     if s is None:
         return True
     if isinstance(lo_b, str):
-        # temporal bounds normalize both separators; plain strings
-        # compare raw (round-7 ADVICE: no mangling of ordinary data)
-        norm = (lambda x: str(x).replace("T", " ")) if _is_temporal(lo) else str
+        # temporal bounds normalize both separators and fractional-second
+        # trailing zeros (trimmed fractions stay order-preserving); plain
+        # strings compare raw (round-7 ADVICE: no mangling of ordinary data)
+        norm = (
+            (lambda x: _canon_frac(str(x).replace("T", " ")))
+            if _is_temporal(lo)
+            else str
+        )
         return not (norm(s[1]) < norm(lo_b) or norm(s[0]) > norm(hi_b))
     return not (s[1] < lo_b or s[0] > hi_b)
 
@@ -2113,7 +2182,12 @@ def compact_table(
             stats_cols=stats_cols,
             extra=extra,
         )
-    df = read_version(spark, table_path)
+    # read the SNAPSHOTTED version, not implicit latest: the remove list
+    # below comes from `version`, so an append landing between the two
+    # must stay additive — an unpinned read would fold its rows into the
+    # rewrite while its file also stays live, duplicating them (round-8
+    # ADVICE). Pinned, the concurrent file is neither read nor removed.
+    df = read_version(spark, table_path, version)
     extra = None
     if cluster_by:
         from avro_diff_spark.operators import layout as L
@@ -2459,11 +2533,13 @@ def commit_stream(
             return
         if last_committed_epoch(table_path, app_id) >= epoch_id:
             return  # replayed batch: already durable in the log
-        mapping, retired = _column_mapping(table_path, latest_version(table_path))
-        _check_retired(batch_df, table_path, mapping, retired)
-        phys_pb = _phys_specs(partition_by, mapping) if partition_by else []
+        stage_mapping, retired = _column_mapping(
+            table_path, latest_version(table_path)
+        )
+        _check_retired(batch_df, table_path, stage_mapping, retired)
+        phys_pb = _phys_specs(partition_by, stage_mapping) if partition_by else []
         added = _stage_data(
-            _to_physical(batch_df, mapping),
+            _to_physical(batch_df, stage_mapping),
             table_path,
             latest_version(table_path) + 1,
             phys_pb,
@@ -2479,8 +2555,18 @@ def commit_stream(
             # validate INSIDE the retry loop, against the rebased latest
             # version: a constraint added by a concurrent add_constraint
             # must refuse this micro-batch too (round-7 ADVICE; mirrors
-            # commit_snapshot's append-rebase path)
-            _check_constraints(batch_df, table_path, version - 1)
+            # commit_snapshot's append-rebase path). The column mapping
+            # re-derives here too — a rename/drop committed between
+            # staging and this publish attempt must not be reverted by a
+            # stale set_mapping (round-8 ADVICE); staged files are safe,
+            # physical names are rename-stable
+            mapping, retired = _column_mapping(table_path, version - 1)
+            cur_df = _rebase_logical(batch_df, mapping, stage_mapping)
+            _check_constraints(cur_df, table_path, version - 1)
+            _check_retired(cur_df, table_path, mapping, retired)
+            # phys_pb stays the STAGE-TIME translation: the hive layout
+            # is already baked into the staged files, and physical names
+            # are rename-stable, so it remains the correct recorded spec
             commit = {
                 "version": version,
                 "mode": "append",
@@ -2488,7 +2574,7 @@ def commit_stream(
                 "app": app_id,
                 "epoch": epoch_id,
                 "n_rows": n_rows,
-                "schema": batch_df.schema.json(),
+                "schema": cur_df.schema.json(),
                 "actions": [
                     {
                         "add": f,
@@ -2503,7 +2589,7 @@ def commit_stream(
             if mapping:
                 commit["set_mapping"] = {
                     **mapping,
-                    **{c: c for c in batch_df.columns if c not in mapping},
+                    **{c: c for c in cur_df.columns if c not in mapping},
                 }
                 commit["retired_physical"] = retired
             try:
@@ -3178,12 +3264,32 @@ def read_changes(
         raise ValueError(f"need v_to > v_from (got {v_from} -> {v_to})")
     from avro_diff_spark.operators.key_diff import key_diff
 
+    # a feed range spanning a rename_column must union COMPATIBLE steps:
+    # each step's frame carries the logical names in force at its own
+    # version, so pre-rename steps are projected to v_to's names through
+    # the stable physical names (round-8 ADVICE — unionByName would
+    # otherwise emit both old- and new-name columns, each null on the
+    # other side). Caller ``keys`` are v_to's logical names.
+    mapping_to, _ = _column_mapping(table_path, v_to)
+    inv_to = {p: l for l, p in mapping_to.items()}
+
     def step(v: int) -> DataFrame:
+        mapping_v, _ = _column_mapping(table_path, v)
+        inv_v = {p: l for l, p in mapping_v.items()}
+        # v_to logical -> physical -> the logical name in force at v
+        # (with no mapping at v, logical IS physical)
+        keys_v = [
+            inv_v.get(mapping_to.get(k, k), mapping_to.get(k, k)) for k in keys
+        ]
         d = key_diff(
             read_version(spark, table_path, v - 1),
             read_version(spark, table_path, v),
-            keys,
+            keys_v,
         )
+        to_name = {
+            c: inv_to.get(mapping_v.get(c, c), c)
+            for c in d.schema["new"].dataType.names
+        }
 
         def tagged(ct: str, payload: str):
             return F.struct(
@@ -3203,7 +3309,10 @@ def read_changes(
             )
         )  # unchanged -> NULL array, dropped by the plain explode
         return d.select(F.explode(changes).alias("_e")).select(
-            "_e._row.*",
+            *[
+                F.col("_e._row").getField(c).alias(n)
+                for c, n in to_name.items()
+            ],
             F.col("_e._ct").alias("_change_type"),
             F.lit(v).alias("_commit_version"),
         )

@@ -114,6 +114,8 @@ try:  # the Python Data Source API needs pyspark>=4; gate for older envs
             inv = {p: l for l, p in mapping.items()}
             phys = [mapping.get(n, n) for n in names]
             parts = []
+            from avro_diff_spark.sources.versioned import _live_adds
+
             for v in range(start["version"] + 1, end["version"] + 1):
                 if v not in by_version:
                     continue  # vacuumed log entries keep their numbers; gaps impossible otherwise
@@ -123,11 +125,34 @@ try:  # the Python Data Source API needs pyspark>=4; gate for older envs
                 # at the stream's starting version it IS the initial
                 # snapshot (Delta's startingVersion semantics); later
                 # overwrites are rewrites the append feed cannot express
-                if commit["mode"] == "meta" and v != self.start:
+                actions = commit["actions"]
+                if v == self.start and commit["mode"] not in (
+                    "append",
+                    "overwrite",
+                ):
+                    # a replace/meta/delete/update/merge commit's own adds
+                    # are NOT the table state (a compaction re-adds only
+                    # the files it packed; a meta commit adds nothing) —
+                    # the initial snapshot is the full live set at the
+                    # starting version (round-8 ADVICE)
+                    adds, _ = _live_adds(self.table_path, v)
+                    if any(info.get("dvs") for info in adds.values()):
+                        raise ValueError(
+                            f"starting_version {v} of {self.table_path!r} "
+                            "has live deletion vectors, which a table "
+                            "stream's snapshot read cannot apply — run "
+                            "compact_table (it materializes DVs away) and "
+                            "start from that version"
+                        )
+                    actions = [
+                        {"add": f, "pv": info.get("pv")}
+                        for f, info in sorted(adds.items())
+                    ]
+                elif commit["mode"] == "meta" and v != self.start:
                     continue  # constraint/rename/drop: no rows to replay
-                if commit["mode"] == "replace" and v != self.start:
+                elif commit["mode"] == "replace" and v != self.start:
                     continue  # compaction: dataChange=false, rows already replayed
-                if commit["mode"] != "append" and v != self.start:
+                elif commit["mode"] != "append" and v != self.start:
                     if self.ignore_changes:
                         continue
                     raise ValueError(
@@ -136,7 +161,7 @@ try:  # the Python Data Source API needs pyspark>=4; gate for older envs
                         "appends only; pass ignore_changes=True to skip "
                         "rewrite/delete commits (their files are not replayed)"
                     )
-                for a in commit["actions"]:
+                for a in actions:
                     if "add" not in a:
                         continue
                     pv = {

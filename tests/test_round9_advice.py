@@ -1,0 +1,254 @@
+"""Round-8 ADVICE fixes (sources/versioned.py, streaming/table_source.py):
+concurrent-rename survival in commit_stream and append rebase, Spark-cast
+timestamp strings in bloom/bucket/stats pruning, compaction pinned to its
+snapshot, full initial snapshots at non-append stream starts, and CDF
+column projection across renames."""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+import avro_diff_spark.sources.versioned as V
+from avro_diff_spark.sources.versioned import (
+    commit_snapshot,
+    compact_table,
+    read_changes,
+    read_version,
+    rename_column,
+    table_schema,
+)
+from avro_diff_spark.streaming.table_source import stream_table
+
+
+def _df(spark, rows, schema="k long, v string"):
+    return spark.createDataFrame(rows, schema)
+
+
+def _drain(df, name):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_commit_stream_preserves_concurrent_rename(spark, tmp_path):
+    """A rename_column committed between a micro-batch's staging and its
+    publish must survive: the sink re-derives the column mapping inside
+    the publish retry loop, so its set_mapping carries the NEW name
+    (stale mapping would silently revert the rename — 'latest
+    set_mapping wins')."""
+    src, ckpt, t = (str(tmp_path / d) for d in ("src", "ck", "tbl"))
+    os.makedirs(src)
+    commit_snapshot(_df(spark, [(1, "a")]), t)
+    # activate mapping BEFORE the stream so physical names differ from
+    # logical ones (v -> v); then rename v->txt mid-publish
+    rename_column(t, "v", "val")
+    _df(spark, [(2, "b")], "k long, val string").coalesce(1).write.mode(
+        "append"
+    ).json(src)
+
+    real_publish = V._publish_commit
+    fired = {"n": 0}
+
+    def racing_publish(table_path, version, commit):
+        if commit.get("app") and fired["n"] == 0:
+            fired["n"] = 1
+            rename_column(t, "val", "txt")
+            raise V.CommitConflict("lost race to rename_column")
+        return real_publish(table_path, version, commit)
+
+    stream = spark.readStream.schema("k long, val string").json(src)
+    V._publish_commit = racing_publish
+    try:
+        q = V.commit_stream(stream, t, checkpoint=ckpt)
+        q.awaitTermination(120)
+    finally:
+        V._publish_commit = real_publish
+    assert fired["n"] == 1, "race injection never fired"
+    # the rename survives the stream's commit, and the batch's rows read
+    # under the NEW logical name (physical names are rename-stable)
+    assert [f.name for f in table_schema(t).fields] == ["k", "txt"]
+    got = {(r.k, r.txt) for r in read_version(spark, t).collect()}
+    assert got == {(1, "a"), (2, "b")}
+
+
+def test_append_rebase_preserves_concurrent_rename(spark, tmp_path):
+    """commit_snapshot's append rebase: a concurrent rename between
+    staging and publish must not be reverted by the rebased commit's
+    identity entries — the stale logical name's physical is already
+    addressed by the fresh mapping, so no identity entry is recorded."""
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, [(1, "a")]), t)
+    rename_column(t, "v", "val")
+
+    real_publish = V._publish_commit
+    fired = {"n": 0}
+
+    def racing_publish(table_path, version, commit):
+        if commit["mode"] == "append" and fired["n"] == 0:
+            fired["n"] = 1
+            rename_column(t, "val", "txt")
+            raise V.CommitConflict("lost race to rename_column")
+        return real_publish(table_path, version, commit)
+
+    V._publish_commit = racing_publish
+    try:
+        commit_snapshot(_df(spark, [(2, "b")], "k long, val string"), t, mode="append")
+    finally:
+        V._publish_commit = real_publish
+    assert fired["n"] == 1
+    assert [f.name for f in table_schema(t).fields] == ["k", "txt"]
+    got = {(r.k, r.txt) for r in read_version(spark, t).collect()}
+    assert got == {(1, "a"), (2, "b")}
+
+
+def test_bloom_prunes_fractional_second_timestamps(spark, tmp_path):
+    """Bloom point-lookup pruning for a timestamp WITH microseconds: the
+    write side hashed Spark's cast ('…00.5'); the probe must hash the
+    same bytes, not Python isoformat ('…00.500000') — the mismatch
+    silently pruned files CONTAINING the matching row."""
+    t = str(tmp_path / "tbl")
+    ts = datetime.datetime(2024, 1, 1, 0, 0, 0, 500000)
+    other = datetime.datetime(2024, 6, 1, 12, 30, 15, 123000)
+    df = spark.createDataFrame([(1, ts), (2, other)], "k long, ts timestamp")
+    commit_snapshot(df.repartition(2, "k"), t, bloom_cols=["ts"], stats_cols=["ts"])
+    got = read_version(spark, t, prune_eq=("ts", ts)).collect()
+    assert {(r.k, r.ts) for r in got if r.ts == ts} == {(1, ts)}
+    # range pruning with a fractional bound keeps the row too
+    got = read_version(spark, t, prune=("ts", ts, ts)).collect()
+    assert (1, ts) in {(r.k, r.ts) for r in got}
+
+
+def test_bucket_transform_prunes_fractional_second_timestamps(spark, tmp_path):
+    """bucket(N, ts) hidden-partition pruning hashes Spark's string cast
+    driver-side — a fractional-second probe must land in the same bucket
+    the write side put the row in (zero missing rows), while still
+    skipping at least one non-matching bucket at this N."""
+    t = str(tmp_path / "tbl")
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (i, base + datetime.timedelta(seconds=i, microseconds=500000 * (i % 2)))
+        for i in range(16)
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp")
+    commit_snapshot(df, t, partition_by=["bucket(4,ts)"])
+    for k, ts in rows[:6]:
+        got = {(r.k, r.ts) for r in read_version(spark, t, prune_eq=("ts", ts)).collect()}
+        assert (k, ts) in got, f"row {k} pruned away at ts={ts!r}"
+
+
+def test_tz_aware_probe_keeps_file(spark, tmp_path):
+    """A tz-aware datetime probe has a session-dependent Spark rendering:
+    bloom/bucket must SKIP (keep the file), never hash a mismatched
+    string and prune it."""
+    t = str(tmp_path / "tbl")
+    ts = datetime.datetime(2024, 1, 1, 0, 0, 0, 500000)
+    df = spark.createDataFrame([(1, ts)], "k long, ts timestamp")
+    commit_snapshot(df, t, bloom_cols=["ts"])
+    aware = ts.replace(tzinfo=datetime.timezone.utc)
+    assert V._spark_cast_str(aware) is None
+    got = read_version(spark, t, prune_eq=("ts", aware)).count()
+    assert got == 1  # conservative: file kept
+
+
+def test_compact_table_pins_snapshot_against_concurrent_append(spark, tmp_path):
+    """Full compaction reads the SNAPSHOTTED version: an append landing
+    between the version snapshot and the rewrite's read stays additive —
+    unpinned, its rows would be folded into the rewrite while its file
+    also stayed live (duplicates)."""
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, [(1, "a"), (2, "b")]), t)
+    commit_snapshot(_df(spark, [(3, "c")]), t, mode="append")
+
+    real_read = V.read_version
+    fired = {"n": 0}
+
+    def racing_read(spark_, table_path, version=None, **kw):
+        if fired["n"] == 0 and table_path == t:
+            fired["n"] = 1
+            commit_snapshot(_df(spark, [(4, "d")]), t, mode="append")
+        return real_read(spark_, table_path, version, **kw)
+
+    V.read_version = racing_read
+    try:
+        compact_table(spark, t, target_files=1)
+    finally:
+        V.read_version = real_read
+    assert fired["n"] == 1
+    rows = [(r.k, r.v) for r in read_version(spark, t).collect()]
+    assert sorted(rows) == [(1, "a"), (2, "b"), (3, "c"), (4, "d")]  # no dupes
+
+
+def test_stream_start_at_replace_commit_is_full_snapshot(spark, tmp_path):
+    """starting_version pointing at an incremental REPLACE (compaction)
+    commit: its own adds are only the packed tail — the stream's initial
+    snapshot must be the full live set at that version."""
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, [(i, f"r{i}") for i in range(50)]), t)
+    # small tail file, then an incremental bin-pack replace that touches
+    # ONLY the tail — well-sized files stay as metadata
+    commit_snapshot(_df(spark, [(100, "x")]), t, mode="append")
+    commit_snapshot(_df(spark, [(101, "y")]), t, mode="append")
+    v = compact_table(spark, t, target_files=1, min_file_rows=10)
+    assert v == 3  # the replace commit landed
+
+    _drain(stream_table(spark, t, starting_version=v), "r9_replace_start")
+    got = {(r.k, r.v) for r in spark.sql("SELECT * FROM r9_replace_start").collect()}
+    want = {(r.k, r.v) for r in read_version(spark, t, v).collect()}
+    assert got == want and len(got) == 52
+
+
+def test_stream_start_at_meta_commit_is_full_snapshot(spark, tmp_path):
+    """starting_version pointing at a META commit (constraint/rename):
+    it adds no files — previously the stream emitted NOTHING; now the
+    initial snapshot is the live set at that version."""
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, [(1, "a"), (2, "b")]), t)
+    V.add_constraint(spark, t, "k_pos", "k > 0")  # meta commit, version 1
+    _drain(stream_table(spark, t, starting_version=1), "r9_meta_start")
+    got = {(r.k, r.v) for r in spark.sql("SELECT * FROM r9_meta_start").collect()}
+    assert got == {(1, "a"), (2, "b")}
+
+
+def test_stream_start_with_live_dvs_raises(spark, tmp_path):
+    """The snapshot-at-start path cannot apply deletion vectors — it must
+    refuse with a clear message rather than resurrect deleted rows."""
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, [(1, "a"), (2, "b"), (3, "c")]), t)
+    v = V.delete_where(spark, t, "k = 2", rewrite="dv")
+    with pytest.raises(Exception, match="deletion vectors"):
+        _drain(stream_table(spark, t, starting_version=v), "r9_dv_start")
+
+
+def test_read_changes_across_rename_projects_to_latest_names(spark, tmp_path):
+    """A CDF range spanning a rename_column: pre-rename steps project to
+    v_to's logical names through the stable physical names — one 'txt'
+    column with real values, never a (v, txt) pair of half-null columns."""
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, [(1, "a")]), t)  # v0
+    commit_snapshot(_df(spark, [(2, "b")]), t, mode="append")  # v1
+    rename_column(t, "v", "txt")  # v2 (meta)
+    commit_snapshot(_df(spark, [(3, "c")], "k long, txt string"), t, mode="append")  # v3
+
+    ch = read_changes(spark, t, ["k"], v_from=0)
+    assert sorted(ch.columns) == ["_change_type", "_commit_version", "k", "txt"]
+    rows = {(r.k, r.txt, r._change_type, r._commit_version) for r in ch.collect()}
+    assert rows == {
+        (2, "b", "insert", 1),
+        (3, "c", "insert", 3),
+    }
+    # keys given in CURRENT names also work when the KEY itself renamed
+    rename_column(t, "k", "id")  # v4
+    commit_snapshot(_df(spark, [(4, "d")], "id long, txt string"), t, mode="append")  # v5
+    ch2 = read_changes(spark, t, ["id"], v_from=0)
+    assert sorted(ch2.columns) == ["_change_type", "_commit_version", "id", "txt"]
+    rows2 = {(r.id, r.txt, r._commit_version) for r in ch2.collect()}
+    assert rows2 == {(2, "b", 1), (3, "c", 3), (4, "d", 5)}
