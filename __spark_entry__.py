@@ -1148,6 +1148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": analytics.sessionize,
         "asof_attribution": analytics.asof_attribution,
         "events_rollup": analytics.events_rollup,
+        "events_gapfill": analytics.events_gapfill,
         # LLM-data-pipeline operators (text analysis, dedup, similarity)
         **pipelines.PIPELINE_QUERIES,
     }
@@ -1477,7 +1478,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # decode slot, and the FLAC decoder is pinned independently of Spark
     # by tests/test_flac.py (hand-assembled RFC 9639 spec streams +
     # round-trip fuzz); the CI oracle gate value-hashes it every run.
+    # Round-9 demotions (four slots for the four round-9 head entries —
+    # hll_distinct_orders, kmv_custkey_overlap, countmin_heavy_hitters,
+    # events_gapfill):
+    # near_dup_cluster_sizes moves to the tail — it is ONE groupBy-count
+    # over the exact output of the recorded near_dup_clusters (same
+    # banding + verify + connected-components machinery end to end), and
+    # the size law is pytest-pinned (bucket-count conservation); the CI
+    # oracle gate value-hashes it every run.
+    # top_revenue_orders moves to the tail — its shape (dim join → groupBy
+    # → TakeOrdered top-k) is exactly the recorded supplier_part_profit's
+    # join-agg-top-k over the same star schema, and the top-k tie-break
+    # law is shared with the recorded countmin_heavy_hitters probes.
+    # lm_bigram_scores moves to the tail — a driver-trained broadcast
+    # table + int64 fixed-point per-doc accumulate, the same shape as the
+    # recorded dsir_weights and quality_classifier; the trained-table law
+    # is pytest-pinned against a pure-Python recompute.
+    # decontaminated_counts moves to the tail — it composes the tail
+    # contamination_check membership predicate with a groupBy count, and
+    # the scrub law it summarizes is the recorded exact_substring_scrub's;
+    # the CI oracle gate value-hashes all of these every run.
     for tail in (
+        "near_dup_cluster_sizes",
+        "top_revenue_orders",
+        "lm_bigram_scores",
+        "decontaminated_counts",
         "image_exif_metadata",
         "ivf_topk",
         "gif_frame_sample",
@@ -1592,5 +1617,6 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": analytics.SESSIONIZE_SQL,
         "asof_attribution": analytics.ASOF_ATTRIBUTION_SQL,
         "events_rollup": analytics.EVENTS_ROLLUP_SQL,
+        "events_gapfill": analytics.EVENTS_GAPFILL_SQL,
         **pipelines.pipeline_sql(),
     }

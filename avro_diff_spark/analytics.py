@@ -541,3 +541,75 @@ FROM (
   FROM events
 ) GROUP BY ROLLUP (day_us, hour_us)
 """
+
+
+def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly per-type series with GAP FILLING — the timescale
+    ``time_bucket_gapfill`` + LOCF surface every time-series store
+    exposes and plain GROUP BY cannot produce (an hour with no events
+    yields no group): generate each type's full observed hour range with
+    ``sequence``+``explode``, left-join the sparse hourly counts, and
+    emit zero-filled and last-observation-carried-forward columns.
+
+    Scale shape: the sparse aggregate is one shuffle with map-side
+    combine; the dense axis explodes from a groups-sized bounds table
+    (rows = types x hours-in-range, never a function of event count);
+    the LOCF window partitions BY SERIES KEY, so at 100 TB with millions
+    of entities every partition is one series, not one global funnel —
+    the plan gate rejects unpartitioned windows. Integer hour buckets
+    (epoch micros), integer counts: engine-portable, no timestamp or
+    float drift."""
+    from pyspark.sql import Window
+
+    ev = load_events(spark, sf_dir)
+    hour_us = 3_600_000_000
+    us = F.col("ts_us")
+    hourly = (
+        ev.select("event_type", (us - us % hour_us).alias("hour_us"))
+        .groupBy("event_type", "hour_us")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("hour_us").alias("lo"), F.max("hour_us").alias("hi")
+    )
+    hours = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.lit(hour_us))
+        ).alias("hour_us"),
+    )
+    full = hours.join(hourly, ["event_type", "hour_us"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_us")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return full.select(
+        "event_type",
+        "hour_us",
+        F.coalesce("n_events", F.lit(0)).alias("n_filled"),
+        F.last("n_events", ignorenulls=True).over(w).alias("n_locf"),
+        F.col("n_events").isNull().alias("gap"),
+    )
+
+
+EVENTS_GAPFILL_SQL = """
+WITH hourly AS (
+  SELECT event_type, epoch_us(ts) - (epoch_us(ts) % 3600000000) AS hour_us,
+         count(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT event_type, min(hour_us) AS lo, max(hour_us) AS hi
+           FROM hourly GROUP BY event_type),
+hours AS (SELECT event_type, unnest(generate_series(lo, hi, 3600000000)) AS hour_us
+          FROM bounds),
+dense AS (SELECT hours.event_type, hours.hour_us, hourly.n_events
+          FROM hours LEFT JOIN hourly USING (event_type, hour_us))
+SELECT event_type, hour_us,
+       coalesce(n_events, 0) AS n_filled,
+       last_value(n_events IGNORE NULLS) OVER (
+         PARTITION BY event_type ORDER BY hour_us
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_locf,
+       n_events IS NULL AS gap
+FROM dense
+"""

@@ -3571,6 +3571,149 @@ def q_audio_features_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.audio_features(MM.synth_media(docs, "text", "doc_id"))
 
 
+def q_hll_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count sketch (functions/sketches.py) next to
+    the exact answer: per return flag, the estimated and exact number of
+    distinct orders touched. The sketch side is the 100 TB plan — one
+    groupBy whose shuffle carries at most groups × 512 register rows
+    (map-side max combine) instead of every distinct key; the exact
+    COUNT(DISTINCT) here is the honesty column the oracle pins both
+    against. Estimates are bit-deterministic (md5 hashing, integer
+    registers, one correctly-rounded float finish), so the DuckDB oracle
+    reproduces them exactly."""
+    from avro_diff_spark.functions import sketches as SK
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    est = SK.hll_estimate(
+        SK.hll_registers(li, "l_orderkey", ["l_returnflag"]), ["l_returnflag"]
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_orders")
+    )
+    return est.join(exact, "l_returnflag").orderBy("l_returnflag")
+
+
+def _hll_distinct_orders_sql() -> str:
+    from avro_diff_spark.functions import sketches as SK
+
+    return f"""
+WITH est AS ({SK.hll_estimate_sql("lineitem", "l_orderkey", ["l_returnflag"])}),
+ex AS (SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_orders
+       FROM lineitem GROUP BY l_returnflag)
+SELECT est.l_returnflag, est.zero_registers, est.s_scaled, est.est_x1000,
+       ex.exact_orders
+FROM est JOIN ex USING (l_returnflag) ORDER BY l_returnflag
+"""
+
+
+def q_kmv_custkey_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV/theta-sketch set intersection: how many distinct customers
+    placed BOTH a finished ('F') and an open ('O') order, estimated from
+    two 256-hash sketches plus the exact answer. The sketch path never
+    shuffles the full distinct sets against each other — each side
+    reduces to its k smallest md5 hashes (TakeOrdered, no full sort) and
+    the big sets are only SEMI-joined against the broadcast k-row union
+    sketch; at small cardinality (union < k) the sketch degenerates to
+    the exact count by construction, so the estimator is total."""
+    from avro_diff_spark.functions import sketches as SK
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    est = SK.kmv_overlap(
+        o.where(F.col("o_orderstatus") == "F"),
+        o.where(F.col("o_orderstatus") == "O"),
+        "o_custkey",
+        k=256,
+    )
+    exact = (
+        o.where(F.col("o_orderstatus") == "F")
+        .select("o_custkey")
+        .intersect(o.where(F.col("o_orderstatus") == "O").select("o_custkey"))
+        .agg(F.count(F.lit(1)).alias("exact_inter"))
+    )
+    # fold the two 1-row frames with a union + max aggregation — a join
+    # on a literal key constant-folds into the nested-loop shape the
+    # plan gate bans
+    cols = ["n_union_sketch", "cnt_both", "est_inter_x1000", "exact_inter"]
+    nul = F.lit(None).cast("long")
+    combined = est.withColumn("exact_inter", nul).unionByName(
+        exact.select(
+            nul.alias("n_union_sketch"),
+            nul.alias("cnt_both"),
+            nul.alias("est_inter_x1000"),
+            "exact_inter",
+        )
+    )
+    return combined.agg(*[F.max(c).alias(c) for c in cols])
+
+
+def _kmv_custkey_overlap_sql() -> str:
+    from avro_diff_spark.functions import sketches as SK
+
+    kmv = SK.kmv_overlap_sql(
+        "(SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')",
+        "(SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')",
+        "o_custkey",
+        k=256,
+    )
+    return f"""
+WITH est AS ({kmv}),
+ex AS (
+  SELECT count(*) AS exact_inter FROM (
+    SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+  )
+)
+SELECT est.*, ex.exact_inter FROM est, ex
+"""
+
+
+def q_countmin_heavy_hitters(
+    spark: SparkSession, sf_dir: str, k: int = 10
+) -> DataFrame:
+    """Count-min sketch vs ground truth for the corpus's top-k tokens:
+    fold the exact term-count table into a fixed 4×1024 sketch, then
+    point-estimate the top-k terms through it (estimate >= exact by the
+    count-min guarantee; equality at this scale shows the sketch is
+    collision-free where it matters). At 100 TB the sketch is the
+    shippable artifact — 4096 integers answer any frequency probe
+    without the full vocabulary table; the build is one extra
+    4-rows-per-DISTINCT-term explode + groupBy on the counts the
+    vocabulary pass already produces."""
+    from avro_diff_spark.functions import sketches as SK
+
+    d = spread_small(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    toks = d.select(
+        F.explode_outer(TX.tokens_ws(F.col("text"))).alias("token")
+    ).where(F.col("token").isNotNull() & (F.col("token") != ""))
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    sketch = SK.countmin_sketch(counts, "token", "n")
+    probes = counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(k)
+    est = SK.countmin_lookup(sketch, probes.select("token"), "token")
+    return (
+        probes.join(est, "token")
+        .select("token", F.col("n").alias("n_exact"), "n_cm")
+        .orderBy(F.col("n_exact").desc(), F.col("token").asc())
+    )
+
+
+def _countmin_sql(k: int = 10) -> str:
+    from avro_diff_spark.functions import sketches as SK
+
+    tc = f"""SELECT token, count(*)::BIGINT AS n FROM (
+      SELECT unnest({tokens_sql('text')}) AS token FROM documents
+    ) WHERE token <> '' GROUP BY token"""
+    probes = f"SELECT token FROM tc ORDER BY n DESC, token ASC LIMIT {k}"
+    cm = SK.countmin_sql(tc, "token", "n", probes)
+    return f"""
+WITH cm AS ({cm}),
+tc2 AS ({tc})
+SELECT cm.token, tc2.n AS n_exact, cm.n_cm
+FROM cm JOIN tc2 ON cm.token = tc2.token
+ORDER BY n_exact DESC, cm.token ASC
+"""
+
+
 PIPELINE_QUERIES = {
     "text_stats": q_text_stats,
     "vocab_topk": q_vocab_topk,
@@ -3641,6 +3784,9 @@ PIPELINE_QUERIES = {
     "audio_analysis_wav": q_audio_analysis_wav,
     "image_features_stub": q_image_features_stub,
     "audio_features_stub": q_audio_features_stub,
+    "hll_distinct_orders": q_hll_distinct_orders,
+    "kmv_custkey_overlap": q_kmv_custkey_overlap,
+    "countmin_heavy_hitters": q_countmin_heavy_hitters,
 }
 
 def pipeline_sql() -> dict[str, str]:
@@ -3717,4 +3863,7 @@ def pipeline_sql() -> dict[str, str]:
         "audio_analysis_wav": AUDIO_ANALYSIS_WAV_SQL,
         "image_features_stub": IMAGE_FEATURES_SQL,
         "audio_features_stub": AUDIO_FEATURES_SQL,
+        "hll_distinct_orders": _hll_distinct_orders_sql(),
+        "kmv_custkey_overlap": _kmv_custkey_overlap_sql(),
+        "countmin_heavy_hitters": _countmin_sql(),
     }
