@@ -1498,7 +1498,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # contamination_check membership predicate with a groupBy count, and
     # the scrub law it summarizes is the recorded exact_substring_scrub's;
     # the CI oracle gate value-hashes all of these every run.
+    # Round-9 demotion (slot for pagerank_neardups, fixed-point PageRank
+    # over the near-dup graph): key_diff_detail_arrays moves to the tail —
+    # its per-leaf detail machinery is the recorded key_diff_detail_orders'
+    # (same schema-driven expression trees over one FOJ), and the
+    # array-by-index explosion variant is pytest-pinned
+    # (tests/test_key_diff.py::test_detail_explode_arrays_per_index); the
+    # CI oracle gate value-hashes it every run.
     for tail in (
+        "key_diff_detail_arrays",
         "near_dup_cluster_sizes",
         "top_revenue_orders",
         "lm_bigram_scores",

@@ -288,6 +288,7 @@ def table_main(argv: list[str] | None = None) -> int:
             "drop-column",
             "detail",
             "compute-stats",
+            "files",
         ],
     )
     p.add_argument("--stats-cols", default=None, help="comma-separated columns (compute-stats)")
@@ -336,6 +337,19 @@ def table_main(argv: list[str] | None = None) -> int:
 
     from avro_diff_spark.sources import versioned as V
 
+    if args.op == "files":
+        # the manifest inspection surface: one line per live file, from
+        # the log alone (zero file opens)
+        from avro_diff_spark.session import get_spark
+
+        spark = get_spark("table-files", master=args.master or "local[*]")
+        rows = V.table_files(spark, args.table_path, args.version).collect()
+        for r in rows:
+            dv = f", dvs={r.n_dvs}(-{r.dv_deleted_rows} rows)" if r.n_dvs else ""
+            pv = f", pv={dict(r.partition_values)}" if r.partition_values else ""
+            print(f"{r.file}: {r.n_rows} rows{pv}{dv}")
+        print(f"{len(rows)} live files")
+        return 0
     if args.op == "history":
         for h in V.table_history(args.table_path):
             print(

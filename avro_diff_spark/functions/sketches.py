@@ -159,6 +159,21 @@ FROM folded
 """
 
 
+def hll_merge(
+    a: DataFrame, b: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Merge two register tables: per-register MAX — the algebraic HLL
+    union (sketch(A) ⊔ sketch(B) == sketch(A ∪ B) exactly, not
+    approximately; pytest-pinned). This is what makes the sketch a
+    maintainable artifact: a stream can fold each micro-batch's
+    registers into a stored table and the result is bit-identical to
+    sketching the full history."""
+    gs = list(group_cols or [])
+    return (
+        a.unionByName(b).groupBy(*gs, "j").agg(F.max("m_j").alias("m_j"))
+    )
+
+
 # ---------------------------------------------------------------- KMV ---
 
 KMV_BITS = 48  # leading hex digits turned numeric: 48 bits, double-exact

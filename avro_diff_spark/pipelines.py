@@ -3714,6 +3714,47 @@ ORDER BY n_exact DESC, cm.token ASC
 """
 
 
+def q_pagerank_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the near-duplicate document graph
+    (operators/graph.py): rank every document in a duplicate
+    neighborhood by link centrality, so a keep-one pass can retain the
+    most CENTRAL copy instead of an arbitrary min-id — the quality-aware
+    survivor selection real dedup pipelines layer over clustering. Edges
+    are the recorded MinHash banding+verify pairs, symmetrized; 5
+    fixed-point iterations (int64 ranks, exact integer contributions,
+    one correctly-rounded damping multiply per round) make the ranks
+    bit-identical across engines — the oracle unrolls the identical
+    iteration in SQL. Scale shape: per round, one edge⋈rank equi-join +
+    one groupBy-sum, both hash-partitioned by node id; no collect, no
+    windows, state = one row per node."""
+    from avro_diff_spark.operators import graph as G
+
+    corpus = snap.documents_with_dups(spark, sf_dir)
+    pairs = DD.minhash_near_dups(
+        corpus, "text", "doc_id", n_hashes=32, bands=8, shingle_k=5, threshold=0.5
+    )
+    # materialize the verified edge list ONCE — every real PageRank job
+    # persists its graph; without this each of the 5 rounds re-derives
+    # the whole banding+verify pipeline (measured 12.4s -> ~6s at sf0.1)
+    edges = G.symmetrize(pairs, "doc_a", "doc_b").persist()
+    return G.pagerank(edges, iterations=5).orderBy("node")
+
+
+def _pagerank_neardups_sql() -> str:
+    from avro_diff_spark.operators import graph as G
+
+    # one nested CTE evaluation of the banding+verify pipeline, then both
+    # edge directions from it (DuckDB materializes a CTE referenced twice)
+    edges = (
+        f"WITH p AS ({_minhash_sql()}) "
+        "SELECT doc_a AS src, doc_b AS dst FROM p "
+        "UNION ALL SELECT doc_b AS src, doc_a AS dst FROM p"
+    )
+    return (
+        G.pagerank_sql(edges, iterations=5) + " ORDER BY node"
+    )
+
+
 PIPELINE_QUERIES = {
     "text_stats": q_text_stats,
     "vocab_topk": q_vocab_topk,
@@ -3787,6 +3828,7 @@ PIPELINE_QUERIES = {
     "hll_distinct_orders": q_hll_distinct_orders,
     "kmv_custkey_overlap": q_kmv_custkey_overlap,
     "countmin_heavy_hitters": q_countmin_heavy_hitters,
+    "pagerank_neardups": q_pagerank_neardups,
 }
 
 def pipeline_sql() -> dict[str, str]:
@@ -3866,4 +3908,5 @@ def pipeline_sql() -> dict[str, str]:
         "hll_distinct_orders": _hll_distinct_orders_sql(),
         "kmv_custkey_overlap": _kmv_custkey_overlap_sql(),
         "countmin_heavy_hitters": _countmin_sql(),
+        "pagerank_neardups": _pagerank_neardups_sql(),
     }

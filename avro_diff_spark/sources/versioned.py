@@ -70,6 +70,7 @@ __all__ = [
     "version_as_of",
     "first_version_at_or_after",
     "table_history",
+    "table_files",
     "key_diff_versions",
     "read_changes",
     "merge_into",
@@ -1813,6 +1814,47 @@ def table_history(table_path: str) -> list[dict]:
             }
         )
     return out
+
+
+def table_files(
+    spark: SparkSession, table_path: str, version: int | None = None
+) -> DataFrame:
+    """The live file manifest at ``version`` (default latest) as a
+    DataFrame — the Iceberg ``.files`` / Delta ``DESCRIBE DETAIL``
+    inspection surface, answered ENTIRELY from the log (zero file
+    opens at any table size): one row per live data file with its
+    recorded row count, partition values, data-skipping coverage
+    (which columns carry min/max stats / bloom bitmaps), and
+    deletion-vector state. This is what an operator looks at before
+    deciding to OPTIMIZE (small-file counts), re-cluster (stats
+    coverage), or vacuum."""
+    from pyspark.sql import types as T
+
+    adds, _ = _live_adds(table_path, latest_version(table_path) if version is None else version)
+    schema = T.StructType(
+        [
+            T.StructField("file", T.StringType()),
+            T.StructField("n_rows", T.LongType()),
+            T.StructField("partition_values", T.MapType(T.StringType(), T.StringType())),
+            T.StructField("stats_cols", T.ArrayType(T.StringType())),
+            T.StructField("bloom_cols", T.ArrayType(T.StringType())),
+            T.StructField("n_dvs", T.LongType()),
+            T.StructField("dv_deleted_rows", T.LongType()),
+        ]
+    )
+    rows = [
+        (
+            f,
+            info.get("n"),
+            info.get("pv"),
+            sorted((info.get("stats") or {}).keys()),
+            sorted((info.get("bloom") or {}).keys()),
+            len(info.get("dvs") or []),
+            sum(d["n"] for d in (info.get("dvs") or [])),
+        )
+        for f, info in sorted(adds.items())
+    ]
+    return spark.createDataFrame(rows, schema)
 
 
 def table_constraints(table_path: str, version: int | None = None) -> dict[str, str]:

@@ -28,7 +28,7 @@ from avro_diff_spark.sources.versioned import (
 )
 from avro_diff_spark.streaming.table_source import stream_changes
 
-__all__ = ["maintain_agg_stream"]
+__all__ = ["maintain_agg_stream", "maintain_hll_stream"]
 
 
 def maintain_agg_stream(
@@ -90,6 +90,59 @@ def maintain_agg_stream(
         commit_snapshot(merged, dst_path, mode="overwrite", app_meta=meta)
 
     writer = ch.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def maintain_hll_stream(
+    stream_df,
+    dst_path: str,
+    col: str,
+    group_cols: list[str] | None = None,
+    *,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+):
+    """Maintain a RUNNING DISTINCT-COUNT sketch over an unbounded stream:
+    each micro-batch's HLL registers (functions/sketches.py) merge into a
+    versioned register table by per-register MAX — finite state (at most
+    groups x 512 rows) for an infinite stream, where exact streaming
+    COUNT(DISTINCT) would hold every key ever seen. The merge is
+    algebraic (sketch(history ∪ batch) == merge(stored, sketch(batch)),
+    pinned), so the stored table is bit-identical to sketching the full
+    history in one batch — restarts and replays INCLUDED: a replayed
+    micro-batch is dropped via the commit log's (app, epoch) idempotence
+    before it can double-commit (max-merge would even be harmlessly
+    idempotent, but the log guarantee keeps the version history clean).
+    Read estimates any time with ``hll_estimate(read_version(...))``.
+    Returns the started StreamingQuery."""
+    import os
+
+    from avro_diff_spark.functions import sketches as SK
+    from avro_diff_spark.sources.versioned import last_committed_epoch
+
+    gs = list(group_cols or [])
+    app_id = os.path.abspath(checkpoint)
+
+    def _apply(batch_df, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if last_committed_epoch(dst_path, app_id) >= epoch_id:
+            return  # replayed batch: already folded into the sketch
+        regs = SK.hll_registers(batch_df, col, gs)
+        if latest_version(dst_path) >= 0:
+            spark = batch_df.sparkSession
+            from avro_diff_spark.sources.versioned import read_version
+
+            regs = SK.hll_merge(read_version(spark, dst_path), regs, gs)
+        commit_snapshot(
+            regs, dst_path, mode="overwrite", txn=(app_id, int(epoch_id))
+        )
+
+    writer = stream_df.writeStream.foreachBatch(_apply).option(
         "checkpointLocation", checkpoint
     )
     if trigger_available_now:

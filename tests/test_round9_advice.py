@@ -252,3 +252,31 @@ def test_read_changes_across_rename_projects_to_latest_names(spark, tmp_path):
     assert sorted(ch2.columns) == ["_change_type", "_commit_version", "id", "txt"]
     rows2 = {(r.id, r.txt, r._commit_version) for r in ch2.collect()}
     assert rows2 == {(2, "b", 1), (3, "c", 3), (4, "d", 5)}
+
+
+def test_table_files_manifest_surface(spark, tmp_path, capsys):
+    """table_files answers the live-file inspection from the log alone:
+    per-file row counts, partition values, skipping coverage, DV state —
+    and the CLI prints it."""
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, i % 2, f"r{i}") for i in range(20)], "k long, p long, v string"
+    )
+    commit_snapshot(df, t, partition_by=["p"], stats_cols=["k"], bloom_cols=["v"])
+    V.delete_where(spark, t, "k = 3", rewrite="dv")
+
+    files = V.table_files(spark, t).collect()
+    assert sum(r.n_rows for r in files) == 20
+    assert all(r.partition_values and "p" in r.partition_values for r in files)
+    assert all(r.stats_cols == ["k"] and r.bloom_cols == ["v"] for r in files)
+    assert sum(r.n_dvs for r in files) == 1
+    assert sum(r.dv_deleted_rows for r in files) == 1
+    # time travel: the pre-delete manifest carries no DVs
+    v0 = V.table_files(spark, t, 0).collect()
+    assert sum(r.n_dvs for r in v0) == 0
+
+    from avro_diff_spark.cli import table_main
+
+    assert table_main(["files", t]) == 0
+    out = capsys.readouterr().out
+    assert f"{len(files)} live files" in out and "dvs=1(-1 rows)" in out

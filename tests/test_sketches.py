@@ -153,3 +153,74 @@ def test_gapfill_window_is_partitioned(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "Window" in plan
     assert "No Partition Defined" not in plan
+
+
+def test_hll_merge_equals_union_sketch(spark):
+    """sketch(A) ⊔ sketch(B) == sketch(A ∪ B) exactly — the algebraic
+    property that makes the sketch maintainable."""
+    a = spark.createDataFrame([(f"a{i}",) for i in range(800)], "u string")
+    b = spark.createDataFrame(
+        [(f"a{i}",) for i in range(400, 1200)], "u string"
+    )
+    merged = SK.hll_merge(SK.hll_registers(a, "u"), SK.hll_registers(b, "u"))
+    direct = SK.hll_registers(a.unionByName(b), "u")
+    assert {tuple(r) for r in merged.collect()} == {
+        tuple(r) for r in direct.collect()
+    }
+
+
+def test_maintain_hll_stream_matches_batch_and_is_exactly_once(spark, tmp_path):
+    """The streaming sketch table after draining N files equals the batch
+    sketch over all rows; a restart on the same checkpoint commits
+    nothing; a new wave merges incrementally."""
+    import os
+
+    from avro_diff_spark.sources.versioned import latest_version, read_version
+    from avro_diff_spark.streaming.agg import maintain_hll_stream
+
+    src, ckpt, t = (str(tmp_path / d) for d in ("src", "ck", "tbl"))
+    os.makedirs(src)
+    rows1 = [(f"u{i}",) for i in range(500)]
+    rows2 = [(f"u{i}",) for i in range(300, 900)]
+    spark.createDataFrame(rows1, "u string").coalesce(1).write.mode(
+        "append"
+    ).json(src)
+    spark.createDataFrame(rows2, "u string").coalesce(1).write.mode(
+        "append"
+    ).json(src)
+
+    def drain():
+        q = maintain_hll_stream(
+            spark.readStream.schema("u string").json(src),
+            t,
+            "u",
+            checkpoint=ckpt,
+        )
+        q.awaitTermination(120)
+
+    drain()
+    v1 = latest_version(t)
+    stored = {tuple(r) for r in read_version(spark, t).collect()}
+    batch = SK.hll_registers(
+        spark.createDataFrame(rows1 + rows2, "u string"), "u"
+    )
+    assert stored == {tuple(r) for r in batch.collect()}
+    est_stream = SK.hll_estimate(read_version(spark, t)).collect()[0]
+    est_batch = SK.hll_estimate(batch).collect()[0]
+    assert tuple(est_stream) == tuple(est_batch)
+
+    drain()  # restart, nothing new: no commit
+    assert latest_version(t) == v1
+
+    rows3 = [(f"w{i}",) for i in range(200)]
+    spark.createDataFrame(rows3, "u string").coalesce(1).write.mode(
+        "append"
+    ).json(src)
+    drain()
+    assert latest_version(t) > v1
+    full = SK.hll_registers(
+        spark.createDataFrame(rows1 + rows2 + rows3, "u string"), "u"
+    )
+    assert {tuple(r) for r in read_version(spark, t).collect()} == {
+        tuple(r) for r in full.collect()
+    }
