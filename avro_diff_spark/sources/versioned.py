@@ -71,6 +71,7 @@ __all__ = [
     "first_version_at_or_after",
     "table_history",
     "table_files",
+    "table_count",
     "key_diff_versions",
     "read_changes",
     "merge_into",
@@ -259,7 +260,7 @@ def _file_column_stats(table_path: str, rel_file: str, cols: list[str]) -> dict:
     for c in cols:
         if c not in idx:
             continue
-        lo, hi = None, None
+        lo, hi, nn = None, None, 0
         ok = True
         for rg in range(md.num_row_groups):
             s = md.row_group(rg).column(idx[c]).statistics
@@ -268,10 +269,18 @@ def _file_column_stats(table_path: str, rel_file: str, cols: list[str]) -> dict:
                 break
             lo = s.min if lo is None else min(lo, s.min)
             hi = s.max if hi is None else max(hi, s.max)
+            if nn is not None and s.null_count is not None:
+                nn += s.null_count
+            else:
+                nn = None
         if ok and isinstance(lo, (int, float, str)) and not isinstance(lo, bool):
-            out[c] = [lo, hi]
+            out[c] = [lo, hi] if nn is None else [lo, hi, nn]
         elif ok and isinstance(lo, (datetime.date, datetime.datetime)):
-            out[c] = [lo.isoformat(), hi.isoformat()]
+            out[c] = (
+                [lo.isoformat(), hi.isoformat()]
+                if nn is None
+                else [lo.isoformat(), hi.isoformat(), nn]
+            )
     return out
 
 
@@ -328,6 +337,9 @@ def _harvest_stats(
     for i, c in enumerate(cols):
         aggs.append(F.min(c).alias(f"__lo_{i}"))
         aggs.append(F.max(c).alias(f"__hi_{i}"))
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nn_{i}")
+        )
     collected = (
         df.groupBy(F.input_file_name().alias("__f")).agg(*aggs).collect()
     )
@@ -341,8 +353,16 @@ def _harvest_stats(
         for i, c in enumerate(cols):
             lo = _stats_jsonable(r[f"__lo_{i}"])
             hi = _stats_jsonable(r[f"__hi_{i}"])
+            nn = int(r[f"__nn_{i}"])
             if lo is not None and hi is not None:
-                st[c] = [lo, hi]
+                # third element: the Delta nullCount — powers IS NULL
+                # file skipping (prune_eq=(col, None))
+                st[c] = [lo, hi, nn]
+            elif nn > 0:
+                # an ALL-NULL file still records its null count: range
+                # pruning treats None bounds as may-match, the IS NULL
+                # lookup keeps it
+                st[c] = [None, None, nn]
         if st:
             stats[rel] = st
     return rows, stats
@@ -446,10 +466,20 @@ def _may_match_eq(add: dict, col: str, value) -> bool:
     """Log-level skip decision for a POINT lookup: partitionValues give
     an exact answer, the per-file bloom gives a no-false-negative
     membership answer, min/max stats bound the range — all from the
-    manifest, zero file opens."""
+    manifest, zero file opens. ``value=None`` is the IS NULL lookup:
+    identity partition values answer it exactly; otherwise the recorded
+    per-file null count (stats third element, the Delta nullCount) skips
+    files with zero nulls in the column."""
     import base64
 
     pv = add.get("pv") or {}
+    if value is None:
+        if col in pv:
+            return pv[col] is None
+        s = (add.get("stats") or {}).get(col)
+        if s is not None and len(s) > 2 and s[2] == 0:
+            return False  # recorded zero nulls: no IS NULL row here
+        return True
     if col in pv:
         v = pv[col]
         if v is None:
@@ -1286,7 +1316,7 @@ def _may_match(add: dict, col: str, lo, hi) -> bool:
         if fv < t_lo or fv > t_hi:
             return False
     s = (add.get("stats") or {}).get(col)
-    if s is None:
+    if s is None or s[0] is None or s[1] is None:
         return True
     if isinstance(lo_b, str):
         # temporal bounds normalize both separators and fractional-second
@@ -1459,7 +1489,11 @@ def read_version(
             col, lo, hi = prune
             empty = empty.filter((F.col(col) >= lo) & (F.col(col) <= hi))
         if prune_eq is not None:
-            empty = empty.filter(F.col(prune_eq[0]) == F.lit(prune_eq[1]))
+            empty = empty.filter(
+                F.col(prune_eq[0]).isNull()
+                if prune_eq[1] is None
+                else F.col(prune_eq[0]) == F.lit(prune_eq[1])
+            )
         return empty
     schema = table_schema(table_path, version)
     types = {f.name: f.dataType for f in schema.fields} if schema else {}
@@ -1571,7 +1605,13 @@ def read_version(
         col, lo, hi = prune
         df = df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
     if prune_eq is not None:
-        df = df.filter(F.col(prune_eq[0]) == F.lit(prune_eq[1]))
+        # NULL equality is three-valued: the IS NULL lookup needs isNull,
+        # == lit(None) would filter every row
+        df = df.filter(
+            F.col(prune_eq[0]).isNull()
+            if prune_eq[1] is None
+            else F.col(prune_eq[0]) == F.lit(prune_eq[1])
+        )
     if _provenance is None:
         if need_pos:
             df = df.drop("__fp", "__ri")
@@ -1855,6 +1895,25 @@ def table_files(
         for f, info in sorted(adds.items())
     ]
     return spark.createDataFrame(rows, schema)
+
+
+def table_count(table_path: str, version: int | None = None) -> int | None:
+    """``SELECT COUNT(*)`` answered from the manifest alone: the sum of
+    every live file's recorded row count minus its deletion vectors'
+    masked rows — zero file opens, zero Spark jobs, any table size (the
+    metadata-only count Delta/Iceberg serve from their stats). Returns
+    None when some live file predates per-add row counts (round-8 logs)
+    — the caller falls back to a scan rather than trusting a partial
+    sum."""
+    adds, _ = _live_adds(
+        table_path, latest_version(table_path) if version is None else version
+    )
+    total = 0
+    for info in adds.values():
+        if info.get("n") is None:
+            return None
+        total += info["n"] - sum(d["n"] for d in (info.get("dvs") or []))
+    return total
 
 
 def table_constraints(table_path: str, version: int | None = None) -> dict[str, str]:

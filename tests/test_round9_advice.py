@@ -280,3 +280,65 @@ def test_table_files_manifest_surface(spark, tmp_path, capsys):
     assert table_main(["files", t]) == 0
     out = capsys.readouterr().out
     assert f"{len(files)} live files" in out and "dvs=1(-1 rows)" in out
+
+
+def test_null_count_stats_and_is_null_pruning(spark, tmp_path, monkeypatch):
+    """stats_cols now record the Delta nullCount: prune_eq=(col, None) is
+    the IS NULL lookup — files recording zero nulls are skipped from the
+    manifest (zero footer fetches), files with nulls are kept, and the
+    residual filter is isNull (== NULL would drop every row)."""
+    t = str(tmp_path / "tbl")
+    a = spark.createDataFrame([(1, "x"), (2, "y")], "k long, v string")
+    b = spark.createDataFrame([(3, None), (4, "z")], "k long, v string")
+    commit_snapshot(a.coalesce(1), t, stats_cols=["v"])
+    commit_snapshot(b.coalesce(1), t, mode="append", stats_cols=["v"])
+
+    import pyarrow.parquet as pq
+
+    def explode(*a, **k):
+        raise AssertionError("footer fetched during manifest-only pruning")
+
+    monkeypatch.setattr(pq, "ParquetFile", explode)
+    monkeypatch.setattr(pq, "read_table", explode)
+    got = read_version(spark, t, prune_eq=("v", None))
+    rows = {(r.k, r.v) for r in got.collect()}
+    assert rows == {(3, None)}
+    # the all-nonnull file was pruned at the manifest: only one FileScan input
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("parquet") >= 1
+
+
+def test_distributed_harvest_records_null_counts(spark, tmp_path):
+    """The one-pass distributed stats harvest (>32 files) carries the
+    same nullCount third element as the footer path."""
+    import avro_diff_spark.sources.versioned as VV
+
+    t = str(tmp_path / "tbl")
+    rows = [(i, None if i % 3 == 0 else f"v{i}") for i in range(100)]
+    df = spark.createDataFrame(rows, "k long, v string").repartition(40)
+    commit_snapshot(df, t, stats_cols=["v"])
+    adds, _ = VV._live_adds(t, 0)
+    ns = [info["stats"]["v"][2] for info in adds.values() if info.get("stats", {}).get("v")]
+    assert sum(ns) == sum(1 for _, v in rows if v is None)
+
+
+def test_table_count_is_metadata_only(spark, tmp_path, monkeypatch):
+    """COUNT(*) from the manifest: row counts net of deletion vectors,
+    zero file opens, correct across appends, DV deletes, and time
+    travel."""
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, [(i, f"r{i}") for i in range(10)]), t)
+    commit_snapshot(_df(spark, [(100, "x")]), t, mode="append")
+    V.delete_where(spark, t, "k < 3", rewrite="dv")
+
+    import pyarrow.parquet as pq
+
+    def explode(*a, **k):
+        raise AssertionError("file opened during metadata count")
+
+    monkeypatch.setattr(pq, "ParquetFile", explode)
+    monkeypatch.setattr(pq, "read_table", explode)
+    assert V.table_count(t) == 8
+    assert V.table_count(t, 1) == 11
+    assert V.table_count(t, 0) == 10
+    assert V.table_count(t) == read_version(spark, t).count()
