@@ -1277,6 +1277,58 @@ def _phys_specs(partition_by, mapping: dict) -> list:
     return out
 
 
+def _norm_range_prunes(prune) -> list[tuple]:
+    """``prune=`` → a list of (col, lo, hi) specs: one tuple, or a list
+    of tuples (conjunction)."""
+    if prune is None:
+        return []
+    if prune and isinstance(prune[0], (list, tuple)):
+        return [tuple(p) for p in prune]
+    return [tuple(prune)]
+
+
+def _norm_eq_prunes(prune_eq) -> list[tuple[str, list]]:
+    """``prune_eq=`` → a list of (col, [candidate values]) specs: one
+    (col, value) tuple or a list of them; a value that is itself a
+    list/tuple/set is an IN-list."""
+    if prune_eq is None:
+        return []
+    specs = (
+        [tuple(p) for p in prune_eq]
+        if isinstance(prune_eq, list)
+        else [tuple(prune_eq)]
+    )
+    out = []
+    for col, v in specs:
+        vs = list(v) if isinstance(v, (list, tuple, set)) else [v]
+        if not vs:
+            raise ValueError(f"empty IN-list for prune_eq column {col!r}")
+        out.append((col, vs))
+    return out
+
+
+def _apply_prune_filters(df: DataFrame, ranges, eqs) -> DataFrame:
+    """The residual row filters matching the manifest skips — pruning
+    decides which FILES open, these decide which ROWS survive. NULL
+    candidates use isNull (equality with NULL is three-valued and would
+    drop every row)."""
+    for col, lo, hi in ranges:
+        df = df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
+    for col, vs in eqs:
+        non_null = [v for v in vs if v is not None]
+        cond = None
+        if non_null:
+            cond = (
+                F.col(col) == F.lit(non_null[0])
+                if len(non_null) == 1
+                else F.col(col).isin(non_null)
+            )
+        if len(non_null) < len(vs):  # a None candidate: IS NULL matches
+            cond = F.col(col).isNull() if cond is None else cond | F.col(col).isNull()
+        df = df.filter(cond)
+    return df
+
+
 def _may_match(add: dict, col: str, lo, hi) -> bool:
     """Log-level skip decision for one file: partitionValues give an
     exact point interval; stats give [min, max]; missing both means
@@ -1428,7 +1480,11 @@ def read_version(
     answer exactly, commit-time bloom bitmaps (``bloom_cols=``) answer
     membership with no false negatives, min/max stats bound the range —
     still zero file opens — plus the equality row filter on top.
-    Composable with ``prune=``.
+    Composable with ``prune=``. ``value=None`` is the IS NULL lookup
+    (recorded null counts skip zero-null files). Round 9: both accept
+    LISTS of specs (conjunction across columns), and a ``prune_eq``
+    value may itself be a list/tuple/set — an IN-list, keeping a file
+    if ANY candidate may match (the batched point-lookup shape).
 
     ``as_of`` (datetime or epoch micros) resolves to a version by commit
     time — Delta's ``AS OF TIMESTAMP`` — mutually exclusive with
@@ -1475,26 +1531,28 @@ def read_version(
     # are keyed by stable PHYSICAL names; callers speak logical. Resolve
     # once; {} = never renamed/dropped, every translation is identity.
     mapping, _retired = _column_mapping(table_path, version)
-    if prune is not None:
-        col, lo, hi = prune
+    # multi-predicate pruning (round 9): prune= accepts one (col, lo, hi)
+    # or a LIST of them (conjunction — a file survives only if every
+    # range may match); prune_eq= accepts one (col, value), a list of
+    # them, and/or an IN-list value (tuple/set/list — a file survives if
+    # ANY candidate may match that column). Real point-lookup batches
+    # predicate on several columns at once; each extra predicate is
+    # another manifest-only intersection, zero file opens.
+    ranges = _norm_range_prunes(prune)
+    eqs = _norm_eq_prunes(prune_eq)
+    for col, lo, hi in ranges:
         pcol = mapping.get(col, col)
         files = [f for f in files if _may_match(adds[f], pcol, lo, hi)]
-    if prune_eq is not None:
-        eq_col, eq_v = prune_eq
+    for eq_col, eq_vs in eqs:
         pcol = mapping.get(eq_col, eq_col)
-        files = [f for f in files if _may_match_eq(adds[f], pcol, eq_v)]
-    if (prune is not None or prune_eq is not None) and not files:
+        files = [
+            f
+            for f in files
+            if any(_may_match_eq(adds[f], pcol, v) for v in eq_vs)
+        ]
+    if (ranges or eqs) and not files:
         empty = read_version(spark, table_path, version).filter(F.lit(False))
-        if prune is not None:
-            col, lo, hi = prune
-            empty = empty.filter((F.col(col) >= lo) & (F.col(col) <= hi))
-        if prune_eq is not None:
-            empty = empty.filter(
-                F.col(prune_eq[0]).isNull()
-                if prune_eq[1] is None
-                else F.col(prune_eq[0]) == F.lit(prune_eq[1])
-            )
-        return empty
+        return _apply_prune_filters(empty, ranges, eqs)
     schema = table_schema(table_path, version)
     types = {f.name: f.dataType for f in schema.fields} if schema else {}
     if mapping:
@@ -1601,17 +1659,7 @@ def read_version(
         df = df.select(*ordered, *[c for c in df.columns if c not in ordered])
     if dv_files:
         df = _apply_dvs(spark, table_path, df, adds, files, dv_files)
-    if prune is not None:
-        col, lo, hi = prune
-        df = df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
-    if prune_eq is not None:
-        # NULL equality is three-valued: the IS NULL lookup needs isNull,
-        # == lit(None) would filter every row
-        df = df.filter(
-            F.col(prune_eq[0]).isNull()
-            if prune_eq[1] is None
-            else F.col(prune_eq[0]) == F.lit(prune_eq[1])
-        )
+    df = _apply_prune_filters(df, ranges, eqs)
     if _provenance is None:
         if need_pos:
             df = df.drop("__fp", "__ri")

@@ -342,3 +342,59 @@ def test_table_count_is_metadata_only(spark, tmp_path, monkeypatch):
     assert V.table_count(t, 1) == 11
     assert V.table_count(t, 0) == 10
     assert V.table_count(t) == read_version(spark, t).count()
+
+
+def test_multi_predicate_and_in_list_pruning(spark, tmp_path, monkeypatch):
+    """prune=/prune_eq= accept lists of specs and IN-list values: each
+    extra predicate is another manifest-only intersection (strict file
+    subset, zero footer fetches), and the residual filters reproduce an
+    unpruned filtered read exactly."""
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, i % 4, f"g{i % 5}", f"r{i}") for i in range(64)],
+        "k long, p long, g string, v string",
+    )
+    commit_snapshot(
+        df.repartition(8, "k"), t, stats_cols=["k", "g"], bloom_cols=["v"]
+    )
+    base = read_version(spark, t)
+    want = {
+        (r.k, r.p, r.g, r.v)
+        for r in base.filter(
+            (F.col("k") >= 10) & (F.col("k") <= 40)
+            & F.col("g").isin(["g1", "g2"]) & (F.col("v") == "r11")
+        ).collect()
+    }
+
+    import pyarrow.parquet as pq
+
+    def explode(*a, **k):
+        raise AssertionError("footer fetched during manifest-only pruning")
+
+    monkeypatch.setattr(pq, "ParquetFile", explode)
+    got_df = read_version(
+        spark,
+        t,
+        prune=[("k", 10, 40)],
+        prune_eq=[("g", ("g1", "g2")), ("v", "r11")],
+    )
+    got = {(r.k, r.p, r.g, r.v) for r in got_df.collect()}
+    assert got == want and got == {(11, 3, "g1", "r11")}
+    # the bloom point-lookup pruned to a strict subset of the 8 files
+    n_open = got_df.select(F.input_file_name()).distinct().count()
+    assert n_open < 8
+
+
+def test_in_list_with_null_candidate(spark, tmp_path):
+    """An IN-list containing None matches rows by isNull alongside the
+    non-null candidates."""
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c")], "k long, v string"
+    )
+    commit_snapshot(df.coalesce(1), t, stats_cols=["v"])
+    got = {
+        (r.k, r.v)
+        for r in read_version(spark, t, prune_eq=("v", ["a", None])).collect()
+    }
+    assert got == {(1, "a"), (2, None)}
