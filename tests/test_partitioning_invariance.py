@@ -44,6 +44,11 @@ QUERIES = [
     "hidden_partition_prune",  # round 8b: transform pruning + residual filter
     "pipeline_attrition",  # round 8b: three-stage funnel composition
     "ivf_index_topk",  # round 8b: persisted-index probe across layouts
+    "hll_distinct_orders",  # round 9: sketch register max-fold + float finish
+    "kmv_custkey_overlap",  # round 9: top-k hash sketch + semi-join counts
+    "countmin_heavy_hitters",  # round 9: integer cell fold + min probe
+    "events_gapfill",  # round 9: dense-axis explode + per-series LOCF window
+    "pagerank_neardups",  # round 9: iterative fixed-point join/agg rounds
 ]
 
 
