@@ -72,6 +72,7 @@ __all__ = [
     "table_history",
     "table_files",
     "table_count",
+    "merge_stream",
     "key_diff_versions",
     "read_changes",
     "merge_into",
@@ -2232,6 +2233,7 @@ def compact_table(
     table_path: str,
     *,
     target_files: int = 8,
+    target_rows_per_file: int | None = None,
     cluster_by: list[str] | None = None,
     curve: str = "zorder",
     bits: int = 16,
@@ -2252,6 +2254,12 @@ def compact_table(
     partition pruning survives the rewrite). Readers of older versions
     are untouched — their files stay referenced by earlier commits
     until :func:`vacuum`. Returns the new version.
+
+    ``target_rows_per_file`` (round 9) sizes the rewrite by ROWS instead
+    of a fixed file count: the target file count derives from the
+    manifest's live row total (or the packed subset's, under
+    ``min_file_rows``), so the same maintenance job stays correctly
+    sized as the table grows 100x.
 
     ``min_file_rows`` (round 8) switches to INCREMENTAL bin-packing —
     the shape a real auto-OPTIMIZE runs: only files whose recorded row
@@ -2297,6 +2305,11 @@ def compact_table(
             # cannot improve (the single-file-bin skip every OPTIMIZE
             # applies — without it the pass would rewrite forever)
             return version
+        if target_rows_per_file is not None:
+            import math
+
+            small_rows = sum(adds[f].get("n") or 0 for f in small)
+            target_files = max(1, math.ceil(small_rows / target_rows_per_file))
         n_seg = _suffix_segments(adds, sorted(adds))
         small_sfx = [_disk_suffix(f, n_seg) for f in small]
         sub = (
@@ -2336,6 +2349,17 @@ def compact_table(
     # must stay additive — an unpinned read would fold its rows into the
     # rewrite while its file also stays live, duplicating them (round-8
     # ADVICE). Pinned, the concurrent file is neither read nor removed.
+    if target_rows_per_file is not None:
+        # ROW-targeted sizing (round 9): derive the file count from the
+        # manifest's live row total (net of DVs) — the OPTIMIZE sizing
+        # knob a real table sets once instead of re-guessing target_files
+        # as it grows; falls back to target_files when some live add
+        # predates per-add counts
+        import math
+
+        total = table_count(table_path, version)
+        if total is not None:
+            target_files = max(1, math.ceil(total / target_rows_per_file))
     df = read_version(spark, table_path, version)
     extra = None
     if cluster_by:
@@ -2384,7 +2408,11 @@ def compact_table(
 
 
 def vacuum(
-    table_path: str, *, keep_versions: int = 1, dry_run: bool = False
+    table_path: str,
+    *,
+    keep_versions: int = 1,
+    older_than=None,
+    dry_run: bool = False,
 ) -> list[str]:
     """Delete data files unreferenced by the last ``keep_versions``
     versions (and truncate time travel older than that) — the storage
@@ -2394,7 +2422,14 @@ def vacuum(
     vacuumed versions with a clear error (round-6 ADVICE). Returns the
     deleted file paths. ``dry_run=True`` returns the would-delete list
     without removing anything or moving the watermark (the ``VACUUM …
-    DRY RUN`` safety valve). Single-writer contract like the rest of
+    DRY RUN`` safety valve). ``older_than`` (datetime or epoch micros;
+    round 9) is the TIME-based retention every production table
+    actually configures — Delta's ``RETAIN n HOURS`` / Iceberg's
+    ``expire_snapshots(older_than=)``: versions still readable as of
+    that timestamp are kept (resolved through :func:`version_as_of`),
+    everything older is reclaimed; combinable with ``keep_versions``
+    (the MORE retentive of the two wins — retention must never shrink
+    below an explicit floor). Single-writer contract like the rest of
     the log."""
     import shutil
 
@@ -2402,6 +2437,9 @@ def vacuum(
     if last < 0:
         return []
     keep_from = max(last - keep_versions + 1, 0)
+    if older_than is not None:
+        # keep every version >= the snapshot in force at `older_than`
+        keep_from = min(keep_from, version_as_of(table_path, older_than))
     needed: set[str] = set()
     for v in range(keep_from, last + 1):
         adds = _live_adds(table_path, v)[0]
@@ -2775,6 +2813,57 @@ def commit_stream(
     return writer.start()
 
 
+def merge_stream(
+    stream_df: DataFrame,
+    table_path: str,
+    keys: list[str],
+    *,
+    checkpoint: str,
+    when_matched: str = "update",
+    when_not_matched: str = "insert",
+    rewrite: str = "auto",
+    trigger_available_now: bool = True,
+):
+    """Stream UPSERTS into a versioned table: each micro-batch applies as
+    one MERGE commit via ``foreachBatch`` — the canonical Delta
+    foreachBatch-MERGE pattern for applying a CDC / dedup-keyed feed to
+    a table (append-only ``commit_stream`` cannot express updates).
+    Batches are deduped WITHIN the batch on ``keys`` (last-writer-wins
+    by arrival is not definable on an unordered micro-batch, so
+    duplicate keys in one batch are rejected by merge_into's contract —
+    pre-aggregate upstream if the feed can repeat keys in one trigger)
+    and ACROSS restarts by the commit log's (app, epoch) idempotence: a
+    replayed micro-batch whose MERGE already committed is skipped, so
+    the table never double-applies an upsert. ``rewrite`` follows
+    :func:`merge_into` ('auto' → merge-on-read deletion vectors: a
+    1000-key upsert into a 100 TB table writes ~1000 rows). Returns the
+    started StreamingQuery."""
+    app_id = os.path.abspath(checkpoint)
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if last_committed_epoch(table_path, app_id) >= epoch_id:
+            return  # replayed batch: the MERGE is already durable
+        merge_into(
+            batch_df.sparkSession,
+            table_path,
+            batch_df,
+            keys,
+            when_matched=when_matched,
+            when_not_matched=when_not_matched,
+            rewrite=rewrite,
+            txn=(app_id, int(epoch_id)),
+        )
+
+    writer = stream_df.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def key_diff_versions(
     spark: SparkSession,
     table_path: str,
@@ -2904,6 +2993,7 @@ def _commit_replace_files(
     partition_by: list[str] | None,
     stats_cols: list[str] | None,
     extra: dict | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Publish a REPLACE commit: remove exactly ``remove`` and add the
     staged files of ``df`` — the targeted-rewrite commit MERGE uses.
@@ -2939,6 +3029,8 @@ def _commit_replace_files(
         commit["partition_by"] = list(partition_by)
     if extra:
         commit.update(extra)
+    if txn is not None:
+        commit["app"], commit["epoch"] = os.path.abspath(txn[0]), int(txn[1])
     _publish_commit(table_path, version, commit)
     return version
 
@@ -2955,6 +3047,7 @@ def merge_into(
     partition_by: list[str] | None = None,
     stats_cols: list[str] | None = None,
     rewrite: str = "auto",
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """``MERGE INTO`` — the lakehouse upsert (Delta/Iceberg MERGE reduced
     to its whole-row clauses): join ``source`` to the table's latest
@@ -3026,12 +3119,13 @@ def merge_into(
             mode="overwrite",
             partition_by=partition_by,
             stats_cols=stats_cols,
+            txn=txn,
         )
     if rewrite == "dv":
         return _merge_dv(
             spark, table_path, source, keys, cols,
             when_matched, when_not_matched, when_not_matched_by_source,
-            partition_by, stats_cols,
+            partition_by, stats_cols, txn,
         )
     # targeted rewrite: scan-time file provenance -> touched-file set
     # (read_version attaches it at the scan, so it stays correct through
@@ -3081,6 +3175,7 @@ def merge_into(
         remove,
         partition_by=partition_by,
         stats_cols=stats_cols,
+        txn=txn,
     )
 
 
@@ -3152,6 +3247,7 @@ def _merge_dv(
     when_not_matched_by_source: str,
     partition_by: list | None,
     stats_cols: list[str] | None,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Merge-on-read MERGE: one commit of (DV over replaced/deleted
     positions) + (new files holding updated+inserted source rows).
@@ -3226,6 +3322,8 @@ def _merge_dv(
         "n_rows": n_new,
         "actions": actions,
     }
+    if txn is not None:
+        commit["app"], commit["epoch"] = os.path.abspath(txn[0]), int(txn[1])
     if fresh:
         commit["schema"] = new_rows.schema.json()
     if partition_by:

@@ -398,3 +398,78 @@ def test_in_list_with_null_candidate(spark, tmp_path):
         for r in read_version(spark, t, prune_eq=("v", ["a", None])).collect()
     }
     assert got == {(1, "a"), (2, None)}
+
+
+def test_merge_stream_upserts_exactly_once(spark, tmp_path):
+    """Streaming MERGE: each micro-batch applies as one idempotent MERGE
+    commit — updates and inserts land, a restart on the same checkpoint
+    re-commits nothing, and a later wave merges incrementally."""
+    src, ckpt, t = (str(tmp_path / d) for d in ("src", "ck", "tbl"))
+    os.makedirs(src)
+    commit_snapshot(_df(spark, [(1, "a"), (2, "b"), (3, "c")]), t)
+    _df(spark, [(2, "B"), (4, "d")]).coalesce(1).write.mode("append").json(src)
+
+    def drain():
+        q = V.merge_stream(
+            spark.readStream.schema("k long, v string").json(src),
+            t,
+            ["k"],
+            checkpoint=ckpt,
+        )
+        q.awaitTermination(120)
+
+    drain()
+    v1 = V.latest_version(t)
+    got = {(r.k, r.v) for r in read_version(spark, t).collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c"), (4, "d")}
+
+    drain()  # restart with nothing new: no commit
+    assert V.latest_version(t) == v1
+
+    _df(spark, [(1, "A")]).coalesce(1).write.mode("append").json(src)
+    drain()
+    got = {(r.k, r.v) for r in read_version(spark, t).collect()}
+    assert got == {(1, "A"), (2, "B"), (3, "c"), (4, "d")}
+
+
+def test_vacuum_older_than_timestamp_retention(spark, tmp_path):
+    """Time-based retention: versions still readable as of the timestamp
+    survive; combining with keep_versions keeps the MORE retentive."""
+    import time as _t
+
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, [(1, "a")]), t)  # v0
+    _t.sleep(0.01)
+    cut = datetime.datetime.now()
+    _t.sleep(0.01)
+    commit_snapshot(_df(spark, [(2, "b")]), t, mode="overwrite")  # v1
+    commit_snapshot(_df(spark, [(3, "c")]), t, mode="overwrite")  # v2
+
+    # older_than=now keeps only the latest... but keep_versions=3 wins
+    assert V.vacuum(t, keep_versions=3, older_than=datetime.datetime.now()) == []
+    assert {r.k for r in read_version(spark, t, 0).collect()} == {1}
+
+    # older_than=cut keeps v0 (the snapshot in force at cut) even though
+    # keep_versions=1 alone would drop it
+    assert V.vacuum(t, keep_versions=1, older_than=cut) == []
+    assert {r.k for r in read_version(spark, t, 0).collect()} == {1}
+
+    # retention expired: keep_versions=1 with a recent older_than drops v0/v1
+    deleted = V.vacuum(t, keep_versions=1, older_than=datetime.datetime.now())
+    assert deleted
+    with pytest.raises(Exception, match="vacuum"):
+        read_version(spark, t, 0).collect()
+
+
+def test_compact_target_rows_per_file(spark, tmp_path):
+    """Row-targeted compaction sizing: the rewrite's file count derives
+    from the manifest's live row total."""
+    t = str(tmp_path / "tbl")
+    commit_snapshot(
+        spark.createDataFrame([(i, f"r{i}") for i in range(100)], "k long, v string"),
+        t,
+    )
+    V.compact_table(spark, t, target_rows_per_file=25)
+    files = V.table_files(spark, t).collect()
+    assert len(files) == 4
+    assert sum(r.n_rows for r in files) == 100
