@@ -289,6 +289,7 @@ def table_main(argv: list[str] | None = None) -> int:
             "detail",
             "compute-stats",
             "files",
+            "count",
         ],
     )
     p.add_argument("--stats-cols", default=None, help="comma-separated columns (compute-stats)")
@@ -325,6 +326,11 @@ def table_main(argv: list[str] | None = None) -> int:
     p.add_argument("--curve", choices=["zorder", "hilbert"], default="zorder")
     p.add_argument("--keep-versions", type=int, default=1, help="vacuum retention")
     p.add_argument(
+        "--older-than",
+        default=None,
+        help="vacuum time retention: ISO timestamp; versions readable then are kept",
+    )
+    p.add_argument(
         "--dry-run", action="store_true", help="vacuum: list files without deleting"
     )
     p.add_argument("--output", default=None, help="sink output path (default: print)")
@@ -350,6 +356,13 @@ def table_main(argv: list[str] | None = None) -> int:
             print(f"{r.file}: {r.n_rows} rows{pv}{dv}")
         print(f"{len(rows)} live files")
         return 0
+    if args.op == "count":
+        n = V.table_count(args.table_path, args.version)
+        if n is None:
+            print("unknown (some live files predate per-add row counts)")
+            return 1
+        print(n)
+        return 0
     if args.op == "history":
         for h in V.table_history(args.table_path):
             print(
@@ -359,7 +372,14 @@ def table_main(argv: list[str] | None = None) -> int:
         return 0
     if args.op == "vacuum":
         deleted = V.vacuum(
-            args.table_path, keep_versions=args.keep_versions, dry_run=args.dry_run
+            args.table_path,
+            keep_versions=args.keep_versions,
+            older_than=(
+                __import__("datetime").datetime.fromisoformat(args.older_than)
+                if args.older_than
+                else None
+            ),
+            dry_run=args.dry_run
         )
         verb = "would delete" if args.dry_run else "deleted"
         print(f"# of data files {verb}: {len(deleted)}")

@@ -2438,8 +2438,12 @@ def vacuum(
         return []
     keep_from = max(last - keep_versions + 1, 0)
     if older_than is not None:
-        # keep every version >= the snapshot in force at `older_than`
-        keep_from = min(keep_from, version_as_of(table_path, older_than))
+        # keep every version >= the snapshot in force at `older_than`; a
+        # cutoff predating the first commit keeps the whole history
+        try:
+            keep_from = min(keep_from, version_as_of(table_path, older_than))
+        except ValueError:
+            keep_from = 0
     needed: set[str] = set()
     for v in range(keep_from, last + 1):
         adds = _live_adds(table_path, v)[0]

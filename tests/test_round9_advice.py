@@ -473,3 +473,18 @@ def test_compact_target_rows_per_file(spark, tmp_path):
     files = V.table_files(spark, t).collect()
     assert len(files) == 4
     assert sum(r.n_rows for r in files) == 100
+
+
+def test_cli_table_count_and_vacuum_older_than(spark, tmp_path, capsys):
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, [(1, "a"), (2, "b")]), t)
+    from avro_diff_spark.cli import table_main
+
+    assert table_main(["count", t]) == 0
+    assert capsys.readouterr().out.strip() == "2"
+    # --older-than in the far past keeps everything
+    commit_snapshot(_df(spark, [(3, "c")]), t, mode="overwrite")
+    assert table_main(
+        ["vacuum", t, "--keep-versions", "1", "--older-than", "2000-01-01T00:00:00"]
+    ) == 0
+    assert {r.k for r in read_version(spark, t, 0).collect()} == {1, 2}
