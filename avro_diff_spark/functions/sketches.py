@@ -272,6 +272,19 @@ FROM stats, cnt
 
 # ---------------------------------------------------------- count-min ---
 
+
+def countmin_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two count-min sketches: per-cell SUM — counts are additive,
+    so sketch(A) + sketch(B) == sketch(A ⊎ B) exactly (multiset union).
+    Unlike the HLL max-merge this is NOT idempotent: a replayed merge
+    double-counts, which is why the streaming maintainer rides the
+    commit log's exactly-once epoch dedupe."""
+    return (
+        a.unionByName(b)
+        .groupBy("depth", "bucket")
+        .agg(F.sum("cell").alias("cell"))
+    )
+
 CM_DEPTH = 4
 CM_WIDTH = 1024
 

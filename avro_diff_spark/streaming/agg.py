@@ -28,7 +28,7 @@ from avro_diff_spark.sources.versioned import (
 )
 from avro_diff_spark.streaming.table_source import stream_changes
 
-__all__ = ["maintain_agg_stream", "maintain_hll_stream"]
+__all__ = ["maintain_agg_stream", "maintain_hll_stream", "maintain_countmin_stream"]
 
 
 def maintain_agg_stream(
@@ -140,6 +140,61 @@ def maintain_hll_stream(
             regs = SK.hll_merge(read_version(spark, dst_path), regs, gs)
         commit_snapshot(
             regs, dst_path, mode="overwrite", txn=(app_id, int(epoch_id))
+        )
+
+    writer = stream_df.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def maintain_countmin_stream(
+    stream_df,
+    dst_path: str,
+    term_col: str,
+    *,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+):
+    """Maintain a RUNNING FREQUENCY sketch over an unbounded term
+    stream: each micro-batch's exact term counts fold into a count-min
+    cell table (functions/sketches.py) kept as a versioned table —
+    4x1024 integer cells answer any frequency probe over everything the
+    stream has ever carried, where an exact running frequency table
+    grows with the vocabulary. Cells merge by per-cell SUM — additive,
+    NOT idempotent — so exactly-once matters here in a way the HLL
+    max-merge never does: a replayed micro-batch is dropped via the
+    commit log's (app, epoch) dedupe BEFORE it can double-count
+    (restart-pinned). Probe with ``countmin_lookup(read_version(...))``.
+    Returns the started StreamingQuery."""
+    import os
+
+    from avro_diff_spark.functions import sketches as SK
+    from avro_diff_spark.sources.versioned import last_committed_epoch
+
+    app_id = os.path.abspath(checkpoint)
+
+    def _apply(batch_df, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if last_committed_epoch(dst_path, app_id) >= epoch_id:
+            return  # replayed batch: already summed into the sketch
+        counts = (
+            batch_df.where(F.col(term_col).isNotNull())
+            .groupBy(term_col)
+            .agg(F.count(F.lit(1)).alias("__n"))
+        )
+        cells = SK.countmin_sketch(counts, term_col, "__n")
+        if latest_version(dst_path) >= 0:
+            from avro_diff_spark.sources.versioned import read_version
+
+            cells = SK.countmin_merge(
+                read_version(batch_df.sparkSession, dst_path), cells
+            )
+        commit_snapshot(
+            cells, dst_path, mode="overwrite", txn=(app_id, int(epoch_id))
         )
 
     writer = stream_df.writeStream.foreachBatch(_apply).option(
