@@ -501,6 +501,30 @@ def _may_match_eq(add: dict, col: str, value) -> bool:
     return _may_match(add, col, value, value)
 
 
+#: the two widening chains Spark's parquet readers promote natively
+#: (SPARK-44368 family): byte -> short -> int -> long, float -> double.
+#: Cross-chain promotion (long -> double) is lossy and never implicit.
+_WIDEN_RANK = {
+    "byte": ("int", 0),
+    "short": ("int", 1),
+    "integer": ("int", 2),
+    "long": ("int", 3),
+    "float": ("fp", 0),
+    "double": ("fp", 1),
+}
+
+
+def _widen_type(a, b):
+    """The wider of two Spark types on one widening chain, or None when
+    they are incompatible (different chains / non-numeric)."""
+    if a == b:
+        return a
+    ra, rb = _WIDEN_RANK.get(a.typeName()), _WIDEN_RANK.get(b.typeName())
+    if ra and rb and ra[0] == rb[0]:
+        return a if ra[1] >= rb[1] else b
+    return None
+
+
 def table_schema(table_path: str, version: int | None = None):
     """The committed Spark schema as of ``version`` (default latest), or
     None for pre-schema-tracking commits. Additive evolution folds in:
@@ -537,24 +561,44 @@ def table_schema(table_path: str, version: int | None = None):
     if not chain:
         return None
     merged: list = []
-    names: set[str] = set()
+    pos: dict[str, int] = {}
     for sch in reversed(chain):  # oldest-since-overwrite first
         for f in sch.fields:
-            if f.name not in names:
-                names.add(f.name)
+            if f.name not in pos:
+                pos[f.name] = len(merged)
                 merged.append(f)
+            else:
+                # type widening (round 9): commits after a widened append
+                # legally record a wider type for an existing column —
+                # the table schema resolves to the WIDEST on the chain
+                # (the gate rejects incompatible drift, so None only
+                # happens on pre-gate logs; first-seen wins there)
+                i = pos[f.name]
+                w = _widen_type(merged[i].dataType, f.dataType)
+                if w is not None and w != merged[i].dataType:
+                    merged[i] = T.StructField(f.name, w, True)
     return T.StructType(merged)
 
 
-def _check_append_schema(df: DataFrame, table_path: str, version: int, *, schema_evolution: bool):
+def _check_append_schema(df: DataFrame, table_path: str, version: int, *, schema_evolution):
     """Delta-style enforcement: an append must match the table schema;
     with ``schema_evolution`` it may ADD nullable fields, but an
     existing field's type can never change silently. Types are validated
     against the UNION of the distinct still-live schemas — not just the
     most recent commit's — so a column legally omitted by one append
-    cannot be reintroduced later with a drifted type (round-6 ADVICE)."""
+    cannot be reintroduced later with a drifted type (round-6 ADVICE).
+
+    ``schema_evolution="widen"`` (round 9 — Delta's TYPE WIDENING)
+    additionally allows an existing column's type to move ALONG a
+    widening chain in either direction (byte→short→int→long,
+    float→double): the table schema resolves to the widest recorded
+    type and the read path hands Spark's parquet readers the wide
+    requested schema, which they promote natively — old files are never
+    rewritten. Incompatible drift (string→int, long→double) is still
+    refused."""
     from pyspark.sql import types as T
 
+    widen = schema_evolution == "widen"
     current = table_schema(table_path, version)
     if current is None:
         return
@@ -564,12 +608,24 @@ def _check_append_schema(df: DataFrame, table_path: str, version: int, *, schema
     for sj in live_schemas:
         for f in T.StructType.fromJson(json.loads(sj)).fields:
             seen.setdefault(f.name, f.dataType)
-    changed = sorted(n for n in new if n in seen and new[n] != seen[n])
+    changed = sorted(
+        n
+        for n in new
+        if n in seen
+        and new[n] != seen[n]
+        and not (widen and _widen_type(new[n], seen[n]) is not None)
+    )
     if changed:
-        raise ValueError(
-            f"append changes existing column types {changed} — rewrite via "
-            "an overwrite commit instead (types never drift silently)"
+        hint = (
+            "rewrite via an overwrite commit instead (types never drift "
+            "silently; schema_evolution='widen' admits only the "
+            "byte→short→int→long and float→double chains)"
+            if widen
+            else "rewrite via an overwrite commit instead (types never "
+            "drift silently), or pass schema_evolution='widen' for "
+            "chain-compatible numeric widening"
         )
+        raise ValueError(f"append changes existing column types {changed} — {hint}")
     cur_names = {f.name for f in current.fields}
     extra = sorted(set(new) - cur_names)
     missing = sorted(cur_names - set(new))
@@ -1523,10 +1579,6 @@ def read_version(
     adds, schemas = _live_adds(table_path, version)
     if not adds:
         raise ValueError(f"version {version} of {table_path!r} has no live files")
-    # mergeSchema only when the live files actually span an additive
-    # evolution (>1 distinct committed schema): keeps the common case at
-    # zero extra footer reads while evolved tables read union-schema'd
-    reader = spark.read.option("mergeSchema", "true") if len(schemas) > 1 else spark.read
     files = sorted(adds)
     # column mapping: the manifest (pv/stats/blooms) and the data files
     # are keyed by stable PHYSICAL names; callers speak logical. Resolve
@@ -1560,6 +1612,39 @@ def read_version(
         # the assembled frame is PHYSICAL until the projection below;
         # pv reattachment and casts therefore key by physical name
         types = {mapping.get(n, n): t for n, t in types.items()}
+    # reader strategy over the live files:
+    # - one committed schema: plain read, zero extra footer work
+    # - several schemas, same types: mergeSchema (additive evolution)
+    # - several schemas with a TYPE conflict (type widening, round 9):
+    #   hand the readers the WIDE physical requested schema — Spark's
+    #   parquet readers promote narrow files natively (int32->int64,
+    #   float->double) and null-fill absent columns, so widened tables
+    #   read without rewriting a single old file
+    reader, widened = spark.read, False
+    if len(schemas) > 1:
+        from pyspark.sql import types as T
+
+        seen_t: dict[str, object] = {}
+        for sj in schemas:
+            for f in T.StructType.fromJson(json.loads(sj)).fields:
+                if seen_t.setdefault(f.name, f.dataType) != f.dataType:
+                    widened = True
+        # recorded add schemas carry the LOGICAL names of their commit
+        # era, so a widen straddling a rename is invisible to the
+        # name-keyed conflict check — under column mapping the requested
+        # physical schema is the robust read for any multi-schema table
+        if mapping:
+            widened = True
+        if widened and schema is not None:
+            phys = T.StructType(
+                [
+                    T.StructField(mapping.get(f.name, f.name), f.dataType, True)
+                    for f in schema.fields
+                ]
+            )
+            reader = spark.read.schema(phys)
+        else:
+            reader = spark.read.option("mergeSchema", "true")
 
     def _with_pv(df: DataFrame, pv: dict) -> DataFrame:
         for c, v in pv.items():
@@ -1588,7 +1673,11 @@ def read_version(
         key = tuple(sorted(pv.items())) if pv else ()
         groups.setdefault(key, []).append(f)
     parts = []
-    if len(groups) <= _MAX_LITERAL_PV_GROUPS:
+    # a widened table always takes the literal-pv path: the requested
+    # wide schema and hive partition discovery don't compose (discovery
+    # wants partition columns outside the data schema)
+    literal_path = widened or len(groups) <= _MAX_LITERAL_PV_GROUPS
+    if literal_path:
         # one scan per live partition-value combination, pv columns
         # reattached as folded literals — the zero-inference path
         # (null partition values sort last in the deterministic order)
@@ -1632,7 +1721,7 @@ def read_version(
     df = parts[0]
     for p in parts[1:]:
         df = df.unionByName(p, allowMissingColumns=True)
-    if len(groups) > _MAX_LITERAL_PV_GROUPS:
+    if not literal_path:
         # inferred pv columns arrive as strings — cast to committed
         # types; transform dir columns (hidden partitioning) are not
         # table columns and leave the frame here

@@ -488,3 +488,97 @@ def test_cli_table_count_and_vacuum_older_than(spark, tmp_path, capsys):
         ["vacuum", t, "--keep-versions", "1", "--older-than", "2000-01-01T00:00:00"]
     ) == 0
     assert {r.k for r in read_version(spark, t, 0).collect()} == {1, 2}
+
+
+def test_type_widening_append_int_to_long(spark, tmp_path):
+    """schema_evolution='widen': a long append into an int table widens
+    the table schema to long; old int32 files read natively under the
+    wide requested schema — zero files rewritten — and values past 2^31
+    round-trip."""
+    t = str(tmp_path / "tbl")
+    commit_snapshot(
+        spark.createDataFrame([(1, 10)], "k long, x int").coalesce(1), t
+    )
+    with pytest.raises(ValueError, match="widen"):
+        commit_snapshot(
+            spark.createDataFrame([(2, 2**40)], "k long, x long"),
+            t,
+            mode="append",
+        )
+    files_before = {r.file for r in V.table_files(spark, t).collect()}
+    commit_snapshot(
+        spark.createDataFrame([(2, 2**40)], "k long, x long").coalesce(1),
+        t,
+        mode="append",
+        schema_evolution="widen",
+    )
+    assert [f.dataType.typeName() for f in table_schema(t).fields] == [
+        "long",
+        "long",
+    ]
+    got = {(r.k, r.x) for r in read_version(spark, t).collect()}
+    assert got == {(1, 10), (2, 2**40)}
+    # no old file was rewritten
+    assert files_before <= {r.file for r in V.table_files(spark, t).collect()}
+    # time travel shows the pre-widen version with its original type
+    v0 = read_version(spark, t, 0)
+    assert dict(v0.dtypes)["x"] == "int"
+
+
+def test_type_widening_narrower_append_and_float_chain(spark, tmp_path):
+    """The other direction (int into a long table) and float->double
+    both ride the same chains; incompatible drift is still refused."""
+    t = str(tmp_path / "tbl")
+    commit_snapshot(
+        spark.createDataFrame([(2**40, 1.5)], "k long, x double").coalesce(1), t
+    )
+    commit_snapshot(
+        spark.createDataFrame([(7, 2.5)], "k int, x float").coalesce(1),
+        t,
+        mode="append",
+        schema_evolution="widen",
+    )
+    assert dict(read_version(spark, t).dtypes) == {"k": "bigint", "x": "double"}
+    got = {(r.k, r.x) for r in read_version(spark, t).collect()}
+    assert got == {(2**40, 1.5), (7, 2.5)}
+    with pytest.raises(ValueError, match="chain"):
+        commit_snapshot(
+            spark.createDataFrame([("s", 1.0)], "k string, x double"),
+            t,
+            mode="append",
+            schema_evolution="widen",
+        )
+
+
+def test_type_widening_composes_with_stats_and_dedup_paths(spark, tmp_path):
+    """Widened tables keep pruning (int-file stats probed with long
+    bounds), keyed diff, and additive evolution working."""
+    t = str(tmp_path / "tbl")
+    commit_snapshot(
+        spark.createDataFrame(
+            [(i, i * 10) for i in range(10)], "k long, x int"
+        ).coalesce(1),
+        t,
+        stats_cols=["x"],
+    )
+    commit_snapshot(
+        spark.createDataFrame([(100, 2**41)], "k long, x long").coalesce(1),
+        t,
+        mode="append",
+        schema_evolution="widen",
+        stats_cols=["x"],
+    )
+    got = read_version(spark, t, prune=("x", 2**40, 2**42)).collect()
+    assert {(r.k, r.x) for r in got} == {(100, 2**41)}
+    # log-level skip actually pruned the int file
+    n_files = (
+        read_version(spark, t, prune=("x", 2**40, 2**42))
+        .select(F.input_file_name())
+        .distinct()
+        .count()
+    )
+    assert n_files == 1
+    # keyed diff across the widen boundary
+    d = V.key_diff_versions(spark, t, ["k"], v_old=0)
+    kinds = {r["diff_kind"] for r in d.collect()}
+    assert kinds == {"unchanged", "added"}
