@@ -294,6 +294,7 @@ def table_main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("--stats-cols", default=None, help="comma-separated columns (compute-stats)")
     p.add_argument("--bloom-cols", default=None, help="comma-separated bloom columns (compute-stats)")
+    p.add_argument("--ndv-cols", default=None, help="comma-separated NDV columns (compute-stats)")
     p.add_argument("--column", default=None, help="column name (rename/drop-column)")
     p.add_argument("--to", default=None, help="new column name (rename-column)")
     p.add_argument("table_path")
@@ -436,14 +437,15 @@ def table_main(argv: list[str] | None = None) -> int:
 
     spark = _session(args)
     if args.op == "compute-stats":
-        if not args.stats_cols:
-            print("compute-stats requires --stats-cols", file=sys.stderr)
+        if not args.stats_cols and not args.ndv_cols:
+            print("compute-stats requires --stats-cols or --ndv-cols", file=sys.stderr)
             return 2
         v = V.compute_stats(
             spark,
             args.table_path,
-            args.stats_cols.split(","),
+            args.stats_cols.split(",") if args.stats_cols else [],
             bloom_cols=args.bloom_cols.split(",") if args.bloom_cols else None,
+            ndv_cols=args.ndv_cols.split(",") if args.ndv_cols else None,
         )
         print(
             f"stats backfilled as version {v}" if v is not None else "already complete"

@@ -159,6 +159,23 @@ FROM folded
 """
 
 
+def hll_corrected_estimate(row) -> float:
+    """The small-range-corrected HLL estimate from one
+    :func:`hll_estimate` row — Flajolet et al.'s LINEAR COUNTING branch
+    (E = m·ln(m/V) when the raw estimate is under 2.5m and some
+    registers are still zero), which the bit-deterministic query surface
+    deliberately omits (ln is not specified to the last bit across
+    engines). Driver-side consumers recording metadata (ANALYZE NDV)
+    use this; oracle-compared queries never do."""
+    import math
+
+    raw = row.est_x1000 / 1000.0
+    zeros = row.zero_registers
+    if raw < 2.5 * HLL_M and zeros > 0:
+        return HLL_M * math.log(HLL_M / zeros)
+    return raw
+
+
 def hll_merge(
     a: DataFrame, b: DataFrame, group_cols: list[str] | None = None
 ) -> DataFrame:

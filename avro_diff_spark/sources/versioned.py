@@ -72,6 +72,7 @@ __all__ = [
     "table_history",
     "table_files",
     "table_count",
+    "table_ndv",
     "merge_stream",
     "key_diff_versions",
     "read_changes",
@@ -220,6 +221,9 @@ def checkpoint_log(table_path: str, version: int | None = None) -> str:
     cl = _table_clustering_raw(table_path, version)
     if cl:
         ck["cluster"] = cl
+    nd = _table_ndv_phys(table_path, version)
+    if nd:
+        ck["ndv"] = nd
     p = _checkpoint_path(table_path, version)
     tmp = p + f".{uuid.uuid4().hex[:8]}.tmp"
     with open(tmp, "w") as fh:
@@ -1848,6 +1852,7 @@ def compute_stats(
     stats_cols: list[str],
     *,
     bloom_cols: list[str] | None = None,
+    ndv_cols: list[str] | None = None,
     max_retries: int = 10,
 ) -> int | None:
     """``ANALYZE TABLE … COMPUTE STATISTICS`` — BACKFILL skipping
@@ -1880,7 +1885,7 @@ def compute_stats(
         for f, info in adds.items()
         if any(c not in (info.get("bloom") or {}) for c in pblooms)
     ) if pblooms else []
-    if not need_stats and not need_bloom:
+    if not need_stats and not need_bloom and not ndv_cols:
         return None
     file_rows, file_stats = (
         _harvest_stats(spark, table_path, need_stats, pcols)
@@ -1903,7 +1908,22 @@ def compute_stats(
             u["bloom"] = blooms[f]
         if len(u) > 1:
             actions.append({"stats_update": u})
-    if not actions:
+    ndv: dict[str, int] = {}
+    if ndv_cols:
+        # TABLE-LEVEL approximate distinct counts via the deterministic
+        # HLL sketch (functions/sketches.py) — one bounded-state
+        # aggregation per analyzed column over the CURRENT logical view
+        # (deletion vectors applied), recorded under the rename-stable
+        # PHYSICAL name; surfaced by table_ndv / table_detail
+        from avro_diff_spark.functions import sketches as SK
+
+        snap_df = read_version(spark, table_path, version)
+        for c in ndv_cols:
+            if c not in snap_df.columns:
+                raise ValueError(f"unknown ndv column {c!r}")
+            est = SK.hll_estimate(SK.hll_registers(snap_df, c)).collect()[0]
+            ndv[mapping.get(c, c)] = int(round(SK.hll_corrected_estimate(est)))
+    if not actions and not ndv:
         return None
     for _ in range(max(max_retries, 1)):
         v = latest_version(table_path) + 1
@@ -1914,6 +1934,8 @@ def compute_stats(
             "n_rows": 0,
             "actions": actions,
         }
+        if ndv:
+            commit["ndv_update"] = ndv
         try:
             _publish_commit(table_path, v, commit)
             return v
@@ -1922,6 +1944,40 @@ def compute_stats(
     raise CommitConflict(
         f"compute_stats on {table_path!r} lost the publish race {max_retries} times"
     )
+
+
+def _table_ndv_phys(table_path: str, version: int) -> dict[str, int]:
+    """The physically-keyed NDV map at ``version``: checkpoint base +
+    replay of later ``ndv_update`` commits (latest per column wins) —
+    the same O(tail) shape every other metadata replay uses."""
+    ndv: dict[str, int] = {}
+    ck = _usable_checkpoint(table_path, version)
+    ck_v = -1
+    if ck is not None:
+        ck_v = ck[0]
+        ndv.update(ck[1].get("ndv", {}))
+    for v, path in _commit_files(table_path):
+        if v <= ck_v:
+            continue
+        if v > version:
+            break
+        ndv.update(_read_commit(path).get("ndv_update", {}))
+    return ndv
+
+
+def table_ndv(table_path: str, version: int | None = None) -> dict[str, int]:
+    """Approximate per-column distinct counts recorded by
+    :func:`compute_stats` ``ndv_cols=`` (``ANALYZE TABLE … FOR
+    COLUMNS``): column name (current logical) → HLL-estimated NDV as of
+    the last analyze. Metadata-only read; keys are stored PHYSICALLY so
+    the numbers survive renames."""
+    if version is None:
+        version = latest_version(table_path)
+    mapping, _ = _column_mapping(table_path, version)
+    inv = {p: l for l, p in mapping.items()}
+    return {
+        inv.get(c, c): n for c, n in _table_ndv_phys(table_path, version).items()
+    }
 
 
 def table_detail(table_path: str, version: int | None = None) -> dict:
@@ -1968,6 +2024,7 @@ def table_detail(table_path: str, version: int | None = None) -> dict:
         "constraints": table_constraints(table_path, version),
         "checkpoint_version": ck[0] if ck is not None else None,
         "vacuum_watermark": _vacuum_watermark(table_path),
+        "ndv": table_ndv(table_path, version) or None,
     }
 
 

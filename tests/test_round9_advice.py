@@ -582,3 +582,30 @@ def test_type_widening_composes_with_stats_and_dedup_paths(spark, tmp_path):
     d = V.key_diff_versions(spark, t, ["k"], v_old=0)
     kinds = {r["diff_kind"] for r in d.collect()}
     assert kinds == {"unchanged", "added"}
+
+
+def test_analyze_ndv_columns(spark, tmp_path):
+    """compute_stats(ndv_cols=) records table-level HLL distinct counts:
+    accurate at sketch tolerance, rename-stable (physical keys),
+    checkpoint-surviving, and surfaced by table_detail."""
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, f"u{i % 137}") for i in range(2000)], "k long, u string"
+    )
+    commit_snapshot(df, t)
+    v = V.compute_stats(spark, t, [], ndv_cols=["k", "u"])
+    assert v == 1
+    ndv = V.table_ndv(t)
+    assert abs(ndv["k"] - 2000) / 2000 < 0.2
+    assert abs(ndv["u"] - 137) / 137 < 0.15
+    assert V.table_detail(t)["ndv"] == ndv
+    # rename: the recorded numbers follow the column to its new name
+    rename_column(t, "u", "user")
+    assert V.table_ndv(t)["user"] == ndv["u"]
+    # survive a checkpoint + tail replay
+    for i in range(12):
+        commit_snapshot(_df(spark, [(1000 + i, "x")], "k long, user string"), t, mode="append")
+    assert V.table_ndv(t)["user"] == ndv["u"]
+    # re-analyze refreshes (latest per column wins)
+    V.compute_stats(spark, t, [], ndv_cols=["user"])
+    assert V.table_ndv(t)["user"] >= ndv["u"]
