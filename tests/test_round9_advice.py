@@ -609,3 +609,26 @@ def test_analyze_ndv_columns(spark, tmp_path):
     # re-analyze refreshes (latest per column wins)
     V.compute_stats(spark, t, [], ndv_cols=["user"])
     assert V.table_ndv(t)["user"] >= ndv["u"]
+
+
+def test_widened_table_composes_with_stream_and_cdf(spark, tmp_path):
+    """A widened table still streams (the per-file pyarrow reader feeds
+    typed rows into the WIDE declared schema) and still derives its
+    change feed across the widen boundary."""
+    t = str(tmp_path / "tbl")
+    commit_snapshot(
+        spark.createDataFrame([(1, 10)], "k long, x int").coalesce(1), t
+    )
+    commit_snapshot(
+        spark.createDataFrame([(2, 2**40)], "k long, x long").coalesce(1),
+        t,
+        mode="append",
+        schema_evolution="widen",
+    )
+    _drain(stream_table(spark, t), "r9_widened_stream")
+    got = {(r.k, r.x) for r in spark.sql("SELECT * FROM r9_widened_stream").collect()}
+    assert got == {(1, 10), (2, 2**40)}
+
+    ch = read_changes(spark, t, ["k"], v_from=0)
+    rows = {(r.k, r.x, r._change_type, r._commit_version) for r in ch.collect()}
+    assert rows == {(2, 2**40, "insert", 1)}
