@@ -1149,6 +1149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_attribution": analytics.asof_attribution,
         "events_rollup": analytics.events_rollup,
         "events_gapfill": analytics.events_gapfill,
+        "interval_join_purchases": analytics.interval_join_purchases,
         # LLM-data-pipeline operators (text analysis, dedup, similarity)
         **pipelines.PIPELINE_QUERIES,
     }
@@ -1505,7 +1506,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # array-by-index explosion variant is pytest-pinned
     # (tests/test_key_diff.py::test_detail_explode_arrays_per_index); the
     # CI oracle gate value-hashes it every run.
+    # Round-9 demotion (slot for interval_join_purchases, the bucketized
+    # range join): dataset_split_counts moves to the tail — its md5-hash
+    # threshold bucketing is the same deterministic-sampling machinery
+    # the recorded mixture_resample exercises (and the tail's CI-gated
+    # stratified_sample_counts), pytest-pinned partition-invariant.
     for tail in (
+        "dataset_split_counts",
         "key_diff_detail_arrays",
         "near_dup_cluster_sizes",
         "top_revenue_orders",
@@ -1626,5 +1633,6 @@ def oracle_sql() -> dict[str, str]:
         "asof_attribution": analytics.ASOF_ATTRIBUTION_SQL,
         "events_rollup": analytics.EVENTS_ROLLUP_SQL,
         "events_gapfill": analytics.EVENTS_GAPFILL_SQL,
+        "interval_join_purchases": analytics.INTERVAL_JOIN_PURCHASES_SQL,
         **pipelines.pipeline_sql(),
     }

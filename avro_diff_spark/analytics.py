@@ -543,6 +543,48 @@ FROM (
 """
 
 
+def interval_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which purchases landed inside a MULTI-EVENT session? —
+    the point-in-interval join (operators/interval.py): purchase events
+    against per-user session windows derived by :func:`sessionize`.
+    Spark's native plan for ``ts BETWEEN start AND end`` is a nested
+    loop; here intervals explode to their covered 30-minute buckets and
+    the join is a plain (user_id, bucket) equi-join + one residual
+    comparison — plan-gated like every other query. The oracle is the
+    INDEPENDENT formulation (DuckDB's native inequality join), so the
+    bucketing mechanics are verified against the pure semantics."""
+    from avro_diff_spark.operators.interval import interval_join
+
+    ev = load_events(spark, sf_dir)
+    busy = sessionize(spark, sf_dir).where(F.col("n_events") >= 2)
+    pts = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us"
+    )
+    out = interval_join(
+        pts,
+        busy.select("user_id", "session_seq", "session_start_us", "session_end_us"),
+        point_col="ts_us",
+        start_col="session_start_us",
+        end_col="session_end_us",
+        bucket_width=1_800_000_000,  # 30 min — the session gap scale
+        keys=["user_id"],
+    )
+    return out.select("event_id", "user_id", "session_seq", "ts_us").orderBy(
+        "event_id"
+    )
+
+
+INTERVAL_JOIN_PURCHASES_SQL = f"""
+WITH sess AS ({SESSIONIZE_SQL.strip()})
+SELECT e.event_id, e.user_id, s.session_seq, epoch_us(e.ts) AS ts_us
+FROM events e JOIN sess s
+  ON e.user_id = s.user_id
+ AND epoch_us(e.ts) BETWEEN s.session_start_us AND s.session_end_us
+WHERE e.event_type = 'purchase' AND s.n_events >= 2
+ORDER BY event_id
+"""
+
+
 def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense hourly per-type series with GAP FILLING — the timescale
     ``time_bucket_gapfill`` + LOCF surface every time-series store

@@ -1,0 +1,69 @@
+"""Interval (range) join: point-in-interval matching as a bucketized
+EQUI-join.
+
+Spark plans a raw ``p.ts BETWEEN i.start AND i.end`` join as a
+BroadcastNestedLoopJoin — quadratic, the shape this repo's plan gate
+bans. The scale-correct formulation buckets the time axis: each
+interval explodes to the buckets it covers (``sequence`` — bounded by
+interval-length / bucket-width), each point computes its single bucket,
+the join runs on (keys…, bucket) as a plain hash/sort-merge equi-join,
+and one residual comparison removes the bucket-edge false positives.
+This is the banded interval join every warehouse implements under
+``RANGE JOIN`` hints (Databricks' range-join optimization, the
+interval-overlap trick in Flink/Kysely); here it is explicit, plan-
+gated, and composable.
+
+Cost model: shuffle rows = points + Σ ceil(interval_len / bucket_width)
+— pick ``bucket_width`` near the typical interval length so each
+interval explodes to O(1) buckets. Skew rides the (keys, bucket)
+distribution, so a hot key spreads across its time buckets instead of
+one reducer.
+
+No counterpart in the reference (yuana97/Avro_Diff joins only on exact
+keys); beyond-reference tier — the brief's "range join" custom-operator
+slot, alongside operators/asof.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    *,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: int,
+    keys: list[str] | None = None,
+    end_inclusive: bool = True,
+) -> DataFrame:
+    """Join each point row to every interval row containing it
+    (``start <= point <= end``; ``end_inclusive=False`` for half-open
+    intervals), optionally also matching equality ``keys``. Integer
+    domains (epoch micros, sequence numbers). Returns the joined frame
+    with both sides' columns (names must not collide apart from
+    ``keys``)."""
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be positive")
+    ks = list(keys or [])
+    b = F.lit(int(bucket_width))
+    p = points.withColumn("__ib", F.floor(F.col(point_col) / b))
+    end_bucket = F.floor(F.col(end_col) / b)
+    if not end_inclusive:
+        # a half-open interval never matches its exact end: the last
+        # covered bucket is the one holding end-1
+        end_bucket = F.floor((F.col(end_col) - 1) / b)
+    iv = intervals.withColumn(
+        "__ib",
+        F.explode(F.sequence(F.floor(F.col(start_col) / b), end_bucket)),
+    )
+    residual = F.col(point_col) >= F.col(start_col)
+    residual = residual & (
+        F.col(point_col) <= F.col(end_col)
+        if end_inclusive
+        else F.col(point_col) < F.col(end_col)
+    )
+    return p.join(iv, ks + ["__ib"]).filter(residual).drop("__ib")

@@ -1,0 +1,83 @@
+"""Bucketized interval join (operators/interval.py): semantics pinned
+against a brute-force recompute, boundary inclusivity, bucket-width
+invariance, and the no-nested-loop plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from avro_diff_spark.operators.interval import interval_join
+
+
+def _pts(spark, rows):
+    return spark.createDataFrame(rows, "pid long, k string, t long")
+
+
+def _ivs(spark, rows):
+    return spark.createDataFrame(rows, "iid long, k string, lo long, hi long")
+
+
+def _brute(pts, ivs, inclusive=True, keyed=True):
+    out = set()
+    for pid, pk, t in pts:
+        for iid, ik, lo, hi in ivs:
+            if keyed and pk != ik:
+                continue
+            if t >= lo and (t <= hi if inclusive else t < hi):
+                out.add((pid, iid))
+    return out
+
+
+PTS = [(1, "a", 5), (2, "a", 10), (3, "a", 99), (4, "b", 10), (5, "b", 250)]
+IVS = [(10, "a", 0, 10), (11, "a", 10, 20), (12, "b", 240, 260), (13, "b", 0, 5)]
+
+
+@pytest.mark.parametrize("width", [1, 3, 7, 100, 1000])
+@pytest.mark.parametrize("inclusive", [True, False])
+def test_matches_brute_force_at_any_bucket_width(spark, width, inclusive):
+    """Bucket width is a COST knob, never a semantics knob — every width
+    reproduces the brute-force point-in-interval matches, both boundary
+    conventions (note t=10 matches BOTH adjacent intervals when ends are
+    inclusive)."""
+    got = interval_join(
+        _pts(spark, PTS),
+        _ivs(spark, IVS),
+        point_col="t",
+        start_col="lo",
+        end_col="hi",
+        bucket_width=width,
+        keys=["k"],
+        end_inclusive=inclusive,
+    )
+    assert {(r.pid, r.iid) for r in got.collect()} == _brute(PTS, IVS, inclusive)
+
+
+def test_unkeyed_join_and_plan_shape(spark):
+    """Without equality keys the join still runs on the bucket column —
+    an equi-join, never the BroadcastNestedLoopJoin Spark plans for a
+    raw BETWEEN join."""
+    got = interval_join(
+        _pts(spark, PTS).drop("k"),
+        _ivs(spark, IVS).drop("k"),
+        point_col="t",
+        start_col="lo",
+        end_col="hi",
+        bucket_width=16,
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert {(r.pid, r.iid) for r in got.collect()} == _brute(PTS, IVS, keyed=False)
+
+
+def test_partitioning_invariance(spark):
+    pts, ivs = _pts(spark, PTS), _ivs(spark, IVS)
+    a = interval_join(
+        pts.repartition(1), ivs.repartition(1),
+        point_col="t", start_col="lo", end_col="hi", bucket_width=8, keys=["k"],
+    )
+    b = interval_join(
+        pts.repartition(19), ivs.repartition(7),
+        point_col="t", start_col="lo", end_col="hi", bucket_width=8, keys=["k"],
+    )
+    assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}

@@ -49,6 +49,7 @@ QUERIES = [
     "countmin_heavy_hitters",  # round 9: integer cell fold + min probe
     "events_gapfill",  # round 9: dense-axis explode + per-series LOCF window
     "pagerank_neardups",  # round 9: iterative fixed-point join/agg rounds
+    "interval_join_purchases",  # round 9: bucketized range join + residual
 ]
 
 
