@@ -67,3 +67,50 @@ def interval_join(
         else F.col(point_col) < F.col(end_col)
     )
     return p.join(iv, ks + ["__ib"]).filter(residual).drop("__ib")
+
+
+def overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_width: int,
+    keys: list[str] | None = None,
+    end_inclusive: bool = True,
+) -> DataFrame:
+    """Join every pair of OVERLAPPING intervals (``a.start <= b.end AND
+    b.start <= a.end``, strict for half-open) — interval×interval, the
+    big sibling of :func:`interval_join`. Both sides explode to their
+    covered buckets; two overlapping intervals share SEVERAL buckets, so
+    the pair is emitted exactly once by keeping only the bucket holding
+    ``max(a.start, b.start)`` — the standard dedup-free banding rule (no
+    distinct pass over the join output). Equi-join on (keys…, bucket) +
+    residuals; shuffle rows per side = Σ ceil(len / bucket_width)."""
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be positive")
+    ks = list(keys or [])
+    b = F.lit(int(bucket_width))
+
+    def exploded(df: DataFrame, start: str, end: str) -> DataFrame:
+        hi = F.col(end) if end_inclusive else F.col(end) - 1
+        return df.withColumn(
+            "__ob", F.explode(F.sequence(F.floor(F.col(start) / b), F.floor(hi / b)))
+        )
+
+    a = exploded(left, left_start, left_end)
+    c = exploded(right, right_start, right_end)
+    if end_inclusive:
+        overlap = (F.col(left_start) <= F.col(right_end)) & (
+            F.col(right_start) <= F.col(left_end)
+        )
+    else:
+        overlap = (F.col(left_start) < F.col(right_end)) & (
+            F.col(right_start) < F.col(left_end)
+        )
+    once = F.col("__ob") == F.floor(
+        F.greatest(F.col(left_start), F.col(right_start)) / b
+    )
+    return a.join(c, ks + ["__ob"]).filter(overlap & once).drop("__ob")

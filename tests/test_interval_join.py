@@ -81,3 +81,51 @@ def test_partitioning_invariance(spark):
         point_col="t", start_col="lo", end_col="hi", bucket_width=8, keys=["k"],
     )
     assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+
+
+def _aivs(spark, rows):
+    return spark.createDataFrame(rows, "aid long, k string, lo long, hi long")
+
+
+def _bivs(spark, rows):
+    return spark.createDataFrame(rows, "bid long, k string, s long, e long")
+
+
+def _brute_overlap(avs, bvs, inclusive=True):
+    out = set()
+    for aid, ak, lo, hi in avs:
+        for bid, bk, s, e in bvs:
+            if ak != bk:
+                continue
+            ok = (lo <= e and s <= hi) if inclusive else (lo < e and s < hi)
+            if ok:
+                out.add((aid, bid))
+    return out
+
+
+AIVS = [(1, "a", 0, 50), (2, "a", 40, 60), (3, "a", 100, 100), (4, "b", 0, 5)]
+BIVS = [(10, "a", 45, 55), (11, "a", 60, 70), (12, "a", 100, 120), (13, "b", 5, 9)]
+
+
+@pytest.mark.parametrize("width", [1, 4, 13, 64, 500])
+@pytest.mark.parametrize("inclusive", [True, False])
+def test_overlap_join_matches_brute_force(spark, width, inclusive):
+    """Every pair of overlapping intervals emitted EXACTLY once (the
+    max-start-bucket rule — no distinct pass), any bucket width, both
+    boundary conventions (touching intervals overlap only inclusively)."""
+    from avro_diff_spark.operators.interval import overlap_join
+
+    got = overlap_join(
+        _aivs(spark, AIVS),
+        _bivs(spark, BIVS),
+        left_start="lo",
+        left_end="hi",
+        right_start="s",
+        right_end="e",
+        bucket_width=width,
+        keys=["k"],
+        end_inclusive=inclusive,
+    ).collect()
+    pairs = [(r.aid, r.bid) for r in got]
+    assert len(pairs) == len(set(pairs)), "pair emitted more than once"
+    assert set(pairs) == _brute_overlap(AIVS, BIVS, inclusive)
