@@ -632,3 +632,32 @@ def test_widened_table_composes_with_stream_and_cdf(spark, tmp_path):
     ch = read_changes(spark, t, ["k"], v_from=0)
     rows = {(r.k, r.x, r._change_type, r._commit_version) for r in ch.collect()}
     assert rows == {(2, 2**40, "insert", 1)}
+
+
+def test_spark_cast_str_matches_spark_exactly(spark):
+    """_spark_cast_str must reproduce Spark's CAST(x AS STRING) byte for
+    byte — pinned against Spark itself over the tricky fraction shapes
+    (zero, trailing-zero-trimmed, full precision) plus date/bool/int."""
+    vals = [
+        datetime.datetime(2024, 1, 1, 0, 0, 0, us)
+        for us in (0, 1, 10, 100, 1000, 10000, 100000, 500000,
+                   123456, 120000, 999999, 900000, 305000)
+    ] + [datetime.datetime(1999, 12, 31, 23, 59, 59, 5)]
+    df = spark.createDataFrame([(v,) for v in vals], "ts timestamp")
+    got = {
+        r.ts: r.s
+        for r in df.select("ts", F.col("ts").cast("string").alias("s")).collect()
+    }
+    for v in vals:
+        assert V._spark_cast_str(v) == got[v], v
+    # non-temporal domains the bloom/bucket paths hash
+    other = spark.createDataFrame(
+        [(7, True, datetime.date(2024, 2, 29), "x y")],
+        "i long, b boolean, d date, s string",
+    ).select(
+        *[F.col(c).cast("string").alias(c) for c in ("i", "b", "d", "s")]
+    ).collect()[0]
+    assert V._spark_cast_str(7) == other.i
+    assert V._spark_cast_str(True) == other.b
+    assert V._spark_cast_str(datetime.date(2024, 2, 29)) == other.d
+    assert V._spark_cast_str("x y") == other.s
