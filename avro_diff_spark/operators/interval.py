@@ -39,15 +39,27 @@ def interval_join(
     bucket_width: int,
     keys: list[str] | None = None,
     end_inclusive: bool = True,
+    how: str = "inner",
+    point_id: str | None = None,
 ) -> DataFrame:
     """Join each point row to every interval row containing it
     (``start <= point <= end``; ``end_inclusive=False`` for half-open
     intervals), optionally also matching equality ``keys``. Integer
     domains (epoch micros, sequence numbers). Returns the joined frame
     with both sides' columns (names must not collide apart from
-    ``keys``)."""
+    ``keys``).
+
+    ``how="left"`` keeps points matching NO interval with null-extended
+    interval columns (enrich-or-null) — it needs ``point_id``, a unique
+    point key, because the bucket join cannot tell an unmatched point
+    from one whose bucket candidates all failed the residual: matched
+    ids are collected by ONE distinct + anti-join, both equi-shuffles."""
     if bucket_width <= 0:
         raise ValueError("bucket_width must be positive")
+    if how not in ("inner", "left"):
+        raise ValueError(f"how={how!r} (inner|left)")
+    if how == "left" and not point_id:
+        raise ValueError("how='left' requires point_id= (a unique point key)")
     ks = list(keys or [])
     b = F.lit(int(bucket_width))
     p = points.withColumn("__ib", F.floor(F.col(point_col) / b))
@@ -66,7 +78,13 @@ def interval_join(
         if end_inclusive
         else F.col(point_col) < F.col(end_col)
     )
-    return p.join(iv, ks + ["__ib"]).filter(residual).drop("__ib")
+    inner = p.join(iv, ks + ["__ib"]).filter(residual).drop("__ib")
+    if how == "inner":
+        return inner
+    unmatched = points.join(
+        inner.select(point_id).distinct(), point_id, "left_anti"
+    )
+    return inner.unionByName(unmatched, allowMissingColumns=True)
 
 
 def overlap_join(

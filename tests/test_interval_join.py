@@ -129,3 +129,38 @@ def test_overlap_join_matches_brute_force(spark, width, inclusive):
     pairs = [(r.aid, r.bid) for r in got]
     assert len(pairs) == len(set(pairs)), "pair emitted more than once"
     assert set(pairs) == _brute_overlap(AIVS, BIVS, inclusive)
+
+
+@pytest.mark.parametrize("width", [3, 64])
+def test_left_interval_join_keeps_unmatched_points(spark, width):
+    """how='left': points inside no interval survive with null interval
+    columns — including a point whose bucket HAS interval candidates
+    that all fail the residual (the case the anti-join must not miss)."""
+    from avro_diff_spark.operators.interval import interval_join
+
+    # pid=3 (t=99) shares buckets with [100,100] at wide widths yet
+    # matches nothing; pid=5 matches; pid=6 is far from everything
+    pts = PTS + [(6, "a", 10**6)]
+    got = interval_join(
+        _pts(spark, pts),
+        _ivs(spark, IVS),
+        point_col="t",
+        start_col="lo",
+        end_col="hi",
+        bucket_width=width,
+        keys=["k"],
+        how="left",
+        point_id="pid",
+    ).collect()
+    matched = _brute(pts, IVS)
+    matched_pids = {p for p, _ in matched}
+    assert {(r.pid, r.iid) for r in got if r.iid is not None} == matched
+    assert {r.pid for r in got if r.iid is None} == {
+        p for p, *_ in pts if p not in matched_pids
+    }
+    with pytest.raises(ValueError, match="point_id"):
+        interval_join(
+            _pts(spark, pts), _ivs(spark, IVS),
+            point_col="t", start_col="lo", end_col="hi",
+            bucket_width=8, how="left",
+        )
