@@ -1150,6 +1150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup": analytics.events_rollup,
         "events_gapfill": analytics.events_gapfill,
         "interval_join_purchases": analytics.interval_join_purchases,
+        "concurrent_sessions": analytics.concurrent_sessions,
         # LLM-data-pipeline operators (text analysis, dedup, similarity)
         **pipelines.PIPELINE_QUERIES,
     }
@@ -1511,7 +1512,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # threshold bucketing is the same deterministic-sampling machinery
     # the recorded mixture_resample exercises (and the tail's CI-gated
     # stratified_sample_counts), pytest-pinned partition-invariant.
+    # Round-9 demotion (slot for concurrent_sessions, the unkeyed
+    # interval-OVERLAP join): retention_cohorts moves to the tail — its
+    # cohort matrix is one first-touch aggregation + date-bucket join +
+    # two-key groupBy-count, the event-sequence aggregation shape the
+    # recorded funnel_stages and sessionize exercise; the CI oracle gate
+    # value-hashes it every run.
     for tail in (
+        "retention_cohorts",
         "dataset_split_counts",
         "key_diff_detail_arrays",
         "near_dup_cluster_sizes",
@@ -1634,5 +1642,6 @@ def oracle_sql() -> dict[str, str]:
         "events_rollup": analytics.EVENTS_ROLLUP_SQL,
         "events_gapfill": analytics.EVENTS_GAPFILL_SQL,
         "interval_join_purchases": analytics.INTERVAL_JOIN_PURCHASES_SQL,
+        "concurrent_sessions": analytics.CONCURRENT_SESSIONS_SQL,
         **pipelines.pipeline_sql(),
     }

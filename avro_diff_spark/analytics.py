@@ -585,6 +585,68 @@ ORDER BY event_id
 """
 
 
+def concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which multi-event sessions of DIFFERENT users overlapped in time,
+    and for how long? — the interval-OVERLAP join
+    (operators/interval.py ``overlap_join``), here in its harder UNKEYED
+    form: every session explodes to its covered 30-minute buckets, the
+    self-join runs on the bucket alone (plain equi-join — the raw
+    pairwise formulation is a nested loop), the max-start-bucket rule
+    emits each pair once, and ``user_a < user_b`` keeps one ordered row
+    per pair. The oracle is DuckDB's native inequality join — an
+    independent formulation verifying the banding against pure overlap
+    semantics."""
+    from avro_diff_spark.operators.interval import overlap_join
+
+    sess = sessionize(spark, sf_dir).where(F.col("n_events") >= 2)
+    a = sess.select(
+        F.col("user_id").alias("user_a"),
+        F.col("session_seq").alias("seq_a"),
+        F.col("session_start_us").alias("lo_a"),
+        F.col("session_end_us").alias("hi_a"),
+    )
+    b = sess.select(
+        F.col("user_id").alias("user_b"),
+        F.col("session_seq").alias("seq_b"),
+        F.col("session_start_us").alias("lo_b"),
+        F.col("session_end_us").alias("hi_b"),
+    )
+    out = overlap_join(
+        a,
+        b,
+        left_start="lo_a",
+        left_end="hi_a",
+        right_start="lo_b",
+        right_end="hi_b",
+        bucket_width=1_800_000_000,
+    ).where(F.col("user_a") < F.col("user_b"))
+    return out.select(
+        "user_a",
+        "seq_a",
+        "user_b",
+        "seq_b",
+        (
+            F.least(F.col("hi_a"), F.col("hi_b"))
+            - F.greatest(F.col("lo_a"), F.col("lo_b"))
+        ).alias("overlap_us"),
+    ).orderBy("user_a", "seq_a", "user_b", "seq_b")
+
+
+CONCURRENT_SESSIONS_SQL = f"""
+WITH sess AS ({SESSIONIZE_SQL.strip()})
+SELECT a.user_id AS user_a, a.session_seq AS seq_a,
+       b.user_id AS user_b, b.session_seq AS seq_b,
+       least(a.session_end_us, b.session_end_us)
+         - greatest(a.session_start_us, b.session_start_us) AS overlap_us
+FROM sess a JOIN sess b
+  ON a.user_id < b.user_id
+ AND a.session_start_us <= b.session_end_us
+ AND b.session_start_us <= a.session_end_us
+WHERE a.n_events >= 2 AND b.n_events >= 2
+ORDER BY user_a, seq_a, user_b, seq_b
+"""
+
+
 def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense hourly per-type series with GAP FILLING — the timescale
     ``time_bucket_gapfill`` + LOCF surface every time-series store
