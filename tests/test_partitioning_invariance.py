@@ -50,6 +50,7 @@ QUERIES = [
     "events_gapfill",  # round 9: dense-axis explode + per-series LOCF window
     "pagerank_neardups",  # round 9: iterative fixed-point join/agg rounds
     "interval_join_purchases",  # round 9: bucketized range join + residual
+    "concurrent_sessions",  # round 9: unkeyed overlap join + pair dedup rule
 ]
 
 
