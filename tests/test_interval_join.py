@@ -164,3 +164,43 @@ def test_left_interval_join_keeps_unmatched_points(spark, width):
             point_col="t", start_col="lo", end_col="hi",
             bucket_width=8, how="left",
         )
+
+
+def test_interval_join_property_fuzz(spark):
+    """Property fuzz: random point/interval sets at random bucket widths
+    always reproduce the brute-force matches (one Spark round-trip per
+    seed batch to keep runtime sane)."""
+    import random
+
+    from avro_diff_spark.operators.interval import overlap_join
+
+    rng = random.Random(20260815)
+    for trial in range(3):
+        width = rng.choice([1, 2, 5, 17, 50, 400])
+        pts = [
+            (i, rng.choice("ab"), rng.randrange(-50, 450))
+            for i in range(40)
+        ]
+        ivs = []
+        for i in range(25):
+            lo = rng.randrange(-60, 440)
+            ivs.append((100 + i, rng.choice("ab"), lo, lo + rng.randrange(0, 80)))
+        got = interval_join(
+            _pts(spark, pts), _ivs(spark, ivs),
+            point_col="t", start_col="lo", end_col="hi",
+            bucket_width=width, keys=["k"],
+        )
+        assert {(r.pid, r.iid) for r in got.collect()} == _brute(pts, ivs), (
+            trial, width,
+        )
+        # overlap: intervals vs intervals from the same pool
+        a_rows = [(i, k, lo, hi) for i, k, lo, hi in ivs]
+        b_rows = [(i + 500, k, lo - 3, hi + 7) for i, k, lo, hi in ivs[:15]]
+        ov = overlap_join(
+            _aivs(spark, a_rows), _bivs(spark, [(i, k, s, e) for i, k, s, e in b_rows]),
+            left_start="lo", left_end="hi", right_start="s", right_end="e",
+            bucket_width=width, keys=["k"],
+        ).collect()
+        pairs = [(r.aid, r.bid) for r in ov]
+        assert len(pairs) == len(set(pairs))
+        assert set(pairs) == _brute_overlap(a_rows, b_rows), (trial, width)
