@@ -166,9 +166,14 @@ def hll_corrected_estimate(row) -> float:
     registers are still zero), which the bit-deterministic query surface
     deliberately omits (ln is not specified to the last bit across
     engines). Driver-side consumers recording metadata (ANALYZE NDV)
-    use this; oracle-compared queries never do."""
+    use this; oracle-compared queries never do. Total over the empty
+    sketch: a register table with NO rows (all-NULL or empty column)
+    folds to est_x1000 NULL — that is zero distinct values, not an
+    error."""
     import math
 
+    if row.est_x1000 is None:
+        return 0.0
     raw = row.est_x1000 / 1000.0
     zeros = row.zero_registers
     if raw < 2.5 * HLL_M and zeros > 0:
@@ -242,9 +247,13 @@ def kmv_overlap(
     theta = F.conv(
         F.substring(F.max(F.when(F.col("_u") == 1, F.col("h"))), 1, 12), 16, 10
     ).cast("long")
+    # coalesce the sums: a global agg over an EMPTY tagged union yields
+    # NULL sums, and NULL < k propagates NULL through the estimate —
+    # two empty inputs must return (0, 0, 0) exactly like the SQL twin
+    # (whose count(*) aggregates are already total)
     stats = tagged.agg(
-        F.sum("_u").alias("n_union_sketch"),
-        F.sum("_b").alias("cnt_both"),
+        F.coalesce(F.sum("_u"), F.lit(0)).alias("n_union_sketch"),
+        F.coalesce(F.sum("_b"), F.lit(0)).alias("cnt_both"),
         theta.alias("_theta48"),
     )
     est_full = F.floor(

@@ -26,7 +26,21 @@ slot, alongside operators/asof.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _fdiv(c: Column, b: int) -> Column:
+    """Exact ``floor(c / b)`` for integer ``c`` and positive integer
+    ``b`` — pure long arithmetic (``div`` truncates toward zero, minus
+    one when a negative dividend leaves a remainder). ``F.floor(c / b)``
+    routes through long→double division, which can mis-bucket values
+    with |v| >= 2^53; a mis-bucketed point silently misses its
+    containing interval (a false negative the residual cannot repair),
+    and the operator advertises general integer domains (sequence
+    numbers), not just epoch micros."""
+    bb = F.lit(int(b))
+    q = F.call_function("div", c, bb)
+    return q - F.when((c < 0) & (c % bb != 0), F.lit(1)).otherwise(F.lit(0))
 
 
 def interval_join(
@@ -61,16 +75,16 @@ def interval_join(
     if how == "left" and not point_id:
         raise ValueError("how='left' requires point_id= (a unique point key)")
     ks = list(keys or [])
-    b = F.lit(int(bucket_width))
-    p = points.withColumn("__ib", F.floor(F.col(point_col) / b))
-    end_bucket = F.floor(F.col(end_col) / b)
+    b = bucket_width
+    p = points.withColumn("__ib", _fdiv(F.col(point_col), b))
+    end_bucket = _fdiv(F.col(end_col), b)
     if not end_inclusive:
         # a half-open interval never matches its exact end: the last
         # covered bucket is the one holding end-1
-        end_bucket = F.floor((F.col(end_col) - 1) / b)
+        end_bucket = _fdiv(F.col(end_col) - 1, b)
     iv = intervals.withColumn(
         "__ib",
-        F.explode(F.sequence(F.floor(F.col(start_col) / b), end_bucket)),
+        F.explode(F.sequence(_fdiv(F.col(start_col), b), end_bucket)),
     )
     residual = F.col(point_col) >= F.col(start_col)
     residual = residual & (
@@ -110,12 +124,12 @@ def overlap_join(
     if bucket_width <= 0:
         raise ValueError("bucket_width must be positive")
     ks = list(keys or [])
-    b = F.lit(int(bucket_width))
+    b = bucket_width
 
     def exploded(df: DataFrame, start: str, end: str) -> DataFrame:
         hi = F.col(end) if end_inclusive else F.col(end) - 1
         return df.withColumn(
-            "__ob", F.explode(F.sequence(F.floor(F.col(start) / b), F.floor(hi / b)))
+            "__ob", F.explode(F.sequence(_fdiv(F.col(start), b), _fdiv(hi, b)))
         )
 
     a = exploded(left, left_start, left_end)
@@ -128,7 +142,7 @@ def overlap_join(
         overlap = (F.col(left_start) < F.col(right_end)) & (
             F.col(right_start) < F.col(left_end)
         )
-    once = F.col("__ob") == F.floor(
-        F.greatest(F.col(left_start), F.col(right_start)) / b
+    once = F.col("__ob") == _fdiv(
+        F.greatest(F.col(left_start), F.col(right_start)), b
     )
     return a.join(c, ks + ["__ob"]).filter(overlap & once).drop("__ob")

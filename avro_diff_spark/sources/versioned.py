@@ -827,9 +827,14 @@ def commit_snapshot(
             )
             _check_constraints(cur_df, table_path, version - 1)
             _check_retired(cur_df, table_path, mapping, retired)
-            phys_pb = (
-                _phys_specs(partition_by, mapping) if partition_by else []
-            )
+            # phys_pb stays the STAGE-TIME translation (mirrors
+            # commit_stream): the hive layout is already baked into the
+            # staged files and physical names are rename-stable, so
+            # re-translating the caller's logical partition names through
+            # the FRESH mapping would mis-resolve after a concurrent
+            # rename of an already-renamed partition column — spuriously
+            # failing the guard below or (with partition_evolution=True)
+            # recording a physical spec the staged files don't have
             prev_pb = _table_partitioning(table_path, version - 1)
             if prev_pb is not None and phys_pb != prev_pb and not partition_evolution:
                 raise ValueError(
