@@ -1134,6 +1134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "venn_intersection": _q_venn_intersection,
         "venn_onepass_counts": _q_venn_onepass,
         "key_collisions_lineitem": _q_key_collisions_lineitem,
+        "dq_expectations": analytics.dq_expectations,
         "projection_keep_ignore": _q_projection,
         "projection_nested": _q_projection_nested,
         # general analytics (scan/agg/join/window/top-k/sessionize)
@@ -1142,6 +1143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_revenue": analytics.region_revenue,
         "top_customers_by_segment": analytics.top_customers_by_segment,
         "supplier_part_profit": analytics.supplier_part_profit,
+        "salted_join_revenue": analytics.salted_join_revenue,
         "events_hourly": analytics.events_hourly,
         "funnel_stages": analytics.funnel_stages,
         "retention_cohorts": analytics.retention_cohorts,
@@ -1149,6 +1151,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_attribution": analytics.asof_attribution,
         "events_rollup": analytics.events_rollup,
         "events_gapfill": analytics.events_gapfill,
+        "events_sliding": analytics.events_sliding,
+        "events_anomalies": analytics.events_anomalies,
+        "events_pivot": analytics.events_pivot,
+        "scd2_user_states": analytics.scd2_user_states,
+        "events_debounce": analytics.events_debounce,
         "interval_join_purchases": analytics.interval_join_purchases,
         "concurrent_sessions": analytics.concurrent_sessions,
         # LLM-data-pipeline operators (text analysis, dedup, similarity)
@@ -1518,7 +1525,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # two-key groupBy-count, the event-sequence aggregation shape the
     # recorded funnel_stages and sessionize exercise; the CI oracle gate
     # value-hashes it every run.
+    # Round-10 demotions (five slots for the five round-10 head entries —
+    # dq_expectations, salted_join_revenue, events_sliding,
+    # events_anomalies, events_pivot):
+    # doc_length_percentiles moves to the tail — its exact interpolated
+    # percentile law over integer lengths is precisely what the recorded
+    # events_anomalies executes twice (median and MAD over integer
+    # counts, the same x.0/x.5/x.25 exactness argument); the CI oracle
+    # gate value-hashes it every run.
+    # langid_ngram_counts moves to the tail — a bounded driver-trained
+    # profile table broadcast back and scored with int64 fixed-point
+    # accumulation, the exact shape of the recorded quality_classifier
+    # and dsir_weights; the trained-profile law is pytest-pinned in
+    # tests/test_text_functions.py and the CI oracle gate value-hashes
+    # it every run.
+    # c4_line_filter moves to the tail — pure Column line-split +
+    # per-line predicates over one documents scan, the same
+    # single-scan pure-expression machinery the recorded
+    # pii_redaction_counts and repetition_stats execute; CI-gated.
+    # semantic_dedup_survivors moves to the tail — its k-means partition
+    # IS the recorded ivf_index_topk's coarse quantizer by construction
+    # (similarity.py shares _centroid_ranking between them), the
+    # within-cluster equi-join survivor pick is brute-force
+    # property-pinned in tests/test_similarity.py, and the CI oracle
+    # gate value-hashes it every run.
+    # events_rollup moves to the tail — its hourly count aggregation is
+    # the recorded events_sliding's (same integer epoch buckets over the
+    # same events scan, sliding is the strict superset computing 4
+    # bucket aggregates per event), the ROLLUP grouping-set lowering is
+    # engine-native Expand value-hashed by the CI oracle gate every run.
+    # Round-10 demotions (two slots for scd2_user_states and
+    # events_debounce):
+    # funnel_stages moves to the tail — its per-user ordered event fold
+    # is executed end-to-end INSIDE the recorded pipeline_attrition
+    # (which composes the same funnel machinery as its third stage), the
+    # keyed event-sequence window shape stays recorded via sessionize,
+    # and the CI oracle gate value-hashes it every run.
+    # key_diff_avro moves to the tail — the recorded key_diff_avro_evolved
+    # runs the same OCF scan/decoder/codec machinery PLUS full Avro
+    # schema resolution on top of it, the codec/CRC paths are pinned by
+    # tests/test_ocf_interop.py against the reference's own shipped
+    # fixtures, and the CI oracle gate value-hashes it every run.
     for tail in (
+        "funnel_stages",
+        "key_diff_avro",
+        "doc_length_percentiles",
+        "langid_ngram_counts",
+        "c4_line_filter",
+        "semantic_dedup_survivors",
+        "events_rollup",
         "retention_cohorts",
         "dataset_split_counts",
         "key_diff_detail_arrays",
@@ -1641,6 +1696,14 @@ def oracle_sql() -> dict[str, str]:
         "asof_attribution": analytics.ASOF_ATTRIBUTION_SQL,
         "events_rollup": analytics.EVENTS_ROLLUP_SQL,
         "events_gapfill": analytics.EVENTS_GAPFILL_SQL,
+        "events_sliding": analytics.EVENTS_SLIDING_SQL,
+        "events_anomalies": analytics.EVENTS_ANOMALIES_SQL,
+        "events_pivot": analytics.EVENTS_PIVOT_SQL,
+        # the salted join's contract IS row-identity with the plain join
+        "salted_join_revenue": analytics.SALTED_JOIN_REVENUE_SQL,
+        "dq_expectations": analytics.DQ_EXPECTATIONS_SQL,
+        "scd2_user_states": analytics.SCD2_USER_STATES_SQL,
+        "events_debounce": analytics.EVENTS_DEBOUNCE_SQL,
         "interval_join_purchases": analytics.INTERVAL_JOIN_PURCHASES_SQL,
         "concurrent_sessions": analytics.CONCURRENT_SESSIONS_SQL,
         **pipelines.pipeline_sql(),

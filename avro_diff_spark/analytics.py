@@ -717,3 +717,317 @@ SELECT event_type, hour_us,
        n_events IS NULL AS gap
 FROM dense
 """
+
+
+# --------------------------------------------------------------------------
+# round 10: sliding (hopping) windows, MAD anomaly flags, pivot, skew-salted
+# join, and a data-quality expectation report.
+# --------------------------------------------------------------------------
+
+_SLIDE_US = 900_000_000  # 15 min
+_WIN_US = 3_600_000_000  # 1 h window = 4 slides
+
+
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window aggregation (1 h windows sliding every 15 min) —
+    the overlapping-window surface Structured Streaming's ``window(ts,
+    '1 hour', '15 minutes')`` exposes, here as an explicit batch plan:
+    each event explodes to the window/slide = 4 windows containing it
+    (``window_start = floor(ts/slide)*slide - k*slide``; every k in
+    [0, 4) is containing by construction, so no residual filter), then
+    ONE groupBy on (window_start, event_type) with map-side combine.
+
+    Scale shape: shuffle rows = 4x events with full partial aggregation
+    — the same cost law as Spark's own sliding ``window()`` operator
+    (which physically plans this exact Expand + HashAggregate). Integer
+    epoch-micro buckets and exact-decimal sums keep the oracle
+    bit-stable."""
+    ev = load_events(spark, sf_dir)
+    us = F.col("ts_us")
+    base = us - us % F.lit(_SLIDE_US)
+    k = F.explode(F.sequence(F.lit(0), F.lit(_WIN_US // _SLIDE_US - 1)))
+    return (
+        ev.select("event_type", "value", base.alias("__b"), k.alias("__k"))
+        .select(
+            "event_type",
+            "value",
+            (
+                F.col("__b") - F.col("__k").cast("long") * F.lit(_SLIDE_US).cast("long")
+            ).alias("window_start_us"),
+        )
+        .groupBy("window_start_us", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dec_sum(F.col("value")).alias("sum_value"),
+        )
+    )
+
+
+EVENTS_SLIDING_SQL = f"""
+SELECT (epoch_us(ts) - (epoch_us(ts) % {_SLIDE_US})) - k * {_SLIDE_US} AS window_start_us,
+       event_type, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS sum_value
+FROM events
+CROSS JOIN (SELECT unnest(generate_series(0, {_WIN_US // _SLIDE_US - 1})) AS k) ks
+GROUP BY 1, 2
+"""
+
+
+def events_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust time-series anomaly flags: hours whose event count
+    deviates from the series median by more than 3x the median absolute
+    deviation (the median/MAD rule — outlier-proof where mean/stddev is
+    not, and the standard first-pass monitor on pipeline volumes).
+
+    Exactness across engines: counts are integers; a median over
+    integers is x.0 or x.5 (the average of two middle values) and a MAD
+    over those deviations a multiple of 0.25 — every value and every
+    ``dev > 3*mad`` comparison is an exactly-representable binary
+    fraction, so Spark's ``percentile`` and DuckDB's ``median``
+    hash-identically. Scale shape: the series aggregate is one shuffle
+    with map-side combine; medians reduce per SERIES KEY (never a
+    global sort); the stats frames are groups-sized and broadcast back
+    onto the hourly frame."""
+    ev = load_events(spark, sf_dir)
+    hour_us = 3_600_000_000
+    us = F.col("ts_us")
+    hourly = (
+        ev.select("event_type", (us - us % hour_us).alias("hour_us"))
+        .groupBy("event_type", "hour_us")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    med = hourly.groupBy("event_type").agg(
+        F.percentile("n_events", 0.5).alias("med")
+    )
+    dev = hourly.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("n_events") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.percentile("dev", 0.5).alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("dev") > F.lit(3.0) * F.col("mad"))
+        .select("event_type", "hour_us", "n_events", "med", "mad", "dev")
+    )
+
+
+EVENTS_ANOMALIES_SQL = """
+WITH hourly AS (
+  SELECT event_type, epoch_us(ts) - (epoch_us(ts) % 3600000000) AS hour_us,
+         count(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+med AS (SELECT event_type, median(n_events) AS med FROM hourly GROUP BY 1),
+dev AS (SELECT h.event_type, hour_us, n_events, med,
+               abs(n_events - med) AS dev
+        FROM hourly h JOIN med USING (event_type)),
+mad AS (SELECT event_type, median(dev) AS mad FROM dev GROUP BY 1)
+SELECT d.event_type, hour_us, n_events, d.med, m.mad, d.dev
+FROM dev d JOIN mad m USING (event_type)
+WHERE d.dev > 3 * m.mad
+"""
+
+
+#: pivot columns are DECLARED, not discovered: an undeclared pivot runs a
+#: distinct-values job first and can explode to millions of columns on
+#: dirty data — the fixed vocabulary keeps the plan one aggregation.
+PIVOT_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity matrix: one row per user, one count column per
+    DECLARED event type (``pivot`` with an explicit value list). Scale
+    shape: a single groupBy(user) aggregation — the pivot lowers to one
+    conditional count per declared type inside the same HashAggregate
+    (map-side combine included), never a per-type shuffle or a
+    distinct-values pre-job."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(PIVOT_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .fillna(0, subset=list(PIVOT_EVENT_TYPES))
+    )
+
+
+EVENTS_PIVOT_SQL = f"""
+SELECT user_id,
+  {", ".join(
+      'count(*) FILTER (WHERE event_type = ' + f"'{t}'" + f') AS "{t}"'
+      for t in PIVOT_EVENT_TYPES
+  )}
+FROM events GROUP BY user_id
+"""
+
+
+def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per order priority through a SKEW-SALTED orders⋈lineitem
+    join (operators/skew.py): lineitem rows carry a deterministic salt,
+    orders replicate across 8 salt slots, and the join runs on
+    (orderkey, salt) — per-reducer input for any hot orderkey is bounded
+    by its rows / 8. Result is row-identical to the plain equi-join (the
+    oracle IS the plain join), which is the operator's contract."""
+    from avro_diff_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_orderkey", "okey"
+    )
+    orders = load_table(spark, sf_dir, "orders").withColumnRenamed(
+        "o_orderkey", "okey"
+    )
+    joined = salted_join(li, orders.select("okey", "o_orderpriority"), "okey", salts=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.sum(_disc_price()).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+SALTED_JOIN_REVENUE_SQL = """
+SELECT o_orderpriority,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+  count(*) AS n_lines
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation suite over ``lineitem`` — the
+    Deequ/Great-Expectations report shape: each rule emits one row
+    (rule, violations, n_checked). Row-level rules (not-null, range,
+    accepted set) fold into ONE conditional-aggregation scan;
+    uniqueness is the same scan's ``count - count(distinct key)``;
+    referential integrity is one anti-join counted. The testdata's
+    deliberately duplicated ``(l_orderkey, l_linenumber)`` (the
+    collision fixture, TESTDATA.md) keeps the report non-vacuous.
+
+    Scale shape: the scan rules cost one map-side-combined pass no
+    matter how many rules; the distinct and the anti-join each shuffle
+    on the checked key — at 100 TB you run the scan rules always and
+    the key rules on a schedule. Output is a handful of rows."""
+    from avro_diff_spark.operators.quality import expectation_report
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    return expectation_report(
+        li,
+        violations={
+            "not_null_shipdate": F.col("l_shipdate").isNull(),
+            "discount_range": ~(
+                (F.col("l_discount") >= 0.0) & (F.col("l_discount") <= 0.1)
+            ),
+            "returnflag_set": ~F.col("l_returnflag").isin("A", "N", "R"),
+        },
+        unique={"unique_order_line": ["l_orderkey", "l_linenumber"]},
+        fk={"fk_orderkey_in_orders": (orders, "l_orderkey", "o_orderkey")},
+    )
+
+
+DQ_EXPECTATIONS_SQL = """
+SELECT 'not_null_shipdate' AS rule,
+       count(*) FILTER (WHERE l_shipdate IS NULL) AS violations,
+       count(*) AS n_checked FROM lineitem
+UNION ALL
+SELECT 'discount_range',
+       count(*) FILTER (WHERE NOT (l_discount >= 0.0 AND l_discount <= 0.1)),
+       count(*) FROM lineitem
+UNION ALL
+SELECT 'returnflag_set',
+       count(*) FILTER (WHERE l_returnflag NOT IN ('A','N','R')),
+       count(*) FROM lineitem
+UNION ALL
+SELECT 'unique_order_line',
+       count(*) - count(DISTINCT (l_orderkey, l_linenumber)),
+       count(*) FROM lineitem
+UNION ALL
+SELECT 'fk_orderkey_in_orders',
+       (SELECT count(*) FROM lineitem
+        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+       count(*) FROM lineitem
+"""
+
+
+def scd2_user_states(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build (operators/scd.py) over the event
+    stream: each user's event_type observations collapse into validity
+    intervals — one row per genuine transition with half-open
+    valid_from/valid_to epoch-micro bounds and a per-user change
+    ordinal. The longitudinal generalization of the reference's
+    two-snapshot diff: EVERY transition, timestamped. One shuffle on
+    user_id; all windows partitioned by key (plan-gated)."""
+    from avro_diff_spark.operators.scd import scd2_build
+
+    ev = load_events(spark, sf_dir).select("user_id", "ts_us", "event_type")
+    return scd2_build(ev, key="user_id", ts="ts_us", tracked=["event_type"]).select(
+        "user_id",
+        "event_type",
+        F.col("valid_from").alias("valid_from_us"),
+        F.col("valid_to").alias("valid_to_us"),
+        "version",
+    )
+
+
+SCD2_USER_STATES_SQL = """
+WITH obs AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events
+),
+runs AS (
+  SELECT user_id, ts_us, event_type,
+    CASE WHEN lag(ts_us) OVER w IS NULL THEN 1
+         WHEN event_type IS NOT DISTINCT FROM lag(event_type) OVER w THEN 0
+         ELSE 1 END AS chg
+  FROM obs
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_type)
+),
+vers AS (
+  SELECT user_id, ts_us, event_type, chg,
+    CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_type
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS version
+  FROM runs
+)
+SELECT user_id, event_type, ts_us AS valid_from_us,
+       lead(ts_us) OVER (PARTITION BY user_id ORDER BY version) AS valid_to_us,
+       version
+FROM vers WHERE chg = 1
+"""
+
+
+_DEBOUNCE_US = 300_000_000  # 5 min
+
+
+def events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounced event counts: an event is a BOUNCE (client retry,
+    double-click, duplicate delivery) when the same user emitted the
+    same event type within the preceding 5 minutes; the report counts
+    kept vs bounced per type. One ``lag`` window partitioned by
+    (user_id, event_type) — the keyed-window shape that stays one tiny
+    partition per entity at 100 TB (streaming twin:
+    dropDuplicatesWithinWatermark)."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts_us").asc(), F.col("event_id").asc()
+    )
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    bounced = gap.isNotNull() & (gap < F.lit(_DEBOUNCE_US))
+    return (
+        ev.select("event_type", bounced.alias("__b"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(~F.col("__b"), 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(F.col("__b"), 1).otherwise(0)).alias("n_bounced"),
+        )
+    )
+
+
+EVENTS_DEBOUNCE_SQL = f"""
+WITH g AS (
+  SELECT event_type,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id, event_type
+           ORDER BY epoch_us(ts), event_id) AS gap
+  FROM events
+)
+SELECT event_type,
+       count(*) FILTER (WHERE gap IS NULL OR gap >= {_DEBOUNCE_US}) AS n_kept,
+       count(*) FILTER (WHERE gap < {_DEBOUNCE_US}) AS n_bounced
+FROM g GROUP BY event_type
+"""

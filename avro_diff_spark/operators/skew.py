@@ -1,0 +1,83 @@
+"""Skew-salted equi-join: spread a hot join key across many reducers.
+
+A shuffle join hashes rows to reducers by join key alone, so ONE hot key
+(the null user, the default account, the viral document) lands its
+entire row set on one task — at 100 TB that task runs for hours while
+the other 999 executors idle, or dies outright. Salting splits each hot
+key's rows across ``salts`` reducers: the probe side gains a
+deterministic salt column, the build side is replicated once per salt
+value, and the join runs on ``(keys…, salt)`` — still a plain hash/
+sort-merge EQUI-join (the plan gate's requirement), with per-reducer
+input bounded by ``hot_key_rows / salts``.
+
+This is the manual form of what AQE's ``skewJoin`` does adaptively
+(splitting oversized shuffle partitions at runtime); the explicit
+operator exists because AQE only rescues SORT-MERGE joins after a stage
+materializes, while salting shapes the shuffle itself — and because a
+pipeline author who KNOWS the skew (every web corpus does) should not
+depend on runtime rescue. Cost: the build side shuffles ``salts``×
+larger, so salt the SMALL side's replication factor to taste; the probe
+side pays one extra int column.
+
+Correctness: the salt is a pure function of the probe row
+(``xxhash64`` of all its columns mod ``salts``), so every probe row
+carries exactly ONE salt value and meets the full build side at that
+salt — ``salted_join(L, R) == L.join(R)`` row-for-row, including
+duplicate rows on either side (replication is keyed by the salt
+equi-join, never a distinct). Deterministic across any partitioning
+(no ``rand()``, no ``spark_partition_id``), so results are
+layout-invariant — pinned by the partitioning-invariance gate.
+
+No counterpart in the reference (yuana97/Avro_Diff joins in-memory on a
+single node — skew is invisible there); beyond-reference tier, the
+scale-mechanics slot alongside operators/interval.py's bucketized range
+join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_SALT = "__salt"
+
+
+def salted_join(
+    probe: DataFrame,
+    build: DataFrame,
+    on: list[str] | str,
+    *,
+    salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join ``probe`` ⋈ ``build`` on the named key columns (same
+    names both sides, like ``DataFrame.join(on=)``), with the probe side
+    salted across ``salts`` reducers and the build side replicated once
+    per salt. Supports ``how`` of ``inner`` and ``left`` (probe-side
+    outer) — the replicated side cannot drive an outer join without
+    emitting each unmatched build row ``salts`` times, so ``right``/
+    ``full`` raise: put the preserved side on the probe."""
+    if salts < 1:
+        raise ValueError("salts must be >= 1")
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"how={how!r}: salted_join supports inner|left — make the "
+            "preserved side the probe (the build side is replicated)"
+        )
+    keys = [on] if isinstance(on, str) else list(on)
+    if not keys:
+        raise ValueError("on= must name at least one key column")
+    for c in (_SALT,):
+        if c in probe.columns or c in build.columns:
+            raise ValueError(f"column {c!r} collides with the salt column")
+    # deterministic per-row salt from the WHOLE probe row: a hot key's
+    # rows differ in their payload columns, so they spread ~uniformly;
+    # identical duplicate rows sharing a salt is harmless (correctness
+    # never depends on the spread, only the balance does)
+    salted_probe = probe.withColumn(
+        _SALT, F.pmod(F.xxhash64(*[F.col(c) for c in probe.columns]), F.lit(salts))
+    )
+    replicated_build = build.withColumn(
+        _SALT, F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))
+    )
+    joined = salted_probe.join(replicated_build, keys + [_SALT], how)
+    return joined.drop(_SALT)

@@ -75,6 +75,35 @@ def hourly_counts_stream(
     )
 
 
+def sliding_counts_stream(
+    events: DataFrame,
+    *,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of analytics.events_sliding: HOPPING windows —
+    ``window(ts, window, slide)`` assigns each event to its
+    window/slide overlapping windows (Spark physically plans the same
+    Expand + HashAggregate the batch query writes out explicitly), the
+    watermark finalizes and drops each window's state once event time
+    passes its end + watermark. State per key = overlapping-windows ×
+    groups, bounded regardless of stream length."""
+    ts = F.col("ts").cast("timestamp")
+    return (
+        events.withColumn("ts", ts)
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("win"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.unix_micros(F.col("win.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def sessionize_stream(
     events: DataFrame, *, gap_minutes: int = 30, watermark: str = "2 hours"
 ) -> DataFrame:

@@ -51,6 +51,11 @@ QUERIES = [
     "pagerank_neardups",  # round 9: iterative fixed-point join/agg rounds
     "interval_join_purchases",  # round 9: bucketized range join + residual
     "concurrent_sessions",  # round 9: unkeyed overlap join + pair dedup rule
+    "salted_join_revenue",  # round 10: content-derived salt must not drift
+    "events_anomalies",  # round 10: exact percentile medians across layouts
+    "events_sliding",  # round 10: hopping-window explode + decimal sums
+    "dq_expectations",  # round 10: conditional-agg scan + distinct + fk join
+    "scd2_user_states",  # round 10: keyed lag/lead run-collapse windows
 ]
 
 

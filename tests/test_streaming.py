@@ -734,3 +734,36 @@ def test_stateless_text_tier_is_stream_ready(spark, tmp_path):
     got_c = {r.doc_id: r for r in spark.sql("SELECT * FROM tier_cleaned").collect()}
     assert got_s == batch_s and got_c == batch_c and len(batch_s) == 4
     assert batch_s[4].lang_pred == "de" and batch_s[3].lang_pred == "en"
+
+
+def test_sliding_stream_matches_batch(spark, events_batch, events_dir, tmp_path):
+    """Hopping 1h/15min windows: the streaming window() aggregation must
+    equal the batch explicit-explode formulation (analytics.events_sliding)
+    window-for-window."""
+    from avro_diff_spark.streaming.events import sliding_counts_stream
+
+    stream = sliding_counts_stream(read_event_stream(spark, events_dir))
+    _run_to_memory(stream, "sliding", "complete", tmp_path)
+    got = {
+        (r["window_start_us"], r["event_type"]): (r["n_events"], round(r["sum_value"], 4))
+        for r in spark.table("sliding").collect()
+    }
+    slide_us, win_us = 900_000_000, 3_600_000_000
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    base = us - us % slide_us
+    k = F.explode(F.sequence(F.lit(0), F.lit(win_us // slide_us - 1)))
+    want = {
+        (r["w"], r["event_type"]): (r["n"], round(r["s"], 4))
+        for r in events_batch.select(
+            "event_type", "value", base.alias("b"), k.alias("k")
+        )
+        .select(
+            "event_type",
+            "value",
+            (F.col("b") - F.col("k").cast("long") * F.lit(slide_us)).alias("w"),
+        )
+        .groupBy("w", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert got == want
