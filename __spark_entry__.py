@@ -1566,7 +1566,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # schema resolution on top of it, the codec/CRC paths are pinned by
     # tests/test_ocf_interop.py against the reference's own shipped
     # fixtures, and the CI oracle gate value-hashes it every run.
+    # kmv_custkey_diff enters DIRECTLY in the tail — the theta-sketch
+    # a-not-b shares the recorded kmv_custkey_overlap's union-sketch
+    # machinery end to end (same kmv hashes, same semi-join shape, one
+    # anti-join instead of a second semi), pytest-pinned in
+    # tests/test_sketches.py and CI-oracle-gated every run.
     for tail in (
+        "kmv_custkey_diff",
         "funnel_stages",
         "key_diff_avro",
         "doc_length_percentiles",

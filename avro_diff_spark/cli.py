@@ -504,19 +504,97 @@ def table_main(argv: list[str] | None = None) -> int:
     return 0
 
 
+def dq_main(argv: list[str] | None = None) -> int:
+    """Data-quality expectation report over one Avro/parquet dataset
+    (operators/quality.expectation_report behind the CLI conventions of
+    the other binaries; beyond-reference surface). Exit code 1 when any
+    rule records violations — the CI-gate shape."""
+    p = argparse.ArgumentParser(
+        prog="dq", description="Run data-quality expectations over a dataset."
+    )
+    p.add_argument("input")
+    p.add_argument("--format", choices=["auto", "avro", "parquet"], default="auto")
+    p.add_argument(
+        "--not-null", default=None, help="comma-separated columns that must be non-null"
+    )
+    p.add_argument(
+        "--unique", default=None, help="comma-separated key columns that must be unique"
+    )
+    p.add_argument(
+        "--violation",
+        action="append",
+        default=[],
+        metavar="NAME:SQL",
+        help="named rule: SQL predicate TRUE for rows VIOLATING it "
+        "(repeatable), e.g. price_pos:'price <= 0'",
+    )
+    p.add_argument(
+        "--fk",
+        action="append",
+        default=[],
+        metavar="COL:REF_PATH:REF_COL",
+        help="referential rule: COL values must exist in REF_COL of the "
+        "dataset at REF_PATH (repeatable)",
+    )
+    p.add_argument("--master", default=None)
+    args = p.parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from avro_diff_spark.operators.quality import expectation_report
+
+    spark = _session(args)
+    df = _read(spark, args.input, args.format, None, None)
+    violations = {}
+    for c in _split(args.not_null) or []:
+        violations[f"not_null_{c}"] = F.col(c).isNull()
+    for spec in args.violation:
+        name, _, sql = spec.partition(":")
+        if not sql:
+            print(f"bad --violation {spec!r} (want NAME:SQL)", file=sys.stderr)
+            return 2
+        violations[name] = F.expr(sql)
+    unique = (
+        {"unique_" + args.unique.replace(",", "_"): _split(args.unique)}
+        if args.unique
+        else None
+    )
+    fk = {}
+    for spec in args.fk:
+        parts = spec.split(":")
+        if len(parts) != 3:
+            print(f"bad --fk {spec!r} (want COL:REF_PATH:REF_COL)", file=sys.stderr)
+            return 2
+        col, ref_path, ref_col = parts
+        fk[f"fk_{col}"] = (_read(spark, ref_path, args.format, None, None), col, ref_col)
+    if not violations and not unique and not fk:
+        print("no rules given", file=sys.stderr)
+        return 2
+    rows = expectation_report(
+        df, violations=violations or None, unique=unique, fk=fk or None
+    ).collect()
+    bad = 0
+    for r in rows:
+        mark = "FAIL" if r["violations"] else "ok"
+        print(f"{mark:4} {r['rule']}: {r['violations']} violations / {r['n_checked']} rows")
+        bad += r["violations"]
+    return 1 if bad else 0
+
+
 _COMMANDS = {
     "key_diff": key_diff_main,
     "venn_diff": venn_diff_main,
     "dedup": dedup_main,
+    "dq": dq_main,
     "table": table_main,
 }
 
 
 def main() -> int:
-    """Dispatcher: python -m avro_diff_spark.cli {key_diff|venn_diff|dedup|table} ..."""
+    """Dispatcher: python -m avro_diff_spark.cli {key_diff|venn_diff|dedup|dq|table} ..."""
     if len(sys.argv) < 2 or sys.argv[1] not in _COMMANDS:
         print(
-            "usage: python -m avro_diff_spark.cli {key_diff|venn_diff|dedup|table} ...",
+            "usage: python -m avro_diff_spark.cli {key_diff|venn_diff|dedup|dq|table} ...",
             file=sys.stderr,
         )
         return 2

@@ -272,6 +272,76 @@ def kmv_overlap(
     )
 
 
+def kmv_difference(
+    a: DataFrame, b: DataFrame, col: str, k: int = 256
+) -> DataFrame:
+    """Estimate |A \\ B| (distinct values in A but not B) from the same
+    union k-hash sketch :func:`kmv_overlap` uses — the theta-sketch
+    a-not-b operation: count the sketch hashes present in A and ABSENT
+    from B, scale by the union estimate. Same totality (union < k ⇒
+    exact) and the same scale shape (big sets only ever SEMI/ANTI-join
+    the broadcast k-row sketch). Returns one row:
+    (n_union_sketch, cnt_a_only, est_diff_x1000)."""
+    ha = a.where(F.col(col).isNotNull()).select(
+        _md5_hex(F.col(col)).alias("h")
+    ).distinct()
+    hb = b.where(F.col(col).isNotNull()).select(
+        _md5_hex(F.col(col)).alias("h")
+    ).distinct()
+    union_k = ha.unionByName(hb).distinct().orderBy("h").limit(k)
+    a_only = ha.join(F.broadcast(union_k), "h", "left_semi").join(
+        hb, "h", "left_anti"
+    )
+    tagged = union_k.select(
+        "h", F.lit(1).alias("_u"), F.lit(0).alias("_d")
+    ).unionByName(a_only.select("h", F.lit(0).alias("_u"), F.lit(1).alias("_d")))
+    theta = F.conv(
+        F.substring(F.max(F.when(F.col("_u") == 1, F.col("h"))), 1, 12), 16, 10
+    ).cast("long")
+    stats = tagged.agg(
+        F.coalesce(F.sum("_u"), F.lit(0)).alias("n_union_sketch"),
+        F.coalesce(F.sum("_d"), F.lit(0)).alias("cnt_a_only"),
+        theta.alias("_theta48"),
+    )
+    est_full = F.floor(
+        F.col("cnt_a_only").cast("double")
+        * F.lit(float(k - 1))
+        / F.lit(float(k))
+        / (F.col("_theta48").cast("double") / F.lit(float(1 << KMV_BITS)))
+        * F.lit(1000.0)
+    )
+    return stats.select(
+        "n_union_sketch",
+        "cnt_a_only",
+        F.when(F.col("n_union_sketch") < F.lit(k), F.col("cnt_a_only") * 1000)
+        .otherwise(est_full)
+        .alias("est_diff_x1000"),
+    )
+
+
+def kmv_difference_sql(a_sql: str, b_sql: str, col: str, k: int = 256) -> str:
+    """DuckDB twin of :func:`kmv_difference` (oracle)."""
+    return f"""
+WITH ha AS (SELECT DISTINCT md5(CAST({col} AS VARCHAR)) AS h FROM {a_sql}
+            WHERE {col} IS NOT NULL),
+hb AS (SELECT DISTINCT md5(CAST({col} AS VARCHAR)) AS h FROM {b_sql}
+       WHERE {col} IS NOT NULL),
+union_k AS (SELECT h FROM (SELECT h FROM ha UNION SELECT h FROM hb)
+            ORDER BY h LIMIT {k}),
+stats AS (SELECT count(*) AS n_union_sketch,
+                 ('0x' || substr(max(h), 1, 12))::BIGINT AS _theta48
+          FROM union_k),
+cnt AS (SELECT count(*) AS cnt_a_only FROM union_k
+        WHERE h IN (SELECT h FROM ha) AND h NOT IN (SELECT h FROM hb))
+SELECT n_union_sketch, cnt_a_only,
+       CASE WHEN n_union_sketch < {k} THEN cnt_a_only * 1000
+            ELSE floor(CAST(cnt_a_only AS DOUBLE) * {float(k - 1)!r} / {float(k)!r}
+                 / (CAST(_theta48 AS DOUBLE) / {float(1 << KMV_BITS)!r}) * 1000.0)::BIGINT
+       END AS est_diff_x1000
+FROM stats, cnt
+"""
+
+
 def kmv_overlap_sql(a_sql: str, b_sql: str, col: str, k: int = 256) -> str:
     """DuckDB twin of :func:`kmv_overlap` (oracle). ``a_sql``/``b_sql``
     are relation expressions (subqueries or table names)."""

@@ -3668,6 +3668,65 @@ SELECT est.*, ex.exact_inter FROM est, ex
 """
 
 
+def q_kmv_custkey_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV/theta-sketch set DIFFERENCE (a-not-b): distinct customers
+    with a finished ('F') order but NO open ('O') order, estimated from
+    the same union sketch kmv_custkey_overlap builds, plus the exact
+    answer. Completes the sketch set algebra (union/intersect/
+    difference); same scale shape — big sets only semi/anti-join the
+    broadcast k-row sketch."""
+    from avro_diff_spark.functions import sketches as SK
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    est = SK.kmv_difference(
+        o.where(F.col("o_orderstatus") == "F"),
+        o.where(F.col("o_orderstatus") == "O"),
+        "o_custkey",
+        k=256,
+    )
+    exact = (
+        o.where(F.col("o_orderstatus") == "F")
+        .select("o_custkey")
+        # subtract = EXCEPT DISTINCT (set semantics; exceptAll would
+        # leave a both-status customer behind for every extra F order)
+        .subtract(o.where(F.col("o_orderstatus") == "O").select("o_custkey"))
+        .agg(F.count(F.lit(1)).alias("exact_diff"))
+    )
+    cols = ["n_union_sketch", "cnt_a_only", "est_diff_x1000", "exact_diff"]
+    nul = F.lit(None).cast("long")
+    combined = est.withColumn("exact_diff", nul).unionByName(
+        exact.select(
+            nul.alias("n_union_sketch"),
+            nul.alias("cnt_a_only"),
+            nul.alias("est_diff_x1000"),
+            "exact_diff",
+        )
+    )
+    return combined.agg(*[F.max(c).alias(c) for c in cols])
+
+
+def _kmv_custkey_diff_sql() -> str:
+    from avro_diff_spark.functions import sketches as SK
+
+    kmv = SK.kmv_difference_sql(
+        "(SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')",
+        "(SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')",
+        "o_custkey",
+        k=256,
+    )
+    return f"""
+WITH est AS ({kmv}),
+ex AS (
+  SELECT count(*) AS exact_diff FROM (
+    SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT
+    SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+  )
+)
+SELECT est.*, ex.exact_diff FROM est, ex
+"""
+
+
 def q_countmin_heavy_hitters(
     spark: SparkSession, sf_dir: str, k: int = 10
 ) -> DataFrame:
@@ -3827,6 +3886,7 @@ PIPELINE_QUERIES = {
     "audio_features_stub": q_audio_features_stub,
     "hll_distinct_orders": q_hll_distinct_orders,
     "kmv_custkey_overlap": q_kmv_custkey_overlap,
+    "kmv_custkey_diff": q_kmv_custkey_diff,
     "countmin_heavy_hitters": q_countmin_heavy_hitters,
     "pagerank_neardups": q_pagerank_neardups,
 }
@@ -3907,6 +3967,7 @@ def pipeline_sql() -> dict[str, str]:
         "audio_features_stub": AUDIO_FEATURES_SQL,
         "hll_distinct_orders": _hll_distinct_orders_sql(),
         "kmv_custkey_overlap": _kmv_custkey_overlap_sql(),
+        "kmv_custkey_diff": _kmv_custkey_diff_sql(),
         "countmin_heavy_hitters": _countmin_sql(),
         "pagerank_neardups": _pagerank_neardups_sql(),
     }

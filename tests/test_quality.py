@@ -91,3 +91,37 @@ def test_empty_table_total(spark):
         )
     )
     assert rep == {"v_not_null": (0, 0), "u": (0, 0), "fk": (0, 0)}
+
+
+def test_cli_dq_report(spark, tmp_path, capsys):
+    """dq CLI: rule parsing, report print, exit 1 on violations / 0 clean."""
+    from avro_diff_spark.cli import dq_main
+
+    src = str(tmp_path / "d.parquet")
+    ref = str(tmp_path / "ref.parquet")
+    spark.createDataFrame(
+        [(1, 5.0, 10), (1, -2.0, 10), (2, None, 99)], "k int, v double, r int"
+    ).write.parquet(src)
+    spark.createDataFrame([(10,), (20,)], "ref int").write.parquet(ref)
+    rc = dq_main(
+        [
+            src,
+            "--format", "parquet",
+            "--not-null", "v",
+            "--unique", "k",
+            "--violation", "v_nonneg:v < 0",
+            "--fk", f"r:{ref}:ref",
+        ]
+    )
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "FAIL not_null_v: 1 violations / 3 rows" in out
+    assert "FAIL unique_k: 1 violations / 3 rows" in out
+    assert "FAIL v_nonneg: 1 violations / 3 rows" in out
+    assert "FAIL fk_r: 1 violations / 3 rows" in out
+    # clean dataset -> rc 0
+    clean = str(tmp_path / "clean.parquet")
+    spark.createDataFrame([(1, 5.0)], "k int, v double").write.parquet(clean)
+    rc = dq_main([clean, "--format", "parquet", "--not-null", "v"])
+    assert rc == 0
+    assert "ok   not_null_v: 0 violations / 1 rows" in capsys.readouterr().out

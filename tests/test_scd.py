@@ -118,3 +118,29 @@ def test_fuzz_against_python(spark):
     df = spark.createDataFrame(rows, "k string, ts long, v string")
     out = scd2_build(df, key="k", ts="ts", tracked=["v"])
     assert _rows(out) == _python_scd2(rows)
+
+
+def test_point_in_time_law(spark):
+    """Each observation falls in EXACTLY ONE of its key's half-open
+    validity intervals — the property that makes scd2 output safe for
+    point-in-time (as-of / interval_join) fact attribution."""
+    from pyspark.sql import functions as F
+
+    rng = random.Random(101)
+    rows = []
+    for k in range(8):
+        ts = 0
+        for _ in range(rng.randrange(1, 20)):
+            ts += rng.randrange(1, 4)
+            rows.append((f"k{k}", ts, rng.choice(["a", "b", "c"])))
+    df = spark.createDataFrame(rows, "k string, ts long, v string")
+    iv = scd2_build(df, key="k", ts="ts", tracked=["v"]).withColumnRenamed(
+        "v", "state"
+    )
+    matched = df.join(iv, "k").where(
+        (F.col("ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to")))
+    )
+    # exactly one interval per observation, and it carries the observed value
+    assert matched.count() == len(rows)
+    assert matched.where(F.col("state") != F.col("v")).count() == 0

@@ -285,3 +285,58 @@ def test_maintain_countmin_stream_exactly_once(spark, tmp_path):
     )
     joined = batch_counts.join(est, "term").collect()
     assert all(r.n_cm >= r.n for r in joined)
+
+
+def _py_kmv_difference(avals, bvals, k=256):
+    ha = {hashlib.md5(str(v).encode()).hexdigest() for v in avals}
+    hb = {hashlib.md5(str(v).encode()).hexdigest() for v in bvals}
+    union_k = sorted(ha | hb)[:k]
+    cnt = sum(1 for h in union_k if h in ha and h not in hb)
+    if len(union_k) < k:
+        return len(union_k), cnt, cnt * 1000
+    theta = int(union_k[-1][:12], 16)
+    est = math.floor(
+        float(cnt)
+        * float(k - 1)
+        / float(k)
+        / (float(theta) / float(1 << SK.KMV_BITS))
+        * 1000.0
+    )
+    return len(union_k), cnt, est
+
+
+@pytest.mark.parametrize("n_a,n_b,shared", [(2000, 1500, 700), (60, 80, 30)])
+def test_kmv_difference_matches_python(spark, n_a, n_b, shared):
+    """a-not-b on both branches, plus the sketch-level set algebra:
+    within the union sketch, cnt_both + cnt_a_only == |sketch ∩ A|."""
+    avals = [f"s{i}" for i in range(shared)] + [f"a{i}" for i in range(n_a - shared)]
+    bvals = [f"s{i}" for i in range(shared)] + [f"b{i}" for i in range(n_b - shared)]
+    a = spark.createDataFrame([(v,) for v in avals], "u string")
+    b = spark.createDataFrame([(v,) for v in bvals], "u string")
+    got = SK.kmv_difference(a, b, "u", k=256).collect()[0]
+    assert tuple(got) == _py_kmv_difference(avals, bvals)
+    ov = SK.kmv_overlap(a, b, "u", k=256).collect()[0]
+    in_a = sum(
+        1
+        for h in sorted(
+            {hashlib.md5(str(v).encode()).hexdigest() for v in avals}
+            | {hashlib.md5(str(v).encode()).hexdigest() for v in bvals}
+        )[:256]
+        if h in {hashlib.md5(str(v).encode()).hexdigest() for v in avals}
+    )
+    assert ov.cnt_both + got.cnt_a_only == in_a
+    true_diff = n_a - shared
+    if got.n_union_sketch == 256:
+        assert abs(got.est_diff_x1000 / 1000.0 - true_diff) / true_diff < 0.35
+
+
+def test_kmv_difference_empty_inputs(spark):
+    empty = spark.createDataFrame([], "u string")
+    other = spark.createDataFrame([("a",), ("b",)], "u string")
+    assert tuple(SK.kmv_difference(empty, empty, "u", k=8).collect()[0]) == (0, 0, 0)
+    assert tuple(SK.kmv_difference(empty, other, "u", k=8).collect()[0]) == (2, 0, 0)
+    assert tuple(SK.kmv_difference(other, empty, "u", k=8).collect()[0]) == (
+        2,
+        2,
+        2000,
+    )
