@@ -198,6 +198,102 @@ WHERE a[i] IS DISTINCT FROM b[i]
 """
 
 
+def _q_key_diff_digest_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-pruned keyed diff — the 100 TB re-diff shape the reference
+    lacks (its merge always pays both full inputs, src/index.js:128-223):
+    per-bucket xor-fold digests (one map-side-combinable aggregation per
+    side, shuffle ≤ num_buckets rows) find the mismatched buckets; the
+    full-outer diff join then runs ONLY over those buckets' rows (~3% of
+    the sparse snapshot pair). The oracle is the UNPRUNED full diff — an
+    independent formulation, so the hash match proves pruning losslessness
+    end to end."""
+    from avro_diff_spark.operators import digest as dig
+
+    old = snap.orders_sparse_old(spark, sf_dir)
+    new = snap.orders_sparse_new(spark, sf_dir)
+    d = dig.key_diff_pruned(old, new, ["o_orderkey"], num_buckets=512)
+    return d.where(F.col("diff_kind") != "unchanged").select(
+        "o_orderkey",
+        "diff_kind",
+        F.col("old").getField("cents").alias("old_cents"),
+        F.col("new").getField("cents").alias("new_cents"),
+    )
+
+
+_KEY_DIFF_DIGEST_PRUNED_SQL = f"""
+WITH old_snap AS ({snap.ORDERS_SPARSE_OLD_SQL}),
+     new_snap AS ({snap.ORDERS_SPARSE_NEW_SQL}),
+d AS (
+  SELECT
+    coalesce(CAST(o.o_orderkey AS VARCHAR), CAST(n.o_orderkey AS VARCHAR)) AS o_orderkey,
+    CASE WHEN o.o_orderkey IS NULL THEN 'added'
+         WHEN n.o_orderkey IS NULL THEN 'removed'
+         WHEN o.o_custkey       IS DISTINCT FROM n.o_custkey
+           OR o.o_orderstatus   IS DISTINCT FROM n.o_orderstatus
+           OR o.cents           IS DISTINCT FROM n.cents
+           OR o.od_us           IS DISTINCT FROM n.od_us
+           OR o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+         THEN 'changed' ELSE 'unchanged' END AS diff_kind,
+    o.cents AS old_cents, n.cents AS new_cents
+  FROM old_snap o FULL OUTER JOIN new_snap n ON o.o_orderkey = n.o_orderkey
+)
+SELECT * FROM d WHERE diff_kind <> 'unchanged'
+"""
+
+
+def _q_digest_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The digest stage by itself: mismatched-bucket report over the sparse
+    snapshot pair. The oracle replicates the digest mechanics (md5 row
+    hash, 60-bit hex chunks, per-bucket bit_xor fold) in DuckDB, pinning
+    the cross-engine determinism the persisted-digest re-diff path relies
+    on."""
+    from avro_diff_spark.operators import digest as dig
+
+    old = snap.orders_sparse_old(spark, sf_dir)
+    new = snap.orders_sparse_new(spark, sf_dir)
+    return dig.digest_diff(old, new, ["o_orderkey"], num_buckets=512)
+
+
+def _digest_rows_sql(src: str) -> str:
+    key = "coalesce(CAST(o_orderkey AS VARCHAR),'null')"
+    row = (
+        f"concat_ws(chr(31), {key}, "
+        "coalesce(CAST(o_custkey AS VARCHAR), chr(0)), "
+        "coalesce(o_orderstatus, chr(0)), "
+        "coalesce(CAST(cents AS VARCHAR), chr(0)), "
+        "coalesce(CAST(od_us AS VARCHAR), chr(0)), "
+        "coalesce(o_orderpriority, chr(0)))"
+    )
+    return f"""
+  SELECT ('0x' || substr(md5({key}), 1, 15))::BIGINT % 512 AS bucket,
+         md5({row}) AS h
+  FROM {src}
+"""
+
+
+_DIGEST_DIFF_ORDERS_SQL = f"""
+WITH old_snap AS ({snap.ORDERS_SPARSE_OLD_SQL}),
+     new_snap AS ({snap.ORDERS_SPARSE_NEW_SQL}),
+oh AS ({_digest_rows_sql('old_snap')}),
+nh AS ({_digest_rows_sql('new_snap')}),
+od AS (SELECT bucket, count(*) AS n,
+              bit_xor(('0x' || substr(h, 1, 15))::BIGINT) AS x1,
+              bit_xor(('0x' || substr(h, 16, 15))::BIGINT) AS x2
+       FROM oh GROUP BY bucket),
+nd AS (SELECT bucket, count(*) AS n,
+              bit_xor(('0x' || substr(h, 1, 15))::BIGINT) AS x1,
+              bit_xor(('0x' || substr(h, 16, 15))::BIGINT) AS x2
+       FROM nh GROUP BY bucket)
+SELECT coalesce(od.bucket, nd.bucket) AS bucket,
+       coalesce(od.n, 0) AS old_rows,
+       coalesce(nd.n, 0) AS new_rows
+FROM od FULL OUTER JOIN nd ON od.bucket = nd.bucket
+WHERE od.n IS DISTINCT FROM nd.n
+   OR od.x1 IS DISTINCT FROM nd.x1
+   OR od.x2 IS DISTINCT FROM nd.x2
+"""
+
+
 def _q_key_diff_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyed diff over REAL Avro OCF inputs — the reference's flagship format
     (reference src/index.js:335-352). Snapshots are encoded executor-side
@@ -1121,6 +1217,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_diff_avro_evolved": _q_key_diff_avro_evolved,
         "key_diff_versions": _q_key_diff_versions,
         "key_diff_versions_partitioned": _q_key_diff_versions_partitioned,
+        "key_diff_digest_pruned": _q_key_diff_digest_pruned,
+        "digest_diff_orders": _q_digest_diff_orders,
         "hidden_partition_prune": _q_hidden_partition_prune,
         "renamed_column_read": _q_renamed_column_read,
         "cdc_changes_orders": _q_cdc_changes_orders,
@@ -1670,6 +1768,8 @@ def oracle_sql() -> dict[str, str]:
             "FULL OUTER JOIN (SELECT * FROM new_snap WHERE o_orderstatus = 'F') n",
         ),
         "hidden_partition_prune": _HIDDEN_PARTITION_SQL,
+        "key_diff_digest_pruned": _KEY_DIFF_DIGEST_PRUNED_SQL,
+        "digest_diff_orders": _DIGEST_DIFF_ORDERS_SQL,
         "renamed_column_read": _RENAMED_COLUMN_SQL,
         "cdc_changes_orders": _CDC_CHANGES_SQL,
         "incremental_agg_orders": _INCREMENTAL_AGG_SQL,

@@ -258,3 +258,66 @@ EMBEDDINGS_WITH_DUPS_SQL = """
 SELECT vec_id, embedding, label FROM embeddings
 UNION ALL SELECT vec_id + 1000000, embedding, label FROM embeddings WHERE vec_id % 10 = 0
 """
+
+
+# --------------------------------------------------------------------------
+# Sparse-change snapshot pair for the digest-diff family: ~1% of orders
+# mutated, a handful added/removed — the production re-diff shape (daily
+# snapshot vs yesterday's) where merkle bucket pruning pays off because
+# most buckets digest-match. Portable projection (integer cents, epoch
+# micros) so the per-row md5 digests are bit-identical across engines.
+# --------------------------------------------------------------------------
+
+PORTABLE_ORDER_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "cents",
+    "od_us",
+    "o_orderpriority",
+)
+
+
+def _portable(df: DataFrame) -> DataFrame:
+    return df.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        # floor/*/+ are correctly-rounded IEEE ops: identical in any engine
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5).alias("cents"),
+        ts_micros(F.col("o_orderdate")).alias("od_us"),
+        "o_orderpriority",
+    )
+
+
+def orders_sparse_old(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # drops keys %101==0 (they appear only in new -> 'added' there)
+    return _portable(
+        load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 101 != 0)
+    )
+
+
+def orders_sparse_new(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 103 != 0)
+    return _portable(
+        o.withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 97 == 0, F.col("o_totalprice") + F.lit(100.0)
+            ).otherwise(F.col("o_totalprice")),
+        )
+    )
+
+
+_PORTABLE_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CAST(floor({price} * 100.0 + 0.5) AS BIGINT) AS cents,
+       epoch_us(o_orderdate) AS od_us, o_orderpriority
+FROM orders WHERE o_orderkey % {drop} <> 0
+"""
+
+ORDERS_SPARSE_OLD_SQL = _PORTABLE_SQL.format(price="o_totalprice", drop=101)
+ORDERS_SPARSE_NEW_SQL = _PORTABLE_SQL.format(
+    price="(CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 100.0 ELSE o_totalprice END)",
+    drop=103,
+)

@@ -1,0 +1,120 @@
+"""Merkle bucket-digest diff (operators/digest.py).
+
+Laws pinned here:
+- soundness/completeness: the pruned diff's added/removed/changed rows equal
+  the full diff's EXACTLY, on the deterministic snapshot pair and on fuzzed
+  random mutations (including key-only and payload-only edits).
+- identity: identical inputs -> zero mismatched buckets, empty pruned diff.
+- bucket-count invariance: the pruned non-unchanged row set is the same at
+  any num_buckets (pruning granularity must never change the answer).
+- null keys/payloads participate (String() 'null' parity, null sentinel).
+- plan shape: the bucket restriction is a BROADCAST left-semi join (the big
+  sides are never shuffled for pruning) and the digest aggregation is a
+  partial-aggregable hash aggregate, not a window.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from avro_diff_spark import key_diff
+from avro_diff_spark.operators import digest as D
+
+
+def _kinds(df):
+    return sorted(
+        tuple(r) for r in df.where(F.col("diff_kind") != "unchanged")
+        .select("k", "diff_kind", F.to_json("old").alias("o"), F.to_json("new").alias("n"))
+        .collect()
+    )
+
+
+def _rand_tables(rng, n_keys=120):
+    old, new = [], []
+    for i in range(n_keys):
+        key = None if i == 0 else f"k{i}"
+        payload = rng.choice(["a", "b", None])
+        fate = rng.random()
+        if fate < 0.15:
+            old.append((key, payload))                      # removed
+        elif fate < 0.30:
+            new.append((key, payload))                      # added
+        elif fate < 0.45:
+            old.append((key, payload))                      # changed
+            new.append((key, rng.choice(["x", None])))
+        else:
+            old.append((key, payload))                      # unchanged
+            new.append((key, payload))
+    return old, new
+
+
+@pytest.mark.parametrize("seed", [7, 23, 91])
+def test_pruned_equals_full_fuzz(spark, seed):
+    rng = random.Random(seed)
+    old_rows, new_rows = _rand_tables(rng)
+    old = spark.createDataFrame(old_rows, "k string, v string")
+    new = spark.createDataFrame(new_rows, "k string, v string")
+    full = key_diff(old, new, ["k"])
+    pruned = D.key_diff_pruned(old, new, ["k"], num_buckets=16)
+    assert _kinds(pruned) == _kinds(full)
+    # every unchanged row the pruned diff DOES emit is genuinely unchanged
+    extra = pruned.where(F.col("diff_kind") == "unchanged")
+    truth = set(
+        r["k"] for r in full.where(F.col("diff_kind") == "unchanged").collect()
+    )
+    assert set(r["k"] for r in extra.collect()) <= truth
+
+
+def test_bucket_count_invariance(spark):
+    rng = random.Random(5)
+    old_rows, new_rows = _rand_tables(rng)
+    old = spark.createDataFrame(old_rows, "k string, v string")
+    new = spark.createDataFrame(new_rows, "k string, v string")
+    base = _kinds(D.key_diff_pruned(old, new, ["k"], num_buckets=4))
+    for b in (1, 37, 4096):
+        assert _kinds(D.key_diff_pruned(old, new, ["k"], num_buckets=b)) == base
+
+
+def test_identity_zero_buckets(spark):
+    df = spark.createDataFrame([(f"k{i}", str(i % 7)) for i in range(200)], "k string, v string")
+    assert D.digest_diff(df, df, ["k"], num_buckets=32).count() == 0
+    assert D.key_diff_pruned(df, df, ["k"], num_buckets=32).count() == 0
+
+
+def test_mismatch_localized_to_changed_buckets(spark):
+    """One mutated key -> exactly one mismatched bucket (payload edits keep
+    the key's bucket); one added + one removed key -> their own buckets."""
+    rows = [(f"k{i}", "p") for i in range(500)]
+    old = spark.createDataFrame(rows, "k string, v string")
+    new = spark.createDataFrame(
+        [(k, "MUT" if k == "k3" else v) for k, v in rows], "k string, v string"
+    )
+    dd = D.digest_diff(old, new, ["k"], num_buckets=64).collect()
+    assert len(dd) == 1 and dd[0]["old_rows"] == dd[0]["new_rows"]
+    new2 = spark.createDataFrame(rows[1:] + [("brand_new", "p")], "k string, v string")
+    dd2 = D.digest_diff(old, new2, ["k"], num_buckets=1 << 20)
+    assert dd2.count() == 2  # k0's bucket (removed) + brand_new's bucket (added)
+
+
+def test_digest_agg_is_partial_and_prune_is_broadcast(spark):
+    old = spark.createDataFrame([("a", "1"), ("b", "2")], "k string, v string")
+    new = spark.createDataFrame([("a", "1"), ("b", "X")], "k string, v string")
+    digest_plan = D.bucket_digests(old, ["k"], 16)._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in digest_plan and "Window" not in digest_plan
+    pruned_plan = (
+        D.key_diff_pruned(old, new, ["k"], num_buckets=16)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "LeftSemi" in pruned_plan
+    assert "CartesianProduct" not in pruned_plan
+
+
+def test_payload_cols_subset(spark):
+    """Digests over a payload subset ignore edits outside it."""
+    old = spark.createDataFrame([("a", "1", "z")], "k string, v string, w string")
+    new = spark.createDataFrame([("a", "1", "EDITED")], "k string, v string, w string")
+    assert D.digest_diff(old, new, ["k"], 8, payload_cols=["v"]).count() == 0
+    assert D.digest_diff(old, new, ["k"], 8, payload_cols=["v", "w"]).count() == 1
