@@ -462,3 +462,88 @@ SELECT keyed.{term_col}, min(cell) AS n_cm
 FROM keyed JOIN cells USING (depth, bucket)
 GROUP BY keyed.{term_col}
 """
+
+
+# -------------------------------------------------------------- Bloom ---
+
+# m = BLOOM_WORDS words x 32 usable bits per BIGINT word (bit 31 is the
+# highest ever set: DuckDB raises on shifting into a BIGINT's sign bit,
+# so 32-bit lanes keep both engines in exactly-representable territory).
+# K hash functions = K disjoint 5-hex-digit (20-bit) md5 slices mod the
+# bit count — deterministic, engine-portable, independent enough for the
+# standard (1 - e^{-kn/m})^k false-positive analysis.
+BLOOM_WORDS = 128
+BLOOM_BITS = BLOOM_WORDS * 32  # 4096
+BLOOM_K = 5
+
+
+def _bloom_positions(col: Column, k: int = BLOOM_K, bits: int = BLOOM_BITS) -> Column:
+    """Array of the value's k bit positions in [0, bits)."""
+    h = _md5_hex(col)
+    return F.array(
+        *[
+            F.conv(F.substring(h, 1 + i * 5, 5), 16, 10).cast("long") % bits
+            for i in range(k)
+        ]
+    )
+
+
+def bloom_build(
+    df: DataFrame, col: str, k: int = BLOOM_K, words: int = BLOOM_WORDS
+) -> DataFrame:
+    """Build a bloom filter over ``col``'s non-null values as a DataFrame
+    of ``(w, bits)`` words — at most ``words`` rows of fixed-size state
+    for any input size. One shuffle: ``bit_or`` partial-aggregates
+    map-side, so the exchange carries <= ``words`` rows per partition.
+    Mergeable: :func:`bloom_merge` ORs two filters (idempotent — safe
+    under replay). NULLs are excluded (membership of NULL is undefined
+    for the probe side too)."""
+    pos = F.explode(_bloom_positions(F.col(col), k, words * 32)).alias("pos")
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(pos)
+        .select(
+            F.expr("pos div 32").alias("w"),
+            F.expr("shiftleft(cast(1 AS bigint), cast(pos % 32 AS int))").alias("_m"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("_m").alias("bits"))
+    )
+
+
+def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """OR-merge two bloom word tables (same words/k): the filter of the
+    union of the underlying sets — commutative, associative, idempotent."""
+    return a.unionByName(b).groupBy("w").agg(F.bit_or("bits").alias("bits"))
+
+
+def bloom_probe(
+    bloom: DataFrame,
+    df: DataFrame,
+    col: str,
+    k: int = BLOOM_K,
+    words: int = BLOOM_WORDS,
+) -> DataFrame:
+    """Probe each distinct non-null value of ``df[col]`` against the
+    filter: ``(value, hit)`` where ``hit`` is true iff ALL k bits are
+    set (no false negatives; false-positive rate set by words/k/n). The
+    filter is <= ``words`` rows, so the join is a broadcast hash join —
+    the probe side never shuffles."""
+    probes = (
+        df.where(F.col(col).isNotNull())
+        .select(F.col(col).alias("_v"))
+        .distinct()
+        .select("_v", F.explode(_bloom_positions(F.col("_v"), k, words * 32)).alias("pos"))
+        .select(
+            "_v",
+            F.expr("pos div 32").alias("w"),
+            F.expr("shiftleft(cast(1 AS bigint), cast(pos % 32 AS int))").alias("_m"),
+        )
+    )
+    j = probes.join(F.broadcast(bloom), "w", "left")
+    bit_set = (F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("_m")) == F.col("_m"))
+    return (
+        j.groupBy("_v")
+        .agg((F.sum(F.when(bit_set, 1).otherwise(0)) == F.lit(k)).alias("hit"))
+        .withColumnRenamed("_v", col)
+    )

@@ -3727,6 +3727,76 @@ SELECT est.*, ex.exact_diff FROM est, ex
 """
 
 
+def q_bloom_probe_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership audit: build a 4096-bit / 5-hash filter
+    over the distinct customers with an open ('O') order (128 rows of
+    fixed-size state however large the build side), probe every distinct
+    finished-order ('F') customer against it BROADCAST (the probe side
+    never shuffles), and report hits vs exact semi-join truth. The law
+    the numbers exhibit: n_hits >= n_true always (no false negatives),
+    n_false_pos tracks the (1 - e^{-kn/m})^k analysis. The 100 TB use is
+    the classic one: ship the 1 KB filter to prune a huge probe-side
+    scan before the exact join."""
+    from avro_diff_spark.functions import sketches as SK
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    members = o.where(F.col("o_orderstatus") == "O")
+    probes = o.where(F.col("o_orderstatus") == "F")
+    pr = SK.bloom_probe(SK.bloom_build(members, "o_custkey"), probes, "o_custkey")
+    est = pr.agg(
+        F.count(F.lit(1)).alias("n_probed"),
+        F.sum(F.when(F.col("hit"), 1).otherwise(0)).alias("n_hits"),
+    )
+    exact = (
+        probes.select("o_custkey")
+        .distinct()
+        .join(members.select("o_custkey").distinct(), "o_custkey", "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_true"))
+    )
+    nul = F.lit(None).cast("long")
+    combined = est.withColumn("n_true", nul).unionByName(
+        exact.select(nul.alias("n_probed"), nul.alias("n_hits"), "n_true")
+    )
+    folded = combined.agg(
+        *[F.max(c).alias(c) for c in ("n_probed", "n_hits", "n_true")]
+    )
+    return folded.select(
+        "n_probed",
+        "n_hits",
+        "n_true",
+        (F.col("n_hits") - F.col("n_true")).alias("n_false_pos"),
+    )
+
+
+_BLOOM_POS = "('0x' || substr(md5(CAST(v AS VARCHAR)), 1 + i * 5, 5))::BIGINT % 4096"
+_BLOOM_MASK = "(1::BIGINT << CAST(pos % 32 AS INT))"
+
+_BLOOM_PROBE_SQL = f"""
+WITH o_keys AS (SELECT DISTINCT o_custkey AS v FROM orders
+                WHERE o_orderstatus = 'O' AND o_custkey IS NOT NULL),
+f_keys AS (SELECT DISTINCT o_custkey AS v FROM orders
+           WHERE o_orderstatus = 'F' AND o_custkey IS NOT NULL),
+bpos AS (SELECT {_BLOOM_POS} AS pos
+         FROM o_keys, (SELECT unnest(range(5)) AS i)),
+bloom AS (SELECT pos // 32 AS w, bit_or({_BLOOM_MASK}) AS bits
+          FROM bpos GROUP BY pos // 32),
+ppos AS (SELECT v, {_BLOOM_POS} AS pos
+         FROM f_keys, (SELECT unnest(range(5)) AS i)),
+probe AS (
+  SELECT v,
+         (sum(CASE WHEN (coalesce(bits, 0) & {_BLOOM_MASK}) = {_BLOOM_MASK}
+               THEN 1 ELSE 0 END) = 5) AS hit
+  FROM ppos LEFT JOIN bloom ON ppos.pos // 32 = bloom.w
+  GROUP BY v),
+agg AS (SELECT count(*) AS n_probed,
+               coalesce(sum(CASE WHEN hit THEN 1 ELSE 0 END), 0)::BIGINT AS n_hits
+        FROM probe),
+tr AS (SELECT count(*)::BIGINT AS n_true FROM f_keys
+       WHERE v IN (SELECT v FROM o_keys))
+SELECT n_probed, n_hits, n_true, n_hits - n_true AS n_false_pos FROM agg, tr
+"""
+
+
 def q_countmin_heavy_hitters(
     spark: SparkSession, sf_dir: str, k: int = 10
 ) -> DataFrame:
@@ -3887,6 +3957,7 @@ PIPELINE_QUERIES = {
     "hll_distinct_orders": q_hll_distinct_orders,
     "kmv_custkey_overlap": q_kmv_custkey_overlap,
     "kmv_custkey_diff": q_kmv_custkey_diff,
+    "bloom_probe_orders": q_bloom_probe_orders,
     "countmin_heavy_hitters": q_countmin_heavy_hitters,
     "pagerank_neardups": q_pagerank_neardups,
 }
@@ -3968,6 +4039,7 @@ def pipeline_sql() -> dict[str, str]:
         "hll_distinct_orders": _hll_distinct_orders_sql(),
         "kmv_custkey_overlap": _kmv_custkey_overlap_sql(),
         "kmv_custkey_diff": _kmv_custkey_diff_sql(),
+        "bloom_probe_orders": _BLOOM_PROBE_SQL,
         "countmin_heavy_hitters": _countmin_sql(),
         "pagerank_neardups": _pagerank_neardups_sql(),
     }

@@ -28,7 +28,12 @@ from avro_diff_spark.sources.versioned import (
 )
 from avro_diff_spark.streaming.table_source import stream_changes
 
-__all__ = ["maintain_agg_stream", "maintain_hll_stream", "maintain_countmin_stream"]
+__all__ = [
+    "maintain_agg_stream",
+    "maintain_hll_stream",
+    "maintain_countmin_stream",
+    "maintain_bloom_stream",
+]
 
 
 def maintain_agg_stream(
@@ -195,6 +200,54 @@ def maintain_countmin_stream(
             )
         commit_snapshot(
             cells, dst_path, mode="overwrite", txn=(app_id, int(epoch_id))
+        )
+
+    writer = stream_df.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def maintain_bloom_stream(
+    stream_df,
+    dst_path: str,
+    col: str,
+    *,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+):
+    """Maintain a RUNNING BLOOM FILTER over an unbounded stream: each
+    micro-batch's filter words (functions/sketches.py bloom_build) OR
+    into a <=128-row versioned word table — fixed-size state answering
+    "might value v have ever appeared?" with zero false negatives for
+    the stream's whole history. OR-merge is idempotent (like the HLL
+    max), so a replayed batch would be harmless; the (app, epoch) commit
+    dedupe still drops it to keep the version history clean. Probe any
+    time with ``bloom_probe(read_version(...), probes, col)``. Returns
+    the started StreamingQuery."""
+    import os
+
+    from avro_diff_spark.functions import sketches as SK
+    from avro_diff_spark.sources.versioned import last_committed_epoch
+
+    app_id = os.path.abspath(checkpoint)
+
+    def _apply(batch_df, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if last_committed_epoch(dst_path, app_id) >= epoch_id:
+            return  # replayed batch: already OR-ed into the filter
+        words = SK.bloom_build(batch_df, col)
+        if latest_version(dst_path) >= 0:
+            from avro_diff_spark.sources.versioned import read_version
+
+            words = SK.bloom_merge(
+                read_version(batch_df.sparkSession, dst_path), words
+            )
+        commit_snapshot(
+            words, dst_path, mode="overwrite", txn=(app_id, int(epoch_id))
         )
 
     writer = stream_df.writeStream.foreachBatch(_apply).option(

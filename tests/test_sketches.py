@@ -340,3 +340,95 @@ def test_kmv_difference_empty_inputs(spark):
         2,
         2000,
     )
+
+
+# ------------------------------------------------------------- bloom ---
+
+
+def _py_bloom_positions(v, k=SK.BLOOM_K, bits=SK.BLOOM_BITS):
+    h = hashlib.md5(str(v).encode()).hexdigest()
+    return [int(h[i * 5 : i * 5 + 5], 16) % bits for i in range(k)]
+
+
+def test_bloom_no_false_negatives_and_python_parity(spark):
+    members = [f"m{i}" for i in range(800)]
+    extras = [f"x{i}" for i in range(600)]
+    mdf = spark.createDataFrame([(v,) for v in members], "u string")
+    pdf = spark.createDataFrame([(v,) for v in members[:100] + extras], "u string")
+    bl = SK.bloom_build(mdf, "u")
+    got = {r["u"]: r["hit"] for r in SK.bloom_probe(bl, pdf, "u").collect()}
+    # exact python replica of the filter
+    words = {}
+    for v in members:
+        for p in _py_bloom_positions(v):
+            words[p // 32] = words.get(p // 32, 0) | (1 << (p % 32))
+    for v, hit in got.items():
+        expect = all(
+            words.get(p // 32, 0) & (1 << (p % 32)) for p in _py_bloom_positions(v)
+        )
+        assert hit == expect, v
+    # no false negatives; fp rate in the analytical ballpark
+    assert all(got[v] for v in members[:100])
+    fp = sum(1 for v in extras if got[v])
+    n, m, k = len(members), SK.BLOOM_BITS, SK.BLOOM_K
+    expect_rate = (1.0 - math.exp(-k * n / m)) ** k
+    assert fp / len(extras) < max(4 * expect_rate, 0.05)
+
+
+def test_bloom_merge_law_and_nulls(spark):
+    a = spark.createDataFrame([("a",), (None,)], "u string")
+    b = spark.createDataFrame([("b",), ("c",)], "u string")
+    u = SK.bloom_build(a.unionByName(b), "u")
+    m = SK.bloom_merge(SK.bloom_build(a, "u"), SK.bloom_build(b, "u"))
+    assert {tuple(r) for r in u.collect()} == {tuple(r) for r in m.collect()}
+    # nulls excluded on both sides
+    pr = SK.bloom_probe(u, spark.createDataFrame([(None,), ("a",)], "u string"), "u")
+    rows = pr.collect()
+    assert len(rows) == 1 and rows[0]["u"] == "a" and rows[0]["hit"]
+
+
+def test_bloom_probe_is_broadcast(spark):
+    mdf = spark.createDataFrame([(f"m{i}",) for i in range(50)], "u string")
+    plan = (
+        SK.bloom_probe(SK.bloom_build(mdf, "u"), mdf, "u")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan and "CartesianProduct" not in plan
+
+
+def test_maintain_bloom_stream_matches_batch_and_replay_safe(spark, tmp_path):
+    import os
+
+    from avro_diff_spark.sources.versioned import latest_version, read_version
+    from avro_diff_spark.streaming.agg import maintain_bloom_stream
+
+    src, ckpt, t = (str(tmp_path / d) for d in ("src", "ck", "tbl"))
+    os.makedirs(src)
+    rows1 = [(f"u{i}",) for i in range(400)]
+    rows2 = [(f"u{i}",) for i in range(250, 700)]
+    spark.createDataFrame(rows1, "u string").coalesce(1).write.mode("append").json(src)
+
+    def drain():
+        q = maintain_bloom_stream(
+            spark.readStream.schema("u string").json(src), t, "u", checkpoint=ckpt
+        )
+        q.awaitTermination(120)
+
+    drain()
+    v1 = latest_version(t)
+    drain()  # restart with nothing new: no commit
+    assert latest_version(t) == v1
+
+    spark.createDataFrame(rows2, "u string").coalesce(1).write.mode("append").json(src)
+    drain()
+    assert latest_version(t) > v1
+    stored = {tuple(r) for r in read_version(spark, t).collect()}
+    batch = SK.bloom_build(spark.createDataFrame(rows1 + rows2, "u string"), "u")
+    assert stored == {tuple(r) for r in batch.collect()}
+    # history-wide membership, zero false negatives
+    pr = SK.bloom_probe(
+        read_version(spark, t),
+        spark.createDataFrame([(v,) for v, in rows1 + rows2], "u string"),
+        "u",
+    )
+    assert pr.where(~F.col("hit")).count() == 0
