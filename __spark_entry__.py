@@ -1233,6 +1233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "venn_onepass_counts": _q_venn_onepass,
         "key_collisions_lineitem": _q_key_collisions_lineitem,
         "dq_expectations": analytics.dq_expectations,
+        "drift_totalprice_status": analytics.drift_totalprice_status,
         "projection_keep_ignore": _q_projection,
         "projection_nested": _q_projection_nested,
         # general analytics (scan/agg/join/window/top-k/sessionize)
@@ -1768,6 +1769,7 @@ def oracle_sql() -> dict[str, str]:
             "FULL OUTER JOIN (SELECT * FROM new_snap WHERE o_orderstatus = 'F') n",
         ),
         "hidden_partition_prune": _HIDDEN_PARTITION_SQL,
+        "drift_totalprice_status": analytics.DRIFT_TOTALPRICE_SQL,
         "key_diff_digest_pruned": _KEY_DIFF_DIGEST_PRUNED_SQL,
         "digest_diff_orders": _DIGEST_DIFF_ORDERS_SQL,
         "renamed_column_read": _RENAMED_COLUMN_SQL,

@@ -1031,3 +1031,39 @@ SELECT event_type,
        count(*) FILTER (WHERE gap < {_DEBOUNCE_US}) AS n_bounced
 FROM g GROUP BY event_type
 """
+
+
+DRIFT_CUTS = (50000.0, 100000.0, 150000.0, 200000.0, 250000.0, 300000.0, 400000.0)
+
+
+def drift_totalprice_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample drift check (functions/drift.py): exact total-variation
+    distance between the finished ('F') and open ('O') order-value
+    distributions over a declared bucketing — the monitoring primitive a
+    training pipeline runs corpus-over-corpus. One union scan + one
+    bucket-keyed hash aggregate (map-side combined, <= 9 shuffle rows per
+    partition) + a single-row decimal fold; the lone double op is the
+    final correctly-rounded divide, so the DuckDB twin matches exactly."""
+    from avro_diff_spark.functions.drift import tv_distance
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return tv_distance(
+        o.where(F.col("o_orderstatus") == "F"),
+        o.where(F.col("o_orderstatus") == "O"),
+        "o_totalprice",
+        DRIFT_CUTS,
+    )
+
+
+def _drift_sql() -> str:
+    from avro_diff_spark.functions.drift import tv_distance_sql
+
+    return tv_distance_sql(
+        "(SELECT o_totalprice FROM orders WHERE o_orderstatus = 'F')",
+        "(SELECT o_totalprice FROM orders WHERE o_orderstatus = 'O')",
+        "o_totalprice",
+        DRIFT_CUTS,
+    )
+
+
+DRIFT_TOTALPRICE_SQL = _drift_sql()

@@ -1,0 +1,91 @@
+"""Total-variation drift (functions/drift.py): exactness vs a pure-Python
+recompute, totality on empty inputs, NULL-bucket sensitivity, identity law,
+and the no-window/no-join single-aggregation plan shape."""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import functions as F
+
+from avro_diff_spark.functions.drift import TVD_SCALE, bucketize, tv_distance
+
+CUTS = (10.0, 20.0, 30.0)
+
+
+def _py_tvd(avals, bvals, cuts=CUTS):
+    def bucket(v):
+        if v is None:
+            return -1
+        for i, c in enumerate(cuts):
+            if v < c:
+                return i
+        return len(cuts)
+
+    na, nb = {}, {}
+    for v in avals:
+        na[bucket(v)] = na.get(bucket(v), 0) + 1
+    for v in bvals:
+        nb[bucket(v)] = nb.get(bucket(v), 0) + 1
+    n_a, n_b = len(avals), len(bvals)
+    if n_a == 0 and n_b == 0:
+        return 0
+    if n_a == 0 or n_b == 0:
+        return TVD_SCALE
+    num = sum(
+        abs(na.get(k, 0) * n_b - nb.get(k, 0) * n_a) for k in set(na) | set(nb)
+    )
+    return math.floor(num / (n_a * n_b) * (TVD_SCALE / 2.0))
+
+
+def _run(spark, avals, bvals):
+    a = spark.createDataFrame([(v,) for v in avals], "x double")
+    b = spark.createDataFrame([(v,) for v in bvals], "x double")
+    return tv_distance(a, b, "x", CUTS).collect()[0]
+
+
+def test_matches_python_fuzz(spark):
+    rng = random.Random(42)
+    for _ in range(5):
+        avals = [rng.choice([None, rng.uniform(0, 40)]) for _ in range(rng.randrange(1, 300))]
+        bvals = [rng.choice([None, rng.uniform(5, 45)]) for _ in range(rng.randrange(1, 300))]
+        got = _run(spark, avals, bvals)
+        assert got["tvd_x1e6"] == _py_tvd(avals, bvals)
+        assert got["n_a"] == len(avals) and got["n_b"] == len(bvals)
+
+
+def test_identity_and_bounds(spark):
+    vals = [float(i % 37) for i in range(200)]
+    assert _run(spark, vals, vals)["tvd_x1e6"] == 0
+    # disjoint buckets -> maximum distance
+    got = _run(spark, [1.0] * 50, [35.0] * 80)
+    assert got["tvd_x1e6"] == TVD_SCALE
+
+
+def test_total_on_empty_inputs(spark):
+    assert _run(spark, [], [])["tvd_x1e6"] == 0
+    assert _run(spark, [], [1.0])["tvd_x1e6"] == TVD_SCALE
+    assert _run(spark, [1.0], [])["tvd_x1e6"] == TVD_SCALE
+
+
+def test_null_rate_shift_is_drift(spark):
+    base = [5.0] * 100
+    assert _run(spark, base, base)["tvd_x1e6"] == 0
+    shifted = [None] * 50 + [5.0] * 50
+    assert _run(spark, base, shifted)["tvd_x1e6"] == TVD_SCALE // 2
+
+
+def test_bucketize_edges(spark):
+    df = spark.createDataFrame(
+        [(None,), (9.999,), (10.0,), (29.999,), (30.0,), (1e9,)], "x double"
+    )
+    got = [r[0] for r in df.select(bucketize(F.col("x"), CUTS)).collect()]
+    assert got == [-1, 0, 1, 2, 3, 3]
+
+
+def test_plan_single_aggregation_no_window_no_join(spark):
+    a = spark.createDataFrame([(1.0,)], "x double")
+    plan = tv_distance(a, a, "x", CUTS)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
