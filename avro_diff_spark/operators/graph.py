@@ -123,3 +123,104 @@ it0 AS (SELECT node, CAST({RANK_SCALE} AS BIGINT) AS rank_fp FROM nodes),
 {chain}
 SELECT node, rank_fp FROM {prev}
 """
+
+
+# ---------------------------------------------------------- triangles ---
+
+
+def canonical_edges(pairs: DataFrame, a: str, b: str) -> DataFrame:
+    """Undirected edge list in canonical form: self-loops dropped, each
+    edge once as (a, b) with a < b (node ids must be orderable/unique)."""
+    lo, hi = F.least(F.col(a), F.col(b)), F.greatest(F.col(a), F.col(b))
+    return (
+        pairs.where(F.col(a) != F.col(b))
+        .select(lo.alias("a"), hi.alias("b"))
+        .distinct()
+    )
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """Exact triangle census of an undirected graph — the Cohen 2009 /
+    Suri & Vassilvitskii 2011 degree-ordered algorithm, the MapReduce-era
+    standard precisely BECAUSE it scales: orienting every edge from its
+    lower-(degree, id) endpoint bounds each node's out-degree by
+    O(sqrt(m)), so the wedge self-join on ``src`` — the step a naive
+    neighborhood join explodes on (a celebrity node with degree d yields
+    d^2 wedges) — stays near-linear in m, skew capped by construction.
+
+    Plan: 3 hash aggregations (canonical dedup, degrees, final counts) +
+    4 equi-joins (2 degree attachments, the wedge self-join on src, the
+    closing-edge join on (dst1, dst2)) — every shuffle keyed, map-side
+    combined, no windows, no cartesians, no driver state. Integer-only,
+    except the one correctly-rounded double divide finishing the global
+    clustering coefficient (3*triangles/wedges, x1e6 floor) — the
+    sketches' determinism discipline, so a DuckDB id-ordered 3-way-join
+    oracle value-hashes this exactly.
+
+    Input: canonical edges from :func:`canonical_edges`. Returns one row
+    (n_nodes, n_edges, n_wedges, n_triangles, clustering_x1e6); empty
+    graphs return all zeros."""
+    e = edges
+    deg = (
+        e.select(F.explode(F.array("a", "b")).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # attach endpoint degrees, orient lower (deg, id) -> higher
+    ed = (
+        e.join(deg.withColumnsRenamed({"v": "a", "deg": "da"}), "a")
+        .join(deg.withColumnsRenamed({"v": "b", "deg": "db"}), "b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dst_deg"),
+    )
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    lt = (F.col("o1.dst_deg") < F.col("o2.dst_deg")) | (
+        (F.col("o1.dst_deg") == F.col("o2.dst_deg"))
+        & (F.col("o1.dst") < F.col("o2.dst"))
+    )
+    wedges = o1.join(o2, (F.col("o1.src") == F.col("o2.src")) & lt).select(
+        F.col("o1.dst").alias("x"), F.col("o2.dst").alias("y")
+    )
+    closing = oriented.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+    tri = wedges.join(closing, ["x", "y"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    # wedge total from UNDIRECTED degrees: sum C(deg, 2), exact integers
+    wed = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.coalesce(
+            F.sum(F.expr("(deg * (deg - 1)) div 2")), F.lit(0)
+        ).alias("n_wedges"),
+    )
+    ecnt = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    # fold the single-row frames via union + max (a literal-key join
+    # constant-folds to the nested-loop shape the plan gate bans)
+    nul = F.lit(None).cast("long")
+    cols = ("n_nodes", "n_edges", "n_wedges", "n_triangles")
+    stacked = (
+        wed.select("n_nodes", nul.alias("n_edges"), "n_wedges", nul.alias("n_triangles"))
+        .unionByName(
+            ecnt.select(nul.alias("n_nodes"), "n_edges", nul.alias("n_wedges"), nul.alias("n_triangles"))
+        )
+        .unionByName(
+            tri.select(nul.alias("n_nodes"), nul.alias("n_edges"), nul.alias("n_wedges"), "n_triangles")
+        )
+    )
+    folded = stacked.agg(*[F.max(c).alias(c) for c in cols])
+    cc = F.floor(
+        (F.lit(3.0) * F.col("n_triangles").cast("double"))
+        / F.col("n_wedges").cast("double")
+        * F.lit(1_000_000.0)
+    ).cast("long")
+    return folded.select(
+        *cols,
+        F.when(F.col("n_wedges") == 0, F.lit(0).cast("long"))
+        .otherwise(cc)
+        .alias("clustering_x1e6"),
+    )

@@ -3797,6 +3797,56 @@ SELECT n_probed, n_hits, n_true, n_hits - n_true AS n_false_pos FROM agg, tr
 """
 
 
+def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the part co-purchase graph (parts are nodes,
+    an edge joins two parts appearing in the same order) — the motif/
+    community-density primitive next to PageRank in the graph tier.
+    Degree-ordered counting (operators/graph.py): the wedge join's skew
+    is bounded O(sqrt(m)) by construction, every shuffle keyed — the
+    plan that survives a 100x edge count. The DuckDB oracle counts the
+    same triangles via an INDEPENDENT id-ordered 3-way self-join, so the
+    hash match cross-checks the algorithm, not the implementation."""
+    from avro_diff_spark.operators import graph as G
+
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    x, y = li.alias("x"), li.alias("y")
+    pairs = x.join(
+        y,
+        (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+        & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+    ).select(F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b"))
+    return G.triangle_stats(G.canonical_edges(pairs, "a", "b"))
+
+
+_COPURCHASE_TRIANGLES_SQL = """
+WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+      FROM lp x JOIN lp y
+        ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+deg AS (SELECT v, count(*) AS d
+        FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+        GROUP BY v),
+tri AS (SELECT count(*)::BIGINT AS n_triangles
+        FROM e xy
+        JOIN e yz ON xy.b = yz.a
+        JOIN e xz ON xz.a = xy.a AND xz.b = yz.b),
+agg AS (SELECT count(*)::BIGINT AS n_nodes,
+               coalesce(sum((d * (d - 1)) // 2), 0)::BIGINT AS n_wedges
+        FROM deg),
+ec AS (SELECT count(*)::BIGINT AS n_edges FROM e)
+SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       CASE WHEN n_wedges = 0 THEN 0
+            ELSE floor(3.0 * CAST(n_triangles AS DOUBLE)
+                       / CAST(n_wedges AS DOUBLE) * 1000000.0)::BIGINT
+       END AS clustering_x1e6
+FROM agg, ec, tri
+"""
+
+
 def q_countmin_heavy_hitters(
     spark: SparkSession, sf_dir: str, k: int = 10
 ) -> DataFrame:
@@ -3958,6 +4008,7 @@ PIPELINE_QUERIES = {
     "kmv_custkey_overlap": q_kmv_custkey_overlap,
     "kmv_custkey_diff": q_kmv_custkey_diff,
     "bloom_probe_orders": q_bloom_probe_orders,
+    "copurchase_triangles": q_copurchase_triangles,
     "countmin_heavy_hitters": q_countmin_heavy_hitters,
     "pagerank_neardups": q_pagerank_neardups,
 }
@@ -4040,6 +4091,7 @@ def pipeline_sql() -> dict[str, str]:
         "kmv_custkey_overlap": _kmv_custkey_overlap_sql(),
         "kmv_custkey_diff": _kmv_custkey_diff_sql(),
         "bloom_probe_orders": _BLOOM_PROBE_SQL,
+        "copurchase_triangles": _COPURCHASE_TRIANGLES_SQL,
         "countmin_heavy_hitters": _countmin_sql(),
         "pagerank_neardups": _pagerank_neardups_sql(),
     }

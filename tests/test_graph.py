@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 from avro_diff_spark.operators import graph as G
@@ -59,3 +60,69 @@ def test_pagerank_total_rank_conserved_approximately(spark):
     total = sum(r.rank_fp for r in rows)
     n = len(rows)
     assert abs(total - n * G.RANK_SCALE) / (n * G.RANK_SCALE) < 0.01
+
+
+# ---------------------------------------------------------- triangles ---
+
+
+def _brute(nodes, edges):
+    import itertools
+
+    adj = {n: set() for n in nodes}
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    tri = sum(
+        1
+        for x, y, z in itertools.combinations(sorted(nodes), 3)
+        if y in adj[x] and z in adj[x] and z in adj[y]
+    )
+    wed = sum(len(adj[n]) * (len(adj[n]) - 1) // 2 for n in nodes)
+    return tri, wed
+
+
+def _stats(spark, edges):
+    from avro_diff_spark.operators.graph import canonical_edges, triangle_stats
+
+    df = spark.createDataFrame(list(edges), "a long, b long")
+    return triangle_stats(canonical_edges(df, "a", "b")).collect()[0]
+
+
+@pytest.mark.parametrize("seed,p", [(3, 0.08), (11, 0.2), (29, 0.5)])
+def test_triangles_match_brute_force(spark, seed, p):
+    import itertools
+    import random
+
+    rng = random.Random(seed)
+    nodes = list(range(35))
+    edges = {(u, v) for u, v in itertools.combinations(nodes, 2) if rng.random() < p}
+    got = _stats(spark, edges)
+    tri, wed = _brute(nodes, edges)
+    assert (got["n_triangles"], got["n_wedges"], got["n_edges"]) == (tri, wed, len(edges))
+
+
+def test_triangles_special_graphs(spark):
+    import itertools
+
+    # K5: C(5,3)=10 triangles; star: 0; path: 0; self-loops/dups ignored
+    k5 = set(itertools.combinations(range(5), 2))
+    assert _stats(spark, k5)["n_triangles"] == 10
+    star = {(0, i) for i in range(1, 10)}
+    assert _stats(spark, star)["n_triangles"] == 0
+    path = {(i, i + 1) for i in range(10)}
+    assert _stats(spark, path)["n_triangles"] == 0
+    messy = [(1, 2), (2, 1), (1, 1), (2, 3), (3, 1)]
+    got = _stats(spark, messy)
+    assert got["n_triangles"] == 1 and got["n_edges"] == 3
+
+
+def test_triangles_plan_no_cartesian(spark):
+    from avro_diff_spark.operators.graph import canonical_edges, triangle_stats
+
+    df = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "a long, b long")
+    plan = (
+        triangle_stats(canonical_edges(df, "a", "b"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
