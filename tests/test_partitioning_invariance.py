@@ -56,6 +56,10 @@ QUERIES = [
     "events_sliding",  # round 10: hopping-window explode + decimal sums
     "dq_expectations",  # round 10: conditional-agg scan + distinct + fk join
     "scd2_user_states",  # round 10: keyed lag/lead run-collapse windows
+    "key_diff_digest_pruned",  # round 10: xor digest fold + bucket pruning
+    "bloom_probe_orders",  # round 10: bit_or word fold + broadcast probe
+    "drift_totalprice_status",  # round 10: decimal cross-product TVD fold
+    "copurchase_triangles",  # round 10: degree-oriented wedge/closure joins
 ]
 
 
