@@ -33,6 +33,7 @@ __all__ = [
     "maintain_hll_stream",
     "maintain_countmin_stream",
     "maintain_bloom_stream",
+    "maintain_digest_stream",
 ]
 
 
@@ -251,6 +252,117 @@ def maintain_bloom_stream(
         )
 
     writer = stream_df.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def maintain_digest_stream(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    keys: list[str],
+    *,
+    num_buckets: int = 1024,
+    payload_cols: list[str] | None = None,
+    checkpoint: str,
+    starting_version: int = 0,
+    trigger_available_now: bool = True,
+):
+    """Maintain ``dst_path`` as the LIVE MERKLE FINGERPRINT (per-bucket
+    row-count + xor digests, operators/digest.py) of the versioned table
+    at ``src_path``, driven by its change feed: xor is its own inverse,
+    so an insert and a delete fold with the SAME operation — each batch
+    xors its change rows (pre- and post-images alike) into the stored
+    buckets and adds the signed row-count delta, work ∝ changed rows,
+    never a source rescan. The maintained table is bit-identical to
+    ``bucket_digests(read_version(src))`` after every drain (pinned
+    across append / DV-delete / merge histories), so two replicas —
+    each maintaining its own fingerprint — are compared by diffing two
+    <= ``num_buckets``-row tables, and a mismatch localizes to the
+    buckets :func:`~avro_diff_spark.operators.digest.key_diff_pruned`
+    then re-reads. xor/sum folds are NOT idempotent, so exactly-once
+    rides the applied-src-version metadata exactly as
+    :func:`maintain_agg_stream`. Returns the StreamingQuery."""
+    import os
+
+    from avro_diff_spark.operators import digest as dig
+
+    pb = list(payload_cols) if payload_cols is not None else None
+    ch = stream_changes(spark, src_path, starting_version=starting_version)
+
+    def _apply(batch_df, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        applied = -1
+        if latest_version(dst_path) >= 0:
+            meta = commit_app_meta(dst_path)
+            if meta.get("src_table") not in (None, os.path.abspath(src_path)):
+                raise ValueError(
+                    f"{dst_path!r} fingerprints {meta.get('src_table')!r}, "
+                    f"not {src_path!r}"
+                )
+            applied = meta.get("src_version", -1)
+        fresh = batch_df.filter(F.col("_commit_version") > F.lit(applied))
+        hi = fresh.agg(F.max("_commit_version")).collect()[0][0]
+        if hi is None:
+            return
+        payload = pb if pb is not None else [
+            c
+            for c in fresh.columns
+            if c not in keys and c not in ("_change_type", "_commit_version")
+        ]
+        h = dig._row_hash(fresh, keys, payload)
+        sign = F.when(
+            F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+        ).otherwise(F.lit(-1))
+        delta = (
+            fresh.select(
+                dig.bucket_col(keys, num_buckets),
+                sign.alias("_s"),
+                dig._hex_long(h, 1).alias("_d1"),
+                dig._hex_long(h, 16).alias("_d2"),
+            )
+            .groupBy("bucket")
+            .agg(
+                F.sum("_s").cast("long").alias("dn"),
+                F.bit_xor("_d1").alias("dx1"),
+                F.bit_xor("_d2").alias("dx2"),
+            )
+        )
+        meta = {"src_table": os.path.abspath(src_path), "src_version": int(hi)}
+        if applied < 0:
+            merged = delta.select(
+                "bucket",
+                F.col("dn").alias("n_rows"),
+                F.col("dx1").alias("xor1"),
+                F.col("dx2").alias("xor2"),
+            ).filter(F.col("n_rows") > 0)
+        else:
+            from avro_diff_spark.sources.versioned import read_version
+
+            stored = read_version(spark, dst_path)
+            z = F.lit(0).cast("long")
+            merged = (
+                stored.join(delta, "bucket", "full_outer")
+                .select(
+                    "bucket",
+                    (F.coalesce(F.col("n_rows"), z) + F.coalesce(F.col("dn"), z))
+                    .alias("n_rows"),
+                    F.coalesce(F.col("xor1"), z)
+                    .bitwiseXOR(F.coalesce(F.col("dx1"), z))
+                    .alias("xor1"),
+                    F.coalesce(F.col("xor2"), z)
+                    .bitwiseXOR(F.coalesce(F.col("dx2"), z))
+                    .alias("xor2"),
+                )
+                .filter(F.col("n_rows") > 0)
+            )
+        commit_snapshot(merged, dst_path, mode="overwrite", app_meta=meta)
+
+    writer = ch.writeStream.foreachBatch(_apply).option(
         "checkpointLocation", checkpoint
     )
     if trigger_available_now:

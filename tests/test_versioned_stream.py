@@ -425,3 +425,93 @@ def test_maintain_agg_stream_tracks_dml_exactly_once(spark, tmp_path):
     drain()
     assert state() == recompute()
     assert commit_app_meta(d)["src_version"] == 3
+
+
+def test_maintain_digest_stream_matches_recompute_and_localizes(spark, tmp_path):
+    """Live merkle fingerprint: after every drain the maintained digest
+    table is BIT-IDENTICAL to bucket_digests() over the source snapshot —
+    across append, DV delete, and merge-on-read histories — so replica
+    comparison never rescans; and diffing the fingerprints of a mutated
+    copy localizes to exactly the touched buckets."""
+    from avro_diff_spark.operators import digest as dig
+    from avro_diff_spark.sources.versioned import (
+        commit_app_meta,
+        delete_where,
+        latest_version,
+        merge_into,
+    )
+    from avro_diff_spark.streaming.agg import maintain_digest_stream
+
+    t, d, ck = (str(tmp_path / x) for x in ("src", "dig", "ck"))
+    rows = [(i, f"v{i % 5}") for i in range(40)]
+    commit_snapshot(
+        _df(spark, rows).repartitionByRange(2, "k"), t
+    )                                                                    # v0
+    commit_snapshot(_df(spark, [(100, "new")]), t, mode="append")        # v1
+
+    def drain():
+        q = maintain_digest_stream(
+            spark, t, d, ["k"], num_buckets=64, checkpoint=ck
+        )
+        q.awaitTermination(120)
+
+    def recompute():
+        return {
+            tuple(r)
+            for r in dig.bucket_digests(
+                read_version(spark, t), ["k"], 64
+            ).collect()
+        }
+
+    def state():
+        return {tuple(r) for r in read_version(spark, d).collect()}
+
+    drain()
+    assert state() == recompute()
+    assert commit_app_meta(d)["src_version"] == 1
+
+    v_before = latest_version(d)
+    drain()  # nothing new: no publish
+    assert latest_version(d) == v_before
+
+    delete_where(spark, t, "k IN (3, 17)")                               # v2 dv
+    merge_into(
+        spark, t,
+        _df(spark, [(5, "EDITED"), (200, "brand_new")]),
+        ["k"], rewrite="dv",
+    )                                                                    # v3
+    drain()
+    assert state() == recompute()
+    assert commit_app_meta(d)["src_version"] == 3
+
+    # replica comparison via stored fingerprints: identical copy -> 0
+    # mismatched buckets; one edited key -> exactly that key's bucket
+    src_now = read_version(spark, t)
+    mutated = src_now.withColumn(
+        "v", F.when(F.col("k") == 7, F.lit("DRIFTED")).otherwise(F.col("v"))
+    )
+    stored = read_version(spark, d).withColumnsRenamed(
+        {"n_rows": "_on", "xor1": "_ox1", "xor2": "_ox2"}
+    )
+    fresh = dig.bucket_digests(mutated, ["k"], 64).withColumnsRenamed(
+        {"n_rows": "_nn", "xor1": "_nx1", "xor2": "_nx2"}
+    )
+    j = stored.join(fresh, "bucket", "full_outer").where(
+        ~F.col("_on").eqNullSafe(F.col("_nn"))
+        | ~F.col("_ox1").eqNullSafe(F.col("_nx1"))
+        | ~F.col("_ox2").eqNullSafe(F.col("_nx2"))
+    )
+    assert j.count() == 1
+    same = dig.bucket_digests(src_now, ["k"], 64).withColumnsRenamed(
+        {"n_rows": "_nn", "xor1": "_nx1", "xor2": "_nx2"}
+    )
+    assert (
+        stored.join(same, "bucket", "full_outer")
+        .where(
+            ~F.col("_on").eqNullSafe(F.col("_nn"))
+            | ~F.col("_ox1").eqNullSafe(F.col("_nx1"))
+            | ~F.col("_ox2").eqNullSafe(F.col("_nx2"))
+        )
+        .count()
+        == 0
+    )
