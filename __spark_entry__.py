@@ -1697,7 +1697,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ONE conditional-aggregation hash aggregate, the single-pass
     # conditional-aggregation shape the recorded dq_expectations folds
     # its whole rule suite into; CI-oracle-gated every run.
+    # sampled_price_quantiles enters DIRECTLY in the tail — its bottom-k
+    # min-hash draw is the recorded kmv_custkey_overlap's TakeOrdered
+    # k-smallest-hash machinery and its discrete order-statistic finish
+    # is the selection shape the recorded events_anomalies percentiles
+    # pin; sample laws (merge, python parity, totality) are pytest-pinned
+    # in tests/test_sketches.py and the CI oracle gate value-hashes it
+    # every run.
     for tail in (
+        "sampled_price_quantiles",
         "digest_diff_orders",
         "quality_classifier",
         "tfidf_top_terms",

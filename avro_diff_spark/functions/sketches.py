@@ -547,3 +547,81 @@ def bloom_probe(
         .agg((F.sum(F.when(bit_set, 1).otherwise(0)) == F.lit(k)).alias("hit"))
         .withColumnRenamed("_v", col)
     )
+
+
+# ----------------------------------------------------- bottom-k sample ---
+
+def bottomk_sample(
+    df: DataFrame, key_col: str, val_col: str, k: int = 256
+) -> DataFrame:
+    """Deterministic uniform row sample of fixed size k: keep the rows
+    whose md5(key) hashes are the k smallest (Cohen & Kaplan bottom-k
+    sketch over a UNIQUE row key — the hash IS the random tag, so every
+    engine, every partitioning, every day draws the same sample).
+    Plans as TakeOrdered (per-partition top-k then a k-row merge —
+    never a full sort). Mergeable: the bottom-k of a union is the
+    bottom-k of the concatenated samples. ``key_col`` must be unique
+    per row (duplicate keys would bias the draw)."""
+    return (
+        df.where(F.col(key_col).isNotNull())
+        .select(
+            _md5_hex(F.col(key_col)).alias("h"), F.col(val_col).alias("v")
+        )
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def sample_quantiles(
+    sample: DataFrame, qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95)
+) -> DataFrame:
+    """Discrete order-statistic quantiles of a (bounded) sample: one row
+    (n_sampled, q_25, q_50, ...), quantile q = the sorted sample's
+    element at 1-based index floor(q*(n-1)) + 1 — pure selection, no
+    interpolation arithmetic to diverge across engines. Empty sample ->
+    n_sampled 0 with NULL quantiles (total)."""
+    agg = sample.agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.array_sort(F.collect_list("v")).alias("_a"),
+    )
+    cols = [F.col("n_sampled")]
+    for q in qs:
+        idx = (
+            F.floor(F.lit(float(q)) * (F.col("n_sampled") - 1).cast("double"))
+            .cast("int")
+            + 1
+        )
+        name = f"q_{str(q).replace('0.', '')}"
+        cols.append(
+            F.when(F.col("n_sampled") == 0, F.lit(None))
+            .otherwise(F.element_at(F.col("_a"), idx))
+            .alias(name)
+        )
+    return agg.select(*cols)
+
+
+def bottomk_quantiles_sql(
+    src_sql: str,
+    key_col: str,
+    val_col: str,
+    k: int = 256,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+) -> str:
+    """DuckDB twin of bottomk_sample |> sample_quantiles."""
+    sel = []
+    for q in qs:
+        name = f"q_{str(q).replace('0.', '')}"
+        sel.append(
+            f"CASE WHEN n = 0 THEN NULL ELSE "
+            f"a[CAST(floor({float(q)!r} * CAST(n - 1 AS DOUBLE)) AS INT) + 1] "
+            f"END AS {name}"
+        )
+    return f"""
+WITH s AS (
+  SELECT {val_col} AS v, md5(CAST({key_col} AS VARCHAR)) AS h
+  FROM {src_sql} WHERE {key_col} IS NOT NULL
+  ORDER BY h LIMIT {k}
+),
+arr AS (SELECT count(*)::BIGINT AS n, list(v ORDER BY v) AS a FROM s)
+SELECT n AS n_sampled, {', '.join(sel)} FROM arr
+"""

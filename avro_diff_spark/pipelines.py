@@ -3847,6 +3847,27 @@ FROM agg, ec, tri
 """
 
 
+def q_sampled_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimation from a bottom-k hash sample (sketches.py):
+    256 deterministically drawn orders stand in for the population — the
+    bounded-state quantile path at 100 TB, where an exact percentile is
+    a full sort. Plans as TakeOrdered (per-partition top-k + one k-row
+    merge); quantiles are discrete order statistics of the sample, so
+    the DuckDB twin is bit-identical."""
+    from avro_diff_spark.functions import sketches as SK
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return SK.sample_quantiles(
+        SK.bottomk_sample(o, "o_orderkey", "o_totalprice", k=256)
+    )
+
+
+def _sampled_price_quantiles_sql() -> str:
+    from avro_diff_spark.functions import sketches as SK
+
+    return SK.bottomk_quantiles_sql("orders", "o_orderkey", "o_totalprice", k=256)
+
+
 def q_countmin_heavy_hitters(
     spark: SparkSession, sf_dir: str, k: int = 10
 ) -> DataFrame:
@@ -4009,6 +4030,7 @@ PIPELINE_QUERIES = {
     "kmv_custkey_diff": q_kmv_custkey_diff,
     "bloom_probe_orders": q_bloom_probe_orders,
     "copurchase_triangles": q_copurchase_triangles,
+    "sampled_price_quantiles": q_sampled_price_quantiles,
     "countmin_heavy_hitters": q_countmin_heavy_hitters,
     "pagerank_neardups": q_pagerank_neardups,
 }
@@ -4092,6 +4114,7 @@ def pipeline_sql() -> dict[str, str]:
         "kmv_custkey_diff": _kmv_custkey_diff_sql(),
         "bloom_probe_orders": _BLOOM_PROBE_SQL,
         "copurchase_triangles": _COPURCHASE_TRIANGLES_SQL,
+        "sampled_price_quantiles": _sampled_price_quantiles_sql(),
         "countmin_heavy_hitters": _countmin_sql(),
         "pagerank_neardups": _pagerank_neardups_sql(),
     }

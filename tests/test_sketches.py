@@ -432,3 +432,45 @@ def test_maintain_bloom_stream_matches_batch_and_replay_safe(spark, tmp_path):
         "u",
     )
     assert pr.where(~F.col("hit")).count() == 0
+
+
+# ----------------------------------------------------- bottom-k sample ---
+
+
+def test_bottomk_sample_matches_python_and_merges(spark):
+    rows = [(i, float((i * 37) % 1000)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "k long, v double")
+    got = sorted(tuple(r) for r in SK.bottomk_sample(df, "k", "v", 64).collect())
+    expect = sorted(
+        (hashlib.md5(str(k).encode()).hexdigest(), v) for k, v in rows
+    )[:64]
+    assert got == sorted(expect)
+    # merge law: bottom-k of union == bottom-k of concatenated samples
+    a, b = rows[:1200], rows[1200:]
+    sa = SK.bottomk_sample(spark.createDataFrame(a, "k long, v double"), "k", "v", 64)
+    sb = SK.bottomk_sample(spark.createDataFrame(b, "k long, v double"), "k", "v", 64)
+    merged = sorted(
+        tuple(r) for r in sa.unionByName(sb).orderBy("h").limit(64).collect()
+    )
+    assert merged == got
+
+
+def test_sample_quantiles_selection_and_totality(spark):
+    df = spark.createDataFrame([(i, float(i)) for i in range(100)], "k long, v double")
+    got = SK.sample_quantiles(SK.bottomk_sample(df, "k", "v", 1000)).collect()[0]
+    # full population sampled: order stats over 0..99
+    assert got["n_sampled"] == 100
+    import math as _m
+
+    vals = sorted(float(i) for i in range(100))
+    for q, name in ((0.25, "q_25"), (0.5, "q_5"), (0.75, "q_75"), (0.95, "q_95")):
+        assert got[name] == vals[_m.floor(q * 99)]
+    empty = spark.createDataFrame([], "k long, v double")
+    tot = SK.sample_quantiles(SK.bottomk_sample(empty, "k", "v", 16)).collect()[0]
+    assert tot["n_sampled"] == 0 and tot["q_5"] is None
+
+
+def test_bottomk_plan_is_take_ordered(spark):
+    df = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    plan = SK.bottomk_sample(df, "k", "v", 16)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrdered" in plan and "Sort " not in plan
