@@ -581,20 +581,74 @@ def dq_main(argv: list[str] | None = None) -> int:
     return 1 if bad else 0
 
 
+def digest_main(argv: list[str] | None = None) -> int:
+    """Merkle digest comparison of two datasets (operators/digest.py):
+    report mismatched buckets, optionally run the keyed diff pruned to
+    them. The re-diff shape: at 100 TB the digest pass is two scans +
+    two <= num_buckets-row shuffles, and --diff pays the full-outer join
+    only over the changed slice. Exit 0 when the digests match."""
+    p = argparse.ArgumentParser(
+        prog="digest", description="Bucket-digest comparison of two datasets."
+    )
+    _common(p)
+    p.add_argument("key", help="comma-separated composite key fields")
+    p.add_argument("--buckets", type=int, default=1024, help="digest buckets")
+    p.add_argument(
+        "--diff",
+        action="store_true",
+        help="also run the keyed diff restricted to mismatched buckets",
+    )
+    args = p.parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from avro_diff_spark.operators import digest as dig
+
+    spark = _session(args)
+    schema = _schema_arg(args)
+    old = _read(spark, args.old_file, args.format, _split(args.keep_fields), _split(args.ignore_fields), schema)
+    new = _read(spark, args.new_file, args.format, _split(args.keep_fields), _split(args.ignore_fields), schema)
+    key = args.key.split(",")
+    changed = dig.digest_diff(old, new, key, num_buckets=args.buckets)
+    stats = changed.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum("old_rows"), F.lit(0)).alias("o"),
+        F.coalesce(F.sum("new_rows"), F.lit(0)).alias("m"),
+    ).collect()[0]
+    print(
+        f"# of mismatched buckets: {stats['n']} / {args.buckets} "
+        f"(old rows in them: {stats['o']}, new rows: {stats['m']})"
+    )
+    if args.diff and stats["n"]:
+        d = dig.key_diff_pruned(old, new, key, num_buckets=args.buckets).where(
+            F.col("diff_kind") != "unchanged"
+        )
+        counts = {
+            r["diff_kind"]: r["cnt"]
+            for r in d.groupBy("diff_kind").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        }
+        for kind in ("added", "removed", "changed"):
+            print(f"# of {kind} rows: {counts.get(kind, 0)}")
+        order = [F.col(k).asc_nulls_last() for k in key]
+        _emit(d, args.output, args.limit, order_by=order, fmt=args.output_format)
+    return 1 if stats["n"] else 0
+
+
 _COMMANDS = {
     "key_diff": key_diff_main,
     "venn_diff": venn_diff_main,
     "dedup": dedup_main,
+    "digest": digest_main,
     "dq": dq_main,
     "table": table_main,
 }
 
 
 def main() -> int:
-    """Dispatcher: python -m avro_diff_spark.cli {key_diff|venn_diff|dedup|dq|table} ..."""
+    """Dispatcher: python -m avro_diff_spark.cli {key_diff|venn_diff|dedup|digest|dq|table} ..."""
     if len(sys.argv) < 2 or sys.argv[1] not in _COMMANDS:
         print(
-            "usage: python -m avro_diff_spark.cli {key_diff|venn_diff|dedup|dq|table} ...",
+            "usage: python -m avro_diff_spark.cli {key_diff|venn_diff|dedup|digest|dq|table} ...",
             file=sys.stderr,
         )
         return 2

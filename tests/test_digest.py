@@ -118,3 +118,29 @@ def test_payload_cols_subset(spark):
     new = spark.createDataFrame([("a", "1", "EDITED")], "k string, v string, w string")
     assert D.digest_diff(old, new, ["k"], 8, payload_cols=["v"]).count() == 0
     assert D.digest_diff(old, new, ["k"], 8, payload_cols=["v", "w"]).count() == 1
+
+
+def test_cli_digest_command(spark, tmp_path, capsys):
+    """digest CLI: exit 0 on identical datasets, exit 1 + pruned diff
+    report on differing ones."""
+    from avro_diff_spark.cli import digest_main
+
+    old_p, new_p = str(tmp_path / "old.parquet"), str(tmp_path / "new.parquet")
+    rows = [(i, f"v{i % 4}") for i in range(300)]
+    spark.createDataFrame(rows, "k long, v string").write.parquet(old_p)
+    spark.createDataFrame(
+        [(k, "MUT" if k in (7, 8) else v) for k, v in rows] + [(999, "new")],
+        "k long, v string",
+    ).write.parquet(new_p)
+
+    rc = digest_main([old_p, new_p, "k", "--format", "parquet", "--buckets", "64", "--diff"])
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "# of mismatched buckets:" in out
+    assert "# of added rows: 1" in out
+    assert "# of removed rows: 0" in out
+    assert "# of changed rows: 2" in out
+
+    rc = digest_main([old_p, old_p, "k", "--format", "parquet", "--buckets", "64"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "# of mismatched buckets: 0" in out
