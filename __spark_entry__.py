@@ -1234,6 +1234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_collisions_lineitem": _q_key_collisions_lineitem,
         "dq_expectations": analytics.dq_expectations,
         "drift_totalprice_status": analytics.drift_totalprice_status,
+        "drift_lang_split": analytics.drift_lang_split,
         "projection_keep_ignore": _q_projection,
         "projection_nested": _q_projection_nested,
         # general analytics (scan/agg/join/window/top-k/sessionize)
@@ -1704,7 +1705,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # pin; sample laws (merge, python parity, totality) are pytest-pinned
     # in tests/test_sketches.py and the CI oracle gate value-hashes it
     # every run.
+    # drift_lang_split enters DIRECTLY in the tail — the categorical
+    # variant shares the recorded drift_totalprice_status's entire fold
+    # (_fold_tvd: same tagged union, same bucket aggregate, same decimal
+    # cross-product finish), differing only in bucket derivation
+    # (observed values vs declared cuts); CI-oracle-gated every run.
     for tail in (
+        "drift_lang_split",
         "sampled_price_quantiles",
         "digest_diff_orders",
         "quality_classifier",
@@ -1810,6 +1817,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "hidden_partition_prune": _HIDDEN_PARTITION_SQL,
         "drift_totalprice_status": analytics.DRIFT_TOTALPRICE_SQL,
+        "drift_lang_split": analytics.DRIFT_LANG_SQL,
         "key_diff_digest_pruned": _KEY_DIFF_DIGEST_PRUNED_SQL,
         "digest_diff_orders": _DIGEST_DIFF_ORDERS_SQL,
         "renamed_column_read": _RENAMED_COLUMN_SQL,

@@ -1067,3 +1067,32 @@ def _drift_sql() -> str:
 
 
 DRIFT_TOTALPRICE_SQL = _drift_sql()
+
+
+def drift_lang_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical drift (functions/drift.py): exact total-variation
+    distance between the LANGUAGE mixes of two corpus halves — the
+    "did the language mix shift corpus-over-corpus?" monitor, buckets =
+    the observed categories themselves (state one row per language,
+    NULL its own category)."""
+    from avro_diff_spark.functions.drift import tv_distance_categorical
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tv_distance_categorical(
+        d.where(F.col("doc_id") % 2 == 0),
+        d.where(F.col("doc_id") % 2 == 1),
+        "lang",
+    )
+
+
+def _drift_lang_sql() -> str:
+    from avro_diff_spark.functions.drift import tv_distance_categorical_sql
+
+    return tv_distance_categorical_sql(
+        "(SELECT lang FROM documents WHERE doc_id % 2 = 0)",
+        "(SELECT lang FROM documents WHERE doc_id % 2 = 1)",
+        "lang",
+    )
+
+
+DRIFT_LANG_SQL = _drift_lang_sql()

@@ -45,17 +45,10 @@ def bucketize(col: Column, cuts: Sequence[float]) -> Column:
     return F.when(col.isNull(), F.lit(-1)).otherwise(expr)
 
 
-def tv_distance(
-    a: DataFrame, b: DataFrame, col: str, cuts: Sequence[float]
-) -> DataFrame:
-    """One row: (n_a, n_b, n_buckets, tvd_x1e6). Total on every input:
-    two empty samples are at distance 0, an empty vs non-empty sample at
-    the maximum 1_000_000; NULLs occupy their own bucket (a NULL-rate
-    shift IS drift)."""
-    bucket = bucketize(F.col(col), cuts).alias("bucket")
-    tagged = a.select(bucket, F.lit(1).alias("_a"), F.lit(0).alias("_b")).unionByName(
-        b.select(bucket, F.lit(0).alias("_a"), F.lit(1).alias("_b"))
-    )
+def _fold_tvd(tagged: DataFrame) -> DataFrame:
+    """Shared finish: (bucket, _a, _b) tags -> one (n_a, n_b, n_buckets,
+    tvd_x1e6) row. One bucket-keyed hash aggregate (map-side combined) +
+    a bounded single-row decimal fold; one final double divide."""
     h = tagged.groupBy("bucket").agg(
         F.sum("_a").alias("na"), F.sum("_b").alias("nb")
     )
@@ -90,6 +83,20 @@ def tv_distance(
     )
 
 
+def tv_distance(
+    a: DataFrame, b: DataFrame, col: str, cuts: Sequence[float]
+) -> DataFrame:
+    """One row: (n_a, n_b, n_buckets, tvd_x1e6). Total on every input:
+    two empty samples are at distance 0, an empty vs non-empty sample at
+    the maximum 1_000_000; NULLs occupy their own bucket (a NULL-rate
+    shift IS drift)."""
+    bucket = bucketize(F.col(col), cuts).alias("bucket")
+    tagged = a.select(bucket, F.lit(1).alias("_a"), F.lit(0).alias("_b")).unionByName(
+        b.select(bucket, F.lit(0).alias("_a"), F.lit(1).alias("_b"))
+    )
+    return _fold_tvd(tagged)
+
+
 def tv_distance_sql(
     a_sql: str, b_sql: str, col: str, cuts: Sequence[float]
 ) -> str:
@@ -104,6 +111,49 @@ WITH tagged AS (
   SELECT {bucket} AS bucket, 1 AS _a, 0 AS _b FROM {a_sql}
   UNION ALL
   SELECT {bucket} AS bucket, 0 AS _a, 1 AS _b FROM {b_sql}
+),
+h AS (SELECT bucket, sum(_a)::BIGINT AS na, sum(_b)::BIGINT AS nb
+      FROM tagged GROUP BY bucket),
+t AS (SELECT coalesce(sum(na), 0)::BIGINT AS n_a,
+             coalesce(sum(nb), 0)::BIGINT AS n_b,
+             count(*)::BIGINT AS n_buckets
+      FROM h),
+s AS (SELECT coalesce(sum(abs(CAST(h.na AS DECIMAL(19,0)) * CAST(t.n_b AS DECIMAL(19,0))
+                              - CAST(h.nb AS DECIMAL(19,0)) * CAST(t.n_a AS DECIMAL(19,0)))),
+                      0) AS num
+      FROM h, t)
+SELECT n_a, n_b, n_buckets,
+       CASE WHEN n_a = 0 AND n_b = 0 THEN 0
+            WHEN n_a = 0 OR n_b = 0 THEN {TVD_SCALE}
+            ELSE floor(CAST(num AS DOUBLE)
+                       / CAST(CAST(n_a AS DECIMAL(19,0)) * CAST(n_b AS DECIMAL(19,0)) AS DOUBLE)
+                       * {TVD_SCALE / 2.0!r})::BIGINT
+       END AS tvd_x1e6
+FROM t, s
+"""
+
+
+def tv_distance_categorical(a: DataFrame, b: DataFrame, col: str) -> DataFrame:
+    """:func:`tv_distance` over a CATEGORICAL column: buckets are the
+    observed values themselves (NULL is its own category), no declared
+    cuts — the corpus-monitoring shape ("did the language / source mix
+    shift?"). State = one row per distinct category; same exact decimal
+    arithmetic and totality rules."""
+    tagged = a.select(
+        F.col(col).alias("bucket"), F.lit(1).alias("_a"), F.lit(0).alias("_b")
+    ).unionByName(
+        b.select(F.col(col).alias("bucket"), F.lit(0).alias("_a"), F.lit(1).alias("_b"))
+    )
+    return _fold_tvd(tagged)
+
+
+def tv_distance_categorical_sql(a_sql: str, b_sql: str, col: str) -> str:
+    """DuckDB twin of :func:`tv_distance_categorical`."""
+    return f"""
+WITH tagged AS (
+  SELECT {col} AS bucket, 1 AS _a, 0 AS _b FROM {a_sql}
+  UNION ALL
+  SELECT {col} AS bucket, 0 AS _a, 1 AS _b FROM {b_sql}
 ),
 h AS (SELECT bucket, sum(_a)::BIGINT AS na, sum(_b)::BIGINT AS nb
       FROM tagged GROUP BY bucket),

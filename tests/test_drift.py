@@ -89,3 +89,23 @@ def test_plan_single_aggregation_no_window_no_join(spark):
     plan = tv_distance(a, a, "x", CUTS)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_categorical_matches_python_and_totality(spark):
+    from avro_diff_spark.functions.drift import tv_distance_categorical
+
+    import math as _m
+
+    avals = ["en"] * 60 + ["de"] * 30 + [None] * 10
+    bvals = ["en"] * 40 + ["de"] * 40 + ["fr"] * 20
+    a = spark.createDataFrame([(v,) for v in avals], "x string")
+    b = spark.createDataFrame([(v,) for v in bvals], "x string")
+    got = tv_distance_categorical(a, b, "x").collect()[0]
+    cats = set(avals) | set(bvals)
+    num = sum(abs(avals.count(c) * len(bvals) - bvals.count(c) * len(avals)) for c in cats)
+    assert got["tvd_x1e6"] == _m.floor(num / (len(avals) * len(bvals)) * (TVD_SCALE / 2.0))
+    assert got["n_buckets"] == len(cats)
+    empty = spark.createDataFrame([], "x string")
+    assert tv_distance_categorical(empty, empty, "x").collect()[0]["tvd_x1e6"] == 0
+    assert tv_distance_categorical(empty, b, "x").collect()[0]["tvd_x1e6"] == TVD_SCALE
+    assert tv_distance_categorical(a, a, "x").collect()[0]["tvd_x1e6"] == 0
