@@ -144,3 +144,14 @@ def test_cli_digest_command(spark, tmp_path, capsys):
     rc = digest_main([old_p, old_p, "k", "--format", "parquet", "--buckets", "64"])
     out = capsys.readouterr().out
     assert rc == 0 and "# of mismatched buckets: 0" in out
+
+
+def test_empty_inputs_total(spark):
+    empty = spark.createDataFrame([], "k string, v string")
+    other = spark.createDataFrame([("a", "1")], "k string, v string")
+    assert D.digest_diff(empty, empty, ["k"], 8).count() == 0
+    assert D.key_diff_pruned(empty, empty, ["k"], 8).count() == 0
+    dd = D.digest_diff(empty, other, ["k"], 8).collect()
+    assert len(dd) == 1 and (dd[0]["old_rows"], dd[0]["new_rows"]) == (0, 1)
+    pr = D.key_diff_pruned(empty, other, ["k"], 8).collect()
+    assert len(pr) == 1 and pr[0]["diff_kind"] == "added"

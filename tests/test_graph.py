@@ -126,3 +126,11 @@ def test_triangles_plan_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "Window" not in plan
+
+
+def test_triangles_empty_graph_total(spark):
+    empty = spark.createDataFrame([], "a long, b long")
+    from avro_diff_spark.operators.graph import triangle_stats
+
+    got = triangle_stats(empty).collect()[0]
+    assert tuple(got) == (0, 0, 0, 0, 0)

@@ -474,3 +474,10 @@ def test_bottomk_plan_is_take_ordered(spark):
     df = spark.createDataFrame([(1, 1.0)], "k long, v double")
     plan = SK.bottomk_sample(df, "k", "v", 16)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrdered" in plan and "Sort " not in plan
+
+
+def test_bloom_empty_build_side_total(spark):
+    empty = spark.createDataFrame([], "u string")
+    probes = spark.createDataFrame([("a",), ("b",)], "u string")
+    pr = SK.bloom_probe(SK.bloom_build(empty, "u"), probes, "u").collect()
+    assert len(pr) == 2 and not any(r["hit"] for r in pr)
