@@ -284,3 +284,62 @@ def sessionize_stream_tws(
             timeMode="eventTime",
         )
     )
+
+
+def attribution_join_stream(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    *,
+    horizon_minutes: int = 60,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """STREAM-STREAM event-time join: every (click, purchase) pair of the
+    same user where the purchase lands within ``horizon_minutes`` AFTER
+    the click — conversion attribution where BOTH sides arrive as
+    unbounded streams (the shape stream-static joins cannot express:
+    the dimension side is itself late-arriving).
+
+    Built exactly the way Structured Streaming bounds this join's state:
+    watermarks on BOTH sides plus a time-RANGE join condition, so each
+    side's buffered rows expire once the other side's watermark passes
+    click_ts + horizon — state ∝ (arrival rate x horizon), never the
+    stream's history. The join itself is a keyed equi-join on user_id
+    with the range as residual — hash-partitioned by user at any scale.
+    Inner join: late rows beyond the watermark drop on both sides
+    (documented Structured Streaming semantics).
+
+    Batch equivalence (same expression on two bounded frames) is pinned
+    in tests/test_streaming.py."""
+    c = (
+        clicks.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    p = (
+        purchases.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {horizon_minutes} MINUTES")
+        )
+    )
+    return c.join(p, cond, "inner").select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        F.unix_micros(F.col("click_ts")).alias("click_ts_us"),
+        F.unix_micros(F.col("purchase_ts")).alias("purchase_ts_us"),
+        "purchase_value",
+    )

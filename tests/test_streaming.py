@@ -767,3 +767,54 @@ def test_sliding_stream_matches_batch(spark, events_batch, events_dir, tmp_path)
         .collect()
     }
     assert got == want
+
+
+def test_attribution_join_stream_matches_batch(spark, events_batch, events_dir, tmp_path):
+    """Stream-stream event-time join == the same join on bounded frames:
+    every same-user (click, purchase) pair with the purchase inside the
+    1h horizon, both sides arriving as streams."""
+    from avro_diff_spark.streaming.events import (
+        attribution_join_stream,
+        read_event_stream,
+    )
+
+    s = read_event_stream(spark, events_dir)
+    out = attribution_join_stream(
+        s.where(F.col("event_type") == "click"),
+        s.where(F.col("event_type") == "purchase"),
+        horizon_minutes=60,
+    )
+    _run_to_memory(out, "attr_join", "append", tmp_path)
+    got = {tuple(r) for r in spark.sql("SELECT * FROM attr_join").collect()}
+
+    c = events_batch.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = events_batch.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    want = {
+        tuple(r)
+        for r in c.join(
+            p,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 60 MINUTES")),
+        )
+        .select(
+            F.col("c_user").alias("user_id"),
+            "click_id",
+            "purchase_id",
+            F.unix_micros(F.col("click_ts")).alias("click_ts_us"),
+            F.unix_micros(F.col("purchase_ts")).alias("purchase_ts_us"),
+            "purchase_value",
+        )
+        .collect()
+    }
+    assert got == want
+    assert len(got) > 0
