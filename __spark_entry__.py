@@ -1235,6 +1235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_expectations": analytics.dq_expectations,
         "drift_totalprice_status": analytics.drift_totalprice_status,
         "drift_lang_split": analytics.drift_lang_split,
+        "events_props_stats": analytics.events_props_stats,
         "projection_keep_ignore": _q_projection,
         "projection_nested": _q_projection_nested,
         # general analytics (scan/agg/join/window/top-k/sessionize)
@@ -1710,7 +1711,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (_fold_tvd: same tagged union, same bucket aggregate, same decimal
     # cross-product finish), differing only in bucket derivation
     # (observed values vs declared cuts); CI-oracle-gated every run.
+    # events_props_stats enters DIRECTLY in the tail — the from_json
+    # typed extraction is one projected expression; everything around it
+    # is the per-type groupBy aggregate shape the recorded events_sliding
+    # and source_stats pin, and malformed-input null semantics are
+    # pytest-pinned in tests/test_pipeline_ops.py; CI-oracle-gated
+    # every run.
     for tail in (
+        "events_props_stats",
         "drift_lang_split",
         "sampled_price_quantiles",
         "digest_diff_orders",
@@ -1818,6 +1826,7 @@ def oracle_sql() -> dict[str, str]:
         "hidden_partition_prune": _HIDDEN_PARTITION_SQL,
         "drift_totalprice_status": analytics.DRIFT_TOTALPRICE_SQL,
         "drift_lang_split": analytics.DRIFT_LANG_SQL,
+        "events_props_stats": analytics.EVENTS_PROPS_SQL,
         "key_diff_digest_pruned": _KEY_DIFF_DIGEST_PRUNED_SQL,
         "digest_diff_orders": _DIGEST_DIFF_ORDERS_SQL,
         "renamed_column_read": _RENAMED_COLUMN_SQL,

@@ -1096,3 +1096,38 @@ def _drift_lang_sql() -> str:
 
 
 DRIFT_LANG_SQL = _drift_lang_sql()
+
+
+def events_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured schema-on-read: the events table's ``props``
+    column is a JSON string; parse it with a DECLARED schema
+    (``from_json`` — typed, vectorized, null on malformed input: the
+    lakehouse answer to schemaless event payloads, no UDF, no driver
+    sniffing pass) and aggregate the extracted field per event type.
+    Catalyst prunes the scan to (event_type, props); at 100 TB the
+    parse rides the same single aggregation pass as the counts."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.from_json(F.col("props"), "k long")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("k").alias("n_parsed"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+    )
+
+
+EVENTS_PROPS_SQL = """
+SELECT event_type,
+       count(*)::BIGINT AS n,
+       count(CAST(props->>'$.k' AS BIGINT))::BIGINT AS n_parsed,
+       sum(CAST(props->>'$.k' AS BIGINT))::BIGINT AS k_sum,
+       min(CAST(props->>'$.k' AS BIGINT))::BIGINT AS k_min,
+       max(CAST(props->>'$.k' AS BIGINT))::BIGINT AS k_max
+FROM events
+GROUP BY event_type
+"""

@@ -499,3 +499,28 @@ def test_quality_classifier_separates_the_positive_class(spark, sf_dir):
     neg_rate = sum(r.reference_like for r in neg) / len(neg)
     assert pos_rate > 0.8, pos_rate
     assert pos_rate > neg_rate + 0.3, (pos_rate, neg_rate)
+
+
+def test_events_props_stats_malformed_json_is_null(spark, tmp_path):
+    """from_json null-on-malformed semantics: bad/missing/NULL props rows
+    count in n but not n_parsed, and never poison the aggregates."""
+    from avro_diff_spark.analytics import events_props_stats
+
+    d = str(tmp_path / "events.parquet")
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "click", 1.0, '{"k": 5}'),
+        (2, "2024-01-01 00:00:00", 1, "click", 1.0, "{bad json"),
+        (3, "2024-01-01 00:00:00", 1, "click", 1.0, None),
+        (4, "2024-01-01 00:00:00", 1, "click", 1.0, '{"other": 1}'),
+        (5, "2024-01-01 00:00:00", 1, "view", 1.0, '{"k": -3}'),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(d)
+    got = {r["event_type"]: r for r in events_props_stats(spark, str(tmp_path)).collect()}
+    c = got["click"]
+    assert (c["n"], c["n_parsed"], c["k_sum"], c["k_min"], c["k_max"]) == (4, 1, 5, 5, 5)
+    v = got["view"]
+    assert (v["n"], v["n_parsed"], v["k_sum"]) == (1, 1, -3)
