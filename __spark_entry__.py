@@ -1236,6 +1236,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_totalprice_status": analytics.drift_totalprice_status,
         "drift_lang_split": analytics.drift_lang_split,
         "events_props_stats": analytics.events_props_stats,
+        "price_quantiles_by_priority": analytics.price_quantiles_by_priority,
+        "hll_custkey_by_priority": analytics.hll_custkey_by_priority,
         "projection_keep_ignore": _q_projection,
         "projection_nested": _q_projection_nested,
         # general analytics (scan/agg/join/window/top-k/sessionize)
@@ -1717,7 +1719,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # and source_stats pin, and malformed-input null semantics are
     # pytest-pinned in tests/test_pipeline_ops.py; CI-oracle-gated
     # every run.
+    # price_quantiles_by_priority and hll_custkey_by_priority enter
+    # DIRECTLY in the tail — the GROUPED compositions of the recorded
+    # sampled_price_quantiles' bottom-k draw (rank window PARTITIONED by
+    # group) and the recorded hll_distinct_orders' register fold
+    # (group_cols was always part of the sketch API, pytest-pinned);
+    # CI-oracle-gated every run.
     for tail in (
+        "price_quantiles_by_priority",
+        "hll_custkey_by_priority",
         "events_props_stats",
         "drift_lang_split",
         "sampled_price_quantiles",
@@ -1827,6 +1837,8 @@ def oracle_sql() -> dict[str, str]:
         "drift_totalprice_status": analytics.DRIFT_TOTALPRICE_SQL,
         "drift_lang_split": analytics.DRIFT_LANG_SQL,
         "events_props_stats": analytics.EVENTS_PROPS_SQL,
+        "price_quantiles_by_priority": analytics.PRICE_QUANTILES_BY_PRIORITY_SQL,
+        "hll_custkey_by_priority": analytics.HLL_CUSTKEY_BY_PRIORITY_SQL,
         "key_diff_digest_pruned": _KEY_DIFF_DIGEST_PRUNED_SQL,
         "digest_diff_orders": _DIGEST_DIFF_ORDERS_SQL,
         "renamed_column_read": _RENAMED_COLUMN_SQL,

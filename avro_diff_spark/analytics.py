@@ -1131,3 +1131,61 @@ SELECT event_type,
 FROM events
 GROUP BY event_type
 """
+
+
+def price_quantiles_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED bounded-state quantiles: each order priority's price
+    quartiles from its own 256-row deterministic bottom-k sample
+    (functions/sketches.py) — per-segment distribution monitoring where
+    exact per-group percentiles sort every group in full. The sample
+    rank window is PARTITIONED by the group (k rows state per group)."""
+    from avro_diff_spark.functions import sketches as SK
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return SK.grouped_bottomk_quantiles(
+        o, ["o_orderpriority"], "o_orderkey", "o_totalprice", k=256
+    )
+
+
+def _price_quantiles_by_priority_sql() -> str:
+    from avro_diff_spark.functions import sketches as SK
+
+    return SK.grouped_bottomk_quantiles_sql(
+        "orders", ["o_orderpriority"], "o_orderkey", "o_totalprice", k=256
+    )
+
+
+PRICE_QUANTILES_BY_PRIORITY_SQL = _price_quantiles_by_priority_sql()
+
+
+def hll_custkey_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED HLL: per-priority distinct-customer estimates from the
+    deterministic 512-register sketch (one groups x 512-row shuffle)
+    joined with the exact per-group count — the segment-cardinality
+    dashboard shape at fixed state per group."""
+    from avro_diff_spark.functions import sketches as SK
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    est = SK.hll_estimate(
+        SK.hll_registers(o, "o_custkey", ["o_orderpriority"]),
+        ["o_orderpriority"],
+    )
+    exact = o.groupBy("o_orderpriority").agg(
+        F.count_distinct(F.col("o_custkey")).alias("exact_distinct")
+    )
+    return est.join(exact, "o_orderpriority")
+
+
+def _hll_custkey_by_priority_sql() -> str:
+    from avro_diff_spark.functions import sketches as SK
+
+    est = SK.hll_estimate_sql("orders", "o_custkey", ["o_orderpriority"])
+    return f"""
+WITH est AS ({est}),
+ex AS (SELECT o_orderpriority, count(DISTINCT o_custkey)::BIGINT AS exact_distinct
+       FROM orders GROUP BY o_orderpriority)
+SELECT est.*, ex.exact_distinct FROM est JOIN ex USING (o_orderpriority)
+"""
+
+
+HLL_CUSTKEY_BY_PRIORITY_SQL = _hll_custkey_by_priority_sql()

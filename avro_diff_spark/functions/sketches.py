@@ -625,3 +625,72 @@ WITH s AS (
 arr AS (SELECT count(*)::BIGINT AS n, list(v ORDER BY v) AS a FROM s)
 SELECT n AS n_sampled, {', '.join(sel)} FROM arr
 """
+
+
+def grouped_bottomk_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    val_col: str,
+    k: int = 256,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+) -> DataFrame:
+    """Per-group :func:`bottomk_sample` + :func:`sample_quantiles`: one
+    row per group with its own k-row deterministic sample's order-stat
+    quantiles. The sample selection is a rank window PARTITIONED by the
+    group (state k rows per group, skew capped by k); the quantile
+    finish is the same selection arithmetic as the ungrouped form."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    sample = (
+        df.where(F.col(key_col).isNotNull())
+        .select(
+            *group_cols,
+            _md5_hex(F.col(key_col)).alias("h"),
+            F.col(val_col).alias("v"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+    )
+    agg = sample.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.array_sort(F.collect_list("v")).alias("_a"),
+    )
+    cols = [*[F.col(c) for c in group_cols], F.col("n_sampled")]
+    for q in qs:
+        idx = (
+            F.floor(F.lit(float(q)) * (F.col("n_sampled") - 1).cast("double"))
+            .cast("int")
+            + 1
+        )
+        cols.append(F.element_at(F.col("_a"), idx).alias(f"q_{str(q).replace('0.', '')}"))
+    return agg.select(*cols)
+
+
+def grouped_bottomk_quantiles_sql(
+    src_sql: str,
+    group_cols: list[str],
+    key_col: str,
+    val_col: str,
+    k: int = 256,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+) -> str:
+    """DuckDB twin of :func:`grouped_bottomk_quantiles`."""
+    gs = ", ".join(group_cols)
+    sel = ", ".join(
+        f"a[CAST(floor({float(q)!r} * CAST(n - 1 AS DOUBLE)) AS INT) + 1] "
+        f"AS q_{str(q).replace('0.', '')}"
+        for q in qs
+    )
+    return f"""
+WITH s AS (
+  SELECT {gs}, {val_col} AS v,
+         row_number() OVER (PARTITION BY {gs}
+                            ORDER BY md5(CAST({key_col} AS VARCHAR))) AS _rn
+  FROM {src_sql} WHERE {key_col} IS NOT NULL
+),
+arr AS (SELECT {gs}, count(*)::BIGINT AS n, list(v ORDER BY v) AS a
+        FROM s WHERE _rn <= {k} GROUP BY {gs})
+SELECT {gs}, n AS n_sampled, {sel} FROM arr
+"""

@@ -481,3 +481,27 @@ def test_bloom_empty_build_side_total(spark):
     probes = spark.createDataFrame([("a",), ("b",)], "u string")
     pr = SK.bloom_probe(SK.bloom_build(empty, "u"), probes, "u").collect()
     assert len(pr) == 2 and not any(r["hit"] for r in pr)
+
+
+def test_grouped_bottomk_matches_python(spark):
+    rows = [(f"g{i % 3}", i, float((i * 13) % 100)) for i in range(900)]
+    df = spark.createDataFrame(rows, "g string, k long, v double")
+    got = {
+        r["g"]: r
+        for r in SK.grouped_bottomk_quantiles(df, ["g"], "k", "v", k=32).collect()
+    }
+    import math as _m
+
+    for g in ("g0", "g1", "g2"):
+        grp = [(hashlib.md5(str(k).encode()).hexdigest(), v) for gg, k, v in rows if gg == g]
+        sample = sorted(v for _, v in sorted(grp)[:32])
+        r = got[g]
+        assert r["n_sampled"] == 32
+        for q, name in ((0.25, "q_25"), (0.5, "q_5"), (0.75, "q_75"), (0.95, "q_95")):
+            assert r[name] == sample[_m.floor(q * 31)], (g, name)
+    # the sample window is PARTITIONED (no single-task funnel)
+    plan = (
+        SK.grouped_bottomk_quantiles(df, ["g"], "k", "v", k=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "No Partition Defined" not in plan
