@@ -1238,6 +1238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_props_stats": analytics.events_props_stats,
         "price_quantiles_by_priority": analytics.price_quantiles_by_priority,
         "hll_custkey_by_priority": analytics.hll_custkey_by_priority,
+        "fuzzy_match_customers": analytics.fuzzy_match_customers,
         "projection_keep_ignore": _q_projection,
         "projection_nested": _q_projection_nested,
         # general analytics (scan/agg/join/window/top-k/sessionize)
@@ -1725,7 +1726,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # group) and the recorded hll_distinct_orders' register fold
     # (group_cols was always part of the sketch API, pytest-pinned);
     # CI-oracle-gated every run.
+    # fuzzy_match_customers enters DIRECTLY in the tail — each blocking
+    # pass is one hash equi-join + residual filter, the exact shape the
+    # recorded interval_join_purchases pins (bucketized equi-join +
+    # residual comparison), with F.levenshtein a JVM builtin DuckDB also
+    # ships; blocking-completeness and nested-loop-refusal laws are
+    # pytest-pinned in tests/test_linkage.py; CI-oracle-gated every run.
     for tail in (
+        "fuzzy_match_customers",
         "price_quantiles_by_priority",
         "hll_custkey_by_priority",
         "events_props_stats",
@@ -1839,6 +1847,7 @@ def oracle_sql() -> dict[str, str]:
         "events_props_stats": analytics.EVENTS_PROPS_SQL,
         "price_quantiles_by_priority": analytics.PRICE_QUANTILES_BY_PRIORITY_SQL,
         "hll_custkey_by_priority": analytics.HLL_CUSTKEY_BY_PRIORITY_SQL,
+        "fuzzy_match_customers": analytics.FUZZY_MATCH_CUSTOMERS_SQL,
         "key_diff_digest_pruned": _KEY_DIFF_DIGEST_PRUNED_SQL,
         "digest_diff_orders": _DIGEST_DIFF_ORDERS_SQL,
         "renamed_column_read": _RENAMED_COLUMN_SQL,

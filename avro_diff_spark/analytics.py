@@ -1189,3 +1189,58 @@ SELECT est.*, ex.exact_distinct FROM est JOIN ex USING (o_orderpriority)
 
 
 HLL_CUSTKEY_BY_PRIORITY_SQL = _hll_custkey_by_priority_sql()
+
+
+def fuzzy_match_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage (operators/linkage.py): dirty customer records
+    (every 5th name's last character corrupted — the tail-typo error
+    model) matched back to the master list via BLOCKED fuzzy join — two
+    blocking passes robust to different error positions, levenshtein <= 1
+    verification only inside blocks. The plan is hash equi-joins on the
+    block keys + a residual distance filter; a distance join without
+    blocking would be the |A| x |B| nested loop the plan gate bans."""
+    from avro_diff_spark.operators.linkage import fuzzy_join
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    dirty = c.where(F.col("c_custkey") % 5 == 0).select(
+        F.col("c_custkey").alias("probe_key"),
+        F.concat(
+            F.expr("substring(c_name, 1, length(c_name) - 1)"), F.lit("X")
+        ).alias("c_name"),
+    )
+    master = c.select(F.col("c_custkey").alias("master_key"), "c_name")
+    return fuzzy_join(
+        dirty,
+        master,
+        "c_name",
+        blocks=[
+            lambda s: F.substring(s, 1, 16),
+            lambda s: F.substring(s, 3, 16),
+        ],
+        max_dist=1,
+        a_keep=["probe_key"],
+        b_keep=["master_key"],
+    )
+
+
+FUZZY_MATCH_CUSTOMERS_SQL = """
+WITH dirty AS (
+  SELECT c_custkey AS probe_key,
+         substr(c_name, 1, length(c_name) - 1) || 'X' AS a_c_name
+  FROM customer WHERE c_custkey % 5 = 0 AND c_name IS NOT NULL
+),
+m AS (SELECT c_custkey AS master_key, c_name AS b_c_name
+      FROM customer WHERE c_name IS NOT NULL),
+pairs AS (
+  SELECT d.probe_key, d.a_c_name, m.master_key, m.b_c_name
+  FROM dirty d JOIN m ON substr(d.a_c_name, 1, 16) = substr(m.b_c_name, 1, 16)
+  WHERE levenshtein(d.a_c_name, m.b_c_name) <= 1
+  UNION
+  SELECT d.probe_key, d.a_c_name, m.master_key, m.b_c_name
+  FROM dirty d JOIN m ON substr(d.a_c_name, 3, 16) = substr(m.b_c_name, 3, 16)
+  WHERE levenshtein(d.a_c_name, m.b_c_name) <= 1
+)
+SELECT probe_key, a_c_name, master_key, b_c_name,
+       levenshtein(a_c_name, b_c_name)::BIGINT AS dist
+FROM pairs
+"""
