@@ -20,6 +20,23 @@ from avro_diff_spark.functions.canonical import ts_micros  # noqa: F401 (re-expo
 from avro_diff_spark.sources.tables import load_events, load_table
 
 
+def _floor_us(col, width_us: int):
+    """Largest multiple of ``width_us`` <= col — FLOOR, not the
+    truncate-toward-zero that ``x - x % w`` gives (Spark and DuckDB %
+    both truncate, so a pre-1970 negative epoch would land in the
+    bucket ABOVE it — the bucket that does not contain it). pmod is
+    non-negative for a positive modulus, so this is exact on the full
+    int64 domain; matches what Spark's own window()/date_trunc do and
+    keeps the batch plans equal to their streaming twins everywhere."""
+    return col - F.pmod(col, F.lit(width_us))
+
+
+def _floor_us_sql(expr: str, width_us) -> str:
+    """DuckDB twin of :func:`_floor_us`."""
+    return f"({expr} - ((({expr} % {width_us}) + {width_us}) % {width_us}))"
+
+
+
 def _dec_sum(col, scale: int = 4) -> F.Column:
     """Order-independent sum of a double expression via exact decimal."""
     return F.sum(col.cast(f"decimal(30,{scale})")).cast("double")
@@ -261,7 +278,7 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events(spark, sf_dir)
     hour_us = 3_600_000_000
     us = F.col("ts_us")
-    bucket = us - (us % hour_us)  # pure integer arithmetic: engine-portable
+    bucket = _floor_us(us, hour_us)  # exact floor: engine-portable, sign-safe
     return (
         ev.groupBy(bucket.alias("window_start_us"), F.col("event_type"))
         .agg(
@@ -273,8 +290,8 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-EVENTS_HOURLY_SQL = """
-SELECT epoch_us(ts) - (epoch_us(ts) % 3600000000) AS window_start_us, event_type,
+EVENTS_HOURLY_SQL = f"""
+SELECT {_floor_us_sql('epoch_us(ts)', 3600000000)} AS window_start_us, event_type,
        count(*) AS n_events,
        CAST(sum(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS sum_value
 FROM events GROUP BY 1, 2
@@ -365,6 +382,7 @@ FUNNEL_STAGES_SQL = _funnel_sql()
 _WEEK_US = 7 * 24 * 3_600_000_000
 
 
+
 def retention_cohorts(
     spark: SparkSession, sf_dir: str, max_week_offset: int = 7
 ) -> DataFrame:
@@ -384,7 +402,7 @@ def retention_cohorts(
     # and truncation would fold (-1 week, 0) onto offset 0 (diffs < 2^53,
     # so the double division is exact enough for floor to agree with SQL)
     off = F.floor((F.col("ts_us") - F.col("signup_us")) / F.lit(_WEEK_US)).cast("long")
-    cohort = F.col("signup_us") - (F.col("signup_us") % F.lit(_WEEK_US))
+    cohort = _floor_us(F.col("signup_us"), _WEEK_US)
     return (
         j.select(cohort.alias("cohort_week_us"), off.alias("week_offset"), "user_id")
         .filter((F.col("week_offset") >= 0) & (F.col("week_offset") <= max_week_offset))
@@ -400,7 +418,7 @@ WITH signups AS (
 ),
 j AS (
   SELECT e.user_id,
-         s.signup_us - (s.signup_us % {_WEEK_US}) AS cohort_week_us,
+         {_floor_us_sql('s.signup_us', _WEEK_US)} AS cohort_week_us,
          CAST(floor((epoch_us(e.ts) - s.signup_us) / {_WEEK_US}) AS BIGINT) AS week_offset
   FROM events e JOIN signups s USING (user_id)
 )
@@ -516,8 +534,8 @@ def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events(spark, sf_dir)
     day_us, hour_us = 86_400_000_000, 3_600_000_000
     us = F.col("ts_us")
-    d = (us - us % day_us).alias("day_us")
-    h = (us - us % hour_us).alias("hour_us")
+    d = _floor_us(us, day_us).alias("day_us")
+    h = _floor_us(us, hour_us).alias("hour_us")
     return (
         ev.select(d, h, "value")
         .rollup("day_us", "hour_us")
@@ -529,14 +547,14 @@ def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-EVENTS_ROLLUP_SQL = """
+EVENTS_ROLLUP_SQL = f"""
 SELECT day_us, hour_us,
        CAST(grouping(day_us) * 2 + grouping(hour_us) AS BIGINT) AS lvl,
        count(*) AS n_events,
        CAST(sum(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS sum_value
 FROM (
-  SELECT epoch_us(ts) - (epoch_us(ts) % 86400000000) AS day_us,
-         epoch_us(ts) - (epoch_us(ts) % 3600000000) AS hour_us,
+  SELECT {_floor_us_sql('epoch_us(ts)', 86400000000)} AS day_us,
+         {_floor_us_sql('epoch_us(ts)', 3600000000)} AS hour_us,
          value
   FROM events
 ) GROUP BY ROLLUP (day_us, hour_us)
@@ -697,9 +715,9 @@ def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-EVENTS_GAPFILL_SQL = """
+EVENTS_GAPFILL_SQL = f"""
 WITH hourly AS (
-  SELECT event_type, epoch_us(ts) - (epoch_us(ts) % 3600000000) AS hour_us,
+  SELECT event_type, {_floor_us_sql('epoch_us(ts)', 3600000000)} AS hour_us,
          count(*) AS n_events
   FROM events GROUP BY 1, 2
 ),
@@ -744,7 +762,7 @@ def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-stable."""
     ev = load_events(spark, sf_dir)
     us = F.col("ts_us")
-    base = us - us % F.lit(_SLIDE_US)
+    base = _floor_us(us, _SLIDE_US)
     k = F.explode(F.sequence(F.lit(0), F.lit(_WIN_US // _SLIDE_US - 1)))
     return (
         ev.select("event_type", "value", base.alias("__b"), k.alias("__k"))
@@ -764,7 +782,7 @@ def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EVENTS_SLIDING_SQL = f"""
-SELECT (epoch_us(ts) - (epoch_us(ts) % {_SLIDE_US})) - k * {_SLIDE_US} AS window_start_us,
+SELECT {_floor_us_sql('epoch_us(ts)', _SLIDE_US)} - k * {_SLIDE_US} AS window_start_us,
        event_type, count(*) AS n_events,
        CAST(sum(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS sum_value
 FROM events
@@ -810,9 +828,9 @@ def events_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-EVENTS_ANOMALIES_SQL = """
+EVENTS_ANOMALIES_SQL = f"""
 WITH hourly AS (
-  SELECT event_type, epoch_us(ts) - (epoch_us(ts) % 3600000000) AS hour_us,
+  SELECT event_type, {_floor_us_sql('epoch_us(ts)', 3600000000)} AS hour_us,
          count(*) AS n_events
   FROM events GROUP BY 1, 2
 ),

@@ -818,3 +818,44 @@ def test_attribution_join_stream_matches_batch(spark, events_batch, events_dir, 
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_sliding_floor_semantics_match_spark_window_pre_1970(spark, tmp_path):
+    """Negative-epoch events bucket by FLOOR (Spark's window() behavior),
+    not truncate-toward-zero — the batch lowering and the engine's own
+    sliding window agree on the full int64 domain."""
+    from avro_diff_spark.analytics import _WIN_US, _SLIDE_US, events_sliding
+
+    d = str(tmp_path / "events.parquet")
+    rows = [
+        (1, "1969-12-31 23:59:00", 1, "click", 1.0, None),   # negative epoch
+        (2, "1970-01-01 00:10:00", 1, "click", 1.0, None),
+        (3, "1969-06-15 07:33:20", 2, "view", 2.0, None),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    ev.write.parquet(d)
+    got = {
+        (r["window_start_us"], r["event_type"], r["n_events"])
+        for r in events_sliding(spark, str(tmp_path)).collect()
+    }
+    want = {
+        (F_row["window_start_us"], F_row["event_type"], F_row["n_events"])
+        for F_row in ev.select(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .groupBy("w", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+        )
+        .collect()
+    }
+    assert got == want
+    # and the floor really floors: the 23:59 event's earliest window
+    assert any(ws < -3_600_000_000 + _SLIDE_US and ws <= -_WIN_US + _SLIDE_US for ws, _, _ in got)
