@@ -561,11 +561,13 @@ def dq_main(argv: list[str] | None = None) -> int:
     )
     fk = {}
     for spec in args.fk:
-        parts = spec.split(":")
-        if len(parts) != 3:
+        # URI-scheme-tolerant: COL is everything before the FIRST colon,
+        # REF_COL everything after the LAST (s3://... paths keep theirs)
+        col, _, rest = spec.partition(":")
+        ref_path, _, ref_col = rest.rpartition(":")
+        if not col or not ref_path or not ref_col:
             print(f"bad --fk {spec!r} (want COL:REF_PATH:REF_COL)", file=sys.stderr)
             return 2
-        col, ref_path, ref_col = parts
         fk[f"fk_{col}"] = (_read(spark, ref_path, args.format, None, None), col, ref_col)
     if not violations and not unique and not fk:
         print("no rules given", file=sys.stderr)
@@ -609,20 +611,24 @@ def digest_main(argv: list[str] | None = None) -> int:
     old = _read(spark, args.old_file, args.format, _split(args.keep_fields), _split(args.ignore_fields), schema)
     new = _read(spark, args.new_file, args.format, _split(args.keep_fields), _split(args.ignore_fields), schema)
     key = args.key.split(",")
-    changed = dig.digest_diff(old, new, key, num_buckets=args.buckets)
-    stats = changed.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.coalesce(F.sum("old_rows"), F.lit(0)).alias("o"),
-        F.coalesce(F.sum("new_rows"), F.lit(0)).alias("m"),
-    ).collect()[0]
+    # collect the (<= num_buckets-row) mismatch report ONCE; the pruned
+    # diff below reuses the bucket ids instead of re-running the digest
+    # scans — at the 100 TB re-diff scale the digest pass IS the cost
+    changed = dig.digest_diff(old, new, key, num_buckets=args.buckets).collect()
+    n_old = sum(r["old_rows"] for r in changed)
+    n_new = sum(r["new_rows"] for r in changed)
     print(
-        f"# of mismatched buckets: {stats['n']} / {args.buckets} "
-        f"(old rows in them: {stats['o']}, new rows: {stats['m']})"
+        f"# of mismatched buckets: {len(changed)} / {args.buckets} "
+        f"(old rows in them: {n_old}, new rows: {n_new})"
     )
-    if args.diff and stats["n"]:
-        d = dig.key_diff_pruned(old, new, key, num_buckets=args.buckets).where(
-            F.col("diff_kind") != "unchanged"
-        )
+    if args.diff and changed:
+        d = dig.key_diff_pruned(
+            old,
+            new,
+            key,
+            num_buckets=args.buckets,
+            changed_buckets=[r["bucket"] for r in changed],
+        ).where(F.col("diff_kind") != "unchanged")
         counts = {
             r["diff_kind"]: r["cnt"]
             for r in d.groupBy("diff_kind").agg(F.count(F.lit(1)).alias("cnt")).collect()
@@ -631,7 +637,7 @@ def digest_main(argv: list[str] | None = None) -> int:
             print(f"# of {kind} rows: {counts.get(kind, 0)}")
         order = [F.col(k).asc_nulls_last() for k in key]
         _emit(d, args.output, args.limit, order_by=order, fmt=args.output_format)
-    return 1 if stats["n"] else 0
+    return 1 if changed else 0
 
 
 _COMMANDS = {

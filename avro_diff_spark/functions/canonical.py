@@ -85,3 +85,33 @@ def stable_row_json(df: DataFrame) -> Column:
     """``to_json`` of the row with columns in sorted-name order — the Spark
     equivalent of the reference's ``stableStringify(row)`` (src/index.js:91)."""
     return F.to_json(F.struct(*[F.col(c) for c in sorted(df.columns)]))
+
+
+def fold_single_rows(frames, cols):
+    """Combine N single-row DataFrames, each carrying a SUBSET of
+    ``cols``, into ONE row with all of them: union of null-padded
+    projections + a max fold per column. This is the canonical way to
+    sit several scalar aggregates side by side — the tempting
+    alternative (joining the 1-row frames on a literal key) constant-
+    folds into the BroadcastNestedLoopJoin shape the plan gate bans.
+    Column dtypes are taken from whichever frame defines each column."""
+    from pyspark.sql import functions as F
+
+    dtypes = {}
+    for fr in frames:
+        for f in fr.schema.fields:
+            dtypes.setdefault(f.name, f.dataType)
+    missing = [c for c in cols if c not in dtypes]
+    if missing:
+        raise ValueError(f"no input frame defines column(s) {missing}")
+    stacked = None
+    for fr in frames:
+        have = set(fr.columns)
+        proj = fr.select(
+            *[
+                (F.col(c) if c in have else F.lit(None).cast(dtypes[c])).alias(c)
+                for c in cols
+            ]
+        )
+        stacked = proj if stacked is None else stacked.unionByName(proj)
+    return stacked.agg(*[F.max(c).alias(c) for c in cols])

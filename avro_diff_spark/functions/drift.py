@@ -34,11 +34,19 @@ from pyspark.sql import Column, DataFrame, functions as F
 TVD_SCALE = 1_000_000
 
 
+def _check_cuts(cuts: Sequence[float]) -> None:
+    if not cuts or any(cuts[i] >= cuts[i + 1] for i in range(len(cuts) - 1)):
+        raise ValueError(f"cuts must be non-empty and strictly increasing: {cuts!r}")
+
+
 def bucketize(col: Column, cuts: Sequence[float]) -> Column:
     """Branch-free declared bucketing: bucket i holds values in
     [cuts[i-1], cuts[i]), bucket 0 = below cuts[0], bucket len(cuts) =
     the overflow tail, bucket -1 = NULL. A CASE ladder over literals —
-    bit-identical in any engine, no table statistics involved."""
+    bit-identical in any engine, no table statistics involved.
+    ``cuts`` must be strictly increasing (validated — unsorted cuts
+    would silently mis-bucket)."""
+    _check_cuts(cuts)
     expr = F.lit(len(cuts))
     for i in range(len(cuts) - 1, -1, -1):
         expr = F.when(col < F.lit(cuts[i]), F.lit(i)).otherwise(expr)
@@ -102,6 +110,7 @@ def tv_distance_sql(
 ) -> str:
     """DuckDB twin of :func:`tv_distance` — independent formulation
     (scalar subqueries instead of an array fold), same arithmetic."""
+    _check_cuts(cuts)
     ladder = f"CAST({len(cuts)} AS INT)"
     for i in range(len(cuts) - 1, -1, -1):
         ladder = f"CASE WHEN {col} < {cuts[i]!r} THEN {i} ELSE {ladder} END"

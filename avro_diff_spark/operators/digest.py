@@ -151,21 +151,40 @@ def key_diff_pruned(
     keys: Sequence[str],
     num_buckets: int = 1024,
     payload_cols: Sequence[str] | None = None,
+    changed_buckets: Sequence[int] | None = None,
     **key_diff_kwargs,
 ) -> DataFrame:
     """Keyed diff restricted to digest-mismatched buckets. Contract: the
     ``added``/``removed``/``changed`` rows equal the full diff's exactly;
-    ``unchanged`` appears only for keys co-bucketed with a change."""
-    changed = digest_diff(old, new, keys, num_buckets, payload_cols).select("bucket")
+    ``unchanged`` appears only for keys co-bucketed with a change.
+
+    ``changed_buckets``: pass the already-known mismatched bucket ids
+    (<= num_buckets values — e.g. collected once from ``digest_diff`` or
+    read from persisted fingerprints) to skip the digest pass entirely;
+    the restriction then folds into the scan as an ``isin`` filter."""
     b = bucket_col(keys, num_buckets)
-    old_f = (
-        old.withColumn("_dd_bucket", b)
-        .join(F.broadcast(changed), F.col("_dd_bucket") == F.col("bucket"), "left_semi")
-        .drop("_dd_bucket")
+    if changed_buckets is not None:
+        keep = b.isin([int(x) for x in changed_buckets])
+        return key_diff(old.where(keep), new.where(keep), keys, **key_diff_kwargs)
+    # reserved-name guard + alias: a user column named `bucket`/`_dd_bucket`
+    # must not capture the semi-join's references (plain key_diff accepts
+    # such tables, so the pruned form must too)
+    changed = digest_diff(old, new, keys, num_buckets, payload_cols).select(
+        F.col("bucket").alias("_dd_changed_bucket")
     )
-    new_f = (
-        new.withColumn("_dd_bucket", b)
-        .join(F.broadcast(changed), F.col("_dd_bucket") == F.col("bucket"), "left_semi")
-        .drop("_dd_bucket")
-    )
-    return key_diff(old_f, new_f, keys, **key_diff_kwargs)
+
+    def _restrict(df: DataFrame) -> DataFrame:
+        tag = "_dd_bucket"
+        while tag in df.columns:
+            tag += "_"
+        return (
+            df.withColumn(tag, b)
+            .join(
+                F.broadcast(changed),
+                F.col(tag) == F.col("_dd_changed_bucket"),
+                "left_semi",
+            )
+            .drop(tag)
+        )
+
+    return key_diff(_restrict(old), _restrict(new), keys, **key_diff_kwargs)

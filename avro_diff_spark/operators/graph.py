@@ -208,20 +208,10 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         ).alias("n_wedges"),
     )
     ecnt = e.agg(F.count(F.lit(1)).alias("n_edges"))
-    # fold the single-row frames via union + max (a literal-key join
-    # constant-folds to the nested-loop shape the plan gate bans)
-    nul = F.lit(None).cast("long")
+    from avro_diff_spark.functions.canonical import fold_single_rows
+
     cols = ("n_nodes", "n_edges", "n_wedges", "n_triangles")
-    stacked = (
-        wed.select("n_nodes", nul.alias("n_edges"), "n_wedges", nul.alias("n_triangles"))
-        .unionByName(
-            ecnt.select(nul.alias("n_nodes"), "n_edges", nul.alias("n_wedges"), nul.alias("n_triangles"))
-        )
-        .unionByName(
-            tri.select(nul.alias("n_nodes"), nul.alias("n_edges"), nul.alias("n_wedges"), "n_triangles")
-        )
-    )
-    folded = stacked.agg(*[F.max(c).alias(c) for c in cols])
+    folded = fold_single_rows([wed, ecnt, tri], list(cols))
     cc = F.floor(
         (F.lit(3.0) * F.col("n_triangles").cast("double"))
         / F.col("n_wedges").cast("double")

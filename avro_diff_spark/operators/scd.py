@@ -55,7 +55,10 @@ def scd2_build(
     same = F.lit(True)
     for c in tracked:
         same = same & F.col(c).eqNullSafe(F.lag(c).over(w))
-    changed = F.when(F.lag(ts).over(w).isNull(), F.lit(True)).otherwise(~same)
+    # first-row detection by ROW NUMBER, not lag(ts).isNull(): a NULL ts
+    # VALUE in the data (windows order NULLs first) would make the row
+    # AFTER it look like a run start and split an identical run in two
+    changed = F.when(F.row_number().over(w) == 1, F.lit(True)).otherwise(~same)
     runs = df.select(*keys, ts, *tracked).withColumn(
         "__chg", changed.cast("int")
     )

@@ -41,6 +41,18 @@ from pyspark.sql import DataFrame, functions as F
 _SALT = "__salt"
 
 
+def _has_map(dtype) -> bool:
+    from pyspark.sql import types as T
+
+    if isinstance(dtype, T.MapType):
+        return True
+    if isinstance(dtype, T.ArrayType):
+        return _has_map(dtype.elementType)
+    if isinstance(dtype, T.StructType):
+        return any(_has_map(f.dataType) for f in dtype.fields)
+    return False
+
+
 def salted_join(
     probe: DataFrame,
     build: DataFrame,
@@ -73,9 +85,17 @@ def salted_join(
     # rows differ in their payload columns, so they spread ~uniformly;
     # identical duplicate rows sharing a salt is harmless (correctness
     # never depends on the spread, only the balance does)
-    salted_probe = probe.withColumn(
-        _SALT, F.pmod(F.xxhash64(*[F.col(c) for c in probe.columns]), F.lit(salts))
-    )
+    # hash only the HASHABLE probe columns (xxhash64 refuses MapType);
+    # any deterministic row function works — balance, not spread, is
+    # what correctness never depends on. All-map rows fall back to salt
+    # 0 (correct, just no skew relief for that pathological schema).
+    hashable = [
+        F.col(f.name)
+        for f in probe.schema.fields
+        if not _has_map(f.dataType)
+    ]
+    salt_src = F.xxhash64(*hashable) if hashable else F.lit(0).cast("long")
+    salted_probe = probe.withColumn(_SALT, F.pmod(salt_src, F.lit(salts)))
     replicated_build = build.withColumn(
         _SALT, F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))
     )

@@ -3630,20 +3630,12 @@ def q_kmv_custkey_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .intersect(o.where(F.col("o_orderstatus") == "O").select("o_custkey"))
         .agg(F.count(F.lit(1)).alias("exact_inter"))
     )
-    # fold the two 1-row frames with a union + max aggregation — a join
-    # on a literal key constant-folds into the nested-loop shape the
-    # plan gate bans
-    cols = ["n_union_sketch", "cnt_both", "est_inter_x1000", "exact_inter"]
-    nul = F.lit(None).cast("long")
-    combined = est.withColumn("exact_inter", nul).unionByName(
-        exact.select(
-            nul.alias("n_union_sketch"),
-            nul.alias("cnt_both"),
-            nul.alias("est_inter_x1000"),
-            "exact_inter",
-        )
+    from avro_diff_spark.functions.canonical import fold_single_rows
+
+    return fold_single_rows(
+        [est, exact],
+        ["n_union_sketch", "cnt_both", "est_inter_x1000", "exact_inter"],
     )
-    return combined.agg(*[F.max(c).alias(c) for c in cols])
 
 
 def _kmv_custkey_overlap_sql() -> str:
@@ -3692,17 +3684,12 @@ def q_kmv_custkey_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .subtract(o.where(F.col("o_orderstatus") == "O").select("o_custkey"))
         .agg(F.count(F.lit(1)).alias("exact_diff"))
     )
-    cols = ["n_union_sketch", "cnt_a_only", "est_diff_x1000", "exact_diff"]
-    nul = F.lit(None).cast("long")
-    combined = est.withColumn("exact_diff", nul).unionByName(
-        exact.select(
-            nul.alias("n_union_sketch"),
-            nul.alias("cnt_a_only"),
-            nul.alias("est_diff_x1000"),
-            "exact_diff",
-        )
+    from avro_diff_spark.functions.canonical import fold_single_rows
+
+    return fold_single_rows(
+        [est, exact],
+        ["n_union_sketch", "cnt_a_only", "est_diff_x1000", "exact_diff"],
     )
-    return combined.agg(*[F.max(c).alias(c) for c in cols])
 
 
 def _kmv_custkey_diff_sql() -> str:
@@ -3753,13 +3740,9 @@ def q_bloom_probe_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(members.select("o_custkey").distinct(), "o_custkey", "left_semi")
         .agg(F.count(F.lit(1)).alias("n_true"))
     )
-    nul = F.lit(None).cast("long")
-    combined = est.withColumn("n_true", nul).unionByName(
-        exact.select(nul.alias("n_probed"), nul.alias("n_hits"), "n_true")
-    )
-    folded = combined.agg(
-        *[F.max(c).alias(c) for c in ("n_probed", "n_hits", "n_true")]
-    )
+    from avro_diff_spark.functions.canonical import fold_single_rows
+
+    folded = fold_single_rows([est, exact], ["n_probed", "n_hits", "n_true"])
     return folded.select(
         "n_probed",
         "n_hits",

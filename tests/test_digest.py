@@ -155,3 +155,32 @@ def test_empty_inputs_total(spark):
     assert len(dd) == 1 and (dd[0]["old_rows"], dd[0]["new_rows"]) == (0, 1)
     pr = D.key_diff_pruned(empty, other, ["k"], 8).collect()
     assert len(pr) == 1 and pr[0]["diff_kind"] == "added"
+
+
+def test_user_bucket_column_does_not_collide(spark):
+    """Tables may legitimately contain columns named bucket/_dd_bucket;
+    the pruning join must not capture them (plain key_diff accepts such
+    tables, so the pruned form must too)."""
+    old = spark.createDataFrame(
+        [("a", 7, 1), ("b", 8, 2)], "k string, bucket long, _dd_bucket long"
+    )
+    new = spark.createDataFrame(
+        [("a", 7, 1), ("b", 99, 2)], "k string, bucket long, _dd_bucket long"
+    )
+    got = _kinds(D.key_diff_pruned(old, new, ["k"], num_buckets=8))
+    assert got == _kinds(key_diff(old, new, ["k"]))
+
+
+def test_precomputed_changed_buckets_path(spark):
+    """Passing collected bucket ids skips the digest pass and produces
+    the identical pruned diff (the CLI single-scan path)."""
+    rng = random.Random(3)
+    old_rows, new_rows = _rand_tables(rng)
+    old = spark.createDataFrame(old_rows, "k string, v string")
+    new = spark.createDataFrame(new_rows, "k string, v string")
+    ids = [r["bucket"] for r in D.digest_diff(old, new, ["k"], 16).collect()]
+    via_ids = D.key_diff_pruned(old, new, ["k"], 16, changed_buckets=ids)
+    assert _kinds(via_ids) == _kinds(D.key_diff_pruned(old, new, ["k"], 16))
+    # and the precomputed path plans NO digest aggregation at all
+    plan = via_ids._jdf.queryExecution().executedPlan().toString()
+    assert "xor" not in plan

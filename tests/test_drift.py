@@ -109,3 +109,17 @@ def test_categorical_matches_python_and_totality(spark):
     assert tv_distance_categorical(empty, empty, "x").collect()[0]["tvd_x1e6"] == 0
     assert tv_distance_categorical(empty, b, "x").collect()[0]["tvd_x1e6"] == TVD_SCALE
     assert tv_distance_categorical(a, a, "x").collect()[0]["tvd_x1e6"] == 0
+
+
+def test_cuts_must_be_strictly_increasing(spark):
+    import pytest
+
+    from avro_diff_spark.functions.drift import tv_distance, tv_distance_sql
+
+    a = spark.createDataFrame([(1.0,)], "x double")
+    with pytest.raises(ValueError):
+        tv_distance(a, a, "x", (30.0, 10.0))
+    with pytest.raises(ValueError):
+        tv_distance_sql("t", "t", "x", (5.0, 5.0))
+    with pytest.raises(ValueError):
+        tv_distance(a, a, "x", ())

@@ -125,3 +125,17 @@ def test_cli_dq_report(spark, tmp_path, capsys):
     rc = dq_main([clean, "--format", "parquet", "--not-null", "v"])
     assert rc == 0
     assert "ok   not_null_v: 0 violations / 1 rows" in capsys.readouterr().out
+
+
+def test_cli_dq_fk_with_uri_colons(spark, tmp_path, capsys):
+    """--fk COL:REF_PATH:REF_COL must tolerate colons inside REF_PATH
+    (s3://, hdfs:// — here a file: URI)."""
+    from avro_diff_spark.cli import dq_main
+
+    src = str(tmp_path / "d.parquet")
+    ref = str(tmp_path / "ref.parquet")
+    spark.createDataFrame([(10,), (99,)], "r int").write.parquet(src)
+    spark.createDataFrame([(10,), (20,)], "ref int").write.parquet(ref)
+    rc = dq_main([src, "--format", "parquet", "--fk", f"r:file://{ref}:ref"])
+    out = capsys.readouterr().out
+    assert rc == 1 and "FAIL fk_r: 1 violations / 2 rows" in out

@@ -144,3 +144,17 @@ def test_point_in_time_law(spark):
     # exactly one interval per observation, and it carries the observed value
     assert matched.count() == len(rows)
     assert matched.where(F.col("state") != F.col("v")).count() == 0
+
+
+def test_null_ts_value_does_not_split_a_run(spark):
+    """A NULL ts VALUE (dirty data, ordered first by the window) must not
+    make its successor open a new interval when tracked values match."""
+    df = spark.createDataFrame(
+        [("u", None, "a"), ("u", 5, "a"), ("u", 9, "b")],
+        "k string, ts long, v string",
+    )
+    out = scd2_build(df, key="k", ts="ts", tracked=["v"]).orderBy("version").collect()
+    assert [(r["v"], r["valid_from"], r["valid_to"], r["version"]) for r in out] == [
+        ("a", None, 9, 1),
+        ("b", 9, None, 2),
+    ]

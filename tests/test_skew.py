@@ -84,3 +84,16 @@ def test_salted_join_rejects_outer_build(spark):
         salted_join(p, b, "k", salts=0)
     with pytest.raises(ValueError, match="at least one"):
         salted_join(p, b, [])
+
+
+def test_salted_join_tolerates_map_columns(spark):
+    """xxhash64 refuses MapType — the salt must hash only hashable
+    columns and stay row-identical to the plain join."""
+    probe = spark.createDataFrame(
+        [(1, {"a": "x"}), (1, {"b": "y"}), (2, {"c": "z"})],
+        "k long, attrs map<string,string>",
+    )
+    build = spark.createDataFrame([(1, "one"), (3, "three")], "k long, name string")
+    got = salted_join(probe, build, "k", salts=4)
+    want = probe.join(build, "k")
+    assert sorted(map(repr, got.collect())) == sorted(map(repr, want.collect()))
