@@ -1239,6 +1239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_quantiles_by_priority": analytics.price_quantiles_by_priority,
         "hll_custkey_by_priority": analytics.hll_custkey_by_priority,
         "fuzzy_match_customers": analytics.fuzzy_match_customers,
+        "running_revenue": analytics.running_revenue,
         "projection_keep_ignore": _q_projection,
         "projection_nested": _q_projection_nested,
         # general analytics (scan/agg/join/window/top-k/sessionize)
@@ -1732,7 +1733,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # residual comparison), with F.levenshtein a JVM builtin DuckDB also
     # ships; blocking-completeness and nested-loop-refusal laws are
     # pytest-pinned in tests/test_linkage.py; CI-oracle-gated every run.
+    # running_revenue enters DIRECTLY in the tail — its oracle is the
+    # NATIVE single-window running sum (independent formulation proving
+    # the two-level prefix decomposition), its component shapes are
+    # recorded elsewhere (partitioned cumulative windows via
+    # scd2_user_states/sessionize, bounded driver folds via the ANN
+    # query-matrix precedent), and the null/determinism laws are
+    # pytest-pinned in tests/test_prefix.py; CI-oracle-gated every run.
     for tail in (
+        "running_revenue",
         "fuzzy_match_customers",
         "price_quantiles_by_priority",
         "hll_custkey_by_priority",
@@ -1848,6 +1857,7 @@ def oracle_sql() -> dict[str, str]:
         "price_quantiles_by_priority": analytics.PRICE_QUANTILES_BY_PRIORITY_SQL,
         "hll_custkey_by_priority": analytics.HLL_CUSTKEY_BY_PRIORITY_SQL,
         "fuzzy_match_customers": analytics.FUZZY_MATCH_CUSTOMERS_SQL,
+        "running_revenue": analytics.RUNNING_REVENUE_SQL,
         "key_diff_digest_pruned": _KEY_DIFF_DIGEST_PRUNED_SQL,
         "digest_diff_orders": _DIGEST_DIFF_ORDERS_SQL,
         "renamed_column_read": _RENAMED_COLUMN_SQL,

@@ -1262,3 +1262,35 @@ SELECT probe_key, a_c_name, master_key, b_c_name,
        levenshtein(a_c_name, b_c_name)::BIGINT AS dist
 FROM pairs
 """
+
+
+def running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global running revenue by order date (operators/prefix.py): the
+    textbook ``sum(x) OVER (ORDER BY t)`` computed WITHOUT the
+    single-partition window trap — range buckets from a deterministic
+    hash sample, per-bucket totals folded into exclusive offsets
+    (bounded driver collect), cumulative windows PARTITIONED by bucket.
+    Money rides exact integer cents (floor(p*100+0.5)); the oracle is
+    DuckDB's NATIVE single-window running sum — an independent
+    formulation, so the hash match proves the two-level decomposition
+    correct end to end."""
+    from avro_diff_spark.operators.prefix import running_sum
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey",
+        ts_micros(F.col("o_orderdate")).alias("od_us"),
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5).alias("cents"),
+    )
+    return running_sum(
+        o, ["od_us", "o_orderkey"], "cents", buckets=64, alias="running_cents"
+    )
+
+
+RUNNING_REVENUE_SQL = """
+SELECT o_orderkey, epoch_us(o_orderdate) AS od_us,
+       CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+       CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+         OVER (ORDER BY epoch_us(o_orderdate), o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents
+FROM orders
+"""

