@@ -60,6 +60,8 @@ QUERIES = [
     "bloom_probe_orders",  # round 10: bit_or word fold + broadcast probe
     "drift_totalprice_status",  # round 10: decimal cross-product TVD fold
     "copurchase_triangles",  # round 10: degree-oriented wedge/closure joins
+    "running_revenue",  # round 10: two-level prefix sum across layouts
+    "fuzzy_match_customers",  # round 10: blocked distance join + pair dedup
 ]
 
 
