@@ -116,20 +116,18 @@ def bucket_digests(
     )
 
 
-def digest_diff(
-    old: DataFrame,
-    new: DataFrame,
-    keys: Sequence[str],
-    num_buckets: int = 1024,
-    payload_cols: Sequence[str] | None = None,
-) -> DataFrame:
-    """Buckets where the two sides can differ: FOJ of the two digest tables
-    (≤ ``num_buckets`` rows each), keep rows where any of the triple
-    differs. Returns (bucket, old_rows, new_rows) with absent sides as 0."""
-    od = bucket_digests(old, keys, num_buckets, payload_cols).withColumnsRenamed(
+def compare_digests(old_digests: DataFrame, new_digests: DataFrame) -> DataFrame:
+    """Mismatched buckets between two ALREADY-COMPUTED digest tables
+    (:func:`bucket_digests` output, same keys/num_buckets/payload — e.g.
+    two replicas' persisted fingerprints, or the live tables
+    ``maintain_digest_stream`` keeps): FOJ of the ≤ ``num_buckets``-row
+    tables, keep rows where any of (n_rows, xor1, xor2) differs.
+    Returns (bucket, old_rows, new_rows) with absent sides as 0 — the
+    zero-rescan replica comparison."""
+    od = old_digests.withColumnsRenamed(
         {"n_rows": "_on", "xor1": "_ox1", "xor2": "_ox2"}
     )
-    nd = bucket_digests(new, keys, num_buckets, payload_cols).withColumnsRenamed(
+    nd = new_digests.withColumnsRenamed(
         {"n_rows": "_nn", "xor1": "_nx1", "xor2": "_nx2"}
     )
     j = od.join(nd, "bucket", "full_outer")
@@ -142,6 +140,21 @@ def digest_diff(
         "bucket",
         F.coalesce(F.col("_on"), F.lit(0)).alias("old_rows"),
         F.coalesce(F.col("_nn"), F.lit(0)).alias("new_rows"),
+    )
+
+
+def digest_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    num_buckets: int = 1024,
+    payload_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Buckets where the two sides can differ — :func:`bucket_digests`
+    both inputs, then :func:`compare_digests`."""
+    return compare_digests(
+        bucket_digests(old, keys, num_buckets, payload_cols),
+        bucket_digests(new, keys, num_buckets, payload_cols),
     )
 
 

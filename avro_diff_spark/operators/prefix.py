@@ -110,3 +110,50 @@ def running_sum(
         off_sum + F.coalesce(F.sum(value_col).over(w), F.lit(0))
     )
     return tagged.withColumn(alias, running.alias(alias)).drop("_ps_bucket")
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    *,
+    buckets: int = 64,
+    alias: str = "rn",
+) -> DataFrame:
+    """Append ``alias`` = the row's 1-based position in the global
+    ``order_cols`` order — ``row_number() OVER (ORDER BY …)`` without
+    the single-partition window, via the same two-level scan as
+    :func:`running_sum` (offsets are per-bucket ROW COUNTS, so this is
+    the order-respecting ``zipWithIndex``). The order tuple must be
+    unique per row for a deterministic numbering."""
+    order_cols = list(order_cols)
+    lead = order_cols[0]
+    cuts = _sample_cuts(df, lead, buckets)
+    bexpr = F.lit(len(cuts))
+    for i in range(len(cuts) - 1, -1, -1):
+        bexpr = F.when(F.col(lead) < F.lit(cuts[i]), F.lit(i)).otherwise(bexpr)
+    bexpr = F.when(F.col(lead).isNull(), F.lit(-1)).otherwise(bexpr)
+    tagged = df.withColumn("_ps_bucket", bexpr)
+    counts = {
+        r["_ps_bucket"]: r["_n"]
+        for r in tagged.groupBy("_ps_bucket").agg(F.count(F.lit(1)).alias("_n")).collect()
+    }
+    offsets, acc = {}, 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+    if offsets:
+        omap = F.map_from_arrays(
+            F.array(*[F.lit(int(b)) for b in offsets]),
+            F.array(*[F.lit(int(v)) for v in offsets.values()]),
+        )
+        off = F.coalesce(
+            F.element_at(omap, F.col("_ps_bucket").cast("int")), F.lit(0)
+        ).cast("long")
+    else:
+        off = F.lit(0).cast("long")
+    w = Window.partitionBy("_ps_bucket").orderBy(
+        *[F.col(c).asc_nulls_first() for c in order_cols]
+    )
+    return tagged.withColumn(
+        alias, (off + F.row_number().over(w).cast("long")).alias(alias)
+    ).drop("_ps_bucket")

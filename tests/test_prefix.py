@@ -60,3 +60,18 @@ def test_empty_and_all_null_total(spark):
     nulls = spark.createDataFrame([(1, None), (2, None)], "k long, x long")
     got = sorted((r["k"], r["running"]) for r in running_sum(nulls, ["k"], "x").collect())
     assert got == [(1, None), (2, None)]
+
+
+def test_global_row_number_matches_single_window(spark):
+    rng = random.Random(9)
+    rows = [(k, None) for k in rng.sample(range(10000), 2000)] + [(None, 1)]
+    df = spark.createDataFrame(rows, "k long, x long").repartition(11)
+    from avro_diff_spark.operators.prefix import global_row_number
+
+    got = global_row_number(df, ["k"], buckets=16)
+    w = Window.orderBy(F.col("k").asc_nulls_first())
+    want = df.withColumn("rn", F.row_number().over(w).cast("long"))
+    assert _rows(got) == _rows(want)
+    # dense, 1-based, complete
+    rns = sorted(r["rn"] for r in got.collect())
+    assert rns == list(range(1, len(rows) + 1))

@@ -490,28 +490,6 @@ def test_maintain_digest_stream_matches_recompute_and_localizes(spark, tmp_path)
     mutated = src_now.withColumn(
         "v", F.when(F.col("k") == 7, F.lit("DRIFTED")).otherwise(F.col("v"))
     )
-    stored = read_version(spark, d).withColumnsRenamed(
-        {"n_rows": "_on", "xor1": "_ox1", "xor2": "_ox2"}
-    )
-    fresh = dig.bucket_digests(mutated, ["k"], 64).withColumnsRenamed(
-        {"n_rows": "_nn", "xor1": "_nx1", "xor2": "_nx2"}
-    )
-    j = stored.join(fresh, "bucket", "full_outer").where(
-        ~F.col("_on").eqNullSafe(F.col("_nn"))
-        | ~F.col("_ox1").eqNullSafe(F.col("_nx1"))
-        | ~F.col("_ox2").eqNullSafe(F.col("_nx2"))
-    )
-    assert j.count() == 1
-    same = dig.bucket_digests(src_now, ["k"], 64).withColumnsRenamed(
-        {"n_rows": "_nn", "xor1": "_nx1", "xor2": "_nx2"}
-    )
-    assert (
-        stored.join(same, "bucket", "full_outer")
-        .where(
-            ~F.col("_on").eqNullSafe(F.col("_nn"))
-            | ~F.col("_ox1").eqNullSafe(F.col("_nx1"))
-            | ~F.col("_ox2").eqNullSafe(F.col("_nx2"))
-        )
-        .count()
-        == 0
-    )
+    stored = read_version(spark, d)
+    assert dig.compare_digests(stored, dig.bucket_digests(mutated, ["k"], 64)).count() == 1
+    assert dig.compare_digests(stored, dig.bucket_digests(src_now, ["k"], 64)).count() == 0
