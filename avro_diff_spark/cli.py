@@ -640,21 +640,64 @@ def digest_main(argv: list[str] | None = None) -> int:
     return 1 if changed else 0
 
 
+def drift_main(argv: list[str] | None = None) -> int:
+    """Two-sample distribution drift between two datasets over one column
+    (functions/drift.py TVD): numeric with --cuts, categorical without.
+    Exit 1 when tvd_x1e6 exceeds --threshold (default: any drift)."""
+    p = argparse.ArgumentParser(
+        prog="drift", description="Total-variation drift between two datasets."
+    )
+    _common(p)
+    p.add_argument("column")
+    p.add_argument(
+        "--cuts",
+        default=None,
+        help="comma-separated ascending numeric cut points (omit for a "
+        "categorical column: buckets are the observed values)",
+    )
+    p.add_argument(
+        "--threshold",
+        type=int,
+        default=0,
+        help="exit 1 when tvd_x1e6 > this (0 = flag any drift)",
+    )
+    args = p.parse_args(argv)
+
+    from avro_diff_spark.functions.drift import tv_distance, tv_distance_categorical
+
+    spark = _session(args)
+    schema = _schema_arg(args)
+    a = _read(spark, args.old_file, args.format, _split(args.keep_fields), _split(args.ignore_fields), schema)
+    b = _read(spark, args.new_file, args.format, _split(args.keep_fields), _split(args.ignore_fields), schema)
+    if args.cuts:
+        cuts = tuple(float(c) for c in args.cuts.split(","))
+        out = tv_distance(a, b, args.column, cuts)
+    else:
+        out = tv_distance_categorical(a, b, args.column)
+    r = out.collect()[0]
+    print(
+        f"n_old: {r['n_a']}  n_new: {r['n_b']}  buckets: {r['n_buckets']}  "
+        f"tvd_x1e6: {r['tvd_x1e6']}"
+    )
+    return 1 if r["tvd_x1e6"] > args.threshold else 0
+
+
 _COMMANDS = {
     "key_diff": key_diff_main,
     "venn_diff": venn_diff_main,
     "dedup": dedup_main,
     "digest": digest_main,
+    "drift": drift_main,
     "dq": dq_main,
     "table": table_main,
 }
 
 
 def main() -> int:
-    """Dispatcher: python -m avro_diff_spark.cli {key_diff|venn_diff|dedup|digest|dq|table} ..."""
+    """Dispatcher: python -m avro_diff_spark.cli {key_diff|venn_diff|dedup|digest|drift|dq|table} ..."""
     if len(sys.argv) < 2 or sys.argv[1] not in _COMMANDS:
         print(
-            "usage: python -m avro_diff_spark.cli {key_diff|venn_diff|dedup|digest|dq|table} ...",
+            "usage: python -m avro_diff_spark.cli {key_diff|venn_diff|dedup|digest|drift|dq|table} ...",
             file=sys.stderr,
         )
         return 2

@@ -123,3 +123,24 @@ def test_cuts_must_be_strictly_increasing(spark):
         tv_distance_sql("t", "t", "x", (5.0, 5.0))
     with pytest.raises(ValueError):
         tv_distance(a, a, "x", ())
+
+
+def test_cli_drift_command(spark, tmp_path, capsys):
+    from avro_diff_spark.cli import drift_main
+
+    a_p, b_p = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    spark.createDataFrame([(float(i % 20),) for i in range(200)], "x double").write.parquet(a_p)
+    spark.createDataFrame([(float(i % 20) + 15.0,) for i in range(200)], "x double").write.parquet(b_p)
+    rc = drift_main([a_p, b_p, "x", "--format", "parquet", "--cuts", "10,20,30"])
+    out = capsys.readouterr().out
+    assert rc == 1 and "tvd_x1e6:" in out
+    # identical -> no drift
+    rc = drift_main([a_p, a_p, "x", "--format", "parquet", "--cuts", "10,20,30"])
+    assert rc == 0
+    # categorical mode + threshold tolerance
+    c_p = str(tmp_path / "c.parquet")
+    spark.createDataFrame([("en",)] * 99 + [("de",)], "lang string").write.parquet(c_p)
+    d_p = str(tmp_path / "d.parquet")
+    spark.createDataFrame([("en",)] * 98 + [("de",)] * 2, "lang string").write.parquet(d_p)
+    assert drift_main([c_p, d_p, "lang", "--format", "parquet"]) == 1
+    assert drift_main([c_p, d_p, "lang", "--format", "parquet", "--threshold", "50000"]) == 0
