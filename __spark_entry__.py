@@ -1240,6 +1240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_custkey_by_priority": analytics.hll_custkey_by_priority,
         "fuzzy_match_customers": analytics.fuzzy_match_customers,
         "running_revenue": analytics.running_revenue,
+        "orders_ranked": analytics.orders_ranked,
         "projection_keep_ignore": _q_projection,
         "projection_nested": _q_projection_nested,
         # general analytics (scan/agg/join/window/top-k/sessionize)
@@ -1740,7 +1741,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # scd2_user_states/sessionize, bounded driver folds via the ANN
     # query-matrix precedent), and the null/determinism laws are
     # pytest-pinned in tests/test_prefix.py; CI-oracle-gated every run.
+    # orders_ranked enters DIRECTLY in the tail — the row-number variant
+    # of the recorded-pattern running_revenue (same two-level prefix
+    # machinery, counts instead of sums), native-single-window oracle,
+    # single-window equality pytest-pinned in tests/test_prefix.py;
+    # CI-oracle-gated every run.
     for tail in (
+        "orders_ranked",
         "running_revenue",
         "fuzzy_match_customers",
         "price_quantiles_by_priority",
@@ -1858,6 +1865,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_custkey_by_priority": analytics.HLL_CUSTKEY_BY_PRIORITY_SQL,
         "fuzzy_match_customers": analytics.FUZZY_MATCH_CUSTOMERS_SQL,
         "running_revenue": analytics.RUNNING_REVENUE_SQL,
+        "orders_ranked": analytics.ORDERS_RANKED_SQL,
         "key_diff_digest_pruned": _KEY_DIFF_DIGEST_PRUNED_SQL,
         "digest_diff_orders": _DIGEST_DIFF_ORDERS_SQL,
         "renamed_column_read": _RENAMED_COLUMN_SQL,

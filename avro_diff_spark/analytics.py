@@ -1294,3 +1294,23 @@ SELECT o_orderkey, epoch_us(o_orderdate) AS od_us,
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents
 FROM orders
 """
+
+
+def orders_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global dense row numbering by (order date, key) — the
+    order-respecting zipWithIndex (operators/prefix.py
+    global_row_number), every window PARTITIONED; oracle = the native
+    single-window row_number, independently formulated."""
+    from avro_diff_spark.operators.prefix import global_row_number
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", ts_micros(F.col("o_orderdate")).alias("od_us")
+    )
+    return global_row_number(o, ["od_us", "o_orderkey"], buckets=64)
+
+
+ORDERS_RANKED_SQL = """
+SELECT o_orderkey, epoch_us(o_orderdate) AS od_us,
+       CAST(row_number() OVER (ORDER BY epoch_us(o_orderdate), o_orderkey) AS BIGINT) AS rn
+FROM orders
+"""
