@@ -687,7 +687,7 @@ def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     hour_us = 3_600_000_000
     us = F.col("ts_us")
     hourly = (
-        ev.select("event_type", (us - us % hour_us).alias("hour_us"))
+        ev.select("event_type", _floor_us(us, hour_us).alias("hour_us"))
         .groupBy("event_type", "hour_us")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
@@ -810,7 +810,7 @@ def events_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     hour_us = 3_600_000_000
     us = F.col("ts_us")
     hourly = (
-        ev.select("event_type", (us - us % hour_us).alias("hour_us"))
+        ev.select("event_type", _floor_us(us, hour_us).alias("hour_us"))
         .groupBy("event_type", "hour_us")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
@@ -989,16 +989,22 @@ WITH obs AS (
   SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events
 ),
 runs AS (
+  -- Run-start detection mirrors the Spark scd2_build formulation
+  -- (row_number() = 1, NULLS FIRST ordering) so a NULL ts_us or NULL
+  -- event_type cannot make the engines diverge: lag(ts_us) IS NULL
+  -- would also fire on a genuine NULL timestamp mid-partition.
   SELECT user_id, ts_us, event_type,
-    CASE WHEN lag(ts_us) OVER w IS NULL THEN 1
+    CASE WHEN row_number() OVER w = 1 THEN 1
          WHEN event_type IS NOT DISTINCT FROM lag(event_type) OVER w THEN 0
          ELSE 1 END AS chg
   FROM obs
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_type)
+  WINDOW w AS (PARTITION BY user_id
+               ORDER BY ts_us ASC NULLS FIRST, event_type ASC NULLS FIRST)
 ),
 vers AS (
   SELECT user_id, ts_us, event_type, chg,
-    CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_type
+    CAST(sum(chg) OVER (PARTITION BY user_id
+                   ORDER BY ts_us ASC NULLS FIRST, event_type ASC NULLS FIRST
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS version
   FROM runs
 )

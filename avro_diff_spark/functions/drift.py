@@ -55,30 +55,48 @@ def bucketize(col: Column, cuts: Sequence[float]) -> Column:
 
 def _fold_tvd(tagged: DataFrame) -> DataFrame:
     """Shared finish: (bucket, _a, _b) tags -> one (n_a, n_b, n_buckets,
-    tvd_x1e6) row. One bucket-keyed hash aggregate (map-side combined) +
-    a bounded single-row decimal fold; one final double divide."""
+    tvd_x1e6) row. One bucket-keyed hash aggregate (map-side combined),
+    the 1-row totals broadcast back onto the per-bucket counts via an
+    equi-join on a literal key (BroadcastHashJoin — never the BNLJ that a
+    keyless 1-row join plans as), then a second map-side-combined global
+    aggregate sums the per-bucket decimal cross products. No per-row
+    state is ever concentrated: for ``tv_distance_categorical`` the
+    bucket count equals the column's distinct cardinality, and this
+    shape keeps those rows distributed instead of collecting them into
+    one driver-sized array. One final correctly-rounded double divide."""
     h = tagged.groupBy("bucket").agg(
         F.sum("_a").alias("na"), F.sum("_b").alias("nb")
     )
     dec = "decimal(19,0)"
-    folded = h.agg(
+    totals = h.agg(
         F.coalesce(F.sum("na"), F.lit(0)).alias("n_a"),
         F.coalesce(F.sum("nb"), F.lit(0)).alias("n_b"),
         F.count(F.lit(1)).alias("n_buckets"),
-        F.collect_list(F.struct("na", "nb")).alias("_cells"),
     )
-    num = F.aggregate(
-        F.col("_cells"),
-        F.lit(0).cast("decimal(38,0)"),
-        lambda acc, c: acc
-        + F.abs(
-            c["na"].cast(dec) * F.col("n_b").cast(dec)
-            - c["nb"].cast(dec) * F.col("n_a").cast(dec)
-        ),
+    # A zero-count sentinel row (derived from the always-1-row totals)
+    # keeps the join side non-empty so empty inputs still yield exactly
+    # one output row (totality: 0 buckets -> tvd 0); its cross product
+    # is identically 0 and n_buckets was counted before the union.
+    cells = h.select("na", "nb").unionByName(
+        totals.select(
+            F.lit(0).cast("bigint").alias("na"), F.lit(0).cast("bigint").alias("nb")
+        )
+    )
+    # Join key derived from a (never-null) data column so Catalyst can't
+    # constant-fold it away and degrade the plan to a BNLJ: na - na = 0.
+    joined = cells.withColumn("_k", F.col("na") - F.col("na")).join(
+        F.broadcast(totals.withColumn("_k", F.col("n_a") - F.col("n_a"))), "_k"
+    )
+    cell = F.abs(
+        F.col("na").cast(dec) * F.col("n_b").cast(dec)
+        - F.col("nb").cast(dec) * F.col("n_a").cast(dec)
+    )
+    folded = joined.groupBy("n_a", "n_b", "n_buckets").agg(
+        F.coalesce(F.sum(cell), F.lit(0).cast("decimal(38,0)")).alias("_num")
     )
     denom = F.col("n_a").cast(dec) * F.col("n_b").cast(dec)
     tvd = F.floor(
-        num.cast("double") / denom.cast("double") * F.lit(TVD_SCALE / 2.0)
+        F.col("_num").cast("double") / denom.cast("double") * F.lit(TVD_SCALE / 2.0)
     ).cast("long")
     return folded.select(
         "n_a",

@@ -41,7 +41,14 @@ def fuzzy_join(
     blocking key and lie within ``max_dist`` edit distance. Returns
     ``a_keep`` + ``a_<col>`` + ``b_keep`` + ``b_<col>`` + ``dist``.
     Pairs caught by several blocking passes appear once (dedup on the
-    kept keys + both strings). NULL strings never match."""
+    kept keys + both strings). NULL strings never match.
+
+    Multiplicity contract: the final dedup collapses on the KEPT columns
+    plus both strings, so input rows that are identical under the
+    ``a_keep``/``b_keep`` projections collapse to ONE output pair —
+    duplicate-row multiplicity is not preserved. Include a unique id in
+    ``a_keep``/``b_keep`` (as the registered ``fuzzy_match_customers``
+    query does with ``c_custkey``) when per-row pairing matters."""
     acol, bcol = f"a_{col}", f"b_{col}"
     left = a.where(F.col(col).isNotNull()).select(
         *a_keep, F.col(col).alias(acol)

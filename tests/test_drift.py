@@ -84,11 +84,18 @@ def test_bucketize_edges(spark):
     assert got == [-1, 0, 1, 2, 3, 3]
 
 
-def test_plan_single_aggregation_no_window_no_join(spark):
+def test_plan_no_window_broadcast_totals_only(spark):
+    # The totals (always 1 row) broadcast onto the distributed per-bucket
+    # counts via an equi-join on a literal key: BroadcastHashJoin, never
+    # the BNLJ/Cartesian a keyless 1-row join plans as, and never a
+    # driver-sized collect_list of the (unbounded-cardinality) buckets.
     a = spark.createDataFrame([(1.0,)], "x double")
     plan = tv_distance(a, a, "x", CUTS)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
-    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "collect_list" not in plan
 
 
 def test_categorical_matches_python_and_totality(spark):
