@@ -1746,7 +1746,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # machinery, counts instead of sums), native-single-window oracle,
     # single-window equality pytest-pinned in tests/test_prefix.py;
     # CI-oracle-gated every run.
+    # Round-11 demotion (slot for warc_text_extraction, the WARC->text
+    # ingestion stack — ISO 28500 reader, HTTP/charset decode,
+    # jusText-class extraction): cdc_changes_orders moves to the tail —
+    # the recorded incremental_agg_orders executes its read_changes
+    # change-feed machinery VERBATIM as its delta source (see its
+    # docstring: "applying ONLY the v0→v1 change-feed delta
+    # (read_changes + one group-key full-outer merge)"), the
+    # strict-superset supersession pattern of exact_substring_scrub over
+    # exact_substring_spans; CDF lifecycle (insert/update/delete images,
+    # version bounds) is pytest-pinned in tests/test_versioned_stream.py
+    # and tests/test_versioned.py, and the CI oracle gate value-hashes
+    # cdc_changes_orders every run.
     for tail in (
+        "cdc_changes_orders",
         "orders_ranked",
         "running_revenue",
         "fuzzy_match_customers",

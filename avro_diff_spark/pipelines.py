@@ -3938,6 +3938,86 @@ def _pagerank_neardups_sql() -> str:
     )
 
 
+def q_warc_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-corpus ingestion end-to-end: deterministic .warc.gz payloads
+    (3 gzip members each: warcinfo + request + response, the Common
+    Crawl layout) are synthesized executor-side around each document's
+    text, then run through the from-scratch ISO 28500 stack —
+    multi-member gunzip, WARC record grammar, HTTP parsing with chunked
+    transfer + gzip Content-Encoding + UTF-16/UTF-8 charset sniffing
+    (sources/warc.py) — and the jusText-class HTML->text block
+    classifier (functions/html.py). The synthesized boilerplate (nav,
+    heading, link footer, comments, scripts, head) must vanish and the
+    content paragraph must survive EXACTLY when the integer
+    cross-multiplication law says so; the oracle never parses anything —
+    it replays the closed-form law on documents.text directly, so one
+    wrong byte anywhere in gzip framing, record lengths, de-chunking,
+    charset decode, entity decode, block segmentation or the
+    classification arithmetic breaks the hash.
+
+    Scale shape: three Arrow-batched mapInPandas stages (synth ->
+    record explode -> extract), map-only end to end — no shuffle until
+    a downstream consumer aggregates; at 100 TB this is the
+    embarrassingly parallel first pass over ~1 GB .warc.gz files
+    (file-granular splits; see sources/warc.py module docstring)."""
+    from avro_diff_spark.functions import html as HTML
+    from avro_diff_spark.sources import warc as WARC
+
+    # spread_small: the small parquet scans as a couple of splits, which
+    # would serialize the per-row codec work in mapInPandas; at real
+    # scale the scan already has enough splits and this is a no-op
+    docs = spread_small(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    media = WARC.synth_warc_media(docs, "doc_id", "text")
+    recs = WARC.warc_records(media, "payload", keep=("media_id",)).where(
+        F.col("warc_type") == "response"
+    )
+    ext = HTML.extract_text_df(recs, "body_text", keep=("media_id", "http_status"))
+    return ext.select(
+        F.col("media_id").alias("doc_id"),
+        F.col("http_status").cast("int").alias("http_status"),
+        F.col("n_blocks"),
+        F.col("n_good_blocks"),
+        F.length("text").cast("long").alias("text_len"),
+        F.md5("text").alias("text_md5"),
+    )
+
+
+# Mirrors the closed-form law of synth_page_html + extract_text: the page
+# always segments into 4 non-empty blocks (nav, h1, content <p>, link
+# footer); only the <p> can classify good — it is link-free, so it is kept
+# iff normalized length >= 80 AND 12 * stopwords >= words, with words the
+# frozen ASCII [a-z]+ tokenization of the lowercased text. The extracted
+# text is then the normalized document text itself (entity round-trip and
+# whitespace collapse are identities on it).
+_WARC_STOP_SQL = ",".join(f"'{w}'" for w in sorted(
+    "a the of to and in is it on for with as was at by".split()))
+WARC_TEXT_EXTRACTION_SQL = f"""
+WITH t AS (
+  SELECT doc_id, trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')) AS s
+  FROM documents
+),
+c AS (
+  SELECT doc_id, s,
+         len(regexp_extract_all(lower(s), '[a-z]+')) AS nw,
+         len(list_filter(regexp_extract_all(lower(s), '[a-z]+'),
+                         w -> w IN ({_WARC_STOP_SQL}))) AS ns
+  FROM t
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN length(s) >= 80 AND 12 * ns >= nw THEN s ELSE '' END AS ext
+  FROM c
+)
+SELECT doc_id,
+       CAST(200 AS INT) AS http_status,
+       CAST(4 AS BIGINT) AS n_blocks,
+       CAST(CASE WHEN ext <> '' THEN 1 ELSE 0 END AS BIGINT) AS n_good_blocks,
+       CAST(length(ext) AS BIGINT) AS text_len,
+       md5(ext) AS text_md5
+FROM g
+"""
+
+
 PIPELINE_QUERIES = {
     "text_stats": q_text_stats,
     "vocab_topk": q_vocab_topk,
@@ -4016,6 +4096,7 @@ PIPELINE_QUERIES = {
     "sampled_price_quantiles": q_sampled_price_quantiles,
     "countmin_heavy_hitters": q_countmin_heavy_hitters,
     "pagerank_neardups": q_pagerank_neardups,
+    "warc_text_extraction": q_warc_text_extraction,
 }
 
 def pipeline_sql() -> dict[str, str]:
@@ -4100,4 +4181,5 @@ def pipeline_sql() -> dict[str, str]:
         "sampled_price_quantiles": _sampled_price_quantiles_sql(),
         "countmin_heavy_hitters": _countmin_sql(),
         "pagerank_neardups": _pagerank_neardups_sql(),
+        "warc_text_extraction": WARC_TEXT_EXTRACTION_SQL,
     }
