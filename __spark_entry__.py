@@ -1234,6 +1234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_collisions_lineitem": _q_key_collisions_lineitem,
         "dq_expectations": analytics.dq_expectations,
         "drift_totalprice_status": analytics.drift_totalprice_status,
+        "drift_ks_totalprice": analytics.drift_ks_totalprice,
         "drift_lang_split": analytics.drift_lang_split,
         "events_props_stats": analytics.events_props_stats,
         "price_quantiles_by_priority": analytics.price_quantiles_by_priority,
@@ -1758,7 +1759,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # version bounds) is pytest-pinned in tests/test_versioned_stream.py
     # and tests/test_versioned.py, and the CI oracle gate value-hashes
     # cdc_changes_orders every run.
+    # Round-11 demotion (slot for drift_ks_totalprice, the two-sample
+    # Kolmogorov-Smirnov statistic — bucketing-free sup-CDF drift over
+    # merged order statistics via the two-level prefix scan): sessionize
+    # moves to the tail — its gaps-and-islands machinery is one lag +
+    # one cumulative sum, both over windows PARTITIONED BY user_id, the
+    # exact keyed-window shape the recorded scd2_user_states (run-start
+    # detection + cumulative version numbering) and events_debounce
+    # (keyed lag gap test) execute; the session law itself is pinned
+    # batch-vs-streaming in tests/test_streaming.py (session_window
+    # equality, TWS end-to-end) and partition-invariance-gated in
+    # tests/test_partitioning_invariance.py; the CI oracle gate
+    # value-hashes sessionize every run.
     for tail in (
+        "sessionize",
         "cdc_changes_orders",
         "orders_ranked",
         "running_revenue",
@@ -1872,6 +1886,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "hidden_partition_prune": _HIDDEN_PARTITION_SQL,
         "drift_totalprice_status": analytics.DRIFT_TOTALPRICE_SQL,
+        "drift_ks_totalprice": analytics.DRIFT_KS_SQL,
         "drift_lang_split": analytics.DRIFT_LANG_SQL,
         "events_props_stats": analytics.EVENTS_PROPS_SQL,
         "price_quantiles_by_priority": analytics.PRICE_QUANTILES_BY_PRIORITY_SQL,

@@ -1122,6 +1122,40 @@ def _drift_lang_sql() -> str:
 DRIFT_LANG_SQL = _drift_lang_sql()
 
 
+def drift_ks_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift (functions/drift.py
+    ``ks_distance``): sup-CDF-distance between the finished ('F') and
+    open ('O') order-value distributions — the bucketing-free companion
+    to the recorded TVD monitor (drift_totalprice_status): KS reads the
+    full resolution of both samples, so a shift INSIDE one declared TVD
+    bucket cannot hide from it. Exact integer cross products over the
+    merged order statistics; the cumulative counts ride the two-level
+    prefix scan (operators/prefix.py pattern — every window PARTITIONED
+    by range bucket), and the oracle is the independent native-window
+    formulation, proving the decomposition."""
+    from avro_diff_spark.functions.drift import ks_distance
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return ks_distance(
+        o.where(F.col("o_orderstatus") == "F"),
+        o.where(F.col("o_orderstatus") == "O"),
+        "o_totalprice",
+    )
+
+
+def _drift_ks_sql() -> str:
+    from avro_diff_spark.functions.drift import ks_distance_sql
+
+    return ks_distance_sql(
+        "(SELECT o_totalprice FROM orders WHERE o_orderstatus = 'F')",
+        "(SELECT o_totalprice FROM orders WHERE o_orderstatus = 'O')",
+        "o_totalprice",
+    )
+
+
+DRIFT_KS_SQL = _drift_ks_sql()
+
+
 def events_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured schema-on-read: the events table's ``props``
     column is a JSON string; parse it with a DECLARED schema

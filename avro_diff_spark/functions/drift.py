@@ -201,3 +201,144 @@ SELECT n_a, n_b, n_buckets,
        END AS tvd_x1e6
 FROM t, s
 """
+
+
+#: Fixed-point scale of the KS statistic: ks_x1e6 in [0, 1_000_000].
+KS_SCALE = 1_000_000
+
+
+def ks_distance(a: DataFrame, b: DataFrame, col: str, *, buckets: int = 64) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic, exact to the last
+    integer:
+
+        D = sup_x |F_a(x) - F_b(x)|
+          = max over merged sample points v of
+            |C_a(v) * n_b  -  C_b(v) * n_a| / (n_a * n_b),
+
+    with ``C`` the cumulative counts at the merged order statistics —
+    the empirical CDFs are step functions, so the supremum is attained
+    at a sample point. The numerator rides DECIMAL(19,0) x DECIMAL(19,0)
+    cross products (exact to ~1e19 rows) and only the finished max meets
+    one correctly-rounded double divide, the same fixed-point discipline
+    as :func:`tv_distance` — a DuckDB oracle reproduces ``ks_x1e6``
+    bit-for-bit. Unlike TVD over declared cuts, KS needs NO bucketing
+    choice: it reads the full resolution of both samples.
+
+    Scale shape (the two-level Blelloch scan of
+    ``operators/prefix.py``, inlined for a two-counter payload): one
+    union scan -> ONE hash aggregate keyed by value (map-side combined)
+    -> bounded driver state (<= 512-row cut sample + <= ``buckets``-row
+    offset totals, the running_sum bounded-collect contract) -> a
+    cumulative window PARTITIONED by range bucket -> one global max
+    aggregate. No single-partition window, no join, no unbounded
+    collect; cut points affect only balance, never values.
+
+    NULLs are excluded (an empirical CDF is defined over ordered
+    values; monitor NULL-rate drift with :func:`tv_distance`, where
+    NULL is its own bucket). Totality: two empty samples are at
+    distance 0, empty vs non-empty at the maximum 1_000_000.
+
+    Returns one row: (n_a, n_b, n_points, ks_x1e6)."""
+    from pyspark.sql import Window
+
+    from avro_diff_spark.operators.prefix import _sample_cuts
+
+    v = F.col(col)
+    tagged = (
+        a.where(v.isNotNull()).select(v.alias("v"), F.lit(1).alias("_a"), F.lit(0).alias("_b"))
+    ).unionByName(
+        b.where(v.isNotNull()).select(v.alias("v"), F.lit(0).alias("_a"), F.lit(1).alias("_b"))
+    )
+    h = tagged.groupBy("v").agg(F.sum("_a").alias("na"), F.sum("_b").alias("nb"))
+    cuts = _sample_cuts(h, "v", buckets)
+    bexpr = F.lit(len(cuts))
+    for i in range(len(cuts) - 1, -1, -1):
+        bexpr = F.when(F.col("v") < F.lit(cuts[i]), F.lit(i)).otherwise(bexpr)
+    hb = h.withColumn("_bk", bexpr)
+    btot = {
+        r["_bk"]: (r["_na"], r["_nb"], r["_n"])
+        for r in hb.groupBy("_bk")
+        .agg(F.sum("na").alias("_na"), F.sum("nb").alias("_nb"), F.count(F.lit(1)).alias("_n"))
+        .collect()
+    }
+    offsets: dict[int, tuple[int, int]] = {}
+    acc_a = acc_b = n_points = 0
+    for bk in sorted(btot):
+        offsets[bk] = (acc_a, acc_b)
+        ta, tb, tn = btot[bk]
+        acc_a += int(ta)
+        acc_b += int(tb)
+        n_points += int(tn)
+    n_a, n_b = acc_a, acc_b
+
+    if n_a == 0 or n_b == 0:
+        ks_lit = 0 if (n_a == 0 and n_b == 0) else KS_SCALE
+        return hb.agg(
+            F.lit(n_a).cast("long").alias("n_a"),
+            F.lit(n_b).cast("long").alias("n_b"),
+            F.lit(n_points).cast("long").alias("n_points"),
+            F.lit(ks_lit).cast("long").alias("ks_x1e6"),
+        )
+
+    keys = F.array(*[F.lit(int(bk)) for bk in offsets])
+    oa = F.map_from_arrays(keys, F.array(*[F.lit(x).cast("long") for x, _ in offsets.values()]))
+    ob = F.map_from_arrays(keys, F.array(*[F.lit(x).cast("long") for _, x in offsets.values()]))
+    bkey = F.col("_bk").cast("int")
+    w = (
+        Window.partitionBy("_bk")
+        .orderBy(F.col("v").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dec = "decimal(19,0)"
+    ca = F.element_at(oa, bkey) + F.sum("na").over(w)
+    cb = F.element_at(ob, bkey) + F.sum("nb").over(w)
+    cross = F.abs(
+        ca.cast(dec) * F.lit(n_b).cast(dec) - cb.cast(dec) * F.lit(n_a).cast(dec)
+    )
+    folded = hb.select(cross.alias("_x")).agg(
+        F.coalesce(F.max("_x"), F.lit(0).cast("decimal(38,0)")).alias("_num")
+    )
+    ks = F.floor(
+        F.col("_num").cast("double") / F.lit(float(n_a) * float(n_b)) * F.lit(float(KS_SCALE))
+    ).cast("long")
+    return folded.select(
+        F.lit(n_a).cast("long").alias("n_a"),
+        F.lit(n_b).cast("long").alias("n_b"),
+        F.lit(n_points).cast("long").alias("n_points"),
+        ks.alias("ks_x1e6"),
+    )
+
+
+def ks_distance_sql(a_sql: str, b_sql: str, col: str) -> str:
+    """DuckDB twin of :func:`ks_distance` — independent formulation: a
+    NATIVE single cumulative window over the merged order statistics
+    (proving the two-level scan decomposition), same decimal cross
+    products, same final double divide."""
+    return f"""
+WITH tagged AS (
+  SELECT {col} AS v, 1 AS _a, 0 AS _b FROM {a_sql} WHERE {col} IS NOT NULL
+  UNION ALL
+  SELECT {col} AS v, 0 AS _a, 1 AS _b FROM {b_sql} WHERE {col} IS NOT NULL
+),
+h AS (SELECT v, sum(_a)::BIGINT AS na, sum(_b)::BIGINT AS nb
+      FROM tagged GROUP BY v),
+c AS (SELECT CAST(sum(na) OVER w AS BIGINT) AS ca,
+             CAST(sum(nb) OVER w AS BIGINT) AS cb
+      FROM h WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+t AS (SELECT coalesce(sum(na), 0)::BIGINT AS n_a,
+             coalesce(sum(nb), 0)::BIGINT AS n_b,
+             count(*)::BIGINT AS n_points
+      FROM h),
+m AS (SELECT coalesce(max(abs(CAST(c.ca AS DECIMAL(19,0)) * CAST(t.n_b AS DECIMAL(19,0))
+                              - CAST(c.cb AS DECIMAL(19,0)) * CAST(t.n_a AS DECIMAL(19,0)))),
+                      0) AS num
+      FROM c, t)
+SELECT n_a, n_b, n_points,
+       CASE WHEN n_a = 0 AND n_b = 0 THEN 0
+            WHEN n_a = 0 OR n_b = 0 THEN {KS_SCALE}
+            ELSE floor(CAST(num AS DOUBLE)
+                       / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+                       * CAST({KS_SCALE} AS DOUBLE))::BIGINT
+       END AS ks_x1e6
+FROM t, m
+"""
