@@ -1771,7 +1771,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # equality, TWS end-to-end) and partition-invariance-gated in
     # tests/test_partitioning_invariance.py; the CI oracle gate
     # value-hashes sessionize every run.
+    # Round-11 demotion (slot for bm25_topk, sparse retrieval against the
+    # persisted inverted index — bucket-partitioned postings, merge_into
+    # df maintenance, ln-free rational-idf BM25 with exact int64
+    # fixed-point sums): concurrent_sessions moves to the tail — its
+    # unkeyed interval-OVERLAP machinery is the bucketized interval
+    # equi-join + residual-predicate shape the recorded
+    # interval_join_purchases executes (operators/interval.py shares the
+    # bucketing between them), the overlap law is pytest-pinned against
+    # a brute-force recompute in tests/test_interval_join.py, and the CI
+    # oracle gate value-hashes concurrent_sessions every run.
     for tail in (
+        "concurrent_sessions",
         "sessionize",
         "cdc_changes_orders",
         "orders_ranked",

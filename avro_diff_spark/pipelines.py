@@ -3938,6 +3938,64 @@ def _pagerank_neardups_sql() -> str:
     )
 
 
+#: Fixed retrieval workload over the documents vocabulary — literal in
+#: both the Spark query and the DuckDB oracle.
+BM25_QUERIES = (
+    (1, "fast table scan"),
+    (2, "customer order query"),
+    (3, "stream window batch merge"),
+    (4, "the big sort"),
+)
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse retrieval against the PERSISTED inverted index
+    (operators/text_index.py): BM25-class top-10 per query with the
+    ln-free rational idf and exact int64 fixed-point score sums. The
+    fixture exercises the full index lifecycle: build on two thirds of
+    the corpus, then APPEND the remaining third — postings appended,
+    per-term document frequencies advanced via merge_into, collection
+    stats (N, L) advanced in commit app metadata — so the recorded
+    hash pins incremental == from-scratch: the oracle derives postings,
+    df, N, L inline from the raw documents table and must agree
+    bit-for-bit. Cached on the documents fingerprint (the
+    ivf_index_topk precedent); any unexpected state rebuilds.
+
+    Scale shape: query reads prune to the query terms' hash-bucket
+    partitions; df table and query terms broadcast; one keyed
+    groupBy-sum; one per-query top-k window."""
+    import hashlib
+    import os
+
+    from avro_diff_spark.operators import text_index as TI
+    from avro_diff_spark.sources.versioned import latest_version
+
+    src = f"{sf_dir}/documents.parquet"
+    files = [src] if os.path.isfile(src) else sorted(
+        os.path.join(dp, fn) for dp, _, fns in os.walk(src) for fn in fns
+    )
+    h = hashlib.md5()
+    for p in files:
+        st = os.stat(p)
+        h.update(f"{p}|{st.st_size}|{st.st_mtime_ns};".encode())
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    idx = f"/root/repo/.cache/text_index/{tag}-{h.hexdigest()[:12]}"
+    docs = spark.read.parquet(src)
+    if latest_version(f"{idx}/postings") != 1:
+        import shutil
+
+        shutil.rmtree(idx, ignore_errors=True)
+        TI.build_text_index(spark, docs.where(F.col("doc_id") % 3 != 0), idx)
+        TI.append_to_text_index(spark, docs.where(F.col("doc_id") % 3 == 0), idx)
+    return TI.query_text_index(spark, idx, BM25_QUERIES, k=10)
+
+
+def _bm25_sql() -> str:
+    from avro_diff_spark.operators.text_index import bm25_score_sql
+
+    return bm25_score_sql(BM25_QUERIES, k=10, tokens_sql_fn=tokens_sql)
+
+
 def q_warc_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Web-corpus ingestion end-to-end: deterministic .warc.gz payloads
     (3 gzip members each: warcinfo + request + response, the Common
@@ -4097,6 +4155,7 @@ PIPELINE_QUERIES = {
     "countmin_heavy_hitters": q_countmin_heavy_hitters,
     "pagerank_neardups": q_pagerank_neardups,
     "warc_text_extraction": q_warc_text_extraction,
+    "bm25_topk": q_bm25_topk,
 }
 
 def pipeline_sql() -> dict[str, str]:
@@ -4182,4 +4241,5 @@ def pipeline_sql() -> dict[str, str]:
         "countmin_heavy_hitters": _countmin_sql(),
         "pagerank_neardups": _pagerank_neardups_sql(),
         "warc_text_extraction": WARC_TEXT_EXTRACTION_SQL,
+        "bm25_topk": _bm25_sql(),
     }

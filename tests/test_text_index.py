@@ -1,0 +1,150 @@
+"""Inverted index + BM25 (operators/text_index.py): build/append
+lifecycle (append == rebuild), python-parity scoring, partition-pruned
+query reads, determinism of ranking, and totality edges."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from avro_diff_spark.operators import text_index as TI
+from avro_diff_spark.sources import versioned as V
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "a fast brown fox and a slow red dog"),
+    (2, "query planning for a fast table scan"),
+    (3, "the table scan is fast and the sort is slow"),
+    (4, "merge sort and hash join in a query engine"),
+    (5, ""),  # empty doc: contributes nothing, must not crash stats
+    (6, "dog dog dog dog dog"),
+    (7, "fox"),
+]
+
+
+@pytest.fixture()
+def corpus(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def _py_bm25(docs, queries, k=10):
+    """Independent pure-Python recompute of the documented score law."""
+    posts = {}
+    dls = {}
+    for did, text in docs:
+        toks = [t for t in text.lower().split() if t]
+        if not toks:
+            continue
+        dls[did] = len(toks)
+        for t in set(toks):
+            posts.setdefault(t, {})[did] = toks.count(t)
+    n = len(dls)
+    l = sum(dls.values())
+    a = max(l // n, 1) if n else 1
+    out = []
+    for qid, qtext in queries:
+        scores = {}
+        matched = {}
+        for t in sorted(set(TI.tokenize_query(qtext))):
+            if t not in posts:
+                continue
+            df = len(posts[t])
+            for did, tf in posts[t].items():
+                p = 22 * tf * a * (2 * n - 2 * df + 1)
+                q = (2 * df + 1) * (10 * tf * a + 3 * a + 9 * dls[did])
+                s = math.floor(p / q * 1_000_000.0)
+                scores[did] = scores.get(did, 0) + s
+                matched[did] = matched.get(did, 0) + 1
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        out.extend(
+            (qid, did, r + 1, s, matched[did]) for r, (did, s) in enumerate(ranked)
+        )
+    return sorted(out)
+
+
+QUERIES = [(1, "fast fox"), (2, "the table scan"), (3, "dog"), (4, "zebra fox")]
+
+
+def test_query_matches_python(spark, corpus, tmp_path):
+    idx = str(tmp_path / "idx")
+    TI.build_text_index(spark, corpus, idx)
+    got = sorted(
+        tuple(r) for r in TI.query_text_index(spark, idx, QUERIES, k=10).collect()
+    )
+    assert got == _py_bm25(DOCS, QUERIES)
+
+
+def test_append_equals_rebuild(spark, corpus, tmp_path):
+    full = str(tmp_path / "full")
+    inc = str(tmp_path / "inc")
+    TI.build_text_index(spark, corpus, full)
+    TI.build_text_index(spark, corpus.where(F.col("doc_id") < 4), inc)
+    TI.append_to_text_index(spark, corpus.where(F.col("doc_id") >= 4), inc)
+    # identical meta scalars
+    mf = V.commit_app_meta(f"{full}/postings")
+    mi = V.commit_app_meta(f"{inc}/postings")
+    assert (mf["n_docs"], mf["total_len"]) == (mi["n_docs"], mi["total_len"])
+    # identical df table
+    tf_ = sorted(tuple(r) for r in V.read_version(spark, f"{full}/terms").collect())
+    ti_ = sorted(tuple(r) for r in V.read_version(spark, f"{inc}/terms").collect())
+    assert tf_ == ti_
+    # identical query results
+    a = sorted(tuple(r) for r in TI.query_text_index(spark, full, QUERIES).collect())
+    b = sorted(tuple(r) for r in TI.query_text_index(spark, inc, QUERIES).collect())
+    assert a == b
+
+
+def test_rank_ties_break_by_doc_id(spark, tmp_path):
+    docs = [(i, "same words here again") for i in range(6)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    idx = str(tmp_path / "idx")
+    TI.build_text_index(spark, df, idx)
+    rows = TI.query_text_index(spark, idx, [(1, "same words")], k=4).collect()
+    assert [r.doc_id for r in sorted(rows, key=lambda r: r.rank)] == [0, 1, 2, 3]
+
+
+def test_unknown_terms_and_no_terms(spark, corpus, tmp_path):
+    idx = str(tmp_path / "idx")
+    TI.build_text_index(spark, corpus, idx)
+    assert TI.query_text_index(spark, idx, [(1, "zzz qqq")]).count() == 0
+    with pytest.raises(ValueError):
+        TI.query_text_index(spark, idx, [(1, "   ")])
+
+
+def test_pruned_read_touches_only_query_buckets(spark, corpus, tmp_path):
+    """Physical pruning pin (the ann_index precedent): delete the
+    parquet files of every NON-query bucket partition; the query must
+    still answer correctly — proof the probe never opens them."""
+    import os
+    import shutil
+
+    idx = str(tmp_path / "idx")
+    TI.build_text_index(spark, corpus, idx)
+    queries = [(3, "dog")]
+    keep = {TI._bucket_py("dog")}
+    for table in ("postings", "terms"):
+        base = f"{idx}/{table}"
+        for name in os.listdir(base):
+            if name.startswith("bucket=") and int(name.split("=")[1]) not in keep:
+                shutil.rmtree(os.path.join(base, name))
+    got = sorted(tuple(r) for r in TI.query_text_index(spark, idx, queries).collect())
+    assert got == _py_bm25(DOCS, queries)
+
+
+def test_plan_no_cartesian_and_broadcasts(spark, corpus, tmp_path):
+    idx = str(tmp_path / "idx")
+    TI.build_text_index(spark, corpus, idx)
+    q = TI.query_text_index(spark, idx, QUERIES)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bucket_law_matches_spark(spark):
+    terms = ["fox", "dog", "table", "the", "a", "zebra", "merge"]
+    df = spark.createDataFrame([(t,) for t in terms], "term string")
+    got = {r.term: r.b for r in df.select("term", TI.term_bucket("term").alias("b")).collect()}
+    assert got == {t: TI._bucket_py(t) for t in terms}
