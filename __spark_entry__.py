@@ -1240,6 +1240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_quantiles_by_priority": analytics.price_quantiles_by_priority,
         "hll_custkey_by_priority": analytics.hll_custkey_by_priority,
         "fuzzy_match_customers": analytics.fuzzy_match_customers,
+        "qgram_match_customers": analytics.qgram_match_customers,
         "running_revenue": analytics.running_revenue,
         "orders_ranked": analytics.orders_ranked,
         "projection_keep_ignore": _q_projection,
@@ -1781,7 +1782,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # bucketing between them), the overlap law is pytest-pinned against
     # a brute-force recompute in tests/test_interval_join.py, and the CI
     # oracle gate value-hashes concurrent_sessions every run.
+    # Round-11 demotion (slot for qgram_match_customers, general-edit
+    # PassJoin linkage blocking whose brute-force oracle IS the
+    # pigeonhole completeness proof): asof_attribution moves to the
+    # tail — its union + running-last lowering is one
+    # last(ignorenulls) window PARTITIONED BY key, exactly the keyed
+    # cumulative-window machinery the recorded scd2_user_states
+    # executes (run starts + cumulative versions over the same keyed
+    # window shape), the as-of law (at-or-before match, tie-breaks,
+    # composite keys, payload preservation) is pytest-pinned against
+    # brute-force in tests/test_asof.py, and the CI oracle gate
+    # value-hashes asof_attribution every run.
     for tail in (
+        "asof_attribution",
         "concurrent_sessions",
         "sessionize",
         "cdc_changes_orders",
@@ -1903,6 +1916,7 @@ def oracle_sql() -> dict[str, str]:
         "price_quantiles_by_priority": analytics.PRICE_QUANTILES_BY_PRIORITY_SQL,
         "hll_custkey_by_priority": analytics.HLL_CUSTKEY_BY_PRIORITY_SQL,
         "fuzzy_match_customers": analytics.FUZZY_MATCH_CUSTOMERS_SQL,
+        "qgram_match_customers": analytics.QGRAM_MATCH_CUSTOMERS_SQL,
         "running_revenue": analytics.RUNNING_REVENUE_SQL,
         "orders_ranked": analytics.ORDERS_RANKED_SQL,
         "key_diff_digest_pruned": _KEY_DIFF_DIGEST_PRUNED_SQL,

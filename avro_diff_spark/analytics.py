@@ -1281,6 +1281,71 @@ def fuzzy_match_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DIRTY_CASE = (
+    "CASE c_custkey % 3 "
+    "WHEN 0 THEN substr(c_name, 1, p - 1) || 'X' || substr(c_name, p + 1) "
+    "WHEN 1 THEN substr(c_name, 1, p - 1) || substr(c_name, p + 1) "
+    "ELSE substr(c_name, 1, p) || 'X' || substr(c_name, p + 1) END"
+)
+
+
+def qgram_match_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General-edit record linkage (operators/linkage.py
+    ``fuzzy_join_passjoin``): every 5th customer name corrupted by a
+    SUBSTITUTION, DELETION or INSERTION at a key-dependent position —
+    no declared error positions for the blocking to lean on — then
+    matched back to the master list under the PassJoin positional-
+    segment pigeonhole blocking (any pair within levenshtein 1 shares
+    one unedited segment at a start shift <= 1). The oracle is the pure
+    BRUTE-FORCE distance join, so the recorded hash IS the completeness
+    proof: one candidate pair missed by the blocking breaks it. Plan:
+    hash equi-joins on (length, segment index, segment text) + residual
+    levenshtein — never the |A| x |B| nested loop."""
+    from avro_diff_spark.operators.linkage import fuzzy_join_passjoin
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    dirty = (
+        c.where(
+            (F.col("c_custkey") % 5 == 0)
+            & F.col("c_name").isNotNull()
+            & (F.length("c_name") >= 3)
+        )
+        .withColumn(
+            "p", F.expr("1 + (c_custkey * 7) % (length(c_name) - 2)")
+        )
+        .select(
+            F.col("c_custkey").alias("probe_key"),
+            F.expr(_DIRTY_CASE).alias("c_name"),
+        )
+    )
+    master = c.select(F.col("c_custkey").alias("master_key"), "c_name")
+    return fuzzy_join_passjoin(
+        dirty,
+        master,
+        "c_name",
+        max_dist=1,
+        a_keep=["probe_key"],
+        b_keep=["master_key"],
+    )
+
+
+QGRAM_MATCH_CUSTOMERS_SQL = f"""
+WITH dirty AS (
+  SELECT probe_key, {_DIRTY_CASE.replace("c_custkey", "probe_key")} AS a_c_name
+  FROM (SELECT c_custkey AS probe_key, c_name,
+               1 + (c_custkey * 7) % (length(c_name) - 2) AS p
+        FROM customer
+        WHERE c_custkey % 5 = 0 AND c_name IS NOT NULL AND length(c_name) >= 3)
+),
+m AS (SELECT c_custkey AS master_key, c_name AS b_c_name
+      FROM customer WHERE c_name IS NOT NULL)
+SELECT probe_key, a_c_name, master_key, b_c_name,
+       levenshtein(a_c_name, b_c_name)::BIGINT AS dist
+FROM dirty, m
+WHERE levenshtein(a_c_name, b_c_name) <= 1
+"""
+
+
 FUZZY_MATCH_CUSTOMERS_SQL = """
 WITH dirty AS (
   SELECT c_custkey AS probe_key,

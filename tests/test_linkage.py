@@ -4,6 +4,7 @@ dedup, null handling, and the no-nested-loop plan shape."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from avro_diff_spark.operators.linkage import fuzzy_join
@@ -75,3 +76,90 @@ def test_requires_a_block(spark):
     a = spark.createDataFrame([(1, "x")], "k long, s string")
     with pytest.raises(ValueError):
         fuzzy_join(a, a, "s", blocks=[])
+
+
+# ---------------------------------------------------------------------------
+# PassJoin general-edit blocking (round 11)
+# ---------------------------------------------------------------------------
+
+
+def _fuzz_strings(rng, n, alphabet="abcd", lo=0, hi=12):
+    return [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(lo, hi)))
+        for _ in range(n)
+    ]
+
+
+def _edit(rng, s, d):
+    """Apply up to d random edits (sub/ins/del at random positions)."""
+    for _ in range(rng.randrange(0, d + 1)):
+        kind = rng.choice("sid")
+        if kind == "s" and s:
+            p = rng.randrange(len(s))
+            s = s[:p] + rng.choice("abcdx") + s[p + 1 :]
+        elif kind == "i":
+            p = rng.randrange(len(s) + 1)
+            s = s[:p] + rng.choice("abcdx") + s[p:]
+        elif s:
+            p = rng.randrange(len(s))
+            s = s[:p] + s[p + 1 :]
+    return s
+
+
+@pytest.mark.parametrize("d", [1, 2])
+def test_passjoin_completeness_brute_force(spark, d):
+    """The pigeonhole law, fuzzed: EVERY (a, b) pair within levenshtein
+    d — including pairs crossing the short-string regime and edits at
+    arbitrary positions — must be returned; and nothing farther."""
+    import random
+
+    from avro_diff_spark.operators.linkage import fuzzy_join_passjoin
+
+    rng = random.Random(100 + d)
+    base = _fuzz_strings(rng, 40, lo=0, hi=14)
+    a_rows = [(i, s) for i, s in enumerate(base)]
+    # b = edited copies (guaranteed near pairs) + fresh noise
+    b_rows = [(1000 + i, _edit(rng, s, d)) for i, s in enumerate(base)]
+    b_rows += [(2000 + i, s) for i, s in enumerate(_fuzz_strings(rng, 30, lo=0, hi=14))]
+    a = spark.createDataFrame(a_rows, "aid long, s string")
+    b = spark.createDataFrame(b_rows, "bid long, s string")
+    got = {
+        (r.aid, r.bid)
+        for r in fuzzy_join_passjoin(
+            a, b, "s", max_dist=d, a_keep=["aid"], b_keep=["bid"]
+        ).collect()
+    }
+    want = {
+        (ai, bi)
+        for ai, sa in a_rows
+        for bi, sb in b_rows
+        if _lev(sa, sb) <= d
+    }
+    assert got == want
+
+
+def test_passjoin_dist_column_and_validation(spark):
+    from avro_diff_spark.operators.linkage import fuzzy_join_passjoin
+
+    a = spark.createDataFrame([(1, "abcdef")], "aid long, s string")
+    b = spark.createDataFrame([(2, "abXdef"), (3, "abcdef")], "bid long, s string")
+    rows = {
+        (r.bid, r.dist)
+        for r in fuzzy_join_passjoin(a, b, "s", a_keep=["aid"], b_keep=["bid"]).collect()
+    }
+    assert rows == {(2, 1), (3, 0)}
+    with pytest.raises(ValueError):
+        fuzzy_join_passjoin(a, b, "s", max_dist=0)
+
+
+def test_passjoin_plan_no_nested_loop(spark):
+    from avro_diff_spark.operators.linkage import fuzzy_join_passjoin
+
+    a = spark.createDataFrame([(1, "abcdef")], "aid long, s string")
+    plan = (
+        fuzzy_join_passjoin(a, a.withColumnRenamed("aid", "bid"), "s",
+                            a_keep=["aid"], b_keep=["bid"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
