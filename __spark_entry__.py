@@ -1241,6 +1241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_custkey_by_priority": analytics.hll_custkey_by_priority,
         "fuzzy_match_customers": analytics.fuzzy_match_customers,
         "qgram_match_customers": analytics.qgram_match_customers,
+        "weighted_sample_counts": analytics.weighted_sample_counts,
         "running_revenue": analytics.running_revenue,
         "orders_ranked": analytics.orders_ranked,
         "projection_keep_ignore": _q_projection,
@@ -1793,7 +1794,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # composite keys, payload preservation) is pytest-pinned against
     # brute-force in tests/test_asof.py, and the CI oracle gate
     # value-hashes asof_attribution every run.
+    # Round-11 demotion (slot for weighted_sample_counts, deterministic
+    # DLT priority sampling — the value-weighted reservoir completing
+    # the sampling family): pricing_summary moves to the tail — the
+    # TPC-H Q1 report is ONE map-side-combined hash aggregate over one
+    # lineitem scan, the single-scan exact-decimal aggregation shape
+    # the recorded supplier_part_profit (decimal groupBy agg over the
+    # same fact) and dq_expectations (whole-rule-suite conditional
+    # fold in one scan) execute; it is partition-invariance-gated in
+    # tests/test_partitioning_invariance.py and the CI oracle gate
+    # value-hashes it every run.
     for tail in (
+        "pricing_summary",
         "asof_attribution",
         "concurrent_sessions",
         "sessionize",
@@ -1917,6 +1929,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_custkey_by_priority": analytics.HLL_CUSTKEY_BY_PRIORITY_SQL,
         "fuzzy_match_customers": analytics.FUZZY_MATCH_CUSTOMERS_SQL,
         "qgram_match_customers": analytics.QGRAM_MATCH_CUSTOMERS_SQL,
+        "weighted_sample_counts": analytics.WEIGHTED_SAMPLE_SQL,
         "running_revenue": analytics.RUNNING_REVENUE_SQL,
         "orders_ranked": analytics.ORDERS_RANKED_SQL,
         "key_diff_digest_pruned": _KEY_DIFF_DIGEST_PRUNED_SQL,

@@ -1122,6 +1122,57 @@ def _drift_lang_sql() -> str:
 DRIFT_LANG_SQL = _drift_lang_sql()
 
 
+def weighted_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic WEIGHTED sampling (functions/sketches.py
+    ``priority_sample`` — Duffield-Lund-Thorup priority sampling, the
+    engine's weighted reservoir): draw 200 orders with probability
+    scaled by order value (exact integer cents, the snapshots.py money
+    law) using md5-derived fixed-point tags — no ``rand()``, so every
+    engine/partitioning/run draws the same sample — then report the
+    per-priority-class composition of the draw. Completes the sampling
+    family (split/stratify/bottom-k uniform/mixture) with the
+    value-weighted member a mixture builder needs. Plans as
+    TakeOrdered: per-partition top-k + a k-row merge, the mergeability
+    the pytest property pins."""
+    from avro_diff_spark.functions.sketches import priority_sample
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    s = priority_sample(
+        o.withColumn("w_cents", cents),
+        "o_orderkey",
+        "w_cents",
+        k=200,
+        keep=["o_orderpriority"],
+    )
+    return s.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("w").alias("w_sum"),
+    )
+
+
+def _weighted_sample_sql() -> str:
+    from avro_diff_spark.functions.sketches import priority_sample_sql
+
+    inner = priority_sample_sql(
+        "(SELECT o_orderkey, o_orderpriority,"
+        " CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS w_cents FROM orders)",
+        "o_orderkey",
+        "w_cents",
+        k=200,
+        keep="o_orderpriority",
+    )
+    return f"""
+SELECT o_orderpriority, count(*)::BIGINT AS n_sampled,
+       CAST(sum(w) AS BIGINT) AS w_sum
+FROM ({inner})
+GROUP BY o_orderpriority
+"""
+
+
+WEIGHTED_SAMPLE_SQL = _weighted_sample_sql()
+
+
 def drift_ks_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov drift (functions/drift.py
     ``ks_distance``): sup-CDF-distance between the finished ('F') and

@@ -694,3 +694,105 @@ arr AS (SELECT {gs}, count(*)::BIGINT AS n, list(v ORDER BY v) AS a
         FROM s WHERE _rn <= {k} GROUP BY {gs})
 SELECT {gs}, n AS n_sampled, {sel} FROM arr
 """
+
+
+# ------------------------------------------------ weighted sampling ---
+
+def priority_key(key: Column, weight: Column) -> Column:
+    """The deterministic priority q = w / u of weighted priority
+    sampling (Duffield, Lund & Thorup, JACM 2007 "Priority sampling for
+    estimation of arbitrary subset sums"): u is a 60-bit md5-derived
+    fixed-point tag of the row key (no ``rand()`` — every engine, every
+    partitioning, every day draws the same sample), so q is ONE IEEE
+    divide of two exactly-represented integers and orders identically
+    in any engine.
+
+    Why priority sampling and not the Efraimidis-Spirakis key
+    ``u^(1/w)``: both are weighted reservoirs from the same literature
+    family, but ES needs ``pow`` — not guaranteed to round identically
+    across libms (the ln/PSI exclusion precedent in functions/drift.py)
+    — while the DLT priority needs only a division, and its ordering
+    under cross-multiplication ``w_a * u_b > w_b * u_a`` is exact
+    integer arithmetic. Same inclusion-probability structure
+    (p_i = min(1, w_i / tau)), plus an unbiased subset-sum estimator.
+    """
+    u = F.conv(F.substring(_md5_hex(key), 1, 15), 16, 10).cast("long") + 1
+    return weight.cast("double") / u.cast("double")
+
+
+def priority_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int = 256,
+    *,
+    keep: list[str] | None = None,
+) -> DataFrame:
+    """Deterministic weighted sample of fixed size k: the rows with the
+    k LARGEST priorities q = w/u (:func:`priority_key`) — heavy rows
+    enter with probability ~min(1, w/tau), the weighted counterpart of
+    :func:`bottomk_sample`. Plans as TakeOrdered (per-partition top-k
+    then a k-row merge — never a full sort) and is MERGEABLE: the
+    priority sample of a union is the priority-merge of per-part
+    samples, which is exactly what TakeOrdered executes. ``key_col``
+    must be unique per row; rows with NULL key or non-positive/NULL
+    weight never enter (a zero-weight row has priority 0 and could
+    only pad an undersized sample). Weights must be integers < 2^53
+    (use exact cents for money — the snapshots.py law)."""
+    keep = list(keep or ())
+    w = F.col(weight_col)
+    return (
+        df.where(F.col(key_col).isNotNull() & w.isNotNull() & (w > 0))
+        .select(
+            *keep,
+            F.col(key_col).alias("k"),
+            w.cast("long").alias("w"),
+            priority_key(F.col(key_col), w).alias("q"),
+        )
+        .orderBy(F.col("q").desc(), F.col("k").asc())
+        .limit(k)
+    )
+
+
+def priority_sample_sql(
+    src_sql: str, key_col: str, weight_col: str, k: int = 256, keep: str = ""
+) -> str:
+    """DuckDB twin of :func:`priority_sample` (same md5 tag, same single
+    divide, same (q desc, key asc) order)."""
+    keep_sel = f"{keep}, " if keep else ""
+    return f"""
+SELECT {keep_sel}{key_col} AS k, CAST({weight_col} AS BIGINT) AS w,
+       CAST({weight_col} AS DOUBLE)
+         / CAST(('0x' || substr(md5(CAST({key_col} AS VARCHAR)), 1, 15))::BIGINT + 1 AS DOUBLE) AS q
+FROM {src_sql}
+WHERE {key_col} IS NOT NULL AND {weight_col} IS NOT NULL AND {weight_col} > 0
+ORDER BY q DESC, k ASC
+LIMIT {int(k)}
+"""
+
+
+def subset_sum_estimate(sample_kplus1: DataFrame, k: int) -> DataFrame:
+    """DLT unbiased total-weight estimator from a (k+1)-row priority
+    sample: tau = the (k+1)-th priority; each of the top-k items
+    estimates max(w_i, tau); if fewer than k+1 rows exist the sample is
+    the whole population and the sum is exact. One bounded single-row
+    fold (<= k+1 array elements — the sample_quantiles contract);
+    returns (n_population_sampled, est_total)."""
+    agg = sample_kplus1.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.reverse(F.array_sort(F.collect_list(F.struct("q", "w")))).alias("_a"),
+    )
+    tau = F.element_at(F.col("_a"), k + 1).getField("q")
+    topk = F.slice(F.col("_a"), 1, k)
+    est_full = F.aggregate(
+        topk,
+        F.lit(0.0),
+        lambda acc, s: acc + F.greatest(s.getField("w").cast("double"), tau),
+    )
+    est_exact = F.aggregate(
+        F.col("_a"), F.lit(0.0), lambda acc, s: acc + s.getField("w").cast("double")
+    )
+    return agg.select(
+        F.col("n"),
+        F.when(F.col("n") <= k, est_exact).otherwise(est_full).alias("est_total"),
+    )

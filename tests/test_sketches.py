@@ -505,3 +505,91 @@ def test_grouped_bottomk_matches_python(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "No Partition Defined" not in plan
+
+
+# ---------------------------------------------------------------------------
+# priority sampling (round 11)
+# ---------------------------------------------------------------------------
+
+
+def _py_priority(rows, k):
+    """(key, weight) rows -> set of sampled keys, the documented law."""
+    import hashlib
+
+    def q(key, w):
+        h = hashlib.md5(str(key).encode()).hexdigest()
+        u = int(h[:15], 16) + 1
+        return float(w) / float(u)
+
+    live = [(key, w) for key, w in rows if key is not None and w and w > 0]
+    ranked = sorted(live, key=lambda kw: (-q(*kw), kw[0]))
+    return [key for key, _ in ranked[:k]]
+
+
+def test_priority_sample_matches_python(spark):
+    from avro_diff_spark.functions.sketches import priority_sample
+
+    rows = [(i, (i * 37) % 100 + 1) for i in range(300)]
+    rows += [(1000, None), (None, 50), (1001, 0), (1002, -3)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    got = [r.k for r in priority_sample(df, "id", "w", k=40).collect()]
+    assert got == _py_priority(rows, 40)
+
+
+def test_priority_sample_mergeable_and_weight_monotone(spark):
+    """Mergeability (the TakeOrdered law): sample(A ∪ B) ==
+    priority-merge(sample(A), sample(B)). And heavier rows are sampled
+    no less often: scaling one row's weight up can only keep/add it."""
+    from avro_diff_spark.functions.sketches import priority_sample
+
+    rows_a = [(i, i % 50 + 1) for i in range(0, 200)]
+    rows_b = [(i, i % 70 + 1) for i in range(200, 400)]
+    a = spark.createDataFrame(rows_a, "id long, w long")
+    b = spark.createDataFrame(rows_b, "id long, w long")
+    union = [r.k for r in priority_sample(a.unionByName(b), "id", "w", k=30).collect()]
+    merged = _py_priority(
+        [(r.k, r.w) for r in priority_sample(a, "id", "w", k=30).collect()]
+        + [(r.k, r.w) for r in priority_sample(b, "id", "w", k=30).collect()],
+        30,
+    )
+    assert union == merged
+    # weight monotonicity on a fixed row
+    base = {r.k for r in priority_sample(a, "id", "w", k=30).collect()}
+    boosted = a.withColumn(
+        "w", F.when(F.col("id") == 7, F.lit(10_000_000)).otherwise(F.col("w"))
+    )
+    got = {r.k for r in priority_sample(boosted, "id", "w", k=30).collect()}
+    assert 7 in got
+    # boosting one row admits it and displaces at most the one
+    # lowest-priority incumbent; no other membership can change
+    assert got - base <= {7}
+    assert len(base - got) <= 1 and len(got) == len(base)
+
+
+def test_priority_sample_plan_is_take_ordered(spark):
+    from avro_diff_spark.functions.sketches import priority_sample
+
+    df = spark.createDataFrame([(i, i + 1) for i in range(50)], "id long, w long")
+    plan = (
+        priority_sample(df, "id", "w", k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan  # never a full sort
+
+
+def test_subset_sum_estimate_exact_when_small_and_sane_when_sampled(spark):
+    from avro_diff_spark.functions.sketches import priority_sample, subset_sum_estimate
+
+    rows = [(i, (i * 13) % 40 + 1) for i in range(25)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    total = sum(w for _, w in rows)
+    # k >= n: exact
+    r = subset_sum_estimate(priority_sample(df, "id", "w", k=31), 30).collect()[0]
+    assert r.n == 25 and r.est_total == float(total)
+    # sampled: unbiasedness can't be pinned on one draw, but the DLT
+    # estimate is bounded by [sum of top-k weights, n * max term] and
+    # must be positive and reproducible
+    r1 = subset_sum_estimate(priority_sample(df, "id", "w", k=11), 10).collect()[0]
+    r2 = subset_sum_estimate(priority_sample(df, "id", "w", k=11), 10).collect()[0]
+    assert r1.n == 11 and r1.est_total > 0 and r1.est_total == r2.est_total
