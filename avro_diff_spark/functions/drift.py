@@ -67,6 +67,13 @@ def _fold_tvd(tagged: DataFrame) -> DataFrame:
     h = tagged.groupBy("bucket").agg(
         F.sum("_a").alias("na"), F.sum("_b").alias("nb")
     )
+    return _fold_tvd_counts(h)
+
+
+def _fold_tvd_counts(h: DataFrame) -> DataFrame:
+    """The fold of :func:`_fold_tvd` starting from per-bucket counts
+    (bucket, na, nb) — also the entry point for count tables maintained
+    incrementally (:func:`tv_distance_from_counts`)."""
     dec = "decimal(19,0)"
     totals = h.agg(
         F.coalesce(F.sum("na"), F.lit(0)).alias("n_a"),
@@ -342,3 +349,36 @@ SELECT n_a, n_b, n_points,
        END AS ks_x1e6
 FROM t, m
 """
+
+
+def tv_distance_from_counts(
+    a_counts: DataFrame,
+    b_counts: DataFrame,
+    *,
+    bucket_col: str = "bucket",
+    n_col: str = "n_rows",
+) -> DataFrame:
+    """:func:`tv_distance` computed from two PER-BUCKET COUNT TABLES
+    instead of the raw samples — the streaming-monitor composition:
+    ``maintain_drift_stream`` keeps a live (bucket, n_rows) table ∝
+    changes, a pinned reference window keeps another, and the drift
+    score between two 100 TB samples reduces to folding two
+    <= n_buckets-row tables (no raw-data scan at alert time). Count
+    tables must carry no zero/negative rows (the maintenance law drops
+    groups at zero), so the bucket set here equals the tagged union's
+    and the score is IDENTICAL to :func:`tv_distance` on the raw
+    samples — pytest-pinned. Same totality rules."""
+    a = a_counts.select(
+        F.col(bucket_col).alias("bucket"),
+        F.col(n_col).cast("long").alias("na"),
+        F.lit(0).cast("long").alias("nb"),
+    )
+    b = b_counts.select(
+        F.col(bucket_col).alias("bucket"),
+        F.lit(0).cast("long").alias("na"),
+        F.col(n_col).cast("long").alias("nb"),
+    )
+    h = a.unionByName(b).groupBy("bucket").agg(
+        F.sum("na").alias("na"), F.sum("nb").alias("nb")
+    )
+    return _fold_tvd_counts(h)

@@ -34,6 +34,7 @@ __all__ = [
     "maintain_countmin_stream",
     "maintain_bloom_stream",
     "maintain_digest_stream",
+    "maintain_drift_stream",
 ]
 
 
@@ -360,6 +361,78 @@ def maintain_digest_stream(
                 )
                 .filter(F.col("n_rows") > 0)
             )
+        commit_snapshot(merged, dst_path, mode="overwrite", app_meta=meta)
+
+    writer = ch.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def maintain_drift_stream(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    col: str,
+    cuts,
+    *,
+    checkpoint: str,
+    starting_version: int = 0,
+    trigger_available_now: bool = True,
+):
+    """Maintain ``dst_path`` as the LIVE DRIFT HISTOGRAM — the per-bucket
+    row counts of ``src_path``'s column under the declared
+    ``functions.drift.bucketize`` cuts (NULL = bucket -1) — from the
+    change feed: +1 for insert/update_postimage, −1 for
+    delete/update_preimage, work ∝ changed rows, never a source rescan.
+    After every drain the table is pinned EQUAL to the batch bucket
+    counts of ``read_version(src)``, so the corpus-over-corpus monitor
+    reduces to ``functions.drift.tv_distance_from_counts(live,
+    reference_window)`` — two <= n_buckets-row tables folded at alert
+    time, composing with the ``drift`` CLI gate; no raw scan on the
+    alert path. Exactly-once rides the applied-src-version metadata
+    (signed folds are not idempotent), the :func:`maintain_agg_stream`
+    idiom. Returns the StreamingQuery."""
+    import os
+
+    from avro_diff_spark.functions.drift import bucketize
+
+    cuts = tuple(cuts)
+    ch = stream_changes(spark, src_path, starting_version=starting_version)
+
+    def _apply(batch_df, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        applied = -1
+        if latest_version(dst_path) >= 0:
+            meta = commit_app_meta(dst_path)
+            if meta.get("src_table") not in (None, os.path.abspath(src_path)):
+                raise ValueError(
+                    f"{dst_path!r} tracks {meta.get('src_table')!r}, not "
+                    f"{src_path!r}"
+                )
+            applied = meta.get("src_version", -1)
+        fresh = batch_df.filter(F.col("_commit_version") > F.lit(applied))
+        hi = fresh.agg(F.max("_commit_version")).collect()[0][0]
+        if hi is None:
+            return
+        sign = F.when(
+            F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+        ).otherwise(F.lit(-1))
+        delta = (
+            fresh.select(bucketize(F.col(col), cuts).alias("bucket"), sign.alias("_s"))
+            .groupBy("bucket")
+            .agg(F.sum("_s").cast("long").alias("n_rows_delta"))
+        )
+        meta = {"src_table": os.path.abspath(src_path), "src_version": int(hi)}
+        if applied < 0:
+            merged = delta.select(
+                "bucket", F.col("n_rows_delta").alias("n_rows")
+            ).filter(F.col("n_rows") > 0)
+        else:
+            merged = _merge_agg_delta(spark, dst_path, delta, ["bucket"], [])
         commit_snapshot(merged, dst_path, mode="overwrite", app_meta=meta)
 
     writer = ch.writeStream.foreachBatch(_apply).option(

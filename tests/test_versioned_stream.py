@@ -493,3 +493,95 @@ def test_maintain_digest_stream_matches_recompute_and_localizes(spark, tmp_path)
     stored = read_version(spark, d)
     assert dig.compare_digests(stored, dig.bucket_digests(mutated, ["k"], 64)).count() == 1
     assert dig.compare_digests(stored, dig.bucket_digests(src_now, ["k"], 64)).count() == 0
+
+
+def test_maintain_drift_stream_pinned_to_batch_and_composes(spark, tmp_path):
+    """Streaming drift monitor: after every drain across append + DML
+    histories the maintained histogram equals the batch bucket counts of
+    the live table, tv_distance_from_counts(live, reference) equals
+    tv_distance on the raw samples, replays publish nothing
+    (exactly-once), and a wrong-source destination is refused."""
+    import pytest as _pytest
+
+    from avro_diff_spark.functions.drift import (
+        bucketize,
+        tv_distance,
+        tv_distance_from_counts,
+    )
+    from avro_diff_spark.sources.versioned import (
+        commit_app_meta,
+        delete_where,
+        latest_version,
+        merge_into,
+    )
+    from avro_diff_spark.streaming.agg import maintain_drift_stream
+
+    cuts = (10.0, 20.0, 30.0)
+    t, d, ck = (str(tmp_path / x) for x in ("src", "hist", "ck"))
+    rows = [(i, float(i % 40) if i % 7 else None) for i in range(30)]
+    commit_snapshot(_df(spark, rows, "k long, x double"), t)            # v0
+    commit_snapshot(
+        _df(spark, [(100, 5.0), (101, 35.0)], "k long, x double"), t, mode="append"
+    )                                                                   # v1
+
+    def drain():
+        q = maintain_drift_stream(spark, t, d, "x", cuts, checkpoint=ck)
+        q.awaitTermination(120)
+
+    def batch_counts():
+        return {
+            (r.bucket, r.n)
+            for r in read_version(spark, t)
+            .groupBy(bucketize(F.col("x"), cuts).alias("bucket"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .collect()
+        }
+
+    def state():
+        return {(r.bucket, r.n_rows) for r in read_version(spark, d).collect()}
+
+    drain()
+    assert state() == batch_counts()
+    v_first = latest_version(d)
+
+    # exactly-once: no new commits -> re-drain publishes nothing
+    drain()
+    assert latest_version(d) == v_first
+
+    # DML history: delete + merge, then re-drain
+    delete_where(spark, t, "k % 5 = 0")                                 # v2 dv
+    merge_into(
+        spark,
+        t,
+        _df(spark, [(3, 39.0), (200, None)], "k long, x double"),
+        ["k"],
+        rewrite="dv",
+    )                                                                   # v3
+    drain()
+    assert state() == batch_counts()
+
+    # composition: drift score from the maintained counts == raw-sample
+    # score against a pinned reference window
+    ref = _df(spark, [(i, float(i % 25)) for i in range(40)], "k long, x double")
+    ref_counts = ref.groupBy(bucketize(F.col("x"), cuts).alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    got = tv_distance_from_counts(
+        read_version(spark, d), ref_counts
+    ).collect()[0]
+    want = tv_distance(
+        read_version(spark, t).select("x"), ref.select("x"), "x", cuts
+    ).collect()[0]
+    assert tuple(got) == tuple(want)
+
+    # wrong-source refusal
+    t2 = str(tmp_path / "other")
+    commit_snapshot(_df(spark, [(1, 1.0)], "k long, x double"), t2)
+    with _pytest.raises(Exception, match="tracks"):
+        q = maintain_drift_stream(
+            spark, t2, d, "x", cuts, checkpoint=str(tmp_path / "ck2")
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
