@@ -59,6 +59,7 @@ __all__ = [
     "term_bucket",
     "build_text_index",
     "append_to_text_index",
+    "maintain_text_index_stream",
     "query_text_index",
     "bm25_score_sql",
 ]
@@ -149,6 +150,7 @@ def append_to_text_index(
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Incremental indexing: APPEND the increment's postings and MERGE
     its per-term df deltas into the terms table (``merge_into`` —
@@ -156,7 +158,14 @@ def append_to_text_index(
     the commit's app metadata. Work ∝ increment — the historical
     postings are never read (``append == rebuild`` is pytest-pinned).
     Docs already indexed must not be re-submitted (the standard
-    inverted-index contract; dedup upstream)."""
+    inverted-index contract; dedup upstream).
+
+    ``txn=(app_id, epoch)`` makes the whole increment IDEMPOTENT for
+    streaming replays: each of the two commits (terms merge, postings
+    append) is epoch-guarded independently via
+    ``last_committed_epoch`` + the commit txn record, so a crash
+    between them replays to exactly the missing half — the Delta
+    txnAppId/txnVersion discipline of ``commit_stream``."""
     postings = _postings_of(df, text_col, id_col)
     delta_terms, dn, dl_ = _stats_of(postings)
     meta = V.commit_app_meta(f"{index_path}/postings")
@@ -181,7 +190,15 @@ def append_to_text_index(
             (F.coalesce(F.col("_cur_df"), F.lit(0)) + F.col("_delta_df")).alias("df"),
         )
     )
-    V.merge_into(spark, f"{index_path}/terms", merged_src, ["bucket", "term"])
+    epoch = None if txn is None else int(txn[1])
+    if txn is None or V.last_committed_epoch(f"{index_path}/terms", txn[0]) < epoch:
+        V.merge_into(
+            spark, f"{index_path}/terms", merged_src, ["bucket", "term"], txn=txn
+        )
+    if txn is not None and (
+        V.last_committed_epoch(f"{index_path}/postings", txn[0]) >= epoch
+    ):
+        return V.latest_version(f"{index_path}/postings")
     return V.commit_snapshot(
         postings,
         f"{index_path}/postings",
@@ -191,7 +208,49 @@ def append_to_text_index(
             "n_docs": int(meta["n_docs"]) + dn,
             "total_len": int(meta["total_len"]) + dl_,
         },
+        txn=txn,
     )
+
+
+def maintain_text_index_stream(
+    stream_df: DataFrame,
+    index_path: str,
+    *,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    trigger_available_now: bool = True,
+):
+    """Stream new documents into the stored inverted index: each
+    micro-batch runs :func:`append_to_text_index` (postings append +
+    df merge + meta advance) with the batch epoch as the idempotence
+    token, so checkpoint replays — even ones that crashed BETWEEN the
+    two commits — re-apply exactly the missing half and nothing twice.
+    The streaming sibling of the batch append, pinned batch-equivalent
+    in tests/test_text_index.py (the maintain_index_stream precedent).
+    Returns the StreamingQuery."""
+    import os
+
+    app_id = os.path.abspath(checkpoint)
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        append_to_text_index(
+            batch_df.sparkSession,
+            batch_df,
+            index_path,
+            text_col=text_col,
+            id_col=id_col,
+            txn=(app_id, int(epoch_id)),
+        )
+
+    writer = stream_df.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def _score_cols(n_docs: int, avgdl: int):

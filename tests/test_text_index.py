@@ -148,3 +148,35 @@ def test_bucket_law_matches_spark(spark):
     df = spark.createDataFrame([(t,) for t in terms], "term string")
     got = {r.term: r.b for r in df.select("term", TI.term_bucket("term").alias("b")).collect()}
     assert got == {t: TI._bucket_py(t) for t in terms}
+
+
+def test_maintain_text_index_stream_batch_equivalent_exactly_once(spark, corpus, tmp_path):
+    """Streaming maintenance == batch rebuild; checkpoint replays
+    publish nothing new (per-table epoch guards)."""
+    idx, full, src, ck = (str(tmp_path / x) for x in ("idx", "full", "src", "ck"))
+    hist = corpus.where(F.col("doc_id") < 4)
+    inc = corpus.where(F.col("doc_id") >= 4)
+    TI.build_text_index(spark, hist, idx)
+    TI.build_text_index(spark, corpus, full)
+
+    inc.write.parquet(src)
+    stream = spark.readStream.schema(inc.schema).parquet(src)
+    q = TI.maintain_text_index_stream(stream, idx, checkpoint=ck)
+    q.awaitTermination(120)
+
+    a = sorted(tuple(r) for r in TI.query_text_index(spark, idx, QUERIES).collect())
+    b = sorted(tuple(r) for r in TI.query_text_index(spark, full, QUERIES).collect())
+    assert a == b
+    mi = V.commit_app_meta(f"{idx}/postings")
+    mf = V.commit_app_meta(f"{full}/postings")
+    assert (mi["n_docs"], mi["total_len"]) == (mf["n_docs"], mf["total_len"])
+
+    # replay: same checkpoint, no new files -> no new commits
+    vp = V.latest_version(f"{idx}/postings")
+    vt = V.latest_version(f"{idx}/terms")
+    q2 = TI.maintain_text_index_stream(
+        spark.readStream.schema(inc.schema).parquet(src), idx, checkpoint=ck
+    )
+    q2.awaitTermination(120)
+    assert V.latest_version(f"{idx}/postings") == vp
+    assert V.latest_version(f"{idx}/terms") == vt
