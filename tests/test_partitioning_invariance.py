@@ -62,6 +62,11 @@ QUERIES = [
     "copurchase_triangles",  # round 10: degree-oriented wedge/closure joins
     "running_revenue",  # round 10: two-level prefix sum across layouts
     "fuzzy_match_customers",  # round 10: blocked distance join + pair dedup
+    "warc_text_extraction",  # round 11: 3-stage mapInPandas decode chain
+    "drift_ks_totalprice",  # round 11: prefix-scan CDF + decimal max fold
+    "bm25_topk",  # round 11: pruned index scan + fixed-point sums + top-k
+    "qgram_match_customers",  # round 11: PassJoin segment blocking + dedup
+    "weighted_sample_counts",  # round 11: priority-sample TakeOrdered merge
 ]
 
 
