@@ -661,14 +661,35 @@ def drift_main(argv: list[str] | None = None) -> int:
         default=0,
         help="exit 1 when tvd_x1e6 > this (0 = flag any drift)",
     )
+    p.add_argument(
+        "--stat",
+        choices=("tvd", "ks"),
+        default="tvd",
+        help="tvd (default; --cuts for numeric, omit for categorical) or "
+        "ks (two-sample Kolmogorov-Smirnov over the full value resolution "
+        "of a numeric column — no cuts)",
+    )
     args = p.parse_args(argv)
 
-    from avro_diff_spark.functions.drift import tv_distance, tv_distance_categorical
+    from avro_diff_spark.functions.drift import (
+        ks_distance,
+        tv_distance,
+        tv_distance_categorical,
+    )
 
     spark = _session(args)
     schema = _schema_arg(args)
     a = _read(spark, args.old_file, args.format, _split(args.keep_fields), _split(args.ignore_fields), schema)
     b = _read(spark, args.new_file, args.format, _split(args.keep_fields), _split(args.ignore_fields), schema)
+    if args.stat == "ks":
+        if args.cuts:
+            p.error("--stat ks reads the full value resolution; drop --cuts")
+        r = ks_distance(a, b, args.column).collect()[0]
+        print(
+            f"n_old: {r['n_a']}  n_new: {r['n_b']}  points: {r['n_points']}  "
+            f"ks_x1e6: {r['ks_x1e6']}"
+        )
+        return 1 if r["ks_x1e6"] > args.threshold else 0
     if args.cuts:
         cuts = tuple(float(c) for c in args.cuts.split(","))
         out = tv_distance(a, b, args.column, cuts)
@@ -682,6 +703,49 @@ def drift_main(argv: list[str] | None = None) -> int:
     return 1 if r["tvd_x1e6"] > args.threshold else 0
 
 
+def extract_main(argv: list[str] | None = None) -> int:
+    """WARC -> documents: scan .warc/.warc.gz files (sources/warc.py),
+    parse HTTP responses, extract boilerplate-free text
+    (functions/html.py), and write a documents parquet — the ingestion
+    front door of the pipeline."""
+    p = argparse.ArgumentParser(
+        prog="extract",
+        description="Extract clean text documents from WARC web archives.",
+    )
+    p.add_argument("warc_path", help="file / directory / glob of .warc(.gz)")
+    p.add_argument("out_parquet", help="destination parquet path")
+    p.add_argument("--min-chars", type=int, default=80)
+    p.add_argument(
+        "--keep-empty",
+        action="store_true",
+        help="keep documents whose extraction produced no good blocks",
+    )
+    args = p.parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from avro_diff_spark.functions.html import extract_text_df
+    from avro_diff_spark.session import get_spark
+    from avro_diff_spark.sources.warc import read_warc
+
+    spark = get_spark("extract")
+    recs = read_warc(spark, args.warc_path).where(
+        (F.col("warc_type") == "response") & F.col("body_text").isNotNull()
+    )
+    docs = extract_text_df(
+        recs,
+        "body_text",
+        keep=("warc_file", "record_id", "target_uri", "http_status"),
+        min_chars=args.min_chars,
+    )
+    if not args.keep_empty:
+        docs = docs.where(F.col("n_good_blocks") > 0)
+    docs.write.mode("overwrite").parquet(args.out_parquet)
+    n = spark.read.parquet(args.out_parquet).count()
+    print(f"documents: {n}  ->  {args.out_parquet}")
+    return 0
+
+
 _COMMANDS = {
     "key_diff": key_diff_main,
     "venn_diff": venn_diff_main,
@@ -690,14 +754,15 @@ _COMMANDS = {
     "drift": drift_main,
     "dq": dq_main,
     "table": table_main,
+    "extract": extract_main,
 }
 
 
 def main() -> int:
-    """Dispatcher: python -m avro_diff_spark.cli {key_diff|venn_diff|dedup|digest|drift|dq|table} ..."""
+    """Dispatcher: python -m avro_diff_spark.cli {key_diff|venn_diff|dedup|digest|drift|dq|table|extract} ..."""
     if len(sys.argv) < 2 or sys.argv[1] not in _COMMANDS:
         print(
-            "usage: python -m avro_diff_spark.cli {key_diff|venn_diff|dedup|digest|drift|dq|table} ...",
+            "usage: python -m avro_diff_spark.cli {key_diff|venn_diff|dedup|digest|drift|dq|table|extract} ...",
             file=sys.stderr,
         )
         return 2

@@ -242,3 +242,20 @@ def test_ks_bucket_invariance_and_plan(spark):
     assert "No Partition Defined" not in plan
     # the cumulative window is keyed by the range bucket
     assert "partitionBy=[_bk" in plan.replace(" ", "") or "_bk" in plan
+
+
+def test_cli_drift_ks_mode(spark, tmp_path, capsys):
+    from avro_diff_spark.cli import drift_main
+
+    a_p, b_p = str(tmp_path / "ka.parquet"), str(tmp_path / "kb.parquet")
+    spark.createDataFrame([(float(i % 20),) for i in range(200)], "x double").write.parquet(a_p)
+    spark.createDataFrame([(float(i % 20) + 7.0,) for i in range(200)], "x double").write.parquet(b_p)
+    rc = drift_main([a_p, b_p, "x", "--format", "parquet", "--stat", "ks"])
+    out = capsys.readouterr().out
+    assert rc == 1 and "ks_x1e6:" in out
+    assert drift_main([a_p, a_p, "x", "--format", "parquet", "--stat", "ks"]) == 0
+    # --stat ks rejects --cuts
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        drift_main([a_p, b_p, "x", "--format", "parquet", "--stat", "ks", "--cuts", "5"])

@@ -289,3 +289,31 @@ def test_warc_records_null_payload_yields_no_rows(spark):
     rows = W.warc_records(df, "payload", keep=("media_id",)).collect()
     assert {r.media_id for r in rows} == {2}
     assert len(rows) == 3
+
+
+def test_cli_extract_command(spark, tmp_path, capsys):
+    from avro_diff_spark.cli import extract_main
+
+    recs = [
+        W.build_record(
+            "response",
+            W.synth_http_response(i, W.synth_page_html(i, f"shardtext {i} " + TEXT)),
+            record_id=f"{i:08d}-0000-4000-8000-000000000000",
+            target_uri=f"https://example.org/{i}",
+            content_type="application/http;msgtype=response",
+        )
+        for i in range(5)
+    ]
+    (tmp_path / "crawl.warc.gz").write_bytes(W.build_warc(recs))
+    out = str(tmp_path / "docs.parquet")
+    rc = extract_main([str(tmp_path / "crawl.warc.gz"), out])
+    assert rc == 0
+    assert "documents: 5" in capsys.readouterr().out
+    docs = {r.target_uri: r.text for r in spark.read.parquet(out).collect()}
+    assert docs["https://example.org/2"] == "shardtext 2 " + TEXT
+    # --min-chars raised above the content length drops everything
+    rc = extract_main(
+        [str(tmp_path / "crawl.warc.gz"), str(tmp_path / "d2.parquet"),
+         "--min-chars", "5000"]
+    )
+    assert "documents: 0" in capsys.readouterr().out
