@@ -80,6 +80,7 @@ def fuzzy_join_passjoin(
     max_dist: int = 1,
     a_keep: Sequence[str] = (),
     b_keep: Sequence[str] = (),
+    n_salts: int = 16,
 ) -> DataFrame:
     """:func:`fuzzy_join` with GENERAL-EDIT blocking: all (a, b) pairs
     within ``max_dist`` levenshtein distance, with NO declared error
@@ -120,6 +121,21 @@ def fuzzy_join_passjoin(
     (2d+1)(d+1)(2d+1) rows per string — a constant in the edit budget,
     never |A| x |B|; every shuffle is keyed by (L, i, text). All
     expressions are JVM Columns (sequence/transform/substr) — no UDF.
+
+    **Degenerate-block skew (``n_salts``):** real key columns share
+    constant prefixes ("Customer#000000123"), so one segment's block can
+    contain a large fraction of BOTH sides — correct (the residual
+    filter still decides) but its verification work lands on ONE task,
+    because the skew is in the join's OUTPUT, which AQE's
+    input-byte-sized skew split never sees. The join key therefore
+    carries a content-derived salt: the probe side computes
+    ``crc32(string) % n_salts``, the index side replicates each segment
+    row across all salts (a bounded (d+1)·n_salts fan-out of the
+    SMALLER side), splitting every block's pair generation and
+    residual verification n_salts ways — deterministic, layout-free,
+    the ``operators/skew.py`` discipline. Verification uses the banded
+    THRESHOLD levenshtein (O(d·n) per pair, JVM builtin) and the exact
+    distance is recomputed only for surviving pairs.
     """
     d = int(max_dist)
     if d < 1:
@@ -140,9 +156,11 @@ def fuzzy_join_passjoin(
     # ---- long-string passes (L >= d+1): segment index join ----
     s, t = F.col(acol), F.col(bcol)
     La, M = F.length(s).cast("int"), F.length(t).cast("int")
+    r = max(int(n_salts), 1)
     idx = (
         left.where(La >= d + 1)
         .select("*", F.explode(F.sequence(F.lit(0), F.lit(d))).alias("_i"))
+        .select("*", F.explode(F.sequence(F.lit(0), F.lit(r - 1))).alias("_salt"))
     )
     a_start, a_len = _layout(F.length(F.col(acol)).cast("int"), F.col("_i"))
     idx = idx.select(
@@ -166,10 +184,26 @@ def fuzzy_join_passjoin(
     probe = probe.select(
         "*", F.explode(F.when(lo <= hi, F.sequence(lo, hi))).alias("_st")
     ).select(
-        *b_keep, bcol, "_L", "_i", F.col(bcol).substr(F.col("_st") + 1, p_len).alias("_seg")
+        *b_keep,
+        bcol,
+        "_L",
+        "_i",
+        F.pmod(F.crc32(F.col(bcol)), F.lit(r)).cast("int").alias("_salt"),
+        F.col(bcol).substr(F.col("_st") + 1, p_len).alias("_seg"),
     )
 
-    pairs = idx.join(probe, ["_L", "_i", "_seg"]).select(*a_keep, acol, *b_keep, bcol)
+    # Explicit-count repartition on the join key: the candidate blocks
+    # are SMALL IN BYTES but EXPLOSIVE IN OUTPUT, so AQE's byte-sized
+    # coalesce would merge them into one task and serialize the
+    # verification; a user-specified partition count is exempt from
+    # coalescing and keeps the salted blocks spread.
+    jkeys = ["_L", "_i", "_salt", "_seg"]
+    nparts = max(2 * r, 16)
+    pairs = (
+        idx.repartition(nparts, *jkeys)
+        .join(probe.repartition(nparts, *jkeys), jkeys)
+        .select(*a_keep, acol, *b_keep, bcol)
+    )
 
     # ---- short-block pass (L <= d): bounded degenerate bucket ----
     # join key derived from data so Catalyst can't constant-fold it to a BNLJ
@@ -177,9 +211,10 @@ def fuzzy_join_passjoin(
     short_b = right.where(M <= 2 * d).withColumn("_k", F.pmod(M, F.lit(1)))
     shorts = short_a.join(short_b, "_k").select(*a_keep, acol, *b_keep, bcol)
 
-    out = pairs.unionByName(shorts).where(
-        F.levenshtein(F.col(acol), F.col(bcol)) <= F.lit(d)
-    )
+    # banded threshold verify (O(d*n) per pair); exact distance only for
+    # the (few) survivors
+    within = F.levenshtein(F.col(acol), F.col(bcol), d)
+    out = pairs.unionByName(shorts).where((within >= 0) & (within <= F.lit(d)))
     return out.distinct().withColumn(
         "dist", F.levenshtein(F.col(acol), F.col(bcol)).cast("long")
     )
