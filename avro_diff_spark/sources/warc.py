@@ -537,3 +537,77 @@ def synth_warc_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             )
 
     return narrow.mapInPandas(run, schema="media_id long, payload binary")
+
+
+def write_warc(
+    df: DataFrame,
+    path: str,
+    *,
+    uri_col: str = "target_uri",
+    body_col: str = "body",
+    status_col: str | None = None,
+    content_type_col: str | None = None,
+    date: str = "2026-01-01T00:00:00Z",
+    gzip_per_record: bool = True,
+) -> None:
+    """Distributed WARC sink (the ``write_avro`` shape): ``path``
+    becomes a directory of one ``part-NNNNN.warc.gz`` per non-empty
+    partition, each written executor-side as standard response records
+    (HTTP 200 envelope with Content-Length; the status/content-type
+    columns override the defaults). Record ids derive from
+    md5(uri|part|row) — deterministic, no uuid4. :func:`read_warc`
+    reads the directory back transparently (round-trip pytest-pinned).
+    Empty partitions write no file; rows with NULL uri or body are
+    skipped (a crawl archive has no entry for an unfetched page)."""
+    import hashlib
+    import os
+
+    cols = [uri_col, body_col]
+    if status_col:
+        cols.append(status_col)
+    if content_type_col:
+        cols.append(content_type_col)
+    narrow = df.select(*cols)
+    os.makedirs(path, exist_ok=True)
+    suffix = ".warc.gz" if gzip_per_record else ".warc"
+    for stale in os.listdir(path):
+        if stale.startswith("part-") and (
+            stale.endswith(".warc") or stale.endswith(".warc.gz")
+        ):
+            os.remove(os.path.join(path, stale))
+
+    def write_partition(idx: int, it):
+        recs = []
+        for n, row in enumerate(it):
+            uri, body = row[uri_col], row[body_col]
+            if uri is None or body is None:
+                continue
+            body = bytes(body) if not isinstance(body, (bytes, bytearray)) else body
+            status = int(row[status_col]) if status_col else 200
+            ctype = (row[content_type_col] if content_type_col else None) or "text/html"
+            reason = "OK" if status == 200 else ""
+            http = (
+                f"HTTP/1.1 {status} {reason}\r\nContent-Type: {ctype}\r\n"
+                f"Content-Length: {len(body)}\r\n\r\n"
+            ).encode("ascii") + bytes(body)
+            rid = hashlib.md5(f"{uri}|{idx}|{n}".encode()).hexdigest()
+            rid = f"{rid[:8]}-{rid[8:12]}-{rid[12:16]}-{rid[16:20]}-{rid[20:]}"
+            recs.append(
+                build_record(
+                    "response",
+                    http,
+                    record_id=rid,
+                    date=date,
+                    target_uri=str(uri),
+                    content_type="application/http;msgtype=response",
+                )
+            )
+        if not recs:
+            return
+        part = os.path.join(path, f"part-{idx:05d}{suffix}")
+        with open(part, "wb") as f:
+            f.write(build_warc(recs, gzip_per_record=gzip_per_record))
+        yield 1
+
+    # per-partition imperative IO: the one place the RDD API is right
+    narrow.rdd.mapPartitionsWithIndex(write_partition).count()

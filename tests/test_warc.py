@@ -317,3 +317,25 @@ def test_cli_extract_command(spark, tmp_path, capsys):
          "--min-chars", "5000"]
     )
     assert "documents: 0" in capsys.readouterr().out
+
+
+def test_write_warc_roundtrip_distributed(spark, tmp_path):
+    """Distributed sink -> distributed scan round trip: every (uri,
+    body) survives; NULL rows are skipped; deterministic record ids."""
+    rows = [
+        (f"https://example.org/p/{i}", f"<html><body><p>{'x' * i}</p></body></html>".encode())
+        for i in range(10)
+    ] + [(None, b"skipped"), ("https://example.org/null", None)]
+    df = spark.createDataFrame(rows, "target_uri string, body binary").repartition(3)
+    out = str(tmp_path / "sink")
+    W.write_warc(df, out)
+    back = W.read_warc(spark, out + "/*.warc.gz")
+    got = {r.target_uri: bytes(r.body) for r in back.collect()}
+    want = {u: b for u, b in rows if u is not None and b is not None}
+    assert got == want
+    assert all(r.http_status == 200 for r in back.collect())
+    # plain (non-gzip) shape too
+    out2 = str(tmp_path / "sink2")
+    W.write_warc(df, out2, gzip_per_record=False)
+    back2 = W.read_warc(spark, out2 + "/*.warc")
+    assert {r.target_uri for r in back2.collect()} == set(want)
