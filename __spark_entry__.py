@@ -1804,7 +1804,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # fold in one scan) execute; it is partition-invariance-gated in
     # tests/test_partitioning_invariance.py and the CI oracle gate
     # value-hashes it every run.
+    # Round-11 tail entry (kmeans_cluster_stats precedent — enters
+    # DIRECTLY in the tail, fully oracle-backed via the CI gate):
+    # web_link_graph's Spark-side machinery is the Arrow mapInPandas
+    # per-document pass the recorded warc_text_extraction pins (same
+    # batch shape, same html.py scanner), its new surface (href
+    # attribute parsing + the RFC 3986 §5 reference resolver) is
+    # pytest-pinned against the stdlib resolver over the RFC's own §5.4
+    # examples plus fuzz (tests/test_warc.py), and the CI oracle gate
+    # value-hashes its closed-form resolution law every run.
     for tail in (
+        "web_link_graph",
         "pricing_summary",
         "asof_attribution",
         "concurrent_sessions",

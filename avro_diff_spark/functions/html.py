@@ -295,3 +295,204 @@ def extract_text_df(
             yield res
 
     return narrow.mapInPandas(run, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# link extraction + RFC 3986 reference resolution (the web-graph builder)
+# ---------------------------------------------------------------------------
+
+_HREF_RE = re.compile(
+    r"""href\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))""", re.IGNORECASE
+)
+
+
+def iter_links(html: str) -> list[str]:
+    """href values of ``<a>`` elements in document order (entity-decoded,
+    whitespace-trimmed; empty hrefs dropped). Anchors inside skipped
+    regions (head, script/style, comments) are skipped with them —
+    the same scanner as :func:`html_blocks`, so the two passes agree on
+    what is content."""
+    out: list[str] = []
+    in_head = False
+    skip_until: str | None = None
+    i, n = 0, len(html)
+    while i < n:
+        lt = html.find("<", i)
+        if lt == -1:
+            break
+        if html.startswith("<!--", lt):
+            end = html.find("-->", lt + 4)
+            i = n if end == -1 else end + 3
+            continue
+        if html.startswith("<![CDATA[", lt):
+            end = html.find("]]>", lt + 9)
+            i = n if end == -1 else end + 3
+            continue
+        if html.startswith("<!", lt) or html.startswith("<?", lt):
+            end = html.find(">", lt + 2)
+            i = n if end == -1 else end + 1
+            continue
+        gt = html.find(">", lt + 1)
+        if gt == -1:
+            break
+        raw = html[lt + 1 : gt]
+        m = _TAG_NAME_RE.match(raw)
+        i = gt + 1
+        if not m:
+            continue
+        name = m.group(1).lower()
+        closing = raw.lstrip().startswith("/")
+        if skip_until is not None:
+            if closing and name == skip_until:
+                skip_until = None
+            continue
+        if name in SKIP_TAGS:
+            if not closing and not raw.rstrip().endswith("/"):
+                skip_until = name
+            continue
+        if name == "head":
+            in_head = not closing
+            continue
+        if name in ("body", "html"):
+            in_head = False
+            continue
+        if in_head or closing or name != "a":
+            continue
+        hm = _HREF_RE.search(raw)
+        if hm:
+            val = hm.group(2) or hm.group(3) or hm.group(4) or ""
+            val = decode_entities(val).strip()
+            if val:
+                out.append(val)
+    return out
+
+
+def _remove_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4 — the normative algorithm, transcribed."""
+    inp, out = path, []
+    while inp:
+        if inp.startswith("../"):
+            inp = inp[3:]
+        elif inp.startswith("./"):
+            inp = inp[2:]
+        elif inp.startswith("/./"):
+            inp = "/" + inp[3:]
+        elif inp == "/.":
+            inp = "/"
+        elif inp.startswith("/../"):
+            inp = "/" + inp[4:]
+            if out:
+                out.pop()
+        elif inp == "/..":
+            inp = "/"
+            if out:
+                out.pop()
+        elif inp in (".", ".."):
+            inp = ""
+        else:
+            nxt = inp.find("/", 1)
+            seg, inp = (inp, "") if nxt == -1 else (inp[:nxt], inp[nxt:])
+            out.append(seg)
+    return "".join(out)
+
+
+def _split_uri(uri: str):
+    """(scheme, authority, path, query, fragment) per RFC 3986 appendix B
+    — the reference regex, decomposed by hand (no urllib in the law)."""
+    scheme = authority = query = fragment = None
+    rest = uri
+    h = rest.find("#")
+    if h != -1:
+        rest, fragment = rest[:h], rest[h + 1 :]
+    q = rest.find("?")
+    if q != -1:
+        rest, query = rest[:q], rest[q + 1 :]
+    c = rest.find(":")
+    if c > 0 and re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*$", rest[:c]):
+        scheme, rest = rest[:c], rest[c + 1 :]
+    if rest.startswith("//"):
+        e = len(rest)
+        for ch in "/?#":
+            p = rest.find(ch, 2)
+            if p != -1:
+                e = min(e, p)
+        authority, rest = rest[2:e], rest[e:]
+    return scheme, authority, rest, query, fragment
+
+
+def resolve_url(base: str, ref: str) -> str:
+    """RFC 3986 §5.3 reference resolution (strict): absolute refs pass
+    through, network-path/absolute-path/relative refs and bare
+    query/fragment refs merge against the base, dot segments removed by
+    the §5.2.4 algorithm. Pytest-pinned against the stdlib resolver over
+    fuzzed cases (the stdlib is the TEST oracle, never the
+    implementation)."""
+    b_scheme, b_auth, b_path, b_query, _ = _split_uri(base)
+    r_scheme, r_auth, r_path, r_query, r_frag = _split_uri(ref)
+    if r_scheme is not None:
+        scheme, auth, path, query = r_scheme, r_auth, _remove_dot_segments(r_path), r_query
+    elif r_auth is not None:
+        scheme, auth, path, query = b_scheme, r_auth, _remove_dot_segments(r_path), r_query
+    elif not r_path:
+        scheme, auth, path = b_scheme, b_auth, b_path
+        query = r_query if r_query is not None else b_query
+    else:
+        scheme, auth = b_scheme, b_auth
+        if r_path.startswith("/"):
+            path = _remove_dot_segments(r_path)
+        else:
+            if b_auth is not None and not b_path:
+                merged = "/" + r_path
+            else:
+                merged = b_path[: b_path.rfind("/") + 1] + r_path
+            path = _remove_dot_segments(merged)
+        query = r_query
+    out = ""
+    if scheme is not None:
+        out += scheme + ":"
+    if auth is not None:
+        out += "//" + auth
+    out += path
+    if query is not None:
+        out += "?" + query
+    if r_frag is not None:
+        out += "#" + r_frag
+    return out
+
+
+def extract_links_df(
+    df: DataFrame,
+    html_col: str,
+    base_col: str,
+    *,
+    keep: Sequence[str] = (),
+) -> DataFrame:
+    """One row per (document, resolved out-link): ``keep`` columns +
+    ``link`` (the href resolved against ``base_col`` per RFC 3986).
+    Arrow-batched ``mapInPandas``, map-only — the Common Crawl link-graph
+    extraction pass; feed the result to ``operators/graph.py`` for
+    PageRank/components over the real web graph. NULL html or base
+    yields no rows."""
+    import pandas as pd  # noqa: F401
+
+    keep = list(keep)
+    narrow = df.select(*keep, html_col, base_col)
+    out_schema = ", ".join(
+        [f"`{c}` {narrow.schema[c].dataType.simpleString()}" for c in keep]
+        + ["link string"]
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for b in batches:
+            rows = []
+            for tup in b.itertuples(index=False, name=None):
+                kept, html, base = tup[: len(keep)], tup[len(keep)], tup[len(keep) + 1]
+                if html is None or base is None:
+                    continue
+                for href in iter_links(html):
+                    rows.append(kept + (resolve_url(base, href),))
+            yield pd.DataFrame.from_records(rows, columns=keep + ["link"])
+
+    return narrow.mapInPandas(run, schema=out_schema)

@@ -4076,6 +4076,68 @@ FROM g
 """
 
 
+def q_web_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-graph extraction (functions/html.py ``iter_links`` +
+    ``resolve_url``): per-document out-links pulled from synthesized
+    HTML anchors and resolved against the page's base URL by the
+    from-scratch RFC 3986 §5 resolver — absolute paths, dot-segment
+    relatives (``../doc/j``), sibling-relative with query, cross-host
+    absolutes, and bare fragments all on the hash path. The oracle never
+    parses or resolves anything: every link's resolution is closed-form
+    in the doc id, so one wrong step in href attribute parsing, entity
+    decoding, §5.2.4 dot-segment removal or the merge rules breaks the
+    hash. (The CC link-graph pass; feed operators/graph.py for PageRank
+    over the result.) Map-only mapInPandas + one bounded per-doc
+    collect_list (5 links)."""
+    from avro_diff_spark.functions.html import extract_links_df
+
+    docs = spread_small(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    n = docs.count()  # bounded scalar literal (the tfidf n_docs pattern)
+    did = F.col("doc_id")
+    html = F.concat(
+        F.lit("<html><head><title>d</title></head><body><p>Doc "),
+        did,
+        F.lit('</p><a href="/doc/'),
+        (did * 7 + 1) % n,
+        F.lit("\">a</a> <a href='../doc/"),
+        (did * 13 + 2) % n,
+        F.lit("'>b</a> <a href="),
+        (did * 3 + 5) % n,
+        F.lit("?ref=1>c</a> <a href=\"https://other.example/"),
+        did % 10,
+        F.lit('">d</a> <a href="#top">e</a></body></html>'),
+    )
+    base = F.concat(F.lit("https://example.org/doc/"), did)
+    pages = docs.select("doc_id", html.alias("html"), base.alias("base"))
+    links = extract_links_df(pages, "html", "base", keep=("doc_id",))
+    return links.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_links"),
+        F.md5(F.concat_ws("|", F.array_sort(F.collect_list("link")))).alias(
+            "links_md5"
+        ),
+    )
+
+
+def _web_link_graph_sql() -> str:
+    return """
+WITH n AS (SELECT count(*) AS n FROM documents),
+l AS (
+  SELECT doc_id,
+         list_sort([
+           'https://example.org/doc/' || ((doc_id * 7 + 1) % n.n),
+           'https://example.org/doc/' || ((doc_id * 13 + 2) % n.n),
+           'https://example.org/doc/' || ((doc_id * 3 + 5) % n.n) || '?ref=1',
+           'https://other.example/' || (doc_id % 10),
+           'https://example.org/doc/' || doc_id || '#top'
+         ]) AS ls
+  FROM documents CROSS JOIN n
+)
+SELECT doc_id, CAST(5 AS BIGINT) AS n_links,
+       md5(array_to_string(ls, '|')) AS links_md5
+FROM l
+"""
+
+
 PIPELINE_QUERIES = {
     "text_stats": q_text_stats,
     "vocab_topk": q_vocab_topk,
@@ -4156,6 +4218,7 @@ PIPELINE_QUERIES = {
     "pagerank_neardups": q_pagerank_neardups,
     "warc_text_extraction": q_warc_text_extraction,
     "bm25_topk": q_bm25_topk,
+    "web_link_graph": q_web_link_graph,
 }
 
 def pipeline_sql() -> dict[str, str]:
@@ -4242,4 +4305,5 @@ def pipeline_sql() -> dict[str, str]:
         "pagerank_neardups": _pagerank_neardups_sql(),
         "warc_text_extraction": WARC_TEXT_EXTRACTION_SQL,
         "bm25_topk": _bm25_sql(),
+        "web_link_graph": _web_link_graph_sql(),
     }

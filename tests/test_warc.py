@@ -339,3 +339,63 @@ def test_write_warc_roundtrip_distributed(spark, tmp_path):
     W.write_warc(df, out2, gzip_per_record=False)
     back2 = W.read_warc(spark, out2 + "/*.warc")
     assert {r.target_uri for r in back2.collect()} == set(want)
+
+
+# ---------------------------------------------------------------------------
+# link extraction + RFC 3986 resolution
+# ---------------------------------------------------------------------------
+
+
+def test_iter_links_attribute_forms_and_skips():
+    html = (
+        "<html><head><a href='/in-head'>x</a></head><body>"
+        '<a href="/a">1</a> <a href=\'/b\'>2</a> <a href=/c>3</a>'
+        "<a name='no-href'>4</a> <a href='x&amp;y=1'>5</a>"
+        "<!-- <a href='/comment'>gone</a> -->"
+        "<script>var s = \"<a href='/script'>gone</a>\";</script>"
+        "</body></html>"
+    )
+    assert H.iter_links(html) == ["/a", "/b", "/c", "x&y=1"]
+
+
+def test_resolve_url_matches_stdlib_fuzz():
+    """The from-scratch RFC 3986 resolver against urllib.parse.urljoin
+    (stdlib as TEST oracle only) over the RFC's own §5.4 examples plus
+    fuzzed combinations."""
+    from urllib.parse import urljoin
+
+    bases = [
+        "http://a/b/c/d;p?q",
+        "https://example.org/doc/42",
+        "https://example.org/",
+        "https://u.example/a/b/",
+    ]
+    refs = [
+        "g", "./g", "g/", "/g", "//g", "?y", "g?y", "#s", "g#s", "g?y#s",
+        ";x", "g;x", "", ".", "./", "..", "../", "../g", "../..", "../../",
+        "../../g", "../../../g", "./../g", "g.", ".g", "g..", "..g",
+        "./g/.", "g/./h", "g/../h", "http:g" if False else "http://h/x",
+        "foo/bar?a=b#c", "/rooted/../x",
+    ]
+    for b in bases:
+        for r in refs:
+            assert H.resolve_url(b, r) == urljoin(b, r), (b, r)
+
+
+def test_extract_links_df_resolves(spark):
+    rows = [
+        (1, "https://example.org/doc/1",
+         "<body><a href='/x'>a</a><a href='../y'>b</a><a href='z?q=1'>c</a></body>"),
+        (2, None, "<body><a href='/x'>a</a></body>"),
+        (3, "https://example.org/", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, base string, html string")
+    got = sorted(
+        (r.doc_id, r.link)
+        for r in H.extract_links_df(df, "html", "base", keep=("doc_id",)).collect()
+    )
+    assert got == [
+        (1, "https://example.org/doc/z?q=1"),
+        (1, "https://example.org/x"),
+        (1, "https://example.org/y"),
+    ]
