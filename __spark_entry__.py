@@ -1235,6 +1235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_expectations": analytics.dq_expectations,
         "drift_totalprice_status": analytics.drift_totalprice_status,
         "drift_ks_totalprice": analytics.drift_ks_totalprice,
+        "drift_price_by_priority": analytics.drift_price_by_priority,
         "drift_lang_split": analytics.drift_lang_split,
         "events_props_stats": analytics.events_props_stats,
         "price_quantiles_by_priority": analytics.price_quantiles_by_priority,
@@ -1813,7 +1814,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # pytest-pinned against the stdlib resolver over the RFC's own §5.4
     # examples plus fuzz (tests/test_warc.py), and the CI oracle gate
     # value-hashes its closed-form resolution law every run.
+    # Round-11 tail entry (same precedent): drift_price_by_priority is
+    # the GROUPED composition of the recorded drift_totalprice_status's
+    # fold (identical tagged union, bucket law and decimal cross
+    # products, keyed by group — the exact grouped-composition rationale
+    # of price_quantiles_by_priority/hll_custkey_by_priority in round
+    # 10); CI-oracle-gated every run.
     for tail in (
+        "drift_price_by_priority",
         "web_link_graph",
         "pricing_summary",
         "asof_attribution",
@@ -1933,6 +1941,7 @@ def oracle_sql() -> dict[str, str]:
         "hidden_partition_prune": _HIDDEN_PARTITION_SQL,
         "drift_totalprice_status": analytics.DRIFT_TOTALPRICE_SQL,
         "drift_ks_totalprice": analytics.DRIFT_KS_SQL,
+        "drift_price_by_priority": analytics.DRIFT_BY_PRIORITY_SQL,
         "drift_lang_split": analytics.DRIFT_LANG_SQL,
         "events_props_stats": analytics.EVENTS_PROPS_SQL,
         "price_quantiles_by_priority": analytics.PRICE_QUANTILES_BY_PRIORITY_SQL,

@@ -1122,6 +1122,41 @@ def _drift_lang_sql() -> str:
 DRIFT_LANG_SQL = _drift_lang_sql()
 
 
+def drift_price_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group drift (functions/drift.py ``tv_distance_by``): the
+    finished-vs-open order-value TVD computed PER PRIORITY CLASS — the
+    "which slice drifted?" monitor that localizes a corpus shift to its
+    source instead of reporting one global number. One (group, bucket)
+    aggregate, per-group totals joined back on the group key, one
+    group-keyed numerator aggregate; buckets stay distributed, no
+    windows, no collects."""
+    from avro_diff_spark.functions.drift import tv_distance_by
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return tv_distance_by(
+        o.where(F.col("o_orderstatus") == "F"),
+        o.where(F.col("o_orderstatus") == "O"),
+        "o_totalprice",
+        DRIFT_CUTS,
+        ["o_orderpriority"],
+    )
+
+
+def _drift_by_sql() -> str:
+    from avro_diff_spark.functions.drift import tv_distance_by_sql
+
+    return tv_distance_by_sql(
+        "(SELECT o_orderpriority, o_totalprice FROM orders WHERE o_orderstatus = 'F')",
+        "(SELECT o_orderpriority, o_totalprice FROM orders WHERE o_orderstatus = 'O')",
+        "o_totalprice",
+        DRIFT_CUTS,
+        ["o_orderpriority"],
+    )
+
+
+DRIFT_BY_PRIORITY_SQL = _drift_by_sql()
+
+
 def weighted_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic WEIGHTED sampling (functions/sketches.py
     ``priority_sample`` — Duffield-Lund-Thorup priority sampling, the

@@ -382,3 +382,98 @@ def tv_distance_from_counts(
         F.sum("na").alias("na"), F.sum("nb").alias("nb")
     )
     return _fold_tvd_counts(h)
+
+
+def tv_distance_by(
+    a: DataFrame,
+    b: DataFrame,
+    col: str,
+    cuts: Sequence[float],
+    group_cols: Sequence[str],
+) -> DataFrame:
+    """Per-group :func:`tv_distance`: one (group..., n_a, n_b,
+    n_buckets, tvd_x1e6) row per group key observed in EITHER sample —
+    the per-source / per-language corpus monitor ("which slice
+    drifted?"). Same exact decimal arithmetic; totality per group
+    (a group present in only one sample scores the maximum — its other
+    sample is empty).
+
+    Scale shape: one union scan -> ONE hash aggregate keyed by
+    (group, bucket) -> per-group totals as a second aggregate joined
+    back ON THE GROUP KEY (a real equi-join — no literal-key tricks
+    needed here, and the totals side is one row per group) -> one
+    (group)-keyed aggregate for the numerator. Buckets stay distributed;
+    no windows, no collects."""
+    gcols = list(group_cols)
+    bucket = bucketize(F.col(col), cuts).alias("bucket")
+    tagged = a.select(
+        *gcols, bucket, F.lit(1).alias("_a"), F.lit(0).alias("_b")
+    ).unionByName(b.select(*gcols, bucket, F.lit(0).alias("_a"), F.lit(1).alias("_b")))
+    h = tagged.groupBy(*gcols, "bucket").agg(
+        F.sum("_a").alias("na"), F.sum("_b").alias("nb")
+    )
+    totals = h.groupBy(*gcols).agg(
+        F.sum("na").alias("n_a"),
+        F.sum("nb").alias("n_b"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )
+    dec = "decimal(19,0)"
+    cell = F.abs(
+        F.col("na").cast(dec) * F.col("n_b").cast(dec)
+        - F.col("nb").cast(dec) * F.col("n_a").cast(dec)
+    )
+    folded = (
+        h.join(totals, gcols)
+        .groupBy(*gcols, "n_a", "n_b", "n_buckets")
+        .agg(F.sum(cell).alias("_num"))
+    )
+    denom = F.col("n_a").cast(dec) * F.col("n_b").cast(dec)
+    tvd = F.floor(
+        F.col("_num").cast("double") / denom.cast("double") * F.lit(TVD_SCALE / 2.0)
+    ).cast("long")
+    return folded.select(
+        *gcols,
+        "n_a",
+        "n_b",
+        "n_buckets",
+        F.when((F.col("n_a") == 0) & (F.col("n_b") == 0), F.lit(0).cast("long"))
+        .when((F.col("n_a") == 0) | (F.col("n_b") == 0), F.lit(TVD_SCALE).cast("long"))
+        .otherwise(tvd)
+        .alias("tvd_x1e6"),
+    )
+
+
+def tv_distance_by_sql(
+    a_sql: str, b_sql: str, col: str, cuts: Sequence[float], group_cols: Sequence[str]
+) -> str:
+    """DuckDB twin of :func:`tv_distance_by`."""
+    _check_cuts(cuts)
+    gs = ", ".join(group_cols)
+    ladder = f"CAST({len(cuts)} AS INT)"
+    for i in range(len(cuts) - 1, -1, -1):
+        ladder = f"CASE WHEN {col} < {cuts[i]!r} THEN {i} ELSE {ladder} END"
+    bucket = f"CASE WHEN {col} IS NULL THEN -1 ELSE {ladder} END"
+    return f"""
+WITH tagged AS (
+  SELECT {gs}, {bucket} AS bucket, 1 AS _a, 0 AS _b FROM {a_sql}
+  UNION ALL
+  SELECT {gs}, {bucket} AS bucket, 0 AS _a, 1 AS _b FROM {b_sql}
+),
+h AS (SELECT {gs}, bucket, sum(_a)::BIGINT AS na, sum(_b)::BIGINT AS nb
+      FROM tagged GROUP BY {gs}, bucket),
+t AS (SELECT {gs}, sum(na)::BIGINT AS n_a, sum(nb)::BIGINT AS n_b,
+             count(*)::BIGINT AS n_buckets
+      FROM h GROUP BY {gs}),
+s AS (SELECT {gs}, n_a, n_b, n_buckets,
+             sum(abs(CAST(na AS DECIMAL(19,0)) * CAST(n_b AS DECIMAL(19,0))
+                     - CAST(nb AS DECIMAL(19,0)) * CAST(n_a AS DECIMAL(19,0)))) AS num
+      FROM h JOIN t USING ({gs}) GROUP BY {gs}, n_a, n_b, n_buckets)
+SELECT {gs}, n_a, n_b, n_buckets,
+       CASE WHEN n_a = 0 AND n_b = 0 THEN 0
+            WHEN n_a = 0 OR n_b = 0 THEN {TVD_SCALE}
+            ELSE floor(CAST(num AS DOUBLE)
+                       / CAST(CAST(n_a AS DECIMAL(19,0)) * CAST(n_b AS DECIMAL(19,0)) AS DOUBLE)
+                       * {TVD_SCALE / 2.0!r})::BIGINT
+       END AS tvd_x1e6
+FROM s
+"""

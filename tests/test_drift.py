@@ -259,3 +259,22 @@ def test_cli_drift_ks_mode(spark, tmp_path, capsys):
 
     with _pytest.raises(SystemExit):
         drift_main([a_p, b_p, "x", "--format", "parquet", "--stat", "ks", "--cuts", "5"])
+
+
+def test_grouped_tvd_matches_per_group_python(spark):
+    from avro_diff_spark.functions.drift import tv_distance_by
+
+    rng = random.Random(21)
+    rows_a = [(f"g{i % 3}", rng.uniform(0, 40)) for i in range(300)]
+    rows_b = [(f"g{i % 4}", rng.uniform(5, 45)) for i in range(260)]  # g3 only in b
+    a = spark.createDataFrame(rows_a, "g string, x double")
+    b = spark.createDataFrame(rows_b, "g string, x double")
+    got = {
+        r.g: (r.n_a, r.n_b, r.tvd_x1e6)
+        for r in tv_distance_by(a, b, "x", CUTS, ["g"]).collect()
+    }
+    for g in ("g0", "g1", "g2", "g3"):
+        av = [v for k, v in rows_a if k == g]
+        bv = [v for k, v in rows_b if k == g]
+        assert got[g] == (len(av), len(bv), _py_tvd(av, bv)), g
+    assert got["g3"][2] == TVD_SCALE  # one-sided group scores maximum
