@@ -496,3 +496,79 @@ def extract_links_df(
             yield pd.DataFrame.from_records(rows, columns=keep + ["link"])
 
     return narrow.mapInPandas(run, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# document metadata (title / description / declared language)
+# ---------------------------------------------------------------------------
+
+_TITLE_RE = re.compile(r"<title[^>]*>(.*?)</title\s*>", re.IGNORECASE | re.DOTALL)
+_META_DESC_RE = re.compile(
+    r"""<meta[^>]+name\s*=\s*["']?description["']?[^>]*>""", re.IGNORECASE
+)
+_CONTENT_RE = re.compile(r"""content\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))""", re.IGNORECASE)
+_HTML_LANG_RE = re.compile(
+    r"""<html[^>]+lang\s*=\s*["']?\s*([a-zA-Z][a-zA-Z0-9\-]*)""", re.IGNORECASE
+)
+
+
+def html_meta(html: str) -> tuple[str | None, str | None, str | None]:
+    """(title, meta_description, declared_lang) — the header fields a
+    documents table wants next to the extracted text: <title> content
+    (entity-decoded, whitespace-normalized), <meta name="description">'s
+    content attribute, and <html lang="...">'s declared language
+    (lowercased primary subtag form, e.g. 'en', 'pt-br'). Declared
+    language is METADATA (sites lie) — the content-based check is
+    functions/text.py's n-gram language ID; shipping both is exactly
+    what lets a pipeline MEASURE the disagreement rate. Absent fields
+    are None; the scan is regex-bounded and total on malformed input."""
+    title = None
+    m = _TITLE_RE.search(html)
+    if m:
+        t = " ".join(decode_entities(m.group(1)).split())
+        title = t or None
+    desc = None
+    dm = _META_DESC_RE.search(html)
+    if dm:
+        cm = _CONTENT_RE.search(dm.group(0))
+        if cm:
+            d = " ".join(
+                decode_entities(cm.group(2) or cm.group(3) or cm.group(4) or "").split()
+            )
+            desc = d or None
+    lang = None
+    lm = _HTML_LANG_RE.search(html)
+    if lm:
+        lang = lm.group(1).lower()
+    return title, desc, lang
+
+
+def html_meta_df(
+    df: DataFrame, html_col: str, *, keep: Sequence[str] = ()
+) -> DataFrame:
+    """``keep`` columns + (title, meta_description, declared_lang) via
+    Arrow-batched ``mapInPandas``; NULL html yields all-None fields."""
+    import pandas as pd  # noqa: F401
+
+    keep = list(keep)
+    narrow = df.select(*keep, html_col)
+    out_schema = ", ".join(
+        [f"`{c}` {narrow.schema[c].dataType.simpleString()}" for c in keep]
+        + ["title string", "meta_description string", "declared_lang string"]
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for b in batches:
+            metas = [
+                html_meta(h) if h is not None else (None, None, None)
+                for h in b[html_col]
+            ]
+            res = b[keep].copy() if keep else pd.DataFrame(index=b.index)
+            res["title"] = [m[0] for m in metas]
+            res["meta_description"] = [m[1] for m in metas]
+            res["declared_lang"] = [m[2] for m in metas]
+            yield res
+
+    return narrow.mapInPandas(run, schema=out_schema)

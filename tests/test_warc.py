@@ -399,3 +399,31 @@ def test_extract_links_df_resolves(spark):
         (1, "https://example.org/x"),
         (1, "https://example.org/y"),
     ]
+
+
+def test_html_meta_fields_and_totality():
+    html = (
+        '<html LANG="EN-us"><head><title> My &amp; Page \n title </title>'
+        '<meta name="description" content="A &quot;nice&quot; page">'
+        "</head><body><p>x</p></body></html>"
+    )
+    assert H.html_meta(html) == ("My & Page title", 'A "nice" page', "en-us")
+    assert H.html_meta("<p>no head</p>") == (None, None, None)
+    assert H.html_meta("<title></title>") == (None, None, None)
+    assert H.html_meta("") == (None, None, None)
+    # single-quoted + unquoted content forms
+    assert H.html_meta("<meta name='description' content='d1'>")[1] == "d1"
+    assert H.html_meta("<meta name=description content=d2>")[1] == "d2"
+
+
+def test_html_meta_df(spark):
+    rows = [
+        (1, "<html lang='de'><head><title>T1</title></head></html>"),
+        (2, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    got = {
+        r.doc_id: (r.title, r.meta_description, r.declared_lang)
+        for r in H.html_meta_df(df, "html", keep=("doc_id",)).collect()
+    }
+    assert got == {1: ("T1", None, "de"), 2: (None, None, None)}
