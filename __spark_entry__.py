@@ -1236,6 +1236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_totalprice_status": analytics.drift_totalprice_status,
         "drift_ks_totalprice": analytics.drift_ks_totalprice,
         "drift_price_by_priority": analytics.drift_price_by_priority,
+        "drift_ks_by_priority": analytics.drift_ks_by_priority,
         "drift_lang_split": analytics.drift_lang_split,
         "events_props_stats": analytics.events_props_stats,
         "price_quantiles_by_priority": analytics.price_quantiles_by_priority,
@@ -1820,7 +1821,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # products, keyed by group — the exact grouped-composition rationale
     # of price_quantiles_by_priority/hll_custkey_by_priority in round
     # 10); CI-oracle-gated every run.
+    # Round-11 tail entry (same precedent): drift_ks_by_priority is the
+    # GROUPED composition of the recorded drift_ks_totalprice (identical
+    # merged-order-statistics cross products; the per-group offsets move
+    # from bounded driver literals to a group-keyed window over the
+    # groups x buckets aggregate — strictly more distributed), oracle =
+    # independent native per-group windows; CI-oracle-gated every run.
     for tail in (
+        "drift_ks_by_priority",
         "drift_price_by_priority",
         "web_link_graph",
         "pricing_summary",
@@ -1942,6 +1950,7 @@ def oracle_sql() -> dict[str, str]:
         "drift_totalprice_status": analytics.DRIFT_TOTALPRICE_SQL,
         "drift_ks_totalprice": analytics.DRIFT_KS_SQL,
         "drift_price_by_priority": analytics.DRIFT_BY_PRIORITY_SQL,
+        "drift_ks_by_priority": analytics.DRIFT_KS_BY_PRIORITY_SQL,
         "drift_lang_split": analytics.DRIFT_LANG_SQL,
         "events_props_stats": analytics.EVENTS_PROPS_SQL,
         "price_quantiles_by_priority": analytics.PRICE_QUANTILES_BY_PRIORITY_SQL,

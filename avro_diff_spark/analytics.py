@@ -1157,6 +1157,38 @@ def _drift_by_sql() -> str:
 DRIFT_BY_PRIORITY_SQL = _drift_by_sql()
 
 
+def drift_ks_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Kolmogorov-Smirnov drift (functions/drift.py
+    ``ks_distance_by``): the finished-vs-open order-value sup-CDF
+    distance PER PRIORITY CLASS. Unlike the recorded global KS (whose
+    bounded offsets are driver literals), the per-group prefix offsets
+    come from a window PARTITIONED BY GROUP over the groups x buckets
+    aggregate — no driver collect; every window keyed."""
+    from avro_diff_spark.functions.drift import ks_distance_by
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return ks_distance_by(
+        o.where(F.col("o_orderstatus") == "F"),
+        o.where(F.col("o_orderstatus") == "O"),
+        "o_totalprice",
+        ["o_orderpriority"],
+    )
+
+
+def _drift_ks_by_sql() -> str:
+    from avro_diff_spark.functions.drift import ks_distance_by_sql
+
+    return ks_distance_by_sql(
+        "(SELECT o_orderpriority, o_totalprice FROM orders WHERE o_orderstatus = 'F')",
+        "(SELECT o_orderpriority, o_totalprice FROM orders WHERE o_orderstatus = 'O')",
+        "o_totalprice",
+        ["o_orderpriority"],
+    )
+
+
+DRIFT_KS_BY_PRIORITY_SQL = _drift_ks_by_sql()
+
+
 def weighted_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic WEIGHTED sampling (functions/sketches.py
     ``priority_sample`` — Duffield-Lund-Thorup priority sampling, the

@@ -477,3 +477,135 @@ SELECT {gs}, n_a, n_b, n_buckets,
        END AS tvd_x1e6
 FROM s
 """
+
+
+def ks_distance_by(
+    a: DataFrame,
+    b: DataFrame,
+    col: str,
+    group_cols: Sequence[str],
+    *,
+    buckets: int = 64,
+) -> DataFrame:
+    """Per-group :func:`ks_distance`: one (group..., n_a, n_b, n_points,
+    ks_x1e6) row per group key observed in either sample — the
+    which-slice-drifted companion of :func:`tv_distance_by` at full
+    value resolution. Unlike the global version (whose ≤buckets offsets
+    are bounded driver literals), the per-group prefix offsets live in a
+    groups × buckets table, so here they come from a window PARTITIONED
+    BY GROUP over that small aggregate — no driver collect at all, and
+    every window is keyed (group for the offsets, (group, range-bucket)
+    for the cumulative counts). Totality per group: a group present in
+    only one sample scores the maximum. NULL values excluded as in
+    :func:`ks_distance`."""
+    from pyspark.sql import Window
+
+    from avro_diff_spark.operators.prefix import _sample_cuts
+
+    gcols = list(group_cols)
+    v = F.col(col)
+    tagged = (
+        a.where(v.isNotNull()).select(
+            *gcols, v.alias("v"), F.lit(1).alias("_a"), F.lit(0).alias("_b")
+        )
+    ).unionByName(
+        b.where(v.isNotNull()).select(
+            *gcols, v.alias("v"), F.lit(0).alias("_a"), F.lit(1).alias("_b")
+        )
+    )
+    h = tagged.groupBy(*gcols, "v").agg(
+        F.sum("_a").alias("na"), F.sum("_b").alias("nb")
+    )
+    cuts = _sample_cuts(h, "v", buckets)
+    bexpr = F.lit(len(cuts))
+    for i in range(len(cuts) - 1, -1, -1):
+        bexpr = F.when(F.col("v") < F.lit(cuts[i]), F.lit(i)).otherwise(bexpr)
+    hb = h.withColumn("_bk", bexpr)
+    btot = hb.groupBy(*gcols, "_bk").agg(
+        F.sum("na").alias("_ta"), F.sum("nb").alias("_tb")
+    )
+    woff = (
+        Window.partitionBy(*gcols)
+        .orderBy(F.col("_bk").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    offs = btot.select(
+        *gcols,
+        "_bk",
+        (F.sum("_ta").over(woff) - F.col("_ta")).alias("_oa"),
+        (F.sum("_tb").over(woff) - F.col("_tb")).alias("_ob"),
+    )
+    totals = h.groupBy(*gcols).agg(
+        F.sum("na").alias("n_a"),
+        F.sum("nb").alias("n_b"),
+        F.count(F.lit(1)).alias("n_points"),
+    )
+    wcum = (
+        Window.partitionBy(*gcols, "_bk")
+        .orderBy(F.col("v").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dec = "decimal(19,0)"
+    joined = hb.join(offs, [*gcols, "_bk"]).join(totals, gcols)
+    ca = F.col("_oa") + F.sum("na").over(wcum)
+    cb = F.col("_ob") + F.sum("nb").over(wcum)
+    cross = F.abs(
+        ca.cast(dec) * F.col("n_b").cast(dec) - cb.cast(dec) * F.col("n_a").cast(dec)
+    )
+    folded = (
+        joined.select(*gcols, "n_a", "n_b", "n_points", cross.alias("_x"))
+        .groupBy(*gcols, "n_a", "n_b", "n_points")
+        .agg(F.max("_x").alias("_num"))
+    )
+    ks = F.floor(
+        F.col("_num").cast("double")
+        / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+        * F.lit(float(KS_SCALE))
+    ).cast("long")
+    return folded.select(
+        *gcols,
+        "n_a",
+        "n_b",
+        "n_points",
+        F.when((F.col("n_a") == 0) & (F.col("n_b") == 0), F.lit(0).cast("long"))
+        .when((F.col("n_a") == 0) | (F.col("n_b") == 0), F.lit(KS_SCALE).cast("long"))
+        .otherwise(ks)
+        .alias("ks_x1e6"),
+    )
+
+
+def ks_distance_by_sql(
+    a_sql: str, b_sql: str, col: str, group_cols: Sequence[str]
+) -> str:
+    """DuckDB twin of :func:`ks_distance_by` — native per-group windows
+    (independent formulation proving the bucketed decomposition)."""
+    gs = ", ".join(group_cols)
+    return f"""
+WITH tagged AS (
+  SELECT {gs}, {col} AS v, 1 AS _a, 0 AS _b FROM {a_sql} WHERE {col} IS NOT NULL
+  UNION ALL
+  SELECT {gs}, {col} AS v, 0 AS _a, 1 AS _b FROM {b_sql} WHERE {col} IS NOT NULL
+),
+h AS (SELECT {gs}, v, sum(_a)::BIGINT AS na, sum(_b)::BIGINT AS nb
+      FROM tagged GROUP BY {gs}, v),
+c AS (SELECT {gs},
+             CAST(sum(na) OVER w AS BIGINT) AS ca,
+             CAST(sum(nb) OVER w AS BIGINT) AS cb
+      FROM h WINDOW w AS (PARTITION BY {gs} ORDER BY v
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+t AS (SELECT {gs}, sum(na)::BIGINT AS n_a, sum(nb)::BIGINT AS n_b,
+             count(*)::BIGINT AS n_points
+      FROM h GROUP BY {gs}),
+m AS (SELECT {gs}, n_a, n_b, n_points,
+             max(abs(CAST(ca AS DECIMAL(19,0)) * CAST(n_b AS DECIMAL(19,0))
+                     - CAST(cb AS DECIMAL(19,0)) * CAST(n_a AS DECIMAL(19,0)))) AS num
+      FROM c JOIN t USING ({gs}) GROUP BY {gs}, n_a, n_b, n_points)
+SELECT {gs}, n_a, n_b, n_points,
+       CASE WHEN n_a = 0 AND n_b = 0 THEN 0
+            WHEN n_a = 0 OR n_b = 0 THEN {KS_SCALE}
+            ELSE floor(CAST(num AS DOUBLE)
+                       / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+                       * CAST({KS_SCALE} AS DOUBLE))::BIGINT
+       END AS ks_x1e6
+FROM m
+"""

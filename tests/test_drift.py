@@ -278,3 +278,39 @@ def test_grouped_tvd_matches_per_group_python(spark):
         bv = [v for k, v in rows_b if k == g]
         assert got[g] == (len(av), len(bv), _py_tvd(av, bv)), g
     assert got["g3"][2] == TVD_SCALE  # one-sided group scores maximum
+
+
+def test_grouped_ks_matches_per_group_python(spark):
+    from avro_diff_spark.functions.drift import KS_SCALE, ks_distance_by
+
+    rng = random.Random(31)
+    rows_a = [(f"g{i % 3}", float(rng.randrange(0, 60))) for i in range(280)]
+    rows_b = [(f"g{i % 4}", float(rng.randrange(15, 90))) for i in range(240)]
+    a = spark.createDataFrame(rows_a, "g string, x double")
+    b = spark.createDataFrame(rows_b, "g string, x double")
+    got = {
+        r.g: (r.n_a, r.n_b, r.n_points, r.ks_x1e6)
+        for r in ks_distance_by(a, b, "x", ["g"], buckets=4).collect()
+    }
+    for g in ("g0", "g1", "g2", "g3"):
+        av = [v for k, v in rows_a if k == g]
+        bv = [v for k, v in rows_b if k == g]
+        want = (
+            len(av),
+            len(bv),
+            len(set(av) | set(bv)),
+            _py_ks(av, bv),
+        )
+        assert got[g] == want, g
+    assert got["g3"][3] == KS_SCALE  # one-sided group -> maximum
+
+
+def test_grouped_ks_plan_all_windows_keyed(spark):
+    from avro_diff_spark.functions.drift import ks_distance_by
+
+    a = spark.createDataFrame([("g", 1.0)], "g string, x double")
+    q = ks_distance_by(a, a, "x", ["g"])
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "No Partition Defined" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
