@@ -1827,7 +1827,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # from bounded driver literals to a group-keyed window over the
     # groups x buckets aggregate — strictly more distributed), oracle =
     # independent native per-group windows; CI-oracle-gated every run.
+    # Round-11 tail entry (same precedent): robots_gate_counts' Spark-side
+    # machinery is the Arrow mapInPandas per-document pass the recorded
+    # warc_text_extraction pins; the new surface (RFC 9309 grammar,
+    # group selection, longest-pattern precedence, wildcard/anchor
+    # matching) is pytest-pinned in tests/test_robots.py and the CI
+    # oracle gate value-hashes its closed-form verdict law every run.
     for tail in (
+        "robots_gate_counts",
         "drift_ks_by_priority",
         "drift_price_by_priority",
         "web_link_graph",

@@ -1,0 +1,183 @@
+"""robots.txt (RFC 9309) parsing and URL gating.
+
+The crawl-politeness front door of a web-corpus pipeline: before a
+fetched page may enter the training corpus, the crawler's product token
+must have been ALLOWED to fetch its path by the host's robots.txt —
+and a retroactive compliance audit over an archived crawl needs the
+same evaluation at corpus scale. This module is a from-scratch RFC 9309
+implementation:
+
+- **Grammar** (§2.2): ``User-agent`` lines open a group (adjacent
+  user-agent lines share one group), ``Allow``/``Disallow`` rules attach
+  to the open group, unknown directives are ignored, ``#`` comments
+  stripped, blank lines end nothing (rules before any user-agent line
+  are ignored, per the ABNF). ``Sitemap`` lines are collected (they are
+  group-independent).
+- **Group selection** (§2.2.1): the crawler uses the group whose agent
+  token equals its product token case-insensitively; otherwise the
+  ``*`` group; otherwise everything is allowed.
+- **Rule precedence** (§2.2.2): the MOST SPECIFIC match wins — longest
+  rule PATTERN in octets; on a tie, Allow wins. An empty pattern
+  matches nothing. ``*`` matches any character run; ``$`` anchors the
+  pattern end. No matching rule → allowed.
+- **Totality**: absent/undecodable robots.txt → allowed (the RFC's
+  "unavailable" status); a malformed line is skipped, never fatal.
+
+Spark surface: :func:`robots_filter_df` evaluates (url, robots_text)
+rows via Arrow-batched ``mapInPandas`` — per-row Python against a
+parsed-rule cache, the honest shape for a grammar evaluation (the same
+posture as the media decoders); the pages⋈robots host join upstream is
+an ordinary broadcast equi-join (robots files are small and one per
+host).
+
+No reference parity (yuana97/Avro_Diff has no web surface);
+beyond-reference LLM-pipeline tier.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator, Sequence
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pandas as pd
+
+__all__ = ["parse_robots", "is_allowed", "robots_filter_df"]
+
+
+def parse_robots(text: str) -> dict:
+    """Parse robots.txt into ``{"groups": {agent_lower: [(allow, pattern),
+    ...]}, "sitemaps": [...]}``. Adjacent User-agent lines share the
+    following rule block (RFC 9309 §2.2); if the same agent opens two
+    separate groups their rules merge (the RFC's "combine" rule)."""
+    groups: dict[str, list[tuple[bool, str]]] = {}
+    sitemaps: list[str] = []
+    open_agents: list[str] = []
+    last_was_agent = False
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            last_was_agent = False
+            continue
+        key, sep, val = line.partition(":")
+        if not sep:
+            continue
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            agent = val.lower()
+            if last_was_agent:
+                open_agents.append(agent)
+            else:
+                open_agents = [agent]
+            for a in open_agents:
+                groups.setdefault(a, [])
+            last_was_agent = True
+            continue
+        last_was_agent = False
+        if key == "sitemap":
+            if val:
+                sitemaps.append(val)
+            continue
+        if key in ("allow", "disallow") and open_agents:
+            for a in open_agents:
+                groups.setdefault(a, []).append((key == "allow", val))
+    return {"groups": groups, "sitemaps": sitemaps}
+
+
+def _pattern_matches(pattern: str, path: str) -> bool:
+    """RFC 9309 path-pattern match from the path start: ``*`` matches
+    any run (including empty), a trailing ``$`` anchors the end; all
+    other characters literal. Empty patterns match nothing."""
+    if not pattern:
+        return False
+    anchored = pattern.endswith("$")
+    if anchored:
+        pattern = pattern[:-1]
+    rx = ".*".join(re.escape(part) for part in pattern.split("*"))
+    rx = "^" + rx + ("$" if anchored else "")
+    return re.match(rx, path) is not None
+
+
+def is_allowed(robots: dict, agent: str, path: str) -> bool:
+    """Evaluate one path for one product token against parsed rules:
+    group by exact case-insensitive token (else ``*``, else allow);
+    longest-pattern match wins, Allow beats Disallow on ties; no match
+    → allowed."""
+    groups = robots.get("groups", {})
+    rules = groups.get(agent.lower())
+    if rules is None:
+        rules = groups.get("*")
+    if not rules:
+        return True
+    best_len = -1
+    best_allow = True
+    for allow, pattern in rules:
+        if len(pattern) < best_len:
+            continue
+        if _pattern_matches(pattern, path):
+            if len(pattern) > best_len or (len(pattern) == best_len and allow):
+                best_len = len(pattern)
+                best_allow = allow
+    return best_allow
+
+
+_PATH_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/]*")
+
+
+def _url_path(url: str) -> str:
+    """The path-and-query portion the rules apply to ('/' when empty)."""
+    rest = _PATH_RE.sub("", url)
+    rest = rest.split("#", 1)[0]
+    return rest or "/"
+
+
+def robots_filter_df(
+    df: DataFrame,
+    url_col: str,
+    robots_col: str,
+    agent: str,
+    *,
+    keep: Sequence[str] = (),
+) -> DataFrame:
+    """``keep`` columns + ``url`` + ``allowed`` (boolean) — RFC 9309
+    evaluation of each row's URL against its host's robots.txt text
+    (join robots onto pages by host upstream; a NULL robots text is the
+    unavailable case → allowed). Arrow-batched ``mapInPandas`` with a
+    per-batch parse cache keyed by the robots text (one parse per
+    distinct host file, not per URL)."""
+    import pandas as pd  # noqa: F401
+
+    keep = list(keep)
+    narrow = df.select(*keep, url_col, robots_col)
+    out_schema = ", ".join(
+        [f"`{c}` {narrow.schema[c].dataType.simpleString()}" for c in keep]
+        + ["url string", "allowed boolean"]
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        cache: dict[str, dict] = {}
+        for b in batches:
+            allowed = []
+            for url, rb in zip(b[url_col], b[robots_col]):
+                if url is None:
+                    allowed.append(None)
+                    continue
+                if rb is None:
+                    allowed.append(True)
+                    continue
+                rules = cache.get(rb)
+                if rules is None:
+                    rules = cache[rb] = parse_robots(rb)
+                allowed.append(is_allowed(rules, agent, _url_path(str(url))))
+            res = b[keep].copy() if keep else pd.DataFrame(index=b.index)
+            res["url"] = b[url_col]
+            res["allowed"] = allowed
+            yield res
+
+    return narrow.mapInPandas(run, schema=out_schema)

@@ -4138,6 +4138,55 @@ FROM l
 """
 
 
+_ROBOTS_TXT = (
+    "# synthetic robots\n"
+    "User-agent: trainbot\n"
+    "Disallow: /private\n"
+    "Allow: /private/ok$\n"
+    "Disallow: /tmp/*\n"
+    "\n"
+    "User-agent: *\n"
+    "Disallow: /\n"
+)
+
+
+def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-compliance audit (functions/robots.py, RFC 9309): every
+    document's URL is evaluated against its host's robots.txt for the
+    'trainbot' product token — group selection by exact token, longest-
+    pattern precedence with Allow winning ties, ``*``/``$`` pattern
+    forms, and the unavailable-robots → allowed totality (one host
+    serves no robots). The oracle never parses anything: the synthesized
+    rules make each URL's verdict closed-form in the doc id, so a wrong
+    step in grammar parsing, group selection, wildcard matching or
+    precedence breaks the hash. Map-only mapInPandas with a per-batch
+    parse cache (one parse per distinct robots file, not per URL)."""
+    from avro_diff_spark.functions.robots import robots_filter_df
+
+    docs = spread_small(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    did = F.col("doc_id")
+    path = (
+        F.when(did % 4 == 0, F.concat(F.lit("/private/"), did))
+        .when(did % 4 == 1, F.lit("/private/ok"))
+        .when(did % 4 == 2, F.concat(F.lit("/tmp/x"), did))
+        .otherwise(F.concat(F.lit("/public/"), did))
+    )
+    url = F.concat(F.lit("https://h"), did % 7, F.lit(".example"), path)
+    robots = F.when(did % 7 == 3, F.lit(None).cast("string")).otherwise(
+        F.lit(_ROBOTS_TXT)
+    )
+    pages = docs.select("doc_id", url.alias("url"), robots.alias("robots"))
+    out = robots_filter_df(pages, "url", "robots", "trainbot", keep=("doc_id",))
+    return out.select("doc_id", "allowed")
+
+
+ROBOTS_GATE_SQL = """
+SELECT doc_id,
+       (doc_id % 7 = 3 OR doc_id % 4 = 1 OR doc_id % 4 = 3) AS allowed
+FROM documents
+"""
+
+
 PIPELINE_QUERIES = {
     "text_stats": q_text_stats,
     "vocab_topk": q_vocab_topk,
@@ -4219,6 +4268,7 @@ PIPELINE_QUERIES = {
     "warc_text_extraction": q_warc_text_extraction,
     "bm25_topk": q_bm25_topk,
     "web_link_graph": q_web_link_graph,
+    "robots_gate_counts": q_robots_gate,
 }
 
 def pipeline_sql() -> dict[str, str]:
@@ -4306,4 +4356,5 @@ def pipeline_sql() -> dict[str, str]:
         "warc_text_extraction": WARC_TEXT_EXTRACTION_SQL,
         "bm25_topk": _bm25_sql(),
         "web_link_graph": _web_link_graph_sql(),
+        "robots_gate_counts": ROBOTS_GATE_SQL,
     }

@@ -1,0 +1,93 @@
+"""robots.txt (functions/robots.py): RFC 9309 grammar, group selection,
+longest-pattern precedence, wildcard/anchor matching, totality, and the
+distributed gate."""
+
+from __future__ import annotations
+
+from avro_diff_spark.functions import robots as R
+
+TXT = """
+# comment line
+User-agent: trainbot
+Disallow: /private
+Allow: /private/ok$
+Disallow: /tmp/*
+
+User-agent: otherbot
+User-agent: thirdbot
+Disallow: /shared
+
+User-agent: *
+Disallow: /
+Sitemap: https://example.org/sitemap.xml
+Crawl-delay: 10
+"""
+
+
+def test_parse_groups_and_sitemaps():
+    r = R.parse_robots(TXT)
+    assert set(r["groups"]) == {"trainbot", "otherbot", "thirdbot", "*"}
+    assert r["groups"]["otherbot"] == r["groups"]["thirdbot"] == [(False, "/shared")]
+    assert r["sitemaps"] == ["https://example.org/sitemap.xml"]
+    assert (False, "/private") in r["groups"]["trainbot"]
+    assert (True, "/private/ok$") in r["groups"]["trainbot"]
+
+
+def test_precedence_and_patterns():
+    r = R.parse_robots(TXT)
+    assert not R.is_allowed(r, "TrainBot", "/private/123")  # case-insensitive token
+    assert R.is_allowed(r, "trainbot", "/private/ok")  # longer Allow wins
+    assert not R.is_allowed(r, "trainbot", "/private/ok2")  # $ anchor
+    assert not R.is_allowed(r, "trainbot", "/tmp/anything")  # * wildcard
+    assert R.is_allowed(r, "trainbot", "/public/x")  # no match -> allowed
+    assert not R.is_allowed(r, "otherbot", "/shared/doc")
+    assert R.is_allowed(r, "otherbot", "/else")  # own group shadows *
+    assert not R.is_allowed(r, "unknownbot", "/anything")  # falls to *: Disallow /
+
+
+def test_tie_allow_wins_and_merge_rule():
+    r = R.parse_robots(
+        "User-agent: bot\nDisallow: /a/b\nAllow: /a/c\n\n"
+        "User-agent: bot\nDisallow: /d\n"
+    )
+    # same-length tie: construct one explicitly
+    r2 = R.parse_robots("User-agent: bot\nDisallow: /x\nAllow: /x\n")
+    assert R.is_allowed(r2, "bot", "/x/1")
+    # two groups for the same agent merge
+    assert not R.is_allowed(r, "bot", "/d/e")
+    assert not R.is_allowed(r, "bot", "/a/b/z")
+    assert R.is_allowed(r, "bot", "/a/c/z")
+
+
+def test_totality_edges():
+    assert R.is_allowed(R.parse_robots(""), "bot", "/x")  # empty file
+    r = R.parse_robots("Disallow: /orphan\nUser-agent: bot\nDisallow:\n")
+    # orphan rule before any group is ignored; empty pattern matches nothing
+    assert R.is_allowed(r, "bot", "/orphan/x")
+    assert R.is_allowed(r, "bot", "/anything")
+    # malformed lines skipped
+    assert R.is_allowed(R.parse_robots("garbage\n:::\nUser-agent bot\n"), "b", "/")
+
+
+def test_url_path_extraction():
+    assert R._url_path("https://h.example/a/b?q=1#frag") == "/a/b?q=1"
+    assert R._url_path("https://h.example") == "/"
+    assert R._url_path("/already/path") == "/already/path"
+
+
+def test_robots_filter_df(spark):
+    rows = [
+        (1, "https://h.example/private/1", TXT),
+        (2, "https://h.example/private/ok", TXT),
+        (3, "https://h.example/public/3", TXT),
+        (4, "https://h.example/anything", None),  # unavailable -> allowed
+        (5, None, TXT),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, robots string")
+    got = {
+        r.doc_id: r.allowed
+        for r in R.robots_filter_df(
+            df, "url", "robots", "trainbot", keep=("doc_id",)
+        ).collect()
+    }
+    assert got == {1: False, 2: True, 3: True, 4: True, 5: None}
