@@ -1833,7 +1833,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # group selection, longest-pattern precedence, wildcard/anchor
     # matching) is pytest-pinned in tests/test_robots.py and the CI
     # oracle gate value-hashes its closed-form verdict law every run.
+    # Round-11 tail entry (same precedent): crawl_attrition composes
+    # three recorded/CI-gated stage laws UNCHANGED (warc_text_extraction
+    # decode+extract, robots_gate_counts verdict, dedup_exact_clusters
+    # fingerprint) into the end-to-end ingestion funnel, the exact
+    # composition rationale of the recorded pipeline_attrition (round
+    # 8b); its oracle composes the same closed forms and the CI gate
+    # value-hashes it every run.
     for tail in (
+        "crawl_attrition",
         "robots_gate_counts",
         "drift_ks_by_priority",
         "drift_price_by_priority",

@@ -4187,6 +4187,86 @@ FROM documents
 """
 
 
+def q_crawl_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END INGESTION FUNNEL: synthesized .warc.gz crawl ->
+    from-scratch WARC/HTTP decode -> jusText-class extraction -> RFC
+    9309 robots compliance gate -> exact text dedup, reporting one row
+    of per-stage survivor counts (the crawl-side sibling of the
+    recorded pipeline_attrition cleaning funnel). Every stage is a
+    recorded/CI-gated operator composed UNCHANGED — warc_text_extraction
+    pins the decode+extract law, robots_gate_counts pins the verdict
+    law, dedup_exact_clusters pins the fingerprint law — and the oracle
+    composes the same closed forms, so a drift in ANY stage or in their
+    composition breaks the hash."""
+    from avro_diff_spark.functions.html import extract_text_df
+    from avro_diff_spark.functions.robots import robots_filter_df
+    from avro_diff_spark.sources import warc as WARC
+
+    docs = spread_small(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    media = WARC.synth_warc_media(docs, "doc_id", "text")
+    recs = WARC.warc_records(media, "payload", keep=("media_id",)).where(
+        F.col("warc_type") == "response"
+    )
+    ext = extract_text_df(recs, "body_text", keep=("media_id",))
+    did = F.col("media_id")
+    path = (
+        F.when(did % 4 == 0, F.concat(F.lit("/private/"), did))
+        .when(did % 4 == 1, F.lit("/private/ok"))
+        .when(did % 4 == 2, F.concat(F.lit("/tmp/x"), did))
+        .otherwise(F.concat(F.lit("/public/"), did))
+    )
+    url = F.concat(F.lit("https://h"), did % 7, F.lit(".example"), path)
+    robots = F.when(did % 7 == 3, F.lit(None).cast("string")).otherwise(
+        F.lit(_ROBOTS_TXT)
+    )
+    staged = ext.select(
+        "media_id",
+        "text",
+        (F.col("n_good_blocks") > 0).alias("content"),
+        url.alias("url"),
+        robots.alias("robots"),
+    )
+    gated = robots_filter_df(
+        staged, "url", "robots", "trainbot", keep=("media_id", "text", "content")
+    )
+    keepable = F.col("content") & F.col("allowed")
+    return gated.agg(
+        F.count(F.lit(1)).alias("n_fetched"),
+        F.sum(F.col("content").cast("long")).alias("n_content"),
+        F.sum(keepable.cast("long")).alias("n_allowed"),
+        F.count_distinct(F.when(keepable, F.md5("text"))).alias("n_unique"),
+    )
+
+
+# composition of the three closed-form stage laws (extraction:
+# WARC_TEXT_EXTRACTION_SQL's classification; robots: ROBOTS_GATE_SQL's
+# verdict; dedup: distinct md5 of the normalized text)
+CRAWL_ATTRITION_SQL = f"""
+WITH t AS (
+  SELECT doc_id, trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')) AS s
+  FROM documents
+),
+c AS (
+  SELECT doc_id, s,
+         len(regexp_extract_all(lower(s), '[a-z]+')) AS nw,
+         len(list_filter(regexp_extract_all(lower(s), '[a-z]+'),
+                         w -> w IN ({_WARC_STOP_SQL}))) AS ns
+  FROM t
+),
+g AS (
+  SELECT doc_id, s,
+         (length(s) >= 80 AND 12 * ns >= nw) AS content,
+         (doc_id % 7 = 3 OR doc_id % 4 = 1 OR doc_id % 4 = 3) AS allowed
+  FROM c
+)
+SELECT count(*)::BIGINT AS n_fetched,
+       CAST(sum(CASE WHEN content THEN 1 ELSE 0 END) AS BIGINT) AS n_content,
+       CAST(sum(CASE WHEN content AND allowed THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed,
+       count(DISTINCT CASE WHEN content AND allowed THEN md5(s) END)::BIGINT AS n_unique
+FROM g
+"""
+
+
 PIPELINE_QUERIES = {
     "text_stats": q_text_stats,
     "vocab_topk": q_vocab_topk,
@@ -4269,6 +4349,7 @@ PIPELINE_QUERIES = {
     "bm25_topk": q_bm25_topk,
     "web_link_graph": q_web_link_graph,
     "robots_gate_counts": q_robots_gate,
+    "crawl_attrition": q_crawl_attrition,
 }
 
 def pipeline_sql() -> dict[str, str]:
@@ -4357,4 +4438,5 @@ def pipeline_sql() -> dict[str, str]:
         "bm25_topk": _bm25_sql(),
         "web_link_graph": _web_link_graph_sql(),
         "robots_gate_counts": ROBOTS_GATE_SQL,
+        "crawl_attrition": CRAWL_ATTRITION_SQL,
     }
