@@ -168,7 +168,7 @@ def append_to_text_index(
     txnAppId/txnVersion discipline of ``commit_stream``."""
     postings = _postings_of(df, text_col, id_col)
     delta_terms, dn, dl_ = _stats_of(postings)
-    meta = V.commit_app_meta(f"{index_path}/postings")
+    meta = _collection_meta(index_path)
     # merge_into takes whole source rows, so pre-sum the delta with the
     # touched terms' current df (left join pruned to the delta's
     # buckets — work ∝ increment, untouched term files ride merge_into's
@@ -253,6 +253,19 @@ def maintain_text_index_stream(
     return writer.start()
 
 
+def _collection_meta(index_path: str) -> dict:
+    """The newest commit's collection stats (n_docs, total_len) —
+    walking PAST commits that carry none (compaction/metadata commits
+    don't re-state app_meta, and OPTIMIZE on the postings table must not
+    amnesia the index; caught by the compaction composition pin)."""
+    path = f"{index_path}/postings"
+    for v in range(V.latest_version(path), -1, -1):
+        meta = V.commit_app_meta(path, v)
+        if "n_docs" in meta:
+            return meta
+    raise ValueError(f"{index_path!r} has no committed collection stats")
+
+
 def _score_cols(n_docs: int, avgdl: int):
     """The exact-integer BM25 fraction (module docstring): returns
     (P, Q) decimal columns over (tf, dl, df) input columns."""
@@ -279,7 +292,7 @@ def query_text_index(
     and terms scans filter on the literal term buckets (partition-pruned
     — a probe touches only its buckets' files); ranking is
     (score desc, doc_id asc), fully deterministic."""
-    meta = V.commit_app_meta(f"{index_path}/postings")
+    meta = _collection_meta(index_path)
     n_docs, total_len = int(meta["n_docs"]), int(meta["total_len"])
     avgdl = max(total_len // n_docs, 1) if n_docs else 1
 

