@@ -422,8 +422,22 @@ def tv_distance_by(
         F.col("na").cast(dec) * F.col("n_b").cast(dec)
         - F.col("nb").cast(dec) * F.col("n_a").cast(dec)
     )
+    # null-safe group join: a NULL group key is a real slice (the house
+    # rule — global tv_distance gives NULL its own bucket) and must not
+    # vanish through a null-unsafe equi-join; the totals side's keys are
+    # RENAMED first (totals derives from h, so unrenamed keys would be
+    # ambiguous self-join lineage)
+    import functools as _ft
+    import operator as _op
+
+    t2 = totals.select(
+        *[F.col(g).alias(f"_t_{g}") for g in gcols], "n_a", "n_b", "n_buckets"
+    )
+    cond = _ft.reduce(
+        _op.and_, [F.col(g).eqNullSafe(F.col(f"_t_{g}")) for g in gcols]
+    )
     folded = (
-        h.join(totals, gcols)
+        h.join(t2, cond)
         .groupBy(*gcols, "n_a", "n_b", "n_buckets")
         .agg(F.sum(cell).alias("_num"))
     )
@@ -446,9 +460,12 @@ def tv_distance_by(
 def tv_distance_by_sql(
     a_sql: str, b_sql: str, col: str, cuts: Sequence[float], group_cols: Sequence[str]
 ) -> str:
-    """DuckDB twin of :func:`tv_distance_by`."""
+    """DuckDB twin of :func:`tv_distance_by` (null-safe group join:
+    IS NOT DISTINCT FROM — USING would drop NULL-key slices)."""
     _check_cuts(cuts)
     gs = ", ".join(group_cols)
+    gs_h = ", ".join(f"h.{g}" for g in group_cols)
+    on_nullsafe = " AND ".join(f"h.{g} IS NOT DISTINCT FROM t.{g}" for g in group_cols)
     ladder = f"CAST({len(cuts)} AS INT)"
     for i in range(len(cuts) - 1, -1, -1):
         ladder = f"CASE WHEN {col} < {cuts[i]!r} THEN {i} ELSE {ladder} END"
@@ -464,10 +481,10 @@ h AS (SELECT {gs}, bucket, sum(_a)::BIGINT AS na, sum(_b)::BIGINT AS nb
 t AS (SELECT {gs}, sum(na)::BIGINT AS n_a, sum(nb)::BIGINT AS n_b,
              count(*)::BIGINT AS n_buckets
       FROM h GROUP BY {gs}),
-s AS (SELECT {gs}, n_a, n_b, n_buckets,
+s AS (SELECT {gs_h}, n_a, n_b, n_buckets,
              sum(abs(CAST(na AS DECIMAL(19,0)) * CAST(n_b AS DECIMAL(19,0))
                      - CAST(nb AS DECIMAL(19,0)) * CAST(n_a AS DECIMAL(19,0)))) AS num
-      FROM h JOIN t USING ({gs}) GROUP BY {gs}, n_a, n_b, n_buckets)
+      FROM h JOIN t ON ({on_nullsafe}) GROUP BY {gs_h}, n_a, n_b, n_buckets)
 SELECT {gs}, n_a, n_b, n_buckets,
        CASE WHEN n_a = 0 AND n_b = 0 THEN 0
             WHEN n_a = 0 OR n_b = 0 THEN {TVD_SCALE}
@@ -546,7 +563,30 @@ def ks_distance_by(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     dec = "decimal(19,0)"
-    joined = hb.join(offs, [*gcols, "_bk"]).join(totals, gcols)
+    # null-safe group joins (NULL group keys are real slices); joined
+    # sides derive from h, so their keys are RENAMED to avoid ambiguous
+    # self-join lineage
+    import functools as _ft
+    import operator as _op
+
+    o2 = offs.select(
+        *[F.col(g).alias(f"_o_{g}") for g in gcols],
+        F.col("_bk").alias("_o_bk"),
+        "_oa",
+        "_ob",
+    )
+    c1 = _ft.reduce(
+        _op.and_,
+        [F.col(g).eqNullSafe(F.col(f"_o_{g}")) for g in gcols]
+        + [F.col("_bk") == F.col("_o_bk")],
+    )
+    t2 = totals.select(
+        *[F.col(g).alias(f"_t_{g}") for g in gcols], "n_a", "n_b", "n_points"
+    )
+    c2 = _ft.reduce(
+        _op.and_, [F.col(g).eqNullSafe(F.col(f"_t_{g}")) for g in gcols]
+    )
+    joined = hb.join(o2, c1).join(t2, c2)
     ca = F.col("_oa") + F.sum("na").over(wcum)
     cb = F.col("_ob") + F.sum("nb").over(wcum)
     cross = F.abs(
@@ -578,8 +618,11 @@ def ks_distance_by_sql(
     a_sql: str, b_sql: str, col: str, group_cols: Sequence[str]
 ) -> str:
     """DuckDB twin of :func:`ks_distance_by` — native per-group windows
-    (independent formulation proving the bucketed decomposition)."""
+    (independent formulation proving the bucketed decomposition);
+    null-safe group join (IS NOT DISTINCT FROM)."""
     gs = ", ".join(group_cols)
+    gs_c = ", ".join(f"c.{g}" for g in group_cols)
+    on_nullsafe = " AND ".join(f"c.{g} IS NOT DISTINCT FROM t.{g}" for g in group_cols)
     return f"""
 WITH tagged AS (
   SELECT {gs}, {col} AS v, 1 AS _a, 0 AS _b FROM {a_sql} WHERE {col} IS NOT NULL
@@ -596,10 +639,10 @@ c AS (SELECT {gs},
 t AS (SELECT {gs}, sum(na)::BIGINT AS n_a, sum(nb)::BIGINT AS n_b,
              count(*)::BIGINT AS n_points
       FROM h GROUP BY {gs}),
-m AS (SELECT {gs}, n_a, n_b, n_points,
+m AS (SELECT {gs_c}, n_a, n_b, n_points,
              max(abs(CAST(ca AS DECIMAL(19,0)) * CAST(n_b AS DECIMAL(19,0))
                      - CAST(cb AS DECIMAL(19,0)) * CAST(n_a AS DECIMAL(19,0)))) AS num
-      FROM c JOIN t USING ({gs}) GROUP BY {gs}, n_a, n_b, n_points)
+      FROM c JOIN t ON ({on_nullsafe}) GROUP BY {gs_c}, n_a, n_b, n_points)
 SELECT {gs}, n_a, n_b, n_points,
        CASE WHEN n_a = 0 AND n_b = 0 THEN 0
             WHEN n_a = 0 OR n_b = 0 THEN {KS_SCALE}

@@ -70,7 +70,7 @@ _ENTITIES = {
     "nbsp": "\xa0",
 }
 
-_ENT_RE = re.compile(r"&(#x[0-9a-fA-F]{1,6}|#[0-9]{1,7}|[a-zA-Z][a-zA-Z0-9]{1,31});")
+_ENT_RE = re.compile(r"&(#[xX][0-9a-fA-F]{1,6}|#[0-9]{1,7}|[a-zA-Z][a-zA-Z0-9]{1,31});")
 _WORD_RE = re.compile(r"[a-z]+")
 
 
@@ -99,47 +99,26 @@ def decode_entities(s: str) -> str:
 _TAG_NAME_RE = re.compile(r"^/?\s*([a-zA-Z][a-zA-Z0-9:-]*)")
 
 
-def html_blocks(html: str) -> list[tuple[str, int]]:
-    """Segment ``html`` into text blocks: ``[(normalized_text,
-    link_chars), ...]``. Block boundaries are open/close of any
-    BLOCK_TAGS member; script/style/comment/CDATA/doctype content and
-    everything inside ``<head>`` are skipped; inline tags (``a``,
-    ``span``, ``b``, ...) do not break blocks. ``link_chars`` counts
-    decoded text characters that sat inside an ``<a>`` element (raw,
-    pre-normalization — an upper bound on their share of the normalized
-    block, which is the conservative direction for the link-density
-    veto). Whitespace is normalized per block (runs collapse to one
-    space, ends trimmed); empty blocks are dropped."""
-    out: list[tuple[str, int]] = []
-    buf: list[str] = []
-    link_chars = 0
-    link_depth = 0
+def _scan_events(html: str):
+    """The ONE tag scanner both :func:`html_blocks` and
+    :func:`iter_links` consume (so "what is content" cannot
+    desynchronize between them): yields ``("text", decoded_piece)`` for
+    text outside head/skip regions, and ``("tag", name, closing, raw)``
+    for structural events — ``head``/``body``/``html`` always (state
+    transitions), other tags only outside ``<head>``.
+    Comments/CDATA/doctype and SKIP_TAGS content are consumed silently;
+    an unterminated tag ends the document."""
     in_head = False
     skip_until: str | None = None  # lowercased closing tag we're inside
     i, n = 0, len(html)
-
-    def _flush() -> None:
-        nonlocal buf, link_chars
-        text = " ".join("".join(buf).split())
-        if text:
-            out.append((text, link_chars))
-        buf = []
-        link_chars = 0
-
     while i < n:
         lt = html.find("<", i)
         if lt == -1:
             if not in_head and skip_until is None:
-                piece = decode_entities(html[i:])
-                buf.append(piece)
-                if link_depth > 0:
-                    link_chars += len(piece)
+                yield ("text", decode_entities(html[i:]), None, None)
             break
         if lt > i and not in_head and skip_until is None:
-            piece = decode_entities(html[i:lt])
-            buf.append(piece)
-            if link_depth > 0:
-                link_chars += len(piece)
+            yield ("text", decode_entities(html[i:lt]), None, None)
         # comment / doctype / CDATA
         if html.startswith("<!--", lt):
             end = html.find("-->", lt + 4)
@@ -172,20 +151,57 @@ def html_blocks(html: str) -> list[tuple[str, int]]:
                 skip_until = name
             continue
         if name == "head":
-            _flush()
+            yield ("tag", name, closing, raw)
             in_head = not closing
             continue
         if name in ("body", "html"):
-            _flush()
+            yield ("tag", name, closing, raw)
             in_head = False
-            link_depth = 0
             continue
         if in_head:
             continue
-        if name == "a":
-            link_depth = max(0, link_depth + (-1 if closing else 1))
+        yield ("tag", name, closing, raw)
+
+
+def html_blocks(html: str) -> list[tuple[str, int]]:
+    """Segment ``html`` into text blocks: ``[(normalized_text,
+    link_chars), ...]``. Block boundaries are open/close of any
+    BLOCK_TAGS member; script/style/comment/CDATA/doctype content and
+    everything inside ``<head>`` are skipped; inline tags (``a``,
+    ``span``, ``b``, ...) do not break blocks. ``link_chars`` counts
+    decoded text characters that sat inside an ``<a>`` element (raw,
+    pre-normalization — an upper bound on their share of the normalized
+    block, which is the conservative direction for the link-density
+    veto). Whitespace is normalized per block (runs collapse to one
+    space, ends trimmed); empty blocks are dropped."""
+    out: list[tuple[str, int]] = []
+    buf: list[str] = []
+    link_chars = 0
+    link_depth = 0
+
+    def _flush() -> None:
+        nonlocal buf, link_chars
+        text = " ".join("".join(buf).split())
+        if text:
+            out.append((text, link_chars))
+        buf = []
+        link_chars = 0
+
+    for kind, a, closing, _raw in _scan_events(html):
+        if kind == "text":
+            buf.append(a)
+            if link_depth > 0:
+                link_chars += len(a)
             continue
-        if name in BLOCK_TAGS:
+        name = a
+        if name == "head":
+            _flush()
+        elif name in ("body", "html"):
+            _flush()
+            link_depth = 0
+        elif name == "a":
+            link_depth = max(0, link_depth + (-1 if closing else 1))
+        elif name in BLOCK_TAGS:
             # block boundary also closes any (malformed) anchor spanning it
             _flush()
             link_depth = 0
@@ -302,61 +318,21 @@ def extract_text_df(
 # ---------------------------------------------------------------------------
 
 _HREF_RE = re.compile(
-    r"""href\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))""", re.IGNORECASE
+    # (?<![\w-]) guards against attributes merely ENDING in href
+    # (data-href, ng-href) being read as real links
+    r"""(?<![\w-])href\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))""", re.IGNORECASE
 )
 
 
 def iter_links(html: str) -> list[str]:
     """href values of ``<a>`` elements in document order (entity-decoded,
     whitespace-trimmed; empty hrefs dropped). Anchors inside skipped
-    regions (head, script/style, comments) are skipped with them —
-    the same scanner as :func:`html_blocks`, so the two passes agree on
-    what is content."""
+    regions (head, script/style, comments) are skipped with them — the
+    SAME :func:`_scan_events` scanner :func:`html_blocks` consumes, so
+    the two passes agree on what is content by construction."""
     out: list[str] = []
-    in_head = False
-    skip_until: str | None = None
-    i, n = 0, len(html)
-    while i < n:
-        lt = html.find("<", i)
-        if lt == -1:
-            break
-        if html.startswith("<!--", lt):
-            end = html.find("-->", lt + 4)
-            i = n if end == -1 else end + 3
-            continue
-        if html.startswith("<![CDATA[", lt):
-            end = html.find("]]>", lt + 9)
-            i = n if end == -1 else end + 3
-            continue
-        if html.startswith("<!", lt) or html.startswith("<?", lt):
-            end = html.find(">", lt + 2)
-            i = n if end == -1 else end + 1
-            continue
-        gt = html.find(">", lt + 1)
-        if gt == -1:
-            break
-        raw = html[lt + 1 : gt]
-        m = _TAG_NAME_RE.match(raw)
-        i = gt + 1
-        if not m:
-            continue
-        name = m.group(1).lower()
-        closing = raw.lstrip().startswith("/")
-        if skip_until is not None:
-            if closing and name == skip_until:
-                skip_until = None
-            continue
-        if name in SKIP_TAGS:
-            if not closing and not raw.rstrip().endswith("/"):
-                skip_until = name
-            continue
-        if name == "head":
-            in_head = not closing
-            continue
-        if name in ("body", "html"):
-            in_head = False
-            continue
-        if in_head or closing or name != "a":
+    for kind, name, closing, raw in _scan_events(html):
+        if kind != "tag" or name != "a" or closing:
             continue
         hm = _HREF_RE.search(raw)
         if hm:

@@ -361,7 +361,7 @@ def bm25_score_sql(
     if tokens_sql_fn is None:
         from avro_diff_spark.pipelines import tokens_sql as tokens_sql_fn  # lazy: no cycle
     qvals = ", ".join(
-        f"({int(qid)}, '{t}')"
+        "({}, '{}')".format(int(qid), t.replace("'", "''"))
         for qid, text in queries
         for t in sorted(set(tokenize_query(text)))
     )

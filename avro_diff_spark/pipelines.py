@@ -4062,13 +4062,15 @@ c AS (
   FROM t
 ),
 g AS (
-  SELECT doc_id,
+  SELECT doc_id, s,
          CASE WHEN length(s) >= 80 AND 12 * ns >= nw THEN s ELSE '' END AS ext
   FROM c
 )
 SELECT doc_id,
        CAST(200 AS INT) AS http_status,
-       CAST(4 AS BIGINT) AS n_blocks,
+       -- the empty <p> of a blank/whitespace-only doc is dropped by the
+       -- block scanner, leaving 3 boilerplate blocks
+       CAST(3 + CASE WHEN length(s) > 0 THEN 1 ELSE 0 END AS BIGINT) AS n_blocks,
        CAST(CASE WHEN ext <> '' THEN 1 ELSE 0 END AS BIGINT) AS n_good_blocks,
        CAST(length(ext) AS BIGINT) AS text_len,
        md5(ext) AS text_md5
@@ -4150,6 +4152,24 @@ _ROBOTS_TXT = (
 )
 
 
+def _synth_crawl_urls(did):
+    """(url, robots) Columns for a doc-id Column — ONE definition shared
+    by q_robots_gate and q_crawl_attrition, because ROBOTS_GATE_SQL and
+    CRAWL_ATTRITION_SQL both replay this closed-form verdict law and a
+    one-sided edit would silently break the composed oracle."""
+    path = (
+        F.when(did % 4 == 0, F.concat(F.lit("/private/"), did))
+        .when(did % 4 == 1, F.lit("/private/ok"))
+        .when(did % 4 == 2, F.concat(F.lit("/tmp/x"), did))
+        .otherwise(F.concat(F.lit("/public/"), did))
+    )
+    url = F.concat(F.lit("https://h"), did % 7, F.lit(".example"), path)
+    robots = F.when(did % 7 == 3, F.lit(None).cast("string")).otherwise(
+        F.lit(_ROBOTS_TXT)
+    )
+    return url, robots
+
+
 def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-compliance audit (functions/robots.py, RFC 9309): every
     document's URL is evaluated against its host's robots.txt for the
@@ -4164,17 +4184,7 @@ def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from avro_diff_spark.functions.robots import robots_filter_df
 
     docs = spread_small(spark.read.parquet(f"{sf_dir}/documents.parquet"))
-    did = F.col("doc_id")
-    path = (
-        F.when(did % 4 == 0, F.concat(F.lit("/private/"), did))
-        .when(did % 4 == 1, F.lit("/private/ok"))
-        .when(did % 4 == 2, F.concat(F.lit("/tmp/x"), did))
-        .otherwise(F.concat(F.lit("/public/"), did))
-    )
-    url = F.concat(F.lit("https://h"), did % 7, F.lit(".example"), path)
-    robots = F.when(did % 7 == 3, F.lit(None).cast("string")).otherwise(
-        F.lit(_ROBOTS_TXT)
-    )
+    url, robots = _synth_crawl_urls(F.col("doc_id"))
     pages = docs.select("doc_id", url.alias("url"), robots.alias("robots"))
     out = robots_filter_df(pages, "url", "robots", "trainbot", keep=("doc_id",))
     return out.select("doc_id", "allowed")
@@ -4208,17 +4218,7 @@ def q_crawl_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("warc_type") == "response"
     )
     ext = extract_text_df(recs, "body_text", keep=("media_id",))
-    did = F.col("media_id")
-    path = (
-        F.when(did % 4 == 0, F.concat(F.lit("/private/"), did))
-        .when(did % 4 == 1, F.lit("/private/ok"))
-        .when(did % 4 == 2, F.concat(F.lit("/tmp/x"), did))
-        .otherwise(F.concat(F.lit("/public/"), did))
-    )
-    url = F.concat(F.lit("https://h"), did % 7, F.lit(".example"), path)
-    robots = F.when(did % 7 == 3, F.lit(None).cast("string")).otherwise(
-        F.lit(_ROBOTS_TXT)
-    )
+    url, robots = _synth_crawl_urls(F.col("media_id"))
     staged = ext.select(
         "media_id",
         "text",

@@ -227,21 +227,30 @@ def parse_http_response(message: bytes) -> tuple[int, dict[str, str], bytes]:
     decompresses ``Content-Encoding: gzip | deflate`` (raw-deflate
     fallback for the servers that send it bare)."""
     sep = message.find(b"\r\n\r\n")
+    body_off = sep + 4
     if sep == -1:
-        raise ValueError("no HTTP header/body separator")
-    head_lines = message[:sep].split(b"\r\n")
+        # bare-LF header framing (seen in old crawls) — tolerate, like
+        # parse_warc's LF tolerance
+        sep = message.find(b"\n\n")
+        if sep == -1:
+            raise ValueError("no HTTP header/body separator")
+        body_off = sep + 2
+    head_lines = [ln.strip(b"\r") for ln in message[:sep].split(b"\n")]
     status_line = head_lines[0].decode("ascii", "replace")
     parts = status_line.split(None, 2)
     if len(parts) < 2 or not parts[0].startswith("HTTP/"):
         raise ValueError(f"bad status line {status_line!r}")
-    status = int(parts[1])
+    try:
+        status = int(parts[1])
+    except ValueError as e:
+        raise ValueError(f"bad status code in {status_line!r}") from e
     headers: dict[str, str] = {}
     for raw in head_lines[1:]:
         k, _, v = raw.partition(b":")
         headers[k.strip().decode("ascii", "replace").lower()] = v.strip().decode(
             "utf-8", "replace"
         )
-    body = message[sep + 4 :]
+    body = message[body_off:]
     if "chunked" in headers.get("transfer-encoding", "").lower():
         body = _dechunk(body)
     enc = headers.get("content-encoding", "").strip().lower()
@@ -367,10 +376,18 @@ def warc_records(
                     if wtype == "response" and (ctype or "").startswith(
                         "application/http"
                     ):
-                        status, hh, body = parse_http_response(rec["payload"])
-                        http_ct = hh.get("content-type")
-                        charset = sniff_charset(http_ct, body)
-                        text = decode_body(body, charset)
+                        # per-record containment: one malformed HTTP
+                        # message degrades to NULL http fields + raw
+                        # payload instead of killing the whole scan (a
+                        # crawl pass must be total)
+                        try:
+                            status, hh, body = parse_http_response(rec["payload"])
+                            http_ct = hh.get("content-type")
+                            charset = sniff_charset(http_ct, body)
+                            text = decode_body(body, charset)
+                        except Exception:  # noqa: BLE001
+                            status = http_ct = charset = text = None
+                            body = rec["payload"]
                     rows.append(
                         kept
                         + (
@@ -582,6 +599,8 @@ def write_warc(
             uri, body = row[uri_col], row[body_col]
             if uri is None or body is None:
                 continue
+            if status_col and row[status_col] is None:
+                continue  # no status = no valid response to archive
             body = bytes(body) if not isinstance(body, (bytes, bytearray)) else body
             status = int(row[status_col]) if status_col else 200
             ctype = (row[content_type_col] if content_type_col else None) or "text/html"
@@ -589,7 +608,7 @@ def write_warc(
             http = (
                 f"HTTP/1.1 {status} {reason}\r\nContent-Type: {ctype}\r\n"
                 f"Content-Length: {len(body)}\r\n\r\n"
-            ).encode("ascii") + bytes(body)
+            ).encode("ascii", "replace") + bytes(body)
             rid = hashlib.md5(f"{uri}|{idx}|{n}".encode()).hexdigest()
             rid = f"{rid[:8]}-{rid[8:12]}-{rid[12:16]}-{rid[16:20]}-{rid[20:]}"
             recs.append(

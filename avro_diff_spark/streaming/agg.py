@@ -38,6 +38,21 @@ __all__ = [
 ]
 
 
+def _src_tracking_meta(dst_path: str) -> dict:
+    """The newest commit's source-tracking app_meta (src_table,
+    src_version) — walking PAST commits that carry none: a compaction /
+    metadata commit on the DESTINATION must not reset the applied
+    version to -1, which would make the next micro-batch overwrite the
+    accumulated state with only its own delta (the same amnesia class
+    the text index's collection stats had; caught by code review,
+    pinned in tests/test_versioned_stream.py)."""
+    for v in range(latest_version(dst_path), -1, -1):
+        meta = commit_app_meta(dst_path, v)
+        if "src_version" in meta:
+            return meta
+    return {}
+
+
 def maintain_agg_stream(
     spark: SparkSession,
     src_path: str,
@@ -65,7 +80,7 @@ def maintain_agg_stream(
 
         applied = -1
         if latest_version(dst_path) >= 0:
-            meta = commit_app_meta(dst_path)
+            meta = _src_tracking_meta(dst_path)
             if meta.get("src_table") not in (None, os.path.abspath(src_path)):
                 raise ValueError(
                     f"{dst_path!r} tracks {meta.get('src_table')!r}, not "
@@ -299,7 +314,7 @@ def maintain_digest_stream(
             return
         applied = -1
         if latest_version(dst_path) >= 0:
-            meta = commit_app_meta(dst_path)
+            meta = _src_tracking_meta(dst_path)
             if meta.get("src_table") not in (None, os.path.abspath(src_path)):
                 raise ValueError(
                     f"{dst_path!r} fingerprints {meta.get('src_table')!r}, "
@@ -407,7 +422,7 @@ def maintain_drift_stream(
             return
         applied = -1
         if latest_version(dst_path) >= 0:
-            meta = commit_app_meta(dst_path)
+            meta = _src_tracking_meta(dst_path)
             if meta.get("src_table") not in (None, os.path.abspath(src_path)):
                 raise ValueError(
                     f"{dst_path!r} tracks {meta.get('src_table')!r}, not "

@@ -314,3 +314,20 @@ def test_grouped_ks_plan_all_windows_keyed(spark):
     assert "No Partition Defined" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_grouped_drift_keeps_null_group_slice(spark):
+    """A NULL group key is a real slice and must appear in the output
+    (null-safe group joins — a plain equi-join would silently drop it)."""
+    from avro_diff_spark.functions.drift import ks_distance_by, tv_distance_by
+
+    rows_a = [(None, 5.0)] * 30 + [("g", 5.0)] * 20
+    rows_b = [(None, 35.0)] * 25 + [("g", 5.0)] * 20
+    a = spark.createDataFrame(rows_a, "g string, x double")
+    b = spark.createDataFrame(rows_b, "g string, x double")
+    tv = {r.g: r.tvd_x1e6 for r in tv_distance_by(a, b, "x", CUTS, ["g"]).collect()}
+    assert tv[None] == TVD_SCALE and tv["g"] == 0
+    ks = {r.g: r.ks_x1e6 for r in ks_distance_by(a, b, "x", ["g"]).collect()}
+    from avro_diff_spark.functions.drift import KS_SCALE
+
+    assert ks[None] == KS_SCALE and ks["g"] == 0

@@ -585,3 +585,47 @@ def test_maintain_drift_stream_pinned_to_batch_and_composes(spark, tmp_path):
             q.awaitTermination(120)
         finally:
             q.stop()
+
+
+def test_maintenance_survives_destination_compaction(spark, tmp_path):
+    """A meta-less commit on the DESTINATION (compaction) between drains
+    must not reset the applied version: the next micro-batch folds its
+    delta into the accumulated state instead of overwriting it (the
+    text-index collection-stats amnesia class, fixed by the
+    _src_tracking_meta walk-back)."""
+    from avro_diff_spark.functions.drift import bucketize
+    from avro_diff_spark.sources.versioned import compact_table, latest_version
+    from avro_diff_spark.streaming.agg import maintain_drift_stream
+
+    cuts = (10.0, 20.0)
+    t, d, ck = (str(tmp_path / x) for x in ("src", "hist", "ck"))
+    commit_snapshot(
+        _df(spark, [(i, float(i % 30)) for i in range(20)], "k long, x double"), t
+    )
+
+    def drain():
+        q = maintain_drift_stream(spark, t, d, "x", cuts, checkpoint=ck)
+        q.awaitTermination(120)
+
+    def batch_counts():
+        return {
+            (r.bucket, r.n)
+            for r in read_version(spark, t)
+            .groupBy(bucketize(F.col("x"), cuts).alias("bucket"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .collect()
+        }
+
+    drain()
+    # destination compaction: a commit with NO app_meta
+    compact_table(spark, d)
+    assert latest_version(d) >= 1
+    # new source commit, re-drain: state must fold, not reset
+    commit_snapshot(
+        _df(spark, [(100 + i, 25.0) for i in range(5)], "k long, x double"),
+        t,
+        mode="append",
+    )
+    drain()
+    got = {(r.bucket, r.n_rows) for r in read_version(spark, d).collect()}
+    assert got == batch_counts()

@@ -427,3 +427,83 @@ def test_html_meta_df(spark):
         for r in H.html_meta_df(df, "html", keep=("doc_id",)).collect()
     }
     assert got == {1: ("T1", None, "de"), 2: (None, None, None)}
+
+
+# ---------------------------------------------------------------------------
+# code-review hardening (round 11)
+# ---------------------------------------------------------------------------
+
+
+def test_http_bare_lf_header_framing():
+    msg = b"HTTP/1.1 200 OK\nContent-Type: text/html\n\n<html>lf</html>"
+    st, hh, body = W.parse_http_response(msg)
+    assert (st, hh["content-type"], body) == (200, "text/html", b"<html>lf</html>")
+
+
+def test_warc_records_contains_malformed_http(spark):
+    """One malformed HTTP response degrades to NULL http fields + raw
+    payload; the scan and the other records survive."""
+    good = W.build_record(
+        "response",
+        W.synth_http_response(2, W.synth_page_html(2, TEXT)),
+        record_id="g",
+        target_uri="https://e/g",
+        content_type="application/http;msgtype=response",
+    )
+    bad = W.build_record(
+        "response",
+        b"GARBAGE WITHOUT SEPARATOR",
+        record_id="b",
+        target_uri="https://e/b",
+        content_type="application/http;msgtype=response",
+    )
+    df = spark.createDataFrame(
+        [(1, W.build_warc([good, bad]))], "media_id long, payload binary"
+    )
+    rows = {r.target_uri: r for r in W.warc_records(df, "payload").collect()}
+    assert rows["https://e/g"].http_status == 200
+    assert rows["https://e/b"].http_status is None
+    assert bytes(rows["https://e/b"].body) == b"GARBAGE WITHOUT SEPARATOR"
+    assert rows["https://e/b"].body_text is None
+
+
+def test_entities_uppercase_hex():
+    assert H.decode_entities("x&#X41;y&#x42;z") == "xAyBz"
+
+
+def test_href_not_matched_in_data_href():
+    html = "<body><a class=x data-href='/phantom' href='/real'>1</a>" \
+           "<a data-href='/only-phantom'>2</a></body>"
+    assert H.iter_links(html) == ["/real"]
+
+
+def test_write_warc_skips_null_status_and_sanitizes_ctype(spark, tmp_path):
+    rows = [
+        ("https://e/1", b"ok", 200, "text/html"),
+        ("https://e/2", b"nostatus", None, "text/html"),
+        ("https://e/3", b"odd", 200, "text/html; x= "),
+    ]
+    df = spark.createDataFrame(
+        rows, "target_uri string, body binary, http_status int, ctype string"
+    )
+    out = str(tmp_path / "sink")
+    W.write_warc(df, out, status_col="http_status", content_type_col="ctype")
+    back = {r.target_uri for r in W.read_warc(spark, out + "/*.warc.gz").collect()}
+    assert back == {"https://e/1", "https://e/3"}
+
+
+def test_extract_empty_text_three_blocks():
+    text, n_blocks, n_good = H.extract_text(W.synth_page_html(9, ""))
+    assert (text, n_blocks, n_good) == ("", 3, 0)
+
+
+def test_bm25_sql_escapes_quotes():
+    from avro_diff_spark.operators.text_index import bm25_score_sql
+
+    sql = bm25_score_sql([(1, "o'brien mc'donald")])
+    assert "'o''brien'" in sql
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT 1::BIGINT AS doc_id, 'x' AS text")
+    con.execute(sql)  # parses and runs
