@@ -45,7 +45,7 @@ from pyspark.sql import DataFrame
 if TYPE_CHECKING:  # pragma: no cover
     import pandas as pd
 
-__all__ = ["parse_robots", "is_allowed", "robots_filter_df"]
+__all__ = ["parse_robots", "is_allowed", "robots_filter_df", "parse_sitemap"]
 
 
 def parse_robots(text: str) -> dict:
@@ -181,3 +181,27 @@ def robots_filter_df(
             yield res
 
     return narrow.mapInPandas(run, schema=out_schema)
+
+
+_LOC_RE = re.compile(r"<loc>\s*(.*?)\s*</loc>", re.IGNORECASE | re.DOTALL)
+_SMINDEX_RE = re.compile(r"<\s*sitemapindex[\s>]", re.IGNORECASE)
+_XML_ENTITIES = {"&amp;": "&", "&lt;": "<", "&gt;": ">", "&quot;": '"', "&apos;": "'"}
+
+
+def parse_sitemap(xml: str) -> tuple[str, list[str]]:
+    """Minimal sitemaps.org parser: returns ``(kind, locs)`` where kind
+    is ``"index"`` for a <sitemapindex> (locs are child sitemap URLs) or
+    ``"urlset"`` (locs are page URLs). Only the <loc> values matter to a
+    crawl frontier; the five XML predefined entities are decoded;
+    malformed input degrades to whatever <loc>s are present (total, the
+    robots.py posture). Discovered via robots.txt ``Sitemap:`` lines
+    (:func:`parse_robots` collects them)."""
+    kind = "index" if _SMINDEX_RE.search(xml) else "urlset"
+    locs = []
+    for m in _LOC_RE.finditer(xml):
+        v = m.group(1)
+        for ent, ch in _XML_ENTITIES.items():
+            v = v.replace(ent, ch)
+        if v:
+            locs.append(v)
+    return kind, locs

@@ -91,3 +91,22 @@ def test_robots_filter_df(spark):
         ).collect()
     }
     assert got == {1: False, 2: True, 3: True, 4: True, 5: None}
+
+
+def test_parse_sitemap_urlset_and_index():
+    urlset = """<?xml version="1.0"?>
+    <urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+      <url><loc>https://e.org/a?x=1&amp;y=2</loc><lastmod>2026-01-01</lastmod></url>
+      <url><loc>
+        https://e.org/b
+      </loc></url>
+    </urlset>"""
+    kind, locs = R.parse_sitemap(urlset)
+    assert kind == "urlset"
+    assert locs == ["https://e.org/a?x=1&y=2", "https://e.org/b"]
+    index = """<sitemapindex><sitemap><loc>https://e.org/s1.xml</loc></sitemap>
+    <sitemap><loc>https://e.org/s2.xml</loc></sitemap></sitemapindex>"""
+    kind, locs = R.parse_sitemap(index)
+    assert kind == "index" and locs == ["https://e.org/s1.xml", "https://e.org/s2.xml"]
+    assert R.parse_sitemap("not xml at all") == ("urlset", [])
+    assert R.parse_sitemap("<urlset><url><loc></loc></url></urlset>") == ("urlset", [])
