@@ -67,6 +67,10 @@ QUERIES = [
     "bm25_topk",  # round 11: pruned index scan + fixed-point sums + top-k
     "qgram_match_customers",  # round 11: PassJoin segment blocking + dedup
     "weighted_sample_counts",  # round 11: priority-sample TakeOrdered merge
+    "drift_ks_by_priority",  # round 11: group-keyed window offsets + max
+    "web_link_graph",  # round 11: per-doc link resolve + bounded collect_list
+    "crawl_attrition",  # round 11: 3-operator funnel composition + distinct
+    "robots_gate_counts",  # round 11: per-row grammar eval w/ parse cache
 ]
 
 
