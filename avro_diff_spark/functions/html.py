@@ -146,7 +146,10 @@ def _scan_events(html: str):
             if closing and name == skip_until:
                 skip_until = None
             continue
-        if name in SKIP_TAGS:
+        if name in SKIP_TAGS or (name == "title" and not in_head):
+            # title outside <head> (bare crawl pages with no head element)
+            # is metadata, not body text — consume it like script/style so
+            # it cannot leak into the first content block.
             if not closing and not raw.rstrip().endswith("/"):
                 skip_until = name
             continue
@@ -159,6 +162,13 @@ def _scan_events(html: str):
             in_head = False
             continue
         if in_head:
+            if not closing and name in BLOCK_TAGS:
+                # HTML5 implied end tag: body-level block content after an
+                # unterminated <head> implicitly closes it — otherwise a
+                # malformed page with <head> but no </head>/<body>/<html>
+                # would extract to empty text.
+                in_head = False
+                yield ("tag", name, closing, raw)
             continue
         yield ("tag", name, closing, raw)
 

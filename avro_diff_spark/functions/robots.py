@@ -60,7 +60,11 @@ def parse_robots(text: str) -> dict:
     for raw in text.splitlines():
         line = raw.split("#", 1)[0].strip()
         if not line:
-            last_was_agent = False
+            # RFC 9309 ABNF: a group is startgroupline *(startgroupline /
+            # emptyline) *(rule / emptyline) — emptylines may appear BETWEEN
+            # adjacent User-agent lines of one group, so a blank line must
+            # not reset the "adjacent agents" state (only a rule/directive
+            # line closes the startgroupline run).
             continue
         key, sep, val = line.partition(":")
         if not sep:

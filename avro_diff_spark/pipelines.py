@@ -4049,9 +4049,19 @@ def q_warc_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 # whitespace collapse are identities on it).
 _WARC_STOP_SQL = ",".join(f"'{w}'" for w in sorted(
     "a the of to and in is it on for with as was at by".split()))
+# RE2 class equal to Python's str.split() whitespace set (str.isspace()
+# code points) — the Spark side normalizes via html_blocks' " ".join(
+# s.split()), which also collapses \x0b \x0c \x1c-\x1f \x85 \xa0 and the
+# Unicode Zs/Zl/Zp separators; the oracle must replay the identical set
+# or a document containing e.g. a decoded &nbsp; hash-mismatches even
+# though both engines are individually correct.
+_PY_WS_SQL = (
+    r"[\x{9}-\x{D}\x{1C}-\x{20}\x{85}\x{A0}\x{1680}"
+    r"\x{2000}-\x{200A}\x{2028}-\x{2029}\x{202F}\x{205F}\x{3000}]+"
+)
 WARC_TEXT_EXTRACTION_SQL = f"""
 WITH t AS (
-  SELECT doc_id, trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')) AS s
+  SELECT doc_id, trim(regexp_replace(text, '{_PY_WS_SQL}', ' ', 'g')) AS s
   FROM documents
 ),
 c AS (
@@ -4243,7 +4253,7 @@ def q_crawl_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
 # verdict; dedup: distinct md5 of the normalized text)
 CRAWL_ATTRITION_SQL = f"""
 WITH t AS (
-  SELECT doc_id, trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')) AS s
+  SELECT doc_id, trim(regexp_replace(text, '{_PY_WS_SQL}', ' ', 'g')) AS s
   FROM documents
 ),
 c AS (

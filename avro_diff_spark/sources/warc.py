@@ -575,7 +575,19 @@ def write_warc(
     md5(uri|part|row) — deterministic, no uuid4. :func:`read_warc`
     reads the directory back transparently (round-trip pytest-pinned).
     Empty partitions write no file; rows with NULL uri or body are
-    skipped (a crawl archive has no entry for an unfetched page)."""
+    skipped (a crawl archive has no entry for an unfetched page).
+
+    **Filesystem assumption** (same limitation as ``write_avro``): the
+    driver prepares/cleans ``path`` with ``os`` calls while partitions
+    ``open()`` their part files executor-side, so driver and executors
+    must share one filesystem — true in local mode and on NFS/FUSE-
+    mounted object stores, NOT on a multi-node cluster with
+    executor-local disks (parts would land on the workers and the
+    destination directory would be silently empty or partial there).
+    A cluster deployment should route this sink through the Hadoop
+    FileSystem API instead; kept ``os``-based here because the
+    from-scratch WARC writer targets the same single-filesystem test
+    posture as the rest of the codec tier."""
     import hashlib
     import os
 
