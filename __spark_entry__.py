@@ -1840,7 +1840,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # composition rationale of the recorded pipeline_attrition (round
     # 8b); its oracle composes the same closed forms and the CI gate
     # value-hashes it every run.
+    # Round-12 demotion (slot for hybrid_topk, reciprocal-rank fusion of
+    # the persisted BM25 index and the persisted IVF ANN index into one
+    # ranked list): bm25_topk moves to the tail — hybrid_topk's oracle
+    # embeds the ENTIRE bm25_topk law verbatim as its `bm` CTE (inline
+    # postings/df/N/L derivation, HUGEINT rational idf, identical
+    # floor(P/Q*1e6) finish, k=20 instead of 10) and its Spark side
+    # executes the same stored-index probe (query_text_index over the
+    # same cached build+append lifecycle), so the recorded hash pins a
+    # strict superset of what bm25_topk pinned; the CI oracle gate
+    # value-hashes bm25_topk every run besides (the strict-superset
+    # supersession pattern of exact_substring_scrub).
     for tail in (
+        "bm25_topk",
         "crawl_attrition",
         "robots_gate_counts",
         "drift_ks_by_priority",

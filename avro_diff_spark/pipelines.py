@@ -2641,20 +2641,12 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_topk(queries, emb, k=5, probes=2, centroids=cents)
 
 
-def q_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF top-k against the PERSISTED index (operators/ann_index.py —
-    centroids + cell-partitioned postings as versioned tables, the
-    incremental-corpus ANN shape): build-once cached on the embeddings
-    fingerprint, then the probe path reads only its cells' partitions.
-    Oracle: identical to ivf_topk's (the stored index is pinned exactly
-    equal to the in-memory path in tests/test_ann_index.py)."""
+def _src_fingerprint(src: str) -> str:
+    """md5 of (path, size, mtime) for every file under ``src`` — the
+    cache key both persisted-index fixtures rebuild on."""
     import hashlib
     import os
 
-    from avro_diff_spark.operators import ann_index as AI
-    from avro_diff_spark.sources.versioned import latest_version
-
-    src = f"{sf_dir}/embeddings.parquet"
     files = [src] if os.path.isfile(src) else sorted(
         os.path.join(dp, fn) for dp, _, fns in os.walk(src) for fn in fns
     )
@@ -2662,13 +2654,39 @@ def q_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in files:
         st = os.stat(p)
         h.update(f"{p}|{st.st_size}|{st.st_mtime_ns};".encode())
+    return h.hexdigest()[:12]
+
+
+def _cached_ivf_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once persisted IVF index over ``sf_dir``'s embeddings,
+    cached on the source fingerprint; returns the index path."""
+    import os
+
+    from avro_diff_spark.operators import ann_index as AI
+    from avro_diff_spark.sources.versioned import latest_version
+
+    src = f"{sf_dir}/embeddings.parquet"
     tag = os.path.basename(os.path.normpath(sf_dir))
-    idx = f"/root/repo/.cache/ivf_index/{tag}-{h.hexdigest()[:12]}"
+    idx = f"/root/repo/.cache/ivf_index/{tag}-{_src_fingerprint(src)}"
     if latest_version(f"{idx}/postings") < 0:
         import shutil
 
         shutil.rmtree(idx, ignore_errors=True)
         AI.build_ivf_index(spark, src, idx)
+    return idx
+
+
+def q_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k against the PERSISTED index (operators/ann_index.py —
+    centroids + cell-partitioned postings as versioned tables, the
+    incremental-corpus ANN shape): build-once cached on the embeddings
+    fingerprint, then the probe path reads only its cells' partitions.
+    Oracle: identical to ivf_topk's (the stored index is pinned exactly
+    equal to the in-memory path in tests/test_ann_index.py)."""
+    from avro_diff_spark.operators import ann_index as AI
+
+    idx = _cached_ivf_index(spark, sf_dir)
+    src = f"{sf_dir}/embeddings.parquet"
     queries = spark.read.parquet(src).filter(F.col("vec_id") < 10)
     return AI.query_index(spark, queries, idx, k=5, probes=2)
 
@@ -2752,7 +2770,9 @@ WHERE d.vec_id IS NULL
 """
 
 
-def _ivf_sql(k: int = 5, probes: int = 2, n_queries: int = 10) -> str:
+def _ivf_sql(
+    k: int = 5, probes: int = 2, n_queries: int = 10, query_pred: str | None = None
+) -> str:
     # assignment/probing mirror ivf_topk exactly: TRAINED centroids (same
     # deterministic Lloyd output as the Spark plan) embedded as literals;
     # nearest-cell by (cosine DESC, cid ASC); every pair appears at most
@@ -2762,6 +2782,8 @@ def _ivf_sql(k: int = 5, probes: int = 2, n_queries: int = 10) -> str:
         f"SELECT {cid} AS cid, [{', '.join(repr(v) for v in vec)}]::DOUBLE[] AS cent"
         for cid, vec in cents
     )
+    if query_pred is None:
+        query_pred = f"vec_id < {n_queries}"
     return f"""
 WITH cents AS ({cent_rows}),
 assign AS (
@@ -2773,7 +2795,7 @@ assign AS (
 cand AS (SELECT vec_id AS cand_id, embedding AS c_emb, cid AS cell
          FROM assign WHERE rn = 1),
 probe AS (SELECT vec_id AS query_id, embedding AS q_emb, cid AS cell
-          FROM assign WHERE rn <= {probes} AND vec_id < {n_queries}),
+          FROM assign WHERE rn <= {probes} AND ({query_pred})),
 scored AS (
   SELECT query_id, cand_id, {_cos_sql('q_emb', 'c_emb')} AS cosine
   FROM probe JOIN cand USING (cell)
@@ -3964,36 +3986,109 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: query reads prune to the query terms' hash-bucket
     partitions; df table and query terms broadcast; one keyed
     groupBy-sum; one per-query top-k window."""
-    import hashlib
+    from avro_diff_spark.operators import text_index as TI
+
+    idx = _cached_text_index(spark, sf_dir)
+    return TI.query_text_index(spark, idx, BM25_QUERIES, k=10)
+
+
+def _cached_text_index(spark: SparkSession, sf_dir: str) -> str:
+    """The q_bm25_topk fixture lifecycle (build on two thirds, APPEND
+    the last third — incremental == from-scratch stays pinned), cached
+    on the documents fingerprint; returns the index path."""
     import os
 
     from avro_diff_spark.operators import text_index as TI
     from avro_diff_spark.sources.versioned import latest_version
 
     src = f"{sf_dir}/documents.parquet"
-    files = [src] if os.path.isfile(src) else sorted(
-        os.path.join(dp, fn) for dp, _, fns in os.walk(src) for fn in fns
-    )
-    h = hashlib.md5()
-    for p in files:
-        st = os.stat(p)
-        h.update(f"{p}|{st.st_size}|{st.st_mtime_ns};".encode())
     tag = os.path.basename(os.path.normpath(sf_dir))
-    idx = f"/root/repo/.cache/text_index/{tag}-{h.hexdigest()[:12]}"
-    docs = spark.read.parquet(src)
+    idx = f"/root/repo/.cache/text_index/{tag}-{_src_fingerprint(src)}"
     if latest_version(f"{idx}/postings") != 1:
         import shutil
 
         shutil.rmtree(idx, ignore_errors=True)
+        docs = spark.read.parquet(src)
         TI.build_text_index(spark, docs.where(F.col("doc_id") % 3 != 0), idx)
         TI.append_to_text_index(spark, docs.where(F.col("doc_id") % 3 == 0), idx)
-    return TI.query_text_index(spark, idx, BM25_QUERIES, k=10)
+    return idx
 
 
 def _bm25_sql() -> str:
     from avro_diff_spark.operators.text_index import bm25_score_sql
 
     return bm25_score_sql(BM25_QUERIES, k=10, tokens_sql_fn=tokens_sql)
+
+
+#: Per-retriever list depth fed into RRF (deeper than the final k so the
+#: dense list can resurface docs the sparse head misses, and vice versa).
+HYBRID_DEPTH = 20
+HYBRID_K = 10
+
+
+def q_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (operators/retrieval.py): the persisted BM25
+    inverted index AND the persisted IVF ANN index answer the same
+    query workload (each BM25_QUERIES id doubles as a dense query via
+    the embedding with vec_id == query_id), and the two top-20 lists
+    fuse into one ranked list per query by exact-integer reciprocal-
+    rank fusion — sum of 1e6 DIV (60 + rank), int64, so no IEEE
+    summation-order hazard. The oracle replays BOTH retrievers from the
+    raw tables (inline postings/df/N/L for BM25; trained-centroid
+    literals for IVF) plus the fusion arithmetic, so the hash pins the
+    entire hybrid stack end to end.
+
+    Scale shape: both probes stay bucket-/cell-pruned (the stored-index
+    paths); fusion touches only 2 x 20 rows per query — one union, one
+    keyed groupBy-sum, one per-query top-k window."""
+    from avro_diff_spark.operators import ann_index as AI
+    from avro_diff_spark.operators import text_index as TI
+    from avro_diff_spark.operators.retrieval import rrf_fuse
+
+    tidx = _cached_text_index(spark, sf_dir)
+    vidx = _cached_ivf_index(spark, sf_dir)
+    qids = sorted(q for q, _ in BM25_QUERIES)
+    sparse = TI.query_text_index(spark, tidx, BM25_QUERIES, k=HYBRID_DEPTH)
+    qvecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id").isin(qids)
+    )
+    dense = AI.query_index(
+        spark, qvecs, vidx, k=HYBRID_DEPTH, probes=2
+    ).withColumnRenamed("cand_id", "doc_id")
+    return rrf_fuse([sparse, dense], k=HYBRID_K)
+
+
+def _hybrid_sql() -> str:
+    from avro_diff_spark.operators.text_index import bm25_score_sql
+
+    qids = sorted(q for q, _ in BM25_QUERIES)
+    bm = bm25_score_sql(BM25_QUERIES, k=HYBRID_DEPTH, tokens_sql_fn=tokens_sql)
+    ann = _ivf_sql(
+        k=HYBRID_DEPTH,
+        probes=2,
+        query_pred=f"vec_id IN ({', '.join(str(q) for q in qids)})",
+    )
+    return f"""
+WITH bm AS ({bm}),
+ann AS ({ann}),
+u AS (
+  SELECT query_id, doc_id, 1000000 // (60 + rank) AS c FROM bm
+  UNION ALL
+  SELECT query_id, cand_id AS doc_id, 1000000 // (60 + rank) AS c FROM ann
+),
+f AS (
+  SELECT query_id, doc_id,
+         CAST(sum(c) AS BIGINT) AS rrf_x1e6,
+         CAST(count(*) AS BIGINT) AS n_lists
+  FROM u GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY rrf_x1e6 DESC, doc_id ASC) AS INT) AS rank,
+       rrf_x1e6, n_lists
+FROM f
+QUALIFY rank <= {HYBRID_K}
+"""
 
 
 def q_warc_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4357,6 +4452,7 @@ PIPELINE_QUERIES = {
     "pagerank_neardups": q_pagerank_neardups,
     "warc_text_extraction": q_warc_text_extraction,
     "bm25_topk": q_bm25_topk,
+    "hybrid_topk": q_hybrid_topk,
     "web_link_graph": q_web_link_graph,
     "robots_gate_counts": q_robots_gate,
     "crawl_attrition": q_crawl_attrition,
@@ -4446,6 +4542,7 @@ def pipeline_sql() -> dict[str, str]:
         "pagerank_neardups": _pagerank_neardups_sql(),
         "warc_text_extraction": WARC_TEXT_EXTRACTION_SQL,
         "bm25_topk": _bm25_sql(),
+        "hybrid_topk": _hybrid_sql(),
         "web_link_graph": _web_link_graph_sql(),
         "robots_gate_counts": ROBOTS_GATE_SQL,
         "crawl_attrition": CRAWL_ATTRITION_SQL,

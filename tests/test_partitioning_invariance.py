@@ -71,6 +71,7 @@ QUERIES = [
     "web_link_graph",  # round 11: per-doc link resolve + bounded collect_list
     "crawl_attrition",  # round 11: 3-operator funnel composition + distinct
     "robots_gate_counts",  # round 11: per-row grammar eval w/ parse cache
+    "hybrid_topk",  # round 12: two index probes + integer RRF fusion
 ]
 
 

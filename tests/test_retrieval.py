@@ -1,0 +1,95 @@
+"""RRF fusion (operators/retrieval.py): hand-computed example, rank-only
+semantics, list-order/permutation invariance, and the integer-weight
+law against the textbook float formula."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from avro_diff_spark.operators.retrieval import rrf_fuse
+
+
+def _lst(spark, rows):
+    return spark.createDataFrame(rows, "query_id long, doc_id long, rank int")
+
+
+def test_rrf_hand_example(spark):
+    """Two 3-deep lists over one query, overlap on doc 7: fused scores
+    are the exact integer sums 1e6 DIV (60 + r); doc 7 (rank 2 + rank 1)
+    beats both heads that appear in only one list."""
+    a = _lst(spark, [(1, 5, 1), (1, 7, 2), (1, 9, 3)])
+    b = _lst(spark, [(1, 7, 1), (1, 8, 2), (1, 5, 3)])
+    got = {
+        (r.doc_id): (r.rank, r.rrf_x1e6, r.n_lists)
+        for r in rrf_fuse([a, b], k=10).collect()
+    }
+    w = {r: 1_000_000 // (60 + r) for r in (1, 2, 3)}
+    assert got[7] == (1, w[2] + w[1], 2)
+    assert got[5] == (2, w[1] + w[3], 2)
+    # docs 8 and 9 carry single-list scores w[2]=16129 and w[3]=15873
+    assert got[8] == (3, w[2], 1)
+    assert got[9] == (4, w[3], 1)
+
+
+def test_rrf_ignores_scores_and_extra_columns(spark):
+    """Fusion is rank-only: wildly different score columns on the inputs
+    must not change the output (they are dropped, not summed)."""
+    a = _lst(spark, [(1, 5, 1), (1, 7, 2)]).withColumn("score_x1e6", F.lit(10**12))
+    b = _lst(spark, [(1, 7, 1), (1, 5, 2)]).withColumn("cosine", F.lit(-1.0))
+    rows = rrf_fuse([a, b], k=10).collect()
+    # symmetric ranks -> equal scores, tie broken by doc_id asc
+    assert [(r.doc_id, r.rank) for r in sorted(rows, key=lambda r: r.rank)] == [
+        (5, 1),
+        (7, 2),
+    ]
+    assert rows[0].rrf_x1e6 == rows[1].rrf_x1e6
+
+
+def test_rrf_list_order_invariance(spark):
+    """RRF is a commutative sum over lists: permuting the input list
+    order yields the identical fused frame."""
+    a = _lst(spark, [(1, 5, 1), (1, 7, 2), (2, 3, 1)])
+    b = _lst(spark, [(1, 7, 1), (2, 4, 1), (2, 3, 2)])
+    c = _lst(spark, [(1, 9, 1), (2, 3, 1)])
+    x = sorted(map(tuple, rrf_fuse([a, b, c], k=5).collect()))
+    y = sorted(map(tuple, rrf_fuse([c, a, b], k=5).collect()))
+    assert x == y
+
+
+def test_rrf_self_fusion_doubles_scores(spark):
+    """Fusing a list with itself keeps the ranking and doubles every
+    score — the mergeability sanity law."""
+    a = _lst(spark, [(1, 5, 1), (1, 7, 2), (1, 9, 3)])
+    one = {r.doc_id: r.rrf_x1e6 for r in rrf_fuse([a], k=5).collect()}
+    two = rrf_fuse([a, a], k=5).collect()
+    assert {r.doc_id: r.rrf_x1e6 for r in two} == {d: 2 * s for d, s in one.items()}
+    assert [r.n_lists for r in two] == [2, 2, 2]
+
+
+def test_rrf_integer_weights_match_float_formula(spark):
+    """The integer weights floor(scale / (k0 + r)) track the textbook
+    1/(k0+r) within 1/scale — the documented precision bound."""
+    for r in range(1, 101):
+        w = 1_000_000 // (60 + r)
+        assert abs(w / 1_000_000 - 1.0 / (60 + r)) < 1e-6
+
+
+def test_rrf_empty_input_rejected(spark):
+    with pytest.raises(ValueError):
+        rrf_fuse([])
+
+
+def test_rrf_custom_columns_and_k0(spark):
+    """query/doc/rank column names and k0/scale are parameters; k
+    truncates per query."""
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)], "qid long, cand long, r int"
+    )
+    out = rrf_fuse(
+        [a], k=2, k0=0, scale=100, query_col="qid", doc_col="cand", rank_col="r"
+    ).collect()
+    assert [(x.doc_id, x.rrf_x1e6) for x in sorted(out, key=lambda x: x.rank)] == [
+        (10, 100),
+        (11, 50),
+    ]
