@@ -257,12 +257,14 @@ def _collection_meta(index_path: str) -> dict:
     """The newest commit's collection stats (n_docs, total_len) —
     walking PAST commits that carry none (compaction/metadata commits
     don't re-state app_meta, and OPTIMIZE on the postings table must not
-    amnesia the index; caught by the compaction composition pin)."""
-    path = f"{index_path}/postings"
-    for v in range(V.latest_version(path), -1, -1):
-        meta = V.commit_app_meta(path, v)
-        if "n_docs" in meta:
-            return meta
+    amnesia the index; caught by the compaction composition pin).
+    O(log tail) via :func:`versioned.latest_app_meta`: below a
+    checkpoint the stats come from its folded per-key map, so a table
+    with thousands of commits answers without a commit-file walk
+    (zero sub-checkpoint opens pytest-pinned)."""
+    meta = V.latest_app_meta(f"{index_path}/postings", "n_docs")
+    if meta:
+        return meta
     raise ValueError(f"{index_path!r} has no committed collection stats")
 
 

@@ -92,6 +92,7 @@ __all__ = [
     "agg_delta",
     "refresh_agg_table",
     "commit_app_meta",
+    "latest_app_meta",
     "CommitConflict",
 ]
 
@@ -202,16 +203,38 @@ def checkpoint_log(table_path: str, version: int | None = None) -> str:
     # the tail — O(interval) amortized, never a full-log rewalk
     prev = _usable_checkpoint(table_path, version)
     ts_map: dict[str, int] = dict(prev[1].get("ts", {})) if prev else {}
+    # newest app_meta PER KEY at or below this checkpoint (the O(1) side
+    # of latest_app_meta): previous checkpoint's map + the tail, so a
+    # stats/tracking lookup never has to walk commits below a checkpoint.
+    # Folded per key because different commit families carry different
+    # meta (collection stats vs source tracking vs streaming txn) and the
+    # newest commit overall may carry none of the wanted keys.
+    am_map: dict[str, dict] = (
+        dict(prev[1].get("app_meta_latest", {})) if prev else {}
+    )
     prev_v = prev[0] if prev else -1
+    if prev is not None and "app_meta_latest" not in prev[1]:
+        # old-format checkpoint: fold the full log once here so THIS
+        # checkpoint carries the complete map
+        prev_v_am = -1
+    else:
+        prev_v_am = prev_v
     for v, path in _commit_files(table_path):
-        if prev_v < v <= version:
-            ts_map[str(v)] = _read_commit(path).get("ts_us", 0)
+        if prev_v < v <= version or prev_v_am < v <= version:
+            c = _read_commit(path)
+            if prev_v < v:
+                ts_map[str(v)] = c.get("ts_us", 0)
+            am = c.get("app_meta")
+            if am:
+                for key in am:
+                    am_map[key] = {"version": v, "meta": dict(am)}
     ck = {
         "version": version,
         "adds": adds,
         "partition_by": _table_partitioning(table_path, version),
         "constraints": table_constraints(table_path, version),
         "ts": ts_map,
+        "app_meta_latest": am_map,
     }
     if sch is not None:
         ck["schema"] = sch.json()
@@ -3789,6 +3812,40 @@ def commit_app_meta(table_path: str, version: int | None = None) -> dict:
     return {}
 
 
+def latest_app_meta(table_path: str, key: str, version: int | None = None) -> dict:
+    """The newest commit's ``app_meta`` containing ``key`` at or below
+    ``version`` (default latest) — the walk-PAST-meta-less-commits
+    lookup every app_meta-carried state needs (collection stats, source
+    tracking: a compaction/metadata commit carries none and must not
+    amnesia the state; see the round-9/11 fixes).
+
+    O(tail): walks only the commits ABOVE the newest usable checkpoint,
+    then answers from the checkpoint's per-key ``app_meta_latest`` map
+    (folded forward checkpoint-to-checkpoint by :func:`checkpoint_log`).
+    Old-format checkpoints without the map fall back to the full walk —
+    correctness never depends on the map being present. Returns ``{}``
+    when no commit at or below ``version`` carries the key."""
+    if version is None:
+        version = latest_version(table_path)
+    if version < 0:
+        return {}
+    ck = _usable_checkpoint(table_path, version)
+    floor = ck[0] if ck is not None and "app_meta_latest" in ck[1] else -1
+    for v, path in sorted(_commit_files(table_path), reverse=True):
+        if v > version:
+            continue
+        if v <= floor:
+            break
+        meta = _read_commit(path).get("app_meta")
+        if meta and key in meta:
+            return dict(meta)
+    if floor >= 0:
+        hit = ck[1]["app_meta_latest"].get(key)
+        if hit:
+            return dict(hit["meta"])
+    return {}
+
+
 def refresh_agg_table(
     spark: SparkSession,
     src_path: str,
@@ -3833,7 +3890,9 @@ def refresh_agg_table(
     meta = {"src_table": os.path.abspath(src_path), "src_version": src_latest}
     if latest_version(dst_path) < 0:
         return commit_snapshot(full_agg(src_latest), dst_path, app_meta=meta)
-    applied = commit_app_meta(dst_path).get("src_version")
+    # walk past meta-less commits (compaction on the DESTINATION must not
+    # amnesia the applied version — the _src_tracking_meta class of bug)
+    applied = latest_app_meta(dst_path, "src_version").get("src_version")
     if applied is None:
         raise ValueError(
             f"{dst_path!r} was not created by refresh_agg_table (no applied "

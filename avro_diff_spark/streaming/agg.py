@@ -22,8 +22,8 @@ from pyspark.sql import SparkSession, functions as F
 
 from avro_diff_spark.sources.versioned import (
     _merge_agg_delta,
-    commit_app_meta,
     commit_snapshot,
+    latest_app_meta,
     latest_version,
 )
 from avro_diff_spark.streaming.table_source import stream_changes
@@ -45,12 +45,9 @@ def _src_tracking_meta(dst_path: str) -> dict:
     version to -1, which would make the next micro-batch overwrite the
     accumulated state with only its own delta (the same amnesia class
     the text index's collection stats had; caught by code review,
-    pinned in tests/test_versioned_stream.py)."""
-    for v in range(latest_version(dst_path), -1, -1):
-        meta = commit_app_meta(dst_path, v)
-        if "src_version" in meta:
-            return meta
-    return {}
+    pinned in tests/test_versioned_stream.py). O(log tail) via the
+    checkpoint-folded :func:`versioned.latest_app_meta`."""
+    return latest_app_meta(dst_path, "src_version")
 
 
 def maintain_agg_stream(
