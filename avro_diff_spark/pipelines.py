@@ -625,10 +625,11 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline.
 
     Scale shape: one groupBy on the source key (map-side combine); the
-    normalizing totals ride an unpartitioned window over the AGGREGATED
-    frame — source cardinality (tens of rows at any corpus size), not
-    corpus cardinality, so the single-partition window is bounded by
-    construction."""
+    normalizing totals are a 1-row global aggregate broadcast back onto
+    the per-source frame (the ``_fold_tvd`` idiom,
+    functions/drift.py:73) — no unpartitioned window anywhere, so the
+    "no single-partition window" discipline holds without a documented
+    exception and the oracle/bench logs stay WindowExec-warning-free."""
     d = spread_small(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     per = d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -637,12 +638,22 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     scaled = per.withColumn(
         "__s", F.floor(F.sqrt(F.col("n_docs")) * F.lit(1_000_000.0)).cast("long")
     )
-    return scaled.select(
+    totals = scaled.agg(
+        F.coalesce(F.sum("__s"), F.lit(0)).alias("__ts"),
+        F.coalesce(F.sum("n_docs"), F.lit(0)).alias("__tn"),
+        F.count(F.lit(1)).alias("__c"),
+    )
+    # join key derived from a never-null column so Catalyst can't
+    # constant-fold it into a BNLJ (the _fold_tvd lesson)
+    joined = scaled.withColumn("_k", F.col("__s") - F.col("__s")).join(
+        F.broadcast(totals.withColumn("_k", F.col("__c") - F.col("__c"))), "_k"
+    )
+    return joined.select(
         "source",
         "n_docs",
         "n_tokens",
-        F.expr("1000000 * __s DIV sum(__s) OVER ()").alias("weight_ppm"),
-        F.expr("1000000 * n_docs DIV sum(n_docs) OVER ()").alias("natural_ppm"),
+        F.expr("1000000 * __s DIV __ts").alias("weight_ppm"),
+        F.expr("1000000 * n_docs DIV __tn").alias("natural_ppm"),
     )
 
 
@@ -672,28 +683,45 @@ def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     stratified-sample rule with DERIVED rates instead of configured
     ones). Emitted as per-source audit counts (targets vs realized).
 
-    Scale shape: one groupBy for the per-source counts, window math over
-    the AGGREGATED frame (source-cardinality rows), one broadcast join
+    Scale shape: one groupBy for the per-source counts; the two global
+    reductions (weight normalizer, feasible epoch total) are 1-row
+    aggregates broadcast back onto the per-source frame (the
+    ``_fold_tvd`` idiom — no unpartitioned window), one broadcast join
     of the tiny rate table back onto the corpus, one map-side-combined
     count — no corpus shuffle, no sampling state."""
     d = spread_small(spark.read.parquet(f"{sf_dir}/documents.parquet"))
-    per = (
+    per0 = (
         d.groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .withColumn(
             "__s", F.floor(F.sqrt(F.col("n_docs")) * F.lit(1_000_000.0)).cast("long")
         )
+    )
+    t1 = per0.agg(
+        F.coalesce(F.sum("__s"), F.lit(0)).alias("__ts"),
+        F.count(F.lit(1)).alias("__c"),
+    )
+    weights = (
+        per0.withColumn("_k", F.col("__s") - F.col("__s"))
+        .join(F.broadcast(t1.withColumn("_k", F.col("__c") - F.col("__c"))), "_k")
         .select(
             "source",
             "n_docs",
-            F.expr("1000000 * __s DIV sum(__s) OVER ()").alias("weight_ppm"),
+            F.expr("1000000 * __s DIV __ts").alias("weight_ppm"),
         )
-        .withColumn(
-            "target_n",
-            F.expr(
-                "min(n_docs * 1000000 DIV weight_ppm) OVER () "
-                "* weight_ppm DIV 1000000"
-            ),
+    )
+    t2 = weights.agg(
+        F.min(F.expr("n_docs * 1000000 DIV weight_ppm")).alias("__t"),
+        F.count(F.lit(1)).alias("__c"),
+    )
+    per = (
+        weights.withColumn("_k", F.col("n_docs") - F.col("n_docs"))
+        .join(F.broadcast(t2.withColumn("_k", F.col("__c") - F.col("__c"))), "_k")
+        .select(
+            "source",
+            "n_docs",
+            "weight_ppm",
+            F.expr("__t * weight_ppm DIV 1000000").alias("target_n"),
         )
     )
     kept = (

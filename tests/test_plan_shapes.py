@@ -36,3 +36,15 @@ def test_no_unbounded_join_shapes(spark, sf_dir, name):
         assert "BroadcastNestedLoopJoin" not in plan, (
             f"{name}: nested-loop join in plan — quadratic at scale"
         )
+
+
+def test_mixture_plans_are_window_free(spark, sf_dir):
+    """Round 12: the mixture normalizers moved from `sum(..) OVER ()`
+    to the broadcast-totals fold — no Window node (partitioned or not)
+    may remain, and the 1-row totals join must plan as a broadcast hash
+    join (never the BNLJ a constant-folded key degrades to)."""
+    for name in ("mixture_weights", "mixture_resample"):
+        df = ent.queries()[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan, f"{name}: window remains in plan"
+        assert "BroadcastHashJoin" in plan, f"{name}: totals join not BHJ"
