@@ -1851,7 +1851,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # strict superset of what bm25_topk pinned; the CI oracle gate
     # value-hashes bm25_topk every run besides (the strict-superset
     # supersession pattern of exact_substring_scrub).
+    # Round-12 tail entry (kmeans_cluster_stats precedent — enters
+    # DIRECTLY in the tail, fully oracle-backed via the CI gate):
+    # url_dedup's Spark-side machinery is pure Column expressions + one
+    # map-side-combined groupBy (the dedup_exact_clusters shape the head
+    # records); the new surface (RFC 3986 §6 normalization incl. percent
+    # hex-case/unreserved-decode, registrable domains) is pytest-pinned
+    # rule-by-rule in tests/test_url_functions.py with an idempotence
+    # property, and the CI oracle gate value-hashes its closed-form
+    # canonicalization law every run.
     for tail in (
+        "url_dedup",
         "bm25_topk",
         "crawl_attrition",
         "robots_gate_counts",

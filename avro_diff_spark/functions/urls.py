@@ -16,6 +16,10 @@ conventions crawl pipelines layer on top:
   fragment otherwise-identical pages), remaining params SORTED so
   param order never splits a dedup group, empty query dropped
 - fragment dropped (§3.5: never sent to the server)
+- percent-encoding normalized in path and query (§6.2.2.1-2): hex
+  digits uppercased (``%2f`` → ``%2F``) and UNRESERVED octets decoded
+  (``%7E`` → ``~``, ``%41`` → ``A``); reserved octets stay encoded, so
+  a decoded ``%2F`` can never mint a new path separator
 
 Dot-segment removal (§6.2.2.3) is intentionally out of scope — crawlers
 emit resolved URLs. Only absolute ``http``/``https`` URLs are rewritten;
@@ -55,6 +59,39 @@ _AUTH_RE = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
 _PATH_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
 
 
+def pct_normalize(s: Column) -> Column:
+    """RFC 3986 §6.2.2.1-2 percent-encoding normalization as a pure
+    Column expression: split on ``%``, and for every piece that starts
+    with two hex digits either DECODE it (when the octet is unreserved:
+    ALPHA / DIGIT / ``-._~``) or re-emit it with UPPERCASE hex; pieces
+    not starting with valid hex keep their literal ``%`` (crawl URLs
+    contain bare percents — total, never an error). Reserved octets
+    (``%2F``, ``%26``, ...) stay encoded, so normalization cannot mint
+    new ``/`` or ``&`` separators downstream."""
+    parts = F.split(s, "%")
+    head = F.element_at(parts, 1)
+    tail = F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0)))
+
+    def fix(seg: Column) -> Column:
+        hex2 = F.upper(F.substring(seg, 1, 2))
+        rest = seg.substr(F.lit(3), F.length(seg))
+        code = F.conv(hex2, 16, 10).cast("int")
+        is_unreserved = (
+            ((code >= 65) & (code <= 90))
+            | ((code >= 97) & (code <= 122))
+            | ((code >= 48) & (code <= 57))
+            | code.isin(45, 46, 95, 126)  # - . _ ~
+        )
+        return F.when(
+            seg.rlike("^[0-9A-Fa-f]{2}"),
+            F.when(is_unreserved, F.concat(F.char(code), rest)).otherwise(
+                F.concat(F.lit("%"), hex2, rest)
+            ),
+        ).otherwise(F.concat(F.lit("%"), seg))
+
+    return F.concat(head, F.array_join(F.transform(tail, fix), ""))
+
+
 def normalize_url(url: Column) -> Column:
     """Canonical form of an absolute http(s) URL (module docstring has
     the full rule list); non-http(s) input passes through trimmed."""
@@ -74,12 +111,14 @@ def normalize_url(url: Column) -> Column:
         ((scheme == F.lit("http")) & (port == "80"))
         | ((scheme == F.lit("https")) & (port == "443"))
     )
-    raw_path = F.regexp_extract(base, _PATH_RE, 1)
+    raw_path = pct_normalize(F.regexp_extract(base, _PATH_RE, 1))
     path = F.regexp_replace(raw_path, "/{2,}", "/")
     path = F.when(path == "", F.lit("/")).otherwise(
         F.regexp_replace(path, "(.)/$", "$1")
     )
-    raw_q = F.regexp_extract(base, "\\?(.*)$", 1)  # from the FIRST '?'
+    # pct-normalized BEFORE the param split: %26 stays encoded (reserved)
+    # so decoding can't mint new '&' separators
+    raw_q = pct_normalize(F.regexp_extract(base, "\\?(.*)$", 1))  # FIRST '?'
     params = F.array_sort(
         F.filter(
             F.split(raw_q, "&"),
@@ -96,6 +135,15 @@ def normalize_url(url: Column) -> Column:
         F.when(query != "", F.concat(F.lit("?"), query)).otherwise(F.lit("")),
     )
     return F.when(scheme.isin("http", "https"), rebuilt).otherwise(u)
+
+
+def url_host(url: Column) -> Column:
+    """The host of an (ideally already-normalized) URL — authority minus
+    userinfo and port; '' for scheme-less input."""
+    auth = F.regexp_extract(url, _AUTH_RE, 1)
+    return F.regexp_replace(
+        F.regexp_replace(auth, "^[^@]*@", ""), ":[0-9]+$", ""
+    )
 
 
 def registrable_domain(host: Column) -> Column:
@@ -119,7 +167,8 @@ def synth_url(doc_id: Column) -> Column:
     pattern the media queries use (documents carry no URL column):
     every doc gets a crawl-shaped URL whose junk varies with doc_id
     (scheme case, www alias, host case, default port, duplicate/
-    trailing slashes, tracking params, param order, fragment) while the
+    trailing slashes, tracking params, param order, fragment,
+    percent-encoding hex case and encoded-unreserved octets) while the
     canonical identity is driven by ``g = doc_id % 89`` (89 prime and
     coprime to every junk modulus, so each canonical group sees several
     distinct raw spellings). The oracle reproduces this law verbatim."""
@@ -151,17 +200,21 @@ def synth_url(doc_id: Column) -> Column:
     path = F.concat(
         F.lit("/articles//item-"),
         g.cast("string"),
+        # percent junk: %7e / ~ both canonicalize to '~' (unreserved decode)
+        F.when(d % 2 == 0, F.lit("%7e")).otherwise(F.lit("~")),
         F.when(d % 2 == 0, F.lit("/")).otherwise(F.lit("")),
     )
     idp = (g % 10).cast("string")
     query = (
         F.when(d % 3 == 0, F.concat(F.lit("?utm_source=feed&id="), idp,
-                                    F.lit("&a=1")))
+                                    F.lit("&a=%31")))  # %31 -> '1'
         .when(d % 3 == 1, F.concat(F.lit("?a=1&id="), idp,
                                    F.lit("&fbclid=X"), d.cast("string")))
         .otherwise(F.concat(F.lit("?id="), idp, F.lit("&ref=tw&a=1")))
     )
+    # reserved octet: hex case varies, canonical keeps it ENCODED as %2F
+    zed = F.when(d % 2 == 0, F.lit("&z=%2fp")).otherwise(F.lit("&z=%2Fp"))
     frag = F.when(d % 2 == 0,
                   F.concat(F.lit("#sec"), (d % 7).cast("string"))
                   ).otherwise(F.lit(""))
-    return F.concat(scheme, F.lit("://"), www, host, port, path, query, frag)
+    return F.concat(scheme, F.lit("://"), www, host, port, path, query, zed, frag)

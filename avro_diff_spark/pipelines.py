@@ -4330,6 +4330,74 @@ FROM documents
 """
 
 
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level crawl dedup (functions/urls.py): every document gets a
+    deterministic MESSY crawl URL (scheme/host case, www alias, default
+    ports, duplicate+trailing slashes, userinfo-free authority junk,
+    tracking params in varying order, percent-encoding hex case and
+    encoded-unreserved octets, fragments) and the RFC 3986 §6 normalizer
+    collapses the spellings into canonical dedup groups — the front-door
+    dedup key every CCNet/C4/RefinedWeb-class pipeline applies before
+    any content pass. Output: one row per canonical URL with its
+    registrable domain, page count and min-doc-id survivor.
+
+    The oracle never normalizes anything: the canonical form of each
+    synthesized URL is CLOSED-FORM in the doc id (the web_link_graph
+    precedent), so one wrong step in scheme/host lowering, www/port/
+    fragment/tracking-param stripping, slash collapsing, param sorting,
+    or %XX uppercase/unreserved-decode breaks the hash.
+
+    Scale shape: pure Column expressions (regexp/array ops, whole-stage
+    codegen, zero Python) + ONE map-side-combined groupBy on the
+    canonical key — at 100 TB this is the cheapest dedup pass there is,
+    which is exactly why crawlers run it first."""
+    from avro_diff_spark.functions.urls import (
+        normalize_url,
+        registrable_domain,
+        synth_url,
+        url_host,
+    )
+
+    d = spread_small(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    canon = d.select(
+        "doc_id", normalize_url(synth_url(F.col("doc_id"))).alias("canon_url")
+    )
+    return (
+        canon.groupBy("canon_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+        .select(
+            "canon_url",
+            registrable_domain(url_host(F.col("canon_url"))).alias("domain"),
+            "n_pages",
+            "first_doc_id",
+        )
+    )
+
+
+# closed form of normalize_url(synth_url(doc_id)) — see synth_url: the
+# canonical identity is (g = doc_id % 89, scheme class d % 3 = 1); all
+# other junk is normalization-invariant by construction.
+URL_DEDUP_SQL = """
+WITH c AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 3 = 1 THEN 'https' ELSE 'http' END)
+         || '://news' || ((doc_id % 89) % 40) || '.example.com'
+         || (CASE WHEN (doc_id % 89) % 7 = 0 THEN ':8080' ELSE '' END)
+         || '/articles/item-' || (doc_id % 89) || '~'
+         || '?a=1&id=' || ((doc_id % 89) % 10) || '&z=%2Fp' AS canon_url
+  FROM documents
+)
+SELECT canon_url,
+       'example.com' AS domain,
+       count(*)::BIGINT AS n_pages,
+       CAST(min(doc_id) AS BIGINT) AS first_doc_id
+FROM c GROUP BY canon_url
+"""
+
+
 def q_crawl_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The END-TO-END INGESTION FUNNEL: synthesized .warc.gz crawl ->
     from-scratch WARC/HTTP decode -> jusText-class extraction -> RFC
@@ -4483,6 +4551,7 @@ PIPELINE_QUERIES = {
     "hybrid_topk": q_hybrid_topk,
     "web_link_graph": q_web_link_graph,
     "robots_gate_counts": q_robots_gate,
+    "url_dedup": q_url_dedup,
     "crawl_attrition": q_crawl_attrition,
 }
 
@@ -4573,5 +4642,6 @@ def pipeline_sql() -> dict[str, str]:
         "hybrid_topk": _hybrid_sql(),
         "web_link_graph": _web_link_graph_sql(),
         "robots_gate_counts": ROBOTS_GATE_SQL,
+        "url_dedup": URL_DEDUP_SQL,
         "crawl_attrition": CRAWL_ATTRITION_SQL,
     }

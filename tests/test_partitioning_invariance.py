@@ -72,6 +72,7 @@ QUERIES = [
     "crawl_attrition",  # round 11: 3-operator funnel composition + distinct
     "robots_gate_counts",  # round 11: per-row grammar eval w/ parse cache
     "hybrid_topk",  # round 12: two index probes + integer RRF fusion
+    "url_dedup",  # round 12: pure-Column canonicalization + keyed groupBy
 ]
 
 
