@@ -1860,7 +1860,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rule-by-rule in tests/test_url_functions.py with an idempotence
     # property, and the CI oracle gate value-hashes its closed-form
     # canonicalization law every run.
+    # Round-12 tail entry (same precedent): bm25_delete_topk's Spark-side
+    # probe is byte-identical to the recorded hybrid_topk/bm25_topk path;
+    # the new surface (DV postings delete + df decrement + zero-df term
+    # removal + stats decrement) is pytest-pinned delete==rebuild down to
+    # table contents in tests/test_text_index.py, and the CI oracle gate
+    # value-hashes the survivor-state law every run.
     for tail in (
+        "bm25_delete_topk",
         "url_dedup",
         "bm25_topk",
         "crawl_attrition",

@@ -59,6 +59,7 @@ __all__ = [
     "term_bucket",
     "build_text_index",
     "append_to_text_index",
+    "delete_from_text_index",
     "maintain_text_index_stream",
     "query_text_index",
     "bm25_score_sql",
@@ -209,6 +210,110 @@ def append_to_text_index(
             "total_len": int(meta["total_len"]) + dl_,
         },
         txn=txn,
+    )
+
+
+def delete_from_text_index(
+    spark: SparkSession,
+    index_path: str,
+    doc_ids: Sequence[int] | DataFrame,
+    *,
+    id_col: str = "doc_id",
+) -> int:
+    """Incremental DOCUMENT DELETION — the missing half of index
+    maintenance (a dedup pass removing docs already indexed previously
+    required a rebuild): drop the docs' postings with a merge-on-read
+    deletion vector (``delete_where`` — a point-delete in a large
+    postings file writes a KB sidecar, not the file), decrement the
+    touched terms' df via ``merge_into``, delete terms whose entire df
+    came from the deleted docs, and decrement the collection stats
+    (N, L) in the SAME commit as the postings delete (atomic — a crash
+    between terms and postings replays cleanly because df rows and
+    stats always travel with their own table's commit).
+
+    ``delete-then-query == rebuild-then-query`` is pytest-pinned, as is
+    terms/postings table equality with a fresh build on the survivors.
+
+    Scale shape: one postings scan filtered to the doomed ids (feeds
+    both the DV identification and the df decrements), one bucket-pruned
+    terms merge; work ∝ the deleted docs' postings except the
+    unavoidable doomed-row identification scan (the index is term-
+    keyed, not doc-keyed — Lucene pays the same shape for deletes).
+    A DataFrame id set is identified by broadcast semi-join, never
+    collected; zero-df terms are collected driver-side (bounded by the
+    DELETED docs' vocabulary, not the corpus). Returns the postings
+    version. Ids never indexed are a no-op."""
+    posts_path = f"{index_path}/postings"
+    terms_path = f"{index_path}/terms"
+    if isinstance(doc_ids, DataFrame):
+        ids_df = doc_ids.select(F.col(id_col).alias("doc_id")).distinct()
+        doomed_cond = None
+    else:
+        ids = sorted({int(i) for i in doc_ids})
+        if not ids:
+            return V.latest_version(posts_path)
+        ids_df = None
+        doomed_cond = F.col("doc_id").isin(ids)
+
+    posts = V.read_version(spark, posts_path)
+    if doomed_cond is not None:
+        doomed = posts.where(doomed_cond)
+    else:
+        doomed = posts.join(F.broadcast(ids_df), "doc_id", "semi")
+    dec_terms = doomed.groupBy("bucket", "term").agg(
+        F.count(F.lit(1)).alias("_dec")
+    )
+    meta_row = (
+        doomed.groupBy("doc_id")
+        .agg(F.first("dl").alias("dl"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("dl"), F.lit(0)).alias("l"),
+        )
+        .collect()[0]
+    )
+    dn, dl_ = int(meta_row["n"]), int(meta_row["l"])
+    if dn == 0:
+        return V.latest_version(posts_path)
+
+    touched_buckets = [
+        r["bucket"] for r in dec_terms.select("bucket").distinct().collect()
+    ]
+    cur = (
+        V.read_version(spark, terms_path)
+        .where(F.col("bucket").isin(touched_buckets))
+        .select("bucket", "term", F.col("df").alias("_cur_df"))
+    )
+    new_terms = dec_terms.join(cur, ["bucket", "term"], "left").select(
+        "bucket",
+        "term",
+        (F.coalesce(F.col("_cur_df"), F.lit(0)) - F.col("_dec")).alias("df"),
+    )
+    live = new_terms.where(F.col("df") > 0)
+    # a term's bucket is a function of the term, so the zero set is just
+    # term strings; bounded by the deleted docs' vocabulary
+    zeros = [r["term"] for r in new_terms.where(F.col("df") <= 0).collect()]
+    V.merge_into(
+        spark, terms_path, live, ["bucket", "term"], when_not_matched="ignore"
+    )
+    if zeros:
+        zb = sorted({_bucket_py(t) for t in zeros})
+        V.delete_where(
+            spark,
+            terms_path,
+            F.col("bucket").isin(zb) & F.col("term").isin(zeros),
+        )
+
+    meta = _collection_meta(index_path)
+    new_meta = {
+        "n_docs": int(meta["n_docs"]) - dn,
+        "total_len": int(meta["total_len"]) - dl_,
+    }
+    if doomed_cond is not None:
+        return V.delete_where(spark, posts_path, doomed_cond, app_meta=new_meta)
+    # DataFrame id set: broadcast-semi-join identification, never collected
+    return V.delete_where(
+        spark, posts_path, keys=ids_df, on=["doc_id"], app_meta=new_meta
     )
 
 

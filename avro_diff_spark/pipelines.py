@@ -4048,6 +4048,53 @@ def _bm25_sql() -> str:
     return bm25_score_sql(BM25_QUERIES, k=10, tokens_sql_fn=tokens_sql)
 
 
+def q_bm25_delete_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index maintenance with DELETES (operators/text_index.py
+    ``delete_from_text_index``, round 12): build on two thirds, APPEND
+    the last third, then DELETE every doc with doc_id % 5 == 2 — the
+    dedup-pass-removes-indexed-docs lifecycle. Postings drop via a
+    merge-on-read deletion vector, per-term df decrements ride
+    merge_into, zero-df terms are removed, and the collection stats
+    (N, L) decrement in the same commit as the postings delete. The
+    oracle derives everything inline from the raw documents table
+    RESTRICTED to the survivors, so the hash pins
+    delete-then-query == never-indexed-then-query bit-for-bit (N, L and
+    df all shift, which moves every idf and normalization term).
+
+    Scale shape: identical to bm25_topk's probe; the delete wrote a KB
+    DV sidecar instead of rewriting postings files."""
+    import os
+
+    from avro_diff_spark.operators import text_index as TI
+    from avro_diff_spark.sources.versioned import latest_version
+
+    src = f"{sf_dir}/documents.parquet"
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    idx = f"/root/repo/.cache/text_index_del/{tag}-{_src_fingerprint(src)}"
+    if latest_version(f"{idx}/postings") != 2:
+        import shutil
+
+        shutil.rmtree(idx, ignore_errors=True)
+        docs = spark.read.parquet(src)
+        TI.build_text_index(spark, docs.where(F.col("doc_id") % 3 != 0), idx)
+        TI.append_to_text_index(spark, docs.where(F.col("doc_id") % 3 == 0), idx)
+        TI.delete_from_text_index(
+            spark, idx, docs.where(F.col("doc_id") % 5 == 2).select("doc_id")
+        )
+    return TI.query_text_index(spark, idx, BM25_QUERIES, k=10)
+
+
+def _bm25_delete_sql() -> str:
+    from avro_diff_spark.operators.text_index import bm25_score_sql
+
+    return bm25_score_sql(
+        BM25_QUERIES,
+        k=10,
+        docs_sql="(SELECT * FROM documents WHERE doc_id % 5 <> 2)",
+        tokens_sql_fn=tokens_sql,
+    )
+
+
 #: Per-retriever list depth fed into RRF (deeper than the final k so the
 #: dense list can resurface docs the sparse head misses, and vice versa).
 HYBRID_DEPTH = 20
@@ -4548,6 +4595,7 @@ PIPELINE_QUERIES = {
     "pagerank_neardups": q_pagerank_neardups,
     "warc_text_extraction": q_warc_text_extraction,
     "bm25_topk": q_bm25_topk,
+    "bm25_delete_topk": q_bm25_delete_topk,
     "hybrid_topk": q_hybrid_topk,
     "web_link_graph": q_web_link_graph,
     "robots_gate_counts": q_robots_gate,
@@ -4639,6 +4687,7 @@ def pipeline_sql() -> dict[str, str]:
         "pagerank_neardups": _pagerank_neardups_sql(),
         "warc_text_extraction": WARC_TEXT_EXTRACTION_SQL,
         "bm25_topk": _bm25_sql(),
+        "bm25_delete_topk": _bm25_delete_sql(),
         "hybrid_topk": _hybrid_sql(),
         "web_link_graph": _web_link_graph_sql(),
         "robots_gate_counts": ROBOTS_GATE_SQL,

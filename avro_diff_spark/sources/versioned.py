@@ -3511,11 +3511,27 @@ def _merge_dv(
 
 
 def delete_where(
-    spark: SparkSession, table_path: str, condition, *, rewrite: str = "auto"
+    spark: SparkSession,
+    table_path: str,
+    condition=None,
+    *,
+    rewrite: str = "auto",
+    app_meta: dict | None = None,
+    keys: DataFrame | None = None,
+    on: list[str] | None = None,
 ) -> int:
     """``DELETE FROM table WHERE condition``. ``condition`` is a Column
     or SQL string. Returns the new version (the current version when a
-    merge-on-read delete matches nothing — no empty commits).
+    merge-on-read delete matches nothing — no empty commits, and the
+    ``app_meta`` is NOT written in that case). ``app_meta`` rides the
+    delete commit atomically (the text index uses this to decrement its
+    collection stats in the same commit that drops the postings).
+
+    Alternatively pass ``keys`` + ``on`` (mutually exclusive with
+    ``condition``): rows matching the key set are identified by a
+    BROADCAST SEMI-JOIN instead of a predicate — the distributed shape
+    for a delete set that lives in a DataFrame (a dedup survivor list),
+    never collected to the driver.
 
     ``rewrite`` picks the commit shape — the 100 TB lever:
 
@@ -3534,24 +3550,39 @@ def delete_where(
 
     Time travel keeps the pre-delete versions readable until vacuum in
     both modes."""
+    if (condition is None) == (keys is None):
+        raise ValueError("pass exactly one of condition or keys")
+    if keys is not None and not on:
+        raise ValueError("keys requires on=[join cols]")
     cond = F.expr(condition) if isinstance(condition, str) else condition
+
+    def _matching(df: DataFrame) -> DataFrame:
+        if cond is not None:
+            return df.filter(cond)
+        return df.join(F.broadcast(keys.select(*on).distinct()), on, "semi")
+
     if rewrite not in ("auto", "cow", "dv"):
         raise ValueError(f"rewrite={rewrite!r} (auto|cow|dv)")
     if rewrite == "cow":
         pb = _table_partitioning(table_path, latest_version(table_path)) or None
-        kept = read_version(spark, table_path).filter(~cond)
-        return commit_snapshot(kept, table_path, mode="overwrite", partition_by=pb)
+        full = read_version(spark, table_path)
+        kept = (
+            full.filter(~cond)
+            if cond is not None
+            else full.join(F.broadcast(keys.select(*on).distinct()), on, "anti")
+        )
+        return commit_snapshot(
+            kept, table_path, mode="overwrite", partition_by=pb, app_meta=app_meta
+        )
     import time
 
     version = latest_version(table_path) + 1
     if version <= 0:
         raise ValueError(f"no table at {table_path!r}")
     adds, _ = _live_adds(table_path, version - 1)
-    matched = (
+    matched = _matching(
         read_version(spark, table_path, version - 1, _provenance="pos")
-        .filter(cond)
-        .select("__file", "__row_idx")
-    )
+    ).select("__file", "__row_idx")
     rels, counts = _stage_dv(spark, table_path, version, matched, adds)
     if not counts:
         return version - 1  # nothing matched — the table is unchanged
@@ -3562,6 +3593,8 @@ def delete_where(
         "n_rows": int(sum(counts.values())),
         "actions": _dv_actions(adds, rels, counts),
     }
+    if app_meta:
+        commit["app_meta"] = dict(app_meta)
     _publish_commit(table_path, version, commit)
     return version
 

@@ -158,3 +158,35 @@ def test_refresh_agg_survives_destination_compaction(spark, tmp_path):
         (r.g): (r.n_rows, r.x_sum) for r in read_version(spark, dst).collect()
     }
     assert got == {"a": (2, 15), "b": (1, 20)}
+
+
+def test_delete_where_keys_form(spark, tmp_path):
+    """Round 12: the broadcast-semi-join delete form — DataFrame key
+    set, both DV and COW rewrites, app_meta rides the commit, and the
+    condition/keys arguments are mutually exclusive."""
+    import pytest
+
+    from avro_diff_spark.sources.versioned import delete_where, read_version
+
+    t = str(tmp_path / "t")
+    rows = [(i, f"v{i}") for i in range(10)]
+    commit_snapshot(_df(spark, rows), t)
+    keys = spark.createDataFrame([(2,), (5,), (77,)], "k int")
+    v = delete_where(spark, t, keys=keys, on=["k"], app_meta={"note": 1})
+    assert sorted(r.k for r in read_version(spark, t).collect()) == [
+        0, 1, 3, 4, 6, 7, 8, 9,
+    ]
+    assert latest_app_meta(t, "note") == {"note": 1}
+    # cow form
+    t2 = str(tmp_path / "t2")
+    commit_snapshot(_df(spark, rows), t2)
+    delete_where(spark, t2, keys=keys, on=["k"], rewrite="cow")
+    assert sorted(r.k for r in read_version(spark, t2).collect()) == [
+        0, 1, 3, 4, 6, 7, 8, 9,
+    ]
+    with pytest.raises(ValueError):
+        delete_where(spark, t, "k = 1", keys=keys, on=["k"])
+    with pytest.raises(ValueError):
+        delete_where(spark, t, keys=keys)
+    with pytest.raises(ValueError):
+        delete_where(spark, t)

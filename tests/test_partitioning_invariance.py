@@ -73,6 +73,7 @@ QUERIES = [
     "robots_gate_counts",  # round 11: per-row grammar eval w/ parse cache
     "hybrid_topk",  # round 12: two index probes + integer RRF fusion
     "url_dedup",  # round 12: pure-Column canonicalization + keyed groupBy
+    "bm25_delete_topk",  # round 12: DV-masked probe across layouts
 ]
 
 

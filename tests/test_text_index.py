@@ -206,3 +206,83 @@ def test_index_compaction_preserves_queries(spark, corpus, tmp_path):
     # query still prunes + scores correctly against python law
     got = sorted(tuple(r) for r in TI.query_text_index(spark, idx, [(3, "dog")]).collect())
     assert got == _py_bm25(DOCS, [(3, "dog")])
+
+
+def test_delete_equals_rebuild(spark, corpus, tmp_path):
+    """Round 12: delete-then-query == rebuild-then-query, down to the
+    terms table and the DV-masked postings rows. Doc 6 is the only
+    'dog'-heavy doc but 'dog' survives via docs 0/1; doc 7 is the ONLY
+    doc for none of its terms... so also delete doc 2 to zero out
+    'planning' (term vanishes from terms entirely)."""
+    full = str(tmp_path / "full")
+    dele = str(tmp_path / "dele")
+    gone = [2, 6]
+    TI.build_text_index(
+        spark, spark.createDataFrame(
+            [d for d in DOCS if d[0] not in gone], "doc_id long, text string"
+        ), full,
+    )
+    TI.build_text_index(
+        spark, spark.createDataFrame(DOCS, "doc_id long, text string"), dele
+    )
+    TI.delete_from_text_index(spark, dele, gone)
+    # meta scalars decremented to the survivor state
+    mf, md = (
+        V.latest_app_meta(f"{p}/postings", "n_docs") for p in (full, dele)
+    )
+    assert (mf["n_docs"], mf["total_len"]) == (md["n_docs"], md["total_len"])
+    # terms tables identical — zero-df terms ('planning', 'for') gone
+    tf_ = sorted(tuple(r) for r in V.read_version(spark, f"{full}/terms").collect())
+    td_ = sorted(tuple(r) for r in V.read_version(spark, f"{dele}/terms").collect())
+    assert tf_ == td_
+    assert not any(r[1] == "planning" for r in td_)
+    # postings row sets identical through the deletion vector
+    pf = sorted(tuple(r) for r in V.read_version(spark, f"{full}/postings").collect())
+    pd_ = sorted(tuple(r) for r in V.read_version(spark, f"{dele}/postings").collect())
+    assert pf == pd_
+    # query results identical
+    a = sorted(tuple(r) for r in TI.query_text_index(spark, full, QUERIES).collect())
+    b = sorted(tuple(r) for r in TI.query_text_index(spark, dele, QUERIES).collect())
+    assert a == b
+
+
+def test_delete_accepts_dataframe_and_ignores_unknown_ids(spark, corpus, tmp_path):
+    idx = str(tmp_path / "idx")
+    TI.build_text_index(spark, corpus, idx)
+    before = V.latest_version(f"{idx}/postings")
+    # unknown ids: no-op, no empty commit
+    assert TI.delete_from_text_index(spark, idx, [999, 1000]) == before
+    assert TI.delete_from_text_index(spark, idx, []) == before
+    ids = spark.createDataFrame([(6,), (999,)], "doc_id long")
+    TI.delete_from_text_index(spark, idx, ids)
+    meta = V.latest_app_meta(f"{idx}/postings", "n_docs")
+    assert meta["n_docs"] == 6  # 8 docs - empty doc 5 (never indexed) - doc 6
+    rows = TI.query_text_index(spark, idx, [(1, "dog")], k=10).collect()
+    assert all(r.doc_id != 6 for r in rows) and rows
+
+
+def test_delete_then_append_then_compact_preserves_queries(spark, corpus, tmp_path):
+    """Lifecycle soak: build -> delete -> append new docs -> OPTIMIZE
+    (materializes the DVs away, meta-less commits) -> query still equals
+    a from-scratch build of the final corpus state."""
+    idx = str(tmp_path / "idx")
+    ref = str(tmp_path / "ref")
+    TI.build_text_index(spark, corpus, idx)
+    TI.delete_from_text_index(spark, idx, [0, 7])
+    extra = spark.createDataFrame(
+        [(8, "brown dog runs a fast query"), (9, "slow sort on the table")],
+        "doc_id long, text string",
+    )
+    TI.append_to_text_index(spark, extra, idx)
+    V.compact_table(spark, f"{idx}/postings")
+    V.compact_table(spark, f"{idx}/terms")
+    final = [d for d in DOCS if d[0] not in (0, 7)] + [
+        (8, "brown dog runs a fast query"),
+        (9, "slow sort on the table"),
+    ]
+    TI.build_text_index(
+        spark, spark.createDataFrame(final, "doc_id long, text string"), ref
+    )
+    a = sorted(tuple(r) for r in TI.query_text_index(spark, idx, QUERIES).collect())
+    b = sorted(tuple(r) for r in TI.query_text_index(spark, ref, QUERIES).collect())
+    assert a == b
