@@ -1866,7 +1866,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # removal + stats decrement) is pytest-pinned delete==rebuild down to
     # table contents in tests/test_text_index.py, and the CI oracle gate
     # value-hashes the survivor-state law every run.
+    # Round-12 tail entry (same precedent): crawl_frontier composes four
+    # recorded/CI-gated laws UNCHANGED (extract_links_df's RFC 3986
+    # resolution from web_link_graph, normalize_url from url_dedup, the
+    # RFC 9309 verdict from robots_gate_counts, plus the pure-Column
+    # sitemap_locs pinned equal to parse_sitemap in tests/test_frontier.py)
+    # into the frontier-expansion wave — the crawl_attrition composition
+    # rationale; its oracle is closed-form in the doc id and the CI gate
+    # value-hashes it every run.
     for tail in (
+        "crawl_frontier",
         "bm25_delete_topk",
         "url_dedup",
         "bm25_topk",

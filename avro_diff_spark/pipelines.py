@@ -4445,6 +4445,105 @@ FROM c GROUP BY canon_url
 """
 
 
+def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier expansion (operators/frontier.py): synthesized fetched
+    pages (two out-links each — an absolute-path ref and a sibling
+    relative with a tracking param) plus sitemaps for every 10th doc
+    (four <loc>s: padded-whitespace, case+trailing-slash variant of the
+    same URL, the page itself, and an entity-encoded query spelling)
+    expand into the allowed, deduped next wave: RFC 3986 resolution,
+    §6 canonicalization (case, slash, tracking-param, entity, sort),
+    visited anti-join (the self-loc vanishes), per-channel reference
+    counts, and the RFC 9309 gate — even-numbered hosts publish a
+    'trainbot' group disallowing /p/, odd hosts only a '*' group that
+    matches nothing here. The oracle resolves NOTHING: every candidate
+    URL, count and verdict is closed-form in the doc id (the
+    web_link_graph precedent), so one wrong step anywhere in link
+    parsing, reference resolution, loc extraction, entity decode,
+    canonicalization, dedup, visited filtering, group selection or
+    rule precedence breaks the hash.
+
+    Scale shape: two map-only Arrow passes + pure-Column normalize +
+    ONE groupBy keyed by canonical URL (visited anti-join shares the
+    key) + a broadcast per-host robots join."""
+    from avro_diff_spark.operators.frontier import expand_frontier
+
+    docs = spread_small(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    n = docs.count()  # bounded scalar literal (the tfidf n_docs pattern)
+    d = F.col("doc_id")
+    h = (d % 5).cast("string")
+    base = F.concat(F.lit("http://h"), h, F.lit(".site.test/dir/page"), d)
+    html = F.concat(
+        F.lit('<html><body><p>x</p><a href="/p/'),
+        (d * 7 + 1) % n,
+        F.lit("\">a</a> <a href='q"),
+        (d * 3 + 2) % n,
+        F.lit("?ref=1&id=2'>b</a></body></html>"),
+    )
+    pages = docs.select(base.alias("url"), html.alias("html"))
+    m = ((d * 11 + 3) % n).cast("string")
+    sm = docs.where(d % 10 == 0).select(
+        F.concat(
+            F.lit("<urlset><loc> http://h"), h, F.lit(".site.test/sm/"), m,
+            F.lit(" </loc><loc>HTTP://H"), h, F.lit(".SITE.TEST/sm/"), m,
+            F.lit("/</loc><loc>http://h"), h, F.lit(".site.test/dir/page"), d,
+            F.lit("</loc><loc>http://h"), h, F.lit(".site.test/sm/"), m,
+            F.lit("?b=2&amp;a=1&amp;utm_x=9</loc></urlset>"),
+        ).alias("xml")
+    )
+    robots = spark.createDataFrame(
+        [
+            (
+                f"h{k}.site.test",
+                "User-agent: trainbot\nDisallow: /p/\n"
+                if k % 2 == 0
+                else "User-agent: *\nDisallow: /blocked\n",
+            )
+            for k in range(5)
+        ],
+        "host string, robots string",
+    )
+    return expand_frontier(
+        pages, robots, agent="trainbot",
+        sitemaps=sm, visited=pages.select("url"),
+    )
+
+
+# closed form of the whole wave: candidate URLs, per-channel counts and
+# robots verdicts are all functions of the doc id (see q_crawl_frontier)
+CRAWL_FRONTIER_SQL = """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+d AS (SELECT doc_id AS d, doc_id % 5 AS h FROM documents),
+c AS (
+  SELECT 'http://h' || h || '.site.test/p/' || ((7 * d + 1) % (SELECT n FROM nn)) AS url,
+         1 AS l, 0 AS s, (h % 2 = 1) AS ok
+  FROM d
+  UNION ALL
+  SELECT 'http://h' || h || '.site.test/dir/q' || ((3 * d + 2) % (SELECT n FROM nn)) || '?id=2',
+         1, 0, TRUE
+  FROM d
+  UNION ALL
+  SELECT 'http://h' || h || '.site.test/sm/' || ((11 * d + 3) % (SELECT n FROM nn)),
+         0, 1, TRUE
+  FROM d WHERE d % 10 = 0
+  UNION ALL
+  SELECT 'http://h' || h || '.site.test/sm/' || ((11 * d + 3) % (SELECT n FROM nn)),
+         0, 1, TRUE
+  FROM d WHERE d % 10 = 0
+  UNION ALL
+  SELECT 'http://h' || h || '.site.test/sm/' || ((11 * d + 3) % (SELECT n FROM nn)) || '?a=1&b=2',
+         0, 1, TRUE
+  FROM d WHERE d % 10 = 0
+)
+SELECT url,
+       count(*)::BIGINT AS n_refs,
+       CAST(sum(l) AS BIGINT) AS from_links,
+       CAST(sum(s) AS BIGINT) AS from_sitemaps
+FROM c WHERE ok
+GROUP BY url
+"""
+
+
 def q_crawl_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The END-TO-END INGESTION FUNNEL: synthesized .warc.gz crawl ->
     from-scratch WARC/HTTP decode -> jusText-class extraction -> RFC
@@ -4601,6 +4700,7 @@ PIPELINE_QUERIES = {
     "robots_gate_counts": q_robots_gate,
     "url_dedup": q_url_dedup,
     "crawl_attrition": q_crawl_attrition,
+    "crawl_frontier": q_crawl_frontier,
 }
 
 def pipeline_sql() -> dict[str, str]:
@@ -4693,4 +4793,5 @@ def pipeline_sql() -> dict[str, str]:
         "robots_gate_counts": ROBOTS_GATE_SQL,
         "url_dedup": URL_DEDUP_SQL,
         "crawl_attrition": CRAWL_ATTRITION_SQL,
+        "crawl_frontier": CRAWL_FRONTIER_SQL,
     }

@@ -1,0 +1,118 @@
+"""Frontier expansion (operators/frontier.py) + the pure-Column
+sitemap loc extractor (functions/robots.sitemap_locs): law parity with
+parse_sitemap, channel counts, visited filtering, robots gating, and
+totality edges."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from avro_diff_spark.functions import robots as R
+from avro_diff_spark.operators.frontier import expand_frontier
+
+SITEMAP_SAMPLES = [
+    """<?xml version="1.0"?><urlset><url><loc>https://e.org/a?x=1&amp;y=2</loc>
+    <lastmod>2026-01-01</lastmod></url><url><loc>
+      https://e.org/b
+    </loc></url></urlset>""",
+    "<sitemapindex><sitemap><loc>https://e.org/s1.xml</loc></sitemap></sitemapindex>",
+    "not xml at all",
+    "<urlset><url><loc></loc></url></urlset>",
+    "<URLSET><LOC>https://e.org/C</LOC></URLSET>",
+    "<loc>&lt;&gt;&quot;&apos;&amp;</loc>",
+    "",
+]
+
+
+def test_sitemap_locs_matches_parse_sitemap(spark):
+    """The Column twin extracts exactly parse_sitemap's locs (same
+    regex, same entity replacement order) on every sample."""
+    df = spark.createDataFrame([(s,) for s in SITEMAP_SAMPLES], "xml string")
+    got = [r.locs for r in df.select(R.sitemap_locs("xml").alias("locs")).collect()]
+    want = [R.parse_sitemap(s)[1] for s in SITEMAP_SAMPLES]
+    assert got == want
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet="ab<>&; /:l.oc%#\tx",
+            max_size=30,
+        ),
+        max_size=4,
+    )
+)
+def test_sitemap_locs_fuzz_parity(spark, pieces):
+    xml = "<urlset>" + "".join(f"<loc>{p}</loc>" for p in pieces) + "</urlset>"
+    df = spark.createDataFrame([(xml,)], "xml string")
+    got = df.select(R.sitemap_locs("xml").alias("locs")).collect()[0].locs
+    assert got == R.parse_sitemap(xml)[1]
+
+
+def _frontier_fixture(spark):
+    pages = spark.createDataFrame(
+        [
+            (
+                "http://h0.test/dir/page0",
+                '<a href="/p/9">a</a> <a href=\'q7?ref=1&id=2\'>b</a>',
+            ),
+            (
+                "http://h1.test/dir/page1",
+                '<a href="/p/9">a</a> <a href="http://h0.test/p/9">c</a>',
+            ),
+        ],
+        "url string, html string",
+    )
+    robots = spark.createDataFrame(
+        [
+            ("h0.test", "User-agent: trainbot\nDisallow: /p/\n"),
+            # h1.test absent -> unavailable -> allowed
+        ],
+        "host string, robots string",
+    )
+    sm = spark.createDataFrame(
+        [
+            (
+                "<urlset><loc> http://h1.test/sm/5 </loc>"
+                "<loc>HTTP://H1.test/sm/5/</loc>"
+                "<loc>http://h0.test/dir/page0</loc></urlset>",
+            )
+        ],
+        "xml string",
+    )
+    return pages, robots, sm
+
+
+def test_expand_frontier_counts_gates_and_visited(spark):
+    pages, robots, sm = _frontier_fixture(spark)
+    out = {
+        r.url: (r.n_refs, r.from_links, r.from_sitemaps)
+        for r in expand_frontier(
+            pages, robots, agent="trainbot", sitemaps=sm,
+            visited=pages.select("url"),
+        ).collect()
+    }
+    assert out == {
+        # /p/9 on h0 blocked (trainbot group, Disallow /p/); on h1 allowed
+        # (host absent from robots): one ref from page1's own link only —
+        # wait: page1 links /p/9 (h1) and h0.test/p/9 (blocked)
+        "http://h1.test/p/9": (1, 1, 0),
+        # relative q7 resolves under /dir/, tracking param dropped
+        "http://h0.test/dir/q7?id=2": (1, 1, 0),
+        # two sitemap spellings collapse; the visited self-loc vanishes
+        "http://h1.test/sm/5": (2, 0, 2),
+    }
+
+
+def test_expand_frontier_no_sitemaps_no_visited(spark):
+    pages, robots, _ = _frontier_fixture(spark)
+    out = {r.url for r in expand_frontier(pages, robots, agent="trainbot").collect()}
+    assert out == {"http://h1.test/p/9", "http://h0.test/dir/q7?id=2"}
+
+
+def test_expand_frontier_empty_pages_total(spark):
+    pages = spark.createDataFrame([], "url string, html string")
+    robots = spark.createDataFrame([], "host string, robots string")
+    assert expand_frontier(pages, robots, agent="x").count() == 0

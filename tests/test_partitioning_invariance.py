@@ -74,6 +74,7 @@ QUERIES = [
     "hybrid_topk",  # round 12: two index probes + integer RRF fusion
     "url_dedup",  # round 12: pure-Column canonicalization + keyed groupBy
     "bm25_delete_topk",  # round 12: DV-masked probe across layouts
+    "crawl_frontier",  # round 12: link+sitemap union, canonical-key dedup
 ]
 
 
