@@ -22,12 +22,16 @@ through the from-scratch Huffman+DCT codec in
 :mod:`avro_diff_spark.jpeg` (progressive SOF2 included — spectral
 selection + successive approximation), and GIF87a/89a (variable-width
 LZW, global/local palettes, interlace) through
-:mod:`avro_diff_spark.gif` — zero extra dependencies. WebP (VP8)
-remains a documented *deterministic fake*
-(:func:`fake_image_decoder`) behind the ``decoder=`` hook
-(:func:`auto_image_decoder` = real-when-possible, fake otherwise;
-``pil_image_decoder`` raises ``NotImplementedError`` until Pillow is
-installed). Everything around the decoder — batch shape, schemas,
+:mod:`avro_diff_spark.gif` — zero extra dependencies. Lossy WebP (VP8)
+is a documented *deterministic fake* (:func:`fake_image_decoder`)
+behind the ``decoder=`` hook (:func:`auto_image_decoder` =
+real-when-possible, fake otherwise; ``pil_image_decoder`` raises
+``NotImplementedError`` until Pillow is installed), and the tier is
+DECLARED COMPLETE at this boundary — SURVEY.md §7.4 records the
+decision: a conformant VP8 intra decoder needs RFC 6386's default
+entropy tables (several KB of spec constants unavailable here), and a
+decoder pinned only against a same-source encoder would be fake
+conformance. Everything around the decoder — batch shape, schemas,
 partitioning — is the production code path either way.
 """
 
