@@ -114,8 +114,11 @@ def fuzzy_join_passjoin(
     the pair lands in a block. Strings of ``a`` shorter than d+1 chars
     (degenerate: some segment would be empty) instead take a bounded
     SHORT-BLOCK pass — they can only match b-strings of length <= 2d,
-    and both sets are tiny in any real linkage column (documented
-    assumption; the pytest property fuzzes both regimes).
+    and the join keys on b's LENGTH (the a side enumerates its 2d+1
+    compatible lengths), so even this degenerate bucket splits into
+    per-length blocks; both sets are tiny in any real linkage column
+    besides (documented assumption; the pytest property fuzzes both
+    regimes).
 
     Cost: index fan-out d+1 rows per string, probe fan-out at most
     (2d+1)(d+1)(2d+1) rows per string — a constant in the edit budget,
@@ -206,10 +209,21 @@ def fuzzy_join_passjoin(
     )
 
     # ---- short-block pass (L <= d): bounded degenerate bucket ----
-    # join key derived from data so Catalyst can't constant-fold it to a BNLJ
-    short_a = left.where(La <= d).withColumn("_k", F.pmod(La, F.lit(1)))
-    short_b = right.where(M <= 2 * d).withColumn("_k", F.pmod(M, F.lit(1)))
-    shorts = short_a.join(short_b, "_k").select(*a_keep, acol, *b_keep, bcol)
+    # LENGTH-keyed (round-12 nit): a short a-string only matches b of
+    # length within d of its own, so the a side enumerates its 2d+1
+    # compatible target lengths and the join keys on b's actual length —
+    # the degenerate bucket splits into per-length blocks and pairs
+    # violating the length bound never materialize. (The key varies over
+    # the data, so Catalyst cannot constant-fold it into a BNLJ.)
+    short_a = left.where(La <= d).select(
+        *a_keep,
+        acol,
+        F.explode(
+            F.sequence(F.greatest(La - d, F.lit(0)), F.least(La + d, F.lit(2 * d)))
+        ).alias("_m"),
+    )
+    short_b = right.where(M <= 2 * d).withColumn("_m", M)
+    shorts = short_a.join(short_b, "_m").select(*a_keep, acol, *b_keep, bcol)
 
     # banded threshold verify (O(d*n) per pair); exact distance only for
     # the (few) survivors
