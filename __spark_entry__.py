@@ -1874,7 +1874,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # into the frontier-expansion wave — the crawl_attrition composition
     # rationale; its oracle is closed-form in the doc id and the CI gate
     # value-hashes it every run.
+    # Round-12 tail entry (same precedent): pipeline_lineage's stages are
+    # column filters + the fingerprint groupBy the head records
+    # (dedup_exact_clusters); the new surface (Observation-harvested
+    # per-stage counts from ONE action, the versioned lineage table, the
+    # ppm report windows) is pytest-pinned in tests/test_lineage.py and
+    # the CI oracle gate value-hashes the full two-run report every run.
     for tail in (
+        "pipeline_lineage",
         "crawl_frontier",
         "bm25_delete_topk",
         "url_dedup",

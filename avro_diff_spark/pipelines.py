@@ -1965,6 +1965,102 @@ FROM cg JOIN bg USING (gram_hash) GROUP BY doc_id
 """
 
 
+def q_pipeline_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized pipeline lineage (operators/lineage.py, round 12 —
+    the verdict's "corpus-level reporting" item): two builds of a
+    linear cleaning funnel (raw → lang=='en' → n_chars>=200 → exact
+    dedup; run 1 on the doc_id%2==0 half) run with ``Observation``
+    markers on every stage, so all per-stage counts ride the ONE final
+    action — zero extra jobs, zero re-scans (contrast
+    pipeline_attrition's per-stage .count(), which re-executes the
+    prefix per stage; fine there because its stages branch, mandatory
+    here because a lineage recorder must not multiply pipeline cost).
+    Each run appends one commit to a versioned lineage table;
+    lineage_report derives drops and exact-integer retention (ppm DIV)
+    per run via run_id-keyed windows. The oracle recomputes every
+    stage count and the ppm arithmetic from the raw documents table —
+    observation harvesting, the versioned round trip, and the window
+    math all pin against it.
+
+    Scale shape: one linear scan per run (observations are plan
+    metadata), a 1-file append per run, and a report over a
+    runs x stages table."""
+    import os
+    import shutil
+
+    from avro_diff_spark.operators.lineage import (
+        lineage_report,
+        observe_stage,
+        record_run,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/root/repo/.cache/lineage/{tag}-{_src_fingerprint(f'{sf_dir}/documents.parquet')}"
+    shutil.rmtree(path, ignore_errors=True)
+    for run_id in (0, 1):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        if run_id == 1:
+            docs = docs.where(F.col("doc_id") % 2 == 0)
+        raw, o0 = observe_stage(spread_small(docs), f"raw_{run_id}")
+        lang, o1 = observe_stage(raw.where(F.col("lang") == "en"), f"lang_{run_id}")
+        size, o2 = observe_stage(
+            lang.where(F.col("n_chars") >= 200), f"size_{run_id}"
+        )
+        survivors = size.select(TX.fingerprint_md5(F.col("text")).alias("fp")).groupBy(
+            "fp"
+        ).agg(F.count(F.lit(1)).alias("n"))
+        n_unique = survivors.count()  # THE one action; observations fire here
+        record_run(
+            spark,
+            path,
+            run_id,
+            [
+                ("0_raw", o0.get["n_rows"]),
+                ("1_lang_en", o1.get["n_rows"]),
+                ("2_min_chars", o2.get["n_rows"]),
+                ("3_exact_dedup", n_unique),
+            ],
+        )
+    return lineage_report(spark, path)
+
+
+PIPELINE_LINEAGE_SQL = f"""
+WITH runs AS (SELECT 0 AS run_id UNION ALL SELECT 1),
+base AS (
+  SELECT r.run_id, d.doc_id, d.lang, d.n_chars, d.text
+  FROM documents d JOIN runs r ON (r.run_id = 0 OR d.doc_id % 2 = 0)
+),
+s0 AS (SELECT run_id, count(*) AS n FROM base GROUP BY run_id),
+l AS (SELECT * FROM base WHERE lang = 'en'),
+s1 AS (SELECT run_id, count(*) AS n FROM l GROUP BY run_id),
+z AS (SELECT * FROM l WHERE n_chars >= 200),
+s2 AS (SELECT run_id, count(*) AS n FROM z GROUP BY run_id),
+s3 AS (SELECT run_id, count(DISTINCT md5({norm_sql('text')})) AS n
+       FROM z GROUP BY run_id),
+stages AS (
+  SELECT run_id, 0 AS stage_idx, '0_raw' AS stage, n FROM s0
+  UNION ALL SELECT run_id, 1, '1_lang_en', n FROM s1
+  UNION ALL SELECT run_id, 2, '2_min_chars', n FROM s2
+  UNION ALL SELECT run_id, 3, '3_exact_dedup', n FROM s3
+),
+w AS (
+  SELECT run_id, stage_idx, stage, n,
+         lag(n) OVER (PARTITION BY run_id ORDER BY stage_idx) AS prev,
+         first_value(n) OVER (PARTITION BY run_id ORDER BY stage_idx) AS fst
+  FROM stages
+)
+SELECT run_id, CAST(stage_idx AS INT) AS stage_idx, stage,
+       CAST(n AS BIGINT) AS n_rows,
+       CAST(coalesce(prev - n, 0) AS BIGINT) AS n_dropped,
+       CAST(CASE WHEN prev IS NULL THEN 1000000
+                 WHEN prev = 0 THEN 0
+                 ELSE 1000000 * n // prev END AS BIGINT) AS retained_ppm,
+       CAST(CASE WHEN fst = 0 THEN 0
+                 ELSE 1000000 * n // fst END AS BIGINT) AS overall_ppm
+FROM w
+"""
+
+
 def q_pipeline_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The END-TO-END cleaning funnel (the FineWeb/RefinedWeb report
     every corpus build publishes): one corpus pushed through quality →
@@ -4646,6 +4742,7 @@ PIPELINE_QUERIES = {
     "exact_substring_scrub": q_exact_substring_scrub,
     "contamination_check": q_contamination_check,
     "pipeline_attrition": q_pipeline_attrition,
+    "pipeline_lineage": q_pipeline_lineage,
     "near_dup_contamination": q_near_dup_contamination,
     "decontaminated_counts": q_decontaminated_counts,
     "jaccard_pairs": q_jaccard_pairs,
@@ -4739,6 +4836,7 @@ def pipeline_sql() -> dict[str, str]:
         "exact_substring_scrub": _exact_substring_scrub_sql(),
         "contamination_check": _contamination_sql(),
         "pipeline_attrition": _pipeline_attrition_sql(),
+        "pipeline_lineage": PIPELINE_LINEAGE_SQL,
         "near_dup_contamination": _near_dup_contamination_sql(),
         "decontaminated_counts": _decontaminated_counts_sql(),
         "jaccard_pairs": JACCARD_PAIRS_SQL,

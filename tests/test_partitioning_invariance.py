@@ -75,6 +75,7 @@ QUERIES = [
     "url_dedup",  # round 12: pure-Column canonicalization + keyed groupBy
     "bm25_delete_topk",  # round 12: DV-masked probe across layouts
     "crawl_frontier",  # round 12: link+sitemap union, canonical-key dedup
+    "pipeline_lineage",  # round 12: observed counts + versioned round trip
 ]
 
 
