@@ -1880,7 +1880,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # per-stage counts from ONE action, the versioned lineage table, the
     # ppm report windows) is pytest-pinned in tests/test_lineage.py and
     # the CI oracle gate value-hashes the full two-run report every run.
+    # Round-12 tail entry (same precedent): ivf_delete_topk's probe is
+    # byte-identical to the recorded ivf_index_topk path; the new surface
+    # (DV delete on cell-partitioned postings, centroids untouched) is
+    # pytest-pinned delete == survivor-rebuild in tests/test_ann_index.py
+    # and the CI oracle gate value-hashes the survivor-candidate law
+    # every run.
     for tail in (
+        "ivf_delete_topk",
         "pipeline_lineage",
         "crawl_frontier",
         "bm25_delete_topk",

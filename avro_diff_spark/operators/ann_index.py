@@ -33,6 +33,7 @@ from avro_diff_spark.sources.tables import spread_small
 __all__ = [
     "build_ivf_index",
     "append_to_index",
+    "delete_from_index",
     "load_centroids",
     "query_index",
 ]
@@ -111,6 +112,33 @@ def append_to_index(spark: SparkSession, df: DataFrame, index_path: str) -> int:
         mode="append",
         partition_by=["cell"],
     )
+
+
+def delete_from_index(
+    spark: SparkSession,
+    index_path: str,
+    vec_ids: "list[int] | DataFrame",
+    *,
+    id_col: str = "vec_id",
+) -> int:
+    """Remove vectors from the stored index (round 12 — the FAISS
+    ``remove_ids`` contract, completing CRUD parity with the text
+    index): a merge-on-read deletion-vector commit on the postings
+    table (``delete_where`` — a point-delete writes a KB sidecar, not
+    the cell files), identified by predicate for a literal id list or
+    by broadcast semi-join for a DataFrame id set (never collected).
+    Centroids are untouched (no retraining on delete, exactly FAISS),
+    and the IVF probe needs no collection stats, so ONE commit does it.
+    ``delete-then-query == never-indexed-then-query`` is pytest-pinned.
+    Ids not in the index are a no-op (no empty commit)."""
+    posts = f"{index_path}/postings"
+    if isinstance(vec_ids, DataFrame):
+        keys = vec_ids.select(F.col(id_col).alias("cand_id")).distinct()
+        return V.delete_where(spark, posts, keys=keys, on=["cand_id"])
+    ids = sorted({int(i) for i in vec_ids})
+    if not ids:
+        return V.latest_version(posts)
+    return V.delete_where(spark, posts, F.col("cand_id").isin(ids))
 
 
 def maintain_index_stream(

@@ -2895,7 +2895,11 @@ WHERE d.vec_id IS NULL
 
 
 def _ivf_sql(
-    k: int = 5, probes: int = 2, n_queries: int = 10, query_pred: str | None = None
+    k: int = 5,
+    probes: int = 2,
+    n_queries: int = 10,
+    query_pred: str | None = None,
+    cand_pred: str = "TRUE",
 ) -> str:
     # assignment/probing mirror ivf_topk exactly: TRAINED centroids (same
     # deterministic Lloyd output as the Spark plan) embedded as literals;
@@ -2917,7 +2921,7 @@ assign AS (
   FROM embeddings e CROSS JOIN cents c
 ),
 cand AS (SELECT vec_id AS cand_id, embedding AS c_emb, cid AS cell
-         FROM assign WHERE rn = 1),
+         FROM assign WHERE rn = 1 AND ({cand_pred})),
 probe AS (SELECT vec_id AS query_id, embedding AS q_emb, cid AS cell
           FROM assign WHERE rn <= {probes} AND ({query_pred})),
 scored AS (
@@ -2931,6 +2935,38 @@ SELECT query_id, cand_id, rank, cosine FROM (
   FROM scored
 ) WHERE rank <= {k}
 """
+
+
+def q_ivf_delete_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF maintenance with DELETES (operators/ann_index.py
+    ``delete_from_index``, round 12 — the FAISS remove_ids contract,
+    CRUD parity with bm25_delete_topk): build the persisted index, then
+    DV-delete every vector with vec_id % 7 == 3 (a dedup pass removing
+    embedded docs), and probe. Centroids never retrain on delete; the
+    oracle assigns ALL vectors to their trained cells but admits only
+    survivor candidates, so the hash pins that deleted vectors vanish
+    from results while cell geometry (and thus probe routing) is
+    unchanged — exactly the delete semantics an IVF index must have."""
+    from avro_diff_spark.operators import ann_index as AI
+    from avro_diff_spark.sources.versioned import latest_version
+
+    import os
+
+    src = f"{sf_dir}/embeddings.parquet"
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    idx = f"/root/repo/.cache/ivf_index_del/{tag}-{_src_fingerprint(src)}"
+    if latest_version(f"{idx}/postings") != 1:
+        import shutil
+
+        shutil.rmtree(idx, ignore_errors=True)
+        AI.build_ivf_index(spark, src, idx)
+        AI.delete_from_index(
+            spark,
+            idx,
+            spark.read.parquet(src).where(F.col("vec_id") % 7 == 3).select("vec_id"),
+        )
+    queries = spark.read.parquet(src).filter(F.col("vec_id") < 10)
+    return AI.query_index(spark, queries, idx, k=5, probes=2)
 
 
 def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4757,6 +4793,7 @@ PIPELINE_QUERIES = {
     "ann_signbucket_topk": q_ann_signbucket,
     "ivf_topk": q_ivf_topk,
     "ivf_index_topk": q_ivf_index_topk,
+    "ivf_delete_topk": q_ivf_delete_topk,
     "kmeans_cluster_stats": q_kmeans_cluster_stats,
     "pq_topk": q_pq_topk,
     "sq_topk": q_sq_topk,
@@ -4851,6 +4888,7 @@ def pipeline_sql() -> dict[str, str]:
         "ann_signbucket_topk": ANN_SIGNBUCKET_SQL,
         "ivf_topk": _ivf_sql(),
         "ivf_index_topk": _ivf_sql(),
+        "ivf_delete_topk": _ivf_sql(cand_pred="vec_id % 7 <> 3"),
         "kmeans_cluster_stats": _kmeans_sql(),
         "pq_topk": _pq_sql(),
         "sq_topk": _sq_sql(),

@@ -138,3 +138,38 @@ def test_streaming_index_maintenance_matches_batch_append(spark, tmp_path, emb_p
     )
     q2.awaitTermination(120)
     assert V.latest_version(f"{idx}/postings") == v
+
+
+def test_delete_from_index_equals_survivor_candidates(spark, tmp_path, emb_path):
+    """Round 12 (FAISS remove_ids contract): DV-delete a slice of the
+    stored postings — queries equal the in-memory IVF over the SURVIVOR
+    candidate set with the UNCHANGED trained centroids (cell geometry
+    never moves on delete), list and DataFrame id forms agree, unknown
+    ids are a no-op commit-wise."""
+    from avro_diff_spark.sources import versioned as V
+
+    idx = str(tmp_path / "idx")
+    cents = AI.build_ivf_index(spark, emb_path, idx)
+    emb = spark.read.parquet(emb_path)
+    queries = emb.filter(F.col("vec_id") < 10)
+
+    before = V.latest_version(f"{idx}/postings")
+    assert AI.delete_from_index(spark, idx, []) == before
+    assert AI.delete_from_index(spark, idx, [10**9, 10**9 + 1]) == before
+
+    AI.delete_from_index(
+        spark, idx, emb.where(F.col("vec_id") % 7 == 3).select("vec_id")
+    )
+    got = AI.query_index(spark, queries, idx, k=5, probes=2)
+    want = SIM.ivf_topk(
+        queries, emb.where(F.col("vec_id") % 7 != 3), k=5, probes=2, centroids=cents
+    )
+    assert _topk_set(got) == _topk_set(want)
+
+    # the list form lands the same state from the same start
+    idx2 = str(tmp_path / "idx2")
+    AI.build_ivf_index(spark, emb_path, idx2)
+    ids = [r.vec_id for r in emb.where(F.col("vec_id") % 7 == 3).collect()]
+    AI.delete_from_index(spark, idx2, ids)
+    got2 = AI.query_index(spark, queries, idx2, k=5, probes=2)
+    assert _topk_set(got2) == _topk_set(got)

@@ -76,6 +76,7 @@ QUERIES = [
     "bm25_delete_topk",  # round 12: DV-masked probe across layouts
     "crawl_frontier",  # round 12: link+sitemap union, canonical-key dedup
     "pipeline_lineage",  # round 12: observed counts + versioned round trip
+    "ivf_delete_topk",  # round 12: DV-masked cell probe across layouts
 ]
 
 
