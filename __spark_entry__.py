@@ -962,6 +962,56 @@ def _q_incremental_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_incremental_near_dups_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index maintenance with DELETES on the LSH index (round 12 —
+    operators/neardup_index.delete_from_neardup_index, CRUD parity with
+    the text/IVF indexes): the base corpus is indexed, every base doc
+    with doc_id % 9 == 4 is DV-deleted from both index tables (a
+    retention pass removing already-indexed docs), and the increment
+    probes the survivor index. Banding is a pure per-doc function, so
+    the result EQUALS the full recompute restricted to increment-
+    touching pairs that avoid deleted docs — exactly what the oracle
+    computes (delete == survivor-rebuild is also pytest-pinned at the
+    operator level in tests/test_dedup.py)."""
+    import os
+    import shutil
+
+    from avro_diff_spark.operators.neardup_index import (
+        build_neardup_index,
+        delete_from_neardup_index,
+        probe_neardup_index,
+    )
+    from avro_diff_spark.sources.versioned import latest_version
+
+    from avro_diff_spark.pipelines import _src_fingerprint
+
+    corpus = snap.documents_with_dups(spark, sf_dir)
+    base = corpus.filter(F.col("doc_id") < 1_000_000)
+    increment = corpus.filter(F.col("doc_id") >= 1_000_000)
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    index_path = (
+        f"/root/repo/.cache/neardup_index_del/{tag}-{_src_fingerprint(src)}/index"
+    )
+    # post-delete state: buckets v1 (DV), shingles v1 (DV)
+    if latest_version(os.path.join(index_path, "buckets")) != 1 or latest_version(
+        os.path.join(index_path, "shingles")
+    ) != 1:
+        shutil.rmtree(index_path, ignore_errors=True)
+        build_neardup_index(
+            spark, base, "text", "doc_id", index_path,
+            n_hashes=32, bands=8, shingle_k=5,
+        )
+        delete_from_neardup_index(
+            spark, index_path, base.where(F.col("doc_id") % 9 == 4).select("doc_id")
+        )
+    return probe_neardup_index(
+        spark, increment, "text", "doc_id", index_path,
+        threshold=0.5, append=False,
+    )
+
+
 def _q_incremental_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally maintained materialized aggregate
     (sources/versioned.refresh_agg_table — the materialized-view / DLT
@@ -1224,6 +1274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_changes_orders": _q_cdc_changes_orders,
         "incremental_agg_orders": _q_incremental_agg_orders,
         "incremental_near_dups": _q_incremental_near_dups,
+        "incremental_near_dups_deleted": _q_incremental_near_dups_deleted,
         "merge_upsert_orders": _q_merge_upsert_orders,
         "key_diff_composite": _q_key_diff_composite,
         "self_diff_counts": _q_self_diff_counts,
@@ -1886,7 +1937,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # pytest-pinned delete == survivor-rebuild in tests/test_ann_index.py
     # and the CI oracle gate value-hashes the survivor-candidate law
     # every run.
+    # Round-12 tail entry (same precedent): incremental_near_dups_deleted
+    # probes the DV-survivor LSH index with the recorded
+    # incremental_near_dups' exact machinery; delete == survivor-rebuild
+    # is pytest-pinned in tests/test_dedup.py and the CI gate hashes the
+    # filtered-pair law every run.
     for tail in (
+        "incremental_near_dups_deleted",
         "ivf_delete_topk",
         "pipeline_lineage",
         "crawl_frontier",
@@ -2038,6 +2095,14 @@ def oracle_sql() -> dict[str, str]:
         "incremental_near_dups": (
             f"SELECT * FROM ({pipelines._minhash_sql()}) "
             "WHERE doc_a >= 1000000 OR doc_b >= 1000000"
+        ),
+        # banding is per-doc pure, so deleting docs from the index is
+        # EXACTLY a pair filter on the full recompute
+        "incremental_near_dups_deleted": (
+            f"SELECT * FROM ({pipelines._minhash_sql()}) "
+            "WHERE (doc_a >= 1000000 OR doc_b >= 1000000) "
+            "AND NOT (doc_a < 1000000 AND doc_a % 9 = 4) "
+            "AND NOT (doc_b < 1000000 AND doc_b % 9 = 4)"
         ),
         "merge_upsert_orders": _MERGE_UPSERT_SQL,
         "key_diff_composite": _KEY_DIFF_COMPOSITE_SQL,

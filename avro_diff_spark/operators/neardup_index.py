@@ -40,6 +40,7 @@ __all__ = [
     "build_neardup_index",
     "probe_neardup_index",
     "probe_neardup_index_stream",
+    "delete_from_neardup_index",
     "index_params",
 ]
 
@@ -135,6 +136,38 @@ def _probe_frames(
     )
     doc_sh = idx_sh.unionByName(inc_sh).dropDuplicates(["doc_id"])
     return DD._verify_pairs(cands, doc_sh, threshold)
+
+
+def delete_from_neardup_index(
+    spark: SparkSession,
+    index_path: str,
+    doc_ids: "list[int] | DataFrame",
+    *,
+    id_col: str = "doc_id",
+) -> int:
+    """Remove documents from the stored LSH index (round 12 — CRUD
+    parity with the text/IVF indexes): one merge-on-read deletion-
+    vector commit per table (buckets + shingles), identified by
+    predicate for literal id lists or broadcast semi-join for DataFrame
+    id sets (never collected). The parameter commit (v0 app_meta) is
+    untouched, so ``index_params`` and every later probe replay the
+    same signature functions. Probing after a delete equals probing an
+    index built on the survivors (pytest-pinned). Unknown ids are
+    no-ops. Returns the bucket table's version."""
+    from avro_diff_spark.sources.versioned import delete_where
+
+    paths = (_buckets_path(index_path), _shingles_path(index_path))
+    if isinstance(doc_ids, DataFrame):
+        keys = doc_ids.select(F.col(id_col).alias("doc_id")).distinct()
+        for p in paths:
+            delete_where(spark, p, keys=keys, on=["doc_id"])
+    else:
+        ids = sorted({int(i) for i in doc_ids})
+        if not ids:
+            return latest_version(paths[0])
+        for p in paths:
+            delete_where(spark, p, F.col("doc_id").isin(ids))
+    return latest_version(paths[0])
 
 
 def probe_neardup_index(

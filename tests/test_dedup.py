@@ -352,3 +352,57 @@ def test_incremental_index_probe_never_reads_corpus(spark, sf_dir, tmp_path):
     # every planted near-dup (+2M) pairs with its original (id - 2M + 1... id % pattern)
     matched = {r.doc_b - 2_000_000 for r in pairs if r.doc_b >= 2_000_000 and r.doc_a < 1_000_000}
     assert matched  # originals found purely from the stored index
+
+
+def test_neardup_index_delete_equals_survivor_rebuild(spark, sf_dir, tmp_path):
+    """Round 12 (index CRUD parity): DV-delete a slice of the indexed
+    base — probing the increment then equals probing an index built on
+    the SURVIVORS, deleted docs never surface as neighbors, params stay
+    readable, and list/DataFrame id forms agree."""
+    from pyspark.sql import functions as F
+
+    from avro_diff_spark import snapshots as snap
+    from avro_diff_spark.operators.neardup_index import (
+        build_neardup_index,
+        delete_from_neardup_index,
+        index_params,
+        probe_neardup_index,
+    )
+
+    corpus = snap.documents_with_dups(spark, sf_dir)
+    base = corpus.filter(F.col("doc_id") < 1_000_000)
+    inc = corpus.filter(F.col("doc_id") >= 1_000_000)
+    gone = base.where(F.col("doc_id") % 9 == 4).select("doc_id")
+    survivors = base.where(F.col("doc_id") % 9 != 4)
+
+    idx = str(tmp_path / "full")
+    ref = str(tmp_path / "ref")
+    build_neardup_index(spark, base, "text", "doc_id", idx)
+    build_neardup_index(spark, survivors, "text", "doc_id", ref)
+    delete_from_neardup_index(spark, idx, gone)
+    assert index_params(idx) == index_params(ref)
+
+    def key(rows):
+        return {(r.doc_a, r.doc_b, r.n_a, r.n_b, r.n_common) for r in rows}
+
+    got = key(
+        probe_neardup_index(spark, inc, "text", "doc_id", idx, append=False).collect()
+    )
+    want = key(
+        probe_neardup_index(spark, inc, "text", "doc_id", ref, append=False).collect()
+    )
+    assert got == want and got
+    gone_ids = {r.doc_id for r in gone.collect()}
+    assert not any(a in gone_ids or b in gone_ids for a, b, *_ in got)
+
+    # list form reaches the same state
+    idx2 = str(tmp_path / "full2")
+    build_neardup_index(spark, base, "text", "doc_id", idx2)
+    delete_from_neardup_index(spark, idx2, sorted(gone_ids))
+    got2 = key(
+        probe_neardup_index(spark, inc, "text", "doc_id", idx2, append=False).collect()
+    )
+    assert got2 == got
+    # unknown ids: no-op
+    v = delete_from_neardup_index(spark, idx2, [10**9])
+    assert v == delete_from_neardup_index(spark, idx2, [])

@@ -77,6 +77,7 @@ QUERIES = [
     "crawl_frontier",  # round 12: link+sitemap union, canonical-key dedup
     "pipeline_lineage",  # round 12: observed counts + versioned round trip
     "ivf_delete_topk",  # round 12: DV-masked cell probe across layouts
+    "incremental_near_dups_deleted",  # round 12: DV-survivor LSH probe
 ]
 
 
