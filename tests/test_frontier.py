@@ -95,9 +95,9 @@ def test_expand_frontier_counts_gates_and_visited(spark):
         ).collect()
     }
     assert out == {
-        # /p/9 on h0 blocked (trainbot group, Disallow /p/); on h1 allowed
-        # (host absent from robots): one ref from page1's own link only —
-        # wait: page1 links /p/9 (h1) and h0.test/p/9 (blocked)
+        # page0's /p/9 (h0) and page1's explicit h0.test/p/9 are blocked
+        # (trainbot group, Disallow /p/); page1's relative /p/9 lands on
+        # h1 (absent from robots -> allowed) with its single reference
         "http://h1.test/p/9": (1, 1, 0),
         # relative q7 resolves under /dir/, tracking param dropped
         "http://h0.test/dir/q7?id=2": (1, 1, 0),
@@ -116,3 +116,53 @@ def test_expand_frontier_empty_pages_total(spark):
     pages = spark.createDataFrame([], "url string, html string")
     robots = spark.createDataFrame([], "host string, robots string")
     assert expand_frontier(pages, robots, agent="x").count() == 0
+
+
+def test_maintain_frontier_stream_batch_equivalent_exactly_once(spark, tmp_path):
+    """Streaming frontier == batch expansion over all pages (counts
+    merge-added across batches), fetched accumulates the page URLs,
+    next_wave == batch expansion with visited = every page, and a
+    checkpoint replay publishes nothing new."""
+    from avro_diff_spark.operators.frontier import (
+        frontier_next_wave,
+        maintain_frontier_stream,
+    )
+    from avro_diff_spark.sources import versioned as V
+
+    pages, robots, _ = _frontier_fixture(spark)
+    # make batch boundaries likely: one input file per page row
+    src, ck = str(tmp_path / "src"), str(tmp_path / "ck")
+    fr, fe = str(tmp_path / "frontier"), str(tmp_path / "fetched")
+    pages.repartition(2).write.parquet(src)
+
+    stream = spark.readStream.schema(pages.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = maintain_frontier_stream(
+        stream, fr, fe, robots, agent="trainbot", checkpoint=ck
+    )
+    q.awaitTermination(120)
+
+    def rows(df):
+        return {tuple(r) for r in df.collect()}
+
+    from avro_diff_spark.operators.frontier import expand_frontier
+
+    assert rows(V.read_version(spark, fr)) == rows(
+        expand_frontier(pages, robots, agent="trainbot")
+    )
+    assert rows(V.read_version(spark, fe)) == {
+        (r.url,) for r in pages.select("url").collect()
+    }
+    assert rows(frontier_next_wave(spark, fr, fe)) == rows(
+        expand_frontier(pages, robots, agent="trainbot", visited=pages.select("url"))
+    )
+
+    # replay: same checkpoint, no new files -> no new commits
+    vf, vt = V.latest_version(fr), V.latest_version(fe)
+    q2 = maintain_frontier_stream(
+        spark.readStream.schema(pages.schema).parquet(src),
+        fr, fe, robots, agent="trainbot", checkpoint=ck,
+    )
+    q2.awaitTermination(120)
+    assert (V.latest_version(fr), V.latest_version(fe)) == (vf, vt)
