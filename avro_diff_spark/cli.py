@@ -746,6 +746,120 @@ def extract_main(argv: list[str] | None = None) -> int:
     return 0
 
 
+def search_main(argv: list[str] | None = None) -> int:
+    """Sparse retrieval over a documents parquet via the persisted BM25
+    index (operators/text_index.py): build, incremental append/delete,
+    and top-k queries — the round-12 index CRUD surface."""
+    p = argparse.ArgumentParser(
+        prog="search", description="BM25 index lifecycle + top-k queries."
+    )
+    sub = p.add_subparsers(dest="action", required=True)
+    b = sub.add_parser("build", help="index a documents parquet from scratch")
+    b.add_argument("docs_parquet")
+    b.add_argument("index_dir")
+    b.add_argument("--text-col", default="text")
+    b.add_argument("--id-col", default="doc_id")
+    a = sub.add_parser("append", help="index an increment (work ∝ increment)")
+    a.add_argument("docs_parquet")
+    a.add_argument("index_dir")
+    a.add_argument("--text-col", default="text")
+    a.add_argument("--id-col", default="doc_id")
+    d = sub.add_parser("delete", help="remove documents by id (DV commit)")
+    d.add_argument("index_dir")
+    d.add_argument("ids", nargs="+", type=int)
+    q = sub.add_parser("query", help="BM25 top-k for one query string")
+    q.add_argument("index_dir")
+    q.add_argument("text")
+    q.add_argument("--k", type=int, default=10)
+    args = p.parse_args(argv)
+
+    from avro_diff_spark.operators import text_index as TI
+    from avro_diff_spark.session import get_spark
+
+    spark = get_spark("search")
+    if args.action == "build":
+        v = TI.build_text_index(
+            spark, spark.read.parquet(args.docs_parquet), args.index_dir,
+            text_col=args.text_col, id_col=args.id_col,
+        )
+        print(f"built {args.index_dir} at postings v{v}")
+    elif args.action == "append":
+        v = TI.append_to_text_index(
+            spark, spark.read.parquet(args.docs_parquet), args.index_dir,
+            text_col=args.text_col, id_col=args.id_col,
+        )
+        print(f"appended -> postings v{v}")
+    elif args.action == "delete":
+        v = TI.delete_from_text_index(spark, args.index_dir, args.ids)
+        print(f"deleted {len(args.ids)} ids -> postings v{v}")
+    else:
+        rows = TI.query_text_index(
+            spark, args.index_dir, [(0, args.text)], k=args.k
+        ).collect()
+        for r in sorted(rows, key=lambda r: r.rank):
+            print(f"{r.rank:3d}  doc {r.doc_id}  score {r.score_x1e6}")
+    return 0
+
+
+def frontier_main(argv: list[str] | None = None) -> int:
+    """One crawl-frontier wave (operators/frontier.py): pages parquet
+    (url, html) + per-host robots parquet (host, robots)
+    [+ sitemaps (xml)] [+ visited (url)] -> allowed deduped next-wave
+    parquet with per-channel discovery counts."""
+    p = argparse.ArgumentParser(
+        prog="frontier", description="Expand the crawl frontier one wave."
+    )
+    p.add_argument("pages_parquet")
+    p.add_argument("robots_parquet")
+    p.add_argument("out_parquet")
+    p.add_argument("--agent", required=True, help="product token (RFC 9309)")
+    p.add_argument("--sitemaps", help="parquet of sitemap XML payloads (xml col)")
+    p.add_argument("--visited", help="parquet of already-crawled URLs")
+    args = p.parse_args(argv)
+
+    from avro_diff_spark.operators.frontier import expand_frontier
+    from avro_diff_spark.session import get_spark
+
+    spark = get_spark("frontier")
+    wave = expand_frontier(
+        spark.read.parquet(args.pages_parquet),
+        spark.read.parquet(args.robots_parquet),
+        agent=args.agent,
+        sitemaps=spark.read.parquet(args.sitemaps) if args.sitemaps else None,
+        visited=spark.read.parquet(args.visited) if args.visited else None,
+    )
+    wave.write.mode("overwrite").parquet(args.out_parquet)
+    n = spark.read.parquet(args.out_parquet).count()
+    print(f"frontier: {n} URLs  ->  {args.out_parquet}")
+    return 0
+
+
+def lineage_main(argv: list[str] | None = None) -> int:
+    """Print a recorded pipeline's lineage report (operators/lineage.py):
+    per-stage counts, drops, and exact-integer retention ppm."""
+    p = argparse.ArgumentParser(
+        prog="lineage", description="Report a versioned lineage table."
+    )
+    p.add_argument("lineage_table")
+    p.add_argument("--run-id", type=int)
+    args = p.parse_args(argv)
+
+    from avro_diff_spark.operators.lineage import lineage_report
+    from avro_diff_spark.session import get_spark
+
+    spark = get_spark("lineage")
+    rows = lineage_report(
+        spark, args.lineage_table, run_id=args.run_id
+    ).collect()
+    for r in sorted(rows, key=lambda r: (r.run_id, r.stage_idx)):
+        print(
+            f"run {r.run_id}  {r.stage_idx}:{r.stage:<20s} rows {r.n_rows:>10d}"
+            f"  dropped {r.n_dropped:>10d}  retained {r.retained_ppm/10000:7.2f}%"
+            f"  overall {r.overall_ppm/10000:7.2f}%"
+        )
+    return 0
+
+
 _COMMANDS = {
     "key_diff": key_diff_main,
     "venn_diff": venn_diff_main,
@@ -755,14 +869,17 @@ _COMMANDS = {
     "dq": dq_main,
     "table": table_main,
     "extract": extract_main,
+    "search": search_main,
+    "frontier": frontier_main,
+    "lineage": lineage_main,
 }
 
 
 def main() -> int:
-    """Dispatcher: python -m avro_diff_spark.cli {key_diff|venn_diff|dedup|digest|drift|dq|table|extract} ..."""
+    """Dispatcher: python -m avro_diff_spark.cli {key_diff|venn_diff|dedup|digest|drift|dq|table|extract|search|frontier|lineage} ..."""
     if len(sys.argv) < 2 or sys.argv[1] not in _COMMANDS:
         print(
-            "usage: python -m avro_diff_spark.cli {key_diff|venn_diff|dedup|digest|drift|dq|table|extract} ...",
+            "usage: python -m avro_diff_spark.cli {key_diff|venn_diff|dedup|digest|drift|dq|table|extract|search|frontier|lineage} ...",
             file=sys.stderr,
         )
         return 2

@@ -166,3 +166,39 @@ def test_maintain_frontier_stream_batch_equivalent_exactly_once(spark, tmp_path)
     )
     q2.awaitTermination(120)
     assert (V.latest_version(fr), V.latest_version(fe)) == (vf, vt)
+
+
+def test_cli_search_frontier_lineage(spark, tmp_path, capsys):
+    """Round-12 CLI surface: search build/query/delete (scores shift
+    when N drops), frontier wave to parquet, lineage report."""
+    from avro_diff_spark.cli import frontier_main, lineage_main, search_main
+    from avro_diff_spark.operators.lineage import record_run
+
+    docs = spark.createDataFrame(
+        [(i, f"fast table scan doc{i} dog") for i in range(8)],
+        "doc_id long, text string",
+    )
+    dp, idx = str(tmp_path / "docs"), str(tmp_path / "idx")
+    docs.write.parquet(dp)
+    assert search_main(["build", dp, idx]) == 0
+    assert search_main(["query", idx, "fast dog", "--k", "3"]) == 0
+    out1 = capsys.readouterr().out
+    assert "doc 0" in out1
+    s1 = int(out1.split("score")[1].split()[0])
+    assert search_main(["delete", idx, "3", "4"]) == 0
+    assert search_main(["query", idx, "fast dog", "--k", "3"]) == 0
+    s2 = int(capsys.readouterr().out.split("score")[1].split()[0])
+    assert s2 != s1  # N dropped -> idf moved
+
+    pages, robots, _ = _frontier_fixture(spark)
+    pp, rp, wp = (str(tmp_path / x) for x in ("pages", "robots", "wave"))
+    pages.write.parquet(pp)
+    robots.write.parquet(rp)
+    assert frontier_main([pp, rp, wp, "--agent", "trainbot"]) == 0
+    assert spark.read.parquet(wp).count() == 2
+
+    lin = str(tmp_path / "lin")
+    record_run(spark, lin, 0, [("raw", 10), ("kept", 5)])
+    assert lineage_main([lin]) == 0
+    rep = capsys.readouterr().out
+    assert "retained   50.00%" in rep
