@@ -81,6 +81,10 @@ def expand_frontier(
             F.lit(1).alias("_s"),
         )
         cands = cands.unionByName(locs)
+    # only fetchable web URLs enter the frontier: anchors carry mailto:,
+    # javascript:, tel:, data: and fragment-only refs that resolve/pass
+    # through non-http(s) — a crawler must never be handed those
+    cands = cands.where(F.col("url").rlike("^https?://"))
     if visited is not None:
         first = visited.columns[0]
         seen = visited.select(

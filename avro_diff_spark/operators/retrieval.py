@@ -57,17 +57,26 @@ def rrf_fuse(
     Each input needs ``(query_col, doc_col, rank_col)``; extra columns
     (scores) are dropped — RRF is rank-only by design. A document
     missing from a list simply contributes nothing for it (the standard
-    RRF convention). ``k0`` damps the head-heaviness (60 per the paper);
-    ``scale`` sets the fixed-point resolution of the integer weights.
+    RRF convention); a document appearing MORE than once in one list
+    (a non-deduped upstream union) counts once at its BEST rank, so
+    ``n_lists`` can never exceed the number of retrievers. ``k0`` damps
+    the head-heaviness (60 per the paper); ``scale`` sets the
+    fixed-point resolution of the integer weights.
     """
     if not lists:
         raise ValueError("rrf_fuse needs at least one ranked list")
-    contrib = F.expr(f"{int(scale)} DIV ({int(k0)} + {rank_col})").cast("long")
     parts = [
-        df.select(
-            F.col(query_col).alias("query_id"),
-            F.col(doc_col).alias("doc_id"),
-            contrib.alias("c"),
+        # best (min) rank per doc within a list: contrib is monotone
+        # decreasing in rank, and proper top-k inputs are already unique
+        # so this is a no-op groupBy on k rows per query
+        df.groupBy(
+            F.col(query_col).alias("query_id"), F.col(doc_col).alias("doc_id")
+        )
+        .agg(F.min(rank_col).alias("_r"))
+        .select(
+            "query_id",
+            "doc_id",
+            F.expr(f"{int(scale)} DIV ({int(k0)} + _r)").cast("long").alias("c"),
         )
         for df in lists
     ]

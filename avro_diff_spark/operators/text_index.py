@@ -219,6 +219,7 @@ def delete_from_text_index(
     doc_ids: Sequence[int] | DataFrame,
     *,
     id_col: str = "doc_id",
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Incremental DOCUMENT DELETION — the missing half of index
     maintenance (a dedup pass removing docs already indexed previously
@@ -227,22 +228,33 @@ def delete_from_text_index(
     postings file writes a KB sidecar, not the file), decrement the
     touched terms' df via ``merge_into``, delete terms whose entire df
     came from the deleted docs, and decrement the collection stats
-    (N, L) in the SAME commit as the postings delete (atomic — a crash
-    between terms and postings replays cleanly because df rows and
-    stats always travel with their own table's commit).
+    (N, L) in the SAME commit as the postings delete (df rows and stats
+    always travel with their own table's commit).
+
+    ``txn=(app_id, epoch)`` makes the whole delete IDEMPOTENT across
+    retries — the ``append_to_text_index`` discipline: the terms work
+    (df merge + zero-df removal) and the postings DV delete are guarded
+    independently by ``last_committed_epoch``, so a crash between them
+    replays to exactly the missing half and never double-decrements df.
+    (Without txn a retry after a crash between the terms commits and
+    the postings delete WOULD re-decrement — pass txn in any flow that
+    retries.) The one non-atomic slice inside the terms table itself
+    (crash between the df merge and the zero-df delete) can strand
+    df<=0 term rows; they are query-inert (their postings are gone once
+    the postings delete lands) and a later re-append of the term merges
+    on top of them correctly.
 
     ``delete-then-query == rebuild-then-query`` is pytest-pinned, as is
     terms/postings table equality with a fresh build on the survivors.
 
-    Scale shape: one postings scan filtered to the doomed ids (feeds
-    both the DV identification and the df decrements), one bucket-pruned
-    terms merge; work ∝ the deleted docs' postings except the
-    unavoidable doomed-row identification scan (the index is term-
-    keyed, not doc-keyed — Lucene pays the same shape for deletes).
-    A DataFrame id set is identified by broadcast semi-join, never
-    collected; zero-df terms are collected driver-side (bounded by the
-    DELETED docs' vocabulary, not the corpus). Returns the postings
-    version. Ids never indexed are a no-op."""
+    Scale shape: ONE postings scan filtered to the doomed ids,
+    persisted and reused by the stats fold, the df decrements and the
+    DV identification (the index is term-keyed, not doc-keyed — Lucene
+    pays the same identification shape for deletes); one bucket-pruned
+    terms merge. A DataFrame id set is identified by broadcast
+    semi-join, never collected; zero-df terms are collected driver-side
+    (bounded by the DELETED docs' vocabulary, not the corpus). Returns
+    the postings version. Ids never indexed are a no-op."""
     posts_path = f"{index_path}/postings"
     terms_path = f"{index_path}/terms"
     if isinstance(doc_ids, DataFrame):
@@ -260,61 +272,86 @@ def delete_from_text_index(
         doomed = posts.where(doomed_cond)
     else:
         doomed = posts.join(F.broadcast(ids_df), "doc_id", "semi")
-    dec_terms = doomed.groupBy("bucket", "term").agg(
-        F.count(F.lit(1)).alias("_dec")
-    )
-    meta_row = (
-        doomed.groupBy("doc_id")
-        .agg(F.first("dl").alias("dl"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.coalesce(F.sum("dl"), F.lit(0)).alias("l"),
+    doomed = doomed.persist()
+    try:
+        meta_row = (
+            doomed.groupBy("doc_id")
+            .agg(F.first("dl").alias("dl"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.sum("dl"), F.lit(0)).alias("l"),
+            )
+            .collect()[0]
         )
-        .collect()[0]
-    )
-    dn, dl_ = int(meta_row["n"]), int(meta_row["l"])
-    if dn == 0:
-        return V.latest_version(posts_path)
+        dn, dl_ = int(meta_row["n"]), int(meta_row["l"])
+        if dn == 0:
+            return V.latest_version(posts_path)
 
-    touched_buckets = [
-        r["bucket"] for r in dec_terms.select("bucket").distinct().collect()
-    ]
-    cur = (
-        V.read_version(spark, terms_path)
-        .where(F.col("bucket").isin(touched_buckets))
-        .select("bucket", "term", F.col("df").alias("_cur_df"))
-    )
-    new_terms = dec_terms.join(cur, ["bucket", "term"], "left").select(
-        "bucket",
-        "term",
-        (F.coalesce(F.col("_cur_df"), F.lit(0)) - F.col("_dec")).alias("df"),
-    )
-    live = new_terms.where(F.col("df") > 0)
-    # a term's bucket is a function of the term, so the zero set is just
-    # term strings; bounded by the deleted docs' vocabulary
-    zeros = [r["term"] for r in new_terms.where(F.col("df") <= 0).collect()]
-    V.merge_into(
-        spark, terms_path, live, ["bucket", "term"], when_not_matched="ignore"
-    )
-    if zeros:
-        zb = sorted({_bucket_py(t) for t in zeros})
-        V.delete_where(
-            spark,
-            terms_path,
-            F.col("bucket").isin(zb) & F.col("term").isin(zeros),
+        epoch = None if txn is None else int(txn[1])
+        if txn is None or V.last_committed_epoch(terms_path, txn[0]) < epoch:
+            dec_terms = doomed.groupBy("bucket", "term").agg(
+                F.count(F.lit(1)).alias("_dec")
+            )
+            touched_buckets = [
+                r["bucket"] for r in dec_terms.select("bucket").distinct().collect()
+            ]
+            cur = (
+                V.read_version(spark, terms_path)
+                .where(F.col("bucket").isin(touched_buckets))
+                .select("bucket", "term", F.col("df").alias("_cur_df"))
+            )
+            new_terms = dec_terms.join(cur, ["bucket", "term"], "left").select(
+                "bucket",
+                "term",
+                (F.coalesce(F.col("_cur_df"), F.lit(0)) - F.col("_dec")).alias("df"),
+            ).persist()
+            try:
+                live = new_terms.where(F.col("df") > 0)
+                # a term's bucket is a function of the term, so the zero
+                # set is just term strings; bounded by the deleted docs'
+                # vocabulary
+                zeros = [
+                    r["term"] for r in new_terms.where(F.col("df") <= 0).collect()
+                ]
+                # the MERGE carries the epoch stamp: once it lands, a
+                # retry skips the whole terms branch (no double
+                # decrement); a crash before the zero-delete strands only
+                # query-inert df<=0 rows (docstring)
+                V.merge_into(
+                    spark, terms_path, live, ["bucket", "term"],
+                    when_not_matched="ignore", txn=txn,
+                )
+                if zeros:
+                    zb = sorted({_bucket_py(t) for t in zeros})
+                    V.delete_where(
+                        spark,
+                        terms_path,
+                        F.col("bucket").isin(zb) & F.col("term").isin(zeros),
+                        txn=txn,
+                    )
+            finally:
+                new_terms.unpersist()
+        if txn is not None and (
+            V.last_committed_epoch(posts_path, txn[0]) >= epoch
+        ):
+            return V.latest_version(posts_path)
+        meta = _collection_meta(index_path)
+        new_meta = {
+            "n_docs": int(meta["n_docs"]) - dn,
+            "total_len": int(meta["total_len"]) - dl_,
+        }
+        if doomed_cond is not None:
+            return V.delete_where(
+                spark, posts_path, doomed_cond, app_meta=new_meta, txn=txn
+            )
+        # DataFrame id set: broadcast-semi-join identification, never
+        # collected
+        return V.delete_where(
+            spark, posts_path, keys=ids_df, on=["doc_id"], app_meta=new_meta,
+            txn=txn,
         )
-
-    meta = _collection_meta(index_path)
-    new_meta = {
-        "n_docs": int(meta["n_docs"]) - dn,
-        "total_len": int(meta["total_len"]) - dl_,
-    }
-    if doomed_cond is not None:
-        return V.delete_where(spark, posts_path, doomed_cond, app_meta=new_meta)
-    # DataFrame id set: broadcast-semi-join identification, never collected
-    return V.delete_where(
-        spark, posts_path, keys=ids_df, on=["doc_id"], app_meta=new_meta
-    )
+    finally:
+        doomed.unpersist()
 
 
 def maintain_text_index_stream(

@@ -613,6 +613,23 @@ FROM documents GROUP BY source
 """
 
 
+def _join_broadcast_totals(df: DataFrame, key_col: str, totals: DataFrame) -> DataFrame:
+    """Broadcast a 1-row global aggregate back onto a per-group frame
+    via an equi-join on a key derived from never-null columns — the
+    ``_fold_tvd`` idiom (functions/drift.py:94): a LITERAL key would be
+    constant-folded by Catalyst and the join degraded to a BNLJ.
+    ``totals`` must carry a ``__c`` count column (counts are never
+    null); ``key_col`` names a never-null numeric column of ``df``."""
+    return (
+        df.withColumn("_k", F.col(key_col) - F.col(key_col))
+        .join(
+            F.broadcast(totals.withColumn("_k", F.col("__c") - F.col("__c"))),
+            "_k",
+        )
+        .drop("_k")
+    )
+
+
 def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled source mixing weights — the mixture-building
     step of a pretraining pipeline (the Pile / ROOTS / FineWeb recipe):
@@ -643,11 +660,7 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("n_docs"), F.lit(0)).alias("__tn"),
         F.count(F.lit(1)).alias("__c"),
     )
-    # join key derived from a never-null column so Catalyst can't
-    # constant-fold it into a BNLJ (the _fold_tvd lesson)
-    joined = scaled.withColumn("_k", F.col("__s") - F.col("__s")).join(
-        F.broadcast(totals.withColumn("_k", F.col("__c") - F.col("__c"))), "_k"
-    )
+    joined = _join_broadcast_totals(scaled, "__s", totals)
     return joined.select(
         "source",
         "n_docs",
@@ -701,28 +714,20 @@ def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("__s"), F.lit(0)).alias("__ts"),
         F.count(F.lit(1)).alias("__c"),
     )
-    weights = (
-        per0.withColumn("_k", F.col("__s") - F.col("__s"))
-        .join(F.broadcast(t1.withColumn("_k", F.col("__c") - F.col("__c"))), "_k")
-        .select(
-            "source",
-            "n_docs",
-            F.expr("1000000 * __s DIV __ts").alias("weight_ppm"),
-        )
+    weights = _join_broadcast_totals(per0, "__s", t1).select(
+        "source",
+        "n_docs",
+        F.expr("1000000 * __s DIV __ts").alias("weight_ppm"),
     )
     t2 = weights.agg(
         F.min(F.expr("n_docs * 1000000 DIV weight_ppm")).alias("__t"),
         F.count(F.lit(1)).alias("__c"),
     )
-    per = (
-        weights.withColumn("_k", F.col("n_docs") - F.col("n_docs"))
-        .join(F.broadcast(t2.withColumn("_k", F.col("__c") - F.col("__c"))), "_k")
-        .select(
-            "source",
-            "n_docs",
-            "weight_ppm",
-            F.expr("__t * weight_ppm DIV 1000000").alias("target_n"),
-        )
+    per = _join_broadcast_totals(weights, "n_docs", t2).select(
+        "source",
+        "n_docs",
+        "weight_ppm",
+        F.expr("__t * weight_ppm DIV 1000000").alias("target_n"),
     )
     kept = (
         d.join(F.broadcast(per), "source")
@@ -1994,8 +1999,12 @@ def q_pipeline_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
         record_run,
     )
 
+    from avro_diff_spark.sources.versioned import latest_version
+
     tag = os.path.basename(os.path.normpath(sf_dir))
     path = f"/root/repo/.cache/lineage/{tag}-{_src_fingerprint(f'{sf_dir}/documents.parquet')}"
+    if latest_version(path) == 1:  # both runs recorded; report is pure
+        return lineage_report(spark, path)
     shutil.rmtree(path, ignore_errors=True)
     for run_id in (0, 1):
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")

@@ -3519,6 +3519,7 @@ def delete_where(
     app_meta: dict | None = None,
     keys: DataFrame | None = None,
     on: list[str] | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """``DELETE FROM table WHERE condition``. ``condition`` is a Column
     or SQL string. Returns the new version (the current version when a
@@ -3532,6 +3533,11 @@ def delete_where(
     BROADCAST SEMI-JOIN instead of a predicate — the distributed shape
     for a delete set that lives in a DataFrame (a dedup survivor list),
     never collected to the driver.
+
+    ``txn=(app_id, epoch)`` records the Delta txnAppId/txnVersion pair
+    on the commit (both rewrites) so multi-commit maintenance flows can
+    epoch-guard their delete step (``last_committed_epoch``) exactly
+    like appends — the text index's delete path uses this.
 
     ``rewrite`` picks the commit shape — the 100 TB lever:
 
@@ -3572,7 +3578,12 @@ def delete_where(
             else full.join(F.broadcast(keys.select(*on).distinct()), on, "anti")
         )
         return commit_snapshot(
-            kept, table_path, mode="overwrite", partition_by=pb, app_meta=app_meta
+            kept,
+            table_path,
+            mode="overwrite",
+            partition_by=pb,
+            app_meta=app_meta,
+            txn=txn,
         )
     import time
 
@@ -3595,6 +3606,8 @@ def delete_where(
     }
     if app_meta:
         commit["app_meta"] = dict(app_meta)
+    if txn is not None:
+        commit["app"], commit["epoch"] = os.path.abspath(txn[0]), int(txn[1])
     _publish_commit(table_path, version, commit)
     return version
 

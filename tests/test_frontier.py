@@ -202,3 +202,19 @@ def test_cli_search_frontier_lineage(spark, tmp_path, capsys):
     assert lineage_main([lin]) == 0
     rep = capsys.readouterr().out
     assert "retained   50.00%" in rep
+
+
+def test_expand_frontier_drops_non_fetchable_schemes(spark):
+    """mailto:/javascript:/tel: anchors (and fragment-only refs that
+    resolve back to the page) must never enter the frontier."""
+    pages = spark.createDataFrame(
+        [(
+            "http://h9.test/p",
+            '<a href="mailto:a@b.c">m</a><a href="javascript:void(0)">j</a>'
+            '<a href="tel:+123">t</a><a href="/ok">k</a>',
+        )],
+        "url string, html string",
+    )
+    robots = spark.createDataFrame([], "host string, robots string")
+    out = {r.url for r in expand_frontier(pages, robots, agent="x").collect()}
+    assert out == {"http://h9.test/ok"}

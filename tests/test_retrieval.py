@@ -93,3 +93,12 @@ def test_rrf_custom_columns_and_k0(spark):
         (10, 100),
         (11, 50),
     ]
+
+
+def test_rrf_duplicate_doc_within_one_list_counts_once(spark):
+    """A non-deduped upstream list repeating a doc contributes once at
+    its BEST rank, and n_lists never exceeds the retriever count."""
+    a = _lst(spark, [(1, 7, 3), (1, 7, 15), (1, 8, 1)])
+    rows = {r.doc_id: (r.rrf_x1e6, r.n_lists) for r in rrf_fuse([a], k=5).collect()}
+    assert rows[7] == (1_000_000 // 63, 1)
+    assert rows[8] == (1_000_000 // 61, 1)

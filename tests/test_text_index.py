@@ -286,3 +286,52 @@ def test_delete_then_append_then_compact_preserves_queries(spark, corpus, tmp_pa
     a = sorted(tuple(r) for r in TI.query_text_index(spark, idx, QUERIES).collect())
     b = sorted(tuple(r) for r in TI.query_text_index(spark, ref, QUERIES).collect())
     assert a == b
+
+
+def test_delete_txn_replay_after_crash_between_tables(spark, corpus, tmp_path, monkeypatch):
+    """Round-12 review fix: with txn=(app, epoch) a crash AFTER the
+    terms df merge but BEFORE the postings DV delete replays to exactly
+    the missing half — the retry must NOT re-decrement df (the terms
+    epoch guard) and the final state equals a clean survivor rebuild."""
+    import pytest as _pytest
+
+    full = str(tmp_path / "full")
+    dele = str(tmp_path / "dele")
+    gone = [2, 6]
+    TI.build_text_index(
+        spark, spark.createDataFrame(
+            [d for d in DOCS if d[0] not in gone], "doc_id long, text string"
+        ), full,
+    )
+    TI.build_text_index(
+        spark, spark.createDataFrame(DOCS, "doc_id long, text string"), dele
+    )
+
+    real = V.delete_where
+    crashed = []
+
+    def boom(spark_, path, *a, **k):
+        if path.endswith("/postings") and not crashed:
+            crashed.append(1)
+            raise RuntimeError("crash between terms and postings")
+        return real(spark_, path, *a, **k)
+
+    monkeypatch.setattr(TI.V, "delete_where", boom)
+    app = str(tmp_path / "app")
+    with _pytest.raises(RuntimeError):
+        TI.delete_from_text_index(spark, dele, gone, txn=(app, 1))
+    # terms work landed; postings intact. Retry with the SAME txn:
+    TI.delete_from_text_index(spark, dele, gone, txn=(app, 1))
+
+    tf_ = sorted(tuple(r) for r in V.read_version(spark, f"{full}/terms").collect())
+    td_ = sorted(tuple(r) for r in V.read_version(spark, f"{dele}/terms").collect())
+    assert tf_ == td_  # no double decrement
+    pf = sorted(tuple(r) for r in V.read_version(spark, f"{full}/postings").collect())
+    pd_ = sorted(tuple(r) for r in V.read_version(spark, f"{dele}/postings").collect())
+    assert pf == pd_
+    mf = V.latest_app_meta(f"{full}/postings", "n_docs")
+    md = V.latest_app_meta(f"{dele}/postings", "n_docs")
+    assert (mf["n_docs"], mf["total_len"]) == (md["n_docs"], md["total_len"])
+    a = sorted(tuple(r) for r in TI.query_text_index(spark, full, QUERIES).collect())
+    b = sorted(tuple(r) for r in TI.query_text_index(spark, dele, QUERIES).collect())
+    assert a == b
