@@ -173,3 +173,23 @@ def test_delete_from_index_equals_survivor_candidates(spark, tmp_path, emb_path)
     AI.delete_from_index(spark, idx2, ids)
     got2 = AI.query_index(spark, queries, idx2, k=5, probes=2)
     assert _topk_set(got2) == _topk_set(got)
+
+
+def test_delete_then_compact_preserves_queries(spark, tmp_path, emb_path):
+    """OPTIMIZE after a delete materializes the DV away; probes are
+    unchanged — the lifecycle matrix (build/append/delete/compact)
+    closes for the IVF index too."""
+    from avro_diff_spark.sources import versioned as V
+    from avro_diff_spark.sources.versioned import compact_table
+
+    idx = str(tmp_path / "idx")
+    AI.build_ivf_index(spark, emb_path, idx)
+    emb = spark.read.parquet(emb_path)
+    queries = emb.filter(F.col("vec_id") < 10)
+    AI.delete_from_index(
+        spark, idx, emb.where(F.col("vec_id") % 7 == 3).select("vec_id")
+    )
+    before = _topk_set(AI.query_index(spark, queries, idx, k=5, probes=2))
+    compact_table(spark, f"{idx}/postings")
+    after = _topk_set(AI.query_index(spark, queries, idx, k=5, probes=2))
+    assert before == after

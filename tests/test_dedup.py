@@ -406,3 +406,43 @@ def test_neardup_index_delete_equals_survivor_rebuild(spark, sf_dir, tmp_path):
     # unknown ids: no-op
     v = delete_from_neardup_index(spark, idx2, [10**9])
     assert v == delete_from_neardup_index(spark, idx2, [])
+
+
+def test_neardup_index_delete_then_compact_preserves_probe(spark, sf_dir, tmp_path):
+    """OPTIMIZE after a delete on both LSH index tables: the DV-masked
+    rows stay gone, the params commit stays readable, the probe result
+    is unchanged."""
+    from pyspark.sql import functions as F
+
+    from avro_diff_spark import snapshots as snap
+    from avro_diff_spark.operators.neardup_index import (
+        build_neardup_index,
+        delete_from_neardup_index,
+        index_params,
+        probe_neardup_index,
+    )
+    from avro_diff_spark.sources.versioned import compact_table
+
+    corpus = snap.documents_with_dups(spark, sf_dir)
+    base = corpus.filter(F.col("doc_id") < 1_000_000)
+    inc = corpus.filter(F.col("doc_id") >= 1_000_000)
+    idx = str(tmp_path / "nd")
+    build_neardup_index(spark, base, "text", "doc_id", idx)
+    delete_from_neardup_index(
+        spark, idx, base.where(F.col("doc_id") % 9 == 4).select("doc_id")
+    )
+    params = index_params(idx)
+
+    def key(rows):
+        return {(r.doc_a, r.doc_b, r.n_a, r.n_b, r.n_common) for r in rows}
+
+    before = key(
+        probe_neardup_index(spark, inc, "text", "doc_id", idx, append=False).collect()
+    )
+    compact_table(spark, f"{idx}/buckets")
+    compact_table(spark, f"{idx}/shingles")
+    assert index_params(idx) == params
+    after = key(
+        probe_neardup_index(spark, inc, "text", "doc_id", idx, append=False).collect()
+    )
+    assert before == after and before
