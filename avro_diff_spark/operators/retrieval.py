@@ -45,6 +45,7 @@ def rrf_fuse(
     k: int = 10,
     k0: int = 60,
     scale: int = 1_000_000,
+    weights: Sequence[int] | None = None,
     query_col: str = "query_id",
     doc_col: str = "doc_id",
     rank_col: str = "rank",
@@ -61,10 +62,17 @@ def rrf_fuse(
     (a non-deduped upstream union) counts once at its BEST rank, so
     ``n_lists`` can never exceed the number of retrievers. ``k0`` damps
     the head-heaviness (60 per the paper); ``scale`` sets the
-    fixed-point resolution of the integer weights.
+    fixed-point resolution of the integer weights. ``weights`` (one
+    INTEGER multiplier per list — weighted RRF) biases fusion toward a
+    trusted retriever while staying exact: list i contributes
+    ``w_i * (scale DIV (k0 + rank))``, still an int64 sum.
     """
     if not lists:
         raise ValueError("rrf_fuse needs at least one ranked list")
+    if weights is None:
+        weights = [1] * len(lists)
+    if len(weights) != len(lists) or any(int(w) < 0 for w in weights):
+        raise ValueError("weights must be one non-negative int per list")
     parts = [
         # best (min) rank per doc within a list: contrib is monotone
         # decreasing in rank, and proper top-k inputs are already unique
@@ -76,9 +84,11 @@ def rrf_fuse(
         .select(
             "query_id",
             "doc_id",
-            F.expr(f"{int(scale)} DIV ({int(k0)} + _r)").cast("long").alias("c"),
+            F.expr(f"{int(w)} * ({int(scale)} DIV ({int(k0)} + _r))")
+            .cast("long")
+            .alias("c"),
         )
-        for df in lists
+        for df, w in zip(lists, weights)
     ]
     u = parts[0]
     for p in parts[1:]:

@@ -102,3 +102,27 @@ def test_rrf_duplicate_doc_within_one_list_counts_once(spark):
     rows = {r.doc_id: (r.rrf_x1e6, r.n_lists) for r in rrf_fuse([a], k=5).collect()}
     assert rows[7] == (1_000_000 // 63, 1)
     assert rows[8] == (1_000_000 // 61, 1)
+
+
+def test_rrf_integer_weights_bias_fusion(spark):
+    """Weighted RRF: a trusted list's contributions scale by its
+    integer weight; weight 0 silences a list (but still counts it in
+    n_lists for docs it returned); mismatched weights are rejected."""
+    a = _lst(spark, [(1, 5, 1), (1, 7, 2)])
+    b = _lst(spark, [(1, 7, 1), (1, 5, 2)])
+    plain = {r.doc_id: r.rrf_x1e6 for r in rrf_fuse([a, b], k=5).collect()}
+    # weight the second list 3x: doc 7 (rank 1 there) must now win
+    out = rrf_fuse([a, b], k=5, weights=[1, 3]).collect()
+    got = {r.doc_id: (r.rank, r.rrf_x1e6) for r in out}
+    w1, w2 = 1_000_000 // 61, 1_000_000 // 62
+    assert got[7] == (1, w2 + 3 * w1)
+    assert got[5] == (2, w1 + 3 * w2)
+    assert plain[5] == plain[7]  # unweighted was a tie
+    # weight 0 silences list b entirely
+    z = {r.doc_id: (r.rrf_x1e6, r.n_lists) for r in
+         rrf_fuse([a, b], k=5, weights=[1, 0]).collect()}
+    assert z[5] == (w1, 2) and z[7] == (w2, 2)
+    with pytest.raises(ValueError):
+        rrf_fuse([a, b], weights=[1])
+    with pytest.raises(ValueError):
+        rrf_fuse([a, b], weights=[1, -2])
