@@ -233,28 +233,29 @@ def delete_from_text_index(
 
     ``txn=(app_id, epoch)`` makes the whole delete IDEMPOTENT across
     retries — the ``append_to_text_index`` discipline: the terms work
-    (df merge + zero-df removal) and the postings DV delete are guarded
-    independently by ``last_committed_epoch``, so a crash between them
-    replays to exactly the missing half and never double-decrements df.
-    (Without txn a retry after a crash between the terms commits and
-    the postings delete WOULD re-decrement — pass txn in any flow that
-    retries.) The one non-atomic slice inside the terms table itself
-    (crash between the df merge and the zero-df delete) can strand
-    df<=0 term rows; they are query-inert (their postings are gone once
-    the postings delete lands) and a later re-append of the term merges
-    on top of them correctly.
+    and the postings DV delete are guarded independently by
+    ``last_committed_epoch``, so a crash between them replays to
+    exactly the missing half and never double-decrements df. (Without
+    txn a retry after a crash between the terms commits and the
+    postings delete WOULD re-decrement — pass txn in any flow that
+    retries.) Inside the terms branch the zero-df delete runs BEFORE
+    the epoch-stamped merge, so a crash between those two replays the
+    branch self-consistently (see the inline ORDER IS LOAD-BEARING
+    note) — nothing strands in any interleaving.
 
     ``delete-then-query == rebuild-then-query`` is pytest-pinned, as is
-    terms/postings table equality with a fresh build on the survivors.
+    terms/postings table equality with a fresh build on the survivors
+    and the crash-between-tables replay.
 
-    Scale shape: ONE postings scan filtered to the doomed ids,
-    persisted and reused by the stats fold, the df decrements and the
-    DV identification (the index is term-keyed, not doc-keyed — Lucene
-    pays the same identification shape for deletes); one bucket-pruned
-    terms merge. A DataFrame id set is identified by broadcast
-    semi-join, never collected; zero-df terms are collected driver-side
-    (bounded by the DELETED docs' vocabulary, not the corpus). Returns
-    the postings version. Ids never indexed are a no-op."""
+    Scale shape: the doomed postings are scanned once and persisted for
+    the stats fold and the df decrements (``delete_where`` performs its
+    own provenance scan for the DV identification — the index is
+    term-keyed, not doc-keyed, and Lucene pays the same identification
+    shape for deletes); one bucket-pruned terms merge. A DataFrame id
+    set is identified by broadcast semi-join, never collected; zero-df
+    terms are collected driver-side (bounded by the DELETED docs'
+    vocabulary, not the corpus). Returns the postings version. Ids
+    never indexed are a no-op."""
     posts_path = f"{index_path}/postings"
     terms_path = f"{index_path}/terms"
     if isinstance(doc_ids, DataFrame):
@@ -313,22 +314,27 @@ def delete_from_text_index(
                 zeros = [
                     r["term"] for r in new_terms.where(F.col("df") <= 0).collect()
                 ]
-                # the MERGE carries the epoch stamp: once it lands, a
-                # retry skips the whole terms branch (no double
-                # decrement); a crash before the zero-delete strands only
-                # query-inert df<=0 rows (docstring)
-                V.merge_into(
-                    spark, terms_path, live, ["bucket", "term"],
-                    when_not_matched="ignore", txn=txn,
-                )
+                # ORDER IS LOAD-BEARING: the zero-df delete runs FIRST
+                # and carries NO txn; the df MERGE runs second and
+                # carries the epoch stamp. A crash between them replays
+                # the whole branch self-consistently (the re-read cur
+                # lacks the already-deleted zero terms — they fold to
+                # df<0 and the no-match delete commits nothing — and
+                # live df is recomputed from the un-decremented values);
+                # stamping BEFORE the zero-delete would strand zero
+                # terms with their stale POSITIVE df, which a later
+                # re-append would overcount.
                 if zeros:
                     zb = sorted({_bucket_py(t) for t in zeros})
                     V.delete_where(
                         spark,
                         terms_path,
                         F.col("bucket").isin(zb) & F.col("term").isin(zeros),
-                        txn=txn,
                     )
+                V.merge_into(
+                    spark, terms_path, live, ["bucket", "term"],
+                    when_not_matched="ignore", txn=txn,
+                )
             finally:
                 new_terms.unpersist()
         if txn is not None and (

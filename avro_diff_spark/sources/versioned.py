@@ -691,8 +691,14 @@ def _check_retired(df: DataFrame, table_path: str, mapping: dict, retired: list)
 def last_committed_epoch(table_path: str, app_id: str) -> int:
     """The newest epoch ``app_id`` committed to the table (−1 if none)
     — the Delta txnAppId/txnVersion snapshot lookup streaming sinks
-    dedupe micro-batch replays on. Per-app epochs are monotone, so the
-    walk stops at the first commit from this app (O(1) amortized for a
+    dedupe micro-batch replays on. ``app_id`` is an OPAQUE string
+    compared verbatim against the stamp (Delta's txnAppId semantics —
+    round 12: stamps used to be abspath-normalized while lookups were
+    not, so a relative/logical app id silently never matched and the
+    idempotence guard was inert; commits stamped by the old normalized
+    form still match callers that pass absolute paths, which every
+    in-tree caller does). Per-app epochs are monotone, so the walk
+    stops at the first commit from this app (O(1) amortized for a
     table written by the app)."""
     for _, path in reversed(_commit_files(table_path)):
         c = _read_commit(path)
@@ -827,7 +833,7 @@ def commit_snapshot(
         if txn is not None:
             # Delta txnAppId/txnVersion: lets idempotent writers dedupe
             # replays via last_committed_epoch
-            commit["app"], commit["epoch"] = os.path.abspath(txn[0]), int(txn[1])
+            commit["app"], commit["epoch"] = str(txn[0]), int(txn[1])
         try:
             _publish_commit(table_path, version, commit)
             return version
@@ -3208,7 +3214,7 @@ def _commit_replace_files(
     if extra:
         commit.update(extra)
     if txn is not None:
-        commit["app"], commit["epoch"] = os.path.abspath(txn[0]), int(txn[1])
+        commit["app"], commit["epoch"] = str(txn[0]), int(txn[1])
     _publish_commit(table_path, version, commit)
     return version
 
@@ -3501,7 +3507,7 @@ def _merge_dv(
         "actions": actions,
     }
     if txn is not None:
-        commit["app"], commit["epoch"] = os.path.abspath(txn[0]), int(txn[1])
+        commit["app"], commit["epoch"] = str(txn[0]), int(txn[1])
     if fresh:
         commit["schema"] = new_rows.schema.json()
     if partition_by:
@@ -3607,7 +3613,7 @@ def delete_where(
     if app_meta:
         commit["app_meta"] = dict(app_meta)
     if txn is not None:
-        commit["app"], commit["epoch"] = os.path.abspath(txn[0]), int(txn[1])
+        commit["app"], commit["epoch"] = str(txn[0]), int(txn[1])
     _publish_commit(table_path, version, commit)
     return version
 

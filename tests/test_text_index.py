@@ -335,3 +335,68 @@ def test_delete_txn_replay_after_crash_between_tables(spark, corpus, tmp_path, m
     a = sorted(tuple(r) for r in TI.query_text_index(spark, full, QUERIES).collect())
     b = sorted(tuple(r) for r in TI.query_text_index(spark, dele, QUERIES).collect())
     assert a == b
+
+
+def test_delete_txn_replay_after_crash_inside_terms_branch(
+    spark, corpus, tmp_path, monkeypatch
+):
+    """Round-12 second-pass review fix: the zero-df delete runs BEFORE
+    the epoch-stamped merge, so a crash between them replays the terms
+    branch self-consistently — no stale-positive-df strands, and a
+    later append over a fully-deleted term counts from zero."""
+    import pytest as _pytest
+
+    gone = [2, 6]  # zeroes out 'planning' (doc 2 is its only holder)
+    dele = str(tmp_path / "dele")
+    TI.build_text_index(
+        spark, spark.createDataFrame(DOCS, "doc_id long, text string"), dele
+    )
+
+    real = V.merge_into
+    crashed = []
+
+    def boom(spark_, path, *a, **k):
+        if path.endswith("/terms") and not crashed:
+            crashed.append(1)
+            raise RuntimeError("crash between zero-delete and merge")
+        return real(spark_, path, *a, **k)
+
+    monkeypatch.setattr(TI.V, "merge_into", boom)
+    app = str(tmp_path / "app")
+    with _pytest.raises(RuntimeError):
+        TI.delete_from_text_index(spark, dele, gone, txn=(app, 1))
+    TI.delete_from_text_index(spark, dele, gone, txn=(app, 1))  # retry
+
+    # re-append a doc containing a previously-zeroed term: df must
+    # count from zero, not from a stranded stale value
+    TI.append_to_text_index(
+        spark,
+        spark.createDataFrame([(9, "planning the planning")], "doc_id long, text string"),
+        dele,
+    )
+    ref = str(tmp_path / "ref")
+    TI.build_text_index(
+        spark,
+        spark.createDataFrame(
+            [d for d in DOCS if d[0] not in gone] + [(9, "planning the planning")],
+            "doc_id long, text string",
+        ),
+        ref,
+    )
+    td_ = sorted(tuple(r) for r in V.read_version(spark, f"{dele}/terms").collect())
+    tf_ = sorted(tuple(r) for r in V.read_version(spark, f"{ref}/terms").collect())
+    assert td_ == tf_
+    a = sorted(tuple(r) for r in TI.query_text_index(spark, dele, QUERIES).collect())
+    b = sorted(tuple(r) for r in TI.query_text_index(spark, ref, QUERIES).collect())
+    assert a == b
+
+
+def test_txn_app_id_is_opaque(spark, tmp_path):
+    """Round-12 second-pass review fix: txn app ids are compared
+    VERBATIM — a logical (non-path) id round-trips through stamp and
+    lookup, so epoch guards actually fire for it."""
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a")], "k int, v string")
+    V.commit_snapshot(df, t, txn=("dedup-job", 5))
+    assert V.last_committed_epoch(t, "dedup-job") == 5
+    assert V.last_committed_epoch(t, "other") == -1
