@@ -1942,7 +1942,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # incremental_near_dups' exact machinery; delete == survivor-rebuild
     # is pytest-pinned in tests/test_dedup.py and the CI gate hashes the
     # filtered-pair law every run.
+    # Round-12 tail entry (same precedent): hybrid_weighted_topk is the
+    # recorded hybrid_topk's exact probe pipeline with integer wRRF
+    # weights [2,1]; the weight law is pytest-pinned (a 3x weight flips
+    # an unweighted tie) and the CI gate hashes the weighted fusion
+    # arithmetic every run.
     for tail in (
+        "hybrid_weighted_topk",
         "incremental_near_dups_deleted",
         "ivf_delete_topk",
         "pipeline_lineage",

@@ -4274,7 +4274,33 @@ def q_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse([sparse, dense], k=HYBRID_K)
 
 
-def _hybrid_sql() -> str:
+def q_hybrid_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted RRF (wRRF) end to end: the same two stored-index probes
+    as hybrid_topk fused with integer weights [2, 1] — the sparse list
+    trusted 2x (the common production setting when exact-term match
+    precision matters more than embedding recall). Still exact int64
+    arithmetic; the oracle replays both retrievers plus the weighted
+    fusion, so the recorded hash pins that the weight actually moves
+    the ranking (any doc the dense list alone surfaced drops relative
+    to sparse-supported docs)."""
+    from avro_diff_spark.operators import ann_index as AI
+    from avro_diff_spark.operators import text_index as TI
+    from avro_diff_spark.operators.retrieval import rrf_fuse
+
+    tidx = _cached_text_index(spark, sf_dir)
+    vidx = _cached_ivf_index(spark, sf_dir)
+    qids = sorted(q for q, _ in BM25_QUERIES)
+    sparse = TI.query_text_index(spark, tidx, BM25_QUERIES, k=HYBRID_DEPTH)
+    qvecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id").isin(qids)
+    )
+    dense = AI.query_index(
+        spark, qvecs, vidx, k=HYBRID_DEPTH, probes=2
+    ).withColumnRenamed("cand_id", "doc_id")
+    return rrf_fuse([sparse, dense], k=HYBRID_K, weights=[2, 1])
+
+
+def _hybrid_sql(w_sparse: int = 1, w_dense: int = 1) -> str:
     from avro_diff_spark.operators.text_index import bm25_score_sql
 
     qids = sorted(q for q, _ in BM25_QUERIES)
@@ -4288,9 +4314,11 @@ def _hybrid_sql() -> str:
 WITH bm AS ({bm}),
 ann AS ({ann}),
 u AS (
-  SELECT query_id, doc_id, 1000000 // (60 + rank) AS c FROM bm
+  SELECT query_id, doc_id,
+         {int(w_sparse)} * (1000000 // (60 + rank)) AS c FROM bm
   UNION ALL
-  SELECT query_id, cand_id AS doc_id, 1000000 // (60 + rank) AS c FROM ann
+  SELECT query_id, cand_id AS doc_id,
+         {int(w_dense)} * (1000000 // (60 + rank)) AS c FROM ann
 ),
 f AS (
   SELECT query_id, doc_id,
@@ -4839,6 +4867,7 @@ PIPELINE_QUERIES = {
     "bm25_topk": q_bm25_topk,
     "bm25_delete_topk": q_bm25_delete_topk,
     "hybrid_topk": q_hybrid_topk,
+    "hybrid_weighted_topk": q_hybrid_weighted_topk,
     "web_link_graph": q_web_link_graph,
     "robots_gate_counts": q_robots_gate,
     "url_dedup": q_url_dedup,
@@ -4934,6 +4963,7 @@ def pipeline_sql() -> dict[str, str]:
         "bm25_topk": _bm25_sql(),
         "bm25_delete_topk": _bm25_delete_sql(),
         "hybrid_topk": _hybrid_sql(),
+        "hybrid_weighted_topk": _hybrid_sql(w_sparse=2, w_dense=1),
         "web_link_graph": _web_link_graph_sql(),
         "robots_gate_counts": ROBOTS_GATE_SQL,
         "url_dedup": URL_DEDUP_SQL,

@@ -78,6 +78,7 @@ QUERIES = [
     "pipeline_lineage",  # round 12: observed counts + versioned round trip
     "ivf_delete_topk",  # round 12: DV-masked cell probe across layouts
     "incremental_near_dups_deleted",  # round 12: DV-survivor LSH probe
+    "hybrid_weighted_topk",  # round 12: weighted integer fusion
 ]
 
 
