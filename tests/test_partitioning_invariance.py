@@ -79,6 +79,7 @@ QUERIES = [
     "ivf_delete_topk",  # round 12: DV-masked cell probe across layouts
     "incremental_near_dups_deleted",  # round 12: DV-survivor LSH probe
     "hybrid_weighted_topk",  # round 12: weighted integer fusion
+    "table_profile",  # round 12: melt + two-stage exact distinct across layouts
 ]
 
 

@@ -1,0 +1,58 @@
+"""Unit pins for the single-pass table profiler (operators/profile.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from avro_diff_spark.operators.profile import profile_table
+
+
+def _by_col(df):
+    return {r["col_name"]: r.asDict() for r in df.collect()}
+
+
+def test_profile_nulls_distinct_minmax(spark):
+    df = spark.createDataFrame(
+        [(1, 2.5, "b"), (2, None, "a"), (2, 0.07, None), (10, 2.5, "a")],
+        "k bigint, v double, s string",
+    )
+    out = _by_col(profile_table(df))
+    assert set(out) == {"k", "v", "s"}
+
+    k = out["k"]
+    assert (k["n_rows"], k["n_nulls"], k["n_distinct"]) == (4, 0, 3)
+    # native order, not text order: min is 1 and max is 10 (text max would be "2")
+    assert (k["min_repr"], k["max_repr"]) == ("1", "10")
+
+    v = out["v"]
+    assert (v["n_rows"], v["n_nulls"], v["n_distinct"]) == (4, 1, 2)
+    # doubles repr through DECIMAL(18,2): stable 2-dp text both engines
+    assert (v["min_repr"], v["max_repr"]) == ("0.07", "2.50")
+
+    s = out["s"]
+    assert (s["n_rows"], s["n_nulls"], s["n_distinct"]) == (4, 1, 2)
+    assert (s["min_repr"], s["max_repr"]) == ("a", "b")
+
+
+def test_profile_all_null_column(spark):
+    df = spark.createDataFrame([(1, None), (2, None)], "k bigint, dead string")
+    out = _by_col(profile_table(df, ["dead"]))
+    d = out["dead"]
+    assert (d["n_rows"], d["n_nulls"], d["n_distinct"]) == (2, 2, 0)
+    assert d["min_repr"] is None and d["max_repr"] is None
+
+
+def test_profile_timestamp_ntz_reprs_as_epoch_micros(spark):
+    df = spark.createDataFrame([("1995-01-02 00:00:00",)], "t string").select(
+        F.col("t").cast("timestamp_ntz").alias("t")
+    )
+    out = _by_col(profile_table(df))
+    assert out["t"]["min_repr"] == "789004800000000"  # epoch_us under UTC
+
+
+def test_profile_skips_complex_columns_by_default(spark):
+    df = spark.createDataFrame([(1, [1, 2])], "k bigint, a array<bigint>")
+    assert set(_by_col(profile_table(df))) == {"k"}
+    with pytest.raises(ValueError):
+        profile_table(df, ["nope"])
