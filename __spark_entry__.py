@@ -1184,6 +1184,48 @@ WHERE least(n_old, n_new) > 0
 """
 
 
+def _q_venn_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way venn region rollup: k scans + 2 keyed shuffles, no joins
+    (operators/venn_diff.py venn_multi) — every populated region of the
+    three-set diagram with distinct-row and per-input occurrence counts."""
+    from avro_diff_spark.operators.venn_diff import venn_multi_summary
+
+    return venn_multi_summary(
+        [
+            snap.venn_old(spark, sf_dir),
+            snap.venn_new(spark, sf_dir),
+            snap.venn_third(spark, sf_dir),
+        ],
+        names=["a", "b", "c"],
+    )
+
+
+def _venn_multi_sql() -> str:
+    cols = list(snap.VENN_COLS) + ["l_shipdate_us"]
+    col_list = ", ".join(cols)
+    return f"""
+WITH u AS (
+  SELECT {col_list}, 1 AS t0, 0 AS t1, 0 AS t2 FROM ({snap.VENN_OLD_SQL})
+  UNION ALL
+  SELECT {col_list}, 0, 1, 0 FROM ({snap.VENN_NEW_SQL})
+  UNION ALL
+  SELECT {col_list}, 0, 0, 1 FROM ({snap.VENN_THIRD_SQL})
+),
+g AS (
+  SELECT {col_list}, sum(t0) AS n0, sum(t1) AS n1, sum(t2) AS n2
+  FROM u GROUP BY ALL
+)
+SELECT concat(CASE WHEN n0 > 0 THEN '1' ELSE '0' END,
+              CASE WHEN n1 > 0 THEN '1' ELSE '0' END,
+              CASE WHEN n2 > 0 THEN '1' ELSE '0' END) AS region,
+       count(*) AS n_distinct,
+       CAST(sum(n0) AS BIGINT) AS occ_a,
+       CAST(sum(n1) AS BIGINT) AS occ_b,
+       CAST(sum(n2) AS BIGINT) AS occ_c
+FROM g GROUP BY region
+"""
+
+
 # --------------------------------------------------------------------------
 # data tests / projection
 # --------------------------------------------------------------------------
@@ -1325,6 +1367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 12 additions — tail slots (past the driver's 50-row record;
         # kept green by tests/test_registry.py like the rest of the tail)
         "table_profile": analytics.table_profile,
+        "venn_multi_regions": _q_venn_multi,
     }
     # The driver's correctness harness records at most 50 rows (observed in
     # rounds 2-3: exactly the first 50 dict entries survive; the last two —
@@ -2142,6 +2185,7 @@ def oracle_sql() -> dict[str, str]:
         "salted_join_revenue": analytics.SALTED_JOIN_REVENUE_SQL,
         "dq_expectations": analytics.DQ_EXPECTATIONS_SQL,
         "table_profile": analytics.TABLE_PROFILE_SQL,
+        "venn_multi_regions": _venn_multi_sql(),
         "scd2_user_states": analytics.SCD2_USER_STATES_SQL,
         "events_debounce": analytics.EVENTS_DEBOUNCE_SQL,
         "interval_join_purchases": analytics.INTERVAL_JOIN_PURCHASES_SQL,

@@ -321,3 +321,14 @@ ORDERS_SPARSE_NEW_SQL = _PORTABLE_SQL.format(
     price="(CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 100.0 ELSE o_totalprice END)",
     drop=103,
 )
+
+
+def venn_third(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third venn input (n-way venn): the %5 slice overlaps both the %2
+    and %3 slices on multiples of 10 and 15, so all 7 regions of the
+    3-set diagram are populated."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 5 == 0)
+    return li.select(*VENN_COLS, ts_micros(F.col("l_shipdate")).alias("l_shipdate_us"))
+
+
+VENN_THIRD_SQL = _VENN_SELECT.format(m=5)

@@ -80,6 +80,7 @@ QUERIES = [
     "incremental_near_dups_deleted",  # round 12: DV-survivor LSH probe
     "hybrid_weighted_topk",  # round 12: weighted integer fusion
     "table_profile",  # round 12: melt + two-stage exact distinct across layouts
+    "venn_multi_regions",  # round 12: k-way tag-union counts across layouts
 ]
 
 

@@ -74,3 +74,61 @@ def test_null_keys_collide_with_sentinel(spark):
     df = spark.createDataFrame([(None, 1), (None, 2)], "k int, v int")
     dups = key_collisions(df, ["k"]).collect()
     assert len(dups) == 1 and dups[0]["k"] == "null" and dups[0]["n_rows"] == 2
+
+
+# ---------------------------------------------------------------------------
+# n-way venn (round 12)
+# ---------------------------------------------------------------------------
+
+
+def test_venn_multi_regions_and_multiplicities(spark):
+    a = spark.createDataFrame([(1,), (1,), (2,), (4,)], "v bigint")
+    b = spark.createDataFrame([(1,), (2,), (3,)], "v bigint")
+    c = spark.createDataFrame([(2,), (3,), (3,), (5,)], "v bigint")
+    from avro_diff_spark.operators.venn_diff import venn_multi, venn_multi_summary
+
+    rows = {r["v"]: r for r in venn_multi([a, b, c]).collect()}
+    assert rows[1]["region"] == "110" and rows[1]["n_0"] == 2 and rows[1]["n_1"] == 1
+    assert rows[2]["region"] == "111"
+    assert rows[3]["region"] == "011" and rows[3]["n_2"] == 2
+    assert rows[4]["region"] == "100"
+    assert rows[5]["region"] == "001"
+
+    summ = {r["region"]: r for r in venn_multi_summary([a, b, c], ["a", "b", "c"]).collect()}
+    assert summ["111"]["n_distinct"] == 1 and summ["111"]["occ_c"] == 1
+    assert summ["110"]["occ_a"] == 2 and summ["110"]["occ_b"] == 1
+    assert summ["011"]["occ_c"] == 2
+    assert set(summ) == {"110", "111", "011", "100", "001"}
+
+
+def test_venn_multi_rejects_bad_inputs(spark):
+    import pytest as _pytest
+
+    from avro_diff_spark.operators.venn_diff import venn_multi, venn_multi_summary
+
+    a = spark.createDataFrame([(1,)], "v bigint")
+    with _pytest.raises(ValueError):
+        venn_multi([a])
+    with _pytest.raises(ValueError):
+        venn_multi([a, spark.createDataFrame([(1,)], "w bigint")])
+    with _pytest.raises(ValueError):
+        venn_multi_summary([a, a], ["onlyone"])
+
+
+def test_venn_multi_two_way_matches_venn_counts(spark):
+    """k=2 venn_multi carries exactly the same per-row multiplicities the
+    2-way one-pass core produces (removed/added/intersection derivable)."""
+    old = spark.createDataFrame([(1,), (1,), (2,)], "v bigint")
+    new = spark.createDataFrame([(1,), (3,)], "v bigint")
+    from avro_diff_spark import venn_counts
+    from avro_diff_spark.operators.venn_diff import venn_multi
+
+    m = {r["v"]: r for r in venn_multi([old, new]).collect()}
+    for r in venn_counts(old, new).collect():
+        n_old, n_new = m[r["v"]]["n_0"], m[r["v"]]["n_1"]
+        expect = {
+            "removed": max(n_old - n_new, 0),
+            "added": max(n_new - n_old, 0),
+            "intersection": min(n_old, n_new),
+        }[r["venn_kind"]]
+        assert r["n_occurrences"] == expect
