@@ -1053,6 +1053,73 @@ def _q_incremental_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_incremental_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally maintained materialized JOIN view
+    (sources/versioned.refresh_join_table): orders ⋈ customer-dim kept
+    current from BOTH sources' change feeds — built at (fact v0, dim
+    v0), then refreshed with only the v0→v1 deltas (changed orders +
+    orders referencing changed/deleted customers are re-derived;
+    dangling-fk rows deleted; applied versions ride a txn-marker
+    commit). The recorded state must equal the oracle's direct join of
+    the two NEW snapshots: incremental == recompute, value-hashed."""
+    import hashlib
+    import os
+
+    from avro_diff_spark.sources.versioned import (
+        commit_snapshot,
+        latest_app_meta,
+        latest_version,
+        read_version,
+        refresh_join_table,
+    )
+
+    base = _versioned_orders_table(spark, sf_dir)
+    src = os.path.join(sf_dir, "customer.parquet")
+    files = [src] if os.path.isfile(src) else sorted(
+        os.path.join(dp, fn) for dp, _, fns in os.walk(src) for fn in fns
+    )
+    h = hashlib.md5()
+    for p in files:
+        st = os.stat(p)
+        h.update(f"{p}|{st.st_size}|{st.st_mtime_ns};".encode())
+    root = os.path.dirname(base)
+    dim = os.path.join(root, f"customer_dim-{h.hexdigest()[:12]}")
+    dst = os.path.join(root, f"orders_cust_view-{h.hexdigest()[:12]}")
+    applied = latest_app_meta(dst, "fact_version") if latest_version(dst) >= 0 else {}
+    good = (
+        latest_version(dim) == 1
+        and applied.get("fact_version") == 1
+        and applied.get("dim_version") == 1
+    )
+    if not good:
+        import shutil
+
+        shutil.rmtree(dim, ignore_errors=True)
+        shutil.rmtree(dst, ignore_errors=True)
+        commit_snapshot(snap.customer_dim_v0(spark, sf_dir), dim)
+        args = (spark, base, dim, dst, ["o_orderkey"], "o_custkey", "c_custkey")
+        refresh_join_table(*args, to_fact_version=0, to_dim_version=0)
+        commit_snapshot(snap.customer_dim_v1(spark, sf_dir), dim, mode="overwrite")
+        refresh_join_table(*args)  # the v0->v1 CDF deltas only
+    return read_version(spark, dst).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderpriority",
+        "c_mktsegment",
+        "c_acctbal",
+    )
+
+
+_INCREMENTAL_JOIN_SQL = f"""
+SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus, o.o_totalprice,
+       o.o_orderpriority, c.c_mktsegment, c.c_acctbal
+FROM ({snap.ORDERS_NEW_SQL}) o
+JOIN ({snap.CUSTOMER_DIM_V1_SQL}) c ON o.o_custkey = c.c_custkey
+"""
+
+
 _INCREMENTAL_AGG_SQL = f"""
 SELECT o_orderstatus, o_orderpriority,
        count(*) AS n_rows,
@@ -1368,6 +1435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # kept green by tests/test_registry.py like the rest of the tail)
         "table_profile": analytics.table_profile,
         "venn_multi_regions": _q_venn_multi,
+        "incremental_join_orders": _q_incremental_join_orders,
     }
     # The driver's correctness harness records at most 50 rows (observed in
     # rounds 2-3: exactly the first 50 dict entries survive; the last two —
@@ -2186,6 +2254,7 @@ def oracle_sql() -> dict[str, str]:
         "dq_expectations": analytics.DQ_EXPECTATIONS_SQL,
         "table_profile": analytics.TABLE_PROFILE_SQL,
         "venn_multi_regions": _venn_multi_sql(),
+        "incremental_join_orders": _INCREMENTAL_JOIN_SQL,
         "scd2_user_states": analytics.SCD2_USER_STATES_SQL,
         "events_debounce": analytics.EVENTS_DEBOUNCE_SQL,
         "interval_join_purchases": analytics.INTERVAL_JOIN_PURCHASES_SQL,

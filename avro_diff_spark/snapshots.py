@@ -332,3 +332,33 @@ def venn_third(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 VENN_THIRD_SQL = _VENN_SELECT.format(m=5)
+
+
+# --------------------------------------------------------------------------
+# Customer dimension snapshots (incremental join-view fixture): v0 is the
+# base dim projected to (key, segment, balance); v1 mutates every 11th
+# balance and DELETES every 13th customer — the delete leaves its orders
+# dangling, exercising the view-maintenance row-removal path.
+# --------------------------------------------------------------------------
+
+def customer_dim_v0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+
+
+def customer_dim_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = customer_dim_v0(spark, sf_dir).filter(F.col("c_custkey") % 13 != 0)
+    return c.withColumn(
+        "c_acctbal",
+        F.when(F.col("c_custkey") % 11 == 0, F.col("c_acctbal") + F.lit(50.0)).otherwise(
+            F.col("c_acctbal")
+        ),
+    )
+
+
+CUSTOMER_DIM_V1_SQL = """
+SELECT c_custkey, c_mktsegment,
+       CASE WHEN c_custkey % 11 = 0 THEN c_acctbal + 50.0 ELSE c_acctbal END AS c_acctbal
+FROM customer WHERE c_custkey % 13 <> 0
+"""

@@ -91,6 +91,8 @@ __all__ = [
     "checkpoint_log",
     "agg_delta",
     "refresh_agg_table",
+    "refresh_join_table",
+    "commit_txn_marker",
     "commit_app_meta",
     "latest_app_meta",
     "CommitConflict",
@@ -3992,3 +3994,157 @@ def _merge_agg_delta(
         ],
     )
     return merged.filter(F.col("n_rows") > 0)
+
+
+def commit_txn_marker(
+    table_path: str, *, app_meta: dict | None = None, txn: tuple[str, int] | None = None
+) -> int:
+    """Publish a METADATA-ONLY commit carrying ``app_meta`` and/or a
+    ``txn`` stamp — no data actions, no schema change. Delta has the
+    same shape (a commit whose only action is ``txn``): idempotent
+    multi-commit maintenance flows use it to record "sources applied
+    through version X" bookkeeping ATOMICALLY AFTER their data commits,
+    so a crash mid-flow leaves the old bookkeeping in place and the
+    replay is a pure no-op re-apply (:func:`refresh_join_table`).
+
+    mode='meta' so every existing reader already handles it: the schema
+    walk passes through (no ``schema`` key), table streams and the CDF
+    derivation skip it, log replay sees an empty action list."""
+    if app_meta is None and txn is None:
+        raise ValueError("a txn marker needs app_meta and/or txn")
+    import time
+
+    for _ in range(5):
+        version = latest_version(table_path) + 1
+        if version == 0:
+            raise ValueError(f"no table at {table_path!r}")
+        commit: dict = {
+            "version": version,
+            "mode": "meta",
+            "ts_us": int(time.time() * 1_000_000),
+            "n_rows": 0,
+            "actions": [],
+        }
+        if app_meta:
+            commit["app_meta"] = dict(app_meta)
+        if txn is not None:
+            commit["app"], commit["epoch"] = str(txn[0]), int(txn[1])
+        try:
+            _publish_commit(table_path, version, commit)
+            return version
+        except CommitConflict:
+            continue
+    raise CommitConflict(f"txn marker on {table_path!r} lost the publish race")
+
+
+def refresh_join_table(
+    spark: SparkSession,
+    fact_path: str,
+    dim_path: str,
+    dst_path: str,
+    fact_keys: list[str],
+    fk: str,
+    pk: str,
+    *,
+    to_fact_version: int | None = None,
+    to_dim_version: int | None = None,
+    rewrite: str = "auto",
+) -> int | None:
+    """Incrementally maintained materialized JOIN view — the second half
+    of the materialized-view story (:func:`refresh_agg_table` covers
+    aggregates). The destination holds ``fact ⋈ dim`` (inner equi-join
+    ``fk = pk``, dim's ``pk`` column dropped), keyed by the fact table's
+    unique ``fact_keys``; ``pk`` must be unique in the dim (the usual
+    N:1 fact→dimension shape — a duplicate pk would make the view key
+    non-unique and MERGE ambiguous).
+
+    Each refresh applies ONLY the unapplied change feeds of BOTH
+    sources (the classic delta rule ΔV = ΔF⋈D' ∪ (F'⋉Δpk)⋈D',
+    operationally: re-derive the view rows of the AFFECTED fact keys
+    against the new snapshots, delete the affected keys that no longer
+    join). Work is ∝ changed fact rows + fact rows referencing changed
+    dim keys — never a re-join of the full tables:
+
+    * affected keys from the fact CDF + ONE semi-join of the fact
+      against the changed dim pks (broadcast when small, AQE otherwise;
+      bloom/stats file pruning applies — at 100 TB this is the "which
+      orders reference the 1 000 customers that changed today" probe);
+    * recompute = (fact ⋉ affected) ⋈ dim — delta-sized;
+    * upsert via :func:`merge_into` (``rewrite='dv'`` writes only the
+      changed rows; 'touched' rewrites only the files holding them),
+      then :func:`delete_where` on the affected keys whose join row
+      vanished (fact delete or dangling fk after a dim delete);
+    * bookkeeping ("applied fact/dim versions") rides a final
+      :func:`commit_txn_marker` — written LAST, so a crash anywhere in
+      the flow leaves the old versions recorded and the replay is a
+      pure idempotent re-apply (same upserts, empty delete).
+
+    A refresh with both sources already applied is a no-op (None).
+    A source commit that changed no rows leaves nothing to record (no
+    empty commits) — the next refresh re-derives that empty delta;
+    correct, and pathological only for change-free commits.
+
+    Pinned by pytest: refresh == full recompute across fact-only,
+    dim-only, dim-delete, and mixed histories.
+    """
+    fv2 = latest_version(fact_path) if to_fact_version is None else to_fact_version
+    dv2 = latest_version(dim_path) if to_dim_version is None else to_dim_version
+    if fv2 < 0 or dv2 < 0:
+        raise ValueError("both sources must be versioned tables")
+
+    meta = {
+        "fact_table": os.path.abspath(fact_path),
+        "fact_version": fv2,
+        "dim_table": os.path.abspath(dim_path),
+        "dim_version": dv2,
+    }
+    fact = read_version(spark, fact_path, fv2)
+    dim = read_version(spark, dim_path, dv2)
+    overlap = (set(fact.columns) & set(dim.columns)) - ({pk} if pk == fk else set())
+    if overlap:
+        raise ValueError(f"fact/dim column collision: {sorted(overlap)}")
+    view_cols = fact.columns + [c for c in dim.columns if c != pk]
+
+    def joined(f: DataFrame) -> DataFrame:
+        d = dim.withColumnRenamed(pk, fk) if pk != fk else dim
+        return f.join(d, [fk], "inner").select(*view_cols)
+
+    if latest_version(dst_path) < 0:
+        return commit_snapshot(joined(fact), dst_path, app_meta=meta)
+
+    applied = latest_app_meta(dst_path, "fact_version")
+    fva, dva = applied.get("fact_version"), applied.get("dim_version")
+    if fva is None or dva is None:
+        raise ValueError(
+            f"{dst_path!r} was not created by refresh_join_table (no applied "
+            "source versions in its commit metadata)"
+        )
+    if fva >= fv2 and dva >= dv2:
+        return None  # already current
+
+    changed_sets = []
+    if fv2 > fva:
+        changed_sets.append(
+            read_changes(spark, fact_path, fact_keys, v_from=fva, v_to=fv2)
+            .select(*fact_keys)
+            .distinct()
+        )
+    if dv2 > dva:
+        changed_pks = (
+            read_changes(spark, dim_path, [pk], v_from=dva, v_to=dv2)
+            .select(F.col(pk).alias(fk))
+            .distinct()
+        )
+        changed_sets.append(
+            fact.join(changed_pks, [fk], "left_semi").select(*fact_keys)
+        )
+    aff = changed_sets[0]
+    for s in changed_sets[1:]:
+        aff = aff.unionByName(s)
+    aff = aff.distinct()
+
+    recomputed = joined(fact.join(aff, fact_keys, "left_semi"))
+    merge_into(spark, dst_path, recomputed, fact_keys, rewrite=rewrite)
+    stale = aff.join(recomputed.select(*fact_keys), fact_keys, "left_anti")
+    delete_where(spark, dst_path, keys=stale, on=fact_keys)
+    return commit_txn_marker(dst_path, app_meta=meta)

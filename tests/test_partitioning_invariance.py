@@ -81,6 +81,7 @@ QUERIES = [
     "hybrid_weighted_topk",  # round 12: weighted integer fusion
     "table_profile",  # round 12: melt + two-stage exact distinct across layouts
     "venn_multi_regions",  # round 12: k-way tag-union counts across layouts
+    "incremental_join_orders",  # round 12: CDF-driven join-view maintenance
 ]
 
 
