@@ -36,7 +36,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["rrf_fuse"]
+__all__ = ["rrf_fuse", "maxsim_rerank", "token_vector"]
 
 
 def rrf_fuse(
@@ -106,4 +106,126 @@ def rrf_fuse(
         fused.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= int(k))
         .select("query_id", "doc_id", "rank", "rrf_x1e6", "n_lists")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Late-interaction reranking (MaxSim) — the second-stage scorer
+# ---------------------------------------------------------------------------
+
+#: md5 yields 16 bytes -> at most 16 int8 components per token vector.
+_MAX_DIM = 16
+
+
+def token_vector(token: str, dim: int = 8) -> list[int]:
+    """Deterministic int8 token embedding: byte ``i`` of ``md5(token)``
+    minus 128. A stand-in for a learned token encoder (the container has
+    no model runtime — the established deterministic-fake pattern the
+    multimodal tier uses), with the property that matters for the
+    engine: the DuckDB oracle can derive the very same vectors with
+    ``('0x' || substr(md5(t), 2i+1, 2))::BIGINT - 128``, so MaxSim
+    scores are exactly reproducible cross-engine in pure int64."""
+    import hashlib
+
+    if not 1 <= dim <= _MAX_DIM:
+        raise ValueError(f"dim must be in [1, {_MAX_DIM}]")
+    h = hashlib.md5(token.encode("utf-8")).hexdigest()
+    return [int(h[2 * i : 2 * i + 2], 16) - 128 for i in range(dim)]
+
+
+def _component(tok, i: int):
+    # Spark twin of token_vector: conv(hex pair, 16, 10) - 128
+    return (
+        F.conv(F.substring(F.md5(F.encode(tok, "UTF-8")), 1 + 2 * i, 2), 16, 10)
+        .cast("long")
+        - 128
+    )
+
+
+def maxsim_rerank(
+    docs: DataFrame,
+    candidates: DataFrame,
+    queries,
+    *,
+    k: int = 10,
+    dim: int = 8,
+    max_doc_tokens: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Late-interaction reranking (Khattab & Zaharia 2020, "ColBERT:
+    Efficient and Effective Passage Search via Contextualized Late
+    Interaction over BERT"): rescore first-stage ``candidates``
+    (query_id, doc_id — e.g. a BM25 or ANN top-N) with
+    ``score(q, d) = Σ_{t∈q} max_{u∈d} ⟨v(t), v(u)⟩`` and return the
+    top ``k`` per query as (query_id, doc_id, rank, maxsim_score).
+
+    Token vectors come from :func:`token_vector` (int8 components), so
+    every dot product is an int64 ≤ dim·128² and the per-query sum is
+    exact — no IEEE ordering hazard anywhere. Document tokens are the
+    DISTINCT first ``max_doc_tokens`` whitespace tokens (max over
+    duplicates is the max over distincts; the cap bounds per-doc work
+    the way ColBERT caps passage length). Query tokens keep order and
+    multiplicity (a repeated query term doubles its weight — the
+    ColBERT semantic).
+
+    Scale shape: the candidate list (queries × depth rows) BROADCASTS
+    onto the corpus scan — one equi-join, no shuffle — so only
+    candidate docs are ever tokenized; the query-token table
+    (queries × tokens × dim literals) broadcasts onto that; then two
+    keyed aggregations (max per query token, sum per doc) and one
+    per-query top-k window, all on candidate-sized frames. The corpus
+    is touched exactly once, by the pruned candidate semi-join."""
+    from avro_diff_spark.functions import text as TX
+
+    spark = docs.sparkSession
+    qrows = []
+    for qid, text in queries:
+        toks = [t for t in text.lower().split() if t]
+        if not toks:
+            raise ValueError(f"query {qid} has no tokens")
+        for pos, t in enumerate(toks):
+            qrows.append((int(qid), pos, *token_vector(t, dim)))
+    qcols = ", ".join(f"q_{i} long" for i in range(dim))
+    qdf = spark.createDataFrame(qrows, f"query_id long, qpos int, {qcols}")
+
+    cand = candidates.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("doc_id").alias("doc_id"),
+    )
+    toks = (
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
+        .join(F.broadcast(cand), "doc_id")
+        .select(
+            "query_id",
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.slice(TX.tokens_ws(F.col("__text")), 1, max_doc_tokens)
+                )
+            ).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+    )
+    dot = sum(
+        (F.col(f"q_{i}") * _component(F.col("tok"), i) for i in range(dim)),
+        start=F.lit(0).cast("long"),
+    )
+    per_qtok = (
+        toks.join(F.broadcast(qdf), "query_id")
+        .groupBy("query_id", "doc_id", "qpos")
+        .agg(F.max(dot).alias("mx"))
+    )
+    scores = per_qtok.groupBy("query_id", "doc_id").agg(
+        F.sum("mx").alias("maxsim_score")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("maxsim_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(k))
+        .select("query_id", "doc_id", "rank", "maxsim_score")
     )

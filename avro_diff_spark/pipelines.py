@@ -4335,6 +4335,91 @@ QUALIFY rank <= {HYBRID_K}
 """
 
 
+#: Doc-token cap for the MaxSim reranker (the ColBERT passage-length cap).
+MAXSIM_DOC_TOKENS = 64
+MAXSIM_DIM = 8
+
+
+def q_maxsim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-stage late-interaction reranking (operators/retrieval.py
+    ``maxsim_rerank``, ColBERT MaxSim): the persisted BM25 index's
+    top-20 per query is rescored with Σ_q max_d ⟨v(q),v(d)⟩ over
+    deterministic int8 md5 token vectors and re-cut to top-10 — the
+    retriever→reranker pipeline every production search stack runs.
+    All-int64 scoring, so the oracle (BM25 replay + the same vector law
+    in SQL) pins the full two-stage stack bit-for-bit.
+
+    Scale shape: candidates (queries × 20 rows) broadcast onto the
+    corpus scan — only candidate docs are tokenized; query-token
+    literals broadcast; two keyed aggs + one top-k window on
+    candidate-sized frames."""
+    from avro_diff_spark.operators import text_index as TI
+    from avro_diff_spark.operators.retrieval import maxsim_rerank
+
+    idx = _cached_text_index(spark, sf_dir)
+    cand = TI.query_text_index(spark, idx, BM25_QUERIES, k=HYBRID_DEPTH).select(
+        "query_id", "doc_id"
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return maxsim_rerank(
+        docs,
+        cand,
+        BM25_QUERIES,
+        k=HYBRID_K,
+        dim=MAXSIM_DIM,
+        max_doc_tokens=MAXSIM_DOC_TOKENS,
+    )
+
+
+def _maxsim_sql() -> str:
+    from avro_diff_spark.operators.retrieval import token_vector
+    from avro_diff_spark.operators.text_index import bm25_score_sql
+
+    bm = bm25_score_sql(BM25_QUERIES, k=HYBRID_DEPTH, tokens_sql_fn=tokens_sql)
+    dim = MAXSIM_DIM
+    qvals = ", ".join(
+        "({}, {}, {})".format(
+            int(qid), pos, ", ".join(str(c) for c in token_vector(t, dim))
+        )
+        for qid, text in BM25_QUERIES
+        for pos, t in enumerate(t for t in text.lower().split() if t)
+    )
+    qcols = ", ".join(f"q_{i}" for i in range(dim))
+    dot = " + ".join(
+        f"(('0x' || substr(md5(d.tok), {1 + 2 * i}, 2))::BIGINT - 128) * q.q_{i}"
+        for i in range(dim)
+    )
+    return f"""
+WITH bm AS ({bm}),
+cand AS (SELECT query_id, doc_id FROM bm),
+toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id,
+           unnest(list_distinct(list_slice({tokens_sql("text")}, 1, {MAXSIM_DOC_TOKENS}))) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+),
+q(query_id, qpos, {qcols}) AS (VALUES {qvals}),
+dots AS (
+  SELECT c.query_id, c.doc_id, q.qpos, max({dot}) AS mx
+  FROM cand c
+  JOIN toks d ON d.doc_id = c.doc_id
+  JOIN q ON q.query_id = c.query_id
+  GROUP BY c.query_id, c.doc_id, q.qpos
+),
+sc AS (
+  SELECT query_id, doc_id, CAST(sum(mx) AS BIGINT) AS maxsim_score
+  FROM dots GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY maxsim_score DESC, doc_id ASC) AS INT) AS rank,
+       maxsim_score
+FROM sc
+QUALIFY rank <= {HYBRID_K}
+"""
+
+
 def q_warc_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Web-corpus ingestion end-to-end: deterministic .warc.gz payloads
     (3 gzip members each: warcinfo + request + response, the Common
@@ -4868,6 +4953,7 @@ PIPELINE_QUERIES = {
     "bm25_delete_topk": q_bm25_delete_topk,
     "hybrid_topk": q_hybrid_topk,
     "hybrid_weighted_topk": q_hybrid_weighted_topk,
+    "maxsim_rerank_topk": q_maxsim_rerank,
     "web_link_graph": q_web_link_graph,
     "robots_gate_counts": q_robots_gate,
     "url_dedup": q_url_dedup,
@@ -4964,6 +5050,7 @@ def pipeline_sql() -> dict[str, str]:
         "bm25_delete_topk": _bm25_delete_sql(),
         "hybrid_topk": _hybrid_sql(),
         "hybrid_weighted_topk": _hybrid_sql(w_sparse=2, w_dense=1),
+        "maxsim_rerank_topk": _maxsim_sql(),
         "web_link_graph": _web_link_graph_sql(),
         "robots_gate_counts": ROBOTS_GATE_SQL,
         "url_dedup": URL_DEDUP_SQL,

@@ -82,6 +82,7 @@ QUERIES = [
     "table_profile",  # round 12: melt + two-stage exact distinct across layouts
     "venn_multi_regions",  # round 12: k-way tag-union counts across layouts
     "incremental_join_orders",  # round 12: CDF-driven join-view maintenance
+    "maxsim_rerank_topk",  # round 12: two-stage retrieve+rerank across layouts
 ]
 
 

@@ -126,3 +126,85 @@ def test_rrf_integer_weights_bias_fusion(spark):
         rrf_fuse([a, b], weights=[1])
     with pytest.raises(ValueError):
         rrf_fuse([a, b], weights=[1, -2])
+
+
+# ---------------------------------------------------------------------------
+# MaxSim late-interaction reranking (round 12)
+# ---------------------------------------------------------------------------
+
+
+def test_token_vector_law():
+    import hashlib
+
+    from avro_diff_spark.operators.retrieval import token_vector
+
+    h = hashlib.md5(b"spark").hexdigest()
+    v = token_vector("spark", 8)
+    assert v == [int(h[2 * i : 2 * i + 2], 16) - 128 for i in range(8)]
+    assert all(-128 <= c <= 127 for c in v)
+    with pytest.raises(ValueError):
+        token_vector("x", 17)
+
+
+def test_maxsim_rerank_matches_bruteforce(spark):
+    """Engine MaxSim == a driver-side brute-force replay of the law on a
+    tiny corpus (both stages: per-query-token max, per-doc sum, rank)."""
+    from avro_diff_spark.operators.retrieval import maxsim_rerank, token_vector
+
+    docs = spark.createDataFrame(
+        [
+            (1, "fast table scan engine"),
+            (2, "slow full scan"),
+            (3, "window merge batch"),
+            (4, "Fast FAST fast"),  # case-folds + dedupes to one token
+        ],
+        "doc_id bigint, text string",
+    )
+    queries = [(7, "fast scan"), (8, "batch")]
+    cand = spark.createDataFrame(
+        [(7, 1), (7, 2), (7, 4), (8, 3), (8, 1)], "query_id bigint, doc_id bigint"
+    )
+    got = {
+        (r["query_id"], r["doc_id"]): (r["rank"], r["maxsim_score"])
+        for r in maxsim_rerank(docs, cand, queries, k=3, dim=8).collect()
+    }
+
+    corpus = {1: "fast table scan engine", 2: "slow full scan", 3: "window merge batch", 4: "fast fast fast"}
+    cands = {7: [1, 2, 4], 8: [3, 1]}
+    for qid, text in queries:
+        qtoks = text.lower().split()
+        scored = []
+        for d in cands[qid]:
+            dtoks = sorted(set(corpus[d].lower().split()))
+            s = sum(
+                max(
+                    sum(a * b for a, b in zip(token_vector(qt), token_vector(dt)))
+                    for dt in dtoks
+                )
+                for qt in qtoks
+            )
+            scored.append((d, s))
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        for rank, (d, s) in enumerate(scored, 1):
+            assert got[(qid, d)] == (rank, s), (qid, d)
+
+
+def test_maxsim_doc_token_cap_and_empty_query(spark):
+    from avro_diff_spark.operators.retrieval import maxsim_rerank, token_vector
+
+    # cap=1: only the FIRST doc token is visible to the scorer
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta alpha")], "doc_id bigint, text string"
+    )
+    cand = spark.createDataFrame([(1, 1), (1, 2)], "query_id bigint, doc_id bigint")
+    out = {
+        r["doc_id"]: r["maxsim_score"]
+        for r in maxsim_rerank(
+            docs, cand, [(1, "beta")], k=2, max_doc_tokens=1
+        ).collect()
+    }
+    dot = lambda a, b: sum(x * y for x, y in zip(token_vector(a), token_vector(b)))
+    assert out == {1: dot("beta", "alpha"), 2: dot("beta", "beta")}
+
+    with pytest.raises(ValueError, match="no tokens"):
+        maxsim_rerank(docs, cand, [(1, "   ")])
