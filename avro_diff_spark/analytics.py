@@ -1588,3 +1588,52 @@ TABLE_PROFILE_SQL = "\nUNION ALL\n".join(
         ("l_linestatus", "varchar"), ("l_shipdate", "ts"),
     ]
 )
+
+
+def join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew report over ``lineitem.l_suppkey`` (operators/
+    skew.py ``skew_report``): the top-20 hottest supplier keys with
+    exact counts and integer share/skew ratios — the pre-join diagnosis
+    that decides between a plain shuffle join, broadcast, and
+    ``salted_join``. One map-side-combined count, a TakeOrdered top-N,
+    and a broadcast totals join; nothing corpus-sized moves."""
+    from avro_diff_spark.operators.skew import skew_report
+
+    return skew_report(load_table(spark, sf_dir, "lineitem"), ["l_suppkey"], top=20)
+
+
+JOIN_KEY_SKEW_SQL = """
+WITH pk AS (SELECT l_suppkey, count(*) AS n FROM lineitem GROUP BY 1),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total, count(*) AS n_keys FROM pk),
+top AS (SELECT l_suppkey, n FROM pk ORDER BY n DESC, l_suppkey ASC LIMIT 20)
+SELECT CAST(row_number() OVER (ORDER BY n DESC, l_suppkey ASC) AS INT) AS rank,
+       l_suppkey,
+       CAST(n AS BIGINT) AS n_rows,
+       CAST((n * 1000000) // n_total AS BIGINT) AS share_x1e6,
+       CAST((n * n_keys * 1000000) // n_total AS BIGINT) AS skew_x1e6,
+       n_total,
+       CAST(n_keys AS BIGINT) AS n_keys
+FROM top CROSS JOIN t
+"""
+
+
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of ``o_totalprice`` (operators/profile.py
+    ``column_histogram``): 24 buckets over [0, 600000) plus clamped
+    under/overflow — one map-side-combined keyed aggregate whose
+    shuffle carries ≤ 26 rows per map task at ANY corpus size."""
+    from avro_diff_spark.operators.profile import column_histogram
+
+    return column_histogram(
+        load_table(spark, sf_dir, "orders"), "o_totalprice", 0.0, 600000.0, 24
+    )
+
+
+PRICE_HISTOGRAM_SQL = """
+SELECT CAST(least(greatest(floor((o_totalprice - 0.0) / 25000.0), -1), 24) AS INT) AS bucket,
+       count(*) AS n_rows,
+       CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM orders
+WHERE o_totalprice IS NOT NULL
+GROUP BY 1
+"""

@@ -115,3 +115,47 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     ).select("kv.col_name", "kv.min_repr", "kv.max_repr")
 
     return counts.join(F.broadcast(minmax), "col_name")
+
+
+def column_histogram(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    buckets: int,
+) -> DataFrame:
+    """Equi-width histogram of a numeric column — the distribution half
+    of the profiling report (:func:`profile_table` covers scalars):
+    ``(bucket, n_rows, sum_cents)`` with ``bucket = floor((x-lo)/w)``
+    clamped to ``-1`` (underflow) and ``buckets`` (overflow). Empty
+    buckets are absent (GROUP BY law — gap-fill downstream if a dense
+    axis is needed; analytics.events_gapfill is the operator for that).
+
+    Exactness: the bucket index is IEEE double subtract/divide/floor —
+    bit-identical in any engine — and the per-bucket value sum goes
+    through the house cents law (``floor(x*100 + 0.5)``, int64) so
+    partial-aggregation order cannot perturb it. ONE map-side-combined
+    keyed aggregate; shuffle volume ≤ buckets+2 rows per map task."""
+    if buckets < 1:
+        raise ValueError("buckets must be >= 1")
+    if not hi > lo:
+        raise ValueError("need hi > lo")
+    width = (hi - lo) / buckets
+    x = F.col(col)
+    idx = (
+        F.least(
+            F.greatest(F.floor((x - F.lit(lo)) / F.lit(width)), F.lit(-1)),
+            F.lit(buckets),
+        )
+        .cast("int")
+        .alias("bucket")
+    )
+    cents = F.floor(x * F.lit(100.0) + F.lit(0.5)).cast("long")
+    return (
+        df.where(x.isNotNull())
+        .groupBy(idx)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(cents).cast("long").alias("sum_cents"),
+        )
+    )

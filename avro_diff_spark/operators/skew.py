@@ -101,3 +101,61 @@ def salted_join(
     )
     joined = salted_probe.join(replicated_build, keys + [_SALT], how)
     return joined.drop(_SALT)
+
+
+def skew_report(df: DataFrame, keys: list[str], *, top: int = 20) -> DataFrame:
+    """Join-key skew diagnosis — what a pipeline author runs BEFORE
+    choosing :func:`salted_join`'s ``salts`` (or trusting AQE): the
+    ``top`` hottest key values with exact counts, each row carrying the
+    global context (total rows, distinct keys) and two integer ratios:
+
+    * ``share_x1e6``  — the key's fraction of all rows × 1e6;
+    * ``skew_x1e6``   — the key's count ÷ the MEAN per-key count × 1e6
+      (1e6 = perfectly uniform; the number that says "this one key is
+      340× average — salt it with ~340 salts or it owns one reducer").
+
+    Scale shape: one map-side-combined groupBy(keys).count; the top-N
+    cut is orderBy+limit (TakeOrderedAndProject — per-partition top-N,
+    then an N-row merge, never a global sort); the 1-row totals
+    broadcast back via the data-derived literal-key equi-join
+    (BroadcastHashJoin — the _fold_tvd idiom, no BNLJ); the rank window
+    partitions on that same key (constant over ≤ top rows, so WindowExec
+    is partitioned and bounded). All ratios are exact int64 — no IEEE
+    division in the recorded output."""
+    from pyspark.sql import Window
+
+    if not keys:
+        raise ValueError("skew_report needs at least one key column")
+    per_key = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows_key"))
+    totals = per_key.agg(
+        F.coalesce(F.sum("n_rows_key"), F.lit(0)).alias("n_total"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    hot = per_key.orderBy(
+        F.col("n_rows_key").desc(), *[F.col(k).asc() for k in keys]
+    ).limit(int(top))
+    # data-derived constant join key: Catalyst cannot constant-fold it
+    # away into a BroadcastNestedLoopJoin (the plan gate's ban)
+    joined = hot.withColumn("_k", F.col("n_rows_key") - F.col("n_rows_key")).join(
+        F.broadcast(totals.withColumn("_k", F.col("n_total") - F.col("n_total"))),
+        "_k",
+    )
+    w = Window.partitionBy("_k").orderBy(
+        F.col("n_rows_key").desc(), *[F.col(k).asc() for k in keys]
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .select(
+            "rank",
+            *keys,
+            F.col("n_rows_key").cast("long").alias("n_rows"),
+            F.expr("CAST((n_rows_key * 1000000) DIV n_total AS BIGINT)").alias(
+                "share_x1e6"
+            ),
+            F.expr(
+                "CAST((n_rows_key * n_keys * 1000000) DIV n_total AS BIGINT)"
+            ).alias("skew_x1e6"),
+            F.col("n_total").cast("long").alias("n_total"),
+            F.col("n_keys").cast("long").alias("n_keys"),
+        )
+    )

@@ -83,6 +83,8 @@ QUERIES = [
     "venn_multi_regions",  # round 12: k-way tag-union counts across layouts
     "incremental_join_orders",  # round 12: CDF-driven join-view maintenance
     "maxsim_rerank_topk",  # round 12: two-stage retrieve+rerank across layouts
+    "join_key_skew",  # round 12: TakeOrdered top-N + broadcast totals
+    "price_histogram",  # round 12: equi-width bucket agg across layouts
 ]
 
 

@@ -56,3 +56,33 @@ def test_profile_skips_complex_columns_by_default(spark):
     assert set(_by_col(profile_table(df))) == {"k"}
     with pytest.raises(ValueError):
         profile_table(df, ["nope"])
+
+
+def test_column_histogram_clamps_and_sums(spark):
+    from avro_diff_spark.operators.profile import column_histogram
+
+    df = spark.createDataFrame(
+        [(-5.0,), (0.0,), (9.99,), (10.0,), (25.0,), (99.0,), (100.0,), (None,)],
+        "v double",
+    )
+    out = {r["bucket"]: (r["n_rows"], r["sum_cents"]) for r in
+           column_histogram(df, "v", 0.0, 100.0, 10).collect()}
+    assert out[-1] == (1, -500)            # underflow
+    assert out[0] == (2, 999)              # 0.0 and 9.99
+    assert out[1] == (1, 1000)             # 10.0 lands in bucket 1 (floor law)
+    assert out[2] == (1, 2500)
+    assert out[9] == (1, 9900)
+    assert out[10] == (1, 10000)           # hi is exclusive -> overflow bucket
+    assert sum(n for n, _ in out.values()) == 7  # null excluded
+
+
+def test_column_histogram_guards(spark):
+    import pytest as _pytest
+
+    from avro_diff_spark.operators.profile import column_histogram
+
+    df = spark.createDataFrame([(1.0,)], "v double")
+    with _pytest.raises(ValueError):
+        column_histogram(df, "v", 0.0, 1.0, 0)
+    with _pytest.raises(ValueError):
+        column_histogram(df, "v", 1.0, 1.0, 4)

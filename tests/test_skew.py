@@ -97,3 +97,23 @@ def test_salted_join_tolerates_map_columns(spark):
     got = salted_join(probe, build, "k", salts=4)
     want = probe.join(build, "k")
     assert sorted(map(repr, got.collect())) == sorted(map(repr, want.collect()))
+
+
+def test_skew_report_exact_ratios(spark):
+    from avro_diff_spark.operators.skew import skew_report
+
+    rows = [("hot",)] * 6 + [("warm",)] * 3 + [("a",), ("b",), ("c",)]
+    df = spark.createDataFrame(rows, "k string")
+    out = {r["rank"]: r for r in skew_report(df, ["k"], top=3).collect()}
+    assert [out[i]["k"] for i in (1, 2, 3)] == ["hot", "warm", "a"]
+    r1 = out[1]
+    assert (r1["n_rows"], r1["n_total"], r1["n_keys"]) == (6, 12, 5)
+    assert r1["share_x1e6"] == 6 * 1_000_000 // 12
+    assert r1["skew_x1e6"] == 6 * 5 * 1_000_000 // 12  # 2.5x the mean key
+    # ties broken by key ascending
+    assert out[3]["k"] == "a"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        skew_report(df, [])
