@@ -35,6 +35,7 @@ __all__ = [
     "maintain_bloom_stream",
     "maintain_digest_stream",
     "maintain_drift_stream",
+    "maintain_join_view_stream",
 ]
 
 
@@ -446,6 +447,120 @@ def maintain_drift_stream(
         else:
             merged = _merge_agg_delta(spark, dst_path, delta, ["bucket"], [])
         commit_snapshot(merged, dst_path, mode="overwrite", app_meta=meta)
+
+    writer = ch.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def maintain_join_view_stream(
+    spark: SparkSession,
+    fact_path: str,
+    dim_path: str,
+    dst_path: str,
+    fact_keys: list[str],
+    fk: str,
+    pk: str,
+    *,
+    checkpoint: str,
+    starting_version: int = 0,
+    trigger_available_now: bool = True,
+):
+    """Streaming twin of :func:`versioned.refresh_join_table`: keep the
+    materialized ``fact ⋈ dim`` view continuously current from the FACT
+    table's change feed, enriching each micro-batch against the dim's
+    latest snapshot — Structured Streaming's stream-static join shape
+    (the fact side is the high-volume one in every star schema; dim
+    changes are applied by the batch refresher on its own cadence, the
+    standard lakehouse split).
+
+    Per batch: the LAST change per fact key wins (a key updated three
+    times in one batch folds to one upsert; insert→…→delete folds to
+    one delete), survivors re-join the dim (broadcast/AQE — delta-sized
+    probe, never a fact rescan), upserts land via :func:`merge_into`,
+    vanished keys (deletes + dangling fks) via :func:`delete_where`,
+    and the applied source version rides a trailing
+    :func:`commit_txn_marker` — written LAST, so a replayed batch (the
+    query checkpoint's at-least-once) sees its versions already applied
+    and is dropped, or re-applies idempotently if the crash hit the
+    marker window. Batch-equivalence vs a full recompute and the
+    delete/dangling paths are pytest-pinned.
+
+    Source DML must be CDF-visible: merge/delete with ``rewrite='dv'``
+    (a 'touched' REPLACE commit is indistinguishable from compaction to
+    a change stream — the standing :func:`stream_changes` contract)."""
+    import os
+
+    from pyspark.sql import Window
+
+    from avro_diff_spark.sources.versioned import (
+        commit_txn_marker,
+        delete_where,
+        merge_into,
+        read_version,
+    )
+
+    ch = stream_changes(spark, fact_path, starting_version=starting_version)
+
+    def _apply(batch_df, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        applied = -1
+        if latest_version(dst_path) >= 0:
+            meta = latest_app_meta(dst_path, "fact_version")
+            if meta.get("fact_table") not in (None, os.path.abspath(fact_path)):
+                raise ValueError(
+                    f"{dst_path!r} tracks {meta.get('fact_table')!r}, not "
+                    f"{fact_path!r}"
+                )
+            applied = meta.get("fact_version", -1)
+        fresh = batch_df.filter(F.col("_commit_version") > F.lit(applied))
+        hi = fresh.agg(F.max("_commit_version")).collect()[0][0]
+        if hi is None:
+            return
+
+        dim = read_version(spark, dim_path)
+        dim_meta = latest_app_meta(dst_path, "dim_version") if applied >= 0 else {}
+        dv = dim_meta.get("dim_version", latest_version(dim_path))
+        meta = {
+            "fact_table": os.path.abspath(fact_path),
+            "fact_version": int(hi),
+            "dim_table": os.path.abspath(dim_path),
+            "dim_version": int(dv),
+        }
+
+        # last change per key wins; at equal versions the post-image
+        # outranks its pre-image (a merge emits both)
+        pref = F.when(
+            F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+        ).otherwise(F.lit(0))
+        w = Window.partitionBy(*fact_keys).orderBy(
+            F.col("_commit_version").desc(), pref.desc()
+        )
+        last = (
+            fresh.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        live = last.where(
+            F.col("_change_type").isin("insert", "update_postimage")
+        ).drop("_change_type", "_commit_version")
+        d = dim.withColumnRenamed(pk, fk) if pk != fk else dim
+        view_cols = [c for c in live.columns] + [c for c in d.columns if c != fk]
+        upserts = live.join(d, [fk], "inner").select(*view_cols)
+
+        if latest_version(dst_path) < 0:
+            commit_snapshot(upserts, dst_path, app_meta=meta)
+            return
+        merge_into(spark, dst_path, upserts, fact_keys)
+        # keys whose last change deleted them, plus survivors whose fk
+        # no longer resolves (dangling after a dim delete)
+        gone = last.select(*fact_keys).exceptAll(upserts.select(*fact_keys))
+        delete_where(spark, dst_path, keys=gone, on=fact_keys)
+        commit_txn_marker(dst_path, app_meta=meta)
 
     writer = ch.writeStream.foreachBatch(_apply).option(
         "checkpointLocation", checkpoint

@@ -155,3 +155,74 @@ def test_guards(spark, tables, tmp_path):
     )
     with pytest.raises(ValueError, match="collision"):
         refresh_join_table(spark, fp, dp2, str(tmp_path / "v2"), ["k"], "fk", "pk")
+
+
+def test_maintain_join_view_stream_matches_recompute(spark, tmp_path):
+    """Streaming twin: after draining append + update + delete fact
+    history, the view equals a full recompute against the dim, dangling
+    fks never enter, and re-draining publishes nothing new."""
+    from avro_diff_spark.sources.versioned import (
+        delete_where,
+        merge_into,
+        latest_version as lv,
+    )
+    from avro_diff_spark.streaming.agg import maintain_join_view_stream
+
+    fp, dp, vp, ck = (str(tmp_path / x) for x in ("fact", "dim", "view", "ck"))
+    commit_snapshot(
+        spark.createDataFrame(
+            [(1, 10, "a"), (2, 20, "b"), (3, 99, "dangling")],
+            "k bigint, fk bigint, val string",
+        ),
+        fp,
+    )  # v0 — k=3 references no dim row
+    commit_snapshot(
+        spark.createDataFrame([(10, "x"), (20, "y")], "pk bigint, attr string"), dp
+    )
+
+    def drain():
+        q = maintain_join_view_stream(
+            spark, fp, dp, vp, ["k"], "fk", "pk", checkpoint=ck
+        )
+        q.awaitTermination(120)
+
+    drain()
+    assert _rows(read_version(spark, vp)) == _rows(
+        _recompute(read_version(spark, fp), read_version(spark, dp))
+    )
+    assert all(t[0] != 3 for t in _rows(read_version(spark, vp)))
+
+    # fact DML: update k=1 (merge), delete k=2 (DV), insert k=4
+    # rewrite='dv': the CDF-visible DML shape (a 'touched' REPLACE commit
+    # is indistinguishable from compaction to a change stream — the same
+    # constraint every stream test exercises)
+    merge_into(
+        spark,
+        fp,
+        spark.createDataFrame(
+            [(1, 20, "a2"), (4, 10, "d")], "k bigint, fk bigint, val string"
+        ),
+        ["k"],
+        rewrite="dv",
+    )
+    delete_where(spark, fp, F.col("k") == 2, rewrite="dv")
+    drain()
+    assert _rows(read_version(spark, vp)) == _rows(
+        _recompute(read_version(spark, fp), read_version(spark, dp))
+    )
+
+    # no new commits -> drain publishes nothing
+    v = lv(vp)
+    drain()
+    assert lv(vp) == v
+
+    # a FRESH checkpoint replays from scratch; the applied-version guard
+    # drops every already-applied batch (no spurious rewrites)
+    q = maintain_join_view_stream(
+        spark, fp, dp, vp, ["k"], "fk", "pk", checkpoint=str(tmp_path / "ck2")
+    )
+    q.awaitTermination(120)
+    assert lv(vp) == v
+    assert _rows(read_version(spark, vp)) == _rows(
+        _recompute(read_version(spark, fp), read_version(spark, dp))
+    )
