@@ -1438,6 +1438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_join_orders": _q_incremental_join_orders,
         "join_key_skew": analytics.join_key_skew,
         "price_histogram": analytics.price_histogram,
+        "price_depth_histogram": analytics.price_depth_histogram,
     }
     # The driver's correctness harness records at most 50 rows (observed in
     # rounds 2-3: exactly the first 50 dict entries survive; the last two —
@@ -2259,6 +2260,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_join_orders": _INCREMENTAL_JOIN_SQL,
         "join_key_skew": analytics.JOIN_KEY_SKEW_SQL,
         "price_histogram": analytics.PRICE_HISTOGRAM_SQL,
+        "price_depth_histogram": analytics.PRICE_DEPTH_HISTOGRAM_SQL,
         "scd2_user_states": analytics.SCD2_USER_STATES_SQL,
         "events_debounce": analytics.EVENTS_DEBOUNCE_SQL,
         "interval_join_purchases": analytics.INTERVAL_JOIN_PURCHASES_SQL,

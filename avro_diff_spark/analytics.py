@@ -1637,3 +1637,33 @@ FROM orders
 WHERE o_totalprice IS NOT NULL
 GROUP BY 1
 """
+
+
+def price_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile-bucket) histogram of ``o_totalprice``
+    (operators/profile.py ``equi_depth_histogram``): 16 near-equal-count
+    buckets with exact counts, cent-law edges and sums. The global rank
+    rides the two-level scan — no single-partition window — and the
+    oracle re-derives the same bucket law from a native row_number."""
+    from avro_diff_spark.operators.profile import equi_depth_histogram
+
+    return equi_depth_histogram(
+        load_table(spark, sf_dir, "orders"), "o_totalprice", ["o_orderkey"], 16
+    )
+
+
+PRICE_DEPTH_HISTOGRAM_SQL = """
+WITH r AS (
+  SELECT o_totalprice,
+         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+         row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+         count(*) OVER () AS n_total
+  FROM orders WHERE o_totalprice IS NOT NULL
+)
+SELECT CAST(((rn - 1) * 16) // n_total AS INT) AS bucket,
+       count(*) AS n_rows,
+       min(cents) AS lo_cents,
+       max(cents) AS hi_cents,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM r GROUP BY 1
+"""

@@ -159,3 +159,56 @@ def column_histogram(
             F.sum(cents).cast("long").alias("sum_cents"),
         )
     )
+
+
+def equi_depth_histogram(
+    df: DataFrame,
+    col: str,
+    tiebreak: list[str],
+    n_buckets: int,
+) -> DataFrame:
+    """Equi-DEPTH histogram (quantile buckets): ``n_buckets`` buckets of
+    near-equal row count over the global value order, each reporting its
+    exact count, value range (cents law), and sum — the companion to
+    :func:`column_histogram`'s fixed-width buckets, and what a query
+    optimizer or drift monitor actually wants on a skewed column (a
+    fixed-width histogram of a zipfian column puts 99% of rows in one
+    bucket; the depth histogram's bucket EDGES carry the shape).
+
+    Bucket law (part of the contract, mirrored by the oracle):
+    ``bucket = (rank-1) * n_buckets DIV n_total`` over the global
+    (col, tiebreak…) order — sizes differ by at most 1, deterministic
+    for any total, no ntile dependence.
+
+    Scale shape: the global rank rides the two-level Blelloch scan
+    (operators/prefix.global_row_number — per-range-bucket windows, a
+    bounded ≤64-row offsets collect, NEVER a single-partition global
+    window); totals broadcast back via the literal-key equi-join; then
+    one map-side-combined groupBy over ≤ n_buckets groups. Nulls are
+    excluded (a histogram describes values)."""
+    from avro_diff_spark.operators.prefix import global_row_number
+
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    x = F.col(col)
+    base = df.select(col, *tiebreak).where(x.isNotNull())
+    ranked = global_row_number(base, [col, *tiebreak], alias="_rn")
+    totals = ranked.agg(F.count(F.lit(1)).alias("_n_total"))
+    joined = ranked.withColumn("_k", F.col("_rn") - F.col("_rn")).join(
+        F.broadcast(totals.withColumn("_k", F.col("_n_total") - F.col("_n_total"))),
+        "_k",
+    )
+    cents = F.floor(x * F.lit(100.0) + F.lit(0.5)).cast("long")
+    return (
+        joined.withColumn(
+            "bucket",
+            F.expr(f"CAST(((_rn - 1) * {int(n_buckets)}) DIV _n_total AS INT)"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min(cents).alias("lo_cents"),
+            F.max(cents).alias("hi_cents"),
+            F.sum(cents).cast("long").alias("sum_cents"),
+        )
+    )

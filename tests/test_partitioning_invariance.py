@@ -85,6 +85,7 @@ QUERIES = [
     "maxsim_rerank_topk",  # round 12: two-stage retrieve+rerank across layouts
     "join_key_skew",  # round 12: TakeOrdered top-N + broadcast totals
     "price_histogram",  # round 12: equi-width bucket agg across layouts
+    "price_depth_histogram",  # round 12: two-level global rank across layouts
 ]
 
 

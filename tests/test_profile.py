@@ -86,3 +86,24 @@ def test_column_histogram_guards(spark):
         column_histogram(df, "v", 0.0, 1.0, 0)
     with _pytest.raises(ValueError):
         column_histogram(df, "v", 1.0, 1.0, 4)
+
+
+def test_equi_depth_histogram_bucket_law(spark):
+    from avro_diff_spark.operators.profile import equi_depth_histogram
+
+    # 10 rows, 4 buckets -> the (rank-1)*nb DIV total law gives 3,2,3,2
+    df = spark.createDataFrame(
+        [(float(i), i) for i in range(1, 11)] + [(None, 99)], "v double, k bigint"
+    )
+    out = {r["bucket"]: r for r in
+           equi_depth_histogram(df, "v", ["k"], 4).collect()}
+    assert [out[b]["n_rows"] for b in (0, 1, 2, 3)] == [3, 2, 3, 2]
+    assert out[0]["lo_cents"] == 100 and out[0]["hi_cents"] == 300
+    assert out[3]["lo_cents"] == 900 and out[3]["hi_cents"] == 1000
+    assert sum(r["n_rows"] for r in out.values()) == 10  # null excluded
+    assert out[1]["sum_cents"] == 400 + 500
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        equi_depth_histogram(df, "v", ["k"], 0)
