@@ -860,6 +860,59 @@ def lineage_main(argv: list[str] | None = None) -> int:
     return 0
 
 
+def profile_main(argv: list[str]) -> int:
+    """``profile`` — per-column stats, skew, and histograms for a parquet
+    table: the onboarding pass (operators/profile.py, operators/skew.py)."""
+    import argparse
+
+    p = argparse.ArgumentParser(
+        prog="profile", description="Profile a parquet table's columns."
+    )
+    p.add_argument("path")
+    p.add_argument("--columns", help="comma-separated subset (default: all scalar)")
+    p.add_argument("--skew-keys", help="comma-separated key columns for a skew report")
+    p.add_argument("--top", type=int, default=10, help="hot keys to show (skew)")
+    p.add_argument(
+        "--hist",
+        help="numeric column for an equi-width histogram: col:lo:hi:buckets",
+    )
+    args = p.parse_args(argv)
+
+    from avro_diff_spark.operators.profile import column_histogram, profile_table
+    from avro_diff_spark.session import get_spark
+
+    spark = get_spark("profile")
+    df = spark.read.parquet(args.path)
+    cols = args.columns.split(",") if args.columns else None
+    for r in sorted(profile_table(df, cols).collect(), key=lambda r: r.col_name):
+        print(
+            f"{r.col_name:<24s} rows {r.n_rows:>10d}  nulls {r.n_nulls:>8d}"
+            f"  distinct {r.n_distinct:>8d}  min {r.min_repr!r}  max {r.max_repr!r}"
+        )
+    if args.skew_keys:
+        from avro_diff_spark.operators.skew import skew_report
+
+        keys = args.skew_keys.split(",")
+        print(f"\nskew report on ({', '.join(keys)}):")
+        for r in sorted(
+            skew_report(df, keys, top=args.top).collect(), key=lambda r: r.rank
+        ):
+            key_repr = ", ".join(str(r[k]) for k in keys)
+            print(
+                f"  #{r.rank:<3d} ({key_repr})  rows {r.n_rows:>8d}"
+                f"  share {r.share_x1e6/10000:6.2f}%  skew {r.skew_x1e6/1e6:8.1f}x"
+            )
+    if args.hist:
+        col, lo, hi, nb = args.hist.split(":")
+        print(f"\nhistogram of {col} over [{lo}, {hi}) x{nb}:")
+        rows = column_histogram(df, col, float(lo), float(hi), int(nb)).collect()
+        peak = max(r.n_rows for r in rows) if rows else 1
+        for r in sorted(rows, key=lambda r: r.bucket):
+            bar = "#" * max(1, round(40 * r.n_rows / peak))
+            print(f"  [{r.bucket:>3d}] {r.n_rows:>10d} {bar}")
+    return 0
+
+
 _COMMANDS = {
     "key_diff": key_diff_main,
     "venn_diff": venn_diff_main,
@@ -872,14 +925,15 @@ _COMMANDS = {
     "search": search_main,
     "frontier": frontier_main,
     "lineage": lineage_main,
+    "profile": profile_main,
 }
 
 
 def main() -> int:
-    """Dispatcher: python -m avro_diff_spark.cli {key_diff|venn_diff|dedup|digest|drift|dq|table|extract|search|frontier|lineage} ..."""
+    """Dispatcher: python -m avro_diff_spark.cli {key_diff|venn_diff|dedup|digest|drift|dq|table|extract|search|frontier|lineage|profile} ..."""
     if len(sys.argv) < 2 or sys.argv[1] not in _COMMANDS:
         print(
-            "usage: python -m avro_diff_spark.cli {key_diff|venn_diff|dedup|digest|drift|dq|table|extract|search|frontier|lineage} ...",
+            "usage: python -m avro_diff_spark.cli {key_diff|venn_diff|dedup|digest|drift|dq|table|extract|search|frontier|lineage|profile} ...",
             file=sys.stderr,
         )
         return 2

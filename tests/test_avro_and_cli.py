@@ -379,3 +379,24 @@ def test_cli_dedup_exact_and_minhash(spark, tmp_path, capsys):
     assert 1 in kept and 4 in kept and 2 not in kept  # 2 collapses into 1
     out = capsys.readouterr().out
     assert "# of input rows: 4" in out
+
+
+def test_cli_profile_reports_stats_skew_and_hist(spark, tmp_path, capsys):
+    from avro_diff_spark import cli
+
+    p = str(tmp_path / "t.parquet")
+    spark.createDataFrame(
+        [(1, "hot", 10.0), (2, "hot", 20.0), (3, "cold", None)],
+        "k bigint, g string, v double",
+    ).write.parquet(p)
+    rc = cli.profile_main(
+        [p, "--skew-keys", "g", "--top", "2", "--hist", "v:0:30:3"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "k " in out and "distinct        3" in out
+    assert "nulls        1" in out  # the v column
+    assert "#1   (hot)" in out and "rows        2" in out
+    assert "histogram of v" in out
+    assert "[  1]" in out and "[  2]" in out
+    assert "[  0]" not in out  # empty buckets absent (GROUP BY law)
