@@ -2493,6 +2493,67 @@ def pack_sequences(
     )
 
 
+def epoch_shuffle(
+    df, id_col: str, *, epoch: int, n_shards: int
+):
+    """Deterministic between-epoch data-order shuffle — the training-run
+    requirement every data loader has: each epoch must visit the corpus
+    in a DIFFERENT pseudo-random order, and the order must be exactly
+    reproducible (restarts, audits, ablations) without materializing a
+    permutation table. Key = md5("{epoch}:{id}") — a new order per
+    epoch, stable across runs and engines; shard = first 8 hex digits
+    mod ``n_shards`` (each worker reads one shard); position = rank of
+    the key WITHIN the shard.
+
+    Scale shape: one map-only key derivation, one window PARTITIONED BY
+    shard (never a global order — per-shard ranks are what a sharded
+    loader consumes), shuffle keyed by shard. Output:
+    (id, shard, pos) with pos 1-based within shard."""
+    from pyspark.sql import Window, functions as F
+
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    h = F.md5(
+        F.encode(
+            F.concat_ws(":", F.lit(int(epoch)).cast("string"), F.col(id_col).cast("string")),
+            "UTF-8",
+        )
+    )
+    keyed = df.select(F.col(id_col), h.alias("_h")).withColumn(
+        "shard",
+        (F.conv(F.substring("_h", 1, 8), 16, 10).cast("long") % n_shards).cast("int"),
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("_h").asc(), F.col(id_col).asc())
+    return keyed.withColumn("pos", F.row_number().over(w)).select(
+        id_col, "shard", "pos"
+    )
+
+
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-2 training order of the documents corpus over 8 shards —
+    deterministic md5 keys, per-shard ranks (window partitioned by
+    shard), exactly reproducible in the oracle."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return epoch_shuffle(docs, "doc_id", epoch=2, n_shards=8)
+
+
+EPOCH_SHUFFLE_SQL = """
+WITH k AS (
+  SELECT doc_id,
+         md5('2:' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+s AS (
+  SELECT doc_id, h,
+         CAST(('0x' || substr(h, 1, 8))::BIGINT % 8 AS INT) AS shard
+  FROM k
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS INT) AS pos
+FROM s
+"""
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return pack_sequences(docs, budget=512)
@@ -4910,6 +4971,7 @@ PIPELINE_QUERIES = {
     "near_dup_clusters_star": q_near_dup_clusters_star,
     "simhash_near_dups": q_simhash_near_dups,
     "pack_sequences": q_pack_sequences,
+    "epoch_shuffle_order": q_epoch_shuffle,
     "c4_line_filter": q_c4_line_filter,
     "cosine_topk": q_cosine_topk,
     "ann_signbucket_topk": q_ann_signbucket,
@@ -5007,6 +5069,7 @@ def pipeline_sql() -> dict[str, str]:
         "near_dup_clusters_star": _near_dup_clusters_sql(),
         "simhash_near_dups": _simhash_sql(),
         "pack_sequences": PACK_SEQUENCES_SQL,
+        "epoch_shuffle_order": EPOCH_SHUFFLE_SQL,
         "c4_line_filter": _c4_sql(),
         "cosine_topk": COSINE_TOPK_SQL,
         "ann_signbucket_topk": ANN_SIGNBUCKET_SQL,

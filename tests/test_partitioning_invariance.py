@@ -86,6 +86,7 @@ QUERIES = [
     "join_key_skew",  # round 12: TakeOrdered top-N + broadcast totals
     "price_histogram",  # round 12: equi-width bucket agg across layouts
     "price_depth_histogram",  # round 12: two-level global rank across layouts
+    "epoch_shuffle_order",  # round 12: md5 keys + per-shard ranks across layouts
 ]
 
 

@@ -524,3 +524,31 @@ def test_events_props_stats_malformed_json_is_null(spark, tmp_path):
     assert (c["n"], c["n_parsed"], c["k_sum"], c["k_min"], c["k_max"]) == (4, 1, 5, 5, 5)
     v = got["view"]
     assert (v["n"], v["n_parsed"], v["k_sum"]) == (1, 1, -3)
+
+
+def test_epoch_shuffle_is_deterministic_and_epoch_varying(spark):
+    from avro_diff_spark.pipelines import epoch_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(40)], "doc_id bigint")
+    a = {(r.doc_id, r.shard, r.pos) for r in
+         epoch_shuffle(df, "doc_id", epoch=1, n_shards=4).collect()}
+    b = {(r.doc_id, r.shard, r.pos) for r in
+         epoch_shuffle(df, "doc_id", epoch=1, n_shards=4).collect()}
+    c = {(r.doc_id, r.shard, r.pos) for r in
+         epoch_shuffle(df, "doc_id", epoch=2, n_shards=4).collect()}
+    assert a == b          # reproducible
+    assert a != c          # different epoch -> different order
+    assert len(a) == 40    # a permutation: every row exactly once
+    # per-shard positions are dense 1..n
+    import collections
+
+    per = collections.defaultdict(list)
+    for _, s, p in a:
+        per[s].append(p)
+    for s, ps in per.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        epoch_shuffle(df, "doc_id", epoch=1, n_shards=0)
