@@ -302,7 +302,6 @@ def _q_key_diff_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
     and read back distributed via read_avro's sync-marker-split mapInPandas
     fallback; the oracle is the same SQL as key_diff_orders, so format
     handling itself is what's under test."""
-    import hashlib
     import os
 
     from avro_diff_spark.functions.canonical import ts_micros
@@ -312,15 +311,9 @@ def _q_key_diff_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of every file), so regenerated testdata can never feed stale fixtures
     # to the correctness gate (round-2 ADVICE)
     src = os.path.join(sf_dir, "orders.parquet")
-    files = [src] if os.path.isfile(src) else sorted(
-        os.path.join(dp, fn) for dp, _, fns in os.walk(src) for fn in fns
-    )
-    h = hashlib.md5()
-    for p in files:
-        st = os.stat(p)
-        h.update(f"{p}|{st.st_size}|{st.st_mtime_ns};".encode())
+    fp = pipelines._src_fingerprint(src)
     tag = os.path.basename(os.path.normpath(sf_dir))
-    cache = f"/root/repo/.cache/avro/{tag}-{h.hexdigest()[:12]}"
+    cache = f"/root/repo/.cache/avro/{tag}-{fp}"
     os.makedirs(cache, exist_ok=True)
     old_p, new_p = f"{cache}/orders_old.avro", f"{cache}/orders_new.avro"
 
@@ -360,21 +353,14 @@ def _q_key_diff_avro_logical(spark: SparkSession, sf_dir: str) -> DataFrame:
     The reference never declares logical types (SURVEY.md §1.2) — this is
     the beyond-reference hardening for real-world Avro corpora, where
     spark-avro and this fallback path must agree on schema and values."""
-    import hashlib
     import os
 
     from avro_diff_spark.sources.avro import read_avro, write_avro
 
     src = os.path.join(sf_dir, "orders.parquet")
-    files = [src] if os.path.isfile(src) else sorted(
-        os.path.join(dp, fn) for dp, _, fns in os.walk(src) for fn in fns
-    )
-    h = hashlib.md5()
-    for p in files:
-        st = os.stat(p)
-        h.update(f"{p}|{st.st_size}|{st.st_mtime_ns};".encode())
+    fp = pipelines._src_fingerprint(src)
     tag = os.path.basename(os.path.normpath(sf_dir))
-    cache = f"/root/repo/.cache/avro_logical/{tag}-{h.hexdigest()[:12]}"
+    cache = f"/root/repo/.cache/avro_logical/{tag}-{fp}"
     os.makedirs(cache, exist_ok=True)
     old_p, new_p = f"{cache}/orders_old.avro", f"{cache}/orders_new.avro"
 
@@ -494,21 +480,14 @@ def _q_key_diff_avro_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
     option matches. Float values are integer-valued (floor) by
     construction so the float32→float64 widening is bit-exact and the
     DuckDB oracle can mirror it with plain floor()."""
-    import hashlib
     import os
 
     from avro_diff_spark.sources.avro import read_avro, write_avro
 
     src = os.path.join(sf_dir, "orders.parquet")
-    files = [src] if os.path.isfile(src) else sorted(
-        os.path.join(dp, fn) for dp, _, fns in os.walk(src) for fn in fns
-    )
-    h = hashlib.md5()
-    for p in files:
-        st = os.stat(p)
-        h.update(f"{p}|{st.st_size}|{st.st_mtime_ns};".encode())
+    fp = pipelines._src_fingerprint(src)
     tag = os.path.basename(os.path.normpath(sf_dir))
-    cache = f"/root/repo/.cache/avro_evolved/{tag}-{h.hexdigest()[:12]}"
+    cache = f"/root/repo/.cache/avro_evolved/{tag}-{fp}"
     os.makedirs(cache, exist_ok=True)
     old_p, new_p = f"{cache}/orders_v1.avro", f"{cache}/orders_v2.avro"
 
@@ -601,22 +580,15 @@ def _versioned_orders_table(
     snapshot as v0, new as an overwriting v1 — cache-keyed by the source
     parquet's content fingerprint so regenerated testdata can never feed
     stale commits to the correctness gate."""
-    import hashlib
     import os
 
     from avro_diff_spark.sources.versioned import commit_snapshot, latest_version
 
     src = os.path.join(sf_dir, "orders.parquet")
-    files = [src] if os.path.isfile(src) else sorted(
-        os.path.join(dp, fn) for dp, _, fns in os.walk(src) for fn in fns
-    )
-    h = hashlib.md5()
-    for p in files:
-        st = os.stat(p)
-        h.update(f"{p}|{st.st_size}|{st.st_mtime_ns};".encode())
+    fp = pipelines._src_fingerprint(src)
     tag = os.path.basename(os.path.normpath(sf_dir))
     flavor = "versioned_part" if partition_by else "versioned"
-    table = f"/root/repo/.cache/{flavor}/{tag}-{h.hexdigest()[:12]}/orders"
+    table = f"/root/repo/.cache/{flavor}/{tag}-{fp}/orders"
     if latest_version(table) != 1:
         # rebuild from scratch on ANY unexpected state — a crash between
         # the two commits would otherwise leave v0=old only, and a naive
@@ -695,21 +667,14 @@ def _hidden_orders_table(spark: SparkSession, sf_dir: str) -> str:
     partition transforms): the derived month only names the hive
     directory and the recorded partitionValue, the timestamp column
     stays in the data. Cache-keyed by the source parquet fingerprint."""
-    import hashlib
     import os
 
     from avro_diff_spark.sources.versioned import commit_snapshot, latest_version
 
     src = os.path.join(sf_dir, "orders.parquet")
-    files = [src] if os.path.isfile(src) else sorted(
-        os.path.join(dp, fn) for dp, _, fns in os.walk(src) for fn in fns
-    )
-    h = hashlib.md5()
-    for p in files:
-        st = os.stat(p)
-        h.update(f"{p}|{st.st_size}|{st.st_mtime_ns};".encode())
+    fp = pipelines._src_fingerprint(src)
     tag = os.path.basename(os.path.normpath(sf_dir))
-    table = f"/root/repo/.cache/versioned_hidden/{tag}-{h.hexdigest()[:12]}/orders"
+    table = f"/root/repo/.cache/versioned_hidden/{tag}-{fp}/orders"
     if latest_version(table) != 0:
         import shutil
 
@@ -780,7 +745,6 @@ def _q_renamed_column_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     end-to-end. Mapping lifecycle edge cases (resurrection refusal,
     pruning under renames, clone/restore/checkpoint carriage) are
     pytest-pinned in tests/test_column_mapping.py."""
-    import hashlib
     import os
 
     from avro_diff_spark.functions.canonical import ts_micros
@@ -793,15 +757,9 @@ def _q_renamed_column_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     src = os.path.join(sf_dir, "orders.parquet")
-    files = [src] if os.path.isfile(src) else sorted(
-        os.path.join(dp, fn) for dp, _, fns in os.walk(src) for fn in fns
-    )
-    h = hashlib.md5()
-    for p in files:
-        st = os.stat(p)
-        h.update(f"{p}|{st.st_size}|{st.st_mtime_ns};".encode())
+    fp = pipelines._src_fingerprint(src)
     tag = os.path.basename(os.path.normpath(sf_dir))
-    table = f"/root/repo/.cache/versioned_renamed/{tag}-{h.hexdigest()[:12]}/orders"
+    table = f"/root/repo/.cache/versioned_renamed/{tag}-{fp}/orders"
     if latest_version(table) != 3:
         import shutil
 
@@ -932,19 +890,12 @@ def _q_incremental_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # content-key the fixture on the DOCUMENTS parquet (the index is
     # derived from it — the orders fingerprint would go stale silently)
-    import hashlib
 
     src = os.path.join(sf_dir, "documents.parquet")
-    files = [src] if os.path.isfile(src) else sorted(
-        os.path.join(dp, fn) for dp, _, fns in os.walk(src) for fn in fns
-    )
-    h = hashlib.md5()
-    for p in files:
-        st = os.stat(p)
-        h.update(f"{p}|{st.st_size}|{st.st_mtime_ns};".encode())
+    fp = pipelines._src_fingerprint(src)
     tag = os.path.basename(os.path.normpath(sf_dir))
     index_path = (
-        f"/root/repo/.cache/neardup_index/{tag}-{h.hexdigest()[:12]}/index"
+        f"/root/repo/.cache/neardup_index/{tag}-{fp}/index"
     )
     if latest_version(os.path.join(index_path, "buckets")) != 0 or latest_version(
         os.path.join(index_path, "shingles")
@@ -1062,7 +1013,6 @@ def _q_incremental_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     dangling-fk rows deleted; applied versions ride a txn-marker
     commit). The recorded state must equal the oracle's direct join of
     the two NEW snapshots: incremental == recompute, value-hashed."""
-    import hashlib
     import os
 
     from avro_diff_spark.sources.versioned import (
@@ -1075,16 +1025,10 @@ def _q_incremental_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = _versioned_orders_table(spark, sf_dir)
     src = os.path.join(sf_dir, "customer.parquet")
-    files = [src] if os.path.isfile(src) else sorted(
-        os.path.join(dp, fn) for dp, _, fns in os.walk(src) for fn in fns
-    )
-    h = hashlib.md5()
-    for p in files:
-        st = os.stat(p)
-        h.update(f"{p}|{st.st_size}|{st.st_mtime_ns};".encode())
+    fp = pipelines._src_fingerprint(src)
     root = os.path.dirname(base)
-    dim = os.path.join(root, f"customer_dim-{h.hexdigest()[:12]}")
-    dst = os.path.join(root, f"orders_cust_view-{h.hexdigest()[:12]}")
+    dim = os.path.join(root, f"customer_dim-{fp}")
+    dst = os.path.join(root, f"orders_cust_view-{fp}")
     applied = latest_app_meta(dst, "fact_version") if latest_version(dst) >= 0 else {}
     good = (
         latest_version(dim) == 1

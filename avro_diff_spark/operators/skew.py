@@ -134,12 +134,9 @@ def skew_report(df: DataFrame, keys: list[str], *, top: int = 20) -> DataFrame:
     hot = per_key.orderBy(
         F.col("n_rows_key").desc(), *[F.col(k).asc() for k in keys]
     ).limit(int(top))
-    # data-derived constant join key: Catalyst cannot constant-fold it
-    # away into a BroadcastNestedLoopJoin (the plan gate's ban)
-    joined = hot.withColumn("_k", F.col("n_rows_key") - F.col("n_rows_key")).join(
-        F.broadcast(totals.withColumn("_k", F.col("n_total") - F.col("n_total"))),
-        "_k",
-    )
+    from avro_diff_spark.functions.canonical import with_broadcast_totals
+
+    joined = with_broadcast_totals(hot, totals, "n_rows_key", "n_total")
     w = Window.partitionBy("_k").orderBy(
         F.col("n_rows_key").desc(), *[F.col(k).asc() for k in keys]
     )

@@ -1732,13 +1732,17 @@ def read_version(
     if literal_path and schema is not None:
         from pyspark.sql import types as T
 
+        # pv keys are PHYSICAL names — compare against the requested
+        # physical name, not the logical one (under column mapping a
+        # data column's logical name may coincide with a pv column's
+        # physical name; filtering on f.name would silently drop it)
         pv_names = {c for f in files for c in (adds[f].get("pv") or {})}
         lit_reader = spark.read.schema(
             T.StructType(
                 [
                     T.StructField(mapping.get(f.name, f.name), f.dataType, True)
                     for f in schema.fields
-                    if f.name not in pv_names
+                    if mapping.get(f.name, f.name) not in pv_names
                 ]
             )
         )
@@ -4143,6 +4147,15 @@ def refresh_join_table(
         raise ValueError(
             f"{dst_path!r} was not created by refresh_join_table (no applied "
             "source versions in its commit metadata)"
+        )
+    at, dt = applied.get("fact_table"), applied.get("dim_table")
+    if at not in (None, meta["fact_table"]) or dt not in (None, meta["dim_table"]):
+        # same identity guard the streaming twin applies: interpreting
+        # another table pair's applied versions as this pair's would
+        # derive an arbitrary (wrong) delta range and corrupt the view
+        raise ValueError(
+            f"{dst_path!r} tracks ({at!r}, {dt!r}), not "
+            f"({meta['fact_table']!r}, {meta['dim_table']!r})"
         )
     if fva >= fv2 and dva >= dv2:
         return None  # already current

@@ -400,3 +400,15 @@ def test_cli_profile_reports_stats_skew_and_hist(spark, tmp_path, capsys):
     assert "histogram of v" in out
     assert "[  1]" in out and "[  2]" in out
     assert "[  0]" not in out  # empty buckets absent (GROUP BY law)
+
+
+def test_cli_profile_rejects_malformed_hist_spec(spark, tmp_path, capsys):
+    import pytest as _pytest
+
+    from avro_diff_spark import cli
+
+    p = str(tmp_path / "t2.parquet")
+    spark.createDataFrame([(1.0,)], "v double").write.parquet(p)
+    with _pytest.raises(SystemExit) as ei:
+        cli.profile_main([p, "--hist", "v:0:100"])
+    assert ei.value.code == 2

@@ -226,3 +226,22 @@ def test_maintain_join_view_stream_matches_recompute(spark, tmp_path):
     assert _rows(read_version(spark, vp)) == _rows(
         _recompute(read_version(spark, fp), read_version(spark, dp))
     )
+
+
+def test_refresh_refuses_foreign_source_pair(spark, tables, tmp_path):
+    fp, dp, vp = tables
+    refresh_join_table(spark, fp, dp, vp, ["k"], "fk", "pk")
+    # a second, different source pair pointed at the same view: refused
+    fp2, dp2 = str(tmp_path / "fact2"), str(tmp_path / "dim2")
+    commit_snapshot(
+        spark.createDataFrame([(1, 10, "z")], "k bigint, fk bigint, val string"), fp2
+    )
+    commit_snapshot(spark.createDataFrame([(10, "q")], "pk bigint, attr string"), dp2)
+    # advance one source so the refresh gets past the already-current check
+    commit_snapshot(
+        spark.createDataFrame([(2, 10, "z2")], "k bigint, fk bigint, val string"),
+        fp2,
+        mode="overwrite",
+    )
+    with pytest.raises(ValueError, match="tracks"):
+        refresh_join_table(spark, fp2, dp2, vp, ["k"], "fk", "pk")

@@ -107,3 +107,13 @@ def test_equi_depth_histogram_bucket_law(spark):
 
     with _pytest.raises(ValueError):
         equi_depth_histogram(df, "v", ["k"], 0)
+
+
+def test_profile_empty_table_keeps_one_row_per_column(spark):
+    df = spark.createDataFrame([], "k bigint, s string")
+    out = _by_col(profile_table(df))
+    assert set(out) == {"k", "s"}
+    for c in ("k", "s"):
+        r = out[c]
+        assert (r["n_rows"], r["n_nulls"], r["n_distinct"]) == (0, 0, 0)
+        assert r["min_repr"] is None and r["max_repr"] is None
