@@ -2554,6 +2554,77 @@ FROM s
 """
 
 
+def contrastive_negatives(df, id_col: str, *, k: int, seed: int = 1):
+    """Deterministic random-negative sampling — the contrastive-training
+    requirement (DPR/SimCLR-style): every anchor needs ``k`` corpus
+    negatives, pseudo-random but exactly reproducible, WITHOUT a
+    crossJoin or driver-side sampling. Each doc gets a shuffled global
+    position (md5 order, ranked by the two-level scan); negative ``j``
+    of an anchor at position ``p`` is the doc at position
+    ``(p-1 + j*OFF_j) mod N + 1`` with ``OFF_j = (j*2654435761) mod N``
+    (Fibonacci-hash stride — a different wrap pattern per j); accidental
+    self-pairs drop (both engines apply the same WHERE).
+
+    Scale shape: one global rank (two-level Blelloch scan), the 1-row
+    corpus count broadcast via the literal-key join, then ONE equi-join
+    of the derived negative positions back onto the position table —
+    never an N×N product. Output: (anchor id, neg_rank, negative id)."""
+    from pyspark.sql import functions as F
+
+    from avro_diff_spark.functions.canonical import with_broadcast_totals
+    from avro_diff_spark.operators.prefix import global_row_number
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    h = F.md5(
+        F.encode(
+            F.concat_ws(":", F.lit(int(seed)).cast("string"), F.col(id_col).cast("string")),
+            "UTF-8",
+        )
+    )
+    keyed = df.select(F.col(id_col), h.alias("_h"))
+    pos = global_row_number(keyed, ["_h", id_col], alias="_p")
+    totals = pos.agg(F.count(F.lit(1)).alias("_n"))
+    wt = with_broadcast_totals(pos, totals, "_p", "_n")
+    ranks = F.explode(F.array(*[F.lit(j) for j in range(1, k + 1)])).alias("neg_rank")
+    cand = wt.select(id_col, "_p", "_n", ranks).withColumn(
+        "_np",
+        F.expr("CAST((_p - 1 + ((neg_rank * 2654435761) % _n)) % _n AS BIGINT) + 1"),
+    ).where(F.col("_np") != F.col("_p"))
+    lookup = pos.select(F.col("_p").alias("_np"), F.col(id_col).alias("neg_id"))
+    return (
+        cand.join(lookup, "_np")
+        .select(F.col(id_col).alias("anchor_id"), "neg_rank", "neg_id")
+    )
+
+
+def q_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three deterministic corpus negatives per document — shuffled
+    positions + Fibonacci-hash strides, one equi-join, no crossJoin."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return contrastive_negatives(docs, "doc_id", k=3)
+
+
+CONTRASTIVE_NEGATIVES_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         row_number() OVER (
+           ORDER BY md5('1:' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS pos,
+         count(*) OVER () AS n
+  FROM documents
+),
+c AS (
+  SELECT p.doc_id AS anchor_id, j.neg_rank, p.pos, p.n,
+         ((p.pos - 1 + ((j.neg_rank * 2654435761) % p.n)) % p.n) + 1 AS np
+  FROM p CROSS JOIN (SELECT unnest([1, 2, 3]) AS neg_rank) j
+)
+SELECT c.anchor_id, CAST(c.neg_rank AS INT) AS neg_rank, p2.doc_id AS neg_id
+FROM c JOIN p p2 ON p2.pos = c.np
+WHERE c.np <> c.pos
+"""
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return pack_sequences(docs, budget=512)
@@ -4972,6 +5043,7 @@ PIPELINE_QUERIES = {
     "simhash_near_dups": q_simhash_near_dups,
     "pack_sequences": q_pack_sequences,
     "epoch_shuffle_order": q_epoch_shuffle,
+    "contrastive_negatives": q_contrastive_negatives,
     "c4_line_filter": q_c4_line_filter,
     "cosine_topk": q_cosine_topk,
     "ann_signbucket_topk": q_ann_signbucket,
@@ -5070,6 +5142,7 @@ def pipeline_sql() -> dict[str, str]:
         "simhash_near_dups": _simhash_sql(),
         "pack_sequences": PACK_SEQUENCES_SQL,
         "epoch_shuffle_order": EPOCH_SHUFFLE_SQL,
+        "contrastive_negatives": CONTRASTIVE_NEGATIVES_SQL,
         "c4_line_filter": _c4_sql(),
         "cosine_topk": COSINE_TOPK_SQL,
         "ann_signbucket_topk": ANN_SIGNBUCKET_SQL,

@@ -87,6 +87,7 @@ QUERIES = [
     "price_histogram",  # round 12: equi-width bucket agg across layouts
     "price_depth_histogram",  # round 12: two-level global rank across layouts
     "epoch_shuffle_order",  # round 12: md5 keys + per-shard ranks across layouts
+    "contrastive_negatives",  # round 12: global rank + stride equi-join
 ]
 
 

@@ -552,3 +552,32 @@ def test_epoch_shuffle_is_deterministic_and_epoch_varying(spark):
 
     with _pytest.raises(ValueError):
         epoch_shuffle(df, "doc_id", epoch=1, n_shards=0)
+
+
+def test_contrastive_negatives_law(spark):
+    from avro_diff_spark.pipelines import contrastive_negatives
+
+    df = spark.createDataFrame([(i,) for i in range(20)], "doc_id bigint")
+    rows = contrastive_negatives(df, "doc_id", k=2).collect()
+    # every anchor gets k negatives (no accidental self-pair at N=20
+    # with these strides unless offset hits 0 mod N)
+    import collections
+
+    per = collections.defaultdict(set)
+    for r in rows:
+        assert r.neg_id != r.anchor_id
+        per[r.anchor_id].add((r.neg_rank, r.neg_id))
+    assert set(per) == set(range(20))
+    # deterministic across invocations
+    again = {(r.anchor_id, r.neg_rank, r.neg_id)
+             for r in contrastive_negatives(df, "doc_id", k=2).collect()}
+    assert again == {(r.anchor_id, r.neg_rank, r.neg_id) for r in rows}
+    # different seed -> different pairing
+    other = {(r.anchor_id, r.neg_rank, r.neg_id)
+             for r in contrastive_negatives(df, "doc_id", k=2, seed=7).collect()}
+    assert other != again
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        contrastive_negatives(df, "doc_id", k=0)
