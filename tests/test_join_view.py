@@ -245,3 +245,63 @@ def test_refresh_refuses_foreign_source_pair(spark, tables, tmp_path):
     )
     with pytest.raises(ValueError, match="tracks"):
         refresh_join_table(spark, fp2, dp2, vp, ["k"], "fk", "pk")
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_refresh_matches_recompute_under_random_histories(spark, tmp_path, seed):
+    """Property: for randomized interleaved fact/dim DML histories
+    (insert/update/delete on either side, refreshed at random points),
+    the incrementally maintained view always equals the full recompute.
+    Deterministic pseudo-random scripts (seeded) — the venn/key_diff
+    property-test house style, bounded for Spark's per-action cost."""
+    import random
+
+    rng = random.Random(seed)
+    fp, dp, vp = (str(tmp_path / x) for x in ("f", "d", "v"))
+
+    fact = {k: (k % 4 * 10 or 10, f"v{k}") for k in range(1, 7)}  # k -> (fk, val)
+    dim = {pk: f"a{pk}" for pk in (10, 20, 30)}
+
+    def fact_df():
+        return spark.createDataFrame(
+            [(k, fk, v) for k, (fk, v) in sorted(fact.items())],
+            "k bigint, fk bigint, val string",
+        )
+
+    def dim_df():
+        return spark.createDataFrame(
+            sorted(dim.items()), "pk bigint, attr string"
+        )
+
+    commit_snapshot(fact_df(), fp)
+    commit_snapshot(dim_df(), dp)
+    refresh_join_table(spark, fp, dp, vp, ["k"], "fk", "pk")
+
+    next_k, next_pk = 100, 100
+    for _ in range(3):
+        for _ in range(rng.randint(1, 2)):
+            op = rng.choice(["f_ins", "f_upd", "f_del", "d_ins", "d_upd", "d_del"])
+            if op == "f_ins":
+                fact[next_k] = (rng.choice([10, 20, 30, 99]), f"n{next_k}")
+                next_k += 1
+            elif op == "f_upd" and fact:
+                k = rng.choice(sorted(fact))
+                fact[k] = (rng.choice([10, 20, 30, 99]), fact[k][1] + "'")
+            elif op == "f_del" and fact:
+                fact.pop(rng.choice(sorted(fact)))
+            elif op == "d_ins":
+                dim[next_pk] = f"new{next_pk}"
+                next_pk += 1
+            elif op == "d_upd" and dim:
+                pk = rng.choice(sorted(dim))
+                dim[pk] = dim[pk] + "'"
+            elif op == "d_del" and dim:
+                dim.pop(rng.choice(sorted(dim)))
+            if op.startswith("f"):
+                commit_snapshot(fact_df(), fp, mode="overwrite")
+            else:
+                commit_snapshot(dim_df(), dp, mode="overwrite")
+        refresh_join_table(spark, fp, dp, vp, ["k"], "fk", "pk")
+        assert _rows(read_version(spark, vp)) == _rows(
+            _recompute(fact_df(), dim_df())
+        ), f"seed {seed}: view diverged from recompute"

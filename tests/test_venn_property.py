@@ -52,3 +52,42 @@ def test_bag_conservation(spark, old_rows, new_rows):
     assert sums["removed"] == v.removed.count()
     assert sums["added"] == v.added.count()
     assert sums["intersection"] == v.intersection.count()
+
+
+def test_venn_multi_matches_bruteforce_counters(spark):
+    """Property: k=3 venn_multi equals a driver-side Counter replay for
+    seeded random multisets (region bitstring, per-input multiplicities,
+    distinct-row counts)."""
+    import collections
+    import random
+
+    from avro_diff_spark.operators.venn_diff import venn_multi, venn_multi_summary
+
+    for seed in range(4):
+        rng = random.Random(seed)
+        bags = [
+            [rng.randint(0, 7) for _ in range(rng.randint(0, 12))] for _ in range(3)
+        ]
+        dfs = [
+            spark.createDataFrame([(v,) for v in b] or [(None,)], "v int").filter(
+                "v IS NOT NULL"
+            )
+            if not b
+            else spark.createDataFrame([(v,) for v in b], "v int")
+            for b in bags
+        ]
+        counters = [collections.Counter(b) for b in bags]
+        universe = set().union(*[set(c) for c in counters])
+        got = {r["v"]: r for r in venn_multi(dfs).collect()}
+        assert set(got) == universe, seed
+        for v in universe:
+            exp_counts = tuple(c[v] for c in counters)
+            exp_region = "".join("1" if c[v] else "0" for c in counters)
+            r = got[v]
+            assert (r["n_0"], r["n_1"], r["n_2"]) == exp_counts, (seed, v)
+            assert r["region"] == exp_region, (seed, v)
+        summ = {r["region"]: r for r in venn_multi_summary(dfs).collect()}
+        regions = collections.Counter(
+            "".join("1" if c[v] else "0" for c in counters) for v in universe
+        )
+        assert {k: v["n_distinct"] for k, v in summ.items()} == dict(regions), seed
