@@ -290,8 +290,13 @@ def table_main(argv: list[str] | None = None) -> int:
             "compute-stats",
             "files",
             "count",
+            "refresh-join",
         ],
     )
+    p.add_argument("--fact", default=None, help="fact table path (refresh-join)")
+    p.add_argument("--dim", default=None, help="dim table path (refresh-join)")
+    p.add_argument("--fk", default=None, help="fact foreign-key column (refresh-join)")
+    p.add_argument("--pk", default=None, help="dim primary-key column (refresh-join)")
     p.add_argument("--stats-cols", default=None, help="comma-separated columns (compute-stats)")
     p.add_argument("--bloom-cols", default=None, help="comma-separated bloom columns (compute-stats)")
     p.add_argument("--ndv-cols", default=None, help="comma-separated NDV columns (compute-stats)")
@@ -356,6 +361,30 @@ def table_main(argv: list[str] | None = None) -> int:
             pv = f", pv={dict(r.partition_values)}" if r.partition_values else ""
             print(f"{r.file}: {r.n_rows} rows{pv}{dv}")
         print(f"{len(rows)} live files")
+        return 0
+    if args.op == "refresh-join":
+        if not (args.fact and args.dim and args.key and args.fk and args.pk):
+            print(
+                "refresh-join requires --fact --dim --key --fk --pk",
+                file=sys.stderr,
+            )
+            return 2
+        from avro_diff_spark.session import get_spark
+
+        spark = get_spark("table-refresh-join", master=args.master or "local[*]")
+        v = V.refresh_join_table(
+            spark,
+            args.fact,
+            args.dim,
+            args.table_path,
+            args.key.split(","),
+            args.fk,
+            args.pk,
+        )
+        if v is None:
+            print("already current (no unapplied source changes)")
+        else:
+            print(f"refreshed {args.table_path} to version {v}")
         return 0
     if args.op == "count":
         n = V.table_count(args.table_path, args.version)

@@ -412,3 +412,29 @@ def test_cli_profile_rejects_malformed_hist_spec(spark, tmp_path, capsys):
     with _pytest.raises(SystemExit) as ei:
         cli.profile_main([p, "--hist", "v:0:100"])
     assert ei.value.code == 2
+
+
+def test_cli_table_refresh_join(spark, tmp_path, capsys):
+    from avro_diff_spark import cli
+    from avro_diff_spark.sources.versioned import commit_snapshot, read_version
+
+    fp, dp, vp = (str(tmp_path / x) for x in ("f", "d", "v"))
+    commit_snapshot(
+        spark.createDataFrame([(1, 10, "a")], "k bigint, fk bigint, val string"), fp
+    )
+    commit_snapshot(spark.createDataFrame([(10, "x")], "pk bigint, attr string"), dp)
+    rc = cli.table_main(
+        ["refresh-join", vp, "--fact", fp, "--dim", dp,
+         "--key", "k", "--fk", "fk", "--pk", "pk"]
+    )
+    assert rc == 0
+    assert "refreshed" in capsys.readouterr().out
+    assert read_version(spark, vp).count() == 1
+    # second call: already current
+    rc = cli.table_main(
+        ["refresh-join", vp, "--fact", fp, "--dim", dp,
+         "--key", "k", "--fk", "fk", "--pk", "pk"]
+    )
+    assert rc == 0 and "already current" in capsys.readouterr().out
+    # missing flags -> usage error
+    assert cli.table_main(["refresh-join", vp]) == 2
