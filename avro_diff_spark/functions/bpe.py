@@ -139,37 +139,24 @@ def _file_key(path: str) -> tuple:
 
 @lru_cache(maxsize=8)
 def _train_cached(key: tuple, path: str, n_merges: int, max_words: int):
-    import duckdb
+    from avro_diff_spark.functions.fit import word_count_table
 
-    con = duckdb.connect()
-    rows = con.execute(
-        """
-        SELECT w, count(*) AS c FROM (
-          SELECT unnest(string_split(
-            regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) AS w
-          FROM read_parquet(?)
-        ) WHERE w <> '' GROUP BY w ORDER BY c DESC, w LIMIT ?
-        """,
-        [path + "/**/*.parquet" if _is_dir(path) else path, max_words],
-    ).fetchall()
-    counts = {w: c for w, c in rows}
+    counts = dict(word_count_table(path, max_words))
     alphabet = frozenset(ch for w in counts for ch in w) | {EOW}
     return tuple(learn_bpe(counts, n_merges)), alphabet
-
-
-def _is_dir(path: str) -> bool:
-    import os
-
-    return os.path.isdir(path)
 
 
 def train_bpe_merges(
     documents_parquet: str, *, n_merges: int = 50, max_words: int = 50_000
 ) -> list[tuple[str, str]]:
-    """Train merges from a documents parquet (driver-side, bounded read:
-    the word-frequency table, capped at ``max_words`` by count). The same
-    whitespace normalization as functions.text.norm_text keeps the Spark
-    and oracle tokenizations identical."""
+    """Train merges from a documents parquet. The word-frequency table is
+    computed as a DISTRIBUTED Spark aggregation (functions/fit.py
+    ``word_count_table``: groupBy count + TakeOrderedAndProject) and only
+    the bounded top-``max_words`` table reaches the driver, where the
+    merge-learning loop runs; with no active SparkSession the same table
+    comes from the pinned-identical DuckDB fallback. The same whitespace
+    normalization as functions.text.norm_text keeps the Spark and oracle
+    tokenizations identical."""
     return list(
         _train_cached(_file_key(documents_parquet), documents_parquet, n_merges, max_words)[0]
     )

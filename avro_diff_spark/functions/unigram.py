@@ -248,34 +248,23 @@ from avro_diff_spark.functions.bpe import _file_key  # noqa: E402
 
 @lru_cache(maxsize=8)
 def _train_cached(key: tuple, path: str, vocab_size: int, max_words: int):
-    import os
+    from avro_diff_spark.functions.fit import word_count_table
 
-    import duckdb
-
-    con = duckdb.connect()
-    rows = con.execute(
-        """
-        SELECT w, count(*) AS c FROM (
-          SELECT unnest(string_split(
-            regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) AS w
-          FROM read_parquet(?)
-        ) WHERE w <> '' GROUP BY w ORDER BY c DESC, w LIMIT ?
-        """,
-        [path + "/**/*.parquet" if os.path.isdir(path) else path, max_words],
-    ).fetchall()
-    logp = learn_unigram({w: c for w, c in rows}, vocab_size)
+    logp = learn_unigram(dict(word_count_table(path, max_words)), vocab_size)
     return tuple(sorted(logp.items()))
 
 
 def train_unigram(
     documents_parquet: str, *, vocab_size: int = 2000, max_words: int = 20_000
 ) -> dict[str, float]:
-    """Train a unigram vocabulary from a documents parquet (driver-side,
-    bounded read: the word-frequency table, capped at ``max_words`` by
-    count — the same contract as SentencePiece's own in-memory trainer
-    and bpe.train_bpe_merges). The same whitespace normalization as
-    functions.text.norm_text keeps Spark and oracle tokenizations
-    identical."""
+    """Train a unigram vocabulary from a documents parquet. The
+    word-frequency table (capped at ``max_words`` by count — the same
+    contract as SentencePiece's own trainer and bpe.train_bpe_merges) is
+    computed as a DISTRIBUTED Spark aggregation (functions/fit.py) and
+    only that bounded table reaches the driver for EM + pruning; with no
+    active SparkSession the pinned-identical DuckDB fallback is used. The
+    same whitespace normalization as functions.text.norm_text keeps Spark
+    and oracle tokenizations identical."""
     return dict(
         _train_cached(_file_key(documents_parquet), documents_parquet, vocab_size, max_words)
     )

@@ -233,37 +233,30 @@ def train_ivf_centroids(
     training whose output embeds as LITERALS into both the Spark plan and
     the DuckDB oracle SQL.
 
-    Contract (the reason this is driver-side): IVF centroid training is
-    universally done on a bounded sample (FAISS's own train() takes a
-    sample), so the collect here is O(sample·dim), independent of corpus
-    size. Determinism by construction: the sample is the ``sample`` lowest
-    (md5-of-id, id) rows — partition-layout-independent — read via DuckDB
-    straight from parquet (no float-sum reduction-order hazard), and numpy
-    float64 Lloyd iterations are sequential and seed-free. Assignment is
-    cosine, ties to the lowest centroid id; empty clusters keep their
-    previous centroid; final centroids round to 12 decimals so the literal
-    printed into SQL is compact and round-trips exactly.
+    Contract: IVF centroid training is universally done on a bounded
+    sample (FAISS's own train() takes a sample); the sample is SELECTED
+    DISTRIBUTED (functions/fit.py ``embedding_sample``: orderBy
+    (hash32-of-id, id) LIMIT sample — TakeOrderedAndProject), so only
+    O(sample·dim) values reach the driver, independent of corpus size,
+    and no full-corpus driver read exists. Determinism by construction:
+    the (md5-of-id, id) order is partition-layout-independent, the raw
+    float32 values widen to float64 exactly (no float-sum
+    reduction-order hazard — nothing is summed before collect), and
+    numpy float64 Lloyd iterations are sequential and seed-free.
+    Assignment is cosine, ties to the lowest centroid id; empty clusters
+    keep their previous centroid; final centroids round to 12 decimals
+    so the literal printed into SQL is compact and round-trips exactly.
     """
     return _train_ivf_cached(_content_sig(parquet_path), n_centroids, sample, iters)
 
 
 @lru_cache(maxsize=None)
 def _train_ivf_cached(sig: tuple, n_centroids: int, sample: int, iters: int):
-    import duckdb
     import numpy as np
 
-    parquet_path = sig[0]
-    con = duckdb.connect()
-    rows = con.execute(
-        """
-        SELECT embedding FROM read_parquet(?)
-        ORDER BY ('0x' || substr(md5('ivf:' || CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT,
-                 vec_id
-        LIMIT ?
-        """,
-        [parquet_path, sample],
-    ).fetchall()
-    x = np.array([r[0] for r in rows], dtype=np.float64)
+    from avro_diff_spark.functions.fit import embedding_sample
+
+    x = embedding_sample(sig[0], "ivf", sample)
     xn = x / np.linalg.norm(x, axis=1, keepdims=True)
     cents = x[:n_centroids].copy()
     for _ in range(iters):
@@ -460,22 +453,12 @@ def _train_pq_cached(sig: tuple, m: int, ksub: int, sample: int, iters: int):
 
 def _pq_sample(parquet_path: str, sample: int):
     """Bounded deterministic hash-sample of the embedding column (same
-    contract as the IVF sampler: lowest (md5-of-id, id) rows, read via
-    DuckDB so no float-sum reduction-order hazard)."""
-    import duckdb
-    import numpy as np
+    contract as the IVF sampler: lowest (md5-of-id, id) rows, selected
+    DISTRIBUTED via functions/fit.py ``embedding_sample`` — raw values,
+    nothing summed, so no float reduction-order hazard)."""
+    from avro_diff_spark.functions.fit import embedding_sample
 
-    con = duckdb.connect()
-    rows = con.execute(
-        """
-        SELECT embedding FROM read_parquet(?)
-        ORDER BY ('0x' || substr(md5('pq:' || CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT,
-                 vec_id
-        LIMIT ?
-        """,
-        [parquet_path, sample],
-    ).fetchall()
-    return np.array([r[0] for r in rows], dtype=np.float64)
+    return embedding_sample(parquet_path, "pq", sample)
 
 
 def _lloyd_subspaces(x, m: int, ksub: int, iters: int):

@@ -124,9 +124,11 @@ SELECT lang_pred, count(*) AS n_docs FROM (
 
 
 def _train_langid_profiles(documents_parquet: str, top_k: int = 40) -> list[tuple[str, str]]:
-    """Train a char-bigram language-ID model driver-side (the
-    textcat/CLD n-gram-profile family, Cavnar & Trenkle 1994) from the
-    BOUNDED (lang, bigram) count table: each observed bigram is assigned
+    """Train a char-bigram language-ID model (the textcat/CLD
+    n-gram-profile family, Cavnar & Trenkle 1994) from the BOUNDED
+    (lang, bigram) count table — computed as a DISTRIBUTED Spark
+    aggregation (functions/fit.py ``langid_bigram_table``; only the
+    |langs| x |charset|^2-bounded table reaches the driver): each observed bigram is assigned
     to the language where its RELATIVE frequency is highest (compared by
     integer cross-multiplication c_l·T_m > c_m·T_l — no IEEE division,
     deterministic ties to the earlier language), then each language
@@ -148,25 +150,9 @@ from functools import lru_cache as _lru_cache  # noqa: E402
 
 @_lru_cache(maxsize=8)
 def _train_langid_cached(key: tuple, path: str, top_k: int):
-    import os
+    from avro_diff_spark.functions.fit import langid_bigram_table
 
-    import duckdb
-
-    src = path + "/**/*.parquet" if os.path.isdir(path) else path
-    con = duckdb.connect()
-    rows = con.execute(
-        f"""
-        WITH t AS (SELECT lang, {norm_sql('text')} AS t FROM read_parquet(?)),
-        bg AS (
-          SELECT lang,
-                 unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
-                                       i -> t[i:i + 1])) AS bg
-          FROM t
-        )
-        SELECT lang, bg, count(*) AS c FROM bg GROUP BY lang, bg
-        """,
-        [src],
-    ).fetchall()
+    rows = langid_bigram_table(path)
     totals: dict[str, int] = {}
     for lang, _, c in rows:
         totals[lang] = totals.get(lang, 0) + c
@@ -797,32 +783,19 @@ def _dsir_grams_sql(ts: str) -> str:
 def _train_dsir_cached(
     key: tuple, path: str, n_buckets: int, target_lang: str
 ) -> tuple[tuple[int, int], ...]:
-    """Fit the DSIR importance log-ratios driver-side: hashed-gram bucket
-    counts under the TARGET distribution (docs labelled ``target_lang``)
-    vs the RAW distribution (all docs), Laplace-smoothed, emitted as a
+    """Fit the DSIR importance log-ratios: hashed-gram bucket counts
+    under the TARGET distribution (docs labelled ``target_lang``) vs the
+    RAW distribution (all docs) — computed as a DISTRIBUTED Spark
+    aggregation (functions/fit.py ``dsir_bucket_table``; the driver sees
+    only the ``n_buckets``-row result) — Laplace-smoothed, emitted as a
     complete ``n_buckets``-row fixed-point table (1e6 grid) so both
     engines replay the identical trained constants. The training state is
     bounded by ``n_buckets`` — never corpus cardinality."""
     import math
-    import os
 
-    import duckdb
+    from avro_diff_spark.functions.fit import dsir_bucket_table
 
-    src = path + "/**/*.parquet" if os.path.isdir(path) else path
-    rows = duckdb.connect().execute(
-        f"""
-        WITH t AS (SELECT lang,
-                          list_filter({tokens_sql('text')}, x -> x != '') AS ts
-                   FROM read_parquet(?)),
-        g AS (SELECT lang, unnest({_dsir_grams_sql('ts')}) AS g FROM t)
-        SELECT ('0x' || substr(md5(g), 1, 8))::BIGINT % {n_buckets} AS b,
-               count(*) FILTER (lang = ?) AS t_c,
-               count(*) AS r_c
-        FROM g GROUP BY b
-        """,
-        [src, target_lang],
-    ).fetchall()
-    counts = {b: (tc, rc) for b, tc, rc in rows}
+    counts = dsir_bucket_table(path, n_buckets, target_lang)
     t_tot = sum(tc for tc, _ in counts.values())
     r_tot = sum(rc for _, rc in counts.values())
     out = []
@@ -928,35 +901,23 @@ FT_FP_SCALE = 1_000_000  # weight fixed-point grid
 def _train_quality_cached(
     key: tuple, path: str, n_buckets: int, pos_lang: str, sample: int
 ) -> tuple[tuple[tuple[int, int], ...], int]:
-    """Fit the linear classifier driver-side: a DETERMINISTIC labeled
-    sample (md5-ordered ``sample`` docs), per-doc hashed unigram+bigram
-    bucket counts (DuckDB — the same gram stream DSIR scores), features
-    normalized to the per-doc MEAN (fastText's averaged bag of hashed
-    n-grams), then full-batch logistic-regression gradient descent in
-    float64 — zero-init, fixed step count, no randomness, so both
-    engines replay identical trained constants. Returns the complete
-    per-bucket fixed-point weight table and the fixed-point intercept;
-    state is bounded by ``n_buckets`` + ``sample``, never corpus size."""
-    import os
-
-    import duckdb
+    """Fit the linear classifier from a DETERMINISTIC labeled sample
+    (the ``sample`` lowest (md5(doc_id), doc_id) docs) of per-doc hashed
+    unigram+bigram bucket counts — the sample table is computed as a
+    DISTRIBUTED Spark aggregation (functions/fit.py
+    ``quality_sample_rows``; the driver sees only sample x n_buckets
+    rows), the same gram stream DSIR scores. Features normalize to the
+    per-doc MEAN (fastText's averaged bag of hashed n-grams), then
+    full-batch logistic-regression gradient descent in float64 —
+    zero-init, fixed step count, no randomness, so both engines replay
+    identical trained constants. Returns the complete per-bucket
+    fixed-point weight table and the fixed-point intercept; state is
+    bounded by ``n_buckets`` + ``sample``, never corpus size."""
     import numpy as np
 
-    src = path + "/**/*.parquet" if os.path.isdir(path) else path
-    rows = duckdb.connect().execute(
-        f"""
-        WITH t AS (SELECT doc_id, lang,
-                          list_filter({tokens_sql('text')}, x -> x != '') AS ts
-                   FROM read_parquet(?)
-                   ORDER BY md5(doc_id::VARCHAR) LIMIT {sample}),
-        g AS (SELECT doc_id, lang, unnest({_dsir_grams_sql('ts')}) AS g FROM t)
-        SELECT doc_id, any_value(lang = ?)::INT AS y,
-               ('0x' || substr(md5(g), 1, 8))::BIGINT % {n_buckets} AS b,
-               count(*) AS c
-        FROM g GROUP BY doc_id, b
-        """,
-        [src, pos_lang],
-    ).fetchall()
+    from avro_diff_spark.functions.fit import quality_sample_rows
+
+    rows = quality_sample_rows(path, n_buckets, pos_lang, sample)
     doc_ids = sorted({r[0] for r in rows})
     idx = {d: i for i, d in enumerate(doc_ids)}
     X = np.zeros((len(doc_ids), n_buckets))
@@ -1353,8 +1314,10 @@ FROM (
 def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training + application — the tokenizer step of an
     LLM data pipeline, in the production shape (functions/bpe.py):
-    merges learned driver-side from the BOUNDED word-frequency table
-    (Sennrich et al. 2016; deterministic tie-breaks), then applied
+    the word-frequency table computed DISTRIBUTED (functions/fit.py,
+    TakeOrderedAndProject) with merges learned driver-side from only
+    that BOUNDED table (Sennrich et al. 2016; deterministic
+    tie-breaks), then applied
     distributed ONCE PER DISTINCT WORD in Arrow-batched mapInPandas and
     fanned back to occurrences with a join — the corpus-size pass never
     runs Python per occurrence, so a 100 TB corpus pays one word-count
@@ -1432,9 +1395,10 @@ GROUP BY doc_id
 def q_unigram_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM (SentencePiece-style) tokenizer training + application —
     the OTHER dominant public subword family next to BPE (Kudo 2018), in
-    the same production shape (functions/unigram.py): the piece
-    vocabulary is fit driver-side by EM + pruning over the BOUNDED
-    word-frequency table, then applied distributed ONCE PER DISTINCT WORD
+    the same production shape (functions/unigram.py): the word-frequency
+    table is computed DISTRIBUTED (functions/fit.py) and the piece
+    vocabulary fit driver-side by EM + pruning over only that BOUNDED
+    table, then applied distributed ONCE PER DISTINCT WORD
     (Viterbi in Arrow-batched mapInPandas) and fanned back to occurrences
     with a join — the corpus-size pass never runs Python per occurrence,
     so a 100 TB corpus pays one word-count shuffle plus a

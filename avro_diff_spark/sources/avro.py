@@ -349,31 +349,34 @@ def write_avro(
     codec: str = "null",
     record_name: str = "topLevelRecord",
     single_file: bool = False,
+    via: str = "auto",
 ) -> None:
     """Write a DataFrame as Avro OCF(s) via the pure-Python codec.
 
     Default is DISTRIBUTED: ``path`` becomes a directory of one container
     file per non-empty partition (``part-NNNNN.avro``), each encoded
     executor-side with rows streaming straight through
-    :func:`ocf.write_ocf` — no driver materialization, memory bounded by
-    the encoder's block size. :func:`read_avro` reads the directory back
-    transparently. The row→dict hop goes through ``Row.asDict`` (not
-    Arrow/pandas) deliberately: pandas would coerce nullable int columns
-    to float-NaN and corrupt the encoding.
+    :func:`ocf.write_ocf_to` — no driver materialization, memory bounded
+    by the encoder's block size. Parts commit atomically (tmp + rename)
+    through :func:`sources.sink.write_parts`: plain local paths write
+    executor-direct, while ``hdfs://`` / ``s3a://`` / any other Hadoop
+    URI routes through the JVM ``FileSystem`` API (``via='auto'``
+    dispatch; see sources/sink.py for the two routes' contracts).
+    :func:`read_avro` reads the directory back transparently. The
+    row→dict hop goes through ``Row.asDict`` (not Arrow/pandas)
+    deliberately: pandas would coerce nullable int columns to float-NaN
+    and corrupt the encoding.
 
     ``single_file=True`` keeps the one-file shape some fixtures/CLI flows
     need; rows then stream through the driver partition-by-partition
     (``toLocalIterator``), which is still O(block) memory but serial — use
     it only when one file genuinely matters. Production clusters with
-    spark-avro on the classpath should prefer ``df.write.format('avro')``.
-
-    Like the fallback read path, executors write to a filesystem path that
-    must be shared (or local mode). Timestamp/decimal columns must be
-    projected to long/double first (the converter raises otherwise).
+    spark-avro on the classpath should prefer ``df.write.format('avro')``
+    for bulk row data. Timestamp/decimal columns must be projected to
+    long/double first (the converter raises otherwise).
     """
-    import os
-
     from avro_diff_spark.sources import ocf
+    from avro_diff_spark.sources.sink import write_parts
 
     schema = ocf.spark_to_avro_schema(df.schema, name=record_name)
 
@@ -382,29 +385,21 @@ def write_avro(
         ocf.write_ocf(path, schema, rows, codec=codec)
         return
 
-    os.makedirs(path, exist_ok=True)
-    for stale in os.listdir(path):  # clear prior layout (fewer parts now?)
-        if stale.startswith("part-") and stale.endswith(".avro"):
-            os.remove(os.path.join(path, stale))
-
-    def write_partition(idx: int, it):
+    def encode(idx: int, it, out) -> bool:
         first = next(it, None)
         if first is None:  # no file for empty partitions
-            return
+            return False
         from itertools import chain
 
-        part = os.path.join(path, f"part-{idx:05d}.avro")
-        ocf.write_ocf(
-            part,
+        ocf.write_ocf_to(
+            out,
             schema,
             (r.asDict(recursive=True) for r in chain([first], it)),
             codec=codec,
         )
-        yield 1
+        return True
 
-    # RDD mapPartitionsWithIndex: per-partition imperative IO is the one
-    # place the RDD API is the right tool; count() forces every partition.
-    df.rdd.mapPartitionsWithIndex(write_partition).count()
+    write_parts(df, path, encode, ".avro", via=via)
 
 
 def read_parquet(

@@ -853,6 +853,21 @@ def write_ocf(
     row count (this is what lets write_avro run one instance per executor
     partition without materializing the partition).
     """
+    with open(path, "wb") as f:
+        write_ocf_to(f, schema, rows, codec=codec, block_rows=block_rows)
+
+
+def write_ocf_to(
+    f,
+    schema,
+    rows: Iterable[dict],
+    *,
+    codec: str = "null",
+    block_rows: int = 4096,
+) -> None:
+    """:func:`write_ocf` against an open binary file object — the form
+    the sink plumbing (sources/sink.py) uses so the same streaming
+    encoder serves both executor-local files and in-memory payloads."""
     schema_json = json.dumps(schema, sort_keys=True, separators=(",", ":"))
     sync = hashlib.md5(b"avro_diff_spark:" + schema_json.encode()).digest()
     head = bytearray()
@@ -865,30 +880,29 @@ def write_ocf(
     _write_long(head, 0)
     head += sync
 
-    with open(path, "wb") as f:
-        f.write(bytes(head))
+    f.write(bytes(head))
 
-        block: bytearray = bytearray()
-        n_in_block = 0
+    block: bytearray = bytearray()
+    n_in_block = 0
 
-        def flush() -> None:
-            nonlocal block, n_in_block
-            if not n_in_block:
-                return
-            data = _compress(bytes(block), codec)
-            frame = bytearray()
-            _write_long(frame, n_in_block)
-            _write_bytes(frame, data)
-            frame.extend(sync)
-            f.write(bytes(frame))
-            block, n_in_block = bytearray(), 0
+    def flush() -> None:
+        nonlocal block, n_in_block
+        if not n_in_block:
+            return
+        data = _compress(bytes(block), codec)
+        frame = bytearray()
+        _write_long(frame, n_in_block)
+        _write_bytes(frame, data)
+        frame.extend(sync)
+        f.write(bytes(frame))
+        block, n_in_block = bytearray(), 0
 
-        for r in rows:
-            _encode(r, schema, block)
-            n_in_block += 1
-            if n_in_block >= block_rows:
-                flush()
-        flush()
+    for r in rows:
+        _encode(r, schema, block)
+        n_in_block += 1
+        if n_in_block >= block_rows:
+            flush()
+    flush()
 
 
 def read_ocf_header(data: bytes) -> tuple[dict, str, bytes, int]:

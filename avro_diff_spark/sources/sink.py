@@ -1,0 +1,146 @@
+"""Distributed part-file sink plumbing (the round-12 verdict item).
+
+``write_avro`` / ``write_warc`` emit a DIRECTORY of ``part-NNNNN``
+container files, one per non-empty partition.  Two commit routes,
+selected per destination:
+
+* ``executor`` — each task encodes ITS partition and writes the part
+  file itself with plain Python IO, then commits it with an atomic
+  ``os.replace`` (tmp-file + rename, so a killed task never leaves a
+  half-written ``part-`` file).  Zero driver bandwidth; requires driver
+  and executors to share one filesystem (local mode, NFS/FUSE-mounted
+  object stores).  This is the fast path for plain local paths.
+
+* ``driver-fs`` — each task encodes its partition to ONE binary payload;
+  the payloads stream back to the driver one partition at a time
+  (``toLocalIterator`` — O(one partition) driver memory) and the driver
+  writes them through the JVM Hadoop ``FileSystem`` API (py4j), tmp-path
+  + ``rename`` committed.  This works against ANY filesystem Spark
+  itself can reach — ``hdfs://``, ``s3a://``, anything on the
+  classpath — because PySpark executors have no py4j gateway of their
+  own: returning the payload as task output is the only
+  Python-to-storage channel that does not assume a shared mount.
+  Bandwidth is driver-bound, so the intended 100 TB posture for BULK
+  row data remains Spark's native sinks (parquet /
+  ``df.write.format('avro')`` when spark-avro is on the classpath);
+  this route exists so the from-scratch container writers are CORRECT,
+  not silently partial, on multi-node clusters.
+
+``via='auto'`` picks ``executor`` for plain/file: paths and
+``driver-fs`` for any other URI scheme (plain ``open()`` could not
+write those at all).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Iterable, Iterator
+
+from pyspark.sql import DataFrame
+
+#: py4j ships byte[] arguments in one frame — chunk payload writes so a
+#: multi-GB part never materializes a single protocol message.
+CHUNK = 8 * 1024 * 1024
+
+
+def resolve_via(path: str, via: str) -> str:
+    if via != "auto":
+        if via not in ("executor", "driver-fs"):
+            raise ValueError(f"via must be auto|executor|driver-fs, got {via!r}")
+        return via
+    scheme = path.split("://", 1)[0] if "://" in path else ""
+    return "executor" if scheme in ("", "file") else "driver-fs"
+
+
+def _hadoop_fs(spark, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jvm, jpath
+
+
+def _is_part(name: str, suffixes: tuple[str, ...]) -> bool:
+    return (name.startswith("part-") or name.startswith(".tmp-part-")) and name.endswith(
+        suffixes
+    )
+
+
+def write_parts(
+    df: DataFrame,
+    path: str,
+    encode: Callable[[int, Iterable, object], bool],
+    suffix: str,
+    *,
+    stale_suffixes: tuple[str, ...] | None = None,
+    via: str = "auto",
+) -> None:
+    """Commit one ``path/part-NNNNN{suffix}`` per non-empty partition via
+    the route described in the module docstring.  ``encode(idx, rows,
+    out)`` runs executor-side, STREAMS the partition's container bytes
+    into the binary file object ``out`` and returns whether it wrote
+    anything (False = no part file for this partition) — on the
+    ``executor`` route ``out`` is the tmp part file itself, so memory
+    stays bounded by the encoder's block size; on ``driver-fs`` it is an
+    in-memory buffer (one partition's payload, sized by the upstream
+    partitioning).  ``stale_suffixes`` widens the pre-write cleanup to
+    prior layouts with other suffixes."""
+    suffixes = stale_suffixes or (suffix,)
+    route = resolve_via(path, via)
+    if route == "executor":
+        _write_parts_executor(df, path, encode, suffix, suffixes)
+    else:
+        _write_parts_driver_fs(df, path, encode, suffix, suffixes)
+
+
+def _write_parts_executor(df, path, encode, suffix, suffixes) -> None:
+    os.makedirs(path, exist_ok=True)
+    for stale in os.listdir(path):
+        if _is_part(stale, suffixes):
+            os.remove(os.path.join(path, stale))
+
+    def run(idx: int, it) -> Iterator[int]:
+        final = os.path.join(path, f"part-{idx:05d}{suffix}")
+        tmp = os.path.join(path, f".tmp-part-{idx:05d}{suffix}")
+        with open(tmp, "wb") as f:
+            wrote = encode(idx, it, f)
+        if not wrote:
+            os.remove(tmp)
+            return
+        os.replace(tmp, final)  # atomic POSIX commit
+        yield 1
+
+    # per-partition imperative IO: the one place the RDD API is right
+    df.rdd.mapPartitionsWithIndex(run).count()
+
+
+def _write_parts_driver_fs(df, path, encode, suffix, suffixes) -> None:
+    import io
+
+    spark = df.sparkSession
+    fs, jvm, jdir = _hadoop_fs(spark, path)
+    fs.mkdirs(jdir)
+    for st in fs.listStatus(jdir):
+        name = st.getPath().getName()
+        if _is_part(name, suffixes):
+            fs.delete(st.getPath(), False)
+
+    def run(idx: int, it):
+        buf = io.BytesIO()
+        wrote = encode(idx, it, buf)
+        yield (idx, buf.getvalue() if wrote else None)
+
+    sep = "" if path.endswith("/") else "/"
+    for idx, payload in df.rdd.mapPartitionsWithIndex(run).toLocalIterator():
+        if payload is None:
+            continue
+        tmp = jvm.org.apache.hadoop.fs.Path(f"{path}{sep}.tmp-part-{idx:05d}{suffix}")
+        final = jvm.org.apache.hadoop.fs.Path(f"{path}{sep}part-{idx:05d}{suffix}")
+        out = fs.create(tmp, True)
+        try:
+            for off in range(0, len(payload), CHUNK):
+                out.write(bytes(payload[off : off + CHUNK]))
+        finally:
+            out.close()
+        if fs.exists(final):
+            fs.delete(final, False)
+        fs.rename(tmp, final)

@@ -566,10 +566,11 @@ def write_warc(
     content_type_col: str | None = None,
     date: str = "2026-01-01T00:00:00Z",
     gzip_per_record: bool = True,
+    via: str = "auto",
 ) -> None:
     """Distributed WARC sink (the ``write_avro`` shape): ``path``
     becomes a directory of one ``part-NNNNN.warc.gz`` per non-empty
-    partition, each written executor-side as standard response records
+    partition, each encoded executor-side as standard response records
     (HTTP 200 envelope with Content-Length; the status/content-type
     columns override the defaults). Record ids derive from
     md5(uri|part|row) — deterministic, no uuid4. :func:`read_warc`
@@ -577,19 +578,16 @@ def write_warc(
     Empty partitions write no file; rows with NULL uri or body are
     skipped (a crawl archive has no entry for an unfetched page).
 
-    **Filesystem assumption** (same limitation as ``write_avro``): the
-    driver prepares/cleans ``path`` with ``os`` calls while partitions
-    ``open()`` their part files executor-side, so driver and executors
-    must share one filesystem — true in local mode and on NFS/FUSE-
-    mounted object stores, NOT on a multi-node cluster with
-    executor-local disks (parts would land on the workers and the
-    destination directory would be silently empty or partial there).
-    A cluster deployment should route this sink through the Hadoop
-    FileSystem API instead; kept ``os``-based here because the
-    from-scratch WARC writer targets the same single-filesystem test
-    posture as the rest of the codec tier."""
+    Parts commit atomically (tmp + rename) through
+    :func:`sources.sink.write_parts`: plain local paths write
+    executor-direct, while ``hdfs://`` / ``s3a://`` / any other Hadoop
+    URI routes through the JVM ``FileSystem`` API, so parts land at the
+    destination on multi-node clusters with executor-local disks too
+    (``via='auto'`` dispatch; see sources/sink.py for the two routes'
+    contracts)."""
     import hashlib
-    import os
+
+    from avro_diff_spark.sources.sink import write_parts
 
     cols = [uri_col, body_col]
     if status_col:
@@ -597,15 +595,9 @@ def write_warc(
     if content_type_col:
         cols.append(content_type_col)
     narrow = df.select(*cols)
-    os.makedirs(path, exist_ok=True)
     suffix = ".warc.gz" if gzip_per_record else ".warc"
-    for stale in os.listdir(path):
-        if stale.startswith("part-") and (
-            stale.endswith(".warc") or stale.endswith(".warc.gz")
-        ):
-            os.remove(os.path.join(path, stale))
 
-    def write_partition(idx: int, it):
+    def encode(idx: int, it, out) -> bool:
         recs = []
         for n, row in enumerate(it):
             uri, body = row[uri_col], row[body_col]
@@ -634,11 +626,10 @@ def write_warc(
                 )
             )
         if not recs:
-            return
-        part = os.path.join(path, f"part-{idx:05d}{suffix}")
-        with open(part, "wb") as f:
-            f.write(build_warc(recs, gzip_per_record=gzip_per_record))
-        yield 1
+            return False
+        out.write(build_warc(recs, gzip_per_record=gzip_per_record))
+        return True
 
-    # per-partition imperative IO: the one place the RDD API is right
-    narrow.rdd.mapPartitionsWithIndex(write_partition).count()
+    write_parts(
+        narrow, path, encode, suffix, stale_suffixes=(".warc", ".warc.gz"), via=via
+    )
