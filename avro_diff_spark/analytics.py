@@ -1590,6 +1590,66 @@ TABLE_PROFILE_SQL = "\nUNION ALL\n".join(
 )
 
 
+def table_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``table_profile``'s 100 TB onboarding form
+    (operators/profile.py ``approx=True``): per-column HyperLogLog NDV
+    sketches instead of the exact melt-distinct — the melt's shuffle
+    carries at most ncols x 512 integer register rows (map-side max
+    combine) rather than Σ ndv(col), and rows/nulls/min/max all ride
+    ONE 1-row whole-stage aggregate. Sketch state is bit-deterministic
+    (md5 registers, integer fold, one correctly-rounded double finish),
+    so the oracle pins every field exactly — no tolerance; error bounds
+    of the derived NDV estimate are pytest-pinned (tests/test_profile.py)."""
+    from avro_diff_spark.operators.profile import profile_table
+
+    return profile_table(load_table(spark, sf_dir, "lineitem"), approx=True)
+
+
+_PROFILE_KINDS = [
+    ("l_orderkey", "int"), ("l_partkey", "int"), ("l_suppkey", "int"),
+    ("l_linenumber", "int"), ("l_quantity", "double"),
+    ("l_extendedprice", "double"), ("l_discount", "double"),
+    ("l_tax", "double"), ("l_returnflag", "varchar"),
+    ("l_linestatus", "varchar"), ("l_shipdate", "ts"),
+]
+
+
+def _profile_approx_sql_one(col: str, kind: str) -> str:
+    from avro_diff_spark.functions.sketches import hll_estimate_sql
+    from avro_diff_spark.operators.profile import empty_sketch_constants
+
+    reprs = {
+        "int": col,
+        "double": f"CAST({col} AS DECIMAL(18,2))",
+        "varchar": col,
+        "ts": f"epoch_us({col})",
+    }
+    mins = {
+        "int": f"CAST(min({col}) AS VARCHAR)",
+        "double": f"CAST(CAST(min({col}) AS DECIMAL(18,2)) AS VARCHAR)",
+        "varchar": f"min({col})",
+        "ts": f"CAST(epoch_us(min({col})) AS VARCHAR)",
+    }
+    maxs = {k: v.replace("min(", "max(") for k, v in mins.items()}
+    ez, es, ee = empty_sketch_constants()
+    return (
+        f"SELECT '{col}' AS col_name, ex.n_rows, ex.n_nulls, "
+        f"COALESCE(est.zero_registers, {ez}) AS zero_registers, "
+        f"COALESCE(est.s_scaled, {es}) AS s_scaled, "
+        f"COALESCE(est.est_x1000, {ee}) AS est_x1000, "
+        f"ex.min_repr, ex.max_repr "
+        f"FROM (SELECT count(*) AS n_rows, count(*) - count({col}) AS n_nulls, "
+        f"{mins[kind]} AS min_repr, {maxs[kind]} AS max_repr FROM lineitem) ex "
+        f"LEFT JOIN ({hll_estimate_sql('lineitem', reprs[kind])}) est ON TRUE"
+    )
+
+
+def _table_profile_approx_sql() -> str:
+    return "\nUNION ALL\n".join(
+        _profile_approx_sql_one(c, k) for c, k in _PROFILE_KINDS
+    )
+
+
 def join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-key skew report over ``lineitem.l_suppkey`` (operators/
     skew.py ``skew_report``): the top-20 hottest supplier keys with

@@ -341,6 +341,27 @@ def _embedding_sample_spark(spark, path: str, tag: str, sample: int):
     return [list(r["embedding"]) for r in rows]
 
 
+def embedding_sample_df(
+    df, tag: str, sample: int, *, id_col: str = "cand_id", emb_col: str = "embedding"
+):
+    """:func:`embedding_sample` over an already-loaded DataFrame (the
+    stored-index refresh path, where the corpus is the postings table,
+    not a parquet path).  Same law: the ``sample`` lowest
+    (hash32(tag + ':' + id), id) rows, TakeOrderedAndProject, float64."""
+    import numpy as np
+
+    from avro_diff_spark.functions import text as TX
+
+    key = TX.hash32(F.concat(F.lit(tag + ":"), F.col(id_col).cast("string")))
+    rows = (
+        df.select(F.col(id_col).alias("_id"), F.col(emb_col).alias("_emb"), key.alias("_hk"))
+        .orderBy("_hk", "_id")
+        .limit(sample)
+        .collect()
+    )
+    return np.array([list(r["_emb"]) for r in rows], dtype=np.float64)
+
+
 def _embedding_sample_duckdb(path: str, tag: str, sample: int):
     import duckdb
 

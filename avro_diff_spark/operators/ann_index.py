@@ -34,6 +34,7 @@ __all__ = [
     "build_ivf_index",
     "append_to_index",
     "delete_from_index",
+    "refresh_index",
     "load_centroids",
     "query_index",
 ]
@@ -139,6 +140,68 @@ def delete_from_index(
     if not ids:
         return V.latest_version(posts)
     return V.delete_where(spark, posts, F.col("cand_id").isin(ids))
+
+
+def refresh_index(
+    spark: SparkSession,
+    index_path: str,
+    *,
+    n_centroids: int | None = None,
+    sample: int = 1024,
+    iters: int = 5,
+):
+    """Re-train the coarse quantizer from the index's OWN live postings
+    and re-balance the cells — the post-churn maintenance op (round-12
+    verdict item 4): after heavy deletes/appends the stored centroids
+    drift away from the live distribution, cells go lopsided, and probe
+    recall decays; FAISS's answer is retrain-and-rebuild, and this is
+    that operation expressed against the versioned index.
+
+    Shape: the training sample is selected DISTRIBUTED from the live
+    postings (deletion vectors already applied by ``read_version``) —
+    the ``sample`` lowest (hash32('ivfr:' + cand_id), cand_id) rows,
+    TakeOrderedAndProject (functions/fit.py ``embedding_sample_df``),
+    so only O(sample·dim) values reach the driver for the seed-free
+    Lloyd core (:func:`similarity._lloyd_cosine`, the exact trainer
+    ``build_ivf_index`` uses). Every live vector then re-assigns to the
+    new centroids in one distributed pass and BOTH tables commit as
+    REPLACE snapshots, postings first — readers time-travel across the
+    refresh like any other commit. A crash between the two commits
+    leaves cells assigned by the new geometry while probes still route
+    by the old; the recovery is simply re-running the refresh, which is
+    IDEMPOTENT (the live id set is unchanged by a refresh, so the
+    deterministic sample, the centroids, and the assignment all
+    reproduce bit-identically).
+
+    Invariants pinned in tests/test_ann_index.py: (a) full-probe
+    queries (probes = n_centroids) return IDENTICAL results before and
+    after a refresh on unchanged data — probing every cell is exact
+    cosine top-k, independent of cell geometry — and (b) the refreshed
+    stored index stays exactly equal to the in-memory
+    :func:`similarity.ivf_topk` under the refreshed centroids (the
+    index's standing exactness contract). Returns the new centroids.
+    """
+    posts = f"{index_path}/postings"
+    live = V.read_version(spark, posts).select("cand_id", "embedding")
+    old = load_centroids(spark, index_path)
+    k = n_centroids if n_centroids is not None else len(old)
+
+    from avro_diff_spark.functions.fit import embedding_sample_df
+
+    x = embedding_sample_df(live, "ivfr", sample)
+    cents = S._lloyd_cosine(x, k, iters)
+
+    reassigned = _assign_cells(
+        live.select(F.col("cand_id").alias("vec_id"), "embedding"), cents
+    )
+    V.commit_snapshot(reassigned, posts, partition_by=["cell"])
+    V.commit_snapshot(
+        spark.createDataFrame(
+            [(int(c), list(v)) for c, v in cents], "cid int, embedding array<double>"
+        ).coalesce(1),
+        f"{index_path}/centroids",
+    )
+    return cents
 
 
 def maintain_index_stream(

@@ -54,7 +54,9 @@ def _repr_col(col: Column, dtype: T.DataType) -> Column:
     return col.cast("string")
 
 
-def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+def profile_table(
+    df: DataFrame, columns: list[str] | None = None, *, approx: bool = False
+) -> DataFrame:
     """Profile ``columns`` (default: all top-level non-complex columns)
     of ``df`` into one row per column:
 
@@ -63,7 +65,23 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     ``n_distinct`` excludes nulls (SQL ``count(DISTINCT x)`` semantics)
     and counts distinct canonical reprs. ``min_repr``/``max_repr`` are
     the reprs of the NATIVE min/max (true value order, not text order).
+
+    ``approx=True`` — the 100 TB onboarding default — swaps the exact
+    distinct pass for per-column HyperLogLog sketches
+    (functions/sketches.py, 512 integer registers, bit-deterministic):
+    the melt's shuffle then carries at most ncols x 512 register rows
+    instead of Σ ndv(col), and n_rows/n_nulls/min/max all ride the
+    single 1-row whole-stage aggregate. Output columns become
+
+    ``(col_name, n_rows, n_nulls, zero_registers, s_scaled, est_x1000,
+    min_repr, max_repr)``
+
+    — the raw-estimator sketch state, exactly reproducible cross-engine;
+    feed a row to ``sketches.hll_corrected_estimate`` for the
+    small-range-corrected NDV (pytest-pinned error bounds).
     """
+    if approx:
+        return _profile_table_approx(df, columns)
     fields = {f.name: f.dataType for f in df.schema.fields}
     if columns is None:
         columns = [
@@ -125,6 +143,95 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         F.coalesce("n_rows", z).alias("n_rows"),
         F.coalesce("n_nulls", z).alias("n_nulls"),
         F.coalesce("n_distinct", z).alias("n_distinct"),
+        "min_repr",
+        "max_repr",
+    )
+
+
+def _profile_columns(df: DataFrame, columns: list[str] | None):
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    if columns is None:
+        columns = [
+            n for n, t in fields.items()
+            if not isinstance(t, (T.ArrayType, T.MapType, T.StructType, T.BinaryType))
+        ]
+    unknown = [c for c in columns if c not in fields]
+    if unknown:
+        raise ValueError(f"profile_table: no such columns {unknown}")
+    return columns, fields
+
+
+def empty_sketch_constants() -> tuple[int, int, int]:
+    """(zero_registers, s_scaled, est_x1000) of the EMPTY HLL sketch —
+    the coalesce values an all-null column profiles to.  est_x1000 runs
+    the same correctly-rounded double sequence as the engines (C and
+    2^46 are exact doubles), so the Python constant, the Spark literal
+    and the DuckDB literal agree bit-for-bit."""
+    import math
+
+    from avro_diff_spark.functions import sketches as SK
+
+    s = SK.HLL_M * (1 << (SK.HLL_W + 1))
+    return SK.HLL_M, s, math.floor(SK._hll_alpha_c() / float(s) * 1000.0)
+
+
+def _profile_table_approx(df: DataFrame, columns: list[str] | None) -> DataFrame:
+    """The ``approx=True`` body of :func:`profile_table` — see there."""
+    from avro_diff_spark.functions import sketches as SK
+
+    columns, fields = _profile_columns(df, columns)
+
+    # pass B' — melt to (col_name, repr), HLL registers per column: the
+    # shuffle carries at most ncols x 512 rows (map-side max combine)
+    melted = df.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("col_name"),
+                    _repr_col(F.col(c), fields[c]).alias("repr"),
+                )
+                for c in columns
+            ])
+        ).alias("kv")
+    ).select("kv.col_name", "kv.repr")
+    est = SK.hll_estimate(
+        SK.hll_registers(melted, "repr", ["col_name"]), ["col_name"]
+    )
+
+    # pass A' — ONE 1-row whole-stage aggregate: count, per-column
+    # non-null counts, native-order min/max; unpivoted to ncols rows
+    aggs = [F.count(F.lit(1)).alias("_nr")]
+    for i, c in enumerate(columns):
+        aggs.append(F.count(c).alias(f"_nn{i}"))
+        aggs.append(F.min(c).alias(f"_mn{i}"))
+        aggs.append(F.max(c).alias(f"_mx{i}"))
+    one = df.agg(*aggs)
+    base = one.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("col_name"),
+                    F.col("_nr").alias("n_rows"),
+                    (F.col("_nr") - F.col(f"_nn{i}")).alias("n_nulls"),
+                    _repr_col(F.col(f"_mn{i}"), fields[c]).alias("min_repr"),
+                    _repr_col(F.col(f"_mx{i}"), fields[c]).alias("max_repr"),
+                )
+                for i, c in enumerate(columns)
+            ])
+        ).alias("kv")
+    ).select("kv.*")
+
+    # base drives the join (one row per column even when a column is
+    # all-null and thus has no sketch row); missing sketches coalesce
+    # to the empty-sketch constants
+    ez, es, ee = empty_sketch_constants()
+    return base.join(F.broadcast(est), "col_name", "left").select(
+        "col_name",
+        "n_rows",
+        "n_nulls",
+        F.coalesce("zero_registers", F.lit(ez)).alias("zero_registers"),
+        F.coalesce("s_scaled", F.lit(es)).alias("s_scaled"),
+        F.coalesce("est_x1000", F.lit(ee)).alias("est_x1000"),
         "min_repr",
         "max_repr",
     )

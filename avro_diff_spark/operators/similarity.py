@@ -252,11 +252,18 @@ def train_ivf_centroids(
 
 @lru_cache(maxsize=None)
 def _train_ivf_cached(sig: tuple, n_centroids: int, sample: int, iters: int):
-    import numpy as np
-
     from avro_diff_spark.functions.fit import embedding_sample
 
-    x = embedding_sample(sig[0], "ivf", sample)
+    return _lloyd_cosine(embedding_sample(sig[0], "ivf", sample), n_centroids, iters)
+
+
+def _lloyd_cosine(x, n_centroids: int, iters: int):
+    """The deterministic cosine-Lloyd core over a float64 sample matrix —
+    shared by :func:`train_ivf_centroids` and the post-churn
+    ``ann_index.refresh_index`` retrain (same seed-free init: the first
+    ``n_centroids`` sample rows; same tie/rounding laws)."""
+    import numpy as np
+
     xn = x / np.linalg.norm(x, axis=1, keepdims=True)
     cents = x[:n_centroids].copy()
     for _ in range(iters):

@@ -3005,12 +3005,16 @@ def _ivf_sql(
     n_queries: int = 10,
     query_pred: str | None = None,
     cand_pred: str = "TRUE",
+    cents=None,
 ) -> str:
     # assignment/probing mirror ivf_topk exactly: TRAINED centroids (same
     # deterministic Lloyd output as the Spark plan) embedded as literals;
     # nearest-cell by (cosine DESC, cid ASC); every pair appears at most
-    # once (a candidate lives in exactly one cell).
-    cents = SIM.train_ivf_centroids(f"{ORACLE_SF_DIR}/embeddings.parquet")
+    # once (a candidate lives in exactly one cell). ``cents`` overrides
+    # the default trained centroids (the refresh oracle passes the
+    # post-churn retrained set).
+    if cents is None:
+        cents = SIM.train_ivf_centroids(f"{ORACLE_SF_DIR}/embeddings.parquet")
     cent_rows = " UNION ALL ".join(
         f"SELECT {cid} AS cid, [{', '.join(repr(v) for v in vec)}]::DOUBLE[] AS cent"
         for cid, vec in cents
@@ -3072,6 +3076,74 @@ def q_ivf_delete_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     queries = spark.read.parquet(src).filter(F.col("vec_id") < 10)
     return AI.query_index(spark, queries, idx, k=5, probes=2)
+
+
+def q_ivf_refresh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF maintenance with RETRAIN (operators/ann_index.py
+    ``refresh_index``, round 13 — the re-balance FAISS answers with
+    retrain-and-rebuild): build the persisted index, DV-delete every
+    vector with vec_id % 7 == 3, then REFRESH — retrain the coarse
+    quantizer from a deterministic distributed sample of the LIVE
+    postings and re-assign every survivor to the new cells as REPLACE
+    commits — and probe. The oracle replays the identical retrain
+    (same survivor sample law, same seed-free Lloyd core) and embeds
+    the refreshed centroids as literals, so the hash pins both the new
+    geometry and the post-refresh probe results exactly."""
+    import os
+
+    from avro_diff_spark.operators import ann_index as AI
+    from avro_diff_spark.sources.versioned import latest_version
+
+    src = f"{sf_dir}/embeddings.parquet"
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    idx = f"/root/repo/.cache/ivf_index_refresh/{tag}-{_src_fingerprint(src)}"
+    if latest_version(f"{idx}/postings") != 2:
+        import shutil
+
+        shutil.rmtree(idx, ignore_errors=True)
+        AI.build_ivf_index(spark, src, idx)
+        AI.delete_from_index(
+            spark,
+            idx,
+            spark.read.parquet(src).where(F.col("vec_id") % 7 == 3).select("vec_id"),
+        )
+        AI.refresh_index(spark, idx)
+    queries = spark.read.parquet(src).filter(F.col("vec_id") < 10)
+    return AI.query_index(spark, queries, idx, k=5, probes=2)
+
+
+@_lru_cache(maxsize=8)
+def _refreshed_ivf_cents_cached(
+    key: tuple, n_centroids: int, sample: int, iters: int
+):
+    """The oracle's replica of ``refresh_index``'s retrain over the
+    ivf_refresh_topk fixture: survivor rows (vec_id % 7 <> 3) sampled
+    under the 'ivfr' hash law, folded by the SAME Lloyd core the engine
+    uses — so the embedded literals are bit-identical to the refreshed
+    index's stored centroids (pinned in tests/test_ann_index.py)."""
+    import duckdb
+    import numpy as np
+
+    rows = duckdb.connect().execute(
+        f"""
+        SELECT embedding FROM read_parquet(?)
+        WHERE vec_id % 7 <> 3
+        ORDER BY ('0x' || substr(md5('ivfr:' || CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT,
+                 vec_id
+        LIMIT {sample}
+        """,
+        [f"{ORACLE_SF_DIR}/embeddings.parquet"],
+    ).fetchall()
+    x = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    return SIM._lloyd_cosine(x, n_centroids, iters)
+
+
+def _refreshed_ivf_cents(n_centroids: int = 16, sample: int = 1024, iters: int = 5):
+    from avro_diff_spark.functions.bpe import _file_key
+
+    return _refreshed_ivf_cents_cached(
+        _file_key(f"{ORACLE_SF_DIR}/embeddings.parquet"), n_centroids, sample, iters
+    )
 
 
 def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5059,6 +5131,8 @@ PIPELINE_QUERIES = {
     # record; kept green by tests/test_registry.py like the rest)
     "epoch_shuffle_order": q_epoch_shuffle,
     "contrastive_negatives": q_contrastive_negatives,
+    # round-13 additions — tail slots
+    "ivf_refresh_topk": q_ivf_refresh_topk,
 }
 
 def pipeline_sql() -> dict[str, str]:
@@ -5115,6 +5189,9 @@ def pipeline_sql() -> dict[str, str]:
         "ivf_topk": _ivf_sql(),
         "ivf_index_topk": _ivf_sql(),
         "ivf_delete_topk": _ivf_sql(cand_pred="vec_id % 7 <> 3"),
+        "ivf_refresh_topk": _ivf_sql(
+            cand_pred="vec_id % 7 <> 3", cents=_refreshed_ivf_cents()
+        ),
         "kmeans_cluster_stats": _kmeans_sql(),
         "pq_topk": _pq_sql(),
         "sq_topk": _sq_sql(),

@@ -193,3 +193,84 @@ def test_delete_then_compact_preserves_queries(spark, tmp_path, emb_path):
     compact_table(spark, f"{idx}/postings")
     after = _topk_set(AI.query_index(spark, queries, idx, k=5, probes=2))
     assert before == after
+
+
+def test_refresh_on_unchanged_data_full_probe_invariant(spark, tmp_path, emb_path):
+    """Probing EVERY cell is exact cosine top-k regardless of cell
+    geometry, so a refresh on unchanged data must leave full-probe
+    results identical — the recall-invariance pin of refresh_index."""
+    idx = str(tmp_path / "idx")
+    cents = AI.build_ivf_index(spark, emb_path, idx, n_centroids=8)
+    queries = spark.read.parquet(emb_path).filter(F.col("vec_id") < 8)
+
+    before = _topk_set(AI.query_index(spark, queries, idx, k=5, probes=8))
+    new_cents = AI.refresh_index(spark, idx)
+    after = _topk_set(AI.query_index(spark, queries, idx, k=5, probes=8))
+    assert before == after
+    # the retrain really retrained (different sample law than build)
+    assert len(new_cents) == len(cents)
+    assert AI.load_centroids(spark, idx) == tuple(
+        (c, tuple(v)) for c, v in new_cents
+    )
+
+
+def test_refresh_after_churn_matches_in_memory_and_rebalances(
+    spark, tmp_path, emb_path
+):
+    """Churn (delete a third of the corpus), refresh, and pin: (a) the
+    stored index equals the in-memory ivf_topk under the refreshed
+    centroids over the survivor corpus — the standing exactness
+    contract survives a retrain; (b) every posting is assigned to its
+    nearest refreshed centroid (the re-balance actually happened)."""
+    from avro_diff_spark.sources import versioned as V
+
+    idx = str(tmp_path / "idx")
+    AI.build_ivf_index(spark, emb_path, idx, n_centroids=8)
+    emb = spark.read.parquet(emb_path)
+    AI.delete_from_index(
+        spark, idx, emb.where(F.col("vec_id") % 3 == 0).select("vec_id")
+    )
+    new_cents = AI.refresh_index(spark, idx)
+
+    survivors = emb.where(F.col("vec_id") % 3 != 0)
+    queries = emb.filter(F.col("vec_id") < 10)
+    got = AI.query_index(spark, queries, idx, k=5, probes=2)
+    want = SIM.ivf_topk(queries, survivors, k=5, probes=2, centroids=new_cents)
+    assert _topk_set(got) == _topk_set(want)
+
+    # (b) stored cells == nearest refreshed centroid for every survivor
+    posts = V.read_version(spark, f"{idx}/postings").select("cell", "cand_id")
+    expect = AI._assign_cells(
+        survivors.select("vec_id", "embedding"), new_cents
+    ).select("cell", "cand_id")
+    assert posts.exceptAll(expect).count() == 0
+    assert expect.exceptAll(posts).count() == 0
+
+
+def test_refresh_is_idempotent(spark, tmp_path, emb_path):
+    """Re-running a refresh (the crash-recovery story) reproduces the
+    same centroids and postings bit-identically: the live id set is
+    unchanged by a refresh, so the deterministic sample reproduces."""
+    idx = str(tmp_path / "idx")
+    AI.build_ivf_index(spark, emb_path, idx, n_centroids=8)
+    c1 = AI.refresh_index(spark, idx)
+    c2 = AI.refresh_index(spark, idx)
+    assert c1 == c2
+
+
+def test_refresh_oracle_replica_matches_engine(spark, tmp_path):
+    """The ivf_refresh_topk oracle embeds centroids from a DuckDB
+    replica of the retrain; pin the replica bit-equal to what
+    refresh_index actually stores for the same fixture recipe."""
+    from avro_diff_spark import pipelines as P
+
+    src = f"{P.ORACLE_SF_DIR}/embeddings.parquet"
+    idx = str(tmp_path / "idx")
+    AI.build_ivf_index(spark, src, idx)
+    AI.delete_from_index(
+        spark,
+        idx,
+        spark.read.parquet(src).where(F.col("vec_id") % 7 == 3).select("vec_id"),
+    )
+    stored = AI.refresh_index(spark, idx)
+    assert stored == P._refreshed_ivf_cents()

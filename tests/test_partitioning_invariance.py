@@ -88,6 +88,8 @@ QUERIES = [
     "price_depth_histogram",  # round 12: two-level global rank across layouts
     "epoch_shuffle_order",  # round 12: md5 keys + per-shard ranks across layouts
     "contrastive_negatives",  # round 12: global rank + stride equi-join
+    "table_profile_approx",  # round 13: HLL register fold across layouts
+    "ivf_refresh_topk",  # round 13: post-refresh probe across layouts
 ]
 
 

@@ -117,3 +117,47 @@ def test_profile_empty_table_keeps_one_row_per_column(spark):
         r = out[c]
         assert (r["n_rows"], r["n_nulls"], r["n_distinct"]) == (0, 0, 0)
         assert r["min_repr"] is None and r["max_repr"] is None
+
+
+# ------------------------------------------------------- approx (HLL) profile
+
+
+def test_profile_approx_exact_fields_match_exact_profile(spark):
+    """n_rows / n_nulls / min / max are identical to the exact profiler;
+    only the distinct column changes representation (sketch state)."""
+    df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    exact = _by_col(profile_table(df))
+    approx = _by_col(profile_table(df, approx=True))
+    assert set(exact) == set(approx)
+    for c in exact:
+        for f in ("n_rows", "n_nulls", "min_repr", "max_repr"):
+            assert exact[c][f] == approx[c][f], (c, f)
+        assert "n_distinct" not in approx[c]
+        assert {"zero_registers", "s_scaled", "est_x1000"} <= set(approx[c])
+
+
+def test_profile_approx_ndv_error_bounds(spark):
+    """The corrected HLL estimate lands within the 512-register sketch's
+    expected error (~1.04/sqrt(512) ≈ 4.6% standard error; pin at 15%)
+    of the exact NDV for every profiled column."""
+    from avro_diff_spark.functions.sketches import hll_corrected_estimate
+
+    df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    exact = _by_col(profile_table(df))
+    for row in profile_table(df, approx=True).collect():
+        nd = exact[row["col_name"]]["n_distinct"]
+        est = hll_corrected_estimate(row)
+        assert abs(est - nd) <= max(2.0, 0.15 * nd), (row["col_name"], est, nd)
+
+
+def test_profile_approx_all_null_column_gets_empty_sketch(spark):
+    from avro_diff_spark.functions.sketches import hll_corrected_estimate
+    from avro_diff_spark.operators.profile import empty_sketch_constants
+
+    df = spark.createDataFrame([(1, None), (2, None)], "k bigint, dead string")
+    out = _by_col(profile_table(df, ["dead"], approx=True))["dead"]
+    ez, es, ee = empty_sketch_constants()
+    assert (out["zero_registers"], out["s_scaled"], out["est_x1000"]) == (ez, es, ee)
+    assert hll_corrected_estimate(
+        type("R", (), {"est_x1000": ee, "zero_registers": ez})()
+    ) < 1.0
