@@ -21,15 +21,22 @@ conventions crawl pipelines layer on top:
   (``%7E`` → ``~``, ``%41`` → ``A``); reserved octets stay encoded, so
   a decoded ``%2F`` can never mint a new path separator
 
-Dot-segment removal (§6.2.2.3) is intentionally out of scope — crawlers
-emit resolved URLs. Only absolute ``http``/``https`` URLs are rewritten;
-anything else passes through trimmed (the honest non-goal: mailto:,
-relative refs).
+- dot-segments removed (§6.2.2.3): ``/./`` vanishes, ``/a/../`` folds
+  away, excess ``..`` at the root is dropped — real frontiers emit
+  relative ``../`` links, so resolved URLs carry them (round 13)
 
-Everything is a pure Column expression (regexp_extract / filter /
-array_sort — JVM-side, whole-stage-codegen) so normalizing 100 TB of
-URLs is map-only with zero Python in the loop. The DuckDB oracle in
-pipelines.py mirrors each step with the same regexes.
+Only absolute ``http``/``https`` URLs are rewritten; anything else
+passes through trimmed (the honest non-goal: mailto:, relative refs).
+
+``normalize_url`` itself is a pure Column expression (regexp_extract /
+filter / array_sort / aggregate — JVM-side, whole-stage-codegen) so
+normalizing 100 TB of URLs is map-only with zero Python in the loop.
+The DuckDB oracle in pipelines.py mirrors each step with the same
+regexes. The ONE exception is IDN hosts: RFC 3492 punycode is an
+imperative adaptive-bias codec, so :func:`apply_idn` runs it as an
+Arrow-batched Pandas map over the DISTINCT non-ASCII hosts only
+(hosts repeat massively in a crawl — Python cost ∝ distinct hosts,
+never rows) and broadcast-joins the bounded mapping back.
 
 Reference scope note: the reference engine (yuana97/Avro_Diff) has no URL
 surface — this extends the engine's LLM-pipeline tier, same as dedup.py.
@@ -92,6 +99,29 @@ def pct_normalize(s: Column) -> Column:
     return F.concat(head, F.array_join(F.transform(tail, fix), ""))
 
 
+def remove_dot_segments(path: Column) -> Column:
+    """RFC 3986 §5.2.4 / §6.2.2.3 dot-segment removal over an absolute
+    path, as a pure Column fold: split on ``/`` and fold segments onto a
+    string accumulator — ``.`` is skipped, ``..`` pops the last emitted
+    segment (never below the root: popping the empty accumulator is a
+    no-op, which is exactly the spec's excess-``..`` rule), anything
+    else appends. Runs AFTER slash-collapsing and percent-normalization
+    (``%2E`` is unreserved, so an encoded dot has already decoded —
+    the order that makes ``/a%2E%2E/.." style spellings collapse too).
+    A trailing ``.``/``..`` leaves no trailing slash; the normalizer's
+    trailing-slash rule makes that indistinguishable from the spec's
+    output anyway."""
+    segs = F.split(path, "/")
+    rest = F.slice(segs, 2, F.greatest(F.size(segs) - 1, F.lit(0)))
+    return F.aggregate(
+        rest,
+        F.lit(""),
+        lambda acc, s: F.when(s == ".", acc)
+        .when(s == "..", F.regexp_replace(acc, "/[^/]*$", ""))
+        .otherwise(F.concat(acc, F.lit("/"), s)),
+    )
+
+
 def normalize_url(url: Column) -> Column:
     """Canonical form of an absolute http(s) URL (module docstring has
     the full rule list); non-http(s) input passes through trimmed."""
@@ -112,7 +142,7 @@ def normalize_url(url: Column) -> Column:
         | ((scheme == F.lit("https")) & (port == "443"))
     )
     raw_path = pct_normalize(F.regexp_extract(base, _PATH_RE, 1))
-    path = F.regexp_replace(raw_path, "/{2,}", "/")
+    path = remove_dot_segments(F.regexp_replace(raw_path, "/{2,}", "/"))
     path = F.when(path == "", F.lit("/")).otherwise(
         F.regexp_replace(path, "(.)/$", "$1")
     )
@@ -162,16 +192,80 @@ def registrable_domain(host: Column) -> Column:
     )
 
 
+def idn_to_ascii(host: str) -> str:
+    """RFC 3492 punycode form of an already-lowercased host: every
+    label that contains a non-ASCII character becomes
+    ``xn--<punycode>``; ASCII labels (including existing ``xn--``
+    A-labels) pass through. Python's stdlib ``punycode`` codec IS the
+    RFC 3492 algorithm, so no from-scratch encoder is needed. This is
+    the UTS-46 subset sufficient for hosts that are already lowercase
+    (``normalize_url`` lowercases first); full nameprep (case folding
+    of Σ/ß, bidi checks) is documented out of scope. Plain Python —
+    shared verbatim by the executor-side batch map, the DuckDB oracle
+    builder, and the pytest pins."""
+    return ".".join(
+        label
+        if all(ord(c) < 128 for c in label)
+        else "xn--" + label.encode("punycode").decode("ascii")
+        for label in host.split(".")
+    )
+
+
+def apply_idn(df, url_col: str, *, out_col: str | None = None):
+    """Rewrite non-ASCII hosts of already-normalized URLs to their
+    punycode A-label form (:func:`idn_to_ascii`) — the IDN completion of
+    ``normalize_url`` (round 13).
+
+    Scale shape: punycode's adaptive-bias loop is imperative, so instead
+    of putting Python on the row stream the op maps the DISTINCT
+    non-ASCII hosts through one Arrow-batched ``mapInPandas`` (a crawl's
+    distinct hosts are millions, its rows are trillions) and
+    broadcast-joins the bounded (host → ascii_host) table back; rows
+    with ASCII hosts never leave codegen. The rewrite is positional —
+    ``scheme '://' new_host <rest-from-port/path>`` — so a host string
+    reappearing in the path can never be touched."""
+    out_col = out_col or url_col
+    u = F.col(url_col)
+    host = url_host(u)
+    nonascii = host.rlike("[^\\x00-\\x7F]")
+
+    hosts = df.where(nonascii).select(host.alias("_h")).distinct()
+
+    def enc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"_h": pdf["_h"], "_ah": [idn_to_ascii(h) for h in pdf["_h"]]}
+            )
+
+    mapping = hosts.mapInPandas(enc, "_h string, _ah string")
+    scheme = F.regexp_extract(u, _SCHEME_RE, 1)
+    rest = u.substr(
+        F.length(scheme) + F.lit(3) + F.length(host) + F.lit(1),
+        F.length(u),
+    )
+    rewritten = F.concat(scheme, F.lit("://"), F.col("_ah"), rest)
+    return (
+        df.withColumn("_h", F.when(nonascii, host))
+        .join(F.broadcast(mapping), "_h", "left")
+        .withColumn(out_col, F.when(F.col("_ah").isNotNull(), rewritten).otherwise(u))
+        .drop("_h", "_ah")
+    )
+
+
 def synth_url(doc_id: Column) -> Column:
     """Deterministic MESSY URL per document — the synthesized-payload
     pattern the media queries use (documents carry no URL column):
     every doc gets a crawl-shaped URL whose junk varies with doc_id
     (scheme case, www alias, host case, default port, duplicate/
-    trailing slashes, tracking params, param order, fragment,
-    percent-encoding hex case and encoded-unreserved octets) while the
-    canonical identity is driven by ``g = doc_id % 89`` (89 prime and
-    coprime to every junk modulus, so each canonical group sees several
-    distinct raw spellings). The oracle reproduces this law verbatim."""
+    trailing slashes, ``.``/``..`` dot segments, tracking params, param
+    order, fragment, percent-encoding hex case and encoded-unreserved
+    octets) while the canonical identity is driven by ``g = doc_id %
+    89`` (89 prime and coprime to every junk modulus, so each canonical
+    group sees several distinct raw spellings); ``g % 5 == 2`` groups
+    live on an IDN (U-label) host whose canonical form is the punycode
+    A-label. The oracle reproduces this law verbatim."""
     d = doc_id.cast("long")
     g = d % 89
     scheme = (
@@ -184,8 +278,16 @@ def synth_url(doc_id: Column) -> Column:
         .when(d % 4 == 1, F.lit("www."))
         .otherwise(F.lit(""))
     )
-    host_core = F.concat(F.lit("news"), (g % 40).cast("string"),
-                         F.lit(".Example.COM"))
+    # g % 5 == 2 groups live on an IDN host (U-label subdomain whose
+    # canonical form is its punycode A-label) — GROUP-stable, so IDN
+    # rewriting can never split a canonical group; other groups keep the
+    # plain news host. Both vary per-doc in case only.
+    host_core = F.when(
+        g % 5 == 2,
+        F.concat(F.lit("münchen"), (g % 40).cast("string"), F.lit(".Example.COM")),
+    ).otherwise(
+        F.concat(F.lit("news"), (g % 40).cast("string"), F.lit(".Example.COM"))
+    )
     host = F.when(d % 2 == 0, F.upper(host_core)).otherwise(
         F.lower(host_core)
     )
@@ -197,8 +299,17 @@ def synth_url(doc_id: Column) -> Column:
         )
         .otherwise(F.lit(""))
     )
+    # dot-segment junk (round 13): '.' and '..' spellings that all
+    # collapse to the same canonical /articles prefix (§6.2.2.3)
+    prefix = (
+        F.when(d % 6 == 2, F.lit("/../articles/"))       # excess .. at root
+        .when(d % 6 == 3, F.lit("/articles/./"))          # '.' segment
+        .when(d % 6 == 4, F.lit("/tmp/../articles/"))     # up-reference
+        .otherwise(F.lit("/articles//"))                  # duplicate slash
+    )
     path = F.concat(
-        F.lit("/articles//item-"),
+        prefix,
+        F.lit("item-"),
         g.cast("string"),
         # percent junk: %7e / ~ both canonicalize to '~' (unreserved decode)
         F.when(d % 2 == 0, F.lit("%7e")).otherwise(F.lit("~")),

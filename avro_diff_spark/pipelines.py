@@ -4827,9 +4827,14 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         url_host,
     )
 
+    from avro_diff_spark.functions.urls import apply_idn
+
     d = spread_small(spark.read.parquet(f"{sf_dir}/documents.parquet"))
-    canon = d.select(
-        "doc_id", normalize_url(synth_url(F.col("doc_id"))).alias("canon_url")
+    canon = apply_idn(
+        d.select(
+            "doc_id", normalize_url(synth_url(F.col("doc_id"))).alias("canon_url")
+        ),
+        "canon_url",
     )
     return (
         canon.groupBy("canon_url")
@@ -4846,14 +4851,30 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# closed form of normalize_url(synth_url(doc_id)) — see synth_url: the
-# canonical identity is (g = doc_id % 89, scheme class d % 3 = 1); all
-# other junk is normalization-invariant by construction.
-URL_DEDUP_SQL = """
+def _url_dedup_sql() -> str:
+    """Closed form of apply_idn(normalize_url(synth_url(doc_id))) — see
+    synth_url: the canonical identity is (g = doc_id % 89, scheme class
+    d % 3 = 1); all other junk (incl. the round-13 dot segments) is
+    normalization-invariant by construction, and the g % 5 == 2 IDN
+    groups' canonical hosts are punycode literals generated through the
+    SAME ``idn_to_ascii`` the engine's batch map runs."""
+    from avro_diff_spark.functions.urls import idn_to_ascii
+
+    cases = " ".join(
+        "WHEN (doc_id % 89) = {} THEN '{}'".format(
+            g, idn_to_ascii("münchen" + str(g % 40)) + ".example.com"
+        )
+        for g in range(89)
+        if g % 5 == 2
+    )
+    host = (
+        f"(CASE {cases} ELSE 'news' || ((doc_id % 89) % 40) || '.example.com' END)"
+    )
+    return f"""
 WITH c AS (
   SELECT doc_id,
          (CASE WHEN doc_id % 3 = 1 THEN 'https' ELSE 'http' END)
-         || '://news' || ((doc_id % 89) % 40) || '.example.com'
+         || '://' || {host}
          || (CASE WHEN (doc_id % 89) % 7 = 0 THEN ':8080' ELSE '' END)
          || '/articles/item-' || (doc_id % 89) || '~'
          || '?a=1&id=' || ((doc_id % 89) % 10) || '&z=%2Fp' AS canon_url
@@ -5232,7 +5253,7 @@ def pipeline_sql() -> dict[str, str]:
         "maxsim_rerank_topk": _maxsim_sql(),
         "web_link_graph": _web_link_graph_sql(),
         "robots_gate_counts": ROBOTS_GATE_SQL,
-        "url_dedup": URL_DEDUP_SQL,
+        "url_dedup": _url_dedup_sql(),
         "crawl_attrition": CRAWL_ATTRITION_SQL,
         "crawl_frontier": CRAWL_FRONTIER_SQL,
     }

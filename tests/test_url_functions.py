@@ -114,18 +114,117 @@ def test_registrable_domain_and_host(spark):
 
 
 def test_synth_url_canonical_closed_form(spark):
-    """The law URL_DEDUP_SQL replays: canonical identity is
-    (g = doc_id % 89, https iff doc_id % 3 = 1), every junk axis
+    """The law the url_dedup oracle replays: canonical identity is
+    (g = doc_id % 89, https iff doc_id % 3 = 1), every junk axis —
+    including the round-13 dot segments and IDN hosts —
     normalization-invariant."""
-    df = spark.range(0, 300).select(
-        F.col("id").alias("d"), normalize_url(synth_url(F.col("id"))).alias("c")
+    from avro_diff_spark.functions.urls import apply_idn, idn_to_ascii
+
+    df = apply_idn(
+        spark.range(0, 300).select(
+            F.col("id").alias("d"),
+            normalize_url(synth_url(F.col("id"))).alias("c"),
+        ),
+        "c",
     )
     for r in df.collect():
         g = r.d % 89
         scheme = "https" if r.d % 3 == 1 else "http"
         port = ":8080" if g % 7 == 0 else ""
+        host = (
+            idn_to_ascii(f"münchen{g % 40}") + ".example.com"
+            if g % 5 == 2
+            else f"news{g % 40}.example.com"
+        )
         want = (
-            f"{scheme}://news{g % 40}.example.com{port}"
+            f"{scheme}://{host}{port}"
             f"/articles/item-{g}~?a=1&id={g % 10}&z=%2Fp"
         )
         assert r.c == want, (r.d, r.c, want)
+
+
+def test_remove_dot_segments_rfc_cases(spark):
+    from avro_diff_spark.functions.urls import normalize_url
+
+    cases = [
+        ("http://h/a/b/c/./../../g", "http://h/a/g"),      # RFC 3986 §5.4.2 spirit
+        ("http://h/a/b/../c", "http://h/a/c"),
+        ("http://h/./a", "http://h/a"),
+        ("http://h/../a", "http://h/a"),                    # excess .. dropped
+        ("http://h/../../a", "http://h/a"),
+        ("http://h/a/..", "http://h/"),                     # collapses to root
+        ("http://h/a/.", "http://h/a"),
+        ("http://h/a/%2E%2E/b", "http://h/b"),              # encoded dots decode first
+        ("http://h/..", "http://h/"),
+        ("http://h/a//../b", "http://h/b"),                 # after slash collapse: /a/../b
+    ]
+    df = spark.createDataFrame(cases, "u string, want string")
+    rows = df.select("u", "want", normalize_url(F.col("u")).alias("got")).collect()
+    assert all(r.got == r.want for r in rows), [
+        (r.u, r.got, r.want) for r in rows if r.got != r.want
+    ]
+
+
+def test_idn_to_ascii_matches_stdlib_punycode():
+    from avro_diff_spark.functions.urls import idn_to_ascii
+
+    assert idn_to_ascii("bücher.example.com") == "xn--bcher-kva.example.com"
+    assert idn_to_ascii("münchen.de") == "xn--mnchen-3ya.de"
+    assert idn_to_ascii("ascii.example.com") == "ascii.example.com"
+    # existing A-labels pass through (idempotence)
+    assert idn_to_ascii("xn--bcher-kva.example.com") == "xn--bcher-kva.example.com"
+    assert idn_to_ascii(idn_to_ascii("bücher.example.com")) == (
+        "xn--bcher-kva.example.com"
+    )
+    # pin against CPython's own RFC 3492 codec per label
+    for label in ("bücher", "münchen3", "héllo-wörld", "日本語"):
+        assert idn_to_ascii(label) == "xn--" + label.encode("punycode").decode()
+
+
+def test_idn_to_ascii_hypothesis_roundtrip():
+    """Every encoded label decodes back through the stdlib RFC 3492
+    decoder — the encode side can't be lossy."""
+    from hypothesis import given, strategies as st
+
+    from avro_diff_spark.functions.urls import idn_to_ascii
+
+    @given(
+        st.text(
+            alphabet=st.characters(
+                min_codepoint=ord("a"),
+                max_codepoint=0x2FF,
+                exclude_characters=".",
+            ),
+            min_size=1,
+            max_size=20,
+        ).map(str.lower)
+    )
+    def check(label):
+        enc = idn_to_ascii(label)
+        if enc == label:
+            assert all(ord(c) < 128 for c in label)
+        else:
+            assert enc.startswith("xn--")
+            assert enc[4:].encode("ascii").decode("punycode") == label
+
+    check()
+
+
+def test_apply_idn_rewrites_host_only(spark):
+    from avro_diff_spark.functions.urls import apply_idn
+
+    df = spark.createDataFrame(
+        [
+            ("http://bücher.example.com/bücher?x=bücher",),
+            ("http://plain.example.com/a",),
+            ("https://münchen.de:8080/p?q=1",),
+        ],
+        "u string",
+    )
+    got = sorted(r.u for r in apply_idn(df, "u").collect())
+    assert got == [
+        # path/query untouched — only the authority rewrites
+        "http://plain.example.com/a",
+        "http://xn--bcher-kva.example.com/bücher?x=bücher",
+        "https://xn--mnchen-3ya.de:8080/p?q=1",
+    ]
