@@ -161,7 +161,16 @@ def winnow_hashes(codes: Column, *, k: int = 5, w: int = 8) -> Column:
     positions' values (value-set semantics: selecting by value, not
     position, is the robust-winnowing variant and is position-shift
     invariant)."""
-    hs = poly_shingle_hashes(codes, k)
+    return winnow_min_hashes(poly_shingle_hashes(codes, k), w=w)
+
+
+def winnow_min_hashes(hs: Column, *, w: int = 8) -> Column:
+    """The winnowing window-min core of :func:`winnow_hashes` over an
+    ARBITRARY per-position hash array — sorted distinct minima of every
+    ``w``-long window (same sparse-table doubling, same short-doc and
+    tie laws). Factored out (round 13) so word-n-gram streams winnow
+    too: ``ngram_decontaminate`` feeds 13-gram hash32 values through
+    this to subsample eval-overlap tests at ~2/(w+1) density."""
     n = F.size(hs)
 
     def shifted(arr: Column, s: int) -> Column:

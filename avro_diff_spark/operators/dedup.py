@@ -812,6 +812,66 @@ def contamination_check(
     )
 
 
+def ngram_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 13,
+    w: int = 8,
+) -> DataFrame:
+    """13-gram eval decontamination at winnowed cost — the GPT-3/PaLM
+    recipe (Brown et al. 2020 Appendix C scrubs training docs sharing a
+    13-gram with any eval example; PaLM and successors report the same
+    n-gram-overlap family) made affordable at 100 TB.
+
+    :func:`contamination_check` tests EVERY corpus gram against the
+    benchmark set — exhaustive, but the corpus gram stream is ~one row
+    per word. This variant WINNOWS the corpus side (functions/text.py
+    ``winnow_min_hashes`` over the per-position k-gram hash32 stream,
+    Schleimer et al.'s guarantee transposed to word grams): only the
+    ~2/(w+1) selected hashes join the broadcast benchmark set, and any
+    verbatim overlap of ≥ k+w-1 words (20 at the defaults) — the
+    eval-answer/passage leakage the recipe exists to catch — still
+    shares a selected fingerprint by the winnowing guarantee. Isolated
+    single-gram collisions may be subsampled away; that is the
+    documented trade against the exhaustive sibling. The benchmark side
+    keeps ALL its distinct gram hashes: an eval suite is bounded by
+    construction, so the set broadcasts at any corpus scale.
+
+    Scale shape: corpus-side map (tokens → gram hashes → window minima,
+    all Column expressions), one broadcast hash-join, one
+    map-side-combined groupBy — no pairwise work, no full-gram shuffle.
+    Columns: doc_id, n_contaminated_fps (docs with ≥1 winnowed hit —
+    the scrub list)."""
+    from avro_diff_spark.functions.text import winnow_min_hashes, word_shingles
+
+    gram_hashes = F.transform(word_shingles(F.col(text_col), k), hash32)
+    bench_g = (
+        benchmark.select(F.explode_outer(gram_hashes).alias("fp"))
+        .where(F.col("fp").isNotNull())
+        .distinct()
+    )
+    fps = (
+        spread_small(corpus)
+        # project the hash stream as a real column first: winnowing
+        # references it ~log w times and an inlined expression would be
+        # rebuilt per reference (the char_codes materialization rule)
+        .select(F.col(id_col).alias("doc_id"), gram_hashes.alias("__hs"))
+        .select(
+            "doc_id",
+            F.explode_outer(winnow_min_hashes(F.col("__hs"), w=w)).alias("fp"),
+        )
+        .where(F.col("fp").isNotNull())
+    )
+    return (
+        fps.join(F.broadcast(bench_g), "fp")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_fps"))
+    )
+
+
 def simhash_blocks(max_hamming: int, n_bits: int = 32) -> list[tuple[int, int]]:
     """(offset, width) of the ``max_hamming + 1`` bit-blocks that partition an
     ``n_bits`` fingerprint — shared between the Spark plan and the oracle SQL

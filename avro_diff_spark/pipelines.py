@@ -1934,6 +1934,46 @@ FROM cg JOIN bg USING (gram_hash) GROUP BY doc_id
 """
 
 
+def q_ngram_decontaminated_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """13-gram eval decontamination at winnowed cost (round 13 —
+    operators/dedup.py ``ngram_decontaminate``; the GPT-3/PaLM 13-gram
+    scrub over the same 1/97 benchmark slice contamination_check uses,
+    with the corpus side subsampled to its winnowed fingerprints). The
+    oracle replays the identical gram/winnow/join laws in SQL, so one
+    wrong step in the 13-gram hashing, window-minima selection, or the
+    benchmark broadcast breaks the hash."""
+    corpus = snap.documents_with_dups(spark, sf_dir)
+    bench = corpus.filter(F.col("doc_id") % 97 == 0)
+    rest = corpus.filter(F.col("doc_id") % 97 != 0)
+    return DD.ngram_decontaminate(rest, bench, "text", "doc_id", k=13, w=8)
+
+
+def _ngram_decon_sql(k: int = 13, w: int = 8) -> str:
+    toks = tokens_sql("text")
+    grams = (
+        f"list_transform(range(1, greatest(len({toks}) - {k - 1}, 0) + 1), "
+        f"i -> array_to_string({toks}[i:i + {k - 1}], ' '))"
+    )
+    hs = f"list_transform({grams}, s -> {hash32_sql('s')})"
+    return f"""
+WITH corpus AS ({snap.DOCUMENTS_WITH_DUPS_SQL}),
+bg AS (SELECT DISTINCT unnest(list_distinct({hs})) AS fp
+       FROM corpus WHERE doc_id % 97 = 0),
+h AS (SELECT doc_id, {hs} AS hs FROM corpus WHERE doc_id % 97 <> 0),
+m AS (
+  SELECT doc_id,
+    CASE WHEN len(hs) > 0 AND len(hs) < {w} THEN [list_min(hs)]
+         ELSE list_transform(range(1, greatest(len(hs) - {w - 1}, 0) + 1),
+                             i -> list_min(hs[i:i + {w - 1}]))
+    END AS mins
+  FROM h
+),
+cf AS (SELECT doc_id, unnest(list_distinct(mins)) AS fp FROM m)
+SELECT doc_id, count(*) AS n_contaminated_fps
+FROM cf JOIN bg USING (fp) GROUP BY doc_id
+"""
+
+
 def q_pipeline_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized pipeline lineage (operators/lineage.py, round 12 —
     the verdict's "corpus-level reporting" item): two builds of a
@@ -5154,6 +5194,7 @@ PIPELINE_QUERIES = {
     "contrastive_negatives": q_contrastive_negatives,
     # round-13 additions — tail slots
     "ivf_refresh_topk": q_ivf_refresh_topk,
+    "ngram_decontaminated_counts": q_ngram_decontaminated_counts,
 }
 
 def pipeline_sql() -> dict[str, str]:
@@ -5213,6 +5254,7 @@ def pipeline_sql() -> dict[str, str]:
         "ivf_refresh_topk": _ivf_sql(
             cand_pred="vec_id % 7 <> 3", cents=_refreshed_ivf_cents()
         ),
+        "ngram_decontaminated_counts": _ngram_decon_sql(),
         "kmeans_cluster_stats": _kmeans_sql(),
         "pq_topk": _pq_sql(),
         "sq_topk": _sq_sql(),

@@ -446,3 +446,45 @@ def test_neardup_index_delete_then_compact_preserves_probe(spark, sf_dir, tmp_pa
         probe_neardup_index(spark, inc, "text", "doc_id", idx, append=False).collect()
     )
     assert before == after and before
+
+
+def test_ngram_decontaminate_winnow_guarantee(spark):
+    """Any verbatim overlap of >= k+w-1 words is caught (winnowing
+    guarantee transposed to word grams); disjoint docs never flag."""
+    from avro_diff_spark.operators.dedup import ngram_decontaminate
+
+    leak = " ".join(f"w{i}" for i in range(25))  # 25 shared words >= 13+8-1
+    bench = spark.createDataFrame(
+        [(1000, f"prefix text {leak} suffix text")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, f"intro {leak} outro words here"),        # long overlap -> caught
+            (2, " ".join(f"x{i}" for i in range(30))),    # disjoint -> clean
+            (3, "short doc"),                              # < 13 words -> clean
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.n_contaminated_fps for r in
+           ngram_decontaminate(corpus, bench, "text", "doc_id").collect()}
+    assert 1 in got and got[1] >= 1
+    assert 2 not in got and 3 not in got
+
+
+def test_ngram_decontaminate_flags_subset_of_exhaustive(spark):
+    """Winnowed decon never invents contamination: every flagged doc is
+    flagged by the exhaustive 13-gram check too (subsampling can only
+    drop isolated collisions, not add them)."""
+    from avro_diff_spark.operators.dedup import (
+        contamination_check,
+        ngram_decontaminate,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 11 == 0)
+    rest = docs.filter(F.col("doc_id") % 11 != 0)
+    winnowed = {r.doc_id for r in
+                ngram_decontaminate(rest, bench, "text", "doc_id").collect()}
+    exhaustive = {r.doc_id for r in
+                  contamination_check(rest, bench, "text", "doc_id", ngram_w=13).collect()}
+    assert winnowed <= exhaustive

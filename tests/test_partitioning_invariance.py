@@ -90,6 +90,7 @@ QUERIES = [
     "contrastive_negatives",  # round 12: global rank + stride equi-join
     "table_profile_approx",  # round 13: HLL register fold across layouts
     "ivf_refresh_topk",  # round 13: post-refresh probe across layouts
+    "ngram_decontaminated_counts",  # round 13: winnowed gram join across layouts
 ]
 
 
