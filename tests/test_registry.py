@@ -86,3 +86,23 @@ def test_tail_queries_pass_the_oracle_compare(spark, entry):
         if ock._canon(spd) != ock._canon(opd):
             failures.append(f"{name}: values differ")
     assert not failures, failures
+
+
+def test_head_50_matches_last_recorded_round(entry):
+    """The driver's recorded head-50 must stay EXACTLY the previous
+    round's record (round-12 verdict item 7): new queries go to the
+    tail, and any accidental mid-dict insertion — which would silently
+    push showcase queries out of the driver's visible window — fails
+    here instead of shipping."""
+    import glob
+    import json
+    import re
+
+    recs = sorted(
+        glob.glob("/root/repo/CORRECTNESS_r*.json"),
+        key=lambda p: int(re.search(r"r(\d+)", p).group(1)),
+    )
+    assert recs, "no driver correctness record to pin against"
+    with open(recs[-1]) as f:
+        recorded = list(json.load(f))
+    assert list(entry.queries())[:50] == recorded[:50]
