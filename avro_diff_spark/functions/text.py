@@ -59,6 +59,43 @@ def fingerprint_md5(col: Column, *, pre_normalized: bool = False) -> Column:
     return F.md5(col if pre_normalized else norm_text(col))
 
 
+def nfc(col: Column) -> Column:
+    """Unicode canonical composition (NFC) of a string column — the
+    multilingual dedup-key prerequisite: 'café' spelled with a composed
+    U+00E9 and with 'e' + combining U+0301 are the SAME text to a
+    reader, and a fingerprint over the raw bytes splits that dedup
+    group. The JVM exposes no normalizer through Spark's function
+    surface, so this is the engine's one Arrow-batched scalar
+    pandas_udf: CPython's ``unicodedata.normalize`` (UCD-exact, the
+    same tables DuckDB's utf8proc oracle twin ``nfc_normalize`` uses)
+    with an ASCII fast path — ASCII is NFC-invariant, so the dominant
+    case never calls the normalizer. NULLs pass through."""
+    global _NFC_UDF
+    if _NFC_UDF is None:  # lazy: pandas_udf creation needs a live session
+        from pyspark.sql.functions import pandas_udf
+
+        _NFC_UDF = pandas_udf(_nfc_batch, "string")
+    return _NFC_UDF(col)
+
+
+_NFC_UDF = None
+
+
+def _nfc_batch(s):
+    import unicodedata
+
+    return s.map(
+        lambda t: t if t.isascii() else unicodedata.normalize("NFC", t),
+        na_action="ignore",
+    )
+
+
+def fingerprint_md5_nfc(col: Column, *, pre_normalized: bool = False) -> Column:
+    """:func:`fingerprint_md5` over the NFC form — the fingerprint to
+    use on multilingual corpora (composed/decomposed spellings merge)."""
+    return F.md5(nfc(col if pre_normalized else norm_text(col)))
+
+
 #: rolling-hash constants (Rabin–Karp): base 31, large prime modulus.
 #: acc < mod ⇒ acc*31 + 0x10FFFF < 2^35 — no int64 overflow.
 ROLL_BASE = 31

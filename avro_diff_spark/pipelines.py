@@ -1974,6 +1974,64 @@ FROM cf JOIN bg USING (fp) GROUP BY doc_id
 """
 
 
+def q_unicode_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-normalized exact dedup (round 13 — functions/text.py
+    ``nfc``/``fingerprint_md5_nfc``): every doc in the dup-seeded corpus
+    gets a Spanish suffix spelled COMPOSED (U+00E9/U+00F1) on even doc
+    ids and DECOMPOSED (base letter + combining accent) on odd ones —
+    the same text to a reader, different bytes — so raw fingerprints
+    split dup groups that NFC fingerprints keep together. One row per
+    NFC group: size, how many raw byte-spellings it absorbed, min-id
+    survivor. The oracle replays the law through DuckDB's utf8proc
+    ``nfc_normalize`` — CPython's unicodedata and utf8proc implement
+    the same UCD tables, and the hash pins them equal on every row.
+
+    Scale shape: one Arrow-batched scalar pass (ASCII fast path inside
+    the batch — only non-ASCII strings reach the normalizer) + the
+    exact-dedup groupBy; nothing else moves."""
+    corpus = snap.documents_with_dups(spark, sf_dir)
+    d = F.col("doc_id")
+    suffix = F.when(d % 2 == 0, F.lit(" café señor")).otherwise(
+        F.lit(" café señor")
+    )
+    t = F.concat(F.col("text"), suffix)
+    return (
+        corpus.select(
+            "doc_id",
+            TX.fingerprint_md5(t).alias("fp_raw"),
+            TX.fingerprint_md5_nfc(t).alias("fp_nfc"),
+        )
+        .groupBy("fp_nfc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("fp_raw").cast("long").alias("n_raw_spellings"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+    )
+
+
+def _unicode_dedup_sql() -> str:
+    suffix = (
+        "(CASE WHEN doc_id % 2 = 0 THEN ' café señor'"
+        " ELSE ' café señor' END)"
+    )
+    t = f"text || {suffix}"
+    return f"""
+WITH corpus AS ({snap.DOCUMENTS_WITH_DUPS_SQL}),
+fp AS (
+  SELECT doc_id,
+         md5({norm_sql(t)}) AS fp_raw,
+         md5(nfc_normalize({norm_sql(t)})) AS fp_nfc
+  FROM corpus
+)
+SELECT fp_nfc,
+       count(*) AS n_docs,
+       count(DISTINCT fp_raw) AS n_raw_spellings,
+       CAST(min(doc_id) AS BIGINT) AS first_doc_id
+FROM fp GROUP BY fp_nfc
+"""
+
+
 def q_pipeline_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized pipeline lineage (operators/lineage.py, round 12 —
     the verdict's "corpus-level reporting" item): two builds of a
@@ -5195,6 +5253,7 @@ PIPELINE_QUERIES = {
     # round-13 additions — tail slots
     "ivf_refresh_topk": q_ivf_refresh_topk,
     "ngram_decontaminated_counts": q_ngram_decontaminated_counts,
+    "unicode_dedup_counts": q_unicode_dedup_counts,
 }
 
 def pipeline_sql() -> dict[str, str]:
@@ -5255,6 +5314,7 @@ def pipeline_sql() -> dict[str, str]:
             cand_pred="vec_id % 7 <> 3", cents=_refreshed_ivf_cents()
         ),
         "ngram_decontaminated_counts": _ngram_decon_sql(),
+        "unicode_dedup_counts": _unicode_dedup_sql(),
         "kmeans_cluster_stats": _kmeans_sql(),
         "pq_topk": _pq_sql(),
         "sq_topk": _sq_sql(),

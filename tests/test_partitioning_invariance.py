@@ -91,6 +91,7 @@ QUERIES = [
     "table_profile_approx",  # round 13: HLL register fold across layouts
     "ivf_refresh_topk",  # round 13: post-refresh probe across layouts
     "ngram_decontaminated_counts",  # round 13: winnowed gram join across layouts
+    "unicode_dedup_counts",  # round 13: NFC fingerprint groupBy across layouts
 ]
 
 

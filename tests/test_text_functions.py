@@ -119,3 +119,48 @@ def test_winnow_short_doc_one_window(spark):
         TX.winnow_hashes(F.col("c"), k=5, w=8).alias("fps")
     ).first()
     assert len(out.fps) == 1
+
+
+def test_nfc_merges_composed_and_decomposed(spark):
+    from avro_diff_spark.functions.text import fingerprint_md5_nfc, nfc
+
+    composed = "café señor"
+    decomposed = "café señor"
+    df = spark.createDataFrame(
+        [(1, composed), (2, decomposed), (3, "plain ascii"), (4, None)],
+        "i long, t string",
+    )
+    rows = {r.i: (r.n, r.fp) for r in df.select(
+        "i", nfc(F.col("t")).alias("n"), fingerprint_md5_nfc(F.col("t")).alias("fp")
+    ).collect()}
+    assert rows[1][0] == rows[2][0] == composed   # both normalize to composed
+    assert rows[1][1] == rows[2][1]               # fingerprints merge
+    assert rows[3][0] == "plain ascii"            # ASCII fast path: unchanged
+    assert rows[4] == (None, None)                # NULL passes through
+
+
+def test_nfc_matches_duckdb_utf8proc(spark):
+    """CPython unicodedata and DuckDB utf8proc implement the same UCD
+    tables — pin them equal over a spread of scripts and edge forms."""
+    import duckdb
+
+    from avro_diff_spark.functions.text import nfc
+
+    samples = [
+        "café", "café", "Ångström", "Å",  # Å forms
+        "가", "가",  # Hangul syllable vs jamo
+        "nöel", "ﬁsh",  # ö, fi-ligature (NFC keeps ligature)
+        "ascii only", "",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "t string")
+    got = sorted(r.n for r in df.select(nfc(F.col("t")).alias("n")).collect())
+    want = sorted(
+        r[0]
+        for r in duckdb.connect().execute(
+            "SELECT nfc_normalize(t) FROM (VALUES "
+            + ", ".join("(?)" for _ in samples)
+            + ") AS v(t)",
+            samples,
+        ).fetchall()
+    )
+    assert got == want
