@@ -164,6 +164,115 @@ def _langid_bigram_duckdb(path: str):
     return [(lang, bg, c) for lang, bg, c in rows]
 
 
+def langid_profile_table(path: str, top_k: int) -> tuple[tuple[str, str], ...]:
+    """The TRAINED language-ID profile [(bigram, lang), ...] — each
+    observed bigram assigned to the language where its RELATIVE
+    frequency is highest (exact integer cross-multiplication
+    c_l·T_m > c_m·T_l, ties to the earlier language), then each
+    language keeps its ``top_k`` bigrams by (count DESC, bigram).
+
+    The Spark path runs assignment and top-k selection DISTRIBUTED —
+    per-language totals collect first (|langs| rows), broadcast back as
+    a map literal, the per-bigram argmax folds over the lang-sorted
+    count structs with DECIMAL(38) cross-products (overflow-free at any
+    corpus size, matching the fallback's arbitrary-precision ints), and
+    a per-language rank window truncates — so the driver collect is
+    HARD-bounded at langs x top_k rows even on CJK corpora where
+    distinct bigrams alone would be millions.  The session-less DuckDB
+    fallback runs the same law in Python over the full bigram table;
+    both paths are pinned value-identical (tests/test_distributed_fit)."""
+    spark = _active_spark()
+    if spark is None:
+        return _langid_profile_finish(_langid_bigram_duckdb(path), top_k)
+    return _langid_profile_spark(spark, path, top_k)
+
+
+def _langid_profile_spark(spark, path: str, top_k: int):
+    from pyspark.sql import Window
+
+    from avro_diff_spark.functions import text as TX
+
+    bgc = (
+        spark.read.parquet(path)
+        .select("lang", TX.norm_text(F.col("text")).alias("t"))
+        .select(
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(length(t) - 1, 0)),"
+                    " i -> substring(t, i, 2))"
+                )
+            ).alias("bg"),
+        )
+        .groupBy("lang", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = {
+        r["lang"]: int(r["t"])
+        for r in bgc.groupBy("lang").agg(F.sum("c").alias("t")).collect()
+    }
+    tmap = F.create_map(
+        *[F.lit(x) for lang in sorted(totals) for x in (lang, totals[lang])]
+    )
+    dec = "decimal(38,0)"
+    entries = F.array_sort(F.collect_list(F.struct("lang", "c")))
+    assigned = (
+        bgc.groupBy("bg")
+        .agg(entries.alias("es"))
+        .select(
+            "bg",
+            F.aggregate(
+                F.slice(F.col("es"), 2, F.greatest(F.size("es") - 1, F.lit(0))),
+                F.element_at(F.col("es"), 1),
+                lambda acc, e: F.when(
+                    e["c"].cast(dec) * F.element_at(tmap, acc["lang"]).cast(dec)
+                    > acc["c"].cast(dec) * F.element_at(tmap, e["lang"]).cast(dec),
+                    e,
+                ).otherwise(acc),
+            ).alias("best"),
+        )
+        .select("bg", F.col("best.lang").alias("lang"), F.col("best.c").alias("c"))
+    )
+    rank = F.row_number().over(
+        Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("bg"))
+    )
+    kept = assigned.withColumn("rn", rank).where(F.col("rn") <= top_k).collect()
+    per_lang: dict[str, list[str]] = {}
+    for r in kept:
+        per_lang.setdefault(r["lang"], []).append(r["bg"])
+    out: list[tuple[str, str]] = []
+    for lang in sorted(per_lang):
+        out.extend((bg, lang) for bg in sorted(per_lang[lang]))
+    return tuple(out)
+
+
+def _langid_profile_finish(rows, top_k: int):
+    """The fallback finisher: the same assignment/top-k law in plain
+    Python (arbitrary-precision ints) over a full (lang, bg, c) table."""
+    totals: dict[str, int] = {}
+    for lang, _, c in rows:
+        totals[lang] = totals.get(lang, 0) + c
+    by_bigram: dict[str, dict[str, int]] = {}
+    for lang, bg, c in rows:
+        by_bigram.setdefault(bg, {})[lang] = c
+    assigned: dict[str, tuple[str, int]] = {}
+    for bg in sorted(by_bigram):
+        best = None
+        for lang in sorted(by_bigram[bg]):
+            c = by_bigram[bg][lang]
+            if best is None or c * totals[best[0]] > best[1] * totals[lang]:
+                best = (lang, c)
+        assigned[bg] = best  # type: ignore[assignment]
+    per_lang: dict[str, list[tuple[str, int]]] = {}
+    for bg, (lang, c) in assigned.items():
+        per_lang.setdefault(lang, []).append((bg, c))
+    out: list[tuple[str, str]] = []
+    for lang in sorted(per_lang):
+        kept = sorted(per_lang[lang], key=lambda t: (-t[1], t[0]))[:top_k]
+        out.extend((bg, lang) for bg, _ in sorted(kept))
+    return tuple(out)
+
+
 # --------------------------------------------------------------------------
 # hashed-gram bucket counts (DSIR trainer)
 # --------------------------------------------------------------------------

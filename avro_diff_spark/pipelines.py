@@ -150,31 +150,9 @@ from functools import lru_cache as _lru_cache  # noqa: E402
 
 @_lru_cache(maxsize=8)
 def _train_langid_cached(key: tuple, path: str, top_k: int):
-    from avro_diff_spark.functions.fit import langid_bigram_table
+    from avro_diff_spark.functions.fit import langid_profile_table
 
-    rows = langid_bigram_table(path)
-    totals: dict[str, int] = {}
-    for lang, _, c in rows:
-        totals[lang] = totals.get(lang, 0) + c
-    by_bigram: dict[str, dict[str, int]] = {}
-    for lang, bg, c in rows:
-        by_bigram.setdefault(bg, {})[lang] = c
-    assigned: dict[str, tuple[str, int]] = {}
-    for bg in sorted(by_bigram):
-        best = None
-        for lang in sorted(by_bigram[bg]):
-            c = by_bigram[bg][lang]
-            if best is None or c * totals[best[0]] > best[1] * totals[lang]:
-                best = (lang, c)
-        assigned[bg] = best  # type: ignore[assignment]
-    per_lang: dict[str, list[tuple[str, int]]] = {}
-    for bg, (lang, c) in assigned.items():
-        per_lang.setdefault(lang, []).append((bg, c))
-    out: list[tuple[str, str]] = []
-    for lang in sorted(per_lang):
-        kept = sorted(per_lang[lang], key=lambda t: (-t[1], t[0]))[:top_k]
-        out.extend((bg, lang) for bg, _ in sorted(kept))
-    return tuple(out)
+    return langid_profile_table(path, top_k)
 
 
 def q_langid_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

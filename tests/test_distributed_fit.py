@@ -148,3 +148,15 @@ def test_all_trainers_fit_without_driver_corpus_read(spark, no_duckdb_fallback):
 
     books = train_pq_codebooks(EMB, m=4, ksub=4, sample=64)
     assert len(books) == 4
+
+
+def test_langid_profile_spark_equals_fallback(spark):
+    """The distributed assignment/top-k (DECIMAL cross-products, rank
+    window, langs x top_k collect) reproduces the Python fallback law
+    bit-for-bit."""
+    s = fit._langid_profile_spark(spark, DOCS, 10)
+    d = fit._langid_profile_finish(fit._langid_bigram_duckdb(DOCS), 10)
+    assert s == d
+    s40 = fit._langid_profile_spark(spark, DOCS, 40)
+    d40 = fit._langid_profile_finish(fit._langid_bigram_duckdb(DOCS), 40)
+    assert s40 == d40 and len(s40) >= len(s)
