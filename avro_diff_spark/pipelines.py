@@ -2010,6 +2010,91 @@ FROM fp GROUP BY fp_nfc
 """
 
 
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset card (round 13): the one-table corpus summary every LLM
+    dataset release publishes (RedPajama/Dolma/FineWeb-style data
+    cards) — volume, source/language spread, English share, and exact
+    duplication rates, each an EXACT integer law so the oracle pins all
+    of it. One row per (metric, value).
+
+    Scale shape: two passes — a 1-row whole-stage aggregate (counts,
+    sums, distincts over low-cardinality columns) and the exact-dedup
+    fingerprint groupBy folded to one row — cross-joined (1x1) and
+    unpivoted declaratively. ppm shares are integer DIV on the 1e6
+    grid (the engine's standing no-IEEE-division rule for ratios)."""
+    corpus = snap.documents_with_dups(spark, sf_dir)
+    base = corpus.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.size(F.filter(TX.tokens_ws(F.col("text")), lambda t: t != ""))).alias(
+            "total_ws_tokens"
+        ),
+        F.sum((F.col("lang") == "en").cast("long")).alias("en_docs"),
+    )
+    fp = (
+        corpus.groupBy(TX.fingerprint_md5(F.col("text")).alias("fp"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            F.count(F.lit(1)).alias("distinct_texts"),
+            F.coalesce(
+                F.sum(F.when(F.col("cnt") > 1, F.col("cnt"))), F.lit(0)
+            ).alias("dup_docs"),
+        )
+    )
+    j = base.crossJoin(fp)
+    metrics = [
+        ("n_docs", F.col("n_docs")),
+        ("n_sources", F.col("n_sources")),
+        ("n_langs", F.col("n_langs")),
+        ("total_chars", F.col("total_chars")),
+        ("total_ws_tokens", F.col("total_ws_tokens")),
+        ("en_docs", F.col("en_docs")),
+        ("en_ppm", F.expr("en_docs * 1000000 DIV n_docs")),
+        ("distinct_texts", F.col("distinct_texts")),
+        ("dup_docs", F.col("dup_docs")),
+        ("dup_ppm", F.expr("dup_docs * 1000000 DIV n_docs")),
+    ]
+    return j.select(
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(n).alias("metric"), v.cast("long").alias("value"))
+                for n, v in metrics
+            ])
+        ).alias("kv")
+    ).select("kv.*")
+
+
+def _dataset_card_sql() -> str:
+    toks = tokens_sql("text")
+    return f"""
+WITH corpus AS ({snap.DOCUMENTS_WITH_DUPS_SQL}),
+base AS (
+  SELECT count(*) AS n_docs,
+         count(DISTINCT source) AS n_sources,
+         count(DISTINCT lang) AS n_langs,
+         sum(n_chars) AS total_chars,
+         sum(len(list_filter({toks}, x -> x != ''))) AS total_ws_tokens,
+         sum((lang = 'en')::BIGINT) AS en_docs
+  FROM corpus
+),
+fp AS (
+  SELECT count(*) AS distinct_texts,
+         COALESCE(sum(CASE WHEN cnt > 1 THEN cnt END), 0) AS dup_docs
+  FROM (SELECT md5({norm_sql('text')}) AS f, count(*) AS cnt
+        FROM corpus GROUP BY f)
+)
+SELECT metric, CAST(value AS BIGINT) AS value FROM base, fp, LATERAL (VALUES
+  ('n_docs', n_docs), ('n_sources', n_sources), ('n_langs', n_langs),
+  ('total_chars', total_chars), ('total_ws_tokens', total_ws_tokens),
+  ('en_docs', en_docs), ('en_ppm', en_docs * 1000000 // n_docs),
+  ('distinct_texts', distinct_texts), ('dup_docs', dup_docs),
+  ('dup_ppm', dup_docs * 1000000 // n_docs)
+) AS m(metric, value)
+"""
+
+
 def q_pipeline_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized pipeline lineage (operators/lineage.py, round 12 —
     the verdict's "corpus-level reporting" item): two builds of a
@@ -5232,6 +5317,7 @@ PIPELINE_QUERIES = {
     "ivf_refresh_topk": q_ivf_refresh_topk,
     "ngram_decontaminated_counts": q_ngram_decontaminated_counts,
     "unicode_dedup_counts": q_unicode_dedup_counts,
+    "dataset_card": q_dataset_card,
 }
 
 def pipeline_sql() -> dict[str, str]:
@@ -5293,6 +5379,7 @@ def pipeline_sql() -> dict[str, str]:
         ),
         "ngram_decontaminated_counts": _ngram_decon_sql(),
         "unicode_dedup_counts": _unicode_dedup_sql(),
+        "dataset_card": _dataset_card_sql(),
         "kmeans_cluster_stats": _kmeans_sql(),
         "pq_topk": _pq_sql(),
         "sq_topk": _sq_sql(),

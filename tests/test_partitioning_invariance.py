@@ -92,6 +92,7 @@ QUERIES = [
     "ivf_refresh_topk",  # round 13: post-refresh probe across layouts
     "ngram_decontaminated_counts",  # round 13: winnowed gram join across layouts
     "unicode_dedup_counts",  # round 13: NFC fingerprint groupBy across layouts
+    "dataset_card",  # round 13: two-pass corpus summary across layouts
 ]
 
 
