@@ -46,7 +46,7 @@ import zlib
 from collections.abc import Iterator, Sequence
 from typing import TYPE_CHECKING, Any
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 if TYPE_CHECKING:  # pragma: no cover
     import pandas as pd
@@ -410,6 +410,76 @@ def warc_records(
                 yield pd.DataFrame.from_records(rows, columns=cols)
 
     return narrow.mapInPandas(run, schema=out_schema)
+
+
+def write_wet(
+    records: DataFrame,
+    path: str,
+    *,
+    date: str = "2026-01-01T00:00:00Z",
+    gzip_per_record: bool = True,
+    via: str = "auto",
+) -> None:
+    """WET sidecar generation — the Common Crawl companion artifact
+    (``*.warc.wet.gz``): one WARC ``conversion`` record per fetched
+    ``response``, whose payload is the page's EXTRACTED PLAIN TEXT
+    (functions/html.py ``extract_text`` — the same boilerplate-removal
+    law ``warc_text_extraction`` pins against its oracle) and whose
+    ``WARC-Refers-To`` names the source response record. Input is the
+    output of :func:`read_warc`/:func:`warc_records`; non-response rows
+    are skipped. Encoding and commit ride the exact ``write_warc``
+    plumbing (sources/sink.py executor / driver-fs routes, atomic
+    tmp+rename), so the op is one Arrow extraction pass + one encode
+    pass per partition — WET generation at 100 TB is map-only.
+    Round-trip pinned in tests/test_warc.py: reading the WET directory
+    back yields conversion records whose text matches extract_text of
+    the originals."""
+    import hashlib
+
+    from avro_diff_spark.functions.html import extract_text_df
+    from avro_diff_spark.sources.sink import write_parts
+
+    resp = records.where(F.col("warc_type") == "response")
+    txt = extract_text_df(
+        resp, "body_text", keep=("record_id", "target_uri")
+    ).select("record_id", "target_uri", "text")
+    suffix = ".warc.wet.gz" if gzip_per_record else ".warc.wet"
+
+    def encode(idx: int, it, out) -> bool:
+        recs = []
+        for n, row in enumerate(it):
+            if row["target_uri"] is None or row["text"] is None:
+                continue
+            rid = hashlib.md5(f"wet|{row['target_uri']}|{idx}|{n}".encode()).hexdigest()
+            rid = f"{rid[:8]}-{rid[8:12]}-{rid[12:16]}-{rid[16:20]}-{rid[20:]}"
+            recs.append(
+                build_record(
+                    "conversion",
+                    row["text"].encode("utf-8"),
+                    record_id=rid,
+                    date=date,
+                    target_uri=str(row["target_uri"]),
+                    content_type="text/plain",
+                    # record_id round-trips verbatim (already the full
+                    # '<urn:uuid:...>' header value from the scan)
+                    extra=(("WARC-Refers-To", row["record_id"]),)
+                    if row["record_id"]
+                    else (),
+                )
+            )
+        if not recs:
+            return False
+        out.write(build_warc(recs, gzip_per_record=gzip_per_record))
+        return True
+
+    write_parts(
+        txt,
+        path,
+        encode,
+        suffix,
+        stale_suffixes=(".warc.wet", ".warc.wet.gz"),
+        via=via,
+    )
 
 
 def read_warc(spark: SparkSession, path: str) -> DataFrame:

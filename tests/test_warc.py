@@ -507,3 +507,40 @@ def test_bm25_sql_escapes_quotes():
     con = duckdb.connect()
     con.execute("CREATE VIEW documents AS SELECT 1::BIGINT AS doc_id, 'x' AS text")
     con.execute(sql)  # parses and runs
+
+
+def test_wet_roundtrip_matches_extract_text(spark, tmp_path):
+    """write_wet over a crawled WARC directory yields conversion records
+    whose payload text equals extract_text of the original pages, with
+    WARC-Refers-To naming the source response record."""
+    from avro_diff_spark.functions.html import extract_text
+    from avro_diff_spark.sources.warc import read_warc, synth_page_html, write_warc, write_wet
+
+    pages = [
+        (i, f"https://ex.com/p{i}", synth_page_html(i, f"this is the story {i} of a test that it tells for the reader " * 5))
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(
+        [(u, h.encode()) for _, u, h in pages], "target_uri string, body binary"
+    ).repartition(3)
+    write_warc(df, str(tmp_path / "warc"))
+
+    recs = read_warc(spark, str(tmp_path / "warc"))
+    write_wet(recs, str(tmp_path / "wet"))
+
+    wet = read_warc(spark, str(tmp_path / "wet"))
+    rows = wet.collect()
+    assert all(r.warc_type == "conversion" for r in rows)
+    assert all(r.content_type == "text/plain" for r in rows)
+    got = {r.target_uri: bytes(r.body).decode("utf-8") for r in rows}
+    want = {u: extract_text(h)[0] for _, u, h in pages}
+    # pages whose extraction yields text appear with the exact law output
+    assert set(got) == {u for u, t in want.items()}
+    assert got == want
+    # Refers-To links back to real response record ids
+    from avro_diff_spark.sources.warc import parse_warc
+
+    resp_ids = {r.record_id for r in recs.collect()}
+    for part in sorted((tmp_path / "wet").glob("part-*.warc.wet.gz")):
+        for rec in parse_warc(part.read_bytes()):
+            assert rec["headers"].get("warc-refers-to") in resp_ids
