@@ -62,6 +62,49 @@ def _assign_cells(df: DataFrame, cents) -> DataFrame:
     )
 
 
+def _assign_cells_closure(df: DataFrame, cents, eps: float) -> DataFrame:
+    """SPANN-style CLOSURE assignment (Chen et al., "SPANN: Highly-
+    efficient Billion-scale Approximate Nearest Neighbor Search",
+    NeurIPS 2021 — the boundary-replication rule of its posting-list
+    construction): every vector lands in its nearest cell AND in every
+    cell whose cosine distance is within a (1 + eps) factor of the
+    nearest, i.e. ``(1 - cos_i) <= (1 + eps) * (1 - cos_best)``. Border
+    vectors therefore replicate into their neighboring cells, so a
+    fixed-probes query stops cliff-dropping candidates that sit just
+    across a cell boundary; storage grows only by the replication
+    factor (measured, typically small for moderate eps). The
+    comparison runs on the same correctly-rounded doubles the oracle
+    computes (1 + neg_cos ≡ 1 - cos exactly in IEEE), so assignment is
+    engine-portable like the plain rule."""
+    ranking = S._centroid_ranking(sorted((int(c), list(v)) for c, v in cents))
+    lim = F.lit(float(1.0 + eps))
+    r = F.col("__rank")
+    best = F.element_at(r, 1)["neg_cos"]
+    kept = F.when(best.isNull(), F.slice(r, 1, 1)).otherwise(
+        F.filter(
+            r,
+            lambda s: (F.lit(1.0) + s["neg_cos"]) <= lim * (F.lit(1.0) + best),
+        )
+    )
+    return (
+        spread_small(df)
+        .select(
+            F.col("vec_id").alias("cand_id"),
+            F.col("embedding").alias("c_emb"),
+            S._dec_norm(F.col("embedding")).alias("c_norm"),
+        )
+        .select(
+            "cand_id",
+            F.col("c_emb").alias("embedding"),
+            ranking(F.col("c_emb"), F.col("c_norm")).alias("__rank"),
+        )
+        .select(
+            F.explode(kept).alias("__cell"), "cand_id", "embedding"
+        )
+        .select(F.col("__cell.cid").alias("cell"), "cand_id", "embedding")
+    )
+
+
 def build_ivf_index(
     spark: SparkSession,
     emb_parquet_path: str,
@@ -70,13 +113,18 @@ def build_ivf_index(
     n_centroids: int = 16,
     sample: int = 1024,
     iters: int = 5,
+    closure_eps: float | None = None,
 ):
     """Train the coarse quantizer (deterministic sampled Lloyd —
     :func:`similarity.train_ivf_centroids`) and commit the index as two
     versioned tables under ``index_path``: ``centroids`` (cid → vector,
     a bounded metadata table) and ``postings`` (cell-PARTITIONED
     assignments with the embeddings), one distributed assignment pass.
-    Returns the centroids for immediate querying."""
+    ``closure_eps`` switches the assignment to SPANN-style boundary
+    replication (:func:`_assign_cells_closure`) — pass the SAME value's
+    queries through ``query_index(distinct_candidates=True)`` so a
+    replicated candidate is scored once. Returns the centroids for
+    immediate querying."""
     cents = S.train_ivf_centroids(
         emb_parquet_path, n_centroids=n_centroids, sample=sample, iters=iters
     )
@@ -86,7 +134,12 @@ def build_ivf_index(
         ).coalesce(1),
         f"{index_path}/centroids",
     )
-    assigned = _assign_cells(spark.read.parquet(emb_parquet_path), cents)
+    emb = spark.read.parquet(emb_parquet_path)
+    assigned = (
+        _assign_cells_closure(emb, cents, closure_eps)
+        if closure_eps is not None
+        else _assign_cells(emb, cents)
+    )
     V.commit_snapshot(
         assigned, f"{index_path}/postings", partition_by=["cell"]
     )
@@ -247,6 +300,7 @@ def query_index(
     *,
     k: int = 5,
     probes: int = 2,
+    distinct_candidates: bool = False,
 ) -> DataFrame:
     """IVF top-k against the STORED index — same output contract as
     :func:`similarity.ivf_topk` (rank by cosine desc, cand_id asc),
@@ -254,7 +308,11 @@ def query_index(
     cells; the postings read filters on the literal cell ids, and
     because read_version reattaches each partition's cell as a literal,
     Catalyst folds non-probed partitions' scans away — the probe touches
-    only its cells' files."""
+    only its cells' files. ``distinct_candidates=True`` dedups
+    (query, candidate) pairs before ranking — required over a
+    closure-assigned index (``build_ivf_index(closure_eps=...)``), where
+    a border candidate lives in several probed cells; the duplicate rows
+    carry identical cosines, so the distinct is exact."""
     cents = load_centroids(spark, index_path)
     ranking = S._centroid_ranking(sorted((int(c), list(v)) for c, v in cents))
     q = (
@@ -290,4 +348,6 @@ def query_index(
         .filter(F.col("query_id") != F.col("cand_id"))
         .select("query_id", "cand_id", cos.alias("cosine"))
     )
+    if distinct_candidates:
+        scored = scored.distinct()
     return S.topk_per_query(scored, k)

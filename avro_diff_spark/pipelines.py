@@ -3273,6 +3273,75 @@ def q_ivf_refresh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return AI.query_index(spark, queries, idx, k=5, probes=2)
 
 
+def q_ivf_closure_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with SPANN-style closure assignment (round 13 —
+    operators/ann_index.py ``_assign_cells_closure``; Chen et al.,
+    NeurIPS 2021): border vectors replicate into every cell whose
+    cosine distance is within (1 + eps) of their nearest, so a
+    fixed-probes query keeps candidates that sit just across a cell
+    boundary — the recall repair that pure IVF buys only with more
+    probes. Queries dedup replicated candidates before ranking
+    (identical cosines — exact). The oracle replays assignment,
+    replication rule, probe, distinct and ranking literally."""
+    import os
+
+    from avro_diff_spark.operators import ann_index as AI
+    from avro_diff_spark.sources.versioned import latest_version
+
+    src = f"{sf_dir}/embeddings.parquet"
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    idx = f"/root/repo/.cache/ivf_index_closure/{tag}-{_src_fingerprint(src)}"
+    if latest_version(f"{idx}/postings") != 0:
+        import shutil
+
+        shutil.rmtree(idx, ignore_errors=True)
+        AI.build_ivf_index(spark, src, idx, closure_eps=0.2)
+    queries = spark.read.parquet(src).filter(F.col("vec_id") < 10)
+    return AI.query_index(
+        spark, queries, idx, k=5, probes=2, distinct_candidates=True
+    )
+
+
+def _ivf_closure_sql(
+    eps: float = 0.2, k: int = 5, probes: int = 2, n_queries: int = 10
+) -> str:
+    cents = SIM.train_ivf_centroids(f"{ORACLE_SF_DIR}/embeddings.parquet")
+    cent_rows = " UNION ALL ".join(
+        f"SELECT {cid} AS cid, [{', '.join(repr(v) for v in vec)}]::DOUBLE[] AS cent"
+        for cid, vec in cents
+    )
+    # repr round-trips the double exactly; DuckDB has no 'D' suffix
+    lim = repr(float(1.0 + eps))
+    return f"""
+WITH cents AS ({cent_rows}),
+cosmat AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         {_cos_sql('e.embedding', 'c.cent')} AS cos
+  FROM embeddings e CROSS JOIN cents c
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn,
+         max(cos) OVER (PARTITION BY vec_id) AS best
+  FROM cosmat
+),
+cand AS (SELECT vec_id AS cand_id, embedding AS c_emb, cid AS cell
+         FROM ranked WHERE (1 - cos) <= {lim} * (1 - best)),
+probe AS (SELECT vec_id AS query_id, embedding AS q_emb, cid AS cell
+          FROM ranked WHERE rn <= {probes} AND vec_id < {n_queries}),
+scored AS (
+  SELECT DISTINCT query_id, cand_id, {_cos_sql('q_emb', 'c_emb')} AS cosine
+  FROM probe JOIN cand USING (cell)
+  WHERE query_id <> cand_id
+)
+SELECT query_id, cand_id, rank, cosine FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, cand_id ASC) AS INT) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
 @_lru_cache(maxsize=8)
 def _refreshed_ivf_cents_cached(
     key: tuple, n_centroids: int, sample: int, iters: int
@@ -5318,6 +5387,7 @@ PIPELINE_QUERIES = {
     "ngram_decontaminated_counts": q_ngram_decontaminated_counts,
     "unicode_dedup_counts": q_unicode_dedup_counts,
     "dataset_card": q_dataset_card,
+    "ivf_closure_topk": q_ivf_closure_topk,
 }
 
 def pipeline_sql() -> dict[str, str]:
@@ -5380,6 +5450,7 @@ def pipeline_sql() -> dict[str, str]:
         "ngram_decontaminated_counts": _ngram_decon_sql(),
         "unicode_dedup_counts": _unicode_dedup_sql(),
         "dataset_card": _dataset_card_sql(),
+        "ivf_closure_topk": _ivf_closure_sql(),
         "kmeans_cluster_stats": _kmeans_sql(),
         "pq_topk": _pq_sql(),
         "sq_topk": _sq_sql(),

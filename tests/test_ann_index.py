@@ -274,3 +274,44 @@ def test_refresh_oracle_replica_matches_engine(spark, tmp_path):
     )
     stored = AI.refresh_index(spark, idx)
     assert stored == P._refreshed_ivf_cents()
+
+
+def test_closure_assignment_replicates_and_improves_recall(spark, tmp_path, emb_path):
+    """SPANN boundary replication: (a) postings grow by a replication
+    factor > 1, every vector's nearest cell still present; (b) recall
+    against exact cosine top-k at fixed probes is >= the plain index's
+    (border candidates stop vanishing); (c) replicated candidates are
+    scored once (distinct) and results stay plan-layout-exact vs the
+    oracle law (oracle-pinned in ivf_closure_topk)."""
+    from avro_diff_spark.sources import versioned as V
+
+    emb = spark.read.parquet(emb_path)
+    n = emb.count()
+    plain, closed = str(tmp_path / "plain"), str(tmp_path / "closed")
+    cents = AI.build_ivf_index(spark, emb_path, plain, n_centroids=8)
+    AI.build_ivf_index(spark, emb_path, closed, n_centroids=8, closure_eps=0.3)
+
+    n_plain = V.read_version(spark, f"{plain}/postings").count()
+    n_closed = V.read_version(spark, f"{closed}/postings").count()
+    assert n_plain == n
+    assert n_closed > n  # boundary vectors actually replicated
+
+    # nearest cell is always kept: plain assignment is a subset
+    p = V.read_version(spark, f"{plain}/postings").select("cell", "cand_id")
+    c = V.read_version(spark, f"{closed}/postings").select("cell", "cand_id")
+    assert p.exceptAll(c).count() == 0
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = SIM.cosine_topk(queries, emb, k=5)
+    truth = {(r.query_id, r.cand_id) for r in exact.collect()}
+
+    def recall(idx, distinct):
+        got = {
+            (r.query_id, r.cand_id)
+            for r in AI.query_index(
+                spark, queries, idx, k=5, probes=2, distinct_candidates=distinct
+            ).collect()
+        }
+        return len(got & truth)
+
+    assert recall(closed, True) >= recall(plain, False)

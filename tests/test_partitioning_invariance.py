@@ -93,6 +93,7 @@ QUERIES = [
     "ngram_decontaminated_counts",  # round 13: winnowed gram join across layouts
     "unicode_dedup_counts",  # round 13: NFC fingerprint groupBy across layouts
     "dataset_card",  # round 13: two-pass corpus summary across layouts
+    "ivf_closure_topk",  # round 13: replicated-cell probe + distinct across layouts
 ]
 
 
