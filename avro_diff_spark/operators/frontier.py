@@ -219,3 +219,42 @@ def frontier_next_wave(spark: SparkSession, frontier_path: str, fetched_path: st
         return frontier
     fetched = read_version(spark, fetched_path).select("url").distinct()
     return frontier.join(fetched, "url", "anti")
+
+
+def fetch_schedule(
+    frontier: DataFrame,
+    *,
+    per_host: int = 8,
+    url_col: str = "url",
+    priority_col: str | None = None,
+) -> DataFrame:
+    """Politeness scheduling (round 13): partition a frontier wave into
+    fetch ROUNDS with at most ``per_host`` URLs per host per round —
+    the per-host rate cap every polite crawler enforces (the batch form
+    of crawl-delay; a fetcher drains wave 0 everywhere, sleeps its
+    delay, then wave 1, ...). Within a host, higher ``priority_col``
+    (e.g. ``n_refs``) goes to earlier waves, ties by URL — the
+    deterministic order that keeps the schedule identical on any
+    cluster layout.
+
+    Scale shape: ONE window keyed by host (rank → integer DIV) — the
+    shuffle is the host partitioning a fetcher needs anyway; no global
+    sort, no driver state. Returns ``(url, host, wave)`` plus the
+    pass-through columns."""
+    if per_host < 1:
+        raise ValueError(f"per_host must be >= 1, got {per_host}")
+    from pyspark.sql import Window
+
+    host = url_host(F.col(url_col)).alias("host")
+    order = (
+        [F.desc(priority_col)] if priority_col else []
+    ) + [F.asc(url_col)]
+    w = Window.partitionBy("host").orderBy(*order)
+    return (
+        frontier.select("*", host)
+        .withColumn(
+            "wave",
+            ((F.row_number().over(w) - F.lit(1)) / F.lit(per_host))
+            .cast("int"),
+        )
+    )

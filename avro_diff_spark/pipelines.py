@@ -5182,6 +5182,22 @@ def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_crawl_fetch_waves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness scheduling over the frontier wave (round 13 —
+    operators/frontier.py ``fetch_schedule``): the allowed next-wave
+    URLs partitioned into fetch rounds of at most 2 per host, most-
+    referenced first (ties by URL) — the per-host rate cap a polite
+    fetcher drains round by round. One host-keyed window on top of the
+    recorded frontier expansion; the oracle wraps the frontier's
+    closed form in the same rank arithmetic."""
+    from avro_diff_spark.operators.frontier import fetch_schedule
+
+    wave = q_crawl_frontier(spark, sf_dir)
+    return fetch_schedule(wave, per_host=2, priority_col="n_refs").select(
+        "url", "host", "n_refs", "wave"
+    )
+
+
 # closed form of the whole wave: candidate URLs, per-channel counts and
 # robots verdicts are all functions of the doc id (see q_crawl_frontier)
 CRAWL_FRONTIER_SQL = """
@@ -5214,6 +5230,23 @@ SELECT url,
        CAST(sum(s) AS BIGINT) AS from_sitemaps
 FROM c WHERE ok
 GROUP BY url
+"""
+
+# the same host-extraction regex as functions.urls._AUTH_RE, so the
+# schedule's host key can never drift from url_host
+CRAWL_FETCH_WAVES_SQL = f"""
+WITH f AS ({CRAWL_FRONTIER_SQL}),
+h AS (
+  SELECT url, n_refs,
+         regexp_replace(
+           regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+           '^[^@]*@', '') AS hp
+  FROM f
+)
+SELECT url, regexp_replace(hp, ':[0-9]+$', '') AS host, n_refs,
+       CAST((row_number() OVER (PARTITION BY regexp_replace(hp, ':[0-9]+$', '')
+             ORDER BY n_refs DESC, url ASC) - 1) // 2 AS INT) AS wave
+FROM h
 """
 
 
@@ -5388,6 +5421,7 @@ PIPELINE_QUERIES = {
     "unicode_dedup_counts": q_unicode_dedup_counts,
     "dataset_card": q_dataset_card,
     "ivf_closure_topk": q_ivf_closure_topk,
+    "crawl_fetch_waves": q_crawl_fetch_waves,
 }
 
 def pipeline_sql() -> dict[str, str]:
@@ -5451,6 +5485,7 @@ def pipeline_sql() -> dict[str, str]:
         "unicode_dedup_counts": _unicode_dedup_sql(),
         "dataset_card": _dataset_card_sql(),
         "ivf_closure_topk": _ivf_closure_sql(),
+        "crawl_fetch_waves": CRAWL_FETCH_WAVES_SQL,
         "kmeans_cluster_stats": _kmeans_sql(),
         "pq_topk": _pq_sql(),
         "sq_topk": _sq_sql(),

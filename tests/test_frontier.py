@@ -218,3 +218,31 @@ def test_expand_frontier_drops_non_fetchable_schemes(spark):
     robots = spark.createDataFrame([], "host string, robots string")
     out = {r.url for r in expand_frontier(pages, robots, agent="x").collect()}
     assert out == {"http://h9.test/ok"}
+
+
+def test_fetch_schedule_per_host_cap_and_order(spark):
+    from avro_diff_spark.operators.frontier import fetch_schedule
+
+    rows = [
+        (f"http://h{i % 3}.test/p{i}", 10 - i) for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "url string, n_refs int")
+    out = fetch_schedule(df, per_host=2, priority_col="n_refs").collect()
+    # cap: no (host, wave) bucket exceeds per_host
+    from collections import Counter
+
+    c = Counter((r.host, r.wave) for r in out)
+    assert max(c.values()) <= 2
+    # priority: within a host, waves are ordered by n_refs desc
+    by_host = {}
+    for r in out:
+        by_host.setdefault(r.host, []).append((r.wave, -r.n_refs, r.url))
+    for host, items in by_host.items():
+        assert sorted(items) == sorted(items, key=lambda t: (t[0], t[1], t[2]))
+        waves = sorted({w for w, _, _ in items})
+        assert waves == list(range(len(waves)))  # dense wave numbering
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        fetch_schedule(df, per_host=0)

@@ -94,6 +94,7 @@ QUERIES = [
     "unicode_dedup_counts",  # round 13: NFC fingerprint groupBy across layouts
     "dataset_card",  # round 13: two-pass corpus summary across layouts
     "ivf_closure_topk",  # round 13: replicated-cell probe + distinct across layouts
+    "crawl_fetch_waves",  # round 13: host-keyed rank window across layouts
 ]
 
 
