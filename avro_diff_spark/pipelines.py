@@ -2095,6 +2095,59 @@ SELECT metric, CAST(value AS BIGINT) AS value FROM base, fp, LATERAL (VALUES
 """
 
 
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source content overlap (round 13): which corpus sources
+    carry the SAME text — the mixing diagnostic run before weighting a
+    multi-source corpus (mirror sites and syndication make naive
+    per-source token budgets double-count). Fixture law: every
+    ``doc_id % 9 == 0`` doc also appears under a ``mirror`` source and
+    every ``doc_id % 9 == 1`` doc under the next source id — verbatim
+    copies across source boundaries. One row per unordered source pair
+    with the count of distinct shared normalized texts.
+
+    Scale shape: distinct (fingerprint, source) — map-side combined —
+    then a self equi-join ON the fingerprint (sources per fingerprint
+    are bounded by the source list, so the join fans out per-key by
+    that small factor, never all-pairs) and one keyed count."""
+    d = spread_small(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    k = F.regexp_extract(F.col("source"), "([0-9]+)$", 1).cast("int")
+    mirror = d.where(F.col("doc_id") % 9 == 0).select(
+        "text", F.lit("mirror").alias("source")
+    )
+    syndicated = d.where(F.col("doc_id") % 9 == 1).select(
+        "text", F.concat(F.lit("src"), ((k + 1) % 20).cast("string")).alias("source")
+    )
+    corpus = d.select("text", "source").unionByName(mirror).unionByName(syndicated)
+    fps = corpus.select(
+        TX.fingerprint_md5(F.col("text")).alias("fp"), "source"
+    ).distinct()
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_texts"))
+    )
+
+
+SOURCE_OVERLAP_SQL = f"""
+WITH c AS (
+  SELECT text, source FROM documents
+  UNION ALL
+  SELECT text, 'mirror' FROM documents WHERE doc_id % 9 = 0
+  UNION ALL
+  SELECT text, 'src' || ((CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) + 1) % 20)
+  FROM documents WHERE doc_id % 9 = 1
+),
+fps AS (SELECT DISTINCT md5({norm_sql('text')}) AS fp, source FROM c)
+SELECT a.source AS source_a, b.source AS source_b,
+       count(*)::BIGINT AS n_shared_texts
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+GROUP BY 1, 2
+"""
+
+
 def q_pipeline_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized pipeline lineage (operators/lineage.py, round 12 —
     the verdict's "corpus-level reporting" item): two builds of a
@@ -5422,6 +5475,7 @@ PIPELINE_QUERIES = {
     "dataset_card": q_dataset_card,
     "ivf_closure_topk": q_ivf_closure_topk,
     "crawl_fetch_waves": q_crawl_fetch_waves,
+    "source_overlap_matrix": q_source_overlap_matrix,
 }
 
 def pipeline_sql() -> dict[str, str]:
@@ -5486,6 +5540,7 @@ def pipeline_sql() -> dict[str, str]:
         "dataset_card": _dataset_card_sql(),
         "ivf_closure_topk": _ivf_closure_sql(),
         "crawl_fetch_waves": CRAWL_FETCH_WAVES_SQL,
+        "source_overlap_matrix": SOURCE_OVERLAP_SQL,
         "kmeans_cluster_stats": _kmeans_sql(),
         "pq_topk": _pq_sql(),
         "sq_topk": _sq_sql(),

@@ -95,6 +95,7 @@ QUERIES = [
     "dataset_card",  # round 13: two-pass corpus summary across layouts
     "ivf_closure_topk",  # round 13: replicated-cell probe + distinct across layouts
     "crawl_fetch_waves",  # round 13: host-keyed rank window across layouts
+    "source_overlap_matrix",  # round 13: fingerprint self-join across layouts
 ]
 
 
