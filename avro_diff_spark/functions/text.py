@@ -59,6 +59,18 @@ def fingerprint_md5(col: Column, *, pre_normalized: bool = False) -> Column:
     return F.md5(col if pre_normalized else norm_text(col))
 
 
+def dedup_paragraphs(col: Column, *, sep: str = "\n\n") -> Column:
+    """Intra-document paragraph dedup: drop every repeat of an
+    already-seen paragraph, KEEPING first-occurrence order, and rejoin —
+    the within-page cleanup (boilerplate blocks, syndication footers,
+    scraper stutters repeat inside one document) that document-level
+    dedup cannot touch. Pure Column: split → ``array_distinct`` (Spark
+    preserves first-occurrence order) → join; the DuckDB oracle law is
+    the explicit first-occurrence filter (``list_position(a, a[i]) = i``)
+    because its ``list_distinct`` does not preserve order."""
+    return F.array_join(F.array_distinct(F.split(col, sep)), sep)
+
+
 def nfc(col: Column) -> Column:
     """Unicode canonical composition (NFC) of a string column — the
     multilingual dedup-key prerequisite: 'café' spelled with a composed

@@ -2095,6 +2095,67 @@ SELECT metric, CAST(value AS BIGINT) AS value FROM base, fp, LATERAL (VALUES
 """
 
 
+def q_paragraph_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document paragraph dedup (round 13 — functions/text.py
+    ``dedup_paragraphs``): pages repeat blocks INSIDE one document
+    (boilerplate, syndication footers, scraper stutters), which
+    document-level dedup never touches. Fixture law: three 8-word
+    paragraphs from the doc's own tokens, the third a verbatim repeat
+    of the first on ``doc_id % 3 == 0`` docs. Output per doc:
+    paragraph counts before/after and the md5 of the cleaned text —
+    the oracle replays the split/first-occurrence/rejoin law exactly
+    (its SQL uses the explicit ``list_position`` first-occurrence
+    filter since DuckDB's list_distinct is unordered).
+
+    Scale shape: pure Column expressions end to end — map-only."""
+    d = spread_small(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    ts = F.filter(TX.tokens_ws(F.col("text")), lambda t: t != "")
+    t = F.col("__ts")
+    p1 = F.array_join(F.slice(t, 1, 8), " ")
+    p2 = F.array_join(F.slice(t, 9, 8), " ")
+    p3 = F.when(F.col("doc_id") % 3 == 0, p1).otherwise(
+        F.array_join(F.slice(t, 17, 8), " ")
+    )
+    staged = d.select("doc_id", ts.alias("__ts")).select(
+        "doc_id", F.concat_ws("\n\n", p1, p2, p3).alias("t2")
+    )
+    clean = TX.dedup_paragraphs(F.col("t2"))
+    return staged.select(
+        "doc_id",
+        F.size(F.split(F.col("t2"), "\n\n")).cast("long").alias("n_before"),
+        F.size(F.split(clean, "\n\n")).cast("long").alias("n_after"),
+        F.md5(clean).alias("clean_md5"),
+    )
+
+
+def _paragraph_dedup_sql() -> str:
+    toks = f"list_filter({tokens_sql('text')}, x -> x != '')"
+    # COALESCE: DuckDB's array_to_string of an EMPTY slice is NULL where
+    # Spark's array_join is '' — short docs must agree
+    p1 = f"COALESCE(array_to_string({toks}[1:8], ' '), '')"
+    p2 = f"COALESCE(array_to_string({toks}[9:16], ' '), '')"
+    p3 = (
+        f"(CASE WHEN doc_id % 3 = 0 THEN {p1}"
+        f" ELSE COALESCE(array_to_string({toks}[17:24], ' '), '') END)"
+    )
+    first_occ = (
+        "list_transform(list_filter(range(1, len(ps) + 1),"
+        " i -> list_position(ps, ps[i]) = i), i -> ps[i])"
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, {p1} || chr(10) || chr(10) || {p2} || chr(10) || chr(10) || {p3} AS t2
+  FROM documents
+),
+s AS (SELECT doc_id, t2, string_split(t2, chr(10) || chr(10)) AS ps FROM t)
+SELECT doc_id,
+       CAST(len(ps) AS BIGINT) AS n_before,
+       CAST(len({first_occ}) AS BIGINT) AS n_after,
+       md5(array_to_string({first_occ}, chr(10) || chr(10))) AS clean_md5
+FROM s
+"""
+
+
 def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source content overlap (round 13): which corpus sources
     carry the SAME text — the mixing diagnostic run before weighting a
@@ -5476,6 +5537,7 @@ PIPELINE_QUERIES = {
     "ivf_closure_topk": q_ivf_closure_topk,
     "crawl_fetch_waves": q_crawl_fetch_waves,
     "source_overlap_matrix": q_source_overlap_matrix,
+    "paragraph_dedup_counts": q_paragraph_dedup_counts,
 }
 
 def pipeline_sql() -> dict[str, str]:
@@ -5541,6 +5603,7 @@ def pipeline_sql() -> dict[str, str]:
         "ivf_closure_topk": _ivf_closure_sql(),
         "crawl_fetch_waves": CRAWL_FETCH_WAVES_SQL,
         "source_overlap_matrix": SOURCE_OVERLAP_SQL,
+        "paragraph_dedup_counts": _paragraph_dedup_sql(),
         "kmeans_cluster_stats": _kmeans_sql(),
         "pq_topk": _pq_sql(),
         "sq_topk": _sq_sql(),

@@ -96,6 +96,7 @@ QUERIES = [
     "ivf_closure_topk",  # round 13: replicated-cell probe + distinct across layouts
     "crawl_fetch_waves",  # round 13: host-keyed rank window across layouts
     "source_overlap_matrix",  # round 13: fingerprint self-join across layouts
+    "paragraph_dedup_counts",  # round 13: map-only paragraph law across layouts
 ]
 
 

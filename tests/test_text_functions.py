@@ -164,3 +164,20 @@ def test_nfc_matches_duckdb_utf8proc(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_dedup_paragraphs_keeps_first_occurrence_order(spark):
+    from avro_diff_spark.functions.text import dedup_paragraphs
+
+    cases = [
+        ("a\n\nb\n\na\n\nc\n\nb", "a\n\nb\n\nc"),
+        ("x", "x"),
+        ("a\n\na\n\na", "a"),
+        ("", ""),
+        ("p\n\n\n\np", "p\n\n"),  # empty paragraph survives once
+    ]
+    df = spark.createDataFrame(cases, "t string, want string")
+    rows = df.select("want", dedup_paragraphs(F.col("t")).alias("got")).collect()
+    assert all(r.got == r.want for r in rows), [
+        (r.want, r.got) for r in rows if r.got != r.want
+    ]
