@@ -59,6 +59,12 @@ def _assign_cells(df: DataFrame, cents) -> DataFrame:
             "cand_id",
             F.col("c_emb").alias("embedding"),
         )
+        # co-partition by cell before the partitioned commit: without
+        # this every input split writes a sliver into every cell — a
+        # files x cells small-file explosion that read-side probes then
+        # pay for forever (the optimized-write rule every lakehouse
+        # writer applies before partitionBy)
+        .repartition("cell")
     )
 
 
@@ -102,6 +108,7 @@ def _assign_cells_closure(df: DataFrame, cents, eps: float) -> DataFrame:
             F.explode(kept).alias("__cell"), "cand_id", "embedding"
         )
         .select(F.col("__cell.cid").alias("cell"), "cand_id", "embedding")
+        .repartition("cell")  # same optimized-write rule as _assign_cells
     )
 
 
