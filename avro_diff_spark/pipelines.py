@@ -2095,6 +2095,39 @@ SELECT metric, CAST(value AS BIGINT) AS value FROM base, fp, LATERAL (VALUES
 """
 
 
+MASK_SALT = "r13-export"  # fixture salt — a real export keeps its salt secret
+
+
+def q_masked_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic PII pseudonymization for export (round 13 —
+    functions/mask.py): the customer name (direct identifier) and
+    nation key (quasi-identifier) replaced by salted sha256 tokens that
+    stay JOINABLE (same value ⇒ same token) while the original needs
+    the salt; the surrogate key and non-PII columns pass through. Pure
+    Column sha2 — masking 100 TB is map-only. The oracle replays the
+    identical token law with DuckDB's sha256, so a drift in salt
+    handling, casting, truncation or NULL passthrough breaks the hash."""
+    from avro_diff_spark.functions.mask import mask_columns
+
+    c = spread_small(spark.read.parquet(f"{sf_dir}/customer.parquet"))
+    return mask_columns(
+        c.select("c_custkey", "c_name", "c_nationkey", "c_mktsegment"),
+        ["c_name", "c_nationkey"],
+        salt=MASK_SALT,
+    )
+
+
+def _masked_customers_sql() -> str:
+    from avro_diff_spark.functions.mask import mask_token_sql
+
+    m = {c: mask_token_sql(c, salt=MASK_SALT) for c in ("c_name", "c_nationkey")}
+    return f"""
+SELECT c_custkey, {m['c_name']} AS c_name,
+       {m['c_nationkey']} AS c_nationkey, c_mktsegment
+FROM customer
+"""
+
+
 def q_paragraph_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra-document paragraph dedup (round 13 — functions/text.py
     ``dedup_paragraphs``): pages repeat blocks INSIDE one document
@@ -5538,6 +5571,7 @@ PIPELINE_QUERIES = {
     "crawl_fetch_waves": q_crawl_fetch_waves,
     "source_overlap_matrix": q_source_overlap_matrix,
     "paragraph_dedup_counts": q_paragraph_dedup_counts,
+    "masked_customers": q_masked_customers,
 }
 
 def pipeline_sql() -> dict[str, str]:
@@ -5604,6 +5638,7 @@ def pipeline_sql() -> dict[str, str]:
         "crawl_fetch_waves": CRAWL_FETCH_WAVES_SQL,
         "source_overlap_matrix": SOURCE_OVERLAP_SQL,
         "paragraph_dedup_counts": _paragraph_dedup_sql(),
+        "masked_customers": _masked_customers_sql(),
         "kmeans_cluster_stats": _kmeans_sql(),
         "pq_topk": _pq_sql(),
         "sq_topk": _sq_sql(),

@@ -97,6 +97,7 @@ QUERIES = [
     "crawl_fetch_waves",  # round 13: host-keyed rank window across layouts
     "source_overlap_matrix",  # round 13: fingerprint self-join across layouts
     "paragraph_dedup_counts",  # round 13: map-only paragraph law across layouts
+    "masked_customers",  # round 13: map-only token law across layouts
 ]
 
 
