@@ -48,8 +48,10 @@ def resolve_via(path: str, via: str) -> str:
         if via not in ("executor", "driver-fs"):
             raise ValueError(f"via must be auto|executor|driver-fs, got {via!r}")
         return via
-    scheme = path.split("://", 1)[0] if "://" in path else ""
-    return "executor" if scheme in ("", "file") else "driver-fs"
+    # any URI scheme (including file://) goes through Hadoop: plain
+    # Python os/open calls would treat 'file:///x' as a literal relative
+    # path. Only scheme-less paths take the executor-direct fast path.
+    return "driver-fs" if "://" in path else "executor"
 
 
 def _hadoop_fs(spark, path: str):

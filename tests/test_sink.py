@@ -23,7 +23,9 @@ from avro_diff_spark.sources.sink import resolve_via
 
 def test_resolve_via_dispatch():
     assert resolve_via("/tmp/x", "auto") == "executor"
-    assert resolve_via("file:///tmp/x", "auto") == "executor"
+    # file:// is a URI — os/open would treat it as a literal path, so it
+    # routes through Hadoop like any other scheme
+    assert resolve_via("file:///tmp/x", "auto") == "driver-fs"
     assert resolve_via("hdfs://nn:8020/x", "auto") == "driver-fs"
     assert resolve_via("s3a://bucket/x", "auto") == "driver-fs"
     assert resolve_via("hdfs://nn/x", "executor") == "executor"
@@ -81,3 +83,14 @@ def test_stale_parts_cleared_on_rewrite(spark, tmp_path):
         assert len(_parts(str(d))) == 8
         write_avro(df2, str(d), via=via)  # fewer parts: old layout must go
         assert len(_parts(str(d))) == 2
+
+
+def test_file_uri_destination_works_end_to_end(spark, tmp_path):
+    """A file:// URI destination round-trips through the Hadoop route
+    (the executor path would mkdir a literal 'file:' directory)."""
+    from avro_diff_spark.sources.avro import read_avro, write_avro
+
+    df = spark.range(0, 20, 1, 2).selectExpr("id")
+    write_avro(df, f"file://{tmp_path}/out")
+    back = read_avro(spark, str(tmp_path / "out"))
+    assert sorted(r.id for r in back.collect()) == list(range(20))
