@@ -1552,8 +1552,12 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     on (≤ ncols rows). No collects; partials merge associatively, so
     at 100 TB the same plan profiles per-partition and combines."""
     from avro_diff_spark.operators.profile import profile_table
+    from avro_diff_spark.sources.tables import spread_small
 
-    return profile_table(load_table(spark, sf_dir, "lineitem"))
+    # spread_small: the melt's per-value repr/hash work runs BEFORE the
+    # first shuffle, so on a small-split scan it serializes onto the
+    # scan's few tasks; a no-op at real scale (plenty of splits)
+    return profile_table(spread_small(load_table(spark, sf_dir, "lineitem")))
 
 
 def _profile_sql_one(col: str, kind: str) -> str:
@@ -1601,8 +1605,13 @@ def table_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the oracle pins every field exactly — no tolerance; error bounds
     of the derived NDV estimate are pytest-pinned (tests/test_profile.py)."""
     from avro_diff_spark.operators.profile import profile_table
+    from avro_diff_spark.sources.tables import spread_small
 
-    return profile_table(load_table(spark, sf_dir, "lineitem"), approx=True)
+    # spread_small: the per-value md5/register work is map-side before
+    # the (tiny) register shuffle — spread it across cores (no-op at scale)
+    return profile_table(
+        spread_small(load_table(spark, sf_dir, "lineitem")), approx=True
+    )
 
 
 _PROFILE_KINDS = [

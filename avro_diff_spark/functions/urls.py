@@ -216,42 +216,54 @@ def apply_idn(df, url_col: str, *, out_col: str | None = None):
     punycode A-label form (:func:`idn_to_ascii`) — the IDN completion of
     ``normalize_url`` (round 13).
 
-    Scale shape: punycode's adaptive-bias loop is imperative, so instead
-    of putting Python on the row stream the op maps the DISTINCT
-    non-ASCII hosts through one Arrow-batched ``mapInPandas`` (a crawl's
-    distinct hosts are millions, its rows are trillions) and
-    broadcast-joins the bounded (host → ascii_host) table back; rows
-    with ASCII hosts never leave codegen. The rewrite is positional —
-    ``scheme '://' new_host <rest-from-port/path>`` — so a host string
-    reappearing in the path can never be touched."""
+    Scale shape: punycode's adaptive-bias loop is imperative, so the
+    rewrite is ONE Arrow-batched scalar pass over the URL column only
+    (the ``nfc`` pattern — column-pruned transfer, never the whole
+    row): inside each batch an ASCII authority short-circuits in O(len)
+    and non-ASCII hosts encode once per DISTINCT host via a per-batch
+    memo (crawl hosts repeat massively). A distinct-hosts + join
+    formulation was measured and rejected: it re-evaluates the whole
+    upstream plan a second time for the host inventory, which costs
+    more than the single Arrow pass at every scale. The rewrite is
+    positional — ``scheme '://' new_host <port/path/query>`` — so a
+    host string reappearing in the path can never be touched;
+    non-URL/NULL values pass through."""
+    global _IDN_UDF
+    if _IDN_UDF is None:  # lazy: pandas_udf creation needs a live session
+        from pyspark.sql.functions import pandas_udf
+
+        _IDN_UDF = pandas_udf(_idn_batch, "string")
     out_col = out_col or url_col
-    u = F.col(url_col)
-    host = url_host(u)
-    nonascii = host.rlike("[^\\x00-\\x7F]")
+    return df.withColumn(out_col, _IDN_UDF(F.col(url_col)))
 
-    hosts = df.where(nonascii).select(host.alias("_h")).distinct()
 
-    def enc(batches):
-        import pandas as pd
+_IDN_UDF = None
 
-        for pdf in batches:
-            yield pd.DataFrame(
-                {"_h": pdf["_h"], "_ah": [idn_to_ascii(h) for h in pdf["_h"]]}
-            )
 
-    mapping = hosts.mapInPandas(enc, "_h string, _ah string")
-    scheme = F.regexp_extract(u, _SCHEME_RE, 1)
-    rest = u.substr(
-        F.length(scheme) + F.lit(3) + F.length(host) + F.lit(1),
-        F.length(u),
-    )
-    rewritten = F.concat(scheme, F.lit("://"), F.col("_ah"), rest)
-    return (
-        df.withColumn("_h", F.when(nonascii, host))
-        .join(F.broadcast(mapping), "_h", "left")
-        .withColumn(out_col, F.when(F.col("_ah").isNotNull(), rewritten).otherwise(u))
-        .drop("_h", "_ah")
-    )
+def _idn_batch(s):
+    import re
+
+    auth_re = re.compile(r"^([A-Za-z][A-Za-z0-9+.-]*://)([^/?#]*)([\s\S]*)$")
+    port_re = re.compile(r":[0-9]+$")
+    memo: dict[str, str] = {}
+
+    def fix(u: str) -> str:
+        if u.isascii():
+            return u
+        m = auth_re.match(u)
+        if m is None:
+            return u
+        scheme, auth, rest = m.groups()
+        port = port_re.search(auth)
+        host = auth[: port.start()] if port else auth
+        if host.isascii():
+            return u
+        enc = memo.get(host)
+        if enc is None:
+            enc = memo[host] = idn_to_ascii(host)
+        return scheme + enc + (port.group(0) if port else "") + rest
+
+    return s.map(fix, na_action="ignore")
 
 
 def synth_url(doc_id: Column) -> Column:
