@@ -2043,7 +2043,18 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_docs"),
         )
     )
-    j = base.crossJoin(fp)
+    # the canonical way to sit two scalar aggregates side by side — a
+    # literal-key join constant-folds into the BNLJ shape the plan gate
+    # bans (see functions/canonical.fold_single_rows)
+    from avro_diff_spark.functions.canonical import fold_single_rows
+
+    j = fold_single_rows(
+        [base, fp],
+        [
+            "n_docs", "n_sources", "n_langs", "total_chars",
+            "total_ws_tokens", "en_docs", "distinct_texts", "dup_docs",
+        ],
+    )
     metrics = [
         ("n_docs", F.col("n_docs")),
         ("n_sources", F.col("n_sources")),
