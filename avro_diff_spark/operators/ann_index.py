@@ -32,11 +32,14 @@ from avro_diff_spark.sources.tables import spread_small
 
 __all__ = [
     "build_ivf_index",
+    "build_ivf_sq_index",
     "append_to_index",
     "delete_from_index",
     "refresh_index",
     "load_centroids",
+    "load_sq_bounds",
     "query_index",
+    "query_sq_index",
 ]
 
 
@@ -200,6 +203,132 @@ def delete_from_index(
     if not ids:
         return V.latest_version(posts)
     return V.delete_where(spark, posts, F.col("cand_id").isin(ids))
+
+
+def build_ivf_sq_index(
+    spark: SparkSession,
+    emb_parquet_path: str,
+    index_path: str,
+    *,
+    n_centroids: int = 16,
+    sample: int = 1024,
+    iters: int = 5,
+):
+    """FAISS ``IVF..,SQ8``-shape index: coarse quantizer + postings that
+    store ONLY 8-bit scalar-quantized codes — 1 byte per dimension
+    instead of a 4-byte float, the 4x scan/shuffle saving that makes a
+    100 TB vector corpus probeable (the most-deployed FAISS memory
+    config). Three versioned tables: ``centroids``, ``sq_bounds`` (the
+    trained per-dimension min/max — one bounded metadata row) and
+    ``postings`` (cell-partitioned ``(cell, cand_id, codes)``).
+
+    Codes persist SHIFTED by −128 as ``array<tinyint>`` (1-byte logical
+    elements); search only ever uses code DIFFERENCES, which the shared
+    shift cancels, so query-side codes use the same shift and the int64
+    symmetric distances match the unshifted oracle arithmetic exactly.
+    Search (:func:`query_sq_index`) returns those approximate distances
+    — FAISS SQ semantics: no float re-rank is possible from the index
+    alone, which is precisely its storage contract."""
+    cents = S.train_ivf_centroids(
+        emb_parquet_path, n_centroids=n_centroids, sample=sample, iters=iters
+    )
+    mins, maxs = S.train_sq_minmax(emb_parquet_path, sample=sample)
+    V.commit_snapshot(
+        spark.createDataFrame(
+            [(int(c), list(v)) for c, v in cents], "cid int, embedding array<double>"
+        ).coalesce(1),
+        f"{index_path}/centroids",
+    )
+    V.commit_snapshot(
+        spark.createDataFrame(
+            [(list(mins), list(maxs))], "mins array<double>, maxs array<double>"
+        ).coalesce(1),
+        f"{index_path}/sq_bounds",
+    )
+    enc = F.expr(S.sq_encode_sql("embedding", (mins, maxs)))
+    codes = F.transform(enc, lambda c: (c - 128).cast("byte"))
+    emb = spark.read.parquet(emb_parquet_path)
+    # _assign_cells repartitions by cell and carries the embedding —
+    # encode from it, then drop the floats (codes-only postings)
+    assigned = (
+        _assign_cells(emb, cents)
+        .withColumn("codes", codes)
+        .select("cell", "cand_id", "codes")
+    )
+    V.commit_snapshot(assigned, f"{index_path}/postings", partition_by=["cell"])
+    return cents, (mins, maxs)
+
+
+def load_sq_bounds(spark: SparkSession, index_path: str):
+    r = V.read_version(spark, f"{index_path}/sq_bounds").collect()[0]
+    return tuple(float(v) for v in r.mins), tuple(float(v) for v in r.maxs)
+
+
+def query_sq_index(
+    spark: SparkSession,
+    queries: DataFrame,
+    index_path: str,
+    *,
+    k: int = 5,
+    probes: int = 2,
+) -> DataFrame:
+    """IVF-SQ8 top-k against the STORED code-only index: each query
+    fans out to its ``probes`` nearest cells (same stored-centroid
+    routing as :func:`query_index`), candidates score by the symmetric
+    int64 code distance Σ(c−q)² — pure integer arithmetic, so results
+    are bit-exact on any engine and any partitioning — and rank by
+    (distance ASC, cand_id ASC). Returns (query_id, cand_id, rank,
+    dist); distances are the quantized approximation, FAISS SQ
+    semantics (module note on ``build_ivf_sq_index``)."""
+    from pyspark.sql import Window
+
+    cents = load_centroids(spark, index_path)
+    minmax = load_sq_bounds(spark, index_path)
+    ranking = S._centroid_ranking(sorted((int(c), list(v)) for c, v in cents))
+    enc = F.expr(S.sq_encode_sql("embedding", minmax))
+    qcodes = F.transform(enc, lambda c: (c - 128).cast("byte"))
+    q = (
+        queries.select(
+            F.col("vec_id").alias("query_id"),
+            qcodes.alias("qcodes"),
+            F.col("embedding").alias("q_emb"),
+            S._dec_norm(F.col("embedding")).alias("q_norm"),
+        )
+        .select(
+            "query_id",
+            "qcodes",
+            F.explode_outer(
+                F.transform(
+                    F.slice(ranking(F.col("q_emb"), F.col("q_norm")), 1, probes),
+                    lambda s: s.getField("cid"),
+                )
+            ).alias("cell"),
+        )
+        .where(F.col("cell").isNotNull())
+    )
+    post = V.read_version(spark, f"{index_path}/postings")
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("qcodes"),
+            lambda c, qc: ((c.cast("int") - qc.cast("int"))
+                           * (c.cast("int") - qc.cast("int"))).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, v: a + v,
+    )
+    scored = (
+        F.broadcast(q)
+        .join(post, "cell")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", dist.alias("dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "cand_id", "rank", "dist")
+    )
 
 
 def refresh_index(

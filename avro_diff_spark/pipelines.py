@@ -3500,6 +3500,78 @@ SELECT query_id, cand_id, rank, cosine FROM (
 """
 
 
+def q_ivf_sq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stored IVF-SQ8 index (round 13 — operators/ann_index.py
+    ``build_ivf_sq_index``, the FAISS ``IVF..,SQ8`` memory config):
+    postings hold ONLY 1-byte-per-dimension scalar-quantized codes (4x
+    lighter than float32 — the saving that makes a 100 TB vector corpus
+    probeable), probes route by the stored centroids, and candidates
+    rank by the symmetric int64 code distance — pure integer
+    arithmetic, bit-exact on any engine, so the oracle pins the
+    quantized distances themselves, not a tolerance."""
+    import os
+
+    from avro_diff_spark.operators import ann_index as AI
+    from avro_diff_spark.sources.versioned import latest_version
+
+    src = f"{sf_dir}/embeddings.parquet"
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    idx = f"/root/repo/.cache/ivf_index_sq/{tag}-{_src_fingerprint(src)}"
+    if latest_version(f"{idx}/postings") != 0:
+        import shutil
+
+        shutil.rmtree(idx, ignore_errors=True)
+        AI.build_ivf_sq_index(spark, src, idx)
+    queries = spark.read.parquet(src).filter(F.col("vec_id") < 10)
+    return AI.query_sq_index(spark, queries, idx, k=5, probes=2)
+
+
+def _ivf_sq_sql(k: int = 5, probes: int = 2, n_queries: int = 10) -> str:
+    cents = SIM.train_ivf_centroids(f"{ORACLE_SF_DIR}/embeddings.parquet")
+    mins, maxs = SIM.train_sq_minmax(f"{ORACLE_SF_DIR}/embeddings.parquet")
+    cent_rows = " UNION ALL ".join(
+        f"SELECT {cid} AS cid, [{', '.join(repr(v) for v in vec)}]::DOUBLE[] AS cent"
+        for cid, vec in cents
+    )
+
+    def vec_lit(vec) -> str:
+        return "[" + ", ".join(repr(float(v)) for v in vec) + "]::DOUBLE[]"
+
+    codes = (
+        f"list_transform(list_zip(embedding, {vec_lit(mins)}, {vec_lit(maxs)}), "
+        "p -> CAST(least(255, greatest(0, "
+        "CAST(round((CAST(p[1] AS DOUBLE) - p[2]) * 255.0 / (p[3] - p[2])) AS BIGINT)"
+        ")) AS INT))"
+    )
+    dist = (
+        "list_sum(list_transform(list_zip(e.codes, q.qcodes), "
+        "p -> CAST((p[1] - p[2]) * (p[1] - p[2]) AS BIGINT)))"
+    )
+    return f"""
+WITH cents AS ({cent_rows}),
+assign AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_cos_sql('e.embedding', 'c.cent')} DESC, c.cid ASC) AS rn
+  FROM embeddings e CROSS JOIN cents c
+),
+enc AS (SELECT vec_id AS cand_id, cid AS cell, {codes} AS codes
+        FROM assign WHERE rn = 1),
+probe AS (SELECT vec_id AS query_id, cid AS cell, {codes} AS qcodes
+          FROM assign WHERE rn <= {probes} AND vec_id < {n_queries}),
+scored AS (
+  SELECT q.query_id, e.cand_id, {dist} AS dist
+  FROM probe q JOIN enc e USING (cell)
+  WHERE q.query_id <> e.cand_id
+)
+SELECT query_id, cand_id, rank, CAST(dist AS BIGINT) AS dist FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY dist ASC, cand_id ASC) AS INT) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
 @_lru_cache(maxsize=8)
 def _refreshed_ivf_cents_cached(
     key: tuple, n_centroids: int, sample: int, iters: int
@@ -5583,6 +5655,7 @@ PIPELINE_QUERIES = {
     "source_overlap_matrix": q_source_overlap_matrix,
     "paragraph_dedup_counts": q_paragraph_dedup_counts,
     "masked_customers": q_masked_customers,
+    "ivf_sq_index_topk": q_ivf_sq_index_topk,
 }
 
 def pipeline_sql() -> dict[str, str]:
@@ -5650,6 +5723,7 @@ def pipeline_sql() -> dict[str, str]:
         "source_overlap_matrix": SOURCE_OVERLAP_SQL,
         "paragraph_dedup_counts": _paragraph_dedup_sql(),
         "masked_customers": _masked_customers_sql(),
+        "ivf_sq_index_topk": _ivf_sq_sql(),
         "kmeans_cluster_stats": _kmeans_sql(),
         "pq_topk": _pq_sql(),
         "sq_topk": _sq_sql(),

@@ -315,3 +315,39 @@ def test_closure_assignment_replicates_and_improves_recall(spark, tmp_path, emb_
         return len(got & truth)
 
     assert recall(closed, True) >= recall(plain, False)
+
+
+def test_sq_index_stores_bytes_only_and_ranks_sanely(spark, tmp_path, emb_path):
+    """IVF-SQ8 postings carry ONLY tinyint codes (no float embeddings —
+    the 4x storage contract), distances are deterministic int64, and
+    the quantized ranking overlaps exact cosine top-k (8-bit SQ is
+    nearly rank-lossless)."""
+    from pyspark.sql import types as T
+
+    from avro_diff_spark.sources import versioned as V
+
+    idx = str(tmp_path / "sq")
+    AI.build_ivf_sq_index(spark, emb_path, idx, n_centroids=8)
+    post = V.read_version(spark, f"{idx}/postings")
+    fields = {f.name: f.dataType for f in post.schema.fields}
+    assert set(fields) == {"cell", "cand_id", "codes"}
+    assert isinstance(fields["codes"], T.ArrayType)
+    assert isinstance(fields["codes"].elementType, T.ByteType)
+
+    emb = spark.read.parquet(emb_path)
+    queries = emb.filter(F.col("vec_id") < 8)
+    got = AI.query_sq_index(spark, queries, idx, k=5, probes=8)
+    rows = got.collect()
+    assert all(isinstance(r.dist, int) and r.dist >= 0 for r in rows)
+    # deterministic: a second run is identical
+    again = AI.query_sq_index(spark, queries, idx, k=5, probes=8)
+    assert {(r.query_id, r.cand_id, r.rank, r.dist) for r in rows} == {
+        (r.query_id, r.cand_id, r.rank, r.dist) for r in again.collect()
+    }
+    # full-probe SQ top-5 overlaps exact cosine top-5 (rank-lossless-ish)
+    truth = {
+        (r.query_id, r.cand_id)
+        for r in SIM.cosine_topk(queries, emb, k=5).collect()
+    }
+    sq = {(r.query_id, r.cand_id) for r in rows}
+    assert len(sq & truth) >= int(0.6 * len(truth))

@@ -98,6 +98,7 @@ QUERIES = [
     "source_overlap_matrix",  # round 13: fingerprint self-join across layouts
     "paragraph_dedup_counts",  # round 13: map-only paragraph law across layouts
     "masked_customers",  # round 13: map-only token law across layouts
+    "ivf_sq_index_topk",  # round 13: int64 code-distance probe across layouts
 ]
 
 
