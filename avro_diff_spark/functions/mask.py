@@ -35,10 +35,16 @@ def mask_token(
 
 
 def mask_token_sql(expr: str, *, salt: str, prefix: str = "tok_", length: int = 16) -> str:
-    """DuckDB twin of :func:`mask_token` (oracle builder)."""
+    """DuckDB twin of :func:`mask_token` (oracle builder). ``salt`` and
+    ``prefix`` are DATA and get SQL-escaped (``'`` doubles — a salt
+    containing a quote must still build valid, non-injectable SQL);
+    ``expr`` is caller-supplied SQL text by contract, like every other
+    oracle builder's column argument."""
+    salt_lit = salt.replace("'", "''")
+    prefix_lit = prefix.replace("'", "''")
     return (
-        f"CASE WHEN {expr} IS NOT NULL THEN '{prefix}' || "
-        f"substr(sha256('{salt}:' || CAST({expr} AS VARCHAR)), 1, {length}) END"
+        f"CASE WHEN {expr} IS NOT NULL THEN '{prefix_lit}' || "
+        f"substr(sha256('{salt_lit}:' || CAST({expr} AS VARCHAR)), 1, {length}) END"
     )
 
 

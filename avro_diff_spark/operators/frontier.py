@@ -221,40 +221,156 @@ def frontier_next_wave(spark: SparkSession, frontier_path: str, fetched_path: st
     return frontier.join(fetched, "url", "anti")
 
 
+def _schedule_cuts(
+    frontier: DataFrame, url_col: str, priority_col: str | None, buckets: int
+) -> list:
+    """<= buckets-1 (priority, url) cut points from a deterministic
+    bottom-k md5 sample of the wave (the ``prefix._sample_cuts``
+    contract: md5-keyed, so any engine and any partition layout draws
+    the SAME sample; cuts affect only partition BALANCE, never output
+    values). Sorted by the schedule order (priority DESC, url ASC)."""
+    from avro_diff_spark.functions.sketches import _md5_hex
+
+    p = F.col(priority_col) if priority_col else F.lit(0)
+    where = F.col(url_col).isNotNull()
+    if priority_col:
+        # null priorities sort LAST (desc default); they are handled as
+        # one trailing bucket by the caller, so cuts never carry a null
+        where = where & p.isNotNull()
+    sample = (
+        frontier.where(where)
+        .select(
+            p.alias("p"),
+            F.col(url_col).alias("u"),
+            _md5_hex(F.col(url_col)).alias("h"),
+        )
+        .orderBy("h", "u")
+        .limit(max(buckets * 8, 256))
+    )
+    vals = [(r["p"], r["u"]) for r in sample.collect()]
+    # schedule order: priority desc, url asc — two stable passes so any
+    # comparable priority type works
+    vals.sort(key=lambda t: t[1])
+    vals.sort(key=lambda t: t[0], reverse=True)
+    if not vals:
+        return []
+    step = max(len(vals) // buckets, 1)
+    seen, cuts = set(), []
+    for i in range(step, len(vals), step):
+        if vals[i] not in seen:
+            seen.add(vals[i])
+            cuts.append(vals[i])
+    return cuts[: buckets - 1]
+
+
 def fetch_schedule(
     frontier: DataFrame,
     *,
     per_host: int = 8,
     url_col: str = "url",
     priority_col: str | None = None,
+    buckets: int = 64,
 ) -> DataFrame:
-    """Politeness scheduling (round 13): partition a frontier wave into
-    fetch ROUNDS with at most ``per_host`` URLs per host per round —
-    the per-host rate cap every polite crawler enforces (the batch form
-    of crawl-delay; a fetcher drains wave 0 everywhere, sleeps its
-    delay, then wave 1, ...). Within a host, higher ``priority_col``
-    (e.g. ``n_refs``) goes to earlier waves, ties by URL — the
-    deterministic order that keeps the schedule identical on any
-    cluster layout.
+    """Politeness scheduling (round 13; two-leveled round 14): partition
+    a frontier wave into fetch ROUNDS with at most ``per_host`` URLs per
+    host per round — the per-host rate cap every polite crawler enforces
+    (the batch form of crawl-delay; a fetcher drains wave 0 everywhere,
+    sleeps its delay, then wave 1, ...). Within a host, higher
+    ``priority_col`` (e.g. ``n_refs``) goes to earlier waves, ties by
+    URL — the deterministic order that keeps the schedule identical on
+    any cluster layout.
 
-    Scale shape: ONE window keyed by host (rank → integer DIV) — the
-    shuffle is the host partitioning a fetcher needs anyway; no global
-    sort, no driver state. Returns ``(url, host, wave)`` plus the
+    Scale shape (the round-13 verdict's skew item): a plain
+    ``Window.partitionBy(host)`` serializes a mega-host into ONE task —
+    the same defect class prefix.py's running aggregates solve — so the
+    per-host rank is two-leveled exactly the prefix.py way: range-bucket
+    each wave by deterministic (priority, url) cut points from a bounded
+    md5 bottom-k sample (mass-proportional, so a mega-host's rows spread
+    over many buckets while a small host costs one), rank within
+    ``(host, bucket)``, then add per-host EXCLUSIVE bucket-count
+    prefixes (a tiny <= buckets-rows-per-host window) joined back on
+    ``(host, bucket)``. Output values are bucket-independent — the
+    global per-host rank is exact — so the oracle law is unchanged;
+    ``buckets=1`` short-circuits to the plain single window (no sample
+    job) for waves a caller knows are skew-free. The cut sample is one
+    extra pass over ``frontier``: callers with an expensive upstream
+    plan should materialize the wave first (q_crawl_fetch_waves does).
+
+    Any pre-existing ``host`` column is OVERWRITTEN from ``url_col``
+    (round-13 ADVICE: appending alongside ``*`` made the window's
+    partition key ambiguous). Returns ``(url, host, wave)`` plus the
     pass-through columns."""
     if per_host < 1:
         raise ValueError(f"per_host must be >= 1, got {per_host}")
     from pyspark.sql import Window
 
-    host = url_host(F.col(url_col)).alias("host")
+    hosted = frontier.withColumn("host", url_host(F.col(url_col)))
     order = (
         [F.desc(priority_col)] if priority_col else []
     ) + [F.asc(url_col)]
-    w = Window.partitionBy("host").orderBy(*order)
+    cuts = (
+        _schedule_cuts(frontier, url_col, priority_col, buckets)
+        if buckets > 1
+        else []
+    )
+    if not cuts:
+        w = Window.partitionBy("host").orderBy(*order)
+        return hosted.withColumn(
+            "wave",
+            ((F.row_number().over(w) - F.lit(1)) / F.lit(per_host)).cast("int"),
+        )
+    # bucket = how many cuts sort at-or-before this row in schedule
+    # order (priority desc, url asc) — a pure literal-array fold
+    cut_arr = F.array(
+        *[
+            F.struct(F.lit(p).alias("p"), F.lit(u).alias("u"))
+            for p, u in cuts
+        ]
+    )
+    pcol = F.col(priority_col) if priority_col else F.lit(0)
+    bkt = F.size(
+        F.filter(
+            cut_arr,
+            lambda c: (c["p"] > pcol)
+            | ((c["p"] == pcol) & (c["u"] <= F.col(url_col))),
+        )
+    )
+    if priority_col:
+        # desc sorts null priorities LAST; every cut is non-null, so a
+        # null-priority row sorts after all cuts — the trailing bucket
+        bkt = F.when(pcol.isNull(), F.lit(len(cuts))).otherwise(bkt)
+    lw = Window.partitionBy("host", "__fs_bkt").orderBy(*order)
+    ranked = hosted.withColumn("__fs_bkt", bkt).withColumn(
+        "__fs_lr", F.row_number().over(lw)
+    )
+    ow = (
+        Window.partitionBy("__fs_host")
+        .orderBy("__fs_bkt2")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = (
+        ranked.groupBy(
+            F.col("host").alias("__fs_host"), F.col("__fs_bkt").alias("__fs_bkt2")
+        )
+        .agg(F.count(F.lit(1)).alias("__fs_n"))
+        .withColumn(
+            "__fs_off", F.coalesce(F.sum("__fs_n").over(ow), F.lit(0))
+        )
+        .drop("__fs_n")
+    )
+    out_cols = [c for c in hosted.columns if c != "wave"]
     return (
-        frontier.select("*", host)
+        # null-safe on host: an unparseable URL has a NULL host and must
+        # still schedule (the plain-window path groups it the same way)
+        ranked.join(
+            offs,
+            F.col("host").eqNullSafe(F.col("__fs_host"))
+            & (F.col("__fs_bkt") == F.col("__fs_bkt2")),
+        )
         .withColumn(
             "wave",
-            ((F.row_number().over(w) - F.lit(1)) / F.lit(per_host))
+            ((F.col("__fs_off") + F.col("__fs_lr") - F.lit(1)) / F.lit(per_host))
             .cast("int"),
         )
+        .select(*out_cols, "wave")
     )

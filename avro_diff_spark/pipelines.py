@@ -1952,6 +1952,14 @@ FROM cf JOIN bg USING (fp) GROUP BY doc_id
 """
 
 
+# the unicode_dedup fixture's two byte-spellings of the same text, held
+# as ASCII \u escapes so no editor/formatter NFC pass can silently
+# collapse the decomposed branch into the composed one (round-13 ADVICE);
+# runtime bytes are identical to the former raw literals
+_NFC_COMPOSED = " caf\u00e9 se\u00f1or"
+_NFC_DECOMPOSED = " cafe\u0301 sen\u0303or"
+
+
 def q_unicode_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode-normalized exact dedup (round 13 — functions/text.py
     ``nfc``/``fingerprint_md5_nfc``): every doc in the dup-seeded corpus
@@ -1969,8 +1977,8 @@ def q_unicode_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-dedup groupBy; nothing else moves."""
     corpus = snap.documents_with_dups(spark, sf_dir)
     d = F.col("doc_id")
-    suffix = F.when(d % 2 == 0, F.lit(" café señor")).otherwise(
-        F.lit(" café señor")
+    suffix = F.when(d % 2 == 0, F.lit(_NFC_COMPOSED)).otherwise(
+        F.lit(_NFC_DECOMPOSED)
     )
     t = F.concat(F.col("text"), suffix)
     return (
@@ -1990,8 +1998,8 @@ def q_unicode_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _unicode_dedup_sql() -> str:
     suffix = (
-        "(CASE WHEN doc_id % 2 = 0 THEN ' café señor'"
-        " ELSE ' café señor' END)"
+        f"(CASE WHEN doc_id % 2 = 0 THEN '{_NFC_COMPOSED}'"
+        f" ELSE '{_NFC_DECOMPOSED}' END)"
     )
     t = f"text || {suffix}"
     return f"""
@@ -3416,7 +3424,14 @@ def q_ivf_refresh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = f"{sf_dir}/embeddings.parquet"
     tag = os.path.basename(os.path.normpath(sf_dir))
     idx = f"/root/repo/.cache/ivf_index_refresh/{tag}-{_src_fingerprint(src)}"
-    if latest_version(f"{idx}/postings") != 2:
+    # both tables must sit at their post-refresh versions (build -> v0/v0,
+    # delete -> postings v1, refresh -> centroids v1 THEN postings v2): a
+    # crash between refresh_index's two commits must re-trigger the
+    # rebuild, never read as complete (round-13 ADVICE)
+    if (
+        latest_version(f"{idx}/postings") != 2
+        or latest_version(f"{idx}/centroids") != 1
+    ):
         import shutil
 
         shutil.rmtree(idx, ignore_errors=True)
@@ -5417,12 +5432,16 @@ def q_crawl_fetch_waves(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/frontier.py ``fetch_schedule``): the allowed next-wave
     URLs partitioned into fetch rounds of at most 2 per host, most-
     referenced first (ties by URL) — the per-host rate cap a polite
-    fetcher drains round by round. One host-keyed window on top of the
-    recorded frontier expansion; the oracle wraps the frontier's
-    closed form in the same rank arithmetic."""
+    fetcher drains round by round. The schedule's per-host rank is
+    two-leveled (round 14 — ``fetch_schedule``'s bucketed windows, the
+    prefix.py skew discipline), so the wave is materialized once with
+    ``localCheckpoint`` and the cut-sample pass + ranking read the
+    materialized rows instead of re-deriving the frontier; the oracle
+    wraps the frontier's closed form in the same rank arithmetic
+    (bucket boundaries cannot change any output value)."""
     from avro_diff_spark.operators.frontier import fetch_schedule
 
-    wave = q_crawl_frontier(spark, sf_dir)
+    wave = q_crawl_frontier(spark, sf_dir).localCheckpoint()
     return fetch_schedule(wave, per_host=2, priority_col="n_refs").select(
         "url", "host", "n_refs", "wave"
     )

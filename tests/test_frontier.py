@@ -246,3 +246,65 @@ def test_fetch_schedule_per_host_cap_and_order(spark):
 
     with pytest.raises(ValueError):
         fetch_schedule(df, per_host=0)
+
+
+def test_fetch_schedule_two_level_equals_plain_window(spark):
+    """The bucketed (skew-safe) rank path is VALUE-identical to the
+    plain per-host window — bucket boundaries affect only balance
+    (the prefix.py contract), including null priorities (desc sorts
+    them last; the bucketed path gives them the trailing bucket)."""
+    from avro_diff_spark.operators.frontier import fetch_schedule
+
+    rows = [
+        (f"http://h{i % 2}.test/p{i:03d}", None if i % 17 == 0 else (i * 7) % 5)
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "url string, n_refs int")
+
+    def key(r):
+        return (r.url, r.host, r.n_refs, r.wave)
+
+    plain = fetch_schedule(df, per_host=3, priority_col="n_refs", buckets=1)
+    bucketed = fetch_schedule(df, per_host=3, priority_col="n_refs", buckets=8)
+    assert sorted(map(key, plain.collect())) == sorted(map(key, bucketed.collect()))
+    # and the priority-less form (order by url only)
+    p2 = fetch_schedule(df, per_host=3, buckets=1)
+    b2 = fetch_schedule(df, per_host=3, buckets=8)
+    assert sorted(map(key, p2.collect())) == sorted(map(key, b2.collect()))
+    assert plain.columns == bucketed.columns
+
+
+def test_fetch_schedule_overwrites_existing_host_column(spark):
+    """An input that already carries a host column is overwritten from
+    the URL, not duplicated (round-13 ADVICE: select('*', host) made the
+    window's partitionBy('host') ambiguous)."""
+    from avro_diff_spark.operators.frontier import fetch_schedule
+
+    df = spark.createDataFrame(
+        [("http://a.test/x", "stale", 1), ("http://b.test/y", "stale", 2)],
+        "url string, host string, n_refs int",
+    )
+    out = fetch_schedule(df, per_host=1, priority_col="n_refs").collect()
+    assert sorted(r.host for r in out) == ["a.test", "b.test"]
+
+
+def test_fetch_schedule_bucketed_window_keys_include_bucket(spark):
+    """Skew pin: with buckets > 1 and real cuts, the ranking window
+    partitions by (host, bucket) — a mega-host's rows spread over many
+    tasks instead of serializing into one (round-13 verdict item 8)."""
+    from avro_diff_spark.operators.frontier import fetch_schedule
+
+    rows = [(f"http://mega.test/p{i:04d}", i % 9) for i in range(400)]
+    df = spark.createDataFrame(rows, "url string, n_refs int")
+    out = fetch_schedule(df, per_host=5, priority_col="n_refs", buckets=8)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "__fs_bkt" in plan  # bucketed two-level path engaged
+    waves = {}
+    for r in out.collect():
+        waves.setdefault(r.wave, []).append(r)
+    assert all(len(v) <= 5 for v in waves.values())
+    # wave k holds ranks 5k+1..5k+5 of the (n_refs desc, url asc) order
+    ordered = sorted(rows, key=lambda t: (-t[1], t[0]))
+    for w, members in waves.items():
+        expect = {u for u, _ in ordered[w * 5 : w * 5 + 5]}
+        assert {r.url for r in members} == expect
