@@ -34,12 +34,15 @@ __all__ = [
     "build_ivf_index",
     "build_ivf_sq_index",
     "append_to_index",
+    "append_to_sq_index",
     "delete_from_index",
     "refresh_index",
+    "refresh_sq_index",
     "load_centroids",
     "load_sq_bounds",
     "query_index",
     "query_sq_index",
+    "query_sq_index_rerank",
 ]
 
 
@@ -194,7 +197,12 @@ def delete_from_index(
     Centroids are untouched (no retraining on delete, exactly FAISS),
     and the IVF probe needs no collection stats, so ONE commit does it.
     ``delete-then-query == never-indexed-then-query`` is pytest-pinned.
-    Ids not in the index are a no-op (no empty commit)."""
+    Ids not in the index are a no-op (no empty commit).
+
+    Serves BOTH posting layouts unchanged — float (``embedding``) and
+    IVF-SQ8 (``codes``) — because the delete touches only ``cand_id``
+    (round 14: SQ CRUD parity; the SQ delete law is pinned in
+    tests/test_ann_index.py and recorded as ``ivf_sq_delete_topk``)."""
     posts = f"{index_path}/postings"
     if isinstance(vec_ids, DataFrame):
         keys = vec_ids.select(F.col(id_col).alias("cand_id")).distinct()
@@ -245,14 +253,12 @@ def build_ivf_sq_index(
         ).coalesce(1),
         f"{index_path}/sq_bounds",
     )
-    enc = F.expr(S.sq_encode_sql("embedding", (mins, maxs)))
-    codes = F.transform(enc, lambda c: (c - 128).cast("byte"))
     emb = spark.read.parquet(emb_parquet_path)
     # _assign_cells repartitions by cell and carries the embedding —
     # encode from it, then drop the floats (codes-only postings)
     assigned = (
         _assign_cells(emb, cents)
-        .withColumn("codes", codes)
+        .withColumn("codes", _sq_codes((mins, maxs)))
         .select("cell", "cand_id", "codes")
     )
     V.commit_snapshot(assigned, f"{index_path}/postings", partition_by=["cell"])
@@ -262,6 +268,137 @@ def build_ivf_sq_index(
 def load_sq_bounds(spark: SparkSession, index_path: str):
     r = V.read_version(spark, f"{index_path}/sq_bounds").collect()[0]
     return tuple(float(v) for v in r.mins), tuple(float(v) for v in r.maxs)
+
+
+def _sq_codes(minmax, emb_sql: str = "embedding"):
+    """The stored-code Column for one embedding: sq_encode then the
+    shared −128 shift to 1-byte ``array<tinyint>`` (module note on
+    ``build_ivf_sq_index`` — distances only ever use code differences,
+    which the shift cancels)."""
+    enc = F.expr(S.sq_encode_sql(emb_sql, minmax))
+    return F.transform(enc, lambda c: (c - 128).cast("byte"))
+
+
+def append_to_sq_index(spark: SparkSession, df: DataFrame, index_path: str) -> int:
+    """Add new vectors to the stored IVF-SQ8 index (round 14 — CRUD
+    parity with the float index's :func:`append_to_index`): assign
+    against the STORED centroids and encode against the STORED bounds
+    (no retraining — FAISS's add() contract for a trained
+    quantizer+SQ), then APPEND codes-only postings. Work ∝ increment;
+    historical postings are never read (plan-pinned). Returns the
+    postings table's new version."""
+    cents = load_centroids(spark, index_path)
+    minmax = load_sq_bounds(spark, index_path)
+    assigned = (
+        _assign_cells(df, cents)
+        .withColumn("codes", _sq_codes(minmax))
+        .select("cell", "cand_id", "codes")
+    )
+    return V.commit_snapshot(
+        assigned,
+        f"{index_path}/postings",
+        mode="append",
+        partition_by=["cell"],
+    )
+
+
+def refresh_sq_index(
+    spark: SparkSession,
+    index_path: str,
+    *,
+    n_centroids: int | None = None,
+    sample: int = 1024,
+    iters: int = 5,
+):
+    """Re-train the IVF-SQ8 index from its OWN live postings — the
+    post-churn maintenance op completing SQ CRUD (round-13 verdict
+    item 1), the sibling of :func:`refresh_index` for an index that
+    stores no floats: live codes RECONSTRUCT deterministically through
+    the SQ grid (:func:`similarity.sq_decode_sql` — code 0 → min, 255
+    → max, pinned IEEE op order) and the reconstructed vectors are the
+    retrain corpus, exactly FAISS's position that after quantization
+    the codes ARE the data.
+
+    Shape: dedup live postings on cand_id (append safety), decode
+    against the STORED bounds, draw the bounded 'sqr'-tagged
+    hash-sample distributed (``embedding_sample_df`` —
+    TakeOrderedAndProject, O(sample·dim) to the driver), retrain BOTH
+    models from that one sample — per-dimension min/max under
+    ``train_sq_minmax``'s law (round 12 decimals, degenerate widen) and
+    centroids under the shared seed-free Lloyd core — then re-assign
+    and re-encode every reconstructed vector in one distributed pass.
+    Commits metadata first (centroids, sq_bounds) and postings LAST,
+    the refresh_index order, so a postings-version cache guard can
+    never read a half-refresh as complete. The op is DETERMINISTIC from
+    the index state (same codes + same bounds → bit-identical new
+    models and postings, pinned in tests/test_ann_index.py); unlike the
+    float refresh a crash-then-rerun is NOT bit-identical to the
+    uncrashed outcome — the rerun decodes the still-old codes through
+    whatever bounds are current — but it always restores a CONSISTENT
+    index (codes, bounds and centroids from one retrain), which is the
+    recovery contract; guards should validate all three tables'
+    versions (the q_ivf_refresh_topk discipline). Returns
+    ``(centroids, (mins, maxs))`` like :func:`build_ivf_sq_index`.
+
+    Quantized distances CHANGE across a refresh by design (new grid,
+    new geometry) — unlike the float index there is no full-probe
+    invariance to pin; the pinned laws are state-determinism, posting
+    uniqueness, and deleted ids staying gone."""
+    import numpy as np
+
+    posts = f"{index_path}/postings"
+    stored = V.read_version(spark, posts)
+    if "codes" not in stored.columns:
+        raise ValueError(
+            "refresh_sq_index needs codes-only SQ postings; "
+            "a float IVF index refreshes via refresh_index"
+        )
+    old_minmax = load_sq_bounds(spark, index_path)
+    old_cents = load_centroids(spark, index_path)
+    k = n_centroids if n_centroids is not None else len(old_cents)
+
+    from avro_diff_spark.functions.fit import embedding_sample_df
+
+    dec = F.expr(
+        S.sq_decode_sql("transform(codes, c -> CAST(c AS INT) + 128)", old_minmax)
+    )
+    live = (
+        stored.select("cand_id", "codes")
+        .dropDuplicates(["cand_id"])
+        .select("cand_id", dec.alias("embedding"))
+    )
+    x = embedding_sample_df(live, "sqr", sample)
+    mins = np.round(x.min(axis=0), 12)
+    maxs = np.round(x.max(axis=0), 12)
+    maxs = np.where(maxs > mins, maxs, mins + 1.0)
+    minmax = (
+        tuple(float(v) for v in mins),
+        tuple(float(v) for v in maxs),
+    )
+    cents = S._lloyd_cosine(x, k, iters)
+
+    reassigned = (
+        _assign_cells(
+            live.select(F.col("cand_id").alias("vec_id"), "embedding"), cents
+        )
+        .withColumn("codes", _sq_codes(minmax))
+        .select("cell", "cand_id", "codes")
+    )
+    V.commit_snapshot(
+        spark.createDataFrame(
+            [(int(c), list(v)) for c, v in cents], "cid int, embedding array<double>"
+        ).coalesce(1),
+        f"{index_path}/centroids",
+    )
+    V.commit_snapshot(
+        spark.createDataFrame(
+            [(list(minmax[0]), list(minmax[1]))],
+            "mins array<double>, maxs array<double>",
+        ).coalesce(1),
+        f"{index_path}/sq_bounds",
+    )
+    V.commit_snapshot(reassigned, posts, partition_by=["cell"])
+    return cents, minmax
 
 
 def query_sq_index(
@@ -285,8 +422,7 @@ def query_sq_index(
     cents = load_centroids(spark, index_path)
     minmax = load_sq_bounds(spark, index_path)
     ranking = S._centroid_ranking(sorted((int(c), list(v)) for c, v in cents))
-    enc = F.expr(S.sq_encode_sql("embedding", minmax))
-    qcodes = F.transform(enc, lambda c: (c - 128).cast("byte"))
+    qcodes = _sq_codes(minmax)
     q = (
         queries.select(
             F.col("vec_id").alias("query_id"),
@@ -329,6 +465,58 @@ def query_sq_index(
         .where(F.col("rank") <= k)
         .select("query_id", "cand_id", "rank", "dist")
     )
+
+
+def query_sq_index_rerank(
+    spark: SparkSession,
+    queries: DataFrame,
+    index_path: str,
+    embeddings: DataFrame,
+    *,
+    k: int = 5,
+    probes: int = 2,
+    shortlist: int | None = None,
+) -> DataFrame:
+    """IVF-SQ8 search with a FLOAT re-rank stage (round-13 verdict item
+    5 — the FAISS ``IndexRefineFlat`` idiom): the quantized scan
+    shortlists ``shortlist`` (default 4·k) candidates per query by the
+    int64 code distance, then ONE cand_id equi-join back to the
+    ``embeddings`` table re-scores just those rows with the EXACT
+    fixed-point cosine the float index uses, and the final top-k ranks
+    by (cosine DESC, cand_id ASC) — quantization error decides only who
+    makes the shortlist, never the final order. Returns (query_id,
+    cand_id, rank, cosine), the :func:`query_index` contract.
+
+    Scale shape: the shortlist is queries·shortlist rows — broadcast to
+    the embeddings scan, so the re-rank reads the big table once
+    through a broadcast semi-join (no shuffle of the corpus) and exact
+    cosine runs on k' rows per query, not the cell population. Recall
+    improvement over the pure code-distance ranking at equal probes is
+    pinned in tests/test_ann_index.py."""
+    shortlist = shortlist if shortlist is not None else 4 * k
+    if shortlist < k:
+        raise ValueError(f"shortlist {shortlist} must be >= k {k}")
+    short = query_sq_index(
+        spark, queries, index_path, k=shortlist, probes=probes
+    ).select("query_id", "cand_id")
+    cand = embeddings.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_emb"),
+        S._dec_norm(F.col("embedding")).alias("c_norm"),
+    )
+    qe = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        S._dec_norm(F.col("embedding")).alias("q_norm"),
+    )
+    dot = S._fixed_dot(F.col("q_emb"), F.col("c_emb"))
+    cos = F.try_divide(dot, F.col("q_norm") * F.col("c_norm"))
+    scored = (
+        cand.join(F.broadcast(short), "cand_id")
+        .join(F.broadcast(qe), "query_id")
+        .select("query_id", "cand_id", cos.alias("cosine"))
+    )
+    return S.topk_per_query(scored, k)
 
 
 def refresh_index(

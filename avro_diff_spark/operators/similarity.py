@@ -716,6 +716,25 @@ def sq_encode_sql(emb_sql: str, minmax) -> str:
     )
 
 
+def sq_decode_sql(codes_sql: str, minmax) -> str:
+    """SQL text of the 8-bit scalar-quantization RECONSTRUCTION —
+    ``x̂_d = min_d + code_d * (max_d - min_d) / 255`` — the exact
+    inverse grid of :func:`sq_encode_sql` (code 0 → min, 255 → max;
+    FAISS's reconstruct() for a trained QT_8bit). ``codes_sql`` must
+    yield UNSHIFTED integer codes in [0, 255] (a stored-index caller
+    unshifts its −128-coded tinyints first). Pure Column arithmetic
+    with a pinned IEEE op order, so any engine reconstructs the
+    identical doubles — the property ``ann_index.refresh_sq_index``'s
+    deterministic retrain rests on."""
+    mins, maxs = minmax
+    return (
+        f"transform({codes_sql}, (c, i) -> "
+        f"element_at({_sql_vec(mins)}, i + 1) + CAST(c AS DOUBLE) * "
+        f"((element_at({_sql_vec(maxs)}, i + 1) - element_at({_sql_vec(mins)}, i + 1)) "
+        f"/ 255.0D))"
+    )
+
+
 def sq_topk(
     queries: DataFrame,
     candidates: DataFrame,

@@ -3541,7 +3541,120 @@ def q_ivf_sq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return AI.query_sq_index(spark, queries, idx, k=5, probes=2)
 
 
-def _ivf_sq_sql(k: int = 5, probes: int = 2, n_queries: int = 10) -> str:
+def _ivf_sq_sql(
+    k: int = 5, probes: int = 2, n_queries: int = 10, cand_pred: str = "TRUE"
+) -> str:
+    cents = SIM.train_ivf_centroids(f"{ORACLE_SF_DIR}/embeddings.parquet")
+    mins, maxs = SIM.train_sq_minmax(f"{ORACLE_SF_DIR}/embeddings.parquet")
+    cent_rows = " UNION ALL ".join(
+        f"SELECT {cid} AS cid, [{', '.join(repr(v) for v in vec)}]::DOUBLE[] AS cent"
+        for cid, vec in cents
+    )
+
+    def vec_lit(vec) -> str:
+        return "[" + ", ".join(repr(float(v)) for v in vec) + "]::DOUBLE[]"
+
+    codes = (
+        f"list_transform(list_zip(embedding, {vec_lit(mins)}, {vec_lit(maxs)}), "
+        "p -> CAST(least(255, greatest(0, "
+        "CAST(round((CAST(p[1] AS DOUBLE) - p[2]) * 255.0 / (p[3] - p[2])) AS BIGINT)"
+        ")) AS INT))"
+    )
+    dist = (
+        "list_sum(list_transform(list_zip(e.codes, q.qcodes), "
+        "p -> CAST((p[1] - p[2]) * (p[1] - p[2]) AS BIGINT)))"
+    )
+    return f"""
+WITH cents AS ({cent_rows}),
+assign AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_cos_sql('e.embedding', 'c.cent')} DESC, c.cid ASC) AS rn
+  FROM embeddings e CROSS JOIN cents c
+),
+enc AS (SELECT vec_id AS cand_id, cid AS cell, {codes} AS codes
+        FROM assign WHERE rn = 1 AND ({cand_pred})),
+probe AS (SELECT vec_id AS query_id, cid AS cell, {codes} AS qcodes
+          FROM assign WHERE rn <= {probes} AND vec_id < {n_queries}),
+scored AS (
+  SELECT q.query_id, e.cand_id, {dist} AS dist
+  FROM probe q JOIN enc e USING (cell)
+  WHERE q.query_id <> e.cand_id
+)
+SELECT query_id, cand_id, rank, CAST(dist AS BIGINT) AS dist FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY dist ASC, cand_id ASC) AS INT) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+def q_ivf_sq_delete_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-SQ8 maintenance with DELETES (round 14 —
+    operators/ann_index.py ``delete_from_index`` over codes-only
+    postings, completing SQ CRUD parity with the float index): build
+    the stored SQ index, DV-delete every vector with vec_id % 7 == 3,
+    and probe. Centroids and bounds never retrain on delete (FAISS
+    remove_ids); the oracle assigns and encodes ALL vectors but admits
+    only survivor candidates, so the hash pins that deleted vectors
+    vanish from results while cell geometry, code grid and probe
+    routing are unchanged."""
+    import os
+
+    from avro_diff_spark.operators import ann_index as AI
+    from avro_diff_spark.sources.versioned import latest_version
+
+    src = f"{sf_dir}/embeddings.parquet"
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    idx = f"/root/repo/.cache/ivf_index_sq_del/{tag}-{_src_fingerprint(src)}"
+    if latest_version(f"{idx}/postings") != 1:
+        import shutil
+
+        shutil.rmtree(idx, ignore_errors=True)
+        AI.build_ivf_sq_index(spark, src, idx)
+        AI.delete_from_index(
+            spark,
+            idx,
+            spark.read.parquet(src).where(F.col("vec_id") % 7 == 3).select("vec_id"),
+        )
+    queries = spark.read.parquet(src).filter(F.col("vec_id") < 10)
+    return AI.query_sq_index(spark, queries, idx, k=5, probes=2)
+
+
+def q_ivf_sq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-SQ8 with a FLOAT re-rank stage (round 14 —
+    operators/ann_index.py ``query_sq_index_rerank``, the FAISS
+    IndexRefineFlat idiom): the quantized scan shortlists 4·k
+    candidates per query by int64 code distance, one broadcast cand_id
+    equi-join back to the embeddings table re-scores just those rows
+    with the exact fixed-point cosine, and the final top-k ranks by
+    (cosine DESC, cand_id ASC). The oracle replays shortlist law,
+    join, exact cosine and re-rank literally; the recall improvement
+    over the pure code ranking at equal probes is pinned in
+    tests/test_ann_index.py."""
+    import os
+
+    from avro_diff_spark.operators import ann_index as AI
+    from avro_diff_spark.sources.versioned import latest_version
+
+    src = f"{sf_dir}/embeddings.parquet"
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    # shares the recorded ivf_sq_index_topk fixture (same build)
+    idx = f"/root/repo/.cache/ivf_index_sq/{tag}-{_src_fingerprint(src)}"
+    if latest_version(f"{idx}/postings") != 0:
+        import shutil
+
+        shutil.rmtree(idx, ignore_errors=True)
+        AI.build_ivf_sq_index(spark, src, idx)
+    emb = spark.read.parquet(src)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return AI.query_sq_index_rerank(spark, queries, idx, emb, k=5, probes=2)
+
+
+def _ivf_sq_rerank_sql(
+    k: int = 5, probes: int = 2, n_queries: int = 10, shortlist: int | None = None
+) -> str:
+    shortlist = shortlist if shortlist is not None else 4 * k
     cents = SIM.train_ivf_centroids(f"{ORACLE_SF_DIR}/embeddings.parquet")
     mins, maxs = SIM.train_sq_minmax(f"{ORACLE_SF_DIR}/embeddings.parquet")
     cent_rows = " UNION ALL ".join(
@@ -3578,11 +3691,25 @@ scored AS (
   SELECT q.query_id, e.cand_id, {dist} AS dist
   FROM probe q JOIN enc e USING (cell)
   WHERE q.query_id <> e.cand_id
+),
+short AS (
+  SELECT query_id, cand_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY dist ASC, cand_id ASC) AS rn2
+    FROM scored
+  ) WHERE rn2 <= {shortlist}
+),
+exact AS (
+  SELECT s.query_id, s.cand_id,
+         {_cos_sql('qv.embedding', 'cv.embedding')} AS cosine
+  FROM short s
+  JOIN embeddings cv ON cv.vec_id = s.cand_id
+  JOIN embeddings qv ON qv.vec_id = s.query_id
 )
-SELECT query_id, cand_id, rank, CAST(dist AS BIGINT) AS dist FROM (
+SELECT query_id, cand_id, rank, cosine FROM (
   SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-                 ORDER BY dist ASC, cand_id ASC) AS INT) AS rank
-  FROM scored
+                 ORDER BY cosine DESC, cand_id ASC) AS INT) AS rank
+  FROM exact
 ) WHERE rank <= {k}
 """
 
@@ -5675,6 +5802,9 @@ PIPELINE_QUERIES = {
     "paragraph_dedup_counts": q_paragraph_dedup_counts,
     "masked_customers": q_masked_customers,
     "ivf_sq_index_topk": q_ivf_sq_index_topk,
+    # round-14 additions — tail slots
+    "ivf_sq_delete_topk": q_ivf_sq_delete_topk,
+    "ivf_sq_rerank_topk": q_ivf_sq_rerank_topk,
 }
 
 def pipeline_sql() -> dict[str, str]:
@@ -5743,6 +5873,8 @@ def pipeline_sql() -> dict[str, str]:
         "paragraph_dedup_counts": _paragraph_dedup_sql(),
         "masked_customers": _masked_customers_sql(),
         "ivf_sq_index_topk": _ivf_sq_sql(),
+        "ivf_sq_delete_topk": _ivf_sq_sql(cand_pred="vec_id % 7 <> 3"),
+        "ivf_sq_rerank_topk": _ivf_sq_rerank_sql(),
         "kmeans_cluster_stats": _kmeans_sql(),
         "pq_topk": _pq_sql(),
         "sq_topk": _sq_sql(),

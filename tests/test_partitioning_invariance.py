@@ -99,6 +99,8 @@ QUERIES = [
     "paragraph_dedup_counts",  # round 13: map-only paragraph law across layouts
     "masked_customers",  # round 13: map-only token law across layouts
     "ivf_sq_index_topk",  # round 13: int64 code-distance probe across layouts
+    "ivf_sq_delete_topk",  # round 14: DV-deleted code probe across layouts
+    "ivf_sq_rerank_topk",  # round 14: shortlist + exact-cosine re-rank across layouts
 ]
 
 
