@@ -101,6 +101,7 @@ QUERIES = [
     "ivf_sq_index_topk",  # round 13: int64 code-distance probe across layouts
     "ivf_sq_delete_topk",  # round 14: DV-deleted code probe across layouts
     "ivf_sq_rerank_topk",  # round 14: shortlist + exact-cosine re-rank across layouts
+    "dataset_card_diff",  # round 14: card aggregates + key_diff across layouts
 ]
 
 

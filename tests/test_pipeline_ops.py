@@ -581,3 +581,26 @@ def test_contrastive_negatives_law(spark):
 
     with _pytest.raises(ValueError):
         contrastive_negatives(df, "doc_id", k=0)
+
+
+def test_dataset_card_diff_classifies_dedup_effects(spark, sf_dir):
+    """The card diff (round 14) is the key_diff of the two cards: the
+    dedup generation zeroes dup_docs/dup_ppm and shrinks n_docs (all
+    'changed'), while per-fingerprint-survivor laws keep distinct_texts
+    identical ('unchanged'); every metric appears exactly once with
+    both values carried."""
+    from avro_diff_spark.pipelines import q_dataset_card, q_dataset_card_diff
+
+    rows = {r.metric: r for r in q_dataset_card_diff(spark, sf_dir).collect()}
+    assert len(rows) == 10
+    assert all(r.diff_kind in ("changed", "unchanged") for r in rows.values())
+    assert rows["dup_docs"].diff_kind == "changed"
+    assert rows["dup_docs"].new_value == 0
+    assert rows["dup_ppm"].new_value == 0
+    assert rows["n_docs"].old_value > rows["n_docs"].new_value
+    # exact dedup keeps one doc per fingerprint: distinct texts survive
+    assert rows["distinct_texts"].diff_kind == "unchanged"
+    assert rows["n_docs"].new_value == rows["distinct_texts"].new_value
+    # the old side IS the recorded dataset_card
+    card = {r.metric: r.value for r in q_dataset_card(spark, sf_dir).collect()}
+    assert {m: r.old_value for m, r in rows.items()} == card
