@@ -5578,6 +5578,17 @@ def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     key) + a broadcast per-host robots join."""
     from avro_diff_spark.operators.frontier import expand_frontier
 
+    pages, sm, robots, _ = _crawl_fixture(spark, sf_dir)
+    return expand_frontier(
+        pages, robots, agent="trainbot",
+        sitemaps=sm, visited=pages.select("url"),
+    )
+
+
+def _crawl_fixture(spark: SparkSession, sf_dir: str):
+    """The synthesized crawl inputs of q_crawl_frontier — (pages,
+    sitemaps, robots, n_docs) — shared by the multi-wave query so the
+    two fixtures can never drift."""
     docs = spread_small(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     n = docs.count()  # bounded scalar literal (the tfidf n_docs pattern)
     d = F.col("doc_id")
@@ -5613,10 +5624,7 @@ def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "host string, robots string",
     )
-    return expand_frontier(
-        pages, robots, agent="trainbot",
-        sitemaps=sm, visited=pages.select("url"),
-    )
+    return pages, sm, robots, n
 
 
 def q_crawl_fetch_waves(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5688,6 +5696,61 @@ SELECT url, regexp_replace(hp, ':[0-9]+$', '') AS host, n_refs,
        CAST((row_number() OVER (PARTITION BY regexp_replace(hp, ':[0-9]+$', '')
              ORDER BY n_refs DESC, url ASC) - 1) // 2 AS INT) AS wave
 FROM h
+"""
+
+
+def q_crawl_two_waves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ITERATED crawl loop (round 14 — operators/frontier.py
+    ``crawl_waves``, round-13 verdict item 4): wave 1 is exactly the
+    recorded crawl_frontier expansion (same fixture via
+    ``_crawl_fixture``); its URLs are then 'fetched' by a declarative
+    Column fetcher — each wave-1 page links to ``/n/((13·K + 5) % n)``
+    where K is the trailing number in its URL — and wave 2 expands
+    those pages against the grown visited set (seeds + wave 1). The
+    oracle composes the wave-1 closed form with the same
+    trailing-number and modular-link laws, so a drift anywhere in the
+    loop plumbing (fetch feed-forward, visited accumulation, per-wave
+    sitemap scoping, lineage tagging) breaks the hash.
+
+    Scale shape: per wave, expand_frontier's cost over that wave's
+    pages only, each wave localCheckpoint-materialized so wave 2 never
+    re-derives wave 1."""
+    from avro_diff_spark.operators.frontier import crawl_waves
+
+    pages, sm, robots, n = _crawl_fixture(spark, sf_dir)
+
+    def fetch_html(url):
+        k = F.regexp_extract(url, r"([0-9]+)(\?.*)?$", 1).cast("long")
+        return F.concat(
+            F.lit('<html><body><a href="/n/'),
+            ((k * 13 + 5) % n).cast("string"),
+            F.lit('">x</a></body></html>'),
+        )
+
+    return crawl_waves(
+        pages,
+        robots,
+        agent="trainbot",
+        fetch_html=fetch_html,
+        n_waves=2,
+        sitemaps=sm,
+        visited=pages.select("url"),
+    )
+
+
+CRAWL_TWO_WAVES_SQL = f"""
+WITH f AS ({CRAWL_FRONTIER_SQL}),
+w2 AS (
+  SELECT regexp_extract(url, '^(https?://[^/?#]*)', 1) || '/n/' ||
+         ((13 * CAST(regexp_extract(url, '([0-9]+)(\\?.*)?$', 1) AS BIGINT) + 5)
+            % (SELECT count(*) FROM documents)) AS url
+  FROM f
+)
+SELECT CAST(1 AS INT) AS wave, url, n_refs, from_links, from_sitemaps FROM f
+UNION ALL
+SELECT CAST(2 AS INT) AS wave, url, count(*)::BIGINT AS n_refs,
+       count(*)::BIGINT AS from_links, CAST(0 AS BIGINT) AS from_sitemaps
+FROM w2 GROUP BY url
 """
 
 
@@ -5871,6 +5934,7 @@ PIPELINE_QUERIES = {
     "ivf_sq_delete_topk": q_ivf_sq_delete_topk,
     "ivf_sq_rerank_topk": q_ivf_sq_rerank_topk,
     "dataset_card_diff": q_dataset_card_diff,
+    "crawl_two_waves": q_crawl_two_waves,
 }
 
 def pipeline_sql() -> dict[str, str]:
@@ -5942,6 +6006,7 @@ def pipeline_sql() -> dict[str, str]:
         "ivf_sq_delete_topk": _ivf_sq_sql(cand_pred="vec_id % 7 <> 3"),
         "ivf_sq_rerank_topk": _ivf_sq_rerank_sql(),
         "dataset_card_diff": _dataset_card_diff_sql(),
+        "crawl_two_waves": CRAWL_TWO_WAVES_SQL,
         "kmeans_cluster_stats": _kmeans_sql(),
         "pq_topk": _pq_sql(),
         "sq_topk": _sq_sql(),

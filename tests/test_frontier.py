@@ -308,3 +308,91 @@ def test_fetch_schedule_bucketed_window_keys_include_bucket(spark):
     for w, members in waves.items():
         expect = {u for u, _ in ordered[w * 5 : w * 5 + 5]}
         assert {r.url for r in members} == expect
+
+
+def _waves_fixture(spark):
+    """Tiny two-host corpus where wave 1 discovers /a/<k> pages and the
+    fetcher links each to /b/<k+1> — closed-form, so expectations are
+    written out by hand."""
+    pages = spark.createDataFrame(
+        [
+            ("http://h0.test/seed0", '<a href="/a/1">x</a><a href="/a/2">y</a>'),
+            ("http://h1.test/seed1", '<a href="/a/1">x</a>'),
+        ],
+        "url string, html string",
+    )
+    robots = spark.createDataFrame(
+        [("h0.test", "User-agent: *\nDisallow: /blocked\n")],
+        "host string, robots string",
+    )
+
+    def fetch_html(url):
+        k = F.regexp_extract(url, r"([0-9]+)$", 1).cast("long")
+        return F.concat(
+            F.lit('<a href="/b/'), (k + 1).cast("string"), F.lit('">n</a>')
+        )
+
+    return pages, robots, fetch_html
+
+
+def test_crawl_waves_two_wave_law_and_visited_feed_forward(spark):
+    from avro_diff_spark.operators.frontier import crawl_waves
+
+    pages, robots, fetch_html = _waves_fixture(spark)
+    out = crawl_waves(
+        pages, robots, agent="bot", fetch_html=fetch_html, n_waves=2
+    )
+    got = {
+        (r.wave, r.url, r.n_refs, r.from_links, r.from_sitemaps)
+        for r in out.collect()
+    }
+    assert got == {
+        (1, "http://h0.test/a/1", 1, 1, 0),
+        (1, "http://h0.test/a/2", 1, 1, 0),
+        (1, "http://h1.test/a/1", 1, 1, 0),
+        (2, "http://h0.test/b/2", 1, 1, 0),
+        (2, "http://h0.test/b/3", 1, 1, 0),
+        (2, "http://h1.test/b/2", 1, 1, 0),
+    }
+
+    # wave 2 expansion filters against seeds + wave 1: a fetcher that
+    # points straight back at a wave-1 URL discovers nothing new
+    def loop_back(url):
+        k = F.regexp_extract(url, r"([0-9]+)$", 1).cast("long")
+        return F.concat(F.lit('<a href="/a/'), k.cast("string"), F.lit('">n</a>'))
+
+    looped = crawl_waves(
+        pages, robots, agent="bot", fetch_html=loop_back, n_waves=2
+    )
+    assert looped.where(F.col("wave") == 2).count() == 0
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        crawl_waves(pages, robots, agent="bot", fetch_html=fetch_html, n_waves=0)
+
+
+def test_run_crawl_waves_versioned_state_matches_pure_loop(spark, tmp_path):
+    """The versioned variant equals the pure composition row-for-row,
+    lands ONE waves commit + ONE visited commit per wave (per-wave
+    lineage), and the visited table accumulates exactly the discovered
+    URLs."""
+    from avro_diff_spark.operators.frontier import crawl_waves, run_crawl_waves
+    from avro_diff_spark.sources.versioned import latest_version, read_version
+
+    pages, robots, fetch_html = _waves_fixture(spark)
+    state = str(tmp_path / "crawl")
+    stored = run_crawl_waves(
+        spark, pages, robots, state, agent="bot", fetch_html=fetch_html, n_waves=2
+    )
+    pure = crawl_waves(pages, robots, agent="bot", fetch_html=fetch_html, n_waves=2)
+    key = lambda r: (r.wave, r.url, r.n_refs, r.from_links, r.from_sitemaps)
+    assert sorted(map(key, stored.collect())) == sorted(map(key, pure.collect()))
+    # one commit per wave on both tables (versions are 0-based)
+    assert latest_version(f"{state}/waves") == 1
+    assert latest_version(f"{state}/visited") == 1
+    visited = {r.url for r in read_version(spark, f"{state}/visited").collect()}
+    assert visited == {r.url for r in pure.select("url").collect()}
+    # time travel: version 0 holds exactly wave 1
+    v0 = read_version(spark, f"{state}/waves", version=0)
+    assert {r.wave for r in v0.collect()} == {1}
