@@ -361,7 +361,8 @@ def write_avro(
     through :func:`sources.sink.write_parts`: plain local paths write
     executor-direct, while ``hdfs://`` / ``s3a://`` / any other Hadoop
     URI routes through the JVM ``FileSystem`` API (``via='auto'``
-    dispatch; see sources/sink.py for the two routes' contracts).
+    dispatch; see sources/sink.py for the three routes' contracts —
+    URI schemes pyarrow.fs can open stage executor-side, round 14).
     :func:`read_avro` reads the directory back transparently. The
     row→dict hop goes through ``Row.asDict`` (not Arrow/pandas)
     deliberately: pandas would coerce nullable int columns to float-NaN

@@ -1,7 +1,8 @@
-"""Distributed part-file sink plumbing (the round-12 verdict item).
+"""Distributed part-file sink plumbing (the round-12 verdict item;
+staged bulk route round 14).
 
 ``write_avro`` / ``write_warc`` emit a DIRECTORY of ``part-NNNNN``
-container files, one per non-empty partition.  Two commit routes,
+container files, one per non-empty partition.  Three commit routes,
 selected per destination:
 
 * ``executor`` — each task encodes ITS partition and writes the part
@@ -11,24 +12,31 @@ selected per destination:
   and executors to share one filesystem (local mode, NFS/FUSE-mounted
   object stores).  This is the fast path for plain local paths.
 
+* ``staged`` — each task streams its encoded bytes DIRECTLY to the
+  destination filesystem through ``pyarrow.fs`` (``FileSystem.from_uri``
+  — file://, s3://, gcs://, hdfs:// where libhdfs exists) under an
+  attempt-unique ``.tmp-part-`` name, and yields only that NAME back;
+  the driver then commits each reported tmp with a JVM Hadoop
+  ``FileSystem.rename`` and sweeps loser attempts.  Executors do ALL
+  the payload IO (the round-13 verdict item: no payload byte ever
+  traverses the driver — pinned), the driver does metadata-only
+  renames, so bulk throughput scales with the cluster, not the
+  driver NIC.  This is the 100 TB bulk route for URI destinations.
+
 * ``driver-fs`` — each task encodes its partition to ONE binary payload;
   the payloads stream back to the driver one partition at a time
   (``toLocalIterator`` — O(one partition) driver memory) and the driver
   writes them through the JVM Hadoop ``FileSystem`` API (py4j), tmp-path
-  + ``rename`` committed.  This works against ANY filesystem Spark
-  itself can reach — ``hdfs://``, ``s3a://``, anything on the
-  classpath — because PySpark executors have no py4j gateway of their
-  own: returning the payload as task output is the only
-  Python-to-storage channel that does not assume a shared mount.
-  Bandwidth is driver-bound, so the intended 100 TB posture for BULK
-  row data remains Spark's native sinks (parquet /
-  ``df.write.format('avro')`` when spark-avro is on the classpath);
-  this route exists so the from-scratch container writers are CORRECT,
-  not silently partial, on multi-node clusters.
+  + ``rename`` committed.  This reaches ANY filesystem Spark itself can
+  reach — the fallback for URI schemes pyarrow has no client for
+  (e.g. s3a:// spelled for a custom Hadoop connector, har://) —
+  because PySpark executors have no py4j gateway of their own.
+  Bandwidth is driver-bound by construction; ``staged`` exists so that
+  bound applies only to exotic schemes.
 
-``via='auto'`` picks ``executor`` for plain/file: paths and
-``driver-fs`` for any other URI scheme (plain ``open()`` could not
-write those at all).
+``via='auto'`` picks ``executor`` for plain scheme-less paths,
+``staged`` for URI destinations whose scheme pyarrow.fs can open, and
+``driver-fs`` for the rest.
 """
 
 from __future__ import annotations
@@ -43,15 +51,34 @@ from pyspark.sql import DataFrame
 CHUNK = 8 * 1024 * 1024
 
 
+def _pyarrow_fs_for(path: str):
+    """(filesystem, inner_path) via pyarrow.fs for a URI destination, or
+    None when pyarrow has no client for the scheme (the staged-route
+    feasibility probe — constructing the filesystem does no IO)."""
+    try:
+        from pyarrow import fs as pafs
+
+        return pafs.FileSystem.from_uri(path)
+    except Exception:
+        return None
+
+
 def resolve_via(path: str, via: str) -> str:
     if via != "auto":
-        if via not in ("executor", "driver-fs"):
-            raise ValueError(f"via must be auto|executor|driver-fs, got {via!r}")
+        if via not in ("executor", "staged", "driver-fs"):
+            raise ValueError(
+                f"via must be auto|executor|staged|driver-fs, got {via!r}"
+            )
         return via
-    # any URI scheme (including file://) goes through Hadoop: plain
-    # Python os/open calls would treat 'file:///x' as a literal relative
-    # path. Only scheme-less paths take the executor-direct fast path.
-    return "driver-fs" if "://" in path else "executor"
+    # any URI scheme (including file://) goes through Hadoop-visible
+    # routes: plain Python os/open calls would treat 'file:///x' as a
+    # literal relative path. Only scheme-less paths take the
+    # executor-direct fast path; URI schemes prefer executor-staged IO
+    # and fall back to the driver-bandwidth route when pyarrow has no
+    # client for the scheme.
+    if "://" not in path:
+        return "executor"
+    return "staged" if _pyarrow_fs_for(path) is not None else "driver-fs"
 
 
 def _hadoop_fs(spark, path: str):
@@ -90,6 +117,8 @@ def write_parts(
     route = resolve_via(path, via)
     if route == "executor":
         _write_parts_executor(df, path, encode, suffix, suffixes)
+    elif route == "staged":
+        _write_parts_staged(df, path, encode, suffix, suffixes)
     else:
         _write_parts_driver_fs(df, path, encode, suffix, suffixes)
 
@@ -113,6 +142,60 @@ def _write_parts_executor(df, path, encode, suffix, suffixes) -> None:
 
     # per-partition imperative IO: the one place the RDD API is right
     df.rdd.mapPartitionsWithIndex(run).count()
+
+
+def _write_parts_staged(df, path, encode, suffix, suffixes) -> None:
+    """Executor-staged bulk commit (module docstring): tasks stream
+    bytes straight to the destination via pyarrow.fs under
+    attempt-unique tmp names; the driver's job is metadata-only —
+    collect the reported tmp NAMES (never payloads), Hadoop-rename the
+    winners, sweep loser attempts."""
+    spark = df.sparkSession
+    fs, jvm, jdir = _hadoop_fs(spark, path)
+    fs.mkdirs(jdir)
+    for st in fs.listStatus(jdir):
+        name = st.getPath().getName()
+        if _is_part(name, suffixes):
+            fs.delete(st.getPath(), False)
+
+    sep = "" if path.endswith("/") else "/"
+
+    def run(idx: int, it):
+        from pyarrow import fs as pafs
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        attempt = ctx.taskAttemptId() if ctx is not None else 0
+        name = f".tmp-part-{idx:05d}-a{attempt}{suffix}"
+        pafs_fs, inner = pafs.FileSystem.from_uri(f"{path}{sep}{name}")
+        out = pafs_fs.open_output_stream(inner)
+        try:
+            wrote = encode(idx, it, out)
+        finally:
+            out.close()
+        if not wrote:
+            pafs_fs.delete_file(inner)
+            return
+        yield (idx, name)
+
+    # the collect ships (partition index, tmp NAME) pairs only — the
+    # staged route's pin is that payload bytes never reach the driver
+    winners = dict(df.rdd.mapPartitionsWithIndex(run).collect())
+    for st in fs.listStatus(jdir):
+        name = st.getPath().getName()
+        if not name.startswith(".tmp-part-") or not name.endswith(suffixes):
+            continue
+        # '.tmp-part-00017-a42.avro' -> 17 (robust to suffix dots)
+        idx = int(name[len(".tmp-part-"):].split("-")[0].split(".")[0])
+        if winners.get(idx) == name:
+            final = jvm.org.apache.hadoop.fs.Path(
+                f"{path}{sep}part-{idx:05d}{suffix}"
+            )
+            if fs.exists(final):
+                fs.delete(final, False)
+            fs.rename(st.getPath(), final)
+        else:  # a loser attempt (speculation/retry) — sweep it
+            fs.delete(st.getPath(), False)
 
 
 def _write_parts_driver_fs(df, path, encode, suffix, suffixes) -> None:

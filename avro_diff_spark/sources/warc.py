@@ -428,7 +428,7 @@ def write_wet(
     ``WARC-Refers-To`` names the source response record. Input is the
     output of :func:`read_warc`/:func:`warc_records`; non-response rows
     are skipped. Encoding and commit ride the exact ``write_warc``
-    plumbing (sources/sink.py executor / driver-fs routes, atomic
+    plumbing (sources/sink.py executor / staged / driver-fs routes, atomic
     tmp+rename), so the op is one Arrow extraction pass + one encode
     pass per partition — WET generation at 100 TB is map-only.
     Round-trip pinned in tests/test_warc.py: reading the WET directory
@@ -653,7 +653,7 @@ def write_warc(
     executor-direct, while ``hdfs://`` / ``s3a://`` / any other Hadoop
     URI routes through the JVM ``FileSystem`` API, so parts land at the
     destination on multi-node clusters with executor-local disks too
-    (``via='auto'`` dispatch; see sources/sink.py for the two routes'
+    (``via='auto'`` dispatch; see sources/sink.py for the three routes'
     contracts)."""
     import hashlib
 

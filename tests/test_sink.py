@@ -23,12 +23,15 @@ from avro_diff_spark.sources.sink import resolve_via
 
 def test_resolve_via_dispatch():
     assert resolve_via("/tmp/x", "auto") == "executor"
-    # file:// is a URI — os/open would treat it as a literal path, so it
-    # routes through Hadoop like any other scheme
-    assert resolve_via("file:///tmp/x", "auto") == "driver-fs"
+    # file:// is a URI — os/open would treat it as a literal path; pyarrow
+    # has a client for it, so it takes the executor-staged bulk route
+    assert resolve_via("file:///tmp/x", "auto") == "staged"
+    # schemes pyarrow.fs cannot open here fall back to the driver route
+    # (no libhdfs in this environment; s3a is a Hadoop-only spelling)
     assert resolve_via("hdfs://nn:8020/x", "auto") == "driver-fs"
     assert resolve_via("s3a://bucket/x", "auto") == "driver-fs"
     assert resolve_via("hdfs://nn/x", "executor") == "executor"
+    assert resolve_via("/tmp/x", "staged") == "staged"
     with pytest.raises(ValueError):
         resolve_via("/tmp/x", "both")
 
@@ -94,3 +97,70 @@ def test_file_uri_destination_works_end_to_end(spark, tmp_path):
     write_avro(df, f"file://{tmp_path}/out")
     back = read_avro(spark, str(tmp_path / "out"))
     assert sorted(r.id for r in back.collect()) == list(range(20))
+
+
+def test_staged_route_byte_identical_and_atomic(spark, tmp_path):
+    """Round 14: the executor-staged route produces byte-identical
+    parts, commits atomically (no tmp residue), and clears stale
+    layouts on rewrite like the other two routes."""
+    from avro_diff_spark.sources.avro import read_avro, write_avro
+
+    df = spark.range(0, 100, 1, 4).selectExpr("id", "id * 2 AS v")
+    write_avro(df, str(tmp_path / "ex"), via="executor")
+    write_avro(df, f"file://{tmp_path}/st", via="staged")
+    ex, st = _parts(str(tmp_path / "ex")), _parts(str(tmp_path / "st"))
+    assert ex == st and len(st) == 4
+    assert not [n for n in os.listdir(tmp_path / "st") if n.startswith(".tmp-")]
+    back = read_avro(spark, str(tmp_path / "st"))
+    assert sorted(r["v"] for r in back.collect()) == [2 * i for i in range(100)]
+
+    df2 = spark.range(0, 80, 1, 2).selectExpr("id", "id * 2 AS v")
+    write_avro(df2, f"file://{tmp_path}/st", via="staged")
+    assert len(_parts(str(tmp_path / "st"))) == 2
+
+
+def test_staged_route_ships_no_payload_through_driver(spark, tmp_path, monkeypatch):
+    """The staged route's contract (round-13 verdict item 2): payload
+    bytes never traverse the driver — toLocalIterator is never called,
+    and the one collect ships only (partition index, tmp NAME) pairs."""
+    import pyspark.rdd
+
+    from avro_diff_spark.sources.avro import write_avro
+
+    def boom(self, *a, **k):
+        raise AssertionError("payload crossed the driver (toLocalIterator)")
+
+    monkeypatch.setattr(pyspark.rdd.RDD, "toLocalIterator", boom)
+
+    shipped = []
+    real_collect = pyspark.rdd.RDD.collect
+
+    def spying_collect(self, *a, **k):
+        out = real_collect(self, *a, **k)
+        shipped.extend(out)
+        return out
+
+    monkeypatch.setattr(pyspark.rdd.RDD, "collect", spying_collect)
+
+    df = spark.range(0, 60, 1, 3).selectExpr("id")
+    write_avro(df, f"file://{tmp_path}/st", via="staged")
+    assert len(_parts(str(tmp_path / "st"))) == 3
+    rows = [t for t in shipped if isinstance(t, tuple)]
+    assert rows and all(
+        isinstance(i, int) and isinstance(n, str) and n.startswith(".tmp-part-")
+        for i, n in rows
+    )
+
+    # the driver-fs route, by contrast, NEEDS toLocalIterator
+    with pytest.raises(Exception, match="toLocalIterator"):
+        write_avro(df, f"file://{tmp_path}/dr", via="driver-fs")
+
+
+def test_staged_route_skips_empty_partitions(spark, tmp_path):
+    from avro_diff_spark.sources.avro import write_avro
+
+    df = spark.range(0, 10, 1, 1).selectExpr("id").repartition(6)
+    write_avro(df, f"file://{tmp_path}/st", via="staged")
+    parts = _parts(str(tmp_path / "st"))
+    assert 1 <= len(parts) <= 6
+    assert not [n for n in os.listdir(tmp_path / "st") if n.startswith(".tmp-")]
