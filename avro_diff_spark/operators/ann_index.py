@@ -221,6 +221,7 @@ def build_ivf_sq_index(
     n_centroids: int = 16,
     sample: int = 1024,
     iters: int = 5,
+    closure_eps: float | None = None,
 ):
     """FAISS ``IVF..,SQ8``-shape index: coarse quantizer + postings that
     store ONLY 8-bit scalar-quantized codes — 1 byte per dimension
@@ -236,7 +237,17 @@ def build_ivf_sq_index(
     symmetric distances match the unshifted oracle arithmetic exactly.
     Search (:func:`query_sq_index`) returns those approximate distances
     — FAISS SQ semantics: no float re-rank is possible from the index
-    alone, which is precisely its storage contract."""
+    alone, which is precisely its storage contract (re-ranking against
+    the SOURCE embeddings table is :func:`query_sq_index_rerank`).
+
+    ``closure_eps`` switches assignment to SPANN-style boundary
+    replication (:func:`_assign_cells_closure`, round 14 — combined
+    with the 1-byte codes and the float refine stage this is the
+    deploy-grade config for a 100 TB corpus: replication repairs probe
+    recall, SQ8 pays for it in storage, rerank removes the quantization
+    error from the final order); query the same value's indexes with
+    ``distinct_candidates=True`` so a replicated candidate scores
+    once."""
     cents = S.train_ivf_centroids(
         emb_parquet_path, n_centroids=n_centroids, sample=sample, iters=iters
     )
@@ -254,12 +265,15 @@ def build_ivf_sq_index(
         f"{index_path}/sq_bounds",
     )
     emb = spark.read.parquet(emb_parquet_path)
-    # _assign_cells repartitions by cell and carries the embedding —
+    # the assignment repartitions by cell and carries the embedding —
     # encode from it, then drop the floats (codes-only postings)
-    assigned = (
-        _assign_cells(emb, cents)
-        .withColumn("codes", _sq_codes((mins, maxs)))
-        .select("cell", "cand_id", "codes")
+    raw = (
+        _assign_cells_closure(emb, cents, closure_eps)
+        if closure_eps is not None
+        else _assign_cells(emb, cents)
+    )
+    assigned = raw.withColumn("codes", _sq_codes((mins, maxs))).select(
+        "cell", "cand_id", "codes"
     )
     V.commit_snapshot(assigned, f"{index_path}/postings", partition_by=["cell"])
     return cents, (mins, maxs)
@@ -309,6 +323,7 @@ def refresh_sq_index(
     n_centroids: int | None = None,
     sample: int = 1024,
     iters: int = 5,
+    closure_eps: float | None = None,
 ):
     """Re-train the IVF-SQ8 index from its OWN live postings — the
     post-churn maintenance op completing SQ CRUD (round-13 verdict
@@ -377,9 +392,12 @@ def refresh_sq_index(
     )
     cents = S._lloyd_cosine(x, k, iters)
 
+    vecs = live.select(F.col("cand_id").alias("vec_id"), "embedding")
     reassigned = (
-        _assign_cells(
-            live.select(F.col("cand_id").alias("vec_id"), "embedding"), cents
+        (
+            _assign_cells_closure(vecs, cents, closure_eps)
+            if closure_eps is not None
+            else _assign_cells(vecs, cents)
         )
         .withColumn("codes", _sq_codes(minmax))
         .select("cell", "cand_id", "codes")
@@ -408,6 +426,7 @@ def query_sq_index(
     *,
     k: int = 5,
     probes: int = 2,
+    distinct_candidates: bool = False,
 ) -> DataFrame:
     """IVF-SQ8 top-k against the STORED code-only index: each query
     fans out to its ``probes`` nearest cells (same stored-centroid
@@ -416,7 +435,12 @@ def query_sq_index(
     are bit-exact on any engine and any partitioning — and rank by
     (distance ASC, cand_id ASC). Returns (query_id, cand_id, rank,
     dist); distances are the quantized approximation, FAISS SQ
-    semantics (module note on ``build_ivf_sq_index``)."""
+    semantics (module note on ``build_ivf_sq_index``).
+    ``distinct_candidates=True`` dedups (query, candidate, dist) rows
+    before ranking — required over a closure-assigned index, where a
+    border candidate lives in several probed cells; replicas carry
+    identical codes hence identical distances, so the distinct is
+    exact (the :func:`query_index` rule)."""
     from pyspark.sql import Window
 
     cents = load_centroids(spark, index_path)
@@ -459,6 +483,8 @@ def query_sq_index(
         .filter(F.col("query_id") != F.col("cand_id"))
         .select("query_id", "cand_id", dist.alias("dist"))
     )
+    if distinct_candidates:
+        scored = scored.distinct()
     w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("cand_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
@@ -476,6 +502,7 @@ def query_sq_index_rerank(
     k: int = 5,
     probes: int = 2,
     shortlist: int | None = None,
+    distinct_candidates: bool = False,
 ) -> DataFrame:
     """IVF-SQ8 search with a FLOAT re-rank stage (round-13 verdict item
     5 — the FAISS ``IndexRefineFlat`` idiom): the quantized scan
@@ -497,7 +524,12 @@ def query_sq_index_rerank(
     if shortlist < k:
         raise ValueError(f"shortlist {shortlist} must be >= k {k}")
     short = query_sq_index(
-        spark, queries, index_path, k=shortlist, probes=probes
+        spark,
+        queries,
+        index_path,
+        k=shortlist,
+        probes=probes,
+        distinct_candidates=distinct_candidates,
     ).select("query_id", "cand_id")
     cand = embeddings.select(
         F.col("vec_id").alias("cand_id"),

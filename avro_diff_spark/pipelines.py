@@ -3779,6 +3779,111 @@ SELECT query_id, cand_id, rank, cosine FROM (
 """
 
 
+def q_ivf_sq_closure_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deploy-grade ANN config for a 100 TB corpus, all three
+    round-13/14 levers composed (operators/ann_index.py): SPANN-style
+    closure assignment repairs probe recall at cell borders, 1-byte SQ8
+    codes pay for the replication in storage, and the float re-rank
+    stage removes quantization error from the final order. Replicated
+    candidates dedup before ranking (identical codes → identical
+    distances — exact); the shortlist then re-scores via one broadcast
+    join to the embeddings table. The oracle replays closure rule,
+    encoding, distinct, shortlist law and exact-cosine re-rank
+    literally, so a drift in ANY of the three composed mechanisms
+    breaks the hash."""
+    import os
+
+    from avro_diff_spark.operators import ann_index as AI
+    from avro_diff_spark.sources.versioned import latest_version
+
+    src = f"{sf_dir}/embeddings.parquet"
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    idx = f"/root/repo/.cache/ivf_index_sq_closure/{tag}-{_src_fingerprint(src)}"
+    if latest_version(f"{idx}/postings") != 0:
+        import shutil
+
+        shutil.rmtree(idx, ignore_errors=True)
+        AI.build_ivf_sq_index(spark, src, idx, closure_eps=0.2)
+    emb = spark.read.parquet(src)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return AI.query_sq_index_rerank(
+        spark, queries, idx, emb, k=5, probes=2, distinct_candidates=True
+    )
+
+
+def _ivf_sq_closure_rerank_sql(
+    eps: float = 0.2,
+    k: int = 5,
+    probes: int = 2,
+    n_queries: int = 10,
+    shortlist: int | None = None,
+) -> str:
+    shortlist = shortlist if shortlist is not None else 4 * k
+    cents = SIM.train_ivf_centroids(f"{ORACLE_SF_DIR}/embeddings.parquet")
+    mins, maxs = SIM.train_sq_minmax(f"{ORACLE_SF_DIR}/embeddings.parquet")
+    cent_rows = " UNION ALL ".join(
+        f"SELECT {cid} AS cid, [{', '.join(repr(v) for v in vec)}]::DOUBLE[] AS cent"
+        for cid, vec in cents
+    )
+    lim = repr(float(1.0 + eps))  # repr: exact double literal, no 'D' suffix
+
+    def vec_lit(vec) -> str:
+        return "[" + ", ".join(repr(float(v)) for v in vec) + "]::DOUBLE[]"
+
+    codes = (
+        f"list_transform(list_zip(embedding, {vec_lit(mins)}, {vec_lit(maxs)}), "
+        "p -> CAST(least(255, greatest(0, "
+        "CAST(round((CAST(p[1] AS DOUBLE) - p[2]) * 255.0 / (p[3] - p[2])) AS BIGINT)"
+        ")) AS INT))"
+    )
+    dist = (
+        "list_sum(list_transform(list_zip(e.codes, q.qcodes), "
+        "p -> CAST((p[1] - p[2]) * (p[1] - p[2]) AS BIGINT)))"
+    )
+    return f"""
+WITH cents AS ({cent_rows}),
+cosmat AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         {_cos_sql('e.embedding', 'c.cent')} AS cos
+  FROM embeddings e CROSS JOIN cents c
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn,
+         max(cos) OVER (PARTITION BY vec_id) AS best
+  FROM cosmat
+),
+cand AS (SELECT vec_id AS cand_id, cid AS cell, {codes} AS codes
+         FROM ranked WHERE (1 - cos) <= {lim} * (1 - best)),
+probe AS (SELECT vec_id AS query_id, cid AS cell, {codes} AS qcodes
+          FROM ranked WHERE rn <= {probes} AND vec_id < {n_queries}),
+scored AS (
+  SELECT DISTINCT q.query_id, e.cand_id, {dist} AS dist
+  FROM probe q JOIN cand e USING (cell)
+  WHERE q.query_id <> e.cand_id
+),
+short AS (
+  SELECT query_id, cand_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY dist ASC, cand_id ASC) AS rn2
+    FROM scored
+  ) WHERE rn2 <= {shortlist}
+),
+exact AS (
+  SELECT s.query_id, s.cand_id,
+         {_cos_sql('qv.embedding', 'cv.embedding')} AS cosine
+  FROM short s
+  JOIN embeddings cv ON cv.vec_id = s.cand_id
+  JOIN embeddings qv ON qv.vec_id = s.query_id
+)
+SELECT query_id, cand_id, rank, cosine FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, cand_id ASC) AS INT) AS rank
+  FROM exact
+) WHERE rank <= {k}
+"""
+
+
 @_lru_cache(maxsize=8)
 def _refreshed_ivf_cents_cached(
     key: tuple, n_centroids: int, sample: int, iters: int
@@ -5935,6 +6040,7 @@ PIPELINE_QUERIES = {
     "ivf_sq_rerank_topk": q_ivf_sq_rerank_topk,
     "dataset_card_diff": q_dataset_card_diff,
     "crawl_two_waves": q_crawl_two_waves,
+    "ivf_sq_closure_rerank_topk": q_ivf_sq_closure_rerank_topk,
 }
 
 def pipeline_sql() -> dict[str, str]:
@@ -6007,6 +6113,7 @@ def pipeline_sql() -> dict[str, str]:
         "ivf_sq_rerank_topk": _ivf_sq_rerank_sql(),
         "dataset_card_diff": _dataset_card_diff_sql(),
         "crawl_two_waves": CRAWL_TWO_WAVES_SQL,
+        "ivf_sq_closure_rerank_topk": _ivf_sq_closure_rerank_sql(),
         "kmeans_cluster_stats": _kmeans_sql(),
         "pq_topk": _pq_sql(),
         "sq_topk": _sq_sql(),

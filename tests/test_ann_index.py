@@ -525,3 +525,42 @@ def test_sq_rerank_improves_recall_at_equal_probes(spark, tmp_path, emb_path):
 
     with _pytest.raises(ValueError, match="shortlist"):
         AI.query_sq_index_rerank(spark, queries, idx, emb, k=5, shortlist=3)
+
+
+def test_sq_closure_index_replicates_and_full_probe_equals_plain(
+    spark, tmp_path, emb_path
+):
+    """The combined closure + SQ8 + rerank config (round 14): a
+    closure-built SQ index really replicates border vectors; queried
+    with distinct_candidates the result has unique (query, cand) pairs;
+    and at FULL probes the closure index's reranked top-k is IDENTICAL
+    to the plain SQ index's — replication changes which cells hold a
+    candidate, never the candidate set the full probe sees (the
+    closure-exactness law the float index pins, carried to codes)."""
+    from avro_diff_spark.sources import versioned as V
+
+    plain, clos = str(tmp_path / "sq_p"), str(tmp_path / "sq_c")
+    AI.build_ivf_sq_index(spark, emb_path, plain)
+    AI.build_ivf_sq_index(spark, emb_path, clos, closure_eps=0.2)
+
+    post = V.read_version(spark, f"{clos}/postings")
+    n_vec = post.select("cand_id").distinct().count()
+    assert post.count() > n_vec  # border replication happened
+    assert post.count() == post.select("cell", "cand_id").distinct().count()
+
+    emb = spark.read.parquet(emb_path)
+    queries = emb.filter(F.col("vec_id") < 10)
+    got = AI.query_sq_index_rerank(
+        spark, queries, clos, emb, k=5, probes=2, distinct_candidates=True
+    ).collect()
+    assert len({(r.query_id, r.cand_id) for r in got}) == len(got)
+
+    n_cells = V.read_version(spark, f"{clos}/centroids").count()
+    full_c = AI.query_sq_index_rerank(
+        spark, queries, clos, emb, k=5, probes=n_cells, distinct_candidates=True
+    )
+    full_p = AI.query_sq_index_rerank(
+        spark, queries, plain, emb, k=5, probes=n_cells
+    )
+    key = lambda r: (r.query_id, r.cand_id, r.rank, float(r.cosine))
+    assert sorted(map(key, full_c.collect())) == sorted(map(key, full_p.collect()))

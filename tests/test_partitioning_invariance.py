@@ -103,6 +103,7 @@ QUERIES = [
     "ivf_sq_rerank_topk",  # round 14: shortlist + exact-cosine re-rank across layouts
     "dataset_card_diff",  # round 14: card aggregates + key_diff across layouts
     "crawl_two_waves",  # round 14: iterated frontier + visited feed-forward across layouts
+    "ivf_sq_closure_rerank_topk",  # round 14: closure + SQ8 + float refine across layouts
 ]
 
 
