@@ -228,6 +228,13 @@ def frontier_next_wave(spark: SparkSession, frontier_path: str, fetched_path: st
     return frontier.join(fetched, "url", "anti")
 
 
+def _reduce_and(conds):
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
+
+
 def _schedule_cuts(
     frontier: DataFrame, url_col: str, priority_col: str | None, buckets: int
 ) -> list:
@@ -402,6 +409,7 @@ def fetch_schedule(
     url_col: str = "url",
     priority_col: str | None = None,
     buckets: int = 64,
+    group_cols: "tuple[str, ...] | list[str]" = (),
 ) -> DataFrame:
     """Politeness scheduling (round 13; two-leveled round 14): partition
     a frontier wave into fetch ROUNDS with at most ``per_host`` URLs per
@@ -428,10 +436,16 @@ def fetch_schedule(
     extra pass over ``frontier``: callers with an expensive upstream
     plan should materialize the wave first (q_crawl_fetch_waves does).
 
+    ``group_cols`` schedules each group INDEPENDENTLY — the window
+    keys become (group, host) — so one call schedules e.g. every crawl
+    wave of :func:`crawl_waves` at once (``q_crawl_waves_schedule``)
+    instead of a per-group driver loop; the cut points stay global
+    (they set balance only, never values).
+
     Any pre-existing ``host`` column is OVERWRITTEN from ``url_col``
     (round-13 ADVICE: appending alongside ``*`` made the window's
     partition key ambiguous). Returns ``(url, host, wave)`` plus the
-    pass-through columns."""
+    pass-through columns (an input ``wave`` column is replaced)."""
     if per_host < 1:
         raise ValueError(f"per_host must be >= 1, got {per_host}")
     from pyspark.sql import Window
@@ -445,8 +459,9 @@ def fetch_schedule(
         if buckets > 1
         else []
     )
+    gcols = [F.col(g) for g in group_cols]
     if not cuts:
-        w = Window.partitionBy("host").orderBy(*order)
+        w = Window.partitionBy(*gcols, "host").orderBy(*order)
         return hosted.withColumn(
             "wave",
             ((F.row_number().over(w) - F.lit(1)) / F.lit(per_host)).cast("int"),
@@ -471,18 +486,25 @@ def fetch_schedule(
         # desc sorts null priorities LAST; every cut is non-null, so a
         # null-priority row sorts after all cuts — the trailing bucket
         bkt = F.when(pcol.isNull(), F.lit(len(cuts))).otherwise(bkt)
-    lw = Window.partitionBy("host", "__fs_bkt").orderBy(*order)
+    lw = Window.partitionBy(*gcols, "host", "__fs_bkt").orderBy(*order)
     ranked = hosted.withColumn("__fs_bkt", bkt).withColumn(
         "__fs_lr", F.row_number().over(lw)
     )
     ow = (
-        Window.partitionBy("__fs_host")
+        Window.partitionBy(
+            *[f"__fs_g{i}" for i in range(len(group_cols))], "__fs_host"
+        )
         .orderBy("__fs_bkt2")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offs = (
         ranked.groupBy(
-            F.col("host").alias("__fs_host"), F.col("__fs_bkt").alias("__fs_bkt2")
+            *[
+                F.col(g).alias(f"__fs_g{i}")
+                for i, g in enumerate(group_cols)
+            ],
+            F.col("host").alias("__fs_host"),
+            F.col("__fs_bkt").alias("__fs_bkt2"),
         )
         .agg(F.count(F.lit(1)).alias("__fs_n"))
         .withColumn(
@@ -496,8 +518,16 @@ def fetch_schedule(
         # still schedule (the plain-window path groups it the same way)
         ranked.join(
             offs,
-            F.col("host").eqNullSafe(F.col("__fs_host"))
-            & (F.col("__fs_bkt") == F.col("__fs_bkt2")),
+            _reduce_and(
+                [
+                    F.col(g).eqNullSafe(F.col(f"__fs_g{i}"))
+                    for i, g in enumerate(group_cols)
+                ]
+                + [
+                    F.col("host").eqNullSafe(F.col("__fs_host")),
+                    F.col("__fs_bkt") == F.col("__fs_bkt2"),
+                ]
+            ),
         )
         .withColumn(
             "wave",

@@ -5859,6 +5859,50 @@ FROM w2 GROUP BY url
 """
 
 
+def q_crawl_waves_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full crawl control plane composed (round 14): the two-wave
+    loop's lineage rows (``crawl_two_waves``) scheduled into per-host
+    politeness rounds PER CRAWL WAVE in one ``fetch_schedule`` call
+    (``group_cols`` — the window keys become (crawl_wave, host), so no
+    per-wave driver loop), two-leveled like every schedule. This is
+    what a fetcher actually consumes: within each discovery wave, drain
+    fetch round 0 across all hosts, sleep the crawl delay, round 1, ...
+    The oracle wraps the two-wave closed form in rank arithmetic
+    partitioned by (wave, host)."""
+    from avro_diff_spark.operators.frontier import fetch_schedule
+
+    tw = (
+        q_crawl_two_waves(spark, sf_dir)
+        .withColumnRenamed("wave", "crawl_wave")
+        .localCheckpoint()
+    )
+    out = fetch_schedule(
+        tw, per_host=2, priority_col="n_refs", group_cols=["crawl_wave"]
+    )
+    return out.select(
+        "crawl_wave", "url", "host", "n_refs", F.col("wave").alias("fetch_round")
+    )
+
+
+# the same host-extraction shape as CRAWL_FETCH_WAVES_SQL, partitioned
+# by (crawl wave, host)
+CRAWL_WAVES_SCHEDULE_SQL = f"""
+WITH tw AS ({CRAWL_TWO_WAVES_SQL}),
+h AS (
+  SELECT wave AS crawl_wave, url, n_refs,
+         regexp_replace(
+           regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+           '^[^@]*@', '') AS hp
+  FROM tw
+)
+SELECT crawl_wave, url, regexp_replace(hp, ':[0-9]+$', '') AS host, n_refs,
+       CAST((row_number() OVER (
+             PARTITION BY crawl_wave, regexp_replace(hp, ':[0-9]+$', '')
+             ORDER BY n_refs DESC, url ASC) - 1) // 2 AS INT) AS fetch_round
+FROM h
+"""
+
+
 def q_crawl_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The END-TO-END INGESTION FUNNEL: synthesized .warc.gz crawl ->
     from-scratch WARC/HTTP decode -> jusText-class extraction -> RFC
@@ -6041,6 +6085,7 @@ PIPELINE_QUERIES = {
     "dataset_card_diff": q_dataset_card_diff,
     "crawl_two_waves": q_crawl_two_waves,
     "ivf_sq_closure_rerank_topk": q_ivf_sq_closure_rerank_topk,
+    "crawl_waves_schedule": q_crawl_waves_schedule,
 }
 
 def pipeline_sql() -> dict[str, str]:
@@ -6114,6 +6159,7 @@ def pipeline_sql() -> dict[str, str]:
         "dataset_card_diff": _dataset_card_diff_sql(),
         "crawl_two_waves": CRAWL_TWO_WAVES_SQL,
         "ivf_sq_closure_rerank_topk": _ivf_sq_closure_rerank_sql(),
+        "crawl_waves_schedule": CRAWL_WAVES_SCHEDULE_SQL,
         "kmeans_cluster_stats": _kmeans_sql(),
         "pq_topk": _pq_sql(),
         "sq_topk": _sq_sql(),

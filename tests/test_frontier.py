@@ -396,3 +396,34 @@ def test_run_crawl_waves_versioned_state_matches_pure_loop(spark, tmp_path):
     # time travel: version 0 holds exactly wave 1
     v0 = read_version(spark, f"{state}/waves", version=0)
     assert {r.wave for r in v0.collect()} == {1}
+
+
+def test_fetch_schedule_group_cols_schedule_each_group_independently(spark):
+    """group_cols (round 14): one call schedules every group as if it
+    were its own frontier — equal to per-group calls, on both the plain
+    and the bucketed path."""
+    from avro_diff_spark.operators.frontier import fetch_schedule
+
+    rows = [
+        (g, f"http://h{i % 2}.test/p{i:03d}", (i * 7 + g) % 5)
+        for g in (1, 2)
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "grp int, url string, n_refs int")
+
+    def key(r):
+        return (r.grp, r.url, r.host, r.n_refs, r.wave)
+
+    for buckets in (1, 8):
+        grouped = fetch_schedule(
+            df, per_host=3, priority_col="n_refs",
+            group_cols=["grp"], buckets=buckets,
+        )
+        per_group = []
+        for g in (1, 2):
+            sub = fetch_schedule(
+                df.where(F.col("grp") == g), per_host=3,
+                priority_col="n_refs", buckets=buckets,
+            )
+            per_group.extend(map(key, sub.collect()))
+        assert sorted(map(key, grouped.collect())) == sorted(per_group), buckets

@@ -104,6 +104,7 @@ QUERIES = [
     "dataset_card_diff",  # round 14: card aggregates + key_diff across layouts
     "crawl_two_waves",  # round 14: iterated frontier + visited feed-forward across layouts
     "ivf_sq_closure_rerank_topk",  # round 14: closure + SQ8 + float refine across layouts
+    "crawl_waves_schedule",  # round 14: grouped two-level rank windows across layouts
 ]
 
 
