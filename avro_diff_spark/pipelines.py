@@ -3884,6 +3884,170 @@ SELECT query_id, cand_id, rank, cosine FROM (
 """
 
 
+def q_ivf_sq_refresh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-SQ8 maintenance with RETRAIN (round 14 —
+    operators/ann_index.py ``refresh_sq_index``, completing the SQ CRUD
+    story at the float index's oracle grade): build, DV-delete every
+    vector with vec_id % 7 == 3, REFRESH — decode the live codes
+    through the stored grid, retrain bounds + centroids from the
+    'sqr'-hash sample of the reconstructions, re-assign and re-encode —
+    then probe. The reconstruction is CLOSED-FORM in the original
+    embeddings (decode∘encode under the old bounds, both pinned
+    bit-exact engine-to-oracle already), so the oracle replays the
+    entire retrain: it decodes the same sample in DuckDB, folds the
+    same Lloyd/min-max laws in the builder, embeds the refreshed models
+    as literals, and re-derives every survivor's new cell, codes and
+    distances from scratch."""
+    import os
+
+    from avro_diff_spark.operators import ann_index as AI
+    from avro_diff_spark.sources.versioned import latest_version
+
+    src = f"{sf_dir}/embeddings.parquet"
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    idx = f"/root/repo/.cache/ivf_index_sq_refresh/{tag}-{_src_fingerprint(src)}"
+    # all three tables at their post-refresh versions (build -> v0 each,
+    # delete -> postings v1, refresh -> centroids/sq_bounds v1 THEN
+    # postings v2) — the q_ivf_refresh_topk guard discipline
+    if (
+        latest_version(f"{idx}/postings") != 2
+        or latest_version(f"{idx}/centroids") != 1
+        or latest_version(f"{idx}/sq_bounds") != 1
+    ):
+        import shutil
+
+        shutil.rmtree(idx, ignore_errors=True)
+        AI.build_ivf_sq_index(spark, src, idx)
+        AI.delete_from_index(
+            spark,
+            idx,
+            spark.read.parquet(src).where(F.col("vec_id") % 7 == 3).select("vec_id"),
+        )
+        AI.refresh_sq_index(spark, idx)
+    queries = spark.read.parquet(src).filter(F.col("vec_id") < 10)
+    return AI.query_sq_index(spark, queries, idx, k=5, probes=2)
+
+
+def _duck_vec_lit(vec) -> str:
+    return "[" + ", ".join(repr(float(v)) for v in vec) + "]::DOUBLE[]"
+
+
+def _duck_sq_codes(emb_sql: str, mins, maxs) -> str:
+    """DuckDB twin of the engine's SQ encoder (the _ivf_sq_sql expr,
+    hash-verified bit-exact) as a reusable builder."""
+    return (
+        f"list_transform(list_zip({emb_sql}, {_duck_vec_lit(mins)}, "
+        f"{_duck_vec_lit(maxs)}), "
+        "p -> CAST(least(255, greatest(0, "
+        "CAST(round((CAST(p[1] AS DOUBLE) - p[2]) * 255.0 / (p[3] - p[2])) AS BIGINT)"
+        ")) AS INT))"
+    )
+
+
+def _duck_sq_decode(codes_sql: str, mins, maxs) -> str:
+    """DuckDB twin of similarity.sq_decode_sql — identical IEEE op
+    order (min + code * ((max - min) / 255)), so reconstructions are
+    bit-identical to the engine's."""
+    return (
+        f"list_transform(list_zip({codes_sql}, {_duck_vec_lit(mins)}, "
+        f"{_duck_vec_lit(maxs)}), "
+        "p -> p[2] + CAST(p[1] AS DOUBLE) * ((p[3] - p[2]) / 255.0))"
+    )
+
+
+@_lru_cache(maxsize=8)
+def _refreshed_sq_models_cached(key: tuple, n_centroids: int, sample: int, iters: int):
+    """The oracle's replica of ``refresh_sq_index``'s retrain over the
+    ivf_sq_refresh_topk fixture: survivor reconstructions (decode∘encode
+    under the OLD trained bounds — computed in DuckDB with the
+    hash-verified code/decode expressions) sampled under the 'sqr' hash
+    law, folded by the engine's own Lloyd and min/max laws — so the
+    embedded literals are bit-identical to the refreshed index's stored
+    models (pinned in tests/test_ann_index.py)."""
+    import duckdb
+    import numpy as np
+
+    old_cents = SIM.train_ivf_centroids(f"{ORACLE_SF_DIR}/embeddings.parquet")
+    mins0, maxs0 = SIM.train_sq_minmax(f"{ORACLE_SF_DIR}/embeddings.parquet")
+    recon = _duck_sq_decode(
+        _duck_sq_codes("embedding", mins0, maxs0), mins0, maxs0
+    )
+    rows = duckdb.connect().execute(
+        f"""
+        SELECT {recon} FROM read_parquet(?)
+        WHERE vec_id % 7 <> 3
+        ORDER BY ('0x' || substr(md5('sqr:' || CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT,
+                 vec_id
+        LIMIT {sample}
+        """,
+        [f"{ORACLE_SF_DIR}/embeddings.parquet"],
+    ).fetchall()
+    x = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    mins = np.round(x.min(axis=0), 12)
+    maxs = np.round(x.max(axis=0), 12)
+    maxs = np.where(maxs > mins, maxs, mins + 1.0)
+    cents = SIM._lloyd_cosine(x, len(old_cents) if n_centroids is None else n_centroids, iters)
+    return cents, (tuple(float(v) for v in mins), tuple(float(v) for v in maxs))
+
+
+def _refreshed_sq_models(sample: int = 1024, iters: int = 5):
+    from avro_diff_spark.functions.bpe import _file_key
+
+    return _refreshed_sq_models_cached(
+        _file_key(f"{ORACLE_SF_DIR}/embeddings.parquet"), 16, sample, iters
+    )
+
+
+def _ivf_sq_refresh_sql(k: int = 5, probes: int = 2, n_queries: int = 10) -> str:
+    old_cents = SIM.train_ivf_centroids(f"{ORACLE_SF_DIR}/embeddings.parquet")
+    mins0, maxs0 = SIM.train_sq_minmax(f"{ORACLE_SF_DIR}/embeddings.parquet")
+    cents, (mins, maxs) = _refreshed_sq_models()
+    cent_rows = " UNION ALL ".join(
+        f"SELECT {cid} AS cid, [{', '.join(repr(v) for v in vec)}]::DOUBLE[] AS cent"
+        for cid, vec in cents
+    )
+    recon = _duck_sq_decode(_duck_sq_codes("embedding", mins0, maxs0), mins0, maxs0)
+    codes_new = _duck_sq_codes("embedding", mins, maxs)
+    dist = (
+        "list_sum(list_transform(list_zip(e.codes, q.qcodes), "
+        "p -> CAST((p[1] - p[2]) * (p[1] - p[2]) AS BIGINT)))"
+    )
+    return f"""
+WITH newc AS ({cent_rows}),
+recon AS (
+  SELECT vec_id, {recon} AS embedding
+  FROM embeddings WHERE vec_id % 7 <> 3
+),
+cassign AS (
+  SELECT r.vec_id, r.embedding, c.cid,
+         row_number() OVER (PARTITION BY r.vec_id
+             ORDER BY {_cos_sql('r.embedding', 'c.cent')} DESC, c.cid ASC) AS rn
+  FROM recon r CROSS JOIN newc c
+),
+enc AS (SELECT vec_id AS cand_id, cid AS cell, {codes_new} AS codes
+        FROM cassign WHERE rn = 1),
+qassign AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_cos_sql('e.embedding', 'c.cent')} DESC, c.cid ASC) AS rn
+  FROM embeddings e CROSS JOIN newc c
+  WHERE e.vec_id < {n_queries}
+),
+probe AS (SELECT vec_id AS query_id, cid AS cell, {codes_new} AS qcodes
+          FROM qassign WHERE rn <= {probes}),
+scored AS (
+  SELECT q.query_id, e.cand_id, {dist} AS dist
+  FROM probe q JOIN enc e USING (cell)
+  WHERE q.query_id <> e.cand_id
+)
+SELECT query_id, cand_id, rank, CAST(dist AS BIGINT) AS dist FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY dist ASC, cand_id ASC) AS INT) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
 @_lru_cache(maxsize=8)
 def _refreshed_ivf_cents_cached(
     key: tuple, n_centroids: int, sample: int, iters: int
@@ -6086,6 +6250,7 @@ PIPELINE_QUERIES = {
     "crawl_two_waves": q_crawl_two_waves,
     "ivf_sq_closure_rerank_topk": q_ivf_sq_closure_rerank_topk,
     "crawl_waves_schedule": q_crawl_waves_schedule,
+    "ivf_sq_refresh_topk": q_ivf_sq_refresh_topk,
 }
 
 def pipeline_sql() -> dict[str, str]:
@@ -6160,6 +6325,7 @@ def pipeline_sql() -> dict[str, str]:
         "crawl_two_waves": CRAWL_TWO_WAVES_SQL,
         "ivf_sq_closure_rerank_topk": _ivf_sq_closure_rerank_sql(),
         "crawl_waves_schedule": CRAWL_WAVES_SCHEDULE_SQL,
+        "ivf_sq_refresh_topk": _ivf_sq_refresh_sql(),
         "kmeans_cluster_stats": _kmeans_sql(),
         "pq_topk": _pq_sql(),
         "sq_topk": _sq_sql(),

@@ -564,3 +564,24 @@ def test_sq_closure_index_replicates_and_full_probe_equals_plain(
     )
     key = lambda r: (r.query_id, r.cand_id, r.rank, float(r.cosine))
     assert sorted(map(key, full_c.collect())) == sorted(map(key, full_p.collect()))
+
+
+def test_sq_refresh_oracle_replica_matches_engine(spark, tmp_path):
+    """The ivf_sq_refresh_topk oracle embeds centroids AND bounds from
+    a DuckDB replica of the SQ retrain (reconstruction -> 'sqr' sample
+    -> Lloyd + min/max laws); pin the replica bit-equal to what
+    refresh_sq_index actually stores for the same fixture recipe."""
+    from avro_diff_spark import pipelines as P
+
+    src = f"{P.ORACLE_SF_DIR}/embeddings.parquet"
+    idx = str(tmp_path / "idx")
+    AI.build_ivf_sq_index(spark, src, idx)
+    AI.delete_from_index(
+        spark,
+        idx,
+        spark.read.parquet(src).where(F.col("vec_id") % 7 == 3).select("vec_id"),
+    )
+    cents, minmax = AI.refresh_sq_index(spark, idx)
+    o_cents, o_minmax = P._refreshed_sq_models()
+    assert cents == o_cents
+    assert minmax == o_minmax

@@ -105,6 +105,7 @@ QUERIES = [
     "crawl_two_waves",  # round 14: iterated frontier + visited feed-forward across layouts
     "ivf_sq_closure_rerank_topk",  # round 14: closure + SQ8 + float refine across layouts
     "crawl_waves_schedule",  # round 14: grouped two-level rank windows across layouts
+    "ivf_sq_refresh_topk",  # round 14: post-retrain code probe across layouts
 ]
 
 
