@@ -373,13 +373,13 @@ def run_crawl_waves(
     ``state_path/visited`` (that wave's URLs), so any number of
     consumers — schedulers, fetchers, reporting — read the stored
     frontier instead of re-deriving it, and time travel shows exactly
-    what each wave added. Returns the stored waves table. Pinned equal
+    what each wave added. Wave 1 commits as a REPLACE snapshot on both
+    tables, so re-running the same loop (a crashed run, a re-seed)
+    REPLACES the crawl's state instead of silently doubling appended
+    rows — idempotent by replacement, with the prior crawl still one
+    time-travel hop away. Returns the stored waves table. Pinned equal
     to the pure composition in tests/test_frontier.py."""
-    from avro_diff_spark.sources.versioned import (
-        commit_snapshot,
-        latest_version,
-        read_version,
-    )
+    from avro_diff_spark.sources.versioned import commit_snapshot, read_version
 
     waves = crawl_waves(
         pages,
@@ -393,12 +393,9 @@ def run_crawl_waves(
     )
     for w in range(1, n_waves + 1):
         rows = waves.where(F.col("wave") == w)
-        mode = "append" if latest_version(f"{state_path}/waves") >= 0 else "overwrite"
+        mode = "overwrite" if w == 1 else "append"
         commit_snapshot(rows, f"{state_path}/waves", mode=mode)
-        vmode = (
-            "append" if latest_version(f"{state_path}/visited") >= 0 else "overwrite"
-        )
-        commit_snapshot(rows.select("url"), f"{state_path}/visited", mode=vmode)
+        commit_snapshot(rows.select("url"), f"{state_path}/visited", mode=mode)
     return read_version(spark, f"{state_path}/waves")
 
 

@@ -427,3 +427,25 @@ def test_fetch_schedule_group_cols_schedule_each_group_independently(spark):
             )
             per_group.extend(map(key, sub.collect()))
         assert sorted(map(key, grouped.collect())) == sorted(per_group), buckets
+
+
+def test_run_crawl_waves_rerun_replaces_not_doubles(spark, tmp_path):
+    """Re-running the same loop on existing state REPLACES it (wave 1
+    is a REPLACE snapshot), never doubles rows — and the prior crawl
+    stays one time-travel hop away."""
+    from avro_diff_spark.operators.frontier import run_crawl_waves
+    from avro_diff_spark.sources.versioned import read_version
+
+    pages, robots, fetch_html = _waves_fixture(spark)
+    state = str(tmp_path / "crawl")
+    first = run_crawl_waves(
+        spark, pages, robots, state, agent="bot", fetch_html=fetch_html, n_waves=2
+    ).collect()
+    again = run_crawl_waves(
+        spark, pages, robots, state, agent="bot", fetch_html=fetch_html, n_waves=2
+    ).collect()
+    key = lambda r: tuple(r)
+    assert sorted(map(key, first)) == sorted(map(key, again))
+    # time travel: the pre-rerun state (versions 0-1) is intact
+    old = read_version(spark, f"{state}/waves", version=1).collect()
+    assert sorted(map(key, old)) == sorted(map(key, first))
