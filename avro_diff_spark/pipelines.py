@@ -6035,11 +6035,10 @@ def q_crawl_waves_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned by (wave, host)."""
     from avro_diff_spark.operators.frontier import fetch_schedule
 
-    tw = (
-        q_crawl_two_waves(spark, sf_dir)
-        .withColumnRenamed("wave", "crawl_wave")
-        .localCheckpoint()
-    )
+    # crawl_waves already localCheckpoints each wave — the union reads
+    # materialized rows, so the cut-sample pass is cheap without another
+    # checkpoint here
+    tw = q_crawl_two_waves(spark, sf_dir).withColumnRenamed("wave", "crawl_wave")
     out = fetch_schedule(
         tw, per_host=2, priority_col="n_refs", group_cols=["crawl_wave"]
     )
