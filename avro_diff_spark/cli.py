@@ -18,7 +18,7 @@ from __future__ import annotations
 import argparse
 import sys
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 
 def _read(spark, path: str, fmt: str, keep, ignore, avro_schema=None):
@@ -844,9 +844,17 @@ def frontier_main(argv: list[str] | None = None) -> int:
     p.add_argument("--agent", required=True, help="product token (RFC 9309)")
     p.add_argument("--sitemaps", help="parquet of sitemap XML payloads (xml col)")
     p.add_argument("--visited", help="parquet of already-crawled URLs")
+    p.add_argument(
+        "--schedule-per-host",
+        type=int,
+        metavar="N",
+        help="also politeness-schedule the wave: at most N URLs per host "
+        "per fetch round (fetch_schedule, round 14 — adds host + wave "
+        "columns, most-referenced first)",
+    )
     args = p.parse_args(argv)
 
-    from avro_diff_spark.operators.frontier import expand_frontier
+    from avro_diff_spark.operators.frontier import expand_frontier, fetch_schedule
     from avro_diff_spark.session import get_spark
 
     spark = get_spark("frontier")
@@ -857,9 +865,59 @@ def frontier_main(argv: list[str] | None = None) -> int:
         sitemaps=spark.read.parquet(args.sitemaps) if args.sitemaps else None,
         visited=spark.read.parquet(args.visited) if args.visited else None,
     )
+    if args.schedule_per_host:
+        wave = fetch_schedule(
+            wave.localCheckpoint(),
+            per_host=args.schedule_per_host,
+            priority_col="n_refs",
+        )
     wave.write.mode("overwrite").parquet(args.out_parquet)
     n = spark.read.parquet(args.out_parquet).count()
     print(f"frontier: {n} URLs  ->  {args.out_parquet}")
+    return 0
+
+
+def card_main(argv: list[str] | None = None) -> int:
+    """Dataset card / card diff (round 14): one-table corpus summary of
+    a documents parquet (doc_id, text, lang, source, n_chars), or —
+    with --diff — the key_diff of two corpus generations' cards (the
+    release report of what a cleaning step did)."""
+    p = argparse.ArgumentParser(
+        prog="card", description="Emit a dataset card, or diff two corpora's cards."
+    )
+    p.add_argument("docs_parquet")
+    p.add_argument("out_parquet")
+    p.add_argument(
+        "--diff", metavar="NEW_PARQUET",
+        help="second corpus: emit the per-metric card diff old -> new",
+    )
+    args = p.parse_args(argv)
+
+    from avro_diff_spark.pipelines import _card_df
+    from avro_diff_spark.session import get_spark
+
+    spark = get_spark("card")
+    old = _card_df(spark.read.parquet(args.docs_parquet))
+    if args.diff:
+        from avro_diff_spark.operators.key_diff import key_diff
+
+        new = _card_df(spark.read.parquet(args.diff))
+        out = key_diff(old, new, ["metric"], compare_cols=["value"]).select(
+            "metric",
+            "diff_kind",
+            F.col("old.value").alias("old_value"),
+            F.col("new.value").alias("new_value"),
+        )
+    else:
+        out = old
+    out.write.mode("overwrite").parquet(args.out_parquet)
+    for r in sorted(
+        spark.read.parquet(args.out_parquet).collect(), key=lambda r: r.metric
+    ):
+        if args.diff:
+            print(f"{r.metric}: {r.old_value} -> {r.new_value} ({r.diff_kind})")
+        else:
+            print(f"{r.metric}: {r.value}")
     return 0
 
 
@@ -957,16 +1015,17 @@ _COMMANDS = {
     "extract": extract_main,
     "search": search_main,
     "frontier": frontier_main,
+    "card": card_main,
     "lineage": lineage_main,
     "profile": profile_main,
 }
 
 
 def main() -> int:
-    """Dispatcher: python -m avro_diff_spark.cli {key_diff|venn_diff|dedup|digest|drift|dq|table|extract|search|frontier|lineage|profile} ..."""
+    """Dispatcher: python -m avro_diff_spark.cli {key_diff|venn_diff|dedup|digest|drift|dq|table|extract|search|frontier|card|lineage|profile} ..."""
     if len(sys.argv) < 2 or sys.argv[1] not in _COMMANDS:
         print(
-            "usage: python -m avro_diff_spark.cli {key_diff|venn_diff|dedup|digest|drift|dq|table|extract|search|frontier|lineage|profile} ...",
+            "usage: python -m avro_diff_spark.cli {key_diff|venn_diff|dedup|digest|drift|dq|table|extract|search|frontier|card|lineage|profile} ...",
             file=sys.stderr,
         )
         return 2

@@ -449,3 +449,38 @@ def test_run_crawl_waves_rerun_replaces_not_doubles(spark, tmp_path):
     # time travel: the pre-rerun state (versions 0-1) is intact
     old = read_version(spark, f"{state}/waves", version=1).collect()
     assert sorted(map(key, old)) == sorted(map(key, first))
+
+
+def test_cli_frontier_schedule_and_card(spark, tmp_path, capsys):
+    """Round-14 CLI surface: frontier --schedule-per-host emits the
+    politeness columns; card emits the corpus summary and card --diff
+    the per-metric key_diff."""
+    from avro_diff_spark.cli import card_main, frontier_main
+
+    pages, robots, _ = _frontier_fixture(spark)
+    pp, rp, wp = (str(tmp_path / x) for x in ("pages", "robots", "wave"))
+    pages.write.parquet(pp)
+    robots.write.parquet(rp)
+    assert frontier_main(
+        [pp, rp, wp, "--agent", "trainbot", "--schedule-per-host", "1"]
+    ) == 0
+    wave = spark.read.parquet(wp)
+    assert {"url", "host", "wave"} <= set(wave.columns)
+    assert wave.groupBy("host", "wave").count().agg(
+        F.max("count")
+    ).collect()[0][0] == 1
+
+    docs = spark.createDataFrame(
+        [(i, f"doc text {i % 3}", "en", "web", 10) for i in range(9)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d0, d1, c0, cd = (str(tmp_path / x) for x in ("d0", "d1", "c0", "cd"))
+    docs.write.parquet(d0)
+    docs.where(F.col("doc_id") < 3).write.parquet(d1)  # one doc per text
+    assert card_main([d0, c0]) == 0
+    out = capsys.readouterr().out
+    assert "n_docs: 9" in out and "distinct_texts: 3" in out
+    assert card_main([d0, cd, "--diff", d1]) == 0
+    out = capsys.readouterr().out
+    assert "n_docs: 9 -> 3 (changed)" in out
+    assert "distinct_texts: 3 -> 3 (unchanged)" in out
