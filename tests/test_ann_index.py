@@ -585,3 +585,27 @@ def test_sq_refresh_oracle_replica_matches_engine(spark, tmp_path):
     o_cents, o_minmax = P._refreshed_sq_models()
     assert cents == o_cents
     assert minmax == o_minmax
+
+
+def test_sq_delete_then_compact_preserves_queries(spark, tmp_path, emb_path):
+    """OPTIMIZE after a delete materializes the DV away on the
+    codes-only postings too; probes and int64 distances are unchanged —
+    the lifecycle matrix (build/append/delete/refresh/compact) closes
+    for the SQ index exactly as for the float index."""
+    from avro_diff_spark.sources.versioned import compact_table
+
+    idx = str(tmp_path / "sq_cp")
+    AI.build_ivf_sq_index(spark, emb_path, idx)
+    emb = spark.read.parquet(emb_path)
+    queries = emb.filter(F.col("vec_id") < 10)
+    AI.delete_from_index(
+        spark, idx, emb.where(F.col("vec_id") % 7 == 3).select("vec_id")
+    )
+
+    def rows(df):
+        return {(r.query_id, r.cand_id, r.rank, r.dist) for r in df.collect()}
+
+    before = rows(AI.query_sq_index(spark, queries, idx, k=5, probes=2))
+    compact_table(spark, f"{idx}/postings")
+    after = rows(AI.query_sq_index(spark, queries, idx, k=5, probes=2))
+    assert before == after
