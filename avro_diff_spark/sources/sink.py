@@ -181,6 +181,7 @@ def _write_parts_staged(df, path, encode, suffix, suffixes) -> None:
     # the collect ships (partition index, tmp NAME) pairs only — the
     # staged route's pin is that payload bytes never reach the driver
     winners = dict(df.rdd.mapPartitionsWithIndex(run).collect())
+    renamed: set[int] = set()
     for st in fs.listStatus(jdir):
         name = st.getPath().getName()
         if not name.startswith(".tmp-part-") or not name.endswith(suffixes):
@@ -193,9 +194,29 @@ def _write_parts_staged(df, path, encode, suffix, suffixes) -> None:
             )
             if fs.exists(final):
                 fs.delete(final, False)
-            fs.rename(st.getPath(), final)
+            if not fs.rename(st.getPath(), final):
+                raise IOError(
+                    f"staged sink: rename {name} -> part-{idx:05d}{suffix} "
+                    f"failed under {path}"
+                )
+            renamed.add(idx)
         else:  # a loser attempt (speculation/retry) — sweep it
             fs.delete(st.getPath(), False)
+    # every reported winner MUST have been found and committed: when the
+    # driver's Hadoop view of the URI does not see executor-written tmp
+    # files (non-shared filesystem, pyarrow-vs-Hadoop path mismatch), a
+    # silent pass here would return success with missing parts — the
+    # exact 'silently partial' failure this sink pins against. The
+    # staged route therefore REQUIRES driver and executors to share one
+    # view of the destination; a split view fails loudly right here.
+    missing = sorted(set(winners) - renamed)
+    if missing:
+        raise IOError(
+            f"staged sink: {len(missing)} winner part(s) {missing} were "
+            f"reported by executors but never appeared in the driver's "
+            f"listing of {path} — driver and executors do not share a "
+            f"filesystem view of this destination (use via='driver-fs')"
+        )
 
 
 def _write_parts_driver_fs(df, path, encode, suffix, suffixes) -> None:

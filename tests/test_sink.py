@@ -156,6 +156,31 @@ def test_staged_route_ships_no_payload_through_driver(spark, tmp_path, monkeypat
         write_avro(df, f"file://{tmp_path}/dr", via="driver-fs")
 
 
+def test_staged_route_raises_on_unrenamed_winner(spark, tmp_path, monkeypatch):
+    """Round 15 (ADVICE): a winner part the driver's listing never finds
+    (split driver/executor filesystem view, pyarrow-vs-Hadoop path
+    mismatch) must fail LOUDLY instead of returning success with missing
+    parts — simulated by injecting a phantom winner into the collected
+    (idx, name) pairs."""
+    import pyspark.rdd
+
+    from avro_diff_spark.sources.avro import write_avro
+
+    real_collect = pyspark.rdd.RDD.collect
+
+    def phantom_collect(self, *a, **k):
+        out = real_collect(self, *a, **k)
+        if out and isinstance(out[0], tuple) and len(out[0]) == 2:
+            out = list(out) + [(99, ".tmp-part-00099-a0.avro")]
+        return out
+
+    monkeypatch.setattr(pyspark.rdd.RDD, "collect", phantom_collect)
+
+    df = spark.range(0, 20, 1, 2).selectExpr("id")
+    with pytest.raises(IOError, match="never appeared"):
+        write_avro(df, f"file://{tmp_path}/st", via="staged")
+
+
 def test_staged_route_skips_empty_partitions(spark, tmp_path):
     from avro_diff_spark.sources.avro import write_avro
 
