@@ -40,19 +40,89 @@ __all__ = [
     "refresh_sq_index",
     "load_centroids",
     "load_sq_bounds",
+    "stored_closure_eps",
+    "check_sq_index",
     "query_index",
     "query_sq_index",
     "query_sq_index_rerank",
 ]
 
+#: sentinel default for append/refresh ``closure_eps``: "use the
+#: assignment rule the index was BUILT with" (round 15 ADVICE — an
+#: append to a SPANN-closure index must keep replicating border
+#: vectors, or the increment's recall silently degrades relative to the
+#: build). Pass an explicit float to override, or explicit ``None`` to
+#: force plain nearest-cell assignment.
+_STORED = object()
 
-def _assign_cells(df: DataFrame, cents) -> DataFrame:
+
+def stored_closure_eps(index_path: str) -> float | None:
+    """The SPANN ``closure_eps`` the index's postings were last written
+    with (``None`` = plain nearest-cell assignment) — stamped as commit
+    ``app_meta`` by every build/append/refresh since round 15, read via
+    the walk-past-meta-less-commits lookup so delete/compaction commits
+    never amnesia it. Pre-round-15 indexes carry no stamp and read as
+    plain (their builds defaulted to plain assignment)."""
+    meta = V.latest_app_meta(f"{index_path}/postings", "closure_eps")
+    eps = meta.get("closure_eps")
+    return float(eps) if eps is not None else None
+
+
+def _resolve_eps(index_path: str, closure_eps) -> float | None:
+    if closure_eps is _STORED:
+        return stored_closure_eps(index_path)
+    return closure_eps
+
+
+def _grid_meta(index_path: str) -> dict:
+    """The postings-commit ``app_meta`` tying SQ postings to the exact
+    metadata-table versions their codes were computed against — the
+    single refresh token of round-15 ADVICE. ``check_sq_index`` compares
+    it to the live table versions at query time. The float index needs
+    no token: its stored embeddings are exact, so a stale assignment
+    only affects probe recall, never a returned distance."""
+    return {
+        "centroids_v": V.latest_version(f"{index_path}/centroids"),
+        "bounds_v": V.latest_version(f"{index_path}/sq_bounds"),
+    }
+
+
+def check_sq_index(spark: SparkSession, index_path: str) -> None:
+    """Cheap consistency check (metadata reads only, no data IO): the
+    live postings must have been encoded against the CURRENT centroids
+    and sq_bounds versions. ``refresh_sq_index`` commits metadata first
+    and postings last, so a crash between its commits leaves a window
+    where old codes would silently score against the new grid (wrong
+    distances, no error) — this raises instead, with the recovery
+    pointer. Indexes written before the grid stamp existed (no
+    ``sq_grid`` app_meta anywhere in the log) pass unchecked."""
+    posts = f"{index_path}/postings"
+    stamped = V.latest_app_meta(posts, "sq_grid").get("sq_grid")
+    if stamped is None:
+        return
+    live = {
+        "centroids_v": V.latest_version(f"{index_path}/centroids"),
+        "bounds_v": V.latest_version(f"{index_path}/sq_bounds"),
+    }
+    if stamped != live:
+        raise ValueError(
+            f"IVF-SQ8 index at {index_path} is inconsistent: postings were "
+            f"encoded against grid versions {stamped} but the live tables "
+            f"are at {live} — a refresh_sq_index crashed between its "
+            "metadata and postings commits; re-run refresh_sq_index to "
+            "restore a consistent index"
+        )
+
+
+def _assign_cells(df: DataFrame, cents, *, spread: bool = True) -> DataFrame:
     """(cell, cand_id, embedding) — every vector to its nearest centroid
     (argmax cosine, ties to the lowest cid), the exact candidate-side
-    expressions of :func:`similarity.ivf_topk`."""
+    expressions of :func:`similarity.ivf_topk`. ``spread=False`` skips
+    the small-input split widening (which counts rows — illegal on a
+    streaming DataFrame; micro-batches are already split-bounded)."""
     ranking = S._centroid_ranking(sorted((int(c), list(v)) for c, v in cents))
     return (
-        spread_small(df)
+        (spread_small(df) if spread else df)
         .select(
             F.col("vec_id").alias("cand_id"),
             F.col("embedding").alias("c_emb"),
@@ -74,7 +144,9 @@ def _assign_cells(df: DataFrame, cents) -> DataFrame:
     )
 
 
-def _assign_cells_closure(df: DataFrame, cents, eps: float) -> DataFrame:
+def _assign_cells_closure(
+    df: DataFrame, cents, eps: float, *, spread: bool = True
+) -> DataFrame:
     """SPANN-style CLOSURE assignment (Chen et al., "SPANN: Highly-
     efficient Billion-scale Approximate Nearest Neighbor Search",
     NeurIPS 2021 — the boundary-replication rule of its posting-list
@@ -87,7 +159,8 @@ def _assign_cells_closure(df: DataFrame, cents, eps: float) -> DataFrame:
     factor (measured, typically small for moderate eps). The
     comparison runs on the same correctly-rounded doubles the oracle
     computes (1 + neg_cos ≡ 1 - cos exactly in IEEE), so assignment is
-    engine-portable like the plain rule."""
+    engine-portable like the plain rule. ``spread=False`` as in
+    :func:`_assign_cells` (streaming micro-batches)."""
     ranking = S._centroid_ranking(sorted((int(c), list(v)) for c, v in cents))
     lim = F.lit(float(1.0 + eps))
     r = F.col("__rank")
@@ -99,7 +172,7 @@ def _assign_cells_closure(df: DataFrame, cents, eps: float) -> DataFrame:
         )
     )
     return (
-        spread_small(df)
+        (spread_small(df) if spread else df)
         .select(
             F.col("vec_id").alias("cand_id"),
             F.col("embedding").alias("c_emb"),
@@ -154,7 +227,10 @@ def build_ivf_index(
         else _assign_cells(emb, cents)
     )
     V.commit_snapshot(
-        assigned, f"{index_path}/postings", partition_by=["cell"]
+        assigned,
+        f"{index_path}/postings",
+        partition_by=["cell"],
+        app_meta={"closure_eps": closure_eps},
     )
     return cents
 
@@ -167,17 +243,33 @@ def load_centroids(spark: SparkSession, index_path: str):
     )
 
 
-def append_to_index(spark: SparkSession, df: DataFrame, index_path: str) -> int:
+def _assign(df: DataFrame, cents, eps: float | None, *, spread: bool = True) -> DataFrame:
+    return (
+        _assign_cells_closure(df, cents, eps, spread=spread)
+        if eps is not None
+        else _assign_cells(df, cents, spread=spread)
+    )
+
+
+def append_to_index(
+    spark: SparkSession, df: DataFrame, index_path: str, *, closure_eps=_STORED
+) -> int:
     """Add new vectors to the stored index: assign against the STORED
     centroids (no retraining — FAISS's add() contract) and APPEND to the
     postings table. Work ∝ increment; the historical postings are never
-    read. Returns the postings table's new version."""
+    read. The assignment RULE defaults to the one the index was built
+    with (round 15 ADVICE: an append to a SPANN-closure index keeps
+    replicating border vectors — ``stored_closure_eps``); pass an
+    explicit value/None to override. Returns the postings table's new
+    version."""
     cents = load_centroids(spark, index_path)
+    eps = _resolve_eps(index_path, closure_eps)
     return V.commit_snapshot(
-        _assign_cells(df, cents),
+        _assign(df, cents, eps),
         f"{index_path}/postings",
         mode="append",
         partition_by=["cell"],
+        app_meta={"closure_eps": eps},
     )
 
 
@@ -267,15 +359,16 @@ def build_ivf_sq_index(
     emb = spark.read.parquet(emb_parquet_path)
     # the assignment repartitions by cell and carries the embedding —
     # encode from it, then drop the floats (codes-only postings)
-    raw = (
-        _assign_cells_closure(emb, cents, closure_eps)
-        if closure_eps is not None
-        else _assign_cells(emb, cents)
-    )
+    raw = _assign(emb, cents, closure_eps)
     assigned = raw.withColumn("codes", _sq_codes((mins, maxs))).select(
         "cell", "cand_id", "codes"
     )
-    V.commit_snapshot(assigned, f"{index_path}/postings", partition_by=["cell"])
+    V.commit_snapshot(
+        assigned,
+        f"{index_path}/postings",
+        partition_by=["cell"],
+        app_meta={"closure_eps": closure_eps, "sq_grid": _grid_meta(index_path)},
+    )
     return cents, (mins, maxs)
 
 
@@ -293,18 +386,22 @@ def _sq_codes(minmax, emb_sql: str = "embedding"):
     return F.transform(enc, lambda c: (c - 128).cast("byte"))
 
 
-def append_to_sq_index(spark: SparkSession, df: DataFrame, index_path: str) -> int:
+def append_to_sq_index(
+    spark: SparkSession, df: DataFrame, index_path: str, *, closure_eps=_STORED
+) -> int:
     """Add new vectors to the stored IVF-SQ8 index (round 14 — CRUD
     parity with the float index's :func:`append_to_index`): assign
     against the STORED centroids and encode against the STORED bounds
     (no retraining — FAISS's add() contract for a trained
     quantizer+SQ), then APPEND codes-only postings. Work ∝ increment;
-    historical postings are never read (plan-pinned). Returns the
-    postings table's new version."""
+    historical postings are never read (plan-pinned). The assignment
+    rule defaults to the stored one like :func:`append_to_index`
+    (round 15 ADVICE). Returns the postings table's new version."""
     cents = load_centroids(spark, index_path)
     minmax = load_sq_bounds(spark, index_path)
+    eps = _resolve_eps(index_path, closure_eps)
     assigned = (
-        _assign_cells(df, cents)
+        _assign(df, cents, eps)
         .withColumn("codes", _sq_codes(minmax))
         .select("cell", "cand_id", "codes")
     )
@@ -313,6 +410,7 @@ def append_to_sq_index(spark: SparkSession, df: DataFrame, index_path: str) -> i
         f"{index_path}/postings",
         mode="append",
         partition_by=["cell"],
+        app_meta={"closure_eps": eps, "sq_grid": _grid_meta(index_path)},
     )
 
 
@@ -323,7 +421,7 @@ def refresh_sq_index(
     n_centroids: int | None = None,
     sample: int = 1024,
     iters: int = 5,
-    closure_eps: float | None = None,
+    closure_eps=_STORED,
 ):
     """Re-train the IVF-SQ8 index from its OWN live postings — the
     post-churn maintenance op completing SQ CRUD (round-13 verdict
@@ -370,6 +468,7 @@ def refresh_sq_index(
         )
     old_minmax = load_sq_bounds(spark, index_path)
     old_cents = load_centroids(spark, index_path)
+    eps = _resolve_eps(index_path, closure_eps)
     k = n_centroids if n_centroids is not None else len(old_cents)
 
     from avro_diff_spark.functions.fit import embedding_sample_df
@@ -394,11 +493,7 @@ def refresh_sq_index(
 
     vecs = live.select(F.col("cand_id").alias("vec_id"), "embedding")
     reassigned = (
-        (
-            _assign_cells_closure(vecs, cents, closure_eps)
-            if closure_eps is not None
-            else _assign_cells(vecs, cents)
-        )
+        _assign(vecs, cents, eps)
         .withColumn("codes", _sq_codes(minmax))
         .select("cell", "cand_id", "codes")
     )
@@ -415,7 +510,16 @@ def refresh_sq_index(
         ).coalesce(1),
         f"{index_path}/sq_bounds",
     )
-    V.commit_snapshot(reassigned, posts, partition_by=["cell"])
+    # postings LAST, stamped with the grid versions the codes were just
+    # encoded against — check_sq_index validates this token at query time
+    # (round 15 ADVICE: the crash window between these commits used to
+    # score old codes against the new grid silently)
+    V.commit_snapshot(
+        reassigned,
+        posts,
+        partition_by=["cell"],
+        app_meta={"closure_eps": eps, "sq_grid": _grid_meta(index_path)},
+    )
     return cents, minmax
 
 
@@ -440,9 +544,15 @@ def query_sq_index(
     before ranking — required over a closure-assigned index, where a
     border candidate lives in several probed cells; replicas carry
     identical codes hence identical distances, so the distinct is
-    exact (the :func:`query_index` rule)."""
+    exact (the :func:`query_index` rule).
+
+    Validates the grid token first (:func:`check_sq_index`, round 15
+    ADVICE): postings encoded against a superseded grid — the
+    refresh-crash window — raise instead of silently scoring old codes
+    on the new bounds."""
     from pyspark.sql import Window
 
+    check_sq_index(spark, index_path)
     cents = load_centroids(spark, index_path)
     minmax = load_sq_bounds(spark, index_path)
     ranking = S._centroid_ranking(sorted((int(c), list(v)) for c, v in cents))
@@ -558,7 +668,7 @@ def refresh_index(
     n_centroids: int | None = None,
     sample: int = 1024,
     iters: int = 5,
-    closure_eps: float | None = None,
+    closure_eps=_STORED,
 ):
     """Re-train the coarse quantizer from the index's OWN live postings
     and re-balance the cells — the post-churn maintenance op (round-12
@@ -581,9 +691,11 @@ def refresh_index(
     values reach the driver for the seed-free Lloyd core
     (:func:`similarity._lloyd_cosine`, the exact trainer
     ``build_ivf_index`` uses). Every live vector then re-assigns to the
-    new centroids in one distributed pass — pass the index's own
-    ``closure_eps`` to retain SPANN boundary replication; the default
-    re-assigns plain — and BOTH tables commit as REPLACE snapshots,
+    new centroids in one distributed pass — ``closure_eps`` defaults to
+    the index's STORED assignment rule (round 15 —
+    ``stored_closure_eps``), so a SPANN-closure index keeps its boundary
+    replication; pass an explicit value/None to change the rule — and
+    BOTH tables commit as REPLACE snapshots,
     CENTROIDS FIRST (round-13 ADVICE: cache guards that key on the
     postings version see the final postings commit only after its
     matching centroids exist, so a crash between the commits can never
@@ -593,6 +705,11 @@ def refresh_index(
     IDEMPOTENT (the live id set is unchanged by a refresh, so the
     deterministic sample, the centroids, and the assignment all
     reproduce bit-identically).
+
+    ``closure_eps`` defaults to the index's STORED assignment rule
+    (round 15 — ``stored_closure_eps``): a SPANN-closure index keeps
+    its boundary replication across refreshes without the caller
+    re-supplying eps; pass an explicit value/None to change the rule.
 
     A codes-only IVF-SQ8 index stores no embeddings and cannot retrain
     from its own postings this way — :func:`refresh_sq_index` is its
@@ -623,20 +740,22 @@ def refresh_index(
 
     x = embedding_sample_df(live, "ivfr", sample)
     cents = S._lloyd_cosine(x, k, iters)
+    eps = _resolve_eps(index_path, closure_eps)
 
     vecs = live.select(F.col("cand_id").alias("vec_id"), "embedding")
-    reassigned = (
-        _assign_cells_closure(vecs, cents, closure_eps)
-        if closure_eps is not None
-        else _assign_cells(vecs, cents)
-    )
+    reassigned = _assign(vecs, cents, eps)
     V.commit_snapshot(
         spark.createDataFrame(
             [(int(c), list(v)) for c, v in cents], "cid int, embedding array<double>"
         ).coalesce(1),
         f"{index_path}/centroids",
     )
-    V.commit_snapshot(reassigned, posts, partition_by=["cell"])
+    V.commit_snapshot(
+        reassigned,
+        posts,
+        partition_by=["cell"],
+        app_meta={"closure_eps": eps},
+    )
     return cents
 
 
@@ -651,21 +770,18 @@ def maintain_index_stream(
     assigned against the STORED centroids (a pure Column transform over
     the stream — no state, no retraining) and lands as one exactly-once
     APPEND commit on the postings table via
-    :func:`versioned.commit_stream`'s txn idempotence. The streaming
+    :func:`versioned.commit_stream`'s txn idempotence. The assignment
+    rule is the index's stored one (round 15 — closure indexes keep
+    replicating border vectors on the stream path too). The streaming
     sibling of :func:`append_to_index`; pinned batch-equivalent in
     tests/test_ann_index.py."""
     cents = load_centroids(stream_df.sparkSession, index_path)
-    ranking = S._centroid_ranking(sorted((int(c), list(v)) for c, v in cents))
-    assigned = stream_df.select(
-        F.col("vec_id").alias("cand_id"),
-        F.col("embedding").alias("c_emb"),
-        S._dec_norm(F.col("embedding")).alias("c_norm"),
-    ).select(
-        F.element_at(ranking(F.col("c_emb"), F.col("c_norm")), 1)
-        .getField("cid")
-        .alias("cell"),
-        "cand_id",
-        F.col("c_emb").alias("embedding"),
+    eps = stored_closure_eps(index_path)
+    assigned = _assign(
+        stream_df.select(F.col("vec_id"), F.col("embedding")),
+        cents,
+        eps,
+        spread=False,
     )
     return V.commit_stream(
         assigned,
