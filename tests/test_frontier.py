@@ -484,3 +484,67 @@ def test_cli_frontier_schedule_and_card(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "n_docs: 9 -> 3 (changed)" in out
     assert "distinct_texts: 3 -> 3 (unchanged)" in out
+
+
+def test_crawl_two_waves_oracle_fixture_invariants(spark, sf_dir):
+    """Round 15 (ADVICE): CRAWL_TWO_WAVES_SQL's wave-2 closed form skips
+    the robots filter, the visited anti-join and URL normalization, and
+    CASTs a regexp_extract to BIGINT — each omission is valid only under
+    a fixture invariant. Pin those invariants HERE so a fixture tweak
+    fails with a pointer at the cause instead of an opaque oracle
+    hash-mismatch (or a DuckDB ''-cast error):
+
+      (a) every wave-1 URL carries a trailing number (the fetcher's
+          regexp_extract + CAST never sees ''),
+      (b) every wave-2 candidate (host + '/n/' + K) is already in RFC
+          3986 normal form (normalize_url is the identity on it),
+      (c) no wave-2 candidate was visited before wave 2 (seeds, wave 1),
+      (d) every wave-2 candidate is robots-allowed for the fixture agent
+          ('/n/' paths are never disallowed on any fixture host).
+    """
+    from pyspark.sql import functions as F
+
+    from avro_diff_spark.functions.robots import is_allowed, parse_robots
+    from avro_diff_spark.functions.urls import normalize_url
+    from avro_diff_spark.pipelines import _crawl_fixture, q_crawl_two_waves
+
+    pages, _sm, robots, n = _crawl_fixture(spark, sf_dir)
+    tw = q_crawl_two_waves(spark, sf_dir).localCheckpoint()
+    w1 = tw.where(F.col("wave") == 1)
+
+    # (a) trailing number present on EVERY wave-1 url
+    assert (
+        w1.where(
+            F.regexp_extract(F.col("url"), r"([0-9]+)(\?.*)?$", 1) == ""
+        ).count()
+        == 0
+    )
+
+    # wave-2 candidates exactly as the fetcher law derives them
+    k = F.regexp_extract(F.col("url"), r"([0-9]+)(\?.*)?$", 1).cast("long")
+    cand = w1.select(
+        F.concat(
+            F.regexp_extract(F.col("url"), r"^(https?://[^/?#]*)", 1),
+            F.lit("/n/"),
+            ((k * 13 + 5) % n).cast("string"),
+        ).alias("url")
+    ).distinct()
+
+    # (b) already normalized
+    assert cand.where(normalize_url(F.col("url")) != F.col("url")).count() == 0
+
+    # (c) never visited before wave 2: seeds + wave 1
+    visited = pages.select("url").unionByName(w1.select("url"))
+    assert cand.join(visited, "url", "semi").count() == 0
+
+    # (d) robots-allowed for the fixture agent on every host
+    rb = {r["host"]: parse_robots(r["robots"]) for r in robots.collect()}
+    for r in cand.collect():
+        host = r.url.split("//")[1].split("/")[0]
+        path = "/" + r.url.split("//")[1].split("/", 1)[1]
+        assert is_allowed(rb[host], "trainbot", path), r.url
+
+    # and the engine's wave 2 is exactly the candidate set (counts fold
+    # per url in the oracle; urls must match 1:1)
+    w2 = tw.where(F.col("wave") == 2).select("url").distinct()
+    assert cand.exceptAll(w2).count() == 0 and w2.exceptAll(cand).count() == 0
