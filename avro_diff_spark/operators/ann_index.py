@@ -550,8 +550,6 @@ def query_sq_index(
     ADVICE): postings encoded against a superseded grid — the
     refresh-crash window — raise instead of silently scoring old codes
     on the new bounds."""
-    from pyspark.sql import Window
-
     check_sq_index(spark, index_path)
     cents = load_centroids(spark, index_path)
     minmax = load_sq_bounds(spark, index_path)
@@ -595,11 +593,11 @@ def query_sq_index(
     )
     if distinct_candidates:
         scored = scored.distinct()
-    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("cand_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .where(F.col("rank") <= k)
-        .select("query_id", "cand_id", "rank", "dist")
+    return S._topk_per_query(
+        scored,
+        k,
+        [F.asc("dist"), F.asc("cand_id")],
+        ["query_id", "cand_id", "rank", "dist"],
     )
 
 

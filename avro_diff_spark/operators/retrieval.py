@@ -97,15 +97,14 @@ def rrf_fuse(
         F.sum("c").alias("rrf_x1e6"),
         F.count(F.lit(1)).alias("n_lists"),
     )
-    from pyspark.sql import Window
+    from avro_diff_spark.operators.similarity import _topk_per_query
 
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("rrf_x1e6").desc(), F.col("doc_id").asc()
-    )
-    return (
-        fused.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= int(k))
-        .select("query_id", "doc_id", "rank", "rrf_x1e6", "n_lists")
+    return _topk_per_query(
+        fused,
+        int(k),
+        [F.col("rrf_x1e6").desc(), F.col("doc_id").asc()],
+        ["query_id", "doc_id", "rank", "rrf_x1e6", "n_lists"],
+        salt_col="doc_id",
     )
 
 
@@ -219,13 +218,12 @@ def maxsim_rerank(
     scores = per_qtok.groupBy("query_id", "doc_id").agg(
         F.sum("mx").alias("maxsim_score")
     )
-    from pyspark.sql import Window
+    from avro_diff_spark.operators.similarity import _topk_per_query
 
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("maxsim_score").desc(), F.col("doc_id").asc()
-    )
-    return (
-        scores.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= int(k))
-        .select("query_id", "doc_id", "rank", "maxsim_score")
+    return _topk_per_query(
+        scores,
+        int(k),
+        [F.col("maxsim_score").desc(), F.col("doc_id").asc()],
+        ["query_id", "doc_id", "rank", "maxsim_score"],
+        salt_col="doc_id",
     )

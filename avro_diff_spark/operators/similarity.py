@@ -90,17 +90,75 @@ def cosine_pairs(
     )
 
 
-def topk_per_query(scored: DataFrame, k: int) -> DataFrame:
-    """Deterministic top-k per query: rank by (cosine desc, cand_id asc)."""
+#: salt-group count for the two-level per-query top-k. 32 matches the
+#: local[32] test parallelism; at cluster scale it bounds any one task
+#: to 1/salts of a query's candidates, which is the point.
+TOPK_SALTS = 32
+
+
+def _topk_per_query(
+    scored: DataFrame,
+    k: int,
+    order,
+    out_cols,
+    *,
+    salts: int = TOPK_SALTS,
+    salt_col: str = "cand_id",
+) -> DataFrame:
+    """Two-level deterministic top-k per query (round 15 — the round-14
+    verdict's last single-task-serialization): a plain
+    ``Window.partitionBy("query_id")`` ranks ALL of one query's scored
+    candidates in ONE task, so a 100× corpus probed by few queries puts
+    millions of rows through a single task — the same defect class
+    ``fetch_schedule`` two-leveled for mega-hosts. Here: local top-k
+    within ``(query_id, salt)`` where salt = xxhash64(cand_id) mod
+    ``salts`` (the one full-size shuffle, ``salts``-way parallel per
+    query), then a global re-rank over the ≤ salts·k survivors per
+    query (a tiny second window).
+
+    Lossless by containment: any row in the global top-k is in the
+    top-k of its own salt group (its group's competitors are a subset
+    of the query's), so the survivor set always contains the global
+    top-k and the final ``row_number`` law — and hence every oracle —
+    is unchanged. Salting by ``salt_col`` (the candidate/document id —
+    the order's tie-break column) keeps replicas of one candidate (a
+    closure-assigned index) in one group, so dedup/rank behavior
+    matches the single-window form exactly. ``salts=1`` short-circuits
+    to the plain single window (the ``fetch_schedule buckets=1`` rule).
+
+    ``order`` must be a TOTAL order per query (every caller ties by
+    the id column); ``out_cols`` is the output projection after
+    ``rank`` is attached.
+    """
     from pyspark.sql import Window
 
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("cand_id").asc()
-    )
+    if salts > 1:
+        lw = Window.partitionBy("query_id", "__tk_s").orderBy(*order)
+        scored = (
+            scored.withColumn(
+                "__tk_s", F.pmod(F.xxhash64(F.col(salt_col)), F.lit(salts))
+            )
+            .withColumn("__tk_r", F.row_number().over(lw))
+            .where(F.col("__tk_r") <= k)
+            .drop("__tk_s", "__tk_r")
+        )
+    w = Window.partitionBy("query_id").orderBy(*order)
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "cand_id", "rank", "cosine")
+        .select(*out_cols)
+    )
+
+
+def topk_per_query(scored: DataFrame, k: int, *, salts: int = TOPK_SALTS) -> DataFrame:
+    """Deterministic top-k per query: rank by (cosine desc, cand_id asc).
+    Two-leveled — see :func:`_topk_per_query`."""
+    return _topk_per_query(
+        scored,
+        k,
+        [F.col("cosine").desc(), F.col("cand_id").asc()],
+        ["query_id", "cand_id", "rank", "cosine"],
+        salts=salts,
     )
 
 
@@ -623,7 +681,6 @@ def pq_topk(
     m = len(codebooks)
     ksub = len(codebooks[0])
     R = shortlist if shortlist is not None else 10 * k
-    from pyspark.sql import Window
 
     dsub = len(codebooks[0][0])
 
@@ -648,17 +705,14 @@ def pq_topk(
         F.lit(0).cast("long"),
         lambda a, v: a + v,
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("approx").desc(), F.col("cand_id").asc()
-    )
-    short = (
+    short = _topk_per_query(
         F.broadcast(q.select("query_id", "lut"))
         .crossJoin(enc)
         .filter(F.col("query_id") != F.col("cand_id"))
-        .select("query_id", "cand_id", approx.alias("approx"))
-        .withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") <= R)
-        .select("query_id", "cand_id")
+        .select("query_id", "cand_id", approx.alias("approx")),
+        R,
+        [F.col("approx").desc(), F.col("cand_id").asc()],
+        ["query_id", "cand_id"],
     )
 
     # ---- stage 2: exact re-rank of the shortlist --------------------
@@ -762,7 +816,6 @@ def sq_topk(
     if minmax is None:
         raise ValueError("pass minmax from train_sq_minmax()")
     R = shortlist if shortlist is not None else 10 * k
-    from pyspark.sql import Window
 
     enc_expr = sq_encode_sql("embedding", minmax)
     enc = spread_small(candidates).select(
@@ -783,15 +836,14 @@ def sq_topk(
         F.lit(0).cast("long"),
         lambda a, v: a + v,
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("cand_id").asc())
-    short = (
+    short = _topk_per_query(
         F.broadcast(q.select("query_id", "qcodes"))
         .crossJoin(enc)
         .filter(F.col("query_id") != F.col("cand_id"))
-        .select("query_id", "cand_id", dist.alias("dist"))
-        .withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") <= R)
-        .select("query_id", "cand_id")
+        .select("query_id", "cand_id", dist.alias("dist")),
+        R,
+        [F.col("dist").asc(), F.col("cand_id").asc()],
+        ["query_id", "cand_id"],
     )
     c_full = candidates.select(
         F.col(id_c).alias("cand_id"),
@@ -858,7 +910,6 @@ def ivfpq_topk(
     ksub = len(codebooks[0])
     dsub = len(codebooks[0][0])
     R = shortlist if shortlist is not None else 10 * k
-    from pyspark.sql import Window
 
     cell_ranking = _centroid_ranking(cents)
     # dense cid-ordered matrix: element_at(cent_mat, cell + 1) is the
@@ -953,20 +1004,17 @@ def ivfpq_topk(
         F.lit(0).cast("long"),
         lambda a, v: a + v,
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("approx").desc(), F.col("cand_id").asc()
-    )
     # each candidate lives in exactly ONE cell (rn=1 assignment) and a
     # query's probed cells are distinct, so every (query, cand) pair
     # appears at most once — no dedup needed before ranking
-    short = (
+    short = _topk_per_query(
         F.broadcast(probed)
         .join(c.select("cand_id", "cell", "codes"), "cell")
         .filter(F.col("query_id") != F.col("cand_id"))
-        .select("query_id", "cand_id", approx.alias("approx"))
-        .withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") <= R)
-        .select("query_id", "cand_id")
+        .select("query_id", "cand_id", approx.alias("approx")),
+        R,
+        [F.col("approx").desc(), F.col("cand_id").asc()],
+        ["query_id", "cand_id"],
     )
     qe = q_base
     dot = _fixed_dot(F.col("q_emb"), F.col("c_emb"))

@@ -481,15 +481,17 @@ def query_text_index(
         F.sum("s").alias("score_x1e6"),
         F.count(F.lit(1)).alias("n_terms_matched"),
     )
-    from pyspark.sql import Window
+    from avro_diff_spark.operators.similarity import _topk_per_query
 
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score_x1e6").desc(), F.col("doc_id").asc()
-    )
-    return (
-        agg.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "doc_id", "rank", "score_x1e6", "n_terms_matched")
+    # two-level rank (round 15): a common query term can match a huge
+    # share of the corpus — never serialize one query's matches into one
+    # window task
+    return _topk_per_query(
+        agg,
+        k,
+        [F.col("score_x1e6").desc(), F.col("doc_id").asc()],
+        ["query_id", "doc_id", "rank", "score_x1e6", "n_terms_matched"],
+        salt_col="doc_id",
     )
 
 

@@ -38,6 +38,41 @@ def test_no_unbounded_join_shapes(spark, sf_dir, name):
         )
 
 
+#: registry queries whose per-query top-k must plan as the TWO-LEVEL
+#: window (similarity._topk_per_query, round 15): a salted local rank
+#: ("__tk_s" in the window spec) before the tiny global re-rank — a
+#: single Window.partitionBy(query_id) over the raw candidate set would
+#: serialize one query's probed candidates into ONE task at scale.
+#: (ann_signbucket_topk/vocab_topk and the pandas variant rank through
+#: their own bounded paths; the bm25/hybrid family feeds a grouped
+#: (query, doc) aggregate into the same helper.)
+TWO_LEVEL_TOPK = [
+    "cosine_topk",
+    "ivf_topk",
+    "ivfpq_topk",
+    "ivfpq_residual_topk",
+    "pq_topk",
+    "sq_topk",
+    "ivf_index_topk",
+    "ivf_closure_topk",
+    "ivf_sq_index_topk",
+    "ivf_sq_rerank_topk",
+    "bm25_topk",
+    "hybrid_topk",
+    "maxsim_rerank_topk",
+]
+
+
+@pytest.mark.parametrize("name", TWO_LEVEL_TOPK)
+def test_per_query_topk_is_two_leveled(spark, sf_dir, name):
+    df = ent.queries()[name](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "__tk_s" in plan, (
+        f"{name}: no salted local top-k stage — a single per-query window "
+        "would serialize one query's candidates into one task at scale"
+    )
+
+
 def test_mixture_plans_are_window_free(spark, sf_dir):
     """Round 12: the mixture normalizers moved from `sum(..) OVER ()`
     to the broadcast-totals fold — no Window node (partitioned or not)
