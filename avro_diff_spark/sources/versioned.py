@@ -2901,6 +2901,7 @@ def commit_stream(
     checkpoint: str,
     trigger_available_now: bool = True,
     partition_by: list[str] | None = None,
+    app_meta: dict | None = None,
     auto_compact_every: int | None = None,
     auto_compact_min_rows: int = 10_000,
 ):
@@ -2986,6 +2987,11 @@ def commit_stream(
                     for f, pv in added
                 ],
             }
+            if app_meta:
+                # rides every micro-batch commit (same contract as
+                # commit_snapshot): stream-maintained state like the SQ
+                # index's grid token stays discoverable at the log tip
+                commit["app_meta"] = dict(app_meta)
             if phys_pb:
                 commit["partition_by"] = phys_pb
             if mapping:
