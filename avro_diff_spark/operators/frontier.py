@@ -47,6 +47,7 @@ __all__ = [
     "fetch_schedule",
     "crawl_waves",
     "run_crawl_waves",
+    "continue_crawl",
 ]
 
 
@@ -377,8 +378,13 @@ def run_crawl_waves(
     tables, so re-running the same loop (a crashed run, a re-seed)
     REPLACES the crawl's state instead of silently doubling appended
     rows — idempotent by replacement, with the prior crawl still one
-    time-travel hop away. Returns the stored waves table. Pinned equal
-    to the pure composition in tests/test_frontier.py."""
+    time-travel hop away. The stored visited set includes the INITIAL
+    visited URLs (the seeds, or the caller's ``visited``) alongside
+    each wave's discoveries (round 15): that is the loop's actual
+    ``seen`` state, and :func:`continue_crawl` needs it to resume
+    exactly — without the seeds a resumed crawl could rediscover them.
+    Returns the stored waves table. Pinned equal to the pure
+    composition in tests/test_frontier.py."""
     from avro_diff_spark.sources.versioned import commit_snapshot, read_version
 
     waves = crawl_waves(
@@ -391,11 +397,97 @@ def run_crawl_waves(
         visited=visited,
         **kw,
     )
+    url_col = kw.get("url_col", "url")
+    init = (
+        visited.select(F.col(visited.columns[0]).alias("url"))
+        if visited is not None
+        else pages.select(F.col(url_col).alias("url"))
+    ).distinct()
     for w in range(1, n_waves + 1):
         rows = waves.where(F.col("wave") == w)
         mode = "overwrite" if w == 1 else "append"
         commit_snapshot(rows, f"{state_path}/waves", mode=mode)
-        commit_snapshot(rows.select("url"), f"{state_path}/visited", mode=mode)
+        # wave 1's visited snapshot carries the initial seen set too —
+        # one commit per wave on both tables stays true
+        vurls = rows.select("url")
+        commit_snapshot(
+            init.unionByName(vurls) if w == 1 else vurls,
+            f"{state_path}/visited",
+            mode=mode,
+        )
+    return read_version(spark, f"{state_path}/waves")
+
+
+def continue_crawl(
+    spark: SparkSession,
+    state_path: str,
+    robots: DataFrame,
+    *,
+    agent: str,
+    fetch_html,
+    n_more_waves: int = 1,
+    **kw,
+) -> DataFrame:
+    """RESUME a stored crawl (round 15 — round-14 verdict item 5): a
+    real crawl continues from its persisted state instead of restarting
+    at wave 1. Reads the stored frontier (``state_path/waves``) and
+    visited set (``state_path/visited``) that :func:`run_crawl_waves`
+    committed, re-fetches the LAST stored wave's URLs through
+    ``fetch_html`` (the fetch stage is a declarative Column function, so
+    the resume's seed pages are one projection — a production crawler
+    plugs its fetched-pages table in the same way), expands
+    ``n_more_waves`` further waves against the FULL stored visited set,
+    and APPENDS them with wave numbers continuing after the stored
+    maximum. Sitemaps never participate (they are a wave-1-only,
+    discovered-once input — exactly the waves ≥ 2 behavior of one long
+    run).
+
+    The law pinned in tests/test_frontier.py:
+    ``continue_crawl(k) ∘ run_crawl_waves(j)  ≡  run_crawl_waves(j+k)``
+    row-for-row on both state tables — resuming is indistinguishable
+    from never having stopped.
+
+    Scale shape: per new wave, exactly :func:`expand_frontier`'s cost
+    over that wave's pages; the stored state is read once (the last
+    wave filter prunes on the ``wave`` column); the only driver values
+    are the stored max wave (one-row agg) and the loop counter."""
+    from avro_diff_spark.sources.versioned import commit_snapshot, read_version
+
+    if n_more_waves < 1:
+        raise ValueError(f"n_more_waves must be >= 1, got {n_more_waves}")
+    stored = read_version(spark, f"{state_path}/waves")
+    w_max = stored.agg(F.max("wave")).collect()[0][0]
+    if w_max is None:
+        raise ValueError(
+            f"no stored crawl at {state_path} — run run_crawl_waves first"
+        )
+    w_max = int(w_max)
+    visited = read_version(spark, f"{state_path}/visited").select("url")
+    # the resume's seed pages: the last stored wave, fetched
+    pages = stored.where(F.col("wave") == w_max).select(
+        "url", fetch_html(F.col("url")).alias("html")
+    )
+    waves = crawl_waves(
+        pages,
+        robots,
+        agent=agent,
+        fetch_html=fetch_html,
+        n_waves=n_more_waves,
+        visited=visited,
+        **kw,
+    )
+    for w in range(1, n_more_waves + 1):
+        rows = waves.where(F.col("wave") == w).select(
+            (F.col("wave") + F.lit(w_max)).cast("int").alias("wave"),
+            "url",
+            "n_refs",
+            "from_links",
+            "from_sitemaps",
+        )
+        commit_snapshot(rows, f"{state_path}/waves", mode="append")
+        commit_snapshot(
+            rows.select("url"), f"{state_path}/visited", mode="append"
+        )
     return read_version(spark, f"{state_path}/waves")
 
 
