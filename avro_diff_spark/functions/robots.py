@@ -48,7 +48,9 @@ if TYPE_CHECKING:  # pragma: no cover
 __all__ = [
     "parse_robots",
     "is_allowed",
+    "crawl_delay",
     "robots_filter_df",
+    "robots_delays_df",
     "parse_sitemap",
     "sitemap_locs",
 ]
@@ -56,10 +58,16 @@ __all__ = [
 
 def parse_robots(text: str) -> dict:
     """Parse robots.txt into ``{"groups": {agent_lower: [(allow, pattern),
-    ...]}, "sitemaps": [...]}``. Adjacent User-agent lines share the
-    following rule block (RFC 9309 §2.2); if the same agent opens two
-    separate groups their rules merge (the RFC's "combine" rule)."""
+    ...]}, "delays": {agent_lower: seconds}, "sitemaps": [...]}``.
+    Adjacent User-agent lines share the following rule block (RFC 9309
+    §2.2); if the same agent opens two separate groups their rules merge
+    (the RFC's "combine" rule). ``Crawl-delay`` is absent from RFC 9309
+    but ubiquitous de-facto (honored by Yandex/Bing-class crawlers): it
+    attaches to the open group like a rule; a malformed or negative
+    value is skipped (the module's totality posture); the last valid
+    value per group wins."""
     groups: dict[str, list[tuple[bool, str]]] = {}
+    delays: dict[str, float] = {}
     sitemaps: list[str] = []
     open_agents: list[str] = []
     last_was_agent = False
@@ -95,7 +103,31 @@ def parse_robots(text: str) -> dict:
         if key in ("allow", "disallow") and open_agents:
             for a in open_agents:
                 groups.setdefault(a, []).append((key == "allow", val))
-    return {"groups": groups, "sitemaps": sitemaps}
+            continue
+        if key == "crawl-delay" and open_agents:
+            try:
+                d = float(val)
+            except ValueError:
+                continue
+            if d >= 0:
+                for a in open_agents:
+                    delays[a] = d
+    return {"groups": groups, "delays": delays, "sitemaps": sitemaps}
+
+
+def crawl_delay(robots: dict, agent: str) -> float | None:
+    """The ``Crawl-delay`` seconds the ``agent`` should honor, by the
+    same group selection as :func:`is_allowed` (exact case-insensitive
+    product token, else the ``*`` group): the delay of the agent's
+    MATCHED group — a matched group without a delay means no delay (the
+    crawler's default cadence applies), never a fallthrough to ``*``'s
+    delay. ``None`` when no delay applies."""
+    groups = robots.get("groups", {})
+    delays = robots.get("delays", {})
+    a = agent.lower()
+    if a in groups:
+        return delays.get(a)
+    return delays.get("*")
 
 
 def _pattern_matches(pattern: str, path: str) -> bool:
@@ -188,6 +220,49 @@ def robots_filter_df(
             res = b[keep].copy() if keep else pd.DataFrame(index=b.index)
             res["url"] = b[url_col]
             res["allowed"] = allowed
+            yield res
+
+    return narrow.mapInPandas(run, schema=out_schema)
+
+
+def robots_delays_df(
+    df: DataFrame,
+    robots_col: str,
+    agent: str,
+    *,
+    keep: Sequence[str] = (),
+) -> DataFrame:
+    """``keep`` columns + ``crawl_delay`` (double, NULL when none
+    applies) — the de-facto ``Crawl-delay`` each row's robots.txt asks
+    of the product token (:func:`crawl_delay`'s group selection).
+    Arrow-batched ``mapInPandas`` with the same per-batch parse cache as
+    :func:`robots_filter_df`; the input is the one-row-per-host robots
+    table, so this is a bounded metadata pass, not a corpus scan."""
+    import pandas as pd  # noqa: F401
+
+    keep = list(keep)
+    narrow = df.select(*keep, robots_col)
+    out_schema = ", ".join(
+        [f"`{c}` {narrow.schema[c].dataType.simpleString()}" for c in keep]
+        + ["crawl_delay double"]
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        cache: dict[str, dict] = {}
+        for b in batches:
+            out = []
+            for rb in b[robots_col]:
+                if rb is None:
+                    out.append(None)
+                    continue
+                rules = cache.get(rb)
+                if rules is None:
+                    rules = cache[rb] = parse_robots(rb)
+                out.append(crawl_delay(rules, agent))
+            res = b[keep].copy() if keep else pd.DataFrame(index=b.index)
+            res["crawl_delay"] = pd.array(out, dtype="float64")
             yield res
 
     return narrow.mapInPandas(run, schema=out_schema)

@@ -499,6 +499,8 @@ def fetch_schedule(
     priority_col: str | None = None,
     buckets: int = 64,
     group_cols: "tuple[str, ...] | list[str]" = (),
+    delay_col: str | None = None,
+    default_delay: float = 1.0,
 ) -> DataFrame:
     """Politeness scheduling (round 13; two-leveled round 14): partition
     a frontier wave into fetch ROUNDS with at most ``per_host`` URLs per
@@ -534,7 +536,17 @@ def fetch_schedule(
     Any pre-existing ``host`` column is OVERWRITTEN from ``url_col``
     (round-13 ADVICE: appending alongside ``*`` made the window's
     partition key ambiguous). Returns ``(url, host, wave)`` plus the
-    pass-through columns (an input ``wave`` column is replaced)."""
+    pass-through columns (an input ``wave`` column is replaced).
+
+    ``delay_col`` (round 15 — the de-facto robots ``Crawl-delay``,
+    parsed by :func:`avro_diff_spark.functions.robots.robots_delays_df`
+    and joined onto the frontier by host upstream): when given, the
+    output also carries ``not_before = wave · coalesce(delay_col,
+    default_delay)`` — the earliest second (relative to the schedule's
+    start) a polite fetcher may open round ``wave`` against that host,
+    because each round's cap is separated from the last by the host's
+    requested delay. Hosts without a delay pace at ``default_delay``.
+    A pure Column on the already-ranked rows — no extra shuffle."""
     if per_host < 1:
         raise ValueError(f"per_host must be >= 1, got {per_host}")
     from pyspark.sql import Window
@@ -549,11 +561,27 @@ def fetch_schedule(
         else []
     )
     gcols = [F.col(g) for g in group_cols]
+
+    def paced(out: DataFrame) -> DataFrame:
+        if delay_col is None:
+            return out
+        return out.withColumn(
+            "not_before",
+            F.col("wave").cast("double")
+            * F.coalesce(
+                F.col(delay_col).cast("double"), F.lit(float(default_delay))
+            ),
+        )
+
     if not cuts:
         w = Window.partitionBy(*gcols, "host").orderBy(*order)
-        return hosted.withColumn(
-            "wave",
-            ((F.row_number().over(w) - F.lit(1)) / F.lit(per_host)).cast("int"),
+        return paced(
+            hosted.withColumn(
+                "wave",
+                ((F.row_number().over(w) - F.lit(1)) / F.lit(per_host)).cast(
+                    "int"
+                ),
+            )
         )
     # bucket = how many cuts sort at-or-before this row in schedule
     # order (priority desc, url asc) — a pure literal-array fold
@@ -602,7 +630,7 @@ def fetch_schedule(
         .drop("__fs_n")
     )
     out_cols = [c for c in hosted.columns if c != "wave"]
-    return (
+    return paced(
         # null-safe on host: an unparseable URL has a NULL host and must
         # still schedule (the plain-window path groups it the same way)
         ranked.join(

@@ -5885,9 +5885,14 @@ def _crawl_fixture(spark: SparkSession, sf_dir: str):
         [
             (
                 f"h{k}.site.test",
-                "User-agent: trainbot\nDisallow: /p/\n"
+                # Crawl-delay varies per host in closed form (k % 3 + 1)
+                # for the schedule-pacing oracle; it is NOT an
+                # allow/disallow rule, so every other fixture law is
+                # untouched (test_crawl_two_waves_oracle_fixture_invariants
+                # would catch a drift)
+                f"User-agent: trainbot\nDisallow: /p/\nCrawl-delay: {k % 3 + 1}\n"
                 if k % 2 == 0
-                else "User-agent: *\nDisallow: /blocked\n",
+                else f"User-agent: *\nDisallow: /blocked\nCrawl-delay: {k % 3 + 1}\n",
             )
             for k in range(5)
         ],
@@ -6063,6 +6068,61 @@ SELECT crawl_wave, url, regexp_replace(hp, ':[0-9]+$', '') AS host, n_refs,
              PARTITION BY crawl_wave, regexp_replace(hp, ':[0-9]+$', '')
              ORDER BY n_refs DESC, url ASC) - 1) // 2 AS INT) AS fetch_round
 FROM h
+"""
+
+
+def q_crawl_schedule_delays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness pacing from robots ``Crawl-delay`` (round 15 —
+    round-14 verdict item 3): the frontier wave's fetch schedule, with
+    each host's de-facto ``Crawl-delay`` directive parsed by the real
+    RFC 9309 parser (``robots_delays_df`` — group selection identical
+    to the allow/disallow verdicts) joined on by host, and the
+    schedule emitting ``not_before = fetch_round · delay`` — the
+    earliest relative second a polite fetcher may open each round
+    against each host. The fixture's robots vary delays per host in
+    closed form (host k → k % 3 + 1 seconds), so the oracle replays
+    the delay law from the host name while the ENGINE parses it from
+    the robots text — a drift in the parser's group selection or the
+    pacing arithmetic breaks the hash.
+
+    Scale shape: the delay parse is one Arrow pass over the per-host
+    robots table (bounded metadata, not a corpus scan), one broadcast
+    join onto the wave, and the pacing column is pure arithmetic on
+    the already-ranked rows — fetch_schedule's two-level skew-safe
+    rank is unchanged."""
+    from avro_diff_spark.functions.robots import robots_delays_df
+    from avro_diff_spark.functions.urls import url_host
+    from avro_diff_spark.operators.frontier import fetch_schedule
+
+    _pages, _sm, robots, _n = _crawl_fixture(spark, sf_dir)
+    wave = q_crawl_frontier(spark, sf_dir).localCheckpoint()
+    delays = robots_delays_df(robots, "robots", "trainbot", keep=("host",))
+    enriched = wave.withColumn("host", url_host(F.col("url"))).join(
+        F.broadcast(delays), "host", "left"
+    )
+    out = fetch_schedule(
+        enriched, per_host=2, priority_col="n_refs", delay_col="crawl_delay"
+    )
+    return out.select(
+        "url",
+        "host",
+        "n_refs",
+        F.col("wave").alias("fetch_round"),
+        "crawl_delay",
+        "not_before",
+    )
+
+
+# the schedule closed form of CRAWL_FETCH_WAVES_SQL plus the fixture's
+# per-host delay law: host 'hK.site.test' asks Crawl-delay K % 3 + 1
+CRAWL_SCHEDULE_DELAYS_SQL = f"""
+WITH s AS ({CRAWL_FETCH_WAVES_SQL})
+SELECT url, host, n_refs,
+       wave AS fetch_round,
+       CAST(CAST(substr(host, 2, 1) AS INT) % 3 + 1 AS DOUBLE) AS crawl_delay,
+       CAST(wave AS DOUBLE) * (CAST(substr(host, 2, 1) AS INT) % 3 + 1)
+         AS not_before
+FROM s
 """
 
 
@@ -6250,6 +6310,8 @@ PIPELINE_QUERIES = {
     "ivf_sq_closure_rerank_topk": q_ivf_sq_closure_rerank_topk,
     "crawl_waves_schedule": q_crawl_waves_schedule,
     "ivf_sq_refresh_topk": q_ivf_sq_refresh_topk,
+    # round-15 additions — tail slots
+    "crawl_schedule_delays": q_crawl_schedule_delays,
 }
 
 def pipeline_sql() -> dict[str, str]:
@@ -6325,6 +6387,7 @@ def pipeline_sql() -> dict[str, str]:
         "ivf_sq_closure_rerank_topk": _ivf_sq_closure_rerank_sql(),
         "crawl_waves_schedule": CRAWL_WAVES_SCHEDULE_SQL,
         "ivf_sq_refresh_topk": _ivf_sq_refresh_sql(),
+        "crawl_schedule_delays": CRAWL_SCHEDULE_DELAYS_SQL,
         "kmeans_cluster_stats": _kmeans_sql(),
         "pq_topk": _pq_sql(),
         "sq_topk": _sq_sql(),

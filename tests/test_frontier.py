@@ -608,3 +608,31 @@ def test_continue_crawl_equals_uninterrupted_run(spark, tmp_path):
             spark, split_state, robots, agent="bot",
             fetch_html=fetch_html, n_more_waves=0,
         )
+
+
+def test_fetch_schedule_delay_pacing(spark):
+    """Round 15: delay_col adds not_before = wave * coalesce(delay,
+    default) on BOTH rank paths (plain window and bucketed), changing
+    no wave value."""
+    from avro_diff_spark.operators.frontier import fetch_schedule
+
+    rows = [
+        (f"http://h{i % 3}.test/p{i:03d}", float(i % 3 + 1) if i % 3 else None)
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "url string, crawl_delay double")
+    for buckets in (1, 8):
+        out = fetch_schedule(
+            df, per_host=4, buckets=buckets,
+            delay_col="crawl_delay", default_delay=2.0,
+        ).collect()
+        assert out
+        for r in out:
+            d = r.crawl_delay if r.crawl_delay is not None else 2.0
+            assert r.not_before == r.wave * d, r
+        # pacing never perturbs the rank law
+        plain = {
+            (r.url, r.wave)
+            for r in fetch_schedule(df, per_host=4, buckets=buckets).collect()
+        }
+        assert {(r.url, r.wave) for r in out} == plain

@@ -106,6 +106,7 @@ QUERIES = [
     "ivf_sq_closure_rerank_topk",  # round 14: closure + SQ8 + float refine across layouts
     "crawl_waves_schedule",  # round 14: grouped two-level rank windows across layouts
     "ivf_sq_refresh_topk",  # round 14: post-retrain code probe across layouts
+    "crawl_schedule_delays",  # round 15: Arrow delay parse + paced two-level rank
 ]
 
 

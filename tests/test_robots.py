@@ -110,3 +110,52 @@ def test_parse_sitemap_urlset_and_index():
     assert kind == "index" and locs == ["https://e.org/s1.xml", "https://e.org/s2.xml"]
     assert R.parse_sitemap("not xml at all") == ("urlset", [])
     assert R.parse_sitemap("<urlset><url><loc></loc></url></urlset>") == ("urlset", [])
+
+
+def test_crawl_delay_parse_and_group_selection():
+    """Round 15: the de-facto Crawl-delay directive — attaches to the
+    open group like a rule, adjacent agents share it, malformed and
+    negative values are skipped (totality), the last valid value per
+    group wins, and group selection mirrors is_allowed: a MATCHED
+    agent group without a delay means NO delay, never a fallthrough
+    to *'s."""
+    from avro_diff_spark.functions.robots import crawl_delay, parse_robots
+
+    r = parse_robots(
+        "User-agent: a\nUser-agent: b\nDisallow: /x\nCrawl-delay: 2.5\n"
+        "User-agent: *\nCrawl-delay: 7\nCrawl-delay: bogus\n"
+        "Crawl-delay: -1\nCrawl-delay: 10  # comment\n"
+        "User-agent: quiet\nDisallow: /y\n"
+        "Crawl-delay-before-any-group: ignored\n"
+    )
+    assert r["delays"] == {"a": 2.5, "b": 2.5, "*": 10.0}
+    assert crawl_delay(r, "A") == 2.5
+    assert crawl_delay(r, "b") == 2.5
+    # matched group without a delay -> None (no fallthrough to *)
+    assert crawl_delay(r, "quiet") is None
+    # unmatched agent -> the * group's delay
+    assert crawl_delay(r, "other") == 10.0
+    # no groups at all -> None
+    assert crawl_delay(parse_robots(""), "x") is None
+    # a delay before any user-agent line is ignored (ABNF posture)
+    r2 = parse_robots("Crawl-delay: 3\nUser-agent: *\nDisallow: /z\n")
+    assert r2["delays"] == {}
+
+
+def test_robots_delays_df(spark):
+    from avro_diff_spark.functions.robots import robots_delays_df
+
+    df = spark.createDataFrame(
+        [
+            ("h0", "User-agent: bot\nCrawl-delay: 4\n"),
+            ("h1", "User-agent: *\nCrawl-delay: 1.5\n"),
+            ("h2", "User-agent: bot\nDisallow: /x\n"),  # matched, no delay
+            ("h3", None),  # unavailable robots
+        ],
+        "host string, robots string",
+    )
+    got = {
+        r.host: r.crawl_delay
+        for r in robots_delays_df(df, "robots", "bot", keep=("host",)).collect()
+    }
+    assert got == {"h0": 4.0, "h1": 1.5, "h2": None, "h3": None}
