@@ -635,18 +635,20 @@ def fake_image_decoder(payload: bytes) -> dict[str, Any]:
     }
 
 
-def real_image_decoder(payload: bytes) -> dict[str, Any]:
-    """REAL pixel decode, zero dependencies: 24/32-bit uncompressed BMP
-    (BITMAPINFOHEADER, public spec: pixel offset at byte 10, width/height
-    at 18/22, bpp at 28, compression 0), binary PPM ``P6``, PNG
-    (8-bit depth, color types 0/2/3/4/6, non-interlaced — the zlib-based
-    from-scratch codec in :mod:`avro_diff_spark.png`), baseline AND
-    progressive JPEG (SOF0/SOF2, Huffman, any sampling factors — the
-    from-scratch codec in :mod:`avro_diff_spark.jpeg`), and GIF87a/89a
-    (variable-width LZW — :mod:`avro_diff_spark.gif`). Raises ValueError
-    for anything else — WebP needs more codec surface; route it through
-    :func:`pil_image_decoder` or a custom hook.
-    """
+def decode_image_array(payload: bytes):
+    """REAL pixel decode to an ``(h, w, channels)`` uint8 array, zero
+    dependencies: 24/32-bit uncompressed BMP (BITMAPINFOHEADER, public
+    spec: pixel offset at byte 10, width/height at 18/22, bpp at 28,
+    compression 0), binary PPM ``P6``, PNG (8-bit depth, color types
+    0/2/3/4/6, non-interlaced — the zlib-based from-scratch codec in
+    :mod:`avro_diff_spark.png`), baseline AND progressive JPEG
+    (SOF0/SOF2, Huffman, any sampling factors — the from-scratch codec
+    in :mod:`avro_diff_spark.jpeg`), and GIF87a/89a (variable-width LZW
+    — :mod:`avro_diff_spark.gif`). Raises ValueError for anything else
+    — WebP-lossy needs more codec surface; route it through
+    :func:`pil_image_decoder` or a custom hook. The pixel source for
+    both :func:`real_image_decoder` (stats) and :func:`image_dhash`
+    (perceptual hashing)."""
     import struct
 
     import numpy as np
@@ -654,43 +656,19 @@ def real_image_decoder(payload: bytes) -> dict[str, Any]:
     if payload[:3] == b"\xff\xd8\xff":
         from avro_diff_spark.jpeg import decode_jpeg
 
-        arr = decode_jpeg(payload)
-        return {
-            "width": arr.shape[1],
-            "height": arr.shape[0],
-            "channels": arr.shape[2],
-            "mean_byte": float(arr.mean()) if arr.size else 0.0,
-        }
+        return decode_jpeg(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
         from avro_diff_spark.webp import decode_webp
 
-        arr = decode_webp(payload)  # lossy VP8 raises -> fake fallback
-        return {
-            "width": arr.shape[1],
-            "height": arr.shape[0],
-            "channels": arr.shape[2],
-            "mean_byte": float(arr.mean()) if arr.size else 0.0,
-        }
+        return decode_webp(payload)  # lossy VP8 raises -> caller fallback
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         from avro_diff_spark.gif import decode_gif
 
-        arr = decode_gif(payload)
-        return {
-            "width": arr.shape[1],
-            "height": arr.shape[0],
-            "channels": arr.shape[2],
-            "mean_byte": float(arr.mean()) if arr.size else 0.0,
-        }
+        return decode_gif(payload)
     if payload[:4] == b"\x89PNG":
         from avro_diff_spark.png import decode_png
 
-        arr = decode_png(payload)
-        return {
-            "width": arr.shape[1],
-            "height": arr.shape[0],
-            "channels": arr.shape[2],
-            "mean_byte": float(arr.mean()) if arr.size else 0.0,
-        }
+        return decode_png(payload)
     if payload[:2] == b"BM":
         offset = struct.unpack_from("<I", payload, 10)[0]
         width, height = struct.unpack_from("<ii", payload, 18)
@@ -702,13 +680,9 @@ def real_image_decoder(payload: bytes) -> dict[str, Any]:
         h = abs(height)
         stride = ((width * channels + 3) // 4) * 4  # rows pad to 4 bytes
         px = np.frombuffer(payload, np.uint8, count=stride * h, offset=offset)
-        px = px.reshape(h, stride)[:, : width * channels]
-        return {
-            "width": width,
-            "height": h,
-            "channels": channels,
-            "mean_byte": float(px.mean()) if px.size else 0.0,
-        }
+        return px.reshape(h, stride)[:, : width * channels].reshape(
+            h, width, channels
+        )
     if payload[:2] == b"P6":
         # header: P6 <ws> width <ws> height <ws> maxval <single ws> raw RGB;
         # '#' comments allowed between tokens
@@ -729,13 +703,21 @@ def real_image_decoder(payload: bytes) -> dict[str, Any]:
         if maxval > 255:
             raise ValueError("16-bit PPM unsupported")
         px = np.frombuffer(payload, np.uint8, count=width * height * 3, offset=pos)
-        return {
-            "width": width,
-            "height": height,
-            "channels": 3,
-            "mean_byte": float(px.mean()) if px.size else 0.0,
-        }
+        return px.reshape(height, width, 3)
     raise ValueError("not an uncompressed BMP/PPM payload")
+
+
+def real_image_decoder(payload: bytes) -> dict[str, Any]:
+    """REAL stats decode over :func:`decode_image_array`'s pixels — the
+    format surface and the mean-byte law are unchanged (the BMP mean
+    runs over the same stride-trimmed bytes, just shaped (h, w, c))."""
+    arr = decode_image_array(payload)
+    return {
+        "width": arr.shape[1],
+        "height": arr.shape[0],
+        "channels": arr.shape[2],
+        "mean_byte": float(arr.mean()) if arr.size else 0.0,
+    }
 
 
 def auto_image_decoder(payload: bytes) -> dict[str, Any]:
@@ -802,6 +784,138 @@ def image_features(
             yield out
 
     return narrow.mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
+
+
+def synth_phash_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic REAL PNG payloads in NEAR-DUPLICATE pairs — the
+    perceptual-dedup fixture (round 15). Ids ``2g`` and ``2g+1`` share
+    one base image; the odd variant perturbs three pixels, so the pair's
+    dHash differs in a few bits (a re-encoded/touched-up copy, the case
+    perceptual dedup exists for) while different groups are unrelated.
+
+    Closed-form law (so a SQL oracle can mirror the dHash without
+    decoding): for ``id``, ``g = id // 2``, ``w = 12 + g % 13``,
+    ``h = 10 + g % 7``, gray pixel (R=G=B) at (x, y) is
+    ``p = (g*31 + x²·(7 + g % 16) + y²·13 + x·y·5) % 251`` — the
+    quadratic terms and the g-dependent coefficient keep the dHash
+    population diverse (a plain gradient collapsed to ~700 distinct
+    hashes at 60k images — measured — which is quadratic-blowup bait
+    for any blocking dedup; this law measures 41k distinct at 60k with
+    a max multiplicity of 15). The odd variant replaces ``p`` with
+    ``(p + 90) % 256`` at exactly (0, 0), (0, h//2) and ((2*w)//5, 0)
+    — three of :func:`image_dhash`'s sampled grid points, flipping at
+    most 4 of the 32 comparison bits (inside a Hamming-2 ball for most
+    groups, outside it for some — the threshold is exercised both
+    ways). Same Arrow plumbing as the other synths."""
+    from collections.abc import Iterator as _It
+
+    narrow = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def run(batches: _It["pd.DataFrame"]) -> _It["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from avro_diff_spark.png import encode_png
+
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"].values:
+                mid = int(mid)
+                g, var = mid // 2, mid % 2
+                w, h = 12 + g % 13, 10 + g % 7
+                a = 7 + g % 16
+                x = np.arange(w)[None, :]
+                y = np.arange(h)[:, None]
+                p = (g * 31 + x * x * a + y * y * 13 + x * y * 5) % 251
+                if var:
+                    for px, py in ((0, 0), (0, h // 2), ((2 * w) // 5, 0)):
+                        p[py, px] = (p[py, px] + 90) % 256
+                arr = np.repeat(p.astype(np.uint8)[:, :, None], 3, axis=2)
+                payloads.append(encode_png(arr))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"].values, "payload": payloads}
+            )
+
+    return narrow.mapInPandas(run, schema="media_id long, payload binary")
+
+
+def dhash32_of_array(arr) -> int:
+    """The 32-bit difference hash of one decoded ``(h, w, c)`` uint8
+    array — the per-image law :func:`image_dhash` applies per row and
+    the fixture oracle replays in SQL.
+
+    dHash (public: Krawetz, "Kind of Like That", 2013) downsamples to a
+    tiny gray grid and sets one bit per horizontally-adjacent pair that
+    brightens left-to-right — robust to re-encoding, scaling and mild
+    retouching, which is exactly what byte-exact dedup misses. Two
+    deliberate, documented choices keep it bit-exact across engines
+    (the simhash32 posture — dedup.py's integer-range note):
+
+    - **32 bits** (5 sample columns × 8 rows → 8·4 comparisons), not
+      the classic 64: block-banded candidate keys stay in comfortable
+      int64 oracle range and `simhash_blocks` applies unchanged.
+    - **Fixed-grid point sampling**, not interpolation: sample
+      ``x_i = (i·w)//5``, ``y_j = (j·h)//8`` — pure integer selection
+      any engine reproduces exactly; an area-average resize would put
+      an IEEE reduction in front of every comparison.
+
+    Gray is integer BT.601 milli-luma ``299·R + 587·G + 114·B`` (no
+    division — only comparisons matter); 1/2-channel images use
+    channel 0 ×1000; alpha is ignored. Bit ``j·4 + i`` is set iff
+    ``gray(x_{i+1}, y_j) > gray(x_i, y_j)``."""
+    import numpy as np
+
+    h, w = arr.shape[0], arr.shape[1]
+    c = arr.shape[2] if arr.ndim == 3 else 1
+    px = arr.reshape(h, w, c).astype(np.int64)
+    if c >= 3:
+        lum = 299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]
+    else:
+        lum = 1000 * px[:, :, 0]
+    xs = [(i * w) // 5 for i in range(5)]
+    ys = [(j * h) // 8 for j in range(8)]
+    g = lum[np.ix_(ys, xs)]
+    bits = g[:, 1:] > g[:, :-1]  # (8 rows, 4 comparisons)
+    out = 0
+    for j in range(8):
+        for i in range(4):
+            if bits[j, i]:
+                out |= 1 << (j * 4 + i)
+    return out
+
+
+def image_dhash(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    *,
+    decoder=decode_image_array,
+) -> DataFrame:
+    """``(media_id, dhash)`` — the 32-bit perceptual difference hash
+    (:func:`dhash32_of_array`) of each image payload, decoded by the
+    REAL from-scratch codecs (:func:`decode_image_array`) inside one
+    Arrow-batched ``mapInPandas`` pass. Map-only — the corpus never
+    shuffles here; Hamming-band blocking downstream
+    (``dedup.phash_near_dups``) is where candidates meet."""
+    narrow = df.select(
+        F.col(id_col).alias("media_id"), F.col(payload_col).alias("payload")
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            hashes = pdf["payload"].map(
+                lambda b: dhash32_of_array(decoder(bytes(b)))
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "dhash": hashes.astype("int64").values,
+                }
+            )
+
+    return narrow.mapInPandas(run, schema="media_id long, dhash long")
 
 
 AUDIO_FEATURES_SCHEMA = "media_id long, n_samples long, duration_s double, mean_amplitude double"

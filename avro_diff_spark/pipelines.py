@@ -4638,6 +4638,83 @@ def q_image_features_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataF
     return MM.image_features(media, decoder=MM.real_image_decoder)
 
 
+def q_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCEPTUAL image dedup end-to-end (round 15 — round-14 verdict
+    item 2, closing the dedup tier over pixels): deterministic REAL PNG
+    payloads in engineered near-duplicate pairs (``synth_phash_media``
+    — ids 2g/2g+1 share a base image, the odd variant retouches three
+    pixels), decoded by the from-scratch PNG codec, hashed by the
+    32-bit dHash (``multimodal.dhash32_of_array`` — Krawetz's public
+    difference hash, fixed-grid sampled for engine-exactness), and
+    paired by the SAME lossless Hamming-ball blocking the simhash tier
+    uses. max_hamming=2 exercises the threshold both ways: the fixture
+    law puts most variant pairs at distance 1-2 (in) and some at 3
+    (out). The oracle replays pixels, hash bits, banding and the
+    bit_count verify from the closed form — a wrong byte anywhere in
+    PNG decode, the luma law, grid sampling or the blocking breaks the
+    hash."""
+    from avro_diff_spark import multimodal as MM
+
+    docs = spread_small(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    media = MM.synth_phash_media(docs, "doc_id")
+    return DD.phash_near_dups(media, max_hamming=2)
+
+
+def _phash_near_dups_sql(max_hamming: int = 2) -> str:
+    # closed-form replay of synth_phash_media ∘ dhash32_of_array: R=G=B
+    # so luma comparisons reduce to comparisons of the pixel law itself
+    def px(x):
+        base = f"(g * 31 + {x} * {x} * (7 + g % 16) + y * y * 13 + {x} * y * 5) % 251"
+        pert = (
+            f"(({x} = 0 AND y = 0) OR ({x} = 0 AND y = h // 2) "
+            f"OR ({x} = (2 * w) // 5 AND y = 0))"
+        )
+        return (
+            f"CASE WHEN var = 1 AND {pert} "
+            f"THEN ({base} + 90) % 256 ELSE {base} END"
+        )
+
+    block_terms = " UNION ALL ".join(
+        f"SELECT media_id, dhash, {i} AS block_id, "
+        f"(dhash // {1 << off}) % {1 << width} AS block_bits FROM fp"
+        for i, (off, width) in enumerate(DD.simhash_blocks(max_hamming))
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id AS media_id, doc_id // 2 AS g, doc_id % 2 AS var,
+         12 + (doc_id // 2) % 13 AS w, 10 + (doc_id // 2) % 7 AS h
+  FROM documents
+),
+s AS (
+  SELECT media_id, g, var, w, h, tj.j AS j, ti.i AS i,
+         (ti.i * w) // 5 AS xl, ((ti.i + 1) * w) // 5 AS xr,
+         (tj.j * h) // 8 AS y
+  FROM d, range(0, 8) tj(j), range(0, 4) ti(i)
+),
+p AS (
+  SELECT media_id, j, i, {px('xl')} AS pl, {px('xr')} AS pr FROM s
+),
+fp AS (
+  SELECT media_id,
+         CAST(sum(CASE WHEN pr > pl THEN (1 << (j * 4 + i)) ELSE 0 END)
+              AS BIGINT) AS dhash
+  FROM p GROUP BY media_id
+),
+blocks AS ({block_terms}),
+cands AS (
+  SELECT DISTINCT a.media_id AS doc_a, b.media_id AS doc_b,
+         a.dhash AS ha, b.dhash AS hb
+  FROM blocks a JOIN blocks b
+    ON a.block_id = b.block_id AND a.block_bits = b.block_bits
+   AND a.media_id < b.media_id
+)
+SELECT doc_a, doc_b,
+       bit_count(xor(ha::UBIGINT, hb::UBIGINT))::INT AS hamming
+FROM cands
+WHERE bit_count(xor(ha::UBIGINT, hb::UBIGINT)) <= {max_hamming}
+"""
+
+
 def q_audio_features_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode end-to-end: deterministic RIFF/WAVE 16-bit PCM
     payloads generated executor-side, then chunk-walked and decoded by
@@ -6312,6 +6389,7 @@ PIPELINE_QUERIES = {
     "ivf_sq_refresh_topk": q_ivf_sq_refresh_topk,
     # round-15 additions — tail slots
     "crawl_schedule_delays": q_crawl_schedule_delays,
+    "phash_near_dups": q_phash_near_dups,
 }
 
 def pipeline_sql() -> dict[str, str]:
@@ -6388,6 +6466,7 @@ def pipeline_sql() -> dict[str, str]:
         "crawl_waves_schedule": CRAWL_WAVES_SCHEDULE_SQL,
         "ivf_sq_refresh_topk": _ivf_sq_refresh_sql(),
         "crawl_schedule_delays": CRAWL_SCHEDULE_DELAYS_SQL,
+        "phash_near_dups": _phash_near_dups_sql(),
         "kmeans_cluster_stats": _kmeans_sql(),
         "pq_topk": _pq_sql(),
         "sq_topk": _sq_sql(),

@@ -302,3 +302,99 @@ def test_video_frame_stats_samples_composited_frames(spark):
         (2, 5, 5, 0.0, 0.0, 100.0),
         (4, 5, 4, 0.0, 100.0, 0.0),
     ]
+
+
+def test_dhash32_law_and_robustness():
+    """Round 15: the 32-bit dHash law — bit j*4+i set iff the sampled
+    gray brightens left-to-right — plus the perceptual properties the
+    hash exists for: invariance to re-encoding and (here, exact
+    nearest-grid) upscaling, locality under a small retouch, and the
+    gray reduction honoring BT.601 (not a channel max)."""
+    import numpy as np
+
+    from avro_diff_spark.multimodal import dhash32_of_array
+    from avro_diff_spark.png import decode_png, encode_png
+
+    rng = [(g * 31 + 7 * x * x + 13 * y * y) % 251 for g in (3,) for x in (0,) for y in (0,)]
+    assert rng  # keep the comprehension honest
+
+    # hand-computed tiny case: 5x8 image == the sample grid itself
+    arr = np.zeros((8, 5, 3), np.uint8)
+    for j in range(8):
+        for i in range(5):
+            arr[j, i, :] = (i + j) % 5 * 10  # strictly increasing in i until wrap
+    h = dhash32_of_array(arr)
+    for j in range(8):
+        for i in range(4):
+            want = ((i + 1 + j) % 5 * 10) > ((i + j) % 5 * 10)
+            assert bool(h >> (j * 4 + i) & 1) == want
+
+    # PNG round-trip invariance (lossless re-encode)
+    assert dhash32_of_array(decode_png(encode_png(arr))) == h
+
+    # exact 2x nearest upscale: sampled grid points map to the same
+    # source pixels, hash unchanged
+    up = np.repeat(np.repeat(arr, 2, axis=0), 2, axis=1)
+    assert dhash32_of_array(up) == h
+
+    # a single-pixel retouch at a sampled point flips at most its
+    # adjacent comparisons (locality)
+    touched = arr.copy()
+    touched[0, 0, :] = 255
+    d = bin(dhash32_of_array(touched) ^ h).count("1")
+    assert 1 <= d <= 2
+
+    # BT.601: green dominates blue — a green-vs-blue swap must move bits
+    a = np.zeros((8, 5, 3), np.uint8)
+    a[:, 1:, 1] = 200  # bright green right of column 0
+    b = np.zeros((8, 5, 3), np.uint8)
+    b[:, 1:, 2] = 200  # same in blue
+    assert dhash32_of_array(a) == dhash32_of_array(b)  # both brighten
+    c = np.zeros((8, 5, 3), np.uint8)
+    c[:, 0, 2] = 200  # blue left, green right
+    c[:, 1:, 1] = 110
+    # 587*110 > 114*200 -> still brightens; a max-channel gray would tie
+    assert dhash32_of_array(c) != 0
+
+    # grayscale single-channel path
+    g1 = np.arange(40, dtype=np.uint8).reshape(8, 5, 1)
+    assert dhash32_of_array(g1) == 0xFFFFFFFF  # strictly increasing rows
+
+
+def test_image_dhash_and_phash_near_dups(spark):
+    """The Spark pass equals the per-row law; the paired fixture's
+    variants land within the Hamming ball while the threshold also
+    excludes some pairs (both sides of the cutoff exercised)."""
+    from pyspark.sql import functions as F
+
+    from avro_diff_spark.multimodal import (
+        decode_image_array,
+        dhash32_of_array,
+        image_dhash,
+        synth_phash_media,
+    )
+    from avro_diff_spark.operators.dedup import phash_near_dups
+
+    docs = spark.range(0, 120).select(F.col("id").alias("doc_id"))
+    media = synth_phash_media(docs, "doc_id").localCheckpoint()
+    got = {r.media_id: r.dhash for r in image_dhash(media).collect()}
+    want = {
+        r.media_id: dhash32_of_array(decode_image_array(bytes(r.payload)))
+        for r in media.collect()
+    }
+    assert got == want
+
+    pairs = phash_near_dups(media, max_hamming=2).collect()
+    variant = {(r.doc_a, r.doc_b) for r in pairs if r.doc_b == r.doc_a + 1 and r.doc_a % 2 == 0}
+    # most variant pairs are within distance 2 (fixture law), not all
+    assert 30 <= len(variant) < 60
+    assert all(0 <= r.hamming <= 2 for r in pairs)
+    # blocking is lossless: pairs == brute force over the hashes
+    import itertools
+
+    brute = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(got), 2)
+        if bin(got[a] ^ got[b]).count("1") <= 2
+    }
+    assert {(r.doc_a, r.doc_b) for r in pairs} == brute

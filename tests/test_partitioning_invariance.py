@@ -107,6 +107,7 @@ QUERIES = [
     "crawl_waves_schedule",  # round 14: grouped two-level rank windows across layouts
     "ivf_sq_refresh_topk",  # round 14: post-retrain code probe across layouts
     "crawl_schedule_delays",  # round 15: Arrow delay parse + paced two-level rank
+    "phash_near_dups",  # round 15: decode+dhash Arrow pass, Hamming banding
 ]
 
 
