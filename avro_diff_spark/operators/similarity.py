@@ -550,6 +550,130 @@ def _lloyd_subspaces(x, m: int, ksub: int, iters: int):
     return tuple(books)
 
 
+def train_opq(
+    parquet_path: str,
+    *,
+    m: int = 16,
+    ksub: int = 16,
+    sample: int = 1024,
+    iters: int = 5,
+    opq_iters: int = 4,
+):
+    """Optimized Product Quantization (Ge et al., "Optimized Product
+    Quantization for Approximate Nearest Neighbor Search", CVPR 2013 —
+    the transform FAISS ships as the ``OPQ..`` prefix): learn an
+    orthonormal rotation R so that PQ's independent-subspace assumption
+    fits the data better, then train the codebooks in ROTATED space.
+    Returns ``(rotation, codebooks)`` — both plain tuples of 12-decimal
+    floats, so they embed as literals into plan and oracle exactly like
+    every other trained model here.
+
+    Training is the paper's non-parametric alternation over the same
+    bounded hash-sample every trainer uses: (1) per-subspace Lloyd on
+    ``X·Rᵀ``, (2) reconstruct, (3) orthogonal Procrustes — SVD of
+    ``Xᵀ·X̂`` gives the rotation minimizing the quantization error of
+    the NEXT round. Deterministic: seed-free init (R = I), sequential
+    numpy float64, no randomness. The returned codebooks are retrained
+    once against the final ROUNDED rotation, so the printed
+    (rotation, codebooks) pair is self-consistent — the exact pair the
+    oracle replays."""
+    return _train_opq_cached(
+        _content_sig(parquet_path), m, ksub, sample, iters, opq_iters
+    )
+
+
+@lru_cache(maxsize=None)
+def _train_opq_cached(
+    sig: tuple, m: int, ksub: int, sample: int, iters: int, opq_iters: int
+):
+    import numpy as np
+
+    x = _pq_sample(sig[0], sample)
+    dim = x.shape[1]
+    dsub = dim // m
+    rot = np.eye(dim)
+    for _ in range(max(opq_iters, 1)):
+        xr = x @ rot.T
+        books = _lloyd_subspaces(xr, m, ksub, iters)
+        xhat = np.empty_like(xr)
+        for j in range(m):
+            sub = xr[:, j * dsub : (j + 1) * dsub]
+            cents = np.array(books[j], dtype=np.float64)
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            xhat[:, j * dsub : (j + 1) * dsub] = cents[np.argmin(d2, axis=1)]
+        # Procrustes: min ||X·Ω − X̂|| over orthogonal Ω, Ω = U·Vᵀ from
+        # SVD(Xᵀ·X̂); the applied rotation is x' = R·x with R = Ωᵀ
+        u, _, vt = np.linalg.svd(x.T @ xhat)
+        rot = (u @ vt).T
+    rot = np.round(rot, 12)
+    # final books train on the FIXED-POINT rotation of the sample — the
+    # exact vectors the engine's rotated columns will carry
+    books = _lloyd_subspaces(_rotate_fixed(x, rot), m, ksub, iters)
+    return tuple(tuple(float(v) for v in row) for row in rot), books
+
+
+def train_ivf_centroids_rotated(
+    parquet_path: str,
+    rotation,
+    *,
+    n_centroids: int = 16,
+    sample: int = 1024,
+    iters: int = 5,
+):
+    """Coarse IVF centroids trained in OPQ-ROTATED space — the FAISS
+    ``OPQ..,IVF..,PQ..`` factory applies the rotation BEFORE the coarse
+    quantizer, so the whole index lives in rotated coordinates. Same
+    sample/Lloyd/rounding contract as :func:`train_ivf_centroids`; the
+    sample rotates through the PRINTED 12-decimal rotation via the same
+    fixed-point law :func:`opq_rotate_sql` applies engine-side, so
+    trained centroids match what the plan's rotated columns see."""
+    return _train_ivf_rot_cached(
+        _content_sig(parquet_path), tuple(rotation), n_centroids, sample, iters
+    )
+
+
+@lru_cache(maxsize=None)
+def _train_ivf_rot_cached(
+    sig: tuple, rotation: tuple, n_centroids: int, sample: int, iters: int
+):
+    import numpy as np
+
+    from avro_diff_spark.functions.fit import embedding_sample
+
+    x = embedding_sample(sig[0], "ivf", sample)
+    xr = _rotate_fixed(x, np.array(rotation, dtype=np.float64))
+    return _lloyd_cosine(xr, n_centroids, iters)
+
+
+def _rotate_fixed(x, rot):
+    """numpy twin of :func:`opq_rotate_sql`'s fixed-point rotation —
+    per-term floor onto the 1e-16 grid, int64 sum, one division — so
+    trainer-side rotated samples equal the engine's rotated columns
+    bit-for-bit."""
+    import numpy as np
+
+    terms = np.floor(x[:, None, :] * rot[None, :, :] * DOT_SCALE).astype(np.int64)
+    return terms.sum(axis=2, dtype=np.int64).astype(np.float64) / DOT_SCALE
+
+
+def opq_rotate_sql(emb_sql: str, rotation) -> str:
+    """SQL text of the OPQ rotation of ``emb_sql``: coordinate ``d`` is
+    ``CAST(Σ_k floor(R[d][k]·x[k]·1e16) AS DOUBLE) / 1e16`` — the sum is
+    pure int64 (order-independent, engine-portable) and the final
+    int→double conversion + division are single correctly-rounded IEEE
+    ops, so any engine produces the identical rotated doubles. Stage the
+    result as its OWN projection before encoding — PQ slices it m times
+    (the ``__enc`` staging rule in :func:`ivfpq_topk`)."""
+    scale = _sql_double(DOT_SCALE)
+    rows = [
+        f"CAST(aggregate(zip_with({emb_sql}, {_sql_vec(rvec)}, "
+        f"(x, r) -> floor(CAST(x AS DOUBLE) * r * {scale})), "
+        f"0L, (a, v) -> a + v) AS DOUBLE) / {scale}"
+        for rvec in rotation
+    ]
+    return "array(" + ", ".join(rows) + ")"
+
+
 def train_pq_codebooks_residual(
     parquet_path: str,
     centroids,
@@ -871,6 +995,7 @@ def ivfpq_topk(
     probes: int = 2,
     shortlist: int | None = None,
     by_residual: bool = False,
+    rotation=None,
     id_q: str = "vec_id",
     id_c: str = "vec_id",
 ) -> DataFrame:
@@ -880,6 +1005,18 @@ def ivfpq_topk(
     cross join), product quantization compresses WHAT is scored (16-byte
     codes, O(m)-lookup ADC — see :func:`pq_topk`), and a bounded shortlist
     re-ranks exact.
+
+    ``rotation`` (round 15): the OPQ orthonormal transform from
+    :func:`train_opq` — the FAISS ``OPQ..,IVF..,PQ..`` factory. Both
+    sides stage the fixed-point-rotated vector ONCE
+    (:func:`opq_rotate_sql`) and run the ENTIRE approximate stage in
+    rotated space — coarse assignment (pass centroids from
+    :func:`train_ivf_centroids_rotated`), probing, codes, LUT, residual
+    base — while the exact re-rank scores ORIGINAL embeddings, so the
+    output contract (rank by exact cosine, ties by cand_id) is
+    unchanged and quantization + rotation decide only who makes the
+    shortlist. Same storage, better recall (Ge et al. 2013;
+    pytest-pinned ≥ the unrotated recall on this data).
 
     ``by_residual`` selects what the codes quantize (both FAISS modes):
 
@@ -925,18 +1062,28 @@ def ivfpq_topk(
             lambda x, y: x.cast("double") - y,
         )
 
+    c = spread_small(candidates).select(
+        F.col(id_c).alias("cand_id"),
+        F.col("embedding").alias("c_emb"),
+        _dec_norm(F.col("embedding")).alias("c_norm"),
+    )
+    if rotation is not None:
+        # the rotated vector is staged as its OWN projection (the __enc
+        # rule below: downstream slices it m+1 times), with its norm
+        c = c.select(
+            "cand_id", "c_emb", "c_norm",
+            F.expr(opq_rotate_sql("c_emb", rotation)).alias("__s"),
+        ).select("*", _dec_norm(F.col("__s")).alias("__s_norm"))
+        s, sn = "__s", "__s_norm"
+    else:
+        s, sn = "c_emb", "c_norm"
+    carry = ["cand_id", "c_emb", "c_norm"] + (
+        ["__s", "__s_norm"] if rotation is not None else []
+    )
     c = (
-        spread_small(candidates)
-        .select(
-            F.col(id_c).alias("cand_id"),
-            F.col("embedding").alias("c_emb"),
-            _dec_norm(F.col("embedding")).alias("c_norm"),
-        )
-        .select(
-            "cand_id",
-            "c_emb",
-            "c_norm",
-            F.element_at(cell_ranking(F.col("c_emb"), F.col("c_norm")), 1)
+        c.select(
+            *carry,
+            F.element_at(cell_ranking(F.col(s), F.col(sn)), 1)
             .getField("cid")
             .alias("cell"),
         )
@@ -945,11 +1092,9 @@ def ivfpq_topk(
         # zip_with would replicate the centroid-matrix subtree into every
         # slice (Catalyst keeps the boundary: non-cheap alias, many refs)
         .select(
-            "cand_id",
-            "c_emb",
-            "c_norm",
+            *carry,
             "cell",
-            enc_input(F.col("c_emb"), F.col("cell")).alias("__enc"),
+            enc_input(F.col(s), F.col("cell")).alias("__enc"),
         )
         .select(
             "cand_id",
@@ -965,17 +1110,25 @@ def ivfpq_topk(
         F.col("embedding").alias("q_emb"),
         _dec_norm(F.col("embedding")).alias("q_norm"),
     )
+    if rotation is not None:
+        q_src = q_base.select(
+            "query_id", "q_emb", "q_norm",
+            F.expr(opq_rotate_sql("q_emb", rotation)).alias("__sq"),
+        ).select("*", _dec_norm(F.col("__sq")).alias("__sq_norm"))
+        qs, qsn = "__sq", "__sq_norm"
+    else:
+        q_src, qs, qsn = q_base, "q_emb", "q_norm"
     probed = (
-        q_base.select(
+        q_src.select(
             "query_id",
-            "q_emb",
-            F.expr(pq_adc_lut_sql("q_emb", codebooks)).alias("lut"),
+            qs,
+            F.expr(pq_adc_lut_sql(qs, codebooks)).alias("lut"),
             # explode_outer: explode would infer a size()>0 pre-filter that
             # re-evaluates the whole centroid ranking (see dedup.py pattern)
             F.explode_outer(
                 F.transform(
-                    F.slice(cell_ranking(F.col("q_emb"), F.col("q_norm")), 1, probes),
-                    lambda s: s.getField("cid"),
+                    F.slice(cell_ranking(F.col(qs), F.col(qsn)), 1, probes),
+                    lambda s_: s_.getField("cid"),
                 )
             ).alias("cell"),
         )
@@ -988,7 +1141,7 @@ def ivfpq_topk(
             # a per-(query, cell) int64 computed ONCE at probe time
             (
                 _fixed_dot_scaled(
-                    F.col("q_emb"), F.element_at(cent_mat, F.col("cell").cast("int") + 1)
+                    F.col(qs), F.element_at(cent_mat, F.col("cell").cast("int") + 1)
                 )
                 if by_residual
                 else F.lit(0).cast("long")

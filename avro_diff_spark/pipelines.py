@@ -4422,6 +4422,135 @@ SELECT query_id, cand_id, rank, cosine FROM (
 """
 
 
+def q_ivfpq_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FAISS ``OPQ16,IVF16,PQ16`` factory end-to-end (round 15 —
+    round-14 verdict item 6): a trained orthonormal OPQ rotation
+    (Ge et al. 2013, ``similarity.train_opq`` — alternating per-subspace
+    Lloyd and orthogonal Procrustes over the shared bounded sample)
+    re-expresses every vector before the coarse quantizer, so cells,
+    codes and ADC all live in rotated space; the exact cosine re-rank
+    runs on the ORIGINAL embeddings. The rotation applies through a
+    fixed-point law (int64 term floor, one exact int→double division),
+    so the rotated doubles — and hence cells, codes, shortlist and
+    final ranking — are bit-identical in Spark and DuckDB; the oracle
+    replays the whole pipeline from the printed rotation/centroid/
+    codebook literals."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    path = f"{sf_dir}/embeddings.parquet"
+    rot, books = SIM.train_opq(path)
+    cents = SIM.train_ivf_centroids_rotated(path, rot)
+    return SIM.ivfpq_topk(
+        queries, emb, k=5, centroids=cents, codebooks=books, rotation=rot
+    )
+
+
+def _ivfpq_opq_sql(
+    k: int = 5, n_queries: int = 10, probes: int = 2, shortlist: int = 50
+) -> str:
+    """Mirror of ivfpq_topk(rotation=...): the printed OPQ rotation
+    applied by the same fixed-point law (int64 sums, one exact
+    division), rotated-space cells/codes/ADC, identical shortlist,
+    exact re-rank on original embeddings."""
+    path = f"{ORACLE_SF_DIR}/embeddings.parquet"
+    rot, books = SIM.train_opq(path)
+    cents = SIM.train_ivf_centroids_rotated(path, rot)
+    m, ksub = len(books), len(books[0])
+    dsub = len(books[0][0])
+
+    cent_rows = " UNION ALL ".join(
+        f"SELECT {cid} AS cid, [{', '.join(repr(v) for v in vec)}]::DOUBLE[] AS cent"
+        for cid, vec in cents
+    )
+
+    def vec_lit(vec) -> str:
+        return "[" + ", ".join(repr(float(v)) for v in vec) + "]::DOUBLE[]"
+
+    # the fixed-point rotation: coordinate d = CAST(Σ floor(x·r·1e16)
+    # AS DOUBLE) / 1e16 — int64 sum (order-free), exact final ops
+    rot_arr = (
+        "["
+        + ", ".join(
+            f"CAST(list_sum(list_transform(list_zip(embedding, {vec_lit(rvec)}), "
+            "p -> CAST(floor(CAST(p[1] AS DOUBLE) * p[2] * 1e16) AS BIGINT))) "
+            "AS DOUBLE) / 1e16"
+            for rvec in rot
+        )
+        + "]"
+    )
+
+    def sq_sum(a: str, vec) -> str:
+        return (
+            f"list_sum(list_transform(list_zip({a}, {vec_lit(vec)}), "
+            "p -> CAST(floor((CAST(p[1] AS DOUBLE) - p[2]) * "
+            "(CAST(p[1] AS DOUBLE) - p[2]) * 1e16) AS BIGINT)))"
+        )
+
+    def dot_sum(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(list_zip({a}, {b}), "
+            "p -> CAST(floor(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 1e16) AS BIGINT)))"
+        )
+
+    def sub(col: str, j: int) -> str:
+        return f"{col}[{j * dsub + 1}:{j * dsub + dsub}]"
+
+    dist_select = ", ".join(
+        "["
+        + ", ".join(sq_sum(sub("remb", j), books[j][c]) for c in range(ksub))
+        + f"] AS d{j}"
+        for j in range(m)
+    )
+    code_select = ", ".join(
+        f"(list_position(d{j}, list_min(d{j})) - 1) AS code_{j}" for j in range(m)
+    )
+    book_lits = ["[" + ", ".join(vec_lit(v) for v in books[j]) + "]" for j in range(m)]
+    approx = " + ".join(
+        dot_sum(sub("q.q_remb", j), f"{book_lits[j]}[e.code_{j} + 1]")
+        for j in range(m)
+    )
+    return f"""
+WITH base AS (SELECT vec_id, embedding, {rot_arr} AS remb FROM embeddings),
+cents AS ({cent_rows}),
+assign AS (
+  SELECT b.vec_id, b.embedding, b.remb, c.cid,
+         row_number() OVER (PARTITION BY b.vec_id
+             ORDER BY {_cos_sql('b.remb', 'c.cent')} DESC, c.cid ASC) AS rn
+  FROM base b CROSS JOIN cents c
+),
+d AS (SELECT vec_id AS cand_id, cid AS cell, remb, {dist_select}
+      FROM assign WHERE rn = 1),
+enc AS (SELECT cand_id, cell, {code_select} FROM d),
+q AS (SELECT vec_id AS query_id, embedding AS q_emb, remb AS q_remb
+      FROM base WHERE vec_id < {n_queries}),
+probe AS (SELECT vec_id AS query_id, cid AS cell
+          FROM assign WHERE rn <= {probes} AND vec_id < {n_queries}),
+short AS (
+  SELECT query_id, cand_id FROM (
+    SELECT p.query_id, e.cand_id,
+           row_number() OVER (PARTITION BY p.query_id
+               ORDER BY ({approx}) DESC, e.cand_id ASC) AS rn
+    FROM probe p
+    JOIN enc e USING (cell)
+    JOIN q ON q.query_id = p.query_id
+    WHERE p.query_id <> e.cand_id
+  ) WHERE rn <= {shortlist}
+),
+scored AS (
+  SELECT s.query_id, s.cand_id,
+         {_cos_sql('q.q_emb', 'c.embedding')} AS cosine
+  FROM short s
+  JOIN embeddings c ON c.vec_id = s.cand_id
+  JOIN q ON q.query_id = s.query_id
+)
+SELECT query_id, cand_id, rank, cosine FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, cand_id ASC) AS INT) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
 def q_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 10)
@@ -6390,6 +6519,7 @@ PIPELINE_QUERIES = {
     # round-15 additions — tail slots
     "crawl_schedule_delays": q_crawl_schedule_delays,
     "phash_near_dups": q_phash_near_dups,
+    "ivfpq_opq_topk": q_ivfpq_opq_topk,
 }
 
 def pipeline_sql() -> dict[str, str]:
@@ -6467,6 +6597,7 @@ def pipeline_sql() -> dict[str, str]:
         "ivf_sq_refresh_topk": _ivf_sq_refresh_sql(),
         "crawl_schedule_delays": CRAWL_SCHEDULE_DELAYS_SQL,
         "phash_near_dups": _phash_near_dups_sql(),
+        "ivfpq_opq_topk": _ivfpq_opq_sql(),
         "kmeans_cluster_stats": _kmeans_sql(),
         "pq_topk": _pq_sql(),
         "sq_topk": _sq_sql(),

@@ -108,6 +108,7 @@ QUERIES = [
     "ivf_sq_refresh_topk",  # round 14: post-retrain code probe across layouts
     "crawl_schedule_delays",  # round 15: Arrow delay parse + paced two-level rank
     "phash_near_dups",  # round 15: decode+dhash Arrow pass, Hamming banding
+    "ivfpq_opq_topk",  # round 15: rotated-space cells/codes across layouts
 ]
 
 

@@ -57,6 +57,7 @@ TWO_LEVEL_TOPK = [
     "ivf_closure_topk",
     "ivf_sq_index_topk",
     "ivf_sq_rerank_topk",
+    "ivfpq_opq_topk",
     "bm25_topk",
     "hybrid_topk",
     "maxsim_rerank_topk",

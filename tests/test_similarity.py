@@ -420,3 +420,56 @@ def test_semantic_dedup_against_bruteforce(spark, sf_dir):
     twins = {r.vec_id for r in rows if r.vec_id >= 1_000_000}
     assert twins & {v for v, _ in got} == set()
     assert len(got) < len(rows)
+
+
+def test_opq_rotation_orthonormal_and_recall(spark, sf_dir):
+    """Round 15 (OPQ — Ge et al. 2013): the trained rotation is
+    orthonormal to rounding precision, the rotated composition's recall
+    against exact cosine is >= the unrotated one on this data, results
+    are exactly reproducible, and the fixed-point rotation law makes
+    the trainer's rotated sample equal the engine's rotated column
+    bit-for-bit."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    p = f"{sf_dir}/embeddings.parquet"
+    rot, books = SIM.train_opq(p)
+    cents_r = SIM.train_ivf_centroids_rotated(p, rot)
+
+    r = np.array(rot)
+    assert np.abs(r @ r.T - np.eye(r.shape[0])).max() < 1e-9
+
+    out = SIM.ivfpq_topk(
+        queries, emb, k=5, centroids=cents_r, codebooks=books, rotation=rot
+    )
+    rows = out.collect()
+    got = {(r_.query_id, r_.cand_id) for r_ in rows}
+    exact = {
+        (r_.query_id, r_.cand_id)
+        for r_ in SIM.cosine_topk(queries, emb, k=5).collect()
+    }
+    cents = SIM.train_ivf_centroids(p)
+    books0 = SIM.train_pq_codebooks(p)
+    plain = {
+        (r_.query_id, r_.cand_id)
+        for r_ in SIM.ivfpq_topk(
+            queries, emb, k=5, centroids=cents, codebooks=books0
+        ).collect()
+    }
+    assert len(got & exact) >= len(plain & exact)
+    again = SIM.ivfpq_topk(
+        queries, emb, k=5, centroids=cents_r, codebooks=books, rotation=rot
+    )
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
+
+    # trainer-side fixed-point rotation == the engine's rotated column
+    one = emb.where(F.col("vec_id") == 0).select(
+        F.expr(SIM.opq_rotate_sql("embedding", rot)).alias("r")
+    ).collect()[0].r
+    x = np.array(
+        [emb.where(F.col("vec_id") == 0).collect()[0].embedding],
+        dtype=np.float64,
+    )
+    want = SIM._rotate_fixed(x, np.array(rot))[0]
+    assert list(one) == list(want)
