@@ -271,6 +271,124 @@ def synth_wav_media(df: DataFrame, id_col: str) -> DataFrame:
     return narrow.mapInPandas(run, schema="media_id long, payload binary")
 
 
+def synth_audio_pairs(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic REAL 16-bit PCM WAV payloads in NEAR-DUPLICATE
+    pairs — the audio-dedup fixture (round 15, the audio sibling of
+    :func:`synth_phash_media`). Ids ``2g``/``2g+1`` share one base
+    signal; the odd variant re-levels two window regions, so the pair's
+    energy-envelope hash differs in a few bits (a re-mastered/clipped
+    copy) while different groups are unrelated.
+
+    Closed-form law (oracle-replayable without decoding): ``g = id //
+    2``, ``n = 800 + g % 257`` mono samples, sample ``t`` equal to
+    ``((g·31 + t²·7 + (g % 11)·t) % 401) − 200`` — quadratic term plus
+    a g-dependent coefficient keep the hash population diverse (the
+    phash fixture lesson; measured 4368 distinct hashes / max
+    multiplicity 6 at 5000 ids). The odd variant maps ``s → ((s + 350)
+    % 401) − 200`` on windows 0 and 16 of the 33-window split
+    (``t ∈ [⌊w·n/33⌋, ⌊(w+1)·n/33⌋)``), flipping at most ~4 of the 32
+    comparison bits."""
+    from collections.abc import Iterator as _It
+
+    narrow = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def run(batches: _It["pd.DataFrame"]) -> _It["pd.DataFrame"]:
+        import struct as _struct
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"].values:
+                mid = int(mid)
+                g, var = mid // 2, mid % 2
+                n = 800 + g % 257
+                t = np.arange(n, dtype=np.int64)
+                s = (g * 31 + t * t * 7 + (g % 11) * t) % 401 - 200
+                if var:
+                    for w in (0, 16):
+                        lo, hi = (w * n) // 33, ((w + 1) * n) // 33
+                        s[lo:hi] = (s[lo:hi] + 350) % 401 - 200
+                data = s.astype("<i2").tobytes()
+                fmt = _struct.pack("<HHIIHH", 1, 1, 16_000, 32_000, 2, 16)
+                payloads.append(
+                    b"RIFF"
+                    + _struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+                    + b"WAVE"
+                    + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + _struct.pack("<I", len(data)) + data
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"].values, "payload": payloads}
+            )
+
+    return narrow.mapInPandas(run, schema="media_id long, payload binary")
+
+
+def audio_ahash32_of_samples(samples) -> int:
+    """The 32-bit energy-envelope hash of one decoded mono signal — the
+    audio sibling of :func:`dhash32_of_array`, same posture: split the
+    signal into 33 equal windows (``[⌊w·n/33⌋, ⌊(w+1)·n/33⌋)``), take
+    each window's integer absolute-amplitude sum, and set bit ``i`` iff
+    the mean energy RISES from window ``i`` to ``i+1`` — compared
+    exactly as the cross-product ``E_{i+1}·len_i > E_i·len_{i+1}`` so
+    no division ever happens. Pure integer arithmetic end-to-end:
+    bit-exact on any engine, replayable in SQL from a closed-form
+    sample law. Robust to re-encoding (lossless codecs), uniform gain
+    that preserves energy ordering, and resampling that preserves the
+    envelope — the transformations that defeat byte-exact audio dedup.
+    PCM decoder floats are exact integers (16-bit samples in float64),
+    so the int64 conversion is lossless."""
+    import numpy as np
+
+    s = np.abs(np.asarray(samples, dtype=np.float64)).astype(np.int64)
+    n = s.size
+    bounds = [(w * n) // 33 for w in range(34)]
+    e = [int(s[bounds[w] : bounds[w + 1]].sum()) for w in range(33)]
+    ln = [bounds[w + 1] - bounds[w] for w in range(33)]
+    out = 0
+    for i in range(32):
+        if e[i + 1] * ln[i] > e[i] * ln[i + 1]:
+            out |= 1 << i
+    return out
+
+
+def audio_ahash(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    *,
+    decoder=None,
+) -> DataFrame:
+    """``(media_id, ahash)`` — the 32-bit energy-envelope hash
+    (:func:`audio_ahash32_of_samples`) of each audio payload, decoded
+    by the REAL from-scratch codecs (WAV PCM; FLAC via
+    :func:`flac_decoder` when passed) in one Arrow-batched
+    ``mapInPandas`` pass. Map-only; Hamming-band pairing downstream
+    (``dedup.audio_near_dups``) is where candidates meet."""
+    dec = decoder if decoder is not None else wav_pcm_decoder
+    narrow = df.select(
+        F.col(id_col).alias("media_id"), F.col(payload_col).alias("payload")
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            hashes = pdf["payload"].map(
+                lambda b: audio_ahash32_of_samples(dec(bytes(b))[0])
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "ahash": hashes.astype("int64").values,
+                }
+            )
+
+    return narrow.mapInPandas(run, schema="media_id long, ahash long")
+
+
 def synth_flac_media(df: DataFrame, id_col: str) -> DataFrame:
     """Deterministic REAL FLAC payload per row encoding the SAME
     closed-form sample law as :func:`synth_wav_media` (``n = 160 + id %

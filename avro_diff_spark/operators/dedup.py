@@ -1017,6 +1017,34 @@ def phash_near_dups(
     )
 
 
+def audio_near_dups(
+    media: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    *,
+    max_hamming: int = 2,
+    decoder=None,
+) -> DataFrame:
+    """Audio near-duplicate pairs by PERCEPTUAL energy-envelope hash
+    (round 15 — the audio sibling of :func:`phash_near_dups`,
+    completing the dedup tier over text/embeddings/images/audio):
+    decode each payload with the real PCM/FLAC codecs, hash the mono
+    signal's 33-window energy envelope
+    (:func:`multimodal.audio_ahash32_of_samples` — all-integer, so the
+    law is bit-exact on any engine), and pair by the shared lossless
+    Hamming-ball blocking (:func:`hamming_near_dup_pairs`). Re-encoded
+    or re-leveled copies land within a few bits where byte-exact dedup
+    sees unrelated blobs. Columns: (doc_a, doc_b, hamming). Same scale
+    shape as the image tier: one map-only Arrow pass, 3 small key rows
+    per clip, bucket-bounded expansion, bit_count verify."""
+    from avro_diff_spark import multimodal as MM
+
+    hashed = MM.audio_ahash(media, payload_col, id_col, decoder=decoder)
+    return hamming_near_dup_pairs(
+        hashed, "ahash", "media_id", max_hamming=max_hamming, n_bits=32
+    )
+
+
 def _unionfind_finish(edges: DataFrame, nodes: DataFrame | None = None) -> DataFrame:
     """Finish connected components in ONE driver-side union-find pass over
     a BOUNDED edge list → (doc_id, cluster_id), cluster_id = component min.

@@ -4844,6 +4844,79 @@ WHERE bit_count(xor(ha::UBIGINT, hb::UBIGINT)) <= {max_hamming}
 """
 
 
+def q_audio_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCEPTUAL audio dedup end-to-end (round 15 — the audio sibling
+    of phash_near_dups, closing the dedup tier over every modality the
+    engine decodes): deterministic REAL 16-bit PCM WAV payloads in
+    engineered near-duplicate pairs (``synth_audio_pairs`` — ids
+    2g/2g+1 share a base signal, the odd variant re-levels two window
+    regions), decoded by the real RIFF/WAVE chunk walker, hashed by
+    the all-integer 33-window energy-envelope hash
+    (``multimodal.audio_ahash32_of_samples``), and paired by the
+    shared lossless Hamming-ball blocking. max_hamming=2 exercises the
+    threshold both ways (fixture variants measure distance 0-3). The
+    oracle replays samples, window energies, cross-product
+    comparisons, banding and the verify from the closed form."""
+    from avro_diff_spark import multimodal as MM
+
+    docs = spread_small(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    media = MM.synth_audio_pairs(docs, "doc_id")
+    return DD.audio_near_dups(media, max_hamming=2)
+
+
+def _audio_near_dups_sql(max_hamming: int = 2) -> str:
+    # closed-form replay of synth_audio_pairs ∘ audio_ahash32_of_samples
+    base = "(g * 31 + t * t * 7 + (g % 11) * t) % 401"
+    # the engine re-levels the SHIFTED sample (s + 350, s = base − 200),
+    # which is base + 150 before the shift
+    sample = (
+        f"CASE WHEN var = 1 AND (tw.w = 0 OR tw.w = 16) "
+        f"THEN ({base} + 150) % 401 - 200 "
+        f"ELSE {base} - 200 END"
+    )
+    block_terms = " UNION ALL ".join(
+        f"SELECT media_id, ahash, {i} AS block_id, "
+        f"(ahash // {1 << off}) % {1 << width} AS block_bits FROM fp"
+        for i, (off, width) in enumerate(DD.simhash_blocks(max_hamming))
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id AS media_id, doc_id // 2 AS g, doc_id % 2 AS var,
+         800 + (doc_id // 2) % 257 AS n
+  FROM documents
+),
+e AS (
+  SELECT media_id, tw.w AS w,
+         list_sum(list_transform(
+           range((tw.w * n) // 33, ((tw.w + 1) * n) // 33),
+           t -> abs({sample})
+         )) AS en,
+         ((tw.w + 1) * n) // 33 - (tw.w * n) // 33 AS ln
+  FROM d, range(0, 33) tw(w)
+),
+fp AS (
+  SELECT a.media_id,
+         CAST(sum(CASE WHEN b.en * a.ln > a.en * b.ln
+                       THEN (1 << a.w) ELSE 0 END) AS BIGINT) AS ahash
+  FROM e a JOIN e b ON b.media_id = a.media_id AND b.w = a.w + 1
+  WHERE a.w < 32
+  GROUP BY a.media_id
+),
+blocks AS ({block_terms}),
+cands AS (
+  SELECT DISTINCT a.media_id AS doc_a, b.media_id AS doc_b,
+         a.ahash AS ha, b.ahash AS hb
+  FROM blocks a JOIN blocks b
+    ON a.block_id = b.block_id AND a.block_bits = b.block_bits
+   AND a.media_id < b.media_id
+)
+SELECT doc_a, doc_b,
+       bit_count(xor(ha::UBIGINT, hb::UBIGINT))::INT AS hamming
+FROM cands
+WHERE bit_count(xor(ha::UBIGINT, hb::UBIGINT)) <= {max_hamming}
+"""
+
+
 def q_audio_features_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode end-to-end: deterministic RIFF/WAVE 16-bit PCM
     payloads generated executor-side, then chunk-walked and decoded by
@@ -6520,6 +6593,7 @@ PIPELINE_QUERIES = {
     "crawl_schedule_delays": q_crawl_schedule_delays,
     "phash_near_dups": q_phash_near_dups,
     "ivfpq_opq_topk": q_ivfpq_opq_topk,
+    "audio_near_dups": q_audio_near_dups,
 }
 
 def pipeline_sql() -> dict[str, str]:
@@ -6598,6 +6672,7 @@ def pipeline_sql() -> dict[str, str]:
         "crawl_schedule_delays": CRAWL_SCHEDULE_DELAYS_SQL,
         "phash_near_dups": _phash_near_dups_sql(),
         "ivfpq_opq_topk": _ivfpq_opq_sql(),
+        "audio_near_dups": _audio_near_dups_sql(),
         "kmeans_cluster_stats": _kmeans_sql(),
         "pq_topk": _pq_sql(),
         "sq_topk": _sq_sql(),

@@ -398,3 +398,57 @@ def test_image_dhash_and_phash_near_dups(spark):
         if bin(got[a] ^ got[b]).count("1") <= 2
     }
     assert {(r.doc_a, r.doc_b) for r in pairs} == brute
+
+
+def test_audio_ahash_law_and_near_dups(spark):
+    """Round 15: the 32-bit energy-envelope hash — all-integer window
+    sums with cross-product mean comparisons — plus its perceptual
+    properties (re-encode invariance via FLAC, exact-resample
+    invariance), and the paired fixture exercising both sides of the
+    Hamming threshold with lossless blocking."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from avro_diff_spark.multimodal import (
+        audio_ahash,
+        audio_ahash32_of_samples,
+        synth_audio_pairs,
+        wav_pcm_decoder,
+    )
+    from avro_diff_spark.operators.dedup import audio_near_dups
+
+    # hand-checked tiny law: 66 samples, |s| rising per window -> all bits
+    up = np.arange(66, dtype=np.float64)
+    assert audio_ahash32_of_samples(up) == 0xFFFFFFFF
+    assert audio_ahash32_of_samples(-up) == 0xFFFFFFFF  # abs law
+    assert audio_ahash32_of_samples(up[::-1]) == 0
+
+    # exact 3x repeat-resample preserves window means -> hash unchanged
+    sig = np.array([((7 * t * t + 13 * t) % 401) - 200 for t in range(330)], float)
+    assert audio_ahash32_of_samples(np.repeat(sig, 3)) == audio_ahash32_of_samples(sig)
+
+    docs = spark.range(0, 120).select(F.col("id").alias("doc_id"))
+    media = synth_audio_pairs(docs, "doc_id").localCheckpoint()
+    got = {r.media_id: r.ahash for r in audio_ahash(media).collect()}
+    want = {
+        r.media_id: audio_ahash32_of_samples(wav_pcm_decoder(bytes(r.payload))[0])
+        for r in media.collect()
+    }
+    assert got == want
+
+    pairs = audio_near_dups(media, max_hamming=2).collect()
+    variant = {
+        (r.doc_a, r.doc_b)
+        for r in pairs
+        if r.doc_b == r.doc_a + 1 and r.doc_a % 2 == 0
+    }
+    assert 30 <= len(variant) <= 60  # most variant pairs in, threshold real
+    assert all(0 <= r.hamming <= 2 for r in pairs)
+    import itertools
+
+    brute = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(got), 2)
+        if bin(got[a] ^ got[b]).count("1") <= 2
+    }
+    assert {(r.doc_a, r.doc_b) for r in pairs} == brute

@@ -109,6 +109,7 @@ QUERIES = [
     "crawl_schedule_delays",  # round 15: Arrow delay parse + paced two-level rank
     "phash_near_dups",  # round 15: decode+dhash Arrow pass, Hamming banding
     "ivfpq_opq_topk",  # round 15: rotated-space cells/codes across layouts
+    "audio_near_dups",  # round 15: decode+energy-hash Arrow pass, banding
 ]
 
 
