@@ -177,11 +177,25 @@ def dedup_main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("input")
     p.add_argument("--format", choices=["auto", "avro", "parquet"], default="auto")
-    p.add_argument("--method", choices=["exact", "minhash", "simhash"], default="exact")
+    p.add_argument(
+        "--method",
+        choices=["exact", "minhash", "simhash", "phash", "audiohash"],
+        default="exact",
+        help="exact/minhash/simhash dedup text; phash (image dHash) and "
+        "audiohash (energy-envelope) dedup binary media payloads "
+        "perceptually (round 15)",
+    )
     p.add_argument("--text-col", default="text")
     p.add_argument("--id-col", default="doc_id")
+    p.add_argument(
+        "--payload-col", default="payload",
+        help="binary media column for phash/audiohash",
+    )
     p.add_argument("--threshold", type=float, default=0.8, help="minhash Jaccard threshold")
-    p.add_argument("--max-hamming", type=int, default=3, help="simhash Hamming radius")
+    p.add_argument(
+        "--max-hamming", type=int, default=3,
+        help="simhash/phash/audiohash Hamming radius",
+    )
     p.add_argument(
         "--emit",
         choices=["survivors", "pairs", "clusters"],
@@ -223,9 +237,19 @@ def dedup_main(argv: list[str] | None = None) -> int:
             pairs = DD.minhash_near_dups(
                 docs, args.text_col, args.id_col, threshold=args.threshold
             )
-        else:
+        elif args.method == "simhash":
             pairs = DD.simhash_near_dups(
                 docs, args.text_col, args.id_col, max_hamming=args.max_hamming
+            )
+        elif args.method == "phash":
+            pairs = DD.phash_near_dups(
+                docs, args.payload_col, args.id_col,
+                max_hamming=args.max_hamming,
+            )
+        else:  # audiohash
+            pairs = DD.audio_near_dups(
+                docs, args.payload_col, args.id_col,
+                max_hamming=args.max_hamming,
             )
         assign = DD.near_dup_clusters(pairs)
         # singletons (no near-dup) keep their own id as cluster

@@ -381,6 +381,40 @@ def test_cli_dedup_exact_and_minhash(spark, tmp_path, capsys):
     assert "# of input rows: 4" in out
 
 
+def test_cli_dedup_perceptual_methods(spark, tmp_path, capsys):
+    """Round 15: --method phash/audiohash dedup binary media payloads
+    perceptually — the engineered pair fixtures collapse to one
+    survivor per group through the shared clusters path."""
+    from pyspark.sql import functions as F
+
+    from avro_diff_spark import multimodal as MM
+    from avro_diff_spark.cli import dedup_main
+
+    docs = spark.range(0, 8).select(F.col("id").alias("doc_id"))
+
+    img = str(tmp_path / "img")
+    MM.synth_phash_media(docs, "doc_id").withColumnRenamed(
+        "media_id", "doc_id"
+    ).write.parquet(img)
+    rc = dedup_main([img, "--method", "phash", "--max-hamming", "2",
+                     "--emit", "clusters"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "# of input rows: 8" in out
+    # every 2g/2g+1 pair within the ball collapses: groups <= 8, >= 4
+    n_groups = int(out.split("# of distinct groups: ")[1].split()[0])
+    assert 4 <= n_groups < 8
+
+    wav = str(tmp_path / "wav")
+    MM.synth_audio_pairs(docs, "doc_id").withColumnRenamed(
+        "media_id", "doc_id"
+    ).write.parquet(wav)
+    rc = dedup_main([wav, "--method", "audiohash", "--max-hamming", "2",
+                     "--emit", "pairs"])
+    assert rc == 0
+    assert capsys.readouterr().out.strip()
+
+
 def test_cli_profile_reports_stats_skew_and_hist(spark, tmp_path, capsys):
     from avro_diff_spark import cli
 
