@@ -50,9 +50,18 @@ def test_refresh_closure_index_dedups_and_keeps_replication(
     assert after.select("cand_id").distinct().count() == n_vectors
     assert after.count() > n_vectors
 
-    # refresh with the default re-assigns plain: exactly one posting per
-    # live vector (the documented downgrade path)
+    # round 15 flipped the default: refresh without an explicit eps now
+    # KEEPS the stored closure rule (stored_closure_eps — the round-15
+    # ADVICE fix; the standalone pin is
+    # test_ann_index.test_refresh_keeps_stored_closure_rule)
     AI.refresh_index(spark, idx)
+    kept = V.read_version(spark, f"{idx}/postings")
+    assert kept.count() > n_vectors
+    assert kept.select("cand_id").distinct().count() == n_vectors
+
+    # the documented downgrade path is now an EXPLICIT None: exactly one
+    # posting per live vector
+    AI.refresh_index(spark, idx, closure_eps=None)
     plain = V.read_version(spark, f"{idx}/postings")
     assert plain.count() == n_vectors
     assert plain.select("cand_id").distinct().count() == n_vectors
