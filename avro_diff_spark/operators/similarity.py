@@ -1068,8 +1068,17 @@ def ivfpq_topk(
         _dec_norm(F.col("embedding")).alias("c_norm"),
     )
     if rotation is not None:
-        # the rotated vector is staged as its OWN projection (the __enc
-        # rule below: downstream slices it m+1 times), with its norm
+        # the rotated vector is staged as its OWN projection; the frame
+        # is MATERIALIZED after encoding (below) because downstream
+        # references it 280+ times (16 centroid cosines ×2, 16·16
+        # sub-centroid distances, the m LUT slices) and no projection
+        # boundary survives the optimizer across the join — the
+        # 64-coordinate fixed-point rotation was re-evaluated per
+        # reference, measured ~60s vs ~2s at sf0.1 for identical
+        # results. Materializing rotated codes once is exactly what a
+        # stored OPQ index does at build time; a 100 TB corpus should
+        # persist them as an index table (ann_index) rather than
+        # re-encode per query.
         c = c.select(
             "cand_id", "c_emb", "c_norm",
             F.expr(opq_rotate_sql("c_emb", rotation)).alias("__s"),
@@ -1104,6 +1113,11 @@ def ivfpq_topk(
             pq_encode("__enc", codebooks).alias("codes"),
         )
     )
+    if rotation is not None:
+        # one eager pass computes rotation+cells+codes per row; both
+        # join branches below read the materialized rows (see the
+        # rotation staging note above)
+        c = c.localCheckpoint()
 
     q_base = queries.select(
         F.col(id_q).alias("query_id"),
