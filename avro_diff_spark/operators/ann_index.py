@@ -44,6 +44,12 @@ __all__ = [
     "check_sq_index",
     "maintain_index_stream",
     "maintain_sq_index_stream",
+    "build_ivfpq_index",
+    "append_to_pq_index",
+    "load_pq_model",
+    "check_pq_index",
+    "query_pq_index",
+    "query_pq_index_rerank",
     "query_index",
     "query_sq_index",
     "query_sq_index_rerank",
@@ -640,6 +646,265 @@ def query_sq_index_rerank(
         k=shortlist,
         probes=probes,
         distinct_candidates=distinct_candidates,
+    ).select("query_id", "cand_id")
+    cand = embeddings.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_emb"),
+        S._dec_norm(F.col("embedding")).alias("c_norm"),
+    )
+    qe = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        S._dec_norm(F.col("embedding")).alias("q_norm"),
+    )
+    dot = S._fixed_dot(F.col("q_emb"), F.col("c_emb"))
+    cos = F.try_divide(dot, F.col("q_norm") * F.col("c_norm"))
+    scored = (
+        cand.join(F.broadcast(short), "cand_id")
+        .join(F.broadcast(qe), "query_id")
+        .select("query_id", "cand_id", cos.alias("cosine"))
+    )
+    return S.topk_per_query(scored, k)
+
+
+def build_ivfpq_index(
+    spark: SparkSession,
+    emb_parquet_path: str,
+    index_path: str,
+    *,
+    n_centroids: int = 16,
+    m: int = 16,
+    ksub: int = 16,
+    sample: int = 1024,
+    iters: int = 5,
+    opq_iters: int = 4,
+):
+    """FAISS ``OPQ..,IVF..,PQ..``-shape index PERSISTED (round 15 —
+    completing the stored-index matrix: float, SQ8, and now PQ codes):
+    the OPQ rotation, rotated-space coarse centroids and per-subspace
+    codebooks live as bounded metadata tables; postings store ONLY the
+    ``m`` int codes per vector (``m`` bytes of information per vector —
+    the deepest compression tier, 16 B vs SQ8's 64 B vs float's 256 B
+    at dim 64), cell-partitioned like every index here. This is exactly
+    the materialization :func:`similarity.ivfpq_topk(rotation=...)`
+    performs per query, paid ONCE at build — the right shape for a
+    100 TB corpus.
+
+    Four versioned tables under ``index_path``: ``rotation`` (one row),
+    ``centroids``, ``codebooks`` ((j, c, vec) rows) and ``postings``
+    ((cell, cand_id, codes)); the postings commit carries a ``pq_grid``
+    token tying it to the model-table versions (:func:`check_pq_index`,
+    the SQ discipline). Returns ``(rotation, centroids, codebooks)``."""
+    rot, books = S.train_opq(
+        emb_parquet_path, m=m, ksub=ksub, sample=sample, iters=iters,
+        opq_iters=opq_iters,
+    )
+    cents = S.train_ivf_centroids_rotated(
+        emb_parquet_path, rot, n_centroids=n_centroids, sample=sample,
+        iters=iters,
+    )
+    V.commit_snapshot(
+        spark.createDataFrame(
+            [(list(list(r) for r in rot),)], "rows array<array<double>>"
+        ).coalesce(1),
+        f"{index_path}/rotation",
+    )
+    V.commit_snapshot(
+        spark.createDataFrame(
+            [(int(c), list(v)) for c, v in cents], "cid int, embedding array<double>"
+        ).coalesce(1),
+        f"{index_path}/centroids",
+    )
+    V.commit_snapshot(
+        spark.createDataFrame(
+            [(j, c, list(books[j][c])) for j in range(m) for c in range(ksub)],
+            "j int, c int, vec array<double>",
+        ).coalesce(1),
+        f"{index_path}/codebooks",
+    )
+    emb = spark.read.parquet(emb_parquet_path)
+    V.commit_snapshot(
+        _pq_assign_encode(emb, rot, cents, books),
+        f"{index_path}/postings",
+        partition_by=["cell"],
+        app_meta={"pq_grid": _pq_grid_meta(index_path)},
+    )
+    return rot, cents, books
+
+
+def _pq_assign_encode(df: DataFrame, rot, cents, books) -> DataFrame:
+    """(cell, cand_id, codes) — rotate (fixed-point law), assign to the
+    nearest rotated-space centroid, PQ-encode the rotated vector. The
+    rotated column is materialized once (localCheckpoint) before the
+    280+ downstream references — the ivfpq_topk staging note; here the
+    cost is amortized over the index's lifetime."""
+    ranking = S._centroid_ranking(sorted((int(c), list(v)) for c, v in cents))
+    rotated = (
+        spread_small(df)
+        .select(
+            F.col("vec_id").alias("cand_id"),
+            F.expr(S.opq_rotate_sql("embedding", rot)).alias("__s"),
+        )
+        .localCheckpoint()
+        .select("*", S._dec_norm(F.col("__s")).alias("__s_norm"))
+    )
+    return (
+        rotated.select(
+            "cand_id",
+            "__s",
+            F.element_at(ranking(F.col("__s"), F.col("__s_norm")), 1)
+            .getField("cid")
+            .alias("cell"),
+        )
+        .select("cell", "cand_id", S.pq_encode("__s", books).alias("codes"))
+        .repartition("cell")  # the optimized-write rule (_assign_cells)
+    )
+
+
+def _pq_grid_meta(index_path: str) -> dict:
+    return {
+        "rotation_v": V.latest_version(f"{index_path}/rotation"),
+        "centroids_v": V.latest_version(f"{index_path}/centroids"),
+        "codebooks_v": V.latest_version(f"{index_path}/codebooks"),
+    }
+
+
+def check_pq_index(spark: SparkSession, index_path: str) -> None:
+    """The :func:`check_sq_index` discipline for the PQ index: postings
+    must have been encoded against the CURRENT rotation/centroids/
+    codebooks versions; a model table superseded without a matching
+    postings commit raises instead of silently decoding old codes
+    against new models. Unstamped (pre-round-15) indexes pass."""
+    stamped = V.latest_app_meta(f"{index_path}/postings", "pq_grid").get("pq_grid")
+    if stamped is None:
+        return
+    live = _pq_grid_meta(index_path)
+    if stamped != live:
+        raise ValueError(
+            f"OPQ-IVFPQ index at {index_path} is inconsistent: postings "
+            f"were encoded against model versions {stamped} but the live "
+            f"tables are at {live} — rebuild or re-encode before querying"
+        )
+
+
+def load_pq_model(spark: SparkSession, index_path: str):
+    """(rotation, centroids, codebooks) from the metadata tables —
+    bounded reads (dim + n_centroids + m·ksub rows)."""
+    rrow = V.read_version(spark, f"{index_path}/rotation").collect()[0]
+    rot = tuple(tuple(float(v) for v in row) for row in rrow.rows)
+    cents = load_centroids(spark, index_path)
+    brows = V.read_version(spark, f"{index_path}/codebooks").collect()
+    mm = max(r.j for r in brows) + 1
+    kk = max(r.c for r in brows) + 1
+    books: list[list] = [[None] * kk for _ in range(mm)]
+    for r in brows:
+        books[r.j][r.c] = tuple(float(v) for v in r.vec)
+    return rot, cents, tuple(tuple(b) for b in books)
+
+
+def append_to_pq_index(spark: SparkSession, df: DataFrame, index_path: str) -> int:
+    """Add new vectors to the stored OPQ-IVFPQ index: rotate/assign/
+    encode against the STORED models (no retraining — FAISS's add()
+    contract), append codes-only postings. Work ∝ increment. Returns
+    the postings table's new version."""
+    rot, cents, books = load_pq_model(spark, index_path)
+    return V.commit_snapshot(
+        _pq_assign_encode(df, rot, cents, books),
+        f"{index_path}/postings",
+        mode="append",
+        partition_by=["cell"],
+        app_meta={"pq_grid": _pq_grid_meta(index_path)},
+    )
+
+
+def query_pq_index(
+    spark: SparkSession,
+    queries: DataFrame,
+    index_path: str,
+    *,
+    k: int = 5,
+    probes: int = 2,
+) -> DataFrame:
+    """ADC top-k against the STORED code-only OPQ-IVFPQ index: each
+    query rotates through the stored rotation, builds its per-subspace
+    lookup table once, fans out to its ``probes`` nearest rotated-space
+    cells, and candidates score by the int64 ADC sum Σ_j lut[j][code_j]
+    — engine-portable fixed-point, ranked two-level by (approx DESC,
+    cand_id ASC). Returns (query_id, cand_id, rank, approx); like the
+    SQ index, the codes alone admit no exact re-rank —
+    :func:`query_pq_index_rerank` refines against the source
+    embeddings. Validates the ``pq_grid`` token first."""
+    check_pq_index(spark, index_path)
+    rot, cents, books = load_pq_model(spark, index_path)
+    ranking = S._centroid_ranking(sorted((int(c), list(v)) for c, v in cents))
+    q = (
+        queries.select(
+            F.col("vec_id").alias("query_id"),
+            F.expr(S.opq_rotate_sql("embedding", rot)).alias("__sq"),
+        )
+        .localCheckpoint()  # queries are small by contract; the LUT and
+        # cell ranking reference the rotated vector ~290x (staging note)
+        .select("*", S._dec_norm(F.col("__sq")).alias("__sq_norm"))
+        .select(
+            "query_id",
+            F.expr(S.pq_adc_lut_sql("__sq", books)).alias("lut"),
+            F.explode_outer(
+                F.transform(
+                    F.slice(ranking(F.col("__sq"), F.col("__sq_norm")), 1, probes),
+                    lambda s_: s_.getField("cid"),
+                )
+            ).alias("cell"),
+        )
+        .where(F.col("cell").isNotNull())
+    )
+    post = V.read_version(spark, f"{index_path}/postings")
+    approx = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("lut"),
+            lambda code, row: F.element_at(row, code + 1),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, v: a + v,
+    )
+    scored = (
+        F.broadcast(q)
+        .join(post, "cell")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", approx.alias("approx"))
+    )
+    return S._topk_per_query(
+        scored,
+        k,
+        [F.col("approx").desc(), F.col("cand_id").asc()],
+        ["query_id", "cand_id", "rank", "approx"],
+    )
+
+
+def query_pq_index_rerank(
+    spark: SparkSession,
+    queries: DataFrame,
+    index_path: str,
+    embeddings: DataFrame,
+    *,
+    k: int = 5,
+    probes: int = 2,
+    shortlist: int | None = None,
+) -> DataFrame:
+    """OPQ-IVFPQ search with the FLOAT re-rank stage (the
+    :func:`query_sq_index_rerank` idiom): ADC shortlists ``shortlist``
+    (default 10·k) candidates per query, then ONE broadcast cand_id
+    equi-join back to the ``embeddings`` table re-scores them with the
+    exact fixed-point cosine — quantization and rotation decide only
+    who makes the shortlist. Returns (query_id, cand_id, rank, cosine)
+    — pinned exactly equal to the in-memory
+    :func:`similarity.ivfpq_topk(rotation=...)` over the same models in
+    tests/test_ann_index.py."""
+    shortlist = shortlist if shortlist is not None else 10 * k
+    if shortlist < k:
+        raise ValueError(f"shortlist {shortlist} must be >= k {k}")
+    short = query_pq_index(
+        spark, queries, index_path, k=shortlist, probes=probes
     ).select("query_id", "cand_id")
     cand = embeddings.select(
         F.col("vec_id").alias("cand_id"),

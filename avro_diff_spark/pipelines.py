@@ -4551,6 +4551,44 @@ SELECT query_id, cand_id, rank, cosine FROM (
 """
 
 
+def _cached_ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once persisted OPQ-IVFPQ index over ``sf_dir``'s
+    embeddings, cached on the source fingerprint (the _cached_ivf_index
+    pattern); returns the index path."""
+    import os
+
+    from avro_diff_spark.operators import ann_index as AI
+    from avro_diff_spark.sources.versioned import latest_version
+
+    src = f"{sf_dir}/embeddings.parquet"
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    idx = f"/root/repo/.cache/ivfpq_index/{tag}-{_src_fingerprint(src)}"
+    if latest_version(f"{idx}/postings") < 0:
+        import shutil
+
+        shutil.rmtree(idx, ignore_errors=True)
+        AI.build_ivfpq_index(spark, src, idx)
+    return idx
+
+
+def q_ivfpq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ-IVFPQ top-k against the PERSISTED code-only index (round 15
+    — operators/ann_index.py ``build_ivfpq_index``: rotation, rotated
+    coarse centroids and codebooks as metadata tables, m-int-code
+    postings cell-partitioned — the deepest stored compression tier,
+    16 B of code per vector): ADC shortlist from the stored codes, one
+    broadcast equi-join back to the embeddings table for the exact
+    fixed-point cosine re-rank. Pinned exactly equal to the in-memory
+    ``ivfpq_topk(rotation=...)`` in tests/test_ann_index.py, so the
+    oracle is the same closed-form replay as ivfpq_opq_topk's."""
+    from avro_diff_spark.operators import ann_index as AI
+
+    idx = _cached_ivfpq_index(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return AI.query_pq_index_rerank(spark, queries, idx, emb, k=5, probes=2)
+
+
 def q_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 10)
@@ -6594,6 +6632,7 @@ PIPELINE_QUERIES = {
     "phash_near_dups": q_phash_near_dups,
     "ivfpq_opq_topk": q_ivfpq_opq_topk,
     "audio_near_dups": q_audio_near_dups,
+    "ivfpq_index_topk": q_ivfpq_index_topk,
 }
 
 def pipeline_sql() -> dict[str, str]:
@@ -6673,6 +6712,10 @@ def pipeline_sql() -> dict[str, str]:
         "phash_near_dups": _phash_near_dups_sql(),
         "ivfpq_opq_topk": _ivfpq_opq_sql(),
         "audio_near_dups": _audio_near_dups_sql(),
+        # the stored index is pinned exactly equal to the in-memory
+        # rotated composition (tests/test_ann_index.py), so the oracle
+        # is the same closed-form replay
+        "ivfpq_index_topk": _ivfpq_opq_sql(),
         "kmeans_cluster_stats": _kmeans_sql(),
         "pq_topk": _pq_sql(),
         "sq_topk": _sq_sql(),

@@ -788,3 +788,87 @@ def test_streaming_sq_maintenance_matches_batch_append(spark, tmp_path, emb_path
     )
     q2.awaitTermination(120)
     assert V.latest_version(f"{sidx}/postings") == v
+
+
+def test_pq_index_stored_equals_in_memory_and_codes_only(spark, tmp_path, emb_path):
+    """Round 15 (stored OPQ-IVFPQ index): postings carry ONLY the m int
+    codes (the 16-byte tier — no floats), the stored rerank query
+    equals the in-memory ivfpq_topk(rotation=...) exactly, and the ADC
+    stage's approx scores are deterministic int64."""
+    from pyspark.sql import types as T
+
+    from avro_diff_spark.operators import similarity as SIM2
+    from avro_diff_spark.sources import versioned as V
+
+    idx = str(tmp_path / "pq")
+    rot, cents, books = AI.build_ivfpq_index(spark, emb_path, idx)
+    post = V.read_version(spark, f"{idx}/postings")
+    assert set(post.columns) == {"cell", "cand_id", "codes"}
+    assert isinstance(post.schema["codes"].dataType.elementType, T.IntegerType)
+
+    emb = spark.read.parquet(emb_path)
+    queries = emb.filter(F.col("vec_id") < 10)
+    got = {
+        (r.query_id, r.cand_id, r.rank, r.cosine)
+        for r in AI.query_pq_index_rerank(
+            spark, queries, idx, emb, k=5, probes=2
+        ).collect()
+    }
+    want = {
+        (r.query_id, r.cand_id, r.rank, r.cosine)
+        for r in SIM2.ivfpq_topk(
+            queries, emb, k=5, centroids=cents, codebooks=books, rotation=rot
+        ).collect()
+    }
+    assert got == want
+
+    a1 = AI.query_pq_index(spark, queries, idx, k=5, probes=2).collect()
+    a2 = AI.query_pq_index(spark, queries, idx, k=5, probes=2).collect()
+    assert sorted(map(tuple, a1)) == sorted(map(tuple, a2))
+
+
+def test_pq_index_append_equals_full_and_token_guards(spark, tmp_path, emb_path):
+    """Append assigns/encodes against the STORED models (work ∝
+    increment; the commit adds only increment rows) and lands the same
+    queries as a full build; a model table superseded without a
+    matching postings commit makes queries raise (pq_grid token)."""
+    import json as _json
+
+    from avro_diff_spark.sources import versioned as V
+
+    emb = spark.read.parquet(emb_path)
+    queries = emb.filter(F.col("vec_id") < 8)
+    hist = emb.filter(F.col("vec_id") % 5 != 0)
+    inc = emb.filter(F.col("vec_id") % 5 == 0)
+
+    idx = str(tmp_path / "pq")
+    rot, cents, books = AI.build_ivfpq_index(spark, emb_path, idx)
+    want = {
+        (r.query_id, r.cand_id, r.rank, r.approx)
+        for r in AI.query_pq_index(spark, queries, idx, k=5, probes=2).collect()
+    }
+    V.commit_snapshot(
+        AI._pq_assign_encode(hist, rot, cents, books),
+        f"{idx}/postings",
+        mode="overwrite",
+        partition_by=["cell"],
+    )
+    v = AI.append_to_pq_index(spark, inc, idx)
+    got = {
+        (r.query_id, r.cand_id, r.rank, r.approx)
+        for r in AI.query_pq_index(spark, queries, idx, k=5, probes=2).collect()
+    }
+    assert got == want
+    with open(os.path.join(idx, "postings", "_log", f"{v:06d}.json")) as fh:
+        c = _json.load(fh)
+    assert c["mode"] == "append" and c["n_rows"] == inc.count()
+
+    # supersede the codebooks without re-encoding -> queries refuse
+    V.commit_snapshot(
+        spark.createDataFrame(
+            [(0, 0, [0.0, 0.0, 0.0, 0.0])], "j int, c int, vec array<double>"
+        ).coalesce(1),
+        f"{idx}/codebooks",
+    )
+    with pytest.raises(ValueError, match="inconsistent"):
+        AI.query_pq_index(spark, queries, idx, k=3, probes=2)

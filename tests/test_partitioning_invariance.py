@@ -110,6 +110,7 @@ QUERIES = [
     "phash_near_dups",  # round 15: decode+dhash Arrow pass, Hamming banding
     "ivfpq_opq_topk",  # round 15: rotated-space cells/codes across layouts
     "audio_near_dups",  # round 15: decode+energy-hash Arrow pass, banding
+    "ivfpq_index_topk",  # round 15: stored PQ codes probe across layouts
 ]
 
 
