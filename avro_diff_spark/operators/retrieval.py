@@ -104,7 +104,6 @@ def rrf_fuse(
         int(k),
         [F.col("rrf_x1e6").desc(), F.col("doc_id").asc()],
         ["query_id", "doc_id", "rank", "rrf_x1e6", "n_lists"],
-        salt_col="doc_id",
     )
 
 
@@ -225,5 +224,4 @@ def maxsim_rerank(
         int(k),
         [F.col("maxsim_score").desc(), F.col("doc_id").asc()],
         ["query_id", "doc_id", "rank", "maxsim_score"],
-        salt_col="doc_id",
     )

@@ -90,41 +90,26 @@ def cosine_pairs(
     )
 
 
-#: salt-group count for the two-level per-query top-k. 32 matches the
-#: local[32] test parallelism; at cluster scale it bounds any one task
-#: to 1/salts of a query's candidates, which is the point.
-TOPK_SALTS = 32
-
-
 def _topk_per_query(
     scored: DataFrame,
     k: int,
     order,
     out_cols,
-    *,
-    salts: int = TOPK_SALTS,
-    salt_col: str = "cand_id",
 ) -> DataFrame:
-    """Two-level deterministic top-k per query (round 15 — the round-14
-    verdict's last single-task-serialization): a plain
-    ``Window.partitionBy("query_id")`` ranks ALL of one query's scored
-    candidates in ONE task, so a 100× corpus probed by few queries puts
-    millions of rows through a single task — the same defect class
-    ``fetch_schedule`` two-leveled for mega-hosts. Here: local top-k
-    within ``(query_id, salt)`` where salt = xxhash64(cand_id) mod
-    ``salts`` (the one full-size shuffle, ``salts``-way parallel per
-    query), then a global re-rank over the ≤ salts·k survivors per
-    query (a tiny second window).
-
-    Lossless by containment: any row in the global top-k is in the
-    top-k of its own salt group (its group's competitors are a subset
-    of the query's), so the survivor set always contains the global
-    top-k and the final ``row_number`` law — and hence every oracle —
-    is unchanged. Salting by ``salt_col`` (the candidate/document id —
-    the order's tie-break column) keeps replicas of one candidate (a
-    closure-assigned index) in one group, so dedup/rank behavior
-    matches the single-window form exactly. ``salts=1`` short-circuits
-    to the plain single window (the ``fetch_schedule buckets=1`` rule).
+    """Deterministic per-query top-k via one rank-limited window, relying
+    on Spark's **WindowGroupLimit** optimization (SPARK-37099, 3.5+) for
+    the two-level scale shape (optimization round 15): a
+    ``row_number() OVER (PARTITION BY query_id) <= k`` filter plans as
+    WindowGroupLimit(Partial) → Exchange → WindowGroupLimit(Final) →
+    Window — each MAP task keeps only its own top-k per query before the
+    exchange, so at most k rows per (query, map partition) ever cross
+    the shuffle and the final per-query task ranks ≤ k·M rows (M = map
+    tasks), never the raw candidate set. That is the same bound the
+    round-15 hand-rolled salted two-level achieved with an EXTRA full
+    exchange + sort of all scored rows; the built-in partial limit
+    shuffles strictly fewer bytes with one exchange. Pinned in
+    tests/test_plan_shapes.py (WindowGroupLimit must appear below the
+    rank window for every *_topk registry query).
 
     ``order`` must be a TOTAL order per query (every caller ties by
     the id column); ``out_cols`` is the output projection after
@@ -132,16 +117,6 @@ def _topk_per_query(
     """
     from pyspark.sql import Window
 
-    if salts > 1:
-        lw = Window.partitionBy("query_id", "__tk_s").orderBy(*order)
-        scored = (
-            scored.withColumn(
-                "__tk_s", F.pmod(F.xxhash64(F.col(salt_col)), F.lit(salts))
-            )
-            .withColumn("__tk_r", F.row_number().over(lw))
-            .where(F.col("__tk_r") <= k)
-            .drop("__tk_s", "__tk_r")
-        )
     w = Window.partitionBy("query_id").orderBy(*order)
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -150,15 +125,14 @@ def _topk_per_query(
     )
 
 
-def topk_per_query(scored: DataFrame, k: int, *, salts: int = TOPK_SALTS) -> DataFrame:
+def topk_per_query(scored: DataFrame, k: int) -> DataFrame:
     """Deterministic top-k per query: rank by (cosine desc, cand_id asc).
-    Two-leveled — see :func:`_topk_per_query`."""
+    Scale shape via WindowGroupLimit — see :func:`_topk_per_query`."""
     return _topk_per_query(
         scored,
         k,
         [F.col("cosine").desc(), F.col("cand_id").asc()],
         ["query_id", "cand_id", "rank", "cosine"],
-        salts=salts,
     )
 
 

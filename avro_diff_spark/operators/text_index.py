@@ -483,15 +483,14 @@ def query_text_index(
     )
     from avro_diff_spark.operators.similarity import _topk_per_query
 
-    # two-level rank (round 15): a common query term can match a huge
-    # share of the corpus — never serialize one query's matches into one
-    # window task
+    # rank-limited window (optimization round 15): WindowGroupLimit's
+    # map-side partial top-k bounds any one task even when a common
+    # query term matches a huge share of the corpus
     return _topk_per_query(
         agg,
         k,
         [F.col("score_x1e6").desc(), F.col("doc_id").asc()],
         ["query_id", "doc_id", "rank", "score_x1e6", "n_terms_matched"],
-        salt_col="doc_id",
     )
 
 

@@ -38,11 +38,13 @@ def test_no_unbounded_join_shapes(spark, sf_dir, name):
         )
 
 
-#: registry queries whose per-query top-k must plan as the TWO-LEVEL
-#: window (similarity._topk_per_query, round 15): a salted local rank
-#: ("__tk_s" in the window spec) before the tiny global re-rank — a
-#: single Window.partitionBy(query_id) over the raw candidate set would
-#: serialize one query's probed candidates into ONE task at scale.
+#: registry queries whose per-query top-k must plan with Spark's
+#: WindowGroupLimit optimization (SPARK-37099; similarity._topk_per_query,
+#: optimization round 15): the rank-limited window must carry a MAP-SIDE
+#: partial top-k (WindowGroupLimit below the exchange), so at most k rows
+#: per (query, map partition) cross the shuffle and no task ever ranks
+#: one query's raw candidate set — the built-in form of the two-level
+#: rank, with one exchange instead of the hand-rolled salted stage's two.
 #: (ann_signbucket_topk/vocab_topk and the pandas variant rank through
 #: their own bounded paths; the bm25/hybrid family feeds a grouped
 #: (query, doc) aggregate into the same helper.)
@@ -68,9 +70,11 @@ TWO_LEVEL_TOPK = [
 def test_per_query_topk_is_two_leveled(spark, sf_dir, name):
     df = ent.queries()[name](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "__tk_s" in plan, (
-        f"{name}: no salted local top-k stage — a single per-query window "
-        "would serialize one query's candidates into one task at scale"
+    assert "WindowGroupLimit" in plan, (
+        f"{name}: rank window has no WindowGroupLimit — the per-query "
+        "top-k would serialize one query's candidates into one task at "
+        "scale (the rank<=k filter must sit directly on the row_number "
+        "window for SPARK-37099 to fire)"
     )
 
 
