@@ -870,8 +870,13 @@ FT_BUCKETS = 256  # hashed n-gram feature buckets (shared grid with DSIR)
 FT_POS_LANG = "en"  # positive-class proxy: the English slice (same trusted-
 #                     domain proxy DSIR targets; CCNet uses Wikipedia refs)
 FT_SAMPLE = 512  # bounded labeled training sample (deterministic md5 order)
-FT_ITERS = 300  # full-batch gradient-descent steps (no randomness anywhere)
-FT_LR = 0.5
+FT_ITERS = 2000  # full-batch gradient-descent steps (no randomness anywhere)
+FT_LR = 0.02  # must stay in the stable region for the x n_buckets feature
+#               scale: at 0.5 the full-batch loss oscillates and diverges on
+#               some corpora (trained table goes degenerate-negative); 0.02
+#               converges monotonically on every fixture SF, and the larger
+#               step count keeps the fit tight (256x512 float64 — driver cost
+#               is milliseconds either way)
 FT_FP_SCALE = 1_000_000  # weight fixed-point grid
 
 
