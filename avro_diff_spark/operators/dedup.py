@@ -329,13 +329,25 @@ def _doc_shingles(
 
     The explicit repartition on TOP of the array-building select is load-
     bearing: callers reference this subtree several times (candidate
-    generation + both verification sides), and Catalyst's ReuseExchange
-    dedupes identical Exchange subtrees — so the shingle+hash work runs
-    ONCE and every other consumer reads the shuffle output. Without it a
-    self-join lineage recomputes the arrays per consumer.
+    generation + both verification sides), and exchange reuse (AQE's
+    runtime stage cache; ReuseExchange without AQE) dedupes identical
+    Exchange subtrees — so the shingle+hash work runs ONCE and every
+    other consumer reads the shuffle output. Without it a self-join
+    lineage recomputes the arrays per consumer.
+
+    The explicit ``isNotNull`` filter is equally load-bearing (round 15):
+    the verification joins push an inferred ``isnotnull(doc_id)`` into
+    THEIR copies of this subtree but not into the signature path's copy,
+    so the three exchange subtrees stopped canonicalizing equal and the
+    shingle-hash chain (the dominant per-row cost) ran once per copy —
+    measured via ``sameResult`` over the physical plan's exchanges.
+    Filtering here makes the join pushdown a no-op, all copies identical,
+    and the stage reused; a null-id document could never survive the
+    id-keyed joins anyway, so results are unchanged.
     """
     return (
         spread_small(df)
+        .where(F.col(id_col).isNotNull())
         .select(
             F.col(id_col).alias("doc_id"),
             # staged column: see char_codes docstring (k refs per position)
