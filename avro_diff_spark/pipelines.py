@@ -14,7 +14,7 @@ from avro_diff_spark.functions import text as TX
 from avro_diff_spark.operators import dedup as DD
 from avro_diff_spark.operators import similarity as SIM
 from avro_diff_spark import snapshots as snap
-from avro_diff_spark.sources.tables import spread_small
+from avro_diff_spark.sources.tables import parquet_num_rows, spread_small
 
 # --------------------------------------------------------------------------
 # shared SQL fragments (DuckDB dialect), mirrors of functions/text.py
@@ -1469,7 +1469,9 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame
     from pyspark.sql import Window
 
     d = spread_small(spark.read.parquet(f"{sf_dir}/documents.parquet"))
-    n_docs = d.count()  # dimension-table-sized action; the corpus row count
+    # corpus row count as a scalar literal from the parquet footer (round
+    # 15): same number d.count() returns, no per-build cluster job
+    n_docs = parquet_num_rows(f"{sf_dir}/documents.parquet")
     toks = d.select(
         "doc_id",
         # explode_outer: plain explode would infer a size()>0 filter that
@@ -5954,7 +5956,8 @@ def q_web_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from avro_diff_spark.functions.html import extract_links_df
 
     docs = spread_small(spark.read.parquet(f"{sf_dir}/documents.parquet"))
-    n = docs.count()  # bounded scalar literal (the tfidf n_docs pattern)
+    # footer-metadata scalar (round 15): same value as docs.count(), no job
+    n = parquet_num_rows(f"{sf_dir}/documents.parquet")
     did = F.col("doc_id")
     html = F.concat(
         F.lit("<html><head><title>d</title></head><body><p>Doc "),
@@ -6181,7 +6184,8 @@ def _crawl_fixture(spark: SparkSession, sf_dir: str):
     sitemaps, robots, n_docs) — shared by the multi-wave query so the
     two fixtures can never drift."""
     docs = spread_small(spark.read.parquet(f"{sf_dir}/documents.parquet"))
-    n = docs.count()  # bounded scalar literal (the tfidf n_docs pattern)
+    # footer-metadata scalar (round 15): same value as docs.count(), no job
+    n = parquet_num_rows(f"{sf_dir}/documents.parquet")
     d = F.col("doc_id")
     h = (d % 5).cast("string")
     base = F.concat(F.lit("http://h"), h, F.lit(".site.test/dir/page"), d)

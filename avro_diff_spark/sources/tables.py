@@ -38,6 +38,27 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE
     return {n: load_table(spark, sf_dir, n) for n in names}
 
 
+def parquet_num_rows(path: str) -> int:
+    """Exact row count of a parquet file (or directory of part files) from
+    the FOOTER metadata — a driver-side read of a few KiB instead of a
+    Spark count job. Parquet footers carry the exact row count, so this is
+    the same number ``spark.read.parquet(path).count()`` returns; queries
+    that only need the corpus size as a scalar literal (tfidf n_docs, the
+    crawl fixtures' modular-link arithmetic) should not pay a cluster
+    round-trip per build for it. Falls back to a glob over ``*.parquet``
+    part files for directory layouts."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        import glob
+
+        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        return sum(pq.ParquetFile(p).metadata.num_rows for p in parts)
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 def spread_small(df: DataFrame) -> DataFrame:
     """Repartition a narrow input up to the cluster's default parallelism.
 
