@@ -2461,21 +2461,53 @@ def q_pipeline_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
     contaminated = DD.contamination_check(
         rest, bench, "text", "doc_id", ngram_w=8
     ).select("doc_id")
-    clean = survivors.join(contaminated, "doc_id", "left_anti")
 
-    counts = [
-        ("0_corpus", rest.count()),
-        ("1_gopher_quality", kept_q.count()),
-        ("2_exact_dedup", survivors.count()),
-        ("3_decontaminated", clean.count()),
-    ]
-    rows = []
-    prev = None
-    for stage, n in counts:
-        rows.append((stage, n, 0 if prev is None else prev - n))
-        prev = n
-    return spark.createDataFrame(
-        rows, "stage string, n_docs long, n_dropped long"
+    # ONE lazy plan for all four stage counts (round 15): the old form
+    # ran four driver-side .count() actions at build time, re-executing
+    # progressively longer lineage (scan ×4, gopher flags ×3, the
+    # fingerprint groupBy ×2) before returning a literal table. Instead:
+    # one single-row aggregate per independent subchain — (corpus, kept)
+    # share one flags pass; (dedup, decontaminated) share one
+    # survivors⋈contaminated pass (left join + conditional count ==
+    # count and anti-join count; contaminated is made distinct so the
+    # join cannot multiply survivor rows) — crossed 1×1 and exploded into
+    # the same four (stage, n_docs, n_dropped) rows. Values unchanged
+    # (same oracle); the whole funnel now executes once, in the timed
+    # action, not four times at build.
+    agg_base = gopher_flags(rest).agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.count(F.when(F.col("keep"), F.lit(1))).alias("n1"),
+    )
+    agg_tail = (
+        survivors.join(
+            contaminated.distinct().withColumn("__c", F.lit(1)),
+            "doc_id",
+            "left",
+        ).agg(
+            F.count(F.lit(1)).alias("n2"),
+            F.count(F.when(F.col("__c").isNull(), F.lit(1))).alias("n3"),
+        )
+    )
+    stage = lambda name, n, dropped: F.struct(  # noqa: E731
+        F.lit(name).alias("stage"),
+        n.cast("long").alias("n_docs"),
+        dropped.cast("long").alias("n_dropped"),
+    )
+    return (
+        agg_base.crossJoin(agg_tail)
+        .select(
+            F.explode(
+                F.array(
+                    stage("0_corpus", F.col("n0"), F.lit(0)),
+                    stage("1_gopher_quality", F.col("n1"), F.col("n0") - F.col("n1")),
+                    stage("2_exact_dedup", F.col("n2"), F.col("n1") - F.col("n2")),
+                    stage(
+                        "3_decontaminated", F.col("n3"), F.col("n2") - F.col("n3")
+                    ),
+                )
+            ).alias("s")
+        )
+        .select("s.*")
     )
 
 
