@@ -146,6 +146,8 @@ def fuzzy_join_passjoin(
     acol, bcol = f"a_{col}", f"b_{col}"
     left = a.where(F.col(col).isNotNull()).select(*a_keep, F.col(col).alias(acol))
     right = b.where(F.col(col).isNotNull()).select(*b_keep, F.col(col).alias(bcol))
+    if d == 1:
+        return _fuzzy_join_del1(left, right, acol, bcol, a_keep, b_keep, n_salts)
 
     def _layout(L, i):
         """(start_0based, seg_len) of segment i in the even partition of
@@ -229,6 +231,103 @@ def fuzzy_join_passjoin(
     # the (few) survivors
     within = F.levenshtein(F.col(acol), F.col(bcol), d)
     out = pairs.unionByName(shorts).where((within >= 0) & (within <= F.lit(d)))
+    return out.distinct().withColumn(
+        "dist", F.levenshtein(F.col(acol), F.col(bcol)).cast("long")
+    )
+
+
+def _del_variants(scol: Column) -> Column:
+    """The single-deletion neighborhood of a string as a distinct array:
+    the string itself plus every string obtained by deleting exactly one
+    character (n+1 variants, deduplicated — a run of equal characters
+    yields one variant, not run-length many)."""
+    n = F.length(scol)
+    dels = F.when(n < 1, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            # sequence() DESCENDS when start > stop, hence the n<1 guard
+            F.sequence(F.lit(1), n),
+            lambda i: F.concat(
+                scol.substr(F.lit(1), i - 1), scol.substr(i + 1, n - i)
+            ),
+        )
+    )
+    return F.array_distinct(F.concat(F.array(scol), dels))
+
+
+def _fuzzy_join_del1(
+    left: DataFrame,
+    right: DataFrame,
+    acol: str,
+    bcol: str,
+    a_keep: Sequence[str],
+    b_keep: Sequence[str],
+    n_salts: int,
+) -> DataFrame:
+    """``max_dist == 1`` candidate generation by the DELETION-NEIGHBORHOOD
+    join (the FastSS / Mor-Fraenkel scheme, round 15) instead of the
+    positional-segment pigeonhole.
+
+    **Why (measured):** PassJoin's d+1 = 2 even segments degenerate on
+    key-like columns with a long shared prefix — every
+    ``Customer#000000...`` row carries the identical first segment, so
+    ONE block holds a large fraction of both sides and the candidate set
+    collapses to an effective |A| x |B| through it (~45M verified pairs /
+    ~43s of executor CPU for 3k x 15k rows at sf0.1). Deletion variants
+    of ID-like strings are near-unique, so blocks stay proportional to
+    the true near-match neighborhoods.
+
+    **Completeness (exactness unchanged):** lev(a, b) <= 1 implies the
+    single-deletion neighborhoods D1(a) and D1(b) intersect —
+    substitution at i: delete position i from both; insertion/deletion:
+    the shorter string is itself a member of the longer one's
+    neighborhood and of its own (identity); equality: the identity
+    variant. Every candidate still passes the SAME banded-levenshtein
+    verification, so false candidates (shared variant at distance 2,
+    xxhash64 collisions) are dropped and the output law is identical to
+    the segment path's — pinned by the fuzz property in
+    tests/test_linkage.py, which compares against brute force.
+
+    Scale shape: fan-out n+1 variant rows per string (vs the segment
+    path's (d+1)·n_salts index fan-out), shuffles keyed by the 8-byte
+    ``xxhash64(variant)`` instead of segment text, and the same
+    content-salt split (probe side ``crc32 % n_salts``, index side
+    replicated) so a degenerate block of byte-identical strings — the
+    one block this scheme can still produce — spreads over tasks."""
+    r = max(int(n_salts), 1)
+    av = (
+        left.select(
+            *a_keep, acol, F.explode(_del_variants(F.col(acol))).alias("_v")
+        )
+        .select(*a_keep, acol, F.xxhash64("_v").alias("_h"))
+        .select(
+            "*", F.explode(F.sequence(F.lit(0), F.lit(r - 1))).alias("_salt")
+        )
+    )
+    bv = right.select(
+        *b_keep, bcol, F.explode(_del_variants(F.col(bcol))).alias("_v")
+    ).select(
+        *b_keep,
+        bcol,
+        F.xxhash64("_v").alias("_h"),
+        F.pmod(F.crc32(F.col(bcol)), F.lit(r)).cast("int").alias("_salt"),
+    )
+    # explicit-count repartition: candidate blocks are small in bytes but
+    # explosive in join output, so AQE's byte-sized coalesce would fold
+    # them into few tasks (same rationale as the segment path)
+    nparts = max(2 * r, 16)
+    jkeys = ["_h", "_salt"]
+    pairs = (
+        av.repartition(nparts, *jkeys)
+        .join(bv.repartition(nparts, *jkeys), jkeys)
+        # length bound: |len(a) - len(b)| <= 1 for any true match; cheap
+        # pre-filter ahead of the DP
+        .where(
+            F.abs(F.length(F.col(acol)) - F.length(F.col(bcol))) <= F.lit(1)
+        )
+        .select(*a_keep, acol, *b_keep, bcol)
+    )
+    within = F.levenshtein(F.col(acol), F.col(bcol), 1)
+    out = pairs.where((within >= 0) & (within <= F.lit(1)))
     return out.distinct().withColumn(
         "dist", F.levenshtein(F.col(acol), F.col(bcol)).cast("long")
     )
