@@ -2470,7 +2470,9 @@ def q_pipeline_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
     # share one flags pass; (dedup, decontaminated) share one
     # survivors⋈contaminated pass (left join + conditional count ==
     # count and anti-join count; contaminated is made distinct so the
-    # join cannot multiply survivor rows) — crossed 1×1 and exploded into
+    # join cannot multiply survivor rows) — folded side by side with
+    # fold_single_rows (a 1×1 crossJoin plans as the
+    # BroadcastNestedLoopJoin the plan gate bans) and exploded into
     # the same four (stage, n_docs, n_dropped) rows. Values unchanged
     # (same oracle); the whole funnel now executes once, in the timed
     # action, not four times at build.
@@ -2493,8 +2495,10 @@ def q_pipeline_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("long").alias("n_docs"),
         dropped.cast("long").alias("n_dropped"),
     )
+    from avro_diff_spark.functions.canonical import fold_single_rows
+
     return (
-        agg_base.crossJoin(agg_tail)
+        fold_single_rows([agg_base, agg_tail], ["n0", "n1", "n2", "n3"])
         .select(
             F.explode(
                 F.array(
