@@ -159,22 +159,34 @@ def canonical_edges(pairs: DataFrame, a: str, b: str) -> DataFrame:
 
 
 def triangle_stats(edges: DataFrame) -> DataFrame:
-    """Exact triangle census of an undirected graph — the Cohen 2009 /
-    Suri & Vassilvitskii 2011 degree-ordered algorithm, the MapReduce-era
-    standard precisely BECAUSE it scales: orienting every edge from its
-    lower-(degree, id) endpoint bounds each node's out-degree by
-    O(sqrt(m)), so the wedge self-join on ``src`` — the step a naive
-    neighborhood join explodes on (a celebrity node with degree d yields
-    d^2 wedges) — stays near-linear in m, skew capped by construction.
+    """Exact triangle census of an undirected graph — degree-ordered
+    edge-iterator counting (Schank 2007; the orientation bound of
+    Cohen 2009 / Suri & Vassilvitskii 2011): orienting every edge from
+    its lower-(degree, id) endpoint bounds each node's out-degree by
+    O(sqrt(m)), then each edge (u, v) contributes
+    ``|N+(u) ∩ N+(v)|`` triangles — every triangle is counted exactly
+    once, on its (deg, id)-lowest edge.
 
-    Plan: 3 hash aggregations (canonical dedup, degrees, final counts) +
-    4 equi-joins (2 degree attachments, the wedge self-join on src, the
-    closing-edge join on (dst1, dst2)) — every shuffle keyed, map-side
-    combined, no windows, no cartesians, no driver state. Integer-only,
-    except the one correctly-rounded double divide finishing the global
-    clustering coefficient (3*triangles/wedges, x1e6 floor) — the
-    sketches' determinism discipline, so a DuckDB id-ordered 3-way-join
-    oracle value-hashes this exactly.
+    Optimization round 15: the previous formulation materialized the
+    oriented WEDGE list through a self-join and semi-joined it against
+    the closing edges — at sf0.1's co-purchase graph that is a 41M-row
+    join output shuffled+sorted for the semi-join, against 1.2M edges
+    (the plan's dominant exchange by 30x). The edge-iterator form
+    shuffles only the m edge rows plus one sorted out-adjacency array
+    per node, and the Θ(Σ wedge) work runs as per-row
+    ``array_intersect`` inside codegen instead of a join. Max row width
+    is the orientation's O(sqrt(m)) out-degree bound — the same bound
+    that capped the wedge join's skew — so no row is unbounded and no
+    hub explodes. Triangle counts are bit-identical (same census; the
+    DuckDB oracle is an independent id-ordered 3-way join).
+
+    Plan: 4 hash aggregations (canonical dedup, degrees, adjacency
+    fold, final counts) + 4 equi-joins (2 degree attachments, 2
+    adjacency attachments) — every shuffle keyed, map-side combined, no
+    windows, no cartesians, no driver state. Integer-only, except the
+    one correctly-rounded double divide finishing the global clustering
+    coefficient (3*triangles/wedges, x1e6 floor) — the sketches'
+    determinism discipline, so the oracle value-hashes this exactly.
 
     Input: canonical edges from :func:`canonical_edges`. Returns one row
     (n_nodes, n_edges, n_wedges, n_triangles, clustering_x1e6); empty
@@ -205,19 +217,23 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     oriented = ed.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
-        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dst_deg"),
     )
-    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
-    lt = (F.col("o1.dst_deg") < F.col("o2.dst_deg")) | (
-        (F.col("o1.dst_deg") == F.col("o2.dst_deg"))
-        & (F.col("o1.dst") < F.col("o2.dst"))
+    # sorted out-adjacency per node (row width <= the O(sqrt(m))
+    # orientation bound); each edge joins both endpoints' arrays and
+    # intersects — |N+(u) ∩ N+(v)| per oriented edge (u, v)
+    adj = oriented.groupBy("src").agg(
+        F.sort_array(F.collect_list("dst")).alias("nbrs")
     )
-    wedges = o1.join(o2, (F.col("o1.src") == F.col("o2.src")) & lt).select(
-        F.col("o1.dst").alias("x"), F.col("o2.dst").alias("y")
-    )
-    closing = oriented.select(F.col("src").alias("x"), F.col("dst").alias("y"))
-    tri = wedges.join(closing, ["x", "y"], "left_semi").agg(
-        F.count(F.lit(1)).alias("n_triangles")
+    tri = (
+        oriented.join(
+            adj.select(F.col("src"), F.col("nbrs").alias("__nu")), "src"
+        )
+        .join(
+            adj.select(F.col("src").alias("dst"), F.col("nbrs").alias("__nv")),
+            "dst",
+        )
+        .select(F.size(F.array_intersect("__nu", "__nv")).alias("__c"))
+        .agg(F.coalesce(F.sum("__c"), F.lit(0)).cast("long").alias("n_triangles"))
     )
     # wedge total from UNDIRECTED degrees: sum C(deg, 2), exact integers
     wed = deg.agg(

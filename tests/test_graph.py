@@ -126,6 +126,12 @@ def test_triangles_plan_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "Window" not in plan
+    # optimization round 15: the census counts per-edge via sorted
+    # out-adjacency intersection — the wedge list must never be
+    # materialized through a join again (at sf0.1's co-purchase graph
+    # that was a 41M-row semi-join input vs 1.2M edges)
+    assert "array_intersect" in plan
+    assert "LeftSemi" not in plan
 
 
 def test_triangles_empty_graph_total(spark):
