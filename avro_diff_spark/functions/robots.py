@@ -167,6 +167,52 @@ def is_allowed(robots: dict, agent: str, path: str) -> bool:
     return best_allow
 
 
+def _compiled_rules(robots: dict, agent: str) -> list:
+    """The agent's selected rule group (same selection as
+    :func:`is_allowed`) with each pattern PRE-COMPILED to a regex —
+    ``[(allow, pattern_len, match_fn), ...]``. Building the regex source
+    (escape, split, join) and compiling it once per (robots text, rule)
+    instead of once per (URL, rule) is the guide-§4.5 once-per-task
+    init: the bulk evaluators amortize it over every URL of a host.
+    Empty patterns match nothing and are dropped (same law as
+    :func:`_pattern_matches`). ``None`` means "no group → everything
+    allowed"."""
+    groups = robots.get("groups", {})
+    rules = groups.get(agent.lower())
+    if rules is None:
+        rules = groups.get("*")
+    if not rules:
+        return []
+    out = []
+    for allow, pattern in rules:
+        if not pattern:
+            continue
+        anchored = pattern.endswith("$")
+        body = pattern[:-1] if anchored else pattern
+        rx = "^" + ".*".join(re.escape(part) for part in body.split("*"))
+        if anchored:
+            rx += "$"
+        out.append((allow, len(pattern), re.compile(rx).match))
+    return out
+
+
+def _is_allowed_compiled(rules: list, path: str) -> bool:
+    """:func:`is_allowed`'s precedence over a precompiled rule list:
+    longest matched pattern wins, Allow beats Disallow on ties, no match
+    → allowed. Identical verdicts to the uncompiled evaluator (the
+    regex source is built by the same transform)."""
+    best_len = -1
+    best_allow = True
+    for allow, plen, match in rules:
+        if plen < best_len:
+            continue
+        if match(path) is not None:
+            if plen > best_len or (plen == best_len and allow):
+                best_len = plen
+                best_allow = allow
+    return best_allow
+
+
 _PATH_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/]*")
 
 
@@ -203,7 +249,9 @@ def robots_filter_df(
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
-        cache: dict[str, dict] = {}
+        # cache COMPILED matchers per distinct robots text (one parse +
+        # regex compile per host file per task, not per URL — guide §4.5)
+        cache: dict[str, list] = {}
         for b in batches:
             allowed = []
             for url, rb in zip(b[url_col], b[robots_col]):
@@ -215,8 +263,8 @@ def robots_filter_df(
                     continue
                 rules = cache.get(rb)
                 if rules is None:
-                    rules = cache[rb] = parse_robots(rb)
-                allowed.append(is_allowed(rules, agent, _url_path(str(url))))
+                    rules = cache[rb] = _compiled_rules(parse_robots(rb), agent)
+                allowed.append(_is_allowed_compiled(rules, _url_path(str(url))))
             res = b[keep].copy() if keep else pd.DataFrame(index=b.index)
             res["url"] = b[url_col]
             res["allowed"] = allowed

@@ -159,3 +159,30 @@ def test_robots_delays_df(spark):
         for r in robots_delays_df(df, "robots", "bot", keep=("host",)).collect()
     }
     assert got == {"h0": 4.0, "h1": 1.5, "h2": None, "h3": None}
+
+
+def test_compiled_rules_equal_uncompiled():
+    """The precompiled matcher cache robots_filter_df uses (optimization
+    round 15 — one parse + regex compile per distinct robots text, not
+    per URL) must give verdicts identical to the reference evaluator
+    for every (robots, agent, path) — group selection, longest-match
+    precedence, Allow-on-tie, empty patterns, anchors and wildcards."""
+    import random
+
+    pats = ["", "/", "/p/", "/p/*", "*.gif$", "/a*b$", "$", "/*/x",
+            "/q?r=1", "*", "/P/"]
+    agents = ["trainbot", "*", "other"]
+    paths = ["/", "/p/1", "/p/", "/a/x/b", "/img.gif", "/q?r=1", "/P/2",
+             "/ab", ""]
+    rng = random.Random(7)
+    for _ in range(200):
+        lines = []
+        for _g in range(rng.randint(0, 3)):
+            for a in rng.sample(agents, rng.randint(1, 2)):
+                lines.append(f"User-agent: {a}")
+            for _r in range(rng.randint(0, 4)):
+                lines.append(f"{rng.choice(['Allow', 'Disallow'])}: {rng.choice(pats)}")
+        parsed = R.parse_robots("\n".join(lines))
+        comp = R._compiled_rules(parsed, "trainbot")
+        for p in paths:
+            assert R.is_allowed(parsed, "trainbot", p) == R._is_allowed_compiled(comp, p)
