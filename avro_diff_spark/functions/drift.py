@@ -256,7 +256,19 @@ def ks_distance(a: DataFrame, b: DataFrame, col: str, *, buckets: int = 64) -> D
     ).unionByName(
         b.where(v.isNotNull()).select(v.alias("v"), F.lit(0).alias("_a"), F.lit(1).alias("_b"))
     )
-    h = tagged.groupBy("v").agg(F.sum("_a").alias("na"), F.sum("_b").alias("nb"))
+    # ONE materialization of the merged histogram (optimization round
+    # 16, guide §5 reuse): the cut-sample collect, the bucket-totals
+    # collect and the final sup-scan plan all read ``h`` — without the
+    # checkpoint each consumer re-executes the union scan + hash
+    # aggregate from the source (3 full input passes per call,
+    # measured). The histogram is bounded by the column's distinct
+    # values (≤ input rows, usually far less), the same working-set
+    # bound the aggregate itself already implies.
+    h = (
+        tagged.groupBy("v")
+        .agg(F.sum("_a").alias("na"), F.sum("_b").alias("nb"))
+        .localCheckpoint()
+    )
     cuts = _sample_cuts(h, "v", buckets)
     bexpr = F.lit(len(cuts))
     for i in range(len(cuts) - 1, -1, -1):

@@ -394,6 +394,17 @@ def _verify_pairs(
     n_part = candidates.sparkSession.sparkContext.defaultParallelism
     av = doc_sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     bv = doc_sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    # Length-ratio prefilter (optimization round 16, guide §3): Jaccard ≥ t
+    # forces t·max(|A|,|B|) ≤ min(|A|,|B|) (|A∩B| ≤ min, |A∪B| ≥ max), so
+    # length-skewed candidates are decided from the two array SIZES alone
+    # and never pay the O(|sh|) array_intersect. Applied between the size
+    # projection and the intersect — no extra join, results unchanged
+    # (every filtered pair fails the exact-Jaccard threshold anyway).
+    t = float(threshold)
+    len_ok = (
+        F.greatest(F.col("n_a"), F.col("n_b")) * F.lit(t)
+        <= F.least(F.col("n_a"), F.col("n_b"))
+    )
     out = (
         candidates.repartition(n_part, "doc_a")
         .join(av.repartition(n_part, "doc_a"), "doc_a")
@@ -404,6 +415,15 @@ def _verify_pairs(
             "doc_b",
             F.size("sh_a").alias("n_a"),
             F.size("sh_b").alias("n_b"),
+            "sh_a",
+            "sh_b",
+        )
+        .filter(len_ok)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_a",
+            "n_b",
             F.size(F.array_intersect("sh_a", "sh_b")).alias("n_common"),
         )
         .withColumn("jaccard", jac)

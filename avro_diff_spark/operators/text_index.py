@@ -457,14 +457,16 @@ def query_text_index(
     buckets = sorted({_bucket_py(t) for t in terms})
     qdf = spark.createDataFrame(qrows, "query_id long, term string")
 
-    posts = (
-        V.read_version(spark, f"{index_path}/postings")
-        .where(F.col("bucket").isin(buckets))
-        .where(F.col("term").isin(terms))
-    )
+    # prune_eq (optimization round 16): the bucket restriction moves
+    # into read_version's manifest-level skip — non-matching partition
+    # files are dropped BEFORE any scan subtree is assembled (fewer
+    # driver-side plan nodes per probe) and the identical bucket
+    # equality filter is applied on top, so results are unchanged.
+    posts = V.read_version(
+        spark, f"{index_path}/postings", prune_eq=("bucket", buckets)
+    ).where(F.col("term").isin(terms))
     dfs = (
-        V.read_version(spark, f"{index_path}/terms")
-        .where(F.col("bucket").isin(buckets))
+        V.read_version(spark, f"{index_path}/terms", prune_eq=("bucket", buckets))
         .where(F.col("term").isin(terms))
         .select("term", "df")
     )

@@ -665,14 +665,28 @@ def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates broadcast back onto the per-source frame (the
     ``_fold_tvd`` idiom — no unpartitioned window), one broadcast join
     of the tiny rate table back onto the corpus, one map-side-combined
-    count — no corpus shuffle, no sampling state."""
-    d = spread_small(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    count — no corpus shuffle, no sampling state.
+
+    Round-16 shape fix (the round-15 verdict's inverse-scaling audit):
+    the weights→targets chain runs FIVE dependent 1-row/broadcast
+    builds, and each used to re-execute its whole upstream from the
+    corpus scan — kept in check only by spread_small's shared exchange,
+    whose defaultParallelism task waves were exactly the c32-slower-
+    than-c8 anomaly the driver's scaling block flagged (profiled: 13
+    sequential jobs × 33-task waves at c32). The per-source aggregate
+    is source-cardinality bounded (the mixture contract), so it is now
+    localCheckpoint-materialized ONCE: every downstream fold reads the
+    tiny frame, the corpus is scanned exactly twice (the aggregate and
+    the membership count — the theoretical minimum), and no spread is
+    needed because the remaining per-row work is one hash32 + compare."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     per0 = (
         d.groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .withColumn(
             "__s", F.floor(F.sqrt(F.col("n_docs")) * F.lit(1_000_000.0)).cast("long")
         )
+        .localCheckpoint()
     )
     t1 = per0.agg(
         F.coalesce(F.sum("__s"), F.lit(0)).alias("__ts"),
@@ -1535,14 +1549,19 @@ def q_lm_bigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     plate scores low (its bigrams are corpus-frequent), novel/garbled text
     scores high.
 
-    Scale shape: explode bigrams once; bigram counts and history counts
-    are groupBy aggs (map-side combine) re-joined on their own grouping
-    keys — each join is co-partitioned with the agg's own shuffle, so AQE
-    reuses the exchange; V is a single scalar distinct-count action
-    embedded as a literal (the tfidf n_docs pattern — a one-row join on a
-    constant key plans as BroadcastNestedLoopJoin, which the plan gate
-    rightly rejects). No driver-side model materialization beyond that
-    scalar: the "model" stays distributed, the 100 TB-corpus shape (a
+    Scale shape (optimization round 16): the bigram stream is
+    tokenized twice — once under the bigram-count aggregate (map-side
+    combined, so its exchange ships partial counts, not occurrences)
+    and once as the scoring join's probe side — instead of four times:
+    the history counts now FOLD from the bigram counts (``C(w1) = Σ_w2
+    C(w1,w2)``, a tiny aggregate over c_bg's already-shuffled output
+    whose exchange subtree is shared by every consumer) instead of
+    re-aggregating the raw stream, and V (the next-word vocabulary
+    size, ``|{w2}|`` over the same folded counts) rides a 1-row
+    broadcast-totals join (``_join_broadcast_totals`` — a literal key
+    would constant-fold to the BNLJ the plan gate rejects) instead of
+    a per-build driver action. No driver-side model materialization:
+    the "model" stays distributed, the 100 TB-corpus shape (a
     KenLM-style trie would need a collect)."""
     d = spread_small(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     toks = d.select("doc_id", TX.tokens_ws(F.col("text")).alias("toks"))
@@ -1561,20 +1580,35 @@ def q_lm_bigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("w1") != "") & (F.col("w2") != ""))
     )
     c_bg = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    c_ug = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    v = int(bg.agg(F.count_distinct(F.col("w2")).alias("v")).first()["v"])
-    return (
+    # C(w1) = Σ_w2 C(w1,w2): fold the bigram counts instead of
+    # re-aggregating the raw stream — reads c_bg's (small) agg output,
+    # not a second pass over the corpus
+    c_ug = c_bg.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    # V = |{w2}| from the same folded counts; 1-row broadcast-totals
+    # join (never-null count key) instead of a per-build driver action
+    vt = c_bg.agg(
+        F.count_distinct(F.col("w2")).alias("__v"),
+        F.count(F.lit(1)).alias("__c"),
+    )
+    per_doc = (
         bg.join(c_bg, ["w1", "w2"])
         .join(c_ug, ["w1"])
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
             F.sum(F.when(F.col("c12") == 1, 1).otherwise(0)).alias("n_novel"),
-            (
-                (F.sum("c1") + F.count(F.lit(1)) * F.lit(v)).cast("double")
-                / (F.sum("c12") + F.count(F.lit(1)))
-            ).alias("surprise"),
+            F.sum("c1").alias("__sc1"),
+            F.sum("c12").alias("__sc12"),
         )
+    )
+    return _join_broadcast_totals(per_doc, "n_bigrams", vt).select(
+        "doc_id",
+        "n_bigrams",
+        "n_novel",
+        (
+            (F.col("__sc1") + F.col("n_bigrams") * F.col("__v")).cast("double")
+            / (F.col("__sc12") + F.col("n_bigrams"))
+        ).alias("surprise"),
     )
 
 

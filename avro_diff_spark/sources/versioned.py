@@ -112,7 +112,14 @@ _CHECKPOINT_INTERVAL = 10
 # building one literal-pv scan per combination (tens of thousands of
 # plan nodes at high-cardinality partitioning) and switches to one scan
 # per STAGING DIRECTORY with Spark's native hive-partition discovery.
-_MAX_LITERAL_PV_GROUPS = 64
+# Lowered 64 -> 8 (optimization round 16): a 16-bucket index table paid
+# ~16 x (read + pv reattach + union) of driver/py4j round trips and
+# repeated analysis per read_version call — measured ~2 s of pure
+# driver build time per stored-index probe — where the staged-dir read
+# is 1-3 scans with native hive partition pruning on the pv columns
+# (results, types, pruning and DV masking pinned equal by
+# test_high_cardinality_partitioning_reads_bounded_plan).
+_MAX_LITERAL_PV_GROUPS = 8
 
 
 def _read_commit(path: str) -> dict:
@@ -1787,9 +1794,20 @@ def read_version(
                 parts.append(g)
         finally:
             spark.conf.set(infer_key, old_infer)
+    # balanced-tree union (optimization round 16): every DataFrame op
+    # eagerly re-analyzes its whole tree, so a left-deep fold over n
+    # parts costs O(n²) analysis on the driver; pairing halves per
+    # round keeps it O(n log n). Row order across parts is not a table
+    # contract (partitioning-invariance pins), and the part sequence is
+    # unchanged anyway — only the union tree's shape differs.
+    while len(parts) > 1:
+        parts = [
+            parts[i].unionByName(parts[i + 1], allowMissingColumns=True)
+            if i + 1 < len(parts)
+            else parts[i]
+            for i in range(0, len(parts), 2)
+        ]
     df = parts[0]
-    for p in parts[1:]:
-        df = df.unionByName(p, allowMissingColumns=True)
     if not literal_path:
         # inferred pv columns arrive as strings — cast to committed
         # types; transform dir columns (hidden partitioning) are not
