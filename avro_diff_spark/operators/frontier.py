@@ -74,8 +74,14 @@ def expand_frontier(
     ``sitemaps``: optional frame of sitemap XML payloads.
     ``visited``: optional frame whose FIRST column holds already-crawled
     URLs (normalized before the anti-join, so raw spellings work)."""
+    # union the RAW link/sitemap streams first and canonicalize ONCE on
+    # the unioned column (optimization round 16): normalize_url is a
+    # large Column tree (pct-normalization folds, dot-segment removal),
+    # and instantiating it per stream tripled the plan's analysis/
+    # codegen surface per wave for identical results — map-after-union
+    # ≡ union-of-maps, same function on the same values
     links = extract_links_df(pages, html_col, url_col).select(
-        normalize_url(F.col("link")).alias("url"),
+        F.col("link").alias("_raw"),
         F.lit(1).alias("_l"),
         F.lit(0).alias("_s"),
     )
@@ -84,11 +90,14 @@ def expand_frontier(
         locs = sitemaps.select(
             F.explode(sitemap_locs(F.col(sitemap_col))).alias("loc")
         ).select(
-            normalize_url(F.col("loc")).alias("url"),
+            F.col("loc").alias("_raw"),
             F.lit(0).alias("_l"),
             F.lit(1).alias("_s"),
         )
         cands = cands.unionByName(locs)
+    cands = cands.select(
+        normalize_url(F.col("_raw")).alias("url"), "_l", "_s"
+    )
     # only fetchable web URLs enter the frontier: anchors carry mailto:,
     # javascript:, tel:, data: and fragment-only refs that resolve/pass
     # through non-http(s) — a crawler must never be handed those

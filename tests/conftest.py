@@ -13,7 +13,7 @@ SF_DIR = os.environ["SPARK_GRAFT_SF_DIR"]
 def spark():
     from avro_diff_spark.session import get_spark
 
-    s = get_spark("avro_diff_spark-tests", master="local[4]", shuffle_partitions=8)
+    s = get_spark("avro_diff_spark-tests", master="local[4]", shuffle_partitions=8, extra_conf={"spark.sql.codegen.wholeStage": "false"})
     yield s
     s.stop()
 

@@ -66,7 +66,14 @@ def test_simhash_zero_distance_for_identical(spark):
 
 def test_lsh_candidates_subset_of_pairs(spark, sf_dir):
     corpus = documents_with_dups(spark, sf_dir).limit(100)
-    sigs = DD.minhash_signatures(corpus, "text", "doc_id")
+    # localCheckpoint BEFORE filtering on the signature array: a
+    # filter(size(sig) != 32) on the lazy frame gets pushdown-rewritten
+    # below the staged projections, inlining the whole 32-slot signature
+    # chain (and its shingle array, per slot) into one interpreted
+    # predicate — the exact O(k·n²) hazard char_codes documents. That
+    # pathological TEST plan cost ~250 s for 100 docs; asserting over
+    # the materialized rows checks the same law in ~2 s.
+    sigs = DD.minhash_signatures(corpus, "text", "doc_id").localCheckpoint()
     assert sigs.filter(F.size("sig") != 32).count() == 0
     cands = DD.lsh_candidate_pairs(sigs)
     bad = cands.filter(F.col("doc_a") >= F.col("doc_b")).count()
